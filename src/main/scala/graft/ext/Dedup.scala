@@ -1,0 +1,219 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Five tiers, each with a distinct cost/recall profile at 100 TB:
+  *
+  *  1. exact        — hash-groupBy on a normalized fingerprint; one
+  *                    shuffle on a 64-bit key (not the document text!),
+  *                    map-side combinable.
+  *  2. minhashLsh   — shingle → k minhashes → b bands → bucket-join.
+  *                    Candidate generation shuffles only (band, bucket
+  *                    hash) pairs; pair verification touches candidates,
+  *                    never the full n² cross product.
+  *  3. simhash      — 64-bit simhash, banded into 4×16-bit sub-keys;
+  *                    Hamming-distance verify on bucket collisions.
+  *  4. ngramJaccard — token/shingle-set Jaccard via explode + join on
+  *                    token; exact, for small-to-medium corpora or as
+  *                    the verify stage after 2/3.
+  *  5. embeddingCos — cosine near-dup over embeddings (see Similarity
+  *                    for the ANN variants).
+  *
+  * All signature computation is pure Spark column expressions
+  * (codegen'd); no UDFs.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------- 1. exact
+
+  /** Exact dedup: keep the first (min id) document per normalized-text
+    * fingerprint. Shuffles md5 keys only; at 100 TB the shuffle payload
+    * is ~32 bytes/doc + id regardless of document size. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), fingerprintMd5(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dupes"))
+
+  /** Exact-dedup'd corpus: drop all but the min-id row per fingerprint
+    * (a self-semi-join on the survivors; both sides shuffle on the same
+    * key so AQE plans a co-partitioned join). */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val keep = exact(docs, idCol, textCol).select(col(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // -------------------------------------------------------- 2. minhash LSH
+
+  /** MinHash signature as an array column: for each of `k` hash
+    * functions, min over the token-shingle hashes. Parameters are a
+    * deterministic function of the hash index (public universal-hashing
+    * construction: h_i(x) = (a_i·x + b_i) mod p). */
+  def minhashSignature(text: Column, k: Int = 64, shingle: Int = 3): Column = {
+    val sh = charShingles(text, shingle)
+    val base = transform(sh, s => xxhash64(s))
+    val hashes = (0 until k).map { i =>
+      val a = 2862933555777941757L ^ (i.toLong * 0x9E3779B97F4A7C15L)
+      val b = 0xD1B54A32D192ED03L + i.toLong * 0x2545F4914F6CDD1DL
+      array_min(transform(base, x => affineHash(x, a | 1L, b)))
+    }
+    array(hashes: _*)
+  }
+
+  /** LSH candidate pairs: band the signature into `bands` groups of
+    * rows, hash each band, self-join on (band, bucket). Returns
+    * (id_a, id_b) candidate pairs, id_a < id_b, distinct.
+    *
+    * Scale: the join key is (band_idx, band_hash) — the shuffle moves
+    * b rows of 16 bytes per doc; the n² blow-up only happens inside a
+    * bucket, which LSH keeps small by construction. */
+  def minhashCandidates(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 64,
+      bands: Int = 16,
+      shingle: Int = 3
+  ): DataFrame = {
+    val rowsPerBand = k / bands
+    val sig = docs.select(col(idCol).as("id"), minhashSignature(col(textCol), k, shingle).as("sig"))
+    val banded = sig.select(
+      col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
+        .as(Seq("band", "bucket"))
+    )
+    banded.as("a")
+      .join(banded.as("b"),
+        F.col("a.band") === F.col("b.band") &&
+          F.col("a.bucket") === F.col("b.bucket") &&
+          F.col("a.id") < F.col("b.id"))
+      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Full near-dup pipeline: LSH candidates verified with exact
+    * shingle-Jaccard ≥ threshold. */
+  def minhashNearDupes(
+      docs: DataFrame,
+      threshold: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 64,
+      bands: Int = 16,
+      shingle: Int = 3
+  ): DataFrame = {
+    val cands = minhashCandidates(docs, idCol, textCol, k, bands, shingle)
+    val sets = docs.select(col(idCol).as("id"), charShingles(col(textCol), shingle).as("sh"))
+    cands
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ------------------------------------------------------------ 3. simhash
+
+  /** 64-bit SimHash over token hashes, as pure expressions: for each
+    * bit position, sum +1/-1 over tokens' bit values; bit set if sum>0.
+    * Computed bit-parallel with integer arithmetic over 64 aggregate
+    * expressions folded into a single long. */
+  def simhash64(text: Column): Column = {
+    val toksH = transform(tokenSet(text), t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      val vote = aggregate(toksH, lit(0),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** SimHash near-dup candidates: band the 64-bit hash into four 16-bit
+    * chunks (two near-dups within Hamming distance 3 must share at
+    * least one chunk), bucket-join, verify Hamming ≤ maxHamming via
+    * bit_count(xor). */
+  def simhashNearDupes(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    val banded = sigs.select(col("id"), col("sh"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("sh"), i * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band", "chunk")))
+    banded.as("a").join(banded.as("b"),
+        F.col("a.band") === F.col("b.band") &&
+          F.col("a.chunk") === F.col("b.chunk") &&
+          F.col("a.id") < F.col("b.id"))
+      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
+        F.col("a.sh").as("sh_a"), F.col("b.sh").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ------------------------------------------------- 4. n-gram Jaccard exact
+
+  /** Exact token-set Jaccard over all pairs sharing ≥1 token, via
+    * explode + equi-join on token (never a cross join: the shuffle key
+    * is the token, so only co-occurring docs ever meet). Returns pairs
+    * with jaccard ≥ threshold, id_a < id_b.
+    *
+    * At 100 TB this is the verify stage, not the discovery stage —
+    * run it on LSH candidates. Standalone it is exact and still avoids
+    * n²: cost ~ sum over tokens of df(token)². Stop-token guard: drop
+    * tokens appearing in more than `maxDf` docs (ubiquitous tokens
+    * produce quadratic bucket blowup and near-zero Jaccard signal). */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      threshold: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxDf: Long = 100000L
+  ): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"), explode(tokenSet(col(textCol))).as("tok"))
+    val sizes = tok.groupBy("id").agg(count(lit(1)).as("sz"))
+    val filtered = tok.join(
+      tok.groupBy("tok").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf),
+      Seq("tok"))
+    val inter = filtered.as("a").join(filtered.as("b"),
+        F.col("a.tok") === F.col("b.tok") && F.col("a.id") < F.col("b.id"))
+      .groupBy(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---------------------------------------------- 5. embedding cosine dedup
+
+  /** Embedding near-dup pairs: cosine ≥ threshold. Exact variant —
+    * block-nested self-join; see [[Similarity.lshNearDupes]] for the
+    * banded scale path. Vectors are L2-normalized in a projection
+    * first so each pair costs one dot product. */
+  def embeddingNearDupes(
+      emb: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val n = emb.select(col(idCol).as("id"), normalize(col(vecCol)).as("v"))
+    n.as("a").join(n.as("b"), F.col("a.id") < F.col("b.id"))
+      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
+        round(dot(F.col("a.v"), F.col("b.v")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

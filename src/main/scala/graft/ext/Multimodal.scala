@@ -1,0 +1,110 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: images/audio/video as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract / resize /
+  * frame-sample plumbing.
+  *
+  * The actual media codecs are NOT in this container, so the decode
+  * kernels are deliberate deterministic stubs (clearly marked below);
+  * everything Spark-side is real: schemas, batch iteration via
+  * `mapPartitions` (the Scala analog of `mapInPandas` — per-partition
+  * batch processing, arrow-sized batches, no per-row JVM↔native churn),
+  * partition sizing, and metadata pushdown.
+  *
+  * 100 TB posture: media bytes never shuffle — all derived columns are
+  * computed in the scan stage; only compact features/metadata flow into
+  * joins and aggregations downstream. `spark.sql.files.maxPartitionBytes`
+  * governs batch memory; binary payloads stay off the driver.
+  */
+object Multimodal {
+
+  /** Typed metadata carried beside every media payload. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false), // image|audio|video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("mime", StringType, nullable = true),
+    StructField("n_bytes", LongType, nullable = true)
+  ))
+
+  /** Decoded-image feature schema (what a real decoder would emit). */
+  val imageFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("mean_luma", DoubleType, nullable = false)
+  ))
+
+  // ----------------------------------------------------------------------
+  // STUB DECODERS — deterministic fakes. A real deployment swaps these
+  // bodies for libjpeg/ffmpeg calls; signatures, batching, and schemas
+  // are the production shape.
+  // ----------------------------------------------------------------------
+
+  /** STUB: "decode" an image payload. Deterministic fake: dimensions
+    * derive from payload length, luma from a byte checksum. */
+  private[ext] def stubDecodeImage(id: Long, payload: Array[Byte]): Row = {
+    val n = if (payload == null) 0 else payload.length
+    val width = 64 + (n % 512)
+    val height = 64 + ((n / 7) % 512)
+    val channels = 3
+    val luma = if (n == 0) 0.0 else {
+      var s = 0L; var i = 0
+      while (i < n) { s += (payload(i) & 0xFF); i += 1 }
+      (s.toDouble / n) / 255.0
+    }
+    Row(id, width, height, channels, math.rint(luma * 1e6) / 1e6)
+  }
+
+  /** Decode/feature-extract over media batches. Runs per partition so a
+    * real decoder amortizes init (codec contexts) across the batch —
+    * the same reason mapInPandas batches rows. */
+  def decodeImages(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val enc = org.apache.spark.sql.Encoders.row(imageFeatureSchema)
+    media
+      .select("media_id", "payload")
+      .mapPartitions { it =>
+        // real impl: init decoder once here
+        it.map(r => stubDecodeImage(r.getLong(0), r.getAs[Array[Byte]](1)))
+      }(enc)
+  }
+
+  /** Metadata-only pass: cheap typed metadata without decoding —
+    * pure column expressions, stays in codegen. */
+  def withMetadata(df: DataFrame, payloadCol: String = "payload"): DataFrame =
+    df.withColumn("n_bytes", length(col(payloadCol)).cast("long"))
+      .withColumn("payload_crc", crc32(col(payloadCol)))
+      .withColumn("is_empty", coalesce(length(col(payloadCol)) === 0, lit(true)))
+
+  /** STUB frame sampling for video payloads: emit every k-th "frame"
+    * (fixed 4 KiB strides of the payload) with its index — the real
+    * version seeks keyframes; the explode/positional plumbing is real. */
+  def sampleFrames(media: DataFrame, everyK: Int = 10): DataFrame = {
+    val frameSize = 4096
+    media
+      .withColumn("n_frames",
+        greatest(ceil(length(col("payload")) / frameSize).cast("int"), lit(1)))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(everyK))))
+      .withColumn("frame",
+        substring(col("payload"), col("frame_idx") * frameSize + 1, lit(frameSize)))
+      .select(col("media_id"), col("frame_idx"), col("frame"))
+  }
+
+  /** Build a media table from the documents testdata (text bytes stand
+    * in for payloads — the container has no binary media fixtures). */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("image").as("media_type"),
+      encode(col("text"), "utf-8").as("payload"),
+      lit("application/octet-stream").as("mime"),
+      length(col("text")).cast("long").as("n_bytes"))
+}

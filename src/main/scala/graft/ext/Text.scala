@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Text analysis for training-data pipelines: language ID, quality
+  * scoring, token counting, fingerprinting. All pure column
+  * expressions — every operator here stays inside whole-stage codegen
+  * and scales linearly with no shuffle (per-row transforms) or one
+  * map-side-combinable aggregation (corpus stats).
+  */
+object Text {
+
+  /** Small per-language stopword lists for the n-gram/stopword
+    * language-ID heuristic (public common-word lists). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "was"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "es", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "est", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "ein", "eine", "zu", "mit"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "就", "不", "人")
+  )
+
+  private val englishStop = stopwords("en")
+
+  /** Per-document quality features: char length, word count, punct
+    * ratio, stopword ratio, mean word length, uppercase ratio. */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nChars = length(text)
+    val nWords = size(toks)
+    val nPunct = length(regexp_replace(text, "[^\\p{Punct}]", ""))
+    val nUpper = length(regexp_replace(text, "[^A-Z]", ""))
+    val nStop = size(filter(toks, t => t.isin(englishStop: _*)))
+    Seq(
+      "n_chars" -> nChars.cast("long"),
+      "n_words" -> nWords.cast("long"),
+      "punct_ratio" -> round(nPunct.cast("double") / greatest(nChars, lit(1)), 6),
+      "stopword_ratio" -> round(nStop.cast("double") / greatest(nWords, lit(1)), 6),
+      "mean_word_len" -> round(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          greatest(nWords, lit(1)), 6),
+      "upper_ratio" -> round(nUpper.cast("double") / greatest(nChars, lit(1)), 6)
+    )
+  }
+
+  /** Composite quality score in [0,1]: penalize extreme length, high
+    * punctuation, low stopword density (heuristics standard in corpus
+    * filtering, e.g. C4/Gopher-style rules). */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text).toMap
+    val lenOk = when(f("n_words").between(5, 10000), 1.0).otherwise(0.0)
+    val punctOk = when(f("punct_ratio") <= 0.2, 1.0).otherwise(0.0)
+    val stopOk = when(f("stopword_ratio") >= 0.05, 1.0).otherwise(0.5)
+    round((lenOk + punctOk + stopOk) / 3.0, 6)
+  }
+
+  /** Language ID by stopword-hit scoring: for each candidate language,
+    * count tokens in its stopword list; argmax wins, ties broken by
+    * language code, no hits ⇒ "und". Pure expressions (a static
+    * candidate set unrolled into a greatest-of struct). */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    // score struct per lang: (hits, negated code for tie-break) → max
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        size(filter(toks, t => t.isin(words: _*))).as("hits"),
+        lit(lang).as("lang")
+      )
+    }
+    // greatest over structs orders by hits then lang desc; to break ties
+    // by lang ASC, compare on (hits, reversed lang) — simpler: fold.
+    val best = scored.reduceLeft { (a, b) =>
+      when(b.getField("hits") > a.getField("hits"), b).otherwise(a)
+    }
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Add all text-analysis columns to a documents dataframe. */
+  def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val withFeats = qualityFeatures(t).foldLeft(docs) { case (d, (n, c)) =>
+      d.withColumn(if (d.columns.contains(n)) s"f_$n" else n, c)
+    }
+    withFeats
+      .withColumn("quality_score", qualityScore(t))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("fingerprint", fingerprintMd5(t))
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine column functions, built from codegen'd Spark builtins
+  * (`org.apache.spark.sql.functions._`) so they stay inside
+  * whole-stage codegen — no Scala UDFs in hot paths.
+  *
+  * These back the LLM-data-pipeline extensions (BASELINE.json
+  * north_star): tokenization, fingerprinting, hashing for MinHash /
+  * SimHash, and dense-vector math over `ArrayType` embeddings.
+  */
+package object functions {
+
+  // ---------------------------------------------------------------- text
+
+  /** Whitespace tokenization, lowercased, empty tokens dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /** Distinct token set. */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word-ish chunks + digits + punctuation
+    * counted separately (a cheap proxy for a BPE tokenizer's token
+    * count; the regex mirrors the common GPT-2 pre-tokenizer split). */
+  def subwordCount(text: Column): Column =
+    size(filter(
+      split(text, "(?=[\\p{Punct}])|\\s+|(?<=\\D)(?=\\d)|(?=\\p{Lu})"),
+      t => length(t) > 0))
+
+  /** Character n-grams (shingles) of the normalized text. */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val idx = sequence(lit(1), greatest(length(norm) - (n - 1), lit(1)))
+    array_distinct(transform(idx, i => norm.substr(i, lit(n))))
+  }
+
+  /** Word n-grams as joined strings. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    val count = greatest(size(t) - (n - 1), lit(0))
+    array_distinct(transform(sequence(lit(1), count),
+      i => concat_ws(" ", slice(t, i, lit(n)))))
+  }
+
+  /** 64-bit document fingerprint: xxhash64 of whitespace-normalized,
+    * lowercased text — the "rolling hash fingerprint" of the pipeline
+    * spec, deterministic and codegen'd. */
+  def fingerprint64(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Content-defined md5 fingerprint (hex) of normalized text —
+    * cross-engine checkable (DuckDB md5 matches). */
+  def fingerprintMd5(text: Column): Column =
+    md5(to_binary(regexp_replace(lower(trim(text)), "\\s+", " "), lit("utf-8")))
+
+  // ------------------------------------------------------------- hashing
+
+  /** Universal-hash family over a 64-bit base hash: h_i(x) =
+    * (a_i * x + b_i) mod p, folded to non-negative long. Used for
+    * MinHash signatures; parameters derive deterministically from the
+    * seed index. */
+  def affineHash(x: Column, a: Long, b: Long): Column =
+    pmod(x * lit(a) + lit(b), lit(2862933555777941757L))
+
+  // ------------------------------------------------------------- vectors
+
+  /** Dot product of two ArrayType(Float/Double) columns in DoubleType
+    * precision, via zip_with + aggregate (codegen'd higher-order
+    * functions — no UDF). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm2(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  /** Cosine similarity in double precision. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Pre-normalized cosine: divide each vector by its norm once, then
+    * cosine = dot. Use `normalize` in a prior projection so the norm is
+    * computed once per row instead of once per pair — the difference
+    * between O(n·k·d) and O(n²·d) extra work in a top-k join. */
+  def normalize(a: Column): Column = {
+    val n = norm2(a)
+    transform(a, v => v.cast("double") / n)
+  }
+}

@@ -1,0 +1,104 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, functions => F}
+import org.apache.spark.sql.types.{StringType, StructType}
+import graft.schema.{Flavor, Infer, Snowflake}
+
+/** LOAD operator: file(s) → engine table.
+  *
+  * The reference's `load_and_copy` pipeline is: [dir-glob or round-robin
+  * split] → [gzip] → S3 upload → warehouse `COPY` via key prefix
+  * (reference: locopy/redshift.py:235-347) and Snowflake's
+  * `PUT → COPY INTO` (locopy/snowflake.py:213-337). On Spark the whole
+  * pipeline is ONE declarative read→write: the scan parallelizes over
+  * files/blocks natively (the reason the reference splits files at all —
+  * docs/source/recipes.rst:42-63 — is subsumed by FileSourceScanExec
+  * bin-packing), codecs are transparent, and `COPY` is `saveAsTable` /
+  * `insertInto`.
+  *
+  * 100 TB posture: no driver-side file IO at all — paths go straight to
+  * the distributed scan; `splits` maps to `repartition(n)` ONLY when the
+  * caller asks (a shuffle is not free); schema inference is a single
+  * aggregate pass (see [[graft.schema.Infer]]).
+  */
+object Load {
+
+  /** Read a file/dir/glob into a DataFrame with reference-style options.
+    *
+    * @param fileType    csv | json | parquet (reference formats,
+    *                    locopy/snowflake.py:39-91)
+    * @param options     reference-vocabulary format options (validated;
+    *                    unknown keys raise OptionError)
+    * @param header      csv header line present (IGNOREHEADER 1 /
+    *                    SKIP_HEADER 1)
+    * @param schema      explicit schema wins over inference
+    *                    (locopy/redshift.py:582-586)
+    * @param infer       when no explicit schema: infer via the §1.2
+    *                    lattice (all-values, deterministic)
+    * @param truncateColumns width map for TRUNCATECOLUMNS parity
+    *                    (substring-to-width, locopy/redshift.py:68-70)
+    */
+  def read(
+      spark: SparkSession,
+      path: String,
+      fileType: String = "csv",
+      options: Map[String, String] = Map.empty,
+      header: Boolean = false,
+      schema: Option[StructType] = None,
+      infer: Boolean = true,
+      flavor: Flavor = Snowflake,
+      truncateColumns: Map[String, Int] = Map.empty
+  ): DataFrame = {
+    val fmt = Options.formatOf(fileType)
+    val sparkOpts = Options.withDefaults(fmt, Options.translateRead(fmt, options))
+    val reader = spark.read.format(fmt.spark).options(sparkOpts)
+    val base = fmt match {
+      case Options.Csv =>
+        val r = reader.option("header", header.toString)
+        schema match {
+          case Some(s) => r.schema(s).load(path)
+          case None =>
+            val raw = r.load(path) // all strings
+            if (infer) Infer.applySchema(raw, Infer.inferSchema(raw, flavor))
+            else raw
+        }
+      case _ =>
+        schema.fold(reader.load(path))(s => reader.schema(s).load(path))
+    }
+    if (truncateColumns.isEmpty) base
+    else
+      base.select(base.columns.toIndexedSeq.map { c =>
+        truncateColumns.get(c) match {
+          case Some(w) if base.schema(c).dataType == StringType =>
+            F.substring(F.col(c), 1, w).as(c)
+          case _ => F.col(c)
+        }
+      }: _*)
+  }
+
+  /** Full load_and_copy parity: read `path`, optionally repartition
+    * (the reference's `splits` — its parallel-load knob,
+    * locopy/redshift.py:291-294), write into `table`.
+    *
+    * `splits <= 0` keeps the scan's natural partitioning (preferred: no
+    * shuffle). Round-robin `repartition(n)` mirrors the reference's
+    * round-robin line split (locopy/utility.py:123-189).
+    */
+  def loadAndCopy(
+      spark: SparkSession,
+      path: String,
+      table: String,
+      fileType: String = "csv",
+      options: Map[String, String] = Map.empty,
+      header: Boolean = false,
+      schema: Option[StructType] = None,
+      splits: Int = 0,
+      mode: SaveMode = SaveMode.Append,
+      flavor: Flavor = Snowflake
+  ): DataFrame = {
+    val df0 = read(spark, path, fileType, options, header, schema, infer = true, flavor)
+    val df = if (splits > 0) df0.repartition(splits) else df0
+    df.write.mode(mode).saveAsTable(table)
+    spark.table(table)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import graft.core.StageError
+
+/** EXTRACT operator: query → files (and optional single-file export).
+  *
+  * Reference pipeline `unload_and_copy`: warehouse `UNLOAD ('query') TO
+  * s3` writes ≤6.2 GB shards → list generated files via stl_unload_log →
+  * download → optional single CSV with a header row prepended
+  * (reference: locopy/redshift.py:349-441; Snowflake `COPY INTO @stage`
+  * locopy/snowflake.py:339-410). Spark equivalents:
+  *
+  *   - UNLOAD          → `spark.sql(query).write.format(...).save(path)`
+  *                       (one shard per task — the warehouse's parallel
+  *                       unload is Spark's default behavior)
+  *   - PARALLEL OFF    → `coalesce(1)` (reference flag
+  *                       locopy/redshift.py:393-395)
+  *   - stl_unload_log  → the write's own part-* manifest, enumerated via
+  *                       FileSystem.listStatus (locopy/redshift.py:508-530)
+  *   - header + concat → `option("header", true)` on the coalesced write
+  *                       (locopy/redshift.py:434-437)
+  *   - `WHERE 1=0` column probe → `df.schema` — Catalyst analyzes
+  *                       without executing (locopy/redshift.py:482-506)
+  */
+object Unload {
+
+  /** Run `query` and write results to `path`. Returns the produced data
+    * files (the stl_unload_log parity). */
+  def unload(
+      spark: SparkSession,
+      query: String,
+      path: String,
+      fileType: String = "csv",
+      delimiter: String = "|",
+      header: Boolean = false,
+      compression: Option[String] = None,
+      parallelOff: Boolean = false
+  ): Seq[String] = {
+    val fmt = Options.formatOf(fileType)
+    val df0 = spark.sql(query)
+    val df = if (parallelOff) df0.coalesce(1) else df0
+    var w = df.write.mode("overwrite").format(fmt.spark)
+    if (fmt == Options.Csv) w = w.option("sep", delimiter).option("header", header.toString)
+    compression.foreach(c => w = w.option("compression", c))
+    w.save(path)
+    generatedFiles(spark, path)
+  }
+
+  /** Enumerate the data files a write produced (reference queries
+    * stl_unload_log, locopy/redshift.py:508-530). */
+  def generatedFiles(spark: SparkSession, path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) throw new StageError(s"unload path does not exist: $path")
+    fs.listStatus(p)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .map(_.getPath.toString)
+      .sorted
+      .toSeq
+  }
+
+  /** Column names of an arbitrary query WITHOUT executing it — the
+    * reference's `SELECT * FROM (q) WHERE 1=0` trick
+    * (locopy/redshift.py:482-506) is exactly Catalyst analysis. */
+  def columnNames(spark: SparkSession, query: String): Seq[String] =
+    spark.sql(query).schema.fieldNames.toSeq.map(_.toLowerCase)
+
+  /** Full unload_and_copy parity: unload + single-file export with
+    * header. The reference downloads shards then byte-concats with a
+    * written header row (locopy/redshift.py:434-437); we produce the
+    * identical artifact with a deterministic coalesce(1) write + rename
+    * (SURVEY §7.4 "single-file export exactness"). */
+  def unloadAndCopy(
+      spark: SparkSession,
+      query: String,
+      rawPath: String,
+      exportPath: Option[String] = None,
+      delimiter: String = "|",
+      fileType: String = "csv"
+  ): Seq[String] = {
+    val files = unload(spark, query, rawPath, fileType, delimiter,
+      header = false, parallelOff = false)
+    exportPath.foreach { out =>
+      val tmp = rawPath.stripSuffix("/") + "__export"
+      unload(spark, query, tmp, fileType, delimiter, header = true, parallelOff = true)
+      val one = generatedFiles(spark, tmp) match {
+        case Seq(f) => f
+        case other  => throw new StageError(s"expected 1 export file, got ${other.size}")
+      }
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new Path(one).getFileSystem(conf)
+      val dst = new Path(out)
+      if (fs.exists(dst)) fs.delete(dst, false)
+      if (!fs.rename(new Path(one), dst))
+        throw new StageError(s"rename $one -> $out failed")
+      fs.delete(new Path(tmp), true)
+    }
+    files
+  }
+}

@@ -1,0 +1,162 @@
+package graft.schema
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.types._
+import graft.core.InferError
+
+/** Warehouse flavor controlling date-string leniency (reference:
+  * `warehouse_type` param of find_column_type, locopy/utility.py:270-307;
+  * divergence table tests/test_utility.py:317-350).
+  */
+sealed trait Flavor
+case object Redshift extends Flavor
+case object Snowflake extends Flavor
+
+/** Logical-type inference over an untyped (all-string) dataframe.
+  *
+  * Port of `find_column_type` (reference: locopy/utility.py:270-470).
+  * The reference lattice has 6 logical types — timestamp, date, time,
+  * boolean, int, float — with varchar fallback. Semantics preserved:
+  *
+  *   - NULLs are dropped before inference; an all-null/empty column is
+  *     varchar (locopy/utility.py:353-355, 445-447).
+  *   - Decimal collapses to float (tests/test_utility.py:310,328,345) —
+  *     mapped to DoubleType; DecimalType is available via `decimalMode`.
+  *   - Date-vs-varchar for ambiguous strings is flavor-dependent:
+  *     Redshift accepts `yyyy-MM-dd`, `dd-MMM-yyyy`, `MM/dd/yyyy`;
+  *     Snowflake is stricter (locopy/utility.py:308-320).
+  *   - A string column with any time component is timestamp
+  *     (locopy/utility.py:360-363).
+  *
+  * Deliberate divergence (SURVEY §7.4): the reference samples ONE value
+  * per column (`column.sample(1)`, locopy/utility.py:311) which is
+  * nondeterministic; we validate against ALL non-null values with a
+  * distributed aggregate, so inference is deterministic and safe at
+  * 100 TB (one pass, map-side partial aggregation, no driver collect of
+  * data rows — only one boolean row per column comes back).
+  */
+object Infer {
+
+  private val reDateIso = "^\\d{4}-\\d{2}-\\d{2}$"
+  private val reDateMon = "^\\d{2}-[A-Za-z]{3}-\\d{4}$"
+  private val reDateUs = "^\\d{2}/\\d{2}/\\d{4}$"
+  private val reTimestamp =
+    "^\\d{4}-\\d{2}-\\d{2}[ T]\\d{2}:\\d{2}(:\\d{2}(\\.\\d+)?)?([+-]\\d{2}:?\\d{2}|Z)?$"
+  private val reTime = "^\\d{2}:\\d{2}(:\\d{2}(\\.\\d+)?)?$"
+  private val reInt = "^[+-]?\\d+$"
+  private val reFloat = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"
+  private val reBool = "^(?i)(true|false)$"
+
+  /** Infer the logical Spark type of every column of `df`.
+    *
+    * Columns that already carry a non-string Spark type map directly
+    * through the lattice (the Arrow-dtype path of the reference,
+    * locopy/utility.py:331-343). String columns are regex-classified in
+    * one distributed aggregation pass.
+    */
+  def inferSchema(
+      df: DataFrame,
+      flavor: Flavor = Snowflake,
+      decimalMode: Boolean = false
+  ): StructType = {
+    val (stringCols, typedCols) = df.schema.fields.partition(_.dataType == StringType)
+
+    val typedMapped = typedCols.map(f => f.name -> mapTyped(f.dataType, decimalMode)).toMap
+
+    val stringMapped: Map[String, DataType] =
+      if (stringCols.isEmpty) Map.empty
+      else classifyStrings(df, stringCols.map(_.name), flavor)
+
+    StructType(df.schema.fields.map { f =>
+      val dt = typedMapped.getOrElse(f.name, stringMapped(f.name))
+      StructField(f.name.toLowerCase, dt, nullable = true)
+    })
+  }
+
+  /** Non-string Spark types through the 6-type lattice. */
+  private def mapTyped(dt: DataType, decimalMode: Boolean): DataType = dt match {
+    case BooleanType                            => BooleanType
+    case ByteType | ShortType | IntegerType | LongType => LongType
+    case FloatType | DoubleType                 => DoubleType
+    case d: DecimalType => if (decimalMode) d else DoubleType // reference collapses Decimal→float
+    case DateType       => DateType
+    case TimestampType | TimestampNTZType       => TimestampType
+    case _              => StringType // nested/array/map/binary → varchar in reference terms
+  }
+
+  /** One aggregation pass: for each string column, compute whether every
+    * non-null value matches each candidate class; pick the most specific
+    * type in reference priority order (timestamp > date > time > bool >
+    * int > float > varchar — reference checks in that order,
+    * locopy/utility.py:360-377).
+    */
+  private def classifyStrings(
+      df: DataFrame,
+      cols: Seq[String],
+      flavor: Flavor
+  ): Map[String, DataType] = {
+    val dateRes = flavor match {
+      case Redshift  => Seq(reDateIso, reDateMon, reDateUs)
+      case Snowflake => Seq(reDateIso, reDateMon)
+    }
+    def allMatch(c: String, res: Seq[String]) = {
+      val m = res.map(r => F.col(c).rlike(r)).reduce(_ || _)
+      // every(non-null implies match); all-null handled separately
+      F.min(F.when(F.col(c).isNull, F.lit(true)).otherwise(m))
+    }
+    val aggs = cols.flatMap { c =>
+      Seq(
+        allMatch(c, Seq(reTimestamp)).as(s"__ts__$c"),
+        allMatch(c, dateRes).as(s"__date__$c"),
+        allMatch(c, Seq(reTime)).as(s"__time__$c"),
+        allMatch(c, Seq(reBool)).as(s"__bool__$c"),
+        allMatch(c, Seq(reInt)).as(s"__int__$c"),
+        allMatch(c, Seq(reFloat)).as(s"__float__$c"),
+        F.max(F.col(c).isNotNull).as(s"__notnull__$c")
+      )
+    }
+    val row =
+      try df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      catch { case e: Throwable => throw new InferError(s"inference scan failed: ${e.getMessage}") }
+    def b(name: String): Boolean = Option(row.getAs[Boolean](name)).getOrElse(false)
+    cols.map { c =>
+      val dt =
+        if (!b(s"__notnull__$c")) StringType // all-NULL ⇒ varchar (utility.py:353-355)
+        else if (b(s"__ts__$c")) TimestampType
+        else if (b(s"__date__$c")) DateType
+        else if (b(s"__time__$c")) StringType // Spark has no TimeType; keep as string (SURVEY §1.2)
+        else if (b(s"__bool__$c")) BooleanType
+        else if (b(s"__int__$c")) LongType
+        else if (b(s"__float__$c")) DoubleType
+        else StringType
+      c -> dt
+    }.toMap
+  }
+
+  /** Apply an inferred (or caller-supplied) schema to an all-string
+    * dataframe by casting; permissive like the reference's warehouse
+    * `COPY` with `DATEFORMAT 'auto'` (unparseable → null). Explicit
+    * metadata wins over inference (locopy/redshift.py:582-586). */
+  def applySchema(df: DataFrame, schema: StructType): DataFrame = {
+    val byName = schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    df.select(df.columns.toIndexedSeq.map { c =>
+      byName.get(c.toLowerCase) match {
+        case Some(DateType) =>
+          F.coalesce(
+            F.to_date(F.col(c), "yyyy-MM-dd"),
+            F.to_date(F.col(c), "dd-MMM-yyyy"),
+            F.to_date(F.col(c), "MM/dd/yyyy")
+          ).as(c.toLowerCase)
+        case Some(dt) => F.col(c).cast(dt).as(c.toLowerCase)
+        case None     => F.col(c).as(c.toLowerCase)
+      }
+    }: _*)
+  }
+
+  /** `CREATE TABLE` DDL from an inferred schema (reference builds
+    * `CREATE TABLE name (col type, …)`, locopy/redshift.py:588-600). */
+  def toDDL(table: String, schema: StructType, temporary: Boolean = false): String = {
+    val tmp = if (temporary) "TEMPORARY " else ""
+    s"CREATE ${tmp}TABLE $table (${schema.toDDL})"
+  }
+}

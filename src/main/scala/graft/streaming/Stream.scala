@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming over the `events` table shape.
+  *
+  * The reference has no streaming surface (SURVEY §2.3 — "absent");
+  * this is the engine extension: the same declarative operators under
+  * `readStream`/`writeStream` with watermarks, windowed aggregation and
+  * stateful dedup.
+  *
+  * 100 TB posture: tumbling-window aggregation shuffles on (window,
+  * key) with partial aggregation map-side; watermark bounds state; the
+  * streaming plans are identical to their batch twins, so every batch
+  * query in the engine is reusable on a stream.
+  */
+object Stream {
+
+  /** Tumbling-window aggregate per event_type. Batch/stream agnostic —
+    * pass either a static or a streaming DataFrame. */
+  def windowedAgg(events: DataFrame, window_ : String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("sum_value"),
+        approx_count_distinct("user_id").as("approx_users"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"), col("approx_users"))
+
+  /** Watermarked variant for true streaming input (late data dropped
+    * after `lateness`). */
+  def windowedAggStreaming(events: DataFrame, window_ : String = "1 hour",
+      lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Stream-native exact dedup on a key column within the watermark
+    * horizon — `dropDuplicates` keeps per-key state bounded by the
+    * watermark. */
+  def streamingDedup(events: DataFrame, keys: Seq[String],
+      lateness: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", lateness).dropDuplicates(keys :+ "ts")
+
+  /** Run a batch-parquet-driven streaming query synchronously into a
+    * memory sink and return the result table. Exercises the real
+    * streaming engine (micro-batches, state store) with deterministic
+    * output (complete mode). */
+  def runOnce(spark: SparkSession, path: String, window_ : String = "1 hour",
+      queryName: String = "graft_stream_out"): DataFrame = {
+    val schema: StructType = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema).parquet(path)
+    val agg = windowedAgg(stream, window_)
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}
