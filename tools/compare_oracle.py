@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 duckdb-oracle correctness gate.
+
+Usage: python tools/compare_oracle.py <sfDir> <verifyOutDir>
+
+For each query in <verifyOutDir>/oracle_sql.json: run the oracle SQL in
+DuckDB (views over the sfDir parquet tables), load the Spark result
+parquet, sort columns by name and rows by all columns, and compare.
+Reports exact match / float-close / mismatch per query.
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def values_equal(a, b) -> bool:
+    if pd.isna(a) and pd.isna(b):
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            af, bf = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        if math.isnan(af) and math.isnan(bf):
+            return True
+        return af == bf
+    return a == b
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        try:
+            want = norm(con.execute(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            failures += 1
+            continue
+        try:
+            got = norm(pd.read_parquet(f"{out_dir}/{name}"))
+        except Exception as e:
+            print(f"FAIL {name}: spark output missing/unreadable: {e}")
+            failures += 1
+            continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+            failures += 1
+            continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            failures += 1
+            continue
+        bad = []
+        for cix, c in enumerate(want.columns):
+            gv, wv = got[c].tolist(), want[c].tolist()
+            for rix in range(len(wv)):
+                if not values_equal(gv[rix], wv[rix]):
+                    bad.append((c, rix, gv[rix], wv[rix]))
+                    if len(bad) > 3:
+                        break
+            if len(bad) > 3:
+                break
+        if bad:
+            print(f"FAIL {name}: {len(bad)}+ value mismatches, e.g. {bad[:3]}")
+            failures += 1
+        else:
+            print(f"OK   {name} ({len(want)} rows)")
+    print(f"\n{len(oracle) - failures}/{len(oracle)} oracle queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
