@@ -39,7 +39,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("nbr_id"), normalize(col(vecCol)).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
-      .select(col("query_id"), col("nbr_id"), round(dot(col("cv"), col("qv")), 6).as("cosine"))
+      .select(col("query_id"), col("nbr_id"), round(graft.functions.fx.vecDot(col("cv"), col("qv")), 6).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("nbr_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -71,7 +71,7 @@ object Similarity {
     // assign corpus rows to nearest centroid (broadcast the centroids)
     val wC = Window.partitionBy("nbr_id").orderBy(col("cent_cos").desc, col("cent_id").asc)
     val assigned = c.join(broadcast(cents), lit(true))
-      .withColumn("cent_cos", dot(col("cv"), col("cent")))
+      .withColumn("cent_cos", graft.functions.fx.vecDot(col("cv"), col("cent")))
       .withColumn("rk", row_number().over(wC))
       .filter(col("rk") === 1)
       .select(col("cent_id").as("cell"), col("nbr_id"), col("cv"))
@@ -79,14 +79,14 @@ object Similarity {
     // queries probe their nprobe nearest cells
     val wQ = Window.partitionBy("query_id").orderBy(col("cent_cos").desc, col("cent_id").asc)
     val probes = q.join(broadcast(cents), lit(true))
-      .withColumn("cent_cos", dot(col("qv"), col("cent")))
+      .withColumn("cent_cos", graft.functions.fx.vecDot(col("qv"), col("cent")))
       .withColumn("rk", row_number().over(wQ))
       .filter(col("rk") <= nprobe)
       .select(col("cent_id").as("cell"), col("query_id"), col("qv"))
 
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
-      .select(col("query_id"), col("nbr_id"), round(dot(col("cv"), col("qv")), 6).as("cosine"))
+      .select(col("query_id"), col("nbr_id"), round(graft.functions.fx.vecDot(col("cv"), col("qv")), 6).as("cosine"))
       // same (query, nbr) can meet in several probed cells → dedup first
       .groupBy("query_id", "nbr_id").agg(max("cosine").as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("nbr_id").asc)
@@ -145,7 +145,7 @@ object Similarity {
       .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
         F.col("a.v").as("va"), F.col("b.v").as("vb"))
       .distinct()
-      .withColumn("cosine", round(dot(col("va"), col("vb")), 6))
+      .withColumn("cosine", round(graft.functions.fx.vecDot(col("va"), col("vb")), 6))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
