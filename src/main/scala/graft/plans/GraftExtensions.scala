@@ -1,0 +1,46 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{SortedIntersectCount, VecDotProduct}
+
+/** Engine extensions: registers the custom Catalyst expressions as SQL
+  * functions so `spark.sql` users reach them too:
+  *
+  *   spark = SparkSession.builder()
+  *     .withExtensions(new GraftExtensions).getOrCreate()
+  *   spark.sql("SELECT vec_dot(a, b), sorted_intersect_count(x, y) ...")
+  *
+  * (The reference has no user-extension surface at all — SURVEY §2.3
+  * UDF row; this is engine-native extensibility via the public
+  * SparkSessionExtensions API.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions", null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count",
+        "sorted_intersect_count(a, b) - count of common elements of two sorted, deduped array<bigint>"),
+      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two array<double>"),
+      (args: Seq[Expression]) => VecDotProduct(args(0), args(1))))
+  }
+}
+
+object GraftExtensions {
+  /** Register the same functions on an already-built session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count", args => SortedIntersectCount(args(0), args(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", args => VecDotProduct(args(0), args(1)), "built-in")
+  }
+}

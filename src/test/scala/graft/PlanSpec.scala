@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.GraftExtensions
+
+/** Physical-plan shape assertions: the plans the engine must produce
+  * for 100 TB viability — broadcasts on dim joins, pushed filters and
+  * pruned columns at the parquet scan, no cartesian products where an
+  * equi-join belongs. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private def explained(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q03 multi-join broadcasts the dimension tables") {
+    val plan = explained(SparkEntry.queries("q03_join_agg")(spark, TestSession.sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("q01 filter is pushed to the parquet scan and columns are pruned") {
+    val df = SparkEntry.queries("q01_project_filter")(spark, TestSession.sf)
+    val plan = explained(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), plan.take(2000))
+    // projection pruning: the scan must not read all 11 lineitem columns
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_tax"), readSchema)
+  }
+
+  test("q05 top-k compiles to TakeOrderedAndProject (no full sort)") {
+    val plan = explained(SparkEntry.queries("q05_topk")(spark, TestSession.sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("q02 aggregation has a map-side partial aggregate") {
+    val plan = explained(SparkEntry.queries("q02_agg")(spark, TestSession.sf))
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+    assert(plan.contains("hashpartitioning"), plan.take(2000))
+  }
+
+  test("custom expressions participate in whole-stage codegen") {
+    // build arrays from a non-literal source so constant folding can't
+    // collapse the whole expression at plan time
+    val df = spark.range(1)
+      .select(
+        array(col("id") + 1, col("id") + 2, col("id") + 3).as("a"),
+        array(col("id") + 2, col("id") + 3, col("id") + 4).as("b"))
+      .select(graft.functions.fx.sortedIntersectCount(col("a"), col("b")).as("c"))
+    assert(df.head().getInt(0) == 2)
+    // formatted mode marks codegen stages with `[codegen id : N]` on the
+    // operator hosting the expression
+    val plan = explained(df)
+    assert(plan.contains("[codegen id :"), plan.take(2000))
+  }
+
+  test("custom expressions are SQL-reachable via extensions registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT sorted_intersect_count(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS c,
+        |       vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d""".stripMargin).head()
+    assert(r.getInt(0) == 2)
+    assert(r.getDouble(1) == 11.0)
+  }
+}
