@@ -239,6 +239,64 @@ object SparkEntry {
       Map("lo" -> "1996-01-01", "minq" -> 30))
   }
 
+  /** Window lag/lead. Raw doubles carried from parquet — no arithmetic,
+    * so no rounding needed. */
+  private def q21LagLead(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_totalprice", 1).over(w).as("next_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Date cast + interval arithmetic — the reference's own integration
+    * SQL shape `('2017-12-31'::date + row_number())::date`
+    * (tests/test_integration.py:166). Serialized as ISO strings for the
+    * cross-engine compare. */
+  private def q22DateArith(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("o_orderkey")
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), row_number().over(w).as("rn"))
+      .select(col("o_orderkey"),
+        date_format(date_add(lit("2017-12-31").cast("date"), col("rn")), "yyyy-MM-dd").as("dt"))
+      .orderBy("o_orderkey")
+  }
+
+  /** String function breadth: substr/upper/length/replace/lpad/trim. */
+  private def q23StringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        substring(col("c_name"), 1, 8).as("name8"),
+        upper(col("c_name")).as("name_up"),
+        length(col("c_name")).cast("long").as("name_len"),
+        regexp_replace(col("c_name"), "Customer", "C").as("name_short"),
+        lpad(col("c_nationkey").cast("string"), 4, "0").as("nation_pad"))
+      .orderBy("c_custkey")
+
+  /** Explicit GROUPING SETS (beyond rollup/cube). */
+  private def q24GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    new Exec(s).execute(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** JSON source roundtrip: parquet → JSON lines → spark.read.json
+    * (schema inferred) — the reference's Snowflake JSON file-format
+    * path (locopy/snowflake.py:60-69). */
+  private def loadJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("region_json")
+    t(s, dir, "region").coalesce(1).write.json(out)
+    Load.read(s, out, "json")
+      .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"))
+      .orderBy("r_regionkey")
+  }
+
   /** Approximate distinct (HLL) — the 100 TB path for q10 (no oracle:
     * approximate by construction; spec-tested against exact counts). */
   private def q20ApproxDistinct(s: SparkSession, dir: String): DataFrame =
@@ -453,7 +511,12 @@ object SparkEntry {
     "q18_window_running" -> (q18WindowRunning(_, _)),
     "q19_param" -> (q19Param(_, _)),
     "q20_approx_distinct" -> (q20ApproxDistinct(_, _)),
+    "q21_lag_lead" -> (q21LagLead(_, _)),
+    "q22_date_arith" -> (q22DateArith(_, _)),
+    "q23_string_funcs" -> (q23StringFuncs(_, _)),
+    "q24_grouping_sets" -> (q24GroupingSets(_, _)),
     "load_csv_roundtrip" -> (loadCsvRoundtrip(_, _)),
+    "load_json_roundtrip" -> (loadJsonRoundtrip(_, _)),
     "unload_export_roundtrip" -> (unloadExportRoundtrip(_, _)),
     "insert_infer_roundtrip" -> (insertInferRoundtrip(_, _)),
     "dedup_exact" -> (dedupExact(_, _)),
@@ -624,6 +687,36 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_quantity > 30
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q21_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |       lag(o_totalprice, 1) OVER w AS prev_price,
+        |       lead(o_totalprice, 1) OVER w AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q22_date_arith" ->
+      """SELECT o_orderkey,
+        |       strftime(DATE '2017-12-31'
+        |         + CAST(row_number() OVER (ORDER BY o_orderkey) AS INT),
+        |         '%Y-%m-%d') AS dt
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q23_string_funcs" ->
+      """SELECT c_custkey,
+        |       substr(c_name, 1, 8) AS name8,
+        |       upper(c_name) AS name_up,
+        |       CAST(length(c_name) AS BIGINT) AS name_len,
+        |       replace(c_name, 'Customer', 'C') AS name_short,
+        |       lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS nation_pad
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q24_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "load_json_roundtrip" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+        |FROM region ORDER BY r_regionkey""".stripMargin,
     "load_csv_roundtrip" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey
