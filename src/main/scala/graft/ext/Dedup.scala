@@ -129,8 +129,8 @@ object Dedup {
       .select(col("id"), size(col("sh")).as("sz"),
         array_sort(array_distinct(transform(col("sh"), s => xxhash64(s)))).as("hs"))
     cands
-      .join(sets.select(col("id").as("id_a"), col("sz").as("sz_a"), col("hs").as("hs_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sz").as("sz_b"), col("hs").as("hs_b")), "id_b")
+      .join(F.broadcast(sets.select(col("id").as("id_a"), col("sz").as("sz_a"), col("hs").as("hs_a"))), "id_a")
+      .join(F.broadcast(sets.select(col("id").as("id_b"), col("sz").as("sz_b"), col("hs").as("hs_b"))), "id_b")
       .withColumn("inter", graft.functions.fx.sortedIntersectCount(col("hs_a"), col("hs_b")))
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 6))
@@ -187,19 +187,21 @@ object Dedup {
       shingler: Column => Column = tokenSet(_)
   ): DataFrame = {
     val sigs = simhashSignatures(docs, idCol, textCol, shingler)
-    val banded = sigs.select(col("id"), col("sh"),
+    val banded = sigs.select(col("id"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sh"), i * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band", "chunk")))
-    banded.as("a").join(banded.as("b"),
+    // hamming verify INSIDE the bucket join (signatures ride along as
+    // one long per side — cheaper than re-joining them later), then
+    // dedup the surviving, already-filtered pairs
+    val withSig = banded.join(sigs, "id")
+    withSig.as("a").join(withSig.as("b"),
         F.col("a.band") === F.col("b.band") &&
           F.col("a.chunk") === F.col("b.chunk") &&
-          F.col("a.id") < F.col("b.id"))
+          F.col("a.id") < F.col("b.id") &&
+          bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))) <= maxHamming)
       .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
-        F.col("a.sh").as("sh_a"), F.col("b.sh").as("sh_b"))
+        bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).as("hamming"))
       .distinct()
-      .withColumn("hamming", bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
   }
 
   // ------------------------------------------------- 4. n-gram Jaccard exact
@@ -253,8 +255,8 @@ object Dedup {
     val hashed = sets.select(col("id"), col("sz"),
       array_sort(array_distinct(transform(col("sh"), s => xxhash64(s)))).as("hs"))
     cands
-      .join(hashed.select(col("id").as("id_a"), col("sz").as("sz_a"), col("hs").as("hs_a")), "id_a")
-      .join(hashed.select(col("id").as("id_b"), col("sz").as("sz_b"), col("hs").as("hs_b")), "id_b")
+      .join(F.broadcast(hashed.select(col("id").as("id_a"), col("sz").as("sz_a"), col("hs").as("hs_a"))), "id_a")
+      .join(F.broadcast(hashed.select(col("id").as("id_b"), col("sz").as("sz_b"), col("hs").as("hs_b"))), "id_b")
       .withColumn("inter", graft.functions.fx.sortedIntersectCount(col("hs_a"), col("hs_b")))
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 6))
