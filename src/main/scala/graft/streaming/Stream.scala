@@ -17,6 +17,11 @@ import org.apache.spark.sql.types.StructType
   * streaming plans are identical to their batch twins, so every batch
   * query in the engine is reusable on a stream.
   */
+/** One closed session emitted by [[Stream.statefulSessionize]]
+  * (epoch-millis bounds). */
+case class SessionOut(userId: Long, startMs: Long, endMs: Long,
+    nEvents: Long, sumValue: Double)
+
 object Stream {
 
   /** Tumbling-window aggregate per event_type. Batch/stream agnostic —
@@ -48,6 +53,76 @@ object Stream {
   def streamingDedup(events: DataFrame, keys: Seq[String],
       lateness: String = "2 hours"): DataFrame =
     events.withWatermark("ts", lateness).dropDuplicates(keys :+ "ts")
+
+  /** Session windows: group events into per-user sessions separated by
+    * `gap` of inactivity (built-in `session_window` — batch and stream
+    * share the plan; on a stream add `withWatermark` first so session
+    * state closes). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Custom stateful sessionizer via flatMapGroupsWithState (SURVEY
+    * §7.4's "highest-complexity extension"): per-user running session
+    * state with event-time timeout — emits one row per closed session.
+    * This is the shape for session logic `session_window` can't
+    * express (e.g., cap on events per session, custom close rules).
+    * Works on a streaming Dataset (append mode, event-time timeout) and
+    * on a batch Dataset (timeouts never fire; close remaining sessions
+    * by feeding a sentinel or comparing against sessionWindows). */
+  def statefulSessionize(
+      events: DataFrame,
+      gapMs: Long = 30L * 60 * 1000,
+      lateness: String = "2 hours"
+  ): org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    val typed = events
+      .withWatermark("ts", lateness)
+      .select(col("user_id").as("_1"),
+        (unix_micros(col("ts")) / 1000).cast("long").as("_2"),
+        col("value").as("_3"))
+      .as[(Long, Long, Double)]
+
+    val isStreamingInput = typed.isStreaming
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Double), SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long, Double)],
+            state: GroupState[(Long, Long, Long, Double)]) =>
+          if (state.hasTimedOut) {
+            val (start, end, n, sum) = state.get
+            state.remove()
+            Iterator(SessionOut(userId, start, end, n, sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_._2)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { case (_, ts, v) =>
+              cur match {
+                case Some((s, e, n, sum)) if ts - e <= gapMs =>
+                  cur = Some((s, ts, n + 1, sum + v))
+                case Some((s, e, n, sum)) =>
+                  closed ::= SessionOut(userId, s, e, n, sum)
+                  cur = Some((ts, ts, 1L, v))
+                case None =>
+                  cur = Some((ts, ts, 1L, v))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              if (isStreamingInput) state.setTimeoutTimestamp(c._2 + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
 
   /** Run a batch-parquet-driven streaming query synchronously into a
     * memory sink and return the result table. Exercises the real

@@ -137,6 +137,37 @@ class ExtSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("session windows split a user's events on inactivity gaps") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 1.0),
+      (1L, "2024-01-01 00:10:00", 2.0), // same session (10 min gap)
+      (1L, "2024-01-01 02:00:00", 3.0), // new session (>30 min gap)
+      (2L, "2024-01-01 00:05:00", 4.0)
+    ).toDF("user_id", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val sess = Stream.sessionWindows(ev, "30 minutes")
+      .orderBy("user_id", "session_start").collect()
+    assert(sess.length == 3)
+    assert(sess(0).getAs[Long]("n_events") == 2 && sess(0).getAs[Double]("sum_value") == 3.0)
+    assert(sess(1).getAs[Long]("n_events") == 1)
+    assert(sess(2).getAs[Long]("user_id") == 2L)
+  }
+
+  test("stateful sessionizer (flatMapGroupsWithState) closes sessions on gap") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 1.0),
+      (1L, "2024-01-01 00:10:00", 2.0),
+      (1L, "2024-01-01 02:00:00", 3.0) // closes the first session
+    ).toDF("user_id", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    // batch mode: only sessions closed by a later event are emitted
+    val closed = Stream.statefulSessionize(ev).collect()
+    assert(closed.length == 1)
+    assert(closed(0).userId == 1L && closed(0).nEvents == 2L && closed(0).sumValue == 3.0)
+  }
+
   test("streaming dedup drops duplicate keys within watermark") {
     // batch DataFrames accept dropDuplicates the same way; here just the
     // plan shape: it must be streaming-valid
