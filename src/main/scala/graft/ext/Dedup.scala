@@ -112,6 +112,29 @@ object Dedup {
       .distinct()
   }
 
+  /** Verify stage shared by the minhash and prefix-filter pipelines:
+    * join candidate pairs back to the per-doc hashed-shingle arrays and
+    * keep pairs with exact Jaccard ≥ threshold.
+    *
+    * 100 TB shape: `hashed` is corpus-sized, so it must NEVER be
+    * broadcast — both joins are explicit shuffle merge joins on id
+    * (`SHUFFLE_MERGE` hint pins the strategy so neither the 10 MB
+    * auto-broadcast threshold at test scale nor an AQE re-plan can
+    * reintroduce a corpus-wide broadcast). Two shuffles of one
+    * (id, sorted-hash-array) row per doc, one of the candidate pairs —
+    * all linear in corpus + candidates. */
+  private def verifyJaccard(cands: DataFrame, hashed: DataFrame, threshold: Double): DataFrame =
+    cands
+      .join(hashed.select(col("id").as("id_a"), col("sz").as("sz_a"), col("hs").as("hs_a"))
+        .hint("shuffle_merge"), "id_a")
+      .join(hashed.select(col("id").as("id_b"), col("sz").as("sz_b"), col("hs").as("hs_b"))
+        .hint("shuffle_merge"), "id_b")
+      .withColumn("inter", graft.functions.fx.sortedIntersectCount(col("hs_a"), col("hs_b")))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
   /** Full near-dup pipeline: LSH candidates verified with exact
     * shingle-Jaccard ≥ threshold. */
   def minhashNearDupes(
@@ -124,18 +147,11 @@ object Dedup {
       shingle: Int = 3
   ): DataFrame = {
     val cands = minhashCandidates(docs, idCol, textCol, k, bands, shingle)
-    val sets = docs.select(col(idCol).as("id"),
+    val hashed = docs.select(col(idCol).as("id"),
         charShingles(col(textCol), shingle).as("sh"))
       .select(col("id"), size(col("sh")).as("sz"),
         array_sort(array_distinct(transform(col("sh"), s => xxhash64(s)))).as("hs"))
-    cands
-      .join(F.broadcast(sets.select(col("id").as("id_a"), col("sz").as("sz_a"), col("hs").as("hs_a"))), "id_a")
-      .join(F.broadcast(sets.select(col("id").as("id_b"), col("sz").as("sz_b"), col("hs").as("hs_b"))), "id_b")
-      .withColumn("inter", graft.functions.fx.sortedIntersectCount(col("hs_a"), col("hs_b")))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    verifyJaccard(cands, hashed, threshold)
   }
 
   // ------------------------------------------------------------ 3. simhash
@@ -175,10 +191,17 @@ object Dedup {
     agg.select(col("id"), bits.reduce(_.bitwiseOR(_)).as("sh"))
   }
 
-  /** SimHash near-dup candidates: band the 64-bit hash into four 16-bit
-    * chunks (two near-dups within Hamming distance 3 must share at
-    * least one chunk), bucket-join, verify Hamming ≤ maxHamming via
-    * bit_count(xor). */
+  /** SimHash near-dup candidates: band the 64-bit hash into
+    * `maxHamming + 1` chunks, bucket-join on (band, chunk), verify
+    * Hamming ≤ maxHamming via bit_count(xor).
+    *
+    * Recall guarantee (pigeonhole): a pair within Hamming distance
+    * `maxHamming` differs in at most `maxHamming` bits, and with
+    * `maxHamming + 1` disjoint chunks at least one chunk holds none of
+    * those bits — the pair MUST collide in that band. Bands are derived
+    * from `maxHamming` so the guarantee holds for every call site (a
+    * fixed band count silently drops distant pairs; caught by the
+    * ExtSpec recall property vs a brute-force bit_count join). */
   def simhashNearDupes(
       docs: DataFrame,
       maxHamming: Int = 3,
@@ -186,10 +209,20 @@ object Dedup {
       textCol: String = "text",
       shingler: Column => Column = tokenSet(_)
   ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    val bands = maxHamming + 1
+    val base = 64 / bands
+    val extra = 64 % bands // first `extra` bands get one extra bit
+    val widths = (0 until bands).map(i => base + (if (i < extra) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val chunks = (0 until bands).map { i =>
+      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1L
+      shiftright(col("sh"), offsets(i)).bitwiseAND(mask)
+    }
     val sigs = simhashSignatures(docs, idCol, textCol, shingler)
     val banded = sigs.select(col("id"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("sh"), i * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band", "chunk")))
+      posexplode(array(chunks: _*)).as(Seq("band", "chunk")))
     // hamming verify INSIDE the bucket join (signatures ride along as
     // one long per side — cheaper than re-joining them later), then
     // dedup the surviving, already-filtered pairs
@@ -239,13 +272,23 @@ object Dedup {
     val prefix = tok.join(dfreq, "tok")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select("id", "tok", "sz")
-    // length filter (PPJoin): J ≥ t forces t ≤ |a|/|b| ≤ 1/t — prune
-    // size-mismatched pairs inside the join, before the distinct
+      .select("id", "tok", "sz", "rn")
+    // Candidate join with two PPJoin prunes evaluated INSIDE the join,
+    // before the distinct:
+    //  - length filter: J ≥ t forces t ≤ |a|/|b| ≤ 1/t.
+    //  - positional filter: J ≥ t forces overlap ≥ α = ⌈t/(1+t)·(|a|+|b|)⌉,
+    //    and at the FIRST shared token (positions pa, pb under the global
+    //    order) overlap ≤ 1 + min(|a|−pa, |b|−pb). A qualifying pair
+    //    therefore passes the bound at its first-match occurrence, so
+    //    dropping the occurrences that fail it never drops a qualifying
+    //    pair (the 1e-9 slack keeps ⌈·⌉ from rounding up on exact
+    //    floating-point integers).
+    val alpha = ceil(lit(threshold / (1.0 + threshold)) * (F.col("a.sz") + F.col("b.sz")) - lit(1e-9))
     val cands = prefix.as("a").join(prefix.as("b"),
         F.col("a.tok") === F.col("b.tok") && F.col("a.id") < F.col("b.id") &&
           F.col("b.sz") >= ceil(lit(threshold) * F.col("a.sz")) &&
-          F.col("a.sz") >= ceil(lit(threshold) * F.col("b.sz")))
+          F.col("a.sz") >= ceil(lit(threshold) * F.col("b.sz")) &&
+          lit(1) + least(F.col("a.sz") - F.col("a.rn"), F.col("b.sz") - F.col("b.rn")) >= alpha)
       .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"))
       .distinct()
     // verify on hashed+sorted token arrays with the codegen'd two-pointer
@@ -254,22 +297,30 @@ object Dedup {
     // fraction of the per-pair cost
     val hashed = sets.select(col("id"), col("sz"),
       array_sort(array_distinct(transform(col("sh"), s => xxhash64(s)))).as("hs"))
-    cands
-      .join(F.broadcast(hashed.select(col("id").as("id_a"), col("sz").as("sz_a"), col("hs").as("hs_a"))), "id_a")
-      .join(F.broadcast(hashed.select(col("id").as("id_b"), col("sz").as("sz_b"), col("hs").as("hs_b"))), "id_b")
-      .withColumn("inter", graft.functions.fx.sortedIntersectCount(col("hs_a"), col("hs_b")))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    verifyJaccard(cands, hashed, threshold)
   }
 
   // ---------------------------------------------- 5. embedding cosine dedup
 
-  /** Embedding near-dup pairs: cosine ≥ threshold. Exact variant —
-    * block-nested self-join; see [[Similarity.lshNearDupes]] for the
-    * banded scale path. Vectors are L2-normalized in a projection
-    * first so each pair costs one dot product. */
+  /** Embedding near-dup pairs: cosine ≥ threshold. EXACT variant.
+    *
+    * Exact all-pairs over DENSE vectors is Θ(n²) dot products by
+    * nature: prefix/feature filters (Bayardo et al., WWW'07) need
+    * sparsity, and LSH amplification cannot give recall 1 at a
+    * threshold with adjacent below-threshold mass (at cos t = 0.45
+    * the collision-probability gap vs unrelated pairs, (p₁/p₀)^b =
+    * (0.649/0.5)^b, needs ~10⁵ signature bits for recall ≈ 1 — see
+    * the testdata, where qualifying pairs sit at 0.4501 against mass
+    * at 0.4497). So the honest scale posture is: the *memory* profile
+    * must be flat even though *compute* is quadratic — the
+    * SHUFFLE_REPLICATE_NL hint pins a partition-replicated cartesian
+    * (each task streams one block pair; no corpus-wide broadcast, no
+    * BroadcastNestedLoopJoin, no driver collect), and corpora where n²
+    * compute is unpayable use the approximate [[Similarity.lshNearDupes]]
+    * path with an explicit recall contract instead.
+    *
+    * Vectors are L2-normalized in a projection first so each pair costs
+    * one fused-loop dot product ([[graft.functions.VecDotProduct]]). */
   def embeddingNearDupes(
       emb: DataFrame,
       threshold: Double,
@@ -277,7 +328,7 @@ object Dedup {
       vecCol: String = "embedding"
   ): DataFrame = {
     val n = emb.select(col(idCol).as("id"), normalize(col(vecCol)).as("v"))
-    n.as("a").join(n.as("b"), F.col("a.id") < F.col("b.id"))
+    n.as("a").join(n.as("b").hint("shuffle_replicate_nl"), F.col("a.id") < F.col("b.id"))
       .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
         round(graft.functions.fx.vecDot(F.col("a.v"), F.col("b.v")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)

@@ -1,7 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, functions => F}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 import org.apache.spark.sql.functions._
 import graft.functions._
 
@@ -10,9 +9,10 @@ import graft.functions._
   *
   * Three tiers:
   *  - bruteForceTopK — exact: query-set × corpus join, per-query top-k
-  *    via window rank. Baseline + oracle. Corpus side streams; the
-  *    (small) query side is broadcast, so NO shuffle of the corpus at
-  *    all — at 100 TB this is one scan.
+  *    via a bounded-heap aggregate. Baseline + oracle. Corpus side
+  *    streams; the (small) query side is broadcast, so NO shuffle of
+  *    the corpus at all — at 100 TB this is one scan, and the rank
+  *    shuffle moves only partial top-k states.
   *  - ivfTopK — IVF-style: k-means-ish coarse quantizer built from a
   *    deterministic sample of centroids, corpus partitioned by nearest
   *    centroid, queries probe only the `nprobe` nearest cells. The scan
@@ -25,10 +25,26 @@ import graft.functions._
   */
 object Similarity {
 
+  /** Explode a `topk_by_score` result array into
+    * (group, rank, id, score) rows — rank 1 = best. */
+  private def explodeTopK(
+      agg: DataFrame, groupCol: String, idName: String, scoreName: String): DataFrame =
+    agg
+      .select(col(groupCol), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col(groupCol), (col("pos") + 1).as("rank"),
+        col("t.id").as(idName), col("t.score").as(scoreName))
+
   /** Exact top-k neighbors for each query vector. `queries` and `corpus`
     * both carry (id, vector); every query gets its `k` nearest by cosine
     * (self-matches excluded when ids collide). Deterministic tie-break
-    * by neighbor id. */
+    * by neighbor id.
+    *
+    * Scale shape: the (small) query side is broadcast, so the corpus
+    * never shuffles for the match; ranking is a bounded-heap
+    * [[graft.functions.TopKByScore]] aggregate whose map-side partial
+    * keeps k entries per (partition, query) — the shuffle moves
+    * O(queries · k · partitions) rows, never the q×n scored relation
+    * (a `row_number` window here would shuffle ALL q×n scores). */
   def bruteForceTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -40,11 +56,10 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"), round(graft.functions.fx.vecDot(col("cv"), col("qv")), 6).as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("nbr_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "nbr_id", "cosine")
+    explodeTopK(
+      scored.groupBy("query_id")
+        .agg(graft.functions.fx.topKByScore(col("cosine"), col("nbr_id"), k).as("top")),
+      "query_id", "nbr_id", "cosine")
   }
 
   /** IVF top-k: deterministic coarse centroids (the first `ncells`
@@ -63,36 +78,48 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
-    val cents = corpus.orderBy(col(idCol)).limit(ncells)
-      .select(col(idCol).as("cent_id"), normalize(col(vecCol)).as("cent"))
+    // The quantizer is tiny by definition (ncells centroids), so it is
+    // collected once and inlined as a LITERAL array<struct<id, vec>> —
+    // the per-row nearest-centroid argmin is then a pure projection.
+    // (The alternative — joining a centroid DataFrame and ranking with
+    // a window — shuffles the ENTIRE corpus by nbr_id just to pick each
+    // row's best centroid.)
+    val cents: Seq[(Long, Seq[Double])] = corpus.orderBy(col(idCol)).limit(ncells)
+      .select(col(idCol).cast("long"), normalize(col(vecCol)))
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val centLit = typedlit(cents)
+
+    // (−cos, cent_id) structs compare lexicographically, so array_min =
+    // highest cosine with ties to the lowest centroid id — the same
+    // order the window rank produced.
+    def centScores(vec: Column): Column =
+      transform(centLit, ct => struct(
+        (-graft.functions.fx.vecDot(vec, ct.getField("_2"))).as("negcos"),
+        ct.getField("_1").as("cent_id")))
+
+    // corpus assignment: zero-shuffle per-row argmin projection
     val c = corpus.select(col(idCol).as("nbr_id"), normalize(col(vecCol)).as("cv"))
+    val assigned = c.withColumn("cell",
+      array_min(centScores(col("cv"))).getField("cent_id"))
+
+    // queries probe their nprobe nearest cells (query side is small;
+    // sort the ncells scores per row and take the prefix)
     val q = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qv"))
+    val probes = q
+      .select(col("query_id"), col("qv"),
+        explode(slice(array_sort(centScores(col("qv"))), 1, nprobe)).as("pc"))
+      .select(col("pc.cent_id").as("cell"), col("query_id"), col("qv"))
 
-    // assign corpus rows to nearest centroid (broadcast the centroids)
-    val wC = Window.partitionBy("nbr_id").orderBy(col("cent_cos").desc, col("cent_id").asc)
-    val assigned = c.join(broadcast(cents), lit(true))
-      .withColumn("cent_cos", graft.functions.fx.vecDot(col("cv"), col("cent")))
-      .withColumn("rk", row_number().over(wC))
-      .filter(col("rk") === 1)
-      .select(col("cent_id").as("cell"), col("nbr_id"), col("cv"))
-
-    // queries probe their nprobe nearest cells
-    val wQ = Window.partitionBy("query_id").orderBy(col("cent_cos").desc, col("cent_id").asc)
-    val probes = q.join(broadcast(cents), lit(true))
-      .withColumn("cent_cos", graft.functions.fx.vecDot(col("qv"), col("cent")))
-      .withColumn("rk", row_number().over(wQ))
-      .filter(col("rk") <= nprobe)
-      .select(col("cent_id").as("cell"), col("query_id"), col("qv"))
-
+    // each corpus row lives in exactly one cell and a query's probed
+    // cells are distinct, so a (query, nbr) pair meets at most once —
+    // no dedup needed before the top-k aggregate
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"), round(graft.functions.fx.vecDot(col("cv"), col("qv")), 6).as("cosine"))
-      // same (query, nbr) can meet in several probed cells → dedup first
-      .groupBy("query_id", "nbr_id").agg(max("cosine").as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "nbr_id", "cosine")
+    explodeTopK(
+      scored.groupBy("query_id")
+        .agg(graft.functions.fx.topKByScore(col("cosine"), col("nbr_id"), k).as("top")),
+      "query_id", "nbr_id", "cosine")
   }
 
   /** Signed-random-projection LSH signatures as a single long column

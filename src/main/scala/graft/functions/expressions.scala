@@ -126,4 +126,11 @@ object fx {
   /** Column API for [[VecDotProduct]]. */
   def vecDot(a: Column, b: Column): Column =
     column(VecDotProduct(expression(a), expression(b)))
+
+  /** Column API for [[TopKByScore]] (aggregate): top `k` (score, id)
+    * pairs per group, best first, map-side combinable. */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    column(TopKByScore(
+      expression(score.cast("double")), expression(id.cast("long")), k)
+      .toAggregateExpression())
 }

@@ -51,6 +51,23 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.nonEmpty) // planted 0.93+ jaccard pairs land within hamming 12
   }
 
+  test("simhash banding recall: finds EVERY pair within maxHamming (vs brute-force bit_count)") {
+    // pigeonhole property check: banded candidate generation with
+    // bands = maxHamming + 1 must recover exactly the pairs a full
+    // O(n^2) bit_count(xor) join finds
+    for (maxHamming <- Seq(3, 8, 12)) {
+      val sigs = Dedup.simhashSignatures(docs, shingler = charShingles(_, 5))
+      val brute = sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
+        .filter(bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= maxHamming)
+        .select(col("a.id"), col("b.id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val banded = Dedup.simhashNearDupes(docs, maxHamming, shingler = charShingles(_, 5))
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded == brute, s"maxHamming=$maxHamming: banded recall must be exact")
+    }
+  }
+
   test("embedding near-dup pairs match brute-force threshold set") {
     val n = Dedup.embeddingNearDupes(emb, 0.45).count()
     assert(n > 0 && n < 100)

@@ -54,6 +54,45 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("[codegen id :"), plan.take(2000))
   }
 
+  test("jaccard verify joins shuffle on id — the corpus shingle table is never broadcast") {
+    for (q <- Seq("dedup_ngram", "dedup_minhash")) {
+      val plan = explained(SparkEntry.queries(q)(spark, TestSession.sf))
+      assert(plan.contains("SortMergeJoin"), s"$q: verify stage must be a shuffle merge join")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q: no nested-loop joins")
+      // size-estimate-driven broadcasts of genuinely small relations
+      // (e.g. the token document-frequency agg at test scale) are fine;
+      // the corpus-sized hashed-shingle arrays (hs_a/hs_b) must never
+      // ride a broadcast exchange
+      val broadcastBlocks = plan.split("\n\n").filter(_.contains("BroadcastExchange"))
+      assert(!broadcastBlocks.exists(b => b.contains("hs_a") || b.contains("hs_b")),
+        s"$q: hashed-shingle corpus table must arrive via shuffle, not broadcast")
+    }
+  }
+
+  test("exact embedding near-dup join is replicate-partitioned, not broadcast") {
+    val plan = explained(SparkEntry.queries("dedup_embcos")(spark, TestSession.sf))
+    assert(plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "exact n^2 scan must not hold the corpus in executor memory")
+  }
+
+  test("top-k searches rank via the bounded-heap aggregate, not a q*n window shuffle") {
+    for (q <- Seq("simsearch_topk", "simsearch_ivf")) {
+      val plan = explained(SparkEntry.queries(q)(spark, TestSession.sf))
+      assert(plan.contains("ObjectHashAggregate"), s"$q: expected partial top-k aggregate")
+      assert(!plan.contains("Window"), s"$q: scored relation must not shuffle into a window rank")
+    }
+  }
+
+  test("ivf corpus relation has no Exchange before the probe join") {
+    // the nearest-centroid assignment must be a pure projection over the
+    // scan: the only shuffles in the whole plan are the final top-k
+    // aggregation exchange (plus the broadcast of the probe side)
+    val plan = explained(SparkEntry.queries("simsearch_ivf")(spark, TestSession.sf))
+    val shuffles = plan.linesIterator.count(l => l.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 1, s"expected at most the top-k exchange, found $shuffles:\n${plan.take(3000)}")
+  }
+
   test("custom expressions are SQL-reachable via extensions registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(
