@@ -54,7 +54,10 @@ object Load {
     val reader = spark.read.format(fmt.spark).options(sparkOpts)
     val base = fmt match {
       case Options.Csv =>
-        val r = reader.option("header", header.toString)
+        // a SKIP_HEADER/skip_header format option (translated to the
+        // Spark header option) wins over the `header` flag default
+        val r = reader.option("header",
+          sparkOpts.getOrElse("header", header.toString))
         schema match {
           case Some(s) => r.schema(s).load(path)
           case None =>

@@ -54,7 +54,17 @@ object Options {
   private val csvRead: Map[String, (String, String => String)] = Map(
     "delimiter" -> ("sep", identity),
     "field_delimiter" -> ("sep", identity),
-    "skip_header" -> ("skipLines", identity), // handled specially below
+    // Spark CSV has no "skip n lines" option: n=0 is a no-op, n=1 is
+    // exactly the header option (with an explicit schema Spark skips the
+    // line; without one it feeds inference, same as IGNOREHEADER on a
+    // headered file). n>1 has no distributed-safe Spark mapping, so it
+    // raises rather than silently ingesting header rows as data.
+    "skip_header" -> ("header", v => v.trim match {
+      case "0" => "false"
+      case "1" => "true"
+      case n => throw new OptionError(
+        s"SKIP_HEADER $n is not supported: Spark CSV can skip only the single header line (use SKIP_HEADER 1)")
+    }),
     "date_format" -> ("dateFormat", identity),
     "time_format" -> ("timestampFormat", identity),
     "timestamp_format" -> ("timestampFormat", identity),
