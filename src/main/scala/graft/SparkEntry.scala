@@ -384,7 +384,14 @@ object SparkEntry {
 
   /** MinHash-LSH candidates + exact verify — converges to the same
     * answer as dedupNgram (same oracle) while only ever scoring LSH
-    * candidate pairs. */
+    * candidate pairs.
+    *
+    * Oracle-gate caveat: precision is 1 by construction (exact verify),
+    * but LSH recall is probabilistic — at J ≈ 0.8 with 16 bands of 4
+    * rows the per-pair miss probability is (1 − 0.8⁴)¹⁶ ≈ 2·10⁻⁴, so
+    * the hash-equality with the exact oracle is fixture-empirical (the
+    * signatures are deterministic, so it holds on every rerun of this
+    * data), not a mathematical guarantee for arbitrary corpora. */
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDupes(t(s, dir, "documents"), 0.8, k = 64, bands = 16, shingle = 5)
       .orderBy("id_a", "id_b")
@@ -398,6 +405,28 @@ object SparkEntry {
   /** Embedding cosine near-dup pairs (exact pairwise ≥ 0.45). */
   private def dedupEmbCos(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupes(t(s, dir, "embeddings"), 0.45)
+      .orderBy("id_a", "id_b")
+
+  /** Embedding near-dup pairs via the SRP-LSH SCALE path (banded
+    * candidates + exact verify, no cartesian — the plan that replaces
+    * dedupEmbCos's Θ(n²) at corpus scale), gated on the same exact
+    * DuckDB pair-set oracle at threshold 0.5.
+    *
+    * Threshold & parameter rationale (fixture-measured): 0.45 has no
+    * recall margin (qualifying pairs at cos 0.4516 against mass at
+    * 0.4494 — LSH recall there was 3/14 even at 16 bands, the Θ(n²)
+    * degeneracy documented in [[Dedup.embeddingNearDupes]]); at 0.5
+    * the qualifying set is separated (gate-scale pair at 0.5128 vs
+    * mass ≤ 0.4928) and (nbits=192, bandBits=4) collides every
+    * qualifying pair in ≥ 6 of 48 bands at sf0.01 AND sf0.1 — recall
+    * 1 with margin, deterministic because the hyperplanes derive from
+    * a fixed hash mix. Like dedup_minhash, the oracle equality is
+    * fixture-empirical (precision 1 is structural; recall 1 is
+    * measured, not a theorem). bandBits=4 prunes little at n≈10³ but
+    * is the knob that grows ~log₂(n) at scale — see
+    * [[Similarity.lshNearDupes]]. */
+  private def dedupEmbLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearDupes(t(s, dir, "embeddings"), 0.5, nbits = 192, bandBits = 4)
       .orderBy("id_a", "id_b")
 
   // ======================================================================
@@ -438,8 +467,8 @@ object SparkEntry {
   }
 
   private def textLangid(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))
+    Text.langIdDf(t(s, dir, "documents"))
+      .select("doc_id", "lang_pred")
       .orderBy("doc_id")
 
   private def textTokens(s: SparkSession, dir: String): DataFrame =
@@ -524,6 +553,7 @@ object SparkEntry {
     "dedup_minhash" -> (dedupMinhash(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "dedup_embcos" -> (dedupEmbCos(_, _)),
+    "dedup_emblsh" -> (dedupEmbLsh(_, _)),
     "simsearch_topk" -> (simsearchTopK(_, _)),
     "simsearch_ivf" -> (simsearchIvf(_, _)),
     "text_quality" -> (textQuality(_, _)),
@@ -742,6 +772,14 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_emblsh" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
     "simsearch_topk" ->
       """WITH scored AS (

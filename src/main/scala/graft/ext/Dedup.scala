@@ -269,9 +269,15 @@ object Dedup {
     val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df"), col("tok"))
+    // every ⌈t·sz⌉ below carries a 1e-9 slack: when t·sz is
+    // mathematically an exact integer the double product can land one
+    // ulp above it (e.g. 0.1 * 30 = 3.0000000000000004) and ceil would
+    // round up, silently tightening the bound past the paper's — the
+    // slack only ever loosens (more candidates), never drops a
+    // qualifying pair
     val prefix = tok.join(dfreq, "tok")
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
       .select("id", "tok", "sz", "rn")
     // Candidate join with two PPJoin prunes evaluated INSIDE the join,
     // before the distinct:
@@ -286,8 +292,8 @@ object Dedup {
     val alpha = ceil(lit(threshold / (1.0 + threshold)) * (F.col("a.sz") + F.col("b.sz")) - lit(1e-9))
     val cands = prefix.as("a").join(prefix.as("b"),
         F.col("a.tok") === F.col("b.tok") && F.col("a.id") < F.col("b.id") &&
-          F.col("b.sz") >= ceil(lit(threshold) * F.col("a.sz")) &&
-          F.col("a.sz") >= ceil(lit(threshold) * F.col("b.sz")) &&
+          F.col("b.sz") >= ceil(lit(threshold) * F.col("a.sz") - lit(1e-9)) &&
+          F.col("a.sz") >= ceil(lit(threshold) * F.col("b.sz") - lit(1e-9)) &&
           lit(1) + least(F.col("a.sz") - F.col("a.rn"), F.col("b.sz") - F.col("b.rn")) >= alpha)
       .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"))
       .distinct()

@@ -79,35 +79,48 @@ object Similarity {
       vecCol: String = "embedding"
   ): DataFrame = {
     // The quantizer is tiny by definition (ncells centroids), so it is
-    // collected once and inlined as a LITERAL array<struct<id, vec>> —
-    // the per-row nearest-centroid argmin is then a pure projection.
-    // (The alternative — joining a centroid DataFrame and ranking with
-    // a window — shuffles the ENTIRE corpus by nbr_id just to pick each
+    // collected once — an EAGER read at DataFrame-construction time
+    // (ncells rows, bounded; callers building plans before the corpus
+    // exists should construct lazily themselves) — and each centroid is
+    // inlined as its own LITERAL array<double>. The per-row
+    // nearest-centroid argmin is then a pure projection. (The
+    // alternative — joining a centroid DataFrame and ranking with a
+    // window — shuffles the ENTIRE corpus by nbr_id just to pick each
     // row's best centroid.)
     val cents: Seq[(Long, Seq[Double])] = corpus.orderBy(col(idCol)).limit(ncells)
       .select(col(idCol).cast("long"), normalize(col(vecCol)))
       .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
-    val centLit = typedlit(cents)
+    require(cents.nonEmpty,
+      "ivfTopK: corpus is empty — cannot build an IVF quantizer from zero centroids")
 
-    // (−cos, cent_id) structs compare lexicographically, so array_min =
-    // highest cosine with ties to the lowest centroid id — the same
-    // order the window rank produced.
-    def centScores(vec: Column): Column =
-      transform(centLit, ct => struct(
-        (-graft.functions.fx.vecDot(vec, ct.getField("_2"))).as("negcos"),
-        ct.getField("_1").as("cent_id")))
+    // One (−cos, cent_id) struct PER CENTROID, each a codegen'd
+    // VecDotProduct against an array literal — unrolled so the whole
+    // argmin stays inside whole-stage codegen. (The previous
+    // `transform(centLit, …)` higher-order form evaluated all ncells
+    // dot products through interpreted lambdas per corpus row — the
+    // bulk of a 6× local slowdown.) Structs compare lexicographically,
+    // so least() = highest cosine with ties to the lowest centroid id.
+    def centScoreStructs(vec: Column): Seq[Column] = cents.map { case (cid, cv) =>
+      struct(
+        (-graft.functions.fx.vecDot(vec, typedlit(cv))).as("negcos"),
+        lit(cid).as("cent_id"))
+    }
+    def bestCell(vec: Column): Column = {
+      val ss = centScoreStructs(vec)
+      (if (ss.size == 1) ss.head else least(ss: _*)).getField("cent_id")
+    }
 
     // corpus assignment: zero-shuffle per-row argmin projection
     val c = corpus.select(col(idCol).as("nbr_id"), normalize(col(vecCol)).as("cv"))
-    val assigned = c.withColumn("cell",
-      array_min(centScores(col("cv"))).getField("cent_id"))
+    val assigned = c.withColumn("cell", bestCell(col("cv")))
 
     // queries probe their nprobe nearest cells (query side is small;
-    // sort the ncells scores per row and take the prefix)
+    // sort the ncells scores per row and take the prefix — building
+    // the array from the same codegen'd structs)
     val q = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qv"))
     val probes = q
       .select(col("query_id"), col("qv"),
-        explode(slice(array_sort(centScores(col("qv"))), 1, nprobe)).as("pc"))
+        explode(slice(array_sort(array(centScoreStructs(col("qv")): _*)), 1, nprobe)).as("pc"))
       .select(col("pc.cent_id").as("cell"), col("query_id"), col("qv"))
 
     // each corpus row lives in exactly one cell and a query's probed
@@ -122,19 +135,21 @@ object Similarity {
       "query_id", "nbr_id", "cosine")
   }
 
-  /** Signed-random-projection LSH signatures as a single long column
-    * `sig`: `nbits` pseudo-random ±1 hyperplanes, deterministic per
+  /** Signed-random-projection LSH signatures as `sig:
+    * array<bigint>` (⌈nbits/64⌉ words, bit b at word b/64, offset
+    * b%64): `nbits` pseudo-random ±1 hyperplanes, deterministic per
     * (bit, dim) via a hash mix — no stored planes. Explode-then-
     * aggregate (like Dedup.minhashSignatures): one row per (id, dim),
     * nbits codegen'd `sum` aggregates with map-side combine, folded to
-    * a long — the shape that survives 100 TB (and is ~100× faster
+    * longs — the shape that survives 100 TB (and is ~100× faster
     * locally than per-row nested array lambdas). */
   def srpSignatures(
       emb: DataFrame,
-      nbits: Int = 32,
+      nbits: Int = 128,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
+    require(nbits > 0, s"nbits must be positive, got $nbits")
     val dims = emb.select(col(idCol).as("id"),
       posexplode(col(vecCol)).as(Seq("i", "v")))
     val projs = (0 until nbits).map { b =>
@@ -143,35 +158,66 @@ object Similarity {
         .as(s"p$b")
     }
     val agg = dims.groupBy("id").agg(projs.head, projs.tail: _*)
-    val bits = (0 until nbits).map { b =>
-      when(col(s"p$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    val words = (0 until (nbits + 63) / 64).map { j =>
+      val bits = (j * 64 until math.min((j + 1) * 64, nbits)).map { b =>
+        when(col(s"p$b") > 0, shiftleft(lit(1L), b - j * 64)).otherwise(lit(0L))
+      }
+      bits.reduce(_.bitwiseOR(_))
     }
-    agg.select(col("id"), bits.reduce(_.bitwiseOR(_)).as("sig"))
+    agg.select(col("id"), array(words: _*).as("sig"))
   }
 
-  /** Near-dup pairs via SRP banding + exact cosine verify ≥ threshold. */
+  /** Near-dup pairs via SRP banding + exact cosine verify ≥ threshold.
+    *
+    * Contract: precision 1 always (survivors are exact-verified by dot
+    * product, so the output NEVER contains a below-threshold pair);
+    * recall is the LSH OR-amplification over `nbits/bandBits` bands —
+    * probabilistic in general, rising with more/narrower bands. The
+    * theory (Charikar, STOC'02 SRP + the standard banding bound): a
+    * pair at angle θ agrees per bit with p = 1 − θ/π, collides per
+    * w-bit band with p^w, and is missed by all B bands with
+    * (1 − p^w)^B. Candidate volume for near-orthogonal background mass
+    * is ≈ B·n²/2^w, so `bandBits` should grow ~log₂(n) at scale (with
+    * `nbits` grown to keep B) — the classic n^(1+ρ) curve,
+    * ρ = ln(1/p₁)/ln(1/p₂). At small fixture n a small w prunes little
+    * (documented at the dedup_emblsh call site); the SHAPE — banded
+    * equi-join on (band, chunk), distinct pair ids, shuffle-merge
+    * vector fetch, no cartesian, no corpus broadcast — is what holds
+    * at 100 TB.
+    *
+    * Scale notes: the banded self-join moves only (id, band, chunk)
+    * longs; vectors are fetched AFTER the candidate distinct via two
+    * pinned shuffle-merge joins (the [[Dedup]] verifyJaccard pattern —
+    * corpus-sized sides must never broadcast). */
   def lshNearDupes(
       emb: DataFrame,
       threshold: Double,
-      nbits: Int = 32,
-      bandBits: Int = 8,
+      nbits: Int = 192,
+      bandBits: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
+    require(bandBits > 0 && bandBits <= 64 && 64 % bandBits == 0,
+      s"bandBits must divide 64, got $bandBits")
+    require(nbits % bandBits == 0, s"bandBits ($bandBits) must divide nbits ($nbits)")
     val nbands = nbits / bandBits
-    val sigs = emb.select(col(idCol).as("id"), normalize(col(vecCol)).as("v"))
-      .join(srpSignatures(emb, nbits, idCol, vecCol), "id")
-    val banded = sigs.select(col("id"), col("v"),
-      posexplode(array((0 until nbands).map(i =>
-        shiftright(col("sig"), i * bandBits).bitwiseAND((1L << bandBits) - 1)): _*))
-        .as(Seq("band", "chunk")))
-    banded.as("a").join(banded.as("b"),
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
+    val chunkExprs = (0 until nbands).map { i =>
+      shiftright(element_at(col("sig"), i * bandBits / 64 + 1), i * bandBits % 64)
+        .bitwiseAND(mask)
+    }
+    val banded = srpSignatures(emb, nbits, idCol, vecCol)
+      .select(col("id"), posexplode(array(chunkExprs: _*)).as(Seq("band", "chunk")))
+    val cands = banded.as("a").join(banded.as("b"),
         F.col("a.band") === F.col("b.band") &&
           F.col("a.chunk") === F.col("b.chunk") &&
           F.col("a.id") < F.col("b.id"))
-      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
-        F.col("a.v").as("va"), F.col("b.v").as("vb"))
+      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"))
       .distinct()
+    val vecs = emb.select(col(idCol).as("id"), normalize(col(vecCol)).as("v"))
+    cands
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")).hint("shuffle_merge"), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")).hint("shuffle_merge"), "id_b")
       .withColumn("cosine", round(graft.functions.fx.vecDot(col("va"), col("vb")), 6))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

@@ -21,7 +21,11 @@ import org.apache.spark.sql.types._
   * O(groups · k · partitions) regardless of corpus size.
   *
   * Result: `array<struct<score:double, id:bigint>>`, best first,
-  * deterministic tie-break by id ascending.
+  * deterministic tie-break by id ascending. The id input must be an
+  * integral type (tinyint/smallint/int/bigint) — it is widened to
+  * bigint in the output; non-integral ids (e.g. string keys) fail at
+  * analysis time with a clear message rather than silently dropping
+  * rows through a null-producing cast. Null ids/scores are skipped.
   */
 case class TopKByScore(
     score: Expression,
@@ -42,11 +46,14 @@ case class TopKByScore(
     containsNull = false)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (score.dataType == DoubleType && id.dataType == LongType)
+    if (score.dataType == DoubleType &&
+        Seq(ByteType, ShortType, IntegerType, LongType).contains(id.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"topk_by_score expects (double, bigint), got (${score.dataType}, ${id.dataType})")
+        "topk_by_score expects (double, integral id widened to bigint), got " +
+          s"(${score.dataType}, ${id.dataType}) — string or other non-integral ids " +
+          "are not supported (a silent cast would drop all rows)")
 
   override def createAggregationBuffer(): PriorityQueue[TopKByScore.Entry] =
     new PriorityQueue[TopKByScore.Entry](k + 1, TopKByScore.worstFirst)
@@ -68,7 +75,8 @@ case class TopKByScore(
       buf: PriorityQueue[TopKByScore.Entry], input: InternalRow): PriorityQueue[TopKByScore.Entry] = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null) add(buf, s.asInstanceOf[Double], i.asInstanceOf[Long])
+    if (s != null && i != null)
+      add(buf, s.asInstanceOf[Double], i.asInstanceOf[Number].longValue())
     buf
   }
 

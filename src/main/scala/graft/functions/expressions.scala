@@ -128,9 +128,11 @@ object fx {
     column(VecDotProduct(expression(a), expression(b)))
 
   /** Column API for [[TopKByScore]] (aggregate): top `k` (score, id)
-    * pairs per group, best first, map-side combinable. */
+    * pairs per group, best first, map-side combinable. The id column
+    * must be integral (output id is bigint); non-integral ids fail at
+    * analysis time — see [[TopKByScore]]. */
   def topKByScore(score: Column, id: Column, k: Int): Column =
     column(TopKByScore(
-      expression(score.cast("double")), expression(id.cast("long")), k)
+      expression(score.cast("double")), expression(id), k)
       .toAggregateExpression())
 }

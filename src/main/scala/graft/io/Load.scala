@@ -55,7 +55,15 @@ object Load {
     val base = fmt match {
       case Options.Csv =>
         // a SKIP_HEADER/skip_header format option (translated to the
-        // Spark header option) wins over the `header` flag default
+        // Spark header option) wins over the `header` flag default.
+        // DOCUMENTED DIVERGENCE: Snowflake's SKIP_HEADER merely
+        // discards the first line and keeps positional column names
+        // ($1, $2, …), while Spark's header=true promotes that line to
+        // column NAMES. With an explicit `schema` the names come from
+        // the schema and the behaviors coincide; without one, inferred
+        // column names differ from the reference on headerless-
+        // semantics loads. skip_header > 1 raises (Options.scala) —
+        // intentional, Spark CSV cannot skip arbitrary leading lines.
         val r = reader.option("header",
           sparkOpts.getOrElse("header", header.toString))
         schema match {

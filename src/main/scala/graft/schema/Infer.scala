@@ -86,9 +86,13 @@ object Infer {
 
   /** One aggregation pass: for each string column, compute whether every
     * non-null value matches each candidate class; pick the most specific
-    * type in reference priority order (timestamp > date > time > bool >
-    * int > float > varchar — reference checks in that order,
-    * locopy/utility.py:360-377).
+    * type checking timestamp > date > time > bool > int > float >
+    * varchar. DELIBERATE DIVERGENCE from the reference: its
+    * `find_column_type` (locopy/utility.py:360-377) tests numeric
+    * BEFORE date and never emits int for object columns (a validated
+    * int-looking object column still lands on float/varchar); we check
+    * temporal classes first and do emit int, which is strictly more
+    * specific and round-trips cleanly — same spirit, tighter lattice.
     */
   private def classifyStrings(
       df: DataFrame,

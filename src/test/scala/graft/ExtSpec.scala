@@ -73,6 +73,21 @@ class ExtSpec extends AnyFunSuite {
     assert(n > 0 && n < 100)
   }
 
+  test("srp-lsh scale path equals the exact pair set (recall + precision)") {
+    // precision 1 is structural (exact verify); recall is
+    // fixture-empirical — tuned so every qualifying pair collides in
+    // several of the 48 bands (deterministic hash-mix hyperplanes).
+    // threshold 0.465 puts 4 qualifying pairs on this fixture with a
+    // 0.012 cosine margin to the below-threshold mass (the sf0.01
+    // oracle gate runs the same pipeline at 0.5)
+    val exact = Dedup.embeddingNearDupes(emb, 0.465)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDupes(emb, 0.465, nbits = 192, bandBits = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 4, s"fixture moved: expected 4 exact pairs, got ${exact.size}")
+    assert(lsh == exact, s"missing=${exact -- lsh} extra=${lsh -- exact}")
+  }
+
   test("brute-force top-k: correct k, rank ordering, no self matches") {
     val res = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), 5).collect()
     assert(res.length == 15)

@@ -76,6 +76,26 @@ class PlanSpec extends AnyFunSuite {
       "exact n^2 scan must not hold the corpus in executor memory")
   }
 
+  test("lsh embedding near-dup scale path has no cartesian and no corpus broadcast") {
+    val plan = explained(SparkEntry.queries("dedup_emblsh")(spark, TestSession.sf))
+    assert(!plan.contains("CartesianProduct"),
+      "scale path must generate candidates by banded equi-join, not an n^2 product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "no nested-loop joins")
+    assert(plan.contains("SortMergeJoin"), "vector verify fetch must be a shuffle merge join")
+    // the normalized corpus vectors (va/vb) must never ride a broadcast
+    val broadcastBlocks = plan.split("\n\n").filter(_.contains("BroadcastExchange"))
+    assert(!broadcastBlocks.exists(b => b.contains("va") || b.contains("vb")),
+      "corpus vectors must arrive via shuffle, not broadcast")
+  }
+
+  test("langid counts stopword hits via a broadcast join + hash aggregate") {
+    val plan = explained(SparkEntry.queries("text_langid")(spark, TestSession.sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the 50-row stopword table must broadcast into the token stream")
+    assert(plan.contains("HashAggregate"),
+      "per-(doc, lang) hit counting must be a map-side-combinable aggregate")
+  }
+
   test("top-k searches rank via the bounded-heap aggregate, not a q*n window shuffle") {
     for (q <- Seq("simsearch_topk", "simsearch_ivf")) {
       val plan = explained(SparkEntry.queries(q)(spark, TestSession.sf))
