@@ -369,6 +369,48 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** CTAS/DDL roundtrip through the SQL surface (the reference's
+    * integration shape: CREATE TABLE AS + SELECT back + DROP,
+    * tests/test_integration.py:166,229). DROP runs up front (a fresh
+    * CTAS each call — the returned plan must still read the table). */
+  private def ctasRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    val ex = new Exec(s)
+    Load.dropManaged(s, "graft_ctas")
+    ex.execute(
+      """CREATE TABLE graft_ctas AS
+        |SELECT n_nationkey, n_name, n_regionkey FROM nation""".stripMargin)
+    ex.execute("SELECT n_nationkey, n_name, n_regionkey FROM graft_ctas ORDER BY n_nationkey")
+  }
+
+  /** executeMany roundtrip: nation rows re-inserted one parameterized
+    * INSERT per row (the reference's executemany bulk-DML path,
+    * locopy/database.py:150-166), read back ordered. The 25-row
+    * driver-side collect is the POINT of the API (row-at-a-time DML);
+    * distributed loads go through Load/Insert. */
+  private def execmanyRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    val ex = new Exec(s)
+    Load.dropManaged(s, "graft_many")
+    ex.execute("CREATE TABLE graft_many (nk BIGINT, nname STRING)")
+    val rows = t(s, dir, "nation").select("n_nationkey", "n_name")
+      .collect().toSeq.map(r =>
+        Map[String, Any]("nk" -> r.getAs[Number](0).longValue(), "nname" -> r.getString(1)))
+    ex.executeMany("INSERT INTO graft_many VALUES (:nk, :nname)", rows)
+    ex.execute("SELECT nk, nname FROM graft_many ORDER BY nk")
+  }
+
+  /** Spark-4 VariantType path access (SURVEY §1.1 maps the reference's
+    * Snowflake VARIANT `v:location:city` to `parse_json`/`variant_get`;
+    * q14 is the get_json_object twin). The variant is cast to a plain
+    * BIGINT inside the query so the result is engine-portable. */
+  private def q14Variant(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", expr("variant_get(parse_json(props), '$.k', 'bigint')"))
+      .groupBy("event_type")
+      .agg(sum("k").cast("long").as("sum_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   // ======================================================================
   // Dedup (north-star)
   // ======================================================================
@@ -548,6 +590,9 @@ object SparkEntry {
     "load_json_roundtrip" -> (loadJsonRoundtrip(_, _)),
     "unload_export_roundtrip" -> (unloadExportRoundtrip(_, _)),
     "insert_infer_roundtrip" -> (insertInferRoundtrip(_, _)),
+    "ctas_roundtrip" -> (ctasRoundtrip(_, _)),
+    "execmany_roundtrip" -> (execmanyRoundtrip(_, _)),
+    "q14_variant" -> (q14Variant(_, _)),
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_ngram" -> (dedupNgram(_, _)),
     "dedup_minhash" -> (dedupMinhash(_, _)),
@@ -759,6 +804,17 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
         |       o_orderstatus
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "ctas_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "execmany_roundtrip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS nk, n_name AS nname
+        |FROM nation ORDER BY nk""".stripMargin,
+    "q14_variant" ->
+      """SELECT event_type,
+        |       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dupes FROM documents
         |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))

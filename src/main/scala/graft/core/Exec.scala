@@ -41,6 +41,23 @@ final class Exec(val spark: SparkSession) {
     }
   }
 
+  /** Batch form (reference `execute(sql, params, many=True)` →
+    * `cursor.executemany`, locopy/database.py:150-166): run the same
+    * parameterized statement once per parameter map — the reference's
+    * bulk-INSERT path. Statements run eagerly in order (Spark DML
+    * commands execute on `sql()`); returns the last result, which
+    * stays fetchable via `toDataFrame`/`toDict` like any execute.
+    *
+    * Note this is the row-at-a-time API-parity path for small batches
+    * (the reference itself routes bulk data through COPY, not
+    * executemany); large loads belong on [[graft.io.Load]] /
+    * [[graft.io.Insert]], which write distributed. */
+  def executeMany(sql: String, paramSeq: Seq[Map[String, Any]]): DataFrame = {
+    if (paramSeq.isEmpty)
+      throw new ExecError("executeMany requires at least one parameter set")
+    paramSeq.map(execute(sql, _)).last
+  }
+
   /** Positional-parameter form (reference qmark style). */
   def execute(sql: String, params: Seq[Any]): DataFrame = {
     try {

@@ -53,6 +53,59 @@ object Session {
     }
   }
 
+  /** Build a session from a flat connection-config YAML (the
+    * reference's `config_yaml=` path, locopy/database.py:96-101 +
+    * utility.py:228-266). Recognized keys:
+    *
+    *   - `master`, `app_name`, `shuffle_partitions` — Spark analogs of
+    *     the connection endpoint,
+    *   - `warehouse` / `database` / `schema` — applied connect-time via
+    *     [[useContext]] (Snowflake parity, locopy/snowflake.py:194-211),
+    *   - any `spark.*` key — passed through as Spark conf,
+    *   - credential keys the Spark analog has no use for (host, port,
+    *     dbname, user, password, profile, account) — accepted and
+    *     ignored, so reference `.locopyrc` files work unchanged.
+    */
+  def buildFromYaml(configYaml: String): SparkSession = {
+    val cfg = Config.readConfigYaml(configYaml)
+    def str(k: String): Option[String] = cfg.get(k).collect { case v if v != null => v.toString }
+    val spark = build(
+      master = str("master").getOrElse(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"),
+      appName = str("app_name").getOrElse("graft"),
+      shufflePartitions = str("shuffle_partitions").map(_.toInt).getOrElse(32),
+      extraConf = cfg.collect { case (k, v) if k.startsWith("spark.") && v != null => k -> v.toString })
+    useContext(spark, str("warehouse"), str("database"), str("schema"))
+    spark
+  }
+
+  /** Connect-time context parity with `Snowflake.connect`'s
+    * `USE WAREHOUSE / USE DATABASE / USE SCHEMA` trio
+    * (locopy/snowflake.py:194-211):
+    *
+    *   - warehouse: a Snowflake warehouse is the compute cluster; in
+    *     Spark the session's cluster IS the warehouse, so this logs and
+    *     is otherwise a no-op,
+    *   - database / schema: Spark's catalog has one namespace level, so
+    *     both map to `setCurrentDatabase` (applied in reference order —
+    *     schema, the narrower scope, wins when both are given). Raises
+    *     [[ExecError]] if the namespace does not exist, like USE.
+    */
+  def useContext(
+      spark: SparkSession,
+      warehouse: Option[String] = None,
+      database: Option[String] = None,
+      schema: Option[String] = None
+  ): Unit = {
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    warehouse.foreach(w =>
+      log.info(s"USE WAREHOUSE $w: no-op — the Spark cluster is the warehouse"))
+    for (db <- Seq(database, schema).flatten)
+      try spark.catalog.setCurrentDatabase(db)
+      catch {
+        case e: Throwable => throw new ExecError(s"cannot USE $db: ${e.getMessage}", e)
+      }
+  }
+
   /** Loan pattern: run `f` with a session, always stop it after.
     * Parity with the reference's `with Database(...) as db:` context
     * manager (reference: locopy/database.py:259-283). */

@@ -39,3 +39,9 @@ final class FileOpError(msg: String, cause: Throwable = null)
 
 /** Schema-inference failure. */
 final class InferError(msg: String) extends GraftError(msg)
+
+/** Connection-config failure (reference: CredentialsError,
+  * locopy/errors.py:19-26 — raised by read_config_yaml on unreadable /
+  * malformed YAML, locopy/utility.py:262-266). */
+final class CredentialsError(msg: String, cause: Throwable = null)
+    extends GraftError(msg, cause)

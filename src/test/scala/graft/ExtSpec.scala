@@ -24,6 +24,19 @@ class ExtSpec extends AnyFunSuite {
     assert(ex.toDataFrame(Some(1)).get.count() == 1)
   }
 
+  test("exec: executeMany runs a parameterized statement per param set (reference many=True)") {
+    val ex = new Exec(spark)
+    graft.io.Load.dropManaged(spark, "graft_many_spec")
+    ex.execute("CREATE TABLE graft_many_spec (k BIGINT, v STRING)")
+    ex.executeMany("INSERT INTO graft_many_spec VALUES (:k, :v)",
+      Seq(Map("k" -> 1L, "v" -> "a"), Map("k" -> 2L, "v" -> "b"), Map("k" -> 3L, "v" -> "c")))
+    val rows = spark.table("graft_many_spec").orderBy("k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    intercept[graft.core.ExecError](ex.executeMany("SELECT 1", Seq.empty))
+    graft.io.Load.dropManaged(spark, "graft_many_spec")
+  }
+
   test("exact dedup keeps one row per distinct content") {
     import spark.implicits._
     val d = Seq((1L, "same text"), (2L, "same  TEXT "), (3L, "other")).toDF("doc_id", "text")
