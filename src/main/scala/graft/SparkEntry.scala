@@ -438,6 +438,16 @@ object SparkEntry {
     Dedup.minhashNearDupes(t(s, dir, "documents"), 0.8, k = 64, bands = 16, shingle = 5)
       .orderBy("id_a", "id_b")
 
+  /** Word-3-gram Jaccard near-dup pairs (threshold 0.8) — the same
+    * PPJoin pipeline as dedupNgram under a word-shingle tokenizer
+    * (n-gram granularity is a first-class knob; word n-grams are the
+    * standard choice for long-document dedup where char shingles
+    * over-match). */
+  private def dedupWordngram(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), 0.8,
+        shingler = graft.functions.wordNgrams(_, 3))
+      .orderBy("id_a", "id_b")
+
   /** SimHash near-dup candidates (no oracle: signature-dependent). */
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDupes(t(s, dir, "documents"), maxHamming = 8,
@@ -547,6 +557,18 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
+  /** Frame sampling over binary payloads (every 10th 4 KiB stride);
+    * frames summarized as (length, md5) so the compare is
+    * engine-portable without shipping raw binary through the gate. */
+  private def multimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+    Multimodal.sampleFrames(media, everyK = 10)
+      .select(col("media_id"), col("frame_idx"),
+        length(col("frame")).cast("int").as("n_frame_bytes"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy("media_id", "frame_idx")
+  }
+
   // ======================================================================
   // Streaming (north-star): real micro-batch execution over events
   // ======================================================================
@@ -556,6 +578,16 @@ object SparkEntry {
       .select(col("window_start"), col("event_type"), col("n_events"),
         col("sum_value"))
       .orderBy("window_start", "event_type")
+
+  /** Session windows per user (30-minute inactivity gap) — the built-in
+    * `session_window` batch twin of the streaming sessionizer, oracled
+    * against a DuckDB gaps-and-islands rewrite. (No fixture event pair
+    * sits exactly on the 30-minute boundary, so the merge-rule edge
+    * where the engines could disagree is not exercised.) */
+  private def streamSessions(s: SparkSession, dir: String): DataFrame =
+    Stream.sessionWindows(t(s, dir, "events"), "30 minutes")
+      .select("session_start", "session_end", "user_id", "n_events", "sum_value")
+      .orderBy("user_id", "session_start")
 
   // ======================================================================
   // Contract maps
@@ -596,6 +628,7 @@ object SparkEntry {
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_ngram" -> (dedupNgram(_, _)),
     "dedup_minhash" -> (dedupMinhash(_, _)),
+    "dedup_wordngram" -> (dedupWordngram(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "dedup_embcos" -> (dedupEmbCos(_, _)),
     "dedup_emblsh" -> (dedupEmbLsh(_, _)),
@@ -607,7 +640,9 @@ object SparkEntry {
     "text_fingerprint" -> (textFingerprint(_, _)),
     "multimodal_meta" -> (multimodalMeta(_, _)),
     "multimodal_decode" -> (multimodalDecode(_, _)),
-    "stream_window" -> (streamWindow(_, _))
+    "multimodal_frames" -> (multimodalFrames(_, _)),
+    "stream_window" -> (streamWindow(_, _)),
+    "stream_sessions" -> (streamSessions(_, _))
   )
 
   // ----------------------------------------------------------------------
@@ -637,8 +672,25 @@ object SparkEntry {
       |  GROUP BY 1, 2
       |)""".stripMargin
 
-  private val jaccardPairsSql =
-    duckShingleCte +
+  /** Shared DuckDB fragment: distinct word-3-gram shingles. */
+  private val duckWord3Cte =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $duckToks AS ts FROM documents
+       |), sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, greatest(len(ts) - 2, 0)),
+       |    i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i+1 AS INT)] || ' ' || ts[CAST(i+2 AS INT)]))) AS s
+       |  FROM toks
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+
+  private def jaccardTail(cte: String) =
+    cte +
       """
         |SELECT id_a, id_b,
         |       round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
@@ -647,6 +699,9 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin
+
+  private val jaccardPairsSql = jaccardTail(duckShingleCte)
+  private val wordngramPairsSql = jaccardTail(duckWord3Cte)
 
   private def langidSql: String = {
     val langs = Text.stopwords.toSeq.sortBy(_._1)
@@ -821,6 +876,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "dedup_ngram" -> jaccardPairsSql,
     "dedup_minhash" -> jaccardPairsSql,
+    "dedup_wordngram" -> wordngramPairsSql,
     "dedup_embcos" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -896,9 +952,39 @@ object SparkEntry {
         |       CAST(3 AS INT) AS channels,
         |       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 255.0, 6) AS mean_luma
         |FROM b ORDER BY media_id""".stripMargin,
+    "multimodal_frames" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id, text AS p,
+        |         CAST(greatest(ceil(length(text) / 4096.0), 1) AS INT) AS nf
+        |  FROM documents
+        |), f AS (
+        |  SELECT media_id, p,
+        |         CAST(unnest(generate_series(0, nf - 1, 10)) AS INT) AS frame_idx
+        |  FROM b)
+        |SELECT media_id, frame_idx,
+        |       CAST(length(substring(p, frame_idx * 4096 + 1, 4096)) AS INT) AS n_frame_bytes,
+        |       md5(substring(p, frame_idx * 4096 + 1, 4096)) AS frame_md5
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
     "stream_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |       count(*) AS n_events, round(sum(value), 4) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "stream_sessions" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), g AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT min(ts) AS session_start,
+        |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }

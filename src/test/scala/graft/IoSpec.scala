@@ -3,7 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.core.OptionError
-import graft.io.{Load, LocalFiles, Options, Stage, Unload}
+import graft.io.{Load, LocalFiles, Options, ProgressPercentage, Stage, Unload}
 
 /** Load/Unload/Stage façade specs — mirrors the reference's unit +
   * golden-file tiers (tests/test_redshift.py, tests/test_utility.py,
@@ -114,5 +114,19 @@ class IoSpec extends AnyFunSuite {
     stage.deleteList(uploaded)
     assert(stage.list(stageDir).isEmpty)
     assert(stage.parseUrl("s3://bucket/key/path.txt") == ("bucket", "key/path.txt"))
+  }
+
+  test("ProgressPercentage renders the reference transfer bar and reaches 100%") {
+    val local = tmp("progress_src.bin")
+    Files.write(Paths.get(local), Array.fill[Byte](1 << 17)(7)) // 128 KiB -> 2 chunks
+    val bos = new java.io.ByteArrayOutputStream()
+    val cb = new ProgressPercentage(local, new java.io.PrintStream(bos, true, "UTF-8"))
+    val stage = new Stage(spark)
+    val dstDir = "file://" + tmp("progress_dst")
+    stage.put(local, dstDir + "/out.bin", progress = Some(cb))
+    assert(math.abs(cb.percentage - 100.0) < 1e-9)
+    val bar = bos.toString("UTF-8")
+    assert(bar.contains("Transfering [##########] 100.00%"), bar) // reference format
+    assert(stage.list(dstDir).size == 1)
   }
 }
