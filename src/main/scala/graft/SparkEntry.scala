@@ -286,6 +286,38 @@ object SparkEntry {
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
   }
 
+  /** Set op: INTERSECT — nations present among both customers and
+    * suppliers (completes the UNION/EXCEPT/INTERSECT trio). */
+  private def q25Intersect(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+      .orderBy("nk")
+
+  /** PIVOT: order counts per year pivoted by order status. A fixed
+    * pivot-value list keeps the plan a single pass (no distinct-values
+    * pre-query) — the shape that holds at scale. */
+  private def q26Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("yr", year(col("o_orderdate")).cast("long"))
+      .groupBy("yr")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .select(col("yr"), col("F").as("n_f"), col("O").as("n_o"), col("P").as("n_p"))
+      .orderBy("yr")
+
+  /** Correlated scalar subquery (q17 is the uncorrelated twin):
+    * customers whose account balance beats their nation's average. */
+  private def q27Correlated(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    new Exec(s).execute(
+      """SELECT c_nationkey, count(*) AS n_above
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_nationkey = c.c_nationkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+  }
+
   /** JSON source roundtrip: parquet → JSON lines → spark.read.json
     * (schema inferred) — the reference's Snowflake JSON file-format
     * path (locopy/snowflake.py:60-69). */
@@ -618,6 +650,9 @@ object SparkEntry {
     "q22_date_arith" -> (q22DateArith(_, _)),
     "q23_string_funcs" -> (q23StringFuncs(_, _)),
     "q24_grouping_sets" -> (q24GroupingSets(_, _)),
+    "q25_intersect" -> (q25Intersect(_, _)),
+    "q26_pivot" -> (q26Pivot(_, _)),
+    "q27_correlated" -> (q27Correlated(_, _)),
     "load_csv_roundtrip" -> (loadCsvRoundtrip(_, _)),
     "load_json_roundtrip" -> (loadJsonRoundtrip(_, _)),
     "unload_export_roundtrip" -> (unloadExportRoundtrip(_, _)),
@@ -844,6 +879,21 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q25_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin,
+    "q26_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
+    "q27_correlated" ->
+      """SELECT c_nationkey, count(*) AS n_above
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_nationkey = c.c_nationkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "load_json_roundtrip" ->
       """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
         |FROM region ORDER BY r_regionkey""".stripMargin,

@@ -55,7 +55,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("jaccard verify joins shuffle on id — the corpus shingle table is never broadcast") {
-    for (q <- Seq("dedup_ngram", "dedup_minhash")) {
+    for (q <- Seq("dedup_ngram", "dedup_minhash", "dedup_wordngram")) {
       val plan = explained(SparkEntry.queries(q)(spark, TestSession.sf))
       assert(plan.contains("SortMergeJoin"), s"$q: verify stage must be a shuffle merge join")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q: no nested-loop joins")
