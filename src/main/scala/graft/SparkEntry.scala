@@ -318,6 +318,24 @@ object SparkEntry {
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
   }
 
+  /** As-of (point-in-time) join: each event picks up the latest order
+    * date of its user at-or-before the event time ([[graft.operators
+    * .AsOfJoin]] — union + running-last window, ONE shuffle, no join
+    * node). Oracled against DuckDB's native ASOF LEFT JOIN; the output
+    * value (the order DATE itself) is tie-invariant when a user has
+    * several orders on their latest date. */
+  private def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select("user_id", "ts")
+    val ord = t(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderdate").cast("timestamp").as("o_ts"), col("o_orderdate"))
+    graft.operators.AsOfJoin.asOf(ev, ord,
+        leftKey = "user_id", leftTime = "ts",
+        rightKey = "o_custkey", rightTime = "o_ts", rightVals = Seq("o_orderdate"))
+      .select(col("user_id"), col("ts"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("last_order_date"))
+      .orderBy("user_id", "ts")
+  }
+
   /** JSON source roundtrip: parquet → JSON lines → spark.read.json
     * (schema inferred) — the reference's Snowflake JSON file-format
     * path (locopy/snowflake.py:60-69). */
@@ -653,6 +671,7 @@ object SparkEntry {
     "q25_intersect" -> (q25Intersect(_, _)),
     "q26_pivot" -> (q26Pivot(_, _)),
     "q27_correlated" -> (q27Correlated(_, _)),
+    "asof_join" -> (asofJoin(_, _)),
     "load_csv_roundtrip" -> (loadCsvRoundtrip(_, _)),
     "load_json_roundtrip" -> (loadJsonRoundtrip(_, _)),
     "unload_export_roundtrip" -> (unloadExportRoundtrip(_, _)),
@@ -894,6 +913,12 @@ object SparkEntry {
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
         |                   WHERE c_nationkey = c.c_nationkey)
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "asof_join" ->
+      """SELECT e.user_id, e.ts, strftime(o.o_orderdate, '%Y-%m-%d') AS last_order_date
+        |FROM events e
+        |ASOF LEFT JOIN orders o
+        |  ON e.user_id = o.o_custkey AND e.ts >= CAST(o.o_orderdate AS TIMESTAMP)
+        |ORDER BY user_id, ts""".stripMargin,
     "load_json_roundtrip" ->
       """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
         |FROM region ORDER BY r_regionkey""".stripMargin,

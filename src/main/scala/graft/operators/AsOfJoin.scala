@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: attach to each left row the value
+  * columns of the most recent right row with the same key and
+  * `right.time <= left.time` — the standard feature-attachment /
+  * point-in-time-correctness operator of training-data pipelines
+  * (join events to the latest prior dimension state without leakage).
+  *
+  * Spark has no native as-of join, and the preference order for custom
+  * operators is compose-first: these semantics ARE expressible with
+  * built-ins, as the classic union + running `last(ignoreNulls)`
+  * window —
+  *
+  *   1. union both sides by name (right rows carry the value columns,
+  *      left rows carry null there),
+  *   2. one window partitioned by key, ordered by (time, side) with
+  *      right rows (side 0) before left rows (side 1) at equal
+  *      timestamps — so a right row AT the left time is visible
+  *      (inclusive semantics, matching DuckDB `ASOF JOIN ... ON l.t >=
+  *      r.t`),
+  *   3. running `last(value, ignoreNulls = true)` carries the latest
+  *      right value forward; keep side-1 rows.
+  *
+  * Scale shape: ONE shuffle of |left| + |right| rows on the key, no
+  * join node at all — no per-key row explosion (a naive inequality
+  * join is a per-key cross product before aggregation), no broadcast,
+  * skew bounded by the largest single key exactly like any windowed
+  * aggregation.
+  *
+  * Contracts: left/right value-column names must not collide (the
+  * union is by name); a null in a right value column is treated as
+  * absent (the window skips to the previous non-null); when several
+  * right rows share (key, time) the carried value among them is
+  * tie-ordering-dependent — pass value columns that are functions of
+  * (key, time) (or pre-aggregate) where full determinism matters.
+  */
+object AsOfJoin {
+
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      leftTime: String,
+      rightKey: String,
+      rightTime: String,
+      rightVals: Seq[String]
+  ): DataFrame = {
+    require(rightVals.nonEmpty, "asOf requires at least one right value column")
+    val collisions = rightVals.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty, s"right value columns collide with left columns: $collisions")
+
+    val l = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__t", col(leftTime).cast("timestamp"))
+      .withColumn("__side", lit(1))
+    val r = right.select(
+      (col(rightKey).as("__k") ::
+        col(rightTime).cast("timestamp").as("__t") ::
+        lit(0).as("__side") ::
+        rightVals.map(col).toList): _*)
+
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attached = rightVals.foldLeft(unioned) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    attached.filter(col("__side") === 1).drop("__k", "__t", "__side")
+  }
+}

@@ -37,6 +37,26 @@ class ExtSpec extends AnyFunSuite {
     graft.io.Load.dropManaged(spark, "graft_many_spec")
   }
 
+  test("as-of join attaches the latest right value at-or-before each left time") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"),
+      (1L, "2024-01-01 12:00:00"),
+      (1L, "2024-01-01 12:30:00"), // exactly at a state change: inclusive
+      (2L, "2024-01-01 09:00:00")  // before any state: null
+    ).toDF("k", "ts_s").withColumn("t", col("ts_s").cast("timestamp"))
+    val st = Seq(
+      (1L, "2024-01-01 09:30:00", "a"),
+      (1L, "2024-01-01 11:00:00", "b"),
+      (1L, "2024-01-01 12:30:00", "c"),
+      (2L, "2024-01-01 10:00:00", "z")
+    ).toDF("k2", "ts_s2", "v").withColumn("t2", col("ts_s2").cast("timestamp"))
+    val got = graft.operators.AsOfJoin.asOf(ev, st, "k", "t", "k2", "t2", Seq("v"))
+      .orderBy("k", "t").select("k", "v").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).orNull))
+    assert(got.toSeq == Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, null)))
+  }
+
   test("exact dedup keeps one row per distinct content") {
     import spark.implicits._
     val d = Seq((1L, "same text"), (2L, "same  TEXT "), (3L, "other")).toDF("doc_id", "text")

@@ -14,6 +14,15 @@ class PlanSpec extends AnyFunSuite {
     df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
+  /** Count hash-partition exchanges. Uses SIMPLE mode, which prints
+    * `Exchange hashpartitioning(...)` inline — formatted mode moves the
+    * partitioning into a detail section, so counting there silently
+    * matches nothing (and asserts pass vacuously). */
+  private def hashExchanges(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+
   test("q03 multi-join broadcasts the dimension tables") {
     val plan = explained(SparkEntry.queries("q03_join_agg")(spark, TestSession.sf))
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
@@ -108,9 +117,19 @@ class PlanSpec extends AnyFunSuite {
     // the nearest-centroid assignment must be a pure projection over the
     // scan: the only shuffles in the whole plan are the final top-k
     // aggregation exchange (plus the broadcast of the probe side)
-    val plan = explained(SparkEntry.queries("simsearch_ivf")(spark, TestSession.sf))
-    val shuffles = plan.linesIterator.count(l => l.contains("Exchange hashpartitioning"))
-    assert(shuffles <= 1, s"expected at most the top-k exchange, found $shuffles:\n${plan.take(3000)}")
+    val df = SparkEntry.queries("simsearch_ivf")(spark, TestSession.sf)
+    val shuffles = hashExchanges(df)
+    assert(shuffles >= 1, "simple-mode plan should show the top-k aggregation exchange")
+    assert(shuffles <= 1, s"expected at most the top-k exchange, found $shuffles")
+  }
+
+  test("as-of join plans as one keyed shuffle + window, never a join node") {
+    val df = SparkEntry.queries("asof_join")(spark, TestSession.sf)
+    val plan = explained(df)
+    assert(!plan.contains("Join"),
+      "as-of must compose via union + running-last window, not an inequality join")
+    val shuffles = hashExchanges(df)
+    assert(shuffles == 1, s"expected exactly the window exchange, found $shuffles")
   }
 
   test("custom expressions are SQL-reachable via extensions registration") {
