@@ -336,6 +336,20 @@ object SparkEntry {
       .orderBy("user_id", "ts")
   }
 
+  /** Skew-salted join ([[graft.operators.SaltedJoin]]): lineitem ⋈
+    * supplier with the fact side split across 8 deterministic salts —
+    * output must equal the plain equi-join (the oracle runs the
+    * unsalted SQL), proving salting is a pure physical rewrite. */
+  private def saltedJoin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SaltedJoin.saltedInner(
+        t(s, dir, "lineitem"), t(s, dir, "supplier"),
+        "l_suppkey", "s_suppkey", salts = 8,
+        saltBy = struct(col("l_orderkey"), col("l_linenumber")))
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("s_nationkey")
+
   /** JSON source roundtrip: parquet → JSON lines → spark.read.json
     * (schema inferred) — the reference's Snowflake JSON file-format
     * path (locopy/snowflake.py:60-69). */
@@ -672,6 +686,7 @@ object SparkEntry {
     "q26_pivot" -> (q26Pivot(_, _)),
     "q27_correlated" -> (q27Correlated(_, _)),
     "asof_join" -> (asofJoin(_, _)),
+    "salted_join" -> (saltedJoin(_, _)),
     "load_csv_roundtrip" -> (loadCsvRoundtrip(_, _)),
     "load_json_roundtrip" -> (loadJsonRoundtrip(_, _)),
     "unload_export_roundtrip" -> (unloadExportRoundtrip(_, _)),
@@ -919,6 +934,11 @@ object SparkEntry {
         |ASOF LEFT JOIN orders o
         |  ON e.user_id = o.o_custkey AND e.ts >= CAST(o.o_orderdate AS TIMESTAMP)
         |ORDER BY user_id, ts""".stripMargin,
+    "salted_join" ->
+      """SELECT s_nationkey, count(*) AS n,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "load_json_roundtrip" ->
       """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
         |FROM region ORDER BY r_regionkey""".stripMargin,

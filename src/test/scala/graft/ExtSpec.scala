@@ -57,6 +57,19 @@ class ExtSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, null)))
   }
 
+  test("salted join equals the plain equi-join row-for-row") {
+    val li = spark.read.parquet(s"${TestSession.sf}/lineitem.parquet")
+    val sup = spark.read.parquet(s"${TestSession.sf}/supplier.parquet")
+    val plain = li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .select("l_orderkey", "l_linenumber", "s_suppkey")
+    val salted = graft.operators.SaltedJoin.saltedInner(li, sup,
+        "l_suppkey", "s_suppkey", salts = 8,
+        saltBy = struct(col("l_orderkey"), col("l_linenumber")))
+      .select("l_orderkey", "l_linenumber", "s_suppkey")
+    assert(plain.count() == salted.count())
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+  }
+
   test("exact dedup keeps one row per distinct content") {
     import spark.implicits._
     val d = Seq((1L, "same text"), (2L, "same  TEXT "), (3L, "other")).toDF("doc_id", "text")

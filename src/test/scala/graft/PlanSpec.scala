@@ -132,6 +132,12 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles == 1, s"expected exactly the window exchange, found $shuffles")
   }
 
+  test("salted join carries the salt into the join keys") {
+    val plan = explained(SparkEntry.queries("salted_join")(spark, TestSession.sf))
+    assert(plan.contains("__salt"),
+      "the physical join must key on (key, salt) to split hot keys across reducers")
+  }
+
   test("custom expressions are SQL-reachable via extensions registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(
