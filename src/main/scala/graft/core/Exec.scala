@@ -58,6 +58,13 @@ final class Exec(val spark: SparkSession) {
     paramSeq.map(execute(sql, _)).last
   }
 
+  /** Positional (qmark-style) batch form. */
+  def executeMany(sql: String, paramSeq: Seq[Seq[Any]])(implicit d: DummyImplicit): DataFrame = {
+    if (paramSeq.isEmpty)
+      throw new ExecError("executeMany requires at least one parameter set")
+    paramSeq.map(execute(sql, _)).last
+  }
+
   /** Positional-parameter form (reference qmark style). */
   def execute(sql: String, params: Seq[Any]): DataFrame = {
     try {

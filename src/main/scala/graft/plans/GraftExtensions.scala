@@ -3,8 +3,8 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{SortedIntersectCount, VecDotProduct}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{SortedIntersectCount, TopKByScore, VecDotProduct}
 
 /** Engine extensions: registers the custom Catalyst expressions as SQL
   * functions so `spark.sql` users reach them too:
@@ -32,15 +32,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two array<double>"),
       (args: Seq[Expression]) => VecDotProduct(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("topk_by_score"),
+      info("topk_by_score",
+        "topk_by_score(score, id, k) - aggregate: top k (score, id) pairs per group, best first"),
+      (args: Seq[Expression]) => GraftExtensions.buildTopK(args)))
   }
 }
 
 object GraftExtensions {
+
+  /** SQL builder for the [[TopKByScore]] aggregate: `k` must be a
+    * literal int (the heap is sized at plan time). The analyzer wraps
+    * returned AggregateFunctions in an AggregateExpression itself. */
+  private[plans] def buildTopK(args: Seq[Expression]): Expression = {
+    require(args.length == 3, s"topk_by_score expects (score, id, k), got ${args.length} args")
+    val k = args(2) match {
+      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"topk_by_score: k must be an integer literal, got $other")
+    }
+    TopKByScore(args(0), args(1), k)
+  }
+
   /** Register the same functions on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count", args => SortedIntersectCount(args(0), args(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", args => VecDotProduct(args(0), args(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_by_score", buildTopK, "built-in")
   }
 }

@@ -30,10 +30,14 @@ class ExtSpec extends AnyFunSuite {
     ex.execute("CREATE TABLE graft_many_spec (k BIGINT, v STRING)")
     ex.executeMany("INSERT INTO graft_many_spec VALUES (:k, :v)",
       Seq(Map("k" -> 1L, "v" -> "a"), Map("k" -> 2L, "v" -> "b"), Map("k" -> 3L, "v" -> "c")))
+    // positional (qmark) form
+    ex.executeMany("INSERT INTO graft_many_spec VALUES (?, ?)",
+      Seq(Seq(4L, "d"), Seq(5L, "e")))
     val rows = spark.table("graft_many_spec").orderBy("k").collect()
     assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
-      Seq((1L, "a"), (2L, "b"), (3L, "c")))
-    intercept[graft.core.ExecError](ex.executeMany("SELECT 1", Seq.empty))
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+    intercept[graft.core.ExecError](
+      ex.executeMany("SELECT 1", Seq.empty[Map[String, Any]]))
     graft.io.Load.dropManaged(spark, "graft_many_spec")
   }
 

@@ -145,5 +145,11 @@ class PlanSpec extends AnyFunSuite {
         |       vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d""".stripMargin).head()
     assert(r.getInt(0) == 2)
     assert(r.getDouble(1) == 11.0)
+    // the bounded-heap aggregate is SQL-reachable too (k as a literal)
+    val top = spark.sql(
+      """SELECT topk_by_score(s, i, 2) AS t
+        |FROM VALUES (1.0d, 1L), (3.0d, 2L), (2.0d, 3L) AS v(s, i)""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(top.map(_.getLong(1)) == Seq(2L, 3L))
   }
 }
