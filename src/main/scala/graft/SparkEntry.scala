@@ -623,7 +623,14 @@ object SparkEntry {
 
   /** Frame sampling over binary payloads (every 10th 4 KiB stride);
     * frames summarized as (length, md5) so the compare is
-    * engine-portable without shipping raw binary through the gate. */
+    * engine-portable without shipping raw binary through the gate.
+    *
+    * Oracle precondition (asserted against the fixture): the documents
+    * text is pure ASCII, so DuckDB's CHARACTER-based
+    * length/substring/md5 on the varchar equals Spark's BYTE-based
+    * slicing of the utf-8 payload. A multibyte fixture would need a
+    * BLOB-capable oracle (this DuckDB build has neither blob substring
+    * nor md5(BLOB)). */
   private def multimodalFrames(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
     Multimodal.sampleFrames(media, everyK = 10)

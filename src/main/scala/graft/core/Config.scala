@@ -49,16 +49,25 @@ object Config {
     entries.toMap
   }
 
-  /** Drop a trailing `# comment` that is not inside a quoted value. */
+  /** Drop a trailing `# comment` that is not inside a quoted value.
+    * YAML comments require the `#` to start the line or follow
+    * whitespace — `password: p#ss` is NOT a comment and must survive
+    * intact (yaml.safe_load keeps it). */
   private def stripComment(line: String): String = {
     var inS = false; var inD = false
-    val cut = line.indexWhere {
-      case '\'' if !inD => inS = !inS; false
-      case '"' if !inS  => inD = !inD; false
-      case '#' if !inS && !inD => true
-      case _ => false
+    var i = 0
+    while (i < line.length) {
+      line.charAt(i) match {
+        case '\'' if !inD => inS = !inS
+        case '"' if !inS  => inD = !inD
+        case '#' if !inS && !inD &&
+            (i == 0 || Character.isWhitespace(line.charAt(i - 1))) =>
+          return line.substring(0, i)
+        case _ =>
+      }
+      i += 1
     }
-    if (cut < 0) line else line.substring(0, cut)
+    line
   }
 
   private def unquote(v: String): String =

@@ -74,7 +74,17 @@ object Session {
       appName = str("app_name").getOrElse("graft"),
       shufflePartitions = str("shuffle_partitions").map(_.toInt).getOrElse(32),
       extraConf = cfg.collect { case (k, v) if k.startsWith("spark.") && v != null => k -> v.toString })
-    useContext(spark, str("warehouse"), str("database"), str("schema"))
+    // `database`/`schema` double as plain connection credentials in
+    // Redshift-style .locopyrc files (no catalog namespace to USE), so
+    // apply the context only for namespaces that exist — a reference
+    // config must work unchanged, not throw
+    def existing(k: String): Option[String] =
+      str(k).filter(spark.catalog.databaseExists).orElse {
+        str(k).foreach(db => org.slf4j.LoggerFactory.getLogger(getClass)
+          .info(s"config key $k='$db' is not a catalog namespace — treated as a connection credential and ignored"))
+        None
+      }
+    useContext(spark, str("warehouse"), existing("database"), existing("schema"))
     spark
   }
 

@@ -42,19 +42,25 @@ final class Stage(spark: SparkSession) {
   def put(local: String, stageUri: String, progress: Option[ProgressPercentage] = None): Unit =
     try {
       val src = new Path(local)
-      val dst = new Path(stageUri)
-      val fs = fsOf(dst)
-      fs.mkdirs(dst.getParent)
+      val dst0 = new Path(stageUri)
+      val fs = fsOf(dst0)
+      fs.mkdirs(dst0.getParent)
       progress match {
-        case None => fs.copyFromLocalFile(false, true, src, dst)
+        case None => fs.copyFromLocalFile(false, true, src, dst0)
         case Some(cb) =>
+          // match copyFromLocalFile's accepted inputs: an existing
+          // directory destination means "copy into it"
+          val dst = if (fs.exists(dst0) && fs.getFileStatus(dst0).isDirectory)
+            new Path(dst0, src.getName) else dst0
           val in = new BufferedInputStream(new FileInputStream(local))
-          val out = fs.create(dst, true)
           try {
-            val buf = new Array[Byte](1 << 16)
-            var n = in.read(buf)
-            while (n >= 0) { if (n > 0) { out.write(buf, 0, n); cb(n) }; n = in.read(buf) }
-          } finally { in.close(); out.close() }
+            val out = fs.create(dst, true)
+            try {
+              val buf = new Array[Byte](1 << 16)
+              var n = in.read(buf)
+              while (n >= 0) { if (n > 0) { out.write(buf, 0, n); cb(n) }; n = in.read(buf) }
+            } finally out.close()
+          } finally in.close()
       }
     } catch { case e: Throwable => throw new StageError(s"put $local -> $stageUri failed", e) }
 
@@ -66,11 +72,29 @@ final class Stage(spark: SparkSession) {
     }
 
   /** Download stage file(s) to local (reference download_from_s3,
-    * locopy/s3.py:271-331; Snowflake GET locopy/snowflake.py:247-266). */
-  def get(stageUri: String, local: String): Unit =
+    * locopy/s3.py:271-331; Snowflake GET locopy/snowflake.py:247-266).
+    * With a [[ProgressPercentage]] attached the copy chunks manually so
+    * the callback sees per-chunk byte counts (the reference passes the
+    * same Callback on downloads). NOTE the callback's 100% reference
+    * point is its constructor file's size — for a download pass a path
+    * whose size equals the remote object (the reference has the same
+    * asymmetry: ProgressPercentage sizes from a local filename). */
+  def get(stageUri: String, local: String, progress: Option[ProgressPercentage] = None): Unit =
     try {
       val src = new Path(stageUri)
-      fsOf(src).copyToLocalFile(false, src, new Path(local), true)
+      progress match {
+        case None => fsOf(src).copyToLocalFile(false, src, new Path(local), true)
+        case Some(cb) =>
+          val in = fsOf(src).open(src)
+          try {
+            val out = new BufferedOutputStream(new FileOutputStream(local))
+            try {
+              val buf = new Array[Byte](1 << 16)
+              var n = in.read(buf)
+              while (n >= 0) { if (n > 0) { out.write(buf, 0, n); cb(n) }; n = in.read(buf) }
+            } finally out.close()
+          } finally in.close()
+      }
     } catch { case e: Throwable => throw new StageError(s"get $stageUri -> $local failed", e) }
 
   def getList(stageUris: Seq[String], localDir: String): Seq[String] =

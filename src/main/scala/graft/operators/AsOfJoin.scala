@@ -57,11 +57,18 @@ object AsOfJoin {
       .withColumn("__k", col(leftKey))
       .withColumn("__t", col(leftTime).cast("timestamp"))
       .withColumn("__side", lit(1))
+    // right rows with a null key or null time can never satisfy
+    // `l.key = r.key AND l.t >= r.t` (null comparisons are never true),
+    // so drop them up front — otherwise the window would group null
+    // keys together and sort null times before everything, silently
+    // attaching values an as-of join must not attach. Left rows with a
+    // null key/time keep flowing and (correctly) pick up nulls.
     val r = right.select(
       (col(rightKey).as("__k") ::
         col(rightTime).cast("timestamp").as("__t") ::
         lit(0).as("__side") ::
         rightVals.map(col).toList): _*)
+      .filter(col("__k").isNotNull && col("__t").isNotNull)
 
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy("__k")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Salted equi-join for skewed keys.
@@ -39,7 +39,9 @@ object SaltedJoin {
     val l = left.withColumn("__salt", pmod(xxhash64(saltBy), lit(salts)).cast("int"))
     val r = right.withColumn("__salt",
       explode(array((0 until salts).map(i => lit(i)): _*)))
-    l.join(r, l("__salt") === r("__salt") && F.col(leftKey) === F.col(rightKey))
+    // dataframe-qualified key references so leftKey == rightKey (the
+    // common equi-join shape) does not hit AMBIGUOUS_REFERENCE
+    l.join(r, l("__salt") === r("__salt") && l(leftKey) === r(rightKey))
       .drop("__salt")
   }
 }

@@ -42,17 +42,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  /** SQL builder for the [[TopKByScore]] aggregate: `k` must be a
-    * literal int (the heap is sized at plan time). The analyzer wraps
-    * returned AggregateFunctions in an AggregateExpression itself. */
+  /** SQL builder for the [[TopKByScore]] aggregate: `k` must be an
+    * integral literal (the heap is sized at plan time). The score is
+    * cast to double exactly like the Column API (`fx.topKByScore`)
+    * does, so SQL and Column callers accept the same inputs. The
+    * analyzer wraps returned AggregateFunctions in an
+    * AggregateExpression itself. */
   private[plans] def buildTopK(args: Seq[Expression]): Expression = {
     require(args.length == 3, s"topk_by_score expects (score, id, k), got ${args.length} args")
     val k = args(2) match {
       case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+      case Literal(v: Long, org.apache.spark.sql.types.LongType) => v.toInt
       case other => throw new IllegalArgumentException(
         s"topk_by_score: k must be an integer literal, got $other")
     }
-    TopKByScore(args(0), args(1), k)
+    TopKByScore(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        args(0), org.apache.spark.sql.types.DoubleType),
+      args(1), k)
   }
 
   /** Register the same functions on an already-built session. */

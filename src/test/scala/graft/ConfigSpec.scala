@@ -50,6 +50,21 @@ class ConfigSpec extends AnyFunSuite {
     }
   }
 
+  test("read_config_yaml: '#' without preceding whitespace is not a comment (yaml rule)") {
+    val cfg = Config.readConfigYamlString("password: p#ss\nkey2: v  # real comment\n")
+    assert(cfg("password") == "p#ss")
+    assert(cfg("key2") == "v")
+  }
+
+  test("buildFromYaml: reference .locopyrc credential keys are ignored, not USEd") {
+    val f = java.nio.file.Files.createTempFile("graftrc_build", ".yml")
+    java.nio.file.Files.writeString(f, goodYaml) // database: db — no such namespace
+    val before = spark.catalog.currentDatabase
+    val s2 = Session.buildFromYaml(f.toString) // must not throw
+    assert(s2.catalog.currentDatabase == before)
+    java.nio.file.Files.delete(f)
+  }
+
   test("useContext: database maps to current catalog namespace; warehouse is a logged no-op") {
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_ctx_db")
     val before = spark.catalog.currentDatabase

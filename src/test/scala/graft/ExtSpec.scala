@@ -53,7 +53,8 @@ class ExtSpec extends AnyFunSuite {
       (1L, "2024-01-01 09:30:00", "a"),
       (1L, "2024-01-01 11:00:00", "b"),
       (1L, "2024-01-01 12:30:00", "c"),
-      (2L, "2024-01-01 10:00:00", "z")
+      (2L, "2024-01-01 10:00:00", "z"),
+      (1L, null, "NEVER") // null right time: can never satisfy l.t >= r.t
     ).toDF("k2", "ts_s2", "v").withColumn("t2", col("ts_s2").cast("timestamp"))
     val got = graft.operators.AsOfJoin.asOf(ev, st, "k", "t", "k2", "t2", Seq("v"))
       .orderBy("k", "t").select("k", "v").collect()
@@ -72,6 +73,12 @@ class ExtSpec extends AnyFunSuite {
       .select("l_orderkey", "l_linenumber", "s_suppkey")
     assert(plain.count() == salted.count())
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+    // same-named keys on both sides must not hit AMBIGUOUS_REFERENCE
+    import spark.implicits._
+    val a = Seq((1L, "x"), (1L, "y")).toDF("k", "lv")
+    val b = Seq((1L, "r")).toDF("k", "rv")
+    val j = graft.operators.SaltedJoin.saltedInner(a, b, "k", "k", 4, col("lv"))
+    assert(j.count() == 2)
   }
 
   test("exact dedup keeps one row per distinct content") {
