@@ -318,6 +318,43 @@ object SparkEntry {
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
   }
 
+  /** Ranking-function breadth: dense_rank / percent_rank / ntile over
+    * a total order (unique o_orderkey tie-break ⇒ deterministic, and
+    * percent_rank's (rank−1)/(n−1) is the same IEEE computation on
+    * both engines — no rounding needed). */
+  private def q28RankFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        dense_rank().over(w).cast("long").as("drank"),
+        percent_rank().over(w).as("prank"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Ordered string aggregation (LISTAGG/string_agg parity): names per
+    * (nation, segment), sorted so the concat is deterministic. */
+  private def q29StringAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(array_join(array_sort(collect_list(col("c_name"))), "|").as("names"),
+        count(lit(1)).as("n"))
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  /** Interpolated percentiles (percentile_cont / quantile_cont parity):
+    * quartiles of l_quantity per return flag. Both engines use the
+    * (n−1)·p linear-interpolation definition; l_quantity is integral so
+    * quantiles land on exact .0/.25/.5/.75 values. */
+  private def q30Percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"))
+      .orderBy("l_returnflag")
+
   /** As-of (point-in-time) join: each event picks up the latest order
     * date of its user at-or-before the event time ([[graft.operators
     * .AsOfJoin]] — union + running-last window, ONE shuffle, no join
@@ -692,6 +729,9 @@ object SparkEntry {
     "q25_intersect" -> (q25Intersect(_, _)),
     "q26_pivot" -> (q26Pivot(_, _)),
     "q27_correlated" -> (q27Correlated(_, _)),
+    "q28_rank_funcs" -> (q28RankFuncs(_, _)),
+    "q29_string_agg" -> (q29StringAgg(_, _)),
+    "q30_percentiles" -> (q30Percentiles(_, _)),
     "asof_join" -> (asofJoin(_, _)),
     "salted_join" -> (saltedJoin(_, _)),
     "load_csv_roundtrip" -> (loadCsvRoundtrip(_, _)),
@@ -935,6 +975,27 @@ object SparkEntry {
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
         |                   WHERE c_nationkey = c.c_nationkey)
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q28_rank_funcs" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       CAST(dense_rank() OVER w AS BIGINT) AS drank,
+        |       percent_rank() OVER w AS prank,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q29_string_agg" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |       string_agg(c_name, '|' ORDER BY c_name) AS names,
+        |       count(*) AS n
+        |FROM customer GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "q30_percentiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        |       round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |       round(quantile_cont(l_quantity, 0.75), 4) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "asof_join" ->
       """SELECT e.user_id, e.ts, strftime(o.o_orderdate, '%Y-%m-%d') AS last_order_date
         |FROM events e
