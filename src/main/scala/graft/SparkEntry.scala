@@ -555,6 +555,22 @@ object SparkEntry {
         shingler = charShingles(_, 5))
       .orderBy("id_a", "id_b")
 
+  /** Pair→cluster dedup with survivor selection: connected components
+    * over the word-3-gram near-dup pair graph ([[Dedup.clusterIds]] —
+    * join-based min-label propagation + pointer jumping, localCheckpoint
+    * per round, no GraphX / no driver graph state), every document
+    * labeled with its component's min doc id (singletons label
+    * themselves). Oracled against a DuckDB WITH RECURSIVE transitive
+    * closure over the same exact pair set — graph algorithms disagree
+    * loudly, so a hash match here pins both the pair set and the
+    * clustering. */
+  private def dedupCluster(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, 0.8,
+      shingler = graft.functions.wordNgrams(_, 3))
+    Dedup.clusterIds(docs, pairs).orderBy("doc_id")
+  }
+
   /** Embedding cosine near-dup pairs (exact pairwise ≥ 0.45). */
   private def dedupEmbCos(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupes(t(s, dir, "embeddings"), 0.45)
@@ -595,10 +611,24 @@ object SparkEntry {
   }
 
   /** IVF-pruned ANN (no oracle: approximate; spec checks recall vs
-    * brute force). */
+    * brute force — and the IVF *plumbing* is hash-oracled by
+    * [[simsearchIvfFull]] below). */
   private def simsearchIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), 10, ncells = 16, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF with EVERY cell probed (nprobe = ncells): probing all cells
+    * makes IVF ≡ brute force by the exhaustive-probe identity, so the
+    * whole IVF code path — quantizer build, per-row cell argmin, probe
+    * explode, cell-equi-join, bounded-heap top-k — is gated on the
+    * exact simsearch_topk DuckDB oracle (hash match, not just recall).
+    * The nprobe < ncells pruning behavior stays property-tested
+    * (ExtSpec recall ≥ 0.5 vs brute force). */
+  private def simsearchIvfFull(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), 10, ncells = 16, nprobe = 16)
       .orderBy("query_id", "rank")
   }
 
@@ -662,14 +692,24 @@ object SparkEntry {
     * frames summarized as (length, md5) so the compare is
     * engine-portable without shipping raw binary through the gate.
     *
-    * Oracle precondition (asserted against the fixture): the documents
-    * text is pure ASCII, so DuckDB's CHARACTER-based
-    * length/substring/md5 on the varchar equals Spark's BYTE-based
-    * slicing of the utf-8 payload. A multibyte fixture would need a
-    * BLOB-capable oracle (this DuckDB build has neither blob substring
-    * nor md5(BLOB)). */
+    * Oracle precondition (ASSERTED below, per run): the documents text
+    * is pure ASCII (char length == utf-8 byte length for every row),
+    * so DuckDB's CHARACTER-based length/substring/md5 on the varchar
+    * equals Spark's BYTE-based slicing of the utf-8 payload. A
+    * regenerated multibyte fixture fails fast with a clear message
+    * instead of an opaque md5 mismatch; it would need a BLOB-capable
+    * oracle (this DuckDB build has neither blob substring nor
+    * md5(BLOB)). */
   private def multimodalFrames(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+    val docs = t(s, dir, "documents")
+    val nonAscii = docs
+      .filter(length(col("text")) =!= octet_length(encode(col("text"), "utf-8")))
+      .limit(1).count()
+    require(nonAscii == 0,
+      "multimodal_frames oracle precondition violated: documents.text contains " +
+        "non-ASCII characters, so DuckDB's char-based substring/md5 would diverge " +
+        "from Spark's byte-based frame slicing — switch to a BLOB-capable oracle")
+    val media = Multimodal.mediaFromDocuments(docs)
     Multimodal.sampleFrames(media, everyK = 10)
       .select(col("media_id"), col("frame_idx"),
         length(col("frame")).cast("int").as("n_frame_bytes"),
@@ -689,9 +729,10 @@ object SparkEntry {
 
   /** Session windows per user (30-minute inactivity gap) — the built-in
     * `session_window` batch twin of the streaming sessionizer, oracled
-    * against a DuckDB gaps-and-islands rewrite. (No fixture event pair
-    * sits exactly on the 30-minute boundary, so the merge-rule edge
-    * where the engines could disagree is not exercised.) */
+    * against a DuckDB gaps-and-islands rewrite. The oracle's
+    * new-session rule is `gap >= INTERVAL 30 MINUTE`, matching Spark's
+    * half-open [start, last + gap) session exactly (an event at
+    * precisely the gap boundary starts a new session). */
   private def streamSessions(s: SparkSession, dir: String): DataFrame =
     Stream.sessionWindows(t(s, dir, "events"), "30 minutes")
       .select("session_start", "session_end", "user_id", "n_events", "sum_value")
@@ -745,11 +786,13 @@ object SparkEntry {
     "dedup_ngram" -> (dedupNgram(_, _)),
     "dedup_minhash" -> (dedupMinhash(_, _)),
     "dedup_wordngram" -> (dedupWordngram(_, _)),
+    "dedup_cluster" -> (dedupCluster(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "dedup_embcos" -> (dedupEmbCos(_, _)),
     "dedup_emblsh" -> (dedupEmbLsh(_, _)),
     "simsearch_topk" -> (simsearchTopK(_, _)),
     "simsearch_ivf" -> (simsearchIvf(_, _)),
+    "simsearch_ivf_full" -> (simsearchIvfFull(_, _)),
     "text_quality" -> (textQuality(_, _)),
     "text_langid" -> (textLangid(_, _)),
     "text_tokens" -> (textTokens(_, _)),
@@ -818,6 +861,47 @@ object SparkEntry {
 
   private val jaccardPairsSql = jaccardTail(duckShingleCte)
   private val wordngramPairsSql = jaccardTail(duckWord3Cte)
+
+  /** dedup_cluster oracle: the word-3-gram pair set (same CTEs as
+    * dedup_wordngram) closed transitively with WITH RECURSIVE; each
+    * document's cluster id = min reachable doc id (its own id when it
+    * appears in no pair). DuckDB allows non-recursive CTEs inside a
+    * WITH RECURSIVE list, so the shingle CTE chain is reused verbatim. */
+  private val dedupClusterSql =
+    s"""${duckWord3Cte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+       |pairs AS (
+       |  SELECT id_a, id_b
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+       |), edges AS (
+       |  SELECT id_a AS s, id_b AS d FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs
+       |), reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s
+       |)
+       |SELECT id AS doc_id, min(r) AS cluster_id
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** Brute-force cosine top-10 oracle — shared by simsearch_topk and
+    * simsearch_ivf_full (exhaustive-probe identity). */
+  private val simsearchTopkSql =
+    """WITH scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+      |         round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+      |                                      CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+      |  FROM embeddings c JOIN embeddings q
+      |    ON q.vec_id < 8 AND q.vec_id <> c.vec_id
+      |), ranked AS (
+      |  SELECT query_id, nbr_id, cosine,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY cosine DESC, nbr_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, CAST(rank AS INT) AS rank, nbr_id, cosine
+      |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   private def langidSql: String = {
     val langs = Text.stopwords.toSeq.sortBy(_._1)
@@ -1040,6 +1124,7 @@ object SparkEntry {
     "dedup_ngram" -> jaccardPairsSql,
     "dedup_minhash" -> jaccardPairsSql,
     "dedup_wordngram" -> wordngramPairsSql,
+    "dedup_cluster" -> dedupClusterSql,
     "dedup_embcos" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -1056,20 +1141,10 @@ object SparkEntry {
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
-    "simsearch_topk" ->
-      """WITH scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
-        |         round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
-        |                                      CAST(q.embedding AS DOUBLE[])), 6) AS cosine
-        |  FROM embeddings c JOIN embeddings q
-        |    ON q.vec_id < 8 AND q.vec_id <> c.vec_id
-        |), ranked AS (
-        |  SELECT query_id, nbr_id, cosine,
-        |         row_number() OVER (PARTITION BY query_id
-        |           ORDER BY cosine DESC, nbr_id ASC) AS rank
-        |  FROM scored)
-        |SELECT query_id, CAST(rank AS INT) AS rank, nbr_id, cosine
-        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "simsearch_topk" -> simsearchTopkSql,
+    // exhaustive-probe identity: nprobe = ncells probes every cell, so
+    // the exact brute-force oracle applies verbatim to the IVF pipeline
+    "simsearch_ivf_full" -> simsearchTopkSql,
     "text_quality" ->
       s"""WITH f AS (
          |  SELECT doc_id,
@@ -1136,7 +1211,7 @@ object SparkEntry {
       """WITH m AS (
         |  SELECT user_id, ts, value,
         |         CASE WHEN lag(ts) OVER w IS NULL
-        |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
         |              THEN 1 ELSE 0 END AS new_s
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)

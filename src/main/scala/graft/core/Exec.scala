@@ -48,31 +48,47 @@ final class Exec(val spark: SparkSession) {
     * commands execute on `sql()`); returns the last result, which
     * stays fetchable via `toDataFrame`/`toDict` like any execute.
     *
+    * Reference-parity notes:
+    *  - an EMPTY parameter sequence is a no-op (DB-API executemany with
+    *    an empty seq executes nothing); the "cursor" keeps its previous
+    *    result (an empty relation if no statement ran yet).
+    *  - DOCUMENTED DIVERGENCE: statements before a failing one have
+    *    already executed and are NOT rolled back — Spark DML commands
+    *    are auto-committed per statement, there is no transaction to
+    *    abort (the reference inherits whatever transactionality its
+    *    DB-API connection has).
+    *
     * Note this is the row-at-a-time API-parity path for small batches
     * (the reference itself routes bulk data through COPY, not
     * executemany); large loads belong on [[graft.io.Load]] /
     * [[graft.io.Insert]], which write distributed. */
   def executeMany(sql: String, paramSeq: Seq[Map[String, Any]]): DataFrame = {
-    if (paramSeq.isEmpty)
-      throw new ExecError("executeMany requires at least one parameter set")
-    paramSeq.map(execute(sql, _)).last
+    if (paramSeq.isEmpty) last.getOrElse(spark.emptyDataFrame)
+    else paramSeq.map(execute(sql, _)).last
   }
 
-  /** Positional (qmark-style) batch form. */
+  /** Positional (qmark-style) batch form — same contract as the named
+    * form above (empty seq = no-op; no cross-statement rollback). */
   def executeMany(sql: String, paramSeq: Seq[Seq[Any]])(implicit d: DummyImplicit): DataFrame = {
-    if (paramSeq.isEmpty)
-      throw new ExecError("executeMany requires at least one parameter set")
-    paramSeq.map(execute(sql, _)).last
+    if (paramSeq.isEmpty) last.getOrElse(spark.emptyDataFrame)
+    else paramSeq.map(execute(sql, _)).last
   }
 
-  /** Positional-parameter form (reference qmark style). */
+  /** Positional-parameter form (reference qmark style). Same error
+    * taxonomy, timing log, and cursor (`last`) behavior as the named
+    * form. */
   def execute(sql: String, params: Seq[Any]): DataFrame = {
+    val t0 = System.nanoTime()
     try {
       val df = spark.sql(sql, params.toArray.asInstanceOf[Array[_]])
       last = Some(df)
       df
     } catch {
-      case e: Throwable => throw new ExecError(s"error executing SQL: ${e.getMessage}", e)
+      case e: GraftError => throw e
+      case e: Throwable  => throw new ExecError(s"error executing SQL: ${e.getMessage}", e)
+    } finally {
+      val secs = (System.nanoTime() - t0) / 1e9
+      org.slf4j.LoggerFactory.getLogger(getClass).info(f"executed in $secs%.3f s: ${sql.linesIterator.next()}")
     }
   }
 

@@ -339,4 +339,122 @@ object Dedup {
         round(graft.functions.fx.vecDot(F.col("a.v"), F.col("b.v")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  // --------------------------------------- 6. pair → cluster / survivor
+
+  /** Min-label propagation half-round (factored out so the plan shape
+    * is assertable). Message-passing form: each edge forwards its
+    * source's label to its destination (`edges` carries a self-loop per
+    * node, so a node's own label arrives through the same join — no
+    * in-loop union with `labels`, which would put the same relation on
+    * both sides of a Union and trip Catalyst's constraint rewrite),
+    * then a single map-side-combinable `min` per node — ONE keyed
+    * shuffle-merge join + one aggregation exchange. `labels` and
+    * `edges` are corpus-sized relations that must NEVER ride a
+    * broadcast (pinned shuffle-merge). */
+  private[graft] def ccPropagate(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges
+      .join(labels.select(col("id").as("src"), col("lbl")).hint("shuffle_merge"), "src")
+      .select(col("dst").as("id"), col("lbl"))
+      .groupBy("id").agg(min("lbl").as("lbl"))
+
+  /** Pointer-jump half-round (path halving): lbl := lbl(lbl). Labels
+    * are always node ids (they start as ids and only ever take mins
+    * over ids), so the lookup side is the same relation — this is the
+    * step that turns O(diameter) propagation into O(log n) rounds on
+    * chain-shaped components. The caller materializes `prop`
+    * (localCheckpoint) first so the self-join reads the checkpointed
+    * relation on both sides instead of recomputing the propagate
+    * subtree twice. */
+  private[graft] def ccJump(prop: DataFrame): DataFrame =
+    prop.as("x")
+      .join(prop.select(col("id").as("jid"), col("lbl").as("jlbl")).hint("shuffle_merge"),
+        F.col("x.lbl") === F.col("jid"), "left")
+      .select(F.col("x.id").as("id"), coalesce(col("jlbl"), F.col("x.lbl")).as("lbl"))
+
+  /** Connected components over an undirected near-dup pair graph:
+    * returns (id, lbl) where `lbl` is the MINIMUM node id in the
+    * node's component — the survivor-selection rule. Join-based
+    * iterative min-label propagation with pointer jumping (no GraphX,
+    * no driver-side graph state):
+    *
+    *   - per round: one keyed shuffle-merge join to pull neighbor
+    *     labels + a map-side-combinable min aggregate, then a
+    *     path-halving jump join — O(log n) rounds on any topology
+    *     (plain propagation alone needs O(diameter), pathological on
+    *     chain-shaped duplicate clusters);
+    *   - each round ends in `localCheckpoint` (eager): the iteration
+    *     output is materialized and its lineage truncated, so the plan
+    *     does not grow exponentially across rounds and the convergence
+    *     `count` reads the checkpoint, not a recomputation;
+    *   - convergence = zero labels changed (checked with a keyed join,
+    *     not a driver collect); `maxIter` is a safety valve (50 ≫
+    *     log₂ of any real corpus).
+    *
+    * 100 TB: every step is a shuffle on a long key (ids/labels), with
+    * nothing broadcast and nothing on the driver — the pair graph from
+    * [[ngramJaccardPairs]]/[[Similarity.lshNearDupes]] is far smaller
+    * than the corpus (near-dup pairs are sparse by construction). */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      maxIter: Int = 50
+  ): DataFrame = {
+    val e0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val nodes = sym.select(col("src")).distinct()
+    // self-loops: every node messages itself its own label each round
+    // (see ccPropagate — keeps the half-round to one join + one agg)
+    val edges = sym
+      .union(nodes.select(col("src").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col("src").as("id"), col("src").as("lbl")).localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val prop = ccPropagate(edges, labels).localCheckpoint()
+      val next = ccJump(prop).localCheckpoint()
+      changed = next.as("n")
+        .join(labels.select(col("id"), col("lbl").as("prev")), Seq("id"))
+        .filter(col("lbl") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** Cluster assignment for every document: (idCol, cluster_id) where
+    * cluster_id = min doc id of the near-dup component; documents in no
+    * pair are their own singleton cluster. */
+  def clusterIds(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      aCol: String = "id_a",
+      bCol: String = "id_b"
+  ): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    docs.select(col(idCol).cast("long").as(idCol))
+      .join(cc.select(col("id").as(idCol), col("lbl")).hint("shuffle_merge"),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("lbl"), col(idCol)).as("cluster_id"))
+  }
+
+  /** Near-dedup'd corpus: keep ONE survivor (the min-id document) per
+    * connected component of the near-dup pair graph — the step every
+    * pair-emitting dedup operator above feeds into. Non-survivors are
+    * dropped with an anti join on id (no broadcast of the corpus). */
+  def nearDedupCorpus(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      aCol: String = "id_a",
+      bCol: String = "id_b"
+  ): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    val dropped = cc.filter(col("id") =!= col("lbl")).select(col("id").as(idCol))
+    docs.join(dropped.hint("shuffle_merge"), Seq(idCol), "left_anti")
+  }
 }

@@ -52,6 +52,12 @@ object AsOfJoin {
     require(rightVals.nonEmpty, "asOf requires at least one right value column")
     val collisions = rightVals.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty, s"right value columns collide with left columns: $collisions")
+    // the working columns below would silently overwrite (and then drop)
+    // same-named caller columns — refuse instead of losing data
+    val reserved = Set("__k", "__t", "__side")
+    val reservedHits = reserved.intersect(left.columns.toSet ++ right.columns.toSet)
+    require(reservedHits.isEmpty,
+      s"asOf reserves working columns $reserved; rename input columns: $reservedHits")
 
     val l = left
       .withColumn("__k", col(leftKey))

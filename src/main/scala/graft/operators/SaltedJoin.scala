@@ -36,6 +36,10 @@ object SaltedJoin {
       saltBy: Column
   ): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
+    // the working column would silently overwrite (then drop) a caller
+    // column of the same name — refuse instead of losing data
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "saltedInner reserves the working column __salt; rename the input column")
     val l = left.withColumn("__salt", pmod(xxhash64(saltBy), lit(salts)).cast("int"))
     val r = right.withColumn("__salt",
       explode(array((0 until salts).map(i => lit(i)): _*)))

@@ -18,8 +18,9 @@ import org.apache.spark.sql.types.StructType
   * query in the engine is reusable on a stream.
   */
 /** One closed session emitted by [[Stream.statefulSessionize]]
-  * (epoch-millis bounds). */
-case class SessionOut(userId: Long, startMs: Long, endMs: Long,
+  * (epoch-MICROsecond bounds — full event-time precision; the fixture
+  * timestamps carry µs components that ms bounds would truncate). */
+case class SessionOut(userId: Long, startUs: Long, endUs: Long,
     nEvents: Long, sumValue: Double)
 
 object Stream {
@@ -72,7 +73,13 @@ object Stream {
     * express (e.g., cap on events per session, custom close rules).
     * Works on a streaming Dataset (append mode, event-time timeout) and
     * on a batch Dataset (timeouts never fire; close remaining sessions
-    * by feeding a sentinel or comparing against sessionWindows). */
+    * by feeding a sentinel or comparing against sessionWindows).
+    *
+    * Gap semantics match the built-in `session_window` exactly: a
+    * session spans [start, last + gap), so an event arriving at a gap
+    * of EXACTLY `gapMs` starts a NEW session (strict `< gapMs`
+    * continues). This keeps the two sessionizers interchangeable and
+    * lets them share one oracle. */
   def statefulSessionize(
       events: DataFrame,
       gapMs: Long = 30L * 60 * 1000,
@@ -81,11 +88,12 @@ object Stream {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
+    val gapUs = gapMs * 1000L
 
     val typed = events
       .withWatermark("ts", lateness)
       .select(col("user_id").as("_1"),
-        (unix_micros(col("ts")) / 1000).cast("long").as("_2"),
+        unix_micros(col("ts")).as("_2"),
         col("value").as("_3"))
       .as[(Long, Long, Double)]
 
@@ -106,7 +114,7 @@ object Stream {
             var cur = state.getOption
             sorted.foreach { case (_, ts, v) =>
               cur match {
-                case Some((s, e, n, sum)) if ts - e <= gapMs =>
+                case Some((s, e, n, sum)) if ts - e < gapUs =>
                   cur = Some((s, ts, n + 1, sum + v))
                 case Some((s, e, n, sum)) =>
                   closed ::= SessionOut(userId, s, e, n, sum)
@@ -117,7 +125,8 @@ object Stream {
             }
             cur.foreach { c =>
               state.update(c)
-              if (isStreamingInput) state.setTimeoutTimestamp(c._2 + gapMs)
+              // GroupState timeouts are millisecond-granular
+              if (isStreamingInput) state.setTimeoutTimestamp(c._2 / 1000 + gapMs)
             }
             closed.reverseIterator
           }

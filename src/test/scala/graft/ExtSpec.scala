@@ -36,9 +36,21 @@ class ExtSpec extends AnyFunSuite {
     val rows = spark.table("graft_many_spec").orderBy("k").collect()
     assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
-    intercept[graft.core.ExecError](
-      ex.executeMany("SELECT 1", Seq.empty[Map[String, Any]]))
+    // empty parameter sequence is a no-op (reference executemany parity):
+    // nothing executes, the cursor keeps its previous result
+    ex.executeMany("INSERT INTO graft_many_spec VALUES (:k, :v)",
+      Seq.empty[Map[String, Any]])
+    assert(spark.table("graft_many_spec").count() == 5)
     graft.io.Load.dropManaged(spark, "graft_many_spec")
+  }
+
+  test("exec: named and positional forms share one error taxonomy (single-wrapped ExecError)") {
+    val ex = new Exec(spark)
+    val e1 = intercept[graft.core.ExecError](ex.execute("SELECT * FROM graft_no_such_tbl"))
+    assert(!e1.getCause.isInstanceOf[graft.core.GraftError], "named form must not double-wrap")
+    val e2 = intercept[graft.core.ExecError](
+      ex.execute("SELECT * FROM graft_no_such_tbl", Seq.empty[Any]))
+    assert(!e2.getCause.isInstanceOf[graft.core.GraftError], "positional form must not double-wrap")
   }
 
   test("as-of join attaches the latest right value at-or-before each left time") {
@@ -90,6 +102,25 @@ class ExtSpec extends AnyFunSuite {
     val groups = Dedup.exact(d).orderBy("doc_id").collect()
     assert(groups.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_dupes"))).toSeq ==
       Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("connected components: chains collapse to the min id; survivors are component minima") {
+    import spark.implicits._
+    // chain 1-2-3-4 exercises pointer jumping (diameter > rounds of
+    // plain propagation); {10,11} a flat pair; 20 a singleton doc
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
+      .withColumn("text", lit("x"))
+    val cc = Dedup.clusterIds(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+    val kept = Dedup.nearDedupCorpus(docs, pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 20L))
+    // empty pair set: everyone is their own cluster
+    val none = Dedup.clusterIds(docs, pairs.limit(0)).collect()
+    assert(none.forall(r => r.getLong(0) == r.getLong(1)))
   }
 
   test("minhash LSH + verify finds exactly the true shingle-jaccard pairs (planted near-dups)") {

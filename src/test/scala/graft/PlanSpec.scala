@@ -97,6 +97,30 @@ class PlanSpec extends AnyFunSuite {
       "corpus vectors must arrive via shuffle, not broadcast")
   }
 
+  test("cc round plans as keyed shuffle-merge joins — no broadcast, no cartesian, bounded shuffles") {
+    // labels/edges are corpus-sized in the cluster-dedup loop; each
+    // half-round must be pinned shuffle joins with a bounded exchange
+    // count (the loop checkpoints between halves, so each is its own
+    // physical plan)
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+      (1L, 1L), (2L, 2L), (3L, 3L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "lbl")
+    val prop = graft.ext.Dedup.ccPropagate(edges, labels)
+    val propPlan = explained(prop)
+    assert(!propPlan.contains("BroadcastHashJoin"), "labels/edges must arrive via shuffle")
+    assert(!propPlan.contains("BroadcastNestedLoopJoin") && !propPlan.contains("CartesianProduct"))
+    assert(propPlan.contains("SortMergeJoin"))
+    val propShuffles = hashExchanges(prop)
+    assert(propShuffles <= 3,
+      s"propagate = one keyed join + one agg exchange, found $propShuffles")
+    val jump = graft.ext.Dedup.ccJump(prop.localCheckpoint())
+    val jumpPlan = explained(jump)
+    assert(!jumpPlan.contains("BroadcastHashJoin") && !jumpPlan.contains("CartesianProduct"))
+    val jumpShuffles = hashExchanges(jump)
+    assert(jumpShuffles <= 2, s"jump = one keyed self-join, found $jumpShuffles")
+  }
+
   test("langid counts stopword hits via a broadcast join + hash aggregate") {
     val plan = explained(SparkEntry.queries("text_langid")(spark, TestSession.sf))
     assert(plan.contains("BroadcastHashJoin"),
@@ -106,7 +130,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("top-k searches rank via the bounded-heap aggregate, not a q*n window shuffle") {
-    for (q <- Seq("simsearch_topk", "simsearch_ivf")) {
+    for (q <- Seq("simsearch_topk", "simsearch_ivf", "simsearch_ivf_full")) {
       val plan = explained(SparkEntry.queries(q)(spark, TestSession.sf))
       assert(plan.contains("ObjectHashAggregate"), s"$q: expected partial top-k aggregate")
       assert(!plan.contains("Window"), s"$q: scored relation must not shuffle into a window rank")
@@ -117,10 +141,12 @@ class PlanSpec extends AnyFunSuite {
     // the nearest-centroid assignment must be a pure projection over the
     // scan: the only shuffles in the whole plan are the final top-k
     // aggregation exchange (plus the broadcast of the probe side)
-    val df = SparkEntry.queries("simsearch_ivf")(spark, TestSession.sf)
-    val shuffles = hashExchanges(df)
-    assert(shuffles >= 1, "simple-mode plan should show the top-k aggregation exchange")
-    assert(shuffles <= 1, s"expected at most the top-k exchange, found $shuffles")
+    for (q <- Seq("simsearch_ivf", "simsearch_ivf_full")) {
+      val df = SparkEntry.queries(q)(spark, TestSession.sf)
+      val shuffles = hashExchanges(df)
+      assert(shuffles >= 1, s"$q: simple-mode plan should show the top-k aggregation exchange")
+      assert(shuffles <= 1, s"$q: expected at most the top-k exchange, found $shuffles")
+    }
   }
 
   test("as-of join plans as one keyed shuffle + window, never a join node") {
