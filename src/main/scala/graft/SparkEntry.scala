@@ -549,10 +549,20 @@ object SparkEntry {
         shingler = graft.functions.wordNgrams(_, 3))
       .orderBy("id_a", "id_b")
 
-  /** SimHash near-dup candidates (no oracle: signature-dependent). */
+  /** SimHash near-dup pairs at Hamming ≤ 8, fully hash-oracled: the
+    * per-shingle hash is the cross-engine-portable
+    * [[graft.functions.md5Hash60]] (60-bit md5 prefix), so the DuckDB
+    * oracle recomputes the ENTIRE scheme from scratch — shingles,
+    * ±1 bit votes, 60-bit signatures, and the exact Hamming-≤-8 pair
+    * set via xor + bit_count. Banding recall is exact by pigeonhole
+    * (9 bands for maxHamming 8), so the Spark pair set must equal the
+    * oracle's O(n²) brute-force pair set — any banding/verify
+    * regression breaks the hash match. The xxhash64 default stays the
+    * fast path and keeps its ExtSpec recall property tests. */
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDupes(t(s, dir, "documents"), maxHamming = 8,
-        shingler = charShingles(_, 5))
+        shingler = charShingles(_, 5),
+        nbits = 60, hashFn = graft.functions.md5Hash60(_))
       .orderBy("id_a", "id_b")
 
   /** Pair→cluster dedup with survivor selection: connected components
@@ -806,16 +816,19 @@ object SparkEntry {
 
   // ----------------------------------------------------------------------
   // DuckDB oracle SQL (validated on duckdb 1.0.0). Omitted entries
-  // (q20_approx_distinct, dedup_simhash, simsearch_ivf) are approximate /
-  // signature-dependent by construction → rows-only check.
+  // (q20_approx_distinct, simsearch_ivf) are approximate by
+  // construction → rows-only check (and simsearch_ivf's plumbing is
+  // hash-oracled via simsearch_ivf_full).
   // ----------------------------------------------------------------------
 
   /** Shared DuckDB fragment: whitespace tokens of lowercased text. */
   private val duckToks =
     "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> len(t) > 0)"
 
-  /** Shared DuckDB fragment: distinct char-5 shingles of normalized text. */
-  private val duckShingleCte =
+  /** Shared DuckDB fragment: distinct char-5 shingles of normalized
+    * text (norm + sh CTEs only — the simhash oracle reuses these
+    * without the quadratic `inter` self-join). */
+  private val duckShingleBase =
     """WITH norm AS (
       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t0 FROM documents
       |), sh AS (
@@ -823,7 +836,11 @@ object SparkEntry {
       |    generate_series(1, greatest(length(t0) - 4, 1)),
       |    i -> substr(t0, CAST(i AS INT), 5)))) AS s
       |  FROM norm
-      |), sizes AS (
+      |)""".stripMargin
+
+  /** Shared DuckDB fragment: char-5-shingle sizes + pair intersections. */
+  private val duckShingleCte =
+    s"""$duckShingleBase, sizes AS (
       |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
       |), inter AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
@@ -861,6 +878,33 @@ object SparkEntry {
 
   private val jaccardPairsSql = jaccardTail(duckShingleCte)
   private val wordngramPairsSql = jaccardTail(duckWord3Cte)
+
+  /** dedup_simhash oracle: recompute the full SimHash scheme in DuckDB
+    * over the same distinct char-5 shingles — 60-bit md5-prefix hash
+    * per shingle (portable: matches Spark's conv(substr(md5,1,15)) —
+    * see [[graft.functions.md5Hash60]]), ±1 votes per bit, signature
+    * assembly, then the EXACT Hamming ≤ 8 pair set by brute-force
+    * xor + bit_count (n² over ≤2000 docs is trivial for the oracle;
+    * Spark's banded plan must produce the identical set — pigeonhole
+    * recall). */
+  private val dedupSimhashSql =
+    s"""$duckShingleBase,
+       |hb AS (
+       |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh
+       |), votes AS (
+       |  SELECT doc_id, i, sum(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) AS sv
+       |  FROM hb, generate_series(0, 59) g(i)
+       |  GROUP BY doc_id, i
+       |), sig AS (
+       |  SELECT doc_id,
+       |         sum(CASE WHEN sv > 0 THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END) AS sg
+       |  FROM votes GROUP BY doc_id
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(bit_count(xor(a.sg, b.sg)) AS INT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sg, b.sg)) <= 8
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** dedup_cluster oracle: the word-3-gram pair set (same CTEs as
     * dedup_wordngram) closed transitively with WITH RECURSIVE; each
@@ -1125,6 +1169,7 @@ object SparkEntry {
     "dedup_minhash" -> jaccardPairsSql,
     "dedup_wordngram" -> wordngramPairsSql,
     "dedup_cluster" -> dedupClusterSql,
+    "dedup_simhash" -> dedupSimhashSql,
     "dedup_embcos" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

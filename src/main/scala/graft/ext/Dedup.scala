@@ -167,25 +167,35 @@ object Dedup {
   ): DataFrame =
     ngramJaccardPairs(docs, threshold, idCol, textCol, charShingles(_, shingle))
 
-  /** Per-doc 64-bit SimHash as a single long column `sh`: for each bit
-    * position, sum +1/-1 over the shingles' hash bits; bit set if the
-    * vote is positive. Explode-then-aggregate like
-    * [[minhashSignatures]]: 64 codegen'd `sum` aggregates with map-side
-    * combine, folded into one long in a final projection. */
+  /** Per-doc SimHash as a single long column `sh`: for each of the
+    * `nbits` low bits of the shingle hash, sum +1/-1 votes; bit set if
+    * the vote is positive. Explode-then-aggregate like
+    * [[minhashSignatures]]: nbits codegen'd `sum` aggregates with
+    * map-side combine, folded into one long in a final projection.
+    *
+    * `hashFn` picks the per-shingle hash: xxhash64 (default — fastest)
+    * or [[graft.functions.md5Hash60]] with nbits = 60, which is
+    * reproducible in plain SQL and makes the WHOLE signature scheme
+    * cross-engine checkable (the dedup_simhash oracle recomputes
+    * signatures, banding, and Hamming distances in DuckDB from
+    * scratch). */
   def simhashSignatures(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      shingler: Column => Column = tokenSet(_)
+      shingler: Column => Column = tokenSet(_),
+      nbits: Int = 64,
+      hashFn: Column => Column = xxhash64(_)
   ): DataFrame = {
+    require(nbits > 0 && nbits <= 64, s"nbits must be in [1, 64], got $nbits")
     val tok = docs.select(col(idCol).as("id"),
         explode(shingler(col(textCol))).as("s"))
-      .withColumn("h", xxhash64(col("s")))
-    val votes = (0 until 64).map { i =>
+      .withColumn("h", hashFn(col("s")))
+    val votes = (0 until nbits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")
     }
     val agg = tok.groupBy("id").agg(votes.head, votes.tail: _*)
-    val bits = (0 until 64).map { i =>
+    val bits = (0 until nbits).map { i =>
       when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     agg.select(col("id"), bits.reduce(_.bitwiseOR(_)).as("sh"))
@@ -207,20 +217,22 @@ object Dedup {
       maxHamming: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text",
-      shingler: Column => Column = tokenSet(_)
+      shingler: Column => Column = tokenSet(_),
+      nbits: Int = 64,
+      hashFn: Column => Column = xxhash64(_)
   ): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64,
-      s"maxHamming must be in [0, 63], got $maxHamming")
+    require(maxHamming >= 0 && maxHamming < nbits,
+      s"maxHamming must be in [0, ${nbits - 1}], got $maxHamming")
     val bands = maxHamming + 1
-    val base = 64 / bands
-    val extra = 64 % bands // first `extra` bands get one extra bit
+    val base = nbits / bands
+    val extra = nbits % bands // first `extra` bands get one extra bit
     val widths = (0 until bands).map(i => base + (if (i < extra) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _).init
     val chunks = (0 until bands).map { i =>
       val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1L
       shiftright(col("sh"), offsets(i)).bitwiseAND(mask)
     }
-    val sigs = simhashSignatures(docs, idCol, textCol, shingler)
+    val sigs = simhashSignatures(docs, idCol, textCol, shingler, nbits, hashFn)
     val banded = sigs.select(col("id"),
       posexplode(array(chunks: _*)).as(Seq("band", "chunk")))
     // hamming verify INSIDE the bucket join (signatures ride along as

@@ -72,6 +72,15 @@ package object functions {
   def affineHash(x: Column, a: Long, b: Long): Column =
     pmod(x * lit(a) + lit(b), lit(2862933555777941757L))
 
+  /** Cross-engine-portable 60-bit string hash: the first 15 hex chars
+    * of md5 parsed as an integer (< 2⁶³, so it fits a signed long on
+    * any engine). Slower than xxhash64 but reproducible in plain SQL —
+    * DuckDB: `('0x' || substr(md5(s), 1, 15))::BIGINT` — which makes
+    * signature schemes built on it (e.g. SimHash) end-to-end
+    * hash-oracle-able instead of spec-tested. */
+  def md5Hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
   // ------------------------------------------------------------- vectors
 
   /** Dot product of two ArrayType(Float/Double) columns in DoubleType
