@@ -22,19 +22,28 @@ object Insert {
 
   /** Insert `df` into `table`. `create=true` ⇒ create table first using
     * `metadata` if given (explicit wins, locopy/redshift.py:582-586),
-    * else the inferred §1.2 lattice schema. */
+    * else the inferred §1.2 lattice schema.
+    *
+    * `distKey` (with `create=true`) is the reference's `CREATE TABLE …
+    * DISTKEY(col)` (tests/test_integration.py:103,133) mapped to a
+    * bucketed+sorted Spark table — see [[Load.loadAndCopy]] for the
+    * zero-Exchange join rationale. Appends into an existing bucketed
+    * table via `insertInto` keep its bucketing spec (it is a property
+    * of the table). */
   def insertDataFrame(
       spark: SparkSession,
       df: DataFrame,
       table: String,
       create: Boolean = false,
       metadata: Option[StructType] = None,
-      flavor: Flavor = Snowflake
+      flavor: Flavor = Snowflake,
+      distKey: Option[String] = None,
+      buckets: Int = 8
   ): Unit = {
     val schema = metadata.getOrElse(Infer.inferSchema(df, flavor))
     val casted = Infer.applySchema(df, schema)
     if (create) {
-      casted.write.mode(SaveMode.ErrorIfExists).saveAsTable(table)
+      Load.writeTable(casted, table, SaveMode.ErrorIfExists, distKey, buckets)
     } else {
       casted.write.mode(SaveMode.Append).insertInto(table)
     }

@@ -94,7 +94,18 @@ object Load {
     * `splits <= 0` keeps the scan's natural partitioning (preferred: no
     * shuffle). Round-robin `repartition(n)` mirrors the reference's
     * round-robin line split (locopy/utility.py:123-189).
-    */
+    *
+    * `distKey` is the Redshift `CREATE TABLE … DISTKEY(col)` posture
+    * (the reference's integration DDL,
+    * tests/test_integration.py:103,133): rows with equal key values
+    * are co-located so repeated joins/aggregations on that key skip
+    * the shuffle. Spark's equivalent is a bucketed+sorted table —
+    * `bucketBy(buckets, key).sortBy(key)` — which pins a
+    * HashPartitioning on disk; a subsequent self-join or join between
+    * two tables bucketed the same way plans with ZERO Exchange
+    * (PlanSpec-asserted). This is the SURVEY §7.3 posture for 100 TB
+    * corpora that are re-joined on the same key every round (dedup
+    * ids, user ids). */
   def loadAndCopy(
       spark: SparkSession,
       path: String,
@@ -105,13 +116,27 @@ object Load {
       schema: Option[StructType] = None,
       splits: Int = 0,
       mode: SaveMode = SaveMode.Append,
-      flavor: Flavor = Snowflake
+      flavor: Flavor = Snowflake,
+      distKey: Option[String] = None,
+      buckets: Int = 8
   ): DataFrame = {
     val df0 = read(spark, path, fileType, options, header, schema, infer = true, flavor)
     val df = if (splits > 0) df0.repartition(splits) else df0
     if (mode == SaveMode.Overwrite) dropManaged(spark, table)
-    df.write.mode(mode).saveAsTable(table)
+    writeTable(df, table, mode, distKey, buckets)
     spark.table(table)
+  }
+
+  /** Shared table writer: plain `saveAsTable`, or bucketed+sorted when
+    * a DISTKEY-style key is given (see [[loadAndCopy]]). */
+  private[io] def writeTable(df: DataFrame, table: String, mode: SaveMode,
+      distKey: Option[String], buckets: Int): Unit = distKey match {
+    case Some(k) =>
+      require(buckets > 0, s"buckets must be positive, got $buckets")
+      require(df.columns.contains(k), s"distKey column '$k' not in dataframe")
+      df.write.mode(mode).bucketBy(buckets, k).sortBy(k).saveAsTable(table)
+    case None =>
+      df.write.mode(mode).saveAsTable(table)
   }
 
   /** Drop a managed table AND its warehouse location — a location can

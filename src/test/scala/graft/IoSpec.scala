@@ -62,6 +62,26 @@ class IoSpec extends AnyFunSuite {
       org.apache.spark.sql.types.LongType)
   }
 
+  test("distKey creates a bucketed+sorted catalog table (DISTKEY parity)") {
+    val out = tmp("supplier_csv_dir")
+    spark.read.parquet(s"${TestSession.sf}/supplier.parquet")
+      .write.mode("overwrite").option("sep", "|").option("header", "true").csv(out)
+    Load.dropManaged(spark, "t_supplier_bucketed")
+    val tdf = Load.loadAndCopy(spark, out, "t_supplier_bucketed",
+      options = Map("delimiter" -> "|"), header = true,
+      mode = org.apache.spark.sql.SaveMode.Overwrite,
+      distKey = Some("s_suppkey"), buckets = 4)
+    assert(tdf.count() ==
+      spark.read.parquet(s"${TestSession.sf}/supplier.parquet").count())
+    val desc = spark.sql("DESCRIBE EXTENDED t_supplier_bucketed").collect()
+      .map(r => s"${r.getString(0)}: ${Option(r.getString(1)).getOrElse("")}")
+      .mkString("\n")
+    assert(desc.contains("Num Buckets: 4"), desc)
+    assert(desc.contains("Bucket Columns") && desc.contains("s_suppkey"), desc)
+    assert(desc.contains("Sort Columns"), desc)
+    Load.dropManaged(spark, "t_supplier_bucketed")
+  }
+
   test("unload writes shards, lists generated files, single-file export has header (UNLOAD parity)") {
     spark.read.parquet(s"${TestSession.sf}/region.parquet").createOrReplaceTempView("region_v")
     val raw = tmp("region_unload")

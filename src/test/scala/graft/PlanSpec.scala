@@ -164,6 +164,31 @@ class PlanSpec extends AnyFunSuite {
       "the physical join must key on (key, salt) to split hot keys across reducers")
   }
 
+  test("join on the bucketed distkey plans with ZERO exchanges (repeated-join posture)") {
+    // DISTKEY parity: a table bucketed+sorted on the join key carries
+    // HashPartitioning on disk — a join between two reads of it must
+    // not shuffle either side even with broadcast disabled
+    graft.io.Load.dropManaged(spark, "t_bucket_join")
+    val df = spark.read.parquet(s"${TestSession.sf}/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    graft.io.Insert.insertDataFrame(spark, df, "t_bucket_join",
+      create = true, metadata = Some(df.schema),
+      distKey = Some("o_custkey"), buckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val t = spark.table("t_bucket_join")
+      val joined = t.as("a").join(spark.table("t_bucket_join").as("b"),
+        col("a.o_custkey") === col("b.o_custkey"))
+      assert(explained(joined).contains("SortMergeJoin"))
+      val shuffles = hashExchanges(joined)
+      assert(shuffles == 0, s"bucketed join must not re-shuffle, found $shuffles")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      graft.io.Load.dropManaged(spark, "t_bucket_join")
+    }
+  }
+
   test("custom expressions are SQL-reachable via extensions registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(
