@@ -698,6 +698,25 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
+  /** REAL-codec decode roundtrip: a deterministic 4×4 grayscale PNG is
+    * synthesized per document from its md5 digest bytes (16 bytes = 16
+    * pixels) with javax.imageio, then decoded back with the REAL
+    * decoder ([[Multimodal.decodeImagesReal]]). PNG is lossless, so
+    * the decoded samples equal the digest bytes — which the DuckDB
+    * oracle recomputes independently from md5(text) hex pairs
+    * (dimensions constant, mean luma = digest-byte mean / 255). This
+    * gates a true encode→decode codec path end-to-end; the stub-backed
+    * multimodal_decode stays as the placeholder for codecs absent from
+    * this container. */
+  private def multimodalDecodeReal(s: SparkSession, dir: String): DataFrame = {
+    val px = t(s, dir, "documents").select(
+      col("doc_id").as("media_id"), unhex(md5(col("text"))).as("pixels"))
+    Multimodal.decodeImagesReal(Multimodal.encodeGrayPng(px))
+      .select(col("media_id"), col("width"), col("height"), col("channels"),
+        round(col("mean_luma"), 6).as("mean_luma"))
+      .orderBy("media_id")
+  }
+
   /** Frame sampling over binary payloads (every 10th 4 KiB stride);
     * frames summarized as (length, md5) so the compare is
     * engine-portable without shipping raw binary through the gate.
@@ -809,6 +828,7 @@ object SparkEntry {
     "text_fingerprint" -> (textFingerprint(_, _)),
     "multimodal_meta" -> (multimodalMeta(_, _)),
     "multimodal_decode" -> (multimodalDecode(_, _)),
+    "multimodal_decode_real" -> (multimodalDecodeReal(_, _)),
     "multimodal_frames" -> (multimodalFrames(_, _)),
     "stream_window" -> (streamWindow(_, _)),
     "stream_sessions" -> (streamSessions(_, _))
@@ -1235,6 +1255,20 @@ object SparkEntry {
         |       CAST(3 AS INT) AS channels,
         |       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 255.0, 6) AS mean_luma
         |FROM b ORDER BY media_id""".stripMargin,
+    "multimodal_decode_real" ->
+      """WITH px AS (
+        |  SELECT doc_id AS media_id, md5(text) AS hx FROM documents
+        |), s AS (
+        |  SELECT media_id,
+        |         list_aggregate(list_transform(generate_series(0, 15),
+        |           i -> ('0x' || substr(hx, CAST(i * 2 + 1 AS INT), 2))::BIGINT),
+        |           'sum') AS sum_px
+        |  FROM px)
+        |SELECT media_id,
+        |       CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+        |       CAST(1 AS INT) AS channels,
+        |       round(CAST(sum_px AS DOUBLE) / 16 / 255.0, 6) AS mean_luma
+        |FROM s ORDER BY media_id""".stripMargin,
     "multimodal_frames" ->
       """WITH b AS (
         |  SELECT doc_id AS media_id, text AS p,

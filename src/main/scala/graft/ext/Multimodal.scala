@@ -9,12 +9,18 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus decode / feature-extract / resize /
   * frame-sample plumbing.
   *
-  * The actual media codecs are NOT in this container, so the decode
-  * kernels are deliberate deterministic stubs (clearly marked below);
-  * everything Spark-side is real: schemas, batch iteration via
-  * `mapPartitions` (the Scala analog of `mapInPandas` — per-partition
-  * batch processing, arrow-sized batches, no per-row JVM↔native churn),
-  * partition sizing, and metadata pushdown.
+  * Two decode tiers:
+  *  - [[decodeImagesReal]] / [[encodeGrayPng]] — a REAL codec path:
+  *    PNG encode/decode through `javax.imageio` (in every JRE), run
+  *    per-partition so codec setup amortizes across the batch. Gated
+  *    end-to-end by the multimodal_decode_real oracle (dimensions and
+  *    mean luma recomputed independently in DuckDB).
+  *  - [[decodeImages]] — a deliberate deterministic STUB standing in
+  *    for the heavyweight codecs (libjpeg/ffmpeg) that are not in this
+  *    container; everything Spark-side is real: schemas, batch
+  *    iteration via `mapPartitions` (the Scala analog of
+  *    `mapInPandas` — per-partition batch processing, no per-row
+  *    JVM↔native churn), partition sizing, and metadata pushdown.
   *
   * 100 TB posture: media bytes never shuffle — all derived columns are
   * computed in the scan stage; only compact features/metadata flow into
@@ -73,6 +79,79 @@ object Multimodal {
       .mapPartitions { it =>
         // real impl: init decoder once here
         it.map(r => stubDecodeImage(r.getLong(0), r.getAs[Array[Byte]](1)))
+      }(enc)
+  }
+
+  // ----------------------------------------------------------------------
+  // REAL CODEC PATH — PNG via javax.imageio (present in every JRE).
+  // ----------------------------------------------------------------------
+
+  /** Encode `side`×`side` 8-bit grayscale PNGs from raw pixel payloads
+    * (`pixelCol`: binary, row-major, exactly side² bytes). A REAL
+    * image encoder (javax.imageio), batched per partition so encoder
+    * setup amortizes — the production decode shape with the codec
+    * direction reversed (it also makes decode verifiable end-to-end:
+    * PNG is lossless, so decoded samples must equal the input bytes). */
+  def encodeGrayPng(
+      df: DataFrame,
+      idCol: String = "media_id",
+      pixelCol: String = "pixels",
+      side: Int = 4
+  ): DataFrame = {
+    require(side > 0, s"side must be positive, got $side")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col(idCol).cast("long").as("media_id"), col(pixelCol).as("px"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val px = r.getAs[Array[Byte]](1)
+          require(px != null && px.length >= side * side,
+            s"encodeGrayPng: payload for media_id=$id has ${if (px == null) 0 else px.length} bytes, need ${side * side}")
+          val img = new java.awt.image.BufferedImage(
+            side, side, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var i = 0
+          while (i < side * side) {
+            raster.setSample(i % side, i / side, 0, px(i) & 0xFF)
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Row(id, bos.toByteArray)
+        }
+      }(enc)
+  }
+
+  /** REAL image decode via javax.imageio (PNG/JPEG/BMP/GIF — whatever
+    * the JRE's ImageIO registry reads): width/height/channel-count from
+    * the decoded raster, mean luma over band 0 in [0, 1]. Same schema
+    * and batching as the [[decodeImages]] stub — swapping the stub for
+    * this is a one-call change. Payloads decode inside the scan
+    * partition; bytes never shuffle. */
+  def decodeImagesReal(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(imageFeatureSchema)
+    media
+      .select("media_id", "payload")
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"decodeImagesReal: media_id=$id is not a decodable image")
+          val raster = img.getRaster
+          val (w, h, ch) = (img.getWidth, img.getHeight, raster.getNumBands)
+          var s = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { s += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          Row(id, w, h, ch, s.toDouble / (w * h) / 255.0)
+        }
       }(enc)
   }
 

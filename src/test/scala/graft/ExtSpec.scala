@@ -244,6 +244,19 @@ class ExtSpec extends AnyFunSuite {
     assert(meta.getAs[Long]("n_bytes") > 0)
   }
 
+  test("real PNG encode→decode roundtrip preserves gray samples exactly (lossless)") {
+    import spark.implicits._
+    val px = Seq(
+      (1L, Array.range(0, 16).map(_.toByte)),
+      (2L, Array.fill(16)(200.toByte)) // >127: exercises unsigned handling
+    ).toDF("media_id", "pixels")
+    val feats = Multimodal.decodeImagesReal(Multimodal.encodeGrayPng(px))
+      .orderBy("media_id").collect()
+    assert(feats.forall(r => r.getInt(1) == 4 && r.getInt(2) == 4 && r.getInt(3) == 1))
+    assert(math.abs(feats(0).getDouble(4) - (0 until 16).sum / 16.0 / 255.0) < 1e-12)
+    assert(math.abs(feats(1).getDouble(4) - 200.0 / 255.0) < 1e-12)
+  }
+
   test("streaming windowed agg equals its batch twin") {
     val batch = Stream.windowedAgg(
       spark.read.parquet(s"${TestSession.sf}/events.parquet")
