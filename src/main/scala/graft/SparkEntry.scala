@@ -767,6 +767,46 @@ object SparkEntry {
       .select("session_start", "session_end", "user_id", "n_events", "sum_value")
       .orderBy("user_id", "session_start")
 
+  /** The CUSTOM stateful sessionizer ([[Stream.statefulSessionize]] —
+    * flatMapGroupsWithState) gated on the same gaps-and-islands oracle
+    * as stream_sessions: its gap rule matches `session_window` exactly
+    * (split at gap ≥ duration, µs precision), so the two sessionizers
+    * are interchangeable and share one oracle. On batch the state
+    * function runs once per group and the final open session per user
+    * is never emitted, so a far-future sentinel event per user forces
+    * every real session closed; the sentinel's own singleton session
+    * stays open in state and is additionally filtered by timestamp. */
+  private def streamSessionsStateful(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select("user_id", "ts", "value")
+    val sentinels = ev.select(col("user_id")).distinct()
+      .withColumn("ts", lit("2100-01-01 00:00:00").cast("timestamp"))
+      .withColumn("value", lit(0.0))
+    Stream.statefulSessionize(ev.unionByName(sentinels)).toDF()
+      .filter(col("startUs") < unix_micros(lit("2100-01-01 00:00:00").cast("timestamp")))
+      .select(
+        timestamp_micros(col("startUs")).as("session_start"),
+        (timestamp_micros(col("endUs")) + expr("INTERVAL 30 MINUTES")).as("session_end"),
+        col("userId").as("user_id"),
+        col("nEvents").as("n_events"),
+        round(col("sumValue"), 4).as("sum_value"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** Watermark/late-data semantics, actually executed: the events whose
+    * `unix_micros(ts) % 5 = 0` (a portable ~20 % sample) are withheld
+    * and replayed as a SECOND micro-batch ([[Stream
+    * .lateDataWindowCounts]]). After batch 1 the watermark advances to
+    * max(on-time ts) − 1 h, so replayed rows whose hourly window closed
+    * at or before it are dropped, and only windows closed by the final
+    * watermark are ever emitted (append mode). The DuckDB oracle
+    * implements exactly that cutoff rule — a hash match means the
+    * engine's late-row drop AND append-mode finalization both behave as
+    * specified, on real micro-batches. */
+  private def streamLate(s: SparkSession, dir: String): DataFrame =
+    Stream.lateDataWindowCounts(s, t(s, dir, "events"),
+        latePred = pmod(unix_micros(col("ts")), lit(5)) === 0)
+      .orderBy("window_start")
+
   // ======================================================================
   // Contract maps
   // ======================================================================
@@ -831,7 +871,9 @@ object SparkEntry {
     "multimodal_decode_real" -> (multimodalDecodeReal(_, _)),
     "multimodal_frames" -> (multimodalFrames(_, _)),
     "stream_window" -> (streamWindow(_, _)),
-    "stream_sessions" -> (streamSessions(_, _))
+    "stream_sessions" -> (streamSessions(_, _)),
+    "stream_sessions_stateful" -> (streamSessionsStateful(_, _)),
+    "stream_late" -> (streamLate(_, _))
   )
 
   // ----------------------------------------------------------------------
@@ -949,6 +991,29 @@ object SparkEntry {
        |)
        |SELECT id AS doc_id, min(r) AS cluster_id
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** Session gaps-and-islands oracle — shared by stream_sessions
+    * (built-in session_window) and stream_sessions_stateful (the
+    * flatMapGroupsWithState sessionizer): a new session starts when the
+    * gap is ≥ 30 minutes, matching Spark's half-open [start, last+gap)
+    * sessions. */
+  private val streamSessionsSql =
+    """WITH m AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), g AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m)
+      |SELECT min(ts) AS session_start,
+      |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |       user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
 
   /** Brute-force cosine top-10 oracle — shared by simsearch_topk and
     * simsearch_ivf_full (exhaustive-probe identity). */
@@ -1286,22 +1351,26 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |       count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
-    "stream_sessions" ->
-      """WITH m AS (
-        |  SELECT user_id, ts, value,
-        |         CASE WHEN lag(ts) OVER w IS NULL
-        |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
-        |              THEN 1 ELSE 0 END AS new_s
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-        |), g AS (
-        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-        |    ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM m)
-        |SELECT min(ts) AS session_start,
-        |       max(ts) + INTERVAL 30 MINUTE AS session_end,
-        |       user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
-        |FROM g GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin
+    "stream_sessions" -> streamSessionsSql,
+    // the stateful sessionizer implements session_window's exact gap
+    // semantics, so it shares the gaps-and-islands oracle verbatim
+    "stream_sessions_stateful" -> streamSessionsSql,
+    "stream_late" ->
+      """WITH e AS (
+        |  SELECT ts, value, (epoch_us(ts) % 5 = 0) AS late FROM events
+        |), wm1 AS (
+        |  SELECT (epoch_us(max(ts)) // 1000 - 3600000) * 1000 AS us
+        |  FROM e WHERE NOT late
+        |), wm2 AS (
+        |  SELECT (epoch_us(max(ts)) // 1000 - 3600000) * 1000 AS us FROM e
+        |), keep AS (
+        |  SELECT date_trunc('hour', ts) AS window_start, value FROM e
+        |  WHERE NOT (late AND
+        |    epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) <= (SELECT us FROM wm1))
+        |)
+        |SELECT window_start, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM keep
+        |WHERE epoch_us(window_start + INTERVAL 1 HOUR) <= (SELECT us FROM wm2)
+        |GROUP BY window_start ORDER BY window_start""".stripMargin
   )
 }

@@ -133,6 +133,59 @@ object Stream {
       }
   }
 
+  /** Run a windowed count/sum over TWO micro-batches with a watermark,
+    * so late-data semantics actually execute: rows matching `latePred`
+    * are withheld from the first batch and arrive in the second, by
+    * which point the watermark has advanced to max(batch-1 event time,
+    * ms-truncated) − `delay` — late rows whose window closed at or
+    * before that watermark are DROPPED by the engine, and the append-
+    * mode memory sink accumulates exactly the windows finalized at or
+    * before the final watermark. Both effects are deterministic
+    * functions of the input split, which is what the stream_late
+    * DuckDB oracle recomputes.
+    *
+    * The driver-side collect is inherent to feeding a deterministic
+    * MemoryStream two-batch schedule (a semantics harness, not a data
+    * path — production streams read Kafka/files); rows are (long,
+    * double) pairs, so even the bench-scale events table is a few MB.
+    */
+  def lateDataWindowCounts(
+      spark: SparkSession,
+      events: DataFrame,
+      latePred: org.apache.spark.sql.Column,
+      window_ : String = "1 hour",
+      delay: String = "1 hour",
+      queryName: String = "graft_stream_late"
+  ): DataFrame = {
+    import spark.implicits._
+    val rows = events
+      .select(unix_micros(col("ts")).as("us"), col("value").cast("double"),
+        latePred.cast("boolean").as("late"))
+      .collect()
+    val onTime = rows.filter(!_.getBoolean(2)).map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val late = rows.filter(_.getBoolean(2)).map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, Double)]], spark.sqlContext)
+    val agg = ms.toDF()
+      .select(timestamp_micros(col("_1")).as("ts"), col("_2").as("value"))
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), window_).as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("n_events"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try {
+      ms.addData(onTime)
+      q.processAllAvailable() // batch 1: no watermark yet, nothing late
+      ms.addData(late)
+      q.processAllAvailable() // batch 2 under wm1 + no-data batch at wm2
+    } finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Run a batch-parquet-driven streaming query synchronously into a
     * memory sink and return the result table. Exercises the real
     * streaming engine (micro-batches, state store) with deterministic
