@@ -15,6 +15,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    // optional second arg: comma-separated query-name filter (local
+    // iteration aid; the driver always passes at most the sf dir)
+    val only: Option[Set[String]] =
+      if (args.length > 1) Some(args(1).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -25,7 +29,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results: Seq[(String, Seq[Double])] = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val results: Seq[(String, Seq[Double])] = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: full expression evaluation without result

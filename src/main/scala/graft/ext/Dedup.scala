@@ -414,7 +414,12 @@ object Dedup {
       maxIter: Int = 50
   ): DataFrame = {
     val e0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    // checkpoint the symmetrized pair set FIRST: `nodes` (and thus the
+    // self-loop union below) re-reads `sym`, and without this the whole
+    // upstream pair pipeline — potentially an expensive similarity
+    // join — would execute twice inside the edges checkpoint job
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
     val nodes = sym.select(col("src")).distinct()
     // self-loops: every node messages itself its own label each round
     // (see ccPropagate — keeps the half-round to one join + one agg)
