@@ -642,6 +642,18 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Per-group embedding centroids ([[Similarity.centroidsByDim]] —
+    * the k-means-update / cluster-prototype aggregate) over 8
+    * deterministic groups (vec_id mod 8), long form (grp, dim, mean)
+    * so the cross-engine compare sees scalars, not arrays. Aggregate
+    * sums accumulate in different orders across engines → round(6)
+    * on both sides (the repo's float discipline). */
+  private def embCentroids(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroidsByDim(t(s, dir, "embeddings"), pmod(col("vec_id"), lit(8)))
+      .select(col("grp").cast("long").as("grp"), col("dim"),
+        round(col("mean"), 6).as("mean"))
+      .orderBy("grp", "dim")
+
   // ======================================================================
   // Text analysis (north-star)
   // ======================================================================
@@ -862,6 +874,7 @@ object SparkEntry {
     "simsearch_topk" -> (simsearchTopK(_, _)),
     "simsearch_ivf" -> (simsearchIvf(_, _)),
     "simsearch_ivf_full" -> (simsearchIvfFull(_, _)),
+    "emb_centroids" -> (embCentroids(_, _)),
     "text_quality" -> (textQuality(_, _)),
     "text_langid" -> (textLangid(_, _)),
     "text_tokens" -> (textTokens(_, _)),
@@ -1275,6 +1288,11 @@ object SparkEntry {
     // exhaustive-probe identity: nprobe = ncells probes every cell, so
     // the exact brute-force oracle applies verbatim to the IVF pipeline
     "simsearch_ivf_full" -> simsearchTopkSql,
+    "emb_centroids" ->
+      """SELECT CAST(vec_id % 8 AS BIGINT) AS grp, CAST(g.i AS INT) AS dim,
+        |       round(avg(CAST(embedding[g.i + 1] AS DOUBLE)), 6) AS mean
+        |FROM embeddings, generate_series(0, 63) g(i)
+        |GROUP BY 1, 2 ORDER BY grp, dim""".stripMargin,
     "text_quality" ->
       s"""WITH f AS (
          |  SELECT doc_id,

@@ -135,6 +135,37 @@ object Similarity {
       "query_id", "nbr_id", "cosine")
   }
 
+  /** Element-wise mean vector (centroid) per group, in LONG form:
+    * (grp, dim, mean) — the quantizer-training / dataset-summarization
+    * aggregate (k-means update step, cluster prototypes, embedding
+    * drift monitoring). posexplode → per-(group, dim) `avg` is ONE
+    * map-side-combinable hash aggregation: the shuffle moves partial
+    * (sum, count) pairs per (group, dim), never vectors, and nothing
+    * touches the driver — the shape that holds when "group" is a
+    * million clusters over 100 TB of embeddings. */
+  def centroidsByDim(
+      emb: DataFrame,
+      groupExpr: Column,
+      vecCol: String = "embedding"
+  ): DataFrame =
+    emb.select(groupExpr.as("grp"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy("grp", "dim")
+      .agg(avg(col("v").cast("double")).as("mean"))
+
+  /** Centroids assembled back into one `array<double>` per group (the
+    * API-convenience form of [[centroidsByDim]]; `collect_list` order
+    * is nondeterministic, so the dims are re-sorted structurally). */
+  def centroids(
+      emb: DataFrame,
+      groupExpr: Column,
+      vecCol: String = "embedding"
+  ): DataFrame =
+    centroidsByDim(emb, groupExpr, vecCol)
+      .groupBy("grp")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("mean")))),
+        s => s.getField("mean")).as("centroid"))
+
   /** Signed-random-projection LSH signatures as `sig:
     * array<bigint>` (⌈nbits/64⌉ words, bit b at word b/64, offset
     * b%64): `nbits` pseudo-random ±1 hyperplanes, deterministic per

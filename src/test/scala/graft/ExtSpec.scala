@@ -198,6 +198,21 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("centroids: element-wise group means, dims reassembled in order") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Seq(1.0f, 2.0f, 3.0f)),
+      (2L, Seq(3.0f, 4.0f, 5.0f)), // grp 0 with row 1
+      (1L, Seq(10.0f, 20.0f, 30.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.centroids(e, pmod(col("vec_id"), lit(2)))
+      .orderBy("grp").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(got.toSeq == Seq(
+      (0L, Seq(2.0, 3.0, 4.0)),
+      (1L, Seq(10.0, 20.0, 30.0))))
+  }
+
   test("langid: stopword-scored prediction works on clear examples") {
     import spark.implicits._
     val d = Seq(
