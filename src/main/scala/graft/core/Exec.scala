@@ -23,13 +23,15 @@ final class Exec(val spark: SparkSession) {
 
   @volatile private var last: Option[DataFrame] = None
 
-  /** Run SQL, keeping the (lazy) result as the "open cursor". Named
-    * parameters bind via Spark parameterized SQL: `execute("... WHERE x
-    * > :lo", Map("lo" -> 5))`. */
-  def execute(sql: String, params: Map[String, Any] = Map.empty): DataFrame = {
+  /** Shared execution wrapper: error taxonomy (GraftError passes
+    * through unwrapped, anything else wraps in ExecError exactly once),
+    * per-statement wall-clock log (reference parity,
+    * locopy/database.py:169,182-188), and cursor (`last`) update —
+    * one body so the named and positional forms cannot drift. */
+  private def runTimed(sql: String)(body: => DataFrame): DataFrame = {
     val t0 = System.nanoTime()
     try {
-      val df = if (params.isEmpty) spark.sql(sql) else spark.sql(sql, params)
+      val df = body
       last = Some(df)
       df
     } catch {
@@ -37,9 +39,20 @@ final class Exec(val spark: SparkSession) {
       case e: Throwable  => throw new ExecError(s"error executing SQL: ${e.getMessage}", e)
     } finally {
       val secs = (System.nanoTime() - t0) / 1e9
-      org.slf4j.LoggerFactory.getLogger(getClass).info(f"executed in $secs%.3f s: ${sql.linesIterator.next()}")
+      // nextOption: an empty SQL string has an empty linesIterator, and
+      // a next() here would supersede the in-flight ExecError
+      val head = sql.linesIterator.nextOption().getOrElse("")
+      org.slf4j.LoggerFactory.getLogger(getClass).info(f"executed in $secs%.3f s: $head")
     }
   }
+
+  /** Run SQL, keeping the (lazy) result as the "open cursor". Named
+    * parameters bind via Spark parameterized SQL: `execute("... WHERE x
+    * > :lo", Map("lo" -> 5))`. */
+  def execute(sql: String, params: Map[String, Any] = Map.empty): DataFrame =
+    runTimed(sql) {
+      if (params.isEmpty) spark.sql(sql) else spark.sql(sql, params)
+    }
 
   /** Batch form (reference `execute(sql, params, many=True)` →
     * `cursor.executemany`, locopy/database.py:150-166): run the same
@@ -76,21 +89,11 @@ final class Exec(val spark: SparkSession) {
 
   /** Positional-parameter form (reference qmark style). Same error
     * taxonomy, timing log, and cursor (`last`) behavior as the named
-    * form. */
-  def execute(sql: String, params: Seq[Any]): DataFrame = {
-    val t0 = System.nanoTime()
-    try {
-      val df = spark.sql(sql, params.toArray.asInstanceOf[Array[_]])
-      last = Some(df)
-      df
-    } catch {
-      case e: GraftError => throw e
-      case e: Throwable  => throw new ExecError(s"error executing SQL: ${e.getMessage}", e)
-    } finally {
-      val secs = (System.nanoTime() - t0) / 1e9
-      org.slf4j.LoggerFactory.getLogger(getClass).info(f"executed in $secs%.3f s: ${sql.linesIterator.next()}")
+    * form (shared [[runTimed]] body). */
+  def execute(sql: String, params: Seq[Any]): DataFrame =
+    runTimed(sql) {
+      spark.sql(sql, params.toArray.asInstanceOf[Array[_]])
     }
-  }
 
   /** Lowercased column names of the last result (reference lowercases on
     * fetch, locopy/database.py:192-205). */

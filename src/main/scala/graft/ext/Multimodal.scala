@@ -143,6 +143,7 @@ object Multimodal {
         it.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
+          require(bytes != null, s"decodeImagesReal: media_id=$id has a NULL payload")
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
           require(img != null, s"decodeImagesReal: media_id=$id is not a decodable image")
           val raster = img.getRaster

@@ -116,7 +116,12 @@ object Text {
     * Language ID routes through the corpus-scale [[langIdDf]] join when
     * an `idCol` is present (the column-form [[langId]] runs ~8× slower
     * at corpus scale — interpreted lambdas); id-less frames fall back
-    * to the column form with that documented trade-off. */
+    * to the column form with that documented trade-off. A pre-existing
+    * `lang_pred` column is REPLACED (matching withColumn semantics);
+    * rows whose id misses the join (null ids) read "und". Join-path
+    * caveat: duplicate id values pool their token hits into one
+    * prediction — dedupe ids first (or pass an id-less frame) if
+    * per-row prediction on duplicate ids matters. */
   def analyze(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val t = col(textCol)
     val withFeats = qualityFeatures(t).foldLeft(docs) { case (d, (n, c)) =>
@@ -127,7 +132,9 @@ object Text {
       .withColumn("n_tokens", tokenCount(t))
       .withColumn("fingerprint", fingerprintMd5(t))
     if (docs.columns.contains(idCol))
-      base.join(langIdDf(docs, idCol, textCol), Seq(idCol), "left")
+      base.drop("lang_pred")
+        .join(langIdDf(docs, idCol, textCol), Seq(idCol), "left")
+        .withColumn("lang_pred", coalesce(col("lang_pred"), lit("und")))
     else
       base.withColumn("lang_pred", langId(t))
   }

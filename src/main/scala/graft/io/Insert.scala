@@ -40,6 +40,9 @@ object Insert {
       distKey: Option[String] = None,
       buckets: Int = 8
   ): Unit = {
+    require(distKey.isEmpty || create,
+      "distKey only applies when creating the table (create = true); an append " +
+        "inherits the existing table's bucketing — bucket the table at creation")
     val schema = metadata.getOrElse(Infer.inferSchema(df, flavor))
     val casted = Infer.applySchema(df, schema)
     if (create) {

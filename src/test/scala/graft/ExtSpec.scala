@@ -51,6 +51,10 @@ class ExtSpec extends AnyFunSuite {
     val e2 = intercept[graft.core.ExecError](
       ex.execute("SELECT * FROM graft_no_such_tbl", Seq.empty[Any]))
     assert(!e2.getCause.isInstanceOf[graft.core.GraftError], "positional form must not double-wrap")
+    // empty SQL: the timing log's line iterator must not supersede the
+    // ExecError with a NoSuchElementException
+    intercept[graft.core.ExecError](ex.execute(""))
+    intercept[graft.core.ExecError](ex.execute("", Seq.empty[Any]))
   }
 
   test("as-of join attaches the latest right value at-or-before each left time") {
@@ -237,6 +241,11 @@ class ExtSpec extends AnyFunSuite {
       assert(row.getAs[Int]("n_tokens").toLong == row.getAs[Long]("n_words"))
       assert(row.getAs[String]("fingerprint").length == 32)
     }
+    // re-analyzing an analyzed frame must REPLACE lang_pred (one column,
+    // no AMBIGUOUS_REFERENCE), matching the old withColumn semantics
+    val re = Text.analyze(Text.analyze(docs.limit(5)))
+    assert(re.columns.count(_ == "lang_pred") == 1)
+    assert(re.select("lang_pred").collect().nonEmpty)
   }
 
   test("subword count approximates token count for plain text") {

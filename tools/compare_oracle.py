@@ -89,6 +89,11 @@ def main(sf_dir: str, out_dir: str) -> int:
             failures += 1
         else:
             print(f"OK   {name} ({len(want)} rows)")
+    if only is not None and checked < len(only):
+        # a typo'd filter must not read as a pass ("0/0 match", exit 0)
+        missing = sorted(only - set(oracle))
+        print(f"FAIL: filter names not in oracle_sql.json: {missing}")
+        return 1
     print(f"\n{checked - failures}/{checked} oracle queries match")
     return 1 if failures else 0
 
