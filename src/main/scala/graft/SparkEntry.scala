@@ -642,6 +642,24 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF under a k-means-TRAINED quantizer ([[Similarity
+    * .kmeansCentroids]], 3 Lloyd rounds), exhaustive probe: the result
+    * is still ≡ brute force (probing every cell makes the quantizer
+    * quality irrelevant to the output), so the exact oracle gates the
+    * whole train→assign→probe→rank pipeline end-to-end — determinism of
+    * training included (a nondeterministic quantizer would reshuffle
+    * cell contents run-to-run; the hash only stays stable because
+    * training is reproducible). Quantizer QUALITY (the nprobe < ncells
+    * trade) is property-tested in ExtSpec (objective non-worsening,
+    * recall vs brute). */
+  private def simsearchIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val trained = Similarity.kmeansCentroids(emb, k = 16, iters = 3)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), 10,
+        ncells = 16, nprobe = 16, centroids = Some(trained))
+      .orderBy("query_id", "rank")
+  }
+
   /** Per-group embedding centroids ([[Similarity.centroidsByDim]] —
     * the k-means-update / cluster-prototype aggregate) over 8
     * deterministic groups (vec_id mod 8), long form (grp, dim, mean)
@@ -874,6 +892,7 @@ object SparkEntry {
     "simsearch_topk" -> (simsearchTopK(_, _)),
     "simsearch_ivf" -> (simsearchIvf(_, _)),
     "simsearch_ivf_full" -> (simsearchIvfFull(_, _)),
+    "simsearch_ivf_kmeans" -> (simsearchIvfKmeans(_, _)),
     "emb_centroids" -> (embCentroids(_, _)),
     "text_quality" -> (textQuality(_, _)),
     "text_langid" -> (textLangid(_, _)),
@@ -1287,7 +1306,9 @@ object SparkEntry {
     "simsearch_topk" -> simsearchTopkSql,
     // exhaustive-probe identity: nprobe = ncells probes every cell, so
     // the exact brute-force oracle applies verbatim to the IVF pipeline
+    // (and, for the kmeans variant, to the trained quantizer too)
     "simsearch_ivf_full" -> simsearchTopkSql,
+    "simsearch_ivf_kmeans" -> simsearchTopkSql,
     "emb_centroids" ->
       """SELECT CAST(vec_id % 8 AS BIGINT) AS grp, CAST(g.i AS INT) AS dim,
         |       round(avg(CAST(embedding[g.i + 1] AS DOUBLE)), 6) AS mean

@@ -62,12 +62,104 @@ object Similarity {
       "query_id", "nbr_id", "cosine")
   }
 
-  /** IVF top-k: deterministic coarse centroids (the first `ncells`
-    * corpus vectors by id — a fixed, reproducible quantizer; real
-    * deployments would k-means, the partitioning math is identical),
-    * corpus assigned to nearest cell once, queries probe `nprobe`
-    * cells. Join key = cell id ⇒ the corpus×query match is pruned by
-    * the quantizer instead of scanning everything.
+  /** Eagerly collect the first `n` corpus vectors (by id, normalized)
+    * as a deterministic, reproducible quantizer init — n rows, bounded.
+    * Shared by [[ivfTopK]]'s default quantizer and [[kmeansCentroids]]
+    * as the Lloyd iteration seed. */
+  def firstNCentroids(
+      corpus: DataFrame,
+      n: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Seq[(Long, Seq[Double])] =
+    corpus.orderBy(col(idCol)).limit(n)
+      .select(col(idCol).cast("long"), normalize(col(vecCol)))
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+  /** One (−cos, cent_id) struct PER CENTROID, each a codegen'd
+    * VecDotProduct against an array literal — unrolled so the whole
+    * argmin stays inside whole-stage codegen. (A `transform(centLit,…)`
+    * higher-order form evaluates all dots through interpreted lambdas
+    * per corpus row — measured 6× slower.) Structs compare
+    * lexicographically, so least() = highest cosine with ties to the
+    * lowest centroid id. */
+  private def centScoreStructs(cents: Seq[(Long, Seq[Double])])(vec: Column): Seq[Column] =
+    cents.map { case (cid, cv) =>
+      struct(
+        (-graft.functions.fx.vecDot(vec, typedlit(cv))).as("negcos"),
+        lit(cid).as("cent_id"))
+    }
+
+  /** Nearest-centroid id as a pure codegen'd projection (no shuffle). */
+  private def bestCellExpr(cents: Seq[(Long, Seq[Double])])(vec: Column): Column = {
+    val ss = centScoreStructs(cents)(vec)
+    (if (ss.size == 1) ss.head else least(ss: _*)).getField("cent_id")
+  }
+
+  /** Cell assignment under a quantizer: (id, cell, cosine) of every
+    * vector to its nearest centroid — a pure codegen'd projection, no
+    * shuffle. The materialization step for IVF-partitioned storage and
+    * the spherical k-means objective (avg cosine to assigned centroid). */
+  def assignCells(
+      emb: DataFrame,
+      cents: Seq[(Long, Seq[Double])],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    require(cents.nonEmpty, "assignCells: need at least one centroid")
+    val withBest = emb
+      .select(col(idCol).as("id"), normalize(col(vecCol)).as("v"))
+      .withColumn("b", {
+        val ss = centScoreStructs(cents)(col("v"))
+        if (ss.size == 1) ss.head else least(ss: _*)
+      })
+    withBest.select(col("id"), col("b.cent_id").as("cell"),
+      round(-col("b.negcos"), 6).as("cosine"))
+  }
+
+  /** Spherical k-means (Lloyd) quantizer training: seed =
+    * [[firstNCentroids]], then `iters` rounds of [assign each vector to
+    * its nearest centroid via the codegen'd literal argmin — zero
+    * shuffle] → [recompute centroids with [[centroidsByDim]] — one
+    * map-side-combinable (cell, dim) aggregation] → [L2-normalize the
+    * k·d means driver-side — k·d doubles, bounded]. Cells that lose all
+    * members keep their previous centroid. Deterministic end-to-end
+    * (fixed seed, argmin ties to lowest id), so trained quantizers are
+    * reproducible across runs — the property IVF correctness gates rely
+    * on. Cost per iteration = one corpus scan + one aggregation; the
+    * corpus never shuffles and never reaches the driver. */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      k: Int,
+      iters: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Seq[(Long, Seq[Double])] = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    var cents = firstNCentroids(corpus, k, idCol, vecCol)
+    require(cents.nonEmpty,
+      "kmeansCentroids: corpus is empty — cannot seed a quantizer from zero vectors")
+    val c = corpus.select(normalize(col(vecCol)).as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = c.withColumn("cell", bestCellExpr(cents)(col("cv")))
+      val means = centroidsByDim(assigned, col("cell"), "cv")
+        .collect().toSeq
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          val byDim = rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+          val n = math.sqrt(byDim.map(x => x * x).sum)
+          cell -> (if (n == 0) byDim else byDim.map(_ / n))
+        }
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
+  /** IVF top-k: coarse quantizer = `centroids` when given (train one
+    * with [[kmeansCentroids]]) else the deterministic first-`ncells`
+    * init; corpus assigned to nearest cell once, queries probe
+    * `nprobe` cells. Join key = cell id ⇒ the corpus×query match is
+    * pruned by the quantizer instead of scanning everything.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -76,7 +168,8 @@ object Similarity {
       ncells: Int = 16,
       nprobe: Int = 4,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      centroids: Option[Seq[(Long, Seq[Double])]] = None
   ): DataFrame = {
     // The quantizer is tiny by definition (ncells centroids), so it is
     // collected once — an EAGER read at DataFrame-construction time
@@ -87,28 +180,12 @@ object Similarity {
     // alternative — joining a centroid DataFrame and ranking with a
     // window — shuffles the ENTIRE corpus by nbr_id just to pick each
     // row's best centroid.)
-    val cents: Seq[(Long, Seq[Double])] = corpus.orderBy(col(idCol)).limit(ncells)
-      .select(col(idCol).cast("long"), normalize(col(vecCol)))
-      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val cents: Seq[(Long, Seq[Double])] =
+      centroids.getOrElse(firstNCentroids(corpus, ncells, idCol, vecCol))
     require(cents.nonEmpty,
       "ivfTopK: corpus is empty — cannot build an IVF quantizer from zero centroids")
-
-    // One (−cos, cent_id) struct PER CENTROID, each a codegen'd
-    // VecDotProduct against an array literal — unrolled so the whole
-    // argmin stays inside whole-stage codegen. (The previous
-    // `transform(centLit, …)` higher-order form evaluated all ncells
-    // dot products through interpreted lambdas per corpus row — the
-    // bulk of a 6× local slowdown.) Structs compare lexicographically,
-    // so least() = highest cosine with ties to the lowest centroid id.
-    def centScoreStructs(vec: Column): Seq[Column] = cents.map { case (cid, cv) =>
-      struct(
-        (-graft.functions.fx.vecDot(vec, typedlit(cv))).as("negcos"),
-        lit(cid).as("cent_id"))
-    }
-    def bestCell(vec: Column): Column = {
-      val ss = centScoreStructs(vec)
-      (if (ss.size == 1) ss.head else least(ss: _*)).getField("cent_id")
-    }
+    def centScore(vec: Column): Seq[Column] = centScoreStructs(cents)(vec)
+    def bestCell(vec: Column): Column = bestCellExpr(cents)(vec)
 
     // corpus assignment: zero-shuffle per-row argmin projection
     val c = corpus.select(col(idCol).as("nbr_id"), normalize(col(vecCol)).as("cv"))
@@ -120,7 +197,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qv"))
     val probes = q
       .select(col("query_id"), col("qv"),
-        explode(slice(array_sort(array(centScoreStructs(col("qv")): _*)), 1, nprobe)).as("pc"))
+        explode(slice(array_sort(array(centScore(col("qv")): _*)), 1, nprobe)).as("pc"))
       .select(col("pc.cent_id").as("cell"), col("query_id"), col("qv"))
 
     // each corpus row lives in exactly one cell and a query's probed
@@ -231,6 +308,27 @@ object Similarity {
     require(bandBits > 0 && bandBits <= 64 && 64 % bandBits == 0,
       s"bandBits must divide 64, got $bandBits")
     require(nbits % bandBits == 0, s"bandBits ($bandBits) must divide nbits ($nbits)")
+    val cands = srpCandidates(emb, nbits, bandBits, idCol, vecCol)
+    val vecs = emb.select(col(idCol).as("id"), normalize(col(vecCol)).as("v"))
+    cands
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")).hint("shuffle_merge"), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")).hint("shuffle_merge"), "id_b")
+      .withColumn("cosine", round(graft.functions.fx.vecDot(col("va"), col("vb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** SRP band-bucket candidate pairs (id_a < id_b, distinct): the
+    * shared candidate stage of [[lshNearDupes]] and [[knnJoinLsh]] —
+    * the shuffle moves only (id, band, chunk) longs; the n² blow-up is
+    * confined to within-bucket collisions. */
+  private def srpCandidates(
+      emb: DataFrame,
+      nbits: Int,
+      bandBits: Int,
+      idCol: String,
+      vecCol: String
+  ): DataFrame = {
     val nbands = nbits / bandBits
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
     val chunkExprs = (0 until nbands).map { i =>
@@ -239,18 +337,50 @@ object Similarity {
     }
     val banded = srpSignatures(emb, nbits, idCol, vecCol)
       .select(col("id"), posexplode(array(chunkExprs: _*)).as(Seq("band", "chunk")))
-    val cands = banded.as("a").join(banded.as("b"),
+    banded.as("a").join(banded.as("b"),
         F.col("a.band") === F.col("b.band") &&
           F.col("a.chunk") === F.col("b.chunk") &&
           F.col("a.id") < F.col("b.id"))
       .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"))
       .distinct()
+  }
+
+  /** k-NN SELF-join at corpus scale: every vector gets its top-k most
+    * similar vectors — the knn-graph builder behind graph-based dedup,
+    * diversity sampling, and retrieval-index bootstrap. The shape that
+    * survives 100 TB: [[bruteForceTopK]] with queries = corpus would
+    * broadcast a corpus-sized relation (its contract is a SMALL query
+    * set), so here candidates come from the SRP band-bucket equi-join
+    * (symmetrized), scores are exact dot products after pinned
+    * shuffle-merge vector fetches, and ranking is the bounded-heap
+    * aggregate — no broadcast, no cartesian, no q×n window shuffle.
+    * Contract: scores exact; NEIGHBOR RECALL is the LSH
+    * OR-amplification (rises with nbits / narrower bands; property-
+    * tested vs brute force in ExtSpec). A vector whose candidates all
+    * miss yields fewer than k rows (or none) rather than random
+    * neighbors. */
+  def knnJoinLsh(
+      emb: DataFrame,
+      k: Int,
+      nbits: Int = 192,
+      bandBits: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    require(bandBits > 0 && bandBits <= 64 && 64 % bandBits == 0,
+      s"bandBits must divide 64, got $bandBits")
+    require(nbits % bandBits == 0, s"bandBits ($bandBits) must divide nbits ($nbits)")
+    val cands = srpCandidates(emb, nbits, bandBits, idCol, vecCol)
+    val sym = cands.union(cands.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     val vecs = emb.select(col(idCol).as("id"), normalize(col(vecCol)).as("v"))
-    cands
+    val scored = sym
       .join(vecs.select(col("id").as("id_a"), col("v").as("va")).hint("shuffle_merge"), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("v").as("vb")).hint("shuffle_merge"), "id_b")
-      .withColumn("cosine", round(graft.functions.fx.vecDot(col("va"), col("vb")), 6))
-      .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
+      .select(col("id_a").as("query_id"), col("id_b").as("nbr_id"),
+        round(graft.functions.fx.vecDot(col("va"), col("vb")), 6).as("cosine"))
+    explodeTopK(
+      scored.groupBy("query_id")
+        .agg(graft.functions.fx.topKByScore(col("cosine"), col("nbr_id"), k).as("top")),
+      "query_id", "nbr_id", "cosine")
   }
 }

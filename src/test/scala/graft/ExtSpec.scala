@@ -202,6 +202,33 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("kmeans quantizer: deterministic, and Lloyd iterations do not worsen the objective") {
+    val seed = Similarity.firstNCentroids(emb, 8)
+    val trained = Similarity.kmeansCentroids(emb, 8, iters = 3)
+    assert(trained == Similarity.kmeansCentroids(emb, 8, iters = 3), "training must be reproducible")
+    def objective(cents: Seq[(Long, Seq[Double])]): Double =
+      Similarity.assignCells(emb, cents).agg(avg("cosine")).head().getDouble(0)
+    val (o0, o3) = (objective(seed), objective(trained))
+    assert(o3 >= o0 - 1e-9, s"spherical objective worsened: $o0 -> $o3")
+    // trained quantizer slots straight into IVF; exhaustive probe stays exact
+    val brute = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val ivfTrained = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3), 5,
+        ncells = 8, nprobe = 8, centroids = Some(trained))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ivfTrained == brute, "exhaustive probe must stay exact under a trained quantizer")
+  }
+
+  test("lsh knn self-join recalls the brute-force neighbor graph") {
+    val k = 5
+    val brute = Similarity.bruteForceTopK(emb, emb, k)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.knnJoinLsh(emb, k, nbits = 192, bandBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.8, s"knn recall $recall too low (bandBits=2 should be near-exhaustive)")
+  }
+
   test("centroids: element-wise group means, dims reassembled in order") {
     import spark.implicits._
     val e = Seq(
