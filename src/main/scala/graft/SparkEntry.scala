@@ -707,6 +707,46 @@ object SparkEntry {
       .select(col("doc_id"), fingerprintMd5(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** PII redaction ([[Text.redact]]): every document gets a
+    * deterministic synthetic email + phone appended (the fixture text
+    * has none, and a redactor that never fires is untested), then the
+    * scrubbed text is md5-summarized. The DuckDB oracle appends the
+    * same contacts and runs the SAME RE2-safe regexes — a hash match
+    * proves both engines redact every occurrence identically. */
+  private def textRedact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(col("text"), lit(" contact: user"), col("doc_id").cast("string"),
+          lit("@example.com or +1 555-010"),
+          pmod(col("doc_id"), lit(10)).cast("string")).as("txt"))
+      .select(col("doc_id"), md5(Text.redact(col("txt"))).as("redacted_md5"))
+      .orderBy("doc_id")
+
+  /** Numeric data-quality profile ([[graft.ext.Profile.describe]]):
+    * row/null counts exact; min/max are raw parquet values (bit-exact
+    * across engines); mean/stddev are aggregate accumulations → rounded
+    * on both sides per the repo float rule. */
+  private def profileLineitem(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.describe(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+      .select(col("column"), col("n"), col("n_nulls"), col("min"), col("max"),
+        round(col("mean"), 6).as("mean"), round(col("stddev"), 6).as("stddev"))
+      .orderBy("column")
+
+  /** Incremental exact dedup ([[Dedup.exactIncrement]] — the
+    * daily-ingest shape): even doc_ids play the already-deduped corpus,
+    * odd ids the incoming batch; survivors are batch docs whose
+    * fingerprint is unseen in the corpus, first-id-per-fingerprint
+    * within the batch. */
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.exactIncrement(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+      .select(col("doc_id"), fingerprintMd5(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
   // ======================================================================
   // Multimodal (north-star; stub decode, real plumbing)
   // ======================================================================
@@ -898,6 +938,9 @@ object SparkEntry {
     "text_langid" -> (textLangid(_, _)),
     "text_tokens" -> (textTokens(_, _)),
     "text_fingerprint" -> (textFingerprint(_, _)),
+    "text_redact" -> (textRedact(_, _)),
+    "profile_lineitem" -> (profileLineitem(_, _)),
+    "dedup_incremental" -> (dedupIncremental(_, _)),
     "multimodal_meta" -> (multimodalMeta(_, _)),
     "multimodal_decode" -> (multimodalDecode(_, _)),
     "multimodal_decode_real" -> (multimodalDecodeReal(_, _)),
@@ -1341,6 +1384,52 @@ object SparkEntry {
       """SELECT doc_id,
         |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_redact" ->
+      s"""SELECT doc_id,
+         |       md5(regexp_replace(regexp_replace(
+         |         text || ' contact: user' || CAST(doc_id AS VARCHAR)
+         |              || '@example.com or +1 555-010' || CAST(doc_id % 10 AS VARCHAR),
+         |         '${Text.emailPattern}', '<EMAIL>', 'g'),
+         |         '${Text.phonePattern}', '<PHONE>', 'g')) AS redacted_md5
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "profile_lineitem" ->
+      """WITH cols(col_name) AS (VALUES ('l_quantity'), ('l_extendedprice'), ('l_discount'))
+        |SELECT c.col_name AS "column",
+        |       CASE c.col_name WHEN 'l_quantity' THEN count(l_quantity)
+        |         WHEN 'l_extendedprice' THEN count(l_extendedprice)
+        |         ELSE count(l_discount) END AS n,
+        |       CASE c.col_name WHEN 'l_quantity' THEN count(*) - count(l_quantity)
+        |         WHEN 'l_extendedprice' THEN count(*) - count(l_extendedprice)
+        |         ELSE count(*) - count(l_discount) END AS n_nulls,
+        |       CASE c.col_name WHEN 'l_quantity' THEN CAST(min(l_quantity) AS DOUBLE)
+        |         WHEN 'l_extendedprice' THEN CAST(min(l_extendedprice) AS DOUBLE)
+        |         ELSE CAST(min(l_discount) AS DOUBLE) END AS min,
+        |       CASE c.col_name WHEN 'l_quantity' THEN CAST(max(l_quantity) AS DOUBLE)
+        |         WHEN 'l_extendedprice' THEN CAST(max(l_extendedprice) AS DOUBLE)
+        |         ELSE CAST(max(l_discount) AS DOUBLE) END AS max,
+        |       CASE c.col_name WHEN 'l_quantity' THEN round(avg(l_quantity), 6)
+        |         WHEN 'l_extendedprice' THEN round(avg(l_extendedprice), 6)
+        |         ELSE round(avg(l_discount), 6) END AS mean,
+        |       CASE c.col_name WHEN 'l_quantity' THEN round(stddev_samp(l_quantity), 6)
+        |         WHEN 'l_extendedprice' THEN round(stddev_samp(l_extendedprice), 6)
+        |         ELSE round(stddev_samp(l_discount), 6) END AS stddev
+        |FROM lineitem, cols c
+        |GROUP BY c.col_name ORDER BY "column"""".stripMargin,
+    "dedup_incremental" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |  FROM documents
+        |), corpus AS (
+        |  SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 2 = 0
+        |), survivors AS (
+        |  SELECT min(doc_id) AS doc_id, fingerprint
+        |  FROM fp
+        |  WHERE doc_id % 2 = 1
+        |    AND fingerprint NOT IN (SELECT fingerprint FROM corpus)
+        |  GROUP BY fingerprint
+        |)
+        |SELECT doc_id, fingerprint FROM survivors ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id AS media_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -47,6 +47,29 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** INCREMENTAL exact dedup — the daily-ingest shape: which rows of a
+    * new `batch` survive against an already-deduped `corpus`?
+    * Fingerprints anti-join (batch vs corpus), then first-(min id)-per-
+    * fingerprint WITHIN the batch. The corpus side reduces to a
+    * distinct 32-byte-key relation before the join — at 100 TB the
+    * anti join moves fingerprints, never corpus text, and in a real
+    * deployment the corpus fingerprint table is materialized once
+    * (ideally bucketed on fp via the DISTKEY path) and reused every
+    * ingest. Pinned shuffle-merge: both sides are unbounded relations
+    * that must never broadcast. */
+  def exactIncrement(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val cfp = corpus.select(fingerprintMd5(col(textCol)).as("fp")).distinct()
+    val bfp = batch.select(col(idCol), fingerprintMd5(col(textCol)).as("fp"))
+    val fresh = bfp.join(cfp.hint("shuffle_merge"), Seq("fp"), "left_anti")
+    val keep = fresh.groupBy("fp").agg(min(col(idCol)).as(idCol)).select(idCol)
+    batch.join(keep.hint("shuffle_merge"), Seq(idCol), "left_semi")
+  }
+
   // -------------------------------------------------------- 2. minhash LSH
 
   /** Per-doc MinHash signatures as k columns `m0..m{k-1}`.

@@ -1,0 +1,48 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Column profiling for data-quality gates: per-column row/null counts
+  * and numeric summary statistics, the pre-flight check a pipeline runs
+  * before admitting a new partition of data (nulls spiked? a column
+  * collapsed to a constant? value range drifted?).
+  *
+  * Scale shape: ONE aggregation pass computes every statistic for every
+  * requested column together (6·|cols| aggregates in a single
+  * map-side-combinable HashAggregate over one scan — not |cols| passes),
+  * yielding a single bounded row that is unpivoted driver-side. The
+  * reference has no profiling surface; this is north-star breadth.
+  */
+object Profile {
+
+  /** Long-form numeric profile: one output row per column —
+    * (column, n, n_nulls, min, max, mean, stddev). Non-numeric columns
+    * are accepted (min/max/mean cast to double; strings yield nulls in
+    * the numeric slots but keep counts). */
+  def describe(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "describe requires at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in dataframe: $missing")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"),
+        avg(col(c).cast("double")).as(s"${c}__mean"),
+        stddev_samp(col(c).cast("double")).as(s"${c}__std"))
+    }
+    val row: Row = df.agg(aggs.head, aggs.tail: _*).head() // ONE bounded row
+    def d(i: Int): Option[Double] =
+      if (row.isNullAt(i)) None else Some(row.getDouble(i))
+    val out = cols.zipWithIndex.map { case (c, i) =>
+      val b = i * 6
+      (c, row.getLong(b), Option(row.get(b + 1)).fold(0L)(_.asInstanceOf[Long]),
+        d(b + 2), d(b + 3), d(b + 4), d(b + 5))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.toDF("column", "n", "n_nulls", "min", "max", "mean", "stddev")
+  }
+}

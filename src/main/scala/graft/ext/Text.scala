@@ -111,6 +111,24 @@ object Text {
       .select(col("id").as(idCol), coalesce(col("hit_lang"), lit("und")).as("lang_pred"))
   }
 
+  /** RE2-compatible redaction patterns (no lookarounds, no backrefs) —
+    * the SAME regex strings run in Spark (Java regex) and the DuckDB
+    * oracle (RE2), and for these greedy character-class patterns the
+    * two engines match identically. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+?[0-9][0-9() -]{6,}[0-9]"
+
+  /** PII-style redaction for training-data hygiene: mask email
+    * addresses and phone-number-ish digit runs with typed tags. Pure
+    * codegen'd regexp_replace — per-row, no shuffle, linear at any
+    * scale; patterns replace ALL occurrences. This is the scrub-before-
+    * train step every corpus pipeline runs; swap/extend the pattern
+    * list for production PII taxonomies. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
   /** Add all text-analysis columns to a documents dataframe.
     *
     * Language ID routes through the corpus-scale [[langIdDf]] join when

@@ -275,6 +275,25 @@ class ExtSpec extends AnyFunSuite {
     assert(re.select("lang_pred").collect().nonEmpty)
   }
 
+  test("redact masks PII; profile counts nulls; incremental dedup keeps first-unseen only") {
+    import spark.implicits._
+    val d = Seq("reach me at a.b@x-mail.co or +1 (212) 555-0199 ok").toDF("text")
+    val red = d.select(Text.redact(col("text"))).head().getString(0)
+    assert(red == "reach me at <EMAIL> or <PHONE> ok", red)
+    val p = Seq((Option(1.0), 1L), (None, 2L), (Option(3.0), 3L)).toDF("x", "y")
+    val prof = graft.ext.Profile.describe(p, Seq("x", "y")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof("x").getAs[Long]("n") == 2 && prof("x").getAs[Long]("n_nulls") == 1)
+    assert(prof("y").getAs[Double]("min") == 1.0 && prof("y").getAs[Double]("max") == 3.0)
+    // batch row 1 duplicates corpus content (normalization collapses
+    // case), row 5 duplicates row 3 within the batch → only 3 survives
+    val corpus = Seq((0L, "shared text"), (2L, "corpus only")).toDF("doc_id", "text")
+    val batch = Seq((1L, "shared TEXT"), (3L, "fresh"), (5L, "fresh")).toDF("doc_id", "text")
+    val kept = Dedup.exactIncrement(corpus, batch)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L))
+  }
+
   test("subword count approximates token count for plain text") {
     import spark.implicits._
     val d = Seq("hello world, it's 42 degrees").toDF("text")
