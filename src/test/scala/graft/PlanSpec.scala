@@ -164,6 +164,27 @@ class PlanSpec extends AnyFunSuite {
       "the physical join must key on (key, salt) to split hot keys across reducers")
   }
 
+  test("knn self-join and incremental dedup plan without corpus broadcasts or cartesians") {
+    val emb = spark.read.parquet(s"${TestSession.sf}/embeddings.parquet")
+    val knn = graft.ext.Similarity.knnJoinLsh(emb, 5)
+    val knnPlan = explained(knn)
+    assert(!knnPlan.contains("CartesianProduct") && !knnPlan.contains("BroadcastNestedLoopJoin"),
+      "knn candidates must come from the banded equi-join")
+    val knnBroadcasts = knnPlan.split("\n\n").filter(_.contains("BroadcastExchange"))
+    assert(!knnBroadcasts.exists(b => b.contains("va") || b.contains("vb")),
+      "corpus vectors must arrive via shuffle, not broadcast")
+    assert(knnPlan.contains("ObjectHashAggregate"), "ranking must be the bounded-heap aggregate")
+    assert(!knnPlan.contains("Window"), "no q*n window rank shuffle")
+
+    val docs = spark.read.parquet(s"${TestSession.sf}/documents.parquet")
+    val inc = graft.ext.Dedup.exactIncrement(
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+    val incPlan = explained(inc)
+    assert(incPlan.contains("SortMergeJoin"),
+      "fingerprint anti join + survivor semi join must be pinned shuffle joins")
+    assert(!incPlan.contains("BroadcastNestedLoopJoin") && !incPlan.contains("CartesianProduct"))
+  }
+
   test("join on the bucketed distkey plans with ZERO exchanges (repeated-join posture)") {
     // DISTKEY parity: a table bucketed+sorted on the join key carries
     // HashPartitioning on disk — a join between two reads of it must
