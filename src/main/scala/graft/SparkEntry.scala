@@ -387,6 +387,24 @@ object SparkEntry {
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .orderBy("s_nationkey")
 
+  /** Bloom-prefiltered join ([[graft.operators.BloomJoin]]): orders ⋈
+    * high-balance customers, with the fact side pruned by a Bloom
+    * filter of the dim keys BEFORE its shuffle (semi-join reduction).
+    * Output must equal the plain inner join — the oracle runs the
+    * unreduced SQL — proving the Bloom stage is a pure physical
+    * optimization (false positives die in the exact join). */
+  private def bloomJoin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.BloomJoin.bloomInner(
+        t(s, dir, "orders"),
+        t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+          .select("c_custkey", "c_mktsegment"),
+        "o_custkey", "c_custkey",
+        expectedItems = 100000L, numBits = 1048576L)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("c_mktsegment")
+
   /** JSON source roundtrip: parquet → JSON lines → spark.read.json
     * (schema inferred) — the reference's Snowflake JSON file-format
     * path (locopy/snowflake.py:60-69). */
@@ -396,6 +414,20 @@ object SparkEntry {
     Load.read(s, out, "json")
       .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"))
       .orderBy("r_regionkey")
+  }
+
+  /** ORC source/sink roundtrip — engine-native columnar format beyond
+    * the reference's csv/json/parquet whitelists (kept off the
+    * [[graft.io.Options]] translate maps, which mirror the reference's
+    * OptionError surface exactly). The ORC hop must be lossless: the
+    * oracle reads the original parquet. */
+  private def loadOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("supplier_orc")
+    t(s, dir, "supplier").write.orc(out)
+    s.read.orc(out)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal"))
+      .orderBy("s_suppkey")
   }
 
   /** Approximate distinct (HLL) — the 100 TB path for q10 (no oracle:
@@ -748,6 +780,77 @@ object SparkEntry {
   }
 
   // ======================================================================
+  // Sampling / packing / curation (north-star): the corpus-mixing and
+  // shard-emission steps downstream of dedup + filtering
+  // ======================================================================
+
+  /** Stratified sampling ([[graft.ext.Sample.stratified]]): rebalance
+    * languages with deterministic per-id hash decisions — en at 50 %,
+    * fr at 30 %, everything else at 10 %. A pure per-row filter (no
+    * shuffle); the oracle replays the identical md5-threshold rule, so
+    * a hash match proves decision-for-decision reproducibility. */
+  private def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sample.stratified(t(s, dir, "documents"), "lang",
+        Map("en" -> 0.5, "fr" -> 0.3), "doc_id", defaultRate = 0.1)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
+  /** Per-domain quota ([[graft.ext.Sample.capPerKey]]): at most 10
+    * documents per source, chosen in deterministic hash order — the
+    * "no domain dominates the corpus" cap. One keyed shuffle. */
+  private def sampleDomainCap(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sample.capPerKey(t(s, dir, "documents"), "source", 10, "doc_id")
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
+  /** Token-budget shard packing ([[graft.ext.Pack.packShards]]): docs
+    * in id order fill 2000-token shards via the distributed two-phase
+    * prefix sum (bucketWidth 64 ⇒ ~8 buckets on the fixture, so the
+    * bucket-offset + within-bucket composition is genuinely exercised).
+    * The oracle computes the SAME cumulative sums with one global
+    * window — legal in DuckDB's single-node world, exactly what the
+    * Spark side must avoid (PlanSpec pins the corpus window as
+    * bucket-partitioned). */
+  private def packShardsQ(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Pack.packShards(
+        t(s, dir, "documents")
+          .select(col("doc_id"), graft.functions.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", budget = 2000L, bucketWidth = 64L)
+      .select("doc_id", "n_tokens", "shard_id")
+      .orderBy("doc_id")
+
+  /** Benchmark decontamination ([[Dedup.decontaminate]]): every 50th
+    * document plays the eval set; corpus docs sharing any word 3-gram
+    * with it are dropped (n = 3 on this 31-word-vocabulary fixture
+    * contaminates ≈half the corpus — a strong oracle signal; real
+    * pipelines run n = 8..13). Survivors are fingerprinted. */
+  private def textDecontam(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.decontaminate(
+        docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+        n = 3)
+      .select(col("doc_id"), fingerprintMd5(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  /** Ingest normalization ([[Text.clean]]): deterministic dirt —
+    * tab/C0/DEL controls and double spaces — is injected around every
+    * document (the fixture is clean, and a cleaner that never fires is
+    * untested), then cleaned; the oracle injects identical dirt with
+    * chr() and runs the SAME regex pair. md5 + length gate the result
+    * exactly. */
+  private def textClean(s: SparkSession, dir: String): DataFrame = {
+    val dirty = concat(expr("chr(9)"), lit(" "), col("text"), lit("  x"),
+      expr("chr(1)"), expr("chr(127)"), lit(" "))
+    t(s, dir, "documents")
+      .select(col("doc_id"), Text.clean(dirty).as("cleaned"))
+      .select(col("doc_id"), md5(col("cleaned")).as("clean_md5"),
+        length(col("cleaned")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  // ======================================================================
   // Multimodal (north-star; stub decode, real plumbing)
   // ======================================================================
 
@@ -914,8 +1017,10 @@ object SparkEntry {
     "q30_percentiles" -> (q30Percentiles(_, _)),
     "asof_join" -> (asofJoin(_, _)),
     "salted_join" -> (saltedJoin(_, _)),
+    "bloom_join" -> (bloomJoin(_, _)),
     "load_csv_roundtrip" -> (loadCsvRoundtrip(_, _)),
     "load_json_roundtrip" -> (loadJsonRoundtrip(_, _)),
+    "load_orc_roundtrip" -> (loadOrcRoundtrip(_, _)),
     "unload_export_roundtrip" -> (unloadExportRoundtrip(_, _)),
     "insert_infer_roundtrip" -> (insertInferRoundtrip(_, _)),
     "ctas_roundtrip" -> (ctasRoundtrip(_, _)),
@@ -939,8 +1044,13 @@ object SparkEntry {
     "text_tokens" -> (textTokens(_, _)),
     "text_fingerprint" -> (textFingerprint(_, _)),
     "text_redact" -> (textRedact(_, _)),
+    "text_clean" -> (textClean(_, _)),
+    "text_decontam" -> (textDecontam(_, _)),
     "profile_lineitem" -> (profileLineitem(_, _)),
     "dedup_incremental" -> (dedupIncremental(_, _)),
+    "sample_stratified" -> (sampleStratified(_, _)),
+    "sample_domain_cap" -> (sampleDomainCap(_, _)),
+    "pack_shards" -> (packShardsQ(_, _)),
     "multimodal_meta" -> (multimodalMeta(_, _)),
     "multimodal_decode" -> (multimodalDecode(_, _)),
     "multimodal_decode_real" -> (multimodalDecodeReal(_, _)),
@@ -1295,9 +1405,21 @@ object SparkEntry {
         |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    // the Bloom prefilter is a pure physical reduction — the oracle is
+    // the unreduced inner join (same contract as salted_join's)
+    "bloom_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_acctbal > 9000
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "load_json_roundtrip" ->
       """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
         |FROM region ORDER BY r_regionkey""".stripMargin,
+    // the ORC hop must be lossless — the oracle reads the parquet truth
+    "load_orc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "load_csv_roundtrip" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey
@@ -1430,6 +1552,64 @@ object SparkEntry {
         |  GROUP BY fingerprint
         |)
         |SELECT doc_id, fingerprint FROM survivors ORDER BY doc_id""".stripMargin,
+    // integer md5-prefix thresholds (no float literals cross-engine);
+    // values interpolate from the SAME Sample.threshold the query uses
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT <
+         |  CASE lang WHEN 'en' THEN ${graft.ext.Sample.threshold(0.5)}
+         |            WHEN 'fr' THEN ${graft.ext.Sample.threshold(0.3)}
+         |            ELSE ${graft.ext.Sample.threshold(0.1)} END
+         |ORDER BY doc_id""".stripMargin,
+    "sample_domain_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+    // DuckDB may use the single-node global window the Spark side must
+    // not (PlanSpec pins the corpus window as bucket-partitioned)
+    "pack_shards" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents
+         |), c AS (
+         |  SELECT doc_id, n_tokens,
+         |         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+         |  FROM w)
+         |SELECT doc_id, n_tokens,
+         |       CAST(floor(CAST(pre AS DOUBLE) / 2000.0) AS BIGINT) AS shard_id
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "text_decontam" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $duckToks AS ts FROM documents
+         |), g AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, greatest(len(ts) - 2, 0)),
+         |    i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i+1 AS INT)] || ' ' || ts[CAST(i+2 AS INT)]))) AS s
+         |  FROM toks
+         |), ev AS (
+         |  SELECT DISTINCT s FROM g WHERE doc_id % 50 = 0
+         |), bad AS (
+         |  SELECT DISTINCT g.doc_id FROM g JOIN ev USING (s) WHERE g.doc_id % 50 <> 0
+         |)
+         |SELECT doc_id,
+         |       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+         |FROM documents
+         |WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+         |ORDER BY doc_id""".stripMargin,
+    "text_clean" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         chr(9) || ' ' || text || '  x' || chr(1) || chr(127) || ' ' AS dirty
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |           dirty, '[\x00-\x1F\x7F]', ' ', 'g'), '\s{2,}', ' ', 'g')) AS cleaned
+        |  FROM d)
+        |SELECT doc_id, md5(cleaned) AS clean_md5,
+        |       CAST(length(cleaned) AS BIGINT) AS n_chars
+        |FROM c ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id AS media_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -497,4 +497,37 @@ object Dedup {
     val dropped = cc.filter(col("id") =!= col("lbl")).select(col("id").as(idCol))
     docs.join(dropped.hint("shuffle_merge"), Seq(idCol), "left_anti")
   }
+
+  // ------------------------------------------------- eval decontamination
+
+  /** Benchmark decontamination: drop every corpus document sharing at
+    * least one word `n`-gram with the evaluation set — the standard
+    * n-gram-overlap rule for keeping test sets out of training data
+    * (GPT-3 App. C / PaLM-style 8–13-gram matching; `n` is the
+    * caller's knob).
+    *
+    * Plan shape for 100 TB: the eval side is SMALL by nature (test
+    * sets, not corpora) — its distinct grams are broadcast, so corpus
+    * gram explosion is map-side with no corpus shuffle; the
+    * contaminated-id set (distinct ids, ≤ corpus keys) then drops via
+    * one keyed anti join. The corpus text itself never shuffles.
+    * Caveat: `explode` before the broadcast join multiplies rows
+    * transiently (~n_tokens per doc) inside the scan stage — column
+    * prune keeps that to (id, gram) pairs. */
+  def decontaminate(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      n: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val evalGrams = evalSet
+      .select(explode(wordNgrams(col(textCol), n)).as("__g")).distinct()
+    val contaminated = corpus
+      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("__g"))
+      .join(broadcast(evalGrams), "__g")
+      .select(idCol).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
 }

@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budget shard packing: assign each document a shard id such
+  * that consecutive documents (in id order) fill each shard to a
+  * weight budget — the "pack documents into ~1 GB / ~N-token training
+  * shards" step at the end of every corpus pipeline.
+  *
+  * Semantics: with documents ordered by `idCol`, a document whose
+  * preceding cumulative weight is `p` lands in shard `p div budget`
+  * (documents are never split; a shard may overflow by at most one
+  * document, the standard greedy rule).
+  *
+  * The naive formulation — `sum(w) OVER (ORDER BY id)` — is a GLOBAL
+  * window: Spark plans it as a single-partition sort, one task doing
+  * all the work. This implementation is the distributed two-phase
+  * prefix sum instead:
+  *
+  *   1. coarse-bucket rows by `id div bucketWidth` (order-preserving);
+  *   2. per-bucket totals (one map-side-combinable aggregation over
+  *      n/bucketWidth rows) → running bucket offsets (a window over
+  *      the TINY bucket relation only);
+  *   3. broadcast the offsets back; within-bucket running sum is a
+  *      window PARTITIONED by bucket — parallel across buckets.
+  *
+  * Total cost: one aggregation + one keyed shuffle of the corpus +
+  * one broadcast of n/bucketWidth offset rows. At 10¹⁰ docs and
+  * bucketWidth 10⁶ the offset relation is 10⁴ rows — trivially
+  * broadcastable — and no single task ever sees more than one
+  * bucket. PlanSpec pins this shape (the only unpartitioned window
+  * runs over the bucket totals, never the corpus).
+  */
+object Pack {
+
+  /** Add a `shard_id` column packing rows (in `idCol` order) into
+    * consecutive shards of ≈`budget` total `weightCol`.
+    *
+    * `idCol` must be numeric, non-negative and unique (document ids);
+    * `weightCol` non-negative (token counts). `bucketWidth` trades
+    * bucket-relation size against per-bucket parallelism — any value
+    * ≥ 1 is correct, only the plan economics change. */
+  def packShards(df: DataFrame, idCol: String, weightCol: String,
+                 budget: Long, bucketWidth: Long = 4096L): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val reserved = Seq("__bucket", "__bw", "__boff", "__pre")
+    val hits = reserved.filter(df.columns.contains)
+    require(hits.isEmpty,
+      s"packShards uses reserved working columns already present in the input: $hits")
+
+    val bucket = floor(col(idCol).cast("double") / lit(bucketWidth.toDouble)).cast("long")
+
+    // Phase 1: per-bucket totals — tiny relation, map-side combinable.
+    val totals = df.groupBy(bucket.as("__bucket"))
+      .agg(sum(col(weightCol).cast("long")).as("__bw"))
+    // Running offset over the bucket relation only (n/bucketWidth rows —
+    // the deliberate, bounded use of a global window).
+    val offW = Window.orderBy("__bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__boff", coalesce(sum(col("__bw")).over(offW), lit(0L)))
+      .select("__bucket", "__boff")
+
+    // Phase 2: within-bucket exclusive running sum, parallel per bucket.
+    val inW = Window.partitionBy("__bucket").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__bucket", bucket)
+      .join(broadcast(offsets), "__bucket")
+      .withColumn("__pre",
+        col("__boff") + coalesce(sum(col(weightCol).cast("long")).over(inW), lit(0L)))
+      // preceding-weight div budget; __pre < 2⁵³ so the double path is exact
+      .withColumn("shard_id", floor(col("__pre").cast("double") / lit(budget.toDouble)).cast("long"))
+      .drop("__bucket", "__boff", "__pre")
+  }
+}

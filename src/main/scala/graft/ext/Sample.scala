@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation: stratified
+  * rate sampling (language/domain mixing) and per-key caps (domain
+  * quotas). Unlike `df.sample()` — whose output depends on partition
+  * layout and a per-run seed — every decision here is a pure function
+  * of the row's id, so a sample is reproducible across runs, engines,
+  * partitionings AND incrementally stable: re-running over a grown
+  * corpus keeps every previously-selected id (the property corpus
+  * curation actually needs; Bernoulli re-sampling churns the subset).
+  *
+  * All decisions are codegen'd md5 expressions (no UDF, no rand()):
+  * stratified sampling is a pure per-row filter (no shuffle at any
+  * scale); capPerKey is one keyed shuffle (window per key).
+  *
+  * Reference analog: none (locopy never samples) — this is the
+  * LLM-pipeline extension surface (SURVEY north-star): corpus
+  * mixing/rebalancing is the step right after dedup+filter in any
+  * 100 TB data pipeline.
+  */
+object Sample {
+
+  /** 32-bit deterministic hash of (seed, id) as a non-negative long in
+    * [0, 2³²): the first 8 hex chars of md5. Cross-engine portable —
+    * DuckDB: `('0x' || substr(md5(seed || id::VARCHAR), 1, 8))::BIGINT`
+    * — so sampling decisions are hash-oracle-able in plain SQL.
+    * Integer-only (no float thresholds): callers compare against
+    * `floor(rate · 2³²)`, avoiding decimal-vs-double literal semantics
+    * differing across engines. */
+  def hash32(id: Column, seed: String = ""): Column =
+    conv(substring(md5(concat(lit(seed), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+
+  /** The integer threshold for a sampling rate: keep iff
+    * `hash32(id) < threshold(rate)`. */
+  def threshold(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    (rate * 4294967296L).toLong
+  }
+
+  /** Stratified sample: keep each row with its stratum's rate
+    * (`defaultRate` for strata not in the map), decided by the
+    * deterministic per-id hash. A pure per-row filter — pushed into
+    * the scan stage, no shuffle, linear at any corpus size; expected
+    * (not exact) stratum counts, like any hash/Bernoulli sampler. */
+  def stratified(df: DataFrame, strataCol: String, rates: Map[String, Double],
+                 idCol: String, seed: String = "",
+                 defaultRate: Double = 0.0): DataFrame = {
+    val rateThresh = rates.toSeq.sortBy(_._1).foldLeft(lit(threshold(defaultRate))) {
+      case (acc, (stratum, rate)) =>
+        when(col(strataCol) === stratum, lit(threshold(rate))).otherwise(acc)
+    }
+    df.filter(hash32(col(idCol), seed) < rateThresh)
+  }
+
+  /** Per-key quota: keep at most `k` rows per key, chosen in
+    * deterministic hash order (a reproducible uniform draw, ties broken
+    * by id). One keyed shuffle (window per key); no global ordering.
+    * This is the per-domain cap of web-corpus pipelines (bound any one
+    * domain's share of the training set). Skew note: a pathologically
+    * hot key funnels its rows through one task — for k ≪ rows/key, a
+    * pre-thinning `stratified` pass (rate ≈ 10k/rows) bounds that
+    * before the exact window. */
+  def capPerKey(df: DataFrame, keyCol: String, k: Int, idCol: String,
+                seed: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(!df.columns.contains("__rn"),
+      "capPerKey uses a reserved working column __rn already present in the input")
+    val w = Window.partitionBy(keyCol)
+      .orderBy(substring(md5(concat(lit(seed), col(idCol).cast("string"))), 1, 8),
+        col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+}

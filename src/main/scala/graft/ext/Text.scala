@@ -129,6 +129,18 @@ object Text {
       regexp_replace(text, emailPattern, "<EMAIL>"),
       phonePattern, "<PHONE>")
 
+  /** Text normalization for ingest hygiene: control characters
+    * (C0 + DEL, the class that breaks tokenizers and TSV exports)
+    * become spaces, whitespace runs collapse to one space, ends
+    * trimmed. Pure codegen'd regexp per row — no shuffle, linear at
+    * any scale. The character class is written out explicitly
+    * (`\x00-\x1F\x7F` rather than `\p{Cntrl}`) so the SAME pattern
+    * string runs identically in Java regex and RE2/DuckDB oracles. */
+  def clean(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x1F\\x7F]", " "),
+      "\\s{2,}", " "))
+
   /** Add all text-analysis columns to a documents dataframe.
     *
     * Language ID routes through the corpus-scale [[langIdDf]] join when

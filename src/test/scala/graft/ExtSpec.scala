@@ -381,4 +381,98 @@ class ExtSpec extends AnyFunSuite {
     val dd = Stream.streamingDedup(ev, Seq("user_id"))
     assert(dd.isStreaming)
   }
+
+  test("stratified sample is deterministic, partition-invariant and incrementally stable") {
+    import graft.ext.Sample
+    val rates = Map("en" -> 0.5, "fr" -> 0.3)
+    val full = Sample.stratified(docs, "lang", rates, "doc_id", defaultRate = 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // partition layout must not change a single decision
+    val reparted = Sample.stratified(docs.repartition(13), "lang", rates, "doc_id",
+        defaultRate = 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(full == reparted)
+    // incremental stability: sampling a grown corpus keeps prior picks —
+    // equivalently, sample(subset) == sample(full) ∩ subset
+    val half = docs.filter(col("doc_id") < 250)
+    val halfSample = Sample.stratified(half, "lang", rates, "doc_id", defaultRate = 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(halfSample == full.filter(_ < 250))
+    // rates actually differentiate: en keeps more than zh (0.5 vs 0.1)
+    val byLang = docs.join(
+        Sample.stratified(docs, "lang", rates, "doc_id", defaultRate = 0.1)
+          .select(col("doc_id").as("kept_id")),
+        col("doc_id") === col("kept_id"), "left")
+      .groupBy("lang")
+      .agg(count("kept_id").as("kept"), count(lit(1)).as("total"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byLang("en")._1.toDouble / byLang("en")._2 > byLang("zh")._1.toDouble / byLang("zh")._2)
+  }
+
+  test("capPerKey keeps at most k rows per key, deterministically") {
+    import graft.ext.Sample
+    val capped = Sample.capPerKey(docs, "source", 10, "doc_id")
+    val perKey = capped.groupBy("source").count().collect()
+    assert(perKey.forall(_.getLong(1) <= 10))
+    val again = Sample.capPerKey(docs.repartition(7), "source", 10, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == capped.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("packShards equals the single-window prefix sum and is bucketWidth-invariant") {
+    import graft.ext.Pack
+    import org.apache.spark.sql.expressions.Window
+    val w = docs.select(col("doc_id"), tokenCount(col("text")).cast("long").as("w"))
+    val naive = w.withColumn("pre",
+        coalesce(sum("w").over(Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), floor(col("pre") / 2000.0).cast("long").as("shard_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (width <- Seq(1L, 7L, 64L, 100000L)) {
+      val packed = Pack.packShards(w, "doc_id", "w", budget = 2000L, bucketWidth = width)
+        .select("doc_id", "shard_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(packed == naive, s"bucketWidth=$width diverges from the naive prefix sum")
+    }
+    // no shard exceeds budget + one document's weight (greedy overflow rule)
+    val maxDocW = w.agg(max("w")).head.getLong(0)
+    val shardTotals = Pack.packShards(w, "doc_id", "w", 2000L)
+      .groupBy("shard_id").agg(sum("w").as("tot")).collect()
+    assert(shardTotals.forall(_.getLong(1) <= 2000L + maxDocW))
+  }
+
+  test("decontaminate drops exactly the n-gram-overlapping documents") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),      // contains eval 3-gram "beta gamma delta"
+      (2L, "epsilon zeta eta theta"),      // clean
+      (3L, "beta gamma something else")    // shares only a 2-gram — stays at n=3
+    ).toDF("doc_id", "text")
+    val evalSet = Seq((100L, "zzz beta gamma delta yyy")).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(corpus, evalSet, n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("Text.clean strips controls, collapses whitespace, and is idempotent") {
+    import spark.implicits._
+    val df = Seq("\tleading  and\u0001trailing\u007F  junk ").toDF("text")
+    val once = df.select(Text.clean(col("text")).as("c")).head.getString(0)
+    assert(once == "leading and trailing junk")
+    val twice = df.select(Text.clean(Text.clean(col("text"))).as("c")).head.getString(0)
+    assert(twice == once)
+  }
+
+  test("bloomInner equals the plain inner join") {
+    import graft.operators.BloomJoin
+    val orders = spark.read.parquet(s"${TestSession.sf}/orders.parquet")
+    val cust = spark.read.parquet(s"${TestSession.sf}/customer.parquet")
+      .filter(col("c_acctbal") > 9000).select("c_custkey")
+    val bloomed = BloomJoin.bloomInner(orders, cust, "o_custkey", "c_custkey",
+        expectedItems = 1000L, numBits = 65536L)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val plain = orders.join(cust, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(bloomed == plain)
+  }
 }

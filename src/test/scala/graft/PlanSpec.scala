@@ -210,6 +210,51 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("pack_shards: the corpus window is bucket-partitioned, offsets broadcast") {
+    val df = SparkEntry.queries("pack_shards")(spark, TestSession.sf)
+    val simple = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    // the within-bucket running sum must be a PARTITIONED window — the
+    // only global (unpartitioned) window may run over the tiny
+    // per-bucket totals, never the corpus
+    // simple-mode lines carry tree-prefix glyphs (`+- `, `:  +- `), so
+    // match on the node name anywhere in the line
+    val windowLines = simple.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.size == 2, s"expected 2 Window nodes, got:\n${windowLines.mkString("\n")}")
+    assert(windowLines.exists(_.contains("[__bucket#")),
+      s"corpus running sum must partition by __bucket:\n${windowLines.mkString("\n")}")
+    // bucket offsets join back by broadcast — the corpus must not
+    // shuffle for the join
+    assert(simple.contains("BroadcastHashJoin"), simple.take(2000))
+  }
+
+  test("bloom_join prunes the fact side with might_contain before the join") {
+    val df = SparkEntry.queries("bloom_join")(spark, TestSession.sf)
+    val simple = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    val filterLine = simple.linesIterator.find(l =>
+      l.contains("Filter") && l.contains("might_contain")).getOrElse("")
+    assert(filterLine.nonEmpty, s"no might_contain filter in plan:\n${simple.take(2000)}")
+    // the Bloom stage must sit on the orders (fact) side, i.e. filter
+    // on the hashed o_custkey, not the dim key
+    assert(filterLine.contains("o_custkey"), filterLine)
+  }
+
+  test("decontaminate broadcasts the eval grams and never goes cartesian") {
+    val df = SparkEntry.queries("text_decontam")(spark, TestSession.sf)
+    val plan = explained(df)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+  }
+
+  test("stratified sampling is a pure filter — zero hash exchanges") {
+    // (the query's final orderBy adds a range exchange; hash shuffles
+    // would mean the sampler aggregates or joins, which it must not)
+    val df = SparkEntry.queries("sample_stratified")(spark, TestSession.sf)
+    assert(hashExchanges(df) == 0)
+  }
+
   test("custom expressions are SQL-reachable via extensions registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(
