@@ -430,6 +430,21 @@ object SparkEntry {
       .orderBy("s_suppkey")
   }
 
+  /** Partitioned UNLOAD (reference `UNLOAD ... PARTITION BY`, hive-style
+    * key=value dirs): documents partitioned by lang to parquet, read
+    * back through the partition discovery path. The partition column
+    * round-trips as a string; every value must survive the hop — the
+    * oracle reads the unpartitioned truth. */
+  private def unloadPartitioned(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    val out = tmpDir("documents_part")
+    Unload.unload(s, "SELECT doc_id, lang, n_chars FROM documents", out,
+      fileType = "parquet", partitionBy = Seq("lang"))
+    s.read.parquet(out)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Approximate distinct (HLL) — the 100 TB path for q10 (no oracle:
     * approximate by construction; spec-tested against exact counts). */
   private def q20ApproxDistinct(s: SparkSession, dir: String): DataFrame =
@@ -850,6 +865,28 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Corpus quality filter ([[Text.qualityFilter]]): C4/Gopher-style
+    * cheap rules — word count in [60, 10000] AND English-stopword
+    * density ≥ 5 % (both criteria bite on this fixture: 500 → ~230 →
+    * ~180 survivors). The ratio test is a single cross-engine-exact
+    * IEEE product, so the survivor set hash-matches. */
+  private def textFilter(s: SparkSession, dir: String): DataFrame =
+    Text.qualityFilter(t(s, dir, "documents"),
+        minWords = 60, maxWords = 10000, minStopRatio = 0.05)
+      .select(col("doc_id"), fingerprintMd5(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** Context-window chunking ([[Text.chunk]]): 64-token chunks with
+    * 8-token overlap (step 56); ~700 chunks from 500 docs, tails as
+    * short as 9 tokens — the multi-chunk + ragged-tail shapes are both
+    * exercised. Chunk text is md5-summarized for the gate. */
+  private def textChunk(s: SparkSession, dir: String): DataFrame =
+    Text.chunk(t(s, dir, "documents"), chunkTokens = 64, overlap = 8)
+      .select(col("doc_id"), col("chunk_idx"),
+        graft.functions.tokenCount(col("chunk_text")).cast("long").as("n_chunk_tokens"),
+        md5(col("chunk_text")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
   // ======================================================================
   // Multimodal (north-star; stub decode, real plumbing)
   // ======================================================================
@@ -980,6 +1017,19 @@ object SparkEntry {
         latePred = pmod(unix_micros(col("ts")), lit(5)) === 0)
       .orderBy("window_start")
 
+  /** Streaming exact dedup ([[Stream.runDedupOnce]]): events streamed
+    * through the real micro-batch engine, deduped on (user_id,
+    * event_type) with `dropDuplicatesWithinWatermark` (bounded state).
+    * WHICH duplicate row is emitted is arrival-dependent, so the gate
+    * aggregates the emitted KEY SET — per-event-type distinct-user
+    * counts — which is deterministic and equals the batch DISTINCT. */
+  private def streamDedup(s: SparkSession, dir: String): DataFrame =
+    Stream.runDedupOnce(s, s"${dir.stripSuffix("/")}/events.parquet",
+        Seq("user_id", "event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("event_type")
+
   // ======================================================================
   // Contract maps
   // ======================================================================
@@ -1022,6 +1072,7 @@ object SparkEntry {
     "load_json_roundtrip" -> (loadJsonRoundtrip(_, _)),
     "load_orc_roundtrip" -> (loadOrcRoundtrip(_, _)),
     "unload_export_roundtrip" -> (unloadExportRoundtrip(_, _)),
+    "unload_partitioned" -> (unloadPartitioned(_, _)),
     "insert_infer_roundtrip" -> (insertInferRoundtrip(_, _)),
     "ctas_roundtrip" -> (ctasRoundtrip(_, _)),
     "execmany_roundtrip" -> (execmanyRoundtrip(_, _)),
@@ -1046,6 +1097,8 @@ object SparkEntry {
     "text_redact" -> (textRedact(_, _)),
     "text_clean" -> (textClean(_, _)),
     "text_decontam" -> (textDecontam(_, _)),
+    "text_filter" -> (textFilter(_, _)),
+    "text_chunk" -> (textChunk(_, _)),
     "profile_lineitem" -> (profileLineitem(_, _)),
     "dedup_incremental" -> (dedupIncremental(_, _)),
     "sample_stratified" -> (sampleStratified(_, _)),
@@ -1058,7 +1111,8 @@ object SparkEntry {
     "stream_window" -> (streamWindow(_, _)),
     "stream_sessions" -> (streamSessions(_, _)),
     "stream_sessions_stateful" -> (streamSessionsStateful(_, _)),
-    "stream_late" -> (streamLate(_, _))
+    "stream_late" -> (streamLate(_, _)),
+    "stream_dedup" -> (streamDedup(_, _))
   )
 
   // ----------------------------------------------------------------------
@@ -1420,6 +1474,10 @@ object SparkEntry {
     "load_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    // the partitioned hop must be lossless too (partition column
+    // round-trips through hive-style dirs)
+    "unload_partitioned" ->
+      """SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""",
     "load_csv_roundtrip" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey
@@ -1610,6 +1668,30 @@ object SparkEntry {
         |SELECT doc_id, md5(cleaned) AS clean_md5,
         |       CAST(length(cleaned) AS BIGINT) AS n_chars
         |FROM c ORDER BY doc_id""".stripMargin,
+    // stopword list inline (Text.stopwords("en")); the ratio test is the
+    // SAME single IEEE product the Spark filter runs
+    "text_filter" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, text, len($duckToks) AS nw,
+         |         len(list_filter($duckToks,
+         |           t -> t IN ('the','a','of','and','to','in','is','it','that','was'))) AS ns
+         |  FROM documents)
+         |SELECT doc_id,
+         |       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+         |FROM f
+         |WHERE nw BETWEEN 60 AND 10000 AND CAST(ns AS DOUBLE) >= 0.05 * CAST(nw AS DOUBLE)
+         |ORDER BY doc_id""".stripMargin,
+    "text_chunk" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $duckToks AS ts FROM documents
+         |), c AS (
+         |  SELECT doc_id, ts,
+         |         unnest(generate_series(1, greatest(len(ts) - 8, 1), 56)) AS st
+         |  FROM t)
+         |SELECT doc_id, CAST((st - 1) // 56 AS INT) AS chunk_idx,
+         |       CAST(len(ts[CAST(st AS INT):CAST(st + 63 AS INT)]) AS BIGINT) AS n_chunk_tokens,
+         |       md5(array_to_string(ts[CAST(st AS INT):CAST(st + 63 AS INT)], ' ')) AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id AS media_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -1679,6 +1761,11 @@ object SparkEntry {
         |SELECT window_start, count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM keep
         |WHERE epoch_us(window_start + INTERVAL 1 HOUR) <= (SELECT us FROM wm2)
-        |GROUP BY window_start ORDER BY window_start""".stripMargin
+        |GROUP BY window_start ORDER BY window_start""".stripMargin,
+    // streaming dedup emits exactly one row per distinct key — the
+    // per-type count equals the batch COUNT(DISTINCT)
+    "stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

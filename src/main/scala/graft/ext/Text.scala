@@ -141,6 +141,46 @@ object Text {
       regexp_replace(text, "[\\x00-\\x1F\\x7F]", " "),
       "\\s{2,}", " "))
 
+  /** C4/Gopher-style corpus quality FILTER: keep documents whose word
+    * count lies in [minWords, maxWords] and whose (English) stopword
+    * density reaches minStopRatio — the cheap-rule pass that culls
+    * boilerplate/gibberish before any expensive dedup. A pure per-row
+    * predicate: no shuffle, linear at any scale.
+    *
+    * Exactness note: the ratio test runs as `nStop >= minStopRatio *
+    * nWords` — one IEEE product, bit-identical across engines — rather
+    * than a rounded division, so the survivor set is oracle-exact. */
+  def qualityFilter(docs: DataFrame, textCol: String = "text",
+                    minWords: Int = 60, maxWords: Int = 10000,
+                    minStopRatio: Double = 0.05): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nWords = size(toks)
+    val nStop = size(filter(toks, t => t.isin(englishStop: _*)))
+    docs.filter(nWords.between(minWords, maxWords) &&
+      nStop.cast("double") >= lit(minStopRatio) * nWords.cast("double"))
+  }
+
+  /** Context-window chunking: split each document into ~chunkTokens
+    * token windows overlapping by `overlap` tokens (the step every
+    * training/RAG pipeline runs between cleaning and tokenization).
+    * Emits one row per (doc, chunk_idx) with the chunk text. Pure
+    * codegen'd array expressions + posexplode — per-row work, no
+    * shuffle; a short document yields exactly one (possibly short)
+    * chunk, never zero. */
+  def chunk(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text",
+            chunkTokens: Int = 64, overlap: Int = 8): DataFrame = {
+    require(chunkTokens > overlap && overlap >= 0,
+      s"need chunkTokens > overlap >= 0, got $chunkTokens, $overlap")
+    val step = chunkTokens - overlap
+    val toks = tokens(col(textCol))
+    val starts = sequence(lit(1), greatest(size(toks) - overlap, lit(1)), lit(step))
+    docs.select(col(idCol),
+        posexplode(transform(starts, st => concat_ws(" ", slice(toks, st, lit(chunkTokens))))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk_text")
+  }
+
   /** Add all text-analysis columns to a documents dataframe.
     *
     * Language ID routes through the corpus-scale [[langIdDf]] join when

@@ -36,7 +36,8 @@ object Unload {
       delimiter: String = "|",
       header: Boolean = false,
       compression: Option[String] = None,
-      parallelOff: Boolean = false
+      parallelOff: Boolean = false,
+      partitionBy: Seq[String] = Nil
   ): Seq[String] = {
     val fmt = Options.formatOf(fileType)
     val df0 = spark.sql(query)
@@ -44,21 +45,27 @@ object Unload {
     var w = df.write.mode("overwrite").format(fmt.spark)
     if (fmt == Options.Csv) w = w.option("sep", delimiter).option("header", header.toString)
     compression.foreach(c => w = w.option("compression", c))
+    // UNLOAD ... PARTITION BY parity (redshift supports hive-style
+    // key=value output dirs; so does Spark's partitionBy)
+    if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
     w.save(path)
-    generatedFiles(spark, path)
+    generatedFiles(spark, path, recursive = partitionBy.nonEmpty)
   }
 
   /** Enumerate the data files a write produced (reference queries
     * stl_unload_log, locopy/redshift.py:508-530). */
-  def generatedFiles(spark: SparkSession, path: String): Seq[String] = {
+  def generatedFiles(spark: SparkSession, path: String,
+                     recursive: Boolean = false): Seq[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) throw new StageError(s"unload path does not exist: $path")
-    fs.listStatus(p)
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-      .map(_.getPath.toString)
-      .sorted
-      .toSeq
+    def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
+    def walk(dir: Path): Seq[String] = fs.listStatus(dir).toSeq.flatMap { s =>
+      if (s.isFile && visible(s.getPath.getName)) Seq(s.getPath.toString)
+      else if (s.isDirectory && recursive && visible(s.getPath.getName)) walk(s.getPath)
+      else Nil
+    }
+    walk(p).sorted
   }
 
   /** Column names of an arbitrary query WITHOUT executing it — the

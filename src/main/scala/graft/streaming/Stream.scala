@@ -216,4 +216,41 @@ object Stream {
     q.awaitTermination()
     spark.table(queryName)
   }
+
+  /** Run streaming exact dedup over the events file through the REAL
+    * streaming engine (micro-batches + state store) and return the
+    * emitted first-occurrence rows. Uses
+    * `dropDuplicatesWithinWatermark` — per-key state expires at the
+    * watermark horizon, the bounded-state posture an unbounded stream
+    * needs (plain `dropDuplicates` on keys grows state forever).
+    *
+    * Determinism contract: WHICH row of a duplicate key is emitted is
+    * arrival-order-dependent, but the emitted KEY SET over a bounded
+    * input is exactly the distinct key set — aggregate on the keys
+    * (as the stream_dedup query does) for an oracle-exact result. */
+  def runDedupOnce(spark: SparkSession, path: String, keys: Seq[String],
+      lateness: String = "2 hours",
+      queryName: String = "graft_stream_dedup"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema: StructType = spark.read.parquet(path).schema
+    val p = new org.apache.hadoop.fs.Path(path)
+    val stream0 = spark.readStream.schema(schema)
+      .option("pathGlobFilter", p.getName)
+      .parquet(p.getParent.toString)
+    val stream =
+      if (stream0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream0
+    val dd = stream
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keys)
+    val q = dd.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
 }

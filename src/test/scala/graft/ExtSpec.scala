@@ -463,6 +463,33 @@ class ExtSpec extends AnyFunSuite {
     assert(twice == once)
   }
 
+  test("qualityFilter applies word-count and stopword-density rules exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat sat on the mat with a hat that was flat"), // 12 words, 4 stopwords — keep
+      (2L, "too short"),                                       // below minWords
+      (3L, "cats dogs birds fish mice rats cows pigs owls bats foxes wolves") // 12 words, 0 stopwords
+    ).toDF("doc_id", "text")
+    val kept = Text.qualityFilter(df, minWords = 10, maxWords = 100, minStopRatio = 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
+
+  test("chunk covers every token with the declared overlap; short docs yield one chunk") {
+    import spark.implicits._
+    val df = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2L, "a b")).toDF("doc_id", "text")
+    val chunks = Text.chunk(df, chunkTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val d1 = chunks.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    // step 3: starts 1,4,7 → [t1..t4], [t4..t7], [t7..t10]
+    assert(d1.toSeq == Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    // declared overlap: each chunk's first token is the previous one's last
+    d1.sliding(2).foreach { case Array(prev, next) =>
+      assert(prev.split(" ").last == next.split(" ").head)
+    }
+    assert(chunks.filter(_._1 == 2L).map(_._3).toSeq == Seq("a b"))
+  }
+
   test("bloomInner equals the plain inner join") {
     import graft.operators.BloomJoin
     val orders = spark.read.parquet(s"${TestSession.sf}/orders.parquet")

@@ -95,6 +95,21 @@ class IoSpec extends AnyFunSuite {
     assert(lines.size() == 6) // header + 5 regions
   }
 
+  test("partitioned unload writes hive-style dirs and lists files recursively") {
+    spark.read.parquet(s"${TestSession.sf}/nation.parquet").createOrReplaceTempView("nation_v")
+    val out = tmp("nation_part_unload")
+    val files = Unload.unload(spark,
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation_v",
+      out, fileType = "parquet", partitionBy = Seq("n_regionkey"))
+    assert(files.nonEmpty)
+    // every data file sits under a key=value partition dir
+    assert(files.forall(_.contains("n_regionkey=")), files.take(3).mkString(","))
+    // the hop is lossless through partition discovery
+    val back = spark.read.parquet(out)
+    assert(back.count() == 25)
+    assert(back.columns.toSet == Set("n_nationkey", "n_name", "n_regionkey"))
+  }
+
   test("columnNames probes schema without executing (WHERE 1=0 parity)") {
     spark.read.parquet(s"${TestSession.sf}/region.parquet").createOrReplaceTempView("region_v")
     assert(Unload.columnNames(spark, "SELECT r_regionkey AS K, r_name FROM region_v") ==

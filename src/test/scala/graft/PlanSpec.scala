@@ -255,6 +255,11 @@ class PlanSpec extends AnyFunSuite {
     assert(hashExchanges(df) == 0)
   }
 
+  test("quality filter and chunking are per-row pipelines — zero hash exchanges") {
+    assert(hashExchanges(SparkEntry.queries("text_filter")(spark, TestSession.sf)) == 0)
+    assert(hashExchanges(SparkEntry.queries("text_chunk")(spark, TestSession.sf)) == 0)
+  }
+
   test("custom expressions are SQL-reachable via extensions registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(
