@@ -834,6 +834,31 @@ object SparkEntry {
       .select("doc_id", "n_tokens", "shard_id")
       .orderBy("doc_id")
 
+  /** Exact-mixture rebalancing ([[graft.ext.Sample.balancedTo]]):
+    * sample the corpus down to a 50 % en / 30 % de / 20 % fr mixture —
+    * the largest feasible subset with those proportions (es/zh
+    * dropped: share 0). Quota arithmetic (count/share division, global
+    * min, share×T product, floor) is bit-identical IEEE in both
+    * engines, so the survivor set hash-matches. */
+  private def sampleBalanced(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sample.balancedTo(t(s, dir, "documents"), "lang",
+        Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2), "doc_id")
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  /** Per-vector SQ8 embedding quantization
+    * ([[graft.functions.quantize8]]): 64-dim float32 vectors to 8-bit
+    * codes (4× storage cut, the standard pre-ANN compression). Codes
+    * are md5'd and summed for the gate — integer-exact both engines;
+    * reconstruction quality is property-tested in ExtSpec. */
+  private def embQuantize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), graft.functions.quantize8(col("embedding")).as("q"))
+      .select(col("vec_id"),
+        md5(concat_ws(",", transform(col("q"), c => c.cast("string")))).as("q_md5"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"))
+      .orderBy("vec_id")
+
   /** Benchmark decontamination ([[Dedup.decontaminate]]): every 50th
     * document plays the eval set; corpus docs sharing any word 3-gram
     * with it are dropped (n = 3 on this 31-word-vocabulary fixture
@@ -1103,7 +1128,9 @@ object SparkEntry {
     "dedup_incremental" -> (dedupIncremental(_, _)),
     "sample_stratified" -> (sampleStratified(_, _)),
     "sample_domain_cap" -> (sampleDomainCap(_, _)),
+    "sample_balanced" -> (sampleBalanced(_, _)),
     "pack_shards" -> (packShardsQ(_, _)),
+    "emb_quantize" -> (embQuantize(_, _)),
     "multimodal_meta" -> (multimodalMeta(_, _)),
     "multimodal_decode" -> (multimodalDecode(_, _)),
     "multimodal_decode_real" -> (multimodalDecodeReal(_, _)),
@@ -1625,6 +1652,40 @@ object SparkEntry {
         |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+    // quota arithmetic mirrors balancedTo step for step: per-stratum
+    // counts, T = min(count/share), k = floor(share*T), hash-order pick
+    "sample_balanced" ->
+      """WITH counts AS (
+        |  SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+        |         CASE lang WHEN 'en' THEN 0.5::DOUBLE WHEN 'de' THEN 0.3::DOUBLE
+        |                   WHEN 'fr' THEN 0.2::DOUBLE END AS share
+        |  FROM documents GROUP BY lang
+        |), t AS (
+        |  SELECT min(n / share) AS t FROM counts WHERE share IS NOT NULL
+        |), quotas AS (
+        |  SELECT lang, CAST(floor(share * (SELECT t FROM t)) AS BIGINT) AS k
+        |  FROM counts WHERE share IS NOT NULL
+        |), ranked AS (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn
+        |  FROM documents
+        |)
+        |SELECT doc_id, r.lang FROM ranked r JOIN quotas q ON r.lang = q.lang
+        |WHERE rn <= k ORDER BY doc_id""".stripMargin,
+    // same truncating-floor SQ8 arithmetic, component for component
+    "emb_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         CASE WHEN list_max(embedding) = list_min(embedding)
+        |              THEN list_transform(embedding, x -> 0)
+        |              ELSE list_transform(embedding, x ->
+        |                CAST(floor((CAST(x AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) * 255.0
+        |                  / (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE))) AS INT))
+        |         END AS codes
+        |  FROM embeddings)
+        |SELECT vec_id, md5(array_to_string(codes, ',')) AS q_md5,
+        |       CAST(list_aggregate(codes, 'sum') AS BIGINT) AS q_sum
+        |FROM q ORDER BY vec_id""".stripMargin,
     // DuckDB may use the single-node global window the Spark side must
     // not (PlanSpec pins the corpus window as bucket-partitioned)
     "pack_shards" ->

@@ -57,6 +57,46 @@ object Sample {
     df.filter(hash32(col(idCol), seed) < rateThresh)
   }
 
+  /** Rebalance a corpus to EXACT target mixture proportions — the
+    * "train on 50 % en / 30 % de / 20 % fr" knob. Finds the largest
+    * feasible total T = min over strata of count_s / share_s, then
+    * keeps exactly floor(share_s · T) rows per stratum in
+    * deterministic hash order; strata absent from `shares` are
+    * dropped. Unlike [[stratified]] (expected counts), the output
+    * mixture is exact to ±1 row per stratum.
+    *
+    * Plan: one tiny per-stratum count aggregate → single-row global
+    * min → per-stratum quotas broadcast back; the corpus itself pays
+    * one keyed window shuffle (the same cost as [[capPerKey]]). No
+    * driver-side collect. All arithmetic is per-value IEEE (division,
+    * min, product, floor) — bit-identical across engines, so the
+    * survivor set is hash-oracle-able. */
+  def balancedTo(df: DataFrame, strataCol: String, shares: Map[String, Double],
+                 idCol: String, seed: String = ""): DataFrame = {
+    require(shares.nonEmpty && shares.values.forall(s => s > 0.0 && s <= 1.0),
+      s"shares must be positive fractions, got $shares")
+    require(!df.columns.contains("__rn"),
+      "balancedTo uses a reserved working column __rn already present in the input")
+    val counts = df.groupBy(col(strataCol).as("__stratum"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__share", shares.toSeq.sortBy(_._1).foldLeft(lit(Double.NaN)) {
+        case (acc, (stratum, sh)) =>
+          when(col("__stratum") === stratum, lit(sh)).otherwise(acc)
+      })
+      .filter(!isnan(col("__share")))
+    val t = counts.agg(min(col("__n") / col("__share")).as("__t"))
+    val quotas = counts.crossJoin(broadcast(t))
+      .select(col("__stratum"),
+        floor(col("__share") * col("__t")).cast("long").as("__k"))
+    val w = Window.partitionBy(strataCol)
+      .orderBy(substring(md5(concat(lit(seed), col(idCol).cast("string"))), 1, 8),
+        col(idCol))
+    df.join(broadcast(quotas), col(strataCol) === col("__stratum"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__k"))
+      .drop("__stratum", "__k", "__rn")
+  }
+
   /** Per-key quota: keep at most `k` rows per key, chosen in
     * deterministic hash order (a reproducible uniform draw, ties broken
     * by id). One keyed shuffle (window per key); no global ordering.

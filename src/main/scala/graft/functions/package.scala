@@ -98,6 +98,28 @@ package object functions {
   /** Cosine similarity in double precision. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
 
+  /** Per-vector 8-bit scalar quantization: map each component to
+    * floor((x − min) · 255 / (max − min)) ∈ [0, 255] (min/max taken
+    * over the vector itself, the usual per-vector SQ8 for embedding
+    * storage: 4× smaller than float32). Truncating floor, not
+    * round-half — identical IEEE arithmetic in any engine, so
+    * quantized codes are hash-oracle-able. A constant vector (max ==
+    * min) quantizes to all zeros. Dequantize with [[dequantize8]]. */
+  def quantize8(v: Column): Column = {
+    val mn = array_min(v).cast("double")
+    val mx = array_max(v).cast("double")
+    transform(v, x =>
+      when(mx === mn, lit(0))
+        .otherwise(floor((x.cast("double") - mn) * 255.0 / (mx - mn)).cast("int")))
+  }
+
+  /** Inverse of [[quantize8]] given the vector's original min/max:
+    * x' = min + q · (max − min) / 255 (midpoint-free reconstruction,
+    * error ≤ one quantization step per component). */
+  def dequantize8(q: Column, mn: Column, mx: Column): Column =
+    transform(q, c =>
+      mn.cast("double") + c.cast("double") * (mx.cast("double") - mn.cast("double")) / 255.0)
+
   /** Pre-normalized cosine: divide each vector by its norm once, then
     * cosine = dot. Use `normalize` in a prior projection so the norm is
     * computed once per row instead of once per pair — the difference

@@ -463,6 +463,45 @@ class ExtSpec extends AnyFunSuite {
     assert(twice == once)
   }
 
+  test("balancedTo hits the exact target mixture and drops unlisted strata") {
+    import graft.ext.Sample
+    val shares = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2)
+    val out = Sample.balancedTo(docs, "lang", shares, "doc_id")
+    val got = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == shares.keySet) // es/zh dropped
+    // recompute the quota formula independently
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = shares.map { case (l, s) => counts(l).toDouble / s }.min
+    shares.foreach { case (l, s) =>
+      assert(got(l) == math.floor(s * t).toLong, s"lang $l: got ${got(l)}")
+    }
+    // deterministic under repartitioning
+    val again = Sample.balancedTo(docs.repartition(11), "lang", shares, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("quantize8 codes are bounded; dequantize8 reconstructs within one step") {
+    val q = emb.select(col("vec_id"), col("embedding"),
+      quantize8(col("embedding")).as("q"))
+    val checked = q.select(
+        min(array_min(col("q"))).as("lo"), max(array_max(col("q"))).as("hi"),
+        max(aggregate(
+          zip_with(col("embedding"),
+            dequantize8(col("q"), array_min(col("embedding")), array_max(col("embedding"))),
+            (x, r) => abs(x.cast("double") - r)),
+          lit(0.0), (acc, d) => greatest(acc, d))
+          / ((array_max(col("embedding")) - array_min(col("embedding"))).cast("double") / 255.0)
+        ).as("max_err_steps"))
+      .head()
+    assert(checked.getAs[Number]("lo").intValue >= 0)
+    assert(checked.getAs[Number]("hi").intValue <= 255)
+    // floor-truncation error is strictly below one quantization step
+    assert(checked.getDouble(2) <= 1.0 + 1e-9, s"err ${checked.getDouble(2)}")
+  }
+
   test("qualityFilter applies word-count and stopword-density rules exactly") {
     import spark.implicits._
     val df = Seq(
