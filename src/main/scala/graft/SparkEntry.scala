@@ -405,6 +405,27 @@ object SparkEntry {
         round(sum("o_totalprice"), 2).as("sum_price"))
       .orderBy("c_mktsegment")
 
+  /** Range (interval-containment) join ([[graft.operators.RangeJoin]]):
+    * count the orders dated inside each of ~50 promo windows (5-day
+    * half-open intervals anchored at the lowest-keyed orders) with NO
+    * equi key between the sides. The bin-bucketed rewrite turns what
+    * Spark would plan as a nested-loop/cartesian into a plain shuffled
+    * equi join on 7-day bin labels (PlanSpec-asserted); the oracle runs
+    * the naive inequality join in DuckDB. Dates become exact epoch-day
+    * longs on both sides — no timestamp/timezone arithmetic in the
+    * join. */
+  private def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val days = datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).cast("long")
+    val points = t(s, dir, "orders").select(days.as("d"))
+    val intervals = t(s, dir, "orders").filter(col("o_orderkey") <= 200)
+      .select(col("o_orderkey").as("win_id"),
+        days.as("w_start"), (days + 5).as("w_end"))
+    graft.operators.RangeJoin.pointInInterval(points, "d",
+        intervals, "w_start", "w_end", binWidth = 7L)
+      .groupBy("win_id").agg(count(lit(1)).as("n_orders"))
+      .orderBy("win_id")
+  }
+
   /** JSON source roundtrip: parquet → JSON lines → spark.read.json
     * (schema inferred) — the reference's Snowflake JSON file-format
     * path (locopy/snowflake.py:60-69). */
@@ -834,6 +855,14 @@ object SparkEntry {
       .select("doc_id", "n_tokens", "shard_id")
       .orderBy("doc_id")
 
+  /** Repetition signals ([[Text.repetitionDf]]): top-token share and
+    * type-token ratio per document — the Gopher repetition-filter
+    * inputs. Ratios are double divisions rounded on both sides per the
+    * repo float rule. */
+  private def textRepetition(s: SparkSession, dir: String): DataFrame =
+    Text.repetitionDf(t(s, dir, "documents"))
+      .orderBy("doc_id")
+
   /** Exact-mixture rebalancing ([[graft.ext.Sample.balancedTo]]):
     * sample the corpus down to a 50 % en / 30 % de / 20 % fr mixture —
     * the largest feasible subset with those proportions (es/zh
@@ -1042,6 +1071,18 @@ object SparkEntry {
         latePred = pmod(unix_micros(col("ts")), lit(5)) === 0)
       .orderBy("window_start")
 
+  /** Stream-static enrichment ([[Stream.runEnrichOnce]]): the events
+    * stream joins the static customer dim in-flight (user_id ↔
+    * c_custkey), aggregating per nation — batch ≡ stream for this
+    * plan, so the batch join SQL is the oracle. */
+  private def streamEnrich(s: SparkSession, dir: String): DataFrame =
+    Stream.runEnrichOnce(s, s"${dir.stripSuffix("/")}/events.parquet",
+        t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        "user_id", "c_custkey", "c_nationkey")
+      .select(col("c_nationkey").cast("long").as("c_nationkey"),
+        col("n_events"), col("sum_value"))
+      .orderBy("c_nationkey")
+
   /** Streaming exact dedup ([[Stream.runDedupOnce]]): events streamed
     * through the real micro-batch engine, deduped on (user_id,
     * event_type) with `dropDuplicatesWithinWatermark` (bounded state).
@@ -1091,6 +1132,7 @@ object SparkEntry {
     "q29_string_agg" -> (q29StringAgg(_, _)),
     "q30_percentiles" -> (q30Percentiles(_, _)),
     "asof_join" -> (asofJoin(_, _)),
+    "range_join" -> (rangeJoin(_, _)),
     "salted_join" -> (saltedJoin(_, _)),
     "bloom_join" -> (bloomJoin(_, _)),
     "load_csv_roundtrip" -> (loadCsvRoundtrip(_, _)),
@@ -1124,6 +1166,7 @@ object SparkEntry {
     "text_decontam" -> (textDecontam(_, _)),
     "text_filter" -> (textFilter(_, _)),
     "text_chunk" -> (textChunk(_, _)),
+    "text_repetition" -> (textRepetition(_, _)),
     "profile_lineitem" -> (profileLineitem(_, _)),
     "dedup_incremental" -> (dedupIncremental(_, _)),
     "sample_stratified" -> (sampleStratified(_, _)),
@@ -1139,7 +1182,8 @@ object SparkEntry {
     "stream_sessions" -> (streamSessions(_, _)),
     "stream_sessions_stateful" -> (streamSessionsStateful(_, _)),
     "stream_late" -> (streamLate(_, _)),
-    "stream_dedup" -> (streamDedup(_, _))
+    "stream_dedup" -> (streamDedup(_, _)),
+    "stream_enrich" -> (streamEnrich(_, _))
   )
 
   // ----------------------------------------------------------------------
@@ -1481,6 +1525,18 @@ object SparkEntry {
         |ASOF LEFT JOIN orders o
         |  ON e.user_id = o.o_custkey AND e.ts >= CAST(o.o_orderdate AS TIMESTAMP)
         |ORDER BY user_id, ts""".stripMargin,
+    // the bin-bucketed range join must equal the naive inequality join
+    "range_join" ->
+      """WITH i AS (
+        |  SELECT o_orderkey AS win_id,
+        |         CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS w_start
+        |  FROM orders WHERE o_orderkey <= 200
+        |), p AS (
+        |  SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d FROM orders
+        |)
+        |SELECT win_id, count(*) AS n_orders
+        |FROM i JOIN p ON p.d >= i.w_start AND p.d < i.w_start + 5
+        |GROUP BY win_id ORDER BY win_id""".stripMargin,
     "salted_join" ->
       """SELECT s_nationkey, count(*) AS n,
         |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -1729,6 +1785,16 @@ object SparkEntry {
         |SELECT doc_id, md5(cleaned) AS clean_md5,
         |       CAST(length(cleaned) AS BIGINT) AS n_chars
         |FROM c ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($duckToks) AS tok FROM documents
+         |), cnt AS (
+         |  SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
+         |)
+         |SELECT doc_id,
+         |       round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_share,
+         |       round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr
+         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // stopword list inline (Text.stopwords("en")); the ratio test is the
     // SAME single IEEE product the Spark filter runs
     "text_filter" ->
@@ -1827,6 +1893,12 @@ object SparkEntry {
     // per-type count equals the batch COUNT(DISTINCT)
     "stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // stream-static join ≡ batch join on a bounded input
+    "stream_enrich" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |       count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
   )
 }

@@ -181,6 +181,21 @@ object Text {
       .withColumnRenamed("col", "chunk_text")
   }
 
+  /** Gopher-style repetition signals per document: `top_share` (the
+    * most frequent token's share of all tokens — boilerplate/spam
+    * marker) and `ttr` (type-token ratio, distinct/total — low means
+    * repetitive). Corpus-scale shape: explode once, two map-side-
+    * combinable keyed aggregations; the document text itself shuffles
+    * never, only (id, token) pairs then (id, counts). */
+  def repetitionDf(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .groupBy(idCol, "__tok").agg(count(lit(1)).as("__c"))
+      .groupBy(idCol)
+      .agg(
+        round(max("__c").cast("double") / sum("__c"), 6).as("top_share"),
+        round(count(lit(1)).cast("double") / sum("__c"), 6).as("ttr"))
+
   /** Add all text-analysis columns to a documents dataframe.
     *
     * Language ID routes through the corpus-scale [[langIdDf]] join when

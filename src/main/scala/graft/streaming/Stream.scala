@@ -228,6 +228,38 @@ object Stream {
     * arrival-order-dependent, but the emitted KEY SET over a bounded
     * input is exactly the distinct key set — aggregate on the keys
     * (as the stream_dedup query does) for an oracle-exact result. */
+  /** Stream-static enrichment: join a live event stream against a
+    * static dimension table and aggregate — the classic "attach the
+    * customer/nation to each event" streaming pattern. The static side
+    * rides the normal batch planner (broadcast if small); only the
+    * stream's aggregation keeps state. Runs synchronously through the
+    * real micro-batch engine into a complete-mode memory sink. */
+  def runEnrichOnce(spark: SparkSession, path: String, dim: DataFrame,
+      streamKey: String, dimKey: String, aggKey: String,
+      queryName: String = "graft_stream_enrich"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema: StructType = spark.read.parquet(path).schema
+    val p = new org.apache.hadoop.fs.Path(path)
+    val stream0 = spark.readStream.schema(schema)
+      .option("pathGlobFilter", p.getName)
+      .parquet(p.getParent.toString)
+    val stream =
+      if (stream0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream0
+    val enriched = stream.join(dim, col(streamKey) === col(dimKey))
+      .groupBy(aggKey)
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+    val q = enriched.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   def runDedupOnce(spark: SparkSession, path: String, keys: Seq[String],
       lateness: String = "2 hours",
       queryName: String = "graft_stream_dedup"): DataFrame = {

@@ -529,6 +529,34 @@ class ExtSpec extends AnyFunSuite {
     assert(chunks.filter(_._1 == 2L).map(_._3).toSeq == Seq("a b"))
   }
 
+  test("pointInInterval equals the naive inequality join across bin widths") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    // negatives, bin boundaries, multi-bin spans, empty + null intervals
+    val points = Seq(-8L, -7L, -1L, 0L, 1L, 6L, 7L, 13L, 14L, 100L)
+      .toDF("p").withColumn("pid", monotonically_increasing_id())
+    val intervals = Seq(
+      (1L, Some(-10L), Some(0L)),   // negative range, end exclusive at 0
+      (2L, Some(0L), Some(7L)),     // exactly one bin at w=7
+      (3L, Some(5L), Some(15L)),    // spans three bins at w=7
+      (4L, Some(7L), Some(7L)),     // empty: matches nothing
+      (5L, Some(9L), Some(3L)),     // inverted: matches nothing
+      (6L, None, Some(4L)),         // null start: dropped
+      (7L, Some(99L), Some(101L))
+    ).toDF("iid", "s", "e")
+    val naive = points.join(intervals,
+        col("p") >= col("s") && col("p") < col("e"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (w <- Seq(1L, 3L, 7L, 50L)) {
+      val binned = RangeJoin.pointInInterval(points, "p", intervals, "s", "e", w)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(binned == naive, s"binWidth=$w")
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points, "p", intervals, "s", "e", 0L)
+    }
+  }
+
   test("bloomInner equals the plain inner join") {
     import graft.operators.BloomJoin
     val orders = spark.read.parquet(s"${TestSession.sf}/orders.parquet")

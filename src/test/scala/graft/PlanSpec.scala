@@ -158,6 +158,14 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles == 1, s"expected exactly the window exchange, found $shuffles")
   }
 
+  test("range join plans as a binned equi join, never nested-loop/cartesian") {
+    val df = SparkEntry.queries("range_join")(spark, TestSession.sf)
+    val plan = explained(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "bin bucketing must turn the interval containment into an equi join:\n" + plan.take(2000))
+    assert(plan.contains("Join"), "the binned equi join node must exist")
+  }
+
   test("salted join carries the salt into the join keys") {
     val plan = explained(SparkEntry.queries("salted_join")(spark, TestSession.sf))
     assert(plan.contains("__salt"),
