@@ -466,6 +466,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Range-partitioned sorted export ([[Unload.sortedUnload]]): orders
+    * written as 8 range-clustered parquet files sorted on o_orderdate —
+    * disjoint footer min/max per file, so date-range scans prune whole
+    * files (IoSpec asserts the disjointness; PlanSpec the
+    * rangepartitioning exchange). The oracled check is the exact
+    * content roundtrip; which file a row lands in depends on sampled
+    * range boundaries and is deliberately not part of the contract. */
+  private def unloadSorted(s: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("orders_sorted")
+    Unload.sortedUnload(s, t(s, dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_totalprice"),
+      out, "o_orderdate", numFiles = 8)
+    s.read.parquet(out)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   /** Approximate distinct (HLL) — the 100 TB path for q10 (no oracle:
     * approximate by construction; spec-tested against exact counts). */
   private def q20ApproxDistinct(s: SparkSession, dir: String): DataFrame =
@@ -863,6 +882,22 @@ object SparkEntry {
     Text.repetitionDf(t(s, dir, "documents"))
       .orderBy("doc_id")
 
+  /** Unigram LM scoring ([[Text.lmScoreDf]]): mean corpus-unigram
+    * log-probability per document — the cheap fluency/quality proxy.
+    * DuckDB recomputes the same two-pass unigram table and mean. */
+  private def textLmScore(s: SparkSession, dir: String): DataFrame =
+    Text.lmScoreDf(t(s, dir, "documents"))
+      .orderBy("doc_id")
+
+  /** TF-IDF top-term extraction ([[Text.topTermDf]]): the most
+    * characteristic term per document, ranked by the exact integer key
+    * (tf desc, df asc, term asc) with the float tf·idf reported as an
+    * informational column (see the scaladoc for why the RANKING must
+    * not be float). */
+  private def textTfidf(s: SparkSession, dir: String): DataFrame =
+    Text.topTermDf(t(s, dir, "documents"))
+      .orderBy("doc_id")
+
   /** Exact-mixture rebalancing ([[graft.ext.Sample.balancedTo]]):
     * sample the corpus down to a 50 % en / 30 % de / 20 % fr mixture —
     * the largest feasible subset with those proportions (es/zh
@@ -1167,6 +1202,8 @@ object SparkEntry {
     "text_filter" -> (textFilter(_, _)),
     "text_chunk" -> (textChunk(_, _)),
     "text_repetition" -> (textRepetition(_, _)),
+    "text_lmscore" -> (textLmScore(_, _)),
+    "text_tfidf" -> (textTfidf(_, _)),
     "profile_lineitem" -> (profileLineitem(_, _)),
     "dedup_incremental" -> (dedupIncremental(_, _)),
     "sample_stratified" -> (sampleStratified(_, _)),
@@ -1183,7 +1220,8 @@ object SparkEntry {
     "stream_sessions_stateful" -> (streamSessionsStateful(_, _)),
     "stream_late" -> (streamLate(_, _)),
     "stream_dedup" -> (streamDedup(_, _)),
-    "stream_enrich" -> (streamEnrich(_, _))
+    "stream_enrich" -> (streamEnrich(_, _)),
+    "unload_sorted" -> (unloadSorted(_, _))
   )
 
   // ----------------------------------------------------------------------
@@ -1561,6 +1599,13 @@ object SparkEntry {
     // round-trips through hive-style dirs)
     "unload_partitioned" ->
       """SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""",
+    // exact content roundtrip of the range-clustered sorted export; the
+    // per-file disjointness invariant is IoSpec-asserted (boundaries are
+    // sampled, so file membership is deliberately outside the contract)
+    "unload_sorted" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |       o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "load_csv_roundtrip" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey
@@ -1795,6 +1840,40 @@ object SparkEntry {
          |       round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_share,
          |       round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr
          |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_lmscore" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($duckToks) AS tok FROM documents
+         |), cnt AS (
+         |  SELECT tok, count(*) AS c FROM tok GROUP BY tok
+         |), tot AS (
+         |  SELECT sum(c) AS total FROM cnt
+         |), lp AS (
+         |  SELECT tok, ln(CAST(c AS DOUBLE) / total) AS logp FROM cnt, tot
+         |)
+         |SELECT doc_id, round(avg(logp), 4) AS lm_score,
+         |       count(*) AS n_tokens
+         |FROM tok JOIN lp USING (tok)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // ranking key is exact integers (tf desc, df asc, term asc); only the
+    // informational tfidf column touches floats (rounded 4)
+    "text_tfidf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($duckToks) AS term FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+         |), dfreq AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY term
+         |), n AS (
+         |  SELECT count(*) AS n_docs FROM documents
+         |), r AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         |         row_number() OVER (PARTITION BY tf.doc_id
+         |           ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rn
+         |  FROM tf JOIN dfreq USING (term)
+         |)
+         |SELECT doc_id, term AS top_term, tf,
+         |       round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+         |FROM r, n WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // stopword list inline (Text.stopwords("en")); the ratio test is the
     // SAME single IEEE product the Spark filter runs
     "text_filter" ->

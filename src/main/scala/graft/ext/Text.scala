@@ -196,6 +196,68 @@ object Text {
         round(max("__c").cast("double") / sum("__c"), 6).as("top_share"),
         round(count(lit(1)).cast("double") / sum("__c"), 6).as("ttr"))
 
+  /** Corpus-derived unigram language-model score per document: the
+    * mean log-probability of the document's tokens under the corpus's
+    * own unigram distribution — the classic cheap "KenLM-style"
+    * fluency/quality proxy when no external LM is available (docs full
+    * of corpus-rare tokens score low).
+    *
+    * Two-pass scale shape: (1) one explode → token-keyed count
+    * aggregation builds the unigram table (vocabulary-sized, ≪
+    * corpus); the corpus-total denominator is a 1-row aggregate
+    * attached by broadcast; (2) the token stream joins the table on
+    * the token key — a plain equi shuffle Catalyst can broadcast
+    * whenever the vocabulary fits — and re-aggregates per document.
+    * Document text itself never shuffles, only (id, token) pairs.
+    *
+    * The per-token ln() is IEEE-correct to 1 ulp on both engines and
+    * the per-doc mean is order-dependent in its last ulp, so the score
+    * is rounded to 4 per the repo float rule. */
+  def lmScoreDf(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+    val counts = toks.groupBy("__tok").agg(count(lit(1)).as("__c"))
+    val total = counts.agg(sum("__c").as("__total"))
+    val logp = counts.crossJoin(broadcast(total))
+      .select(col("__tok"),
+        log(col("__c").cast("double") / col("__total")).as("__logp"))
+    toks.join(logp, "__tok")
+      .groupBy(idCol)
+      .agg(round(avg("__logp"), 4).as("lm_score"),
+        count(lit(1)).as("n_tokens"))
+  }
+
+  /** Most-characteristic term per document — the TF-IDF keyword
+    * extractor. Ranking is by the EXACT integer key (tf desc, df asc,
+    * term asc) — the same ordering tf·ln(N/df) induces when scores
+    * differ, but immune to the cross-engine 1-ulp ln() hazard: two
+    * mathematically-equal scores reached via different (tf, df) pairs
+    * (e.g. 4·ln(N/100) vs 2·ln(N/20) at N=500) can compare EITHER way
+    * in floating point, so a float-ranked top-1 would be
+    * engine-dependent precisely where it matters. The tf·idf value
+    * itself is reported as an informational column, rounded to 4.
+    *
+    * Shape: explode → (doc, term) tf agg → term-keyed df agg
+    * (vocabulary-sized) joined back on the term key → per-doc top-1
+    * window. The window partitions by doc id — maximal parallelism,
+    * no global sort. */
+  def topTermDf(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("__n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("term").as("top_term"), col("tf"),
+        round(col("tf") * log(col("__n_docs").cast("double") / col("df")), 4)
+          .as("tfidf"))
+  }
+
   /** Add all text-analysis columns to a documents dataframe.
     *
     * Language ID routes through the corpus-scale [[langIdDf]] join when

@@ -68,6 +68,32 @@ object Unload {
     walk(p).sorted
   }
 
+  /** Range-partitioned sorted export — the data-skipping write posture
+    * for 100 TB reads: `repartitionByRange(numFiles, sortCol)` +
+    * `sortWithinPartitions(sortCol)` gives globally range-clustered
+    * files whose parquet footer min/max stats are DISJOINT on the sort
+    * column, so a later `WHERE sortCol BETWEEN …` scan prunes whole
+    * files instead of reading and filtering them (the SORTKEY analog of
+    * the reference's DISTKEY → bucketBy mapping; Redshift `UNLOAD` has
+    * no ORDER guarantee, this is strictly better). Range boundaries
+    * come from Spark's reservoir sampling — file CONTENTS (which file a
+    * row lands in) are not run-deterministic, but the row SET and the
+    * per-file disjointness invariant are; verify content by read-back,
+    * disjointness by footer stats (IoSpec). */
+  def sortedUnload(
+      spark: SparkSession,
+      df: DataFrame,
+      path: String,
+      sortCol: String,
+      numFiles: Int
+  ): Seq[String] = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    df.repartitionByRange(numFiles, org.apache.spark.sql.functions.col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+    generatedFiles(spark, path)
+  }
+
   /** Column names of an arbitrary query WITHOUT executing it — the
     * reference's `SELECT * FROM (q) WHERE 1=0` trick
     * (locopy/redshift.py:482-506) is exactly Catalyst analysis. */

@@ -110,6 +110,33 @@ class IoSpec extends AnyFunSuite {
     assert(back.columns.toSet == Set("n_nationkey", "n_name", "n_regionkey"))
   }
 
+  test("sortedUnload produces range-disjoint files covering all rows (data skipping)") {
+    import org.apache.spark.sql.functions._
+    val out = tmp("orders_sorted_spec")
+    val orders = spark.read.parquet(s"${TestSession.sf}/orders.parquet")
+      .select("o_orderkey", "o_orderdate")
+    val files = Unload.sortedUnload(spark, orders, out, "o_orderdate", numFiles = 4)
+    assert(files.size <= 4 && files.nonEmpty)
+    // per-file footer-equivalent stats: disjoint min/max ranges on the
+    // sort column (equal keys colocate under range partitioning, so
+    // consecutive ranges must be STRICTLY separated), counts sum to all
+    val stats = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("o_orderdate").as("lo"), max("o_orderdate").as("hi"),
+        count(lit(1)).as("n"))
+      .orderBy("lo")
+      .collect()
+    assert(stats.map(_.getLong(3)).sum == orders.count())
+    // o_orderdate reads as TIMESTAMP_NTZ → java.time.LocalDateTime
+    stats.sliding(2).foreach {
+      case Array(prev, next) =>
+        val prevHi = prev.getAs[java.time.LocalDateTime](2)
+        val nextLo = next.getAs[java.time.LocalDateTime](1)
+        assert(nextLo.isAfter(prevHi), s"file ranges overlap: $prevHi vs $nextLo")
+      case _ => ()
+    }
+  }
+
   test("columnNames probes schema without executing (WHERE 1=0 parity)") {
     spark.read.parquet(s"${TestSession.sf}/region.parquet").createOrReplaceTempView("region_v")
     assert(Unload.columnNames(spark, "SELECT r_regionkey AS K, r_name FROM region_v") ==

@@ -166,6 +166,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Join"), "the binned equi join node must exist")
   }
 
+  test("sorted export plans a rangepartitioning exchange + in-partition sort") {
+    val orders = spark.read.parquet(s"${TestSession.sf}/orders.parquet")
+    val plan = orders.repartitionByRange(8, col("o_orderdate"))
+      .sortWithinPartitions("o_orderdate")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(plan.contains("Exchange rangepartitioning"), plan.take(1500))
+    assert(plan.contains("Sort [o_orderdate"), plan.take(1500))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "range clustering must not add a hash shuffle")
+  }
+
   test("salted join carries the salt into the join keys") {
     val plan = explained(SparkEntry.queries("salted_join")(spark, TestSession.sf))
     assert(plan.contains("__salt"),
