@@ -65,6 +65,14 @@ object Sample {
     * dropped. Unlike [[stratified]] (expected counts), the output
     * mixture is exact to ±1 row per stratum.
     *
+    * A stratum listed in `shares` but ABSENT from the data (or with
+    * zero rows) drives T to 0 and the result is EMPTY: the exact
+    * mixture contract cannot be met without that stratum, and an empty
+    * sample is the only feasible exact answer. (The share map is
+    * left-joined against the observed counts with `coalesce(n, 0)`,
+    * so missing strata participate in the global min rather than
+    * silently dropping out of it.)
+    *
     * Plan: one tiny per-stratum count aggregate → single-row global
     * min → per-stratum quotas broadcast back; the corpus itself pays
     * one keyed window shuffle (the same cost as [[capPerKey]]). No
@@ -75,15 +83,22 @@ object Sample {
                  idCol: String, seed: String = ""): DataFrame = {
     require(shares.nonEmpty && shares.values.forall(s => s > 0.0 && s <= 1.0),
       s"shares must be positive fractions, got $shares")
-    require(!df.columns.contains("__rn"),
-      "balancedTo uses a reserved working column __rn already present in the input")
-    val counts = df.groupBy(col(strataCol).as("__stratum"))
-      .agg(count(lit(1)).cast("double").as("__n"))
-      .withColumn("__share", shares.toSeq.sortBy(_._1).foldLeft(lit(Double.NaN)) {
-        case (acc, (stratum, sh)) =>
-          when(col("__stratum") === stratum, lit(sh)).otherwise(acc)
-      })
-      .filter(!isnan(col("__share")))
+    val reserved = Seq("__rn", "__stratum", "__n", "__share", "__k")
+      .filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"balancedTo uses reserved working column(s) ${reserved.mkString(", ")} already present in the input")
+    // Share map as the LEFT side so a listed-but-absent stratum still
+    // contributes n=0 to the global min (empty result, not a silently
+    // wrong mixture).
+    val shareDf = df.sparkSession
+      .createDataFrame(shares.toSeq.sortBy(_._1))
+      .toDF("__stratum", "__share")
+    val observed = df.groupBy(col(strataCol).cast("string").as("__obs"))
+      .agg(count(lit(1)).cast("double").as("__obs_n"))
+    val counts = shareDf
+      .join(observed, col("__stratum") === col("__obs"), "left")
+      .select(col("__stratum"), col("__share"),
+        coalesce(col("__obs_n"), lit(0.0)).as("__n"))
     val t = counts.agg(min(col("__n") / col("__share")).as("__t"))
     val quotas = counts.crossJoin(broadcast(t))
       .select(col("__stratum"),
@@ -91,7 +106,7 @@ object Sample {
     val w = Window.partitionBy(strataCol)
       .orderBy(substring(md5(concat(lit(seed), col(idCol).cast("string"))), 1, 8),
         col(idCol))
-    df.join(broadcast(quotas), col(strataCol) === col("__stratum"))
+    df.join(broadcast(quotas), col(strataCol).cast("string") === col("__stratum"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= col("__k"))
       .drop("__stratum", "__k", "__rn")

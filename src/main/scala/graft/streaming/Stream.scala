@@ -217,17 +217,6 @@ object Stream {
     spark.table(queryName)
   }
 
-  /** Run streaming exact dedup over the events file through the REAL
-    * streaming engine (micro-batches + state store) and return the
-    * emitted first-occurrence rows. Uses
-    * `dropDuplicatesWithinWatermark` — per-key state expires at the
-    * watermark horizon, the bounded-state posture an unbounded stream
-    * needs (plain `dropDuplicates` on keys grows state forever).
-    *
-    * Determinism contract: WHICH row of a duplicate key is emitted is
-    * arrival-order-dependent, but the emitted KEY SET over a bounded
-    * input is exactly the distinct key set — aggregate on the keys
-    * (as the stream_dedup query does) for an oracle-exact result. */
   /** Stream-static enrichment: join a live event stream against a
     * static dimension table and aggregate — the classic "attach the
     * customer/nation to each event" streaming pattern. The static side
@@ -260,6 +249,26 @@ object Stream {
     spark.table(queryName)
   }
 
+  /** Run streaming exact dedup over the events file through the REAL
+    * streaming engine (micro-batches + state store) and return the
+    * emitted first-occurrence rows. Uses
+    * `dropDuplicatesWithinWatermark` — per-key state expires at the
+    * watermark horizon, the bounded-state posture an unbounded stream
+    * needs (plain `dropDuplicates` on keys grows state forever).
+    *
+    * Determinism contract: WHICH row of a duplicate key is emitted is
+    * arrival-order-dependent, but the emitted KEY SET over a bounded
+    * input is exactly the distinct key set — aggregate on the keys
+    * (as the stream_dedup query does) for an oracle-exact result.
+    * That key-set equality additionally assumes the whole input lands
+    * in ONE micro-batch (true here: a single-file source under
+    * AvailableNow). With multi-file input split across batches, a
+    * duplicate key arriving > `lateness` apart in event time can be
+    * re-emitted after its state expired at the watermark horizon —
+    * correct bounded-state streaming semantics, but no longer equal to
+    * the batch distinct-key set. Pin maxFilesPerTrigger (or widen
+    * `lateness` past the fixture's event-time span) before pointing
+    * this at a multi-file fixture. */
   def runDedupOnce(spark: SparkSession, path: String, keys: Seq[String],
       lateness: String = "2 hours",
       queryName: String = "graft_stream_dedup"): DataFrame = {

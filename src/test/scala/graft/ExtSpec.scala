@@ -483,6 +483,23 @@ class ExtSpec extends AnyFunSuite {
     assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("balancedTo with a share stratum absent from the data returns empty") {
+    import graft.ext.Sample
+    // 'xx' never occurs in the fixture: the exact-mixture contract is
+    // infeasible, so T=0 and the only exact answer is the empty sample.
+    val shares = Map("en" -> 0.5, "xx" -> 0.5)
+    assert(Sample.balancedTo(docs, "lang", shares, "doc_id").count() == 0L)
+  }
+
+  test("balancedTo rejects inputs that already carry its working columns") {
+    import graft.ext.Sample
+    val clash = docs.withColumn("__k", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      Sample.balancedTo(clash, "lang", Map("en" -> 1.0), "doc_id")
+    }
+    assert(e.getMessage.contains("__k"))
+  }
+
   test("quantize8 codes are bounded; dequantize8 reconstructs within one step") {
     val q = emb.select(col("vec_id"), col("embedding"),
       quantize8(col("embedding")).as("q"))
