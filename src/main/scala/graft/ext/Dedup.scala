@@ -145,17 +145,26 @@ object Dedup {
     * auto-broadcast threshold at test scale nor an AQE re-plan can
     * reintroduce a corpus-wide broadcast). Two shuffles of one
     * (id, sorted-hash-array) row per doc, one of the candidate pairs —
-    * all linear in corpus + candidates. */
+    * all linear in corpus + candidates.
+    *
+    * The intersect carries the required-overlap early exit
+    * ([[graft.functions.SortedIntersectAtLeast]]): J ≥ t ⟺
+    * I ≥ t/(1+t)·(|a|+|b|), so a failing pair bails the moment the
+    * remaining elements cannot reach that bound (returns -1 → filtered;
+    * the usual 1e-9 ceil slack only ever loosens the bound, and the
+    * exact `jaccard >= threshold` filter still runs on survivors). */
   private def verifyJaccard(cands: DataFrame, hashed: DataFrame, threshold: Double): DataFrame =
     cands
       .join(hashed.select(col("id").as("id_a"), col("sz").as("sz_a"), col("hs").as("hs_a"))
         .hint("shuffle_merge"), "id_a")
       .join(hashed.select(col("id").as("id_b"), col("sz").as("sz_b"), col("hs").as("hs_b"))
         .hint("shuffle_merge"), "id_b")
-      .withColumn("inter", graft.functions.fx.sortedIntersectCount(col("hs_a"), col("hs_b")))
+      .withColumn("inter", graft.functions.fx.sortedIntersectAtLeast(
+        col("hs_a"), col("hs_b"),
+        ceil(lit(threshold / (1.0 + threshold)) * (col("sz_a") + col("sz_b")) - lit(1e-9))))
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
+      .filter(col("inter") >= 0 && col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
   /** Full near-dup pipeline: LSH candidates verified with exact

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions (with codegen) for the hot inner loops
   * of the dedup/similarity operators. Both are order-preserving scalar
@@ -70,6 +71,79 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[SortedIntersectCount]] with a required-overlap early exit: returns
+  * the exact intersection count when it is ≥ `required`, or -1 the
+  * moment `count-so-far + min(remaining_a, remaining_b)` drops below
+  * `required` (the true count is then provably < required, so a
+  * `inter >= required` filter downstream sees identical survivors).
+  * This is the PPJoin verify-stage bound: with Jaccard ≥ t ⟺
+  * intersection ≥ t/(1+t)·(|a|+|b|), most FAILING candidate pairs bail
+  * after a few dozen elements instead of walking both arrays — the
+  * verify stage's cost concentrates on near-qualifying pairs only.
+  * Inputs MUST be sorted and deduplicated; `required` is evaluated
+  * per row (it depends on the pair's sizes). */
+case class SortedIntersectAtLeast(left: Expression, right: Expression, required: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = left
+  override def second: Expression = right
+  override def third: Expression = required
+
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val arraysOk = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    })
+    if (arraysOk && required.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_at_least expects (array<bigint>, array<bigint>, int), " +
+        s"got (${left.dataType}, ${right.dataType}, ${required.dataType})")
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any, req: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val need = req.asInstanceOf[Int]
+    var i = 0; var j = 0; var c = 0
+    val an = a.numElements(); val bn = b.numElements()
+    while (i < an && j < bn) {
+      if (c + math.min(an - i, bn - j) < need) return -1
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    if (c < need) -1 else c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, req) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val an = ctx.freshName("an"); val bn = ctx.freshName("bn")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val c = ctx.freshName("c"); val rem = ctx.freshName("rem")
+      s"""
+         |int $i = 0, $j = 0, $c = 0;
+         |final int $an = $a.numElements(), $bn = $b.numElements();
+         |while ($i < $an && $j < $bn) {
+         |  final int $rem = ($an - $i < $bn - $j) ? ($an - $i) : ($bn - $j);
+         |  if ($c + $rem < $req) { $c = -1; break; }
+         |  final long $x = $a.getLong($i);
+         |  final long $y = $b.getLong($j);
+         |  if ($x == $y) { $c++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = ($c < $req) ? -1 : $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(left = newFirst, right = newSecond, required = newThird)
+}
+
 /** Dot product of two equal-length arrays of doubles — a tight fused
   * loop instead of zip_with + aggregate (which materializes an
   * intermediate array per row). Sequential left-to-right accumulation,
@@ -116,6 +190,138 @@ case class VecDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Single-pass n-gram kernels shared by [[CharNgrams]] / [[WordNgrams]]
+  * interpreted eval and their generated code (whole-stage codegen calls
+  * these via the Scala static forwarders, exactly like Spark's own
+  * expressions call UTF8String statics).
+  *
+  * Why these exist: the higher-order-function form
+  * `array_distinct(transform(sequence(...), i => substr(i, n)))` is
+  * interpreted per element (HigherOrderFunction is CodegenFallback) and
+  * `substr(i, n)` rescans the string from byte 0 to find code point `i`
+  * — O(L²) work per document plus per-element boxing. These kernels do
+  * one forward pass (code-point offsets computed once), O(L·n) bytes
+  * copied, distinct via an order-preserving hash set: measured ~30 s →
+  * sub-second per corpus pass on the sf0.1 documents fixture. */
+object NgramImpl {
+
+  /** Distinct character n-grams of `s`, first-occurrence order —
+    * byte-identical to `array_distinct(transform(sequence(1,
+    * greatest(len-n+1, 1)), i => substr(s, i, n)))`, including the
+    * short-string edge: a string with fewer than `n` chars yields one
+    * shingle, the whole string (and "" yields [""]). */
+  def charNgrams(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val numBytes = bytes.length
+    // code-point start offsets in ONE pass (vs substr's per-call scan)
+    val starts = new Array[Int](s.numChars() + 1)
+    var i = 0
+    var c = 0
+    while (i < numBytes) {
+      starts(c) = i
+      c += 1
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+    }
+    starts(c) = numBytes
+    val m = math.max(c - n + 1, 1)
+    val seen = new java.util.LinkedHashSet[UTF8String](math.max(m * 2, 8))
+    var k = 0
+    while (k < m) {
+      val from = starts(k)
+      val until = starts(math.min(k + n, c))
+      seen.add(UTF8String.fromBytes(bytes, from, until - from))
+      k += 1
+    }
+    new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size)))
+  }
+
+  /** Distinct word n-grams (tokens joined by a single space),
+    * first-occurrence order — byte-identical to the
+    * split/slice/concat_ws form over an already lower+trimmed string:
+    * tokens are maximal runs of non-whitespace (Java regex `\s` class:
+    * space, tab, LF, VT, FF, CR — same class `split` uses), and fewer
+    * than `n` tokens yields an empty array. */
+  def wordNgrams(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    val L = str.length
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < L) {
+      while (i < L && isSplitSpace(str.charAt(i))) i += 1
+      val st = i
+      while (i < L && !isSplitSpace(str.charAt(i))) i += 1
+      if (i > st) toks.add(str.substring(st, i))
+    }
+    val t = toks.size
+    if (t < n) return new GenericArrayData(new Array[AnyRef](0))
+    val seen = new java.util.LinkedHashSet[UTF8String](math.max((t - n + 1) * 2, 8))
+    val sb = new java.lang.StringBuilder()
+    var k = 0
+    while (k <= t - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.get(k + j))
+        j += 1
+      }
+      seen.add(UTF8String.fromString(sb.toString))
+      k += 1
+    }
+    new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size)))
+  }
+
+  private def isSplitSpace(ch: Char): Boolean =
+    ch == ' ' || ch == '\t' || ch == '\n' || ch == '\u000B' || ch == '\f' || ch == '\r'
+}
+
+/** Distinct character n-grams in one pass — see [[NgramImpl.charNgrams]]
+  * for the exact semantics contract. Stays inside whole-stage codegen:
+  * the generated code is a single static call. */
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"char n-gram width must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"char_ngrams expects a string input, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    NgramImpl.charNgrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.NgramImpl.charNgrams($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct word n-grams in one pass — see [[NgramImpl.wordNgrams]] for
+  * the exact semantics contract. */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"word n-gram width must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams expects a string input, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    NgramImpl.wordNgrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.NgramImpl.wordNgrams($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object fx {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
@@ -126,6 +332,19 @@ object fx {
   /** Column API for [[VecDotProduct]]. */
   def vecDot(a: Column, b: Column): Column =
     column(VecDotProduct(expression(a), expression(b)))
+
+  /** Column API for [[SortedIntersectAtLeast]]. */
+  def sortedIntersectAtLeast(a: Column, b: Column, required: Column): Column =
+    column(SortedIntersectAtLeast(expression(a), expression(b),
+      expression(required.cast("int"))))
+
+  /** Column API for [[CharNgrams]]. */
+  def charNgrams(text: Column, n: Int): Column =
+    column(CharNgrams(expression(text), n))
+
+  /** Column API for [[WordNgrams]]. */
+  def wordNgrams(text: Column, n: Int): Column =
+    column(WordNgrams(expression(text), n))
 
   /** Column API for [[TopKByScore]] (aggregate): top `k` (score, id)
     * pairs per group, best first, map-side combinable. The id column

