@@ -976,6 +976,16 @@ object SparkEntry {
         md5(col("chunk_text")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** Paragraph/segment-level exact dedup ([[Dedup.segmentDedup]] —
+    * the MassiveText/CCNet repeated-paragraph pass): 16-token windows,
+    * first corpus-wide occurrence wins, documents reassembled from
+    * surviving segments. md5 of the rebuilt text gates the whole
+    * split→winner→reassemble pipeline. */
+  private def textPardedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.segmentDedup(t(s, dir, "documents"), segTokens = 16)
+      .select(col("doc_id"), col("n_segments"), md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+
   // ======================================================================
   // Multimodal (north-star; stub decode, real plumbing)
   // ======================================================================
@@ -1201,6 +1211,7 @@ object SparkEntry {
     "text_decontam" -> (textDecontam(_, _)),
     "text_filter" -> (textFilter(_, _)),
     "text_chunk" -> (textChunk(_, _)),
+    "text_pardedup" -> (textPardedup(_, _)),
     "text_repetition" -> (textRepetition(_, _)),
     "text_lmscore" -> (textLmScore(_, _)),
     "text_tfidf" -> (textTfidf(_, _)),
@@ -1898,6 +1909,20 @@ object SparkEntry {
          |       CAST(len(ts[CAST(st AS INT):CAST(st + 63 AS INT)]) AS BIGINT) AS n_chunk_tokens,
          |       md5(array_to_string(ts[CAST(st AS INT):CAST(st + 63 AS INT)], ' ')) AS chunk_md5
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "text_pardedup" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS ts FROM documents),
+         |c AS (SELECT doc_id, ts,
+         |             unnest(generate_series(1, greatest(len(ts), 1), 16)) AS st
+         |      FROM t),
+         |s AS (SELECT doc_id, CAST((st - 1) // 16 AS INT) AS idx,
+         |             array_to_string(ts[CAST(st AS INT):CAST(st + 15 AS INT)], ' ') AS seg
+         |      FROM c),
+         |k AS (SELECT doc_id, idx, seg,
+         |             row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) AS rn
+         |      FROM s)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+         |       md5(string_agg(seg, ' ' ORDER BY idx)) AS text_md5
+         |FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id AS media_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

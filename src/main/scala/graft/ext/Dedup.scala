@@ -70,6 +70,45 @@ object Dedup {
     batch.join(keep.hint("shuffle_merge"), Seq(idCol), "left_semi")
   }
 
+  /** SEGMENT-level exact dedup — the paragraph-dedup pass every web
+    * corpus runs (MassiveText/CCNet drop repeated paragraphs;
+    * boilerplate headers/footers recur across millions of pages):
+    * split each document into fixed `segTokens`-token windows
+    * ([[Text.chunk]] with zero overlap — the fixture text has no
+    * newline structure, so the window IS the paragraph unit; a real
+    * corpus would pass a `\n\n`-split segment frame through the same
+    * winners/reassembly tail), keep only the FIRST corpus-wide
+    * occurrence of each distinct segment (min (doc, position) order),
+    * and reassemble each document from its surviving segments.
+    * Documents reduced to zero segments drop out entirely.
+    *
+    * 100 TB shape — built to survive boilerplate skew: the winner per
+    * segment is chosen with a map-side-combinable `min(struct(id,
+    * idx))` aggregation on the segment HASH (32-byte keys; a segment
+    * duplicated a million times combines to one row per map task
+    * before the shuffle — a `Window.partitionBy(hash)` here would
+    * funnel all copies into one task). Segment text shuffles exactly
+    * once, keyed by (id, idx), for the survivor semi join + per-doc
+    * reassembly; both joins are pinned shuffle-merge (winners is
+    * corpus-sized — one row per distinct segment — and must never
+    * broadcast). Reassembly orders deterministically via
+    * array_sort over (idx, text) structs, not collect_list order. */
+  def segmentDedup(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", segTokens: Int = 16): DataFrame = {
+    val segs = Text.chunk(docs, idCol, textCol, chunkTokens = segTokens, overlap = 0)
+      .withColumn("__h", fingerprintMd5(col("chunk_text")))
+    val winners = segs.groupBy("__h")
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("__w"))
+      .select(col("__w")(idCol).as(idCol), col("__w")("chunk_idx").as("chunk_idx"))
+    segs.join(winners.hint("shuffle_merge"), Seq(idCol, "chunk_idx"), "left_semi")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_segments"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+            x => x("chunk_text"))).as(textCol))
+  }
+
   // -------------------------------------------------------- 2. minhash LSH
 
   /** Per-doc MinHash signatures as k columns `m0..m{k-1}`.

@@ -546,6 +546,27 @@ class ExtSpec extends AnyFunSuite {
     assert(chunks.filter(_._1 == 2L).map(_._3).toSeq == Seq("a b"))
   }
 
+  test("segmentDedup keeps first occurrence per segment and reassembles in order") {
+    import spark.implicits._
+    // doc 1: two distinct 2-token segments; doc 2: exact copy of doc 1
+    // (every segment already seen → doc 2 vanishes); doc 3: repeats
+    // doc 1's FIRST segment then adds a fresh one (partial survival,
+    // and reassembly must keep the surviving segment's position order).
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d"),
+      (3L, "a b e f")).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, segTokens = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq((1L, 2L, "a b c d"), (3L, 1L, "e f")))
+    // idempotence: a deduped corpus has no repeated segments left
+    val again = Dedup.segmentDedup(
+      Seq((1L, "a b c d"), (3L, "e f")).toDF("doc_id", "text"), segTokens = 2)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(again.toSeq == Seq((1L, "a b c d"), (3L, "e f")))
+  }
+
   test("pointInInterval equals the naive inequality join across bin widths") {
     import spark.implicits._
     import graft.operators.RangeJoin
