@@ -976,6 +976,41 @@ object SparkEntry {
         md5(col("chunk_text")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** Time-series gap-fill ([[graft.ext.TimeSeries.resampleLocf]]):
+    * purchase events for users < 40 resampled to an hourly grid with
+    * LOCF. Per-bucket sums are rounded AFTER the carry-forward (both
+    * engines copy the same unrounded double, so rounding once at the
+    * end is exact). */
+  private def tsGapfill(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TimeSeries.resampleLocf(
+        t(s, dir, "events").filter(col("event_type") === "purchase" && col("user_id") < 40),
+        "user_id", "ts", sum(col("value")), stepSeconds = 3600L)
+      .select(col("user_id"), col("bucket_ts"),
+        round(col("value_filled"), 4).as("value_filled"), col("is_observed"))
+      .orderBy("user_id", "bucket_ts")
+
+  /** Vocabulary-building + tokenization to ids ([[Text.buildVocab]] /
+    * [[Text.tokensToIds]]): top-20 corpus vocabulary (the ~31-word
+    * fixture vocabulary guarantees real OOV hits at id 0), every
+    * document mapped to its id sequence; the md5 of the joined
+    * sequence gates ranking, tie-breaks, OOV handling, and positional
+    * reassembly at once. */
+  private def textVocabIds(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = Text.buildVocab(docs, v = 20)
+    Text.tokensToIds(docs, vocab)
+      .select(col("doc_id"), size(col("token_ids")).cast("long").as("n_tokens"),
+        col("n_oov"),
+        md5(concat_ws(",", transform(col("token_ids"), _.cast("string")))).as("ids_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** BM25 retrieval scoring ([[Text.bm25]]) of the corpus against a
+    * 3-term query; Okapi k1=1.2, b=0.75 defaults. */
+  private def textBm25(s: SparkSession, dir: String): DataFrame =
+    Text.bm25(t(s, dir, "documents"), Seq("table", "spark", "query"))
+      .orderBy("doc_id")
+
   /** Paragraph/segment-level exact dedup ([[Dedup.segmentDedup]] —
     * the MassiveText/CCNet repeated-paragraph pass): 16-token windows,
     * first corpus-wide occurrence wins, documents reassembled from
@@ -1141,6 +1176,18 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_users"))
       .orderBy("event_type")
 
+  /** Stream-stream interval join ([[Stream.runStreamJoinOnce]]):
+    * clicks joined to same-user purchases within the following 2
+    * hours, through the real micro-batch engine with watermark-bounded
+    * join state on both sides. Values are raw doubles (per-row, no
+    * aggregation — bit-exact cross-engine). */
+  private def streamJoin(s: SparkSession, dir: String): DataFrame =
+    Stream.runStreamJoinOnce(s, s"${dir.stripSuffix("/")}/events.parquet",
+        col("event_type") === "click", col("event_type") === "purchase")
+      .select(col("l_id").as("click_id"), col("r_id").as("purchase_id"),
+        col("l_key").as("user_id"), col("r_value").as("purchase_value"))
+      .orderBy("click_id", "purchase_id")
+
   // ======================================================================
   // Contract maps
   // ======================================================================
@@ -1212,6 +1259,9 @@ object SparkEntry {
     "text_filter" -> (textFilter(_, _)),
     "text_chunk" -> (textChunk(_, _)),
     "text_pardedup" -> (textPardedup(_, _)),
+    "text_bm25" -> (textBm25(_, _)),
+    "text_vocab_ids" -> (textVocabIds(_, _)),
+    "ts_gapfill" -> (tsGapfill(_, _)),
     "text_repetition" -> (textRepetition(_, _)),
     "text_lmscore" -> (textLmScore(_, _)),
     "text_tfidf" -> (textTfidf(_, _)),
@@ -1232,6 +1282,7 @@ object SparkEntry {
     "stream_late" -> (streamLate(_, _)),
     "stream_dedup" -> (streamDedup(_, _)),
     "stream_enrich" -> (streamEnrich(_, _)),
+    "stream_join" -> (streamJoin(_, _)),
     "unload_sorted" -> (unloadSorted(_, _))
   )
 
@@ -1909,6 +1960,50 @@ object SparkEntry {
          |       CAST(len(ts[CAST(st AS INT):CAST(st + 63 AS INT)]) AS BIGINT) AS n_chunk_tokens,
          |       md5(array_to_string(ts[CAST(st AS INT):CAST(st + 63 AS INT)], ' ')) AS chunk_md5
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "text_bm25" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS ts FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl FROM t),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+         |tok AS (SELECT doc_id, unnest(ts) AS tok FROM t),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM tok
+         |       WHERE tok IN ('table', 'spark', 'query') GROUP BY doc_id, tok),
+         |df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok)
+         |SELECT tf.doc_id,
+         |       round(sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+         |         * (tf.tf * (1.2 + 1))
+         |         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 4) AS bm25,
+         |       CAST(count(*) AS BIGINT) AS n_terms
+         |FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+         |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
+    "ts_gapfill" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 3600 * 3600 AS b, value
+        |  FROM events WHERE event_type = 'purchase' AND user_id < 40),
+        |a AS (SELECT user_id, b, sum(value) AS v FROM e GROUP BY 1, 2),
+        |s AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM a GROUP BY 1),
+        |g AS (SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS b FROM s),
+        |j AS (SELECT g.user_id, g.b, a.v FROM g LEFT JOIN a USING (user_id, b))
+        |SELECT user_id, make_timestamp(b * 1000000) AS bucket_ts,
+        |       round(last_value(v IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY b), 4) AS value_filled,
+        |       v IS NOT NULL AS is_observed
+        |FROM j ORDER BY user_id, b""".stripMargin,
+    "text_vocab_ids" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS ts FROM documents),
+         |tok AS (SELECT doc_id, unnest(ts) AS token FROM t),
+         |freq AS (SELECT token, count(*) AS freq FROM tok GROUP BY token),
+         |vocab AS (SELECT token,
+         |                 row_number() OVER (ORDER BY freq DESC, token ASC) AS id
+         |          FROM freq ORDER BY freq DESC, token ASC LIMIT 20),
+         |pos AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS p FROM t),
+         |ids AS (SELECT x.doc_id, x.p, coalesce(v.id, 0) AS tid
+         |        FROM (SELECT doc_id, p, ts[CAST(p AS INT)] AS token FROM pos) x
+         |        LEFT JOIN vocab v USING (token))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |       md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY p)) AS ids_md5
+         |FROM ids GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_pardedup" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS ts FROM documents),
          |c AS (SELECT doc_id, ts,
@@ -2003,6 +2098,14 @@ object SparkEntry {
       """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
         |       count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
-        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "stream_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+        |       a.user_id, b.value AS purchase_value
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin
   )
 }

@@ -258,6 +258,92 @@ object Text {
           .as("tfidf"))
   }
 
+  /** BM25 relevance score of every document against a fixed term set —
+    * the classic retrieval/quality-ranking primitive (Robertson-Spärck
+    * Jones idf with the +1 floor, Okapi tf saturation). Emits one row
+    * per document containing at least one query term: the summed score
+    * plus the matched-term count.
+    *
+    * Corpus-scale shape: the term filter is a literal `isin` predicate
+    * applied right after the explode (no join — the token stream
+    * shrinks to query-term hits before anything shuffles); per-(doc,
+    * term) tf and per-term df are map-side-combinable aggregations; df
+    * (≤ |terms| rows) and the (N, avgdl) scalar attach by broadcast;
+    * the doc-length side is corpus-sized and joins shuffle-merge on
+    * the id key — only (id, dl) pairs move, never text.
+    *
+    * Cross-engine exactness: dl and the corpus token total are
+    * integer-valued doubles, so avgdl is a single exact-sum division —
+    * bit-identical; ln() carries the usual 1-ulp hazard and the
+    * per-doc sum is order-dependent, so the score is rounded to 4
+    * (repo float rule). */
+  def bm25(docs: DataFrame, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75,
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val dl = docs.select(col(idCol), tokenCount(col(textCol)).cast("double").as("__dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("__n"), avg("__dl").as("__avgdl"))
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok").isin(terms: _*))
+      .groupBy(idCol, "__tok").agg(count(lit(1)).cast("double").as("__tf"))
+    val dfreq = tf.groupBy("__tok").agg(count(lit(1)).cast("double").as("__df"))
+    tf.join(broadcast(dfreq), "__tok")
+      .crossJoin(broadcast(stats))
+      .join(dl.hint("shuffle_merge"), idCol)
+      .withColumn("__idf",
+        log(lit(1) + (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))))
+      .withColumn("__term_score",
+        col("__idf") * (col("__tf") * (lit(k1) + lit(1))) /
+          (col("__tf") + lit(k1) * (lit(1) - lit(b) + lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy(idCol)
+      .agg(round(sum("__term_score"), 4).as("bm25"),
+        count(lit(1)).as("n_terms"))
+  }
+
+  /** Top-`v` vocabulary over the corpus: tokens ranked by (frequency
+    * desc, token asc — the tie-break makes the cut deterministic),
+    * assigned ids 1..v in rank order. Id 0 is reserved for OOV by
+    * [[tokensToIds]].
+    *
+    * Scale shape: one explode → token-keyed count aggregation
+    * (vocabulary-sized output, ≪ corpus), then orderBy+limit — a
+    * TakeOrdered, not a global sort. The id-assigning window IS a
+    * single-partition sort, but it runs on ≤ v rows: a vocabulary is
+    * small by contract (it must fit in every executor for the
+    * broadcast tokenization join downstream). */
+  def buildVocab(docs: DataFrame, v: Int,
+                 textCol: String = "text"): DataFrame = {
+    require(v > 0, s"vocab size must be positive, got $v")
+    val ranked = docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(v)
+    ranked.withColumn("id",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("freq").desc, col("token").asc)))
+  }
+
+  /** Tokenize every document to its id sequence under `vocab` (a
+    * (token, id) frame from [[buildVocab]]); out-of-vocabulary tokens
+    * map to 0. Emits (id, token_ids array); documents with zero
+    * tokens produce no row (posexplode of an empty array).
+    *
+    * Scale shape: posexplode → broadcast join on the token (the vocab
+    * is small by contract), then ONE keyed shuffle on the doc id to
+    * reassemble; ordering is restored via array_sort over (pos, id)
+    * structs, never collect_list order. Document text never shuffles —
+    * only (id, pos, token-id) triples. */
+  def tokensToIds(docs: DataFrame, vocab: DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("__pos", "token")))
+      .join(broadcast(vocab.select(col("token"), col("id").as("__tid"))), Seq("token"), "left")
+      .withColumn("__tid", coalesce(col("__tid"), lit(0)))
+      .groupBy(idCol)
+      .agg(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__tid")))),
+          x => x("__tid")).as("token_ids"),
+        sum(when(col("__tid") === 0, 1L).otherwise(0L)).as("n_oov"))
+
   /** Add all text-analysis columns to a documents dataframe.
     *
     * Language ID routes through the corpus-scale [[langIdDf]] join when

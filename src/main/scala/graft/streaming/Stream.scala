@@ -249,6 +249,63 @@ object Stream {
     spark.table(queryName)
   }
 
+  /** STREAM-STREAM inner join through the real micro-batch engine:
+    * two live streams (left/right predicates over the same events
+    * source — e.g. clicks vs purchases), equi-keyed on `keyCol`, with
+    * the right event constrained to [left.ts, left.ts + within]. Both
+    * sides carry watermarks, which together with the time-interval
+    * condition bound the join state: left rows expire once the right
+    * watermark passes left.ts + within, right rows once the left
+    * watermark passes right.ts — the only posture under which two
+    * unbounded streams can join forever. Output: one row per matched
+    * (left, right) pair, append mode.
+    *
+    * Determinism contract: an append inner join emits exactly the
+    * pairs both batches contain; with the whole fixture in one
+    * micro-batch (single-file source under AvailableNow) the emitted
+    * set equals the batch join — which is what the stream_join oracle
+    * recomputes. Multi-batch input stays correct for pairs within the
+    * watermark bound but can DROP cross-batch pairs farther apart in
+    * event time than `lateness` — same single-batch caveat as
+    * [[runDedupOnce]].
+    *
+    * 100 TB shape: both streams shuffle on the join key once;
+    * interval filtering happens inside the keyed state store, never as
+    * a cross product. */
+  def runStreamJoinOnce(spark: SparkSession, path: String,
+      leftPred: org.apache.spark.sql.Column, rightPred: org.apache.spark.sql.Column,
+      keyCol: String = "user_id", within: String = "2 hours",
+      lateness: String = "2 hours",
+      queryName: String = "graft_stream_join"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema: StructType = spark.read.parquet(path).schema
+    val p = new org.apache.hadoop.fs.Path(path)
+    def side(pred: org.apache.spark.sql.Column, tag: String): DataFrame = {
+      val s0 = spark.readStream.schema(schema)
+        .option("pathGlobFilter", p.getName)
+        .parquet(p.getParent.toString)
+      val s =
+        if (s0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          s0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else s0
+      s.filter(pred).withWatermark("ts", lateness)
+        .select(col("event_id").as(s"${tag}_id"), col(keyCol).as(s"${tag}_key"),
+          col("ts").as(s"${tag}_ts"), col("value").as(s"${tag}_value"))
+    }
+    val joined = side(leftPred, "l").join(side(rightPred, "r"),
+      col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Run streaming exact dedup over the events file through the REAL
     * streaming engine (micro-batches + state store) and return the
     * emitted first-occurrence rows. Uses

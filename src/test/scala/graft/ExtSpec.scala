@@ -567,6 +567,42 @@ class ExtSpec extends AnyFunSuite {
     assert(again.toSeq == Seq((1L, "a b c d"), (3L, "e f")))
   }
 
+  test("resampleLocf fills every grid bucket and carries the last observation forward") {
+    import spark.implicits._
+    import graft.ext.TimeSeries
+    // key 1: obs at 00:00 (v=1) and 03:00 (v=7) → grid 00,01,02,03 with
+    // 01/02 carrying 1.0; key 2: single obs → single grid row
+    val df = Seq(
+      (1L, "2024-01-01 00:10:00", 1.0),
+      (1L, "2024-01-01 03:20:00", 7.0),
+      (2L, "2024-01-02 05:00:00", 4.0)
+    ).toDF("k", "tss", "value").withColumn("ts", col("tss").cast("timestamp"))
+    val out = TimeSeries.resampleLocf(df, "k", "ts", sum(col("value")), 3600L)
+      .orderBy("k", "bucket_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getDouble(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (1L, "2024-01-01 00:00:00.0", 1.0, true),
+      (1L, "2024-01-01 01:00:00.0", 1.0, false),
+      (1L, "2024-01-01 02:00:00.0", 1.0, false),
+      (1L, "2024-01-01 03:00:00.0", 7.0, true),
+      (2L, "2024-01-02 05:00:00.0", 4.0, true)))
+  }
+
+  test("buildVocab ranks deterministically and tokensToIds maps OOV to 0 in position order") {
+    import spark.implicits._
+    val df = Seq((1L, "b a b c a b"), (2L, "z b")).toDF("doc_id", "text")
+    val vocab = Text.buildVocab(df, v = 2)
+    // freq: b=4, a=2, c=1, z=1 → vocab b→1, a→2 (c/z cut)
+    assert(vocab.orderBy("id").collect().map(r => (r.getString(0), r.getInt(2))).toSeq ==
+      Seq(("b", 1), ("a", 2)))
+    val ids = Text.tokensToIds(df, vocab).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toList, r.getLong(2)))
+    assert(ids.toSeq == Seq(
+      (1L, List(1, 2, 1, 0, 2, 1), 1L),
+      (2L, List(0, 1), 1L)))
+  }
+
   test("pointInInterval equals the naive inequality join across bin widths") {
     import spark.implicits._
     import graft.operators.RangeJoin
