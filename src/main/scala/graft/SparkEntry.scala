@@ -976,6 +976,18 @@ object SparkEntry {
         md5(col("chunk_text")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** Product-quantization encode ([[Similarity.pqEncode]]): 64-dim
+    * vectors → 8 codebook ids (8-dim subspaces, k=16 codebook from the
+    * first 16 corpus vectors — the fixture's vec_id 0..15). Squared-L2
+    * distances are fixed-order IEEE chains, so the code assignment is
+    * hash-gated with no rounding. */
+  private def embPq(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqEncode(t(s, dir, "embeddings"))
+      .select(col("vec_id"),
+        md5(concat_ws(",", transform(col("codes"), _.cast("string")))).as("codes_md5"),
+        aggregate(col("codes"), lit(0L), (a, x) => a + x).as("codes_sum"))
+      .orderBy("vec_id")
+
   /** Time-series gap-fill ([[graft.ext.TimeSeries.resampleLocf]]):
     * purchase events for users < 40 resampled to an hourly grid with
     * LOCF. Per-bucket sums are rounded AFTER the carry-forward (both
@@ -1262,6 +1274,7 @@ object SparkEntry {
     "text_bm25" -> (textBm25(_, _)),
     "text_vocab_ids" -> (textVocabIds(_, _)),
     "ts_gapfill" -> (tsGapfill(_, _)),
+    "emb_pq" -> (embPq(_, _)),
     "text_repetition" -> (textRepetition(_, _)),
     "text_lmscore" -> (textLmScore(_, _)),
     "text_tfidf" -> (textTfidf(_, _)),
@@ -1441,6 +1454,29 @@ object SparkEntry {
       |  FROM scored)
       |SELECT query_id, CAST(rank AS INT) AS rank, nbr_id, cosine
       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** emb_pq oracle: recompute every (vector, subspace) code by brute
+    * argmin over the 16-row codebook (vec_id < 16 ≡ the first 16 by
+    * id). The squared-L2 chain is generated with the SAME left-assoc
+    * term order the Spark expression uses, so distances — and thus
+    * codes, ties included — are bit-identical with no rounding. */
+  private val embPqSql: String = {
+    val dsub = 8
+    val dist = (1 to dsub).map { j =>
+      val t = s"(CAST(e.embedding[g.s*$dsub+$j] AS DOUBLE) - CAST(c.embedding[g.s*$dsub+$j] AS DOUBLE))"
+      s"$t * $t"
+    }.mkString(" + ")
+    s"""WITH cb AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 16),
+       |d AS (SELECT e.vec_id, c.cid, g.s, $dist AS dist
+       |      FROM embeddings e CROSS JOIN cb c
+       |      CROSS JOIN generate_series(0, 7) AS g(s)),
+       |r AS (SELECT vec_id, s, cid,
+       |             row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
+       |      FROM d)
+       |SELECT vec_id, md5(string_agg(CAST(cid AS VARCHAR), ',' ORDER BY s)) AS codes_md5,
+       |       CAST(sum(cid) AS BIGINT) AS codes_sum
+       |FROM r WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
 
   private def langidSql: String = {
     val langs = Text.stopwords.toSeq.sortBy(_._1)
@@ -1975,6 +2011,7 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS n_terms
          |FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
          |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
+    "emb_pq" -> embPqSql,
     "ts_gapfill" ->
       """WITH e AS (
         |  SELECT user_id,

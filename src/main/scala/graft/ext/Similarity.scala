@@ -243,6 +243,65 @@ object Similarity {
         array_sort(collect_list(struct(col("dim"), col("mean")))),
         s => s.getField("mean")).as("centroid"))
 
+  /** Product-quantization encode: split each `dim`-dimensional vector
+    * into `m` contiguous subvectors and replace each with the id of
+    * its nearest codebook entry (squared-L2, ties to the lowest id) —
+    * the memory-compression step every billion-vector ANN index runs
+    * (64 floats → m bytes here; Jégou et al., TPAMI 2011). The
+    * codebook is the subvector slices of the first `k` corpus vectors
+    * by id: deterministic and reproducible with zero training — swap
+    * in per-subspace [[kmeansCentroids]] output for a trained
+    * codebook; the encode plan is identical.
+    *
+    * 100 TB shape: the codebook is k·dim doubles (bounded, collected
+    * once — the same eager-read contract as [[firstNCentroids]]); the
+    * encode itself is a pure PROJECTION — m unrolled `least()`
+    * argmins over k literal-distance structs per row, no shuffle, no
+    * join, no lambda. At m=8, k=16 the generated method exceeds the
+    * 64 KB whole-stage-codegen limit, so Spark runs it as a
+    * standalone expression-split codegen'd projection (a logged WARN
+    * with a plan dump, not fused with the scan) — still compiled, and
+    * the cost is constant per row regardless of corpus size. Encoded
+    * codes shuffle-free replace 4·dim bytes/vector with m ints.
+    *
+    * Cross-engine exactness: each distance is a fixed left-assoc chain
+    * of (float→double subtract, square, add) — bit-identical IEEE on
+    * both engines, so code assignment (including ties, broken by
+    * codebook id) is hash-oracle-able with NO rounding. */
+  def pqEncode(
+      emb: DataFrame,
+      m: Int = 8,
+      k: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val dim = emb.select(size(col(vecCol)).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        "pqEncode: corpus is empty — cannot derive a codebook"))
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val codebook: Seq[(Long, Seq[Double])] = emb.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long"),
+        transform(col(vecCol), _.cast("double")))
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(codebook.size == k,
+      s"pqEncode: corpus has ${codebook.size} vectors, need k=$k for the codebook")
+    def subDist(vec: Column, base: Int, cv: Seq[Double]): Column =
+      cv.zipWithIndex.map { case (c, j) =>
+        val d = element_at(vec, base + j + 1).cast("double") - lit(c)
+        d * d
+      }.reduceLeft(_ + _)
+    val codes = (0 until m).map { s =>
+      val ss = codebook.map { case (cid, cv) =>
+        struct(subDist(col(vecCol), s * dsub, cv.slice(s * dsub, (s + 1) * dsub)).as("d"),
+          lit(cid.toInt).as("cid"))
+      }
+      (if (ss.size == 1) ss.head else least(ss: _*)).getField("cid")
+    }
+    emb.select(col(idCol), array(codes: _*).as("codes"))
+  }
+
   /** Signed-random-projection LSH signatures as `sig:
     * array<bigint>` (⌈nbits/64⌉ words, bit b at word b/64, offset
     * b%64): `nbits` pseudo-random ±1 hyperplanes, deterministic per
