@@ -355,6 +355,55 @@ object SparkEntry {
         round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"))
       .orderBy("l_returnflag")
 
+  /** FULL OUTER join with both-side null fill: nations holding
+    * top-balance customers vs nations holding low-balance suppliers —
+    * the thresholds make BOTH sides sparse at sf0.01, so unmatched
+    * rows survive from each side (coalesce picks whichever key is
+    * present). */
+  private def q31FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_acctbal") > 9900)
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_cust"))
+    val su = t(s, dir, "supplier").filter(col("s_acctbal") < 500)
+      .groupBy("s_nationkey").agg(count(lit(1)).as("n_supp"))
+    c.join(su, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).cast("long").as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  /** LATERAL explode with ordinality (posexplode ≡ UNNEST WITH
+    * ORDINALITY): one row per (doc, position, word). */
+  private def q32Lateral(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("doc_id") < 30)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+      .orderBy("doc_id", "pos")
+
+  /** Event-TIME RANGE window frame (not ROWS): per-user trailing
+    * 1-hour purchase total. Both engines order by the same truncated
+    * epoch seconds, so frame peers coincide exactly. */
+  private def q33RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("secs").rangeBetween(-3600, 0)
+    t(s, dir, "events").filter(col("event_type") === "purchase")
+      .withColumn("secs", unix_timestamp(col("ts")))
+      .select(col("event_id"), col("user_id"),
+        round(sum("value").over(w), 4).as("trailing_1h"))
+      .orderBy("event_id")
+  }
+
+  /** Several DISTINCT aggregates in one grouping (the Expand-based
+    * multi-distinct plan) mixed with plain aggregates. */
+  private def q34MultiDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+
   /** As-of (point-in-time) join: each event picks up the latest order
     * date of its user at-or-before the event time ([[graft.operators
     * .AsOfJoin]] — union + running-last window, ONE shuffle, no join
@@ -1235,6 +1284,10 @@ object SparkEntry {
     "q28_rank_funcs" -> (q28RankFuncs(_, _)),
     "q29_string_agg" -> (q29StringAgg(_, _)),
     "q30_percentiles" -> (q30Percentiles(_, _)),
+    "q31_full_outer" -> (q31FullOuter(_, _)),
+    "q32_lateral" -> (q32Lateral(_, _)),
+    "q33_range_frame" -> (q33RangeFrame(_, _)),
+    "q34_multi_distinct" -> (q34MultiDistinct(_, _)),
     "asof_join" -> (asofJoin(_, _)),
     "range_join" -> (rangeJoin(_, _)),
     "salted_join" -> (saltedJoin(_, _)),
@@ -2011,6 +2064,31 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS n_terms
          |FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
          |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
+    "q31_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS k, count(*) AS n_cust
+        |           FROM customer WHERE c_acctbal > 9900 GROUP BY 1),
+        |s AS (SELECT s_nationkey AS k, count(*) AS n_supp
+        |      FROM supplier WHERE s_acctbal < 500 GROUP BY 1)
+        |SELECT CAST(coalesce(c.k, s.k) AS BIGINT) AS nationkey,
+        |       coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c.k = s.k ORDER BY nationkey""".stripMargin,
+    "q32_lateral" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS ts FROM documents WHERE doc_id < 30),
+         |p AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS p1 FROM t)
+         |SELECT doc_id, CAST(p1 - 1 AS INT) AS pos, ts[CAST(p1 AS INT)] AS word
+         |FROM p ORDER BY doc_id, pos""".stripMargin,
+    "q33_range_frame" ->
+      """SELECT event_id, user_id,
+        |       round(sum(value) OVER (PARTITION BY user_id
+        |         ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS trailing_1h
+        |FROM events WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q34_multi_distinct" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_suppkey) AS n_supp,
+        |       count(DISTINCT l_partkey) AS n_part,
+        |       count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "emb_pq" -> embPqSql,
     "ts_gapfill" ->
       """WITH e AS (
