@@ -404,6 +404,140 @@ object SparkEntry {
         round(sum("l_quantity"), 2).as("sum_qty"))
       .orderBy("l_returnflag")
 
+  /** Higher-order array functions (transform / filter / aggregate /
+    * zip_with over a per-group collected array). The array is ordered
+    * by (line number, value) — array_sort on a (pos, value) struct ≡
+    * DuckDB's `list(x ORDER BY pos, x)`; the value tiebreak matters
+    * because fixture line numbers repeat within an order — so every
+    * derived scalar is deterministic; all arithmetic is integral. */
+  private def q35HigherOrder(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_list(struct(
+        col("l_linenumber").as("i"),
+        col("l_quantity").cast("long").as("q")))).as("pairs"))
+      .select(
+        col("l_orderkey"),
+        expr("transform(pairs, p -> p.q)").as("arr"))
+      .select(
+        col("l_orderkey"),
+        size(col("arr")).cast("long").as("n_items"),
+        expr("size(filter(arr, x -> x > 25))").cast("long").as("n_big"),
+        expr("aggregate(transform(arr, x -> x * 2L), 0L, (acc, x) -> acc + x)")
+          .as("doubled_sum"),
+        // position-weighted sum via zip_with against 1..n
+        expr("aggregate(zip_with(arr, sequence(1L, size(arr)), (x, i) -> x * i), 0L, (acc, x) -> acc + x)")
+          .as("pos_weighted"))
+      .orderBy("l_orderkey")
+
+  /** Recursive CTE (Spark 4.1 WITH RECURSIVE): walk each region's
+    * nation chain (edges = next-larger nation key within the region,
+    * built by a window in a non-recursive CTE) from the region's min
+    * nation, counting depth. The SQL text is engine-portable — the
+    * oracle runs the IDENTICAL statement. */
+  private val q36RecursiveSql =
+    """WITH RECURSIVE e AS (
+      |  SELECT n_regionkey, n_nationkey AS src,
+      |         lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+      |  FROM nation
+      |), roots AS (
+      |  SELECT n_regionkey, min(src) AS node FROM e GROUP BY n_regionkey
+      |), walk AS (
+      |  SELECT n_regionkey, node, 1 AS depth FROM roots
+      |  UNION ALL
+      |  SELECT w.n_regionkey, e.dst, w.depth + 1
+      |  FROM walk w JOIN e ON e.n_regionkey = w.n_regionkey AND e.src = w.node
+      |  WHERE e.dst IS NOT NULL
+      |)
+      |SELECT CAST(n_regionkey AS BIGINT) AS regionkey,
+      |       CAST(node AS BIGINT) AS nationkey,
+      |       CAST(depth AS BIGINT) AS depth
+      |FROM walk ORDER BY regionkey, depth""".stripMargin
+
+  private def q36Recursive(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(q36RecursiveSql)
+  }
+
+  /** Map construction + lookup: per-user event-type counts built as a
+    * MAP (map_from_entries over a collected (key, count) struct list)
+    * and then extracted with element_at — the map is exercised on the
+    * Spark side while the oracle states the same result relationally. */
+  private def q37MapAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(map_from_entries(collect_list(struct(col("event_type"), col("n"))))
+        .as("m"))
+      .select(
+        col("user_id"),
+        coalesce(element_at(col("m"), "click"), lit(0L)).as("n_click"),
+        coalesce(element_at(col("m"), "purchase"), lit(0L)).as("n_purchase"),
+        coalesce(element_at(col("m"), "error"), lit(0L)).as("n_error"))
+      .orderBy("user_id")
+
+  /** Conditional / boolean aggregates: count_if, bool_or, bool_and,
+    * and a guarded conditional sum, per nation over customers. */
+  private def q38CondAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(
+        expr("count_if(c_acctbal < 0)").as("n_debt"),
+        expr("bool_or(c_mktsegment = 'AUTOMOBILE')").as("any_auto"),
+        expr("bool_and(c_acctbal > -1000)").as("all_above"),
+        round(sum(when(col("c_acctbal") < 0, col("c_acctbal")).otherwise(lit(0.0))), 2)
+          .as("debt_sum"))
+      .orderBy("nationkey")
+
+  /** Distribution window functions: cume_dist, nth_value and
+    * last_value over an explicit unbounded ROWS frame. The ordering
+    * key (acctbal, name) is unique, so ranks and picked names are
+    * deterministic. */
+  private def q39Distribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_name")
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "customer").filter(col("c_custkey") <= 500)
+      .select(
+        col("c_mktsegment"), col("c_custkey"),
+        round(cume_dist().over(w), 6).as("cume"),
+        nth_value(col("c_name"), 3).over(wFull).as("third_name"),
+        last_value(col("c_name")).over(wFull).as("top_name"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  /** Inline VALUES lookup table (driver-local rows become a broadcast
+    * dim): per-priority order counts weighted by a literal table. */
+  private def q40ValuesJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val weights = Seq(
+      ("1-URGENT", 5L), ("2-HIGH", 4L), ("3-MEDIUM", 3L),
+      ("4-NOT SPECIFIED", 2L), ("5-LOW", 1L))
+      .toDF("o_orderpriority", "weight")
+    t(s, dir, "orders")
+      .join(broadcast(weights), "o_orderpriority")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("weight").as("weighted"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Array set algebra: per-segment sorted distinct nation list
+    * (collect_set → array_sort), its overlap with a literal array
+    * (array_intersect), and a string rendering (deterministic because
+    * sorted). */
+  private def q41ArrayOps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_nationkey").cast("long").as("nk"))
+      .groupBy("c_mktsegment")
+      .agg(array_sort(collect_set(col("nk"))).as("nations"))
+      .select(
+        col("c_mktsegment"),
+        size(col("nations")).cast("long").as("n_nations"),
+        size(array_intersect(col("nations"),
+          array((0L to 9L).map(lit): _*))).cast("long").as("n_low"),
+        array_join(expr("transform(nations, x -> cast(x as string))"), ",")
+          .as("nation_csv"))
+      .orderBy("c_mktsegment")
+
   /** As-of (point-in-time) join: each event picks up the latest order
     * date of its user at-or-before the event time ([[graft.operators
     * .AsOfJoin]] — union + running-last window, ONE shuffle, no join
@@ -1288,6 +1422,13 @@ object SparkEntry {
     "q32_lateral" -> (q32Lateral(_, _)),
     "q33_range_frame" -> (q33RangeFrame(_, _)),
     "q34_multi_distinct" -> (q34MultiDistinct(_, _)),
+    "q35_higher_order" -> (q35HigherOrder(_, _)),
+    "q36_recursive_cte" -> (q36Recursive(_, _)),
+    "q37_map_agg" -> (q37MapAgg(_, _)),
+    "q38_cond_agg" -> (q38CondAgg(_, _)),
+    "q39_distribution" -> (q39Distribution(_, _)),
+    "q40_values_join" -> (q40ValuesJoin(_, _)),
+    "q41_array_ops" -> (q41ArrayOps(_, _)),
     "asof_join" -> (asofJoin(_, _)),
     "range_join" -> (rangeJoin(_, _)),
     "salted_join" -> (saltedJoin(_, _)),
@@ -2089,6 +2230,60 @@ object SparkEntry {
         |       count(DISTINCT l_partkey) AS n_part,
         |       count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q35_higher_order" ->
+      """WITH a AS (
+        |  SELECT l_orderkey,
+        |         list(CAST(l_quantity AS BIGINT)
+        |              ORDER BY l_linenumber, CAST(l_quantity AS BIGINT)) AS arr
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |       CAST(len(arr) AS BIGINT) AS n_items,
+        |       CAST(len(list_filter(arr, x -> x > 25)) AS BIGINT) AS n_big,
+        |       CAST(list_sum(list_transform(arr, x -> x * 2)) AS BIGINT) AS doubled_sum,
+        |       CAST(list_sum(list_transform(generate_series(1, len(arr)),
+        |         i -> arr[CAST(i AS INT)] * i)) AS BIGINT) AS pos_weighted
+        |FROM a ORDER BY l_orderkey""".stripMargin,
+    "q36_recursive_cte" -> q36RecursiveSql,
+    "q37_map_agg" ->
+      """SELECT user_id,
+        |       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |       count(*) FILTER (WHERE event_type = 'error') AS n_error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q38_cond_agg" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |       count(*) FILTER (WHERE c_acctbal < 0) AS n_debt,
+        |       bool_or(c_mktsegment = 'AUTOMOBILE') AS any_auto,
+        |       bool_and(c_acctbal > -1000) AS all_above,
+        |       round(sum(CASE WHEN c_acctbal < 0 THEN c_acctbal ELSE 0 END), 2) AS debt_sum
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q39_distribution" ->
+      """SELECT c_mktsegment, c_custkey,
+        |       round(cume_dist() OVER w, 6) AS cume,
+        |       nth_value(c_name, 3) OVER wf AS third_name,
+        |       last_value(c_name) OVER wf AS top_name
+        |FROM customer WHERE c_custkey <= 500
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_name),
+        |       wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_name
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "q40_values_join" ->
+      """SELECT o_orderpriority, count(*) AS n, sum(w.weight) AS weighted
+        |FROM orders JOIN (VALUES
+        |  ('1-URGENT', 5), ('2-HIGH', 4), ('3-MEDIUM', 3),
+        |  ('4-NOT SPECIFIED', 2), ('5-LOW', 1)) AS w(o_orderpriority, weight)
+        |USING (o_orderpriority)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q41_array_ops" ->
+      """WITH a AS (
+        |  SELECT c_mktsegment,
+        |         list_sort(list(DISTINCT CAST(c_nationkey AS BIGINT))) AS nations
+        |  FROM customer GROUP BY c_mktsegment)
+        |SELECT c_mktsegment,
+        |       CAST(len(nations) AS BIGINT) AS n_nations,
+        |       CAST(len(list_filter(nations, x -> x BETWEEN 0 AND 9)) AS BIGINT) AS n_low,
+        |       array_to_string(list_transform(nations, x -> CAST(x AS VARCHAR)), ',') AS nation_csv
+        |FROM a ORDER BY c_mktsegment""".stripMargin,
     "emb_pq" -> embPqSql,
     "ts_gapfill" ->
       """WITH e AS (
