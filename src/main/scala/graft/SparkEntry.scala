@@ -538,6 +538,51 @@ object SparkEntry {
           .as("nation_csv"))
       .orderBy("c_mktsegment")
 
+  /** PageRank over a cyclic part↔supplier graph derived from lineitem
+    * (forward edges part→supplier on non-returned lines, reverse edges
+    * on returned lines; supplier node ids offset by 1e6 to disjoin the
+    * key spaces). 5 fixed iterations of [[graft.ext.Graph.pageRank]] —
+    * two keyed shuffles per iteration, lineage checkpointed — oracled
+    * against the same recurrence unrolled as 5 relational steps in
+    * DuckDB. Final ranks rounded to 6 dp (per-destination double sums
+    * are shuffle-order-dependent in the last ulp). */
+  private def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val fwd = li.filter(col("l_returnflag") =!= "R")
+      .select(col("l_partkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+    val rev = li.filter(col("l_returnflag") === "R")
+      .select((col("l_suppkey") + 1000000L).as("src"), col("l_partkey").as("dst"))
+    graft.ext.Graph.pageRank(fwd.union(rev), iterations = 5, damping = 0.85)
+      .select(col("id").as("node"), round(col("r"), 6).as("pr"))
+      .orderBy("node")
+  }
+
+  /** DuckDB oracle for [[graphPagerank]]: the identical recurrence
+    * unrolled — rank_0 = 1, rank_{t+1} = 0.15 + 0.85 · Σ in-mass — as
+    * chained CTEs, one (contribs, ranks) pair per iteration. */
+  private val graphPagerankSql: String = {
+    val iters = (1 to 5).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst, sum(r${i - 1}.r / deg.outdeg) AS m
+         |  FROM e JOIN deg USING (src) JOIN r${i - 1} ON r${i - 1}.id = e.src
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT id, 0.15 + 0.85 * coalesce(m, 0) AS r
+         |  FROM nodes LEFT JOIN c$i ON c$i.dst = nodes.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst
+       |  FROM lineitem WHERE l_returnflag <> 'R'
+       |  UNION
+       |  SELECT DISTINCT 1000000 + l_suppkey, l_partkey
+       |  FROM lineitem WHERE l_returnflag = 'R'),
+       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+       |r0 AS (SELECT id, 1.0 AS r FROM nodes),
+       |$iters
+       |SELECT id AS node, round(r, 6) AS pr FROM r5 ORDER BY node""".stripMargin
+  }
+
   /** As-of (point-in-time) join: each event picks up the latest order
     * date of its user at-or-before the event time ([[graft.operators
     * .AsOfJoin]] — union + running-last window, ONE shuffle, no join
@@ -793,6 +838,13 @@ object SparkEntry {
   /** Exact char-5-shingle Jaccard near-dup pairs (threshold 0.8). */
   private def dedupNgram(s: SparkSession, dir: String): DataFrame =
     Dedup.shingleJaccardPairs(t(s, dir, "documents"), 0.8, shingle = 5)
+      .orderBy("id_a", "id_b")
+
+  /** Exact substring-window dedup pairs ([[Dedup.substringPairs]]):
+    * docs sharing a verbatim 40-char normalized window, boilerplate
+    * guard maxDf=50. Exact by construction → hash-oracled. */
+  private def dedupSubstring(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringPairs(t(s, dir, "documents"), w = 40, maxDf = 50)
       .orderBy("id_a", "id_b")
 
   /** MinHash-LSH candidates + exact verify — converges to the same
@@ -1171,6 +1223,40 @@ object SparkEntry {
         aggregate(col("codes"), lit(0L), (a, x) => a + x).as("codes_sum"))
       .orderBy("vec_id")
 
+  /** ADC top-k over PQ codes ([[Similarity.pqAdcTopK]]): the 10
+    * nearest coded vectors to vec_id 42's embedding by asymmetric
+    * squared-L2 — the query path of the PQ index that [[embPq]]
+    * builds. Scores round to 6 dp before ranking (the oracle replays
+    * the per-subspace table sum as an aggregate, so the two engines'
+    * 8-term addition orders may differ in the last ulp), ties by id. */
+  private def simsearchPqAdc(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqAdcTopK(t(s, dir, "embeddings"), queryId = 42L, topK = 10)
+
+  /** DuckDB oracle for [[simsearchPqAdc]]: recompute the codes (as in
+    * emb_pq's oracle), build the query→codebook distance table per
+    * subspace, join codes to table entries, sum, round, rank. */
+  private val simsearchPqAdcSql: String = {
+    val dsub = 8
+    def dist(a: String, b: String) = (1 to dsub).map { j =>
+      val t = s"(CAST($a[g.s*$dsub+$j] AS DOUBLE) - CAST($b[g.s*$dsub+$j] AS DOUBLE))"
+      s"$t * $t"
+    }.mkString(" + ")
+    s"""WITH cb AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 16),
+       |d AS (SELECT e.vec_id, c.cid, g.s, ${dist("e.embedding", "c.embedding")} AS dist
+       |      FROM embeddings e CROSS JOIN cb c
+       |      CROSS JOIN generate_series(0, 7) AS g(s)),
+       |r AS (SELECT vec_id, s, cid,
+       |             row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
+       |      FROM d),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 42),
+       |tbl AS (SELECT c.cid, g.s, ${dist("q.qv", "c.embedding")} AS td
+       |        FROM cb c CROSS JOIN generate_series(0, 7) AS g(s) CROSS JOIN q),
+       |sc AS (SELECT r.vec_id, round(sum(t.td), 6) AS adc
+       |       FROM r JOIN tbl t ON t.s = r.s AND t.cid = r.cid
+       |       WHERE r.rn = 1 GROUP BY r.vec_id)
+       |SELECT vec_id, adc FROM sc ORDER BY adc, vec_id LIMIT 10""".stripMargin
+  }
+
   /** Time-series gap-fill ([[graft.ext.TimeSeries.resampleLocf]]):
     * purchase events for users < 40 resampled to an hourly grid with
     * LOCF. Per-bucket sums are rounded AFTER the carry-forward (both
@@ -1429,6 +1515,7 @@ object SparkEntry {
     "q39_distribution" -> (q39Distribution(_, _)),
     "q40_values_join" -> (q40ValuesJoin(_, _)),
     "q41_array_ops" -> (q41ArrayOps(_, _)),
+    "graph_pagerank" -> (graphPagerank(_, _)),
     "asof_join" -> (asofJoin(_, _)),
     "range_join" -> (rangeJoin(_, _)),
     "salted_join" -> (saltedJoin(_, _)),
@@ -1447,6 +1534,7 @@ object SparkEntry {
     "dedup_minhash" -> (dedupMinhash(_, _)),
     "dedup_wordngram" -> (dedupWordngram(_, _)),
     "dedup_cluster" -> (dedupCluster(_, _)),
+    "dedup_substring" -> (dedupSubstring(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "dedup_embcos" -> (dedupEmbCos(_, _)),
     "dedup_emblsh" -> (dedupEmbLsh(_, _)),
@@ -1454,6 +1542,7 @@ object SparkEntry {
     "simsearch_ivf" -> (simsearchIvf(_, _)),
     "simsearch_ivf_full" -> (simsearchIvfFull(_, _)),
     "simsearch_ivf_kmeans" -> (simsearchIvfKmeans(_, _)),
+    "simsearch_pq_adc" -> (simsearchPqAdc(_, _)),
     "emb_centroids" -> (embCentroids(_, _)),
     "text_quality" -> (textQuality(_, _)),
     "text_langid" -> (textLangid(_, _)),
@@ -1929,6 +2018,21 @@ object SparkEntry {
     "dedup_minhash" -> jaccardPairsSql,
     "dedup_wordngram" -> wordngramPairsSql,
     "dedup_cluster" -> dedupClusterSql,
+    "dedup_substring" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t0 FROM documents
+        |), w AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(length(t0) - 39, 1)),
+        |    i -> substr(t0, CAST(i AS INT), 40)))) AS win
+        |  FROM norm
+        |), keep AS (
+        |  SELECT win FROM (SELECT win, count(*) AS c FROM w GROUP BY win) WHERE c <= 50
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM w a JOIN keep USING (win) JOIN w b USING (win)
+        |  WHERE a.doc_id < b.doc_id)
+        |SELECT DISTINCT id_a, id_b FROM p ORDER BY id_a, id_b""".stripMargin,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embcos" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -2284,6 +2388,8 @@ object SparkEntry {
         |       CAST(len(list_filter(nations, x -> x BETWEEN 0 AND 9)) AS BIGINT) AS n_low,
         |       array_to_string(list_transform(nations, x -> CAST(x AS VARCHAR)), ',') AS nation_csv
         |FROM a ORDER BY c_mktsegment""".stripMargin,
+    "graph_pagerank" -> graphPagerankSql,
+    "simsearch_pq_adc" -> simsearchPqAdcSql,
     "emb_pq" -> embPqSql,
     "ts_gapfill" ->
       """WITH e AS (

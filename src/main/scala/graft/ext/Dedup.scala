@@ -546,6 +546,50 @@ object Dedup {
     docs.join(dropped.hint("shuffle_merge"), Seq(idCol), "left_anti")
   }
 
+  // ------------------------------------------------- substring-window dedup
+
+  /** Exact substring-overlap pairs: documents sharing at least one
+    * normalized `w`-char window — the substring-level duplication
+    * signal (Gopher/RefinedWeb run exact substring dedup alongside
+    * document-level fuzzy dedup; a 40+-char verbatim overlap is
+    * near-certain copying, whatever the rest of the docs look like).
+    * Windows are distinct-per-doc single-pass kernels
+    * ([[graft.functions.charShingles]] at n=w); documents shorter
+    * than `w` contribute their whole normalized text as one window.
+    *
+    * `maxDf` is the boilerplate guard every corpus needs at scale: a
+    * window occurring in more than `maxDf` documents (site chrome,
+    * license headers) is dropped BEFORE the self-join — without it, a
+    * window shared by k docs emits k² pairs and one hot key stalls
+    * the stage. With it, the per-window join fan-out is bounded by
+    * maxDf², and the df filter itself is one keyed aggregation.
+    *
+    * Plan: explode windows → md5 (fixed 32-byte join keys, text never
+    * shuffles) → df filter → hash self-join on window hash → distinct
+    * (id_a < id_b) pairs. Exact by construction, so fully
+    * hash-oracle-able. */
+  def substringPairs(
+      docs: DataFrame,
+      w: Int = 40,
+      maxDf: Int = 50,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(w >= 1, s"w must be >= 1, got $w")
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val wins = docs.select(col(idCol).cast("long").as("id"),
+        explode(charShingles(col(textCol), w)).as("win"))
+      .select(col("id"), md5(col("win")).as("h"))
+    val keep = wins.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("h")
+    val kept = wins.join(keep.hint("shuffle_merge"), "h")
+    kept.as("a")
+      .join(kept.as("b").hint("shuffle_merge"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
   // ------------------------------------------------- eval decontamination
 
   /** Benchmark decontamination: drop every corpus document sharing at

@@ -302,6 +302,64 @@ object Similarity {
     emb.select(col(idCol), array(codes: _*).as("codes"))
   }
 
+  /** Asymmetric-distance (ADC) top-k over PQ codes: score every coded
+    * vector against a query by summing, per subspace, the PRECOMPUTED
+    * squared-L2 distance from the query's subvector to the codebook
+    * entry the code names (Jégou et al., TPAMI 2011 §IV.A) — the
+    * query path of a PQ-compressed ANN index. The codebook matches
+    * [[pqEncode]]'s (first `k` corpus vectors by id), so
+    * `pqAdcTopK(emb, q)` scores exactly what `pqEncode(emb)` stored.
+    *
+    * 100 TB shape: the m·k lookup table is built on the driver
+    * (bounded: 128 doubles at defaults) and embedded as literal MAP
+    * expressions, so scoring is a pure per-row projection over the
+    * (id, codes) relation — the corpus floats are never read again,
+    * nothing shuffles, and the final top-k is a TakeOrderedAndProject
+    * (per-partition heads, never a global sort of all scores).
+    *
+    * Determinism: each table entry is a fixed left-assoc chain of
+    * double ops (bit-identical cross-engine); the 8-term ADC sum is
+    * also a literal chain, but the ORACLE's replay aggregates per
+    * subspace, so the score is rounded to 6 dp BEFORE ranking and
+    * ties break by id — selection is identical on both engines. */
+  def pqAdcTopK(
+      emb: DataFrame,
+      queryId: Long,
+      topK: Int = 10,
+      m: Int = 8,
+      k: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val codes = pqEncode(emb, m, k, idCol, vecCol)
+    val codebook: Seq[(Long, Seq[Double])] = emb.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long"),
+        transform(col(vecCol), _.cast("double")))
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(codebook.nonEmpty, "pqAdcTopK: empty corpus")
+    val dim = codebook.head._2.size
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val qRows = emb.filter(col(idCol) === queryId)
+      .select(transform(col(vecCol), _.cast("double"))).collect()
+    require(qRows.nonEmpty, s"pqAdcTopK: query id $queryId not in corpus")
+    val q: Seq[Double] = qRows.head.getSeq[Double](0)
+    val score = (0 until m).map { s =>
+      val entries = codebook.map { case (cid, cv) =>
+        val d = (0 until dsub).map { j =>
+          val t = q(s * dsub + j) - cv(s * dsub + j); t * t
+        }.reduceLeft(_ + _)
+        (cid.toInt, d)
+      }
+      val table = map(entries.flatMap { case (cid, d) => Seq(lit(cid), lit(d)) }: _*)
+      element_at(table, element_at(col("codes"), s + 1))
+    }.reduceLeft(_ + _)
+    codes
+      .select(col(idCol), round(score, 6).as("adc"))
+      .orderBy(col("adc"), col(idCol))
+      .limit(topK)
+  }
+
   /** Signed-random-projection LSH signatures as `sig:
     * array<bigint>` (⌈nbits/64⌉ words, bit b at word b/64, offset
     * b%64): `nbits` pseudo-random ±1 hyperplanes, deterministic per

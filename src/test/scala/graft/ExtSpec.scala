@@ -643,4 +643,58 @@ class ExtSpec extends AnyFunSuite {
       .select("o_orderkey").collect().map(_.getLong(0)).toSet
     assert(bloomed == plain)
   }
+
+  test("pageRank matches the hand recurrence on a star and is stationary on a cycle") {
+    import spark.implicits._
+    import graft.ext.Graph
+    // 2-cycle: rank 1.0 is the fixed point at every iteration count
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val cycRanks = Graph.pageRank(cyc, iterations = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(cycRanks.values.forall(v => math.abs(v - 1.0) < 1e-12), cycRanks.toString)
+    // star A→B, A→C after 2 iterations:
+    //   iter1: A = 0.15, B = C = 0.15 + 0.85·(1/2)       = 0.575
+    //   iter2: A = 0.15, B = C = 0.15 + 0.85·(0.15/2)    = 0.21375
+    val star = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val r2 = Graph.pageRank(star, iterations = 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(r2(1L) - 0.15) < 1e-12, r2.toString)
+    assert(math.abs(r2(2L) - 0.21375) < 1e-12 && math.abs(r2(3L) - 0.21375) < 1e-12,
+      r2.toString)
+  }
+
+  test("substringPairs finds exactly the shared-window pairs and maxDf drops boilerplate") {
+    import spark.implicits._
+    val span = "x".padTo(40, 'q').mkString // 40-char literal block
+    val boiler = "b".padTo(40, 'z').mkString
+    val corpus = Seq(
+      (1L, s"alpha $span omega"),
+      (2L, s"beta $span gamma"),
+      (3L, "entirely unrelated text with no overlap whatsoever in any window")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.substringPairs(corpus, w = 40, maxDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+    // a window present in 3 docs is dropped at maxDf = 2
+    // prefixes must not share suffix characters, or a 2-doc context
+    // window (prefix tail + boiler head) legitimately survives maxDf
+    val boilerCorpus = Seq(
+      (1L, s"aaa $boiler"), (2L, s"bbb $boiler"), (3L, s"ccc $boiler"))
+      .toDF("doc_id", "text")
+    val guarded = Dedup.substringPairs(boilerCorpus, w = 40, maxDf = 2).count()
+    assert(guarded == 0L)
+  }
+
+  test("pqAdcTopK returns k ascending scores and ranks the query's own code first") {
+    val top = Similarity.pqAdcTopK(emb, queryId = 42L, topK = 10).collect()
+    assert(top.length == 10)
+    val scores = top.map(_.getDouble(1))
+    assert(scores.forall(_ >= 0.0))
+    assert(scores.sliding(2).forall(p => p(0) <= p(1)), scores.mkString(","))
+    // the query scores against its OWN codes at pure quantization
+    // error — no other vector sharing those codes can score lower, so
+    // with id tie-break the query can only be beaten by an exact
+    // code-mate; assert it appears in the top k
+    assert(top.map(_.getAs[Number](0).longValue).contains(42L))
+  }
 }

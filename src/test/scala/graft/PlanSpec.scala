@@ -280,6 +280,18 @@ class PlanSpec extends AnyFunSuite {
     assert(hashExchanges(SparkEntry.queries("text_chunk")(spark, TestSession.sf)) == 0)
   }
 
+  test("substringPairs self-joins on window hashes — shuffle-merge, no broadcast, no cartesian") {
+    val pairs = graft.ext.Dedup.substringPairs(
+      spark.read.parquet(s"${TestSession.sf}/documents.parquet"))
+    val plan = explained(pairs)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+    val broadcastBlocks = plan.split("\n\n").filter(_.contains("BroadcastExchange"))
+    assert(broadcastBlocks.isEmpty,
+      "corpus-derived window relations must never broadcast")
+    assert(plan.contains("SortMergeJoin"), "pinned shuffle-merge self-join")
+  }
+
   test("custom expressions are SQL-reachable via extensions registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(
