@@ -1469,6 +1469,19 @@ object SparkEntry {
         col("l_key").as("user_id"), col("r_value").as("purchase_value"))
       .orderBy("click_id", "purchase_id")
 
+  /** Streaming upsert via foreachBatch ([[Stream.foreachBatchUpsert]]):
+    * latest event per user merged into a managed state table across
+    * two real micro-batches (event_id % 3 == 0 arrives in batch 2),
+    * update counts accumulated through the merge. The final table is
+    * split-invariant, so a batch argmax oracle gates it exactly. */
+  private def streamUpsert(s: SparkSession, dir: String): DataFrame =
+    Stream.foreachBatchUpsert(s, t(s, dir, "events"),
+        batch2Pred = pmod(col("event_id"), lit(3)) === 0)
+      .select(col("user_id"), timestamp_micros(col("us")).as("last_ts"),
+        col("event_id").as("last_event_id"), col("value").as("last_value"),
+        col("n_updates"))
+      .orderBy("user_id")
+
   // ======================================================================
   // Contract maps
   // ======================================================================
@@ -1579,6 +1592,7 @@ object SparkEntry {
     "stream_dedup" -> (streamDedup(_, _)),
     "stream_enrich" -> (streamEnrich(_, _)),
     "stream_join" -> (streamJoin(_, _)),
+    "stream_upsert" -> (streamUpsert(_, _)),
     "unload_sorted" -> (unloadSorted(_, _))
   )
 
@@ -2522,6 +2536,16 @@ object SparkEntry {
         |  ON a.user_id = b.user_id
         | AND a.event_type = 'click' AND b.event_type = 'purchase'
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
-        |ORDER BY click_id, purchase_id""".stripMargin
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    "stream_upsert" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts DESC, event_id DESC) AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS n_updates
+        |  FROM events)
+        |SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+        |       value AS last_value, n_updates
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
   )
 }

@@ -186,6 +186,81 @@ object Stream {
     spark.table(queryName)
   }
 
+  /** Streaming UPSERT through `foreachBatch` — the serve-the-latest
+    * pattern: each micro-batch is reduced to its newest row per key
+    * (max (event time, event id, value) struct — id-tiebroken, so
+    * deterministic), then MERGED into a managed state table: newest
+    * row per key wins across batches, per-key update counts accumulate.
+    * Two scheduled MemoryStream batches (split by `batch2Pred`) make
+    * the cross-batch merge real: keys present in both batches must
+    * take the global max and SUM their counts, which only happens if
+    * batch 2's merge actually reads batch 1's table.
+    *
+    * The final table is a pure function of the input set — the split
+    * only changes the merge schedule — so a batch argmax oracle
+    * gates it exactly.
+    *
+    * 100 TB shape: the per-batch reduce is a keyed partial aggregate
+    * of the BATCH (bounded by trigger size, not corpus); the merge is
+    * one keyed shuffle of (state ∪ batch-delta). The localCheckpoint
+    * before the overwrite materializes the merge so the table can be
+    * replaced in place (production would MERGE INTO a transactional
+    * table; the plan shape — delta-sized aggregate + keyed merge — is
+    * the same). The driver-side collect feeds the deterministic
+    * two-batch schedule (semantics harness, as in
+    * [[lateDataWindowCounts]]). */
+  def foreachBatchUpsert(
+      spark: SparkSession,
+      events: DataFrame,
+      batch2Pred: org.apache.spark.sql.Column,
+      table: String = "graft_stream_upsert"
+  ): DataFrame = {
+    import spark.implicits._
+    val rows = events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")),
+        col("event_id").cast("long"), col("value").cast("double"),
+        batch2Pred.cast("boolean"))
+      .collect()
+    def part(second: Boolean) = rows.filter(_.getBoolean(4) == second)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    graft.io.Load.dropManaged(spark, table)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, Double)](
+        implicitly[org.apache.spark.sql.Encoder[(Long, Long, Long, Double)]],
+        spark.sqlContext)
+    val stream = ms.toDF().toDF("user_id", "us", "event_id", "value")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val reduced = batch
+          .groupBy("user_id")
+          .agg(max(struct(col("us"), col("event_id"), col("value"))).as("s"),
+            count(lit(1)).as("n_updates"))
+          .select(col("user_id"), col("s.us").as("us"),
+            col("s.event_id").as("event_id"), col("s.value").as("value"),
+            col("n_updates"))
+        val merged =
+          if (!spark.catalog.tableExists(table)) reduced
+          else spark.table(table).unionByName(reduced)
+            .groupBy("user_id")
+            .agg(max(struct(col("us"), col("event_id"), col("value"))).as("s"),
+              sum("n_updates").as("n_updates"))
+            .select(col("user_id"), col("s.us").as("us"),
+              col("s.event_id").as("event_id"), col("s.value").as("value"),
+              col("n_updates"))
+        // materialize BEFORE overwriting the table the merge reads
+        merged.localCheckpoint().write.mode("overwrite").saveAsTable(table)
+        ()
+      }
+      .start()
+    try {
+      ms.addData(part(second = false))
+      q.processAllAvailable()
+      ms.addData(part(second = true))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(table)
+  }
+
   /** Run a batch-parquet-driven streaming query synchronously into a
     * memory sink and return the result table. Exercises the real
     * streaming engine (micro-batches, state store) with deterministic

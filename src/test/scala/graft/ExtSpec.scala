@@ -685,6 +685,26 @@ class ExtSpec extends AnyFunSuite {
     assert(guarded == 0L)
   }
 
+  test("foreachBatchUpsert merges latest-per-key across micro-batches and sums counts") {
+    import spark.implicits._
+    // key 1: one event per batch (newer lands in batch 2 via pred);
+    // key 2: both events in batch 1; key 3: only in batch 2
+    val ev = Seq(
+      (1L, 1000L, 10L, 1.0, false), (1L, 2000L, 11L, 2.0, true),
+      (2L, 1000L, 20L, 3.0, false), (2L, 3000L, 21L, 4.0, false),
+      (3L, 5000L, 30L, 5.0, true))
+      .toDF("user_id", "us", "event_id", "value", "second")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+        col("event_id"), col("value"), col("second"))
+    val out = Stream.foreachBatchUpsert(spark, ev, col("second"),
+        table = "graft_upsert_spec")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((2000L, 11L, 2.0, 2L)), out.toString) // cross-batch merge
+    assert(out(2L) == ((3000L, 21L, 4.0, 2L)), out.toString) // intra-batch reduce
+    assert(out(3L) == ((5000L, 30L, 5.0, 1L)), out.toString) // batch-2 insert
+  }
+
   test("pqAdcTopK returns k ascending scores and ranks the query's own code first") {
     val top = Similarity.pqAdcTopK(emb, queryId = 42L, topK = 10).collect()
     assert(top.length == 10)
