@@ -39,7 +39,13 @@ object Bench {
         // projections, under-measuring projection-heavy queries)
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop any storage the query leaked (checkpoints, caches) so
+        // the NEXT measurement runs against a clean block manager —
+        // round 4's suite showed 10x inflation on late queries from
+        // accumulated localCheckpoint blocks (BENCHNOTES.md)
+        core.Lineage.sweep(spark)
+        dt
       }
       name -> times
     }

@@ -506,10 +506,16 @@ object Dedup {
       changed = next.as("n")
         .join(labels.select(col("id"), col("lbl").as("prev")), Seq("id"))
         .filter(col("lbl") =!= col("prev")).count()
+      // next is materialized (eager checkpoint) and the convergence
+      // count has consumed the old labels — release the round's
+      // intermediates so storage stays O(1) across iterations
+      graft.core.Lineage.release(prop, labels)
       labels = next
       iter += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    // the result is its own checkpoint; the topology is no longer read
+    graft.core.Lineage.release(sym, edges)
     labels
   }
 

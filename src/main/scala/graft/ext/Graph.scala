@@ -56,12 +56,19 @@ object Graph {
         .join(ranks, withDeg("src") === ranks("id"))
         .select(col("dst"), (col("r") / col("outdeg")).as("c"))
         .groupBy("dst").agg(sum("c").as("in_mass"))
-      ranks = nodes
+      val next = nodes
         .join(contribs, nodes("id") === contribs("dst"), "left")
         .select(col("id"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("r"))
         .localCheckpoint()
+      // round t's ranks have no consumer once round t+1 materializes
+      // (release is a no-op on the round-0 ranks, a derived frame);
+      // storage across the loop stays O(1) instead of O(iterations)
+      graft.core.Lineage.release(ranks)
+      ranks = next
     }
+    // e0 fed withDeg/nodes at build time; the result references neither
+    graft.core.Lineage.release(e0, withDeg, nodes)
     ranks
   }
 }

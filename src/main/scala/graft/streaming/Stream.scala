@@ -248,7 +248,10 @@ object Stream {
               col("s.event_id").as("event_id"), col("s.value").as("value"),
               col("n_updates"))
         // materialize BEFORE overwriting the table the merge reads
-        merged.localCheckpoint().write.mode("overwrite").saveAsTable(table)
+        val snap = merged.localCheckpoint()
+        snap.write.mode("overwrite").saveAsTable(table)
+        // the table holds the rows now; drop the block-manager copy
+        graft.core.Lineage.release(snap)
         ()
       }
       .start()
