@@ -2386,7 +2386,8 @@ object SparkEntry {
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
     "q40_values_join" ->
-      """SELECT o_orderpriority, count(*) AS n, sum(w.weight) AS weighted
+      """SELECT o_orderpriority, count(*) AS n,
+        |       CAST(sum(w.weight) AS BIGINT) AS weighted
         |FROM orders JOIN (VALUES
         |  ('1-URGENT', 5), ('2-HIGH', 4), ('3-MEDIUM', 3),
         |  ('4-NOT SPECIFIED', 2), ('5-LOW', 1)) AS w(o_orderpriority, weight)

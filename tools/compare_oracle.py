@@ -27,16 +27,20 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def values_equal(a, b) -> bool:
+    # Dtype-strict: an int64 Spark value vs a float64 oracle value must
+    # FAIL here, because the driver hashes values with their types (that
+    # is exactly how q40_values_join shipped red in round 5 while this
+    # tool said OK). Only float-vs-float compares numerically.
     if pd.isna(a) and pd.isna(b):
         return True
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            af, bf = float(a), float(b)
-        except (TypeError, ValueError):
-            return False
-        if math.isnan(af) and math.isnan(bf):
+    a_float = isinstance(a, float)
+    b_float = isinstance(b, float)
+    if a_float != b_float:
+        return False
+    if a_float:
+        if math.isnan(a) and math.isnan(b):
             return True
-        return af == bf
+        return a == b
     return a == b
 
 
