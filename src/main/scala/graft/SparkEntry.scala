@@ -1211,48 +1211,53 @@ object SparkEntry {
         md5(col("chunk_text")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
 
-  /** Product-quantization encode ([[Similarity.pqEncode]]): 64-dim
-    * vectors → 8 codebook ids (8-dim subspaces, k=16 codebook from the
-    * first 16 corpus vectors — the fixture's vec_id 0..15). Squared-L2
-    * distances are fixed-order IEEE chains, so the code assignment is
-    * hash-gated with no rounding. */
-  private def embPq(s: SparkSession, dir: String): DataFrame =
-    Similarity.pqEncode(t(s, dir, "embeddings"))
+  /** Product-quantization encode ([[Similarity.pqEncode]]) under a
+    * TRAINED codebook ([[Similarity.pqTrainCodebooks]], 2 per-subspace
+    * Lloyd rounds from the first-16 seed): 64-dim vectors → 8 codebook
+    * ids (8-dim subspaces, k=16). Squared-L2 distances are fixed-order
+    * IEEE chains and each round's centroid means are round(·,6) on
+    * BOTH engines, so training AND assignment are hash-gated with no
+    * output rounding — the oracle replays the full 2-round Lloyd loop
+    * in SQL. */
+  private def embPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cb = Similarity.pqTrainCodebooks(emb, m = 8, k = 16, iters = 2)
+    Similarity.pqEncode(emb, codebook = Some(cb))
       .select(col("vec_id"),
         md5(concat_ws(",", transform(col("codes"), _.cast("string")))).as("codes_md5"),
         aggregate(col("codes"), lit(0L), (a, x) => a + x).as("codes_sum"))
       .orderBy("vec_id")
+  }
 
-  /** ADC top-k over PQ codes ([[Similarity.pqAdcTopK]]): the 10
-    * nearest coded vectors to vec_id 42's embedding by asymmetric
-    * squared-L2 — the query path of the PQ index that [[embPq]]
-    * builds. Scores round to 6 dp before ranking (the oracle replays
-    * the per-subspace table sum as an aggregate, so the two engines'
-    * 8-term addition orders may differ in the last ulp), ties by id. */
-  private def simsearchPqAdc(s: SparkSession, dir: String): DataFrame =
-    Similarity.pqAdcTopK(t(s, dir, "embeddings"), queryId = 42L, topK = 10)
+  /** ADC top-k over PQ codes ([[Similarity.pqAdcTopK]]) under the same
+    * trained codebook as [[embPq]]: the 10 nearest coded vectors to
+    * vec_id 42's embedding by asymmetric squared-L2 — the query path
+    * of the PQ index that [[embPq]] builds. Scores round to 6 dp
+    * before ranking (the oracle replays the per-subspace table sum as
+    * an aggregate, so the two engines' 8-term addition orders may
+    * differ in the last ulp), ties by id. */
+  private def simsearchPqAdc(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cb = Similarity.pqTrainCodebooks(emb, m = 8, k = 16, iters = 2)
+    Similarity.pqAdcTopK(emb, queryId = 42L, topK = 10, codebookOpt = Some(cb))
+  }
 
-  /** DuckDB oracle for [[simsearchPqAdc]]: recompute the codes (as in
-    * emb_pq's oracle), build the query→codebook distance table per
-    * subspace, join codes to table entries, sum, round, rank. */
+  /** DuckDB oracle for [[simsearchPqAdc]]: replay the trained
+    * codebook + codes ([[pqTrainedCteSql]]), build the query→codebook
+    * distance table per subspace against the TRAINED entries, join
+    * codes to table entries, sum, round, rank. */
   private val simsearchPqAdcSql: String = {
     val dsub = 8
-    def dist(a: String, b: String) = (1 to dsub).map { j =>
-      val t = s"(CAST($a[g.s*$dsub+$j] AS DOUBLE) - CAST($b[g.s*$dsub+$j] AS DOUBLE))"
+    val qdist = (1 to dsub).map { j =>
+      val t = s"(CAST(q.qv[c.s*$dsub+$j] AS DOUBLE) - c.sub[$j])"
       s"$t * $t"
     }.mkString(" + ")
-    s"""WITH cb AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 16),
-       |d AS (SELECT e.vec_id, c.cid, g.s, ${dist("e.embedding", "c.embedding")} AS dist
-       |      FROM embeddings e CROSS JOIN cb c
-       |      CROSS JOIN generate_series(0, 7) AS g(s)),
-       |r AS (SELECT vec_id, s, cid,
-       |             row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
-       |      FROM d),
+    s"""WITH $pqTrainedCteSql,
        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 42),
-       |tbl AS (SELECT c.cid, g.s, ${dist("q.qv", "c.embedding")} AS td
-       |        FROM cb c CROSS JOIN generate_series(0, 7) AS g(s) CROSS JOIN q),
+       |tbl AS (SELECT c.cid, c.s, $qdist AS td
+       |        FROM cb2 c CROSS JOIN q),
        |sc AS (SELECT r.vec_id, round(sum(t.td), 6) AS adc
-       |       FROM r JOIN tbl t ON t.s = r.s AND t.cid = r.cid
+       |       FROM aF r JOIN tbl t ON t.s = r.s AND t.cid = r.cid
        |       WHERE r.rn = 1 GROUP BY r.vec_id)
        |SELECT vec_id, adc FROM sc ORDER BY adc, vec_id LIMIT 10""".stripMargin
   }
@@ -1752,28 +1757,62 @@ object SparkEntry {
       |SELECT query_id, CAST(rank AS INT) AS rank, nbr_id, cosine
       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
-  /** emb_pq oracle: recompute every (vector, subspace) code by brute
-    * argmin over the 16-row codebook (vec_id < 16 ≡ the first 16 by
-    * id). The squared-L2 chain is generated with the SAME left-assoc
-    * term order the Spark expression uses, so distances — and thus
-    * codes, ties included — are bit-identical with no rounding. */
-  private val embPqSql: String = {
+  /** Shared CTE prefix replaying [[graft.ext.Similarity
+    * .pqTrainCodebooks]]'s 2-round per-subspace Lloyd training in
+    * DuckDB (m=8, k=16, dsub=8): seed = the first 16 vectors' subspace
+    * slices (exact float→double casts), then per round [argmin
+    * assignment with the SAME left-assoc squared-L2 chain and (dist,
+    * cid) tie order the Spark kernel uses] → [per-(s, cid, j)
+    * round(avg(·), 6) means — rounding collapses the engines'
+    * avg-sum-order ulp differences, the emb_centroids-pinned
+    * discipline] → [entries with no members keep their previous
+    * coordinates (the coalesce)]. Yields `cb2(cid, s, sub)` — the
+    * trained codebook both PQ oracles assign against — and `aF`, the
+    * final code assignment under it. */
+  private def pqTrainedCteSql: String = {
     val dsub = 8
-    val dist = (1 to dsub).map { j =>
-      val t = s"(CAST(e.embedding[g.s*$dsub+$j] AS DOUBLE) - CAST(c.embedding[g.s*$dsub+$j] AS DOUBLE))"
+    def dist(cbAlias: String) = (1 to dsub).map { j =>
+      val t = s"(CAST(e.embedding[$cbAlias.s*$dsub+$j] AS DOUBLE) - $cbAlias.sub[$j])"
       s"$t * $t"
     }.mkString(" + ")
-    s"""WITH cb AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 16),
-       |d AS (SELECT e.vec_id, c.cid, g.s, $dist AS dist
-       |      FROM embeddings e CROSS JOIN cb c
-       |      CROSS JOIN generate_series(0, 7) AS g(s)),
-       |r AS (SELECT vec_id, s, cid,
-       |             row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
-       |      FROM d)
+    def assign(out: String, cb: String) =
+      s"""$out AS (SELECT e.vec_id, c.s, c.cid,
+         |       row_number() OVER (PARTITION BY e.vec_id, c.s
+         |         ORDER BY ${dist("c")}, c.cid) AS rn
+         |     FROM embeddings e CROSS JOIN $cb c)""".stripMargin
+    def update(means: String, prev: String, next: String) =
+      s"""$means AS (SELECT a.s, a.cid, j.j,
+         |       round(avg(CAST(e.embedding[a.s*$dsub + j.j + 1] AS DOUBLE)), 6) AS mean
+         |     FROM $prev a JOIN embeddings e ON a.vec_id = e.vec_id
+         |     CROSS JOIN dims j WHERE a.rn = 1 GROUP BY a.s, a.cid, j.j),
+         |$next AS (SELECT c.cid, c.s,
+         |       list(coalesce(m.mean, c.sub[j.j+1]) ORDER BY j.j) AS sub
+         |     FROM ${prev}cb c CROSS JOIN dims j
+         |     LEFT JOIN $means m ON m.s = c.s AND m.cid = c.cid AND m.j = j.j
+         |     GROUP BY c.cid, c.s)""".stripMargin
+    s"""dims AS (SELECT j FROM generate_series(0, $dsub - 1) AS t(j)),
+       |subs AS (SELECT s FROM generate_series(0, 7) AS t(s)),
+       |a0cb AS (SELECT vec_id AS cid, s.s,
+       |       list(CAST(embedding[s.s*$dsub + j.j + 1] AS DOUBLE) ORDER BY j.j) AS sub
+       |     FROM embeddings CROSS JOIN subs s CROSS JOIN dims j
+       |     WHERE vec_id < 16 GROUP BY vec_id, s.s),
+       |${assign("a0", "a0cb")},
+       |${update("m0", "a0", "a1cb")},
+       |${assign("a1", "a1cb")},
+       |${update("m1", "a1", "cb2")},
+       |${assign("aF", "cb2")}""".stripMargin
+  }
+
+  /** emb_pq oracle: replay the 2-round Lloyd training
+    * ([[pqTrainedCteSql]]) and recompute every (vector, subspace) code
+    * by brute argmin over the TRAINED 16-entry codebook. Distances are
+    * fixed-order IEEE chains over bit-identical codebooks, so codes —
+    * ties included — match with no rounding. */
+  private val embPqSql: String =
+    s"""WITH $pqTrainedCteSql
        |SELECT vec_id, md5(string_agg(CAST(cid AS VARCHAR), ',' ORDER BY s)) AS codes_md5,
        |       CAST(sum(cid) AS BIGINT) AS codes_sum
-       |FROM r WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
-  }
+       |FROM aF WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
   private def langidSql: String = {
     val langs = Text.stopwords.toSeq.sortBy(_._1)

@@ -247,59 +247,113 @@ object Similarity {
     * into `m` contiguous subvectors and replace each with the id of
     * its nearest codebook entry (squared-L2, ties to the lowest id) —
     * the memory-compression step every billion-vector ANN index runs
-    * (64 floats → m bytes here; Jégou et al., TPAMI 2011). The
-    * codebook is the subvector slices of the first `k` corpus vectors
-    * by id: deterministic and reproducible with zero training — swap
-    * in per-subspace [[kmeansCentroids]] output for a trained
-    * codebook; the encode plan is identical.
+    * (64 floats → m bytes here; Jégou et al., TPAMI 2011). Codebook:
+    * pass [[pqTrainCodebooks]] output for trained PQ, or omit for the
+    * deterministic zero-training [[pqSeedCodebook]].
     *
     * 100 TB shape: the codebook is k·dim doubles (bounded, collected
     * once — the same eager-read contract as [[firstNCentroids]]); the
-    * encode itself is a pure PROJECTION — m unrolled `least()`
-    * argmins over k literal-distance structs per row, no shuffle, no
-    * join, no lambda. At m=8, k=16 the generated method exceeds the
-    * 64 KB whole-stage-codegen limit, so Spark runs it as a
-    * standalone expression-split codegen'd projection (a logged WARN
-    * with a plan dump, not fused with the scan) — still compiled, and
-    * the cost is constant per row regardless of corpus size. Encoded
-    * codes shuffle-free replace 4·dim bytes/vector with m ints.
+    * encode itself is a pure PROJECTION through the
+    * [[graft.functions.PqEncodeCodes]] kernel — one codegen'd static
+    * call per row, no shuffle, no join, no lambda, and (unlike the
+    * m·k-unrolled expression-tree form it replaced) no 20-second
+    * Janino compile of a 64 KB-overflow projection. Encoded codes
+    * shuffle-free replace 4·dim bytes/vector with m ints.
     *
-    * Cross-engine exactness: each distance is a fixed left-assoc chain
-    * of (float→double subtract, square, add) — bit-identical IEEE on
-    * both engines, so code assignment (including ties, broken by
-    * codebook id) is hash-oracle-able with NO rounding. */
+    * Cross-engine exactness: each distance is a fixed j-ascending
+    * accumulation of (float→double subtract, square, add) —
+    * bit-identical IEEE on both engines — so code assignment
+    * (including ties, broken by codebook id) is hash-oracle-able with
+    * NO rounding. */
   def pqEncode(
       emb: DataFrame,
       m: Int = 8,
       k: Int = 16,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      codebook: Option[Seq[(Long, Seq[Double])]] = None
   ): DataFrame = {
-    val dim = emb.select(size(col(vecCol)).as("d")).limit(1).collect()
-      .headOption.map(_.getInt(0))
-      .getOrElse(throw new IllegalArgumentException(
-        "pqEncode: corpus is empty — cannot derive a codebook"))
+    val cb = codebook.getOrElse(pqSeedCodebook(emb, k, idCol, vecCol))
+    require(cb.size == k,
+      s"pqEncode: codebook has ${cb.size} entries, expected k=$k")
+    val dim = cb.head._2.size
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
-    val dsub = dim / m
-    val codebook: Seq[(Long, Seq[Double])] = emb.orderBy(col(idCol)).limit(k)
+    emb.select(col(idCol),
+      graft.functions.fx.pqEncodeCodes(col(vecCol), cb, m, dim / m).as("codes"))
+  }
+
+  /** The untrained PQ codebook: the first `k` corpus vectors by id,
+    * double-cast — deterministic, zero training, the seed
+    * [[pqTrainCodebooks]] refines. */
+  def pqSeedCodebook(
+      emb: DataFrame,
+      k: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Seq[(Long, Seq[Double])] = {
+    val cb: Seq[(Long, Seq[Double])] = emb.orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast("long"),
         transform(col(vecCol), _.cast("double")))
       .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
-    require(codebook.size == k,
-      s"pqEncode: corpus has ${codebook.size} vectors, need k=$k for the codebook")
-    def subDist(vec: Column, base: Int, cv: Seq[Double]): Column =
-      cv.zipWithIndex.map { case (c, j) =>
-        val d = element_at(vec, base + j + 1).cast("double") - lit(c)
-        d * d
-      }.reduceLeft(_ + _)
-    val codes = (0 until m).map { s =>
-      val ss = codebook.map { case (cid, cv) =>
-        struct(subDist(col(vecCol), s * dsub, cv.slice(s * dsub, (s + 1) * dsub)).as("d"),
-          lit(cid.toInt).as("cid"))
+    require(cb.size == k,
+      s"pqSeedCodebook: corpus has ${cb.size} vectors, need k=$k")
+    cb
+  }
+
+  /** Per-subspace k-means (Lloyd) PQ codebook training — real PQ
+    * (Jégou et al., TPAMI 2011 §II.C) instead of the first-k seed:
+    * each of the `m` subspaces independently refines its k entries by
+    * [assign every subvector to its nearest entry — one corpus scan
+    * through the [[graft.functions.PqImpl]] kernel, zero shuffle] →
+    * [per-(subspace, entry, dim) mean — ONE map-side-combinable
+    * aggregation of m·k·dsub cells] → [driver merge of the m·k·dsub
+    * rounded means, bounded]. Entries that lose all members keep their
+    * previous coordinates.
+    *
+    * Cross-engine determinism (the emb_pq oracle replays this training
+    * in DuckDB): seed coordinates are exact float→double casts; each
+    * round's means are `round(avg(...), 6)` IN the Spark aggregate —
+    * avg sum orders differ across engines only in the last ulp, and
+    * rounding to 6 dp collapses that (the emb_centroids oracle pins
+    * this round-bitwise-equality property on the same fixture) — so
+    * assignment argmins see bit-identical codebooks on both engines.
+    *
+    * 100 TB shape: per round, the corpus is scanned once (projection)
+    * and never shuffles; the aggregation shuffles partial (sum, count)
+    * pairs for m·k·dsub cells; driver state is m·k·dsub doubles. */
+  def pqTrainCodebooks(
+      emb: DataFrame,
+      m: Int = 8,
+      k: Int = 16,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Seq[(Long, Seq[Double])] = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    var cb = pqSeedCodebook(emb, k, idCol, vecCol)
+    val dim = cb.head._2.size
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    for (_ <- 1 to iters) {
+      val assigned = emb.select(col(vecCol).as("v"),
+        posexplode(graft.functions.fx.pqEncodeCodes(col(vecCol), cb, m, dsub))
+          .as(Seq("s", "cid")))
+      val means = assigned
+        .select(col("s"), col("cid"),
+          posexplode(slice(col("v"), col("s") * dsub + 1, lit(dsub))).as(Seq("j", "x")))
+        .groupBy("s", "cid", "j")
+        .agg(round(avg(col("x").cast("double")), 6).as("mean"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3)))
+        .toMap
+      cb = cb.map { case (cid, coords) =>
+        val next = coords.indices.map { i =>
+          means.getOrElse((i / dsub, cid.toInt, i % dsub), coords(i))
+        }
+        (cid, next)
       }
-      (if (ss.size == 1) ss.head else least(ss: _*)).getField("cid")
     }
-    emb.select(col(idCol), array(codes: _*).as("codes"))
+    cb
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: score every coded
@@ -329,13 +383,11 @@ object Similarity {
       m: Int = 8,
       k: Int = 16,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      codebookOpt: Option[Seq[(Long, Seq[Double])]] = None
   ): DataFrame = {
-    val codes = pqEncode(emb, m, k, idCol, vecCol)
-    val codebook: Seq[(Long, Seq[Double])] = emb.orderBy(col(idCol)).limit(k)
-      .select(col(idCol).cast("long"),
-        transform(col(vecCol), _.cast("double")))
-      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val codebook = codebookOpt.getOrElse(pqSeedCodebook(emb, k, idCol, vecCol))
+    val codes = pqEncode(emb, m, k, idCol, vecCol, Some(codebook))
     require(codebook.nonEmpty, "pqAdcTopK: empty corpus")
     val dim = codebook.head._2.size
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")

@@ -275,6 +275,114 @@ object NgramImpl {
     ch == ' ' || ch == '\t' || ch == '\n' || ch == '\u000B' || ch == '\f' || ch == '\r'
 }
 
+/** The product-quantization encode inner loop shared by [[PqEncodeCodes]]
+  * interpreted eval and its generated code (one static call, like
+  * [[NgramImpl]]).
+  *
+  * Why this exists: the expression-tree form of PQ encode — m unrolled
+  * `least()` argmins over k literal distance chains — is ~m·k·dsub
+  * arithmetic nodes (1024 at the 8×16×8 defaults). Correct and
+  * data-independent, but Janino spends ~20 s compiling the
+  * expression-split projection per stage (round-5 bench: emb_pq 22.6 s,
+  * ~90 % compile). This kernel is the same arithmetic as a loop: the
+  * generated code is a single static call, compiled instantly.
+  *
+  * Exactness contract (the emb_pq oracle hashes code assignment with NO
+  * rounding): per-entry distance accumulates (vec[i]−cb[i])² with j
+  * ascending from +0.0 — bit-identical to the left-assoc literal chain
+  * (x + 0.0 ≡ x for the non-negative squares) and to the DuckDB replay;
+  * argmin keeps the FIRST strictly-smaller entry, entries in codebook
+  * order (cid ascending) — identical to `least(struct(d, cid))` /
+  * `ORDER BY dist, cid`. NaN never beats a non-NaN best (struct
+  * ordering treats NaN as greatest). */
+object PqImpl {
+
+  /** `codes[s] = cids[argmin_e Σ_j (vec[s·dsub+j] − cb[e·dim + s·dsub+j])²]`
+    * for each of the `m` subspaces; `cb` is laid out entry-major over
+    * the FULL dim (entry e's subspace s slice starts at e·dim + s·dsub).
+    * Returns null for a vector shorter than m·dsub (malformed input —
+    * mirrors the unrolled form's null propagation). */
+  def encode(vec: ArrayData, cb: Array[Double], cids: Array[Int],
+      m: Int, dsub: Int, isFloat: Boolean): ArrayData = {
+    val dim = m * dsub
+    if (vec.numElements() < dim) return null
+    val k = cids.length
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val base = s * dsub
+      var bestD = 0.0
+      var bestC = 0
+      var e = 0
+      while (e < k) {
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          val i = base + j
+          val v = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+          val t = v - cb(e * dim + i)
+          d += t * t
+          j += 1
+        }
+        if (e == 0 || d < bestD ||
+            (java.lang.Double.isNaN(bestD) && !java.lang.Double.isNaN(d))) {
+          bestD = d; bestC = cids(e)
+        }
+        e += 1
+      }
+      out(s) = bestC
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** PQ code assignment as a single codegen'd kernel call — see
+  * [[PqImpl.encode]] for the exact-semantics contract. The codebook
+  * (k·dim doubles) and entry ids ride along as reference objects, so
+  * the generated projection stays tiny regardless of m·k. */
+case class PqEncodeCodes(child: Expression, codebook: Seq[Double],
+    cids: Seq[Int], m: Int, dsub: Int) extends UnaryExpression {
+  require(m >= 1 && dsub >= 1, s"need m >= 1 and dsub >= 1, got m=$m dsub=$dsub")
+  require(codebook.size == cids.size * m * dsub,
+    s"codebook size ${codebook.size} != k·m·dsub = ${cids.size * m * dsub}")
+
+  @transient private lazy val cbArr = codebook.toArray
+  @transient private lazy val cidArr = cids.toArray
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _                                                  => false
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.FloatType, _) |
+           ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode expects array<float> or array<double>, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    PqImpl.encode(input.asInstanceOf[ArrayData], cbArr, cidArr, m, dsub, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cbArr, "double[]")
+    val cidRef = ctx.addReferenceObj("pqCids", cidArr, "int[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.PqImpl.encode($c, $cbRef, $cidRef, $m, $dsub, $isFloat);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Distinct character n-grams in one pass — see [[NgramImpl.charNgrams]]
   * for the exact semantics contract. Stays inside whole-stage codegen:
   * the generated code is a single static call. */
@@ -345,6 +453,14 @@ object fx {
   /** Column API for [[WordNgrams]]. */
   def wordNgrams(text: Column, n: Int): Column =
     column(WordNgrams(expression(text), n))
+
+  /** Column API for [[PqEncodeCodes]]: `codebook` is (cid, full-dim
+    * centroid) in cid-ascending order, as produced by
+    * [[graft.ext.Similarity]]'s codebook builders. */
+  def pqEncodeCodes(vec: Column, codebook: Seq[(Long, Seq[Double])],
+      m: Int, dsub: Int): Column =
+    column(PqEncodeCodes(expression(vec),
+      codebook.flatMap(_._2), codebook.map(_._1.toInt), m, dsub))
 
   /** Column API for [[TopKByScore]] (aggregate): top `k` (score, id)
     * pairs per group, best first, map-side combinable. The id column

@@ -705,6 +705,31 @@ class ExtSpec extends AnyFunSuite {
     assert(out(3L) == ((5000L, 30L, 5.0, 1L)), out.toString) // batch-2 insert
   }
 
+  test("pqTrainCodebooks lowers quantization error vs the first-k seed") {
+    val vecs = emb.select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val m = 8; val dsub = 8
+    def err(cb: Seq[(Long, Seq[Double])]): Double =
+      vecs.map { v =>
+        (0 until m).map { s =>
+          cb.map { case (_, c) =>
+            (0 until dsub).map { j =>
+              val t = v(s * dsub + j) - c(s * dsub + j); t * t
+            }.sum
+          }.min
+        }.sum
+      }.sum
+    val seedErr = err(Similarity.pqSeedCodebook(emb))
+    val trainedErr = err(Similarity.pqTrainCodebooks(emb, m = m, k = 16, iters = 2))
+    assert(trainedErr < seedErr,
+      s"trained=$trainedErr should beat seed=$seedErr")
+    // Lloyd monotonicity: a second round never worsens the objective
+    // (up to the round-6 centroid perturbation, hence the tiny slack)
+    val oneErr = err(Similarity.pqTrainCodebooks(emb, m = m, k = 16, iters = 1))
+    assert(trainedErr <= oneErr * 1.001,
+      s"iters=2 ($trainedErr) should not exceed iters=1 ($oneErr)")
+  }
+
   test("pqAdcTopK returns k ascending scores and ranks the query's own code first") {
     val top = Similarity.pqAdcTopK(emb, queryId = 42L, topK = 10).collect()
     assert(top.length == 10)
