@@ -66,9 +66,11 @@ object Bench {
     // Compact FINAL line: the driver's capture window is the last 2000
     // chars of stdout (BENCH_r01–r04 all show the line truncated at the
     // front), so this line must stay well under that — per-query medians
-    // rounded to 0.01 s, slowest first, cut off once the line would
-    // exceed the budget, with the elided remainder summarized so the
-    // total still reconciles.
+    // rounded to 0.01 s, BEST-FIT FROM SLOWEST: queries are tried in
+    // descending-cost order and any piece that would overflow the budget
+    // is elided (a shorter later name can still fit after a longer one
+    // didn't, so elisions need not be a contiguous tail); elided_sec
+    // summarizes the remainder so the total still reconciles.
     val budget = 1600
     val sorted = results.map { case (k, v) => k -> median(v) }.sortBy(-_._2)
     val sb = new StringBuilder

@@ -557,19 +557,60 @@ object SparkEntry {
       .orderBy("node")
   }
 
-  /** DuckDB oracle for [[graphPagerank]]: the identical recurrence
-    * unrolled — rank_0 = 1, rank_{t+1} = 0.15 + 0.85 · Σ in-mass — as
-    * chained CTEs, one (contribs, ranks) pair per iteration. */
-  private val graphPagerankSql: String = {
+  /** [[graphPagerank]]'s graph under the CANONICAL dangling-mass
+    * formulation ([[graft.ext.Graph.pageRank]] with
+    * `redistributeDangling = true`): each round redistributes the
+    * aggregate rank of sink nodes uniformly, conserving total rank.
+    * Same unrolled relational replay, extended with a per-iteration
+    * dangling-mass scalar. */
+  private def graphPagerankDangling(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val fwd = li.filter(col("l_returnflag") =!= "R")
+      .select(col("l_partkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+    val rev = li.filter(col("l_returnflag") === "R")
+      .select((col("l_suppkey") + 1000000L).as("src"), col("l_partkey").as("dst"))
+    graft.ext.Graph.pageRank(fwd.union(rev), iterations = 5, damping = 0.85,
+        redistributeDangling = true)
+      .select(col("id").as("node"), round(col("r"), 6).as("pr"))
+      .orderBy("node")
+  }
+
+  /** DuckDB oracle for [[graphPagerank]] (and its dangling-
+    * redistribution twin): the identical recurrence unrolled — rank_0
+    * = 1, rank_{t+1} = 0.15 + 0.85 · (Σ in-mass [+ D_t / N]) — as
+    * chained CTEs, one (dangling-mass, contribs, ranks) group per
+    * iteration. */
+  private def graphPagerankSqlFor(dangling: Boolean): String = {
     val iters = (1 to 5).map { i =>
-      s"""c$i AS (
+      val dmass =
+        if (dangling)
+          s"""d$i AS (
+             |  SELECT coalesce(sum(r.r), 0) AS dm
+             |  FROM r${i - 1} r JOIN dang ON dang.id = r.id),
+             |""".stripMargin
+        else ""
+      val rank =
+        if (dangling)
+          s"""r$i AS (
+             |  SELECT id, 0.15 + 0.85 * (coalesce(m, 0) + d$i.dm / n.n) AS r
+             |  FROM nodes LEFT JOIN c$i ON c$i.dst = nodes.id
+             |  CROSS JOIN d$i CROSS JOIN n)""".stripMargin
+        else
+          s"""r$i AS (
+             |  SELECT id, 0.15 + 0.85 * coalesce(m, 0) AS r
+             |  FROM nodes LEFT JOIN c$i ON c$i.dst = nodes.id)""".stripMargin
+      s"""${dmass}c$i AS (
          |  SELECT e.dst, sum(r${i - 1}.r / deg.outdeg) AS m
          |  FROM e JOIN deg USING (src) JOIN r${i - 1} ON r${i - 1}.id = e.src
          |  GROUP BY e.dst),
-         |r$i AS (
-         |  SELECT id, 0.15 + 0.85 * coalesce(m, 0) AS r
-         |  FROM nodes LEFT JOIN c$i ON c$i.dst = nodes.id)""".stripMargin
+         |$rank""".stripMargin
     }.mkString(",\n")
+    val danglingCtes =
+      if (dangling)
+        """dang AS (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM deg)),
+          |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+          |""".stripMargin
+      else ""
     s"""WITH e AS (
        |  SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst
        |  FROM lineitem WHERE l_returnflag <> 'R'
@@ -578,10 +619,12 @@ object SparkEntry {
        |  FROM lineitem WHERE l_returnflag = 'R'),
        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
        |nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
-       |r0 AS (SELECT id, 1.0 AS r FROM nodes),
+       |${danglingCtes}r0 AS (SELECT id, 1.0 AS r FROM nodes),
        |$iters
        |SELECT id AS node, round(r, 6) AS pr FROM r5 ORDER BY node""".stripMargin
   }
+  private val graphPagerankSql: String = graphPagerankSqlFor(dangling = false)
+  private val graphPagerankDanglingSql: String = graphPagerankSqlFor(dangling = true)
 
   /** As-of (point-in-time) join: each event picks up the latest order
     * date of its user at-or-before the event time ([[graft.operators
@@ -942,9 +985,12 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
-  /** IVF-pruned ANN (no oracle: approximate; spec checks recall vs
-    * brute force — and the IVF *plumbing* is hash-oracled by
-    * [[simsearchIvfFull]] below). */
+  /** IVF-pruned ANN (nprobe=4 of 16 cells — the production query
+    * path). Hash-oracled: centroid scores round to 6 dp BEFORE the
+    * cell argmin and probe ranking on both engines (ties to the
+    * lowest centroid id), so DuckDB replays cell assignment, the
+    * 4-cell probe selection, and the pruned top-k exactly. Recall vs
+    * brute force stays property-tested in ExtSpec. */
   private def simsearchIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), 10, ncells = 16, nprobe = 4)
@@ -1479,6 +1525,23 @@ object SparkEntry {
     * two real micro-batches (event_id % 3 == 0 arrives in batch 2),
     * update counts accumulated through the merge. The final table is
     * split-invariant, so a batch argmax oracle gates it exactly. */
+  /** Multi-batch streaming dedup ([[Stream.runDedupMultiBatch]]):
+    * batch 1 = each user's LATEST event before Jan 16, batch 2 = each
+    * user's EARLIEST event from [Jan 16, …) — plus users ≡ 3 (mod 10),
+    * whose whole history lands in batch 2 so their early-January
+    * representative arrives BELOW the advanced watermark (late-drop
+    * coverage). Exercises every dropDuplicatesWithinWatermark state
+    * outcome: first-sight emit, live-state drop, watermark expiry →
+    * re-emit, and late-arrival drop; the oracle replays the TTL rule
+    * relationally. */
+  private def streamDedupMultibatch(s: SparkSession, dir: String): DataFrame =
+    Stream.runDedupMultiBatch(s, t(s, dir, "events"),
+        batch2Pred = col("ts") >= lit("2024-01-16 00:00:00").cast("timestamp") ||
+          pmod(col("user_id"), lit(10)) === 3,
+        lateness = "1 hour")
+      .select(col("user_id"), col("ts"))
+      .orderBy("user_id", "ts")
+
   private def streamUpsert(s: SparkSession, dir: String): DataFrame =
     Stream.foreachBatchUpsert(s, t(s, dir, "events"),
         batch2Pred = pmod(col("event_id"), lit(3)) === 0)
@@ -1534,6 +1597,7 @@ object SparkEntry {
     "q40_values_join" -> (q40ValuesJoin(_, _)),
     "q41_array_ops" -> (q41ArrayOps(_, _)),
     "graph_pagerank" -> (graphPagerank(_, _)),
+    "graph_pagerank_dangling" -> (graphPagerankDangling(_, _)),
     "asof_join" -> (asofJoin(_, _)),
     "range_join" -> (rangeJoin(_, _)),
     "salted_join" -> (saltedJoin(_, _)),
@@ -1598,26 +1662,28 @@ object SparkEntry {
     "stream_enrich" -> (streamEnrich(_, _)),
     "stream_join" -> (streamJoin(_, _)),
     "stream_upsert" -> (streamUpsert(_, _)),
+    "stream_dedup_multibatch" -> (streamDedupMultibatch(_, _)),
     "unload_sorted" -> (unloadSorted(_, _))
   )
 
   // ----------------------------------------------------------------------
-  // DuckDB oracle SQL (validated on duckdb 1.0.0). Omitted entries
-  // (q20_approx_distinct, simsearch_ivf) are approximate by
-  // construction → rows-only check (and simsearch_ivf's plumbing is
-  // hash-oracled via simsearch_ivf_full).
+  // DuckDB oracle SQL (validated on duckdb 1.0.0). The one omitted
+  // entry (q20_approx_distinct) is approximate by construction →
+  // rows-only check; its plumbing is hash-oracled via q10's exact
+  // twin. Every other query — including the pruned-probe
+  // simsearch_ivf since round 6 — has an exact oracle.
   // ----------------------------------------------------------------------
 
   /** Shared DuckDB fragment: whitespace tokens of lowercased text. */
   private val duckToks =
-    "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> len(t) > 0)"
+    "list_filter(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+'), t -> len(t) > 0)"
 
   /** Shared DuckDB fragment: distinct char-5 shingles of normalized
     * text (norm + sh CTEs only — the simhash oracle reuses these
     * without the quadratic `inter` self-join). */
   private val duckShingleBase =
     """WITH norm AS (
-      |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t0 FROM documents
+      |  SELECT doc_id, regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g') AS t0 FROM documents
       |), sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
       |    generate_series(1, greatest(length(t0) - 4, 1)),
@@ -2065,7 +2131,7 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dupes FROM documents
-        |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |GROUP BY md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g'))
         |ORDER BY doc_id""".stripMargin,
     "dedup_ngram" -> jaccardPairsSql,
     "dedup_minhash" -> jaccardPairsSql,
@@ -2073,7 +2139,7 @@ object SparkEntry {
     "dedup_cluster" -> dedupClusterSql,
     "dedup_substring" ->
       """WITH norm AS (
-        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t0 FROM documents
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g') AS t0 FROM documents
         |), w AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
         |    generate_series(1, greatest(length(t0) - 39, 1)),
@@ -2109,6 +2175,36 @@ object SparkEntry {
     // (and, for the kmeans variant, to the trained quantizer too)
     "simsearch_ivf_full" -> simsearchTopkSql,
     "simsearch_ivf_kmeans" -> simsearchTopkSql,
+    // pruned-probe replay: centroid scores round to 6 dp BEFORE the
+    // argmin / probe ranking on both engines (ties to lowest centroid
+    // id), so cell assignment, the nprobe selection, and the pruned
+    // top-k are all reproduced exactly — list_cosine_similarity(raw)
+    // equals dot(normalized) up to the ulp the rounding collapses
+    "simsearch_ivf" ->
+      """WITH cents AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 16),
+        |sa AS (SELECT e.vec_id, c.cid,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                      CAST(c.embedding AS DOUBLE[])), 6) AS s
+        |       FROM embeddings e CROSS JOIN cents c),
+        |cells AS (SELECT vec_id, cid AS cell FROM (
+        |         SELECT vec_id, cid,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        |         FROM sa) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
+        |         SELECT vec_id, cid,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        |         FROM sa WHERE vec_id < 8) WHERE rn <= 4),
+        |scored AS (SELECT p.query_id, a.vec_id AS nbr_id,
+        |         round(list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+        |                                      CAST(en.embedding AS DOUBLE[])), 6) AS cosine
+        |       FROM probes p JOIN cells a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        |       JOIN embeddings eq ON eq.vec_id = p.query_id
+        |       JOIN embeddings en ON en.vec_id = a.vec_id),
+        |ranked AS (SELECT query_id, nbr_id, cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cosine DESC, nbr_id) AS rank FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank, nbr_id, cosine
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "emb_centroids" ->
       """SELECT CAST(vec_id % 8 AS BIGINT) AS grp, CAST(g.i AS INT) AS dim,
         |       round(avg(CAST(embedding[g.i + 1] AS DOUBLE)), 6) AS mean
@@ -2139,7 +2235,7 @@ object SparkEntry {
          |GROUP BY tok ORDER BY freq DESC, token ASC LIMIT 30""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
-        |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |       md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_redact" ->
       s"""SELECT doc_id,
@@ -2175,7 +2271,7 @@ object SparkEntry {
     "dedup_incremental" ->
       """WITH fp AS (
         |  SELECT doc_id,
-        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |         md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fingerprint
         |  FROM documents
         |), corpus AS (
         |  SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 2 = 0
@@ -2263,7 +2359,7 @@ object SparkEntry {
          |  SELECT DISTINCT g.doc_id FROM g JOIN ev USING (s) WHERE g.doc_id % 50 <> 0
          |)
          |SELECT doc_id,
-         |       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+         |       md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fingerprint
          |FROM documents
          |WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
          |ORDER BY doc_id""".stripMargin,
@@ -2274,7 +2370,7 @@ object SparkEntry {
         |  FROM documents
         |), c AS (
         |  SELECT doc_id, trim(regexp_replace(regexp_replace(
-        |           dirty, '[\x00-\x1F\x7F]', ' ', 'g'), '\s{2,}', ' ', 'g')) AS cleaned
+        |           dirty, '[\x00-\x1F\x7F]', ' ', 'g'), '[ \t\n\x0b\f\r]{2,}', ' ', 'g')) AS cleaned
         |  FROM d)
         |SELECT doc_id, md5(cleaned) AS clean_md5,
         |       CAST(length(cleaned) AS BIGINT) AS n_chars
@@ -2332,7 +2428,7 @@ object SparkEntry {
          |           t -> t IN ('the','a','of','and','to','in','is','it','that','was'))) AS ns
          |  FROM documents)
          |SELECT doc_id,
-         |       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+         |       md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fingerprint
          |FROM f
          |WHERE nw BETWEEN 60 AND 10000 AND CAST(ns AS DOUBLE) >= 0.05 * CAST(nw AS DOUBLE)
          |ORDER BY doc_id""".stripMargin,
@@ -2443,6 +2539,7 @@ object SparkEntry {
         |       array_to_string(list_transform(nations, x -> CAST(x AS VARCHAR)), ',') AS nation_csv
         |FROM a ORDER BY c_mktsegment""".stripMargin,
     "graph_pagerank" -> graphPagerankSql,
+    "graph_pagerank_dangling" -> graphPagerankDanglingSql,
     "simsearch_pq_adc" -> simsearchPqAdcSql,
     "emb_pq" -> embPqSql,
     "ts_gapfill" ->
@@ -2577,11 +2674,31 @@ object SparkEntry {
         | AND a.event_type = 'click' AND b.event_type = 'purchase'
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
         |ORDER BY click_id, purchase_id""".stripMargin,
+    "stream_dedup_multibatch" ->
+      // TTL replay: batch 1 emits every key; wm = max(batch-1 ts) - 1h;
+      // a batch-2 row emits iff not late (ts >= wm) and its key's state
+      // expired (stored ts + 1h <= wm) or never existed
+      """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |            (ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |             OR user_id % 10 = 3) AS b2 FROM events),
+        |r1 AS (SELECT user_id, max(ts) AS ts FROM p WHERE NOT b2 GROUP BY user_id),
+        |r2 AS (SELECT user_id, min(ts) AS ts FROM p WHERE b2 GROUP BY user_id),
+        |wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM r1),
+        |e2 AS (SELECT r2.user_id, r2.ts FROM r2, wm
+        |       WHERE r2.ts >= wm.w
+        |         AND NOT EXISTS (SELECT 1 FROM r1, wm x
+        |                         WHERE r1.user_id = r2.user_id
+        |                           AND r1.ts + INTERVAL 1 HOUR > x.w))
+        |SELECT user_id, ts FROM (SELECT * FROM r1 UNION ALL SELECT * FROM e2)
+        |ORDER BY user_id, ts""".stripMargin,
     "stream_upsert" ->
+      // value joins the ORDER BY so the oracle's tie-break chain is
+      // total and matches the engine's max(struct(us, event_id,
+      // value)) ordering even if two events ever shared (ts, event_id)
       """WITH r AS (
         |  SELECT user_id, ts, event_id, value,
         |         row_number() OVER (PARTITION BY user_id
-        |           ORDER BY ts DESC, event_id DESC) AS rn,
+        |           ORDER BY ts DESC, event_id DESC, value DESC) AS rn,
         |         count(*) OVER (PARTITION BY user_id) AS n_updates
         |  FROM events)
         |SELECT user_id, ts AS last_ts, event_id AS last_event_id,

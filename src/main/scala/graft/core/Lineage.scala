@@ -39,10 +39,14 @@ object Lineage {
   /** Drop EVERY persisted RDD and cached query in the session — the
     * between-queries sweep for harnesses (Bench) that run many
     * independent queries in one JVM, so no query is measured under a
-    * predecessor's leaked storage. Never call this while a frame you
-    * still need is checkpointed. */
+    * predecessor's leaked storage. BLOCKING: the sweep runs outside
+    * the timed region, so waiting is free — and a non-blocking sweep
+    * would let block-manager cleanup from query N overlap query N+1's
+    * timed region, the same cross-query pollution (smaller) the sweep
+    * exists to eliminate. Never call this while a frame you still
+    * need is checkpointed. */
   def sweep(spark: SparkSession): Unit = {
     spark.sharedState.cacheManager.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
 }

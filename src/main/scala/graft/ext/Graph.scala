@@ -13,33 +13,43 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Fixed-iteration PageRank: `rank_{t+1}(v) = (1-d) + d * Σ_{u→v}
-    * rank_t(u) / outdeg(u)` with `rank_0 = 1` over every node that
-    * appears as a source or destination. Dangling nodes (no
-    * out-edges) contribute nothing — the simplified formulation whose
-    * per-iteration result is a pure function of the edge set, so an
-    * external oracle can replay it exactly.
+  /** Fixed-iteration PageRank: `rank_{t+1}(v) = (1-d) + d * (Σ_{u→v}
+    * rank_t(u) / outdeg(u) [+ D_t / N])` with `rank_0 = 1` over every
+    * node that appears as a source or destination.
+    *
+    * Dangling nodes (no out-edges): with `redistributeDangling =
+    * false` (default) they contribute nothing — the simplified
+    * formulation. With `true`, their aggregate rank mass `D_t` is
+    * redistributed uniformly over all `N` nodes each round — the
+    * canonical formulation (Page et al. 1999) whose total rank is
+    * conserved on graphs with sinks. Both per-iteration results are
+    * pure functions of the edge set, so an external oracle can replay
+    * either exactly.
     *
     * Scale shape: the edge set is deduplicated, pre-joined with
     * out-degrees ONCE and checkpointed — each of the `iterations`
     * rounds is then one join (ranks onto edge sources) plus one keyed
     * aggregation (contributions by destination): two hash shuffles of
-    * (id, double) pairs, independent of edge payload width. Ranks are
-    * locally checkpointed per round so the lineage (and thus the plan)
-    * stays O(1) instead of O(iterations). No broadcast of anything
-    * node- or edge-sized; no driver collect.
+    * (id, double) pairs, independent of edge payload width. The
+    * dangling variant adds ONE scalar aggregate per round (the
+    * dangling-rank sum, a single-row frame cross-joined back — no
+    * driver collect, no extra keyed shuffle). Ranks are locally
+    * checkpointed per round so the lineage (and thus the plan) stays
+    * O(1) instead of O(iterations). No broadcast of anything node- or
+    * edge-sized.
     *
-    * Determinism: per-destination contribution sums are double
-    * additions in shuffle order — round the FINAL ranks (the caller's
-    * job) when comparing across engines; intermediate ranks are left
-    * unrounded, matching what an unrolled relational replay computes.
-    */
+    * Determinism: per-destination contribution sums (and the dangling
+    * mass) are double additions in shuffle order — round the FINAL
+    * ranks (the caller's job) when comparing across engines;
+    * intermediates are left unrounded, matching what an unrolled
+    * relational replay computes. */
   def pageRank(
       edges: DataFrame,
       iterations: Int = 5,
       damping: Double = 0.85,
       srcCol: String = "src",
-      dstCol: String = "dst"
+      dstCol: String = "dst",
+      redistributeDangling: Boolean = false
   ): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val e0 = edges
@@ -50,25 +60,46 @@ object Graph {
     val withDeg = e0.join(deg, "src").localCheckpoint()
     val nodes = e0.select(col("src").as("id"))
       .union(e0.select(col("dst").as("id"))).distinct().localCheckpoint()
+    // dangling = nodes with no out-edges; loop-invariant like withDeg
+    val dangling =
+      if (redistributeDangling)
+        Some(nodes.join(deg, nodes("id") === deg("src"), "left_anti")
+          .localCheckpoint())
+      else None
+    // N is loop-invariant; one bounded scalar to the driver, like a
+    // dimension probe (only the dangling variant needs it)
+    val nNodes = if (redistributeDangling) nodes.count().toDouble else 0.0
     var ranks = nodes.withColumn("r", lit(1.0))
     for (_ <- 1 to iterations) {
       val contribs = withDeg
         .join(ranks, withDeg("src") === ranks("id"))
         .select(col("dst"), (col("r") / col("outdeg")).as("c"))
         .groupBy("dst").agg(sum("c").as("in_mass"))
-      val next = nodes
+      val joined = nodes
         .join(contribs, nodes("id") === contribs("dst"), "left")
-        .select(col("id"),
-          (lit(1.0 - damping) + lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("r"))
-        .localCheckpoint()
+      val next = (dangling match {
+        case Some(dang) =>
+          // Σ dangling rank, one row (sum over an empty set is NULL →
+          // 0); broadcast-cross-joined so every node sees D_t / N
+          val dmass = ranks.join(dang.select(col("id")), "id")
+            .agg(coalesce(sum("r"), lit(0.0)).as("dm"))
+          joined.crossJoin(broadcast(dmass))
+            .select(col("id"),
+              (lit(1.0 - damping) + lit(damping) *
+                (coalesce(col("in_mass"), lit(0.0)) + col("dm") / lit(nNodes))).as("r"))
+        case None =>
+          joined.select(col("id"),
+            (lit(1.0 - damping) + lit(damping) *
+              coalesce(col("in_mass"), lit(0.0))).as("r"))
+      }).localCheckpoint()
       // round t's ranks have no consumer once round t+1 materializes
       // (release is a no-op on the round-0 ranks, a derived frame);
       // storage across the loop stays O(1) instead of O(iterations)
       graft.core.Lineage.release(ranks)
       ranks = next
     }
-    // e0 fed withDeg/nodes at build time; the result references neither
-    graft.core.Lineage.release(e0, withDeg, nodes)
+    // e0 fed withDeg/nodes at build time; the result references none
+    graft.core.Lineage.release(e0 +: withDeg +: nodes +: dangling.toSeq: _*)
     ranks
   }
 }

@@ -82,11 +82,20 @@ object Similarity {
     * higher-order form evaluates all dots through interpreted lambdas
     * per corpus row — measured 6× slower.) Structs compare
     * lexicographically, so least() = highest cosine with ties to the
-    * lowest centroid id. */
+    * lowest centroid id.
+    *
+    * Scores are ROUNDED to 6 dp before the argmin: cross-engine, the
+    * unrounded cosines differ in the last ulp (different normalize /
+    * dot accumulation orders), which would make cell assignment and
+    * probe selection un-replayable — rounding first collapses the ulp
+    * band, and the cent_id tie-break resolves the (now more likely)
+    * exact 6 dp ties identically on both engines. This is what lets
+    * the PRUNED-probe IVF path be hash-oracled, not just recall-
+    * tested. */
   private def centScoreStructs(cents: Seq[(Long, Seq[Double])])(vec: Column): Seq[Column] =
     cents.map { case (cid, cv) =>
       struct(
-        (-graft.functions.fx.vecDot(vec, typedlit(cv))).as("negcos"),
+        round(-graft.functions.fx.vecDot(vec, typedlit(cv)), 6).as("negcos"),
         lit(cid).as("cent_id"))
     }
 

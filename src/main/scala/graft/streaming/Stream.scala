@@ -219,7 +219,9 @@ object Stream {
     val rows = events
       .select(col("user_id").cast("long"), unix_micros(col("ts")),
         col("event_id").cast("long"), col("value").cast("double"),
-        batch2Pred.cast("boolean"))
+        // a NULL predicate row must land in batch 1, not surface later
+        // as an opaque NPE from getBoolean on the collected row
+        coalesce(batch2Pred.cast("boolean"), lit(false)))
       .collect()
     def part(second: Boolean) = rows.filter(_.getBoolean(4) == second)
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
@@ -395,15 +397,11 @@ object Stream {
     * arrival-order-dependent, but the emitted KEY SET over a bounded
     * input is exactly the distinct key set — aggregate on the keys
     * (as the stream_dedup query does) for an oracle-exact result.
-    * That key-set equality additionally assumes the whole input lands
-    * in ONE micro-batch (true here: a single-file source under
-    * AvailableNow). With multi-file input split across batches, a
-    * duplicate key arriving > `lateness` apart in event time can be
-    * re-emitted after its state expired at the watermark horizon —
-    * correct bounded-state streaming semantics, but no longer equal to
-    * the batch distinct-key set. Pin maxFilesPerTrigger (or widen
-    * `lateness` past the fixture's event-time span) before pointing
-    * this at a multi-file fixture. */
+    * This single-file source under AvailableNow lands the whole input
+    * in one micro-batch, so the emitted key set equals the batch
+    * distinct-key set. The MULTI-batch state lifecycle — expiry at the
+    * watermark horizon, re-emission after expiry, late-arrival drops —
+    * is exercised and exactly oracled by [[runDedupMultiBatch]]. */
   def runDedupOnce(spark: SparkSession, path: String, keys: Seq[String],
       lateness: String = "2 hours",
       queryName: String = "graft_stream_dedup"): DataFrame = {
@@ -427,6 +425,67 @@ object Stream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Streaming exact dedup across TWO micro-batches, exercising the
+    * full `dropDuplicatesWithinWatermark` state lifecycle — emit on
+    * first sight, drop while per-key state lives, EXPIRE at the
+    * watermark horizon, re-emit after expiry, and drop batch-2 rows
+    * that arrive older than the advanced watermark. All five outcomes
+    * are deterministic functions of the input split, so the emitted
+    * (key, ts) set is hash-oracle-able.
+    *
+    * Determinism: each (key, batch) is reduced driver-side to ONE
+    * representative row — batch 1 keeps the key's LATEST pre-split
+    * event (so state expiry depends on last activity, the TTL cache
+    * shape), batch 2 its EARLIEST post-split event — because
+    * WITHIN-batch duplicate arrival order is partition-dependent and
+    * would make the stored event time (hence expiry) nondeterministic.
+    * The TTL rule the oracle replays: batch 1 emits every key; the
+    * batch-2 watermark is max(batch-1 ts) − `lateness`; a batch-2 row
+    * is emitted iff it is not late (ts ≥ watermark) AND its key's
+    * state has expired (stored ts + `lateness` ≤ watermark) or never
+    * existed.
+    *
+    * 100 TB shape: the dedup operator shuffles once on the key; state
+    * is watermark-bounded. The driver-side collect feeds the
+    * deterministic two-batch MemoryStream schedule (semantics harness,
+    * as in [[lateDataWindowCounts]]), not a data path. */
+  def runDedupMultiBatch(
+      spark: SparkSession,
+      events: DataFrame,
+      batch2Pred: org.apache.spark.sql.Column,
+      keyCol: String = "user_id",
+      lateness: String = "1 hour",
+      queryName: String = "graft_stream_dedup_mb"
+  ): DataFrame = {
+    import spark.implicits._
+    val rows = events
+      .select(col(keyCol).cast("long").as("k"), unix_micros(col("ts")).as("us"),
+        coalesce(batch2Pred.cast("boolean"), lit(false)).as("b2"))
+      .groupBy("k", "b2")
+      .agg(min("us").as("min_us"), max("us").as("max_us"))
+      .collect()
+    def part(second: Boolean) = rows.filter(_.getBoolean(1) == second)
+      .map(r => (r.getLong(0), if (second) r.getLong(2) else r.getLong(3))).toSeq
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, Long)]], spark.sqlContext)
+    val dd = ms.toDF()
+      .select(col("_1").as(keyCol), timestamp_micros(col("_2")).as("ts"))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keyCol)
+    val q = dd.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try {
+      ms.addData(part(second = false))
+      q.processAllAvailable() // batch 1: no watermark yet — all keys emit
+      ms.addData(part(second = true))
+      q.processAllAvailable() // batch 2 under wm1: live-drop / re-emit / late-drop
+    } finally q.stop()
     spark.table(queryName)
   }
 }
