@@ -505,6 +505,41 @@ object SparkEntry {
       .orderBy("c_mktsegment", "c_custkey")
   }
 
+  /** Statistical aggregates (corr / covariance / stddev / variance /
+    * linear regression / exact median) per group — the profiling
+    * surface of a feature-engineering pass. Rounding margins are set
+    * per statistic: the two engines accumulate central moments in
+    * different orders (and with different but equally-stable one-pass
+    * algorithms), so each value is rounded where its magnitude leaves
+    * ≥ 10³ of headroom over the cross-engine drift. */
+  private def q42Stats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qp"),
+        round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope_pq"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("icept_pq"),
+        round(median(col("l_extendedprice")), 4).as("med_price"))
+      .orderBy("l_returnflag")
+
+  /** Fixed-grid histogram of order totals: bucket = min(⌊price /
+    * 50 000⌋, 11) — the floor-div binning both engines compute
+    * bit-identically (double divide + floor + least, no aggregates
+    * before the bucket key). */
+  private def q43Histogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        least(floor(col("o_totalprice").cast("double") / lit(50000.0)), lit(11L)).as("bucket"),
+        col("o_totalprice").cast("double").as("p"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), round(sum("p"), 2).as("sum_price"),
+        round(min("p"), 2).as("min_price"), round(max("p"), 2).as("max_price"))
+      .orderBy("bucket")
+
   /** Inline VALUES lookup table (driver-local rows become a broadcast
     * dim): per-priority order counts weighted by a literal table. */
   private def q40ValuesJoin(s: SparkSession, dir: String): DataFrame = {
@@ -1337,6 +1372,31 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Concat-and-chunk sequence packing ([[graft.ext.Pack
+    * .packSequences]]): the corpus tokenized to ids (same top-20
+    * vocabulary as [[textVocabIds]]), every document's sequence + an
+    * EOS(-1) separator concatenated in doc order and cut into 128-id
+    * training sequences — the packed pre-training layout. The md5 of
+    * each sequence's joined ids gates offsets, boundaries, EOS
+    * placement, and the ragged tail at once. */
+  private def textPackseq(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = Text.buildVocab(docs, v = 20)
+    graft.ext.Pack.packSequences(Text.tokensToIds(docs, vocab), seqLen = 128, eosId = -1)
+      .select(col("seq_idx"), col("n_tokens"),
+        md5(concat_ws(",", transform(col("tokens"), _.cast("string")))).as("tokens_md5"))
+      .orderBy("seq_idx")
+  }
+
+  /** Temperature-scaled domain mixing weights ([[graft.ext.Sample
+    * .temperatureWeights]], α = 0.7 over per-source character mass) —
+    * the multi-domain sampling schedule of multilingual pre-training
+    * recipes. */
+  private def sampleTemperature(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sample.temperatureWeights(
+        t(s, dir, "documents"), "source", "n_chars", alpha = 0.7)
+      .orderBy("domain")
+
   /** BM25 retrieval scoring ([[Text.bm25]]) of the corpus against a
     * 3-term query; Okapi k1=1.2, b=0.75 defaults. */
   private def textBm25(s: SparkSession, dir: String): DataFrame =
@@ -1430,6 +1490,16 @@ object SparkEntry {
     Stream.runOnce(s, s"${dir.stripSuffix("/")}/events.parquet", "1 hour")
       .select(col("window_start"), col("event_type"), col("n_events"),
         col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  /** SLIDING-window aggregate through the real micro-batch engine
+    * ([[Stream.runSlidingOnce]]): 2-hour windows every 1 hour, so each
+    * event feeds two overlapping buckets — the overlap shape the
+    * tumbling [[streamWindow]] twin cannot exercise. The oracle
+    * replays the bucket fan-out with a k-offset unnest. */
+  private def streamSliding(s: SparkSession, dir: String): DataFrame =
+    Stream.runSlidingOnce(s, s"${dir.stripSuffix("/")}/events.parquet",
+        window_ = "2 hours", slide = "1 hour")
       .orderBy("window_start", "event_type")
 
   /** Session windows per user (30-minute inactivity gap) — the built-in
@@ -1596,6 +1666,8 @@ object SparkEntry {
     "q39_distribution" -> (q39Distribution(_, _)),
     "q40_values_join" -> (q40ValuesJoin(_, _)),
     "q41_array_ops" -> (q41ArrayOps(_, _)),
+    "q42_stats" -> (q42Stats(_, _)),
+    "q43_histogram" -> (q43Histogram(_, _)),
     "graph_pagerank" -> (graphPagerank(_, _)),
     "graph_pagerank_dangling" -> (graphPagerankDangling(_, _)),
     "asof_join" -> (asofJoin(_, _)),
@@ -1638,6 +1710,7 @@ object SparkEntry {
     "text_pardedup" -> (textPardedup(_, _)),
     "text_bm25" -> (textBm25(_, _)),
     "text_vocab_ids" -> (textVocabIds(_, _)),
+    "text_packseq" -> (textPackseq(_, _)),
     "ts_gapfill" -> (tsGapfill(_, _)),
     "emb_pq" -> (embPq(_, _)),
     "text_repetition" -> (textRepetition(_, _)),
@@ -1647,6 +1720,7 @@ object SparkEntry {
     "dedup_incremental" -> (dedupIncremental(_, _)),
     "sample_stratified" -> (sampleStratified(_, _)),
     "sample_domain_cap" -> (sampleDomainCap(_, _)),
+    "sample_temperature" -> (sampleTemperature(_, _)),
     "sample_balanced" -> (sampleBalanced(_, _)),
     "pack_shards" -> (packShardsQ(_, _)),
     "emb_quantize" -> (embQuantize(_, _)),
@@ -1655,6 +1729,7 @@ object SparkEntry {
     "multimodal_decode_real" -> (multimodalDecodeReal(_, _)),
     "multimodal_frames" -> (multimodalFrames(_, _)),
     "stream_window" -> (streamWindow(_, _)),
+    "stream_sliding" -> (streamSliding(_, _)),
     "stream_sessions" -> (streamSessions(_, _)),
     "stream_sessions_stateful" -> (streamSessionsStateful(_, _)),
     "stream_late" -> (streamLate(_, _)),
@@ -2528,6 +2603,23 @@ object SparkEntry {
         |  ('4-NOT SPECIFIED', 2), ('5-LOW', 1)) AS w(o_orderpriority, weight)
         |USING (o_orderpriority)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q42_stats" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+        |       round(stddev_samp(l_extendedprice), 2) AS sd_price,
+        |       round(var_samp(l_quantity), 4) AS var_qty,
+        |       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_pq,
+        |       round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept_pq,
+        |       round(median(l_extendedprice), 4) AS med_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q43_histogram" ->
+      """SELECT least(CAST(floor(CAST(o_totalprice AS DOUBLE) / 50000.0) AS BIGINT), 11) AS bucket,
+        |       count(*) AS n,
+        |       round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS sum_price,
+        |       round(min(CAST(o_totalprice AS DOUBLE)), 2) AS min_price,
+        |       round(max(CAST(o_totalprice AS DOUBLE)), 2) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q41_array_ops" ->
       """WITH a AS (
         |  SELECT c_mktsegment,
@@ -2571,6 +2663,32 @@ object SparkEntry {
          |       CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
          |       md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY p)) AS ids_md5
          |FROM ids GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_packseq" ->
+      // same vocab/ids CTEs as text_vocab_ids, then the concat-and-
+      // chunk replay: a global-position window prefix sum, one EOS(-1)
+      // row appended per doc, floor-div into 128-id sequences
+      s"""WITH t AS (SELECT doc_id, $duckToks AS ts FROM documents),
+         |tok AS (SELECT doc_id, unnest(ts) AS token FROM t),
+         |freq AS (SELECT token, count(*) AS freq FROM tok GROUP BY token),
+         |vocab AS (SELECT token,
+         |                 row_number() OVER (ORDER BY freq DESC, token ASC) AS id
+         |          FROM freq ORDER BY freq DESC, token ASC LIMIT 20),
+         |pos AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS p FROM t),
+         |ids AS (SELECT x.doc_id, x.p, coalesce(v.id, 0) AS tid
+         |        FROM (SELECT doc_id, p, ts[CAST(p AS INT)] AS token FROM pos) x
+         |        LEFT JOIN vocab v USING (token)),
+         |dl AS (SELECT doc_id, count(*) + 1 AS len FROM ids GROUP BY doc_id),
+         |off AS (SELECT doc_id, len,
+         |          CAST(coalesce(sum(len) OVER (ORDER BY doc_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre
+         |        FROM dl),
+         |g AS (SELECT o.pre + i.p - 1 AS gpos, i.tid
+         |      FROM ids i JOIN off o USING (doc_id)
+         |      UNION ALL
+         |      SELECT pre + len - 1, -1 FROM off)
+         |SELECT CAST(gpos // 128 AS BIGINT) AS seq_idx, count(*) AS n_tokens,
+         |       md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY gpos)) AS tokens_md5
+         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_pardedup" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS ts FROM documents),
          |c AS (SELECT doc_id, ts,
@@ -2674,6 +2792,24 @@ object SparkEntry {
         | AND a.event_type = 'click' AND b.event_type = 'purchase'
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
         |ORDER BY click_id, purchase_id""".stripMargin,
+    "sample_temperature" ->
+      """WITH s AS (SELECT source AS domain, CAST(sum(n_chars) AS DOUBLE) AS size
+        |           FROM documents GROUP BY source),
+        |t AS (SELECT sum(pow(size, 0.7)) AS tpa, sum(size) AS tn FROM s)
+        |SELECT domain, CAST(size AS BIGINT) AS size,
+        |       round(pow(size, 0.7) / t.tpa, 6) AS weight,
+        |       round((pow(size, 0.7) / t.tpa) / (size / t.tn), 6) AS boost
+        |FROM s CROSS JOIN t ORDER BY domain""".stripMargin,
+    "stream_sliding" ->
+      // every event covers two epoch-aligned hourly-slide buckets of
+      // the 2-hour window: starts date_trunc(hour, ts) - {0,1} hours
+      """WITH x AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |w AS (SELECT date_trunc('hour', x.ts) - INTERVAL 1 HOUR * k.k AS window_start,
+        |             event_type, value
+        |      FROM x CROSS JOIN (SELECT unnest([0, 1]) AS k) k)
+        |SELECT window_start, event_type, count(*) AS n_events,
+        |       round(sum(value), 4) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_dedup_multibatch" ->
       // TTL replay: batch 1 emits every key; wm = max(batch-1 ts) - 1h;
       // a batch-2 row emits iff not late (ts >= wm) and its key's state

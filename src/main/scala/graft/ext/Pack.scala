@@ -45,11 +45,23 @@ object Pack {
   def packShards(df: DataFrame, idCol: String, weightCol: String,
                  budget: Long, bucketWidth: Long = 4096L): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    withExclusivePrefix(df, idCol, weightCol, bucketWidth)
+      // preceding-weight div budget; __pre < 2⁵³ so the double path is exact
+      .withColumn("shard_id", floor(col("__pre").cast("double") / lit(budget.toDouble)).cast("long"))
+      .drop("__pre")
+  }
+
+  /** The distributed two-phase EXCLUSIVE prefix sum both packers share:
+    * adds `__pre` = Σ `weightCol` over all rows with smaller `idCol`.
+    * See the object scaladoc for why this beats the global-window
+    * formulation at scale. */
+  private def withExclusivePrefix(df: DataFrame, idCol: String, weightCol: String,
+                                  bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     val reserved = Seq("__bucket", "__bw", "__boff", "__pre")
     val hits = reserved.filter(df.columns.contains)
     require(hits.isEmpty,
-      s"packShards uses reserved working columns already present in the input: $hits")
+      s"prefix-sum packing uses reserved working columns already present in the input: $hits")
 
     val bucket = floor(col(idCol).cast("double") / lit(bucketWidth.toDouble)).cast("long")
 
@@ -71,8 +83,47 @@ object Pack {
       .join(broadcast(offsets), "__bucket")
       .withColumn("__pre",
         col("__boff") + coalesce(sum(col(weightCol).cast("long")).over(inW), lit(0L)))
-      // preceding-weight div budget; __pre < 2⁵³ so the double path is exact
-      .withColumn("shard_id", floor(col("__pre").cast("double") / lit(budget.toDouble)).cast("long"))
-      .drop("__bucket", "__boff", "__pre")
+      .drop("__bucket", "__boff")
+  }
+
+  /** Concat-and-chunk sequence packing — the LM-training data step:
+    * every document's token-id sequence (plus one `eosId` separator)
+    * is concatenated in `idCol` order into one global token stream,
+    * which is then cut into fixed-length training sequences of
+    * `seqLen` ids (`seq_idx` ascending, last sequence ragged).
+    * Documents are never reordered and never split across a boundary
+    * inconsistently — token `g` of the stream lands in sequence
+    * `g div seqLen` at offset `g mod seqLen`, exactly the
+    * deterministic layout a packed pre-training corpus uses.
+    *
+    * Output: (seq_idx, tokens, n_tokens) with `tokens` the ordered id
+    * array.
+    *
+    * Scale shape: per-document lengths feed the same two-phase
+    * distributed prefix sum as [[packShards]] (no global window over
+    * the corpus); the explode emits (global-pos, id) pairs that
+    * shuffle ONCE on seq_idx; sequence assembly is the array_sort ∘
+    * collect_list struct pattern (never collect_list order). Nothing
+    * reaches the driver. */
+  def packSequences(ids: DataFrame, seqLen: Int, eosId: Int = -1,
+                    idCol: String = "doc_id", tokenCol: String = "token_ids",
+                    bucketWidth: Long = 4096L): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val withEos = ids.select(col(idCol),
+        concat(col(tokenCol), array(lit(eosId))).as("__toks"))
+      .withColumn("__len", size(col("__toks")).cast("long"))
+    val pre = withExclusivePrefix(withEos, idCol, "__len", bucketWidth)
+    pre
+      .select(col("__pre"), posexplode(col("__toks")).as(Seq("__p", "__tid")))
+      .withColumn("__gpos", col("__pre") + col("__p"))
+      // __gpos < 2⁵³ so the double floor-div path is exact
+      .withColumn("seq_idx",
+        floor(col("__gpos").cast("double") / lit(seqLen.toDouble)).cast("long"))
+      .withColumn("__sp", col("__gpos") % seqLen)
+      .groupBy("seq_idx")
+      .agg(
+        transform(array_sort(collect_list(struct(col("__sp"), col("__tid")))),
+          x => x("__tid")).as("tokens"),
+        count(lit(1)).as("n_tokens"))
   }
 }

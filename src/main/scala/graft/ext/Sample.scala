@@ -120,6 +120,35 @@ object Sample {
     * hot key funnels its rows through one task — for k ≪ rows/key, a
     * pre-thinning `stratified` pass (rate ≈ 10k/rows) bounds that
     * before the exact window. */
+  /** Temperature-scaled domain mixing weights — the multi-source
+    * sampling schedule of multilingual / multi-domain pre-training
+    * (e.g. the α-smoothed sampling of the XLM-R / mT5 recipes):
+    * domain d with size `n_d` (Σ `weightCol`) gets sampling weight
+    * `w_d = n_d^α / Σ_e n_e^α`. α = 1 reproduces natural proportions;
+    * α → 0 approaches uniform; the usual 0 < α < 1 upsamples small
+    * domains. Also emits `boost = w_d / natural_d` — the per-domain
+    * repetition factor a sampler applies.
+    *
+    * Output: (domain, size, weight, boost), weights summing to 1.
+    *
+    * Scale shape: one map-side-combinable aggregation to the domain
+    * relation (tiny by contract), one single-row total cross-joined
+    * back — the corpus itself is touched once and never shuffled.
+    * Cross-engine: pow/sum orders differ in the last ulp → callers
+    * round the ratios (both 6 dp here), the repo's float discipline. */
+  def temperatureWeights(df: DataFrame, domainCol: String,
+                         weightCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val sizes = df.groupBy(col(domainCol).as("domain"))
+      .agg(sum(col(weightCol).cast("double")).as("size"))
+      .withColumn("__pa", pow(col("size"), lit(alpha)))
+    val tot = sizes.agg(sum("__pa").as("__tpa"), sum("size").as("__tn"))
+    sizes.crossJoin(broadcast(tot))
+      .select(col("domain"), col("size").cast("long").as("size"),
+        round(col("__pa") / col("__tpa"), 6).as("weight"),
+        round((col("__pa") / col("__tpa")) / (col("size") / col("__tn")), 6).as("boost"))
+  }
+
   def capPerKey(df: DataFrame, keyCol: String, k: Int, idCol: String,
                 seed: String = ""): DataFrame = {
     require(k > 0, s"k must be positive, got $k")

@@ -297,6 +297,47 @@ object Stream {
     spark.table(queryName)
   }
 
+  /** SLIDING-window aggregate (slide < window, so every event lands in
+    * window/slide overlapping buckets) — batch/stream agnostic like
+    * [[windowedAgg]]. Spark's `window(ts, w, s)` emits one row per
+    * covering bucket; buckets are epoch-aligned to the slide grid. */
+  def slidingAgg(events: DataFrame, window_ : String = "2 hours",
+      slide: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), window_, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Run the sliding-window aggregate over the events file through the
+    * REAL micro-batch engine (complete-mode memory sink, AvailableNow)
+    * — the overlapping-bucket shape [[runOnce]]'s tumbling twin does
+    * not cover. State per (bucket, event_type) key; each event updates
+    * window/slide buckets, which is exactly what the oracle replays
+    * with a k-offset unnest. */
+  def runSlidingOnce(spark: SparkSession, path: String,
+      window_ : String = "2 hours", slide: String = "1 hour",
+      queryName: String = "graft_stream_sliding"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema: StructType = spark.read.parquet(path).schema
+    val p = new org.apache.hadoop.fs.Path(path)
+    val stream0 = spark.readStream.schema(schema)
+      .option("pathGlobFilter", p.getName)
+      .parquet(p.getParent.toString)
+    val stream =
+      if (stream0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream0
+    val q = slidingAgg(stream, window_, slide).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Stream-static enrichment: join a live event stream against a
     * static dimension table and aggregate — the classic "attach the
     * customer/nation to each event" streaming pattern. The static side

@@ -441,6 +441,58 @@ class ExtSpec extends AnyFunSuite {
     assert(shardTotals.forall(_.getLong(1) <= 2000L + maxDocW))
   }
 
+  test("packSequences lays out the concat-and-chunk stream exactly") {
+    import graft.ext.Pack
+    import spark.implicits._
+    // doc 1: 3 ids, doc 2: 1 id, doc 3: 5 ids; +EOS each → stream of 12
+    val ids = Seq(
+      (1L, Seq(10, 11, 12)), (2L, Seq(20)), (3L, Seq(30, 31, 32, 33, 34)))
+      .toDF("doc_id", "token_ids")
+    val out = Pack.packSequences(ids, seqLen = 4, eosId = -1)
+      .orderBy("seq_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toList, r.getLong(2)))
+    // stream: 10 11 12 -1 | 20 -1 30 31 | 32 33 34 -1
+    assert(out.toList == List(
+      (0L, List(10, 11, 12, -1), 4L),
+      (1L, List(20, -1, 30, 31), 4L),
+      (2L, List(32, 33, 34, -1), 4L)))
+    // ragged tail: seqLen 5 leaves a final 2-token sequence
+    val ragged = Pack.packSequences(ids, seqLen = 5, eosId = -1)
+      .orderBy("seq_idx").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toList, r.getLong(2)))
+    assert(ragged.last == ((2L, List(34, -1), 2L)))
+    // bucketWidth never changes the layout
+    val w1 = Pack.packSequences(ids, seqLen = 4, eosId = -1, bucketWidth = 1L)
+      .orderBy("seq_idx").collect().map(_.getSeq[Int](1).toList).toList
+    assert(w1 == out.map(_._2).toList)
+  }
+
+  test("temperatureWeights sums to 1 and α=1 reproduces natural proportions") {
+    import graft.ext.Sample
+    val w = Sample.temperatureWeights(docs, "source", "n_chars", alpha = 0.7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(math.abs(w.map(_._3).sum - 1.0) < 1e-4)
+    assert(w.forall(_._3 > 0))
+    val natural = Sample.temperatureWeights(docs, "source", "n_chars", alpha = 1.0)
+      .collect().map(r => (r.getString(0), r.getDouble(3)))
+    assert(natural.forall { case (_, boost) => math.abs(boost - 1.0) < 1e-5 })
+    // α < 1 boosts the smallest domain at least as much as the largest
+    val bySize = w.sortBy(_._2)
+    assert(bySize.head._4 >= bySize.last._4)
+  }
+
+  test("slidingAgg lands every event in window/slide overlapping buckets") {
+    val ev = spark.read.parquet(s"${TestSession.sf}/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val n = ev.count()
+    val agg = Stream.slidingAgg(ev, "2 hours", "1 hour")
+    assert(agg.agg(sum("n_events")).head.getLong(0) == 2 * n)
+    // bucket starts align to the hourly slide grid
+    val starts = agg.select(col("window_start").cast("long")).collect().map(_.getLong(0))
+    assert(starts.forall(_ % 3600 == 0))
+  }
+
   test("decontaminate drops exactly the n-gram-overlapping documents") {
     import spark.implicits._
     val corpus = Seq(
