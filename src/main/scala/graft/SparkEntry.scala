@@ -505,6 +505,51 @@ object SparkEntry {
       .orderBy("c_mktsegment", "c_custkey")
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) interval build: each
+    * purchase event opens a validity interval closed by the user's
+    * next purchase — valid_from/valid_to half-open intervals with an
+    * is_current flag, the standard warehouse history table derived
+    * with one lead() window (deterministic (ts, event_id) order). */
+  private def q44Scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(s, dir, "events").filter(col("event_type") === "purchase")
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("ts").as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"),
+        round(col("value"), 4).as("value"))
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  /** Ordered conversion funnel (view → click → purchase): per user,
+    * first view, first click strictly after it, first purchase
+    * strictly after that; stage 3 requires converting within 24 h of
+    * the first view. Emits per-stage user counts and the mean
+    * hours-to-convert of stage-3 users. Three keyed min-aggregations
+    * and two left joins — no windows over the event corpus. */
+  private def q45Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("v_ts"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("v_ts"))
+      .groupBy("user_id").agg(min("ts").as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("c_ts"))
+      .groupBy("user_id").agg(min("ts").as("p_ts"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("p_ts").isNotNull &&
+            col("p_ts") <= col("v_ts") + expr("INTERVAL 24 HOURS"), lit(3))
+          .when(col("c_ts").isNotNull, lit(2)).otherwise(lit(1)).as("stage"),
+        when(col("p_ts").isNotNull &&
+            col("p_ts") <= col("v_ts") + expr("INTERVAL 24 HOURS"),
+          (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).cast("double") / 3.6e9)
+          .as("conv_h"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_users"), round(avg("conv_h"), 4).as("avg_hours_to_convert"))
+      .orderBy("stage")
+  }
+
   /** Statistical aggregates (corr / covariance / stddev / variance /
     * linear regression / exact median) per group — the profiling
     * surface of a feature-engineering pass. Rounding margins are set
@@ -979,6 +1024,28 @@ object SparkEntry {
     val pairs = Dedup.ngramJaccardPairs(docs, 0.8,
       shingler = graft.functions.wordNgrams(_, 3))
     Dedup.clusterIds(docs, pairs).orderBy("doc_id")
+  }
+
+  /** Containment near-dup pairs ([[Dedup.containmentPairs]], t = 0.6):
+    * the asymmetric |A∩B| / min(|A|,|B|) measure that catches a
+    * document embedded in a larger one — at this threshold the pair
+    * set is ~30× the Jaccard-0.8 set on this fixture, exactly the
+    * subset-style duplication Jaccard dilutes away. */
+  private def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(t(s, dir, "documents"), 0.6, shingle = 5, maxDf = 100)
+      .orderBy("id_a", "id_b")
+
+  /** Quality-ranked survivor selection ([[Dedup.survivorsBy]]): per
+    * near-dup cluster (word-3-gram Jaccard ≥ 0.8, same graph as
+    * [[dedupCluster]]), keep the LONGEST member (n_chars, ties to the
+    * lowest doc id) instead of the min-id rule. */
+  private def dedupSurvivor(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, 0.8,
+      shingler = graft.functions.wordNgrams(_, 3))
+    Dedup.survivorsBy(docs, pairs, "n_chars")
+      .select(col("cluster_id"), col("doc_id"), col("n_chars"))
+      .orderBy("cluster_id")
   }
 
   /** Embedding cosine near-dup pairs (exact pairwise ≥ 0.45). */
@@ -1668,6 +1735,8 @@ object SparkEntry {
     "q41_array_ops" -> (q41ArrayOps(_, _)),
     "q42_stats" -> (q42Stats(_, _)),
     "q43_histogram" -> (q43Histogram(_, _)),
+    "q44_scd2" -> (q44Scd2(_, _)),
+    "q45_funnel" -> (q45Funnel(_, _)),
     "graph_pagerank" -> (graphPagerank(_, _)),
     "graph_pagerank_dangling" -> (graphPagerankDangling(_, _)),
     "asof_join" -> (asofJoin(_, _)),
@@ -1688,6 +1757,8 @@ object SparkEntry {
     "dedup_minhash" -> (dedupMinhash(_, _)),
     "dedup_wordngram" -> (dedupWordngram(_, _)),
     "dedup_cluster" -> (dedupCluster(_, _)),
+    "dedup_containment" -> (dedupContainment(_, _)),
+    "dedup_survivor" -> (dedupSurvivor(_, _)),
     "dedup_substring" -> (dedupSubstring(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "dedup_embcos" -> (dedupEmbCos(_, _)),
@@ -1839,7 +1910,11 @@ object SparkEntry {
     * document's cluster id = min reachable doc id (its own id when it
     * appears in no pair). DuckDB allows non-recursive CTEs inside a
     * WITH RECURSIVE list, so the shingle CTE chain is reused verbatim. */
-  private val dedupClusterSql =
+  /** Shared recursive-closure prefix: word-3-gram Jaccard ≥ 0.8 pairs
+    * → symmetric edges → transitive reach — feeds both the cluster-id
+    * oracle (min label) and the quality-survivor oracle (argmax per
+    * cluster). */
+  private val dedupClusterCte =
     s"""${duckWord3Cte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
        |pairs AS (
        |  SELECT id_a, id_b
@@ -1854,9 +1929,22 @@ object SparkEntry {
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
        |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s
-       |)
+       |)""".stripMargin
+
+  private val dedupClusterSql =
+    s"""$dedupClusterCte
        |SELECT id AS doc_id, min(r) AS cluster_id
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  private val dedupSurvivorSql =
+    s"""$dedupClusterCte,
+       |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |j AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars,
+       |        row_number() OVER (PARTITION BY cl.cluster_id
+       |          ORDER BY d.n_chars DESC, cl.doc_id) AS rn
+       |      FROM cl JOIN documents d USING (doc_id))
+       |SELECT cluster_id, doc_id, n_chars FROM j WHERE rn = 1
+       |ORDER BY cluster_id""".stripMargin
 
   /** Session gaps-and-islands oracle — shared by stream_sessions
     * (built-in session_window) and stream_sessions_stateful (the
@@ -2212,6 +2300,30 @@ object SparkEntry {
     "dedup_minhash" -> jaccardPairsSql,
     "dedup_wordngram" -> wordngramPairsSql,
     "dedup_cluster" -> dedupClusterSql,
+    "dedup_survivor" -> dedupSurvivorSql,
+    "dedup_containment" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g') AS t0 FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(length(t0) - 4, 1)),
+        |    i -> substr(t0, CAST(i AS INT), 5)))) AS s
+        |  FROM norm
+        |), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM sh a JOIN df USING (s) JOIN sh b USING (s)
+        |         WHERE a.doc_id < b.doc_id AND df.df <= 100),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM sh a JOIN sh b USING (s)
+        |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT c.id_a, c.id_b,
+        |       round(CAST(i.i AS DOUBLE) / least(sa.sz, sb.sz), 6) AS containment
+        |FROM cand c JOIN inter i USING (id_a, id_b)
+        |JOIN sizes sa ON sa.doc_id = c.id_a
+        |JOIN sizes sb ON sb.doc_id = c.id_b
+        |WHERE round(CAST(i.i AS DOUBLE) / least(sa.sz, sb.sz), 6) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
     "dedup_substring" ->
       """WITH norm AS (
         |  SELECT doc_id, regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g') AS t0 FROM documents
@@ -2603,6 +2715,33 @@ object SparkEntry {
         |  ('4-NOT SPECIFIED', 2), ('5-LOW', 1)) AS w(o_orderpriority, weight)
         |USING (o_orderpriority)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q44_scd2" ->
+      """SELECT user_id, event_id, ts AS valid_from,
+        |       lead(ts) OVER w AS valid_to,
+        |       (lead(ts) OVER w IS NULL) AS is_current,
+        |       round(value, 4) AS value
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
+    "q45_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id),
+        |f AS (SELECT v.user_id,
+        |        CASE WHEN p.p_ts IS NOT NULL
+        |               AND p.p_ts <= v.v_ts + INTERVAL 24 HOUR THEN 3
+        |             WHEN c.c_ts IS NOT NULL THEN 2 ELSE 1 END AS stage,
+        |        CASE WHEN p.p_ts IS NOT NULL
+        |               AND p.p_ts <= v.v_ts + INTERVAL 24 HOUR
+        |             THEN CAST(epoch_us(p.p_ts) - epoch_us(v.v_ts) AS DOUBLE) / 3.6e9
+        |        END AS conv_h
+        |      FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id))
+        |SELECT stage, count(*) AS n_users,
+        |       round(avg(conv_h), 4) AS avg_hours_to_convert
+        |FROM f GROUP BY stage ORDER BY stage""".stripMargin,
     "q42_stats" ->
       """SELECT l_returnflag, count(*) AS n,
         |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,

@@ -225,6 +225,59 @@ object Dedup {
     verifyJaccard(cands, hashed, threshold)
   }
 
+  /** Exact CONTAINMENT-similarity pairs: |A∩B| / min(|A|, |B|) ≥
+    * `threshold` over distinct char-`shingle` sets — the asymmetric
+    * near-dup measure that catches a document EMBEDDED in a larger one
+    * (quote-and-extend, boilerplate wrapping), which symmetric Jaccard
+    * dilutes toward 0 as the size ratio grows. Candidates are pairs
+    * sharing ≥ 1 shingle of document frequency ≤ `maxDf` (any
+    * containment > 0 pair shares a shingle, so the only recall loss is
+    * pairs whose EVERY common shingle is boilerplate-frequent — the
+    * same documented guard as [[substringPairs]], mirrored by the
+    * oracle); verification intersects the FULL sorted hashed shingle
+    * sets, so reported containment is exact.
+    *
+    * Scale shape: the candidate self-join moves (shingle, id) pairs
+    * with per-shingle fan-out bounded by maxDf²; the verify stage is
+    * the [[verifyJaccard]] pattern — two pinned shuffle-merge fetches
+    * of one (id, sorted-hash-array) row per doc, a codegen'd
+    * two-pointer intersect per pair, no broadcast, no cartesian. */
+  def containmentPairs(
+      docs: DataFrame,
+      threshold: Double,
+      shingle: Int = 5,
+      maxDf: Int = 100,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val sh = docs.select(col(idCol).cast("long").as("id"),
+      charShingles(col(textCol), shingle).as("sh"))
+    val hashed = sh.select(col("id"), size(col("sh")).as("sz"),
+      array_sort(array_distinct(transform(col("sh"), s => xxhash64(s)))).as("hs"))
+    val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
+    val keep = exploded.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("s")
+    val kept = exploded.join(keep.hint("shuffle_merge"), "s")
+    val cands = kept.as("a")
+      .join(kept.as("b"),
+        F.col("a.s") === F.col("b.s") && F.col("a.id") < F.col("b.id"))
+      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"))
+      .distinct()
+    cands
+      .join(hashed.select(col("id").as("id_a"), col("sz").as("sz_a"), col("hs").as("hs_a"))
+        .hint("shuffle_merge"), "id_a")
+      .join(hashed.select(col("id").as("id_b"), col("sz").as("sz_b"), col("hs").as("hs_b"))
+        .hint("shuffle_merge"), "id_b")
+      .withColumn("inter", graft.functions.fx.sortedIntersectCount(col("hs_a"), col("hs_b")))
+      .withColumn("containment",
+        round(col("inter").cast("double") / least(col("sz_a"), col("sz_b")), 6))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   // ------------------------------------------------------------ 3. simhash
 
   /** Exact char-shingle Jaccard pairs (the discriminative variant for
@@ -550,6 +603,42 @@ object Dedup {
     val cc = connectedComponents(pairs, aCol, bCol)
     val dropped = cc.filter(col("id") =!= col("lbl")).select(col("id").as(idCol))
     docs.join(dropped.hint("shuffle_merge"), Seq(idCol), "left_anti")
+  }
+
+  /** Survivor selection by QUALITY: keep, per connected component of
+    * the near-dup pair graph, the member with the HIGHEST `scoreCol`
+    * (ties to the lowest id) — the production alternative to
+    * [[nearDedupCorpus]]'s min-id rule when duplicates differ in
+    * quality (keep the longest / cleanest / highest-scored copy, drop
+    * the rest). Returns the surviving rows with their `cluster_id`.
+    *
+    * Scale shape: clustering is the same O(log n)-round
+    * [[connectedComponents]]; winner selection is ONE keyed
+    * aggregation (min of a (−score, id) struct per cluster — skew-safe,
+    * no window over the corpus) plus a shuffle-merge semi-join back.
+    * Nothing broadcasts, nothing reaches the driver. */
+  def survivorsBy(
+      docs: DataFrame,
+      pairs: DataFrame,
+      scoreCol: String,
+      idCol: String = "doc_id",
+      aCol: String = "id_a",
+      bCol: String = "id_b"
+  ): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    val withCluster = docs
+      .join(cc.select(col("id").as(idCol), col("lbl")).hint("shuffle_merge"),
+        Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("lbl"), col(idCol).cast("long")))
+      .drop("lbl")
+    val winners = withCluster.groupBy("cluster_id")
+      .agg(min(struct((-col(scoreCol)).as("ns"),
+        col(idCol).cast("long").as("wid"))).as("w"))
+      .select(col("cluster_id"), col("w.wid").as("__winner"))
+    withCluster
+      .join(winners.hint("shuffle_merge"), Seq("cluster_id"))
+      .filter(col(idCol) === col("__winner"))
+      .drop("__winner")
   }
 
   // ------------------------------------------------- substring-window dedup

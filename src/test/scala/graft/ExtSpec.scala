@@ -493,6 +493,40 @@ class ExtSpec extends AnyFunSuite {
     assert(starts.forall(_ % 3600 == 0))
   }
 
+  test("containmentPairs finds an embedded document that Jaccard misses") {
+    import spark.implicits._
+    val small = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val corpus = Seq(
+      (1L, small),
+      // doc 1 fully embedded in doc 2 — containment ≈ 1, Jaccard low
+      (2L, small + " and then a very long unrelated continuation follows " +
+        "with many additional words that dilute the symmetric measure " +
+        "far below any sensible jaccard threshold for near duplicates " +
+        "while the embedded copy remains verbatim inside this document"),
+      (3L, "completely different text with no overlap whatsoever here"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(corpus, 0.9, shingle = 5, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cont.toSet == Set((1L, 2L)))
+    val jac = Dedup.shingleJaccardPairs(corpus, 0.9, shingle = 5)
+      .collect()
+    assert(jac.isEmpty, "Jaccard at 0.9 should miss the embedded pair")
+  }
+
+  test("survivorsBy keeps the highest-scored cluster member, not the min id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "short", 5L), (2L, "much longer text", 16L), (3L, "mid length", 10L),
+      (4L, "solo", 4L))
+      .toDF("doc_id", "text", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.survivorsBy(docs, pairs, "n_chars")
+      .select("cluster_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // cluster {1,2,3}: doc 2 wins on score (min-id rule would keep 1)
+    assert(out == Map(1L -> 2L, 4L -> 4L), out.toString)
+  }
+
   test("decontaminate drops exactly the n-gram-overlapping documents") {
     import spark.implicits._
     val corpus = Seq(
