@@ -1657,6 +1657,22 @@ object SparkEntry {
         col("l_key").as("user_id"), col("r_value").as("purchase_value"))
       .orderBy("click_id", "purchase_id")
 
+  /** LEFT OUTER stream-stream join ([[Stream.runStreamJoinOnce]] with
+    * joinType = left_outer): matched (click, purchase) pairs emit as
+    * in [[streamJoin]]; a click with NO purchase in its 2-hour window
+    * emits null-padded — but only once the final watermark passes its
+    * join window (outer results require state eviction), so clicks
+    * within `within`+`lateness` of the stream's end stay unflushed.
+    * Both effects are deterministic functions of the fixture, replayed
+    * by the oracle's watermark-cutoff predicate. */
+  private def streamJoinOuter(s: SparkSession, dir: String): DataFrame =
+    Stream.runStreamJoinOnce(s, s"${dir.stripSuffix("/")}/events.parquet",
+        col("event_type") === "click", col("event_type") === "purchase",
+        queryName = "graft_stream_join_outer", joinType = "left_outer")
+      .select(col("l_id").as("click_id"), col("r_id").as("purchase_id"),
+        col("l_key").as("user_id"), col("r_value").as("purchase_value"))
+      .orderBy("click_id", "purchase_id")
+
   /** Streaming upsert via foreachBatch ([[Stream.foreachBatchUpsert]]):
     * latest event per user merged into a managed state table across
     * two real micro-batches (event_id % 3 == 0 arrives in batch 2),
@@ -1807,6 +1823,7 @@ object SparkEntry {
     "stream_dedup" -> (streamDedup(_, _)),
     "stream_enrich" -> (streamEnrich(_, _)),
     "stream_join" -> (streamJoin(_, _)),
+    "stream_join_outer" -> (streamJoinOuter(_, _)),
     "stream_upsert" -> (streamUpsert(_, _)),
     "stream_dedup_multibatch" -> (streamDedupMultibatch(_, _)),
     "unload_sorted" -> (unloadSorted(_, _))
@@ -2923,6 +2940,25 @@ object SparkEntry {
         |       count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "stream_join_outer" ->
+      // unmatched clicks flush only when the final watermark
+      // (min(side maxima) - lateness) passes their 2h join window
+      """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+        |p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+        |              - INTERVAL 2 HOUR AS w),
+        |m AS (SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |             c.user_id, p.value AS purchase_value
+        |      FROM c JOIN p ON c.user_id = p.user_id
+        |       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR),
+        |u AS (SELECT c.event_id, c.user_id, c.ts FROM c
+        |      WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+        |             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR))
+        |SELECT click_id, purchase_id, user_id, purchase_value FROM m
+        |UNION ALL
+        |SELECT u.event_id, NULL, u.user_id, NULL
+        |FROM u, wm WHERE u.ts + INTERVAL 2 HOUR < wm.w
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "stream_join" ->
       """SELECT a.event_id AS click_id, b.event_id AS purchase_id,
         |       a.user_id, b.value AS purchase_value

@@ -262,7 +262,7 @@ object Dedup {
       .filter(col("df") <= maxDf).select("s")
     val kept = exploded.join(keep.hint("shuffle_merge"), "s")
     val cands = kept.as("a")
-      .join(kept.as("b"),
+      .join(kept.as("b").hint("shuffle_merge"),
         F.col("a.s") === F.col("b.s") && F.col("a.id") < F.col("b.id"))
       .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"))
       .distinct()

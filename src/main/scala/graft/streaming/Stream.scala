@@ -397,7 +397,8 @@ object Stream {
       leftPred: org.apache.spark.sql.Column, rightPred: org.apache.spark.sql.Column,
       keyCol: String = "user_id", within: String = "2 hours",
       lateness: String = "2 hours",
-      queryName: String = "graft_stream_join"): DataFrame = {
+      queryName: String = "graft_stream_join",
+      joinType: String = "inner"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema: StructType = spark.read.parquet(path).schema
     val p = new org.apache.hadoop.fs.Path(path)
@@ -413,10 +414,18 @@ object Stream {
         .select(col("event_id").as(s"${tag}_id"), col(keyCol).as(s"${tag}_key"),
           col("ts").as(s"${tag}_ts"), col("value").as(s"${tag}_value"))
     }
+    // Outer variants: a left row's null-padded result emits only once
+    // the right watermark passes its join window (state eviction) — the
+    // no-data batch after AvailableNow advances the final watermark to
+    // max(event time) − lateness, so unmatched lefts within
+    // `within`+`lateness` of the fixture's end stay unflushed. That
+    // cutoff is a deterministic function of the input, which is what
+    // the stream_join_outer oracle replays.
     val joined = side(leftPred, "l").join(side(rightPred, "r"),
       col("l_key") === col("r_key") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"),
+      joinType)
     val q = joined.writeStream
       .outputMode("append")
       .format("memory")

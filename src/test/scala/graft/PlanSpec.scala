@@ -292,6 +292,30 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("SortMergeJoin"), "pinned shuffle-merge self-join")
   }
 
+  test("containmentPairs: shuffle-merge shape, no corpus broadcast, no cartesian") {
+    val pairs = graft.ext.Dedup.containmentPairs(
+      spark.read.parquet(s"${TestSession.sf}/documents.parquet"), 0.6)
+    val plan = explained(pairs)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+    assert(!plan.contains("BroadcastExchange"),
+      "corpus-derived shingle/doc relations must never broadcast")
+    assert(plan.contains("SortMergeJoin"), "pinned shuffle-merge joins")
+  }
+
+  test("packSequences: the corpus window is bucket-partitioned, offsets broadcast") {
+    import spark.implicits._
+    val ids = (0L until 2000L).map(i => (i, Seq(1, 2, 3))).toDF("doc_id", "token_ids")
+    val df = graft.ext.Pack.packSequences(ids, seqLen = 8)
+    val simple = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    val windowLines = simple.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.size == 2, s"expected 2 Window nodes, got:\n${windowLines.mkString("\n")}")
+    assert(windowLines.exists(_.contains("[__bucket#")),
+      s"corpus running sum must partition by __bucket:\n${windowLines.mkString("\n")}")
+    assert(simple.contains("BroadcastHashJoin"), simple.take(2000))
+  }
+
   test("custom expressions are SQL-reachable via extensions registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(
