@@ -550,6 +550,64 @@ object SparkEntry {
       .orderBy("stage")
   }
 
+  /** Cohort retention matrix: users cohorted by the week of their
+    * first event; n distinct users active per (cohort week, week
+    * offset) — the standard product-analytics retention triangle.
+    * Three keyed aggregations, no window over the event corpus. */
+  private def q46Retention(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+    val cohort = ev.groupBy("user_id").agg(min("wk").as("cwk"))
+    ev.distinct().join(cohort, "user_id")
+      .select(col("cwk").cast("timestamp").as("cohort_week"),
+        floor(datediff(col("wk"), col("cwk")) / 7).cast("int").as("week_offset"),
+        col("user_id"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Rolling 7-day distinct active users per day. The scale shape:
+    * instead of a per-day range join (or a DISTINCT window, which
+    * neither engine distributes well), each (user, day) activity row
+    * fans out to the ≤ 7 trailing days it covers — the sliding-window
+    * explode pattern — then one keyed count(distinct) per day. */
+  private def q47RollingDau(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("ed")).distinct()
+    val days = ev.select(col("ed").as("d")).distinct()
+    ev.select(col("user_id"),
+        explode(sequence(col("ed"), date_add(col("ed"), 6))).as("d"))
+      .join(days, "d")
+      .groupBy(col("d").cast("timestamp").as("d"))
+      .agg(countDistinct("user_id").as("dau_7d"))
+      .orderBy("d")
+  }
+
+  /** Z-score anomaly flags on daily event counts: each (day, type)
+    * count scored against its own TRAILING 6-day window (current day
+    * excluded — the leak-free baseline); |z| ≥ 2 flags the anomaly.
+    * Windows are rows-framed over unique (type, day) keys, so frame
+    * membership is deterministic; z rounds to 4 dp (the frame's
+    * mean/std accumulate in engine order). */
+  private def q48Zscore(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-6, -1)
+    daily
+      .withColumn("mu", avg("n").over(w))
+      .withColumn("sd", stddev_samp(col("n")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .select(col("d").cast("timestamp").as("d"), col("event_type"),
+        col("n").cast("long").as("n"),
+        when(col("cnt") >= 3 && col("sd") > 0,
+          round((col("n") - col("mu")) / col("sd"), 4)).as("z"),
+        (col("cnt") >= 3 && col("sd") > 0 &&
+          abs((col("n") - col("mu")) / col("sd")) >= 2).as("is_anomaly"))
+      .orderBy("d", "event_type")
+  }
+
   /** Statistical aggregates (corr / covariance / stddev / variance /
     * linear regression / exact median) per group — the profiling
     * surface of a feature-engineering pass. Rounding margins are set
@@ -1753,6 +1811,9 @@ object SparkEntry {
     "q43_histogram" -> (q43Histogram(_, _)),
     "q44_scd2" -> (q44Scd2(_, _)),
     "q45_funnel" -> (q45Funnel(_, _)),
+    "q46_retention" -> (q46Retention(_, _)),
+    "q47_rolling_dau" -> (q47RollingDau(_, _)),
+    "q48_zscore" -> (q48Zscore(_, _)),
     "graph_pagerank" -> (graphPagerank(_, _)),
     "graph_pagerank_dangling" -> (graphPagerankDangling(_, _)),
     "asof_join" -> (asofJoin(_, _)),
@@ -2732,6 +2793,39 @@ object SparkEntry {
         |  ('4-NOT SPECIFIED', 2), ('5-LOW', 1)) AS w(o_orderpriority, weight)
         |USING (o_orderpriority)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q46_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id,
+        |              CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS cwk FROM ev GROUP BY user_id)
+        |SELECT CAST(c.cwk AS TIMESTAMP) AS cohort_week,
+        |       CAST(floor(datediff('day', c.cwk, e.wk) / 7) AS INT) AS week_offset,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM ev e JOIN cohort c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q47_rolling_dau" ->
+      """WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS ed FROM events),
+        |days AS (SELECT DISTINCT ed AS d FROM e)
+        |SELECT CAST(days.d AS TIMESTAMP) AS d,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS dau_7d
+        |FROM e JOIN days ON days.d BETWEEN e.ed AND e.ed + 6
+        |GROUP BY days.d ORDER BY days.d""".stripMargin,
+    "q48_zscore" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, event_type,
+        |         CAST(count(*) AS DOUBLE) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT d, event_type, n,
+        |         avg(n) OVER w AS mu,
+        |         stddev_samp(n) OVER w AS sd,
+        |         count(*) OVER w AS cnt
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+        |SELECT CAST(d AS TIMESTAMP) AS d, event_type, CAST(n AS BIGINT) AS n,
+        |       CASE WHEN cnt >= 3 AND sd > 0 THEN round((n - mu) / sd, 4) END AS z,
+        |       (cnt >= 3 AND sd > 0 AND abs((n - mu) / sd) >= 2) AS is_anomaly
+        |FROM sc ORDER BY d, event_type""".stripMargin,
     "q44_scd2" ->
       """SELECT user_id, event_id, ts AS valid_from,
         |       lead(ts) OVER w AS valid_to,
