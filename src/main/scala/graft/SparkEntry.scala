@@ -1084,6 +1084,20 @@ object SparkEntry {
     Dedup.clusterIds(docs, pairs).orderBy("doc_id")
   }
 
+  /** Incremental fuzzy dedup ([[Dedup.minhashIncrementPairs]]): even
+    * doc ids play the standing corpus, odd ids the incoming batch;
+    * near-dup (batch, corpus) pairs at Jaccard ≥ 0.8 via two-sided
+    * MinHash banding + exact verify — the daily-ingest fuzzy
+    * counterpart of dedup_incremental. Same fixture-empirical recall
+    * argument as dedup_minhash (identical signatures/banding). */
+  private def dedupMinhashIncr(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.minhashIncrementPairs(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+      .orderBy("batch_id", "corpus_id")
+  }
+
   /** Containment near-dup pairs ([[Dedup.containmentPairs]], t = 0.6):
     * the asymmetric |A∩B| / min(|A|,|B|) measure that catches a
     * document embedded in a larger one — at this threshold the pair
@@ -1866,6 +1880,7 @@ object SparkEntry {
     "text_tfidf" -> (textTfidf(_, _)),
     "profile_lineitem" -> (profileLineitem(_, _)),
     "dedup_incremental" -> (dedupIncremental(_, _)),
+    "dedup_minhash_incr" -> (dedupMinhashIncr(_, _)),
     "sample_stratified" -> (sampleStratified(_, _)),
     "sample_domain_cap" -> (sampleDomainCap(_, _)),
     "sample_temperature" -> (sampleTemperature(_, _)),
@@ -2377,6 +2392,20 @@ object SparkEntry {
     "dedup_ngram" -> jaccardPairsSql,
     "dedup_minhash" -> jaccardPairsSql,
     "dedup_wordngram" -> wordngramPairsSql,
+    "dedup_minhash_incr" ->
+      s"""$duckShingleBase, sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id, count(*) AS i
+        |  FROM sh a JOIN sh b USING (s)
+        |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 GROUP BY 1, 2)
+        |SELECT batch_id, corpus_id,
+        |       round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = batch_id
+        |JOIN sizes sb ON sb.doc_id = corpus_id
+        |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+        |ORDER BY batch_id, corpus_id""".stripMargin,
     "dedup_cluster" -> dedupClusterSql,
     "dedup_survivor" -> dedupSurvivorSql,
     "dedup_containment" ->

@@ -280,6 +280,58 @@ object Dedup {
 
   // ------------------------------------------------------------ 3. simhash
 
+  /** INCREMENTAL fuzzy dedup: near-dup pairs between a new `batch` and
+    * the existing `corpus` (ids must be disjoint across the two — the
+    * daily-ingest contract), via MinHash-LSH banding on BOTH sides and
+    * an exact shingle-Jaccard verify ≥ `threshold`. The fuzzy
+    * counterpart of [[exactIncrement]]: the corpus is never
+    * self-joined — the banded join is batch×corpus only, so each
+    * ingest pays O(batch · collisions), not O(corpus²).
+    *
+    * Output: (batch_id, corpus_id, jaccard). Precision is 1 (exact
+    * verify); recall is the banding OR-amplification — identical
+    * signatures/banding to [[minhashNearDupes]], so any pair that
+    * scheme catches corpus-wide is caught here when it straddles the
+    * batch/corpus split.
+    *
+    * Scale shape: both banded relations shuffle on (band, bucket) —
+    * bands rows of 16 bytes per doc; the verify stage is the pinned
+    * shuffle-merge [[verifyJaccard]] over the UNION of the two hashed
+    * relations (ids disjoint by contract, so the union is a plain
+    * id-keyed lookup). No broadcast, no cartesian. */
+  def minhashIncrementPairs(
+      corpus: DataFrame,
+      batch: DataFrame,
+      threshold: Double = 0.8,
+      k: Int = 64,
+      bands: Int = 16,
+      shingle: Int = 5,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val rowsPerBand = k / bands
+    def banded(df: DataFrame): DataFrame = {
+      val sig = minhashSignatures(df, idCol, textCol, k, shingle)
+      val bandCols = (0 until bands).map { b =>
+        val cols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+        xxhash64((cols :+ lit(b)): _*)
+      }
+      sig.select(col("id"), posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    }
+    val cands = banded(batch).as("a")
+      .join(banded(corpus).as("b").hint("shuffle_merge"),
+        F.col("a.band") === F.col("b.band") && F.col("a.bucket") === F.col("b.bucket"))
+      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"))
+      .distinct()
+    def hashed(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"), charShingles(col(textCol), shingle).as("sh"))
+        .select(col("id"), size(col("sh")).as("sz"),
+          array_sort(array_distinct(transform(col("sh"), s => xxhash64(s)))).as("hs"))
+    verifyJaccard(cands, hashed(batch).union(hashed(corpus)), threshold)
+      .select(col("id_a").as("batch_id"), col("id_b").as("corpus_id"), col("jaccard"))
+  }
+
   /** Exact char-shingle Jaccard pairs (the discriminative variant for
     * short/low-vocab text: shingles capture order and multiplicity). */
   def shingleJaccardPairs(

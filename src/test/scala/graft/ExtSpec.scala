@@ -493,6 +493,18 @@ class ExtSpec extends AnyFunSuite {
     assert(starts.forall(_ % 3600 == 0))
   }
 
+  test("minhashIncrementPairs equals the batch×corpus slice of corpus-wide near-dups") {
+    val all = Dedup.minhashNearDupes(docs, 0.8, k = 64, bands = 16, shingle = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cross = all.collect { case (a, b) if (a % 2 == 0) != (b % 2 == 0) =>
+      if (a % 2 == 1) (a, b) else (b, a)
+    }
+    val incr = Dedup.minhashIncrementPairs(
+        docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incr == cross, s"incr=$incr cross=$cross")
+  }
+
   test("containmentPairs finds an embedded document that Jaccard misses") {
     import spark.implicits._
     val small = "the quick brown fox jumps over the lazy dog near the river bank today"
