@@ -550,6 +550,30 @@ object SparkEntry {
       .orderBy("stage")
   }
 
+  /** Grouped top-k through the bounded-heap
+    * [[graft.functions.TopKByScore]] aggregate — the SCALE path for
+    * top-k-per-group: the shuffle moves k-entry partial heaps per
+    * (partition, group), never the full per-group row set a
+    * row_number window would sort (q04's shape). Oracled against the
+    * window formulation, which is exactly the semantic contract. */
+  private def q49TopkGrouped(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(graft.functions.fx.topKByScore(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("o_orderpriority"), (col("pos") + 1).as("rank"),
+        col("t.id").as("o_orderkey"), col("t.score").as("o_totalprice"))
+      .orderBy("o_orderpriority", "rank")
+
+  /** Weighted sampling without replacement ([[graft.ext.Sample
+    * .weightedSample]], A-ES): 50 documents drawn with probability
+    * proportional to n_chars — deterministic md5 uniforms, round-9
+    * keys, id tie-break, so the sampled SET is hash-gated exactly. */
+  private def sampleWeighted(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sample.weightedSample(t(s, dir, "documents"), 50, "n_chars", "doc_id")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+
   /** Cohort retention matrix: users cohorted by the week of their
     * first event; n distinct users active per (cohort week, week
     * offset) — the standard product-analytics retention triangle.
@@ -1828,6 +1852,7 @@ object SparkEntry {
     "q46_retention" -> (q46Retention(_, _)),
     "q47_rolling_dau" -> (q47RollingDau(_, _)),
     "q48_zscore" -> (q48Zscore(_, _)),
+    "q49_topk_grouped" -> (q49TopkGrouped(_, _)),
     "graph_pagerank" -> (graphPagerank(_, _)),
     "graph_pagerank_dangling" -> (graphPagerankDangling(_, _)),
     "asof_join" -> (asofJoin(_, _)),
@@ -1884,6 +1909,7 @@ object SparkEntry {
     "sample_stratified" -> (sampleStratified(_, _)),
     "sample_domain_cap" -> (sampleDomainCap(_, _)),
     "sample_temperature" -> (sampleTemperature(_, _)),
+    "sample_weighted" -> (sampleWeighted(_, _)),
     "sample_balanced" -> (sampleBalanced(_, _)),
     "pack_shards" -> (packShardsQ(_, _)),
     "emb_quantize" -> (embQuantize(_, _)),
@@ -2822,6 +2848,26 @@ object SparkEntry {
         |  ('4-NOT SPECIFIED', 2), ('5-LOW', 1)) AS w(o_orderpriority, weight)
         |USING (o_orderpriority)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q49_topk_grouped" ->
+      """SELECT o_orderpriority, CAST(rn AS INT) AS rank, o_orderkey, o_totalprice
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
+    "sample_weighted" ->
+      // A-ES replay: u = (first-8-md5-hex + 1) / 2^32 exactly, key =
+      // round(u^(1/w), 9), top-50 by (key DESC, id)
+      """WITH keyed AS (
+        |  SELECT doc_id, source, n_chars,
+        |         round(pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |                    + 1.0) / 4294967296.0,
+        |                   1.0 / n_chars), 9) AS k
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (ORDER BY k DESC, doc_id) AS rn FROM keyed)
+        |WHERE rn <= 50 ORDER BY doc_id""".stripMargin,
     "q46_retention" ->
       """WITH ev AS (SELECT DISTINCT user_id,
         |              CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),

@@ -149,6 +149,34 @@ object Sample {
         round((col("__pa") / col("__tpa")) / (col("size") / col("__tn")), 6).as("boost"))
   }
 
+  /** Weighted sampling WITHOUT replacement (A-ES, Efraimidis &
+    * Spirtes 2006): each row draws a deterministic uniform
+    * u ∈ (0, 1] from the md5 of (seed, id) and keys itself with
+    * u^(1/w); the k largest keys are the sample — inclusion
+    * probability proportional to `weightCol` at every prefix, the
+    * one-pass weighted-draw every data-mixing pipeline needs.
+    *
+    * Deterministic and cross-engine replayable: u is an exact md5-hex
+    * arithmetic value, the key rounds to 9 dp before ranking (pow
+    * differs across engines only in the last ulp), ties break by id.
+    *
+    * Scale shape: a pure per-row projection followed by a global
+    * top-k — Spark plans `orderBy(...).limit(k)` as
+    * TakeOrderedAndProject (per-partition bounded heads, never a full
+    * sort); zero shuffles besides the k-row final gather. */
+  def weightedSample(df: DataFrame, k: Int, weightCol: String, idCol: String,
+                     seed: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(!df.columns.contains("__k"),
+      "weightedSample uses a reserved working column __k already present in the input")
+    val u = (conv(substring(md5(concat(lit(seed), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("double") + 1.0) / 4294967296.0
+    df.withColumn("__k", round(pow(u, lit(1.0) / col(weightCol).cast("double")), 9))
+      .orderBy(col("__k").desc, col(idCol))
+      .limit(k)
+      .drop("__k")
+  }
+
   def capPerKey(df: DataFrame, keyCol: String, k: Int, idCol: String,
                 seed: String = ""): DataFrame = {
     require(k > 0, s"k must be positive, got $k")

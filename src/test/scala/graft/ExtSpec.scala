@@ -493,6 +493,20 @@ class ExtSpec extends AnyFunSuite {
     assert(starts.forall(_ % 3600 == 0))
   }
 
+  test("weightedSample is partition-invariant and weight-proportional") {
+    import graft.ext.Sample
+    val s1 = Sample.weightedSample(docs, 50, "n_chars", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sample.weightedSample(docs.repartition(7), 50, "n_chars", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "sample must not depend on physical partitioning")
+    // PPS draw: the sample's mean weight must exceed the corpus mean
+    val meanAll = docs.agg(avg("n_chars")).head.getDouble(0)
+    val meanS = docs.filter(col("doc_id").isin(s1.toSeq: _*))
+      .agg(avg("n_chars")).head.getDouble(0)
+    assert(meanS > meanAll, s"sample mean $meanS should exceed corpus mean $meanAll")
+  }
+
   test("minhashIncrementPairs equals the batch×corpus slice of corpus-wide near-dups") {
     val all = Dedup.minhashNearDupes(docs, 0.8, k = 64, bands = 16, shingle = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
