@@ -1616,6 +1616,31 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
+  /** REAL image resize ([[Multimodal.resizeImagesReal]]): the 4×4
+    * md5-pixel PNGs of [[multimodalDecodeReal]] average-pooled 2×2 →
+    * one row per pooled cell. Block sums are exact integers and the
+    * /4 division is exact in double, so the oracle replays pooled
+    * values with NO rounding. */
+  private def multimodalResize(s: SparkSession, dir: String): DataFrame = {
+    val px = t(s, dir, "documents").select(
+      col("doc_id").as("media_id"), unhex(md5(col("text"))).as("pixels"))
+    Multimodal.resizeImagesReal(Multimodal.encodeGrayPng(px), factor = 2)
+      .orderBy("media_id", "by", "bx")
+  }
+
+  /** UNPIVOT (wide → long): per-flag aggregate columns melted into
+    * (metric, value) rows — the inverse of q26's PIVOT, via the
+    * native Dataset.unpivot. */
+  private def q50Unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy("l_returnflag")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        round(sum("l_discount"), 2).as("sum_disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "metric", "value")
+      .orderBy("l_returnflag", "metric")
+
   /** Frame sampling over binary payloads (every 10th 4 KiB stride);
     * frames summarized as (length, md5) so the compare is
     * engine-portable without shipping raw binary through the gate.
@@ -1853,6 +1878,7 @@ object SparkEntry {
     "q47_rolling_dau" -> (q47RollingDau(_, _)),
     "q48_zscore" -> (q48Zscore(_, _)),
     "q49_topk_grouped" -> (q49TopkGrouped(_, _)),
+    "q50_unpivot" -> (q50Unpivot(_, _)),
     "graph_pagerank" -> (graphPagerank(_, _)),
     "graph_pagerank_dangling" -> (graphPagerankDangling(_, _)),
     "asof_join" -> (asofJoin(_, _)),
@@ -1916,6 +1942,7 @@ object SparkEntry {
     "multimodal_meta" -> (multimodalMeta(_, _)),
     "multimodal_decode" -> (multimodalDecode(_, _)),
     "multimodal_decode_real" -> (multimodalDecodeReal(_, _)),
+    "multimodal_resize" -> (multimodalResize(_, _)),
     "multimodal_frames" -> (multimodalFrames(_, _)),
     "stream_window" -> (streamWindow(_, _)),
     "stream_sliding" -> (streamSliding(_, _)),
@@ -2848,6 +2875,15 @@ object SparkEntry {
         |  ('4-NOT SPECIFIED', 2), ('5-LOW', 1)) AS w(o_orderpriority, weight)
         |USING (o_orderpriority)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q50_unpivot" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |         round(sum(l_extendedprice), 2) AS sum_price,
+        |         round(sum(l_discount), 2) AS sum_disc
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, metric, value
+        |FROM a UNPIVOT (value FOR metric IN (sum_qty, sum_price, sum_disc))
+        |ORDER BY l_returnflag, metric""".stripMargin,
     "q49_topk_grouped" ->
       """SELECT o_orderpriority, CAST(rn AS INT) AS rank, o_orderkey, o_totalprice
         |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
@@ -3046,6 +3082,16 @@ object SparkEntry {
         |       CAST(3 AS INT) AS channels,
         |       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 255.0, 6) AS mean_luma
         |FROM b ORDER BY media_id""".stripMargin,
+    "multimodal_resize" ->
+      """WITH px AS (
+        |  SELECT doc_id AS media_id, md5(text) AS hx FROM documents
+        |), p AS (
+        |  SELECT media_id, g.i % 4 AS x, g.i // 4 AS y,
+        |         ('0x' || substr(hx, CAST(g.i * 2 + 1 AS INT), 2))::BIGINT AS v
+        |  FROM px, generate_series(0, 15) g(i))
+        |SELECT media_id, CAST(y // 2 AS INT) AS by, CAST(x // 2 AS INT) AS bx,
+        |       CAST(sum(v) AS DOUBLE) / 4.0 AS pooled
+        |FROM p GROUP BY 1, 2, 3 ORDER BY media_id, by, bx""".stripMargin,
     "multimodal_decode_real" ->
       """WITH px AS (
         |  SELECT doc_id AS media_id, md5(text) AS hx FROM documents

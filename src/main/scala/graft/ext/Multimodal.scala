@@ -160,6 +160,52 @@ object Multimodal {
       }(enc)
   }
 
+  /** REAL image RESIZE: decode (javax.imageio), average-pool
+    * `factor`×`factor` blocks of band 0, one row per pooled cell —
+    * the downsample step of an image-preprocessing pipeline. Pooled
+    * values are integer block sums divided by factor² (exact in
+    * double for power-of-two factors, so the oracle needs no
+    * rounding). Same per-partition batching as [[decodeImagesReal]];
+    * payload bytes never shuffle — only (id, by, bx, pooled) rows. */
+  def resizeImagesReal(media: DataFrame, factor: Int = 2): DataFrame = {
+    require(factor > 0, s"factor must be positive, got $factor")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("by", IntegerType, nullable = false),
+      StructField("bx", IntegerType, nullable = false),
+      StructField("pooled", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media
+      .select("media_id", "payload")
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          require(bytes != null, s"resizeImagesReal: media_id=$id has a NULL payload")
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"resizeImagesReal: media_id=$id is not a decodable image")
+          val raster = img.getRaster
+          val (w, h) = (img.getWidth, img.getHeight)
+          require(w % factor == 0 && h % factor == 0,
+            s"resizeImagesReal: media_id=$id is ${w}x$h, not divisible by $factor")
+          for (by <- 0 until h / factor; bx <- 0 until w / factor) yield {
+            var s = 0L
+            var dy = 0
+            while (dy < factor) {
+              var dx = 0
+              while (dx < factor) {
+                s += raster.getSample(bx * factor + dx, by * factor + dy, 0)
+                dx += 1
+              }
+              dy += 1
+            }
+            Row(id, by, bx, s.toDouble / (factor * factor))
+          }
+        }
+      }(enc)
+  }
+
   /** Metadata-only pass: cheap typed metadata without decoding —
     * pure column expressions, stays in codegen. */
   def withMetadata(df: DataFrame, payloadCol: String = "payload"): DataFrame =
