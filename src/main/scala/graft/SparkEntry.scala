@@ -550,6 +550,15 @@ object SparkEntry {
       .orderBy("stage")
   }
 
+  /** Order-independent integrity checksum ([[graft.ext.Profile
+    * .tableChecksum]]) of the orders key/status/priority columns —
+    * the load/unload round-trip gate: the digest is invariant to
+    * partitioning and row order, so source and destination compare
+    * without a sort. */
+  private def integrityChecksum(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.tableChecksum(t(s, dir, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+
   /** Grouped top-k through the bounded-heap
     * [[graft.functions.TopKByScore]] aggregate — the SCALE path for
     * top-k-per-group: the shuffle moves k-entry partial heaps per
@@ -1930,6 +1939,7 @@ object SparkEntry {
     "text_lmscore" -> (textLmScore(_, _)),
     "text_tfidf" -> (textTfidf(_, _)),
     "profile_lineitem" -> (profileLineitem(_, _)),
+    "integrity_checksum" -> (integrityChecksum(_, _)),
     "dedup_incremental" -> (dedupIncremental(_, _)),
     "dedup_minhash_incr" -> (dedupMinhashIncr(_, _)),
     "sample_stratified" -> (sampleStratified(_, _)),
@@ -2875,6 +2885,13 @@ object SparkEntry {
         |  ('4-NOT SPECIFIED', 2), ('5-LOW', 1)) AS w(o_orderpriority, weight)
         |USING (o_orderpriority)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "integrity_checksum" ->
+      """SELECT count(*) AS n_rows, bit_xor(h) AS xor_hash,
+        |       min(h) AS min_hash, max(h) AS max_hash
+        |FROM (SELECT ('0x' || substr(md5(concat_ws('|',
+        |        CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+        |        o_orderstatus, o_orderpriority)), 1, 15))::BIGINT AS h
+        |      FROM orders)""".stripMargin,
     "q50_unpivot" ->
       """WITH a AS (
         |  SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,

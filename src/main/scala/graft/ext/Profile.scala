@@ -16,6 +16,36 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** ORDER-INDEPENDENT table checksum — the "did the copy round-trip
+    * intact" integrity gate a load/unload pipeline runs on both ends:
+    * every row hashes to a portable 60-bit md5 value over its
+    * '|'-joined columns, and the table digest is (row count, bit-XOR
+    * of row hashes, min hash, max hash). XOR/min/max commute, so the
+    * digest is identical under any partitioning, ordering, or
+    * shuffle — comparing source and destination digests needs no sort
+    * and no row movement. (A sum-of-hashes digest would overflow
+    * BIGINT differently across engines — Spark wraps, DuckDB widens
+    * to HUGEINT — so the digest sticks to closed-over-BIGINT
+    * aggregates.) Column values are rendered with CAST AS
+    * STRING; restrict `cols` to integer/string/date columns (double
+    * formatting is not portable across engines). NULL renders as the
+    * empty slot concat_ws leaves (distinct from the string 'null').
+    *
+    * Scale shape: one codegen'd projection + a single 3-aggregate
+    * reduction — one scan, a few bytes to the driver. */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "tableChecksum requires at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in dataframe: $missing")
+    val h = graft.functions.md5Hash60(
+      concat_ws("|", cols.map(c => col(c).cast("string")): _*))
+    df.select(h.as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        bit_xor(col("h")).as("xor_hash"),
+        min(col("h")).as("min_hash"),
+        max(col("h")).as("max_hash"))
+  }
+
   /** Long-form numeric profile: one output row per column —
     * (column, n, n_nulls, min, max, mean, stddev). Non-numeric columns
     * are accepted (min/max/mean cast to double; strings yield nulls in

@@ -493,6 +493,19 @@ class ExtSpec extends AnyFunSuite {
     assert(starts.forall(_ % 3600 == 0))
   }
 
+  test("tableChecksum is order/partition-invariant and detects a changed row") {
+    import graft.ext.Profile
+    val cols = Seq("doc_id", "source", "lang")
+    def digest(df: org.apache.spark.sql.DataFrame) =
+      Profile.tableChecksum(df, cols).head()
+    val base = digest(docs)
+    assert(digest(docs.repartition(11).orderBy(col("n_chars").desc)) == base)
+    // one mutated row must flip the xor digest
+    val tampered = docs.withColumn("lang",
+      when(col("doc_id") === 7, lit("xx")).otherwise(col("lang")))
+    assert(digest(tampered) != base)
+  }
+
   test("weightedSample is partition-invariant and weight-proportional") {
     import graft.ext.Sample
     val s1 = Sample.weightedSample(docs, 50, "n_chars", "doc_id")

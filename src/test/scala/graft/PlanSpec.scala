@@ -316,6 +316,16 @@ class PlanSpec extends AnyFunSuite {
     assert(simple.contains("BroadcastHashJoin"), simple.take(2000))
   }
 
+  test("weightedSample plans TakeOrderedAndProject — never a global sort") {
+    val df = graft.ext.Sample.weightedSample(
+      spark.read.parquet(s"${TestSession.sf}/documents.parquet"), 50, "n_chars", "doc_id")
+    val simple = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(simple.contains("TakeOrderedAndProject"), simple.take(1500))
+    assert(!simple.contains("Exchange rangepartitioning"),
+      "top-k must not global-sort the corpus")
+  }
+
   test("custom expressions are SQL-reachable via extensions registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(
