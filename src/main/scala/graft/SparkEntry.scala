@@ -574,6 +574,15 @@ object SparkEntry {
         col("t.id").as("o_orderkey"), col("t.score").as("o_totalprice"))
       .orderBy("o_orderpriority", "rank")
 
+  /** Deterministic dataset split assignment ([[graft.ext.Sample
+    * .assignSplits]], 80/10/10): every document gets a reproducible,
+    * growth-stable train/val/test label from its md5 uniform. */
+  private def sampleSplit(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sample.assignSplits(t(s, dir, "documents"),
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), "doc_id")
+      .select(col("doc_id"), col("split"))
+      .orderBy("doc_id")
+
   /** Weighted sampling without replacement ([[graft.ext.Sample
     * .weightedSample]], A-ES): 50 documents drawn with probability
     * proportional to n_chars — deterministic md5 uniforms, round-9
@@ -1946,6 +1955,7 @@ object SparkEntry {
     "sample_domain_cap" -> (sampleDomainCap(_, _)),
     "sample_temperature" -> (sampleTemperature(_, _)),
     "sample_weighted" -> (sampleWeighted(_, _)),
+    "sample_split" -> (sampleSplit(_, _)),
     "sample_balanced" -> (sampleBalanced(_, _)),
     "pack_shards" -> (packShardsQ(_, _)),
     "emb_quantize" -> (embQuantize(_, _)),
@@ -2908,6 +2918,16 @@ object SparkEntry {
         |               ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |      FROM orders)
         |WHERE rn <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
+    "sample_split" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |           / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CASE WHEN u < 0.8 THEN 'train'
+        |            WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+        |FROM u ORDER BY doc_id""".stripMargin,
     "sample_weighted" ->
       // A-ES replay: u = (first-8-md5-hex + 1) / 2^32 exactly, key =
       // round(u^(1/w), 9), top-50 by (key DESC, id)

@@ -149,6 +149,34 @@ object Sample {
         round((col("__pa") / col("__tpa")) / (col("size") / col("__tn")), 6).as("boost"))
   }
 
+  /** Deterministic train/validation/test split assignment: each row
+    * draws the same md5 uniform as [[stratified]] and lands in the
+    * first split whose cumulative fraction exceeds it — reproducible
+    * across runs, partitionings, and engines, and STABLE under corpus
+    * growth (a row's split never changes when other rows are added,
+    * the property random shuffling lacks and every dataset-versioning
+    * pipeline needs). Pure per-row projection: zero shuffles.
+    *
+    * `fractions` must be positive and sum to 1 (±1e-9); the last
+    * split absorbs the rounding tail. */
+  def assignSplits(df: DataFrame, fractions: Seq[(String, Double)],
+                   idCol: String, seed: String = ""): DataFrame = {
+    require(fractions.nonEmpty, "assignSplits requires at least one split")
+    require(fractions.forall(_._2 > 0), s"fractions must be positive: $fractions")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    require(!df.columns.contains("split"),
+      "assignSplits writes a 'split' column already present in the input")
+    val u = conv(substring(md5(concat(lit(seed), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("double") / 4294967296.0
+    val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val label = fractions.init.zip(cum.init)
+      .foldRight(lit(fractions.last._1): Column) { case (((name, _), c), acc) =>
+        when(u < lit(c), lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", label)
+  }
+
   /** Weighted sampling WITHOUT replacement (A-ES, Efraimidis &
     * Spirtes 2006): each row draws a deterministic uniform
     * u ∈ (0, 1] from the md5 of (seed, id) and keys itself with

@@ -493,6 +493,24 @@ class ExtSpec extends AnyFunSuite {
     assert(starts.forall(_ % 3600 == 0))
   }
 
+  test("assignSplits is growth-stable and honors the fractions") {
+    import graft.ext.Sample
+    val fr = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val full = Sample.assignSplits(docs, fr, "doc_id")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // a row's split never changes when the corpus shrinks/grows
+    val subset = Sample.assignSplits(docs.filter(col("doc_id") < 100), fr, "doc_id")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(subset.forall { case (id, s) => full(id) == s })
+    // fractions hold within sampling noise on 500 docs
+    val n = full.size.toDouble
+    val trainFrac = full.values.count(_ == "train") / n
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train frac $trainFrac")
+    assert(full.values.toSet == Set("train", "val", "test"))
+  }
+
   test("tableChecksum is order/partition-invariant and detects a changed row") {
     import graft.ext.Profile
     val cols = Seq("doc_id", "source", "lang")
