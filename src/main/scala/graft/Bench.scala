@@ -27,6 +27,11 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // make ContextCleaner shuffle/broadcast reaping synchronous so the
+      // post-run System.gc() actually clears spark.local.dir before the
+      // next measurement starts (async cleanup lands mid-measurement)
+      .config("spark.cleaner.referenceTracking.blocking", "true")
+      .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results: Seq[(String, Seq[Double])] = SparkEntry.queries.toSeq
@@ -45,6 +50,14 @@ object Bench {
         // round 4's suite showed 10x inflation on late queries from
         // accumulated localCheckpoint blocks (BENCHNOTES.md)
         core.Lineage.sweep(spark)
+        // Shuffle files are only reaped when ContextCleaner GC-collects
+        // the owning ShuffleDependency: without a nudge, 129 queries x 3
+        // runs accumulate spill/shuffle data in spark.local.dir for the
+        // whole suite and late queries pay the filesystem debt (round-6
+        // audit: unload_partitioned 7.17 s in-suite vs 0.98 s isolated).
+        // GC outside the timed region; referenceTracking.blocking (set
+        // in the builder) makes the subsequent cleanups synchronous.
+        System.gc()
         dt
       }
       name -> times
@@ -54,14 +67,20 @@ object Bench {
       String.format(java.util.Locale.US, "%.2f", Double.box(d))
     val total = results.map { case (_, v) => median(v) }.sum
 
-    // Full-detail line (medians + [min,max] spread, every query) for
-    // local iteration; the driver ignores it — it only keeps the last
-    // ~2000 chars of stdout.
+    // Full-detail record (medians + [min,max] spread, every query) for
+    // local iteration. Written to a FILE, not stdout: the driver keeps
+    // only the last ~2000 chars of stdout, and in round 6 the ~10 KB
+    // detail line bled into that window mid-object, leaving BENCH_r06
+    // unparseable. Stdout carries ONLY the compact final line below.
     val detailQs = results.map { case (k, v) => "\"" + k + "\":" + median(v) }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, v) => "\"" + k + "\":[" + v.min + "," + v.max + "]" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"detail","value":$total,"unit":"sec","queries":$detailQs,"spread":$spread,"runs":$runs,"sf":"$sfDir"}""")
+    val detail = s"""{"metric":"detail","value":$total,"unit":"sec","queries":$detailQs,"spread":$spread,"runs":$runs,"sf":"$sfDir"}"""
+    val detailPath = java.nio.file.Paths.get("target/bench_detail.json")
+    Option(detailPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(detailPath,
+      (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
     // Compact FINAL line: the driver's capture window is the last 2000
     // chars of stdout (BENCH_r01–r04 all show the line truncated at the

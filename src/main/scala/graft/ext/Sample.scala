@@ -199,7 +199,15 @@ object Sample {
       "weightedSample uses a reserved working column __k already present in the input")
     val u = (conv(substring(md5(concat(lit(seed), col(idCol).cast("string"))), 1, 8),
       16, 10).cast("double") + 1.0) / 4294967296.0
-    df.withColumn("__k", round(pow(u, lit(1.0) / col(weightCol).cast("double")), 9))
+    // A-ES is only defined for w > 0: w = 0 makes the exponent 1/0 = Inf
+    // (key collapses to 0 or 1) and w < 0 inverts the ranking — both
+    // SILENT corruptions, so fail the query on the first offending row
+    // (distributed check, no driver collect)
+    val w = when(col(weightCol).cast("double") > 0, col(weightCol).cast("double"))
+      .otherwise(raise_error(concat(
+        lit(s"weightedSample requires strictly positive $weightCol; got "),
+        coalesce(col(weightCol).cast("string"), lit("null")))))
+    df.withColumn("__k", round(pow(u, lit(1.0) / w), 9))
       .orderBy(col("__k").desc, col(idCol))
       .limit(k)
       .drop("__k")

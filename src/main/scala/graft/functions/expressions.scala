@@ -306,6 +306,11 @@ object PqImpl {
       m: Int, dsub: Int, isFloat: Boolean): ArrayData = {
     val dim = m * dsub
     if (vec.numElements() < dim) return null
+    // null-propagate on null ELEMENTS too: getFloat on a null slot reads
+    // garbage, and the element_at form this kernel replaced would have
+    // returned null for the whole code array
+    var p = 0
+    while (p < dim) { if (vec.isNullAt(p)) return null; p += 1 }
     val k = cids.length
     val out = new Array[Int](m)
     var s = 0
@@ -355,6 +360,11 @@ case class PqEncodeCodes(child: Expression, codebook: Seq[Double],
   }
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  // the kernel can return null even for a non-null input (short vector /
+  // null element); without this override a non-nullable child makes
+  // nullSafeCodeGen emit `false = true;` against the FalseLiteral isNull
+  // slot — a Janino compile error forcing interpreted fallback
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case ArrayType(org.apache.spark.sql.types.FloatType, _) |

@@ -198,15 +198,23 @@ object Stream {
     *
     * The final table is a pure function of the input set — the split
     * only changes the merge schedule — so a batch argmax oracle
-    * gates it exactly.
+    * gates it exactly (`__batch_id` is state-table bookkeeping the
+    * caller projects away).
+    *
+    * Restart-safe ([[mergeUpsertBatch]]): the state table carries the
+    * last-applied `__batch_id` per key, so re-delivering a micro-batch
+    * (foreachBatch is at-least-once on recovery) is a detected no-op —
+    * keys already stamped with that batch id are anti-joined out of
+    * the delta before counts accumulate (replay-idempotence is
+    * spec-tested). The merged snapshot lands in a staging table that
+    * is RENAMEd over the live one, so a crash mid-write leaves either
+    * the old state or a complete staged copy, never a half-written
+    * table.
     *
     * 100 TB shape: the per-batch reduce is a keyed partial aggregate
     * of the BATCH (bounded by trigger size, not corpus); the merge is
-    * one keyed shuffle of (state ∪ batch-delta). The localCheckpoint
-    * before the overwrite materializes the merge so the table can be
-    * replaced in place (production would MERGE INTO a transactional
-    * table; the plan shape — delta-sized aggregate + keyed merge — is
-    * the same). The driver-side collect feeds the deterministic
+    * one keyed shuffle of (state ∪ batch-delta) plus one delta-sized
+    * anti join. The driver-side collect feeds the deterministic
     * two-batch schedule (semantics harness, as in
     * [[lateDataWindowCounts]]). */
   def foreachBatchUpsert(
@@ -226,35 +234,15 @@ object Stream {
     def part(second: Boolean) = rows.filter(_.getBoolean(4) == second)
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
     graft.io.Load.dropManaged(spark, table)
+    graft.io.Load.dropManaged(spark, table + "__stage")
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Long, Long, Double)](
         implicitly[org.apache.spark.sql.Encoder[(Long, Long, Long, Double)]],
         spark.sqlContext)
     val stream = ms.toDF().toDF("user_id", "us", "event_id", "value")
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val reduced = batch
-          .groupBy("user_id")
-          .agg(max(struct(col("us"), col("event_id"), col("value"))).as("s"),
-            count(lit(1)).as("n_updates"))
-          .select(col("user_id"), col("s.us").as("us"),
-            col("s.event_id").as("event_id"), col("s.value").as("value"),
-            col("n_updates"))
-        val merged =
-          if (!spark.catalog.tableExists(table)) reduced
-          else spark.table(table).unionByName(reduced)
-            .groupBy("user_id")
-            .agg(max(struct(col("us"), col("event_id"), col("value"))).as("s"),
-              sum("n_updates").as("n_updates"))
-            .select(col("user_id"), col("s.us").as("us"),
-              col("s.event_id").as("event_id"), col("s.value").as("value"),
-              col("n_updates"))
-        // materialize BEFORE overwriting the table the merge reads
-        val snap = merged.localCheckpoint()
-        snap.write.mode("overwrite").saveAsTable(table)
-        // the table holds the rows now; drop the block-manager copy
-        graft.core.Lineage.release(snap)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeUpsertBatch(spark, table, batch, batchId)
       }
       .start()
     try {
@@ -264,6 +252,54 @@ object Stream {
       q.processAllAvailable()
     } finally q.stop()
     spark.table(table)
+  }
+
+  /** One idempotent MERGE of a micro-batch into the upsert state table
+    * (the [[foreachBatchUpsert]] batch body, public so replays can be
+    * driven directly in tests). Keys whose state row already carries
+    * this `batchId` are dropped from the delta before merging — the
+    * at-least-once re-delivery becomes a no-op instead of
+    * double-counting `n_updates`. Batch ids are engine-monotonic, so
+    * `max(__batch_id)` stamps updated keys with the new id while
+    * untouched keys keep their last-applied id. */
+  def mergeUpsertBatch(spark: SparkSession, table: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    val reduced = batch
+      .groupBy("user_id")
+      .agg(max(struct(col("us"), col("event_id"), col("value"))).as("s"),
+        count(lit(1)).as("n_updates"))
+      .select(col("user_id"), col("s.us").as("us"),
+        col("s.event_id").as("event_id"), col("s.value").as("value"),
+        col("n_updates"), lit(batchId).as("__batch_id"))
+    val merged =
+      if (!spark.catalog.tableExists(table)) reduced
+      else {
+        val state = spark.table(table)
+        // replay guard: this batch's keys already stamped with this id
+        // were merged by a previous (crashed-after-write) attempt
+        val fresh = reduced.join(
+          state.filter(col("__batch_id") === batchId).select("user_id"),
+          Seq("user_id"), "left_anti")
+        state.unionByName(fresh)
+          .groupBy("user_id")
+          .agg(max(struct(col("us"), col("event_id"), col("value"))).as("s"),
+            sum("n_updates").as("n_updates"),
+            max("__batch_id").as("__batch_id"))
+          .select(col("user_id"), col("s.us").as("us"),
+            col("s.event_id").as("event_id"), col("s.value").as("value"),
+            col("n_updates"), col("__batch_id"))
+      }
+    // materialize BEFORE touching the table the merge reads, then swap
+    // via a staged rename: the live table is never half-written
+    val snap = merged.localCheckpoint()
+    val stage = table + "__stage"
+    graft.io.Load.dropManaged(spark, stage)
+    snap.write.saveAsTable(stage)
+    graft.io.Load.dropManaged(spark, table)
+    spark.sql(s"ALTER TABLE $stage RENAME TO $table")
+    // the table holds the rows now; drop the block-manager copy
+    graft.core.Lineage.release(snap)
+    ()
   }
 
   /** Run a batch-parquet-driven streaming query synchronously into a

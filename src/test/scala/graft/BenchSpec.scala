@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression guard for cross-query bench contamination (round-6 audit:
+  * shuffle files accumulated in spark.local.dir across the 129-query
+  * suite and inflated late-suite timings up to 7× vs isolated runs —
+  * unload_partitioned 7.17 s in-suite, 0.98 s isolated).
+  *
+  * The guard reproduces the suite shape in one JVM: time a cheap query,
+  * run a shuffle-heavy query, sweep + GC the way [[Bench]] does between
+  * measurements, then time the cheap query again. If the interleaved
+  * shuffle debt leaks into the second timing, the two cheap timings
+  * diverge. The 2× bound is deliberately loose against scheduler noise
+  * (the round-6 contamination was 7×). */
+class BenchSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("cheap-query timing is stable across an interleaved shuffle-heavy query") {
+    val lineitem = spark.read.parquet(s"${TestSession.sf}/lineitem.parquet")
+    def cheap(): Double = {
+      val t0 = System.nanoTime()
+      lineitem.select(sum(col("l_quantity"))).write
+        .format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def sweepLikeBench(): Unit = { core.Lineage.sweep(spark); System.gc() }
+    // warm-up: JIT + parquet footer caches, discounted like Bench's median
+    (1 to 3).foreach(_ => cheap())
+    sweepLikeBench()
+    val before = (1 to 3).map(_ => { val t = cheap(); sweepLikeBench(); t }).min
+    // shuffle-heavy interlude: a wide self-join aggregation that spills
+    // shuffle files the way the dedup suite does
+    val heavy = lineitem.select(col("l_orderkey"), col("l_partkey"))
+    heavy.as("a").join(heavy.as("b"), "l_orderkey")
+      .groupBy(col("a.l_partkey"))
+      .agg(count(lit(1)).as("n"))
+      .write.format("noop").mode("overwrite").save()
+    sweepLikeBench()
+    val after = (1 to 3).map(_ => { val t = cheap(); sweepLikeBench(); t }).min
+    assert(after <= before * 2 + 0.05,
+      s"cheap query slowed after shuffle-heavy interlude: $before s -> $after s")
+  }
+}

@@ -848,6 +848,53 @@ class ExtSpec extends AnyFunSuite {
     assert(out(3L) == ((5000L, 30L, 5.0, 1L)), out.toString) // batch-2 insert
   }
 
+  test("q20 HLL estimates stay within the documented rsd of exact distinct counts") {
+    // q20_approx_distinct is the one CORRECTNESS entry without a hash
+    // oracle (approximate by construction). This is its quantified gate:
+    // at both driver fixture scales, every per-event_type estimate of
+    // the q20 sketch (rsd 0.02) must sit within 0.05 — the documented
+    // default rsd — of the exact count. Deterministic for a fixed
+    // fixture, so a pass here is stable.
+    val bound = 0.05
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val both = ev.groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx"),
+          count_distinct(col("user_id")).as("exact"))
+        .collect()
+      assert(both.nonEmpty)
+      both.foreach { r =>
+        val approx = r.getLong(1).toDouble
+        val exact = r.getLong(2).toDouble
+        val relErr = math.abs(approx - exact) / exact
+        assert(relErr <= bound,
+          s"$dir ${r.getString(0)}: approx $approx vs exact $exact (relErr $relErr > $bound)")
+      }
+    }
+  }
+
+  test("mergeUpsertBatch is idempotent under micro-batch replay") {
+    import spark.implicits._
+    val table = "graft_upsert_replay_spec"
+    graft.io.Load.dropManaged(spark, table)
+    val b1 = Seq((1L, 1000L, 10L, 1.0), (2L, 1000L, 20L, 3.0))
+      .toDF("user_id", "us", "event_id", "value")
+    val b2 = Seq((1L, 2000L, 11L, 2.0), (3L, 5000L, 30L, 5.0))
+      .toDF("user_id", "us", "event_id", "value")
+    def snapshot() = spark.table(table).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    Stream.mergeUpsertBatch(spark, table, b1, 0L)
+    Stream.mergeUpsertBatch(spark, table, b2, 1L)
+    val applied = snapshot()
+    // at-least-once recovery re-delivers the last batch with the SAME id:
+    // the batch-id stamp must make it a no-op (no double-counted updates)
+    Stream.mergeUpsertBatch(spark, table, b2, 1L)
+    assert(snapshot() == applied, s"replay changed state: ${snapshot()} vs $applied")
+    assert(applied.map(t => t._1 -> t._5).toMap == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+    graft.io.Load.dropManaged(spark, table)
+  }
+
   test("pqTrainCodebooks lowers quantization error vs the first-k seed") {
     val vecs = emb.select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
