@@ -1178,21 +1178,32 @@ object SparkEntry {
     * dedupEmbCos's Θ(n²) at corpus scale), gated on the same exact
     * DuckDB pair-set oracle at threshold 0.5.
     *
-    * Threshold & parameter rationale (fixture-measured): 0.45 has no
-    * recall margin (qualifying pairs at cos 0.4516 against mass at
-    * 0.4494 — LSH recall there was 3/14 even at 16 bands, the Θ(n²)
-    * degeneracy documented in [[Dedup.embeddingNearDupes]]); at 0.5
-    * the qualifying set is separated (gate-scale pair at 0.5128 vs
-    * mass ≤ 0.4928) and (nbits=192, bandBits=4) collides every
-    * qualifying pair in ≥ 6 of 48 bands at sf0.01 AND sf0.1 — recall
-    * 1 with margin, deterministic because the hyperplanes derive from
-    * a fixed hash mix. Like dedup_minhash, the oracle equality is
-    * fixture-empirical (precision 1 is structural; recall 1 is
-    * measured, not a theorem). bandBits=4 prunes little at n≈10³ but
-    * is the knob that grows ~log₂(n) at scale — see
-    * [[Similarity.lshNearDupes]]. */
+    * Threshold rationale (fixture-measured): 0.45 has no recall margin
+    * (qualifying pairs at cos 0.4516 against mass at 0.4494 — LSH
+    * recall there was 3/14 even at 16 bands, the Θ(n²) degeneracy
+    * documented in [[Dedup.embeddingNearDupes]]); at 0.5 the
+    * qualifying set is separated (gate-scale pair at 0.5128 vs mass
+    * ≤ 0.4928).
+    *
+    * Parameters (round 7, measured — full curve in BENCHNOTES.md):
+    * round 6 ran (nbits=192, bandBits=4), whose 16-bucket bands at
+    * n=2000 emitted 6.22M candidate rows ≈ 3n² — the scale path cost
+    * MORE than its exact twin. (nbits=384, bandBits=8) drops that to
+    * 446K rows (385K distinct pairs, 14×) while every qualifying pair
+    * still collides: min colliding bands 5/48 at sf0.01, 1/48 at
+    * sf0.1 — thin but DETERMINISTIC margin (md5-derived hyperplanes,
+    * [[Similarity.srpSign]]); expected collisions per qualifying pair
+    * at cos 0.51 are B·p^w ≈ 2, so a min of 1 is the regime, not bad
+    * luck. maxBucket=64 is the hot-bucket guard: ~2× the largest
+    * fixture bucket (33 at sf0.1, 14 at sf0.01), so it never fires on
+    * the oracle fixtures (recall unchanged) but bounds the k² blow-up
+    * a degenerate bucket would cause at 100 TB. Like dedup_minhash,
+    * oracle equality is fixture-empirical (precision 1 is structural;
+    * recall 1 is measured, not a theorem). bandBits grows ~log₂(n) at
+    * scale — see [[Similarity.lshNearDupes]]. */
   private def dedupEmbLsh(s: SparkSession, dir: String): DataFrame =
-    Similarity.lshNearDupes(t(s, dir, "embeddings"), 0.5, nbits = 192, bandBits = 4)
+    Similarity.lshNearDupes(t(s, dir, "embeddings"), 0.5, nbits = 384, bandBits = 8,
+        maxBucket = 64)
       .orderBy("id_a", "id_b")
 
   // ======================================================================
@@ -1206,6 +1217,22 @@ object SparkEntry {
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), 10)
       .orderBy("query_id", "rank")
   }
+
+  /** k-NN graph over the whole embeddings table via SRP-LSH banding
+    * ([[Similarity.knnJoinLsh]]): every vector's top-10 neighbors
+    * among its band-collision candidates, exact dot-product scores.
+    * Hash-oracled by full candidate replay: the md5-derived planes
+    * ([[Similarity.srpSign]]) are computable in DuckDB SQL, so the
+    * oracle rebuilds signatures → bands → (capped) buckets →
+    * symmetric candidate pairs → exact cosine → per-query top-k with
+    * the identical (cosine DESC, nbr_id) tie chain. Unlike the
+    * simsearch oracles this does NOT assume recall 1 — the replay IS
+    * the semantics, so the gate holds at any recall. Same (384, 8,
+    * cap 64) parameterization as dedup_emblsh (BENCHNOTES curve). */
+  private def knnJoin(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnJoinLsh(t(s, dir, "embeddings"), 10, nbits = 384, bandBits = 8,
+        maxBucket = 64)
+      .orderBy("query_id", "rank")
 
   /** IVF-pruned ANN (nprobe=4 of 16 cells — the production query
     * path). Hash-oracled: centroid scores round to 6 dp BEFORE the
@@ -1930,6 +1957,7 @@ object SparkEntry {
     "dedup_embcos" -> (dedupEmbCos(_, _)),
     "dedup_emblsh" -> (dedupEmbLsh(_, _)),
     "simsearch_topk" -> (simsearchTopK(_, _)),
+    "knn_join" -> (knnJoin(_, _)),
     "simsearch_ivf" -> (simsearchIvf(_, _)),
     "simsearch_ivf_full" -> (simsearchIvfFull(_, _)),
     "simsearch_ivf_kmeans" -> (simsearchIvfKmeans(_, _)),
@@ -2543,6 +2571,53 @@ object SparkEntry {
         |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
     "simsearch_topk" -> simsearchTopkSql,
+    // full SRP replay (NOT a recall-1 assumption): the md5-derived
+    // hyperplanes (Similarity.srpSign — sign = first md5 hex nibble of
+    // "i:b" in 0-7) are recomputed in SQL, signatures -> 8-bit band
+    // chunks -> bucket cap 64 -> symmetric candidate pairs -> exact
+    // cosine -> top-10 with the (cosine DESC, nbr_id) tie chain. Bits
+    // compare raw proj > 0: cross-engine sum-order noise is ~1e-13 vs
+    // a measured 1.15e-6 |proj| floor on the fixtures (BENCHNOTES).
+    "knn_join" ->
+      """WITH dims AS (
+        |  SELECT vec_id, g.i AS i, CAST(embedding[g.i + 1] AS DOUBLE) AS v
+        |  FROM embeddings, generate_series(0, 63) g(i)
+        |), signs AS (
+        |  SELECT t1.i, t2.b,
+        |         CASE WHEN substr(md5(CAST(t1.i AS VARCHAR) || ':' || CAST(t2.b AS VARCHAR)), 1, 1) < '8'
+        |              THEN 1.0 ELSE -1.0 END AS s
+        |  FROM generate_series(0, 63) t1(i) CROSS JOIN generate_series(0, 383) t2(b)
+        |), proj AS (
+        |  SELECT d.vec_id, s.b, sum(d.v * s.s) AS p
+        |  FROM dims d JOIN signs s ON s.i = d.i GROUP BY 1, 2
+        |), bb AS (
+        |  SELECT vec_id, b // 8 AS band,
+        |         sum(CASE WHEN p > 0 THEN 1 << (b % 8) ELSE 0 END) AS chunk
+        |  FROM proj GROUP BY 1, 2
+        |), okb AS (
+        |  SELECT band, chunk FROM bb GROUP BY band, chunk HAVING count(*) <= 64
+        |), kept AS (
+        |  SELECT bb.vec_id, bb.band, bb.chunk FROM bb JOIN okb USING (band, chunk)
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM kept a JOIN kept b USING (band, chunk) WHERE a.vec_id < b.vec_id
+        |), sym AS (
+        |  SELECT id_a AS query_id, id_b AS nbr_id FROM cand
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM cand
+        |), scored AS (
+        |  SELECT s.query_id, s.nbr_id,
+        |         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+        |                                      CAST(eb.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM sym s JOIN embeddings ea ON ea.vec_id = s.query_id
+        |  JOIN embeddings eb ON eb.vec_id = s.nbr_id
+        |), ranked AS (
+        |  SELECT query_id, nbr_id, cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cosine DESC, nbr_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank, nbr_id, cosine
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // exhaustive-probe identity: nprobe = ncells probes every cell, so
     // the exact brute-force oracle applies verbatim to the IVF pipeline
     // (and, for the kmeans variant, to the trained quantizer too)

@@ -421,14 +421,38 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Deterministic ±1 hyperplane sign for (dim `i`, bit `b`): +1 iff
+    * the first hex nibble of `md5("i:b")` is 0–7. PORTABLE by design:
+    * any engine with md5 reproduces the planes exactly, so DuckDB
+    * oracles can replay the full signature → band → candidate pipeline
+    * in SQL (`substr(md5(i || ':' || b), 1, 1) < '8'`) — which is what
+    * lets [[knnJoinLsh]] carry a hash oracle despite probabilistic
+    * recall. */
+  private[graft] def srpSign(i: Int, b: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i:$b".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if ((d(0) & 0x80) == 0) 1.0 else -1.0
+  }
+
   /** Signed-random-projection LSH signatures as `sig:
     * array<bigint>` (⌈nbits/64⌉ words, bit b at word b/64, offset
-    * b%64): `nbits` pseudo-random ±1 hyperplanes, deterministic per
-    * (bit, dim) via a hash mix — no stored planes. Explode-then-
-    * aggregate (like Dedup.minhashSignatures): one row per (id, dim),
-    * nbits codegen'd `sum` aggregates with map-side combine, folded to
-    * longs — the shape that survives 100 TB (and is ~100× faster
-    * locally than per-row nested array lambdas). */
+    * b%64): `nbits` ±1 hyperplanes from [[srpSign]] (md5-derived, so
+    * cross-engine replayable — no stored planes, no RNG). One
+    * codegen'd kernel call per row ([[graft.functions.SrpImpl]]) with
+    * the sign table as a reference object — a MAP-ONLY projection, no
+    * explode, no shuffle, nothing leaves whole-stage codegen. (The
+    * previous explode → nbits-wide `sum` aggregate paid a keyed
+    * shuffle and fell out of codegen at nbits ≥ 192: 2.7 s vs <0.1 s
+    * at sf0.1/384 bits.)
+    *
+    * Bit stability across engines: a bit is `proj > 0` with NO
+    * rounding. Summation order makes `proj` differ across engines
+    * only in the last few ulps (~1e-13 at fixture magnitudes); the
+    * measured |proj| floor on the fixtures is 1.15e-6 (sf0.01) /
+    * 1.07e-5 (sf0.1) — seven orders of magnitude of margin, and
+    * deterministic for a fixed fixture. Rounding before the sign test
+    * would CREATE instability (half-even boundaries every 1e-6), so
+    * the raw comparison is the safer contract. */
   def srpSignatures(
       emb: DataFrame,
       nbits: Int = 128,
@@ -436,21 +460,11 @@ object Similarity {
       vecCol: String = "embedding"
   ): DataFrame = {
     require(nbits > 0, s"nbits must be positive, got $nbits")
-    val dims = emb.select(col(idCol).as("id"),
-      posexplode(col(vecCol)).as(Seq("i", "v")))
-    val projs = (0 until nbits).map { b =>
-      sum(col("v").cast("double") *
-        when(pmod(xxhash64(col("i") * nbits + lit(b)), lit(2)) === 0, 1.0).otherwise(-1.0))
-        .as(s"p$b")
-    }
-    val agg = dims.groupBy("id").agg(projs.head, projs.tail: _*)
-    val words = (0 until (nbits + 63) / 64).map { j =>
-      val bits = (j * 64 until math.min((j + 1) * 64, nbits)).map { b =>
-        when(col(s"p$b") > 0, shiftleft(lit(1L), b - j * 64)).otherwise(lit(0L))
-      }
-      bits.reduce(_.bitwiseOR(_))
-    }
-    agg.select(col("id"), array(words: _*).as("sig"))
+    // dim probe: one bounded driver read (the PQ/IVF paths do the same)
+    val dim = emb.select(size(col(vecCol))).head.getInt(0)
+    val signs = (0 until dim).flatMap(i => (0 until nbits).map(b => srpSign(i, b)))
+    emb.select(col(idCol).as("id"),
+      graft.functions.fx.srpSignature(col(vecCol), signs, dim, nbits).as("sig"))
   }
 
   /** Near-dup pairs via SRP banding + exact cosine verify ≥ threshold.
@@ -480,17 +494,23 @@ object Similarity {
       threshold: Double,
       nbits: Int = 192,
       bandBits: Int = 4,
+      maxBucket: Int = 4096,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
     require(bandBits > 0 && bandBits <= 64 && 64 % bandBits == 0,
       s"bandBits must divide 64, got $bandBits")
     require(nbits % bandBits == 0, s"bandBits ($bandBits) must divide nbits ($nbits)")
-    val cands = srpCandidates(emb, nbits, bandBits, idCol, vecCol)
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val cands = srpCandidates(emb, nbits, bandBits, maxBucket, idCol, vecCol)
     val vecs = emb.select(col(idCol).as("id"), normalize(col(vecCol)).as("v"))
+    // shuffle_hash, not shuffle_merge: same no-broadcast posture (the
+    // corpus-sized vector side must never broadcast), but the ~KB-wide
+    // pair rows stream against a per-partition hash build instead of
+    // being sorted twice
     cands
-      .join(vecs.select(col("id").as("id_a"), col("v").as("va")).hint("shuffle_merge"), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")).hint("shuffle_merge"), "id_b")
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")).hint("shuffle_hash"), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")).hint("shuffle_hash"), "id_b")
       .withColumn("cosine", round(graft.functions.fx.vecDot(col("va"), col("vb")), 6))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
@@ -499,11 +519,22 @@ object Similarity {
   /** SRP band-bucket candidate pairs (id_a < id_b, distinct): the
     * shared candidate stage of [[lshNearDupes]] and [[knnJoinLsh]] —
     * the shuffle moves only (id, band, chunk) longs; the n² blow-up is
-    * confined to within-bucket collisions. */
+    * confined to within-bucket collisions.
+    *
+    * `maxBucket` is the hot-bucket guard (the [[Dedup.substringPairs]]
+    * maxDf pattern): a band-bucket holding more than `maxBucket` ids —
+    * a near-duplicate cluster, a zero vector, boilerplate embeddings —
+    * emits k² pairs on ONE join key and stalls the stage at scale, so
+    * oversized buckets are dropped BEFORE the self-join (one keyed
+    * count, delta-sized). A pair whose every colliding band is
+    * degenerate is sacrificed; on the oracle fixtures the cap never
+    * triggers (max bucket 33 vs cap 64 at the dedup_emblsh call site),
+    * so measured recall is unchanged. */
   private def srpCandidates(
       emb: DataFrame,
       nbits: Int,
       bandBits: Int,
+      maxBucket: Int,
       idCol: String,
       vecCol: String
   ): DataFrame = {
@@ -515,7 +546,10 @@ object Similarity {
     }
     val banded = srpSignatures(emb, nbits, idCol, vecCol)
       .select(col("id"), posexplode(array(chunkExprs: _*)).as(Seq("band", "chunk")))
-    banded.as("a").join(banded.as("b"),
+    val keep = banded.groupBy("band", "chunk").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket).select("band", "chunk")
+    val kept = banded.join(keep.hint("shuffle_merge"), Seq("band", "chunk"))
+    kept.as("a").join(kept.as("b"),
         F.col("a.band") === F.col("b.band") &&
           F.col("a.chunk") === F.col("b.chunk") &&
           F.col("a.id") < F.col("b.id"))
@@ -542,18 +576,22 @@ object Similarity {
       k: Int,
       nbits: Int = 192,
       bandBits: Int = 4,
+      maxBucket: Int = 4096,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
     require(bandBits > 0 && bandBits <= 64 && 64 % bandBits == 0,
       s"bandBits must divide 64, got $bandBits")
     require(nbits % bandBits == 0, s"bandBits ($bandBits) must divide nbits ($nbits)")
-    val cands = srpCandidates(emb, nbits, bandBits, idCol, vecCol)
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val cands = srpCandidates(emb, nbits, bandBits, maxBucket, idCol, vecCol)
     val sym = cands.union(cands.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     val vecs = emb.select(col(idCol).as("id"), normalize(col(vecCol)).as("v"))
+    // shuffle_hash for the same reason as lshNearDupes: no broadcast,
+    // no sort of the wide pair rows
     val scored = sym
-      .join(vecs.select(col("id").as("id_a"), col("v").as("va")).hint("shuffle_merge"), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")).hint("shuffle_merge"), "id_b")
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")).hint("shuffle_hash"), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")).hint("shuffle_hash"), "id_b")
       .select(col("id_a").as("query_id"), col("id_b").as("nbr_id"),
         round(graft.functions.fx.vecDot(col("va"), col("vb")), 6).as("cosine"))
     explodeTopK(

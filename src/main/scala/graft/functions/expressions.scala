@@ -393,6 +393,92 @@ case class PqEncodeCodes(child: Expression, codebook: Seq[Double],
     copy(child = newChild)
 }
 
+/** SRP signature kernel — the whole per-vector loop nest as one static
+  * call so the signature projection stays a MAP-ONLY stage inside
+  * whole-stage codegen. The previous form (posexplode dims → nbits
+  * `sum` aggregates) paid an explode shuffle and, at nbits ≥ 192, fell
+  * out of whole-stage codegen entirely (the aggregate exceeds the
+  * codegen field budget): 2.7 s at sf0.1 for arithmetic this kernel
+  * does in <0.1 s. */
+object SrpImpl {
+  /** `words[b/64] bit (b%64) = (Σ_i vec[i]·signs[i·nbits + b]) > 0` for
+    * b in [0, nbits); `signs` is dim-major. The inner sum accumulates
+    * i-ascending from +0.0 — a fixed left-assoc chain; cross-engine
+    * agreement needs only the measured |proj| floor (~1e-6 on the
+    * fixtures) to exceed sum-order ulp noise (~1e-13), documented at
+    * [[graft.ext.Similarity.srpSignatures]]. Returns null for a vector
+    * shorter than `dim` or containing null elements (malformed input —
+    * same contract as [[PqImpl.encode]]). */
+  def signature(vec: ArrayData, signs: Array[Double], dim: Int, nbits: Int,
+      isFloat: Boolean): ArrayData = {
+    if (vec.numElements() < dim) return null
+    var p = 0
+    while (p < dim) { if (vec.isNullAt(p)) return null; p += 1 }
+    val words = new Array[Long]((nbits + 63) / 64)
+    var b = 0
+    while (b < nbits) {
+      var s = 0.0
+      var i = 0
+      while (i < dim) {
+        val v = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        s += v * signs(i * nbits + b)
+        i += 1
+      }
+      if (s > 0) words(b >> 6) |= (1L << (b & 63))
+      b += 1
+    }
+    new GenericArrayData(words)
+  }
+}
+
+/** SRP signature as a single codegen'd kernel call — see
+  * [[SrpImpl.signature]] for the exact-semantics contract. The sign
+  * table (dim·nbits doubles, a few hundred KB at most) rides along as
+  * a reference object, so the generated projection stays tiny. */
+case class SrpSignatureExpr(child: Expression, signs: Seq[Double],
+    dim: Int, nbits: Int) extends UnaryExpression {
+  require(dim >= 1 && nbits >= 1, s"need dim >= 1 and nbits >= 1, got dim=$dim nbits=$nbits")
+  require(signs.size == dim * nbits,
+    s"signs size ${signs.size} != dim·nbits = ${dim * nbits}")
+
+  @transient private lazy val signArr = signs.toArray
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _                                                  => false
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // the kernel returns null for short vectors / null elements even when
+  // the input itself is non-null (see PqEncodeCodes for the FalseLiteral
+  // codegen hazard this override avoids)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.FloatType, _) |
+           ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"srp_signature expects array<float> or array<double>, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SrpImpl.signature(input.asInstanceOf[ArrayData], signArr, dim, nbits, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signRef = ctx.addReferenceObj("srpSigns", signArr, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.SrpImpl.signature($c, $signRef, $dim, $nbits, $isFloat);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Distinct character n-grams in one pass — see [[NgramImpl.charNgrams]]
   * for the exact semantics contract. Stays inside whole-stage codegen:
   * the generated code is a single static call. */
@@ -463,6 +549,11 @@ object fx {
   /** Column API for [[WordNgrams]]. */
   def wordNgrams(text: Column, n: Int): Column =
     column(WordNgrams(expression(text), n))
+
+  /** Column API for [[SrpSignatureExpr]]: `signs` is dim-major
+    * (signs(i·nbits + b) = hyperplane sign for dim i, bit b). */
+  def srpSignature(vec: Column, signs: Seq[Double], dim: Int, nbits: Int): Column =
+    column(SrpSignatureExpr(expression(vec), signs, dim, nbits))
 
   /** Column API for [[PqEncodeCodes]]: `codebook` is (cid, full-dim
     * centroid) in cid-ascending order, as produced by
