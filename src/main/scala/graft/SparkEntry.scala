@@ -806,6 +806,56 @@ object SparkEntry {
   private val graphPagerankSql: String = graphPagerankSqlFor(dangling = false)
   private val graphPagerankDanglingSql: String = graphPagerankSqlFor(dangling = true)
 
+  /** DuckDB oracle for [[tsEwma]], generated from the SAME weight
+    * ladder ([[graft.ext.TimeSeries.ewmaWeights]]) spelled as exact
+    * double literals (Double.toString round-trips, and both engines
+    * parse decimal literals to nearest-double). Rounded to 6 dp on
+    * both sides — the 20-term chain drifts 1 ulp cross-engine. */
+  private val tsEwmaSql: String = {
+    val wts = graft.ext.TimeSeries.ewmaWeights(0.3, 20)
+    def term(l: Int): String = if (l == 0) "value" else s"lag(value, $l) OVER w"
+    val num = wts.zipWithIndex.map { case (c, l) =>
+      s"coalesce(${term(l)} * $c, 0)"
+    }.mkString(" + ")
+    val den = wts.zipWithIndex.map { case (c, l) =>
+      s"CASE WHEN ${term(l)} IS NOT NULL THEN $c ELSE 0 END"
+    }.mkString(" + ")
+    s"""SELECT user_id, event_id, value, round(($num) / ($den), 6) AS ewma
+       |FROM events WHERE user_id < 100
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |ORDER BY user_id, event_id""".stripMargin
+  }
+
+  /** Per-node degree profile ([[graft.ext.Graph.degrees]]) of the
+    * pagerank edge multiset — the first question any graph pipeline
+    * asks (skew detection, hot-key planning, sanity bounds before an
+    * iterative job). Exact keyed aggregations + one full outer join. */
+  private def graphDegrees(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val fwd = li.filter(col("l_returnflag") =!= "R")
+      .select(col("l_partkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+    val rev = li.filter(col("l_returnflag") === "R")
+      .select((col("l_suppkey") + 1000000L).as("src"), col("l_partkey").as("dst"))
+    graft.ext.Graph.degrees(fwd.union(rev)).orderBy("id")
+  }
+
+  /** Exact triangle counts ([[graft.ext.Graph.triangleCounts]]) over
+    * the supplier CO-SUPPLY graph: suppliers are connected iff they
+    * supply a common part (the (part, supp) self-join is keyed on the
+    * part with TPC-H-bounded fan-out — a real co-occurrence graph, not
+    * the bipartite pagerank edges, which are triangle-free by
+    * construction). Degree-ordered orientation keeps the wedge join
+    * arboricity-bounded; fully exact, hash-oracled by relational
+    * replay. */
+  private def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val ps = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sp")).distinct()
+    val edges = ps.as("x").join(ps.as("y"),
+        col("x.p") === col("y.p") && col("x.sp") < col("y.sp"))
+      .select(col("x.sp").as("src"), col("y.sp").as("dst"))
+    graft.ext.Graph.triangleCounts(edges).orderBy("id")
+  }
+
   /** As-of (point-in-time) join: each event picks up the latest order
     * date of its user at-or-before the event time ([[graft.operators
     * .AsOfJoin]] — union + running-last window, ONE shuffle, no join
@@ -915,6 +965,25 @@ object SparkEntry {
     s.read.parquet(out)
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy("doc_id")
+  }
+
+  /** Small-file compaction roundtrip ([[graft.io.Compact]]): documents
+    * written deliberately fragmented (32 files), compacted back to a
+    * handful, gated by the order-independent table checksum (the
+    * integrity_checksum contract — content-identical, layout-free; a
+    * row-order compare would pin an ordering parquet does not
+    * promise) against the SOURCE table in DuckDB. */
+  private def compactRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val frag = tmpDir("documents_frag")
+    val compacted = tmpDir("documents_compact")
+    t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      .repartition(32).write.mode("overwrite").parquet(frag)
+    val stats = graft.io.Compact.compactParquet(s, frag, compacted,
+      targetFileBytes = 1L << 30)
+    require(stats.filesOut < stats.filesIn,
+      s"compaction must reduce the file count, got $stats")
+    graft.ext.Profile.tableChecksum(s.read.parquet(compacted),
+      Seq("doc_id", "lang", "n_chars"))
   }
 
   /** Range-partitioned sorted export ([[Unload.sortedUnload]]): orders
@@ -1570,6 +1639,124 @@ object SparkEntry {
         round(col("value_filled"), 4).as("value_filled"), col("is_observed"))
       .orderBy("user_id", "bucket_ts")
 
+  /** Linear-interpolation resampling ([[graft.ext.TimeSeries
+    * .resampleInterp]]): each user's daily value total on a full daily
+    * grid, interior gaps blended between the surrounding observations.
+    * The bucket aggregate rounds to 6 dp BEFORE interpolation on both
+    * engines, making the blend arithmetic an exact replay. */
+  private def tsInterp(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TimeSeries.resampleInterp(
+        t(s, dir, "events").filter(col("user_id") < 40),
+        "user_id", "ts", sum(col("value")), stepSeconds = 86400L)
+      .orderBy("user_id", "bucket_ts")
+
+  /** Bounded-window EWMA ([[graft.ext.TimeSeries.ewma]], α=0.3,
+    * window=20) of each user's event values in (ts, event_id) order —
+    * the trend feature every behavioral pipeline derives. The weight
+    * ladder is shared verbatim with the oracle SQL (exact double
+    * literals); the result still rounds to 6 dp — the 20-term chain
+    * drifts 1 ulp cross-engine (FMA contraction; see
+    * [[graft.ext.TimeSeries.ewma]]). */
+  private def tsEwma(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TimeSeries.ewma(
+        t(s, dir, "events").filter(col("user_id") < 100),
+        "user_id", "ts", "value", "event_id", alpha = 0.3, window = 20)
+      .select(col("user_id"), col("event_id"), col("value"), col("ewma"))
+      .orderBy("user_id", "event_id")
+
+  /** Batch sessionization (the batch twin of stream_sessions): a new
+    * session opens when a user is idle > 30 min; pure long arithmetic
+    * on epoch micros (lag + running conditional sum — two evaluations
+    * of one keyed window, no joins), then one keyed aggregate per
+    * session. */
+  private def q51Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("value"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val flagged = ev.withColumn("__new",
+      when(col("us") - lag("us", 1).over(w) > 1800L * 1000000L || lag("us", 1).over(w).isNull, 1L)
+        .otherwise(0L))
+    flagged.withColumn("session_idx", sum("__new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        timestamp_micros(min("us")).as("start_ts"),
+        timestamp_micros(max("us")).as("end_ts"),
+        round(sum("value"), 4).as("sum_value"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** Event-type transition matrix (first-order Markov estimate): per
+    * user in (ts, event_id) order, count src→dst steps and normalize
+    * per source — sequence mining's first primitive. One keyed window
+    * (lead) + one keyed aggregate + one window-normalized share. */
+  private def q52Transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val steps = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("src"),
+        lead("event_type", 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+    val counts = steps.groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("p", round(col("n").cast("double") /
+        sum("n").over(Window.partitionBy("src")), 6))
+      .orderBy("src", "dst")
+  }
+
+  /** A/B readout (variant = user_id parity): per-variant user counts,
+    * converters (≥1 purchase), per-user value totals aggregated to a
+    * 2×2 Pearson chi-square on conversion and a Welch t on means —
+    * the two standard experiment gates, computed relationally (two
+    * keyed aggregates + one 2-row pivot to a single stats row; the
+    * chi-square numerator stays in exact integer arithmetic until one
+    * final double division). */
+  private def q53Abtest(s: SparkSession, dir: String): DataFrame = {
+    val users = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"),
+        sum("value").as("total"))
+      .select(pmod(col("user_id"), lit(2)).as("variant"), col("conv"), col("total"))
+    val byVar = users.groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum("conv").as("nc"),
+        avg("total").as("mean"), var_samp("total").as("v"))
+    val a = byVar.filter(col("variant") === 0)
+      .select(col("n").as("n_a"), col("nc").as("conv_a"),
+        col("mean").as("mean_a"), col("v").as("var_a"))
+    val b = byVar.filter(col("variant") === 1)
+      .select(col("n").as("n_b"), col("nc").as("conv_b"),
+        col("mean").as("mean_b"), col("v").as("var_b"))
+    a.crossJoin(broadcast(b)) // two single-row stat frames
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        round(((col("n_a") + col("n_b")).cast("double") *
+          pow((col("conv_a") * (col("n_b") - col("conv_b")) -
+            col("conv_b") * (col("n_a") - col("conv_a"))).cast("double"), 2)) /
+          ((col("conv_a") + col("conv_b")) *
+            (col("n_a") + col("n_b") - col("conv_a") - col("conv_b")) *
+            col("n_a") * col("n_b")).cast("double"), 6).as("chi2"),
+        round((col("mean_a") - col("mean_b")) /
+          sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 6).as("t_welch"))
+  }
+
+  /** Perplexity-bucket assignment for mixture sampling: documents
+    * ranked by unigram lm score ([[Text.lmScoreDf]], already rounded
+    * to 4 dp) into PER-LANGUAGE ntile deciles with a doc_id tie-break
+    * — the quality-stratification step before mixing weights are
+    * applied per bucket. The window partitions by language (keyed, no
+    * global sort — the 100 TB shape; a global decile would need a
+    * single-partition window). Ranking happens on the ROUNDED score
+    * (the oracle-exact argmin/ranking rule), so bucket boundaries
+    * replay exactly. */
+  private def textPplBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.ext.Text.lmScoreDf(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .withColumn("bucket", ntile(10).over(
+        Window.partitionBy("lang").orderBy(col("lm_score"), col("doc_id"))))
+      .select(col("doc_id"), col("lang"), col("lm_score"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary-building + tokenization to ids ([[Text.buildVocab]] /
     * [[Text.tokensToIds]]): top-20 corpus vocabulary (the ~31-word
     * fixture vocabulary guarantees real OOV hits at id 0), every
@@ -1932,6 +2119,15 @@ object SparkEntry {
     "q50_unpivot" -> (q50Unpivot(_, _)),
     "graph_pagerank" -> (graphPagerank(_, _)),
     "graph_pagerank_dangling" -> (graphPagerankDangling(_, _)),
+    "graph_degrees" -> (graphDegrees(_, _)),
+    "graph_triangles" -> (graphTriangles(_, _)),
+    "ts_interp" -> (tsInterp(_, _)),
+    "ts_ewma" -> (tsEwma(_, _)),
+    "q51_sessionize" -> (q51Sessionize(_, _)),
+    "q52_transitions" -> (q52Transitions(_, _)),
+    "q53_abtest" -> (q53Abtest(_, _)),
+    "text_ppl_buckets" -> (textPplBuckets(_, _)),
+    "compact_roundtrip" -> (compactRoundtrip(_, _)),
     "asof_join" -> (asofJoin(_, _)),
     "range_join" -> (rangeJoin(_, _)),
     "salted_join" -> (saltedJoin(_, _)),
@@ -3111,6 +3307,157 @@ object SparkEntry {
         |FROM a ORDER BY c_mktsegment""".stripMargin,
     "graph_pagerank" -> graphPagerankSql,
     "graph_pagerank_dangling" -> graphPagerankDanglingSql,
+    "graph_degrees" ->
+      """WITH e AS (
+        |  SELECT l_partkey AS src, 1000000 + l_suppkey AS dst
+        |  FROM lineitem WHERE l_returnflag <> 'R'
+        |  UNION ALL
+        |  SELECT 1000000 + l_suppkey, l_partkey
+        |  FROM lineitem WHERE l_returnflag = 'R'),
+        |o AS (SELECT src AS id, count(*) AS outdeg, count(DISTINCT dst) AS out_nbrs
+        |      FROM e GROUP BY 1),
+        |i AS (SELECT dst AS id, count(*) AS indeg, count(DISTINCT src) AS in_nbrs
+        |      FROM e GROUP BY 1)
+        |SELECT CAST(id AS BIGINT) AS id,
+        |       CAST(coalesce(outdeg, 0) AS BIGINT) AS outdeg,
+        |       CAST(coalesce(out_nbrs, 0) AS BIGINT) AS out_nbrs,
+        |       CAST(coalesce(indeg, 0) AS BIGINT) AS indeg,
+        |       CAST(coalesce(in_nbrs, 0) AS BIGINT) AS in_nbrs
+        |FROM o FULL OUTER JOIN i USING (id) ORDER BY id""".stripMargin,
+    // relational replay of the degree-ordered orientation: each
+    // triangle is counted once at its (degree, id)-minimum pivot; the
+    // closing edge can only be oriented hi1 -> hi2, so one equi-join
+    // closes the wedge
+    "graph_triangles" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sp FROM lineitem),
+        |und AS (SELECT DISTINCT x.sp AS u, y.sp AS v
+        |        FROM ps x JOIN ps y ON x.p = y.p AND x.sp < y.sp),
+        |deg AS (SELECT id, count(*) AS d FROM (
+        |          SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+        |        GROUP BY 1),
+        |ori AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+        |                    THEN u ELSE v END AS lo,
+        |               CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+        |                    THEN v ELSE u END AS hi
+        |        FROM und JOIN deg du ON du.id = und.u JOIN deg dv ON dv.id = und.v),
+        |w AS (SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+        |      FROM ori e1 JOIN ori e2 ON e1.lo = e2.lo AND e1.hi < e2.hi),
+        |tri AS (SELECT w.x, w.y, w.z
+        |        FROM w JOIN ori o ON o.lo = w.y AND o.hi = w.z)
+        |SELECT CAST(id AS BIGINT) AS id, count(*) AS n_triangles
+        |FROM (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+        |      UNION ALL SELECT z FROM tri)
+        |GROUP BY 1 ORDER BY id""".stripMargin,
+    // per-bucket sums round to 6 dp BEFORE the blend on both engines,
+    // so the interpolation arithmetic is an exact per-row replay
+    "ts_interp" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 * 86400 AS b, value
+        |  FROM events WHERE user_id < 40),
+        |a AS (SELECT user_id, b, round(sum(value), 6) AS v FROM e GROUP BY 1, 2),
+        |s AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM a GROUP BY 1),
+        |g AS (SELECT user_id, unnest(generate_series(lo, hi, 86400)) AS b FROM s),
+        |j AS (SELECT g.user_id, g.b, a.v,
+        |        last_value(a.v IGNORE NULLS) OVER wb AS pv,
+        |        last_value(CASE WHEN a.v IS NOT NULL THEN g.b END IGNORE NULLS)
+        |          OVER wb AS pb,
+        |        first_value(a.v IGNORE NULLS) OVER wf AS nv,
+        |        first_value(CASE WHEN a.v IS NOT NULL THEN g.b END IGNORE NULLS)
+        |          OVER wf AS nb
+        |      FROM g LEFT JOIN a USING (user_id, b)
+        |      WINDOW wb AS (PARTITION BY g.user_id ORDER BY g.b
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |      wf AS (PARTITION BY g.user_id ORDER BY g.b
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, make_timestamp(b * 1000000) AS bucket_ts,
+        |       round(CASE WHEN v IS NOT NULL THEN v
+        |                  WHEN pv IS NULL THEN nv
+        |                  WHEN nv IS NULL THEN pv
+        |                  ELSE pv + (nv - pv) *
+        |                    (CAST(b - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)) END,
+        |             6) AS value_interp,
+        |       v IS NOT NULL AS is_observed
+        |FROM j ORDER BY user_id, b""".stripMargin,
+    "ts_ewma" -> tsEwmaSql,
+    "q51_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+        |f AS (SELECT user_id, us, value,
+        |        CASE WHEN lag(us) OVER w IS NULL
+        |               OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nw
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (SELECT user_id, us, value,
+        |        sum(nw) OVER (PARTITION BY user_id ORDER BY us
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |      FROM f)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |       count(*) AS n_events,
+        |       make_timestamp(min(us)) AS start_ts,
+        |       make_timestamp(max(us)) AS end_ts,
+        |       round(sum(value), 4) AS sum_value
+        |FROM g GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+    "q52_transitions" ->
+      """WITH s AS (SELECT user_id, event_type AS src,
+        |             lead(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS dst
+        |           FROM events),
+        |c AS (SELECT src, dst, count(*) AS n FROM s
+        |      WHERE dst IS NOT NULL GROUP BY 1, 2)
+        |SELECT src, dst, n,
+        |       round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE),
+        |             6) AS p
+        |FROM c ORDER BY src, dst""".stripMargin,
+    // chi-square numerator/denominator stay exact integer-valued
+    // doubles (counts < 2^26, products < 2^53), so pow(x, 2) vs x**2
+    // cannot diverge; only the final division + Welch t get the 6 dp
+    // aggregate rounding
+    "q53_abtest" ->
+      """WITH u AS (SELECT user_id,
+        |             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+        |             sum(value) AS total
+        |           FROM events GROUP BY 1),
+        |v AS (SELECT user_id % 2 AS variant, conv, total FROM u),
+        |s AS (SELECT variant, count(*) AS n, CAST(sum(conv) AS BIGINT) AS nc,
+        |             avg(total) AS mean, var_samp(total) AS var
+        |      FROM v GROUP BY 1),
+        |a AS (SELECT n AS n_a, nc AS conv_a, mean AS mean_a, var AS var_a
+        |      FROM s WHERE variant = 0),
+        |b AS (SELECT n AS n_b, nc AS conv_b, mean AS mean_b, var AS var_b
+        |      FROM s WHERE variant = 1)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  round(CAST(n_a + n_b AS DOUBLE) *
+        |        (CAST(conv_a * (n_b - conv_b) - conv_b * (n_a - conv_a) AS DOUBLE) ** 2) /
+        |        CAST((conv_a + conv_b) * (n_a + n_b - conv_a - conv_b) * n_a * n_b
+        |             AS DOUBLE), 6) AS chi2,
+        |  round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6) AS t_welch
+        |FROM a, b""".stripMargin,
+    "text_ppl_buckets" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($duckToks) AS tok FROM documents
+         |), cnt AS (
+         |  SELECT tok, count(*) AS c FROM tok GROUP BY tok
+         |), tot AS (
+         |  SELECT sum(c) AS total FROM cnt
+         |), lp AS (
+         |  SELECT tok, ln(CAST(c AS DOUBLE) / total) AS logp FROM cnt, tot
+         |), sc AS (
+         |  SELECT doc_id, round(avg(logp), 4) AS lm_score
+         |  FROM tok JOIN lp USING (tok) GROUP BY doc_id)
+         |SELECT d.doc_id, d.lang, s.lm_score,
+         |       CAST(ntile(10) OVER (PARTITION BY d.lang
+         |         ORDER BY s.lm_score, d.doc_id) AS INT) AS bucket
+         |FROM sc s JOIN documents d USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    // same order-independent checksum contract as integrity_checksum,
+    // computed over the SOURCE table: compaction must be
+    // content-preserving whatever the file layout
+    "compact_roundtrip" ->
+      """SELECT count(*) AS n_rows, bit_xor(h) AS xor_hash,
+        |       min(h) AS min_hash, max(h) AS max_hash
+        |FROM (SELECT ('0x' || substr(md5(concat_ws('|',
+        |        CAST(doc_id AS VARCHAR), lang, CAST(n_chars AS VARCHAR))), 1, 15))::BIGINT AS h
+        |      FROM documents)""".stripMargin,
     "simsearch_pq_adc" -> simsearchPqAdcSql,
     "emb_pq" -> embPqSql,
     "ts_gapfill" ->

@@ -102,4 +102,83 @@ object Graph {
     graft.core.Lineage.release(e0 +: withDeg +: nodes +: dangling.toSeq: _*)
     ranks
   }
+
+  /** Per-node degree profile over a DIRECTED edge multiset: out/in
+    * degree and distinct-neighbor counts per node (nodes appearing
+    * only as destination get outdeg 0, and vice versa). One full outer
+    * join of two keyed aggregations — no windows, no broadcast of
+    * anything node-sized; exact, so fully hash-oracle-able. */
+  def degrees(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"
+  ): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val out = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("outdeg"), count_distinct(col("dst")).as("out_nbrs"))
+    val in = e.groupBy(col("dst").as("id"))
+      .agg(count(lit(1)).as("indeg"), count_distinct(col("src")).as("in_nbrs"))
+    out.join(in, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        coalesce(col("out_nbrs"), lit(0L)).as("out_nbrs"),
+        coalesce(col("indeg"), lit(0L)).as("indeg"),
+        coalesce(col("in_nbrs"), lit(0L)).as("in_nbrs"))
+  }
+
+  /** Exact per-node triangle counts via degree-ordered orientation —
+    * the standard distributed triangle algorithm (node-iterator++ /
+    * the MapReduce form of Schank's forward algorithm): undirect +
+    * dedup the edge set, orient every edge from the (degree, id)-
+    * SMALLER endpoint to the larger, enumerate wedges by joining the
+    * oriented list with itself on the pivot, and keep wedges whose
+    * closing edge exists (one keyed semi-join). Each triangle is
+    * found exactly once (its unique degree-minimum pivot), and the
+    * orientation bounds per-pivot fan-out by the graph arboricity
+    * (O(√m) wedges per edge worst-case) — the hot-key guard that
+    * makes the wedge join survive skewed degree distributions at
+    * 100 TB. Per-node counts then explode each triangle's 3 corners
+    * into one keyed count.
+    *
+    * Shapes: every join is a keyed shuffle join on (id) or (node,
+    * node) pairs of longs; nothing node- or edge-sized broadcasts;
+    * output is exact, so fully hash-oracle-able. */
+  def triangleCounts(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"
+  ): DataFrame = {
+    // canonical undirected edge set: (lo, hi), self-loops dropped
+    val und = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("id")).union(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    // orient from (d, id)-smaller to larger: join degrees of both ends
+    val du = deg.select(col("id").as("u"), col("d").as("du"))
+    val dv = deg.select(col("id").as("v"), col("d").as("dv"))
+    val oriented = und.join(du, "u").join(dv, "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("lo"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("hi"))
+    // wedges around the pivot: (lo -> hi1), (lo -> hi2), hi1 < hi2;
+    // the triangle closes iff oriented edge (hi1 -> hi2) exists (the
+    // orientation is a total order, so the closing edge can only point
+    // hi1 -> hi2)
+    val w = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
+      .select(col("e1.lo").as("x"), col("e1.hi").as("y"), col("e2.hi").as("z"))
+    val tri = w.join(
+      oriented.select(col("lo").as("y"), col("hi").as("z")).hint("shuffle_merge"),
+      Seq("y", "z"), "left_semi")
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -61,4 +61,109 @@ object TimeSeries {
         last("__v", ignoreNulls = true).over(w).as("value_filled"),
         col("__v").isNotNull.as("is_observed"))
   }
+
+  /** Bounded-window exponentially-weighted moving average per key:
+    * `ewma_t = Σ_{l=0..window-1} (1-α)^l · x_{t-l} / Σ_l (1-α)^l`
+    * over the rows PRESENT among the last `window` observations in
+    * (tsCol, tieCol) order — the truncated form of the recursive
+    * EWMA, which a relational engine can compute as a fixed lag chain
+    * instead of a sequential fold. Truncation error vs the infinite
+    * recursion is (1-α)^window (≤ 0.1 % at α=0.3, window=20).
+    *
+    * Exactness: the weights are DOUBLE LITERALS computed once on the
+    * driver and spelled into the oracle SQL verbatim, and the
+    * numerator/denominator are fixed left-assoc chains of
+    * products-of-literals. Even so, the result ROUNDS to 6 dp:
+    * measured cross-engine drift is 1 ulp on a handful of rows — a
+    * 20-term multiply-add chain invites fused-multiply-add
+    * contraction, which is compiler/engine discretion the SQL text
+    * cannot pin (unlike the 2-3-op chains the no-rounding rule covers
+    * elsewhere in this repo).
+    *
+    * Scale shape: one keyed window (partition by key, no global
+    * sort); the lag chain is `window` codegen'd expressions per row,
+    * no self-join, no explode. */
+  def ewma(events: DataFrame, keyCol: String, tsCol: String, valCol: String,
+           tieCol: String, alpha: Double, window: Int = 20): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val weights = ewmaWeights(alpha, window)
+    val x = col(valCol).cast("double")
+    // l = 0 is the row's own value, not lag(x, 0) — offset-0 lag is an
+    // engine-specific corner both here and in the oracle SQL
+    def at(l: Int): Column = if (l == 0) x else lag(x, l).over(w)
+    val num = weights.zipWithIndex.map { case (c, l) =>
+        coalesce(at(l) * lit(c), lit(0.0))
+      }.reduceLeft(_ + _)
+    val den = weights.zipWithIndex.map { case (c, l) =>
+        when(at(l).isNotNull, lit(c)).otherwise(lit(0.0))
+      }.reduceLeft(_ + _)
+    events.select(col(keyCol), col(tsCol), col(tieCol), x.as("value"),
+      round(num / den, 6).as("ewma"))
+  }
+
+  /** The (1-α)^l weight ladder as exact driver-side doubles — shared
+    * with oracle-SQL generation so both engines consume identical
+    * literals (repeated multiplication, NOT pow(), whose last ulp is
+    * libm-dependent). */
+  def ewmaWeights(alpha: Double, window: Int): Seq[Double] = {
+    val b = Seq.newBuilder[Double]
+    var c = 1.0
+    for (_ <- 0 until window) { b += c; c = c * (1.0 - alpha) }
+    b.result()
+  }
+
+  /** Fixed-grid resampling with LINEAR INTERPOLATION for interior
+    * gaps (LOCF's smooth sibling — sensor/metrics pipelines want
+    * interpolation for continuous signals, step-fill for state):
+    * observed buckets carry their aggregate; an empty bucket between
+    * two observations takes `prev + (next - prev) · (b - b_prev) /
+    * (b_next - b_prev)`; leading/trailing gaps clamp to the nearest
+    * observation (no extrapolation). The per-bucket aggregate is
+    * rounded to 6 dp FIRST (it is a shuffle-order sum) — after that
+    * every interpolation input is exact, so the blend arithmetic
+    * replays bit-identically in the oracle. A double-valued epoch
+    * fraction would not: `frac` divides exact longs, and the final
+    * value is rounded to 6 dp on both engines for the last-ulp
+    * product difference.
+    *
+    * Scale shape mirrors [[resampleLocf]]: keyed aggregation, per-key
+    * distributed grid via sequence+explode, TWO keyed windows (last
+    * non-null looking back, first non-null looking forward) — no
+    * global anything. */
+  def resampleInterp(events: DataFrame, keyCol: String, tsCol: String,
+                     valAgg: Column, stepSeconds: Long): DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
+    val step = lit(stepSeconds)
+    val secs = unix_timestamp(col(tsCol))
+    val bucket = (secs - pmod(secs, step)).as("__b")
+    val agg = events.groupBy(col(keyCol), bucket)
+      .agg(round(valAgg, 6).as("__v"))
+    val span = agg.groupBy(keyCol).agg(min("__b").as("__lo"), max("__b").as("__hi"))
+    val grid = span.select(col(keyCol),
+      explode(sequence(col("__lo"), col("__hi"), step)).as("__b"))
+    val back = Window.partitionBy(keyCol).orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(keyCol).orderBy("__b")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsB = when(col("__v").isNotNull, col("__b"))
+    val joined = grid.join(agg, Seq(keyCol, "__b"), "left")
+      .select(col(keyCol), col("__b"), col("__v"),
+        last("__v", ignoreNulls = true).over(back).as("__pv"),
+        last(obsB, ignoreNulls = true).over(back).as("__pb"),
+        first("__v", ignoreNulls = true).over(fwd).as("__nv"),
+        first(obsB, ignoreNulls = true).over(fwd).as("__nb"))
+    val interp =
+      when(col("__v").isNotNull, col("__v"))
+        .when(col("__pv").isNull, col("__nv")) // leading gap: clamp
+        .when(col("__nv").isNull, col("__pv")) // trailing gap: clamp
+        .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+          ((col("__b") - col("__pb")).cast("double") /
+            (col("__nb") - col("__pb")).cast("double")))
+    joined.select(col(keyCol),
+      timestamp_seconds(col("__b")).as("bucket_ts"),
+      round(interp, 6).as("value_interp"),
+      col("__v").isNotNull.as("is_observed"))
+  }
 }

@@ -848,6 +848,75 @@ class ExtSpec extends AnyFunSuite {
     assert(out(3L) == ((5000L, 30L, 5.0, 1L)), out.toString) // batch-2 insert
   }
 
+  test("triangleCounts: planted graph counts each triangle once per corner") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, 3 per node) plus a pendant edge
+    // 4-5 (no triangle) and a duplicate+reversed edge (must dedup)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (2L, 1L), (1L, 2L))
+      .toDF("src", "dst")
+    val got = graft.ext.Graph.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got.toString)
+  }
+
+  test("degrees: multiset degrees with distinct-neighbor counts, zero-filled") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 2L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val got = graft.ext.Graph.degrees(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((3L, 2L, 1L, 1L)), got.toString) // out 3 (dup kept), 2 distinct
+    assert(got(2L) == ((0L, 0L, 2L, 1L)), got.toString) // sink: outdeg 0
+    assert(got(3L) == ((1L, 1L, 1L, 1L)), got.toString)
+  }
+
+  test("ewma: truncated lag-chain matches the recursive EWMA within truncation error") {
+    import spark.implicits._
+    val alpha = 0.3
+    val xs = Seq(10.0, 20.0, 5.0, 40.0, 8.0, 30.0, 12.0, 25.0)
+    val df = xs.zipWithIndex.map { case (x, i) =>
+        (1L, java.sql.Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00"), i.toLong, x)
+      }.toDF("k", "t", "tie", "x")
+    val got = graft.ext.TimeSeries.ewma(df, "k", "t", "x", "tie", alpha, window = 20)
+      .orderBy("tie").collect().map(_.getDouble(4))
+    // reference: adjusted recursive EWMA (pandas ewm(adjust=True))
+    var num = 0.0; var den = 0.0
+    val want = xs.map { x =>
+      num = x + (1 - alpha) * num; den = 1 + (1 - alpha) * den; num / den
+    }
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-6, s"got $g want $w")
+    }
+  }
+
+  test("resampleInterp: interior gaps blend linearly, edges stay observed") {
+    import spark.implicits._
+    // key 1: observations at buckets 0 and 3 (values 1.0, 7.0) with a
+    // 2-bucket interior gap -> 3.0 and 5.0 interpolated
+    val df = Seq(
+      (1L, "2024-01-01 00:00:10", 1.0),
+      (1L, "2024-01-01 03:00:20", 7.0))
+      .toDF("k", "ts_s", "v").withColumn("ts", col("ts_s").cast("timestamp"))
+    val got = graft.ext.TimeSeries.resampleInterp(df, "k", "ts", sum(col("v")), 3600L)
+      .orderBy("bucket_ts").collect()
+      .map(r => (r.getDouble(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq((1.0, true), (3.0, false), (5.0, false), (7.0, true)),
+      got.toSeq.toString)
+  }
+
+  test("compactParquet: fewer files, identical order-independent checksum") {
+    val docsDf = docs.select("doc_id", "lang", "n_chars")
+    val frag = java.nio.file.Files.createTempDirectory("graft_frag").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    docsDf.repartition(16).write.mode("overwrite").parquet(frag)
+    val stats = graft.io.Compact.compactParquet(spark, frag, out, 1L << 30)
+    assert(stats.filesIn >= 16 && stats.filesOut == 1, stats.toString)
+    def sum(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.Profile.tableChecksum(df, Seq("doc_id", "lang", "n_chars")).collect()(0)
+    assert(sum(spark.read.parquet(out)) == sum(docsDf))
+  }
+
   test("q20 HLL estimates stay within the documented rsd of exact distinct counts") {
     // q20_approx_distinct is the one CORRECTNESS entry without a hash
     // oracle (approximate by construction). This is its quantified gate:
