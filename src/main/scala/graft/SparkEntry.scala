@@ -806,6 +806,30 @@ object SparkEntry {
   private val graphPagerankSql: String = graphPagerankSqlFor(dangling = false)
   private val graphPagerankDanglingSql: String = graphPagerankSqlFor(dangling = true)
 
+  /** DuckDB oracle for [[graphKcore]]: the identical 8-round peel
+    * unrolled as chained CTEs (degree → keep → filtered edges per
+    * round). Idempotence after convergence makes the fixed unroll
+    * exact — no fixpoint test to synchronize across engines. */
+  private val graphKcoreSql: String = {
+    // MATERIALIZED: each e_i is referenced 3x by round i+1; inlined,
+    // the unroll re-expands e0 3^8 times and exhausts file handles
+    val rounds = (1 to 8).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT id, count(*) AS d FROM (
+         |  SELECT u AS id FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1}) GROUP BY 1),
+         |k$i AS (SELECT id FROM d$i WHERE d >= 4),
+         |e$i AS MATERIALIZED (SELECT e.u, e.v FROM e${i - 1} e
+         |        JOIN k$i a ON a.id = e.u JOIN k$i b ON b.id = e.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |            FROM lineitem WHERE l_linenumber <= 3),
+       |e0 AS MATERIALIZED (SELECT DISTINCT x.p AS u, y.p AS v
+       |       FROM ps x JOIN ps y ON x.o = y.o AND x.p < y.p),
+       |$rounds
+       |SELECT CAST(id AS BIGINT) AS id, count(*) AS core_degree
+       |FROM (SELECT u AS id FROM e8 UNION ALL SELECT v FROM e8)
+       |GROUP BY 1 ORDER BY id""".stripMargin
+  }
+
   /** DuckDB oracle for [[tsEwma]], generated from the SAME weight
     * ladder ([[graft.ext.TimeSeries.ewmaWeights]]) spelled as exact
     * double literals (Double.toString round-trips, and both engines
@@ -839,22 +863,92 @@ object SparkEntry {
     graft.ext.Graph.degrees(fwd.union(rev)).orderBy("id")
   }
 
-  /** Exact triangle counts ([[graft.ext.Graph.triangleCounts]]) over
-    * the supplier CO-SUPPLY graph: suppliers are connected iff they
-    * supply a common part (the (part, supp) self-join is keyed on the
-    * part with TPC-H-bounded fan-out — a real co-occurrence graph, not
-    * the bipartite pagerank edges, which are triangle-free by
-    * construction). Degree-ordered orientation keeps the wedge join
-    * arboricity-bounded; fully exact, hash-oracled by relational
-    * replay. */
-  private def graphTriangles(s: SparkSession, dir: String): DataFrame = {
-    val ps = t(s, dir, "lineitem")
-      .select(col("l_partkey").as("p"), col("l_suppkey").as("sp")).distinct()
-    val edges = ps.as("x").join(ps.as("y"),
-        col("x.p") === col("y.p") && col("x.sp") < col("y.sp"))
-      .select(col("x.sp").as("src"), col("y.sp").as("dst"))
-    graft.ext.Graph.triangleCounts(edges).orderBy("id")
+  /** The shared co-occurrence graph for [[graphTriangles]] /
+    * [[graphKcore]]: parts are connected iff they appear in the same
+    * order ("bought together"), restricted to the first 3 line
+    * numbers so per-order fan-out is ≤ C(3,2) — the guard that keeps
+    * a co-occurrence build linear in the fact table at any scale
+    * (without it a k-line order emits k² pairs). Measured (sf0.1):
+    * 20k nodes, 221k edges, median degree 22 — sparse; the supplier
+    * co-supply alternative saturates to a complete graph on this
+    * fixture (52M wedges) and is exactly the degenerate case the
+    * line-number cap exists to avoid. */
+  private def coOccurrenceEdges(s: SparkSession, dir: String): DataFrame = {
+    val ps = t(s, dir, "lineitem").filter(col("l_linenumber") <= 3)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    ps.as("x").join(ps.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("src"), col("y.p").as("dst"))
   }
+
+  /** Exact triangle counts ([[graft.ext.Graph.triangleCounts]]) over
+    * the part co-occurrence graph ([[coOccurrenceEdges]] — a real
+    * unified-id-space graph; the bipartite pagerank edges are
+    * triangle-free by construction). Degree-ordered orientation keeps
+    * the wedge join arboricity-bounded (measured 1.27M wedges for
+    * 221k edges at sf0.1); fully exact, hash-oracled by relational
+    * replay. */
+  private def graphTriangles(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Graph.triangleCounts(coOccurrenceEdges(s, dir)).orderBy("id")
+
+  /** k-core ([[graft.ext.Graph.kCore]], k=4, 8 peel rounds) of the
+    * same co-occurrence graph: the standard subgraph-density filter
+    * (community seeds, spam-cluster mining). Measured: peeling
+    * converges in ≤ 2 rounds on every fixture, so the fixed 8-round
+    * unroll — idempotent after convergence — IS the true 4-core and
+    * the oracle replays the identical unroll. */
+  private def graphKcore(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Graph.kCore(coOccurrenceEdges(s, dir), k = 4, rounds = 8).orderBy("id")
+
+  /** Exact heavy hitters with frequency share — the hot-key detector
+    * run before choosing salting/bucketing strategies (the diagnosis
+    * step behind [[graft.operators.SaltedJoin]]). One keyed count +
+    * the bounded-heap top-k aggregate (never a global sort) + a
+    * single-row total broadcast. */
+  private def q54HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "lineitem")
+      .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n").as("tot"))
+    counts
+      .agg(graft.functions.fx.topKByScore(col("n").cast("double"),
+        col("l_partkey"), 20).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .crossJoin(broadcast(tot))
+      .select((col("pos") + 1).as("rank"), col("t.id").as("l_partkey"),
+        col("t.score").cast("long").as("n"),
+        round(col("t.score") / col("tot").cast("double"), 6).as("share"))
+      .orderBy("rank")
+  }
+
+  /** Robust (median/MAD) anomaly counts per event_type — the
+    * outlier-resistant sibling of q48's mean/stddev z-score. Median
+    * and MAD round to 6 dp BEFORE the threshold compare on both
+    * engines (the rounded-ranking rule), so the outlier count is
+    * deterministic; 4.4478 = 3 / 0.6745 (the 3-sigma-equivalent MAD
+    * multiplier), written as the same literal in both engines. */
+  private def q55Mad(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), col("value").cast("double").as("x"))
+    val med = ev.groupBy("event_type")
+      .agg(round(expr("percentile(x, 0.5)"), 6).as("med"))
+    val dev = ev.join(med, "event_type")
+      .withColumn("adev", abs(col("x") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(round(expr("percentile(adev, 0.5)"), 6).as("mad"))
+    dev.join(mad, "event_type")
+      .groupBy("event_type")
+      .agg(first("med").as("med"), first("mad").as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(col("adev") > lit(4.4478) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  /** Adjacent-bigram PMI collocations ([[graft.ext.Text.pmi]],
+    * min count 5) — phrase mining over the corpus. */
+  private def textPmi(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Text.pmi(t(s, dir, "documents"), minCount = 5L)
+      .orderBy("w1", "w2")
 
   /** As-of (point-in-time) join: each event picks up the latest order
     * date of its user at-or-before the event time ([[graft.operators
@@ -2121,6 +2215,10 @@ object SparkEntry {
     "graph_pagerank_dangling" -> (graphPagerankDangling(_, _)),
     "graph_degrees" -> (graphDegrees(_, _)),
     "graph_triangles" -> (graphTriangles(_, _)),
+    "graph_kcore" -> (graphKcore(_, _)),
+    "q54_heavy_hitters" -> (q54HeavyHitters(_, _)),
+    "q55_mad" -> (q55Mad(_, _)),
+    "text_pmi" -> (textPmi(_, _)),
     "ts_interp" -> (tsInterp(_, _)),
     "ts_ewma" -> (tsEwma(_, _)),
     "q51_sessionize" -> (q51Sessionize(_, _)),
@@ -3329,9 +3427,10 @@ object SparkEntry {
     // closing edge can only be oriented hi1 -> hi2, so one equi-join
     // closes the wedge
     "graph_triangles" ->
-      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sp FROM lineitem),
-        |und AS (SELECT DISTINCT x.sp AS u, y.sp AS v
-        |        FROM ps x JOIN ps y ON x.p = y.p AND x.sp < y.sp),
+      """WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem WHERE l_linenumber <= 3),
+        |und AS (SELECT DISTINCT x.p AS u, y.p AS v
+        |        FROM ps x JOIN ps y ON x.o = y.o AND x.p < y.p),
         |deg AS (SELECT id, count(*) AS d FROM (
         |          SELECT u AS id FROM und UNION ALL SELECT v FROM und)
         |        GROUP BY 1),
@@ -3348,6 +3447,47 @@ object SparkEntry {
         |FROM (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
         |      UNION ALL SELECT z FROM tri)
         |GROUP BY 1 ORDER BY id""".stripMargin,
+    "graph_kcore" -> graphKcoreSql,
+    "q54_heavy_hitters" ->
+      """WITH c AS (SELECT CAST(l_partkey AS BIGINT) AS l_partkey, count(*) AS n
+        |           FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+        |r AS (SELECT l_partkey, n,
+        |        row_number() OVER (ORDER BY n DESC, l_partkey) AS rank FROM c)
+        |SELECT CAST(rank AS INT) AS rank, l_partkey, n,
+        |       round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+        |FROM r, t WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // median and MAD round to 6 dp BEFORE the 4.4478*mad threshold on
+    // both engines, so the outlier count compares exact doubles
+    "q55_mad" ->
+      """WITH e AS (SELECT event_type, CAST(value AS DOUBLE) AS x FROM events),
+        |m AS (SELECT event_type, round(quantile_cont(x, 0.5), 6) AS med
+        |      FROM e GROUP BY 1),
+        |d AS (SELECT e.event_type, m.med, abs(e.x - m.med) AS adev
+        |      FROM e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
+        |       FROM d GROUP BY 1)
+        |SELECT d.event_type, min(d.med) AS med, min(md.mad) AS mad,
+        |       count(*) AS n,
+        |       CAST(sum(CASE WHEN d.adev > 4.4478 * md.mad THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_outliers
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+    // integer-count products feed ln the same exact double on both
+    // engines; round 6 for the libm last-ulp (the lmscore convention)
+    "text_pmi" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS ts FROM documents),
+         |po AS (SELECT doc_id, unnest(generate_series(1, len(ts) - 1)) AS i, ts FROM t),
+         |pr AS (SELECT ts[CAST(i AS INT)] AS w1, ts[CAST(i + 1 AS INT)] AS w2 FROM po),
+         |pc AS (SELECT w1, w2, count(*) AS n_ab FROM pr GROUP BY 1, 2),
+         |na AS (SELECT w1, CAST(sum(n_ab) AS BIGINT) AS n_a FROM pc GROUP BY 1),
+         |nb AS (SELECT w2, CAST(sum(n_ab) AS BIGINT) AS n_b FROM pc GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_total FROM pc)
+         |SELECT pc.w1, pc.w2, pc.n_ab,
+         |       round(ln(CAST(pc.n_ab * n_total AS DOUBLE) /
+         |                CAST(n_a * n_b AS DOUBLE)), 6) AS pmi
+         |FROM pc JOIN na USING (w1) JOIN nb USING (w2) CROSS JOIN tot
+         |WHERE pc.n_ab >= 5 ORDER BY w1, w2""".stripMargin,
     // per-bucket sums round to 6 dp BEFORE the blend on both engines,
     // so the interpolation arithmetic is an exact per-row replay
     "ts_interp" ->

@@ -181,4 +181,49 @@ object Graph {
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** k-core of an undirected graph by fixed-round peeling: each round
+    * drops nodes with degree < k and the edges touching them; after
+    * `rounds` rounds the survivors (with their core-subgraph degrees)
+    * are returned. Peeling is IDEMPOTENT once converged — a stable
+    * graph loses nothing in further rounds — so a fixed unroll equals
+    * the true k-core whenever convergence happens within `rounds`,
+    * and an external oracle can replay the same unroll exactly
+    * (no fixpoint test to synchronize). Callers pick `rounds` ≥ the
+    * expected peel depth (degeneracy ordering peels shallow graphs in
+    * 2-3 rounds; the fixture converges well inside the default 8).
+    *
+    * Scale shape mirrors [[pageRank]]: per round one keyed degree
+    * aggregation + one semi-join per edge endpoint — keyed shuffles
+    * of long pairs only, localCheckpoint per round for O(1) lineage;
+    * no node- or edge-sized broadcast, no driver-side graph state. */
+  def kCore(
+      edges: DataFrame,
+      k: Int,
+      rounds: Int = 8,
+      srcCol: String = "src",
+      dstCol: String = "dst"
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var e = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("id")
+      val next = e
+        .join(keep.select(col("id").as("u")).hint("shuffle_merge"), Seq("u"), "left_semi")
+        .join(keep.select(col("id").as("v")).hint("shuffle_merge"), Seq("v"), "left_semi")
+        .select("u", "v").localCheckpoint()
+      graft.core.Lineage.release(e)
+      e = next
+    }
+    val out = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("core_degree"))
+    out
+  }
 }

@@ -371,4 +371,43 @@ object Text {
     else
       base.withColumn("lang_pred", langId(t))
   }
+
+  /** Adjacent-bigram PMI (collocation / phrase mining): for every
+    * bigram seen ≥ `minCount` times, `pmi = ln(n_ab · N / (n_a· ·
+    * n_·b))` with bigram-based marginals (n_a· = bigrams starting
+    * with a, n_·b = ending with b, N = total bigrams) — the standard
+    * phrase-detection signal (word2vec's phrase pass, NLTK
+    * collocations).
+    *
+    * Exactness: the ln() argument is assembled from exact integer
+    * counts (products stay < 2⁶³ for any corpus whose bigram count
+    * fits a long), so both engines feed ln the SAME double; the
+    * result rounds to 6 dp for the libm last-ulp difference — the
+    * [[lmScoreDf]] convention.
+    *
+    * Scale shape: one corpus explode → keyed (w1, w2) count (the
+    * bigram table, vocabulary²-bounded ≪ corpus); marginals are two
+    * aggregations OF THAT TABLE (not the corpus); N is a single-row
+    * broadcast. The corpus text itself is read once and never
+    * shuffles — only (doc, pos, token) triples move. */
+  def pmi(docs: DataFrame, minCount: Long = 5L,
+          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id").orderBy("__pos")
+    val toks = docs.select(col(idCol).as("__id"),
+      posexplode(tokens(col(textCol))).as(Seq("__pos", "w1")))
+    val pairs = toks.withColumn("w2", lead("w1", 1).over(w))
+      .filter(col("w2").isNotNull)
+    val pc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+    val na = pc.groupBy("w1").agg(sum("n_ab").as("n_a"))
+    val nb = pc.groupBy("w2").agg(sum("n_ab").as("n_b"))
+    val tot = pc.agg(sum("n_ab").as("n_total"))
+    pc.filter(col("n_ab") >= minCount)
+      .join(na, "w1").join(nb, "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("n_ab"),
+        round(log((col("n_ab") * col("n_total")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")), 6).as("pmi"))
+  }
 }

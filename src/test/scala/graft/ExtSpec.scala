@@ -861,6 +861,32 @@ class ExtSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got.toString)
   }
 
+  test("kCore: pendant chain peels away in cascade, the core survives intact") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} + pendant chain 4-5-6: at k=3 node 6 (deg 1)
+    // and node 5 (deg 2, then 1) peel over two rounds; K4 is stable
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val got = graft.ext.Graph.kCore(edges, k = 3, rounds = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got.toString)
+  }
+
+  test("pmi: repeated collocation scores above independence, marginals from bigrams") {
+    import spark.implicits._
+    // "x y" always adjacent; "x z" never: pmi(x,y) > 0 by construction
+    val docs = Seq((1L, "x y q x y r x y"), (2L, "x y z q r z")).toDF("doc_id", "text")
+    val got = graft.ext.Text.pmi(docs, minCount = 1L).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val (nab, pmi) = got(("x", "y"))
+    assert(nab == 4L, got.toString)
+    // n_a(x)=4, n_b(y)=4, N=12: pmi = ln(4*12/16) = ln(3)
+    assert(math.abs(pmi - math.log(3.0)) < 1e-6, pmi.toString)
+    assert(!got.contains(("x", "z")))
+  }
+
   test("degrees: multiset degrees with distinct-neighbor counts, zero-filled") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (1L, 2L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
