@@ -184,6 +184,27 @@ class PlanSpec extends AnyFunSuite {
       "the physical join must key on (key, salt) to split hot keys across reducers")
   }
 
+  test("triangle counting plans as keyed equi-joins, never cartesian") {
+    val plan = explained(SparkEntry.queries("graph_triangles")(spark, TestSession.sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "wedge enumeration and closing-edge check must be keyed joins:\n" + plan.take(2000))
+  }
+
+  test("ewma is one keyed window: a single hash exchange, no joins") {
+    val df = SparkEntry.queries("ts_ewma")(spark, TestSession.sf)
+    val plan = explained(df)
+    assert(!plan.contains("Join"), "the lag chain must not expand into self-joins")
+    // one exchange for the keyed window (the orderBy is a range split,
+    // not a hash shuffle)
+    assert(hashExchanges(df) == 1, s"expected 1 keyed-window exchange, got ${hashExchanges(df)}")
+  }
+
+  test("heavy hitters rank via the bounded-heap aggregate, not a window or global sort") {
+    val plan = explained(SparkEntry.queries("q54_heavy_hitters")(spark, TestSession.sf))
+    assert(plan.contains("ObjectHashAggregate"), "top-k must be the bounded-heap aggregate")
+    assert(!plan.contains("Window"), "no row_number window over all keys")
+  }
+
   test("knn self-join and incremental dedup plan without corpus broadcasts or cartesians") {
     val emb = spark.read.parquet(s"${TestSession.sf}/embeddings.parquet")
     val knn = graft.ext.Similarity.knnJoinLsh(emb, 5)
