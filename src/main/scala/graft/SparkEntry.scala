@@ -830,6 +830,70 @@ object SparkEntry {
        |GROUP BY 1 ORDER BY id""".stripMargin
   }
 
+  /** DuckDB oracle for [[simsearchMmr]]: the greedy MMR trace
+    * unrolled — pool (top-64 by rounded rel, id ties), pairwise sims
+    * (rounded 6), then one argmax CTE per selection step; 0.7/0.3 are
+    * the same literals the engine uses (never `1 − λ`, whose double
+    * is NOT the 0.3 literal). MATERIALIZED stops exponential CTE
+    * inlining across the 8 steps. */
+  private val simsearchMmrSql: String = {
+    val steps = (2 to 8).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT r.id, r.rel, 0.7 * r.rel - 0.3 * m.ms AS score, $i AS rank
+         |  FROM rel r
+         |  JOIN (SELECT s.ia AS id, max(s.s) AS ms FROM sims s
+         |        WHERE s.ib IN (SELECT id FROM sel${i - 1}) GROUP BY s.ia) m
+         |    ON m.id = r.id
+         |  WHERE r.id NOT IN (SELECT id FROM sel${i - 1})
+         |  ORDER BY score DESC, r.id LIMIT 1),
+         |sel$i AS MATERIALIZED (
+         |  SELECT id, rel, score, rank FROM sel${i - 1}
+         |  UNION ALL SELECT id, rel, score, rank FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 5),
+       |rel AS MATERIALIZED (
+       |  SELECT id, rel FROM (
+       |    SELECT c.vec_id AS id,
+       |           round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+       |                                        CAST(q.embedding AS DOUBLE[])), 6) AS rel,
+       |           row_number() OVER (
+       |             ORDER BY round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+       |                                        CAST(q.embedding AS DOUBLE[])), 6) DESC,
+       |                      c.vec_id) AS rn
+       |    FROM embeddings c CROSS JOIN q WHERE c.vec_id <> 5)
+       |  WHERE rn <= 64),
+       |sims AS MATERIALIZED (
+       |  SELECT a.id AS ia, b.id AS ib,
+       |         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                                      CAST(eb.embedding AS DOUBLE[])), 6) AS s
+       |  FROM rel a JOIN rel b ON a.id <> b.id
+       |  JOIN embeddings ea ON ea.vec_id = a.id
+       |  JOIN embeddings eb ON eb.vec_id = b.id),
+       |s1 AS (SELECT id, rel, 0.7 * rel AS score, 1 AS rank
+       |       FROM rel ORDER BY 0.7 * rel DESC, id LIMIT 1),
+       |sel1 AS MATERIALIZED (SELECT id, rel, score, rank FROM s1),
+       |$steps
+       |SELECT CAST(rank AS INT) AS rank, CAST(id AS BIGINT) AS vec_id, rel, score
+       |FROM sel8 ORDER BY rank""".stripMargin
+  }
+
+  /** DuckDB oracle for [[zorderRoundtrip]]: the Morton interleave as
+    * an explicit 32-term shift/mask sum (terms occupy disjoint bits,
+    * so + ≡ OR), checksummed with the integrity_checksum contract. */
+  private val zorderRoundtripSql: String = {
+    val terms = (0 until 16).flatMap { i =>
+      Seq(s"((l_partkey >> $i) & 1) * ${1L << (2 * i)}",
+        s"((l_suppkey >> $i) & 1) * ${1L << (2 * i + 1)}")
+    }.mkString(" + ")
+    s"""SELECT count(*) AS n_rows, bit_xor(h) AS xor_hash,
+       |       min(h) AS min_hash, max(h) AS max_hash
+       |FROM (SELECT ('0x' || substr(md5(concat_ws('|',
+       |        CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+       |        CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR),
+       |        CAST($terms AS VARCHAR))), 1, 15))::BIGINT AS h
+       |      FROM lineitem)""".stripMargin
+  }
+
   /** DuckDB oracle for [[tsEwma]], generated from the SAME weight
     * ladder ([[graft.ext.TimeSeries.ewmaWeights]]) spelled as exact
     * double literals (Double.toString round-trips, and both engines
@@ -1044,6 +1108,45 @@ object SparkEntry {
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
         col("s_acctbal"))
       .orderBy("s_suppkey")
+  }
+
+  /** Schema-evolution read (mergeSchema): half the table written under
+    * a v1 schema (2 columns), half under a widened v2 (+1 column), read
+    * back through parquet schema merging — the add-a-column migration
+    * every long-lived lake table goes through. v1 rows surface the new
+    * column as NULL; the oracle replays the widening rule from the
+    * source table. */
+  private def loadEvolutionRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("orders_evolve")
+    val o = t(s, dir, "orders")
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_totalprice")
+      .write.parquet(out + "/v1")
+    o.filter(col("o_orderkey") % 2 =!= 0)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .write.parquet(out + "/v2")
+    s.read.option("mergeSchema", "true").parquet(out + "/v1", out + "/v2")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
+  /** Z-order clustered export ([[graft.io.Layout.zorderWrite]]):
+    * lineitem keys written as 8 files range-clustered on the
+    * (l_partkey, l_suppkey) Morton interleave, read back with the
+    * z-value recomputed into the order-independent checksum — gating
+    * both content preservation and the interleave arithmetic (the
+    * oracle rebuilds the 32-term shift/mask sum in SQL). File-level
+    * two-column min/max locality is asserted in IoSpec. */
+  private def zorderRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("lineitem_zorder")
+    graft.io.Layout.zorderWrite(
+      t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      "l_partkey", "l_suppkey", out, numFiles = 8)
+    val back = s.read.parquet(out)
+      .withColumn("zval",
+        graft.functions.zInterleave2(col("l_partkey"), col("l_suppkey")))
+    graft.ext.Profile.tableChecksum(back,
+      Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "zval"))
   }
 
   /** Partitioned UNLOAD (reference `UNLOAD ... PARTITION BY`, hive-style
@@ -1396,6 +1499,17 @@ object SparkEntry {
     Similarity.knnJoinLsh(t(s, dir, "embeddings"), 10, nbits = 384, bandBits = 8,
         maxBucket = 64)
       .orderBy("query_id", "rank")
+
+  /** MMR diversity selection ([[Similarity.mmrSelect]]): top-8 of
+    * query vector 5's 64-neighbor pool, relevance traded against
+    * redundancy at (0.7, 0.3) — the post-ANN rerank. Hash-oracled by
+    * replaying the full greedy trace: pool ranking, pairwise sims,
+    * and 8 unrolled argmax steps, all on 6-dp-rounded scores with
+    * (score DESC, id) ties. */
+  private def simsearchMmr(s: SparkSession, dir: String): DataFrame =
+    Similarity.mmrSelect(t(s, dir, "embeddings"), queryId = 5L,
+        k = 8, poolSize = 64)
+      .orderBy("rank")
 
   /** IVF-pruned ANN (nprobe=4 of 16 cells — the production query
     * path). Hash-oracled: centroid scores round to 6 dp BEFORE the
@@ -2233,6 +2347,8 @@ object SparkEntry {
     "load_csv_roundtrip" -> (loadCsvRoundtrip(_, _)),
     "load_json_roundtrip" -> (loadJsonRoundtrip(_, _)),
     "load_orc_roundtrip" -> (loadOrcRoundtrip(_, _)),
+    "load_evolution_roundtrip" -> (loadEvolutionRoundtrip(_, _)),
+    "zorder_roundtrip" -> (zorderRoundtrip(_, _)),
     "unload_export_roundtrip" -> (unloadExportRoundtrip(_, _)),
     "unload_partitioned" -> (unloadPartitioned(_, _)),
     "insert_infer_roundtrip" -> (insertInferRoundtrip(_, _)),
@@ -2252,6 +2368,7 @@ object SparkEntry {
     "dedup_emblsh" -> (dedupEmbLsh(_, _)),
     "simsearch_topk" -> (simsearchTopK(_, _)),
     "knn_join" -> (knnJoin(_, _)),
+    "simsearch_mmr" -> (simsearchMmr(_, _)),
     "simsearch_ivf" -> (simsearchIvf(_, _)),
     "simsearch_ivf_full" -> (simsearchIvfFull(_, _)),
     "simsearch_ivf_kmeans" -> (simsearchIvfKmeans(_, _)),
@@ -3448,6 +3565,13 @@ object SparkEntry {
         |      UNION ALL SELECT z FROM tri)
         |GROUP BY 1 ORDER BY id""".stripMargin,
     "graph_kcore" -> graphKcoreSql,
+    "load_evolution_roundtrip" ->
+      """SELECT o_orderkey, o_totalprice,
+        |       CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderstatus END
+        |         AS o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "zorder_roundtrip" -> zorderRoundtripSql,
+    "simsearch_mmr" -> simsearchMmrSql,
     "q54_heavy_hitters" ->
       """WITH c AS (SELECT CAST(l_partkey AS BIGINT) AS l_partkey, count(*) AS n
         |           FROM lineitem GROUP BY 1),

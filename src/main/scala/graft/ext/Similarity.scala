@@ -421,6 +421,76 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    * SIGIR'98): greedily pick `k` of the query's `poolSize` nearest
+    * neighbors maximizing `lam·rel(d) − mu·max_{s∈selected}
+    * sim(d, s)` — the relevance-vs-diversity rerank every retrieval /
+    * training-data-curation pipeline runs after ANN.
+    *
+    * Architecture (the shape that survives 100 TB): the EXPENSIVE
+    * stage — scoring the corpus against the query and keeping the
+    * top-`poolSize` — is the distributed [[bruteForceTopK]] (corpus
+    * never shuffles, bounded-heap rank); the greedy refinement then
+    * runs on the driver over the collected pool (poolSize ids +
+    * vectors, ≤ ~10³ by contract — the rerank-stage pattern, same
+    * bounded-driver-state class as the PQ codebook / IVF centroids).
+    * Greedy selection is inherently sequential in k; distributing it
+    * would serialize k Spark jobs over a 64-row set.
+    *
+    * Exactness: `rel` and pairwise sims round to 6 dp (the collapsed-
+    * ulp rule), `lam`/`mu` are spelled as the SAME literals in both
+    * engines (never `1 − lam`, whose double differs from the `0.3`
+    * literal), and the score arithmetic is a 2-product chain — the
+    * whole greedy trace replays exactly in SQL, k unrolled steps with
+    * (score DESC, id) tie-breaks. */
+  def mmrSelect(
+      emb: DataFrame,
+      queryId: Long,
+      k: Int = 8,
+      poolSize: Int = 64,
+      lam: Double = 0.7,
+      mu: Double = 0.3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    require(k >= 1 && poolSize >= k, s"need 1 <= k <= poolSize, got k=$k pool=$poolSize")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val pool = bruteForceTopK(emb, emb.filter(col(idCol) === queryId), poolSize,
+        idCol, vecCol)
+      .select(col("nbr_id").cast("long"), col("cosine"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val ids = pool.map(_._1)
+    val vecs = emb.filter(col(idCol).isin(ids: _*))
+      .select(col(idCol).cast("long"), normalize(col(vecCol)))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def sim(a: Long, b: Long): Double = {
+      val (va, vb) = (vecs(a), vecs(b))
+      var s = 0.0; var i = 0
+      while (i < va.length) { s += va(i) * vb(i); i += 1 }
+      round6(s)
+    }
+    val selected = scala.collection.mutable.ArrayBuffer[(Int, Long, Double, Double)]()
+    val remaining = scala.collection.mutable.LinkedHashMap(pool: _*)
+    for (r <- 1 to k) {
+      var bestId = -1L; var bestScore = Double.NegativeInfinity; var bestRel = 0.0
+      remaining.foreach { case (id, rel) =>
+        val ms =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => sim(id, s._2)).max
+        val score = lam * rel - mu * ms
+        if (score > bestScore || (score == bestScore && id < bestId)) {
+          bestId = id; bestScore = score; bestRel = rel
+        }
+      }
+      selected += ((r, bestId, bestRel, bestScore))
+      remaining.remove(bestId)
+    }
+    selected.toSeq.toDF("rank", "vec_id", "rel", "score")
+  }
+
   /** Deterministic ±1 hyperplane sign for (dim `i`, bit `b`): +1 iff
     * the first hex nibble of `md5("i:b")` is 0–7. PORTABLE by design:
     * any engine with md5 reproduces the planes exactly, so DuckDB

@@ -83,6 +83,28 @@ package object functions {
   def md5Hash60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
+  /** Z-order (Morton) interleave of two integer columns over `bits`
+    * bits each: bit i of `a` lands at output bit 2i, bit i of `b` at
+    * 2i+1 — the space-filling-curve key behind multi-dimensional data
+    * clustering (Delta/Iceberg OPTIMIZE ZORDER). Range-partitioning on
+    * the z-value gives every file a rectangle-ish region of (a, b)
+    * space, so min/max footer pruning works on BOTH columns instead of
+    * just the leading sort key.
+    *
+    * Contract: values must be in [0, 2^bits) — higher bits are
+    * silently dropped (callers normalize/bucket first at scale). Pure
+    * shift/mask column arithmetic, codegen'd, trivially replayable in
+    * any SQL engine. */
+  def zInterleave2(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val terms = (0 until bits).flatMap { i =>
+      Seq(
+        shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+    terms.reduce(_.bitwiseOR(_))
+  }
+
   // ------------------------------------------------------------- vectors
 
   /** Dot product of two ArrayType(Float/Double) columns in DoubleType

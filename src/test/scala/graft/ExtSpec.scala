@@ -861,6 +861,25 @@ class ExtSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got.toString)
   }
 
+  test("mmrSelect: redundancy penalty promotes the diverse candidate over the near-duplicate") {
+    import spark.implicits._
+    // id 1 and 2 are near-identical (both rel ~0.9); id 3 is less
+    // relevant (0.6) but orthogonal to them. At lam=mu=0.5 MMR must
+    // pick 1, then 3 (2's redundancy ~1.0 sinks it), then 2.
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.4359f, 0.0f, 0.0f)),
+      // same direction as 1 up to ~1e-3, slightly LARGER norm so its
+      // relevance (0.9 / |v|) ranks strictly below 1's
+      (2L, Seq(0.9f, 0.4360f, 0.001f, 0.0f)),
+      (3L, Seq(0.6f, 0.0f, 0.8f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.ext.Similarity.mmrSelect(e, queryId = 0L, k = 3, poolSize = 3,
+        lam = 0.5, mu = 0.5)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(1L, 3L, 2L), got.toString)
+  }
+
   test("kCore: pendant chain peels away in cascade, the core survives intact") {
     import spark.implicits._
     // K4 on {1,2,3,4} + pendant chain 4-5-6: at k=3 node 6 (deg 1)

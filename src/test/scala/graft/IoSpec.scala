@@ -178,6 +178,36 @@ class IoSpec extends AnyFunSuite {
     assert(stage.parseUrl("s3://bucket/key/path.txt") == ("bucket", "key/path.txt"))
   }
 
+  test("zorderWrite: disjoint per-file z-ranges and two-column min/max locality") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"${TestSession.sf}/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val out = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    graft.io.Layout.zorderWrite(li, "l_partkey", "l_suppkey", out, numFiles = 8)
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length == 8, files.length.toString)
+    def stats(p: String) = spark.read.parquet(p)
+      .select(
+        min(graft.functions.zInterleave2(col("l_partkey"), col("l_suppkey"))),
+        max(graft.functions.zInterleave2(col("l_partkey"), col("l_suppkey"))),
+        min("l_partkey"), max("l_partkey")).head()
+    val st = files.map(stats)
+    // range partitioning on z makes per-file z-intervals disjoint
+    val zr = st.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    zr.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 < b._1, s"z ranges overlap: $a vs $b")
+    }
+    // locality: files cover narrower l_partkey spans than the table
+    val globalSpan = li.agg(max("l_partkey").cast("long") - min("l_partkey").cast("long"))
+      .head().getLong(0)
+    val spans = st.map(r => r.getAs[Number](3).longValue() - r.getAs[Number](2).longValue())
+    assert(spans.count(_ < globalSpan / 2) >= 4,
+      s"z-clustering should narrow most files' partkey span: $spans vs global $globalSpan")
+    // content preserved
+    assert(spark.read.parquet(out).count() == li.count())
+  }
+
   test("ProgressPercentage renders the reference transfer bar and reaches 100%") {
     val local = tmp("progress_src.bin")
     Files.write(Paths.get(local), Array.fill[Byte](1 << 17)(7)) // 128 KiB -> 2 chunks
