@@ -810,10 +810,14 @@ object SparkEntry {
     * unrolled as chained CTEs (degree → keep → filtered edges per
     * round). Idempotence after convergence makes the fixed unroll
     * exact — no fixpoint test to synchronize across engines. */
+  // literal-typed final val: a compile-time constant, safe to use from
+  // vals declared on either side of it (no initialization-order hazard)
+  final val kcoreRounds = 4
+
   private val graphKcoreSql: String = {
     // MATERIALIZED: each e_i is referenced 3x by round i+1; inlined,
-    // the unroll re-expands e0 3^8 times and exhausts file handles
-    val rounds = (1 to 8).map { i =>
+    // the unroll re-expands e0 3^rounds times and exhausts file handles
+    val rounds = (1 to kcoreRounds).map { i =>
       s"""d$i AS MATERIALIZED (SELECT id, count(*) AS d FROM (
          |  SELECT u AS id FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1}) GROUP BY 1),
          |k$i AS (SELECT id FROM d$i WHERE d >= 4),
@@ -826,7 +830,7 @@ object SparkEntry {
        |       FROM ps x JOIN ps y ON x.o = y.o AND x.p < y.p),
        |$rounds
        |SELECT CAST(id AS BIGINT) AS id, count(*) AS core_degree
-       |FROM (SELECT u AS id FROM e8 UNION ALL SELECT v FROM e8)
+       |FROM (SELECT u AS id FROM e$kcoreRounds UNION ALL SELECT v FROM e$kcoreRounds)
        |GROUP BY 1 ORDER BY id""".stripMargin
   }
 
@@ -955,14 +959,18 @@ object SparkEntry {
   private def graphTriangles(s: SparkSession, dir: String): DataFrame =
     graft.ext.Graph.triangleCounts(coOccurrenceEdges(s, dir)).orderBy("id")
 
-  /** k-core ([[graft.ext.Graph.kCore]], k=4, 8 peel rounds) of the
-    * same co-occurrence graph: the standard subgraph-density filter
+  /** k-core ([[graft.ext.Graph.kCore]], k=4) of the same
+    * co-occurrence graph: the standard subgraph-density filter
     * (community seeds, spam-cluster mining). Measured: peeling
-    * converges in ≤ 2 rounds on every fixture, so the fixed 8-round
-    * unroll — idempotent after convergence — IS the true 4-core and
-    * the oracle replays the identical unroll. */
+    * converges in ≤ 2 rounds on every fixture, so the fixed
+    * [[kcoreRounds]]-round unroll — idempotent after convergence —
+    * IS the true 4-core with a 2-round margin, and the oracle
+    * replays the identical unroll (each round is a degree agg + two
+    * semi-joins = 3 keyed shuffles, so the unroll length is the
+    * query's whole cost — don't pad it). */
   private def graphKcore(s: SparkSession, dir: String): DataFrame =
-    graft.ext.Graph.kCore(coOccurrenceEdges(s, dir), k = 4, rounds = 8).orderBy("id")
+    graft.ext.Graph.kCore(coOccurrenceEdges(s, dir), k = 4,
+      rounds = kcoreRounds).orderBy("id")
 
   /** Exact heavy hitters with frequency share — the hot-key detector
     * run before choosing salting/bucketing strategies (the diagnosis
