@@ -77,10 +77,14 @@ object Bench {
     val spread = results.map { case (k, v) => "\"" + k + "\":[" + v.min + "," + v.max + "]" }
       .mkString("{", ",", "}")
     val detail = s"""{"metric":"detail","value":$total,"unit":"sec","queries":$detailQs,"spread":$spread,"runs":$runs,"sf":"$sfDir"}"""
-    val detailPath = java.nio.file.Paths.get("target/bench_detail.json")
-    Option(detailPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
-    java.nio.file.Files.write(detailPath,
-      (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // best-effort: a read-only or foreign cwd must not abort the run
+    // AFTER the measurements and BEFORE the final stdout line
+    try {
+      val detailPath = java.nio.file.Paths.get("target/bench_detail.json")
+      Option(detailPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(detailPath,
+        (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: java.io.IOException => () }
 
     // Compact FINAL line: the driver's capture window is the last 2000
     // chars of stdout (BENCH_r01–r04 all show the line truncated at the

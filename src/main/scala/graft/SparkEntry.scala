@@ -806,10 +806,11 @@ object SparkEntry {
   private val graphPagerankSql: String = graphPagerankSqlFor(dangling = false)
   private val graphPagerankDanglingSql: String = graphPagerankSqlFor(dangling = true)
 
-  /** DuckDB oracle for [[graphKcore]]: the identical 8-round peel
-    * unrolled as chained CTEs (degree → keep → filtered edges per
-    * round). Idempotence after convergence makes the fixed unroll
-    * exact — no fixpoint test to synchronize across engines. */
+  /** DuckDB oracle for [[graphKcore]]: the identical
+    * [[kcoreRounds]]-round peel unrolled as chained CTEs (degree →
+    * keep → filtered edges per round). Idempotence after convergence
+    * makes the fixed unroll exact — no fixpoint test to synchronize
+    * across engines. */
   // literal-typed final val: a compile-time constant, safe to use from
   // vals declared on either side of it (no initialization-order hazard)
   final val kcoreRounds = 4
@@ -1931,7 +1932,9 @@ object SparkEntry {
     val users = t(s, dir, "events")
       .groupBy(col("user_id"))
       .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"),
-        sum("value").as("total"))
+        // round the shuffle-order per-user sum BEFORE it feeds
+        // avg/var_samp (the round-before-use oracle rule)
+        round(sum("value"), 4).as("total"))
       .select(pmod(col("user_id"), lit(2)).as("variant"), col("conv"), col("total"))
     val byVar = users.groupBy("variant")
       .agg(count(lit(1)).as("n"), sum("conv").as("nc"),
@@ -1942,14 +1945,20 @@ object SparkEntry {
     val b = byVar.filter(col("variant") === 1)
       .select(col("n").as("n_b"), col("nc").as("conv_b"),
         col("mean").as("mean_b"), col("v").as("var_b"))
+    // chi-square in DOUBLE factor-by-factor: each factor is an exact
+    // integer-valued double (< 2^53), but 4-factor products overflow
+    // int64 at ~55k users/arm — double products round identically on
+    // both engines (same left-assoc order), so the value stays
+    // oracle-exact at any scale
+    val numDiff = (col("conv_a") * (col("n_b") - col("conv_b")) -
+      col("conv_b") * (col("n_a") - col("conv_a"))).cast("double")
+    val denom = (col("conv_a") + col("conv_b")).cast("double") *
+      (col("n_a") + col("n_b") - col("conv_a") - col("conv_b")).cast("double") *
+      col("n_a").cast("double") * col("n_b").cast("double")
     a.crossJoin(broadcast(b)) // two single-row stat frames
       .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
-        round(((col("n_a") + col("n_b")).cast("double") *
-          pow((col("conv_a") * (col("n_b") - col("conv_b")) -
-            col("conv_b") * (col("n_a") - col("conv_a"))).cast("double"), 2)) /
-          ((col("conv_a") + col("conv_b")) *
-            (col("n_a") + col("n_b") - col("conv_a") - col("conv_b")) *
-            col("n_a") * col("n_b")).cast("double"), 6).as("chi2"),
+        round((col("n_a") + col("n_b")).cast("double") * numDiff * numDiff / denom,
+          6).as("chi2"),
         round((col("mean_a") - col("mean_b")) /
           sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 6).as("t_welch"))
   }
@@ -3616,8 +3625,8 @@ object SparkEntry {
          |nb AS (SELECT w2, CAST(sum(n_ab) AS BIGINT) AS n_b FROM pc GROUP BY 1),
          |tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_total FROM pc)
          |SELECT pc.w1, pc.w2, pc.n_ab,
-         |       round(ln(CAST(pc.n_ab * n_total AS DOUBLE) /
-         |                CAST(n_a * n_b AS DOUBLE)), 6) AS pmi
+         |       round(ln((CAST(pc.n_ab AS DOUBLE) * CAST(n_total AS DOUBLE)) /
+         |                (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6) AS pmi
          |FROM pc JOIN na USING (w1) JOIN nb USING (w2) CROSS JOIN tot
          |WHERE pc.n_ab >= 5 ORDER BY w1, w2""".stripMargin,
     // per-bucket sums round to 6 dp BEFORE the blend on both engines,
@@ -3654,12 +3663,12 @@ object SparkEntry {
     "ts_ewma" -> tsEwmaSql,
     "q51_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
-        |f AS (SELECT user_id, us, value,
+        |f AS (SELECT user_id, event_id, us, value,
         |        CASE WHEN lag(us) OVER w IS NULL
         |               OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nw
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
         |g AS (SELECT user_id, us, value,
-        |        sum(nw) OVER (PARTITION BY user_id ORDER BY us
+        |        sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
         |      FROM f)
         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
@@ -3680,14 +3689,15 @@ object SparkEntry {
         |       round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE),
         |             6) AS p
         |FROM c ORDER BY src, dst""".stripMargin,
-    // chi-square numerator/denominator stay exact integer-valued
-    // doubles (counts < 2^26, products < 2^53), so pow(x, 2) vs x**2
-    // cannot diverge; only the final division + Welch t get the 6 dp
-    // aggregate rounding
+    // chi-square in DOUBLE factor-by-factor, same left-assoc order as
+    // the engine: each factor is an exact integer-valued double, and
+    // double products round identically cross-engine — int products
+    // would overflow int64 at ~55k users/arm. Per-user totals round
+    // to 4 dp before avg/var (round-before-use)
     "q53_abtest" ->
       """WITH u AS (SELECT user_id,
         |             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
-        |             sum(value) AS total
+        |             round(sum(value), 4) AS total
         |           FROM events GROUP BY 1),
         |v AS (SELECT user_id % 2 AS variant, conv, total FROM u),
         |s AS (SELECT variant, count(*) AS n, CAST(sum(conv) AS BIGINT) AS nc,
@@ -3696,14 +3706,17 @@ object SparkEntry {
         |a AS (SELECT n AS n_a, nc AS conv_a, mean AS mean_a, var AS var_a
         |      FROM s WHERE variant = 0),
         |b AS (SELECT n AS n_b, nc AS conv_b, mean AS mean_b, var AS var_b
-        |      FROM s WHERE variant = 1)
+        |      FROM s WHERE variant = 1),
+        |f AS (SELECT n_a, conv_a, n_b, conv_b, mean_a, mean_b, var_a, var_b,
+        |        CAST(conv_a * (n_b - conv_b) - conv_b * (n_a - conv_a) AS DOUBLE) AS d,
+        |        CAST(conv_a + conv_b AS DOUBLE) *
+        |          CAST(n_a + n_b - conv_a - conv_b AS DOUBLE) *
+        |          CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) AS denom
+        |      FROM a, b)
         |SELECT n_a, conv_a, n_b, conv_b,
-        |  round(CAST(n_a + n_b AS DOUBLE) *
-        |        (CAST(conv_a * (n_b - conv_b) - conv_b * (n_a - conv_a) AS DOUBLE) ** 2) /
-        |        CAST((conv_a + conv_b) * (n_a + n_b - conv_a - conv_b) * n_a * n_b
-        |             AS DOUBLE), 6) AS chi2,
+        |  round(CAST(n_a + n_b AS DOUBLE) * d * d / denom, 6) AS chi2,
         |  round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6) AS t_welch
-        |FROM a, b""".stripMargin,
+        |FROM f""".stripMargin,
     "text_ppl_buckets" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest($duckToks) AS tok FROM documents

@@ -530,8 +530,15 @@ object Similarity {
       vecCol: String = "embedding"
   ): DataFrame = {
     require(nbits > 0, s"nbits must be positive, got $nbits")
-    // dim probe: one bounded driver read (the PQ/IVF paths do the same)
-    val dim = emb.select(size(col(vecCol))).head.getInt(0)
+    // dim probe: one bounded driver aggregate (the PQ/IVF paths do the
+    // same); max() skips null vectors, and an empty/all-null input
+    // yields an empty signature frame instead of a head() crash
+    val probe = emb.agg(max(size(col(vecCol)))).head()
+    val dim = if (probe.isNullAt(0)) 0 else probe.getInt(0)
+    if (dim < 1)
+      return emb.select(col(idCol).as("id"),
+        lit(null).cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)).as("sig")).limit(0)
     val signs = (0 until dim).flatMap(i => (0 until nbits).map(b => srpSign(i, b)))
     emb.select(col(idCol).as("id"),
       graft.functions.fx.srpSignature(col(vecCol), signs, dim, nbits).as("sig"))

@@ -379,11 +379,13 @@ object Text {
     * phrase-detection signal (word2vec's phrase pass, NLTK
     * collocations).
     *
-    * Exactness: the ln() argument is assembled from exact integer
-    * counts (products stay < 2⁶³ for any corpus whose bigram count
-    * fits a long), so both engines feed ln the SAME double; the
-    * result rounds to 6 dp for the libm last-ulp difference — the
-    * [[lmScoreDf]] convention.
+    * Exactness: every count casts to double BEFORE multiplying —
+    * counts are exact in double (< 2⁵³) and double products round
+    * identically cross-engine, whereas the int64 product n_ab·N
+    * overflows once N exceeds ~3·10⁹ bigrams (routine at corpus
+    * scale) and, with ANSI off, would WRAP silently. Both engines
+    * feed ln the same double; the result rounds to 6 dp for the libm
+    * last-ulp difference — the [[lmScoreDf]] convention.
     *
     * Scale shape: one corpus explode → keyed (w1, w2) count (the
     * bigram table, vocabulary²-bounded ≪ corpus); marginals are two
@@ -407,7 +409,7 @@ object Text {
       .join(na, "w1").join(nb, "w2")
       .crossJoin(broadcast(tot))
       .select(col("w1"), col("w2"), col("n_ab"),
-        round(log((col("n_ab") * col("n_total")).cast("double") /
-          (col("n_a") * col("n_b")).cast("double")), 6).as("pmi"))
+        round(log((col("n_ab").cast("double") * col("n_total").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double"))), 6).as("pmi"))
   }
 }

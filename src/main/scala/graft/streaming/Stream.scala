@@ -264,6 +264,14 @@ object Stream {
     * untouched keys keep their last-applied id. */
   def mergeUpsertBatch(spark: SparkSession, table: String,
       batch: DataFrame, batchId: Long): Unit = {
+    val stageName = table + "__stage"
+    // recovery: a crash between the live table's drop and the rename
+    // leaves the ONLY state copy in the staging table — promote it
+    // before merging, so the re-delivered batch anti-joins against the
+    // recovered state (its keys are already stamped with this batchId)
+    // instead of re-seeding from the batch alone
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(stageName))
+      spark.sql(s"ALTER TABLE $stageName RENAME TO $table")
     val reduced = batch
       .groupBy("user_id")
       .agg(max(struct(col("us"), col("event_id"), col("value"))).as("s"),
@@ -290,9 +298,10 @@ object Stream {
             col("n_updates"), col("__batch_id"))
       }
     // materialize BEFORE touching the table the merge reads, then swap
-    // via a staged rename: the live table is never half-written
+    // via a staged rename: the live table is never half-written, and
+    // the recovery preamble above covers the drop→rename crash window
     val snap = merged.localCheckpoint()
-    val stage = table + "__stage"
+    val stage = stageName
     graft.io.Load.dropManaged(spark, stage)
     snap.write.saveAsTable(stage)
     graft.io.Load.dropManaged(spark, table)

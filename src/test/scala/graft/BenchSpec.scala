@@ -39,7 +39,10 @@ class BenchSpec extends AnyFunSuite {
       .write.format("noop").mode("overwrite").save()
     sweepLikeBench()
     val after = (1 to 3).map(_ => { val t = cheap(); sweepLikeBench(); t }).min
-    assert(after <= before * 2 + 0.05,
+    // 3x + 0.1 s: loose enough that scheduler noise on sub-second
+    // timings cannot flake it, tight enough to catch the 7x class of
+    // contamination this guards against
+    assert(after <= before * 3 + 0.1,
       s"cheap query slowed after shuffle-heavy interlude: $before s -> $after s")
   }
 }

@@ -962,6 +962,25 @@ class ExtSpec extends AnyFunSuite {
     assert(sum(spark.read.parquet(out)) == sum(docsDf))
   }
 
+  test("approx_percentile lands within one quantile step of the exact percentiles") {
+    // the sketch sibling of the q20 HLL gate: GK with accuracy 1000
+    // bounds rank error at n/1000; on the integral 1..50 l_quantity
+    // domain that is at most one value step. Deterministic per
+    // fixture, so a pass is stable.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val r = li.agg(
+        expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000)").as("a"),
+        expr("array(percentile(l_quantity, 0.25), percentile(l_quantity, 0.5)," +
+          " percentile(l_quantity, 0.75))").as("e")).head()
+      val approx = r.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue())
+      val exact = r.getSeq[Double](1)
+      approx.zip(exact).foreach { case (a, e) =>
+        assert(math.abs(a - e) <= 1.0, s"$dir: approx $a vs exact $e")
+      }
+    }
+  }
+
   test("q20 HLL estimates stay within the documented rsd of exact distinct counts") {
     // q20_approx_distinct is the one CORRECTNESS entry without a hash
     // oracle (approximate by construction). This is its quantified gate:
@@ -1006,6 +1025,13 @@ class ExtSpec extends AnyFunSuite {
     Stream.mergeUpsertBatch(spark, table, b2, 1L)
     assert(snapshot() == applied, s"replay changed state: ${snapshot()} vs $applied")
     assert(applied.map(t => t._1 -> t._5).toMap == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+    // crash-window recovery: simulate dying between the live table's
+    // drop and the rename (only the fully-written staging copy exists),
+    // then re-deliver the batch — the merge must promote the staged
+    // state and no-op, not re-seed from the batch alone
+    spark.sql(s"ALTER TABLE $table RENAME TO ${table}__stage")
+    Stream.mergeUpsertBatch(spark, table, b2, 1L)
+    assert(snapshot() == applied, s"crash recovery lost state: ${snapshot()} vs $applied")
     graft.io.Load.dropManaged(spark, table)
   }
 
