@@ -1158,6 +1158,29 @@ object SparkEntry {
       Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "zval"))
   }
 
+  /** Keyed table diff ([[graft.ext.Profile.diffByKey]]): orders vs a
+    * deterministically mutated second version — every 97th key
+    * deleted, every 89th repriced (+1), every 101st re-added under a
+    * shifted key — classified added/deleted/changed through one keyed
+    * full outer join of row hashes. The oracle rebuilds the same
+    * mutation and classifies by VALUE comparison, so the row-hash
+    * equality contract (hash equal ⇔ rendered values equal) is what
+    * the gate proves. */
+  private def tableDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val newV = o.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 89 === 0, round(col("o_totalprice") + lit(1.0), 2))
+          .otherwise(col("o_totalprice")))
+      .unionByName(o.filter(col("o_orderkey") % 101 === 0)
+        .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice")))
+    graft.ext.Profile.diffByKey(o, newV,
+        Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
+      .select(col("o_orderkey").cast("long").as("o_orderkey"), col("change_type"))
+      .orderBy("o_orderkey")
+  }
+
   /** Partitioned UNLOAD (reference `UNLOAD ... PARTITION BY`, hive-style
     * key=value dirs): documents partitioned by lang to parquet, read
     * back through the partition discovery path. The partition column
@@ -2366,6 +2389,7 @@ object SparkEntry {
     "load_orc_roundtrip" -> (loadOrcRoundtrip(_, _)),
     "load_evolution_roundtrip" -> (loadEvolutionRoundtrip(_, _)),
     "zorder_roundtrip" -> (zorderRoundtrip(_, _)),
+    "table_diff" -> (tableDiff(_, _)),
     "unload_export_roundtrip" -> (unloadExportRoundtrip(_, _)),
     "unload_partitioned" -> (unloadPartitioned(_, _)),
     "insert_infer_roundtrip" -> (insertInferRoundtrip(_, _)),
@@ -3589,6 +3613,29 @@ object SparkEntry {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "zorder_roundtrip" -> zorderRoundtripSql,
     "simsearch_mmr" -> simsearchMmrSql,
+    // classification by VALUE comparison — the engine classifies by
+    // row-hash equality, so the gate proves hash-equal <=> values-equal
+    "table_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |n AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 89 = 0 THEN round(o_totalprice + 1.0, 2)
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM o WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+        |  FROM o WHERE o_orderkey % 101 = 0)
+        |SELECT CAST(coalesce(o.o_orderkey, n.o_orderkey) AS BIGINT) AS o_orderkey,
+        |       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |            WHEN n.o_orderkey IS NULL THEN 'deleted'
+        |            WHEN o.o_orderstatus <> n.o_orderstatus
+        |              OR o.o_totalprice <> n.o_totalprice THEN 'changed' END AS change_type
+        |FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+        |WHERE (CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |            WHEN n.o_orderkey IS NULL THEN 'deleted'
+        |            WHEN o.o_orderstatus <> n.o_orderstatus
+        |              OR o.o_totalprice <> n.o_totalprice THEN 'changed' END) IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
     "q54_heavy_hitters" ->
       """WITH c AS (SELECT CAST(l_partkey AS BIGINT) AS l_partkey, count(*) AS n
         |           FROM lineitem GROUP BY 1),

@@ -75,4 +75,42 @@ object Profile {
     import spark.implicits._
     out.toDF("column", "n", "n_nulls", "min", "max", "mean", "stddev")
   }
+
+  /** Keyed table diff — the row-level complement of [[tableChecksum]]
+    * (the checksum says two versions DIFFER; the diff says WHERE):
+    * given two versions of a keyed table, emit one row per key whose
+    * state changed, tagged `added` (key only in `newDf`), `deleted`
+    * (only in `oldDf`) or `changed` (present in both, compared columns
+    * differ) — the reconciliation primitive behind CDC audits,
+    * migration sign-offs and replication monitoring.
+    *
+    * Comparison is by the same portable 60-bit md5 row hash the
+    * checksum uses (same CAST-AS-STRING rendering contract: keep
+    * `compareCols` to integer/string/date columns), so a diff-of-zero
+    * and checksum equality agree by construction.
+    *
+    * Scale shape: two map-side hash projections + ONE keyed full outer
+    * join on the key columns — no broadcast of either version, output
+    * bounded by the changed-key count, unchanged keys never leave the
+    * join. */
+  def diffByKey(oldDf: DataFrame, newDf: DataFrame,
+                keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "diffByKey requires at least one key column")
+    require(compareCols.nonEmpty, "diffByKey requires at least one compare column")
+    def hashed(df: DataFrame, h: String) = {
+      val missing = (keyCols ++ compareCols).filterNot(df.columns.contains)
+      require(missing.isEmpty, s"columns not in dataframe: $missing")
+      df.select(keyCols.map(col) :+ graft.functions.md5Hash60(
+        concat_ws("|", compareCols.map(c => col(c).cast("string")): _*)).as(h): _*)
+    }
+    val o = hashed(oldDf, "__oh")
+    val n = hashed(newDf, "__nh")
+    o.join(n, keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("__oh").isNull, lit("added"))
+          .when(col("__nh").isNull, lit("deleted"))
+          .when(col("__oh") =!= col("__nh"), lit("changed")))
+      .filter(col("change_type").isNotNull)
+      .select(keyCols.map(col) :+ col("change_type"): _*)
+  }
 }

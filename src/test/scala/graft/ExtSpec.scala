@@ -950,6 +950,17 @@ class ExtSpec extends AnyFunSuite {
       got.toSeq.toString)
   }
 
+  test("diffByKey classifies added/deleted/changed and drops unchanged keys") {
+    import spark.implicits._
+    val oldV = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val newV = Seq((1L, "a", 10.0), (2L, "b", 21.0), (4L, "d", 40.0))
+      .toDF("k", "s", "v")
+    val got = graft.ext.Profile.diffByKey(oldV, newV, Seq("k"), Seq("s", "v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "deleted", 4L -> "added"), got.toString)
+  }
+
   test("compactParquet: fewer files, identical order-independent checksum") {
     val docsDf = docs.select("doc_id", "lang", "n_chars")
     val frag = java.nio.file.Files.createTempDirectory("graft_frag").toString
