@@ -835,6 +835,54 @@ object SparkEntry {
        |GROUP BY 1 ORDER BY id""".stripMargin
   }
 
+  /** BPE merge training ([[graft.ext.Text.bpeTrain]], 6 merges) over
+    * the documents corpus — the tokenizer-training step of an LLM data
+    * pipeline, fully exact (integer pair counts + deterministic string
+    * rewrites, no floats anywhere), so the whole training loop is
+    * hash-oracled as 6 unrolled count→argmax→rewrite rounds. */
+  private def textBpe(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Text.bpeTrain(t(s, dir, "documents"), nMerges = 6)
+      .orderBy("rank")
+
+  /** DuckDB oracle for [[textBpe]]: the same 6 training rounds
+    * unrolled — per round, adjacent-pair counts from the chr(1)-joined
+    * symbol strings, the (count DESC, l, r) argmax, and the padded
+    * left-to-right replace rewrite (identical semantics to the
+    * engine's). MATERIALIZED per round (the rewrite references the
+    * previous vocabulary twice via scalar subqueries). */
+  private lazy val textBpeSql: String = {
+    val rounds = (1 to 6).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT parts[CAST(k AS INT)] AS l, parts[CAST(k + 1 AS INT)] AS r,
+         |         CAST(sum(cnt) AS BIGINT) AS total
+         |  FROM (SELECT parts, cnt,
+         |          unnest(generate_series(1, len(parts) - 1)) AS k
+         |        FROM (SELECT string_split(s, chr(1)) AS parts, cnt FROM s${i - 1}))
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (
+         |  SELECT l, r, total FROM p$i ORDER BY total DESC, l, r LIMIT 1),
+         |s$i AS MATERIALIZED (
+         |  SELECT substr(rep, 2, length(rep) - 2) AS s, cnt FROM (
+         |    SELECT replace(chr(1) || s || chr(1),
+         |             chr(1) || (SELECT l FROM m$i) || chr(1) ||
+         |               (SELECT r FROM m$i) || chr(1),
+         |             chr(1) || (SELECT l FROM m$i) ||
+         |               (SELECT r FROM m$i) || chr(1)) AS rep, cnt
+         |    FROM s${i - 1}))""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 6).map { i =>
+      s"SELECT $i AS rank, l AS left_sym, r AS right_sym, l || r AS merged, total AS pair_weight FROM m$i"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w AS MATERIALIZED (
+       |  SELECT tok AS w, count(*) AS cnt
+       |  FROM (SELECT unnest($duckToks) AS tok FROM documents) GROUP BY 1),
+       |s0 AS MATERIALIZED (
+       |  SELECT array_to_string(string_split(w, ''), chr(1)) AS s, cnt FROM w),
+       |$rounds
+       |SELECT CAST(rank AS INT) AS rank, left_sym, right_sym, merged, pair_weight
+       |FROM ($out) ORDER BY rank""".stripMargin
+  }
+
   /** DuckDB oracle for [[simsearchMmr]]: the greedy MMR trace
     * unrolled — pool (top-64 by rounded rel, id ties), pairwise sims
     * (rounded 6), then one argmax CTE per selection step; 0.7/0.3 are
@@ -972,6 +1020,206 @@ object SparkEntry {
   private def graphKcore(s: SparkSession, dir: String): DataFrame =
     graft.ext.Graph.kCore(coOccurrenceEdges(s, dir), k = 4,
       rounds = kcoreRounds).orderBy("id")
+
+  final val lpaRounds = 4
+
+  /** Label-propagation community detection
+    * ([[graft.ext.Graph.labelPropagation]], [[lpaRounds]] synchronous
+    * rounds, ties to the smallest label) over the part co-occurrence
+    * graph — the lightweight community/cluster assignment next to the
+    * structural [[graphKcore]]/[[graphTriangles]] family. The fixed
+    * synchronous unroll is a pure function of the edge set, so the
+    * oracle replays each round as one count aggregation + one
+    * row_number argmax. */
+  private def graphLpa(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Graph.labelPropagation(coOccurrenceEdges(s, dir),
+      rounds = lpaRounds).orderBy("id")
+
+  private val graphLpaSql: String = {
+    val rounds = (1 to lpaRounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT id, label FROM (
+         |    SELECT e.dst AS id, l.label, count(*) AS n,
+         |           row_number() OVER (PARTITION BY e.dst
+         |             ORDER BY count(*) DESC, l.label) AS rn
+         |    FROM ed e JOIN l${i - 1} l ON l.id = e.src
+         |    GROUP BY e.dst, l.label) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |            FROM lineitem WHERE l_linenumber <= 3),
+       |e0 AS MATERIALIZED (SELECT DISTINCT x.p AS u, y.p AS v
+       |       FROM ps x JOIN ps y ON x.o = y.o AND x.p < y.p),
+       |ed AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0
+       |       UNION SELECT v, u FROM e0),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM ed),
+       |$rounds
+       |SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label
+       |FROM l$lpaRounds ORDER BY id""".stripMargin
+  }
+
+  /** Market-basket association rules: co-purchased part pairs per
+    * order with support / confidence / lift (the a-priori 2-itemset
+    * pass every recommender bootstraps from). Per-order pair
+    * expansion is bounded by basket size (≤ 7 lines/order on TPC-H
+    * shapes), so the self-join fans out O(n·k²/2), never corpus²;
+    * counts are keyed aggregations, the order total is a single-row
+    * broadcast, and the top-50 is TakeOrderedAndProject. All counts
+    * are exact integers; confidence/lift are single divisions of
+    * exact (< 2⁵³) products, bit-identical cross-engine, rounded to
+    * 6 dp for display only. */
+  private def basketRules(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("i"))
+      .distinct()
+    val nOrders = items.agg(countDistinct("o").as("n_orders"))
+    val freq = items.groupBy("i").agg(count(lit(1)).as("n_i"))
+    val pairs = items.as("x").join(items.as("y"),
+        col("x.o") === col("y.o") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("a"), col("y.i").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 3)
+    pairs
+      .join(freq.select(col("i").as("a"), col("n_i").as("n_a")), "a")
+      .join(freq.select(col("i").as("b"), col("n_i").as("n_b")), "b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("a"), col("b"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("n_a"), 6).as("confidence"),
+        round(col("n_ab").cast("double") * col("n_orders") /
+          (col("n_a") * col("n_b")), 6).as("lift"))
+      .orderBy(col("n_ab").desc, col("a"), col("b"))
+      .limit(50)
+  }
+
+  private val basketRulesSql: String =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+       |               FROM lineitem),
+       |n AS (SELECT count(DISTINCT o) AS n_orders FROM items),
+       |f AS (SELECT i, count(*) AS n_i FROM items GROUP BY 1),
+       |p AS (SELECT x.i AS a, y.i AS b, count(*) AS n_ab
+       |      FROM items x JOIN items y ON x.o = y.o AND x.i < y.i
+       |      GROUP BY 1, 2 HAVING count(*) >= 3)
+       |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       |       CAST(n_ab AS BIGINT) AS n_ab,
+       |       round(CAST(n_ab AS DOUBLE) / fa.n_i, 6) AS confidence,
+       |       round(CAST(n_ab AS DOUBLE) * n.n_orders / (fa.n_i * fb.n_i), 6)
+       |         AS lift
+       |FROM p JOIN f fa ON fa.i = p.a JOIN f fb ON fb.i = p.b CROSS JOIN n
+       |ORDER BY n_ab DESC, a, b LIMIT 50""".stripMargin
+
+  /** Entity resolution / fuzzy canonicalization over the DISTINCT
+    * part-name space: block on the last name token, score candidate
+    * pairs with exact integer Levenshtein distance (built-in on both
+    * engines), and pick each name's best fuzzy match as a single
+    * min-struct argmin (distance, then lexicographic tie). The scale
+    * design IS the distinct-first shape: fuzzy matching runs on the
+    * deduplicated entity space (groupBy name — orders of magnitude
+    * smaller than the row count at 100 TB), with row frequencies
+    * carried along from the same aggregation; blocking bounds the
+    * within-block self-join exactly like the dedup band joins. */
+  private def erFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val names = t(s, dir, "part")
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("blk", substring_index(col("name"), " ", -1))
+    names.as("l").join(names.as("r"),
+        col("l.blk") === col("r.blk") && col("l.name") =!= col("r.name"))
+      .withColumn("dist", levenshtein(col("l.name"), col("r.name")))
+      .filter(col("dist") <= 4)
+      .groupBy(col("l.name").as("name"))
+      .agg(max(col("l.n_rows")).as("n_rows"),
+        min(struct(col("dist").as("d"), col("r.name").as("m"))).as("best"))
+      .select(col("name"), col("n_rows"),
+        col("best.m").as("best_match"), col("best.d").as("dist"))
+      .orderBy("name")
+  }
+
+  private val erFuzzySql: String =
+    s"""WITH names AS (SELECT p_name AS name, count(*) AS n_rows
+       |               FROM part GROUP BY 1),
+       |b AS (SELECT name, n_rows,
+       |        list_extract(string_split(name, ' '),
+       |          len(string_split(name, ' '))) AS blk FROM names),
+       |cand AS (SELECT l.name AS name, l.n_rows, r.name AS m,
+       |           levenshtein(l.name, r.name) AS d
+       |         FROM b l JOIN b r ON l.blk = r.blk AND l.name <> r.name
+       |         WHERE levenshtein(l.name, r.name) <= 4)
+       |SELECT name, n_rows, m AS best_match, CAST(d AS INT) AS dist
+       |FROM cand
+       |QUALIFY row_number() OVER (PARTITION BY name ORDER BY d, m) = 1
+       |ORDER BY name""".stripMargin
+
+  /** Shared decimal literals for the Poisson(1) inverse CDF: the SAME
+    * strings are parsed by scalac (Spark side) and DuckDB (oracle
+    * side), so both engines compare u against bit-identical doubles.
+    * P(X ≤ k) for k = 0..8; the tail (u ≥ last) maps to 9. */
+  private val poissonCdf: Seq[String] = Seq(
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
+    "0.999916758850712", "0.9999897508033253", "0.999998874797402")
+
+  /** Poisson bootstrap confidence intervals for mean(value) per
+    * event_type — the ONE-PASS distributed bootstrap (Chamandy et al.
+    * 2012): instead of resampling n rows with replacement B times
+    * (B shuffles of the corpus), every row draws B independent
+    * Poisson(1) multiplicities — here deterministically, from an md5
+    * uniform through the shared inverse-CDF ladder — so all B = 32
+    * replicate means come out of ONE explode + ONE keyed aggregation.
+    * Replicate means round sums before the ratio (oracle-exactness
+    * rule); the CI is the 2nd-smallest / 2nd-largest replicate mean
+    * (a rank statistic — no cross-engine quantile interpolation to
+    * match). Scale shape: map-side explode ×32, one agg keyed on
+    * (type, replicate), one tiny per-type fold — no window, no
+    * driver loop. */
+  private def statsBootstrap(s: SparkSession, dir: String): DataFrame = {
+    val B = 32
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        col("value").cast("double").as("x"))
+    val u = conv(substring(md5(concat(lit("bs"),
+        col("event_id").cast("string"), lit(":"), col("b").cast("string"))),
+        1, 8), 16, 10).cast("double") / 4294967296.0
+    val w = poissonCdf.zipWithIndex.foldRight(lit(9): Column) {
+      case ((c, k), acc) => when(col("u") < lit(c.toDouble), lit(k)).otherwise(acc)
+    }
+    val repMeans = ev
+      .select(col("event_type"), col("event_id"), col("x"),
+        explode(sequence(lit(0), lit(B - 1))).as("b"))
+      .withColumn("u", u)
+      .withColumn("w", w)
+      .groupBy("event_type", "b")
+      .agg((round(sum(col("w") * col("x")), 4) /
+        sum(col("w")).cast("double")).as("m0"))
+      .select(col("event_type"), col("b"), round(col("m0"), 6).as("m"))
+    val ci = repMeans.groupBy("event_type")
+      .agg(sort_array(collect_list(col("m"))).as("ms"))
+      .select(col("event_type"), element_at(col("ms"), 2).as("ci_lo"),
+        element_at(col("ms"), B - 1).as("ci_hi"))
+    val pt = ev.groupBy("event_type")
+      .agg(round(round(sum("x"), 4) / count(lit(1)), 6).as("point"))
+    pt.join(ci, "event_type")
+      .select("event_type", "point", "ci_lo", "ci_hi")
+      .orderBy("event_type")
+  }
+
+  private val statsBootstrapSql: String = {
+    val cases = poissonCdf.zipWithIndex
+      .map { case (c, k) => s"WHEN u < $c THEN $k" }.mkString(" ")
+    s"""WITH r AS (SELECT event_type, value AS x, event_id,
+       |             unnest(generate_series(0, 31)) AS b FROM events),
+       |uu AS (SELECT event_type, x, b,
+       |         ('0x' || substr(md5('bs' || CAST(event_id AS VARCHAR) || ':'
+       |            || CAST(b AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS u
+       |       FROM r),
+       |w AS (SELECT event_type, x, b, CASE $cases ELSE 9 END AS w FROM uu),
+       |m AS (SELECT event_type, b,
+       |        round(round(sum(w * x), 4) / CAST(sum(w) AS DOUBLE), 6) AS m
+       |      FROM w GROUP BY 1, 2),
+       |ci AS (SELECT event_type, list_sort(list(m)) AS ms FROM m GROUP BY 1),
+       |pt AS (SELECT event_type, round(round(sum(value), 4) / count(*), 6)
+       |         AS point FROM events GROUP BY 1)
+       |SELECT pt.event_type, point, ms[2] AS ci_lo, ms[31] AS ci_hi
+       |FROM pt JOIN ci USING (event_type) ORDER BY event_type""".stripMargin
+  }
 
   /** Exact heavy hitters with frequency share — the hot-key detector
     * run before choosing salting/bucketing strategies (the diagnosis
@@ -2370,6 +2618,10 @@ object SparkEntry {
     "graph_degrees" -> (graphDegrees(_, _)),
     "graph_triangles" -> (graphTriangles(_, _)),
     "graph_kcore" -> (graphKcore(_, _)),
+    "graph_lpa" -> (graphLpa(_, _)),
+    "basket_rules" -> (basketRules(_, _)),
+    "er_fuzzy" -> (erFuzzy(_, _)),
+    "stats_bootstrap" -> (statsBootstrap(_, _)),
     "q54_heavy_hitters" -> (q54HeavyHitters(_, _)),
     "q55_mad" -> (q55Mad(_, _)),
     "text_pmi" -> (textPmi(_, _)),
@@ -2390,6 +2642,7 @@ object SparkEntry {
     "load_evolution_roundtrip" -> (loadEvolutionRoundtrip(_, _)),
     "zorder_roundtrip" -> (zorderRoundtrip(_, _)),
     "table_diff" -> (tableDiff(_, _)),
+    "text_bpe" -> (textBpe(_, _)),
     "unload_export_roundtrip" -> (unloadExportRoundtrip(_, _)),
     "unload_partitioned" -> (unloadPartitioned(_, _)),
     "insert_infer_roundtrip" -> (insertInferRoundtrip(_, _)),
@@ -3606,6 +3859,10 @@ object SparkEntry {
         |      UNION ALL SELECT z FROM tri)
         |GROUP BY 1 ORDER BY id""".stripMargin,
     "graph_kcore" -> graphKcoreSql,
+    "graph_lpa" -> graphLpaSql,
+    "basket_rules" -> basketRulesSql,
+    "er_fuzzy" -> erFuzzySql,
+    "stats_bootstrap" -> statsBootstrapSql,
     "load_evolution_roundtrip" ->
       """SELECT o_orderkey, o_totalprice,
         |       CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderstatus END
@@ -3613,6 +3870,7 @@ object SparkEntry {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "zorder_roundtrip" -> zorderRoundtripSql,
     "simsearch_mmr" -> simsearchMmrSql,
+    "text_bpe" -> textBpeSql,
     // classification by VALUE comparison — the engine classifies by
     // row-hash equality, so the gate proves hash-equal <=> values-equal
     "table_diff" ->

@@ -226,4 +226,53 @@ object Graph {
       .groupBy("id").agg(count(lit(1)).as("core_degree"))
     out
   }
+
+  /** Synchronous label-propagation community detection (Raghavan et
+    * al. 2007, deterministic variant): every node starts with its own
+    * id as label; each round, every node adopts the most frequent
+    * label among its neighbors' previous-round labels, ties broken by
+    * the SMALLEST label. Synchronous updates + a total tie order make
+    * every round a pure function of the edge set, so a fixed
+    * `rounds`-unroll is externally replayable (same contract as
+    * [[pageRank]] / [[kCore]] — no fixpoint test to synchronize; LPA
+    * famously oscillates on bipartite structures, which a fixed
+    * synchronous unroll replays faithfully rather than hides).
+    *
+    * Scale shape: per round one keyed join (labels onto edge sources,
+    * both sides partitioned by node id) + one (dst, label) count
+    * aggregation + one per-dst argmax via a single min-struct
+    * aggregation — three keyed shuffles of long pairs, no window, no
+    * broadcast of anything node-sized; labels localCheckpoint per
+    * round for O(1) lineage. */
+  def labelPropagation(
+      edges: DataFrame,
+      rounds: Int = 4,
+      srcCol: String = "src",
+      dstCol: String = "dst"
+  ): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // undirected message topology: both directions, self-loops dropped
+    val und0 = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = und0.select(col("a").as("src"), col("b").as("dst"))
+      .union(und0.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = und.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val next = und
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        // argmax(n, tie -> min label) as one min-struct aggregation
+        .groupBy("id")
+        .agg(min(struct((-col("n")).as("negn"), col("label").as("l"))).as("m"))
+        .select(col("id"), col("m.l").as("label"))
+        .localCheckpoint()
+      graft.core.Lineage.release(labels)
+      labels = next
+    }
+    labels
+  }
 }

@@ -372,6 +372,73 @@ object Text {
       base.withColumn("lang_pred", langId(t))
   }
 
+  /** BPE merge training (Sennrich et al. 2016 §3, simplified): learn
+    * `nMerges` byte-pair merges from the corpus word-frequency table —
+    * each round counts adjacent symbol pairs (weighted by word
+    * frequency), merges the most frequent pair (ties to the
+    * lexicographically smallest), and rewrites the vocabulary.
+    * Simplifications vs canonical BPE, both deterministic and
+    * engine-identical: no end-of-word marker, and merge application is
+    * plain left-to-right non-overlapping string replace (a run of 3+
+    * identical symbols merges its first pair only per round, because
+    * the replace consumes the shared separator — the same semantics in
+    * Java and DuckDB, which is what makes the whole training loop
+    * hash-oracle-able as unrolled SQL).
+    *
+    * Scale shape: the only corpus-sized stage is the word count (one
+    * explode + keyed aggregation); every training round then runs on
+    * the VOCABULARY (bounded by contract, like [[buildVocab]]) — one
+    * pair aggregation + a 1-row argmax to the driver + one projection.
+    * Symbols join on U+0001 (absent from any text the tokenizer
+    * admits), so pair patterns cannot match inside multi-char
+    * symbols. */
+  def bpeTrain(docs: DataFrame, nMerges: Int = 6,
+               textCol: String = "text"): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val SEP = "\u0001"
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    // Spark's regex split("") leaves a trailing "" element (Java
+    // Pattern.split limit -1); DuckDB's string_split does not — drop
+    // empties so both engines seed identical symbol strings
+    var syms = words.select(array_join(
+        filter(split(col("w"), ""), x => length(x) > 0), SEP).as("s"), col("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    for (r <- 1 to nMerges) {
+      val parts = split(col("s"), SEP)
+      val best = syms
+        .filter(size(parts) >= 2)
+        .select(col("cnt"), explode(zip_with(
+          slice(parts, lit(1), size(parts) - 1),
+          slice(parts, lit(2), size(parts) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("total"))
+        .orderBy(col("total").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) {
+        graft.core.Lineage.release(syms)
+        return merges.toSeq.toDF("rank", "left_sym", "right_sym", "merged", "pair_weight")
+      }
+      val (l, rr, total) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      merges += ((r, l, rr, l + rr, total))
+      val padded = concat(lit(SEP), col("s"), lit(SEP))
+      val replaced = call_function("replace", padded,
+        lit(SEP + l + SEP + rr + SEP), lit(SEP + l + rr + SEP))
+      val next = syms.select(
+          call_function("substring", replaced, lit(2), length(replaced) - 2).as("s"),
+          col("cnt"))
+        .localCheckpoint()
+      graft.core.Lineage.release(syms)
+      syms = next
+    }
+    graft.core.Lineage.release(syms)
+    merges.toSeq.toDF("rank", "left_sym", "right_sym", "merged", "pair_weight")
+  }
+
   /** Adjacent-bigram PMI (collocation / phrase mining): for every
     * bigram seen ≥ `minCount` times, `pmi = ln(n_ab · N / (n_a· ·
     * n_·b))` with bigram-based marginals (n_a· = bigrams starting

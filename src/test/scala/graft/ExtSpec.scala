@@ -950,6 +950,37 @@ class ExtSpec extends AnyFunSuite {
       got.toSeq.toString)
   }
 
+  test("bpeTrain learns the hand-computed merge sequence with lexicographic ties") {
+    import spark.implicits._
+    // "low" x3 + "lower" x1: round 1 ties (l,o)=4 vs (o,w)=4 -> lex
+    // smallest (l,o); round 2 (lo,w)=4; round 3 ties (low,e)=1 vs
+    // (e,r)=1 -> (e,r)
+    val docs = Seq((1L, "low low low lower")).toDF("doc_id", "text")
+    val got = graft.ext.Text.bpeTrain(docs, nMerges = 3).orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1, "l", "o", "lo", 4L),
+      (2, "lo", "w", "low", 4L),
+      (3, "e", "r", "er", 1L)), got.toSeq.toString)
+  }
+
+  test("labelPropagation: triangle converges to min label; bipartite path oscillates faithfully") {
+    import spark.implicits._
+    // triangle 1-2-3: r1 -> (2,1,1), r2 -> all 1, stable thereafter
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val triGot = graft.ext.Graph.labelPropagation(tri, rounds = 4)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(triGot.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L)), triGot.toSeq.toString)
+    // path 1-2-3-4 is bipartite: synchronous LPA 2-cycles; the fixed
+    // 4-round unroll lands on the hand-computed r4 state
+    // r1=(2,1,2,3) r2=(1,2,1,2) r3=(2,1,2,1) r4=(1,2,1,2)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val pathGot = graft.ext.Graph.labelPropagation(path, rounds = 4)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pathGot.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, 2L)),
+      pathGot.toSeq.toString)
+  }
+
   test("diffByKey classifies added/deleted/changed and drops unchanged keys") {
     import spark.implicits._
     val oldV = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))

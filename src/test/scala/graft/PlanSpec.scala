@@ -347,6 +347,30 @@ class PlanSpec extends AnyFunSuite {
       "top-k must not global-sort the corpus")
   }
 
+  test("basket rules: bounded pair self-join, top-50 never global-sorts") {
+    val df = SparkEntry.queries("basket_rules")(spark, TestSession.sf)
+    val plan = explained(df)
+    // the only non-equi join allowed is the single-row n_orders cross
+    // (IdentityBroadcastMode) — the pair expansion itself must be the
+    // keyed o=o self-join
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      "pair expansion must be the keyed o=o self-join")
+    val simple = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(simple.contains("TakeOrderedAndProject"),
+      "top-50 must not global-sort the rule set")
+  }
+
+  test("poisson bootstrap: one explode + keyed aggs, no window, no corpus broadcast") {
+    val df = SparkEntry.queries("stats_bootstrap")(spark, TestSession.sf)
+    val plan = explained(df)
+    assert(!plan.contains("Window"),
+      "replicate means must be keyed aggregations, not windows")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
   test("custom expressions are SQL-reachable via extensions registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(
