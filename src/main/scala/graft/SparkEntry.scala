@@ -2114,6 +2114,50 @@ object SparkEntry {
        |SELECT vec_id, adc FROM sc ORDER BY adc, vec_id LIMIT 10""".stripMargin
   }
 
+  /** IVF + PQ ADC ([[Similarity.ivfPqTopK]]): the composed production
+    * ANN path — firstN IVF quantizer prunes to 4 of 16 cells, trained
+    * PQ codebooks ([[Similarity.pqTrainCodebooks]], same training the
+    * emb_pq oracle replays) ADC-score only the surviving rows. The
+    * oracle composes the two existing replays: IVF cell/probe CTEs
+    * (rounded-cosine argmin) + trained-codebook ADC scoring, so the
+    * PRUNED result — recall loss included — matches by hash. */
+  private def simsearchIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cb = Similarity.pqTrainCodebooks(emb, m = 8, k = 16, iters = 2)
+    Similarity.ivfPqTopK(emb, queryId = 42L, topK = 10, ncells = 16,
+      nprobe = 4, codebookOpt = Some(cb))
+  }
+
+  private val simsearchIvfPqSql: String = {
+    val dsub = 8
+    val qdist = (1 to dsub).map { j =>
+      val t = s"(CAST(q.qv[c.s*$dsub+$j] AS DOUBLE) - c.sub[$j])"
+      s"$t * $t"
+    }.mkString(" + ")
+    s"""WITH $pqTrainedCteSql,
+       |cents AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 16),
+       |sa AS (SELECT e.vec_id, c.cid,
+       |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                      CAST(c.embedding AS DOUBLE[])), 6) AS s
+       |       FROM embeddings e CROSS JOIN cents c),
+       |cells AS (SELECT vec_id, cid AS cell FROM (
+       |         SELECT vec_id, cid,
+       |                row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |         FROM sa) WHERE rn = 1),
+       |probes AS (SELECT cid AS cell FROM (
+       |         SELECT cid, row_number() OVER (ORDER BY s DESC, cid) AS rn
+       |         FROM sa WHERE vec_id = 42) WHERE rn <= 4),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 42),
+       |tbl AS (SELECT c.cid, c.s, $qdist AS td
+       |        FROM cb2 c CROSS JOIN q),
+       |sc AS (SELECT r.vec_id, round(sum(t.td), 6) AS adc
+       |       FROM aF r JOIN tbl t ON t.s = r.s AND t.cid = r.cid
+       |       JOIN cells a ON a.vec_id = r.vec_id
+       |       JOIN probes p ON p.cell = a.cell
+       |       WHERE r.rn = 1 AND r.vec_id <> 42 GROUP BY r.vec_id)
+       |SELECT vec_id, adc FROM sc ORDER BY adc, vec_id LIMIT 10""".stripMargin
+  }
+
   /** Time-series gap-fill ([[graft.ext.TimeSeries.resampleLocf]]):
     * purchase events for users < 40 resampled to an hourly grid with
     * LOCF. Per-bucket sums are rounded AFTER the carry-forward (both
@@ -2667,6 +2711,7 @@ object SparkEntry {
     "simsearch_ivf_full" -> (simsearchIvfFull(_, _)),
     "simsearch_ivf_kmeans" -> (simsearchIvfKmeans(_, _)),
     "simsearch_pq_adc" -> (simsearchPqAdc(_, _)),
+    "simsearch_ivfpq" -> (simsearchIvfPq(_, _)),
     "emb_centroids" -> (embCentroids(_, _)),
     "text_quality" -> (textQuality(_, _)),
     "text_langid" -> (textLangid(_, _)),
@@ -4049,6 +4094,7 @@ object SparkEntry {
         |        CAST(doc_id AS VARCHAR), lang, CAST(n_chars AS VARCHAR))), 1, 15))::BIGINT AS h
         |      FROM documents)""".stripMargin,
     "simsearch_pq_adc" -> simsearchPqAdcSql,
+    "simsearch_ivfpq" -> simsearchIvfPqSql,
     "emb_pq" -> embPqSql,
     "ts_gapfill" ->
       """WITH e AS (

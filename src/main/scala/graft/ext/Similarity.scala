@@ -421,6 +421,74 @@ object Similarity {
       .limit(topK)
   }
 
+  /** IVF + PQ ADC top-k — the production ANN serving shape (Jégou et
+    * al., TPAMI 2011 §IV): the IVF quantizer prunes the corpus to the
+    * query's `nprobe` cells, and only those rows are ADC-scored from
+    * their PQ codes. This is THE architecture that holds at 100 TB of
+    * embeddings: the corpus pass is one codegen'd projection computing
+    * (cell, codes) per row — no shuffle, no raw-vector movement — the
+    * probe set is a broadcast semi-join of `nprobe` cell ids, and the
+    * per-row score is `m` map-literal lookups + adds feeding a global
+    * bounded top-k. Cell pruning and the distance table reuse the
+    * exact-replay machinery of [[ivfTopK]] (6 dp rounded argmin with
+    * cent-id ties — probes selected ENGINE-side through the same
+    * codegen path as corpus assignment) and [[pqAdcTopK]] (driver-
+    * built literal tables over fixed-order IEEE chains), so the whole
+    * prune→encode→score→rank pipeline is hash-oracle-able. */
+  def ivfPqTopK(
+      emb: DataFrame,
+      queryId: Long,
+      topK: Int = 10,
+      ncells: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 8,
+      k: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      centroids: Option[Seq[(Long, Seq[Double])]] = None,
+      codebookOpt: Option[Seq[(Long, Seq[Double])]] = None
+  ): DataFrame = {
+    val cents = centroids.getOrElse(firstNCentroids(emb, ncells, idCol, vecCol))
+    require(cents.nonEmpty, "ivfPqTopK: empty quantizer")
+    val codebook = codebookOpt.getOrElse(pqSeedCodebook(emb, k, idCol, vecCol))
+    require(codebook.nonEmpty, "ivfPqTopK: empty codebook")
+    val dim = codebook.head._2.size
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val qRows = emb.filter(col(idCol) === queryId)
+      .select(transform(col(vecCol), _.cast("double"))).collect()
+    require(qRows.nonEmpty, s"ivfPqTopK: query id $queryId not in corpus")
+    val q: Seq[Double] = qRows.head.getSeq[Double](0)
+    // the query's nprobe cells, via the SAME rounded-argmin codegen
+    // path the corpus assignment uses (1 row, nprobe cell ids)
+    val probes = emb.filter(col(idCol) === queryId)
+      .select(explode(slice(array_sort(
+        array(centScoreStructs(cents)(normalize(col(vecCol))): _*)),
+        1, nprobe)).as("pc"))
+      .select(col("pc.cent_id").as("cell"))
+    // single corpus pass: cell + PQ codes as pure projections
+    val corpus = emb.filter(col(idCol) =!= queryId)
+      .select(col(idCol),
+        bestCellExpr(cents)(normalize(col(vecCol))).as("cell"),
+        graft.functions.fx.pqEncodeCodes(col(vecCol), codebook, m, dsub)
+          .as("codes"))
+    // ADC distance table: m literal maps from the collected query
+    val score = (0 until m).map { s =>
+      val entries = codebook.map { case (cid, cv) =>
+        val d = (0 until dsub).map { j =>
+          val t = q(s * dsub + j) - cv(s * dsub + j); t * t
+        }.reduceLeft(_ + _)
+        (cid.toInt, d)
+      }
+      val table = map(entries.flatMap { case (cid, d) => Seq(lit(cid), lit(d)) }: _*)
+      element_at(table, element_at(col("codes"), s + 1))
+    }.reduceLeft(_ + _)
+    corpus.join(broadcast(probes), Seq("cell"), "left_semi")
+      .select(col(idCol), round(score, 6).as("adc"))
+      .orderBy(col("adc"), col(idCol))
+      .limit(topK)
+  }
+
   /** Maximal Marginal Relevance selection (Carbonell & Goldstein,
     * SIGIR'98): greedily pick `k` of the query's `poolSize` nearest
     * neighbors maximizing `lam·rel(d) − mu·max_{s∈selected}

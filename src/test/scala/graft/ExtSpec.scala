@@ -1114,4 +1114,26 @@ class ExtSpec extends AnyFunSuite {
     // code-mate; assert it appears in the top k
     assert(top.map(_.getAs[Number](0).longValue).contains(42L))
   }
+
+  test("ivfPqTopK with every cell probed equals plain PQ ADC (minus the query row)") {
+    // exhaustive probe makes the IVF prune a no-op, so the composed
+    // path must reproduce pqAdcTopK exactly — same codebook, same ADC
+    // table, same (adc, id) order — except ivfPqTopK excludes the
+    // query row itself
+    val cb = Similarity.pqTrainCodebooks(emb, m = 8, k = 16, iters = 1)
+    val full = Similarity.ivfPqTopK(emb, queryId = 42L, topK = 10,
+        ncells = 16, nprobe = 16, codebookOpt = Some(cb))
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getDouble(1)))
+    val adc = Similarity.pqAdcTopK(emb, queryId = 42L, topK = 11,
+        codebookOpt = Some(cb))
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getDouble(1)))
+      .filterNot(_._1 == 42L).take(10)
+    assert(full.toSeq == adc.toSeq,
+      s"ivfpq=${full.toSeq}\nadc=${adc.toSeq}")
+    // pruned probe returns a subset of the corpus ranking, still sorted
+    val pruned = Similarity.ivfPqTopK(emb, queryId = 42L, topK = 10,
+        ncells = 16, nprobe = 4, codebookOpt = Some(cb))
+      .collect().map(_.getDouble(1))
+    assert(pruned.sliding(2).forall(p => p(0) <= p(1)), pruned.mkString(","))
+  }
 }
