@@ -2158,6 +2158,104 @@ object SparkEntry {
        |SELECT vec_id, adc FROM sc ORDER BY adc, vec_id LIMIT 10""".stripMargin
   }
 
+  /** Classical additive seasonal decomposition ([[graft.ext
+    * .TimeSeries.decompose]], period 7) of each event_type's daily
+    * value total: trend (centered 7-day MA, gap-aware), weekday
+    * seasonal effects (centered to sum 0), residual. Every aggregate
+    * rounds to 6 dp before feeding the next stage (the repo's float
+    * ladder), so the whole decomposition replays in SQL. */
+  private def tsDecompose(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TimeSeries.decompose(t(s, dir, "events"),
+        "event_type", "ts", sum(col("value")), period = 7)
+      .orderBy("event_type", "day")
+
+  private val tsDecomposeSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |         CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT) AS day,
+       |         round(sum(value), 4) AS value
+       |  FROM events GROUP BY 1, 2),
+       |tr AS (
+       |  SELECT event_type, day, value,
+       |         CASE WHEN count(*) OVER w = 7
+       |                AND max(day) OVER w - min(day) OVER w = 6
+       |              THEN round(avg(value) OVER w, 6) END AS trend,
+       |         day % 7 AS slot
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |sm AS (
+       |  SELECT event_type, slot, round(avg(value - trend), 6) AS raw_eff
+       |  FROM tr WHERE trend IS NOT NULL GROUP BY 1, 2),
+       |ce AS (
+       |  SELECT event_type, slot,
+       |         round(raw_eff - round(avg(raw_eff)
+       |           OVER (PARTITION BY event_type), 6), 6) AS seasonal
+       |  FROM sm)
+       |SELECT t.event_type, t.day, CAST(t.slot AS BIGINT) AS slot, t.value,
+       |       t.trend, c.seasonal,
+       |       round(t.value - t.trend - c.seasonal, 6) AS resid
+       |FROM tr t LEFT JOIN ce c ON c.event_type = t.event_type
+       |                        AND c.slot = t.slot
+       |ORDER BY t.event_type, t.day""".stripMargin
+
+  /** CDC apply ([[graft.io.Cdc.applyChanges]]): a deterministic I/U/D
+    * change feed derived from orders — keys ≡ 0 (mod 7) deleted, keys
+    * ≡ 1 updated TWICE (seq 1: ×1.05, seq 2: ×1.10 — latest must
+    * win), keys ≡ 2 spawning inserts at key+10M — merged into the
+    * base with delete-tombstone MERGE semantics. The oracle replays
+    * feed construction and the argmax-then-full-outer apply. */
+  private def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(
+      col("o_orderkey").cast("long").as("okey"),
+      col("o_totalprice").cast("double").as("price"),
+      col("o_orderstatus").as("status"))
+    def upd(seq: Long, f: Double) = base
+      .filter(pmod(col("okey"), lit(7)) === 1)
+      .select(col("okey"), lit(seq).as("seq"), lit("U").as("op"),
+        (col("price") * f).as("price"), col("status"))
+    val dels = base.filter(pmod(col("okey"), lit(7)) === 0)
+      .select(col("okey"), lit(1L).as("seq"), lit("D").as("op"),
+        lit(null).cast("double").as("price"),
+        lit(null).cast("string").as("status"))
+    val ins = base.filter(pmod(col("okey"), lit(7)) === 2)
+      .select((col("okey") + 10000000L).as("okey"), lit(1L).as("seq"),
+        lit("I").as("op"), (col("price") * 0.5).as("price"),
+        lit("N").as("status"))
+    val feed = upd(1L, 1.05).union(upd(2L, 1.10)).union(dels).union(ins)
+    graft.io.Cdc.applyChanges(base, feed, "okey", "seq", "op")
+      .orderBy("okey")
+  }
+
+  private val cdcApplySql: String =
+    s"""WITH base AS (SELECT o_orderkey AS okey,
+       |                     CAST(o_totalprice AS DOUBLE) AS price,
+       |                     o_orderstatus AS status FROM orders),
+       |feed AS (
+       |  SELECT okey, 1 AS seq, 'U' AS op, price * 1.05 AS price,
+       |         status FROM base WHERE okey % 7 = 1
+       |  UNION ALL
+       |  SELECT okey, 2, 'U', price * 1.10, status
+       |  FROM base WHERE okey % 7 = 1
+       |  UNION ALL
+       |  SELECT okey, 1, 'D', NULL, NULL FROM base WHERE okey % 7 = 0
+       |  UNION ALL
+       |  SELECT okey + 10000000, 1, 'I', price * 0.5, 'N'
+       |  FROM base WHERE okey % 7 = 2),
+       |latest AS (
+       |  SELECT okey, op, price, status FROM (
+       |    SELECT okey, op, price, status,
+       |           row_number() OVER (PARTITION BY okey ORDER BY seq DESC) AS rn
+       |    FROM feed) WHERE rn = 1)
+       |SELECT coalesce(b.okey, l.okey) AS okey,
+       |       CASE WHEN l.okey IS NOT NULL THEN l.price ELSE b.price END
+       |         AS price,
+       |       CASE WHEN l.okey IS NOT NULL THEN l.status ELSE b.status END
+       |         AS status
+       |FROM base b FULL JOIN latest l ON b.okey = l.okey
+       |WHERE l.op IS NULL OR l.op <> 'D'
+       |ORDER BY okey""".stripMargin
+
   /** Time-series gap-fill ([[graft.ext.TimeSeries.resampleLocf]]):
     * purchase events for users < 40 resampled to an hourly grid with
     * LOCF. Per-bucket sums are rounded AFTER the carry-forward (both
@@ -2670,6 +2768,8 @@ object SparkEntry {
     "q55_mad" -> (q55Mad(_, _)),
     "text_pmi" -> (textPmi(_, _)),
     "ts_interp" -> (tsInterp(_, _)),
+    "ts_decompose" -> (tsDecompose(_, _)),
+    "cdc_apply" -> (cdcApply(_, _)),
     "ts_ewma" -> (tsEwma(_, _)),
     "q51_sessionize" -> (q51Sessionize(_, _)),
     "q52_transitions" -> (q52Transitions(_, _)),
@@ -4095,6 +4195,8 @@ object SparkEntry {
         |      FROM documents)""".stripMargin,
     "simsearch_pq_adc" -> simsearchPqAdcSql,
     "simsearch_ivfpq" -> simsearchIvfPqSql,
+    "ts_decompose" -> tsDecomposeSql,
+    "cdc_apply" -> cdcApplySql,
     "emb_pq" -> embPqSql,
     "ts_gapfill" ->
       """WITH e AS (

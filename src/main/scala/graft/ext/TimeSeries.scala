@@ -166,4 +166,61 @@ object TimeSeries {
       round(interp, 6).as("value_interp"),
       col("__v").isNotNull.as("is_observed"))
   }
+
+  /** Classical additive seasonal decomposition (the moving-average
+    * method, Hyndman & Athanasopoulos FPP3 §3.4) of a per-key DAILY
+    * series with odd period `p`: `trend` = centered p-day moving
+    * average (null where the window is ragged), `seasonal` = the
+    * mean detrended value of the row's weekday slot, centered so the
+    * p slot effects sum to zero, `resid` = value − trend − seasonal.
+    * The slot index derives from the epoch day (`day mod p`), not a
+    * row_number — so it is a pure function of the date and replays
+    * without any global ordering.
+    *
+    * Exactness ladder (every aggregate is a shuffle- or frame-order
+    * sum, so each rounds to 6 dp on both engines before it feeds the
+    * next stage): daily value → trend (window avg) → slot mean →
+    * slot centering → residual subtraction (exact 2-op chain on
+    * rounded inputs).
+    *
+    * Scale shape: one keyed daily aggregation; ONE keyed window
+    * (partition by key, ROWS ±k frame — never a global window); slot
+    * effects are a (key, slot) aggregation of p·keys rows broadcast
+    * back; no self-joins, no driver state. */
+  def decompose(events: DataFrame, keyCol: String, tsCol: String,
+                agg: Column, period: Int = 7): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"period must be odd and >= 3, got $period")
+    val half = period / 2
+    val daily = events
+      .groupBy(col(keyCol), (unix_timestamp(date_trunc("day", col(tsCol)))
+        / 86400L).cast("long").as("day"))
+      .agg(round(agg, 4).as("value"))
+    val w = Window.partitionBy(keyCol).orderBy("day")
+      .rowsBetween(-half, half)
+    // centered MA only where the full window exists AND the days are
+    // contiguous (ROWS frames count rows, not days — a date gap would
+    // silently average non-adjacent days)
+    val trended = daily
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__span", max(col("day")).over(w) - min(col("day")).over(w))
+      .withColumn("trend",
+        when(col("__n") === period && col("__span") === (period - 1),
+          round(avg(col("value")).over(w), 6)))
+      .withColumn("slot", pmod(col("day"), lit(period)))
+    val slotMeans = trended
+      .filter(col("trend").isNotNull)
+      .groupBy(col(keyCol), col("slot"))
+      .agg(round(avg(col("value") - col("trend")), 6).as("raw_eff"))
+    val centered = slotMeans
+      .withColumn("seasonal",
+        round(col("raw_eff") -
+          round(avg(col("raw_eff")).over(Window.partitionBy(keyCol)), 6), 6))
+      .select(col(keyCol), col("slot"), col("seasonal"))
+    trended.join(centered, Seq(keyCol, "slot"), "left")
+      .select(col(keyCol), col("day"), col("slot"), col("value"),
+        col("trend"),
+        col("seasonal"),
+        round(col("value") - col("trend") - col("seasonal"), 6).as("resid"))
+  }
 }

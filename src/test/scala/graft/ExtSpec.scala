@@ -981,6 +981,55 @@ class ExtSpec extends AnyFunSuite {
       pathGot.toSeq.toString)
   }
 
+  test("Cdc.applyChanges: latest op wins, deletes drop, inserts and upserts land") {
+    import spark.implicits._
+    val base = Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"))
+      .toDF("k", "v", "s")
+    val feed = Seq(
+      (1L, 1L, "U", 11.0, "a"), (1L, 2L, "U", 12.0, "a2"), // latest wins
+      (2L, 1L, "D", 0.0, ""),                              // tombstone
+      (4L, 1L, "I", 40.0, "d"),                            // insert
+      (5L, 1L, "U", 50.0, "e"),                            // upsert-on-absent
+      (3L, 1L, "U", 31.0, "c"), (3L, 2L, "D", 0.0, ""))    // update then delete
+      .toDF("k", "seq", "op", "v", "s")
+    val got = graft.io.Cdc.applyChanges(base, feed, "k", "seq", "op")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, 12.0, "a2"), (4L, 40.0, "d"), (5L, 50.0, "e")),
+      got.toSeq.toString)
+  }
+
+  test("decompose: slot effects sum to ~0 and components re-add to the value") {
+    import spark.implicits._
+    // 21 contiguous days, one key: value = 100 + (day-index mod 7) —
+    // pure period-7 seasonality on a flat trend of mean 103
+    val rows = (0 until 21).map(d => (1L, f"2024-01-${d + 1}%02d 12:00:00",
+      100.0 + (d % 7)))
+    val df = rows.toDF("k", "ts", "v")
+      .withColumn("ts", to_timestamp($"ts"))
+    val out = graft.ext.TimeSeries.decompose(df, "k", "ts", sum($"v"), period = 7)
+      .collect()
+    val withTrend = out.filter(!_.isNullAt(4))
+    assert(withTrend.length == 21 - 6, s"expected 15 full windows, got ${withTrend.length}")
+    // flat trend = mean over any 7 consecutive days = 103
+    assert(withTrend.forall(r => math.abs(r.getDouble(4) - 103.0) < 1e-9))
+    // each slot's effect is its (constant) detrended value; the 7
+    // effects are {-3..3} and sum to 0
+    withTrend.foreach { r =>
+      val v = r.getDouble(3); val se = r.getDouble(5)
+      assert(math.abs(se - (v - 103.0)) < 1e-6, r.toString)
+    }
+    val effs = withTrend.map(r => (r.getLong(2), r.getDouble(5))).distinct
+    assert(effs.length == 7 && math.abs(effs.map(_._2).sum) < 1e-6,
+      effs.mkString(","))
+    // components re-add: value == trend + seasonal + resid (rounded 6)
+    withTrend.foreach { r =>
+      val v = r.getDouble(3); val t = r.getDouble(4)
+      val se = r.getDouble(5); val res = r.getDouble(6)
+      assert(math.abs(v - (t + se + res)) < 5e-6, r.toString)
+    }
+  }
+
   test("diffByKey classifies added/deleted/changed and drops unchanged keys") {
     import spark.implicits._
     val oldV = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
