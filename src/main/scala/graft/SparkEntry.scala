@@ -1241,6 +1241,101 @@ object SparkEntry {
       .orderBy("rank")
   }
 
+  /** Per-group top-k WITHOUT a rank window: top-3 parts per supplier
+    * by revenue through the bounded-heap aggregate ([[graft.functions
+    * .fx.topKByScore]]) — at 100 TB a `row_number() OVER (PARTITION BY
+    * supplier)` materializes and sorts every group in full; the heap
+    * aggregate carries at most k entries per group through a map-side-
+    * combinable shuffle. Revenue rounds to 4 dp BEFORE ranking (the
+    * rounded-ranking rule) with part-id ties, so the heap order and
+    * the oracle's window replay agree exactly. */
+  private def q56TopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey").cast("long").as("suppkey"),
+        col("l_partkey").cast("long").as("partkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+    rev.groupBy("suppkey")
+      .agg(graft.functions.fx.topKByScore(col("revenue"), col("partkey"), 3)
+        .as("top"))
+      .select(col("suppkey"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("suppkey"), (col("pos") + 1).as("rank"),
+        col("t.id").as("partkey"), col("t.score").as("revenue"))
+      .orderBy("suppkey", "rank")
+  }
+
+  private val q56TopkPerGroupSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey AS suppkey, l_partkey AS partkey,
+      |         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT CAST(suppkey AS BIGINT) AS suppkey, CAST(rn AS INT) AS rank,
+      |       CAST(partkey AS BIGINT) AS partkey, revenue
+      |FROM (SELECT suppkey, partkey, revenue,
+      |        row_number() OVER (PARTITION BY suppkey
+      |          ORDER BY revenue DESC, partkey) AS rn FROM rev)
+      |WHERE rn <= 3 ORDER BY suppkey, rank""".stripMargin
+
+  /** 2-D Pareto frontier (skyline: minimize price AND size) of the
+    * part catalog via the sort-scan method: deduplicate to distinct
+    * (price, size) pairs, sort, and a pair is dominated iff the
+    * running min of size over STRICTLY preceding pairs is ≤ its size
+    * (every preceding pair has smaller price, or equal price and
+    * smaller size — either way domination is strict somewhere). The
+    * window is global but runs over the DEDUPLICATED value-pair
+    * space — bounded by the attribute domain, the same
+    * corpus-independent class as vocab/quantizer state, never the
+    * row count. */
+  private def paretoFront(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "part")
+      .groupBy(col("p_retailprice").cast("double").as("price"),
+        col("p_size").cast("long").as("size"))
+      .agg(count(lit(1)).as("n_parts"))
+    val w = Window.orderBy("price", "size")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pairs.withColumn("__pm", min(col("size")).over(w))
+      .filter(col("__pm").isNull || col("__pm") > col("size"))
+      .select("price", "size", "n_parts")
+      .orderBy("price", "size")
+  }
+
+  private val paretoFrontSql: String =
+    """WITH pairs AS (
+      |  SELECT CAST(p_retailprice AS DOUBLE) AS price,
+      |         CAST(p_size AS BIGINT) AS size, count(*) AS n_parts
+      |  FROM part GROUP BY 1, 2),
+      |m AS (SELECT price, size, n_parts,
+      |        min(size) OVER (ORDER BY price, size
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |      FROM pairs)
+      |SELECT price, size, n_parts FROM m
+      |WHERE pm IS NULL OR pm > size ORDER BY price, size""".stripMargin
+
+  /** Inverted-index build (the IR-side sibling of [[textBm25]]):
+    * per-term document frequency, total term frequency, and the
+    * SORTED posting list (md5 of the ordered doc-id string — the
+    * repo's list-compare idiom). Two keyed aggregations — (term, doc)
+    * tf, then per-term fold — both map-side-combinable; the posting
+    * order comes from sort_array inside the aggregate, never a global
+    * sort. */
+  private def textPostings(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("tf_total"),
+        md5(concat_ws(",", transform(sort_array(collect_list(col("doc_id"))),
+          _.cast("string")))).as("postings_md5"))
+      .orderBy("term")
+
+  private lazy val textPostingsSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+       |td AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2)
+       |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total,
+       |       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+       |         AS postings_md5
+       |FROM td GROUP BY term ORDER BY term""".stripMargin
+
   /** Robust (median/MAD) anomaly counts per event_type — the
     * outlier-resistant sibling of q48's mean/stddev z-score. Median
     * and MAD round to 6 dp BEFORE the threshold compare on both
@@ -2765,6 +2860,9 @@ object SparkEntry {
     "er_fuzzy" -> (erFuzzy(_, _)),
     "stats_bootstrap" -> (statsBootstrap(_, _)),
     "q54_heavy_hitters" -> (q54HeavyHitters(_, _)),
+    "q56_topk_per_group" -> (q56TopkPerGroup(_, _)),
+    "pareto_front" -> (paretoFront(_, _)),
+    "text_postings" -> (textPostings(_, _)),
     "q55_mad" -> (q55Mad(_, _)),
     "text_pmi" -> (textPmi(_, _)),
     "ts_interp" -> (tsInterp(_, _)),
@@ -4197,6 +4295,9 @@ object SparkEntry {
     "simsearch_ivfpq" -> simsearchIvfPqSql,
     "ts_decompose" -> tsDecomposeSql,
     "cdc_apply" -> cdcApplySql,
+    "q56_topk_per_group" -> q56TopkPerGroupSql,
+    "pareto_front" -> paretoFrontSql,
+    "text_postings" -> textPostingsSql,
     "emb_pq" -> embPqSql,
     "ts_gapfill" ->
       """WITH e AS (
