@@ -806,6 +806,47 @@ object SparkEntry {
   private val graphPagerankSql: String = graphPagerankSqlFor(dangling = false)
   private val graphPagerankDanglingSql: String = graphPagerankSqlFor(dangling = true)
 
+  /** Personalized PageRank ([[graft.ext.Graph.personalizedPageRank]],
+    * restart to parts {1,2,3,4}) on the same bipartite graph as
+    * [[graphPagerank]] — rank mass concentrates around the seed
+    * neighborhood instead of spreading uniformly. Oracle: the same
+    * 5-round unroll with the seed-indicator restart term. */
+  private def graphPpr(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val fwd = li.filter(col("l_returnflag") =!= "R")
+      .select(col("l_partkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+    val rev = li.filter(col("l_returnflag") === "R")
+      .select((col("l_suppkey") + 1000000L).as("src"), col("l_partkey").as("dst"))
+    graft.ext.Graph.personalizedPageRank(fwd.union(rev),
+        seeds = Seq(1L, 2L, 3L, 4L), iterations = 5, damping = 0.85)
+      .select(col("id").as("node"), round(col("r"), 6).as("ppr"))
+      .orderBy("node")
+  }
+
+  private val graphPprSql: String = {
+    val seed = "CASE WHEN id IN (1, 2, 3, 4) THEN 1.0 ELSE 0.0 END"
+    val iters = (1 to 5).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst, sum(r${i - 1}.r / deg.outdeg) AS m
+         |  FROM e JOIN deg USING (src) JOIN r${i - 1} ON r${i - 1}.id = e.src
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT id, 0.15 * ($seed) + 0.85 * coalesce(m, 0) AS r
+         |  FROM nodes LEFT JOIN c$i ON c$i.dst = nodes.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst
+       |  FROM lineitem WHERE l_returnflag <> 'R'
+       |  UNION
+       |  SELECT DISTINCT 1000000 + l_suppkey, l_partkey
+       |  FROM lineitem WHERE l_returnflag = 'R'),
+       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+       |r0 AS (SELECT id, $seed AS r FROM nodes),
+       |$iters
+       |SELECT id AS node, round(r, 6) AS ppr FROM r5 ORDER BY node""".stripMargin
+  }
+
   /** DuckDB oracle for [[graphKcore]]: the identical
     * [[kcoreRounds]]-round peel unrolled as chained CTEs (degree →
     * keep → filtered edges per round). Idempotence after convergence
@@ -2852,6 +2893,7 @@ object SparkEntry {
     "q50_unpivot" -> (q50Unpivot(_, _)),
     "graph_pagerank" -> (graphPagerank(_, _)),
     "graph_pagerank_dangling" -> (graphPagerankDangling(_, _)),
+    "graph_ppr" -> (graphPpr(_, _)),
     "graph_degrees" -> (graphDegrees(_, _)),
     "graph_triangles" -> (graphTriangles(_, _)),
     "graph_kcore" -> (graphKcore(_, _)),
@@ -4103,6 +4145,7 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY id""".stripMargin,
     "graph_kcore" -> graphKcoreSql,
     "graph_lpa" -> graphLpaSql,
+    "graph_ppr" -> graphPprSql,
     "basket_rules" -> basketRulesSql,
     "er_fuzzy" -> erFuzzySql,
     "stats_bootstrap" -> statsBootstrapSql,
