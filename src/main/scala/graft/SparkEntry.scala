@@ -726,16 +726,22 @@ object SparkEntry {
     * against the same recurrence unrolled as 5 relational steps in
     * DuckDB. Final ranks rounded to 6 dp (per-destination double sums
     * are shuffle-order-dependent in the last ulp). */
-  private def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+  /** The shared part↔supplier bipartite graph: non-returned lines
+    * point part → supplier, returned lines reverse the edge (so the
+    * graph has real direction structure and dangling nodes). */
+  private def bipartiteEdges(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val fwd = li.filter(col("l_returnflag") =!= "R")
       .select(col("l_partkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
     val rev = li.filter(col("l_returnflag") === "R")
       .select((col("l_suppkey") + 1000000L).as("src"), col("l_partkey").as("dst"))
-    graft.ext.Graph.pageRank(fwd.union(rev), iterations = 5, damping = 0.85)
+    fwd.union(rev)
+  }
+
+  private def graphPagerank(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Graph.pageRank(bipartiteEdges(s, dir), iterations = 5, damping = 0.85)
       .select(col("id").as("node"), round(col("r"), 6).as("pr"))
       .orderBy("node")
-  }
 
   /** [[graphPagerank]]'s graph under the CANONICAL dangling-mass
     * formulation ([[graft.ext.Graph.pageRank]] with
@@ -743,24 +749,26 @@ object SparkEntry {
     * aggregate rank of sink nodes uniformly, conserving total rank.
     * Same unrolled relational replay, extended with a per-iteration
     * dangling-mass scalar. */
-  private def graphPagerankDangling(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    val fwd = li.filter(col("l_returnflag") =!= "R")
-      .select(col("l_partkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
-    val rev = li.filter(col("l_returnflag") === "R")
-      .select((col("l_suppkey") + 1000000L).as("src"), col("l_partkey").as("dst"))
-    graft.ext.Graph.pageRank(fwd.union(rev), iterations = 5, damping = 0.85,
-        redistributeDangling = true)
+  private def graphPagerankDangling(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Graph.pageRank(bipartiteEdges(s, dir), iterations = 5,
+        damping = 0.85, redistributeDangling = true)
       .select(col("id").as("node"), round(col("r"), 6).as("pr"))
       .orderBy("node")
-  }
 
   /** DuckDB oracle for [[graphPagerank]] (and its dangling-
     * redistribution twin): the identical recurrence unrolled — rank_0
     * = 1, rank_{t+1} = 0.15 + 0.85 · (Σ in-mass [+ D_t / N]) — as
     * chained CTEs, one (dangling-mass, contribs, ranks) group per
     * iteration. */
-  private def graphPagerankSqlFor(dangling: Boolean): String = {
+  private def graphPagerankSqlFor(dangling: Boolean,
+                                  seeds: Option[Seq[Long]] = None): String = {
+    // restart vector: uniform 1.0 (plain/dangling PageRank) or the
+    // seed indicator (personalized) — mirrors Graph.pageRank's seeds
+    val restartInit = seeds
+      .map(ss => s"CASE WHEN id IN (${ss.mkString(", ")}) THEN 1.0 ELSE 0.0 END")
+      .getOrElse("1.0")
+    val restartTerm = seeds.map(_ => s"0.15 * ($restartInit)").getOrElse("0.15")
+    val outCol = if (seeds.isDefined) "ppr" else "pr"
     val iters = (1 to 5).map { i =>
       val dmass =
         if (dangling)
@@ -777,7 +785,7 @@ object SparkEntry {
              |  CROSS JOIN d$i CROSS JOIN n)""".stripMargin
         else
           s"""r$i AS (
-             |  SELECT id, 0.15 + 0.85 * coalesce(m, 0) AS r
+             |  SELECT id, $restartTerm + 0.85 * coalesce(m, 0) AS r
              |  FROM nodes LEFT JOIN c$i ON c$i.dst = nodes.id)""".stripMargin
       s"""${dmass}c$i AS (
          |  SELECT e.dst, sum(r${i - 1}.r / deg.outdeg) AS m
@@ -799,9 +807,9 @@ object SparkEntry {
        |  FROM lineitem WHERE l_returnflag = 'R'),
        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
        |nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
-       |${danglingCtes}r0 AS (SELECT id, 1.0 AS r FROM nodes),
+       |${danglingCtes}r0 AS (SELECT id, $restartInit AS r FROM nodes),
        |$iters
-       |SELECT id AS node, round(r, 6) AS pr FROM r5 ORDER BY node""".stripMargin
+       |SELECT id AS node, round(r, 6) AS $outCol FROM r5 ORDER BY node""".stripMargin
   }
   private val graphPagerankSql: String = graphPagerankSqlFor(dangling = false)
   private val graphPagerankDanglingSql: String = graphPagerankSqlFor(dangling = true)
@@ -811,41 +819,14 @@ object SparkEntry {
     * [[graphPagerank]] — rank mass concentrates around the seed
     * neighborhood instead of spreading uniformly. Oracle: the same
     * 5-round unroll with the seed-indicator restart term. */
-  private def graphPpr(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    val fwd = li.filter(col("l_returnflag") =!= "R")
-      .select(col("l_partkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
-    val rev = li.filter(col("l_returnflag") === "R")
-      .select((col("l_suppkey") + 1000000L).as("src"), col("l_partkey").as("dst"))
-    graft.ext.Graph.personalizedPageRank(fwd.union(rev),
+  private def graphPpr(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Graph.personalizedPageRank(bipartiteEdges(s, dir),
         seeds = Seq(1L, 2L, 3L, 4L), iterations = 5, damping = 0.85)
       .select(col("id").as("node"), round(col("r"), 6).as("ppr"))
       .orderBy("node")
-  }
 
-  private val graphPprSql: String = {
-    val seed = "CASE WHEN id IN (1, 2, 3, 4) THEN 1.0 ELSE 0.0 END"
-    val iters = (1 to 5).map { i =>
-      s"""c$i AS (
-         |  SELECT e.dst, sum(r${i - 1}.r / deg.outdeg) AS m
-         |  FROM e JOIN deg USING (src) JOIN r${i - 1} ON r${i - 1}.id = e.src
-         |  GROUP BY e.dst),
-         |r$i AS (
-         |  SELECT id, 0.15 * ($seed) + 0.85 * coalesce(m, 0) AS r
-         |  FROM nodes LEFT JOIN c$i ON c$i.dst = nodes.id)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH e AS (
-       |  SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst
-       |  FROM lineitem WHERE l_returnflag <> 'R'
-       |  UNION
-       |  SELECT DISTINCT 1000000 + l_suppkey, l_partkey
-       |  FROM lineitem WHERE l_returnflag = 'R'),
-       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
-       |nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
-       |r0 AS (SELECT id, $seed AS r FROM nodes),
-       |$iters
-       |SELECT id AS node, round(r, 6) AS ppr FROM r5 ORDER BY node""".stripMargin
-  }
+  private val graphPprSql: String =
+    graphPagerankSqlFor(dangling = false, seeds = Some(Seq(1L, 2L, 3L, 4L)))
 
   /** DuckDB oracle for [[graphKcore]]: the identical
     * [[kcoreRounds]]-round peel unrolled as chained CTEs (degree →

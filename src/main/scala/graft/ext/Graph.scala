@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over edge DataFrames — join-based, no
@@ -49,9 +49,15 @@ object Graph {
       damping: Double = 0.85,
       srcCol: String = "src",
       dstCol: String = "dst",
-      redistributeDangling: Boolean = false
+      redistributeDangling: Boolean = false,
+      seeds: Option[Seq[Long]] = None
   ): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(seeds.forall(_.nonEmpty), "seeds must be non-empty when given")
+    // dangling redistribution is formulated for the uniform restart;
+    // with a seed restart the simplified decaying-mass form applies
+    require(!(redistributeDangling && seeds.isDefined),
+      "redistributeDangling is only defined for the uniform-restart formulation")
     val e0 = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct().localCheckpoint()
@@ -69,7 +75,14 @@ object Graph {
     // N is loop-invariant; one bounded scalar to the driver, like a
     // dimension probe (only the dangling variant needs it)
     val nNodes = if (redistributeDangling) nodes.count().toDouble else 0.0
-    var ranks = nodes.withColumn("r", lit(1.0))
+    // restart vector: uniform 1, or the seed indicator (a bounded
+    // LITERAL membership predicate — never a join, never a broadcast)
+    val restart: Column = seeds match {
+      case Some(ss) =>
+        when(col("id").isInCollection(ss), lit(1.0)).otherwise(lit(0.0))
+      case None => lit(1.0)
+    }
+    var ranks = nodes.withColumn("r", restart)
     for (_ <- 1 to iterations) {
       val contribs = withDeg
         .join(ranks, withDeg("src") === ranks("id"))
@@ -88,8 +101,9 @@ object Graph {
               (lit(1.0 - damping) + lit(damping) *
                 (coalesce(col("in_mass"), lit(0.0)) + col("dm") / lit(nNodes))).as("r"))
         case None =>
+          // restart folds to the plain (1-d) constant when uniform
           joined.select(col("id"),
-            (lit(1.0 - damping) + lit(damping) *
+            (lit(1.0 - damping) * restart + lit(damping) *
               coalesce(col("in_mass"), lit(0.0))).as("r"))
       }).localCheckpoint()
       // round t's ranks have no consumer once round t+1 materializes
@@ -121,36 +135,9 @@ object Graph {
       damping: Double = 0.85,
       srcCol: String = "src",
       dstCol: String = "dst"
-  ): DataFrame = {
-    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    require(seeds.nonEmpty, "personalizedPageRank needs at least one seed")
-    val e0 = edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .distinct().localCheckpoint()
-    val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val withDeg = e0.join(deg, "src").localCheckpoint()
-    val nodes = e0.select(col("src").as("id"))
-      .union(e0.select(col("dst").as("id"))).distinct().localCheckpoint()
-    val seedInd =
-      when(col("id").isInCollection(seeds), lit(1.0)).otherwise(lit(0.0))
-    var ranks = nodes.withColumn("r", seedInd).localCheckpoint()
-    for (_ <- 1 to iterations) {
-      val contribs = withDeg
-        .join(ranks, withDeg("src") === ranks("id"))
-        .select(col("dst"), (col("r") / col("outdeg")).as("c"))
-        .groupBy("dst").agg(sum("c").as("in_mass"))
-      val next = nodes
-        .join(contribs, nodes("id") === contribs("dst"), "left")
-        .select(col("id"),
-          (lit(1.0 - damping) * seedInd + lit(damping) *
-            coalesce(col("in_mass"), lit(0.0))).as("r"))
-        .localCheckpoint()
-      graft.core.Lineage.release(ranks)
-      ranks = next
-    }
-    graft.core.Lineage.release(e0, withDeg, nodes)
-    ranks
-  }
+  ): DataFrame =
+    pageRank(edges, iterations, damping, srcCol, dstCol,
+      redistributeDangling = false, seeds = Some(seeds))
 
   /** Per-node degree profile over a DIRECTED edge multiset: out/in
     * degree and distinct-neighbor counts per node (nodes appearing

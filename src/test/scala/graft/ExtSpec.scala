@@ -964,6 +964,27 @@ class ExtSpec extends AnyFunSuite {
       (3, "e", "r", "er", 1L)), got.toSeq.toString)
   }
 
+  test("personalizedPageRank matches the hand-computed seed-restart recurrence") {
+    import spark.implicits._
+    // chain 1 -> 2 -> 3, seed {1}, d = 0.85; 3 is dangling (decays)
+    // r0 = (1, 0, 0)
+    // r1 = (0.15, 0.85*1, 0)           = (0.15, 0.85, 0)
+    // r2 = (0.15, 0.85*0.15, 0.85*0.85) = (0.15, 0.1275, 0.7225)
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = graft.ext.Graph.personalizedPageRank(edges, seeds = Seq(1L),
+        iterations = 2).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val want = Seq((1L, 0.15), (2L, 0.1275), (3L, 0.7225))
+    got.zip(want).foreach { case ((gi, gr), (wi, wr)) =>
+      assert(gi == wi && math.abs(gr - wr) < 1e-9, s"got ${got.toSeq}")
+    }
+    // non-seed nodes with no path from a seed stay at exactly 0
+    val iso = Seq((10L, 11L)).toDF("src", "dst")
+    val isoGot = graft.ext.Graph.personalizedPageRank(iso, seeds = Seq(99L),
+        iterations = 3).orderBy("id").collect().map(_.getDouble(1))
+    assert(isoGot.forall(_ == 0.0), isoGot.mkString(","))
+  }
+
   test("labelPropagation: triangle converges to min label; bipartite path oscillates faithfully") {
     import spark.implicits._
     // triangle 1-2-3: r1 -> (2,1,1), r2 -> all 1, stable thereafter
