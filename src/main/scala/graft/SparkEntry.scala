@@ -1358,6 +1358,123 @@ object SparkEntry {
        |         AS postings_md5
        |FROM td GROUP BY term ORDER BY term""".stripMargin
 
+  /** Grouped OLS regression from sufficient statistics: slope /
+    * intercept of each event_type's daily value total against the
+    * epoch day, computed closed-form from (n, Σx, Σx², Σy, Σxy) — ONE
+    * keyed aggregation over the daily table, no iterative solver, the
+    * shape that regresses a billion groups in one pass. x-sums are
+    * exact int64 (day ≈ 2·10⁴, Σx² ≈ 10¹⁰ per 30-day group); y-sums
+    * round before the closed form; the slope ROUNDS to 6 dp before
+    * the intercept uses it, so both engines feed identical inputs
+    * into every stage. */
+  private def statsRegression(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        (unix_timestamp(date_trunc("day", col("ts"))) / 86400L).cast("long")
+          .as("day"))
+      .agg(round(sum("value"), 4).as("y"))
+    val suff = daily.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum("day").as("sx"),
+      sum(col("day") * col("day")).as("sxx"),
+      round(sum("y"), 4).as("sy"),
+      round(sum(col("day") * col("y")), 2).as("sxy"))
+    val slope = round(
+      (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+    suff
+      .withColumn("slope", slope)
+      .withColumn("intercept",
+        round((col("sy") - col("slope") * col("sx")) / col("n"), 6))
+      .select("event_type", "n", "slope", "intercept")
+      .orderBy("event_type")
+  }
+
+  private val statsRegressionSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |         CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT) AS day,
+       |         round(sum(value), 4) AS y
+       |  FROM events GROUP BY 1, 2),
+       |suff AS (
+       |  SELECT event_type, count(*) AS n,
+       |         CAST(sum(day) AS BIGINT) AS sx,
+       |         CAST(sum(day * day) AS BIGINT) AS sxx,
+       |         round(sum(y), 4) AS sy,
+       |         round(sum(day * y), 2) AS sxy
+       |  FROM daily GROUP BY 1),
+       |sl AS (
+       |  SELECT event_type, n, sx, sy,
+       |         round((n * sxy - sx * sy) /
+       |           CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+       |  FROM suff)
+       |SELECT event_type, n, slope,
+       |       round((sy - slope * sx) / n, 6) AS intercept
+       |FROM sl ORDER BY event_type""".stripMargin
+
+  /** Pearson correlation per group, from sufficient statistics over
+    * PRE-SCALED columns: quantity/100 and extendedprice/100000 —
+    * correlation is scale-invariant, and the scaling keeps every sum
+    * small enough (≲10⁴ at gate SF) that round(6) cleanly collapses
+    * the cross-engine last-ulp band (unscaled, Σprice² ≈ 10¹⁴ has an
+    * absolute ulp near 0.03 and no safe rounding). Per-row divisions
+    * are bit-identical IEEE on both engines; one keyed aggregation
+    * total. */
+  private def statsCorr(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+      (col("l_quantity") / 100.0).as("x"),
+      (col("l_extendedprice") / 100000.0).as("y"))
+    val suff = li.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      round(sum("x"), 6).as("sx"), round(sum("y"), 6).as("sy"),
+      round(sum(col("x") * col("x")), 6).as("sxx"),
+      round(sum(col("y") * col("y")), 6).as("syy"),
+      round(sum(col("x") * col("y")), 6).as("sxy"))
+    suff.select(col("l_returnflag"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  private val statsCorrSql: String =
+    s"""WITH li AS (SELECT l_returnflag,
+       |              l_quantity / 100.0 AS x,
+       |              l_extendedprice / 100000.0 AS y FROM lineitem),
+       |suff AS (
+       |  SELECT l_returnflag, count(*) AS n,
+       |         round(sum(x), 6) AS sx, round(sum(y), 6) AS sy,
+       |         round(sum(x * x), 6) AS sxx, round(sum(y * y), 6) AS syy,
+       |         round(sum(x * y), 6) AS sxy
+       |  FROM li GROUP BY 1)
+       |SELECT l_returnflag, n,
+       |       round((n * sxy - sx * sy) /
+       |         sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+       |         AS corr_qty_price
+       |FROM suff ORDER BY l_returnflag""".stripMargin
+
+  /** Schema drift detection ([[graft.ext.Profile.schemaDiff]]): orders
+    * vs a deliberately evolved projection (one column dropped, one
+    * added, one type-widened). Analysis-only — the plans never
+    * execute — so the oracle is the expected literal diff. */
+  private def schemaDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+    val evolved = base
+      .drop("o_orderstatus")
+      .withColumn("o_priority_rank", lit(1))
+      .withColumn("o_orderkey", col("o_orderkey").cast("string"))
+    graft.ext.Profile.schemaDiff(base, evolved).orderBy("column")
+  }
+
+  private val schemaDiffSql: String =
+    """SELECT * FROM (VALUES
+      |  ('o_orderkey', 'bigint', 'string', 'type_changed'),
+      |  ('o_orderstatus', 'string', NULL, 'removed'),
+      |  ('o_priority_rank', NULL, 'int', 'added'))
+      |  AS t("column", old_type, new_type, status)
+      |ORDER BY "column"""".stripMargin
+
   /** Robust (median/MAD) anomaly counts per event_type — the
     * outlier-resistant sibling of q48's mean/stddev z-score. Median
     * and MAD round to 6 dp BEFORE the threshold compare on both
@@ -2882,6 +2999,9 @@ object SparkEntry {
     "basket_rules" -> (basketRules(_, _)),
     "er_fuzzy" -> (erFuzzy(_, _)),
     "stats_bootstrap" -> (statsBootstrap(_, _)),
+    "stats_regression" -> (statsRegression(_, _)),
+    "stats_corr" -> (statsCorr(_, _)),
+    "schema_diff" -> (schemaDiff(_, _)),
     "q54_heavy_hitters" -> (q54HeavyHitters(_, _)),
     "q56_topk_per_group" -> (q56TopkPerGroup(_, _)),
     "pareto_front" -> (paretoFront(_, _)),
@@ -4130,6 +4250,9 @@ object SparkEntry {
     "basket_rules" -> basketRulesSql,
     "er_fuzzy" -> erFuzzySql,
     "stats_bootstrap" -> statsBootstrapSql,
+    "stats_regression" -> statsRegressionSql,
+    "stats_corr" -> statsCorrSql,
+    "schema_diff" -> schemaDiffSql,
     "load_evolution_roundtrip" ->
       """SELECT o_orderkey, o_totalprice,
         |       CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderstatus END

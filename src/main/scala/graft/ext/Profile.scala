@@ -113,4 +113,27 @@ object Profile {
       .filter(col("change_type").isNotNull)
       .select(keyCols.map(col) :+ col("change_type"): _*)
   }
+
+  /** Schema diff between two relations (the metadata sibling of
+    * [[diffByKey]]): one row per column that was added, removed, or
+    * changed type, with the old/new type names — what a pipeline runs
+    * before deciding whether a schema evolution is additive-safe.
+    * Pure analysis: the plans are never executed; the result is a
+    * bounded local relation built from the two schemas. */
+  def schemaDiff(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    val spark = oldDf.sparkSession
+    import spark.implicits._
+    val o = oldDf.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val n = newDf.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val rows = (o.keySet ++ n.keySet).toSeq.sorted.flatMap { c =>
+      (o.get(c), n.get(c)) match {
+        case (None, Some(nt))           => Some((c, null: String, nt, "added"))
+        case (Some(ot), None)           => Some((c, ot, null: String, "removed"))
+        case (Some(ot), Some(nt)) if ot != nt =>
+          Some((c, ot, nt, "type_changed"))
+        case _                          => None
+      }
+    }
+    rows.toDF("column", "old_type", "new_type", "status")
+  }
 }
