@@ -2439,26 +2439,48 @@ object SparkEntry {
     * win), keys ≡ 2 spawning inserts at key+10M — merged into the
     * base with delete-tombstone MERGE semantics. The oracle replays
     * feed construction and the argmax-then-full-outer apply. */
-  private def cdcApply(s: SparkSession, dir: String): DataFrame = {
+  /** The deterministic CDC fixture shared by [[cdcApply]] and
+    * [[streamCdc]]: the orders base plus an I/U/D feed with a
+    * `second` flag routing each op to micro-batch 2 of the streaming
+    * variant (batch 1: first update + deletes; batch 2: superseding
+    * update + inserts). */
+  private def cdcBaseAndFeed(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val base = t(s, dir, "orders").select(
       col("o_orderkey").cast("long").as("okey"),
       col("o_totalprice").cast("double").as("price"),
       col("o_orderstatus").as("status"))
-    def upd(seq: Long, f: Double) = base
+    def upd(seq: Long, f: Double, second: Boolean) = base
       .filter(pmod(col("okey"), lit(7)) === 1)
       .select(col("okey"), lit(seq).as("seq"), lit("U").as("op"),
-        (col("price") * f).as("price"), col("status"))
+        (col("price") * f).as("price"), col("status"),
+        lit(second).as("second"))
     val dels = base.filter(pmod(col("okey"), lit(7)) === 0)
       .select(col("okey"), lit(1L).as("seq"), lit("D").as("op"),
         lit(null).cast("double").as("price"),
-        lit(null).cast("string").as("status"))
+        lit(null).cast("string").as("status"), lit(false).as("second"))
     val ins = base.filter(pmod(col("okey"), lit(7)) === 2)
       .select((col("okey") + 10000000L).as("okey"), lit(1L).as("seq"),
         lit("I").as("op"), (col("price") * 0.5).as("price"),
-        lit("N").as("status"))
-    val feed = upd(1L, 1.05).union(upd(2L, 1.10)).union(dels).union(ins)
-    graft.io.Cdc.applyChanges(base, feed, "okey", "seq", "op")
+        lit("N").as("status"), lit(true).as("second"))
+    (base, upd(1L, 1.05, second = false).union(dels)
+      .union(upd(2L, 1.10, second = true)).union(ins))
+  }
+
+  private def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    val (base, feed) = cdcBaseAndFeed(s, dir)
+    graft.io.Cdc.applyChanges(base, feed.drop("second"), "okey", "seq", "op")
       .orderBy("okey")
+  }
+
+  /** Streaming CDC apply ([[graft.streaming.Stream.foreachBatchCdc]]):
+    * the SAME feed as [[cdcApply]] split across two real micro-batches
+    * through foreachBatch + staged-rename table swaps. Latest-wins
+    * makes the final state split-invariant, so the oracle is the
+    * single-batch MERGE replay ([[cdcApplySql]]); absolute-valued ops
+    * make batch replay naturally idempotent (spec-pinned). */
+  private def streamCdc(s: SparkSession, dir: String): DataFrame = {
+    val (base, feed) = cdcBaseAndFeed(s, dir)
+    graft.streaming.Stream.foreachBatchCdc(s, base, feed).orderBy("okey")
   }
 
   private val cdcApplySql: String =
@@ -3011,6 +3033,7 @@ object SparkEntry {
     "ts_interp" -> (tsInterp(_, _)),
     "ts_decompose" -> (tsDecompose(_, _)),
     "cdc_apply" -> (cdcApply(_, _)),
+    "stream_cdc" -> (streamCdc(_, _)),
     "ts_ewma" -> (tsEwma(_, _)),
     "q51_sessionize" -> (q51Sessionize(_, _)),
     "q52_transitions" -> (q52Transitions(_, _)),
@@ -4442,6 +4465,7 @@ object SparkEntry {
     "simsearch_ivfpq" -> simsearchIvfPqSql,
     "ts_decompose" -> tsDecomposeSql,
     "cdc_apply" -> cdcApplySql,
+    "stream_cdc" -> cdcApplySql,
     "q56_topk_per_group" -> q56TopkPerGroupSql,
     "pareto_front" -> paretoFrontSql,
     "text_postings" -> textPostingsSql,

@@ -311,6 +311,84 @@ object Stream {
     ()
   }
 
+  /** Streaming CDC apply: a two-batch MemoryStream of I/U/D change
+    * rows merged into a persisted base table with [[graft.io.Cdc
+    * .applyChanges]] per micro-batch (foreachBatch), the live table
+    * swapped via the same staged rename as [[mergeUpsertBatch]].
+    * Because CDC ops carry ABSOLUTE values, a re-delivered batch is
+    * naturally idempotent — re-updates rewrite the same values,
+    * re-deletes no-op, re-inserts overwrite themselves — so no
+    * batch-id stamping is needed (unlike the upsert's n_updates
+    * counter); the spec pins this replay-idempotence directly. The
+    * final state is split-invariant (streaming 2-batch apply ≡ one
+    * batch MERGE of the whole feed under latest-wins), which is what
+    * lets the oracle replay it as a single relational apply.
+    *
+    * `feed` must carry (okey, seq, op, price, status, second) where
+    * `second` routes the row to micro-batch 2. */
+  def foreachBatchCdc(
+      spark: SparkSession,
+      base: DataFrame,
+      feed: DataFrame,
+      table: String = "graft_stream_cdc"
+  ): DataFrame = {
+    import spark.implicits._
+    val rows = feed.select(col("okey").cast("long"), col("seq").cast("long"),
+        col("op"), col("price").cast("double"), col("status"),
+        coalesce(col("second").cast("boolean"), lit(false)))
+      .collect()
+    def part(second: Boolean): Seq[(Long, Long, String, Option[Double], Option[String])] =
+      rows.filter(_.getBoolean(5) == second).toSeq.map { r =>
+        (r.getLong(0), r.getLong(1), r.getString(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          Option(r.getString(4)))
+      }
+    graft.io.Load.dropManaged(spark, table)
+    graft.io.Load.dropManaged(spark, table + "__stage")
+    base.write.saveAsTable(table)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, Option[Double], Option[String])](
+        implicitly[org.apache.spark.sql.Encoder[
+          (Long, Long, String, Option[Double], Option[String])]],
+        spark.sqlContext)
+    val stream = ms.toDF().toDF("okey", "seq", "op", "price", "status")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyCdcBatch(spark, table, batch)
+      }
+      .start()
+    try {
+      ms.addData(part(second = false))
+      q.processAllAvailable()
+      ms.addData(part(second = true))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(table)
+  }
+
+  /** One CDC micro-batch apply (the [[foreachBatchCdc]] batch body,
+    * public so replay-idempotence can be driven directly in tests):
+    * merge the batch into `table` with [[graft.io.Cdc.applyChanges]]
+    * and swap through the staged rename (live table never
+    * half-written). */
+  def applyCdcBatch(spark: SparkSession, table: String, batch: DataFrame): Unit = {
+    if (batch.isEmpty) return
+    val stage = table + "__stage"
+    // crash window recovery as in mergeUpsertBatch: promote a stranded
+    // stage if the live table is missing
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(stage))
+      spark.sql(s"ALTER TABLE $stage RENAME TO $table")
+    val applied = graft.io.Cdc
+      .applyChanges(spark.table(table), batch, "okey", "seq", "op")
+      .localCheckpoint()
+    graft.io.Load.dropManaged(spark, stage)
+    applied.write.saveAsTable(stage)
+    graft.io.Load.dropManaged(spark, table)
+    spark.sql(s"ALTER TABLE $stage RENAME TO $table")
+    graft.core.Lineage.release(applied)
+    ()
+  }
+
   /** Run a batch-parquet-driven streaming query synchronously into a
     * memory sink and return the result table. Exercises the real
     * streaming engine (micro-batches, state store) with deterministic

@@ -1051,6 +1051,31 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("applyCdcBatch is idempotent under micro-batch replay (absolute-valued ops)") {
+    import spark.implicits._
+    val table = "graft_cdc_replay_test"
+    graft.io.Load.dropManaged(spark, table)
+    graft.io.Load.dropManaged(spark, table + "__stage")
+    Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"))
+      .toDF("okey", "price", "status").write.saveAsTable(table)
+    val batch = Seq(
+      (1L, 1L, "U", Some(11.0), Some("a2")),
+      (2L, 1L, "D", None: Option[Double], None: Option[String]),
+      (4L, 1L, "I", Some(40.0), Some("d")))
+      .toDF("okey", "seq", "op", "price", "status")
+    graft.streaming.Stream.applyCdcBatch(spark, table, batch)
+    val once = spark.table(table).orderBy("okey").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    // at-least-once re-delivery of the SAME batch must be a no-op
+    graft.streaming.Stream.applyCdcBatch(spark, table, batch)
+    val twice = spark.table(table).orderBy("okey").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(once == Seq((1L, 11.0, "a2"), (3L, 30.0, "c"), (4L, 40.0, "d")),
+      once.toString)
+    assert(twice == once, s"replay changed state: $twice vs $once")
+    graft.io.Load.dropManaged(spark, table)
+  }
+
   test("diffByKey classifies added/deleted/changed and drops unchanged keys") {
     import spark.implicits._
     val oldV = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
