@@ -1045,6 +1045,37 @@ object SparkEntry {
 
   final val lpaRounds = 4
 
+  /** Multi-source BFS ([[graft.ext.Graph.shortestHops]], 4 rounds)
+    * from parts {1, 2, 3, 4} over the part co-occurrence graph —
+    * hop distance to the nearest seed for every node within 4 hops.
+    * The min-plus unroll is exact once settled, so the oracle replays
+    * the identical 4 rounds. */
+  private def graphBfs(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Graph.shortestHops(coOccurrenceEdges(s, dir),
+        seeds = Seq(1L, 2L, 3L, 4L), rounds = 4).orderBy("id")
+
+  private val graphBfsSql: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT id, min(dist) AS dist FROM (
+         |    SELECT id, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, p.dist + 1 FROM ed e
+         |    JOIN d${i - 1} p ON p.id = e.src) GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |            FROM lineitem WHERE l_linenumber <= 3),
+       |e0 AS MATERIALIZED (SELECT DISTINCT x.p AS u, y.p AS v
+       |       FROM ps x JOIN ps y ON x.o = y.o AND x.p < y.p),
+       |ed AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0
+       |       UNION SELECT v, u FROM e0),
+       |d0 AS (SELECT DISTINCT src AS id, CAST(0 AS BIGINT) AS dist FROM ed
+       |       WHERE src IN (1, 2, 3, 4)),
+       |$rounds
+       |SELECT CAST(id AS BIGINT) AS id, CAST(dist AS BIGINT) AS dist
+       |FROM d4 ORDER BY id""".stripMargin
+  }
+
   /** Label-propagation community detection
     * ([[graft.ext.Graph.labelPropagation]], [[lpaRounds]] synchronous
     * rounds, ties to the smallest label) over the part co-occurrence
@@ -3018,6 +3049,7 @@ object SparkEntry {
     "graph_triangles" -> (graphTriangles(_, _)),
     "graph_kcore" -> (graphKcore(_, _)),
     "graph_lpa" -> (graphLpa(_, _)),
+    "graph_bfs" -> (graphBfs(_, _)),
     "basket_rules" -> (basketRules(_, _)),
     "er_fuzzy" -> (erFuzzy(_, _)),
     "stats_bootstrap" -> (statsBootstrap(_, _)),
@@ -4269,6 +4301,7 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY id""".stripMargin,
     "graph_kcore" -> graphKcoreSql,
     "graph_lpa" -> graphLpaSql,
+    "graph_bfs" -> graphBfsSql,
     "graph_ppr" -> graphPprSql,
     "basket_rules" -> basketRulesSql,
     "er_fuzzy" -> erFuzzySql,

@@ -263,6 +263,53 @@ object Graph {
     out
   }
 
+  /** Multi-source BFS hop distances: the exact shortest hop count
+    * from the nearest of `seeds` to every node within `rounds` hops
+    * of one (unreached nodes are absent — the frontier simply never
+    * reached them). Each round is one relational min-plus step:
+    * `d_r(v) = min(d_{r-1}(v), 1 + min_{u~v} d_{r-1}(u))` — distances
+    * are monotone non-increasing and exact once settled, so the fixed
+    * `rounds`-unroll IS the true ≤ rounds-hop BFS and an external
+    * oracle replays the identical unroll (same contract as [[kCore]] /
+    * [[labelPropagation]]).
+    *
+    * Scale shape: per round one keyed join (frontier onto edge
+    * sources) + one keyed min aggregation over (current ∪ relaxed) —
+    * two shuffles of (id, int) pairs; distances localCheckpoint per
+    * round for O(1) lineage; seeds are a literal membership predicate,
+    * never a join. */
+  def shortestHops(
+      edges: DataFrame,
+      seeds: Seq[Long],
+      rounds: Int = 4,
+      srcCol: String = "src",
+      dstCol: String = "dst"
+  ): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(seeds.nonEmpty, "shortestHops needs at least one seed")
+    val und0 = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = und0.select(col("a").as("src"), col("b").as("dst"))
+      .union(und0.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().localCheckpoint()
+    var dist = und.select(col("src").as("id")).distinct()
+      .filter(col("id").isInCollection(seeds))
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = und
+        .join(dist.select(col("id").as("src"), col("dist")), "src")
+        .select(col("dst").as("id"), (col("dist") + 1L).as("dist"))
+      val next = dist.union(relaxed)
+        .groupBy("id").agg(min("dist").as("dist"))
+        .localCheckpoint()
+      graft.core.Lineage.release(dist)
+      dist = next
+    }
+    graft.core.Lineage.release(und)
+    dist
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et
     * al. 2007, deterministic variant): every node starts with its own
     * id as label; each round, every node adopts the most frequent

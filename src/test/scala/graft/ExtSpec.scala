@@ -985,6 +985,21 @@ class ExtSpec extends AnyFunSuite {
     assert(isoGot.forall(_ == 0.0), isoGot.mkString(","))
   }
 
+  test("shortestHops: multi-source BFS distances, nearest seed wins, frontier-bounded") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6 with seeds {1, 5}: dist = 0,1,2,1,0,1
+    val path = (1L to 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = graft.ext.Graph.shortestHops(path, seeds = Seq(1L, 5L), rounds = 4)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 1L),
+      (5L, 0L), (6L, 1L)), got.toSeq.toString)
+    // rounds bound the frontier: 1 round from seed 1 on the same path
+    // reaches only {1, 2}
+    val near = graft.ext.Graph.shortestHops(path, seeds = Seq(1L), rounds = 1)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(near.toSeq == Seq((1L, 0L), (2L, 1L)), near.toSeq.toString)
+  }
+
   test("labelPropagation: triangle converges to min label; bipartite path oscillates faithfully") {
     import spark.implicits._
     // triangle 1-2-3: r1 -> (2,1,1), r2 -> all 1, stable thereafter
