@@ -34,10 +34,20 @@ object Bench {
       .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results: Seq[(String, Seq[Double])] = SparkEntry.queries.toSeq
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    // per query: (wall seconds, GC ms inside the timed region,
+    // local-dir MB left AFTER the between-run cleanup) per run — the
+    // telemetry that lets an inflated in-suite timing be attributed
+    // (GC pause? disk debt?) or cleared from the artifact alone
+    val results: Seq[(String, Seq[(Double, Long, Long)])] = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
+        val gc0 = gcMillis()
         val t0 = System.nanoTime()
         // noop sink: full expression evaluation without result
         // materialization (count() lets Catalyst prune unreferenced
@@ -45,38 +55,53 @@ object Bench {
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
+        val gcMs = gcMillis() - gc0
         // drop any storage the query leaked (checkpoints, caches) so
         // the NEXT measurement runs against a clean block manager —
         // round 4's suite showed 10x inflation on late queries from
         // accumulated localCheckpoint blocks (BENCHNOTES.md)
         core.Lineage.sweep(spark)
-        // Shuffle files are only reaped when ContextCleaner GC-collects
-        // the owning ShuffleDependency: without a nudge, 129 queries x 3
-        // runs accumulate spill/shuffle data in spark.local.dir for the
-        // whole suite and late queries pay the filesystem debt (round-6
-        // audit: unload_partitioned 7.17 s in-suite vs 0.98 s isolated).
-        // GC outside the timed region; referenceTracking.blocking (set
-        // in the builder) makes the subsequent cleanups synchronous.
+        // Deterministically unregister + DELETE every shuffle's files
+        // (GraftBenchInternals drives ContextCleaner.doCleanupShuffle
+        // directly). Relying on System.gc() to trigger the reap left
+        // the reaping to a GC lottery: the round-7 suite (164 queries
+        // x 3 runs) still accumulated enough spark.local.dir debt to
+        // inflate one victim query 9x vs isolated (BENCH_r07
+        // dedup_substring 32.15 s vs 3.41 s). Cleanup runs OUTSIDE
+        // the timed region.
+        org.apache.spark.GraftBenchInternals.cleanAllShuffles(spark.sparkContext)
+        // heap hygiene (code cache / humongous regions) — no longer
+        // load-bearing for shuffle files, kept for allocator headroom
         System.gc()
-        dt
+        val residualMb = org.apache.spark.GraftBenchInternals.localDirBytes() >> 20
+        (dt, gcMs, residualMb)
       }
       name -> times
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     def fmt(d: Double): String =
       String.format(java.util.Locale.US, "%.2f", Double.box(d))
-    val total = results.map { case (_, v) => median(v) }.sum
+    val wall: Seq[(String, Seq[Double])] =
+      results.map { case (k, v) => k -> v.map(_._1) }
+    val total = wall.map { case (_, v) => median(v) }.sum
 
-    // Full-detail record (medians + [min,max] spread, every query) for
-    // local iteration. Written to a FILE, not stdout: the driver keeps
-    // only the last ~2000 chars of stdout, and in round 6 the ~10 KB
-    // detail line bled into that window mid-object, leaving BENCH_r06
+    // Full-detail record (medians + [min,max] spread + per-run GC ms
+    // and residual local-dir MB, every query) for local iteration.
+    // Written to a FILE, not stdout: the driver keeps only the last
+    // ~2000 chars of stdout, and in round 6 the ~10 KB detail line
+    // bled into that window mid-object, leaving BENCH_r06
     // unparseable. Stdout carries ONLY the compact final line below.
-    val detailQs = results.map { case (k, v) => "\"" + k + "\":" + median(v) }
+    val detailQs = wall.map { case (k, v) => "\"" + k + "\":" + median(v) }
       .mkString("{", ",", "}")
-    val spread = results.map { case (k, v) => "\"" + k + "\":[" + v.min + "," + v.max + "]" }
+    val spread = wall.map { case (k, v) => "\"" + k + "\":[" + v.min + "," + v.max + "]" }
       .mkString("{", ",", "}")
-    val detail = s"""{"metric":"detail","value":$total,"unit":"sec","queries":$detailQs,"spread":$spread,"runs":$runs,"sf":"$sfDir"}"""
+    val gcDetail = results.map { case (k, v) =>
+      "\"" + k + "\":[" + v.map(_._2).mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val dirDetail = results.map { case (k, v) =>
+      "\"" + k + "\":[" + v.map(_._3).mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val detail = s"""{"metric":"detail","value":$total,"unit":"sec","queries":$detailQs,"spread":$spread,"gc_ms":$gcDetail,"localdir_mb_after_clean":$dirDetail,"runs":$runs,"sf":"$sfDir"}"""
     // best-effort: a read-only or foreign cwd must not abort the run
     // AFTER the measurements and BEFORE the final stdout line
     try {
@@ -95,7 +120,7 @@ object Bench {
     // didn't, so elisions need not be a contiguous tail); elided_sec
     // summarizes the remainder so the total still reconciles.
     val budget = 1600
-    val sorted = results.map { case (k, v) => k -> median(v) }.sortBy(-_._2)
+    val sorted = wall.map { case (k, v) => k -> median(v) }.sortBy(-_._2)
     val sb = new StringBuilder
     var elided = 0; var elidedSec = 0.0
     sorted.foreach { case (k, v) =>
@@ -103,7 +128,17 @@ object Bench {
       if (sb.length + piece.length <= budget) sb.append(piece)
       else { elided += 1; elidedSec += v }
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{${sb.result()}},"elided_queries":$elided,"elided_sec":${fmt(elidedSec)},"runs":$runs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{${sb.result()}},"elided_queries":$elided,"elided_sec":${fmt(elidedSec)},"runs":$runs,"sf":"$sfDir"}"""
+    println(line)
     spark.stop()
+    // Re-emit as the very LAST stdout bytes: spark.stop() and the sbt
+    // runner write their own trailers after main returns, and the
+    // driver parses only the tail of stdout — seven rounds of
+    // BENCH_rN.parsed=null trace to the line being displaced. The
+    // duplicate guarantees one complete copy sits at the tail
+    // whatever follows; a tail parser finds the last (or only
+    // surviving) copy.
+    println(line)
+    System.out.flush()
   }
 }

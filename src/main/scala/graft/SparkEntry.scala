@@ -963,9 +963,11 @@ object SparkEntry {
     s"""SELECT count(*) AS n_rows, bit_xor(h) AS xor_hash,
        |       min(h) AS min_hash, max(h) AS max_hash
        |FROM (SELECT ('0x' || substr(md5(concat_ws('|',
-       |        CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
-       |        CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR),
-       |        CAST($terms AS VARCHAR))), 1, 15))::BIGINT AS h
+       |        coalesce(CAST(l_orderkey AS VARCHAR), chr(0) || 'null'),
+       |        coalesce(CAST(l_linenumber AS VARCHAR), chr(0) || 'null'),
+       |        coalesce(CAST(l_partkey AS VARCHAR), chr(0) || 'null'),
+       |        coalesce(CAST(l_suppkey AS VARCHAR), chr(0) || 'null'),
+       |        coalesce(CAST($terms AS VARCHAR), chr(0) || 'null'))), 1, 15))::BIGINT AS h
        |      FROM lineitem)""".stripMargin
   }
 
@@ -1169,22 +1171,19 @@ object SparkEntry {
     * smaller than the row count at 100 TB), with row frequencies
     * carried along from the same aggregation; blocking bounds the
     * within-block self-join exactly like the dedup band joins. */
-  private def erFuzzy(s: SparkSession, dir: String): DataFrame = {
-    val names = t(s, dir, "part")
-      .groupBy(col("p_name").as("name"))
-      .agg(count(lit(1)).as("n_rows"))
-      .withColumn("blk", substring_index(col("name"), " ", -1))
-    names.as("l").join(names.as("r"),
-        col("l.blk") === col("r.blk") && col("l.name") =!= col("r.name"))
-      .withColumn("dist", levenshtein(col("l.name"), col("r.name")))
-      .filter(col("dist") <= 4)
-      .groupBy(col("l.name").as("name"))
-      .agg(max(col("l.n_rows")).as("n_rows"),
-        min(struct(col("dist").as("d"), col("r.name").as("m"))).as("best"))
+  /** Blocked fuzzy ER best-match per name through
+    * [[graft.ext.Dedup.erPairs]] (candidate pairs with the maxBlock
+    * hot-block guard — oversized blocks are dropped before the
+    * within-block self-join on BOTH engines). */
+  private def erFuzzy(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Dedup.erPairs(t(s, dir, "part"), "p_name",
+        maxDist = 4, maxBlock = 500)
+      .groupBy(col("name"))
+      .agg(max(col("n_rows")).as("n_rows"),
+        min(struct(col("dist").as("d"), col("cand").as("m"))).as("best"))
       .select(col("name"), col("n_rows"),
         col("best.m").as("best_match"), col("best.d").as("dist"))
       .orderBy("name")
-  }
 
   private val erFuzzySql: String =
     s"""WITH names AS (SELECT p_name AS name, count(*) AS n_rows
@@ -1192,9 +1191,11 @@ object SparkEntry {
        |b AS (SELECT name, n_rows,
        |        list_extract(string_split(name, ' '),
        |          len(string_split(name, ' '))) AS blk FROM names),
+       |small AS (SELECT blk FROM b GROUP BY blk HAVING count(*) <= 500),
+       |bk AS (SELECT b.* FROM b SEMI JOIN small USING (blk)),
        |cand AS (SELECT l.name AS name, l.n_rows, r.name AS m,
        |           levenshtein(l.name, r.name) AS d
-       |         FROM b l JOIN b r ON l.blk = r.blk AND l.name <> r.name
+       |         FROM bk l JOIN bk r ON l.blk = r.blk AND l.name <> r.name
        |         WHERE levenshtein(l.name, r.name) <= 4)
        |SELECT name, n_rows, m AS best_match, CAST(d AS INT) AS dist
        |FROM cand
@@ -1339,16 +1340,17 @@ object SparkEntry {
     * space — bounded by the attribute domain, the same
     * corpus-independent class as vocab/quantizer state, never the
     * row count. */
+  /** Pareto frontier over deduped (price, size) pairs through the
+    * partition-wise skyline ([[graft.ext.Skyline.front2d]]): local
+    * skylines on range slices merged by prefix minima — identical
+    * result to the single-window running-min the oracle keeps, with
+    * no single-partition exchange in the plan (PlanSpec pins it). */
   private def paretoFront(s: SparkSession, dir: String): DataFrame = {
     val pairs = t(s, dir, "part")
       .groupBy(col("p_retailprice").cast("double").as("price"),
         col("p_size").cast("long").as("size"))
       .agg(count(lit(1)).as("n_parts"))
-    val w = Window.orderBy("price", "size")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    pairs.withColumn("__pm", min(col("size")).over(w))
-      .filter(col("__pm").isNull || col("__pm") > col("size"))
-      .select("price", "size", "n_parts")
+    graft.ext.Skyline.front2d(pairs, "price", "size")
       .orderBy("price", "size")
   }
 
@@ -4122,12 +4124,17 @@ object SparkEntry {
         |  ('4-NOT SPECIFIED', 2), ('5-LOW', 1)) AS w(o_orderpriority, weight)
         |USING (o_orderpriority)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // NULL renders as the explicit chr(0)||'null' sentinel on both
+    // engines (concat_ws drops null elements outright — without the
+    // sentinel null PLACEMENT would not be hash-distinguished)
     "integrity_checksum" ->
       """SELECT count(*) AS n_rows, bit_xor(h) AS xor_hash,
         |       min(h) AS min_hash, max(h) AS max_hash
         |FROM (SELECT ('0x' || substr(md5(concat_ws('|',
-        |        CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
-        |        o_orderstatus, o_orderpriority)), 1, 15))::BIGINT AS h
+        |        coalesce(CAST(o_orderkey AS VARCHAR), chr(0) || 'null'),
+        |        coalesce(CAST(o_custkey AS VARCHAR), chr(0) || 'null'),
+        |        coalesce(o_orderstatus, chr(0) || 'null'),
+        |        coalesce(o_orderpriority, chr(0) || 'null'))), 1, 15))::BIGINT AS h
         |      FROM orders)""".stripMargin,
     "q50_unpivot" ->
       """WITH a AS (
@@ -4289,10 +4296,13 @@ object SparkEntry {
         |ori AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
         |                    THEN u ELSE v END AS lo,
         |               CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
-        |                    THEN v ELSE u END AS hi
+        |                    THEN v ELSE u END AS hi,
+        |               CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+        |                    THEN dv.d ELSE du.d END AS dhi
         |        FROM und JOIN deg du ON du.id = und.u JOIN deg dv ON dv.id = und.v),
         |w AS (SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
-        |      FROM ori e1 JOIN ori e2 ON e1.lo = e2.lo AND e1.hi < e2.hi),
+        |      FROM ori e1 JOIN ori e2
+        |        ON e1.lo = e2.lo AND (e1.dhi, e1.hi) < (e2.dhi, e2.hi)),
         |tri AS (SELECT w.x, w.y, w.z
         |        FROM w JOIN ori o ON o.lo = w.y AND o.hi = w.z)
         |SELECT CAST(id AS BIGINT) AS id, count(*) AS n_triangles
@@ -4492,7 +4502,9 @@ object SparkEntry {
       """SELECT count(*) AS n_rows, bit_xor(h) AS xor_hash,
         |       min(h) AS min_hash, max(h) AS max_hash
         |FROM (SELECT ('0x' || substr(md5(concat_ws('|',
-        |        CAST(doc_id AS VARCHAR), lang, CAST(n_chars AS VARCHAR))), 1, 15))::BIGINT AS h
+        |        coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null'),
+        |        coalesce(lang, chr(0) || 'null'),
+        |        coalesce(CAST(n_chars AS VARCHAR), chr(0) || 'null'))), 1, 15))::BIGINT AS h
         |      FROM documents)""".stripMargin,
     "simsearch_pq_adc" -> simsearchPqAdcSql,
     "simsearch_ivfpq" -> simsearchIvfPqSql,

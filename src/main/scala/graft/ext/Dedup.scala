@@ -769,4 +769,55 @@ object Dedup {
       .select(idCol).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  // ------------------------------------------------- blocked entity resolution
+
+  /** Blocked fuzzy entity-resolution candidate pairs: distinct names
+    * (with their row counts) are grouped into blocks by `blockKey`
+    * (default: last whitespace token — the classic "same last word"
+    * ER blocking), and every within-block pair at Levenshtein
+    * distance ≤ `maxDist` is emitted.
+    *
+    * `maxBlock` is the hot-block guard — the [[substringPairs]]
+    * `maxDf` / SRP-LSH `maxBucket` pattern applied to blocking: a
+    * blocking key with fixed vocabulary (part-name colors, surname
+    * tokens) grows its block size LINEARLY with data, so the
+    * within-block self-join is Θ(k²) per block and a few hot keys
+    * become a near-cartesian at 100×. Blocks larger than `maxBlock`
+    * are dropped BEFORE the join (one keyed count + a semi-join),
+    * bounding join fan-out at maxBlock² per block; the recall cost is
+    * only pairs inside oversized blocks — the blocks where a
+    * distance-≤-4 match is least informative anyway (BENCHNOTES has
+    * the recall-vs-cap curve on the fixture).
+    *
+    * Distance uses Spark's bounded `levenshtein(l, r, threshold)` —
+    * rows above the bound return -1 and the kernel early-exits, so
+    * cost per pair is O(maxDist · len) not O(len²).
+    *
+    * Plan: one keyed dedup agg → block-size agg + semi-join guard →
+    * keyed self-join on the block key → codegen'd bounded
+    * levenshtein. No broadcast of the name table, no cartesian. */
+  def erPairs(
+      df: DataFrame,
+      nameCol: String,
+      maxDist: Int = 4,
+      maxBlock: Int = 500,
+      blockKey: Column => Column = substring_index(_, " ", -1)
+  ): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
+    val names = df.groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("blk", blockKey(col("name")))
+    val smallBlocks = names.groupBy("blk").agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBlock).select("blk")
+    val kept = names.join(smallBlocks.hint("shuffle_merge"), Seq("blk"), "left_semi")
+    kept.as("l")
+      .join(kept.as("r").hint("shuffle_merge"),
+        col("l.blk") === col("r.blk") && col("l.name") =!= col("r.name"))
+      .withColumn("dist", levenshtein(col("l.name"), col("r.name"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("l.name").as("name"), col("l.n_rows").as("n_rows"),
+        col("r.name").as("cand"), col("dist"))
+  }
 }

@@ -196,20 +196,25 @@ object Graph {
     // orient from (d, id)-smaller to larger: join degrees of both ends
     val du = deg.select(col("id").as("u"), col("d").as("du"))
     val dv = deg.select(col("id").as("v"), col("d").as("dv"))
+    val lower = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
     val oriented = und.join(du, "u").join(dv, "v")
       .select(
-        when(col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v")), col("u"))
-          .otherwise(col("v")).as("lo"),
-        when(col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v")), col("v"))
-          .otherwise(col("u")).as("hi"))
-    // wedges around the pivot: (lo -> hi1), (lo -> hi2), hi1 < hi2;
-    // the triangle closes iff oriented edge (hi1 -> hi2) exists (the
-    // orientation is a total order, so the closing edge can only point
-    // hi1 -> hi2)
+        when(lower, col("u")).otherwise(col("v")).as("lo"),
+        when(lower, col("v")).otherwise(col("u")).as("hi"),
+        // degree of the hi endpoint — wedge corners must be compared in
+        // the SAME (deg, id) total order the orientation uses, or
+        // triangles whose corner degree-order disagrees with id-order
+        // are missed (the closing edge only exists as oriented(y, z)
+        // when y precedes z in that order)
+        when(lower, col("dv")).otherwise(col("du")).as("dhi"))
+    // wedges around the pivot: (lo -> hi1), (lo -> hi2) with hi1
+    // preceding hi2 in (deg, id) order; the triangle closes iff
+    // oriented edge (hi1 -> hi2) exists (the orientation is a total
+    // order, so the closing edge can only point hi1 -> hi2)
     val w = oriented.as("e1").join(oriented.as("e2"),
-        col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
+        col("e1.lo") === col("e2.lo") &&
+          struct(col("e1.dhi"), col("e1.hi")) < struct(col("e2.dhi"), col("e2.hi")))
       .select(col("e1.lo").as("x"), col("e1.hi").as("y"), col("e2.hi").as("z"))
     val tri = w.join(
       oriented.select(col("lo").as("y"), col("hi").as("z")).hint("shuffle_merge"),

@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Portable row rendering for the hash contracts below: '|'-joined
+    * CAST-AS-STRING values with NULL made explicit as a NUL-prefixed
+    * sentinel — concat_ws silently DROPS null elements, so without the
+    * sentinel distinct rows collide on null placement ((a, NULL) vs
+    * (NULL, a); ('x', NULL, 'y') vs ('x', 'y', NULL)). */
+  private def renderRow(cols: Seq[String]) =
+    concat_ws("|",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0000null"))): _*)
+
   /** ORDER-INDEPENDENT table checksum — the "did the copy round-trip
     * intact" integrity gate a load/unload pipeline runs on both ends:
     * every row hashes to a portable 60-bit md5 value over its
@@ -29,7 +38,10 @@ object Profile {
     * aggregates.) Column values are rendered with CAST AS
     * STRING; restrict `cols` to integer/string/date columns (double
     * formatting is not portable across engines). NULL renders as the
-    * empty slot concat_ws leaves (distinct from the string 'null').
+    * explicit sentinel `"\u0000null"` (NUL-prefixed so no real string
+    * value can collide with it): concat_ws would otherwise SKIP null
+    * elements entirely, making (a, NULL) and (NULL, a) hash-equal.
+    * DuckDB replay: `coalesce(CAST(c AS VARCHAR), chr(0) || 'null')`.
     *
     * Scale shape: one codegen'd projection + a single 3-aggregate
     * reduction — one scan, a few bytes to the driver. */
@@ -37,8 +49,7 @@ object Profile {
     require(cols.nonEmpty, "tableChecksum requires at least one column")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in dataframe: $missing")
-    val h = graft.functions.md5Hash60(
-      concat_ws("|", cols.map(c => col(c).cast("string")): _*))
+    val h = graft.functions.md5Hash60(renderRow(cols))
     df.select(h.as("h"))
       .agg(count(lit(1)).as("n_rows"),
         bit_xor(col("h")).as("xor_hash"),
@@ -100,8 +111,8 @@ object Profile {
     def hashed(df: DataFrame, h: String) = {
       val missing = (keyCols ++ compareCols).filterNot(df.columns.contains)
       require(missing.isEmpty, s"columns not in dataframe: $missing")
-      df.select(keyCols.map(col) :+ graft.functions.md5Hash60(
-        concat_ws("|", compareCols.map(c => col(c).cast("string")): _*)).as(h): _*)
+      df.select(keyCols.map(col) :+
+        graft.functions.md5Hash60(renderRow(compareCols)).as(h): _*)
     }
     val o = hashed(oldDf, "__oh")
     val n = hashed(newDf, "__nh")

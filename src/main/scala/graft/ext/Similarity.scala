@@ -542,7 +542,9 @@ object Similarity {
     }
     val selected = scala.collection.mutable.ArrayBuffer[(Int, Long, Double, Double)]()
     val remaining = scala.collection.mutable.LinkedHashMap(pool: _*)
-    for (r <- 1 to k) {
+    // the corpus can yield fewer than poolSize (even fewer than k)
+    // neighbors — emit only real candidates, never filler rows
+    for (r <- 1 to math.min(k, pool.length)) {
       var bestId = -1L; var bestScore = Double.NegativeInfinity; var bestRel = 0.0
       remaining.foreach { case (id, rel) =>
         val ms =

@@ -372,12 +372,15 @@ object Stream {
     * and swap through the staged rename (live table never
     * half-written). */
   def applyCdcBatch(spark: SparkSession, table: String, batch: DataFrame): Unit = {
-    if (batch.isEmpty) return
     val stage = table + "__stage"
     // crash window recovery as in mergeUpsertBatch: promote a stranded
-    // stage if the live table is missing
+    // stage if the live table is missing. This must run BEFORE the
+    // empty-batch early return — after a crash in the drop->rename
+    // window, an empty micro-batch must still restore the live table
+    // rather than leave spark.table(table) failing until data arrives.
     if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(stage))
       spark.sql(s"ALTER TABLE $stage RENAME TO $table")
+    if (batch.isEmpty) return
     val applied = graft.io.Cdc
       .applyChanges(spark.table(table), batch, "okey", "seq", "op")
       .localCheckpoint()

@@ -25,7 +25,11 @@ class BenchSpec extends AnyFunSuite {
         .format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    def sweepLikeBench(): Unit = { core.Lineage.sweep(spark); System.gc() }
+    def sweepLikeBench(): Unit = {
+      core.Lineage.sweep(spark)
+      org.apache.spark.GraftBenchInternals.cleanAllShuffles(spark.sparkContext)
+      System.gc()
+    }
     // warm-up: JIT + parquet footer caches, discounted like Bench's median
     (1 to 3).foreach(_ => cheap())
     sweepLikeBench()
@@ -44,5 +48,50 @@ class BenchSpec extends AnyFunSuite {
     // contamination this guards against
     assert(after <= before * 3 + 0.1,
       s"cheap query slowed after shuffle-heavy interlude: $before s -> $after s")
+  }
+
+  test("shuffle cleanup is deterministic across a 24-query heavy interleave (suite shape)") {
+    // Round 7's System.gc()-based sweep passed the 2-query guard above
+    // but still let a 164-query suite accumulate local-dir debt (one
+    // victim query 9x inflated vs isolated). This guard reproduces the
+    // SUITE shape: 24 shuffle-heavy queries back-to-back with the
+    // Bench between-run sweep, then asserts (a) the deterministic
+    // cleanup left no shuffle files behind and (b) a cheap query's
+    // timing did not degrade vs before the interleave.
+    val lineitem = spark.read.parquet(s"${TestSession.sf}/lineitem.parquet")
+    def cheap(): Double = {
+      val t0 = System.nanoTime()
+      lineitem.select(sum(col("l_quantity"))).write
+        .format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def sweepLikeBench(): Unit = {
+      core.Lineage.sweep(spark)
+      org.apache.spark.GraftBenchInternals.cleanAllShuffles(spark.sparkContext)
+      System.gc()
+    }
+    (1 to 3).foreach(_ => cheap())
+    sweepLikeBench()
+    val before = (1 to 3).map(_ => { val t = cheap(); sweepLikeBench(); t }).min
+    val heavy = lineitem.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    for (i <- 1 to 24) {
+      // vary the grouping key so plans don't collapse to one cached shape
+      val key = if (i % 2 == 0) "l_partkey" else "l_suppkey"
+      heavy.as("a").join(heavy.as("b"), "l_orderkey")
+        .groupBy(col(s"a.$key")).agg(count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+      sweepLikeBench()
+      // the deterministic reap must leave zero registered shuffles
+      // (files on disk follow registration; localDirBytes also covers
+      // disk-store blocks, so assert on the registry)
+      assert(org.apache.spark.GraftBenchInternals
+        .cleanAllShuffles(spark.sparkContext) == 0,
+        s"shuffles survived the sweep after interleave $i")
+    }
+    val residualMb = org.apache.spark.GraftBenchInternals.localDirBytes() >> 20
+    assert(residualMb < 64, s"local-dir debt after 24 heavy queries: ${residualMb} MB")
+    val after = (1 to 3).map(_ => { val t = cheap(); sweepLikeBench(); t }).min
+    assert(after <= before * 3 + 0.1,
+      s"cheap query slowed after 24-query interleave: $before s -> $after s")
   }
 }

@@ -524,6 +524,33 @@ class ExtSpec extends AnyFunSuite {
     assert(digest(tampered) != base)
   }
 
+  test("row hashes distinguish NULL placement (no concat_ws null collapse)") {
+    import spark.implicits._
+    import graft.ext.Profile
+    // (a, NULL) vs (NULL, a) and ('x', NULL, 'y') vs ('x', 'y', NULL)
+    // collide under bare concat_ws (it SKIPS null elements); the
+    // sentinel rendering must keep them distinct in both contracts
+    val ab = Seq((1L, Some("a"), None: Option[String]))
+      .toDF("k", "c1", "c2")
+    val ba = Seq((1L, None: Option[String], Some("a")))
+      .toDF("k", "c1", "c2")
+    assert(Profile.tableChecksum(ab, Seq("c1", "c2")).head() !=
+      Profile.tableChecksum(ba, Seq("c1", "c2")).head(),
+      "null-position swap must change the checksum")
+    val d1 = Profile.diffByKey(ab, ba, Seq("k"), Seq("c1", "c2")).collect()
+    assert(d1.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "changed")),
+      d1.mkString(","))
+    val xy1 = Seq((1L, Some("x"), None: Option[String], Some("y")))
+      .toDF("k", "c1", "c2", "c3")
+    val xy2 = Seq((1L, Some("x"), Some("y"), None: Option[String]))
+      .toDF("k", "c1", "c2", "c3")
+    val d2 = Profile.diffByKey(xy1, xy2, Seq("k"), Seq("c1", "c2", "c3")).collect()
+    assert(d2.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "changed")),
+      d2.mkString(","))
+    // and a genuinely identical row (incl. a null) still reads unchanged
+    assert(Profile.diffByKey(xy1, xy1, Seq("k"), Seq("c1", "c2", "c3")).count() == 0)
+  }
+
   test("weightedSample is partition-invariant and weight-proportional") {
     import graft.ext.Sample
     val s1 = Sample.weightedSample(docs, 50, "n_chars", "doc_id")
@@ -861,6 +888,20 @@ class ExtSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got.toString)
   }
 
+  test("triangleCounts: finds triangles whose corner degree-order disagrees with id-order") {
+    import spark.implicits._
+    // Triangle {1,2,3} where node 2 (id between 1 and 3) has the
+    // HIGHEST degree (pendants 4, 5 attached): the wedge at pivot 1
+    // must enumerate (y=3, z=2) in (deg, id) order — enumerating by
+    // raw id (y=2, z=3) looks for the non-existent oriented edge
+    // (2 -> 3) and silently drops the triangle.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (2L, 5L))
+      .toDF("src", "dst")
+    val got = graft.ext.Graph.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), got.toString)
+  }
+
   test("mmrSelect: redundancy penalty promotes the diverse candidate over the near-duplicate") {
     import spark.implicits._
     // id 1 and 2 are near-identical (both rel ~0.9); id 3 is less
@@ -878,6 +919,22 @@ class ExtSpec extends AnyFunSuite {
         lam = 0.5, mu = 0.5)
       .orderBy("rank").collect().map(_.getLong(1)).toSeq
     assert(got == Seq(1L, 3L, 2L), got.toString)
+  }
+
+  test("mmrSelect: corpus smaller than k emits only real candidates, no filler rows") {
+    import spark.implicits._
+    // only 2 neighbors exist but k=3: the output must stop at rank 2,
+    // never appending vec_id=-1 / score=-Infinity filler
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.ext.Similarity.mmrSelect(e, queryId = 0L, k = 3, poolSize = 3,
+        lam = 0.5, mu = 0.5)
+      .orderBy("rank").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got.map(_._2).toSet == Set(1L, 2L), got.toString)
+    assert(got.map(_._1) == Seq(1, 2), got.toString)
   }
 
   test("kCore: pendant chain peels away in cascade, the core survives intact") {
@@ -1089,6 +1146,69 @@ class ExtSpec extends AnyFunSuite {
       once.toString)
     assert(twice == once, s"replay changed state: $twice vs $once")
     graft.io.Load.dropManaged(spark, table)
+  }
+
+  test("applyCdcBatch: empty micro-batch still recovers a stranded stage table") {
+    import spark.implicits._
+    val table = "graft_cdc_strand_test"
+    val stage = table + "__stage"
+    graft.io.Load.dropManaged(spark, table)
+    graft.io.Load.dropManaged(spark, stage)
+    // simulate a crash inside the drop->rename window: the applied
+    // state sits in the stage table and the live table is gone
+    Seq((1L, 10.0, "a")).toDF("okey", "price", "status")
+      .write.saveAsTable(stage)
+    val empty = Seq.empty[(Long, Long, String, Option[Double], Option[String])]
+      .toDF("okey", "seq", "op", "price", "status")
+    graft.streaming.Stream.applyCdcBatch(spark, table, empty)
+    val got = spark.table(table).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, 10.0, "a")), got.toString)
+    assert(!spark.catalog.tableExists(stage), "stage must be promoted, not copied")
+    graft.io.Load.dropManaged(spark, table)
+  }
+
+  test("erPairs: within-block matches found, oversized blocks dropped by maxBlock") {
+    import spark.implicits._
+    // block "red": 3 close names; block "blue": 5 names (oversized at
+    // maxBlock=4, must contribute NO pairs); cross-block near-match
+    // (alpha red / alpha blue) must not pair either (blocking rule)
+    val rows =
+      Seq("alpha red", "alphb red", "zzzzzz red",
+        "alpha blue", "alphb blue", "alphc blue", "alphd blue", "alphe blue")
+        .flatMap(n => Seq.fill(2)(n))
+    val df = rows.toDF("p_name")
+    val got = graft.ext.Dedup.erPairs(df, "p_name", maxDist = 4, maxBlock = 4)
+      .collect().map(r => (r.getString(0), r.getString(2), r.getInt(3))).toSet
+    assert(got == Set(("alpha red", "alphb red", 1), ("alphb red", "alpha red", 1)),
+      got.toString)
+    // n_rows carries the pre-dedup multiplicity
+    val n = graft.ext.Dedup.erPairs(df, "p_name", maxDist = 4, maxBlock = 4)
+      .select("n_rows").head().getLong(0)
+    assert(n == 2L)
+  }
+
+  test("Skyline.front2d equals the single-window skyline, including cross-partition domination") {
+    import spark.implicits._
+    // 2000 deduped (x, y) pairs with a planted staircase frontier;
+    // many range slices guarantee frontier decisions CROSS partition
+    // boundaries (the prefix-minima merge path, not just local wins)
+    val pts = (1 to 2000).map { i =>
+      val x = (i % 97).toDouble + i / 1000.0
+      val y = ((i * 31) % 89).toLong + (if (i % 97 == 0) -5L else 0L)
+      (x, y)
+    }.distinct
+    val df = pts.toDF("x", "y")
+    val got = graft.ext.Skyline.front2d(df, "x", "y", partitions = 16)
+      .orderBy("x", "y").collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    // naive reference: running strictly-before min over the global order
+    val sorted = pts.sortBy(p => (p._1, p._2))
+    val want = scala.collection.mutable.ArrayBuffer[(Double, Long)]()
+    var best = Long.MaxValue
+    sorted.foreach { case (x, y) =>
+      if (y < best) { want += ((x, y)); best = y }
+    }
+    assert(got == want.toSeq, s"got ${got.size} vs want ${want.size}")
   }
 
   test("diffByKey classifies added/deleted/changed and drops unchanged keys") {

@@ -371,6 +371,26 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
   }
 
+  test("er_fuzzy: hot-block guard in the plan, keyed self-join, no cartesian") {
+    val df = SparkEntry.queries("er_fuzzy")(spark, TestSession.sf)
+    val plan = explained(df)
+    // oversized blocks must be semi-join-dropped BEFORE the k² self-join
+    assert(plan.contains("LeftSemi"), "maxBlock semi-join guard missing")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
+  test("pareto skyline: windows are slice-partitioned — no single-partition exchange") {
+    val df = SparkEntry.queries("pareto_front")(spark, TestSession.sf)
+    val simple = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    // the naive formulation's Window.orderBy plans Exchange
+    // SinglePartition and serializes the whole frontier input through
+    // one task; the partition-wise skyline must never do that
+    assert(!simple.contains("Exchange SinglePartition"), simple.take(2000))
+    assert(simple.contains("Window"), "local skyline window expected")
+  }
+
   test("custom expressions are SQL-reachable via extensions registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(
