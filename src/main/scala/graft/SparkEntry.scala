@@ -1032,6 +1032,14 @@ object SparkEntry {
   private def graphTriangles(s: SparkSession, dir: String): DataFrame =
     graft.ext.Graph.triangleCounts(coOccurrenceEdges(s, dir)).orderBy("id")
 
+  /** Adamic–Adar link prediction ([[graft.ext.Graph.adamicAdar]])
+    * over the part co-occurrence graph: top-50 NON-adjacent part
+    * pairs by Σ 1/ln(deg) over common neighbors, hub pivots above
+    * deg 64 dropped by the maxDeg guard. Scores round to 6 dp before
+    * ranking on both engines (deterministic replayable top-k). */
+  private def graphAdamicAdar(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Graph.adamicAdar(coOccurrenceEdges(s, dir), maxDeg = 64, topK = 50)
+
   /** k-core ([[graft.ext.Graph.kCore]], k=4) of the same
     * co-occurrence graph: the standard subgraph-density filter
     * (community seeds, spam-cluster mining). Measured: peeling
@@ -2583,6 +2591,18 @@ object SparkEntry {
       .select(col("user_id"), col("event_id"), col("value"), col("ewma"))
       .orderBy("user_id", "event_id")
 
+  /** Rolling z-score anomaly flags ([[graft.ext.TimeSeries
+    * .rollingZscore]], window=20, |z| > 3) over each user's event
+    * values — mean/stddev round to 6 dp BEFORE the ratio on both
+    * engines, the flag compares the rounded z. */
+  private def tsAnomaly(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TimeSeries.rollingZscore(
+        t(s, dir, "events").filter(col("user_id") < 100),
+        "user_id", "ts", "value", "event_id", window = 20, threshold = 3.0)
+      .select(col("user_id"), col("event_id"), col("value"), col("z"),
+        col("is_anomaly"))
+      .orderBy("user_id", "event_id")
+
   /** Batch sessionization (the batch twin of stream_sessions): a new
     * session opens when a user is idle > 30 min; pure long arithmetic
     * on epoch micros (lag + running conditional sum — two evaluations
@@ -3049,6 +3069,8 @@ object SparkEntry {
     "graph_ppr" -> (graphPpr(_, _)),
     "graph_degrees" -> (graphDegrees(_, _)),
     "graph_triangles" -> (graphTriangles(_, _)),
+    "graph_adamic_adar" -> (graphAdamicAdar(_, _)),
+    "ts_anomaly" -> (tsAnomaly(_, _)),
     "graph_kcore" -> (graphKcore(_, _)),
     "graph_lpa" -> (graphLpa(_, _)),
     "graph_bfs" -> (graphBfs(_, _)),
@@ -4309,6 +4331,42 @@ object SparkEntry {
         |FROM (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
         |      UNION ALL SELECT z FROM tri)
         |GROUP BY 1 ORDER BY id""".stripMargin,
+    // same und base as graph_triangles; wedge pivots weighted 1/ln(deg)
+    // with the deg<=64 hub guard replayed; anti-join drops existing
+    // edges; scores round to 6 dp BEFORE the top-50 ranking
+    "graph_adamic_adar" ->
+      """WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem WHERE l_linenumber <= 3),
+        |und AS (SELECT DISTINCT x.p AS u, y.p AS v
+        |        FROM ps x JOIN ps y ON x.o = y.o AND x.p < y.p),
+        |adj AS (SELECT u AS z, v AS x FROM und
+        |        UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT z, count(*) AS d FROM adj GROUP BY 1),
+        |piv AS (SELECT z, 1.0 / ln(d) AS w FROM deg WHERE d BETWEEN 2 AND 64),
+        |wa AS (SELECT a.z, a.x, p.w FROM adj a JOIN piv p USING (z)),
+        |wedge AS (SELECT a.x AS x, b.x AS y, a.w AS w
+        |          FROM wa a JOIN wa b ON a.z = b.z AND a.x < b.x),
+        |np AS (SELECT wedge.* FROM wedge
+        |       ANTI JOIN und ON wedge.x = und.u AND wedge.y = und.v),
+        |sc AS (SELECT x, y, round(sum(w), 6) AS score FROM np GROUP BY 1, 2)
+        |SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, score
+        |FROM sc ORDER BY score DESC, x, y LIMIT 50""".stripMargin,
+    "ts_anomaly" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, value,
+        |         count(value) OVER w AS n,
+        |         round(avg(value) OVER w, 6) AS mu,
+        |         round(stddev_samp(value) OVER w, 6) AS sd
+        |  FROM events WHERE user_id < 100
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT user_id, event_id, value,
+        |        CASE WHEN n = 20 AND sd > 0
+        |             THEN round((value - mu) / sd, 6) END AS z
+        |      FROM r)
+        |SELECT user_id, event_id, value, z,
+        |       coalesce(abs(z) > 3.0, false) AS is_anomaly
+        |FROM z ORDER BY user_id, event_id""".stripMargin,
     "graph_kcore" -> graphKcoreSql,
     "graph_lpa" -> graphLpaSql,
     "graph_bfs" -> graphBfsSql,

@@ -45,3 +45,10 @@ final class InferError(msg: String) extends GraftError(msg)
   * malformed YAML, locopy/utility.py:262-266). */
 final class CredentialsError(msg: String, cause: Throwable = null)
     extends GraftError(msg, cause)
+
+/** Incoming data's schema drifted from the target table's (the engine
+  * surface for the reference's implicit contract that COPY fails on a
+  * schema mismatch, locopy/redshift.py:224-229 — there the warehouse
+  * raises; here the pre-write gate does, with the structured diff in
+  * the message). */
+final class SchemaDriftError(msg: String) extends GraftError(msg)

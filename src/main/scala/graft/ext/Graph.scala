@@ -363,4 +363,59 @@ object Graph {
     }
     labels
   }
+
+  /** Adamic–Adar link prediction: score every NON-adjacent pair (x, y)
+    * sharing at least one neighbor by Σ_z 1/ln(deg z) over the common
+    * neighbors z, and return the top-`topK` candidate links — the
+    * classic common-neighbor heuristic (Adamic & Adar 2003), the
+    * "entities that should probably be connected" primitive behind
+    * record-linkage suggestions and recommendation seeds.
+    *
+    * `maxDeg` is the hot-pivot guard ([[Dedup.substringPairs]] maxDf
+    * pattern): a pivot z contributes deg(z)² wedge pairs, so hub
+    * nodes dominate cost quadratically at scale — and contribute the
+    * LEAST signal (1/ln(deg) → 0). Pivots above `maxDeg` are dropped
+    * before the wedge join, bounding fan-out at maxDeg² per pivot.
+    *
+    * Plan: adjacency (both directions) → degree agg → guarded pivot
+    * weights → keyed wedge self-join on the pivot → anti-join the
+    * existing edge set → keyed score sum → TakeOrderedAndProject
+    * top-k (bounded heap, never a global sort). Scores round to 6 dp
+    * BEFORE ranking with an (x, y) tie-break, so the ranking is
+    * deterministic and replayable cross-engine (ln and the sum drift
+    * in the last ulp; the round collapses the band). */
+  def adamicAdar(
+      edges: DataFrame,
+      maxDeg: Int = 64,
+      topK: Int = 50,
+      srcCol: String = "src",
+      dstCol: String = "dst"
+  ): DataFrame = {
+    require(maxDeg >= 2, s"maxDeg must be >= 2, got $maxDeg")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val und = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val adj = und.select(col("u").as("z"), col("v").as("x"))
+      .union(und.select(col("v").as("z"), col("u").as("x")))
+    val deg = adj.groupBy("z").agg(count(lit(1)).as("d"))
+    // pivot weights: deg >= 2 (a 1-neighbor pivot closes no wedge) and
+    // the maxDeg hub guard
+    val pivots = deg.filter(col("d") >= 2 && col("d") <= maxDeg)
+      .select(col("z"), (lit(1.0) / log(col("d").cast("double"))).as("w"))
+    val wadj = adj.join(pivots.hint("shuffle_merge"), "z")
+    val wedges = wadj.as("a")
+      .join(wadj.as("b").hint("shuffle_merge"),
+        col("a.z") === col("b.z") && col("a.x") < col("b.x"))
+      .select(col("a.x").as("x"), col("b.x").as("y"), col("a.w").as("w"))
+    val newPairs = wedges.join(
+      und.select(col("u").as("x"), col("v").as("y")).hint("shuffle_merge"),
+      Seq("x", "y"), "left_anti")
+    newPairs.groupBy("x", "y")
+      .agg(round(sum(col("w")), 6).as("score"))
+      .orderBy(col("score").desc, col("x"), col("y"))
+      .limit(topK)
+  }
 }

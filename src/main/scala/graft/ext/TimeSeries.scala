@@ -223,4 +223,46 @@ object TimeSeries {
         col("seasonal"),
         round(col("value") - col("trend") - col("seasonal"), 6).as("resid"))
   }
+
+  /** Rolling z-score anomaly detection: each observation scored
+    * against the mean/stddev of the `window` PRECEDING observations
+    * in (ts, tie) order within its key — the self-baselining outlier
+    * flag (metric spikes, fraud velocity, sensor faults) that needs
+    * no trained model. Only rows with a full lookback AND a non-zero
+    * rolling stddev are scored (a constant baseline has no scale;
+    * z is null there, flagged false).
+    *
+    * Cross-engine exactness: the rolling mean and stddev round to
+    * 6 dp BEFORE the z ratio on both engines (aggregate sums drift in
+    * the last ulp, and a ratio amplifies the band near small stddev);
+    * z then rounds to 6 dp, and `is_anomaly` compares the ROUNDED z —
+    * deterministic and identically replayable in SQL.
+    *
+    * Scale shape: ONE keyed window (partitioned by the series key,
+    * never unpartitioned), three frame aggregates over the same frame
+    * — count, avg, stddev — evaluated in a single WindowExec pass. */
+  def rollingZscore(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valCol: String,
+      tieCol: String,
+      window: Int = 20,
+      threshold: Double = 3.0
+  ): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val w = Window.partitionBy(keyCol).orderBy(tsCol, tieCol)
+      .rowsBetween(-window, -1)
+    val v = col(valCol).cast("double")
+    events
+      .withColumn("__n", count(v).over(w))
+      .withColumn("__mu", round(avg(v).over(w), 6))
+      .withColumn("__sd", round(stddev_samp(v).over(w), 6))
+      .withColumn("z",
+        when(col("__n") === window && col("__sd") > 0.0,
+          round((v - col("__mu")) / col("__sd"), 6)))
+      .withColumn("is_anomaly",
+        col("z").isNotNull && abs(col("z")) > threshold)
+      .drop("__n", "__mu", "__sd")
+  }
 }

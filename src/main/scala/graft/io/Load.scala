@@ -106,6 +106,26 @@ object Load {
     * (PlanSpec-asserted). This is the SURVEY §7.3 posture for 100 TB
     * corpora that are re-joined on the same key every round (dedup
     * ids, user ids). */
+  /** Drift policy for [[loadAndCopy]] appends into an existing table —
+    * the engine surface for the reference's implicit contract that
+    * COPY fails on a schema mismatch (locopy/redshift.py:224-229):
+    *
+    *  - [[DriftAllow]]  — no gate (legacy behavior; the write itself
+    *    still fails on incompatible shapes, as the warehouse would).
+    *  - [[DriftReject]] — any drift (added / removed / type-changed
+    *    column, per [[graft.ext.Profile.schemaDiff]]) raises
+    *    [[graft.core.SchemaDriftError]] BEFORE anything is written.
+    *  - [[DriftEvolve]] — additive-safe evolution: columns missing
+    *    from the incoming data are filled with typed NULLs; columns
+    *    new in the incoming data trigger a one-time rewrite of the
+    *    existing table through union-by-name (the expensive path — a
+    *    table-sized write, flagged for callers to schedule). A
+    *    type-changed column is never additive-safe and still raises. */
+  sealed trait DriftPolicy
+  case object DriftAllow extends DriftPolicy
+  case object DriftReject extends DriftPolicy
+  case object DriftEvolve extends DriftPolicy
+
   def loadAndCopy(
       spark: SparkSession,
       path: String,
@@ -118,13 +138,64 @@ object Load {
       mode: SaveMode = SaveMode.Append,
       flavor: Flavor = Snowflake,
       distKey: Option[String] = None,
-      buckets: Int = 8
+      buckets: Int = 8,
+      onDrift: DriftPolicy = DriftAllow
   ): DataFrame = {
     val df0 = read(spark, path, fileType, options, header, schema, infer = true, flavor)
-    val df = if (splits > 0) df0.repartition(splits) else df0
+    val df1 = if (splits > 0) df0.repartition(splits) else df0
     if (mode == SaveMode.Overwrite) dropManaged(spark, table)
+    val df = applyDriftGate(spark, table, df1, mode, onDrift, distKey, buckets)
     writeTable(df, table, mode, distKey, buckets)
     spark.table(table)
+  }
+
+  /** The pre-write schema gate (see [[DriftPolicy]]): analysis-only
+    * unless evolution has to rewrite for incoming-new columns. */
+  private def applyDriftGate(
+      spark: SparkSession,
+      table: String,
+      incoming: DataFrame,
+      mode: SaveMode,
+      policy: DriftPolicy,
+      distKey: Option[String],
+      buckets: Int
+  ): DataFrame = {
+    if (policy == DriftAllow || mode != SaveMode.Append ||
+        !spark.catalog.tableExists(table)) return incoming
+    val existing = spark.table(table)
+    val diff = graft.ext.Profile.schemaDiff(existing, incoming).collect()
+    if (diff.isEmpty) return incoming
+    def render = diff.map(r =>
+        s"${r.getString(0)}: ${r.getString(3)} (${r.getString(1)} -> ${r.getString(2)})")
+      .mkString("; ")
+    policy match {
+      case DriftReject =>
+        throw new graft.core.SchemaDriftError(
+          s"schema drift loading into '$table': $render")
+      case DriftEvolve =>
+        if (diff.exists(_.getString(3) == "type_changed"))
+          throw new graft.core.SchemaDriftError(
+            s"type change is not additive-safe evolving '$table': $render")
+        val added = diff.filter(_.getString(3) == "added").map(_.getString(0))
+        if (added.nonEmpty) {
+          // incoming grew columns: one-time rewrite of the existing
+          // table via union-by-name, staged so the table is never lost
+          val widened = existing.unionByName(
+              incoming.limit(0), allowMissingColumns = true)
+            .localCheckpoint()
+          dropManaged(spark, table)
+          writeTable(widened, table, SaveMode.Overwrite, distKey, buckets)
+          graft.core.Lineage.release(widened)
+        }
+        // fill columns the incoming data is missing with typed NULLs,
+        // and align column order to the (possibly widened) table
+        val target = spark.table(table).schema
+        incoming.select(target.fields.toIndexedSeq.map { f =>
+          if (incoming.columns.contains(f.name)) F.col(f.name)
+          else F.lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+      case DriftAllow => incoming
+    }
   }
 
   /** Shared table writer: plain `saveAsTable`, or bucketed+sorted when

@@ -441,6 +441,24 @@ class ExtSpec extends AnyFunSuite {
     assert(shardTotals.forall(_.getLong(1) <= 2000L + maxDocW))
   }
 
+  test("packShards edge cases: over-budget docs, exact-fit boundaries, zero weights") {
+    import graft.ext.Pack
+    import spark.implicits._
+    // doc 1 (w=5) fills shard 0 exactly at budget 5; doc 2 (w=12)
+    // exceeds the whole budget alone; doc 3 (w=0) must not open a new
+    // shard; doc 4 lands after the giant
+    val w = Seq((1L, 5L), (2L, 12L), (3L, 0L), (4L, 2L)).toDF("doc_id", "w")
+    val got = Pack.packShards(w, "doc_id", "w", budget = 5L)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    // exclusive prefix: 0, 5, 17, 17 → shards 0, 1, 3, 3 — a shard
+    // index SKIPS when one doc spans multiple budgets (2 fills 5..16)
+    assert(got == Seq((1L, 0L), (2L, 1L), (3L, 3L), (4L, 3L)), got.toString)
+    // single row packs to shard 0 whatever its weight
+    val one = Pack.packShards(Seq((9L, 1000L)).toDF("doc_id", "w"),
+      "doc_id", "w", budget = 5L).collect()
+    assert(one.length == 1 && one(0).getLong(2) == 0L)
+  }
+
   test("packSequences lays out the concat-and-chunk stream exactly") {
     import graft.ext.Pack
     import spark.implicits._
@@ -902,6 +920,50 @@ class ExtSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), got.toString)
   }
 
+  test("adamicAdar scores non-adjacent pairs by common-neighbor weight; hub guard drops hot pivots") {
+    import spark.implicits._
+    // path 1-2-3: (1,3) share pivot 2 (deg 2) → score 1/ln(2);
+    // adjacent pairs never appear
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = graft.ext.Graph.adamicAdar(path, maxDeg = 8, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 3L, 1.442695)), got.toString)
+    // star center 0 with 5 leaves: deg(0)=5 — above maxDeg=4 the hub
+    // pivot is dropped and NO leaf pair is predicted; at maxDeg=8 all
+    // C(5,2)=10 leaf pairs score 1/ln(5)
+    val star = (1L to 5L).map(l => (0L, l)).toDF("src", "dst")
+    assert(graft.ext.Graph.adamicAdar(star, maxDeg = 4, topK = 100).count() == 0)
+    val preds = graft.ext.Graph.adamicAdar(star, maxDeg = 8, topK = 100)
+      .collect().map(r => r.getDouble(2)).toSeq
+    assert(preds.length == 10 && preds.forall(_ == 0.621335), preds.toString)
+  }
+
+  test("rollingZscore: full-lookback spikes flagged, constant baseline and short history are not") {
+    import spark.implicits._
+    // key A: 20 flat values then a spike (scored, anomalous) then a
+    // normal value; key B: constant series (sd=0 → never scored);
+    // first 20 rows of A unscored (no full lookback)
+    val a = (1 to 20).map(i => ("A", i.toLong, 10.0 + (i % 2) * 0.2)) ++
+      Seq(("A", 21L, 50.0), ("A", 22L, 10.1))
+    val b = (1 to 25).map(i => ("B", i.toLong, 7.0))
+    val df = (a ++ b).toDF("k", "seq", "value")
+      .withColumn("ts", timestamp_micros(col("seq") * 1000000L))
+    val got = graft.ext.TimeSeries.rollingZscore(df, "k", "ts", "value", "seq",
+        window = 20, threshold = 3.0)
+      .select("k", "seq", "z", "is_anomaly").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2), r.getBoolean(3)))
+    val aRows = got.filter(_._1 == "A").sortBy(_._2)
+    assert(aRows.take(20).forall(r => r._3 == null && !r._4),
+      "short history must be unscored")
+    val spike = aRows(20)
+    assert(spike._3.asInstanceOf[Double] > 3.0 && spike._4, spike.toString)
+    val after = aRows(21)
+    assert(after._3 != null && !after._4, after.toString)
+    assert(got.filter(_._1 == "B").forall(r => r._3 == null && !r._4),
+      "zero-variance baseline must be unscored")
+  }
+
   test("mmrSelect: redundancy penalty promotes the diverse candidate over the near-duplicate") {
     import spark.implicits._
     // id 1 and 2 are near-identical (both rel ~0.9); id 3 is less
@@ -1145,6 +1207,54 @@ class ExtSpec extends AnyFunSuite {
     assert(once == Seq((1L, 11.0, "a2"), (3L, 30.0, "c"), (4L, 40.0, "d")),
       once.toString)
     assert(twice == once, s"replay changed state: $twice vs $once")
+    graft.io.Load.dropManaged(spark, table)
+  }
+
+  test("streaming CDC: kill + restart mid-feed (with redelivery) equals the batch apply") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val table = "graft_cdc_restart_test"
+    graft.io.Load.dropManaged(spark, table)
+    graft.io.Load.dropManaged(spark, table + "__stage")
+    val base = Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"))
+      .toDF("okey", "price", "status")
+    base.write.saveAsTable(table)
+    val part1: Seq[(Long, Long, String, Option[Double], Option[String])] = Seq(
+      (1L, 1L, "U", Some(11.0), Some("a2")),
+      (2L, 1L, "D", None, None))
+    val part2: Seq[(Long, Long, String, Option[Double], Option[String])] = Seq(
+      (4L, 1L, "I", Some(40.0), Some("d")),
+      (1L, 2L, "U", Some(12.0), Some("a3")))
+    def runQuery(feed: Seq[(Long, Long, String, Option[Double], Option[String])]*): Unit = {
+      val ms = MemoryStream[(Long, Long, String, Option[Double], Option[String])](
+        implicitly[org.apache.spark.sql.Encoder[
+          (Long, Long, String, Option[Double], Option[String])]],
+        spark.sqlContext)
+      val q = ms.toDF().toDF("okey", "seq", "op", "price", "status")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.streaming.Stream.applyCdcBatch(spark, table, batch)
+        }
+        .start()
+      try {
+        feed.foreach { f => ms.addData(f); q.processAllAvailable() }
+      } finally q.stop()
+    }
+    // first query consumes part 1, then is killed mid-feed
+    runQuery(part1)
+    // restarted query: at-least-once source re-delivers part 1 before
+    // part 2 (the unchecked-offset crash scenario)
+    runQuery(part1, part2)
+    val got = spark.table(table).orderBy("okey").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    // reference: one batch MERGE of the whole feed over the base
+    val want = graft.io.Cdc.applyChanges(base,
+        (part1 ++ part2).toDF("okey", "seq", "op", "price", "status"),
+        "okey", "seq", "op")
+      .orderBy("okey").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(got == want, s"got $got want $want")
+    assert(got == Seq((1L, 12.0, "a3"), (3L, 30.0, "c"), (4L, 40.0, "d")), got.toString)
     graft.io.Load.dropManaged(spark, table)
   }
 

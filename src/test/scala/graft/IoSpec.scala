@@ -62,6 +62,43 @@ class IoSpec extends AnyFunSuite {
       org.apache.spark.sql.types.LongType)
   }
 
+  test("loadAndCopy drift gate: reject raises before writing, evolve widens additively") {
+    import spark.implicits._
+    val base = tmp("drift_base_csv")
+    Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "s", "v")
+      .write.mode("overwrite").option("header", "true").csv(base)
+    Load.dropManaged(spark, "t_drift_gate")
+    Load.loadAndCopy(spark, base, "t_drift_gate", header = true,
+      mode = org.apache.spark.sql.SaveMode.Overwrite)
+    // drifted file: column v removed, column extra added
+    val drifted = tmp("drift_new_csv")
+    Seq((3L, "c", 99L), (4L, "d", 100L)).toDF("k", "s", "extra")
+      .write.mode("overwrite").option("header", "true").csv(drifted)
+    // (1) reject: raises SchemaDriftError and writes NOTHING
+    val e = intercept[graft.core.SchemaDriftError] {
+      Load.loadAndCopy(spark, drifted, "t_drift_gate", header = true,
+        onDrift = Load.DriftReject)
+    }
+    assert(e.getMessage.contains("extra") && e.getMessage.contains("v"),
+      e.getMessage)
+    assert(spark.table("t_drift_gate").count() == 2, "reject must not write")
+    // (2) evolve: widens the table with `extra`, fills missing `v` with nulls
+    val evolved = Load.loadAndCopy(spark, drifted, "t_drift_gate", header = true,
+      onDrift = Load.DriftEvolve)
+    assert(evolved.columns.sorted.toSeq == Seq("extra", "k", "s", "v"),
+      evolved.columns.mkString(","))
+    val rows = evolved.orderBy("k").collect()
+    assert(rows.length == 4)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("extra")), "old rows: extra is null")
+    assert(rows(2).isNullAt(rows(2).fieldIndex("v")), "new rows: v is null")
+    assert(rows(2).getAs[Number]("extra").longValue() == 99L)
+    // (3) unchanged schema appends clean through the same gate
+    Load.loadAndCopy(spark, drifted, "t_drift_gate", header = true,
+      onDrift = Load.DriftEvolve)
+    assert(spark.table("t_drift_gate").count() == 6)
+    Load.dropManaged(spark, "t_drift_gate")
+  }
+
   test("distKey creates a bucketed+sorted catalog table (DISTKEY parity)") {
     val out = tmp("supplier_csv_dir")
     spark.read.parquet(s"${TestSession.sf}/supplier.parquet")
@@ -161,6 +198,30 @@ class IoSpec extends AnyFunSuite {
     LocalFiles.concatenateFiles(Seq(a, b), out)
     assert(Files.readString(Paths.get(out)) == "one\ntwo\n")
     assert(!Files.exists(Paths.get(a))) // inputs removed as reference does
+  }
+
+  test("split -> gzip shards -> concatenate is a valid multi-member gzip of all rows") {
+    // the reference's full load path: round-robin split, per-shard
+    // gzip, shard concatenation (gzip members concatenate into one
+    // valid stream) — the golden asserts the final .gz decompresses
+    // to exactly the original rows in round-robin order
+    val in = tmp("gzsplit_in.txt")
+    Files.writeString(Paths.get(in), "hdr\na\nb\nc\nd\ne\n")
+    val parts = LocalFiles.splitFile(in, tmp("gzsplit_out"), splits = 2, ignoreHeader = 1)
+    val gzs = LocalFiles.compressFileList(parts)
+    assert(gzs.forall(_.endsWith(".gz")) && parts.forall(p => !Files.exists(Paths.get(p))))
+    val cat = tmp("gzsplit_cat.gz")
+    LocalFiles.concatenateFiles(gzs, cat)
+    val inStream = new java.util.zip.GZIPInputStream(
+      new java.io.FileInputStream(cat))
+    val text = new String(inStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    inStream.close()
+    assert(text == "a\nc\ne\nb\nd\n", text)
+    // and Spark reads the multi-member gzip transparently (the COPY
+    // ingestion contract the reference relies on)
+    val rows = spark.read.text(cat).collect().map(_.getString(0)).sorted.toSeq
+    assert(rows == Seq("a", "b", "c", "d", "e"), rows.toString)
   }
 
   test("stage put/list/get/delete on local filesystem (S3/stage parity)") {
