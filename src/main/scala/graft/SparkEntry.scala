@@ -550,6 +550,94 @@ object SparkEntry {
       .orderBy("stage")
   }
 
+  /** Data-quality expectation gate ([[graft.ext.Profile.expect]]):
+    * one aggregation pass evaluates every rule (violation predicates +
+    * key uniqueness) over orders and emits the per-rule report — a
+    * deliberately mixed pass/fail fixture (the status-domain rule
+    * excludes 'P', which the data contains). */
+  private def dqExpectations(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.expect(t(s, dir, "orders"),
+      Seq(
+        "orderkey_not_null" -> col("o_orderkey").isNull,
+        "totalprice_positive" -> (col("o_totalprice") <= 0),
+        "status_in_domain" -> !col("o_orderstatus").isin("O", "F"),
+        "orderdate_in_range" -> (col("o_orderdate") < lit("1992-01-01").cast("date") ||
+          col("o_orderdate") > lit("1998-12-31").cast("date")),
+        "priority_not_null" -> col("o_orderpriority").isNull),
+      uniqueCols = Seq("o_orderkey"))
+      .orderBy("rule")
+
+  /** Point-in-time join ([[graft.operators.AsOfJoin]]): each view
+    * event attached to the purchase state VALID AT its timestamp —
+    * the leakage-free feature-attachment contract (never a future
+    * purchase). Purchases pre-deduped to one row per (user, ts)
+    * (max-event_id wins) so the carried values are deterministic; the
+    * oracle replays the same semantics as SCD2 interval containment
+    * (as-of ≡ membership in the [valid_from, valid_to) tile). */
+  private def scd2PitJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(struct(col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("ts"),
+        col("m.event_id").as("p_event_id"), col("m.value").as("p_value0"),
+        col("ts").as("p_ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    graft.operators.AsOfJoin.asOf(v, p, "user_id", "ts", "user_id", "ts",
+        Seq("p_event_id", "p_value0", "p_ts"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("p_event_id"),
+        round(col("p_value0"), 4).as("p_value"),
+        round((unix_micros(col("ts")) - unix_micros(col("p_ts"))).cast("double") / 3.6e9, 4)
+          .as("hours_since"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Last-touch marketing attribution: every purchase credits the
+    * latest view/click strictly preceding it in (ts, event_id) order,
+    * IF within a 7-day lookback — else 'none'. ONE keyed window (two
+    * running last(ignoreNulls) evaluations in one pass), one keyed
+    * agg; the corpus never joins itself. */
+  private def q57Attribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val mk = when(col("event_type").isin("view", "click"), col("event_type"))
+    t(s, dir, "events")
+      .withColumn("last_ch", last(mk, ignoreNulls = true).over(w))
+      .withColumn("last_mk_ts",
+        last(when(mk.isNotNull, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("last_mk_ts").isNotNull &&
+          col("last_mk_ts") >= col("ts") - expr("INTERVAL 7 DAYS"), col("last_ch"))
+          .otherwise(lit("none")))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"), round(sum("value"), 2).as("revenue"))
+      .orderBy("channel")
+  }
+
+  /** Rank-based winsorized mean per event type: values clipped at the
+    * 5th/95th percent_rank boundary values, then averaged — the
+    * robust-mean sibling of q55's MAD. percent_rank is a pure rank
+    * ratio (no quantile interpolation), so the boundaries are exact
+    * cross-engine; only the final averages round. */
+  private def statsWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val prW = Window.partitionBy("event_type").orderBy("v")
+    val allW = Window.partitionBy("event_type")
+    t(s, dir, "events")
+      .select(col("event_type"), col("value").cast("double").as("v"))
+      .withColumn("pr", percent_rank().over(prW))
+      .withColumn("lo", max(when(col("pr") <= 0.05, col("v"))).over(allW))
+      .withColumn("hi", min(when(col("pr") >= 0.95, col("v"))).over(allW))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(avg(least(greatest(col("v"), coalesce(col("lo"), col("v"))),
+          coalesce(col("hi"), col("v")))), 4).as("winsorized_mean"),
+        round(avg(col("v")), 4).as("raw_mean"))
+      .orderBy("event_type")
+  }
+
   /** Order-independent integrity checksum ([[graft.ext.Profile
     * .tableChecksum]]) of the orders key/status/priority columns —
     * the load/unload round-trip gate: the digest is invariant to
@@ -3058,6 +3146,10 @@ object SparkEntry {
     "q42_stats" -> (q42Stats(_, _)),
     "q43_histogram" -> (q43Histogram(_, _)),
     "q44_scd2" -> (q44Scd2(_, _)),
+    "dq_expectations" -> (dqExpectations(_, _)),
+    "scd2_pit_join" -> (scd2PitJoin(_, _)),
+    "q57_attribution" -> (q57Attribution(_, _)),
+    "stats_winsorize" -> (statsWinsorize(_, _)),
     "q45_funnel" -> (q45Funnel(_, _)),
     "q46_retention" -> (q46Retention(_, _)),
     "q47_rolling_dau" -> (q47RollingDau(_, _)),
@@ -4238,6 +4330,77 @@ object SparkEntry {
         |FROM events WHERE event_type = 'purchase'
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, valid_from, event_id""".stripMargin,
+    "dq_expectations" ->
+      """WITH a AS (SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+        |  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+        |  CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F') THEN 1 ELSE 0 END) AS BIGINT) AS r3,
+        |  CAST(sum(CASE WHEN o_orderdate < DATE '1992-01-01'
+        |                  OR o_orderdate > DATE '1998-12-31' THEN 1 ELSE 0 END) AS BIGINT) AS r4,
+        |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r5,
+        |  count(DISTINCT o_orderkey) AS u1
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'orderkey_not_null' AS rule, n AS n_rows, r1 AS n_violations, r1 = 0 AS pass FROM a
+        |  UNION ALL SELECT 'totalprice_positive', n, r2, r2 = 0 FROM a
+        |  UNION ALL SELECT 'status_in_domain', n, r3, r3 = 0 FROM a
+        |  UNION ALL SELECT 'orderdate_in_range', n, r4, r4 = 0 FROM a
+        |  UNION ALL SELECT 'priority_not_null', n, r5, r5 = 0 FROM a
+        |  UNION ALL SELECT 'o_orderkey_unique', n, n - u1, n - u1 = 0 FROM a)
+        |ORDER BY rule""".stripMargin,
+    // as-of ≡ SCD2 interval containment: purchases deduped per
+    // (user, ts) by max event_id, tiled into [valid_from, valid_to)
+    // intervals, views matched by containment (at most one interval)
+    "scd2_pit_join" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'purchase'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |                             ORDER BY event_id DESC) = 1),
+        |iv AS (SELECT user_id, event_id AS p_event_id, value AS p_value0,
+        |              ts AS valid_from,
+        |              lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+        |       FROM p),
+        |v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view')
+        |SELECT v.user_id, v.event_id, v.ts, iv.p_event_id,
+        |       round(iv.p_value0, 4) AS p_value,
+        |       round(CAST(epoch_us(v.ts) - epoch_us(iv.valid_from) AS DOUBLE) / 3.6e9, 4)
+        |         AS hours_since
+        |FROM v LEFT JOIN iv
+        |  ON iv.user_id = v.user_id AND iv.valid_from <= v.ts
+        |     AND (iv.valid_to IS NULL OR v.ts < iv.valid_to)
+        |ORDER BY v.user_id, v.event_id""".stripMargin,
+    "q57_attribution" ->
+      """WITH t AS (
+        |  SELECT event_type, value, ts,
+        |    last_value(CASE WHEN event_type IN ('view','click')
+        |                    THEN event_type END IGNORE NULLS) OVER w AS last_ch,
+        |    last_value(CASE WHEN event_type IN ('view','click')
+        |                    THEN ts END IGNORE NULLS) OVER w AS last_mk_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT CASE WHEN last_mk_ts IS NOT NULL
+        |              AND last_mk_ts >= ts - INTERVAL 7 DAY
+        |            THEN last_ch ELSE 'none' END AS channel,
+        |       count(*) AS n_purchases, round(sum(value), 2) AS revenue
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stats_winsorize" ->
+      """WITH d AS (SELECT event_type, value AS v,
+        |             percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pr
+        |           FROM events),
+        |b AS (SELECT event_type, v,
+        |        max(CASE WHEN pr <= 0.05 THEN v END)
+        |          OVER (PARTITION BY event_type) AS lo,
+        |        min(CASE WHEN pr >= 0.95 THEN v END)
+        |          OVER (PARTITION BY event_type) AS hi
+        |      FROM d)
+        |SELECT event_type, count(*) AS n,
+        |       round(avg(least(greatest(v, coalesce(lo, v)), coalesce(hi, v))), 4)
+        |         AS winsorized_mean,
+        |       round(avg(v), 4) AS raw_mean
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "q45_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
         |           WHERE event_type = 'view' GROUP BY user_id),

@@ -87,6 +87,45 @@ object Profile {
     out.toDF("column", "n", "n_nulls", "min", "max", "mean", "stddev")
   }
 
+  /** Data-quality expectation report — the declarative admission gate
+    * a pipeline runs before accepting a batch (the rule-based sibling
+    * of [[describe]]): each rule is (name, VIOLATION predicate), plus
+    * optional per-column uniqueness expectations; the result is one
+    * row per rule with its violation count and pass flag.
+    *
+    * Scale shape: ONE aggregation pass evaluates every rule together
+    * (a conditional sum per rule + a count-distinct per uniqueness
+    * column in a single map-side-combinable agg over one scan), one
+    * bounded row unpivoted driver-side. */
+  def expect(
+      df: DataFrame,
+      rules: Seq[(String, org.apache.spark.sql.Column)],
+      uniqueCols: Seq[String] = Nil
+  ): DataFrame = {
+    require(rules.nonEmpty || uniqueCols.nonEmpty,
+      "expect requires at least one rule or unique column")
+    val missing = uniqueCols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"unique columns not in dataframe: $missing")
+    val aggs =
+      count(lit(1)).as("__n") +:
+      (rules.map { case (name, violation) =>
+        sum(when(violation, 1L).otherwise(0L)).as(s"__r_$name")
+      } ++ uniqueCols.map(c => countDistinct(col(c)).as(s"__u_$c")))
+    val row: Row = df.agg(aggs.head, aggs.tail: _*).head() // ONE bounded row
+    val n = row.getLong(0)
+    val out =
+      rules.zipWithIndex.map { case ((name, _), i) =>
+        val v = if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1)
+        (name, n, v, v == 0L)
+      } ++ uniqueCols.zipWithIndex.map { case (c, i) =>
+        val v = n - row.getLong(1 + rules.size + i)
+        (s"${c}_unique", n, v, v == 0L)
+      }
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.toDF("rule", "n_rows", "n_violations", "pass")
+  }
+
   /** Keyed table diff — the row-level complement of [[tableChecksum]]
     * (the checksum says two versions DIFFER; the diff says WHERE):
     * given two versions of a keyed table, emit one row per key whose

@@ -1321,6 +1321,26 @@ class ExtSpec extends AnyFunSuite {
     assert(got == want.toSeq, s"got ${got.size} vs want ${want.size}")
   }
 
+  test("Profile.expect: violation counts, uniqueness, and pass flags in one pass") {
+    import spark.implicits._
+    import graft.ext.Profile
+    val df = Seq((1L, Some("a"), 10.0), (2L, None: Option[String], -5.0),
+        (2L, Some("c"), 20.0))
+      .toDF("k", "s", "v")
+    val got = Profile.expect(df,
+        Seq("s_not_null" -> col("s").isNull, "v_positive" -> (col("v") <= 0)),
+        uniqueCols = Seq("k"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got("s_not_null") == ((3L, 1L, false)), got.toString)
+    assert(got("v_positive") == ((3L, 1L, false)), got.toString)
+    assert(got("k_unique") == ((3L, 1L, false)), got.toString)
+    // all-pass report
+    val clean = Profile.expect(df, Seq("never" -> lit(false)))
+      .head()
+    assert(clean.getLong(2) == 0L && clean.getBoolean(3))
+  }
+
   test("diffByKey classifies added/deleted/changed and drops unchanged keys") {
     import spark.implicits._
     val oldV = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
