@@ -638,6 +638,55 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Incremental rollup maintenance ([[graft.ext.Incremental
+    * .mergePartials]]): orders split into a historical state (keys
+    * not divisible by 3) and a new batch (the rest), each aggregated
+    * per customer, then algebraically merged — counts/sums add,
+    * maxes fold. The oracle is the FULL recompute over all orders:
+    * the gate proves merge-of-partials ≡ aggregate-of-union, the
+    * contract that lets a 100 TB rollup absorb a day's partition
+    * without rescanning history. Sum rounds AFTER the merge on both
+    * sides (partial-sum association differs in the last ulp). */
+  private def aggIncrement(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    def partial(df: DataFrame): DataFrame = df.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("sum_total"),
+        max("o_orderdate").as("max_date"))
+    val state = partial(orders.filter(col("o_orderkey") % 3 =!= 0))
+    val delta = partial(orders.filter(col("o_orderkey") % 3 === 0))
+    graft.ext.Incremental.mergePartials(state, delta, Seq("o_custkey"),
+        sumCols = Seq("n_orders", "sum_total"), maxCols = Seq("max_date"))
+      .select(col("o_custkey"), col("n_orders"),
+        round(col("sum_total"), 2).as("sum_total"),
+        col("max_date").cast("timestamp").as("max_date"))
+      .orderBy("o_custkey")
+  }
+
+  /** Key-skew profile ([[graft.ext.Profile.keySkew]]) of lineitem by
+    * supplier: the (group_size, n_keys) distribution that decides
+    * salting/AQE-skew strategy before a join on that key. */
+  private def skewProfile(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.keySkew(t(s, dir, "lineitem"), Seq("l_suppkey"))
+      .orderBy("group_size")
+
+  /** New-user growth accounting: each user's first-seen day, daily
+    * new-user counts, and the cumulative user curve. The cumulative
+    * window runs over the DAY table (bounded by the date domain, the
+    * deliberate Pack-offsets class of global window), never the event
+    * corpus. */
+  private def userGrowth(s: SparkSession, dir: String): DataFrame = {
+    val firstSeen = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("day"))
+    val daily = firstSeen.groupBy("day").agg(count(lit(1)).as("n_new_users"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("cum_users", sum("n_new_users").over(w))
+      .select(col("day").cast("timestamp").as("day"),
+        col("n_new_users"), col("cum_users"))
+      .orderBy("day")
+  }
+
   /** Order-independent integrity checksum ([[graft.ext.Profile
     * .tableChecksum]]) of the orders key/status/priority columns —
     * the load/unload round-trip gate: the digest is invariant to
@@ -3147,6 +3196,9 @@ object SparkEntry {
     "q43_histogram" -> (q43Histogram(_, _)),
     "q44_scd2" -> (q44Scd2(_, _)),
     "dq_expectations" -> (dqExpectations(_, _)),
+    "agg_increment" -> (aggIncrement(_, _)),
+    "skew_profile" -> (skewProfile(_, _)),
+    "user_growth" -> (userGrowth(_, _)),
     "scd2_pit_join" -> (scd2PitJoin(_, _)),
     "q57_attribution" -> (q57Attribution(_, _)),
     "stats_winsorize" -> (statsWinsorize(_, _)),
@@ -4330,6 +4382,26 @@ object SparkEntry {
         |FROM events WHERE event_type = 'purchase'
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, valid_from, event_id""".stripMargin,
+    // full recompute over ALL orders — the gate proves the
+    // incremental merge of two partial states equals it exactly
+    "agg_increment" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS sum_total,
+        |       CAST(max(o_orderdate) AS TIMESTAMP) AS max_date
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "skew_profile" ->
+      """SELECT group_size, count(*) AS n_keys
+        |FROM (SELECT count(*) AS group_size FROM lineitem GROUP BY l_suppkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "user_growth" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
+        |           FROM events GROUP BY 1),
+        |d AS (SELECT day, count(*) AS n_new_users FROM f GROUP BY 1)
+        |SELECT CAST(day AS TIMESTAMP) AS day, n_new_users,
+        |       CAST(sum(n_new_users) OVER (ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS cum_users
+        |FROM d ORDER BY day""".stripMargin,
     "dq_expectations" ->
       """WITH a AS (SELECT count(*) AS n,
         |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r1,

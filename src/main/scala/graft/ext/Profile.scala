@@ -87,6 +87,21 @@ object Profile {
     out.toDF("column", "n", "n_nulls", "min", "max", "mean", "stddev")
   }
 
+  /** Key-skew profile: the distribution of per-key group sizes —
+    * (group_size, n_keys) — the number every join/agg planner wants
+    * before picking salting or AQE skew handling (one hot key at 10⁷
+    * rows reads completely differently from 10⁷ keys at one row, and
+    * a mean group size hides exactly that). Two keyed aggregations;
+    * the second input is key-cardinality-sized, the output
+    * distinct-size-sized. Exact integers — fully hash-oracle-able. */
+  def keySkew(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keySkew requires at least one key column")
+    val missing = keyCols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in dataframe: $missing")
+    df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("group_size"))
+      .groupBy("group_size").agg(count(lit(1)).as("n_keys"))
+  }
+
   /** Data-quality expectation report — the declarative admission gate
     * a pipeline runs before accepting a batch (the rule-based sibling
     * of [[describe]]): each rule is (name, VIOLATION predicate), plus

@@ -1321,6 +1321,36 @@ class ExtSpec extends AnyFunSuite {
     assert(got == want.toSeq, s"got ${got.size} vs want ${want.size}")
   }
 
+  test("Incremental.mergePartials: merge-of-partials equals aggregate-of-union, any split") {
+    import spark.implicits._
+    import graft.ext.Incremental
+    val rows = (1 to 300).map(i => ((i % 17).toLong, 1L, i.toDouble, i.toLong))
+    val full = rows.toDF("k", "n", "s", "m")
+      .groupBy("k").agg(sum("n").as("n"), sum("s").as("s"), max("m").as("m"))
+    def partial(p: Seq[((Long, Long, Double, Long))]) = p.toDF("k", "n", "s", "m")
+      .groupBy("k").agg(sum("n").as("n"), sum("s").as("s"), max("m").as("m"))
+    // uneven split, including keys present on only one side
+    val (a, b) = rows.partition { case (k, _, _, v) => v % 5 != 0 }
+    val merged = Incremental.mergePartials(partial(a), partial(b), Seq("k"),
+      sumCols = Seq("n", "s"), maxCols = Seq("m"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100), r.getLong(3))).toSeq
+    assert(canon(merged) == canon(full))
+    // re-merging an empty delta is a no-op (idempotent absorb)
+    val again = Incremental.mergePartials(merged,
+      partial(Seq.empty), Seq("k"), Seq("n", "s"), maxCols = Seq("m"))
+    assert(canon(again) == canon(full))
+  }
+
+  test("Profile.keySkew: group-size distribution over planted skew") {
+    import spark.implicits._
+    // key 1 -> 5 rows, keys 2..4 -> 2 rows, keys 5..10 -> 1 row
+    val rows = Seq.fill(5)(1L) ++ (2L to 4L).flatMap(k => Seq(k, k)) ++ (5L to 10L)
+    val got = graft.ext.Profile.keySkew(rows.toDF("k"), Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 1L, 2L -> 3L, 1L -> 6L), got.toString)
+  }
+
   test("Profile.expect: violation counts, uniqueness, and pass flags in one pass") {
     import spark.implicits._
     import graft.ext.Profile
