@@ -687,6 +687,52 @@ object SparkEntry {
       .orderBy("day")
   }
 
+  /** Population stability index (PSI) between two order cohorts —
+    * THE production drift monitor for a feature distribution (PSI >
+    * 0.2 conventionally triggers retraining review). Reference-cohort
+    * min/max fix 10 equi-width bins (one tiny broadcast row); both
+    * cohorts bin map-side ((x−lo)/w is a 2-op IEEE chain, bit-stable);
+    * PSI per bin from exact count ratios with a 1e-6 floor inside the
+    * ln. One keyed agg over ≤ 11 bins. */
+  private def driftPsi(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice").cast("double").as("x"),
+        (col("o_orderkey") % 2 === 1).as("is_ref"))
+    val edges = orders.filter(col("is_ref"))
+      .agg(min("x").as("lo"), max("x").as("hi"))
+    val binned = orders.crossJoin(broadcast(edges))
+      .withColumn("bin",
+        least(greatest(floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / 10.0)), lit(0L)),
+          lit(9L)))
+    val counts = binned.groupBy("bin")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+    val totals = counts.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("p_ref", col("n_ref").cast("double") / col("t_ref"))
+      .withColumn("p_cur", col("n_cur").cast("double") / col("t_cur"))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round((col("p_cur") - col("p_ref")) *
+          log(greatest(col("p_cur"), lit(1e-6)) / greatest(col("p_ref"), lit(1e-6))), 6)
+          .as("psi"))
+      .orderBy("bin")
+  }
+
+  /** Embedding QA table — the admission gate before vectors reach the
+    * ANN index: per-vector dimensionality, L2 norm (6 dp — the
+    * squared-sum chain is sequential and order-identical cross-engine,
+    * rounded by the repo float rule), zero-component count, and an
+    * is-normalized flag on the ROUNDED norm. Pure map-side projection. */
+  private def embQuality(s: SparkSession, dir: String): DataFrame = {
+    val v = transform(col("embedding"), _.cast("double"))
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), size(col("embedding")).as("dim"),
+        round(sqrt(graft.functions.fx.vecDot(v, v)), 6).as("norm"),
+        size(filter(col("embedding"), _ === 0.0f)).as("n_zero"))
+      .withColumn("is_unit", abs(col("norm") - 1.0) <= 0.01)
+      .orderBy("vec_id")
+  }
+
   /** Order-independent integrity checksum ([[graft.ext.Profile
     * .tableChecksum]]) of the orders key/status/priority columns —
     * the load/unload round-trip gate: the digest is invariant to
@@ -3197,6 +3243,8 @@ object SparkEntry {
     "q44_scd2" -> (q44Scd2(_, _)),
     "dq_expectations" -> (dqExpectations(_, _)),
     "agg_increment" -> (aggIncrement(_, _)),
+    "drift_psi" -> (driftPsi(_, _)),
+    "emb_quality" -> (embQuality(_, _)),
     "skew_profile" -> (skewProfile(_, _)),
     "user_growth" -> (userGrowth(_, _)),
     "scd2_pit_join" -> (scd2PitJoin(_, _)),
@@ -4382,6 +4430,33 @@ object SparkEntry {
         |FROM events WHERE event_type = 'purchase'
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, valid_from, event_id""".stripMargin,
+    "drift_psi" ->
+      """WITH o AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS x,
+        |                  o_orderkey % 2 = 1 AS is_ref FROM orders),
+        |e AS (SELECT min(x) AS lo, max(x) AS hi FROM o WHERE is_ref),
+        |b AS (SELECT least(greatest(floor((x - lo) / ((hi - lo) / 10.0)), 0), 9) AS bin,
+        |             is_ref
+        |      FROM o, e),
+        |c AS (SELECT bin,
+        |        CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |        CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+        |      FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+        |             CAST(sum(n_cur) AS BIGINT) AS t_cur FROM c)
+        |SELECT CAST(bin AS BIGINT) AS bin, n_ref, n_cur,
+        |       round((CAST(n_cur AS DOUBLE) / t_cur - CAST(n_ref AS DOUBLE) / t_ref)
+        |         * ln(greatest(CAST(n_cur AS DOUBLE) / t_cur, 1e-6)
+        |             / greatest(CAST(n_ref AS DOUBLE) / t_ref, 1e-6)), 6) AS psi
+        |FROM c, t ORDER BY bin""".stripMargin,
+    "emb_quality" ->
+      """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+        |       round(sqrt(list_aggregate(list_transform(
+        |         CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')), 6) AS norm,
+        |       CAST(len(list_filter(embedding, x -> x = 0)) AS INT) AS n_zero,
+        |       abs(round(sqrt(list_aggregate(list_transform(
+        |         CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')), 6) - 1.0) <= 0.01
+        |         AS is_unit
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     // full recompute over ALL orders — the gate proves the
     // incremental merge of two partial states equals it exactly
     "agg_increment" ->
