@@ -627,6 +627,11 @@ object SparkEntry {
     val allW = Window.partitionBy("event_type")
     t(s, dir, "events")
       .select(col("event_type"), col("value").cast("double").as("v"))
+      // drop NULL values explicitly: Spark's ORDER BY defaults to
+      // NULLS FIRST and DuckDB's to NULLS LAST, so a null would shift
+      // every percent_rank and move the clip boundaries differently
+      // per engine (standard robust-stats practice drops them anyway)
+      .filter(col("v").isNotNull)
       .withColumn("pr", percent_rank().over(prW))
       .withColumn("lo", max(when(col("pr") <= 0.05, col("v"))).over(allW))
       .withColumn("hi", min(when(col("pr") >= 0.95, col("v"))).over(allW))
@@ -726,9 +731,15 @@ object SparkEntry {
   private def embQuality(s: SparkSession, dir: String): DataFrame = {
     val v = transform(col("embedding"), _.cast("double"))
     t(s, dir, "embeddings")
-      .select(col("vec_id"), size(col("embedding")).as("dim"),
-        round(sqrt(graft.functions.fx.vecDot(v, v)), 6).as("norm"),
-        size(filter(col("embedding"), _ === 0.0f)).as("n_zero"))
+      // null/empty vectors get a NULL norm (DuckDB's empty-list sum is
+      // NULL and Spark's dot is 0.0 — the guards align the engines);
+      // size() is likewise guarded (Spark size(NULL) = -1, DuckDB NULL)
+      .select(col("vec_id"),
+        when(col("embedding").isNotNull, size(col("embedding"))).as("dim"),
+        when(col("embedding").isNotNull && size(col("embedding")) > 0,
+          round(sqrt(graft.functions.fx.vecDot(v, v)), 6)).as("norm"),
+        when(col("embedding").isNotNull,
+          size(filter(col("embedding"), _ === 0.0f))).as("n_zero"))
       .withColumn("is_unit", abs(col("norm") - 1.0) <= 0.01)
       .orderBy("vec_id")
   }
@@ -4536,7 +4547,7 @@ object SparkEntry {
     "stats_winsorize" ->
       """WITH d AS (SELECT event_type, value AS v,
         |             percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pr
-        |           FROM events),
+        |           FROM events WHERE value IS NOT NULL),
         |b AS (SELECT event_type, v,
         |        max(CASE WHEN pr <= 0.05 THEN v END)
         |          OVER (PARTITION BY event_type) AS lo,

@@ -108,6 +108,13 @@ object Profile {
     * optional per-column uniqueness expectations; the result is one
     * row per rule with its violation count and pass flag.
     *
+    * Three-valued-logic contract (deliberate): a rule whose predicate
+    * evaluates to NULL on a row does NOT count that row as violated —
+    * SQL range/domain predicates are silently null on null inputs, so
+    * null-sensitivity must be expressed as its own explicit rule
+    * (`c.isNull`, as the dq_expectations fixture does). This matches
+    * the warehouse CHECK-constraint convention (NULL passes).
+    *
     * Scale shape: ONE aggregation pass evaluates every rule together
     * (a conditional sum per rule + a count-distinct per uniqueness
     * column in a single map-side-combinable agg over one scan), one

@@ -251,6 +251,13 @@ object TimeSeries {
       threshold: Double = 3.0
   ): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
+    // refuse, don't overwrite: these working/output columns would
+    // silently replace (and partially drop) caller data (the AsOfJoin
+    // reserved-column convention)
+    val reserved = Seq("__n", "__mu", "__sd", "z", "is_anomaly")
+    val hits = reserved.filter(events.columns.contains)
+    require(hits.isEmpty,
+      s"rollingZscore reserves columns $reserved; rename input columns: $hits")
     val w = Window.partitionBy(keyCol).orderBy(tsCol, tieCol)
       .rowsBetween(-window, -1)
     val v = col(valCol).cast("double")

@@ -145,8 +145,26 @@ object Load {
     val df1 = if (splits > 0) df0.repartition(splits) else df0
     if (mode == SaveMode.Overwrite) dropManaged(spark, table)
     val df = applyDriftGate(spark, table, df1, mode, onDrift, distKey, buckets)
-    writeTable(df, table, mode, distKey, buckets)
+    // appends into an existing bucketed table must match its layout:
+    // inherit the catalog bucket spec when the caller didn't specify
+    // one (Spark refuses a mismatched-bucketing append outright)
+    val (dk, nb) =
+      if (mode == SaveMode.Append && distKey.isEmpty &&
+        spark.catalog.tableExists(table)) catalogBucketSpec(spark, table, buckets)
+      else (distKey, buckets)
+    writeTable(df, table, mode, dk, nb)
     spark.table(table)
+  }
+
+  /** (bucket column, bucket count) of an existing catalog table,
+    * falling back to (None, `default`) for unbucketed tables. */
+  private def catalogBucketSpec(spark: SparkSession, table: String,
+      default: Int): (Option[String], Int) = {
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec
+    (spec.flatMap(_.bucketColumnNames.headOption),
+      spec.map(_.numBuckets).getOrElse(default))
   }
 
   /** The pre-write schema gate (see [[DriftPolicy]]): analysis-only
@@ -160,8 +178,15 @@ object Load {
       distKey: Option[String],
       buckets: Int
   ): DataFrame = {
-    if (policy == DriftAllow || mode != SaveMode.Append ||
-        !spark.catalog.tableExists(table)) return incoming
+    if (policy == DriftAllow || mode != SaveMode.Append) return incoming
+    // crash-window recovery (the applyCdcBatch idiom): a previous
+    // evolve that died between drop and rename leaves the only copy
+    // in the stage table — promote it before deciding the table is new
+    val evolveStage = table + "__evolve_stage"
+    if (!spark.catalog.tableExists(table) &&
+        spark.catalog.tableExists(evolveStage))
+      spark.sql(s"ALTER TABLE $evolveStage RENAME TO $table")
+    if (!spark.catalog.tableExists(table)) return incoming
     val existing = spark.table(table)
     val diff = graft.ext.Profile.schemaDiff(existing, incoming).collect()
     if (diff.isEmpty) return incoming
@@ -179,13 +204,26 @@ object Load {
         val added = diff.filter(_.getString(3) == "added").map(_.getString(0))
         if (added.nonEmpty) {
           // incoming grew columns: one-time rewrite of the existing
-          // table via union-by-name, staged so the table is never lost
+          // table via union-by-name. Staged through a DURABLE stage
+          // table (the Stream.applyCdcBatch idiom) — the live table is
+          // only dropped once the widened copy is fully on disk, so a
+          // crash mid-rewrite never loses history (a localCheckpoint
+          // stage would hold the only copy in non-durable block
+          // storage across the drop).
           val widened = existing.unionByName(
-              incoming.limit(0), allowMissingColumns = true)
-            .localCheckpoint()
+            incoming.limit(0), allowMissingColumns = true)
+          // preserve the existing table's bucketing unless the caller
+          // explicitly re-specified a layout: silently rewriting a
+          // DISTKEY-parity bucketed table as unbucketed would drop the
+          // shuffle-free-join property without any error
+          val (dk, nb) = distKey match {
+            case some @ Some(_) => (some, buckets)
+            case None           => catalogBucketSpec(spark, table, buckets)
+          }
+          dropManaged(spark, evolveStage)
+          writeTable(widened, evolveStage, SaveMode.Overwrite, dk, nb)
           dropManaged(spark, table)
-          writeTable(widened, table, SaveMode.Overwrite, distKey, buckets)
-          graft.core.Lineage.release(widened)
+          spark.sql(s"ALTER TABLE $evolveStage RENAME TO $table")
         }
         // fill columns the incoming data is missing with typed NULLs,
         // and align column order to the (possibly widened) table

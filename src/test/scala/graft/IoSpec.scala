@@ -99,6 +99,40 @@ class IoSpec extends AnyFunSuite {
     Load.dropManaged(spark, "t_drift_gate")
   }
 
+  test("drift evolve preserves an existing table's bucketing and recovers a stranded stage") {
+    import spark.implicits._
+    val base = tmp("drift_bkt_csv")
+    Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "s", "v")
+      .write.mode("overwrite").option("header", "true").csv(base)
+    Load.dropManaged(spark, "t_drift_bkt")
+    Load.loadAndCopy(spark, base, "t_drift_bkt", header = true,
+      mode = org.apache.spark.sql.SaveMode.Overwrite,
+      distKey = Some("k"), buckets = 4)
+    val drifted = tmp("drift_bkt_new_csv")
+    Seq((3L, "c", 30.0, 7L)).toDF("k", "s", "v", "extra")
+      .write.mode("overwrite").option("header", "true").csv(drifted)
+    // evolve WITHOUT re-specifying the layout: the rewrite must keep
+    // the bucketed+sorted spec, not silently flatten it
+    Load.loadAndCopy(spark, drifted, "t_drift_bkt", header = true,
+      onDrift = Load.DriftEvolve)
+    val desc = spark.sql("DESCRIBE EXTENDED t_drift_bkt").collect()
+      .map(r => s"${r.getString(0)}: ${Option(r.getString(1)).getOrElse("")}")
+      .mkString("\n")
+    assert(desc.contains("Num Buckets: 4") && desc.contains("k"), desc)
+    assert(spark.table("t_drift_bkt").count() == 3)
+    // stranded-stage recovery: simulate a crash between drop and rename
+    spark.sql("ALTER TABLE t_drift_bkt RENAME TO t_drift_bkt__evolve_stage")
+    val again = tmp("drift_bkt_more_csv")
+    Seq((4L, "d", 40.0, 8L)).toDF("k", "s", "v", "extra")
+      .write.mode("overwrite").option("header", "true").csv(again)
+    Load.loadAndCopy(spark, again, "t_drift_bkt", header = true,
+      onDrift = Load.DriftEvolve)
+    assert(spark.table("t_drift_bkt").count() == 4,
+      "history must be recovered from the stranded stage, not recreated")
+    Load.dropManaged(spark, "t_drift_bkt")
+    Load.dropManaged(spark, "t_drift_bkt__evolve_stage")
+  }
+
   test("distKey creates a bucketed+sorted catalog table (DISTKEY parity)") {
     val out = tmp("supplier_csv_dir")
     spark.read.parquet(s"${TestSession.sf}/supplier.parquet")
