@@ -3203,6 +3203,121 @@ object SparkEntry {
         col("n_updates"))
       .orderBy("user_id")
 
+  /** Local clustering coefficient
+    * ([[graft.ext.Graph.clusteringCoefficient]]) over the part
+    * co-occurrence graph — triangles per neighbor pair for every
+    * node; the community-density refinement of [[graphTriangles]].
+    * The coefficient is a 2-op IEEE chain on exact integers, so no
+    * rounding is needed anywhere. */
+  private def graphClustcoef(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Graph.clusteringCoefficient(coOccurrenceEdges(s, dir))
+      .orderBy("id")
+
+  /** Count–min sketch ([[graft.ext.Sketch]]): build the 4×512 cell
+    * matrix over event user_ids in one scan, then point-estimate the
+    * 15 smallest user ids against their exact counts — the
+    * overcount column IS the sketch's collision error, deterministic
+    * (md5-derived hashes) and therefore hash-oracled, not
+    * tolerance-gated. The sketch is parameter-sized (2048 cells), so
+    * the estimate join broadcasts it. */
+  private def sketchCms(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val cells = graft.ext.Sketch.countMinBuild(ev, "user_id")
+    val probes = ev.filter(col("user_id") < 15).select("user_id").distinct()
+    val est = graft.ext.Sketch.countMinEstimate(cells, probes, "user_id")
+    val exact = ev.filter(col("user_id") < 15)
+      .groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+    est.join(exact, Seq("user_id"))
+      .select(col("user_id"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overcount"))
+      .orderBy("user_id")
+  }
+
+  /** Bloom-filter membership ([[graft.ext.Sketch]]): a 4-hash/4096-bit
+    * filter over the custkeys that placed an URGENT-priority order,
+    * probed with EVERY customer — the "skip the join for keys that
+    * can't match" gate a 100 TB pipeline puts in front of an
+    * expensive fact join (customers without urgent orders are the
+    * negative population; on this fixture every customer has SOME
+    * order, so the unfiltered set would leave no negatives to
+    * measure). One summary row: probes, true members, Bloom
+    * positives, deterministic false positives, and the realized fp
+    * rate. */
+  private def sketchBloom(s: SparkSession, dir: String): DataFrame = {
+    val seen = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").cast("long").as("key")).distinct()
+    val bits = graft.ext.Sketch.bloomBuild(seen, "key")
+    val probes = t(s, dir, "customer")
+      .select(col("c_custkey").cast("long").as("key")).distinct()
+    graft.ext.Sketch.bloomContains(bits, probes, "key")
+      .join(seen.select(col("key"), lit(true).as("actual")), Seq("key"), "left")
+      .select(col("key"), col("bloom_member"),
+        coalesce(col("actual"), lit(false)).as("actual_member"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("actual_member"), 1L).otherwise(0L)).as("n_actual"),
+        sum(when(col("bloom_member"), 1L).otherwise(0L)).as("n_bloom"),
+        sum(when(col("bloom_member") && !col("actual_member"), 1L)
+          .otherwise(0L)).as("n_false_pos"))
+      .withColumn("fp_rate",
+        col("n_false_pos") / (col("n_probes") - col("n_actual")))
+  }
+
+  /** Welch's two-sample t-test (click vs purchase event values) from
+    * sufficient statistics: ONE conditional aggregation over the
+    * corpus, then the closed form on the driver-free single row. The
+    * aggregate mean/variance inputs round to 6 dp BEFORE the closed
+    * form (repo float rule: aggregate sums carry last-ulp engine
+    * noise), so both engines feed identical IEEE inputs into the
+    * t / Welch–Satterthwaite chain; outputs round to 6 dp. */
+  private def statsTtest(s: SparkSession, dir: String): DataFrame = {
+    val clickV = when(col("event_type") === "click", col("value"))
+    val purchV = when(col("event_type") === "purchase", col("value"))
+    val a = t(s, dir, "events").agg(
+      count(clickV).as("n_click"),
+      round(avg(clickV), 6).as("mean_click"),
+      round(var_samp(clickV), 6).as("v1"),
+      count(purchV).as("n_purchase"),
+      round(avg(purchV), 6).as("mean_purchase"),
+      round(var_samp(purchV), 6).as("v2"))
+    a.withColumn("se1", col("v1") / col("n_click"))
+      .withColumn("se2", col("v2") / col("n_purchase"))
+      .withColumn("se", col("se1") + col("se2"))
+      .select(col("n_click"), col("n_purchase"),
+        col("mean_click"), col("mean_purchase"),
+        round((col("mean_click") - col("mean_purchase")) / sqrt(col("se")), 6)
+          .as("t_stat"),
+        round((col("se") * col("se")) /
+          (col("se1") * col("se1") / (col("n_click") - 1) +
+            col("se2") * col("se2") / (col("n_purchase") - 1)), 6)
+          .as("welch_df"))
+  }
+
+  /** Chi-squared independence test of customer nation × market
+    * segment: observed cell counts, expected from the marginals, and
+    * `Σ (o−e)²/e` — all from keyed aggregations over the
+    * domain-bounded contingency table (≤ nations × segments cells;
+    * the corpus is touched exactly once). Expected values are exact
+    * integer products divided once (bit-stable); only the final
+    * cell-sum rounds (6 dp). */
+  private def statsChisq(s: SparkSession, dir: String): DataFrame = {
+    val obs = t(s, dir, "customer")
+      .groupBy(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("o"))
+    val rowT = obs.groupBy("nation").agg(sum("o").as("rt"))
+    val colT = obs.groupBy("seg").agg(sum("o").as("ct"))
+    val tot = obs.agg(sum("o").as("g"),
+      countDistinct("nation").as("nr"), countDistinct("seg").as("nc"))
+    obs.join(rowT, "nation").join(colT, "seg").crossJoin(broadcast(tot))
+      .withColumn("e", (col("rt") * col("ct")) / col("g"))
+      .withColumn("cell",
+        (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+      .agg(first(col("g")).as("n_rows"), count(lit(1)).as("n_cells"),
+        first((col("nr") - 1) * (col("nc") - 1)).as("df"),
+        round(sum("cell"), 6).as("chi2"))
+  }
+
   // ======================================================================
   // Contract maps
   // ======================================================================
@@ -3272,6 +3387,11 @@ object SparkEntry {
     "graph_ppr" -> (graphPpr(_, _)),
     "graph_degrees" -> (graphDegrees(_, _)),
     "graph_triangles" -> (graphTriangles(_, _)),
+    "graph_clustcoef" -> (graphClustcoef(_, _)),
+    "sketch_cms" -> (sketchCms(_, _)),
+    "sketch_bloom" -> (sketchBloom(_, _)),
+    "stats_ttest" -> (statsTtest(_, _)),
+    "stats_chisq" -> (statsChisq(_, _)),
     "graph_adamic_adar" -> (graphAdamicAdar(_, _)),
     "ts_anomaly" -> (tsAnomaly(_, _)),
     "graph_kcore" -> (graphKcore(_, _)),
@@ -4652,6 +4772,119 @@ object SparkEntry {
         |FROM (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
         |      UNION ALL SELECT z FROM tri)
         |GROUP BY 1 ORDER BY id""".stripMargin,
+    // triangle replay above + per-node degree; 2·T/(d·(d−1)) is a
+    // 2-op IEEE chain on exact ints — bit-identical, unrounded
+    "graph_clustcoef" ->
+      """WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem WHERE l_linenumber <= 3),
+        |und AS (SELECT DISTINCT x.p AS u, y.p AS v
+        |        FROM ps x JOIN ps y ON x.o = y.o AND x.p < y.p),
+        |deg AS (SELECT id, count(*) AS d FROM (
+        |          SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+        |        GROUP BY 1),
+        |ori AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+        |                    THEN u ELSE v END AS lo,
+        |               CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+        |                    THEN v ELSE u END AS hi,
+        |               CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+        |                    THEN dv.d ELSE du.d END AS dhi
+        |        FROM und JOIN deg du ON du.id = und.u JOIN deg dv ON dv.id = und.v),
+        |w AS (SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+        |      FROM ori e1 JOIN ori e2
+        |        ON e1.lo = e2.lo AND (e1.dhi, e1.hi) < (e2.dhi, e2.hi)),
+        |tri AS (SELECT w.x, w.y, w.z
+        |        FROM w JOIN ori o ON o.lo = w.y AND o.hi = w.z),
+        |nt AS (SELECT id, count(*) AS t FROM (
+        |         SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+        |         UNION ALL SELECT z FROM tri) GROUP BY 1)
+        |SELECT CAST(deg.id AS BIGINT) AS id, CAST(deg.d AS BIGINT) AS degree,
+        |       CAST(coalesce(nt.t, 0) AS BIGINT) AS n_triangles,
+        |       CASE WHEN deg.d >= 2
+        |            THEN 2.0 * coalesce(nt.t, 0) / (deg.d * (deg.d - 1))
+        |            ELSE 0.0 END AS clust_coef
+        |FROM deg LEFT JOIN nt ON nt.id = deg.id ORDER BY id""".stripMargin,
+    // md5-derived cell positions replay exactly (same '0x'||substr
+    // idiom as the SimHash oracle); estimate = min over the 4 rows
+    "sketch_cms" ->
+      """WITH h(i) AS (VALUES (0), (1), (2), (3)),
+        |cells AS (
+        |  SELECT i, ('0x' || substr(md5(i || ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 512 AS pos,
+        |         count(*) AS n
+        |  FROM events CROSS JOIN h GROUP BY 1, 2),
+        |probes AS (SELECT DISTINCT user_id FROM events WHERE user_id < 15),
+        |ppos AS (
+        |  SELECT user_id, i,
+        |         ('0x' || substr(md5(i || ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 512 AS pos
+        |  FROM probes CROSS JOIN h),
+        |est AS (SELECT user_id, min(coalesce(n, 0)) AS cms_est
+        |        FROM ppos LEFT JOIN cells USING (i, pos) GROUP BY 1),
+        |exact AS (SELECT user_id, count(*) AS exact_cnt
+        |          FROM events WHERE user_id < 15 GROUP BY 1)
+        |SELECT user_id, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+        |       CAST(cms_est AS BIGINT) AS cms_est,
+        |       CAST(cms_est - exact_cnt AS BIGINT) AS overcount
+        |FROM est JOIN exact USING (user_id) ORDER BY user_id""".stripMargin,
+    // membership = all 4 bit positions set; false positives are
+    // md5-deterministic so the summary row hash-matches exactly
+    "sketch_bloom" ->
+      """WITH h(i) AS (VALUES (0), (1), (2), (3)),
+        |seen AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS key FROM orders
+        |         WHERE o_orderpriority = '1-URGENT'),
+        |bits AS (SELECT DISTINCT
+        |           ('0x' || substr(md5(i || ':' || CAST(key AS VARCHAR)), 1, 15))::BIGINT % 4096 AS pos
+        |         FROM seen CROSS JOIN h),
+        |probes AS (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS key FROM customer),
+        |ppos AS (SELECT key,
+        |           ('0x' || substr(md5(i || ':' || CAST(key AS VARCHAR)), 1, 15))::BIGINT % 4096 AS pos
+        |         FROM probes CROSS JOIN h),
+        |hits AS (SELECT key, count(*) AS hits FROM ppos
+        |         WHERE pos IN (SELECT pos FROM bits) GROUP BY 1),
+        |flags AS (SELECT p.key, coalesce(ht.hits, 0) = 4 AS bloom_member,
+        |                 p.key IN (SELECT key FROM seen) AS actual_member
+        |          FROM probes p LEFT JOIN hits ht ON ht.key = p.key)
+        |SELECT CAST(count(*) AS BIGINT) AS n_probes,
+        |       CAST(count(*) FILTER (WHERE actual_member) AS BIGINT) AS n_actual,
+        |       CAST(count(*) FILTER (WHERE bloom_member) AS BIGINT) AS n_bloom,
+        |       CAST(count(*) FILTER (WHERE bloom_member AND NOT actual_member) AS BIGINT) AS n_false_pos,
+        |       count(*) FILTER (WHERE bloom_member AND NOT actual_member)
+        |         / (count(*) - count(*) FILTER (WHERE actual_member)) AS fp_rate
+        |FROM flags""".stripMargin,
+    // sufficient-stat t-test: mean/var round to 6 dp BEFORE the
+    // closed form so both engines run identical IEEE chains
+    "stats_ttest" ->
+      """WITH a AS (
+        |  SELECT CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+        |         round(avg(value) FILTER (WHERE event_type = 'click'), 6) AS mean_click,
+        |         round(var_samp(value) FILTER (WHERE event_type = 'click'), 6) AS v1,
+        |         CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+        |         round(avg(value) FILTER (WHERE event_type = 'purchase'), 6) AS mean_purchase,
+        |         round(var_samp(value) FILTER (WHERE event_type = 'purchase'), 6) AS v2
+        |  FROM events),
+        |b AS (SELECT *, v1 / n_click AS se1, v2 / n_purchase AS se2,
+        |             v1 / n_click + v2 / n_purchase AS se FROM a)
+        |SELECT n_click, n_purchase, mean_click, mean_purchase,
+        |       round((mean_click - mean_purchase) / sqrt(se), 6) AS t_stat,
+        |       round((se * se) / (se1 * se1 / (n_click - 1) +
+        |                          se2 * se2 / (n_purchase - 1)), 6) AS welch_df
+        |FROM b""".stripMargin,
+    // contingency table + marginals; expected = exact int product /
+    // grand total (one division), only the cell-sum rounds
+    "stats_chisq" ->
+      """WITH obs AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |                    c_mktsegment AS seg, count(*) AS o
+        |             FROM customer GROUP BY 1, 2),
+        |rt AS (SELECT nation, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY 1),
+        |ct AS (SELECT seg, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS g,
+        |               CAST(count(DISTINCT nation) AS BIGINT) AS nr,
+        |               CAST(count(DISTINCT seg) AS BIGINT) AS nc FROM obs),
+        |cells AS (SELECT o, (rt.rt * ct.ct) / tot.g AS e
+        |          FROM obs JOIN rt USING (nation) JOIN ct USING (seg) CROSS JOIN tot)
+        |SELECT (SELECT g FROM tot) AS n_rows,
+        |       CAST(count(*) AS BIGINT) AS n_cells,
+        |       (SELECT (nr - 1) * (nc - 1) FROM tot) AS df,
+        |       round(sum((o - e) * (o - e) / e), 6) AS chi2
+        |FROM cells""".stripMargin,
     // same und base as graph_triangles; wedge pivots weighted 1/ln(deg)
     // with the deg<=64 hub guard replayed; anti-join drops existing
     // edges; scores round to 6 dp BEFORE the top-50 ranking

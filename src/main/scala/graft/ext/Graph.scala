@@ -223,6 +223,39 @@ object Graph {
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Local clustering coefficient: `2·T(v) / (d(v)·(d(v)−1))` — the
+    * fraction of a node's neighbor pairs that are themselves
+    * connected, for every node of the undirected graph (nodes in no
+    * triangle get 0, degree-1 nodes get 0 by the `d ≥ 2` guard). The
+    * standard community-density signal on top of [[triangleCounts]].
+    *
+    * Scale shape: the triangle side is the degree-oriented wedge join
+    * above; the degree side is one keyed aggregation over the same
+    * canonical edge set; the combine is a keyed left join on node id.
+    * The coefficient itself is a 2-op IEEE chain on exact integers —
+    * bit-identical cross-engine, no rounding needed. */
+  def clusteringCoefficient(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"
+  ): DataFrame = {
+    val und = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("id")).union(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val tri = triangleCounts(edges, srcCol, dstCol)
+    deg.join(tri, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0.0)).as("clust_coef"))
+  }
+
   /** k-core of an undirected graph by fixed-round peeling: each round
     * drops nodes with degree < k and the edges touching them; after
     * `rounds` rounds the survivors (with their core-subgraph degrees)

@@ -920,6 +920,51 @@ class ExtSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), got.toString)
   }
 
+  test("clusteringCoefficient: K4+pendant — interior 1.0, hub diluted, pendant 0") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} + pendant 4-5: nodes 1-3 have every neighbor
+    // pair connected (c=1.0); node 4's pendant neighbor dilutes it to
+    // 2·3/(4·3) = 0.5; degree-1 node 5 is 0 by the d≥2 guard
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = graft.ext.Graph.clusteringCoefficient(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      1L -> ((3L, 3L, 1.0)), 2L -> ((3L, 3L, 1.0)), 3L -> ((3L, 3L, 1.0)),
+      4L -> ((4L, 3L, 0.5)), 5L -> ((1L, 0L, 0.0))), got.toString)
+  }
+
+  test("countMin: estimates are a one-sided overcount, exact when the sketch is wide") {
+    import spark.implicits._
+    val df = (Seq.fill(7)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val cells = graft.ext.Sketch.countMinBuild(df, "k", depth = 4, width = 1024)
+    // 2048 cells max regardless of input size — parameter-sized state
+    assert(cells.count() <= 4L * 1024)
+    val probes = Seq("a", "b", "c").toDF("k")
+    val est = graft.ext.Sketch.countMinEstimate(cells, probes, "k", depth = 4, width = 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Map("a" -> 7L, "b" -> 3L, "c" -> 1L)
+    // CMS never undercounts; at width 1024 over 3 keys collisions are
+    // only possible if two keys share ALL 4 rows' cells — assert exact
+    exact.foreach { case (k, n) => assert(est(k) >= n, s"$k undercounted") }
+    assert(est == exact, est.toString)
+  }
+
+  test("bloom: no false negatives; unseen keys mostly rejected") {
+    import spark.implicits._
+    val seen = (1L to 50L).toDF("k")
+    val bits = graft.ext.Sketch.bloomBuild(seen, "k", k = 4, bits = 4096)
+    assert(bits.count() <= 4096)
+    val probes = (1L to 100L).toDF("k")
+    val got = graft.ext.Sketch.bloomContains(bits, probes, "k", k = 4, bits = 4096)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    (1L to 50L).foreach(k => assert(got(k), s"false negative on $k"))
+    // 200 set bits of 4096 → per-probe fp chance ~ (200/4096)^4 ≈ 6e-6
+    val fps = (51L to 100L).count(got(_))
+    assert(fps == 0, s"unexpected false positives: $fps")
+  }
+
   test("adamicAdar scores non-adjacent pairs by common-neighbor weight; hub guard drops hot pivots") {
     import spark.implicits._
     // path 1-2-3: (1,3) share pivot 2 (deg 2) → score 1/ln(2);
