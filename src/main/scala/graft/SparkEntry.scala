@@ -3318,6 +3318,139 @@ object SparkEntry {
         round(sum("cell"), 6).as("chi2"))
   }
 
+  /** ANN quality scorecard — NDCG@10 and recall@10 of the SRP-LSH
+    * k-NN join ([[Similarity.knnJoinLsh]], the dedup_emblsh/knn_join
+    * parameterization) against the exact brute-force ranking, per
+    * query vector. Graded relevance is derived from the exact rank
+    * (rel = 11 − rank), so the whole metric is deterministic — the
+    * oracle replays BOTH rankings and the DCG arithmetic, making
+    * retrieval quality itself a hash-gated regression test rather
+    * than a tolerance band. DCG sums round at 6 dp; the final
+    * dcg/idcg is one IEEE division on rounded inputs. */
+  private def rankNdcg(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val ann = Similarity.knnJoinLsh(emb, 10, nbits = 384, bandBits = 8,
+        maxBucket = 64)
+      .filter(col("query_id") < 8)
+    val exact = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), 10)
+    val annRel = ann.join(
+        exact.select(col("query_id"), col("nbr_id"), col("rank").as("erank")),
+        Seq("query_id", "nbr_id"), "left")
+      .withColumn("rel", coalesce(lit(11) - col("erank"), lit(0)))
+      .withColumn("g", col("rel") / log2(col("rank") + 1))
+    val perq = annRel.groupBy("query_id").agg(
+      round(sum("g"), 6).as("dcg"),
+      sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_hit"))
+    val ideal = exact.groupBy("query_id").agg(
+      round(sum((lit(11) - col("rank")) / log2(col("rank") + 1)), 6).as("idcg"))
+    perq.join(ideal, Seq("query_id"))
+      .select(col("query_id"), col("n_hit"),
+        (col("n_hit") / lit(10.0)).as("recall"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg"))
+      .orderBy("query_id")
+  }
+
+  /** Feature-engineering pass over a lineitem sample: z-score
+    * standardization, min-max scaling, equi-width bucketization (10
+    * bins), and one-hot return-flag indicators — the prep step
+    * between raw facts and a trainer. ONE tiny stats row (rounded at
+    * 6 dp so both engines scale with identical constants) broadcast
+    * onto a map-side projection; no second corpus pass, no window. */
+  private def featTransform(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_extendedprice").cast("double").as("price"),
+        col("l_returnflag").as("rf"))
+    val st = li.agg(
+      round(avg("price"), 6).as("mu"), round(stddev_samp("price"), 6).as("sigma"),
+      min("price").as("lo"), max("price").as("hi"))
+    li.crossJoin(broadcast(st))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        ((col("price") - col("mu")) / col("sigma")).as("price_z"),
+        ((col("price") - col("lo")) / (col("hi") - col("lo"))).as("price_minmax"),
+        least(greatest(floor((col("price") - col("lo")) /
+          ((col("hi") - col("lo")) / 10.0)), lit(0L)), lit(9L)).as("price_bucket"),
+        when(col("rf") === "R", 1L).otherwise(0L).as("rf_r"),
+        when(col("rf") === "A", 1L).otherwise(0L).as("rf_a"),
+        when(col("rf") === "N", 1L).otherwise(0L).as("rf_n"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Interval merge (gaps-and-islands over genuine variable-length
+    * intervals): each lineitem occupies [shipdate, shipdate +
+    * quantity days]; overlapping or touching intervals per supplier
+    * coalesce into islands (new island iff start strictly exceeds
+    * the running max end over all earlier intervals). The windows
+    * are keyed by supplier and ordered by the full (start, end,
+    * orderkey, linenumber) tie chain so both engines see identical
+    * prefix sets — prefix max/sum are set-functions, so the replay
+    * is exact. */
+  private def intervalMerge(s: SparkSession, dir: String): DataFrame = {
+    val iv = t(s, dir, "lineitem")
+      .select(col("l_suppkey").as("supp"),
+        to_date(col("l_shipdate")).as("start"),
+        date_add(to_date(col("l_shipdate")), col("l_quantity").cast("int")).as("end"),
+        col("l_orderkey").as("ok"), col("l_linenumber").cast("long").as("ln"))
+    val ord = Window.partitionBy("supp").orderBy("start", "end", "ok", "ln")
+    val prevMax = max("end").over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = iv.withColumn("is_new",
+      when(prevMax.isNull || col("start") > prevMax, 1L).otherwise(0L))
+    val islands = flagged.withColumn("island",
+      sum("is_new").over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+    islands.groupBy("supp", "island")
+      .agg(count(lit(1)).as("n_items"),
+        min("start").cast("timestamp").as("span_start"),
+        max("end").cast("timestamp").as("span_end"))
+      .orderBy("supp", "island")
+  }
+
+  /** 7-day rolling median of daily order revenue — the robust
+    * sibling of the rolling mean (q47's family). The frame is
+    * emitted only when FULL (7 rows, odd), so the median is the
+    * exact middle element on both engines — no interpolation rule to
+    * synchronize; daily revenues round to 2 dp first (aggregate-sum
+    * rule). The window runs over the DAY table — bounded by the date
+    * domain, the deliberate userGrowth class of global window,
+    * never the order corpus. */
+  private def tsRollingMedian(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+    val w = Window.orderBy("day")
+    val full = daily
+      .withColumn("rn", row_number().over(w))
+      .withColumn("med7",
+        expr("percentile(rev, 0.5)").over(w.rowsBetween(-6, 0)))
+    full.filter(col("rn") >= 7)
+      .select(col("day").cast("timestamp").as("day"), col("rev"), col("med7"))
+      .orderBy("day")
+  }
+
+  /** One-sided CUSUM shift detection per event type: cumulative sum
+    * of (daily total − series mean) minus its running minimum — the
+    * classic S_i − min_{j≤i} S_j reformulation that turns the CUSUM
+    * recursion into two keyed windows (cumsum + prefix min), both
+    * shuffle-keyed by series, never global. Windowed sums round at
+    * 4 dp (segment-tree vs running-sum association differs in the
+    * last ulp); the prefix min and subtraction then run on identical
+    * inputs. */
+  private def tsCusum(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 4).as("x"))
+    val m = daily.groupBy("event_type").agg(round(avg("x"), 6).as("mu"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val cum = daily.join(m, "event_type")
+      .withColumn("dev", col("x") - col("mu"))
+      .withColumn("s",
+        round(sum("dev").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4))
+    cum.withColumn("cusum",
+        round(col("s") - min("s").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4))
+      .select(col("event_type"), col("day").cast("timestamp").as("day"),
+        col("x"), col("cusum"), (col("cusum") > 50.0).as("is_shift"))
+      .orderBy("event_type", "day")
+  }
+
   // ======================================================================
   // Contract maps
   // ======================================================================
@@ -3392,6 +3525,11 @@ object SparkEntry {
     "sketch_bloom" -> (sketchBloom(_, _)),
     "stats_ttest" -> (statsTtest(_, _)),
     "stats_chisq" -> (statsChisq(_, _)),
+    "rank_ndcg" -> (rankNdcg(_, _)),
+    "feat_transform" -> (featTransform(_, _)),
+    "interval_merge" -> (intervalMerge(_, _)),
+    "ts_rolling_median" -> (tsRollingMedian(_, _)),
+    "ts_cusum" -> (tsCusum(_, _)),
     "graph_adamic_adar" -> (graphAdamicAdar(_, _)),
     "ts_anomaly" -> (tsAnomaly(_, _)),
     "graph_kcore" -> (graphKcore(_, _)),
@@ -4885,6 +5023,152 @@ object SparkEntry {
         |       (SELECT (nr - 1) * (nc - 1) FROM tot) AS df,
         |       round(sum((o - e) * (o - e) / e), 6) AS chi2
         |FROM cells""".stripMargin,
+    // knn_join's LSH replay (same CTE chain) + the brute-force exact
+    // ranking; graded relevance 11 − exact_rank; DCG sums round 6 dp
+    "rank_ndcg" ->
+      """WITH dims AS (
+        |  SELECT vec_id, g.i AS i, CAST(embedding[g.i + 1] AS DOUBLE) AS v
+        |  FROM embeddings, generate_series(0, 63) g(i)
+        |), signs AS (
+        |  SELECT t1.i, t2.b,
+        |         CASE WHEN substr(md5(CAST(t1.i AS VARCHAR) || ':' || CAST(t2.b AS VARCHAR)), 1, 1) < '8'
+        |              THEN 1.0 ELSE -1.0 END AS s
+        |  FROM generate_series(0, 63) t1(i) CROSS JOIN generate_series(0, 383) t2(b)
+        |), proj AS (
+        |  SELECT d.vec_id, s.b, sum(d.v * s.s) AS p
+        |  FROM dims d JOIN signs s ON s.i = d.i GROUP BY 1, 2
+        |), bb AS (
+        |  SELECT vec_id, b // 8 AS band,
+        |         sum(CASE WHEN p > 0 THEN 1 << (b % 8) ELSE 0 END) AS chunk
+        |  FROM proj GROUP BY 1, 2
+        |), okb AS (
+        |  SELECT band, chunk FROM bb GROUP BY band, chunk HAVING count(*) <= 64
+        |), kept AS (
+        |  SELECT bb.vec_id, bb.band, bb.chunk FROM bb JOIN okb USING (band, chunk)
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM kept a JOIN kept b USING (band, chunk) WHERE a.vec_id < b.vec_id
+        |), sym AS (
+        |  SELECT id_a AS query_id, id_b AS nbr_id FROM cand
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM cand
+        |), scored AS (
+        |  SELECT s.query_id, s.nbr_id,
+        |         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+        |                                      CAST(eb.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM sym s JOIN embeddings ea ON ea.vec_id = s.query_id
+        |  JOIN embeddings eb ON eb.vec_id = s.nbr_id
+        |), ranked AS (
+        |  SELECT query_id, nbr_id, cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cosine DESC, nbr_id) AS rank
+        |  FROM scored
+        |), ann AS (
+        |  SELECT query_id, nbr_id, rank FROM ranked
+        |  WHERE rank <= 10 AND query_id < 8
+        |), bf AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |         round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                      CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM embeddings c JOIN embeddings q
+        |    ON q.vec_id < 8 AND q.vec_id <> c.vec_id
+        |), bfr AS (
+        |  SELECT query_id, nbr_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cosine DESC, nbr_id) AS erank
+        |  FROM bf
+        |), exact AS (
+        |  SELECT query_id, nbr_id, erank FROM bfr WHERE erank <= 10
+        |), ar AS (
+        |  SELECT a.query_id, a.rank, coalesce(11 - e.erank, 0) AS rel
+        |  FROM ann a LEFT JOIN exact e
+        |    ON e.query_id = a.query_id AND e.nbr_id = a.nbr_id
+        |), perq AS (
+        |  SELECT query_id, round(sum(rel / log2(rank + 1)), 6) AS dcg,
+        |         count(*) FILTER (WHERE rel > 0) AS n_hit
+        |  FROM ar GROUP BY 1
+        |), ideal AS (
+        |  SELECT query_id, round(sum((11 - erank) / log2(erank + 1)), 6) AS idcg
+        |  FROM exact GROUP BY 1)
+        |SELECT p.query_id, CAST(p.n_hit AS BIGINT) AS n_hit,
+        |       p.n_hit / 10.0 AS recall, round(p.dcg / i.idcg, 6) AS ndcg
+        |FROM perq p JOIN ideal i ON i.query_id = p.query_id
+        |ORDER BY p.query_id""".stripMargin,
+    // one broadcast stats row (rounded 6 dp) scales every row; the
+    // per-row chains are 2-3 IEEE ops — bit-identical, unrounded
+    "feat_transform" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |         CAST(l_extendedprice AS DOUBLE) AS price, l_returnflag AS rf
+        |  FROM lineitem WHERE l_orderkey % 10 = 0),
+        |st AS (SELECT round(avg(price), 6) AS mu,
+        |              round(stddev_samp(price), 6) AS sigma,
+        |              min(price) AS lo, max(price) AS hi FROM li)
+        |SELECT l_orderkey, l_linenumber,
+        |       (price - mu) / sigma AS price_z,
+        |       (price - lo) / (hi - lo) AS price_minmax,
+        |       CAST(least(greatest(floor((price - lo) / ((hi - lo) / 10.0)), 0), 9) AS BIGINT)
+        |         AS price_bucket,
+        |       CAST(CASE WHEN rf = 'R' THEN 1 ELSE 0 END AS BIGINT) AS rf_r,
+        |       CAST(CASE WHEN rf = 'A' THEN 1 ELSE 0 END AS BIGINT) AS rf_a,
+        |       CAST(CASE WHEN rf = 'N' THEN 1 ELSE 0 END AS BIGINT) AS rf_n
+        |FROM li CROSS JOIN st ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // islands: start > running max(end) over the identical
+    // (start, end, ok, ln) tie chain; prefix max/sum are
+    // set-functions so the engines agree row for row
+    "interval_merge" ->
+      """WITH iv AS (
+        |  SELECT l_suppkey AS supp, CAST(l_shipdate AS DATE) AS s,
+        |         CAST(l_shipdate AS DATE) + CAST(l_quantity AS INT) AS e,
+        |         l_orderkey AS ok, CAST(l_linenumber AS BIGINT) AS ln
+        |  FROM lineitem),
+        |f AS (SELECT *, CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+        |                     THEN 1 ELSE 0 END AS is_new
+        |      FROM iv WINDOW w AS (PARTITION BY supp ORDER BY s, e, ok, ln
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |g AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY supp
+        |        ORDER BY s, e, ok, ln
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+        |      FROM f)
+        |SELECT CAST(supp AS BIGINT) AS supp, island,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(min(s) AS TIMESTAMP) AS span_start,
+        |       CAST(max(e) AS TIMESTAMP) AS span_end
+        |FROM g GROUP BY 1, 2 ORDER BY supp, island""".stripMargin,
+    // full 7-row frames only → the median is the exact middle
+    // element; daily revenue rounds to 2 dp before the window
+    "ts_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY 1),
+        |w AS (SELECT day, rev,
+        |        row_number() OVER (ORDER BY day) AS rn,
+        |        median(rev) OVER (ORDER BY day
+        |          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+        |      FROM daily)
+        |SELECT CAST(day AS TIMESTAMP) AS day, rev, med7
+        |FROM w WHERE rn >= 7 ORDER BY day""".stripMargin,
+    // cumsum − prefix min; windowed sums round 4 dp, the prefix min
+    // and subtraction then run on identical rounded inputs
+    "ts_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         round(sum(value), 4) AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, round(avg(x), 6) AS mu FROM daily GROUP BY 1),
+        |c AS (SELECT d.event_type, d.day, d.x,
+        |        round(sum(d.x - m.mu) OVER (PARTITION BY d.event_type
+        |          ORDER BY d.day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS s
+        |      FROM daily d JOIN m ON m.event_type = d.event_type),
+        |k AS (SELECT *, round(s - min(s) OVER (PARTITION BY event_type
+        |        ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cusum
+        |      FROM c)
+        |SELECT event_type, CAST(day AS TIMESTAMP) AS day, x, cusum,
+        |       cusum > 50.0 AS is_shift
+        |FROM k ORDER BY event_type, day""".stripMargin,
     // same und base as graph_triangles; wedge pivots weighted 1/ln(deg)
     // with the deg<=64 hub guard replayed; anti-join drops existing
     // edges; scores round to 6 dp BEFORE the top-50 ranking
