@@ -1593,6 +1593,23 @@ object SparkEntry {
        |         AS postings_md5
        |FROM td GROUP BY term ORDER BY term""".stripMargin
 
+  /** Zipf-fit oracle: identical vocab window + OLS staging (sums
+    * round 6 dp; rounded slope feeds the intercept). */
+  private lazy val textZipfSql: String =
+    s"""WITH tok AS (SELECT unnest($duckToks) AS term FROM documents),
+       |tf AS (SELECT term, count(*) AS n FROM tok GROUP BY 1 HAVING count(*) >= 5),
+       |rk AS (SELECT n, row_number() OVER (ORDER BY n DESC, term) AS r FROM tf),
+       |pts AS (SELECT ln(r) AS x, ln(n) AS y FROM rk WHERE r <= 1000),
+       |sums AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       |                round(sum(x), 6) AS sx, round(sum(y), 6) AS sy,
+       |                round(sum(x * x), 6) AS sxx, round(sum(x * y), 6) AS sxy
+       |         FROM pts),
+       |sl AS (SELECT *, round((n_terms * sxy - sx * sy) /
+       |                       (n_terms * sxx - sx * sx), 6) AS slope FROM sums)
+       |SELECT n_terms, slope,
+       |       round((sy - slope * sx) / n_terms, 6) AS intercept
+       |FROM sl""".stripMargin
+
   /** Grouped OLS regression from sufficient statistics: slope /
     * intercept of each event_type's daily value total against the
     * epoch day, computed closed-form from (n, Σx, Σx², Σy, Σxy) — ONE
@@ -3451,6 +3468,147 @@ object SparkEntry {
       .orderBy("event_type", "day")
   }
 
+  /** Zipf's-law fit of the corpus term-frequency curve: natural-log
+    * rank vs log frequency through the closed-form OLS slope — the
+    * one-number health check that a scraped corpus has a natural
+    * vocabulary (slope ≈ −1) rather than boilerplate (flat) or spam
+    * (cliff). Rank window runs over the VOCABULARY (df ≥ 5, top
+    * 1000) — domain-bounded, the text_vocab class of global window.
+    * Log terms are per-row unary ops on exact ints; the OLS sums
+    * round at 6 dp and the rounded slope feeds the intercept
+    * (statsRegression staging). */
+  private def textZipf(s: SparkSession, dir: String): DataFrame = {
+    val tf = t(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 5)
+    val ranked = tf
+      .withColumn("r", row_number().over(Window.orderBy(col("n").desc, col("term"))))
+      .filter(col("r") <= 1000)
+      .select(log(col("r")).as("x"), log(col("n")).as("y"))
+    ranked.agg(
+        count(lit(1)).as("n_terms"),
+        round(sum("x"), 6).as("sx"), round(sum("y"), 6).as("sy"),
+        round(sum(col("x") * col("x")), 6).as("sxx"),
+        round(sum(col("x") * col("y")), 6).as("sxy"))
+      .withColumn("slope",
+        round((col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_terms") * col("sxx") - col("sx") * col("sx")), 6))
+      .select(col("n_terms"), col("slope"),
+        round((col("sy") - col("slope") * col("sx")) / col("n_terms"), 6)
+          .as("intercept"))
+  }
+
+  /** PERMISSIVE-mode malformed-record handling (the reference's COPY
+    * error-tolerance surface, locopy's MAXERROR analog): write a CSV
+    * where every o_orderkey ≡ 0 (mod 97) row carries an unparseable
+    * totalprice, read it back with an explicit schema +
+    * columnNameOfCorruptRecord, and account for every row — parsed
+    * vs quarantined. The corruption rule is deterministic, so the
+    * oracle recomputes both populations from the clean table. */
+  private def csvPermissive(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = tmpDir("orders_badcsv")
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 97 === 0, lit("N/A"))
+          .otherwise(col("o_totalprice").cast("string")).as("o_totalprice"),
+        col("o_orderstatus"))
+      .coalesce(1).write.option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderstatus", StringType),
+      StructField("_corrupt_record", StringType)))
+    s.read.schema(schema)
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(out)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+          .as("n_corrupt"),
+        count(col("o_totalprice")).as("n_parsed"),
+        round(sum("o_totalprice"), 2).as("sum_parsed"))
+  }
+
+  /** Zone-map builder: per-6000-key zone min/max/ndv statistics for
+    * the scan-pruning columns — the metadata layer that lets a
+    * 100 TB reader skip files on predicate ranges (Parquet
+    * row-group / Iceberg manifest pruning, and the audit view of
+    * what [[graft.io.Layout]]'s Z-order clustering improves). ONE
+    * keyed aggregation, map-side combinable, output bounded by the
+    * key domain / 6000. */
+  private def zonemapBuild(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(floor(col("l_orderkey") / 6000.0).cast("long").as("zone"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"),
+        min(col("l_shipdate")).cast("timestamp").as("min_ship"),
+        max(col("l_shipdate")).cast("timestamp").as("max_ship"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"),
+        countDistinct("l_suppkey").as("ndv_supp"))
+      .orderBy("zone")
+
+  /** Histogram-sketch quantiles vs exact: p50/p90/p99 of
+    * extendedprice estimated from a 1000-bin equi-width histogram
+    * (right-edge rule) next to the exact interpolated percentile,
+    * with the estimation error — the fixed-size-state path
+    * (histogram merges by cell-wise sum; the exact percentile needs
+    * a full sort at scale). Bin edges come from one broadcast
+    * min/max row; the cumulative walk runs over the 1000-bin table
+    * only. */
+  private def quantileHist(s: SparkSession, dir: String): DataFrame = {
+    val x = t(s, dir, "lineitem")
+      .select(col("l_extendedprice").cast("double").as("x"))
+    val st = x.agg(min("x").as("lo"), max("x").as("hi"), count(lit(1)).as("n"))
+    val hist = x.crossJoin(broadcast(st))
+      .select(least(floor((col("x") - col("lo")) /
+        ((col("hi") - col("lo")) / 1000.0)), lit(999L)).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum("c").over(Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val qdf = st.select(col("lo"), col("hi"), col("n"),
+      explode(array(lit(0.5), lit(0.9), lit(0.99))).as("q"))
+    val est = qdf.join(cum, col("cum") >= col("q") * col("n"))
+      .groupBy("q", "lo", "hi").agg(min("bin").as("qbin"))
+      .withColumn("est",
+        col("lo") + (col("qbin") + 1) * ((col("hi") - col("lo")) / 1000.0))
+    val exact = x.agg(
+      expr("percentile(x, 0.5)").as("e50"),
+      expr("percentile(x, 0.9)").as("e90"),
+      expr("percentile(x, 0.99)").as("e99"))
+      .select(explode(array(
+        struct(lit(0.5).as("q"), col("e50").as("exact")),
+        struct(lit(0.9).as("q"), col("e90").as("exact")),
+        struct(lit(0.99).as("q"), col("e99").as("exact")))).as("s"))
+      .select(col("s.q").as("q"), col("s.exact").as("exact"))
+    est.join(exact, Seq("q"))
+      .select(col("q"), col("qbin"), col("est"), col("exact"),
+        round(col("est") - col("exact"), 6).as("err"))
+      .orderBy("q")
+  }
+
+  /** k-NN majority-vote classifier: query vectors (vec_id < 8)
+    * labeled by their 10 nearest labeled neighbors (vec_id ≥ 8,
+    * label = id mod 5), ties to the smallest label — the standard
+    * embedding-space label-propagation baseline, deterministic end
+    * to end (exact ranking + integer votes), so the prediction table
+    * hash-gates like any relational query. */
+  private def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val nn = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") >= 8), emb.filter(col("vec_id") < 8), 10)
+    nn.withColumn("label", pmod(col("nbr_id"), lit(5L)))
+      .groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("votes").desc, col("label"))))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+      .orderBy("query_id")
+  }
+
   // ======================================================================
   // Contract maps
   // ======================================================================
@@ -3530,6 +3688,11 @@ object SparkEntry {
     "interval_merge" -> (intervalMerge(_, _)),
     "ts_rolling_median" -> (tsRollingMedian(_, _)),
     "ts_cusum" -> (tsCusum(_, _)),
+    "text_zipf" -> (textZipf(_, _)),
+    "csv_permissive" -> (csvPermissive(_, _)),
+    "zonemap_build" -> (zonemapBuild(_, _)),
+    "quantile_hist" -> (quantileHist(_, _)),
+    "knn_classify" -> (knnClassify(_, _)),
     "graph_adamic_adar" -> (graphAdamicAdar(_, _)),
     "ts_anomaly" -> (tsAnomaly(_, _)),
     "graph_kcore" -> (graphKcore(_, _)),
@@ -5169,6 +5332,80 @@ object SparkEntry {
         |SELECT event_type, CAST(day AS TIMESTAMP) AS day, x, cusum,
         |       cusum > 50.0 AS is_shift
         |FROM k ORDER BY event_type, day""".stripMargin,
+    "text_zipf" -> textZipfSql,
+    // deterministic mod-97 corruption rule recomputed from the clean
+    // table: quarantined rows parse to NULL, the rest sum exactly
+    "csv_permissive" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(*) FILTER (WHERE o_orderkey % 97 = 0) AS BIGINT)
+        |         AS n_corrupt,
+        |       CAST(count(*) FILTER (WHERE o_orderkey % 97 <> 0) AS BIGINT)
+        |         AS n_parsed,
+        |       round(sum(o_totalprice) FILTER (WHERE o_orderkey % 97 <> 0), 2)
+        |         AS sum_parsed
+        |FROM orders""".stripMargin,
+    "zonemap_build" ->
+      """SELECT CAST(floor(l_orderkey / 6000.0) AS BIGINT) AS zone,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+        |       CAST(min(l_shipdate) AS TIMESTAMP) AS min_ship,
+        |       CAST(max(l_shipdate) AS TIMESTAMP) AS max_ship,
+        |       min(l_extendedprice) AS min_price,
+        |       max(l_extendedprice) AS max_price,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS ndv_supp
+        |FROM lineitem GROUP BY 1 ORDER BY zone""".stripMargin,
+    // 1000-bin equi-width histogram quantile (right-edge rule) next
+    // to the exact interpolated percentile; bin edges from one
+    // min/max row, per-row chains ≤ 3 IEEE ops
+    "quantile_hist" ->
+      """WITH x AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
+        |st AS (SELECT min(x) AS lo, max(x) AS hi,
+        |              CAST(count(*) AS BIGINT) AS n FROM x),
+        |b AS (SELECT CAST(least(floor((x - lo) / ((hi - lo) / 1000.0)), 999)
+        |               AS BIGINT) AS bin
+        |      FROM x CROSS JOIN st),
+        |hist AS (SELECT bin, count(*) AS c FROM b GROUP BY 1),
+        |cum AS (SELECT bin, CAST(sum(c) OVER (ORDER BY bin
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS cum FROM hist),
+        |qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+        |est AS (SELECT q, min(bin) AS qbin
+        |        FROM qs JOIN cum ON cum >= q * (SELECT n FROM st) GROUP BY q),
+        |ex AS (SELECT 0.5 AS q, quantile_cont(x, 0.5) AS exact FROM x
+        |       UNION ALL SELECT 0.9, quantile_cont(x, 0.9) FROM x
+        |       UNION ALL SELECT 0.99, quantile_cont(x, 0.99) FROM x),
+        |joined AS (SELECT e.q, est.qbin,
+        |             (SELECT lo FROM st) + (est.qbin + 1) *
+        |               (((SELECT hi FROM st) - (SELECT lo FROM st)) / 1000.0)
+        |               AS est,
+        |             e.exact
+        |           FROM est JOIN ex e ON e.q = est.q)
+        |SELECT q, qbin, est, exact, round(est - exact, 6) AS err
+        |FROM joined ORDER BY q""".stripMargin,
+    // exact ranking over the labeled corpus + integer votes; argmax
+    // by (votes DESC, label) replays the tie rule
+    "knn_classify" ->
+      """WITH nn AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |         round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                      CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM embeddings c JOIN embeddings q
+        |    ON q.vec_id < 8 AND c.vec_id >= 8
+        |), ranked AS (
+        |  SELECT query_id, nbr_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cosine DESC, nbr_id) AS rank
+        |  FROM nn
+        |), votes AS (
+        |  SELECT query_id, nbr_id % 5 AS label, count(*) AS votes
+        |  FROM ranked WHERE rank <= 10 GROUP BY 1, 2
+        |), best AS (
+        |  SELECT query_id, label, votes,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY votes DESC, label) AS rk
+        |  FROM votes)
+        |SELECT query_id, label AS pred_label, CAST(votes AS BIGINT) AS votes
+        |FROM best WHERE rk = 1 ORDER BY query_id""".stripMargin,
     // same und base as graph_triangles; wedge pivots weighted 1/ln(deg)
     // with the deg<=64 hub guard replayed; anti-join drops existing
     // edges; scores round to 6 dp BEFORE the top-50 ranking
