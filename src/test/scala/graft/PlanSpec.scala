@@ -391,6 +391,37 @@ class PlanSpec extends AnyFunSuite {
     assert(simple.contains("Window"), "local skyline window expected")
   }
 
+  test("sketch builds: keyed aggregation to parameter-sized state, no corpus broadcast, no cartesian") {
+    for (q <- Seq("sketch_cms", "sketch_bloom")) {
+      val df = SparkEntry.queries(q)(spark, TestSession.sf)
+      val plan = explained(df)
+      // the corpus side must flow scan → explode → hash aggregate;
+      // only the parameter-sized sketch may broadcast (probe join)
+      assert(plan.contains("HashAggregate"), s"$q: expected keyed aggregate")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"$q: " + plan.take(1500))
+    }
+  }
+
+  test("interval merge: windows are supplier-keyed — no single-partition exchange") {
+    val df = SparkEntry.queries("interval_merge")(spark, TestSession.sf)
+    val simple = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(!simple.contains("Exchange SinglePartition"), simple.take(2000))
+    assert(simple.contains("Window"), "prefix max/sum windows expected")
+  }
+
+  test("histogram quantiles: corpus aggregates map-side; only the stats row broadcasts") {
+    val df = SparkEntry.queries("quantile_hist")(spark, TestSession.sf)
+    val plan = explained(df)
+    assert(plan.contains("HashAggregate"), "bin histogram must hash-aggregate")
+    // the non-equi quantile walk joins two BOUNDED tables (3 q-rows ×
+    // ≤1000 bins) — a nested-loop there is fine; what must never
+    // appear is a corpus-sized shuffle join
+    assert(!plan.contains("SortMergeJoin"), "no corpus-sized join expected")
+    assert(plan.contains("BroadcastExchange"), "stats row should broadcast")
+  }
+
   test("custom expressions are SQL-reachable via extensions registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(
