@@ -21,18 +21,17 @@ import graft.streaming.Stream
   */
 object SparkEntry {
 
-  /** Read a testdata table. The events table carries parquet
-    * TIMESTAMP(NANOS), which Spark has no native type for — read nanos
-    * as long (legacy conf) and convert to microsecond TimestampType
-    * with integer arithmetic (no double round-trip: ns epochs exceed
-    * 2^53). */
+  /** Read a testdata table. The events table's `ts` physical type has
+    * varied across fixture generations — TIMESTAMP(NANOS) (no native
+    * Spark type: read nanos as long under the legacy conf, convert with
+    * integer arithmetic since ns epochs exceed 2^53) and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (loads as TIMESTAMP_NTZ,
+    * which watermarks and unix_micros reject). [[graft.streaming.Stream
+    * .normalizeTs]] handles both, yielding TimestampType either way. */
   private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"${dir.stripSuffix("/")}/$name.parquet")
-    if (df.columns.contains("ts") &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    graft.streaming.Stream.normalizeTs(
+      spark.read.parquet(s"${dir.stripSuffix("/")}/$name.parquet"))
   }
 
   private def registerViews(spark: SparkSession, dir: String): Unit =

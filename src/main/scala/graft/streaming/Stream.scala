@@ -392,26 +392,50 @@ object Stream {
     ()
   }
 
+  /** Normalize the events `ts` column to TimestampType regardless of the
+    * parquet physical type. Testdata `events` files vary by scale factor:
+    * some store TIMESTAMP(NANOS), which (under `nanosAsLong`) load as raw
+    * Long nanoseconds and need integer `div 1000` → micros conversion (ns
+    * epochs exceed double's 2^53, so no floating-point path); others store
+    * TIMESTAMP(MICROS), which load directly as a timestamp and must NOT be
+    * divided. Guarding on the LOADED type makes every reader — and the
+    * tests — agnostic to the footer's physical type. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    if (!df.schema.fieldNames.contains("ts")) df
+    else df.schema("ts").dataType match {
+      // TIMESTAMP(NANOS) footer read under nanosAsLong: raw ns epoch
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false) loads as NTZ, which
+      // watermarks reject; session tz is pinned to UTC, so the cast
+      // reinterprets the same instant as TIMESTAMP (LTZ)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
+  /** Shared file-source reader for the `runOnce` family: probe the schema
+    * with the batch reader, stream the file's PARENT directory with a glob
+    * pinned to this file (FileStreamSource wants a directory), then
+    * [[normalizeTs]]. This is the scale path: at 100 TB the glob widens to
+    * the whole directory and the same reader streams it file-by-file. */
+  private[graft] def readEventsStream(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema: StructType = spark.read.parquet(path).schema
+    val p = new org.apache.hadoop.fs.Path(path)
+    normalizeTs(spark.readStream.schema(schema)
+      .option("pathGlobFilter", p.getName)
+      .parquet(p.getParent.toString))
+  }
+
   /** Run a batch-parquet-driven streaming query synchronously into a
     * memory sink and return the result table. Exercises the real
     * streaming engine (micro-batches, state store) with deterministic
     * output (complete mode). */
   def runOnce(spark: SparkSession, path: String, window_ : String = "1 hour",
       queryName: String = "graft_stream_out"): DataFrame = {
-    // events carries parquet TIMESTAMP(NANOS): read nanos as long and
-    // convert with integer arithmetic (ns epochs exceed double's 2^53)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema: StructType = spark.read.parquet(path).schema
-    // FileStreamSource wants a directory: stream the parent with a glob
-    // pinned to this table's file(s)
-    val p = new org.apache.hadoop.fs.Path(path)
-    val stream0 = spark.readStream.schema(schema)
-      .option("pathGlobFilter", p.getName)
-      .parquet(p.getParent.toString)
-    val stream =
-      if (stream0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else stream0
+    val stream = readEventsStream(spark, path)
     val agg = windowedAgg(stream, window_)
     val q = agg.writeStream
       .outputMode("complete")
@@ -444,16 +468,7 @@ object Stream {
   def runSlidingOnce(spark: SparkSession, path: String,
       window_ : String = "2 hours", slide: String = "1 hour",
       queryName: String = "graft_stream_sliding"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema: StructType = spark.read.parquet(path).schema
-    val p = new org.apache.hadoop.fs.Path(path)
-    val stream0 = spark.readStream.schema(schema)
-      .option("pathGlobFilter", p.getName)
-      .parquet(p.getParent.toString)
-    val stream =
-      if (stream0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else stream0
+    val stream = readEventsStream(spark, path)
     val q = slidingAgg(stream, window_, slide).writeStream
       .outputMode("complete")
       .format("memory")
@@ -473,16 +488,7 @@ object Stream {
   def runEnrichOnce(spark: SparkSession, path: String, dim: DataFrame,
       streamKey: String, dimKey: String, aggKey: String,
       queryName: String = "graft_stream_enrich"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema: StructType = spark.read.parquet(path).schema
-    val p = new org.apache.hadoop.fs.Path(path)
-    val stream0 = spark.readStream.schema(schema)
-      .option("pathGlobFilter", p.getName)
-      .parquet(p.getParent.toString)
-    val stream =
-      if (stream0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else stream0
+    val stream = readEventsStream(spark, path)
     val enriched = stream.join(dim, col(streamKey) === col(dimKey))
       .groupBy(aggKey)
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
@@ -525,17 +531,8 @@ object Stream {
       lateness: String = "2 hours",
       queryName: String = "graft_stream_join",
       joinType: String = "inner"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema: StructType = spark.read.parquet(path).schema
-    val p = new org.apache.hadoop.fs.Path(path)
     def side(pred: org.apache.spark.sql.Column, tag: String): DataFrame = {
-      val s0 = spark.readStream.schema(schema)
-        .option("pathGlobFilter", p.getName)
-        .parquet(p.getParent.toString)
-      val s =
-        if (s0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          s0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else s0
+      val s = readEventsStream(spark, path)
       s.filter(pred).withWatermark("ts", lateness)
         .select(col("event_id").as(s"${tag}_id"), col(keyCol).as(s"${tag}_key"),
           col("ts").as(s"${tag}_ts"), col("value").as(s"${tag}_value"))
@@ -581,16 +578,7 @@ object Stream {
   def runDedupOnce(spark: SparkSession, path: String, keys: Seq[String],
       lateness: String = "2 hours",
       queryName: String = "graft_stream_dedup"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema: StructType = spark.read.parquet(path).schema
-    val p = new org.apache.hadoop.fs.Path(path)
-    val stream0 = spark.readStream.schema(schema)
-      .option("pathGlobFilter", p.getName)
-      .parquet(p.getParent.toString)
-    val stream =
-      if (stream0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else stream0
+    val stream = readEventsStream(spark, path)
     val dd = stream
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keys)

@@ -329,8 +329,7 @@ class ExtSpec extends AnyFunSuite {
 
   test("streaming windowed agg equals its batch twin") {
     val batch = Stream.windowedAgg(
-      spark.read.parquet(s"${TestSession.sf}/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      Stream.normalizeTs(spark.read.parquet(s"${TestSession.sf}/events.parquet")))
       .select("window_start", "event_type", "n_events", "sum_value")
       .orderBy("window_start", "event_type").collect()
     val streamed = Stream.runOnce(spark, s"${TestSession.sf}/events.parquet",
@@ -374,10 +373,9 @@ class ExtSpec extends AnyFunSuite {
   test("streaming dedup drops duplicate keys within watermark") {
     // batch DataFrames accept dropDuplicates the same way; here just the
     // plan shape: it must be streaming-valid
-    val ev = spark.readStream
+    val ev = Stream.normalizeTs(spark.readStream
       .schema(spark.read.parquet(s"${TestSession.sf}/events.parquet").schema)
-      .parquet(s"${TestSession.sf}/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(s"${TestSession.sf}/events.parquet"))
     val dd = Stream.streamingDedup(ev, Seq("user_id"))
     assert(dd.isStreaming)
   }
@@ -501,8 +499,8 @@ class ExtSpec extends AnyFunSuite {
   }
 
   test("slidingAgg lands every event in window/slide overlapping buckets") {
-    val ev = spark.read.parquet(s"${TestSession.sf}/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = Stream.normalizeTs(
+      spark.read.parquet(s"${TestSession.sf}/events.parquet"))
     val n = ev.count()
     val agg = Stream.slidingAgg(ev, "2 hours", "1 hour")
     assert(agg.agg(sum("n_events")).head.getLong(0) == 2 * n)
