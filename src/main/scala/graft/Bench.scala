@@ -39,11 +39,15 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     }
+    // prime the temp-checkpoint baseline so pre-existing dirs (other
+    // processes') are never reaped — only dirs this suite creates
+    org.apache.spark.GraftBenchInternals.cleanStreamingState(spark)
     // per query: (wall seconds, GC ms inside the timed region,
-    // local-dir MB left AFTER the between-run cleanup) per run — the
-    // telemetry that lets an inflated in-suite timing be attributed
-    // (GC pause? disk debt?) or cleared from the artifact alone
-    val results: Seq[(String, Seq[(Double, Long, Long)])] = SparkEntry.queries.toSeq
+    // local-dir MB left AFTER the between-run cleanup, used-heap MB
+    // after cleanup+gc) per run — the telemetry that lets an inflated
+    // in-suite timing be attributed (GC pause? disk debt? heap debt?)
+    // or cleared from the artifact alone
+    val results: Seq[(String, Seq[(Double, Long, Long, Long)])] = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
@@ -70,11 +74,20 @@ object Bench {
         // dedup_substring 32.15 s vs 3.41 s). Cleanup runs OUTSIDE
         // the timed region.
         org.apache.spark.GraftBenchInternals.cleanAllShuffles(spark.sparkContext)
+        // Streaming-state hygiene (round 9): the round-8 shuffle fix
+        // zeroed disk debt yet streaming/graph victims still inflated
+        // in-suite (stream_sliding 20.6 s vs 2.9 s isolated) — the
+        // residual debt is memory-sink views, loaded state-store
+        // providers, and leaked temp checkpoints. Reap them between
+        // measurements, deterministically, like the shuffles.
+        org.apache.spark.GraftBenchInternals.cleanStreamingState(spark)
         // heap hygiene (code cache / humongous regions) — no longer
         // load-bearing for shuffle files, kept for allocator headroom
         System.gc()
         val residualMb = org.apache.spark.GraftBenchInternals.localDirBytes() >> 20
-        (dt, gcMs, residualMb)
+        val rt = Runtime.getRuntime
+        val heapMb = (rt.totalMemory - rt.freeMemory) >> 20
+        (dt, gcMs, residualMb, heapMb)
       }
       name -> times
     }
@@ -101,7 +114,10 @@ object Bench {
     val dirDetail = results.map { case (k, v) =>
       "\"" + k + "\":[" + v.map(_._3).mkString(",") + "]" }
       .mkString("{", ",", "}")
-    val detail = s"""{"metric":"detail","value":$total,"unit":"sec","queries":$detailQs,"spread":$spread,"gc_ms":$gcDetail,"localdir_mb_after_clean":$dirDetail,"runs":$runs,"sf":"$sfDir"}"""
+    val heapDetail = results.map { case (k, v) =>
+      "\"" + k + "\":[" + v.map(_._4).mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val detail = s"""{"metric":"detail","value":$total,"unit":"sec","queries":$detailQs,"spread":$spread,"gc_ms":$gcDetail,"localdir_mb_after_clean":$dirDetail,"heap_mb_after_clean":$heapDetail,"runs":$runs,"sf":"$sfDir"}"""
     // best-effort: a read-only or foreign cwd must not abort the run
     // AFTER the measurements and BEFORE the final stdout line
     try {

@@ -44,6 +44,50 @@ object GraftBenchInternals {
   def localDirBytes(): Long =
     SparkEnv.get.blockManager.diskBlockManager.localDirs.map(sizeOf).sum
 
+  // Temp-checkpoint dirs that existed BEFORE the suite started (other
+  // processes', or stale) — never touched; only dirs that appear while
+  // this JVM runs are this suite's debt and safe to reap.
+  private var tmpCheckpointBaseline: Set[String] = _
+
+  /** Streaming-state analogue of [[cleanAllShuffles]]. Round-8
+    * telemetry proved the disk debt dead (`localdir_mb_after_clean`=0
+    * on every run) while stream_sliding still measured 20.6 s in-suite
+    * vs 2.9 s isolated — the residual suite-state debt is HEAP and
+    * streaming state: memory-sink result batches pinned by their temp
+    * views, `HDFSBackedStateStoreProvider` version maps held by the
+    * loaded-providers registry, and temp checkpoint dirs from the
+    * dozen streaming queries. Clean all three deterministically
+    * between measurements, same rationale as the shuffle reap. */
+  def cleanStreamingState(spark: org.apache.spark.sql.SparkSession): Unit = {
+    // failure-path net: AvailableNow harnesses terminate themselves
+    spark.streams.active.foreach { q =>
+      try q.stop() catch { case _: Throwable => () }
+    }
+    // memory-sink temp views (queryName tables) pin each streaming
+    // query's complete-mode result batches on the heap for the rest
+    // of the suite; dropping the view unreaches the sink
+    spark.catalog.listTables().collect()
+      .filter(t => t.isTemporary && t.name.startsWith("graft_stream"))
+      .foreach(t => spark.catalog.dropTempView(t.name))
+    // executor-side (local-mode: in-process) state store providers —
+    // the next streaming query reloads what it needs from checkpoint
+    org.apache.spark.sql.GraftColumnBridge.unloadAllStateStores()
+    // temp checkpoint dirs: deleted on clean query stop, leaked on
+    // failure — reap only dirs created since this JVM started
+    val tmp = new File(System.getProperty("java.io.tmpdir"))
+    val current = Option(tmp.listFiles).getOrElse(Array.empty[File])
+      .filter(f => f.isDirectory && f.getName.startsWith("temporary-"))
+    if (tmpCheckpointBaseline == null)
+      tmpCheckpointBaseline = current.map(_.getName).toSet
+    else current.filterNot(f => tmpCheckpointBaseline.contains(f.getName))
+      .foreach(deleteRecursively)
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
   private def sizeOf(f: File): Long =
     if (f.isFile) f.length
     else Option(f.listFiles).map(_.map(sizeOf).sum).getOrElse(0L)

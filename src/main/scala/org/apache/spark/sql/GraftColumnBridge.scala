@@ -10,4 +10,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `private[sql]` access for the bench harness's between-query
+    * streaming-state reap (GraftBenchInternals.cleanStreamingState):
+    * close and unregister every loaded state-store provider. The next
+    * streaming query reloads its state from checkpoint as usual. */
+  def unloadAllStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
 }
