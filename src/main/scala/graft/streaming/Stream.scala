@@ -158,6 +158,10 @@ object Stream {
       queryName: String = "graft_stream_late"
   ): DataFrame = {
     import spark.implicits._
+    // HARNESS BOUNDARY: driver-side collect is fixture-bounded (the
+    // MemoryStream feed needs arrival order the file source can't
+    // express). The 100 TB path is the file-source runner family
+    // ([[runOnce]]/[[readEventsStream]]), which never collects.
     val rows = events
       .select(unix_micros(col("ts")).as("us"), col("value").cast("double"),
         latePred.cast("boolean").as("late"))
@@ -224,6 +228,10 @@ object Stream {
       table: String = "graft_stream_upsert"
   ): DataFrame = {
     import spark.implicits._
+    // HARNESS BOUNDARY: driver-side collect is fixture-bounded (the
+    // two-batch split needs explicit MemoryStream batch control). The
+    // 100 TB path is the file-source runner family ([[runOnce]]/
+    // [[readEventsStream]]) + [[mergeUpsertBatch]], which never collect.
     val rows = events
       .select(col("user_id").cast("long"), unix_micros(col("ts")),
         col("event_id").cast("long"), col("value").cast("double"),
@@ -333,6 +341,10 @@ object Stream {
       table: String = "graft_stream_cdc"
   ): DataFrame = {
     import spark.implicits._
+    // HARNESS BOUNDARY: driver-side collect is fixture-bounded (the
+    // CDC feed's batch split needs explicit MemoryStream control). The
+    // 100 TB path is a file/log source + [[applyCdcBatch]], which
+    // never collects.
     val rows = feed.select(col("okey").cast("long"), col("seq").cast("long"),
         col("op"), col("price").cast("double"), col("status"),
         coalesce(col("second").cast("boolean"), lit(false)))
@@ -625,6 +637,10 @@ object Stream {
       queryName: String = "graft_stream_dedup_mb"
   ): DataFrame = {
     import spark.implicits._
+    // HARNESS BOUNDARY: the collect is PRE-AGGREGATED to one row per
+    // (key, batch) — bounded by distinct keys, not events — and exists
+    // only for explicit MemoryStream batch control. The 100 TB path is
+    // [[runDedupOnce]] over the file source, which never collects.
     val rows = events
       .select(col(keyCol).cast("long").as("k"), unix_micros(col("ts")).as("us"),
         coalesce(batch2Pred.cast("boolean"), lit(false)).as("b2"))
