@@ -2026,11 +2026,11 @@ object SparkEntry {
   private def unloadExportRoundtrip(s: SparkSession, dir: String): DataFrame = {
     registerViews(s, dir)
     val raw = tmpDir("supplier_unload")
-    val export = tmpDir("supplier_export") + "/supplier.csv"
+    val exportPath = tmpDir("supplier_export") + "/supplier.csv"
     Unload.unloadAndCopy(s,
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
-      raw, Some(export), delimiter = "|")
-    Load.read(s, export, "csv", options = Map("delimiter" -> "|"), header = true)
+      raw, Some(exportPath), delimiter = "|")
+    Load.read(s, exportPath, "csv", options = Map("delimiter" -> "|"), header = true)
       .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
         col("s_nationkey").cast("long").as("s_nationkey"),
         col("s_acctbal").cast("double").as("s_acctbal"))

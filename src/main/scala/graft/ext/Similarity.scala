@@ -528,7 +528,7 @@ object Similarity {
         idCol, vecCol)
       .select(col("nbr_id").cast("long"), col("cosine"))
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
-    val ids = pool.map(_._1)
+    val ids = pool.map(_._1).toSeq
     val vecs = emb.filter(col(idCol).isin(ids: _*))
       .select(col(idCol).cast("long"), normalize(col(vecCol)))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
@@ -541,7 +541,7 @@ object Similarity {
       round6(s)
     }
     val selected = scala.collection.mutable.ArrayBuffer[(Int, Long, Double, Double)]()
-    val remaining = scala.collection.mutable.LinkedHashMap(pool: _*)
+    val remaining = scala.collection.mutable.LinkedHashMap(pool.toSeq: _*)
     // the corpus can yield fewer than poolSize (even fewer than k)
     // neighbors — emit only real candidates, never filler rows
     for (r <- 1 to math.min(k, pool.length)) {

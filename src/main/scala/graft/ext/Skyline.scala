@@ -60,6 +60,6 @@ object Skyline {
     local
       .join(broadcast(prefix), Seq("__pid"), "left")
       .filter(col("__prefix_min").isNull || col("__prefix_min") > col(yCol))
-      .select(cols.map(col): _*)
+      .select(cols.toSeq.map(col): _*)
   }
 }

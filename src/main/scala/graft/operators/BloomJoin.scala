@@ -40,7 +40,7 @@ object BloomJoin {
       expression(xxhash64(col(key))),
       expression(lit(expectedItems)),
       expression(lit(numBits))).toAggregateExpression()
-    small.select(column(agg).as("bf")).head.getAs[Array[Byte]]("bf")
+    small.select(column(agg).as("bf")).head().getAs[Array[Byte]]("bf")
   }
 
   /** A reusable `might_contain` predicate for `keyCol` against the

@@ -19,8 +19,12 @@ import graft.functions.{SortedIntersectCount, TopKByScore, VecDotProduct}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  // full 11-arg constructor (the 5-arg shorthand is deprecated):
+  // (className, db, name, usage, arguments, examples, note, group,
+  // since, deprecated, source)
   private def info(name: String, usage: String) =
-    new ExpressionInfo("graft.functions", null, name, usage, "")
+    new ExpressionInfo("graft.functions", null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((

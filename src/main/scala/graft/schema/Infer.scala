@@ -65,7 +65,7 @@ object Infer {
 
     val stringMapped: Map[String, DataType] =
       if (stringCols.isEmpty) Map.empty
-      else classifyStrings(df, stringCols.map(_.name), flavor)
+      else classifyStrings(df, stringCols.map(_.name).toSeq, flavor)
 
     StructType(df.schema.fields.map { f =>
       val dt = typedMapped.getOrElse(f.name, stringMapped(f.name))
