@@ -2224,6 +2224,19 @@ object SparkEntry {
     Dedup.embeddingNearDupes(t(s, dir, "embeddings"), 0.45)
       .orderBy("id_a", "id_b")
 
+  /** SemDeDup cluster-then-dedup ([[graft.ext.Dedup.semanticDedup]]):
+    * 16 first-N cells, within-cell cosine ≥ 0.42 removes the higher
+    * id. The n²/k scale mechanism for embedding dedup — candidates are
+    * cell-keyed, never all-pairs. Hash-oracled end-to-end: cell
+    * argmin scores and pair cosines round to 6 dp before every
+    * decision, so DuckDB replays assignment + removal exactly
+    * (threshold 0.42 is fixture-calibrated to remove 4/6/91 rows at
+    * sf0.001/0.01/0.1 — non-trivial at every gate scale). */
+  private def dedupSemantic(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(t(s, dir, "embeddings"), ncells = 16, threshold = 0.42)
+      .select(col("id").as("vec_id"), col("cell"), col("kept"), col("dup_of"))
+      .orderBy("vec_id")
+
   /** Embedding near-dup pairs via the SRP-LSH SCALE path (banded
     * candidates + exact verify, no cartesian — the plan that replaces
     * dedupEmbCos's Θ(n²) at corpus scale), gated on the same exact
@@ -3774,6 +3787,7 @@ object SparkEntry {
     "dedup_substring" -> (dedupSubstring(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "dedup_embcos" -> (dedupEmbCos(_, _)),
+    "dedup_semantic" -> (dedupSemantic(_, _)),
     "dedup_emblsh" -> (dedupEmbLsh(_, _)),
     "simsearch_topk" -> (simsearchTopK(_, _)),
     "knn_join" -> (knnJoin(_, _)),
@@ -4390,6 +4404,30 @@ object SparkEntry {
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+    // SemDeDup replay: cell assignment exactly as simsearch_ivf's
+    // cells CTE (6-dp-rounded centroid scores, ties to lowest cid),
+    // then within-cell lower-id removal on the 6-dp-rounded cosine
+    "dedup_semantic" ->
+      """WITH cents AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 16),
+        |sa AS (SELECT e.vec_id, c.cid,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                      CAST(c.embedding AS DOUBLE[])), 6) AS s
+        |       FROM embeddings e CROSS JOIN cents c),
+        |cells AS (SELECT vec_id, cid AS cell FROM (
+        |         SELECT vec_id, cid,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        |         FROM sa) WHERE rn = 1),
+        |pairs AS (SELECT b.vec_id AS vec_id, a.vec_id AS lo
+        |       FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |       JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |       JOIN embeddings eb ON eb.vec_id = b.vec_id
+        |       WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+        |                                          CAST(eb.embedding AS DOUBLE[])), 6) >= 0.42),
+        |rem AS (SELECT vec_id, min(lo) AS dup_of FROM pairs GROUP BY 1)
+        |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+        |       r.vec_id IS NULL AS kept, r.dup_of
+        |FROM cells c LEFT JOIN rem r ON r.vec_id = c.vec_id
+        |ORDER BY c.vec_id""".stripMargin,
     "dedup_emblsh" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

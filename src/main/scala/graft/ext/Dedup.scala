@@ -859,4 +859,53 @@ object Dedup {
       .select(col("l.name").as("name"), col("l.n_rows").as("n_rows"),
         col("r.name").as("cand"), col("dist"))
   }
+
+  // --------------------------------------- 6. semantic (cluster-then-dedup)
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): coarse-cluster the embedding space, then look
+    * for near-duplicates ONLY within each cluster. A row is removed
+    * when a lower-id member of its own cluster sits at cosine ≥
+    * `threshold`; `dup_of` reports the lowest such id (null for kept
+    * rows).
+    *
+    * This is the scale mechanism that replaces the Θ(n²) exact pass
+    * ([[embeddingNearDupes]]): with k cells the candidate space is
+    * Σ|cell|² ≈ n²/k, and k GROWS with the corpus (SemDeDup used 50k
+    * clusters for LAION) so cells stay bounded — the within-cell
+    * self-join is a cell-keyed shuffle whose per-key fan-out is the
+    * cell size, never an all-pairs product. Cell assignment itself is
+    * a pure codegen'd argmin projection (zero shuffle,
+    * [[Similarity.assignCellsVec]]).
+    *
+    * Determinism/oracle contract: the quantizer is the deterministic
+    * first-`ncells` init ([[Similarity.firstNCentroids]]); centroid
+    * scores and pair cosines round to 6 dp BEFORE the argmin /
+    * threshold compare (the repo's cross-engine float discipline), so
+    * cluster membership and every removal decision replay exactly in
+    * SQL. Train a k-means quantizer ([[Similarity.kmeansCentroids]])
+    * for production quality — the dedup semantics are identical. */
+  def semanticDedup(
+      emb: DataFrame,
+      ncells: Int,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      centroids: Option[Seq[(Long, Seq[Double])]] = None
+  ): DataFrame = {
+    require(ncells >= 1, s"ncells must be >= 1, got $ncells")
+    val cents = centroids.getOrElse(
+      Similarity.firstNCentroids(emb, ncells, idCol, vecCol))
+    val assigned = Similarity.assignCellsVec(emb, cents, idCol, vecCol)
+    val pairs = assigned.as("a")
+      .join(assigned.as("b").hint("shuffle_merge"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .filter(round(graft.functions.fx.vecDot(col("a.v"), col("b.v")), 6) >= threshold)
+      .select(col("b.id").as("id"), col("a.id").as("lo"))
+    val removed = pairs.groupBy("id").agg(min(col("lo")).as("dup_of"))
+    assigned.select(col("id"), col("cell"))
+      .join(removed, Seq("id"), "left")
+      .select(col("id"), col("cell"), col("dup_of").isNull.as("kept"),
+        col("dup_of"))
+  }
 }

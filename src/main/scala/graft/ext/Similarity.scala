@@ -126,6 +126,25 @@ object Similarity {
       round(-col("b.negcos"), 6).as("cosine"))
   }
 
+  /** [[assignCells]] keeping the NORMALIZED vector alongside the cell
+    * id — (id, cell, v) — for consumers that score within-cell pairs
+    * right after assignment (SemDeDup-style cluster-then-dedup) and
+    * would otherwise have to re-join the corpus on id just to get the
+    * vector back (an extra corpus-sized shuffle). Same pure codegen'd
+    * argmin projection, no shuffle. */
+  def assignCellsVec(
+      emb: DataFrame,
+      cents: Seq[(Long, Seq[Double])],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    require(cents.nonEmpty, "assignCellsVec: need at least one centroid")
+    emb
+      .select(col(idCol).as("id"), normalize(col(vecCol)).as("v"))
+      .withColumn("cell", bestCellExpr(cents)(col("v")))
+      .select(col("id"), col("cell"), col("v"))
+  }
+
   /** Spherical k-means (Lloyd) quantizer training: seed =
     * [[firstNCentroids]], then `iters` rounds of [assign each vector to
     * its nearest centroid via the codegen'd literal argmin — zero

@@ -179,6 +179,27 @@ class ExtSpec extends AnyFunSuite {
     assert(n > 0 && n < 100)
   }
 
+  test("semanticDedup: removals are exactly the within-cell lower-id near-dups") {
+    val t = 0.42
+    val res = Dedup.semanticDedup(emb, ncells = 16, threshold = t).collect()
+    assert(res.length == emb.count(), "every vector gets a verdict")
+    val removed = res.filter(!_.getBoolean(2))
+    assert(removed.nonEmpty, "fixture moved: threshold 0.42 should remove rows")
+    // independent check: a row is removed iff SOME same-cell lower id
+    // sits at cosine >= t (computed via the exact pairwise pass
+    // restricted to same-cell pairs), and dup_of is the LOWEST such id
+    val cells = Similarity.assignCellsVec(emb, Similarity.firstNCentroids(emb, 16))
+    val cellOf = cells.select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sameCellPairs = Dedup.embeddingNearDupes(emb, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => cellOf(a) == cellOf(b) }
+    val expectDupOf = sameCellPairs.groupBy(_._2).map { case (b, ps) => b -> ps.map(_._1).min }
+    val gotDupOf = removed.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(gotDupOf == expectDupOf,
+      s"missing=${expectDupOf.keySet -- gotDupOf.keySet} extra=${gotDupOf.keySet -- expectDupOf.keySet}")
+  }
+
   test("srp-lsh scale path equals the exact pair set (recall + precision)") {
     // precision 1 is structural (exact verify); recall is
     // fixture-empirical — tuned so every qualifying pair collides in
