@@ -2494,6 +2494,15 @@ object SparkEntry {
     Text.lmScoreDf(t(s, dir, "documents"))
       .orderBy("doc_id")
 
+  /** Multinomial Naive Bayes ([[Text.naiveBayes]]) trained on the
+    * lang labels and applied to the same corpus (resubstitution) —
+    * train AND predict hash-oracled: priors/likelihoods are 1-2-op
+    * IEEE chains over exact counts (unrounded), per-doc score sums
+    * round to 4 dp before the (score DESC, label) argmax. */
+  private def textNbayes(s: SparkSession, dir: String): DataFrame =
+    Text.naiveBayes(t(s, dir, "documents"), "lang")
+      .orderBy("doc_id")
+
   /** TF-IDF top-term extraction ([[Text.topTermDf]]): the most
     * characteristic term per document, ranked by the exact integer key
     * (tf desc, df asc, term asc) with the float tf·idf reported as an
@@ -3815,6 +3824,7 @@ object SparkEntry {
     "emb_pq" -> (embPq(_, _)),
     "text_repetition" -> (textRepetition(_, _)),
     "text_lmscore" -> (textLmScore(_, _)),
+    "text_nbayes" -> (textNbayes(_, _)),
     "text_tfidf" -> (textTfidf(_, _)),
     "profile_lineitem" -> (profileLineitem(_, _)),
     "integrity_checksum" -> (integrityChecksum(_, _)),
@@ -4713,6 +4723,44 @@ object SparkEntry {
          |       count(*) AS n_tokens
          |FROM tok JOIN lp USING (tok)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // NB replay: priors/likelihoods are exact-int ratios through ln
+    // (bit-identical), doc score sums round(4) before the argmax
+    "text_nbayes" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, unnest($duckToks) AS term FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+         |), ct AS (
+         |  SELECT lang AS cls, term, count(*) AS cnt FROM toks GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT lang AS cls, count(*) AS tot FROM toks GROUP BY 1
+         |), voc AS (SELECT count(DISTINCT term) AS v FROM toks
+         |), pri AS (
+         |  SELECT lang AS cls,
+         |         ln(CAST(count(*) AS DOUBLE) /
+         |            (SELECT CAST(count(*) AS DOUBLE) FROM documents)) AS prior
+         |  FROM documents GROUP BY 1
+         |), grid AS (
+         |  SELECT t.term, c.cls,
+         |         ln(CAST(coalesce(ct.cnt, 0) + 1 AS DOUBLE) /
+         |            CAST(c.tot + (SELECT v FROM voc) AS DOUBLE)) AS logp
+         |  FROM (SELECT DISTINCT term FROM toks) t
+         |  CROSS JOIN tot c
+         |  LEFT JOIN ct ON ct.term = t.term AND ct.cls = c.cls
+         |), scored AS (
+         |  SELECT f.doc_id, g.cls, sum(f.tf * g.logp) AS s
+         |  FROM tf f JOIN grid g ON g.term = f.term GROUP BY 1, 2
+         |), sc2 AS (
+         |  SELECT s.doc_id, s.cls, round(s.s + p.prior, 4) AS score
+         |  FROM scored s JOIN pri p ON p.cls = s.cls
+         |), best AS (
+         |  SELECT doc_id, cls, score,
+         |         row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY score DESC, cls) AS rn
+         |  FROM sc2)
+         |SELECT d.doc_id, d.lang, b.cls AS predicted, b.score
+         |FROM documents d JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+         |ORDER BY d.doc_id""".stripMargin,
     // ranking key is exact integers (tf desc, df asc, term asc); only the
     // informational tfidf column touches floats (rounded 4)
     "text_tfidf" ->

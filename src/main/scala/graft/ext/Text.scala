@@ -479,4 +479,64 @@ object Text {
         round(log((col("n_ab").cast("double") * col("n_total").cast("double")) /
           (col("n_a").cast("double") * col("n_b").cast("double"))), 6).as("pmi"))
   }
+
+  /** Multinomial Naive Bayes text classifier, trained and applied in
+    * one relational pipeline (the classic quality/domain/language
+    * tagger a curation pipeline runs before sampling): class priors
+    * `ln(n_c/N)` + add-1-smoothed token likelihoods
+    * `ln((cnt(t,c)+1)/(tot_c+V))`, document score = prior + Σ_t
+    * tf·logp, predicted = argmax with ties to the smallest label.
+    *
+    * Scale shape: training is two keyed aggregations over the exploded
+    * token stream ((term, class) counts and per-class totals) — the
+    * same family as tf-idf; the likelihood grid is vocab×classes and
+    * joins the per-doc tf table on the TERM key (a keyed shuffle, not
+    * a broadcast, so a 100 M-term vocab still flows); scoring is one
+    * (doc, class) aggregation and the argmax is a single min-struct —
+    * no windows over the corpus.
+    *
+    * Determinism: priors and likelihoods are 1-2-op IEEE chains over
+    * exact integer counts (bit-identical cross-engine, unrounded); the
+    * per-document Σ tf·logp is an aggregate sum → rounded to 4 dp
+    * BEFORE the argmax, ties broken by label — so train AND predict
+    * replay exactly in SQL. */
+  def naiveBayes(docs: DataFrame, labelCol: String,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("__id"), col(labelCol).as("__lbl"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("__id", "term").agg(count(lit(1)).as("tf"))
+    val classTerm = toks.groupBy(col("__lbl").as("cls"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val classTot = toks.groupBy(col("__lbl").as("cls"))
+      .agg(count(lit(1)).as("tot"))
+    val vocabN = toks.select("term").distinct().agg(count(lit(1)).as("v"))
+    val nDocs = docs.agg(count(lit(1)).as("n_all"))
+    val priors = docs.groupBy(col(labelCol).as("cls"))
+      .agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("cls"),
+        log(col("nd").cast("double") / col("n_all").cast("double")).as("prior"))
+    // full vocab × class grid so unseen (term, class) pairs get the
+    // smoothed floor instead of silently dropping out of the sum
+    val grid = toks.select("term").distinct()
+      .crossJoin(classTot)
+      .join(classTerm, Seq("term", "cls"), "left")
+      .crossJoin(broadcast(vocabN))
+      .select(col("term"), col("cls"),
+        log((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double") /
+          (col("tot") + col("v")).cast("double")).as("logp"))
+    val scored = tf.join(grid, Seq("term"))
+      .groupBy(col("__id"), col("cls"))
+      .agg(sum(col("tf").cast("double") * col("logp")).as("s"))
+      .join(priors, Seq("cls"))
+      .select(col("__id"), col("cls"),
+        round(col("s") + col("prior"), 4).as("score"))
+    val best = scored.groupBy("__id")
+      .agg(min(struct((-col("score")).as("neg"), col("cls").as("c"),
+        col("score").as("sc"))).as("b"))
+      .select(col("__id"), col("b.c").as("predicted"), col("b.sc").as("score"))
+    docs.select(col(idCol), col(labelCol))
+      .join(best, col(idCol) === col("__id"))
+      .select(col(idCol), col(labelCol), col("predicted"), col("score"))
+  }
 }

@@ -179,6 +179,24 @@ class ExtSpec extends AnyFunSuite {
     assert(n > 0 && n < 100)
   }
 
+  test("naiveBayes: separable vocab classifies perfectly; fixture fully covered") {
+    import spark.implicits._
+    // two classes with disjoint vocabularies — NB must recover them
+    val tiny = Seq(
+      (1L, "apple banana apple", "fruit"), (2L, "banana cherry", "fruit"),
+      (3L, "bolt nut bolt washer", "tool"), (4L, "nut washer", "tool"),
+      (5L, "apple cherry banana", "fruit"), (6L, "bolt washer nut", "tool")
+    ).toDF("doc_id", "text", "lab")
+    val pred = Text.naiveBayes(tiny, "lab").collect()
+    assert(pred.length == 6)
+    assert(pred.forall(r => r.getString(1) == r.getString(2)),
+      pred.map(r => (r.getLong(0), r.getString(1), r.getString(2))).mkString(","))
+    // fixture: every doc gets exactly one finite-scored verdict
+    val full = Text.naiveBayes(docs, "lang")
+    assert(full.count() == docs.count())
+    assert(full.filter(col("score").isNull || col("score").isNaN).count() == 0)
+  }
+
   test("semanticDedup: removals are exactly the within-cell lower-id near-dups") {
     val t = 0.42
     val res = Dedup.semanticDedup(emb, ncells = 16, threshold = t).collect()
@@ -468,7 +486,7 @@ class ExtSpec extends AnyFunSuite {
       assert(packed == naive, s"bucketWidth=$width diverges from the naive prefix sum")
     }
     // no shard exceeds budget + one document's weight (greedy overflow rule)
-    val maxDocW = w.agg(max("w")).head.getLong(0)
+    val maxDocW = w.agg(max("w")).head().getLong(0)
     val shardTotals = Pack.packShards(w, "doc_id", "w", 2000L)
       .groupBy("shard_id").agg(sum("w").as("tot")).collect()
     assert(shardTotals.forall(_.getLong(1) <= 2000L + maxDocW))
@@ -538,7 +556,7 @@ class ExtSpec extends AnyFunSuite {
       spark.read.parquet(s"${TestSession.sf}/events.parquet"))
     val n = ev.count()
     val agg = Stream.slidingAgg(ev, "2 hours", "1 hour")
-    assert(agg.agg(sum("n_events")).head.getLong(0) == 2 * n)
+    assert(agg.agg(sum("n_events")).head().getLong(0) == 2 * n)
     // bucket starts align to the hourly slide grid
     val starts = agg.select(col("window_start").cast("long")).collect().map(_.getLong(0))
     assert(starts.forall(_ % 3600 == 0))
@@ -610,9 +628,9 @@ class ExtSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(s1 == s2, "sample must not depend on physical partitioning")
     // PPS draw: the sample's mean weight must exceed the corpus mean
-    val meanAll = docs.agg(avg("n_chars")).head.getDouble(0)
+    val meanAll = docs.agg(avg("n_chars")).head().getDouble(0)
     val meanS = docs.filter(col("doc_id").isin(s1.toSeq: _*))
-      .agg(avg("n_chars")).head.getDouble(0)
+      .agg(avg("n_chars")).head().getDouble(0)
     assert(meanS > meanAll, s"sample mean $meanS should exceed corpus mean $meanAll")
   }
 
@@ -678,9 +696,9 @@ class ExtSpec extends AnyFunSuite {
   test("Text.clean strips controls, collapses whitespace, and is idempotent") {
     import spark.implicits._
     val df = Seq("\tleading  and\u0001trailing\u007F  junk ").toDF("text")
-    val once = df.select(Text.clean(col("text")).as("c")).head.getString(0)
+    val once = df.select(Text.clean(col("text")).as("c")).head().getString(0)
     assert(once == "leading and trailing junk")
-    val twice = df.select(Text.clean(Text.clean(col("text"))).as("c")).head.getString(0)
+    val twice = df.select(Text.clean(Text.clean(col("text"))).as("c")).head().getString(0)
     assert(twice == once)
   }
 

@@ -156,12 +156,12 @@ class IoSpec extends AnyFunSuite {
   test("unload writes shards, lists generated files, single-file export has header (UNLOAD parity)") {
     spark.read.parquet(s"${TestSession.sf}/region.parquet").createOrReplaceTempView("region_v")
     val raw = tmp("region_unload")
-    val export = tmp("region_export") + "/region.csv"
+    val exportPath = tmp("region_export") + "/region.csv"
     val files = Unload.unloadAndCopy(spark,
       "SELECT r_regionkey, r_name FROM region_v ORDER BY r_regionkey",
-      raw, Some(export), delimiter = "|")
+      raw, Some(exportPath), delimiter = "|")
     assert(files.nonEmpty)
-    val lines = Files.readAllLines(Paths.get(export))
+    val lines = Files.readAllLines(Paths.get(exportPath))
     assert(lines.get(0) == "r_regionkey|r_name")
     assert(lines.size() == 6) // header + 5 regions
   }
