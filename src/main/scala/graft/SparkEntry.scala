@@ -2997,6 +2997,17 @@ object SparkEntry {
         t(s, dir, "documents"), "source", "n_chars", alpha = 0.7)
       .orderBy("domain")
 
+  /** DSIR-style importance log-weights ([[graft.ext.Sample
+    * .dsirLogWeights]]): target domain = English docs, 64 hashed
+    * unigram buckets — the hashed-n-gram data-selection score. λ(b)
+    * values are single-division exact-int ratios through ln
+    * (bit-identical); the per-doc Σ f·λ rounds to 6 dp, so the whole
+    * weighting replays in DuckDB. */
+  private def sampleDsir(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sample.dsirLogWeights(
+        t(s, dir, "documents"), col("lang") === "en", buckets = 64)
+      .orderBy("doc_id")
+
   /** BM25 retrieval scoring ([[Text.bm25]]) of the corpus against a
     * 3-term query; Okapi k1=1.2, b=0.75 defaults. */
   private def textBm25(s: SparkSession, dir: String): DataFrame =
@@ -3833,6 +3844,7 @@ object SparkEntry {
     "sample_stratified" -> (sampleStratified(_, _)),
     "sample_domain_cap" -> (sampleDomainCap(_, _)),
     "sample_temperature" -> (sampleTemperature(_, _)),
+    "sample_dsir" -> (sampleDsir(_, _)),
     "sample_weighted" -> (sampleWeighted(_, _)),
     "sample_split" -> (sampleSplit(_, _)),
     "sample_balanced" -> (sampleBalanced(_, _)),
@@ -5952,6 +5964,30 @@ object SparkEntry {
         |       round(pow(size, 0.7) / t.tpa, 6) AS weight,
         |       round((pow(size, 0.7) / t.tpa) / (size / t.tn), 6) AS boost
         |FROM s CROSS JOIN t ORDER BY domain""".stripMargin,
+    // DSIR replay: md5-bucketed unigrams, λ(b) = one division of
+    // exact-int products through ln (unrounded), doc sums round(6)
+    "sample_dsir" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang = 'en' AS tgt, unnest($duckToks) AS term FROM documents
+         |), bk AS (
+         |  SELECT doc_id, tgt,
+         |         ('0x' || substr(md5('dsir' || term), 1, 8))::BIGINT % 64 AS b
+         |  FROM toks
+         |), raw AS (SELECT b, count(*) AS cr FROM bk GROUP BY 1
+         |), tg AS (SELECT b, count(*) AS ct FROM bk WHERE tgt GROUP BY 1
+         |), tot AS (
+         |  SELECT count(*) AS tot_r,
+         |         sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tot_t FROM bk
+         |), lam AS (
+         |  SELECT r.b,
+         |         ln(CAST((coalesce(t.ct, 0) + 1) * (tot.tot_r + 64) AS DOUBLE) /
+         |            CAST((r.cr + 1) * (tot.tot_t + 64) AS DOUBLE)) AS lam
+         |  FROM raw r LEFT JOIN tg t ON t.b = r.b CROSS JOIN tot
+         |), feats AS (SELECT doc_id, b, count(*) AS f FROM bk GROUP BY 1, 2)
+         |SELECT f.doc_id, CAST(sum(f.f) AS BIGINT) AS n_tokens,
+         |       round(sum(f.f * l.lam), 6) AS log_weight
+         |FROM feats f JOIN lam l ON l.b = f.b
+         |GROUP BY 1 ORDER BY f.doc_id""".stripMargin,
     "stream_sliding" ->
       // every event covers two epoch-aligned hourly-slide buckets of
       // the 2-hour window: starts date_trunc(hour, ts) - {0,1} hours

@@ -213,6 +213,55 @@ object Sample {
       .drop("__k")
   }
 
+  /** DSIR-style hashed-n-gram importance log-weights (Xie et al.
+    * 2023, arXiv:2302.03169): estimate a target-domain and a raw-corpus
+    * unigram distribution over `buckets` hashed feature buckets, then
+    * weight every document by `Σ_b f_b(d) · ln(p_target(b)/p_raw(b))`
+    * — the data-selection score that upweights documents whose token
+    * mass looks like the target domain. `isTarget` marks the
+    * target-domain rows (both distributions come from the same corpus
+    * scan); add-1 smoothing keeps every bucket finite.
+    *
+    * Scale shape: ONE explode of the token stream, bucketed by a pure
+    * md5 projection; the two distributions are one groupBy over the
+    * bucket key (B cells, map-side combinable) and the per-doc feature
+    * table one (doc, bucket) aggregation; the log-ratio table is
+    * B rows — broadcast-joined back. No windows, no driver state
+    * beyond the B-row λ table.
+    *
+    * Determinism: bucket hashing is the portable md5 scheme
+    * ([[hash32]]); each λ(b) is ONE division + ln over exact integer
+    * products (< 2^53, exact in double → bit-identical cross-engine,
+    * unrounded); the per-doc Σ f·λ is an aggregate sum → rounded to
+    * 6 dp. The whole weighting replays exactly in SQL. */
+  def dsirLogWeights(docs: DataFrame, isTarget: Column, buckets: Int = 64,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     seed: String = "dsir"): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val toks = docs.select(col(idCol).as("__id"), isTarget.as("__tgt"),
+      explode(graft.functions.tokens(col(textCol))).as("term"))
+    val bucketed = toks.withColumn("b", pmod(hash32(col("term"), seed), lit(buckets.toLong)))
+    val raw = bucketed.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgt = bucketed.filter(col("__tgt")).groupBy("b").agg(count(lit(1)).as("ct"))
+    val totals = bucketed.agg(
+      count(lit(1)).as("tot_r"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("tot_t"))
+    // λ(b) = ln( (ct+1)/(tot_t+B) / ((cr+1)/(tot_r+B)) ) as one
+    // division of exact-int products — counts are < 2^26 and totals
+    // < 2^27 at any plausible bucket count, so the products stay exact
+    val lam = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"), log(
+        ((coalesce(col("ct"), lit(0L)) + 1L) * (col("tot_r") + buckets.toLong)).cast("double") /
+          ((col("cr") + 1L) * (col("tot_t") + buckets.toLong)).cast("double")).as("lam"))
+    val feats = bucketed.groupBy("__id", "b").agg(count(lit(1)).as("f"))
+    feats.join(broadcast(lam), Seq("b"))
+      .groupBy("__id")
+      .agg(round(sum(col("f").cast("double") * col("lam")), 6).as("log_weight"),
+        sum("f").as("n_tokens"))
+      .select(col("__id").as(idCol), col("n_tokens"), col("log_weight"))
+  }
+
   def capPerKey(df: DataFrame, keyCol: String, k: Int, idCol: String,
                 seed: String = ""): DataFrame = {
     require(k > 0, s"k must be positive, got $k")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.core.Exec
-import graft.ext.{Dedup, Multimodal, Similarity, Text}
+import graft.ext.{Dedup, Multimodal, Sample, Similarity, Text}
 import graft.functions._
 import graft.streaming.Stream
 
@@ -177,6 +177,16 @@ class ExtSpec extends AnyFunSuite {
   test("embedding near-dup pairs match brute-force threshold set") {
     val n = Dedup.embeddingNearDupes(emb, 0.45).count()
     assert(n > 0 && n < 100)
+  }
+
+  test("dsirLogWeights: target-domain docs score higher on average") {
+    val w = Sample.dsirLogWeights(docs, col("lang") === "en")
+    assert(w.count() == docs.count())
+    val byTgt = w.join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy(col("lang") === "en").agg(avg("log_weight").as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byTgt(true) > byTgt(false),
+      s"en mean ${byTgt(true)} must exceed non-en mean ${byTgt(false)}")
   }
 
   test("naiveBayes: separable vocab classifies perfectly; fixture fully covered") {
