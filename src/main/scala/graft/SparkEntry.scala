@@ -3618,6 +3618,39 @@ object SparkEntry {
     * the production path. At 100 TB run only the histogram side: one
     * min/max probe + one linear binning pass, fixed 1000-cell state,
     * no full-width sort. */
+  /** Approximate quantiles (`approx_percentile`, the KLL-family
+    * sketch — the 100 TB path for q30's exact percentile_cont) with a
+    * QUANTIFIED gate, same contract as q20's HLL: the estimate itself
+    * has no exact oracle, so the query re-ranks each estimate against
+    * the group it came from — `within_tol` = |count(x ≤ est)/n − p| ≤
+    * 0.005, i.e. the estimate's TRUE rank sits within 0.5 % of the
+    * requested rank (accuracy 1000 bounds sketch rank error at 0.1 %;
+    * l_extendedprice is near-continuous so duplicate mass adds ~1/n).
+    * The DuckDB oracle replays group sizes with TRUE, so the hash
+    * greens iff every estimate is rank-accurate. The re-rank join is
+    * a groups×4-row broadcast onto the fact scan — one extra linear
+    * pass, no sort; the sketch side is ONE map-side-combinable
+    * aggregation with constant per-group state. */
+  private def quantileApprox(s: SparkSession, dir: String): DataFrame = {
+    val ps = Seq(0.25, 0.5, 0.75, 0.95)
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("x"))
+    val est = li.groupBy("l_returnflag")
+      .agg(percentile_approx(col("x"),
+        array(ps.map(lit): _*), lit(1000)).as("qs"))
+      .select(col("l_returnflag"), posexplode(col("qs")).as(Seq("i", "est")))
+      .select(col("l_returnflag"),
+        element_at(array(ps.map(lit): _*), col("i") + 1).as("p"), col("est"))
+    li.join(broadcast(est), Seq("l_returnflag"))
+      .groupBy("l_returnflag", "p")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("x") <= col("est"), 1L).otherwise(0L)).as("n_le"))
+      .select(col("l_returnflag"), col("p"), col("n"),
+        (abs(col("n_le").cast("double") / col("n") - col("p")) <= 0.005)
+          .as("within_tol"))
+      .orderBy("l_returnflag", "p")
+  }
+
   private def quantileHist(s: SparkSession, dir: String): DataFrame = {
     val x = t(s, dir, "lineitem")
       .select(col("l_extendedprice").cast("double").as("x"))
@@ -3752,6 +3785,7 @@ object SparkEntry {
     "csv_permissive" -> (csvPermissive(_, _)),
     "zonemap_build" -> (zonemapBuild(_, _)),
     "quantile_hist" -> (quantileHist(_, _)),
+    "quantile_approx" -> (quantileApprox(_, _)),
     "knn_classify" -> (knnClassify(_, _)),
     "graph_adamic_adar" -> (graphAdamicAdar(_, _)),
     "ts_anomaly" -> (tsAnomaly(_, _)),
@@ -5473,6 +5507,15 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1 ORDER BY zone""".stripMargin,
     // 1000-bin equi-width histogram quantile (right-edge rule) next
     // to the exact interpolated percentile; bin edges from one
+    // q20-style quantified gate: the oracle replays group sizes with
+    // TRUE, so the hash greens iff every approx_percentile estimate
+    // re-ranks within 0.5% of its requested rank
+    "quantile_approx" ->
+      """SELECT l_returnflag, p.p, CAST(count(*) AS BIGINT) AS n,
+        |       TRUE AS within_tol
+        |FROM lineitem
+        |CROSS JOIN (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS p) p
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // min/max row, per-row chains ≤ 3 IEEE ops
     "quantile_hist" ->
       """WITH x AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),

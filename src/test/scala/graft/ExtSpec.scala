@@ -179,6 +179,13 @@ class ExtSpec extends AnyFunSuite {
     assert(n > 0 && n < 100)
   }
 
+  test("quantile_approx: every sketch estimate re-ranks within tolerance") {
+    val rows = SparkEntry.queries("quantile_approx")(spark, TestSession.sf).collect()
+    assert(rows.length == 12, s"3 flags x 4 quantiles expected, got ${rows.length}")
+    assert(rows.forall(_.getBoolean(3)),
+      rows.filterNot(_.getBoolean(3)).mkString(","))
+  }
+
   test("dsirLogWeights: target-domain docs score higher on average") {
     val w = Sample.dsirLogWeights(docs, col("lang") === "en")
     assert(w.count() == docs.count())
