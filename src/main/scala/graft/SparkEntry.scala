@@ -1059,13 +1059,32 @@ object SparkEntry {
     graft.ext.Text.bpeTrain(t(s, dir, "documents"), nMerges = 6)
       .orderBy("rank")
 
+  /** BPE ENCODE ([[graft.ext.Text.bpeEncode]]): train 6 merges, then
+    * apply them in rank order to every document — the tokenizer-apply
+    * step. The merge table is parameter-sized (collected like the PQ
+    * codebooks); encoding is a per-token chain of 6 codegen'd replace
+    * projections. Exact strings/ints end-to-end, so the oracle
+    * replays training AND encoding and the md5 of each doc's
+    * position-ordered subword sequence hash-matches. */
+  private def textBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = graft.ext.Text.bpeTrain(docs, nMerges = 6).orderBy("rank")
+      .select("left_sym", "right_sym").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    graft.ext.Text.bpeEncode(docs, merges).orderBy("doc_id")
+  }
+
   /** DuckDB oracle for [[textBpe]]: the same 6 training rounds
     * unrolled — per round, adjacent-pair counts from the chr(1)-joined
     * symbol strings, the (count DESC, l, r) argmax, and the padded
     * left-to-right replace rewrite (identical semantics to the
     * engine's). MATERIALIZED per round (the rewrite references the
     * previous vocabulary twice via scalar subqueries). */
-  private lazy val textBpeSql: String = {
+  /** The 6 unrolled BPE training rounds as a WITH-body fragment
+    * (`w`, `s0`, and per-round `p$i`/`m$i`/`s$i` CTEs) — shared by the
+    * training oracle ([[textBpeSql]]) and the encode oracle
+    * (text_bpe_encode), which applies the trained `m$i` merges. */
+  private lazy val bpeTrainCtes: String = {
     val rounds = (1 to 6).map { i =>
       s"""p$i AS MATERIALIZED (
          |  SELECT parts[CAST(k AS INT)] AS l, parts[CAST(k + 1 AS INT)] AS r,
@@ -1085,17 +1104,49 @@ object SparkEntry {
          |               (SELECT r FROM m$i) || chr(1)) AS rep, cnt
          |    FROM s${i - 1}))""".stripMargin
     }.mkString(",\n")
-    val out = (1 to 6).map { i =>
-      s"SELECT $i AS rank, l AS left_sym, r AS right_sym, l || r AS merged, total AS pair_weight FROM m$i"
-    }.mkString("\nUNION ALL\n")
-    s"""WITH w AS MATERIALIZED (
+    s"""w AS MATERIALIZED (
        |  SELECT tok AS w, count(*) AS cnt
        |  FROM (SELECT unnest($duckToks) AS tok FROM documents) GROUP BY 1),
        |s0 AS MATERIALIZED (
        |  SELECT array_to_string(string_split(w, ''), chr(1)) AS s, cnt FROM w),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private lazy val textBpeSql: String = {
+    val out = (1 to 6).map { i =>
+      s"SELECT $i AS rank, l AS left_sym, r AS right_sym, l || r AS merged, total AS pair_weight FROM m$i"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $bpeTrainCtes
        |SELECT CAST(rank AS INT) AS rank, left_sym, right_sym, merged, pair_weight
        |FROM ($out) ORDER BY rank""".stripMargin
+  }
+
+  /** DuckDB oracle for text_bpe_encode: the shared training rounds
+    * ([[bpeTrainCtes]]) produce m1..m6; encoding replays the same
+    * padded-replace chain per (doc, pos) token, then re-aggregates the
+    * position-ordered subword sequence per doc. */
+  private lazy val textBpeEncodeSql: String = {
+    val encs = (1 to 6).map { i =>
+      s"""enc$i AS MATERIALIZED (
+         |  SELECT doc_id, pos, substr(rep, 2, length(rep) - 2) AS s FROM (
+         |    SELECT doc_id, pos, replace(chr(1) || s || chr(1),
+         |             chr(1) || (SELECT l FROM m$i) || chr(1) ||
+         |               (SELECT r FROM m$i) || chr(1),
+         |             chr(1) || (SELECT l FROM m$i) ||
+         |               (SELECT r FROM m$i) || chr(1)) AS rep
+         |    FROM enc${i - 1}))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeTrainCtes,
+       |dt AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |enc0 AS MATERIALIZED (
+       |  SELECT doc_id, k AS pos,
+       |         array_to_string(string_split(toks[CAST(k AS INT)], ''), chr(1)) AS s
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS k FROM dt)),
+       |$encs
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(len(string_split(s, chr(1)))) AS BIGINT) AS n_subwords,
+       |       md5(string_agg(s, ' ' ORDER BY pos)) AS enc_md5
+       |FROM enc6 GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB oracle for [[simsearchMmr]]: the greedy MMR trace
@@ -3825,6 +3876,7 @@ object SparkEntry {
     "zorder_roundtrip" -> (zorderRoundtrip(_, _)),
     "table_diff" -> (tableDiff(_, _)),
     "text_bpe" -> (textBpe(_, _)),
+    "text_bpe_encode" -> (textBpeEncode(_, _)),
     "unload_export_roundtrip" -> (unloadExportRoundtrip(_, _)),
     "unload_partitioned" -> (unloadPartitioned(_, _)),
     "insert_infer_roundtrip" -> (insertInferRoundtrip(_, _)),
@@ -5620,6 +5672,7 @@ object SparkEntry {
     "zorder_roundtrip" -> zorderRoundtripSql,
     "simsearch_mmr" -> simsearchMmrSql,
     "text_bpe" -> textBpeSql,
+    "text_bpe_encode" -> textBpeEncodeSql,
     // classification by VALUE comparison — the engine classifies by
     // row-hash equality, so the gate proves hash-equal <=> values-equal
     "table_diff" ->

@@ -480,6 +480,42 @@ object Text {
           (col("n_a").cast("double") * col("n_b").cast("double"))), 6).as("pmi"))
   }
 
+  /** Apply TRAINED BPE merges ([[bpeTrain]]'s output, in rank order)
+    * to every document — the tokenizer-ENCODE step that follows
+    * tokenizer training in an LLM pipeline. Greedy BPE encoding ≡
+    * applying each merge rule to the symbol string in training-rank
+    * order, so the encoder is a fixed chain of `nMerges` codegen'd
+    * replace projections per token (no iteration state, no UDF); the
+    * merge table is parameter-sized (nMerges rows) and inlined as
+    * literals. Emits per doc the word/subword counts and an md5 of the
+    * position-ordered encoded sequence — exact strings + exact ints,
+    * so encoding replays verbatim in SQL.
+    *
+    * Scale shape: one explode of the token stream → per-row projection
+    * chain → one keyed re-aggregation per doc (collect_list is bounded
+    * by document length, the same contract as [[tokensToIds]]). */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(merges.nonEmpty, "bpeEncode needs at least one trained merge")
+    val SEP = "\u0001"
+    val toks = docs.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("__pos", "w")))
+    val sym0 = array_join(filter(split(col("w"), ""), x => length(x) > 0), SEP)
+    val encoded = merges.foldLeft(sym0) { case (s, (l, r)) =>
+      val padded = concat(lit(SEP), s, lit(SEP))
+      val rep = call_function("replace", padded,
+        lit(SEP + l + SEP + r + SEP), lit(SEP + l + r + SEP))
+      call_function("substring", rep, lit(2), length(rep) - 2)
+    }
+    toks.withColumn("__enc", encoded)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(split(col("__enc"), SEP))).as("n_subwords"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("__pos"), col("__enc")))),
+            x => x("__enc")))).as("enc_md5"))
+  }
+
   /** Multinomial Naive Bayes text classifier, trained and applied in
     * one relational pipeline (the classic quality/domain/language
     * tagger a curation pipeline runs before sampling): class priors

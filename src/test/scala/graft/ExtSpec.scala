@@ -179,6 +179,20 @@ class ExtSpec extends AnyFunSuite {
     assert(n > 0 && n < 100)
   }
 
+  test("bpeEncode applies trained merges greedily in rank order") {
+    import spark.implicits._
+    // corpus {aaab, aab}: merge1 = (a,a) [3 pairs], merge2 = (a,b)
+    // [tie at 1, (l,r) order]; encode: aaab -> aa|ab, aab -> aa|b
+    val tiny = Seq((1L, "aaab aab")).toDF("doc_id", "text")
+    val merges = Text.bpeTrain(tiny, nMerges = 2).orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges == Seq(("a", "a"), ("a", "b")), merges.toString)
+    val enc = Text.bpeEncode(tiny, merges).collect()
+    assert(enc.length == 1)
+    assert(enc(0).getLong(1) == 2L, "n_words")
+    assert(enc(0).getLong(2) == 4L, s"subwords aa|ab + aa|b = 4, got ${enc(0).getLong(2)}")
+  }
+
   test("quantile_approx: every sketch estimate re-ranks within tolerance") {
     val rows = SparkEntry.queries("quantile_approx")(spark, TestSession.sf).collect()
     assert(rows.length == 12, s"3 flags x 4 quantiles expected, got ${rows.length}")
