@@ -1235,6 +1235,26 @@ object SparkEntry {
        |ORDER BY user_id, event_id""".stripMargin
   }
 
+  /** DuckDB oracle for [[tsHolt]]: both Holt ladders spelled as exact
+    * double literals from the SAME [[graft.ext.TimeSeries
+    * .holtWeights]] call the engine uses; the forecast replays the
+    * engine's round(round(level)+round(trend)) chain exactly. QUALIFY
+    * drops partial-history rows (the engine's __full filter). */
+  private val tsHoltSql: String = {
+    val (lc, bc) = graft.ext.TimeSeries.holtWeights(0.5, 0.3, 20)
+    def term(l: Int): String = if (l == 0) "value" else s"lag(value, $l) OVER w"
+    def dot(cs: Seq[Double]): String =
+      cs.zipWithIndex.map { case (c, l) => s"${term(l)} * $c" }.mkString(" + ")
+    s"""SELECT user_id, event_id, value,
+       |       round(${dot(lc)}, 6) AS level,
+       |       round(${dot(bc)}, 6) AS trend,
+       |       round(round(${dot(lc)}, 6) + round(${dot(bc)}, 6), 6) AS forecast
+       |FROM events WHERE user_id < 100
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |QUALIFY lag(value, 19) OVER w IS NOT NULL
+       |ORDER BY user_id, event_id""".stripMargin
+  }
+
   /** Per-node degree profile ([[graft.ext.Graph.degrees]]) of the
     * pagerank edge multiset — the first question any graph pipeline
     * asks (skew detection, hot-key planning, sanity bounds before an
@@ -2894,6 +2914,21 @@ object SparkEntry {
       .select(col("user_id"), col("event_id"), col("value"), col("ewma"))
       .orderBy("user_id", "event_id")
 
+  /** Holt double-exponential smoothing ([[graft.ext.TimeSeries
+    * .holt]], α=0.5, β=0.3, window=20): level + trend state and the
+    * 1-step forecast per user event — the short-horizon forecaster.
+    * Same oracle contract as [[tsEwma]]: both coefficient ladders are
+    * generated once ([[graft.ext.TimeSeries.holtWeights]]) and spelled
+    * into the SQL as exact double literals; results round 6 dp. */
+  private def tsHolt(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TimeSeries.holt(
+        t(s, dir, "events").filter(col("user_id") < 100),
+        "user_id", "ts", "value", "event_id",
+        alpha = 0.5, beta = 0.3, window = 20)
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("level"), col("trend"), col("forecast"))
+      .orderBy("user_id", "event_id")
+
   /** Rolling z-score anomaly flags ([[graft.ext.TimeSeries
     * .rollingZscore]], window=20, |z| > 3) over each user's event
     * values — mean/stddev round to 6 dp BEFORE the ratio on both
@@ -3860,6 +3895,7 @@ object SparkEntry {
     "cdc_apply" -> (cdcApply(_, _)),
     "stream_cdc" -> (streamCdc(_, _)),
     "ts_ewma" -> (tsEwma(_, _)),
+    "ts_holt" -> (tsHolt(_, _)),
     "q51_sessionize" -> (q51Sessionize(_, _)),
     "q52_transitions" -> (q52Transitions(_, _)),
     "q53_abtest" -> (q53Abtest(_, _)),
@@ -5768,6 +5804,7 @@ object SparkEntry {
         |       v IS NOT NULL AS is_observed
         |FROM j ORDER BY user_id, b""".stripMargin,
     "ts_ewma" -> tsEwmaSql,
+    "ts_holt" -> tsHoltSql,
     "q51_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
         |f AS (SELECT user_id, event_id, us, value,

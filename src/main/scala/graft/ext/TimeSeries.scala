@@ -103,6 +103,78 @@ object TimeSeries {
       round(num / den, 6).as("ewma"))
   }
 
+  /** Holt's linear (double-exponential) smoothing over the last
+    * `window` observations per key — level + trend state and the
+    * 1-step-ahead forecast `l + b`, the classic short-horizon
+    * forecaster for metrics/capacity series (Holt 1957).
+    *
+    * The recursion `l_t = αy_t + (1−α)(l_{t−1}+b_{t−1}); b_t =
+    * β(l_t−l_{t−1}) + (1−β)b_{t−1}` with the standard init
+    * `l_1 = y_1, b_1 = y_2−y_1` is LINEAR in the observations, so the
+    * whole window-`window` filter collapses to two fixed coefficient
+    * ladders ([[holtWeights]]) — the same unroll-to-lag-chain trick as
+    * [[ewma]], two ladders instead of one. Rows without a full
+    * `window`-observation history are unscored by contract (the
+    * truncated operator is only the documented fixed-window filter
+    * when the window is full — a partial-window Holt re-derives
+    * different ladders per length, unlike EWMA's simple
+    * renormalization).
+    *
+    * Scale shape: ONE keyed window, `window` lag frames evaluated in a
+    * single pass, no self-joins. Determinism: ladders are exact
+    * driver-side doubles shared verbatim with the oracle; the per-row
+    * 20-term dot products round to 6 dp (FMA-contraction ulp — the
+    * [[ewma]] rule). */
+  def holt(events: DataFrame, keyCol: String, tsCol: String, valCol: String,
+           tieCol: String, alpha: Double, beta: Double,
+           window: Int = 20): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(beta > 0 && beta < 1, s"beta must be in (0,1), got $beta")
+    require(window >= 2, s"window must be >= 2, got $window")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val (lc, bc) = holtWeights(alpha, beta, window)
+    val x = col(valCol).cast("double")
+    def at(l: Int): Column = if (l == 0) x else lag(x, l).over(w)
+    def dot(cs: Seq[Double]): Column =
+      cs.zipWithIndex.map { case (c, l) => at(l) * lit(c) }.reduceLeft(_ + _)
+    events.select(col(keyCol), col(tsCol), col(tieCol), x.as("value"),
+        at(window - 1).isNotNull.as("__full"),
+        round(dot(lc), 6).as("level"),
+        round(dot(bc), 6).as("trend"))
+      .filter(col("__full"))
+      .select(col(keyCol), col(tsCol), col(tieCol), col("value"),
+        col("level"), col("trend"),
+        round(col("level") + col("trend"), 6).as("forecast"))
+  }
+
+  /** Coefficient ladders (level, trend) for [[holt]]: run the Holt
+    * recursion over symbolic unit inputs for a full `window`-length
+    * history, yielding the two exact linear forms `l = Σ lc_k·y_{−k}`,
+    * `b = Σ bc_k·y_{−k}` (index k = lag, 0 = newest row). Exact
+    * driver-side double arithmetic, shared verbatim with oracle SQL —
+    * same contract as [[ewmaWeights]]. */
+  def holtWeights(alpha: Double, beta: Double,
+                  window: Int): (Seq[Double], Seq[Double]) = {
+    val n = window
+    // coefficient vectors over observations o_1..o_n (oldest..newest)
+    var l = Array.fill(n)(0.0)
+    var b = Array.fill(n)(0.0)
+    l(0) = 1.0 // l_1 = o_1
+    b(0) = -1.0; b(1) = 1.0 // b_1 = o_2 − o_1
+    for (t <- 2 to n) {
+      val lPrev = l
+      val bPrev = b
+      l = Array.tabulate(n) { j =>
+        (1.0 - alpha) * (lPrev(j) + bPrev(j)) + (if (j == t - 1) alpha else 0.0)
+      }
+      b = Array.tabulate(n) { j =>
+        beta * (l(j) - lPrev(j)) + (1.0 - beta) * bPrev(j)
+      }
+    }
+    // lag order: lag k sees observation o_{n−k}
+    ((0 until n).map(k => l(n - 1 - k)), (0 until n).map(k => b(n - 1 - k)))
+  }
+
   /** The (1-α)^l weight ladder as exact driver-side doubles — shared
     * with oracle-SQL generation so both engines consume identical
     * literals (repeated multiplication, NOT pow(), whose last ulp is

@@ -179,6 +179,35 @@ class ExtSpec extends AnyFunSuite {
     assert(n > 0 && n < 100)
   }
 
+  test("holt ladder equals the direct recursion over the window") {
+    import spark.implicits._
+    import graft.ext.TimeSeries
+    val (alpha, beta, win) = (0.5, 0.3, 20)
+    val ys = (1 to 30).map(i => math.sin(i * 0.7) * 10 + i * 0.5)
+    val df = ys.zipWithIndex.map { case (y, i) => (1L, i.toLong, i.toLong, y) }
+      .toDF("k", "ts", "tie", "v")
+    val got = TimeSeries.holt(df, "k", "ts", "v", "tie", alpha, beta, win)
+      .orderBy("tie").collect()
+    assert(got.length == ys.length - win + 1, "one row per full window")
+    // direct recursion over each row's trailing `win` observations
+    def direct(obs: Seq[Double]): (Double, Double) = {
+      var l = obs.head; var b = obs(1) - obs.head
+      for (t <- 1 until obs.length) {
+        val lp = l
+        l = alpha * obs(t) + (1 - alpha) * (lp + b)
+        b = beta * (l - lp) + (1 - beta) * b
+      }
+      (l, b)
+    }
+    got.foreach { r =>
+      val tie = r.getLong(2).toInt
+      val (l, b) = direct(ys.slice(tie - win + 1, tie + 1))
+      assert(math.abs(r.getDouble(4) - l) < 1e-6, s"level at $tie")
+      assert(math.abs(r.getDouble(5) - b) < 1e-6, s"trend at $tie")
+      assert(math.abs(r.getDouble(6) - (r.getDouble(4) + r.getDouble(5))) < 1e-6)
+    }
+  }
+
   test("bpeEncode applies trained merges greedily in rank order") {
     import spark.implicits._
     // corpus {aaab, aab}: merge1 = (a,a) [3 pairs], merge2 = (a,b)
