@@ -2353,6 +2353,17 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Hard-negative mining ([[graft.ext.Similarity.hardNegatives]]):
+    * top-10 most-similar OTHER-label vectors per query — the
+    * contrastive-training negative sampler. Same broadcast-queries /
+    * bounded-heap shape as simsearch_topk with the label-mismatch
+    * predicate pruning inside the scan; exact replay oracle. */
+  private def sampleHardneg(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 8), 10)
+      .orderBy("query_id", "rank")
+  }
+
   /** k-NN graph over the whole embeddings table via SRP-LSH banding
     * ([[Similarity.knnJoinLsh]]): every vector's top-10 neighbors
     * among its band-collision candidates, exact dot-product scores.
@@ -3932,6 +3943,7 @@ object SparkEntry {
     "dedup_semantic" -> (dedupSemantic(_, _)),
     "dedup_emblsh" -> (dedupEmbLsh(_, _)),
     "simsearch_topk" -> (simsearchTopK(_, _)),
+    "sample_hardneg" -> (sampleHardneg(_, _)),
     "knn_join" -> (knnJoin(_, _)),
     "simsearch_mmr" -> (simsearchMmr(_, _)),
     "simsearch_ivf" -> (simsearchIvf(_, _)),
@@ -4581,6 +4593,21 @@ object SparkEntry {
         |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
     "simsearch_topk" -> simsearchTopkSql,
+    // simsearch_topk's replay + the label-mismatch predicate
+    "sample_hardneg" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |         round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                      CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM embeddings c JOIN embeddings q
+        |    ON q.vec_id < 8 AND q.vec_id <> c.vec_id AND q.label <> c.label
+        |), ranked AS (
+        |  SELECT query_id, nbr_id, cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cosine DESC, nbr_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank, nbr_id, cosine
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // full SRP replay (NOT a recall-1 assumption): the md5-derived
     // hyperplanes (Similarity.srpSign — sign = first md5 hex nibble of
     // "i:b" in 0-7) are recomputed in SQL, signatures -> 8-bit band

@@ -62,6 +62,37 @@ object Similarity {
       "query_id", "nbr_id", "cosine")
   }
 
+  /** Hard-negative mining for contrastive/retrieval training: for each
+    * query, the `k` most-similar corpus vectors with a DIFFERENT label
+    * — the highest-loss negatives a dual-encoder trains against
+    * (in-batch-negatives' targeted sibling; e.g. DPR/ANCE-style
+    * pipelines). Identical scale shape to [[bruteForceTopK]]: the
+    * query side broadcasts with its labels, the corpus never shuffles,
+    * the label-mismatch predicate prunes INSIDE the scan, and ranking
+    * is the bounded-heap aggregate. Cosines round to 6 dp with id
+    * tie-breaks, so the mined set hash-replays in SQL. */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"), normalize(col(vecCol)).as("cv"),
+      col(labelCol).as("__nl"))
+    val q = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qv"),
+      col(labelCol).as("__ql"))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("nbr_id") && col("__nl") =!= col("__ql"))
+      .select(col("query_id"), col("nbr_id"),
+        round(graft.functions.fx.vecDot(col("cv"), col("qv")), 6).as("cosine"))
+    explodeTopK(
+      scored.groupBy("query_id")
+        .agg(graft.functions.fx.topKByScore(col("cosine"), col("nbr_id"), k).as("top")),
+      "query_id", "nbr_id", "cosine")
+  }
+
   /** Eagerly collect the first `n` corpus vectors (by id, normalized)
     * as a deterministic, reproducible quantizer init — n rows, bounded.
     * Shared by [[ivfTopK]]'s default quantizer and [[kmeansCentroids]]

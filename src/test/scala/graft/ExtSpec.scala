@@ -179,6 +179,22 @@ class ExtSpec extends AnyFunSuite {
     assert(n > 0 && n < 100)
   }
 
+  test("hardNegatives excludes same-label vectors and ranks by cosine") {
+    val q = emb.filter(col("vec_id") < 3)
+    val res = Similarity.hardNegatives(emb, q, 5).collect()
+    assert(res.length == 15)
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    res.foreach { r =>
+      assert(labels(r.getLong(2)) != labels(r.getLong(0)),
+        s"negative ${r.getLong(2)} shares query ${r.getLong(0)}'s label")
+    }
+    res.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.sliding(2).forall(p => p(0).getDouble(3) >= p(1).getDouble(3)))
+    }
+  }
+
   test("holt ladder equals the direct recursion over the window") {
     import spark.implicits._
     import graft.ext.TimeSeries
