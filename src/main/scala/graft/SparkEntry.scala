@@ -3173,6 +3173,20 @@ object SparkEntry {
       .orderBy("media_id", "by", "bx")
   }
 
+  /** Perceptual-hash image dedup ([[Multimodal.phashNearDupes]]):
+    * aHash fingerprints over the REAL-codec 4×4 md5-pixel PNGs,
+    * two-band candidates, exact Hamming ≤ 1 pairs — the image
+    * near-dup pass of a multimodal curation pipeline. All-integer,
+    * and the oracle uses the INDEPENDENT naive pairwise formulation
+    * (not the banding), so the structural-recall claim is itself
+    * gated. */
+  private def multimodalPhash(s: SparkSession, dir: String): DataFrame = {
+    val px = t(s, dir, "documents").select(
+      col("doc_id").as("media_id"), unhex(md5(col("text"))).as("pixels"))
+    Multimodal.phashNearDupes(Multimodal.encodeGrayPng(px), maxHamming = 1)
+      .orderBy("id_a", "id_b")
+  }
+
   /** UNPIVOT (wide → long): per-flag aggregate columns melted into
     * (metric, value) rows — the inverse of q26's PIVOT, via the
     * native Dataset.unpivot. */
@@ -3988,6 +4002,7 @@ object SparkEntry {
     "multimodal_decode" -> (multimodalDecode(_, _)),
     "multimodal_decode_real" -> (multimodalDecodeReal(_, _)),
     "multimodal_resize" -> (multimodalResize(_, _)),
+    "multimodal_phash" -> (multimodalPhash(_, _)),
     "multimodal_frames" -> (multimodalFrames(_, _)),
     "stream_window" -> (streamWindow(_, _)),
     "stream_sliding" -> (streamSliding(_, _)),
@@ -6026,6 +6041,27 @@ object SparkEntry {
         |SELECT media_id, CAST(y // 2 AS INT) AS by, CAST(x // 2 AS INT) AS bx,
         |       CAST(sum(v) AS DOUBLE) / 4.0 AS pooled
         |FROM p GROUP BY 1, 2, 3 ORDER BY media_id, by, bx""".stripMargin,
+    // INDEPENDENT naive pairwise formulation (the Spark side bands);
+    // hashes/xors are exact ints so no float discipline needed
+    "multimodal_phash" ->
+      """WITH px AS (
+        |  SELECT doc_id AS media_id, md5(text) AS hx FROM documents
+        |), p AS (
+        |  SELECT media_id, g.i AS i,
+        |         ('0x' || substr(hx, CAST(g.i * 2 + 1 AS INT), 2))::BIGINT AS v
+        |  FROM px, generate_series(0, 15) g(i)
+        |), m AS (
+        |  SELECT media_id, CAST(sum(v) AS DOUBLE) / 16.0 AS mean FROM p GROUP BY 1
+        |), h AS (
+        |  SELECT p.media_id,
+        |         CAST(sum(CASE WHEN v > mean THEN (1::BIGINT << CAST(i AS INT))
+        |                       ELSE 0 END) AS BIGINT) AS ph
+        |  FROM p JOIN m ON m.media_id = p.media_id GROUP BY 1)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |       CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+        |FROM h a JOIN h b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
     "multimodal_decode_real" ->
       """WITH px AS (
         |  SELECT doc_id AS media_id, md5(text) AS hx FROM documents

@@ -206,6 +206,61 @@ object Multimodal {
       }(enc)
   }
 
+  /** Average-hash perceptual fingerprint per image (aHash, the
+    * classic pHash-family fingerprint): decode via the REAL codec
+    * path ([[resizeImagesReal]] at factor 1 = per-pixel samples),
+    * threshold each pixel against the image mean, pack the bit map
+    * into one long. All-integer arithmetic (pixel sums are exact,
+    * /side² of a power-of-two is exact in double), so hashes replay
+    * exactly in SQL. Payload bytes never shuffle — only (id, y, x,
+    * value) rows feed two keyed aggregations. */
+  def perceptualHashes(media: DataFrame, side: Int = 4): DataFrame = {
+    val n = side * side
+    val px = resizeImagesReal(media, factor = 1)
+    val m = px.groupBy("media_id")
+      .agg((sum(col("pooled")) / lit(n.toDouble)).as("__mean"))
+    px.join(m, "media_id")
+      .groupBy("media_id")
+      .agg(sum(when(col("pooled") > col("__mean"),
+          expr(s"shiftleft(1L, by * $side + bx)")).otherwise(0L))
+        .cast("long").as("phash"))
+  }
+
+  /** Perceptual near-duplicate image pairs: [[perceptualHashes]] +
+    * banded candidate generation + exact Hamming verify — the image
+    * twin of [[Dedup.simhashNearDupes]]'s band-then-verify shape. The
+    * 16-bit hash splits into two 8-bit bands; by pigeonhole any pair
+    * at Hamming ≤ 1 agrees on at least one full band, so recall is
+    * structural, and the band-bucket join bounds candidates without
+    * ever forming the n² cross product. Exact integers end-to-end —
+    * the oracle can use the naive pairwise formulation (deliberately
+    * NOT this banding) and still hash-match. */
+  def phashNearDupes(media: DataFrame, maxHamming: Int = 1,
+                     side: Int = 4): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 1,
+      s"two 8-bit bands guarantee recall only for maxHamming <= 1, got $maxHamming")
+    require(side == 4, s"the 2x8-bit banding is defined for side=4, got $side")
+    val h = perceptualHashes(media, side)
+    val banded = h.select(col("media_id"), col("phash"),
+      explode(array(
+        struct(lit(0).as("band"), col("phash").bitwiseAND(lit(255L)).as("bits")),
+        struct(lit(1).as("band"), expr("shiftright(phash, 8)").as("bits"))))
+        .as("b"))
+      .select(col("media_id"), col("phash"),
+        col("b.band").as("band"), col("b.bits").as("bits"))
+    val cand = banded.as("a")
+      .join(banded.as("b").hint("shuffle_merge"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.phash").as("pa"), col("b.phash").as("pb"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("pa").bitwiseXOR(col("pb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+  }
+
   /** Metadata-only pass: cheap typed metadata without decoding —
     * pure column expressions, stays in codegen. */
   def withMetadata(df: DataFrame, payloadCol: String = "payload"): DataFrame =

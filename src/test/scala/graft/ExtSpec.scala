@@ -179,6 +179,22 @@ class ExtSpec extends AnyFunSuite {
     assert(n > 0 && n < 100)
   }
 
+  test("phash banding equals the brute-force Hamming pair set") {
+    val media = Multimodal.encodeGrayPng(
+      docs.select(col("doc_id").as("media_id"), unhex(md5(col("text"))).as("pixels")))
+    val hashes = Multimodal.perceptualHashes(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, pa) <- hashes; (b, pb) <- hashes if a < b
+      if java.lang.Long.bitCount(pa ^ pb) <= 1
+    } yield (a, b)).toSet
+    val banded = Multimodal.phashNearDupes(media, maxHamming = 1)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture moved: expected some phash near-dups")
+    assert(banded == brute, s"missing=${brute -- banded} extra=${banded -- brute}")
+  }
+
   test("hardNegatives excludes same-label vectors and ranks by cosine") {
     val q = emb.filter(col("vec_id") < 3)
     val res = Similarity.hardNegatives(emb, q, 5).collect()
