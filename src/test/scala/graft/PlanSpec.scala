@@ -184,6 +184,37 @@ class PlanSpec extends AnyFunSuite {
       "the physical join must key on (key, salt) to split hot keys across reducers")
   }
 
+  test("semantic dedup: cell assignment is a projection, pairs a keyed join") {
+    val df = SparkEntry.queries("dedup_semantic")(spark, TestSession.sf)
+    val plan = explained(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "within-cell pairing must be a cell-keyed equi join, never all-pairs:\n" + plan.take(2000))
+    assert(!plan.contains("Window"), "no corpus-wide window belongs here")
+  }
+
+  test("phash dedup: band buckets are a keyed join, never cartesian") {
+    val df = SparkEntry.queries("multimodal_phash")(spark, TestSession.sf)
+    val plan = explained(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must join on (band, bits):\n" + plan.take(2000))
+  }
+
+  test("naive bayes scores via keyed joins + aggregations, no windows") {
+    val df = SparkEntry.queries("text_nbayes")(spark, TestSession.sf)
+    val plan = explained(df)
+    assert(!plan.contains("CartesianProduct"),
+      "the vocab grid must join on the term key:\n" + plan.take(2000))
+    assert(!plan.contains("Window"), "argmax must be the min-struct aggregate, not a rank window")
+  }
+
+  test("holt is one keyed window: a single hash exchange, no joins") {
+    val df = SparkEntry.queries("ts_holt")(spark, TestSession.sf)
+    val plan = explained(df)
+    assert(!plan.contains("Join"), "the lag ladder needs no self-join")
+    val shuffles = hashExchanges(df)
+    assert(shuffles == 1, s"expected exactly the window exchange, found $shuffles")
+  }
+
   test("triangle counting plans as keyed equi-joins, never cartesian") {
     val plan = explained(SparkEntry.queries("graph_triangles")(spark, TestSession.sf))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
