@@ -1474,6 +1474,65 @@ object SparkEntry {
        |QUALIFY row_number() OVER (PARTITION BY name ORDER BY d, m) = 1
        |ORDER BY name""".stripMargin
 
+  /** Golden-record construction — the full ER pipeline composed:
+    * [[graft.ext.Dedup.erPairs]] at dist ≤ 2 (blocked, bounded
+    * levenshtein) → ids via min part key per name → [[graft.ext.Dedup
+    * .clusterIds]] connected components → per-cluster canonical name
+    * (max row count, ties to the lexicographically-first name) via one
+    * min-struct aggregation. Every stage is exact
+    * (ints/strings/levenshtein), so the whole match→cluster→survive
+    * pipeline hash-oracles against a recursive-closure replay. */
+  private def erGolden(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+    val names = part.groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_rows"), min(col("p_partkey")).cast("long").as("nid"))
+    val idOf = names.select(col("name"), col("nid"))
+    val pid = graft.ext.Dedup.erPairs(part, "p_name", maxDist = 2, maxBlock = 500)
+      .join(idOf, Seq("name"))
+      .join(idOf.select(col("name").as("cand"), col("nid").as("__nb")), Seq("cand"))
+      .select(col("nid").as("id_a"), col("__nb").as("id_b"))
+      .filter(col("id_a") < col("id_b")).distinct()
+    val cc = graft.ext.Dedup.clusterIds(
+      names.select(col("nid").as("doc_id")), pid, "doc_id")
+    val clustered = names.join(
+      cc.select(col("doc_id").as("nid"), col("cluster_id")), Seq("nid"))
+    val canon = clustered.groupBy("cluster_id")
+      .agg(min(struct((-col("n_rows")).as("neg"), col("name").as("nm"))).as("c"))
+      .select(col("cluster_id"), col("c.nm").as("canonical"))
+    clustered.join(canon, Seq("cluster_id"))
+      .select(col("name"), col("cluster_id"), col("canonical"), col("n_rows"))
+      .orderBy("name")
+  }
+
+  private val erGoldenSql: String =
+    """WITH RECURSIVE names AS (
+      |  SELECT p_name AS name, count(*) AS n_rows,
+      |         CAST(min(p_partkey) AS BIGINT) AS nid
+      |  FROM part GROUP BY 1),
+      |b AS (SELECT name, nid,
+      |        list_extract(string_split(name, ' '),
+      |          len(string_split(name, ' '))) AS blk FROM names),
+      |small AS (SELECT blk FROM b GROUP BY blk HAVING count(*) <= 500),
+      |bk AS (SELECT b.* FROM b SEMI JOIN small USING (blk)),
+      |pr AS (SELECT l.nid AS id_a, r.nid AS id_b
+      |       FROM bk l JOIN bk r ON l.blk = r.blk AND l.name <> r.name
+      |       WHERE levenshtein(l.name, r.name) <= 2 AND l.nid < r.nid),
+      |edges AS (SELECT id_a AS s, id_b AS d FROM pr
+      |          UNION SELECT id_b, id_a FROM pr),
+      |reach(id, r) AS (
+      |  SELECT nid, nid FROM names
+      |  UNION
+      |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
+      |cl AS (SELECT id AS nid, min(r) AS cluster_id FROM reach GROUP BY id),
+      |j AS (SELECT n.name, n.n_rows, cl.cluster_id
+      |      FROM names n JOIN cl USING (nid)),
+      |canon AS (SELECT cluster_id, name AS canonical FROM (
+      |    SELECT cluster_id, name,
+      |           row_number() OVER (PARTITION BY cluster_id
+      |             ORDER BY n_rows DESC, name) AS rn FROM j) WHERE rn = 1)
+      |SELECT j.name, j.cluster_id, c.canonical, j.n_rows
+      |FROM j JOIN canon c USING (cluster_id) ORDER BY j.name""".stripMargin
+
   /** Shared decimal literals for the Poisson(1) inverse CDF: the SAME
     * strings are parsed by scalac (Spark side) and DuckDB (oracle
     * side), so both engines compare u against bit-identical doubles.
@@ -3905,6 +3964,7 @@ object SparkEntry {
     "graph_bfs" -> (graphBfs(_, _)),
     "basket_rules" -> (basketRules(_, _)),
     "er_fuzzy" -> (erFuzzy(_, _)),
+    "er_golden" -> (erGolden(_, _)),
     "stats_bootstrap" -> (statsBootstrap(_, _)),
     "stats_regression" -> (statsRegression(_, _)),
     "stats_corr" -> (statsCorr(_, _)),
@@ -5738,6 +5798,7 @@ object SparkEntry {
     "graph_ppr" -> graphPprSql,
     "basket_rules" -> basketRulesSql,
     "er_fuzzy" -> erFuzzySql,
+    "er_golden" -> erGoldenSql,
     "stats_bootstrap" -> statsBootstrapSql,
     "stats_regression" -> statsRegressionSql,
     "stats_corr" -> statsCorrSql,

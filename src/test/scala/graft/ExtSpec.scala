@@ -179,6 +179,19 @@ class ExtSpec extends AnyFunSuite {
     assert(n > 0 && n < 100)
   }
 
+  test("er_golden: canonical is the cluster's most frequent name") {
+    val rows = SparkEntry.queries("er_golden")(spark, TestSession.sf).collect()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_.getLong(1))
+    assert(byCluster.exists(_._2.length > 1), "fixture moved: expected a multi-name cluster")
+    byCluster.foreach { case (_, members) =>
+      val canonical = members.head.getString(2)
+      assert(members.forall(_.getString(2) == canonical), "one canonical per cluster")
+      val best = members.map(r => (-r.getLong(3), r.getString(0))).min._2
+      assert(canonical == best, s"canonical $canonical != argmax $best")
+    }
+  }
+
   test("phash banding equals the brute-force Hamming pair set") {
     val media = Multimodal.encodeGrayPng(
       docs.select(col("doc_id").as("media_id"), unhex(md5(col("text"))).as("pixels")))
