@@ -1304,6 +1304,14 @@ object SparkEntry {
   private def graphAdamicAdar(s: SparkSession, dir: String): DataFrame =
     graft.ext.Graph.adamicAdar(coOccurrenceEdges(s, dir), maxDeg = 64, topK = 50)
 
+  /** Neighbor-set Jaccard link prediction ([[graft.ext.Graph
+    * .jaccardLinks]]) over the same graph — [[graphAdamicAdar]]'s
+    * sibling scorer: i′/(deg(x)+deg(y)−i′) with the identical hub
+    * guard, replayed exactly by the oracle (one int division →
+    * round 6 → rank). */
+  private def graphJaccard(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Graph.jaccardLinks(coOccurrenceEdges(s, dir), maxDeg = 64, topK = 50)
+
   /** k-core ([[graft.ext.Graph.kCore]], k=4) of the same
     * co-occurrence graph: the standard subgraph-density filter
     * (community seeds, spam-cluster mining). Measured: peeling
@@ -3958,6 +3966,7 @@ object SparkEntry {
     "quantile_approx" -> (quantileApprox(_, _)),
     "knn_classify" -> (knnClassify(_, _)),
     "graph_adamic_adar" -> (graphAdamicAdar(_, _)),
+    "graph_jaccard" -> (graphJaccard(_, _)),
     "ts_anomaly" -> (tsAnomaly(_, _)),
     "graph_kcore" -> (graphKcore(_, _)),
     "graph_lpa" -> (graphLpa(_, _)),
@@ -5774,6 +5783,28 @@ object SparkEntry {
         |np AS (SELECT wedge.* FROM wedge
         |       ANTI JOIN und ON wedge.x = und.u AND wedge.y = und.v),
         |sc AS (SELECT x, y, round(sum(w), 6) AS score FROM np GROUP BY 1, 2)
+        |SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, score
+        |FROM sc ORDER BY score DESC, x, y LIMIT 50""".stripMargin,
+    // adamic-adar's replay with the unweighted pivot count and the
+    // full-degree denominator; one int division -> round 6 -> rank
+    "graph_jaccard" ->
+      """WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem WHERE l_linenumber <= 3),
+        |und AS (SELECT DISTINCT x.p AS u, y.p AS v
+        |        FROM ps x JOIN ps y ON x.o = y.o AND x.p < y.p),
+        |adj AS (SELECT u AS z, v AS x FROM und
+        |        UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT z, count(*) AS d FROM adj GROUP BY 1),
+        |piv AS (SELECT z FROM deg WHERE d BETWEEN 2 AND 64),
+        |pa AS (SELECT a.z, a.x FROM adj a SEMI JOIN piv USING (z)),
+        |wedge AS (SELECT a.x AS x, b.x AS y
+        |          FROM pa a JOIN pa b ON a.z = b.z AND a.x < b.x),
+        |np AS (SELECT wedge.* FROM wedge
+        |       ANTI JOIN und ON wedge.x = und.u AND wedge.y = und.v),
+        |i AS (SELECT x, y, count(*) AS i FROM np GROUP BY 1, 2),
+        |sc AS (SELECT i.x, i.y,
+        |         round(CAST(i.i AS DOUBLE) / (dx.d + dy.d - i.i), 6) AS score
+        |       FROM i JOIN deg dx ON dx.z = i.x JOIN deg dy ON dy.z = i.y)
         |SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, score
         |FROM sc ORDER BY score DESC, x, y LIMIT 50""".stripMargin,
     "ts_anomaly" ->

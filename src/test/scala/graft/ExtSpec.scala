@@ -179,6 +179,22 @@ class ExtSpec extends AnyFunSuite {
     assert(n > 0 && n < 100)
   }
 
+  test("jaccardLinks scores a hand-built graph exactly") {
+    import spark.implicits._
+    // path graph 1-2-3-4 + edge 2-5; degs: 1:1, 2:3, 3:2, 4:1, 5:1
+    // (1,3): {2} -> 1/(1+2-1)=0.5; (1,5): {2} -> 1/(1+1-1)=1.0;
+    // (3,5): {2} -> 1/(2+1-1)=0.5; (2,4): {3} -> 1/(3+1-1)=1/3
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L)).toDF("src", "dst")
+    val got = graft.ext.Graph.jaccardLinks(edges, maxDeg = 64, topK = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.size == 4, got.toString)
+    assert(got((1L, 3L)) == 0.5 && got((1L, 5L)) == 1.0 && got((3L, 5L)) == 0.5,
+      got.toString)
+    assert(got((2L, 4L)) == round6(1.0 / 3), got.toString)
+    assert(!got.contains((1L, 2L)), "adjacent pairs are excluded")
+  }
+  private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+
   test("er_golden: canonical is the cluster's most frequent name") {
     val rows = SparkEntry.queries("er_golden")(spark, TestSession.sf).collect()
     assert(rows.nonEmpty)
