@@ -2628,6 +2628,18 @@ object SparkEntry {
       .select("doc_id", "n_tokens", "shard_id")
       .orderBy("doc_id")
 
+  /** Length-bucketed inference batching ([[graft.ext.Pack
+    * .lengthBatches]]): similar-length docs batch together (8 per
+    * batch within 16-token buckets, longest-first) and the per-batch
+    * padding waste is reported — all exact integers, keyed window
+    * only (never a global sort). */
+  private def packBatches(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Pack.lengthBatches(
+        t(s, dir, "documents")
+          .select(col("doc_id"), graft.functions.tokenCount(col("text")).cast("long").as("n_toks")),
+        "n_toks", "doc_id", bucketWidth = 16L, batchSize = 8)
+      .orderBy("bucket", "batch")
+
   /** Repetition signals ([[Text.repetitionDf]]): top-token share and
     * type-token ratio per document — the Gopher repetition-filter
     * inputs. Ratios are double divisions rounded on both sides per the
@@ -3006,6 +3018,39 @@ object SparkEntry {
       .select(col("user_id"), col("event_id"), col("value"),
         col("level"), col("trend"), col("forecast"))
       .orderBy("user_id", "event_id")
+
+  /** Per-user autocorrelation at lags 1..5 ([[graft.ext.TimeSeries
+    * .acf]]) — the seasonality diagnostic. Mean rounds before
+    * deviations; numerator/denominator sums round before the ratio;
+    * ratio rounds — the zscore discipline, so the oracle replays
+    * every step. */
+  private def tsAcf(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TimeSeries.acf(
+        t(s, dir, "events").filter(col("user_id") < 100),
+        "user_id", "ts", "value", "event_id", maxLag = 5)
+      .orderBy("user_id", "lag")
+
+  private val tsAcfSql: String = {
+    val lagCols = (1 to 5).map(l => s"lag(d, $l) OVER w AS d$l").mkString(", ")
+    val numCols = (1 to 5).map(l => s"round(sum(d * d$l), 6) AS n$l").mkString(", ")
+    val unions = (1 to 5).map(l =>
+      s"SELECT user_id, CAST($l AS INT) AS lag, round(n$l / den, 6) AS acf FROM a")
+      .mkString("\nUNION ALL\n")
+    s"""WITH m AS (
+       |  SELECT user_id, round(avg(value), 6) AS m
+       |  FROM events WHERE user_id < 100 GROUP BY 1),
+       |d0 AS (
+       |  SELECT e.user_id, e.ts, e.event_id, e.value - m.m AS d
+       |  FROM events e JOIN m USING (user_id) WHERE e.user_id < 100),
+       |l AS (
+       |  SELECT user_id, d, $lagCols
+       |  FROM d0 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |a AS (
+       |  SELECT user_id, round(sum(d * d), 6) AS den, $numCols
+       |  FROM l GROUP BY 1)
+       |$unions
+       |ORDER BY user_id, lag""".stripMargin
+  }
 
   /** Rolling z-score anomaly flags ([[graft.ext.TimeSeries
     * .rollingZscore]], window=20, |z| > 3) over each user's event
@@ -3990,6 +4035,7 @@ object SparkEntry {
     "stream_cdc" -> (streamCdc(_, _)),
     "ts_ewma" -> (tsEwma(_, _)),
     "ts_holt" -> (tsHolt(_, _)),
+    "ts_acf" -> (tsAcf(_, _)),
     "q51_sessionize" -> (q51Sessionize(_, _)),
     "q52_transitions" -> (q52Transitions(_, _)),
     "q53_abtest" -> (q53Abtest(_, _)),
@@ -4066,6 +4112,7 @@ object SparkEntry {
     "sample_split" -> (sampleSplit(_, _)),
     "sample_balanced" -> (sampleBalanced(_, _)),
     "pack_shards" -> (packShardsQ(_, _)),
+    "pack_batches" -> (packBatches(_, _)),
     "emb_quantize" -> (embQuantize(_, _)),
     "multimodal_meta" -> (multimodalMeta(_, _)),
     "multimodal_decode" -> (multimodalDecode(_, _)),
@@ -4903,6 +4950,19 @@ object SparkEntry {
         |FROM q ORDER BY vec_id""".stripMargin,
     // DuckDB may use the single-node global window the Spark side must
     // not (PlanSpec pins the corpus window as bucket-partitioned)
+    "pack_batches" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n FROM documents
+         |), r AS (
+         |  SELECT doc_id, n, n // 16 AS bkt,
+         |         row_number() OVER (PARTITION BY n // 16
+         |           ORDER BY n DESC, doc_id) - 1 AS rn
+         |  FROM d)
+         |SELECT bkt AS bucket, rn // 8 AS batch,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       max(n) AS max_len,
+         |       max(n) * count(*) - CAST(sum(n) AS BIGINT) AS pad_waste
+         |FROM r GROUP BY 1, 2 ORDER BY bucket, batch""".stripMargin,
     "pack_shards" ->
       s"""WITH w AS (
          |  SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents
@@ -5939,6 +5999,7 @@ object SparkEntry {
         |FROM j ORDER BY user_id, b""".stripMargin,
     "ts_ewma" -> tsEwmaSql,
     "ts_holt" -> tsHoltSql,
+    "ts_acf" -> tsAcfSql,
     "q51_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
         |f AS (SELECT user_id, event_id, us, value,

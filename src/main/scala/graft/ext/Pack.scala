@@ -126,4 +126,37 @@ object Pack {
           x => x("__tid")).as("tokens"),
         count(lit(1)).as("n_tokens"))
   }
+
+  /** Length-bucketed INFERENCE batching: group documents of similar
+    * token length into fixed-size batches so each batch pads to its
+    * own max length instead of the global max — the padding-waste
+    * minimization every batched-inference / dynamic-batching server
+    * performs. Documents land in length bucket `len div bucketWidth`;
+    * within a bucket they batch `batchSize` at a time in (len DESC,
+    * id) order (longest-first keeps each batch's max tight). Emits
+    * per-batch stats incl. `pad_waste` = batch_max·n − Σlen, the
+    * quantity the bucketing minimizes.
+    *
+    * Scale shape: one keyed window PARTITIONED BY the length bucket
+    * (parallel across buckets, never a global sort) + one (bucket,
+    * batch) aggregation — all exact integers, replayable verbatim. */
+  def lengthBatches(df: DataFrame, lenCol: String, idCol: String,
+                    bucketWidth: Long = 16L, batchSize: Int = 8): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val len = col(lenCol).cast("long")
+    val bucketed = df.select(col(idCol).as("__id"), len.as("__len"))
+      .withColumn("__bkt", floor(col("__len") / bucketWidth).cast("long"))
+    val w = Window.partitionBy("__bkt")
+      .orderBy(col("__len").desc, col("__id"))
+    bucketed
+      .withColumn("__batch",
+        floor((row_number().over(w) - 1).cast("double") / batchSize).cast("long"))
+      .groupBy(col("__bkt").as("bucket"), col("__batch").as("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        max("__len").as("max_len"),
+        sum("__len").as("sum_len"))
+      .select(col("bucket"), col("batch"), col("n_docs"), col("max_len"),
+        (col("max_len") * col("n_docs") - col("sum_len")).as("pad_waste"))
+  }
 }

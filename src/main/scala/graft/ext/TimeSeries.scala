@@ -147,6 +147,43 @@ object TimeSeries {
         round(col("level") + col("trend"), 6).as("forecast"))
   }
 
+  /** Sample autocorrelation function per key at lags 1..`maxLag` —
+    * the seasonality/memory diagnostic run before choosing a
+    * forecaster: `r_l = Σ(dev_t · dev_{t−l}) / Σ dev_t²` with
+    * deviations from the per-key mean.
+    *
+    * Determinism: the mean is a shuffle-order sum → rounded to 6 dp
+    * BEFORE deviations are formed (deviations and their products are
+    * then pure per-row IEEE, bit-identical); numerator and denominator
+    * sums round to 6 dp before the ratio, the ratio rounds to 6 dp —
+    * the [[rollingZscore]] discipline. One keyed window pass computes
+    * every lag column; one keyed aggregation forms all ratios; the
+    * long (key, lag, acf) shape comes from exploding a `maxLag`-sized
+    * literal array — no per-lag rescans. */
+  def acf(events: DataFrame, keyCol: String, tsCol: String, valCol: String,
+          tieCol: String, maxLag: Int = 5): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val x = col(valCol).cast("double")
+    val keyed = events.select(col(keyCol), col(tsCol), col(tieCol), x.as("__v"))
+    val mean = keyed.groupBy(keyCol).agg(round(avg("__v"), 6).as("__m"))
+    val dev = keyed.join(mean, Seq(keyCol))
+      .withColumn("__d", col("__v") - col("__m"))
+    val lagged = (1 to maxLag).foldLeft(dev) { (df, l) =>
+      df.withColumn(s"__d$l", lag(col("__d"), l).over(w))
+    }
+    val aggs =
+      round(sum(col("__d") * col("__d")), 6).as("__den") +:
+        (1 to maxLag).map(l =>
+          round(sum(col("__d") * col(s"__d$l")), 6).as(s"__num$l"))
+    val perKey = lagged.groupBy(keyCol).agg(aggs.head, aggs.tail: _*)
+    perKey.select(col(keyCol),
+        posexplode(array((1 to maxLag).map(l => col(s"__num$l")): _*))
+          .as(Seq("__i", "__num")), col("__den"))
+      .select(col(keyCol), (col("__i") + 1).as("lag"),
+        round(col("__num") / col("__den"), 6).as("acf"))
+  }
+
   /** Coefficient ladders (level, trend) for [[holt]]: run the Holt
     * recursion over symbolic unit inputs for a full `window`-length
     * history, yielding the two exact linear forms `l = Σ lc_k·y_{−k}`,

@@ -179,6 +179,34 @@ class ExtSpec extends AnyFunSuite {
     assert(n > 0 && n < 100)
   }
 
+  test("lengthBatches: bucketing beats one global batch on padding waste") {
+    import spark.implicits._
+    val d = docs.select(col("doc_id"),
+      graft.functions.tokenCount(col("text")).cast("long").as("n"))
+    val batched = graft.ext.Pack.lengthBatches(d, "n", "doc_id").collect()
+    val nDocs = batched.map(_.getLong(2)).sum
+    assert(nDocs == docs.count(), "every doc lands in exactly one batch")
+    batched.foreach(r => assert(r.getLong(2) <= 8, "batchSize cap"))
+    val waste = batched.map(_.getLong(4)).sum
+    // baseline: one global batch pads everything to the corpus max
+    val lens = d.select("n").collect().map(_.getLong(0))
+    val globalWaste = lens.max * lens.length - lens.sum
+    assert(waste < globalWaste / 4,
+      s"bucketed waste $waste should be far under global-pad $globalWaste")
+  }
+
+  test("acf of a period-2 alternating series is -1 at odd lags") {
+    import spark.implicits._
+    val ys = (0 until 40).map(i => (1L, i.toLong, i.toLong, if (i % 2 == 0) 1.0 else -1.0))
+    val df = ys.toDF("k", "ts", "tie", "v")
+    val got = graft.ext.TimeSeries.acf(df, "k", "ts", "v", "tie", maxLag = 4)
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    // mean 0; r_l = sum of 40-l products of +-1 over 40: |r_1| = 39/40
+    assert(math.abs(got(1) - (-39.0 / 40)) < 1e-6, got.toString)
+    assert(math.abs(got(2) - (38.0 / 40)) < 1e-6, got.toString)
+    assert(math.abs(got(3) - (-37.0 / 40)) < 1e-6, got.toString)
+  }
+
   test("jaccardLinks scores a hand-built graph exactly") {
     import spark.implicits._
     // path graph 1-2-3-4 + edge 2-5; degs: 1:1, 2:3, 3:2, 4:1, 5:1
