@@ -3631,6 +3631,84 @@ object SparkEntry {
     * form (repo float rule: aggregate sums carry last-ulp engine
     * noise), so both engines feed identical IEEE inputs into the
     * t / Welch–Satterthwaite chain; outputs round to 6 dp. */
+  /** Mann–Whitney U rank-sum test (click vs purchase values, normal
+    * approximation with tie correction) — the nonparametric sibling of
+    * stats_ttest for non-normal metrics.
+    *
+    * Scale shape: ranking continuous data needs a global order, so the
+    * ranks come from the SAME two-phase distributed prefix sum as
+    * [[graft.ext.Pack.packShards]]: distinct values coarse-bucket by
+    * floor(v); per-bucket totals make a TINY offset relation (≈ value
+    * range rows) that alone sees an ordered window; within-bucket
+    * cumulative counts run under a bucket-PARTITIONED window. No
+    * corpus-wide sort. The oracle deliberately uses the single-window
+    * global-rank formulation instead (independent).
+    *
+    * Determinism: counts and tie terms are exact ints; average ranks
+    * are .5-granular exacts; the rank-sum rounds to 6 dp; every later
+    * step (U, μ, σ, z) is the same short IEEE chain over exact ints on
+    * both engines, with z rounded to 6. */
+  private def statsMannwhitney(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type").as("grp"), col("value").cast("double").as("v"))
+    val vc = ev.groupBy("v").agg(
+        count(lit(1)).as("cnt"),
+        sum(when(col("grp") === "click", 1L).otherwise(0L)).as("cntA"))
+      .withColumn("bkt", floor(col("v")).cast("long"))
+    val wOff = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = vc.groupBy("bkt").agg(sum("cnt").as("btot"))
+      .withColumn("off", coalesce(sum("btot").over(wOff), lit(0L)))
+    val wIn = Window.partitionBy("bkt").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = vc.join(broadcast(offsets.select("bkt", "off")), Seq("bkt"))
+      .withColumn("cumB", col("off") + coalesce(sum("cnt").over(wIn), lit(0L)))
+      .withColumn("avgRank",
+        col("cumB").cast("double") + (col("cnt") + 1L).cast("double") / 2.0)
+    val agg = ranked.agg(
+      sum("cntA").as("nA"),
+      (sum("cnt") - sum("cntA")).as("nB"),
+      round(sum(col("cntA").cast("double") * col("avgRank")), 6).as("rA"),
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tsum"))
+    agg.select(
+        col("nA").as("n_a"), col("nB").as("n_b"),
+        round(col("rA") - (col("nA") * (col("nA") + 1L)) / lit(2), 6).as("u_a"),
+        round(
+          (col("rA") - (col("nA") * (col("nA") + 1L)) / lit(2) -
+            col("nA").cast("double") * col("nB") / 2.0) /
+            sqrt(col("nA").cast("double") * col("nB") / 12.0 *
+              ((col("nA") + col("nB") + 1L).cast("double") -
+                col("tsum").cast("double") /
+                  ((col("nA") + col("nB")).cast("double") *
+                    (col("nA") + col("nB") - 1L)))), 6).as("z"))
+  }
+
+  private val statsMannwhitneySql: String =
+    """WITH ev AS (
+      |  SELECT event_type AS grp, CAST(value AS DOUBLE) AS v FROM events
+      |  WHERE event_type IN ('click', 'purchase')),
+      |r AS (
+      |  SELECT grp,
+      |         rank() OVER (ORDER BY v)
+      |           + (count(*) OVER (PARTITION BY v) - 1) / 2.0 AS ar
+      |  FROM ev),
+      |t AS (SELECT CAST(sum(c * c * c - c) AS BIGINT) AS tsum
+      |      FROM (SELECT count(*) AS c FROM ev GROUP BY v)),
+      |a AS (
+      |  SELECT CAST(sum(CASE WHEN grp = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS nA,
+      |         CAST(sum(CASE WHEN grp = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS nB,
+      |         round(sum(CASE WHEN grp = 'click' THEN ar ELSE 0 END), 6) AS rA
+      |  FROM r)
+      |SELECT nA AS n_a, nB AS n_b,
+      |       round(rA - (nA * (nA + 1)) / 2, 6) AS u_a,
+      |       round((rA - (nA * (nA + 1)) / 2 - CAST(nA AS DOUBLE) * nB / 2.0) /
+      |             sqrt(CAST(nA AS DOUBLE) * nB / 12.0 *
+      |               (CAST(nA + nB + 1 AS DOUBLE) -
+      |                CAST(tsum AS DOUBLE) /
+      |                  (CAST(nA + nB AS DOUBLE) * (nA + nB - 1)))), 6) AS z
+      |FROM a CROSS JOIN t""".stripMargin
+
   private def statsTtest(s: SparkSession, dir: String): DataFrame = {
     val clickV = when(col("event_type") === "click", col("value"))
     val purchV = when(col("event_type") === "purchase", col("value"))
@@ -4067,6 +4145,7 @@ object SparkEntry {
     "sketch_cms" -> (sketchCms(_, _)),
     "sketch_bloom" -> (sketchBloom(_, _)),
     "stats_ttest" -> (statsTtest(_, _)),
+    "stats_mannwhitney" -> (statsMannwhitney(_, _)),
     "stats_chisq" -> (statsChisq(_, _)),
     "rank_ndcg" -> (rankNdcg(_, _)),
     "feat_transform" -> (featTransform(_, _)),
@@ -5615,6 +5694,7 @@ object SparkEntry {
         |       count(*) FILTER (WHERE bloom_member AND NOT actual_member)
         |         / (count(*) - count(*) FILTER (WHERE actual_member)) AS fp_rate
         |FROM flags""".stripMargin,
+    "stats_mannwhitney" -> statsMannwhitneySql,
     // sufficient-stat t-test: mean/var round to 6 dp BEFORE the
     // closed form so both engines run identical IEEE chains
     "stats_ttest" ->

@@ -179,6 +179,30 @@ class ExtSpec extends AnyFunSuite {
     assert(n > 0 && n < 100)
   }
 
+  test("mann-whitney U matches a direct driver-side rank computation") {
+    val row = SparkEntry.queries("stats_mannwhitney")(spark, TestSession.sf).collect()(0)
+    val ev = spark.read.parquet(s"${TestSession.sf}/events.parquet")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val rankOf = ev.map(_._2).sorted.zipWithIndex
+      .groupBy(_._1).map { case (v, xs) =>
+        v -> xs.map(_._2 + 1).sum.toDouble / xs.size
+      }
+    val a = ev.filter(_._1 == "click")
+    val nA = a.length.toLong
+    val nB = ev.length - nA
+    val u = a.map(x => rankOf(x._2)).sum - nA * (nA + 1) / 2.0
+    assert(row.getLong(0) == nA && row.getLong(1) == nB)
+    assert(math.abs(row.getDouble(2) - u) < 1e-4, s"U ${row.getDouble(2)} vs $u")
+    val ties = ev.groupBy(_._2).values.map(_.size.toLong)
+      .map(t => t * t * t - t).sum
+    val n = nA + nB
+    val z = (u - nA.toDouble * nB / 2.0) /
+      math.sqrt(nA.toDouble * nB / 12.0 * ((n + 1).toDouble - ties.toDouble / (n.toDouble * (n - 1))))
+    assert(math.abs(row.getDouble(3) - z) < 1e-4, s"z ${row.getDouble(3)} vs $z")
+  }
+
   test("ml_eval: perfect classifier scores 1.0 across the board") {
     import spark.implicits._
     val tiny = Seq(
