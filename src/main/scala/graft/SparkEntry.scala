@@ -3420,6 +3420,28 @@ object SparkEntry {
         col("sum_value"))
       .orderBy("window_start", "event_type")
 
+  private val streamWindowSql: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |       count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  /** Multi-file INCREMENTAL streaming ([[Stream.runMultiFile]]): the
+    * events table split into 4 parquet files, streamed with
+    * maxFilesPerTrigger = 1 so each file is its own real micro-batch
+    * and aggregation state carries across batches — the 100 TB
+    * backfill posture the single-file twin cannot exercise. Complete
+    * mode ⇒ the result equals the batch aggregate over the union, the
+    * oracle it shares with stream_window; ExtSpec asserts > 1 batch
+    * actually ran. */
+  private def streamMultifile(s: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("events_multifile")
+    t(s, dir, "events").repartition(4).write.parquet(out)
+    Stream.runMultiFile(s, out, "1 hour")._1
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        col("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
   /** SLIDING-window aggregate through the real micro-batch engine
     * ([[Stream.runSlidingOnce]]): 2-hour windows every 1 hour, so each
     * event feeds two overlapping buckets — the overlap shape the
@@ -4270,6 +4292,7 @@ object SparkEntry {
     "multimodal_phash" -> (multimodalPhash(_, _)),
     "multimodal_frames" -> (multimodalFrames(_, _)),
     "stream_window" -> (streamWindow(_, _)),
+    "stream_multifile" -> (streamMultifile(_, _)),
     "stream_sliding" -> (streamSliding(_, _)),
     "stream_sessions" -> (streamSessions(_, _)),
     "stream_sessions_stateful" -> (streamSessionsStateful(_, _)),
@@ -6377,10 +6400,11 @@ object SparkEntry {
         |       CAST(length(substring(p, frame_idx * 4096 + 1, 4096)) AS INT) AS n_frame_bytes,
         |       md5(substring(p, frame_idx * 4096 + 1, 4096)) AS frame_md5
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
-    "stream_window" ->
-      """SELECT date_trunc('hour', ts) AS window_start, event_type,
-        |       count(*) AS n_events, round(sum(value), 4) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "stream_window" -> streamWindowSql,
+    // same batch-equivalence oracle: complete mode makes the final
+    // table a pure function of the union of files, independent of the
+    // per-file micro-batch schedule the query actually ran
+    "stream_multifile" -> streamWindowSql,
     "stream_sessions" -> streamSessionsSql,
     // the stateful sessionizer implements session_window's exact gap
     // semantics, so it shares the gaps-and-islands oracle verbatim

@@ -491,6 +491,36 @@ object Stream {
     spark.table(queryName)
   }
 
+  /** Multi-file INCREMENTAL processing: stream a DIRECTORY of parquet
+    * files with `maxFilesPerTrigger` = 1, so every file becomes its
+    * own real micro-batch and the windowed aggregation state carries
+    * across batches — the exact posture of a 100 TB backfill (the
+    * single-file [[runOnce]] exercises the engine but collapses to
+    * one batch). Complete mode makes the final table a pure function
+    * of the union of files regardless of file layout or batch order,
+    * which is what the batch oracle replays. Returns the result table
+    * and the number of micro-batches that actually ran (callers
+    * assert > 1 to prove incrementality). */
+  def runMultiFile(spark: SparkSession, dir: String,
+      window_ : String = "1 hour", maxFilesPerTrigger: Int = 1,
+      queryName: String = "graft_stream_multifile"): (DataFrame, Long) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(dir).schema
+    val stream = normalizeTs(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(dir))
+    val q = windowedAgg(stream, window_).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0).toLong
+    (spark.table(queryName), batches)
+  }
+
   /** Stream-static enrichment: join a live event stream against a
     * static dimension table and aggregate — the classic "attach the
     * customer/nation to each event" streaming pattern. The static side

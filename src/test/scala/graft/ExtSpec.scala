@@ -179,6 +179,22 @@ class ExtSpec extends AnyFunSuite {
     assert(n > 0 && n < 100)
   }
 
+  test("multi-file streaming runs one micro-batch per file and matches batch") {
+    val out = java.nio.file.Files.createTempDirectory("graft_multifile").toString
+    val ev = Stream.normalizeTs(
+      spark.read.parquet(s"${TestSession.sf}/events.parquet"))
+    ev.repartition(4).write.mode("overwrite").parquet(out)
+    val (table, batches) = Stream.runMultiFile(spark, out, "1 hour",
+      queryName = "graft_multifile_spec")
+    assert(batches >= 4, s"maxFilesPerTrigger=1 over 4 files must run >= 4 data batches, got $batches")
+    val got = table.select("window_start", "event_type", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+    val want = Stream.windowedAgg(ev, "1 hour")
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "incremental multi-batch result must equal the batch aggregate")
+  }
+
   test("mann-whitney U matches a direct driver-side rank computation") {
     val row = SparkEntry.queries("stats_mannwhitney")(spark, TestSession.sf).collect()(0)
     val ev = spark.read.parquet(s"${TestSession.sf}/events.parquet")
