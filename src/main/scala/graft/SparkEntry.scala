@@ -2629,6 +2629,20 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Bloom-accelerated incremental dedup ([[Dedup
+    * .exactIncrementBloom]]): same corpus/batch split and SAME oracle
+    * as dedup_incremental — the Bloom pre-filter has no false
+    * negatives, so the two-tier path must be row-identical to the
+    * plain anti-join, and the shared oracle gates exactly that. */
+  private def dedupBloomIncr(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.exactIncrementBloom(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+      .select(col("doc_id"), fingerprintMd5(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
   // ======================================================================
   // Sampling / packing / curation (north-star): the corpus-mixing and
   // shard-emission steps downstream of dedup + filtering
@@ -4274,6 +4288,7 @@ object SparkEntry {
     "profile_lineitem" -> (profileLineitem(_, _)),
     "integrity_checksum" -> (integrityChecksum(_, _)),
     "dedup_incremental" -> (dedupIncremental(_, _)),
+    "dedup_bloom_incr" -> (dedupBloomIncr(_, _)),
     "dedup_minhash_incr" -> (dedupMinhashIncr(_, _)),
     "sample_stratified" -> (sampleStratified(_, _)),
     "sample_domain_cap" -> (sampleDomainCap(_, _)),
@@ -5057,6 +5072,22 @@ object SparkEntry {
         |FROM lineitem, cols c
         |GROUP BY c.col_name ORDER BY "column"""".stripMargin,
     "dedup_incremental" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |         md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fingerprint
+        |  FROM documents
+        |), corpus AS (
+        |  SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 2 = 0
+        |), survivors AS (
+        |  SELECT min(doc_id) AS doc_id, fingerprint
+        |  FROM fp
+        |  WHERE doc_id % 2 = 1
+        |    AND fingerprint NOT IN (SELECT fingerprint FROM corpus)
+        |  GROUP BY fingerprint
+        |)
+        |SELECT doc_id, fingerprint FROM survivors ORDER BY doc_id""".stripMargin,
+    // bloom pre-filter has no false negatives => identical output
+    "dedup_bloom_incr" ->
       """WITH fp AS (
         |  SELECT doc_id,
         |         md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fingerprint

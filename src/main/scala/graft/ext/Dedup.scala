@@ -70,6 +70,41 @@ object Dedup {
     batch.join(keep.hint("shuffle_merge"), Seq(idCol), "left_semi")
   }
 
+  /** [[exactIncrement]] with a BLOOM pre-filter — the two-tier
+    * membership shape for daily ingest at corpus scale: the corpus
+    * fingerprint set is summarized once into a parameter-sized Bloom
+    * filter ([[Sketch.bloomBuild]], broadcastable); batch rows whose
+    * fingerprint FAILS the filter are definitely new (no false
+    * negatives) and skip the corpus join entirely; only the
+    * bloom-positive slice — true dups plus the deterministic false
+    * positives — pays the exact anti-join verify. At a 1 % FP rate the
+    * corpus-sized join input shrinks to (dup rate + 1 %) of the batch.
+    * Output is IDENTICAL to [[exactIncrement]] by construction, which
+    * is exactly how the gate verifies it. */
+  def exactIncrementBloom(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 4,
+      bits: Int = 65536
+  ): DataFrame = {
+    val cfp = corpus.select(fingerprintMd5(col(textCol)).as("fp")).distinct()
+    val bloom = Sketch.bloomBuild(cfp, "fp", k, bits)
+    val bfp = batch.select(col(idCol), fingerprintMd5(col(textCol)).as("fp"))
+    val flagged = Sketch.bloomContains(bloom, bfp.select("fp").distinct(), "fp", k, bits)
+    val definitelyNew = bfp.join(
+      flagged.filter(!col("bloom_member")).select("fp").hint("shuffle_merge"),
+      Seq("fp"), "left_semi")
+    val maybe = bfp.join(
+      flagged.filter(col("bloom_member")).select("fp").hint("shuffle_merge"),
+      Seq("fp"), "left_semi")
+    val verified = maybe.join(cfp.hint("shuffle_merge"), Seq("fp"), "left_anti")
+    val fresh = verified.unionByName(definitelyNew)
+    val keep = fresh.groupBy("fp").agg(min(col(idCol)).as(idCol)).select(idCol)
+    batch.join(keep.hint("shuffle_merge"), Seq(idCol), "left_semi")
+  }
+
   /** SEGMENT-level exact dedup — the paragraph-dedup pass every web
     * corpus runs (MassiveText/CCNet drop repeated paragraphs;
     * boilerplate headers/footers recur across millions of pages):

@@ -179,6 +179,20 @@ class ExtSpec extends AnyFunSuite {
     assert(n > 0 && n < 100)
   }
 
+  test("bloom-accelerated incremental dedup is identical at any FP rate") {
+    val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val plain = Dedup.exactIncrement(corpus, batch)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 64 bits saturates the filter (≈100 % FP rate): every row rides
+    // the verify join and the identity must still hold exactly
+    for (bits <- Seq(64, 65536)) {
+      val fast = Dedup.exactIncrementBloom(corpus, batch, bits = bits)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(fast == plain, s"bits=$bits diff=${(fast -- plain) ++ (plain -- fast)}")
+    }
+  }
+
   test("multi-file streaming runs one micro-batch per file and matches batch") {
     val out = java.nio.file.Files.createTempDirectory("graft_multifile").toString
     val ev = Stream.normalizeTs(
