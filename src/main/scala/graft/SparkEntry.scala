@@ -3720,6 +3720,68 @@ object SparkEntry {
                     (col("nA") + col("nB") - 1L)))), 6).as("z"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic (click vs purchase):
+    * `D = max_v |F_A(v) − F_B(v)|` over observed values, with the
+    * smallest argmax value reported. Same distributed two-phase
+    * cumulative counts as [[statsMannwhitney]] (only the tiny
+    * per-bucket offset relation sees an ordered window); the oracle is
+    * the INDEPENDENT single-window ECDF formulation. Every D value is
+    * one subtraction of two exact-int divisions — bit-identical, so
+    * the statistic needs NO rounding at all. */
+  private def statsKs(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type").as("grp"), col("value").cast("double").as("v"))
+    val vc = ev.groupBy("v").agg(
+        count(lit(1)).as("cnt"),
+        sum(when(col("grp") === "click", 1L).otherwise(0L)).as("cntA"))
+      .withColumn("bkt", floor(col("v")).cast("long"))
+    val wOff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = vc.groupBy("bkt")
+      .agg(sum("cnt").as("btot"), sum("cntA").as("btotA"))
+      .withColumn("off", coalesce(sum("btot").over(wOff), lit(0L)))
+      .withColumn("offA", coalesce(sum("btotA").over(wOff), lit(0L)))
+    val wIn = Window.partitionBy("bkt").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = ev.agg(
+      sum(when(col("grp") === "click", 1L).otherwise(0L)).as("nA"),
+      sum(when(col("grp") === "purchase", 1L).otherwise(0L)).as("nB"))
+    val cum = vc.join(broadcast(offsets.select("bkt", "off", "offA")), Seq("bkt"))
+      .withColumn("cum", col("off") + sum("cnt").over(wIn))
+      .withColumn("cumA", col("offA") + sum("cntA").over(wIn))
+      .crossJoin(broadcast(totals))
+      .withColumn("d", abs(
+        col("cumA").cast("double") / col("nA") -
+          (col("cum") - col("cumA")).cast("double") / col("nB")))
+    cum.agg(
+        min(struct((-col("d")).as("nd"), col("v").as("loc"),
+          col("nA").as("na"), col("nB").as("nb"))).as("b"))
+      .select(col("b.na").as("n_a"), col("b.nb").as("n_b"),
+        (-col("b.nd")).as("d_stat"), col("b.loc").as("d_loc"))
+  }
+
+  private val statsKsSql: String =
+    """WITH ev AS (
+      |  SELECT event_type AS grp, CAST(value AS DOUBLE) AS v FROM events
+      |  WHERE event_type IN ('click', 'purchase')),
+      |vc AS (SELECT v, count(*) AS cnt,
+      |         sum(CASE WHEN grp = 'click' THEN 1 ELSE 0 END) AS cntA
+      |       FROM ev GROUP BY v),
+      |c AS (SELECT v,
+      |        CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum,
+      |        CAST(sum(cntA) OVER (ORDER BY v) AS BIGINT) AS cumA
+      |      FROM vc),
+      |t AS (SELECT
+      |        CAST(sum(CASE WHEN grp = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS nA,
+      |        CAST(sum(CASE WHEN grp = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS nB
+      |      FROM ev),
+      |d AS (SELECT v, nA, nB,
+      |        abs(CAST(cumA AS DOUBLE) / nA -
+      |            CAST(cum - cumA AS DOUBLE) / nB) AS d
+      |      FROM c CROSS JOIN t)
+      |SELECT nA AS n_a, nB AS n_b, d AS d_stat, v AS d_loc
+      |FROM d ORDER BY d DESC, v LIMIT 1""".stripMargin
+
   private val statsMannwhitneySql: String =
     """WITH ev AS (
       |  SELECT event_type AS grp, CAST(value AS DOUBLE) AS v FROM events
@@ -4182,6 +4244,7 @@ object SparkEntry {
     "sketch_bloom" -> (sketchBloom(_, _)),
     "stats_ttest" -> (statsTtest(_, _)),
     "stats_mannwhitney" -> (statsMannwhitney(_, _)),
+    "stats_ks" -> (statsKs(_, _)),
     "stats_chisq" -> (statsChisq(_, _)),
     "rank_ndcg" -> (rankNdcg(_, _)),
     "feat_transform" -> (featTransform(_, _)),
@@ -5749,6 +5812,7 @@ object SparkEntry {
         |         / (count(*) - count(*) FILTER (WHERE actual_member)) AS fp_rate
         |FROM flags""".stripMargin,
     "stats_mannwhitney" -> statsMannwhitneySql,
+    "stats_ks" -> statsKsSql,
     // sufficient-stat t-test: mean/var round to 6 dp BEFORE the
     // closed form so both engines run identical IEEE chains
     "stats_ttest" ->

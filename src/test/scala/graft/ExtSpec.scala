@@ -179,6 +179,23 @@ class ExtSpec extends AnyFunSuite {
     assert(n > 0 && n < 100)
   }
 
+  test("KS statistic matches a direct driver-side ECDF computation") {
+    val row = SparkEntry.queries("stats_ks")(spark, TestSession.sf).collect()(0)
+    val ev = spark.read.parquet(s"${TestSession.sf}/events.parquet")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val a = ev.filter(_._1 == "click").map(_._2).sorted
+    val b = ev.filter(_._1 == "purchase").map(_._2).sorted
+    val d = ev.map(_._2).distinct.map { v =>
+      math.abs(a.count(_ <= v).toDouble / a.length -
+        b.count(_ <= v).toDouble / b.length)
+    }.max
+    assert(math.abs(row.getDouble(2) - d) < 1e-12,
+      s"D ${row.getDouble(2)} vs direct $d")
+    assert(row.getLong(0) == a.length && row.getLong(1) == b.length)
+  }
+
   test("bloom-accelerated incremental dedup is identical at any FP rate") {
     val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
     val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
