@@ -300,6 +300,23 @@ class PlanSpec extends AnyFunSuite {
     assert(simple.contains("BroadcastHashJoin"), simple.take(2000))
   }
 
+  test("rank-based stats: the value-relation window is bucket-partitioned") {
+    for (q <- Seq("stats_mannwhitney", "stats_ks")) {
+      val df = SparkEntry.queries(q)(spark, TestSession.sf)
+      val simple = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      // the distinct-value cumulative sum must run under a window
+      // PARTITIONED by the coarse bucket; the only unpartitioned window
+      // may run over the tiny per-bucket offset relation
+      val windowLines = simple.linesIterator.filter(_.contains("Window [")).toSeq
+      assert(windowLines.exists(_.contains("[bkt#")),
+        s"$q: the value-side window must partition by bkt:\n${windowLines.mkString("\n")}")
+      assert(simple.contains("BroadcastHashJoin"),
+        s"$q: bucket offsets must broadcast back, not shuffle the values:\n" + simple.take(1500))
+      assert(!simple.contains("CartesianProduct"), q)
+    }
+  }
+
   test("bloom_join prunes the fact side with might_contain before the join") {
     val df = SparkEntry.queries("bloom_join")(spark, TestSession.sf)
     val simple = df.queryExecution.explainString(
