@@ -2199,6 +2199,30 @@ object SparkEntry {
       .orderBy("n_nationkey")
   }
 
+  /** Quoted/escaped CSV dialect roundtrip: a column that CONTAINS the
+    * delimiter and the quote char is written as quoted CSV and read
+    * back through [[Load.read]] with the reference's Snowflake option
+    * vocabulary (`field_optionally_enclosed_by` + `escape`, the COPY
+    * quoting options locopy whitelists, locopy/snowflake.py:314-317).
+    * The oracle recomputes the tricky column straight from `part` —
+    * any mis-handled quote or escape shows up as a row/hash
+    * mismatch. */
+  private def loadCsvQuotedRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("part_quoted_csv")
+    t(s, dir, "part").select(col("p_partkey"),
+        concat(lit("a,\"b\" "), col("p_name")).as("tricky"),
+        col("p_retailprice"))
+      .coalesce(1).write
+      .option("header", "true").option("escape", "\"")
+      .csv(out)
+    Load.read(s, out, "csv",
+        options = Map("field_optionally_enclosed_by" -> "\"", "escape" -> "\""),
+        header = true)
+      .select(col("p_partkey").cast("long").as("p_partkey"), col("tricky"),
+        col("p_retailprice").cast("double").as("p_retailprice"))
+      .orderBy("p_partkey")
+  }
+
   /** UNLOAD parity: query → single-file CSV export with header
     * (PARALLEL OFF + header concat, locopy/redshift.py:349-441) →
     * read the exported artifact back. */
@@ -4293,6 +4317,7 @@ object SparkEntry {
     "salted_join" -> (saltedJoin(_, _)),
     "bloom_join" -> (bloomJoin(_, _)),
     "load_csv_roundtrip" -> (loadCsvRoundtrip(_, _)),
+    "load_csv_quoted" -> (loadCsvQuotedRoundtrip(_, _)),
     "load_json_roundtrip" -> (loadJsonRoundtrip(_, _)),
     "load_orc_roundtrip" -> (loadOrcRoundtrip(_, _)),
     "load_evolution_roundtrip" -> (loadEvolutionRoundtrip(_, _)),
@@ -4852,6 +4877,11 @@ object SparkEntry {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "load_csv_quoted" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+        |       'a,"b" ' || p_name AS tricky,
+        |       CAST(p_retailprice AS DOUBLE) AS p_retailprice
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "unload_export_roundtrip" ->
       """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
         |       CAST(s_nationkey AS BIGINT) AS s_nationkey, s_acctbal
