@@ -1411,7 +1411,19 @@ object SparkEntry {
     graft.ext.Graph.labelPropagation(coOccurrenceEdges(s, dir),
       rounds = lpaRounds).orderBy("id")
 
-  private val graphLpaSql: String = {
+  /** Newman modularity ([[graft.ext.Graph.modularity]]) of the LPA
+    * communities over the co-occurrence graph — the quality score for
+    * [[graphLpa]]'s assignment, oracled on the shared LPA replay. */
+  private def graphModularity(s: SparkSession, dir: String): DataFrame = {
+    val edges = coOccurrenceEdges(s, dir)
+    val labels = graft.ext.Graph.labelPropagation(edges, rounds = lpaRounds)
+    graft.ext.Graph.modularity(edges, labels)
+  }
+
+  /** LPA training rounds as a WITH-body fragment (ps, e0, ed, l0,
+    * l1..l4) — shared by the graph_lpa oracle and graph_modularity,
+    * which scores the SAME community assignment. */
+  private val graphLpaCtes: String = {
     val rounds = (1 to lpaRounds).map { i =>
       s"""l$i AS MATERIALIZED (
          |  SELECT id, label FROM (
@@ -1421,17 +1433,44 @@ object SparkEntry {
          |    FROM ed e JOIN l${i - 1} l ON l.id = e.src
          |    GROUP BY e.dst, l.label) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+    s"""ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
        |            FROM lineitem WHERE l_linenumber <= 3),
        |e0 AS MATERIALIZED (SELECT DISTINCT x.p AS u, y.p AS v
        |       FROM ps x JOIN ps y ON x.o = y.o AND x.p < y.p),
        |ed AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0
        |       UNION SELECT v, u FROM e0),
        |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM ed),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private val graphLpaSql: String =
+    s"""WITH $graphLpaCtes
        |SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label
        |FROM l$lpaRounds ORDER BY id""".stripMargin
-  }
+
+  /** DuckDB oracle for graph_modularity: the shared LPA rounds produce
+    * the community assignment; Newman Q folds exact-int per-community
+    * terms, summed and rounded to 6 dp exactly like the engine. */
+  private val graphModularitySql: String =
+    s"""WITH $graphLpaCtes,
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+       |deg AS (SELECT id, count(*) AS d FROM (
+       |         SELECT u AS id FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+       |wl AS (SELECT lu.label AS lu, lv.label AS lv
+       |       FROM e0 JOIN l$lpaRounds lu ON lu.id = e0.u
+       |       JOIN l$lpaRounds lv ON lv.id = e0.v),
+       |intra AS (SELECT lu AS c, CAST(count(*) AS BIGINT) AS lc
+       |          FROM wl WHERE lu = lv GROUP BY 1),
+       |dsum AS (SELECT l.label AS c, CAST(sum(deg.d) AS BIGINT) AS dc
+       |         FROM deg JOIN l$lpaRounds l ON l.id = deg.id GROUP BY 1),
+       |terms AS (SELECT
+       |    CAST(coalesce(i.lc, 0) AS DOUBLE) / mm.m -
+       |      (CAST(d.dc AS DOUBLE) / (2.0 * mm.m)) *
+       |      (CAST(d.dc AS DOUBLE) / (2.0 * mm.m)) AS term, mm.m
+       |  FROM dsum d LEFT JOIN intra i ON i.c = d.c CROSS JOIN mm)
+       |SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       |       max(m) AS m_edges, round(sum(term), 6) AS modularity
+       |FROM terms""".stripMargin
 
   /** Market-basket association rules: co-purchased part pairs per
     * order with support / confidence / lift (the a-priori 2-itemset
@@ -4286,6 +4325,7 @@ object SparkEntry {
     "ts_anomaly" -> (tsAnomaly(_, _)),
     "graph_kcore" -> (graphKcore(_, _)),
     "graph_lpa" -> (graphLpa(_, _)),
+    "graph_modularity" -> (graphModularity(_, _)),
     "graph_bfs" -> (graphBfs(_, _)),
     "basket_rules" -> (basketRules(_, _)),
     "er_fuzzy" -> (erFuzzy(_, _)),
@@ -6168,6 +6208,7 @@ object SparkEntry {
         |FROM z ORDER BY user_id, event_id""".stripMargin,
     "graph_kcore" -> graphKcoreSql,
     "graph_lpa" -> graphLpaSql,
+    "graph_modularity" -> graphModularitySql,
     "graph_bfs" -> graphBfsSql,
     "graph_ppr" -> graphPprSql,
     "basket_rules" -> basketRulesSql,

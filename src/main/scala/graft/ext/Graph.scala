@@ -452,6 +452,55 @@ object Graph {
       .limit(topK)
   }
 
+  /** Newman modularity `Q = Σ_c (L_c/m − (D_c/2m)²)` of a community
+    * assignment over an undirected graph — the quality score that
+    * tells you whether [[labelPropagation]]'s communities beat random
+    * (Q ≈ 0) structure. `labels` carries (id, label).
+    *
+    * Scale shape: canonical edge set + two keyed joins to attach
+    * labels, one count per community for intra edges, one keyed sum of
+    * degrees per community, and the community-term relation (bounded
+    * by community count) folds in a single-row aggregate; `m` rides a
+    * single-row broadcast, never a driver collect. Per-community terms
+    * are exact-int divisions (bit-identical); the final sum across
+    * communities rounds to 6 dp. */
+  def modularity(
+      edges: DataFrame,
+      labels: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      idCol: String = "id",
+      labelCol: String = "label"
+  ): DataFrame = {
+    val und = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val lab = labels.select(col(idCol).cast("long").as("id"),
+      col(labelCol).cast("long").as("lbl"))
+    val mRow = und.agg(count(lit(1)).as("m"))
+    val deg = und.select(col("u").as("id")).union(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val withLab = und
+      .join(lab.select(col("id").as("u"), col("lbl").as("lu")), Seq("u"))
+      .join(lab.select(col("id").as("v"), col("lbl").as("lv")), Seq("v"))
+    val intra = withLab.filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("c")).agg(count(lit(1)).as("lc"))
+    val dsum = deg.join(lab, Seq("id"))
+      .groupBy(col("lbl").as("c")).agg(sum("d").as("dc"))
+    dsum.join(intra, Seq("c"), "left")
+      .crossJoin(broadcast(mRow))
+      .select(col("c"),
+        (coalesce(col("lc"), lit(0L)).cast("double") / col("m") -
+          (col("dc").cast("double") / (lit(2.0) * col("m"))) *
+            (col("dc").cast("double") / (lit(2.0) * col("m")))).as("term"),
+        col("m"))
+      .agg(count(lit(1)).as("n_communities"),
+        max(col("m")).as("m_edges"),
+        round(sum("term"), 6).as("modularity"))
+  }
+
   /** Neighbor-set Jaccard link prediction: for non-adjacent pairs,
     * `score = i′ / (deg(x) + deg(y) − i′)` where `i′` counts common
     * neighbors whose degree is ≤ `maxDeg` — [[adamicAdar]]'s sibling

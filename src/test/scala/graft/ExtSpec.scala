@@ -179,6 +179,23 @@ class ExtSpec extends AnyFunSuite {
     assert(n > 0 && n < 100)
   }
 
+  test("modularity: perfect two-cluster split scores high, random labels ~0") {
+    import spark.implicits._
+    // two disjoint triangles: perfect communities
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+      .toDF("src", "dst")
+    val goodLabels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("id", "label")
+    val good = graft.ext.Graph.modularity(edges, goodLabels).collect()(0)
+    // Q = 2 * (3/6 - (6/12)^2) = 0.5
+    assert(math.abs(good.getDouble(2) - 0.5) < 1e-9, good.toString)
+    assert(good.getLong(0) == 2 && good.getLong(1) == 6)
+    val oneBlob = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (6L, 1L))
+      .toDF("id", "label")
+    val blob = graft.ext.Graph.modularity(edges, oneBlob).collect()(0)
+    assert(math.abs(blob.getDouble(2)) < 1e-9, "everything-in-one-community scores 0")
+  }
+
   test("KS statistic matches a direct driver-side ECDF computation") {
     val row = SparkEntry.queries("stats_ks")(spark, TestSession.sf).collect()(0)
     val ev = spark.read.parquet(s"${TestSession.sf}/events.parquet")
