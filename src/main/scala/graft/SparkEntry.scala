@@ -3870,6 +3870,274 @@ object SparkEntry {
       |                  (CAST(nA + nB AS DOUBLE) * (nA + nB - 1)))), 6) AS z
       |FROM a CROSS JOIN t""".stripMargin
 
+  /** Spearman rank correlation of l_quantity vs l_extendedprice.
+    * Ranks are tie-averaged, carried as DOUBLED ranks (2·avgRank =
+    * 2·#less + cnt + 1) so every rank is an exact int64 and all five
+    * sufficient sums stay exact integers; the correlation itself is
+    * then ONE explicit IEEE chain over those ints (cast-to-double
+    * first — n·Σxy overflows int64 at scale but the cast is the same
+    * deterministic op on both engines). Ranking is distributed the
+    * statsMannwhitney way: quantity has a 50-value domain (broadcast
+    * rank map); price ranks use floor(v/1000) coarse buckets so only
+    * the ~100-row bucket-offset relation sees an ordered window and
+    * the per-value ranks run under bucket-partitioned windows. The
+    * oracle deliberately uses the single-window global-rank
+    * formulation — independent of the two-phase mechanism. */
+  private def statsSpearman(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+    // x: 50 distinct values — the rank map is attribute-domain-bounded
+    val xvc = li.groupBy("x").agg(count(lit(1)).as("cnt"))
+    val wX = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    val xr = xvc.withColumn("r2x",
+      lit(2L) * coalesce(sum("cnt").over(wX), lit(0L)) + col("cnt") + 1L)
+    // y: near-unique — two-phase bucketed ranking, no corpus-wide sort
+    val yvc = li.groupBy("y").agg(count(lit(1)).as("cnt"))
+      .withColumn("bkt", floor(col("y") / 1000.0).cast("long"))
+    val wOff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val yOff = yvc.groupBy("bkt").agg(sum("cnt").as("btot"))
+      .withColumn("off", coalesce(sum("btot").over(wOff), lit(0L)))
+    val wIn = Window.partitionBy("bkt").orderBy("y")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val yr = yvc.join(broadcast(yOff.select("bkt", "off")), Seq("bkt"))
+      .withColumn("r2y",
+        lit(2L) * (col("off") + coalesce(sum("cnt").over(wIn), lit(0L))) +
+          col("cnt") + 1L)
+    val joined = li
+      .join(broadcast(xr.select("x", "r2x")), Seq("x"))
+      .join(yr.select("y", "r2y"), Seq("y"))
+    val a = joined.agg(
+      count(lit(1)).as("n"), sum("r2x").as("sx"), sum("r2y").as("sy"),
+      sum(col("r2x") * col("r2x")).as("sxx"),
+      sum(col("r2y") * col("r2y")).as("syy"),
+      sum(col("r2x") * col("r2y")).as("sxy"))
+    a.select(col("n"),
+      round((col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+        (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+          sqrt(col("n").cast("double") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double"))), 6)
+        .as("spearman_rho"))
+  }
+
+  private val statsSpearmanSql: String =
+    """WITH li AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+      |r AS (SELECT
+      |        CAST(2 * rank() OVER (ORDER BY x)
+      |             + count(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS r2x,
+      |        CAST(2 * rank() OVER (ORDER BY y)
+      |             + count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS r2y
+      |      FROM li),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(r2x) AS BIGINT) AS sx, CAST(sum(r2y) AS BIGINT) AS sy,
+      |        CAST(sum(r2x * r2x) AS BIGINT) AS sxx,
+      |        CAST(sum(r2y * r2y) AS BIGINT) AS syy,
+      |        CAST(sum(r2x * r2y) AS BIGINT) AS sxy
+      |      FROM r)
+      |SELECT n,
+      |       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |             (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |              sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |         AS spearman_rho
+      |FROM a""".stripMargin
+
+  /** One-way ANOVA F-test: does mean l_quantity differ across the
+    * three l_returnflag groups? l_quantity is integer-valued, so the
+    * per-group sufficient stats (n, Σq, Σq²) are EXACT int64s from one
+    * map-side-combinable aggregation; the groups are then PIVOTED to
+    * columns of a single row so SSB/SSW/F are one explicit scalar
+    * chain with a forced association order — no order-dependent
+    * floating sum anywhere (the round-6 chain discipline from
+    * stats_corr, with the 3-row fold made explicit instead). Scale
+    * shape: one keyed agg + a 3-row pivot; nothing else. */
+  private def statsAnova(s: SparkSession, dir: String): DataFrame = {
+    def g(flag: String, e: Column): Column =
+      sum(when(col("l_returnflag") === flag, e).otherwise(lit(0L)))
+    val q = col("l_quantity").cast("long")
+    val a = t(s, dir, "lineitem").agg(
+      g("A", lit(1L)).as("na"), g("N", lit(1L)).as("nn"),
+      g("R", lit(1L)).as("nr"),
+      g("A", q).as("sa"), g("N", q).as("sn"), g("R", q).as("sr"),
+      g("A", q * q).as("qa"), g("N", q * q).as("qn"), g("R", q * q).as("qr"))
+    val tA = (col("sa") * col("sa")).cast("double") / col("na").cast("double")
+    val tN = (col("sn") * col("sn")).cast("double") / col("nn").cast("double")
+    val tR = (col("sr") * col("sr")).cast("double") / col("nr").cast("double")
+    val n = col("na") + col("nn") + col("nr")
+    val sTot = col("sa") + col("sn") + col("sr")
+    val qTot = col("qa") + col("qn") + col("qr")
+    // explicit left-assoc chain: ((tA + tN) + tR) — deterministic IEEE
+    val between = tA + tN + tR -
+      (sTot * sTot).cast("double") / n.cast("double")
+    val within = qTot.cast("double") - (tA + tN + tR)
+    a.select(n.as("n"),
+      round(between, 6).as("ss_between"), round(within, 6).as("ss_within"),
+      round((between / 2.0) / (within / (n - 3L).cast("double")), 6)
+        .as("f_stat"))
+  }
+
+  private val statsAnovaSql: String =
+    """WITH a AS (SELECT
+      |    CAST(sum(CASE WHEN l_returnflag='A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |    CAST(sum(CASE WHEN l_returnflag='N' THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+      |    CAST(sum(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+      |    CAST(sum(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS sa,
+      |    CAST(sum(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS sn,
+      |    CAST(sum(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS sr,
+      |    CAST(sum(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qa,
+      |    CAST(sum(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qn,
+      |    CAST(sum(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qr
+      |  FROM lineitem),
+      |b AS (SELECT na + nn + nr AS n,
+      |        CAST(sa*sa AS DOUBLE)/CAST(na AS DOUBLE)
+      |          + CAST(sn*sn AS DOUBLE)/CAST(nn AS DOUBLE)
+      |          + CAST(sr*sr AS DOUBLE)/CAST(nr AS DOUBLE) AS tsum,
+      |        sa + sn + sr AS s, qa + qn + qr AS q
+      |      FROM a)
+      |SELECT n,
+      |       round(tsum - CAST(s*s AS DOUBLE)/CAST(n AS DOUBLE), 6) AS ss_between,
+      |       round(CAST(q AS DOUBLE) - tsum, 6) AS ss_within,
+      |       round(((tsum - CAST(s*s AS DOUBLE)/CAST(n AS DOUBLE)) / 2.0) /
+      |             ((CAST(q AS DOUBLE) - tsum) / CAST(n - 3 AS DOUBLE)), 6)
+      |         AS f_stat
+      |FROM b""".stripMargin
+
+  /** KMV (k-minimum-values) distinct sketch with set algebra — the
+    * mergeable distinct-count summary (Beyer et al. 2007) behind
+    * cross-partition COUNT DISTINCT and set-overlap estimation at
+    * 100 TB: each side keeps only the K smallest 60-bit md5 hash
+    * values of its key set (a bounded heap — never a global sort);
+    * est = (K−1)/u_K. Sketches UNION by merging heaps; the
+    * intersection estimate is Jaccard-over-the-union-sketch
+    * (|union-sketch ∩ both sides| / K) × est_union. Sets here:
+    * partkeys shipped before vs since 1996. Everything md5-derived and
+    * deterministic, so the DuckDB oracle — an ORDER BY u LIMIT K
+    * replay, sort-based where the engine side is heap-based — gates
+    * the ESTIMATES exactly, and the exact distinct counts ride along
+    * to quantify sketch error (the rank_ndcg pattern). */
+  private def sketchKmv(s: SparkSession, dir: String): DataFrame = {
+    val K = 256
+    val li = t(s, dir, "lineitem")
+    val u = conv(substring(md5(concat(lit("kmv:"),
+      col("pk").cast("string"))), 1, 15), 16, 10).cast("long")
+      .cast("double") / 1152921504606846976.0
+    def keys(pred: Column): DataFrame =
+      li.filter(pred).select(col("l_partkey").as("pk")).distinct()
+        .withColumn("u", u)
+    val cut = lit("1996-01-01").cast("timestamp")
+    val a = keys(col("l_shipdate") < cut)
+    val b = keys(col("l_shipdate") >= cut)
+    val un = a.union(b).distinct()
+    // bounded-heap K smallest per set (score = −u), plus exact counts
+    def sketch(df: DataFrame, tag: String): DataFrame =
+      df.agg(graft.functions.fx.topKByScore(-col("u"), col("pk"), K).as("top"),
+          count(lit(1)).as("exact"))
+        .select(lit(tag).as("set"), col("exact"),
+          size(col("top")).as("kk"),
+          (-array_min(col("top.score"))).as("uk"),
+          col("top.id").as("ids"))
+    val sk = sketch(a, "a").unionAll(sketch(b, "b")).unionAll(sketch(un, "u"))
+      .withColumn("est",
+        when(col("kk") < K, col("kk").cast("double"))
+          .otherwise(round(lit((K - 1).toDouble) / col("uk"), 6)))
+    // intersection: members of the union sketch present in BOTH sides
+    val uIds = sk.filter(col("set") === "u")
+      .select(explode(col("ids")).as("pk"), col("est").as("est_u"),
+        col("kk").as("kk_u"))
+    val inBoth = uIds
+      .join(a.select("pk"), Seq("pk"), "left_semi")
+      .join(b.select("pk"), Seq("pk"), "left_semi")
+    val inter = inBoth.groupBy("est_u", "kk_u").agg(count(lit(1)).as("c"))
+    val exactI = a.select("pk").join(b.select("pk"), Seq("pk"), "left_semi")
+      .agg(count(lit(1)).as("exact_intersect"))
+    val wide = sk.groupBy().pivot("set", Seq("a", "b", "u"))
+      .agg(first("est").as("est"), first("exact").as("exact"))
+    wide.crossJoin(inter).crossJoin(exactI)
+      .select(
+        col("a_est").as("est_a"), col("a_exact").as("exact_a"),
+        col("b_est").as("est_b"), col("b_exact").as("exact_b"),
+        col("u_est").as("est_union"), col("u_exact").as("exact_union"),
+        round(col("c").cast("double") / col("kk_u").cast("double"), 6)
+          .as("jaccard_est"),
+        round((col("c").cast("double") / col("kk_u").cast("double")) *
+          col("u_est"), 6).as("est_intersect"),
+        col("exact_intersect"))
+  }
+
+  private val sketchKmvSql: String =
+    """WITH ka AS (SELECT DISTINCT l_partkey AS pk FROM lineitem
+      |            WHERE l_shipdate < TIMESTAMP '1996-01-01'),
+      |kb AS (SELECT DISTINCT l_partkey AS pk FROM lineitem
+      |       WHERE l_shipdate >= TIMESTAMP '1996-01-01'),
+      |ku AS (SELECT pk FROM ka UNION SELECT pk FROM kb),
+      |ua AS (SELECT pk, ('0x' || substr(md5('kmv:' || CAST(pk AS VARCHAR)), 1, 15))::BIGINT
+      |              / 1152921504606846976.0 AS u FROM ka),
+      |ub AS (SELECT pk, ('0x' || substr(md5('kmv:' || CAST(pk AS VARCHAR)), 1, 15))::BIGINT
+      |              / 1152921504606846976.0 AS u FROM kb),
+      |uu AS (SELECT pk, ('0x' || substr(md5('kmv:' || CAST(pk AS VARCHAR)), 1, 15))::BIGINT
+      |              / 1152921504606846976.0 AS u FROM ku),
+      |sa AS (SELECT * FROM ua ORDER BY u LIMIT 256),
+      |sb AS (SELECT * FROM ub ORDER BY u LIMIT 256),
+      |su AS (SELECT * FROM uu ORDER BY u LIMIT 256),
+      |ea AS (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+      |                   ELSE round(255.0 / max(u), 6) END AS est_a FROM sa),
+      |eb AS (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+      |                   ELSE round(255.0 / max(u), 6) END AS est_b FROM sb),
+      |eu AS (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+      |                   ELSE round(255.0 / max(u), 6) END AS est_u,
+      |              CAST(count(*) AS BIGINT) AS kk_u FROM su),
+      |xc AS (SELECT CAST(count(*) AS BIGINT) AS c FROM su
+      |       WHERE pk IN (SELECT pk FROM ka) AND pk IN (SELECT pk FROM kb)),
+      |ex AS (SELECT CAST((SELECT count(*) FROM ka) AS BIGINT) AS exact_a,
+      |              CAST((SELECT count(*) FROM kb) AS BIGINT) AS exact_b,
+      |              CAST((SELECT count(*) FROM ku) AS BIGINT) AS exact_union,
+      |              CAST((SELECT count(*) FROM ka
+      |                    WHERE pk IN (SELECT pk FROM kb)) AS BIGINT)
+      |                AS exact_intersect)
+      |SELECT est_a, exact_a, est_b, exact_b, est_u AS est_union, exact_union,
+      |       round(CAST(c AS DOUBLE) / CAST(kk_u AS DOUBLE), 6) AS jaccard_est,
+      |       round((CAST(c AS DOUBLE) / CAST(kk_u AS DOUBLE)) * est_u, 6)
+      |         AS est_intersect,
+      |       exact_intersect
+      |FROM ea, eb, eu, xc, ex""".stripMargin
+
+  /** k-anonymity / l-diversity audit over the (nation, segment)
+    * quasi-identifier — the privacy gate a training-data pipeline runs
+    * before releasing user-derived tables: k = the smallest QI group
+    * (any group below threshold re-identifies its members), l = the
+    * least-diverse group's distinct sensitive-value count (here the
+    * account-balance band). One keyed aggregation to the QI-group
+    * relation (bounded by the QI domain, 125 groups here), then a
+    * single-row fold — all exact integers. */
+  private def dqKanon(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("band"))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n"), countDistinct("band").as("l"))
+    g.agg(
+      min("n").as("k_anonymity"), count(lit(1)).as("qi_groups"),
+      sum(when(col("n") < 5, 1L).otherwise(0L)).as("groups_below_5"),
+      sum(when(col("n") < 5, col("n")).otherwise(0L)).as("rows_below_5"),
+      min("l").as("l_diversity"),
+      sum(when(col("l") < 3, 1L).otherwise(0L)).as("groups_l_below_3"))
+  }
+
+  private val dqKanonSql: String =
+    """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n,
+      |             count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS l
+      |           FROM customer GROUP BY 1, 2)
+      |SELECT CAST(min(n) AS BIGINT) AS k_anonymity,
+      |       CAST(count(*) AS BIGINT) AS qi_groups,
+      |       CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS groups_below_5,
+      |       CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_below_5,
+      |       CAST(min(l) AS BIGINT) AS l_diversity,
+      |       CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS groups_l_below_3
+      |FROM g""".stripMargin
+
   private def statsTtest(s: SparkSession, dir: String): DataFrame = {
     val clickV = when(col("event_type") === "click", col("value"))
     val purchV = when(col("event_type") === "purchase", col("value"))
@@ -4308,6 +4576,10 @@ object SparkEntry {
     "stats_ttest" -> (statsTtest(_, _)),
     "stats_mannwhitney" -> (statsMannwhitney(_, _)),
     "stats_ks" -> (statsKs(_, _)),
+    "stats_spearman" -> (statsSpearman(_, _)),
+    "stats_anova" -> (statsAnova(_, _)),
+    "sketch_kmv" -> (sketchKmv(_, _)),
+    "dq_kanon" -> (dqKanon(_, _)),
     "stats_chisq" -> (statsChisq(_, _)),
     "rank_ndcg" -> (rankNdcg(_, _)),
     "feat_transform" -> (featTransform(_, _)),
@@ -5883,6 +6155,10 @@ object SparkEntry {
         |FROM flags""".stripMargin,
     "stats_mannwhitney" -> statsMannwhitneySql,
     "stats_ks" -> statsKsSql,
+    "stats_spearman" -> statsSpearmanSql,
+    "stats_anova" -> statsAnovaSql,
+    "sketch_kmv" -> sketchKmvSql,
+    "dq_kanon" -> dqKanonSql,
     // sufficient-stat t-test: mean/var round to 6 dp BEFORE the
     // closed form so both engines run identical IEEE chains
     "stats_ttest" ->

@@ -1877,4 +1877,85 @@ class ExtSpec extends AnyFunSuite {
       .collect().map(_.getDouble(1))
     assert(pruned.sliding(2).forall(p => p(0) <= p(1)), pruned.mkString(","))
   }
+
+  test("Spearman rho matches a direct driver-side rank correlation") {
+    val row = SparkEntry.queries("stats_spearman")(spark, TestSession.sf)
+      .collect()(0)
+    val xy = spark.read.parquet(s"${TestSession.sf}/lineitem.parquet")
+      .select("l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    def avgRanks(vs: Array[Double]): Map[Double, Double] = {
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val lt = sorted.count(_ < v); val eq = sorted.count(_ == v)
+        v -> (lt + (eq + 1) / 2.0)
+      }.toMap
+    }
+    val rx = avgRanks(xy.map(_._1)); val ry = avgRanks(xy.map(_._2))
+    val pairs = xy.map { case (x, y) => (rx(x), ry(y)) }
+    val n = pairs.length.toDouble
+    val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val rho = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(row.getLong(0) == pairs.length)
+    assert(math.abs(row.getDouble(1) - rho) < 1e-6,
+      s"rho ${row.getDouble(1)} vs direct $rho")
+  }
+
+  test("ANOVA F matches a direct driver-side sum-of-squares computation") {
+    val row = SparkEntry.queries("stats_anova")(spark, TestSession.sf)
+      .collect()(0)
+    val data = spark.read.parquet(s"${TestSession.sf}/lineitem.parquet")
+      .select("l_returnflag", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val groups = data.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n = data.length.toDouble
+    val grand = data.map(_._2).sum / n
+    val ssb = groups.values.map { g =>
+      val m = g.sum / g.length; g.length * (m - grand) * (m - grand)
+    }.sum
+    val ssw = groups.values.map { g =>
+      val m = g.sum / g.length; g.map(v => (v - m) * (v - m)).sum
+    }.sum
+    val f = (ssb / (groups.size - 1)) / (ssw / (n - groups.size))
+    assert(row.getLong(0) == data.length)
+    assert(math.abs(row.getDouble(1) - ssb) < 1e-4, s"ssb ${row.getDouble(1)} vs $ssb")
+    assert(math.abs(row.getDouble(2) - ssw) < 1e-4, s"ssw ${row.getDouble(2)} vs $ssw")
+    assert(math.abs(row.getDouble(3) - f) < 1e-6, s"F ${row.getDouble(3)} vs $f")
+  }
+
+  test("KMV sketch estimates land within the 1/sqrt(K) error band") {
+    val row = SparkEntry.queries("sketch_kmv")(spark, TestSession.sf)
+      .collect()(0)
+    val estA = row.getDouble(0); val exactA = row.getLong(1).toDouble
+    val estB = row.getDouble(2); val exactB = row.getLong(3).toDouble
+    val estU = row.getDouble(4); val exactU = row.getLong(5).toDouble
+    // K=256 → σ ≈ 6.3%; allow 4σ. When the key set is smaller than K
+    // the sketch is exact by construction.
+    for ((e, x, tag) <- Seq((estA, exactA, "a"), (estB, exactB, "b"),
+        (estU, exactU, "union")))
+      assert(math.abs(e - x) / x <= 0.25, s"$tag: est $e vs exact $x")
+    val exactI = row.getLong(8).toDouble
+    val estI = row.getDouble(7)
+    assert(math.abs(estI - exactI) / math.max(1.0, exactI) <= 0.35,
+      s"intersect est $estI vs exact $exactI")
+  }
+
+  test("k-anonymity audit matches a direct group-size recomputation") {
+    val row = SparkEntry.queries("dq_kanon")(spark, TestSession.sf)
+      .collect()(0)
+    val cust = spark.read.parquet(s"${TestSession.sf}/customer.parquet")
+      .select("c_nationkey", "c_mktsegment", "c_acctbal").collect()
+      .map(r => ((r.getInt(0), r.getString(1)),
+        math.floor(r.getDouble(2) / 1000.0).toLong))
+    val byQi = cust.groupBy(_._1)
+    assert(row.getLong(0) == byQi.values.map(_.length).min, "k_anonymity")
+    assert(row.getLong(1) == byQi.size, "qi_groups")
+    assert(row.getLong(2) == byQi.values.count(_.length < 5), "groups_below_5")
+    assert(row.getLong(4) == byQi.values.map(_.map(_._2).distinct.length).min,
+      "l_diversity")
+  }
 }

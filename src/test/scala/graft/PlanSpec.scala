@@ -470,6 +470,40 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange"), "stats row should broadcast")
   }
 
+  test("spearman: price ranking is bucket-partitioned, quantity rank map broadcasts") {
+    val df = SparkEntry.queries("stats_spearman")(spark, TestSession.sf)
+    val simple = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    val windowLines = simple.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.exists(_.contains("[bkt#")),
+      s"price-side window must partition by bkt:\n${windowLines.mkString("\n")}")
+    assert(simple.contains("BroadcastHashJoin"),
+      "bucket offsets and the 50-value quantity rank map must broadcast")
+    assert(!simple.contains("CartesianProduct"), simple.take(1500))
+  }
+
+  test("anova: one map-side-combinable aggregation, no join, no window") {
+    val df = SparkEntry.queries("stats_anova")(spark, TestSession.sf)
+    val simple = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(!simple.contains("Window ["), "pivoted chain needs no window")
+    assert(!simple.contains("Join"), "single-table sufficient stats need no join")
+    assert(simple.contains("HashAggregate"), simple.take(1500))
+  }
+
+  test("kmv: sketches come from bounded heaps — no corpus-wide sort") {
+    val df = SparkEntry.queries("sketch_kmv")(spark, TestSession.sf)
+    val simple = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    // the K smallest hashes per set come from the topk_by_score heap
+    // aggregate (ObjectHashAggregate), never Sort + Limit over the keys
+    assert(simple.contains("ObjectHashAggregate"), simple.take(2000))
+    assert(!simple.linesIterator.exists(l =>
+        l.contains("Sort ") && !l.contains("SortAggregate")),
+      "no sort nodes expected in the sketch build:\n" + simple.take(2000))
+    assert(!simple.contains("CartesianProduct"), simple.take(1500))
+  }
+
   test("custom expressions are SQL-reachable via extensions registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(
