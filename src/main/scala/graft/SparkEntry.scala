@@ -1021,6 +1021,171 @@ object SparkEntry {
   private val graphPprSql: String =
     graphPagerankSqlFor(dangling = false, seeds = Some(Seq(1L, 2L, 3L, 4L)))
 
+  /** HITS hubs & authorities ([[graft.ext.Graph.hits]], 3 rounds) on
+    * the shared bipartite graph. The directed structure makes the two
+    * sides genuinely different: parts that SEND edges become hubs,
+    * suppliers that receive become authorities (and vice versa on the
+    * returned-lines reversals). Oracle: the identical recurrence
+    * unrolled — per round a sum-join CTE, a single-row max, and the
+    * max-normalized round(6) scores — with MATERIALIZED round CTEs
+    * (each is referenced twice; inlined they re-expand the base scan
+    * exponentially). */
+  private def graphHits(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Graph.hits(bipartiteEdges(s, dir), iterations = 3)
+      .select(col("id").as("node"), col("a").as("authority"), col("h").as("hub"))
+      .orderBy("node")
+
+  private val graphHitsSql: String = {
+    val rounds = (1 to 3).map { i =>
+      val prevH = s"h${i - 1}"
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT e.dst, sum($prevH.h) AS ar
+         |  FROM e JOIN $prevH ON $prevH.id = e.src GROUP BY e.dst),
+         |ma$i AS (SELECT max(ar) AS ma FROM ar$i),
+         |a$i AS MATERIALIZED (
+         |  SELECT id, round(coalesce(ar, 0) / ma, 6) AS a
+         |  FROM nodes LEFT JOIN ar$i ON ar$i.dst = nodes.id CROSS JOIN ma$i),
+         |hr$i AS MATERIALIZED (
+         |  SELECT e.src, sum(a$i.a) AS hr
+         |  FROM e JOIN a$i ON a$i.id = e.dst GROUP BY e.src),
+         |mh$i AS (SELECT max(hr) AS mh FROM hr$i),
+         |h$i AS MATERIALIZED (
+         |  SELECT id, round(coalesce(hr, 0) / mh, 6) AS h
+         |  FROM nodes LEFT JOIN hr$i ON hr$i.src = nodes.id CROSS JOIN mh$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst
+       |  FROM lineitem WHERE l_returnflag <> 'R'
+       |  UNION
+       |  SELECT DISTINCT 1000000 + l_suppkey, l_partkey
+       |  FROM lineitem WHERE l_returnflag = 'R'),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+       |h0 AS (SELECT id, 1.0 AS h FROM nodes),
+       |$rounds
+       |SELECT nodes.id AS node, a3.a AS authority, h3.h AS hub
+       |FROM nodes JOIN a3 ON a3.id = nodes.id JOIN h3 ON h3.id = nodes.id
+       |ORDER BY node""".stripMargin
+  }
+
+  /** Leave-one-out target encoding of order priority against the
+    * binary "fulfilled" label — the category-to-number feature
+    * transform that avoids label leakage: each row's own label is
+    * subtracted from its category's sum, plus an m=10 smoothing prior
+    * toward the global rate (the standard high-cardinality-category
+    * recipe). The encoding depends on a row only through (cat, y), so
+    * the distinct (cat, y) grid — bounded by the category domain —
+    * IS the result: one keyed agg, one single-row global rate, one
+    * broadcast join. All numerators exact int64; each encoding is a
+    * single division (plus one mul-add for the smoothed form), round
+    * 6. */
+  private def featTargetEncode(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderpriority").as("cat"),
+      when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+    val g = o.groupBy("cat").agg(count(lit(1)).as("n_cat"), sum("y").as("s_cat"))
+    val glob = o.agg(sum("y").as("sy"), count(lit(1)).as("cnt"))
+    o.distinct()
+      .join(broadcast(g), "cat").crossJoin(broadcast(glob))
+      .select(col("cat"), col("y"), col("n_cat"), col("s_cat"),
+        round((col("s_cat") - col("y")).cast("double") /
+          (col("n_cat") - 1L).cast("double"), 6).as("loo_enc"),
+        round(((col("s_cat") - col("y")).cast("double") +
+            lit(10.0) * (col("sy").cast("double") / col("cnt").cast("double"))) /
+          (col("n_cat") - 1L + 10L).cast("double"), 6).as("smoothed_enc"))
+      .orderBy("cat", "y")
+  }
+
+  private val featTargetEncodeSql: String =
+    """WITH o AS (SELECT o_orderpriority AS cat,
+      |             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      |           FROM orders),
+      |g AS (SELECT cat, CAST(count(*) AS BIGINT) AS n_cat,
+      |        CAST(sum(y) AS BIGINT) AS s_cat FROM o GROUP BY cat),
+      |gl AS (SELECT CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(count(*) AS BIGINT) AS cnt FROM o)
+      |SELECT DISTINCT o.cat, CAST(o.y AS BIGINT) AS y, n_cat, s_cat,
+      |       round(CAST(s_cat - y AS DOUBLE) / CAST(n_cat - 1 AS DOUBLE), 6)
+      |         AS loo_enc,
+      |       round((CAST(s_cat - y AS DOUBLE) +
+      |              10.0 * (CAST(sy AS DOUBLE) / CAST(cnt AS DOUBLE))) /
+      |             CAST(n_cat - 1 + 10 AS DOUBLE), 6) AS smoothed_enc
+      |FROM o JOIN g USING (cat) CROSS JOIN gl
+      |ORDER BY cat, y""".stripMargin
+
+  /** Shared 64-entry Laplace(b=1) noise ladder: quantile at each
+    * bucket midpoint (i+0.5)/64, serialized as shortest-round-trip
+    * double literals so BOTH engines parse back the identical bits
+    * (the poissonCdf precedent). */
+  private val laplaceLadder: Seq[String] = (0 until 64).map { i =>
+    val p = (i + 0.5) / 64.0
+    val x = if (p < 0.5) math.log(2.0 * p) else -math.log(2.0 * (1.0 - p))
+    x.toString
+  }
+
+  /** Differentially-private event-type counts (ε=1 Laplace mechanism)
+    * with SEEDED noise: each group's uniform comes from an md5 of its
+    * key, quantized through the shared 64-entry inverse-CDF ladder —
+    * the release pipeline's noisy-count shape, made deterministic so
+    * the oracle gates it exactly (real deployments would swap the md5
+    * seed for a secret RNG; everything else is unchanged). One keyed
+    * count + a per-group scalar chain; nothing scales with rows. The
+    * true count rides along for the error readout. */
+  private def privDpcount(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "events")
+      .groupBy("event_type").agg(count(lit(1)).as("n_true"))
+    val u = conv(substring(md5(concat(lit("dp:"), col("event_type"))), 1, 8),
+      16, 10).cast("long").cast("double") / 4294967296.0
+    val idx = floor(col("u") * 64.0).cast("int")
+    val noise = laplaceLadder.zipWithIndex.foldRight(lit(0.0): Column) {
+      case ((x, i), acc) => when(col("idx") === i, lit(x.toDouble)).otherwise(acc)
+    }
+    counts.withColumn("u", u).withColumn("idx", idx)
+      .select(col("event_type"), col("n_true"),
+        round(noise, 6).as("noise"),
+        round(col("n_true").cast("double") + noise, 6).as("n_noisy"))
+      .orderBy("event_type")
+  }
+
+  private val privDpcountSql: String = {
+    val cases = laplaceLadder.zipWithIndex
+      .map { case (x, i) => s"WHEN idx = $i THEN CAST($x AS DOUBLE)" }
+      .mkString(" ")
+    s"""WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+       |           FROM events GROUP BY event_type),
+       |u AS (SELECT event_type, n_true,
+       |        CAST(floor((('0x' || substr(md5('dp:' || event_type), 1, 8))::BIGINT
+       |          / 4294967296.0) * 64.0) AS INT) AS idx
+       |      FROM c),
+       |nz AS (SELECT event_type, n_true, CASE $cases ELSE 0.0 END AS noise
+       |       FROM u)
+       |SELECT event_type, n_true, round(noise, 6) AS noise,
+       |       round(CAST(n_true AS DOUBLE) + noise, 6) AS n_noisy
+       |FROM nz ORDER BY event_type""".stripMargin
+  }
+
+  /** Cosine radius search ([[Similarity.rangeSearch]]): every corpus
+    * vector within cosine ≥ 0.35 of query vectors 0-7 — the
+    * threshold-gated retrieval primitive (near-dup lookup, RAG
+    * recall gates). Broadcast queries, corpus never shuffles, the
+    * predicate prunes inside the scan; the threshold compares the
+    * ROUNDED cosine so the boundary replays exactly. */
+  private def simsearchRange(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.rangeSearch(emb, emb.filter(col("vec_id") < 8), 0.35)
+      .orderBy("query_id", "nbr_id")
+  }
+
+  private val simsearchRangeSql: String =
+    """SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+      |       round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+      |                                    CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+      |FROM embeddings c JOIN embeddings q
+      |  ON q.vec_id < 8 AND q.vec_id <> c.vec_id
+      |WHERE round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+      |                                   CAST(q.embedding AS DOUBLE[])), 6) >= 0.35
+      |ORDER BY query_id, nbr_id""".stripMargin
+
   /** DuckDB oracle for [[graphKcore]]: the identical
     * [[kcoreRounds]]-round peel unrolled as chained CTEs (degree →
     * keep → filtered edges per round). Idempotence after convergence
@@ -4580,6 +4745,10 @@ object SparkEntry {
     "stats_anova" -> (statsAnova(_, _)),
     "sketch_kmv" -> (sketchKmv(_, _)),
     "dq_kanon" -> (dqKanon(_, _)),
+    "graph_hits" -> (graphHits(_, _)),
+    "feat_target_encode" -> (featTargetEncode(_, _)),
+    "priv_dpcount" -> (privDpcount(_, _)),
+    "simsearch_range" -> (simsearchRange(_, _)),
     "stats_chisq" -> (statsChisq(_, _)),
     "rank_ndcg" -> (rankNdcg(_, _)),
     "feat_transform" -> (featTransform(_, _)),
@@ -6159,6 +6328,10 @@ object SparkEntry {
     "stats_anova" -> statsAnovaSql,
     "sketch_kmv" -> sketchKmvSql,
     "dq_kanon" -> dqKanonSql,
+    "graph_hits" -> graphHitsSql,
+    "feat_target_encode" -> featTargetEncodeSql,
+    "priv_dpcount" -> privDpcountSql,
+    "simsearch_range" -> simsearchRangeSql,
     // sufficient-stat t-test: mean/var round to 6 dp BEFORE the
     // closed form so both engines run identical IEEE chains
     "stats_ttest" ->

@@ -550,4 +550,52 @@ object Graph {
       .orderBy(col("score").desc, col("x"), col("y"))
       .limit(topK)
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999): `a_{t+1}(v) =
+    * Σ_{u→v} h_t(u)`, `h_{t+1}(u) = Σ_{u→v} a_{t+1}(v)`, each side
+    * max-normalized after its update (max is order-independent, unlike
+    * the L2 norm's sum — and the subsequent round(6) collapses the
+    * shuffle-order ulp band of the per-node sums, so fixed-iteration
+    * runs replay exactly in an unrolled relational oracle). Per round:
+    * two keyed join+agg passes (the pageRank shape) + two single-row
+    * max broadcasts; scores locally checkpointed for O(1) lineage.
+    * Dangling/source-less nodes score 0 on the respective side. */
+  def hits(
+      edges: DataFrame,
+      iterations: Int = 3,
+      srcCol: String = "src",
+      dstCol: String = "dst"
+  ): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e0.select(col("src").as("id"))
+      .union(e0.select(col("dst").as("id"))).distinct().localCheckpoint()
+    var h = nodes.withColumn("h", lit(1.0))
+    var a = nodes.withColumn("a", lit(0.0))
+    for (_ <- 1 to iterations) {
+      val aRaw = e0.join(h, e0("src") === h("id"))
+        .groupBy("dst").agg(sum("h").as("ar"))
+      val maxA = aRaw.agg(max("ar").as("ma"))
+      val aNext = nodes.join(aRaw, nodes("id") === aRaw("dst"), "left")
+        .crossJoin(broadcast(maxA))
+        .select(col("id"),
+          round(coalesce(col("ar"), lit(0.0)) / col("ma"), 6).as("a"))
+        .localCheckpoint()
+      val hRaw = e0.join(aNext, e0("dst") === aNext("id"))
+        .groupBy("src").agg(sum("a").as("hr"))
+      val maxH = hRaw.agg(max("hr").as("mh"))
+      val hNext = nodes.join(hRaw, nodes("id") === hRaw("src"), "left")
+        .crossJoin(broadcast(maxH))
+        .select(col("id"),
+          round(coalesce(col("hr"), lit(0.0)) / col("mh"), 6).as("h"))
+        .localCheckpoint()
+      graft.core.Lineage.release(a, h)
+      a = aNext; h = hNext
+    }
+    val out = a.join(h, "id")
+    graft.core.Lineage.release(e0, nodes)
+    out
+  }
 }

@@ -62,6 +62,29 @@ object Similarity {
       "query_id", "nbr_id", "cosine")
   }
 
+  /** Radius (range) search: every corpus vector within `minCosine` of
+    * each query — the retrieval primitive behind near-duplicate
+    * lookups and threshold-gated RAG recall. Same scale shape as
+    * [[bruteForceTopK]] (queries broadcast, corpus never shuffles) but
+    * with a predicate instead of a heap: the filter runs INSIDE the
+    * scan projection, so output size is the only data-dependent cost.
+    * The threshold compares against the 6-dp-ROUNDED cosine so the
+    * boundary replays exactly in SQL. */
+  def rangeSearch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      minCosine: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"), normalize(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qv"))
+    c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        round(graft.functions.fx.vecDot(col("cv"), col("qv")), 6).as("cosine"))
+      .filter(col("cosine") >= lit(minCosine))
+  }
+
   /** Hard-negative mining for contrastive/retrieval training: for each
     * query, the `k` most-similar corpus vectors with a DIFFERENT label
     * — the highest-loss negatives a dual-encoder trains against

@@ -1944,6 +1944,67 @@ class ExtSpec extends AnyFunSuite {
       s"intersect est $estI vs exact $exactI")
   }
 
+  test("HITS: star graph puts all authority on the sink, all hub mass on sources") {
+    import spark.implicits._
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r = graft.ext.Graph.hits(edges, iterations = 3).collect()
+      .map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    // node 3 receives from the two strongest hubs → max authority
+    assert(r(3)._1 == 1.0, s"authority(3) = ${r(3)._1}")
+    // 1 and 2 point at the top authority → max hubs; 4 points nowhere
+    assert(r(1)._2 == 1.0 && r(2)._2 == 1.0, r.toString)
+    assert(r(4)._2 == 0.0 && r(1)._1 == 0.0 && r(2)._1 == 0.0, r.toString)
+  }
+
+  test("target encoding matches a direct leave-one-out recomputation") {
+    val rows = SparkEntry.queries("feat_target_encode")(spark, TestSession.sf)
+      .collect()
+    val o = spark.read.parquet(s"${TestSession.sf}/orders.parquet")
+      .select("o_orderpriority", "o_orderstatus").collect()
+      .map(r => (r.getString(0), if (r.getString(1) == "F") 1L else 0L))
+    val byCat = o.groupBy(_._1)
+    val pGlob = o.map(_._2).sum.toDouble / o.length
+    for (r <- rows) {
+      val (cat, y) = (r.getString(0), r.getLong(1))
+      val g = byCat(cat).map(_._2)
+      val (n, sY) = (g.length, g.sum)
+      assert(r.getLong(2) == n && r.getLong(3) == sY, r.toString)
+      val loo = (sY - y).toDouble / (n - 1)
+      val smooth = ((sY - y).toDouble + 10.0 * pGlob) / (n - 1 + 10)
+      assert(math.abs(r.getDouble(4) - loo) < 1e-6, s"$cat/$y loo")
+      assert(math.abs(r.getDouble(5) - smooth) < 1e-6, s"$cat/$y smooth")
+    }
+  }
+
+  test("DP counts: seeded Laplace noise is bounded, consistent, deterministic") {
+    val q = SparkEntry.queries("priv_dpcount")(_: org.apache.spark.sql.SparkSession,
+      _: String)
+    val r1 = q(spark, TestSession.sf).collect()
+    val r2 = q(spark, TestSession.sf).collect()
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq,
+      "seeded noise must be run-deterministic")
+    // ladder extremes: |q_Laplace((0.5)/64)| = ln(64) ≈ 4.159
+    for (r <- r1) {
+      val noise = r.getDouble(2)
+      assert(math.abs(noise) <= 4.16, s"noise $noise outside ladder range")
+      assert(math.abs(r.getDouble(3) - (r.getLong(1) + noise)) < 1e-6,
+        "noisy = true + noise must hold")
+    }
+  }
+
+  test("range search returns exactly the above-threshold pairs") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.9f, 0.1f)), (3L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.rangeSearch(vecs, vecs.filter(col("vec_id") === 0L), 0.5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    // only vector 2 (cos ≈ 0.994) clears 0.5 against query 0
+    assert(got.map(_._1).toSeq == Seq(2L), got.mkString(","))
+    assert(math.abs(got(0)._2 - 0.9 / math.sqrt(0.81 + 0.01)) < 1e-4)
+  }
+
   test("k-anonymity audit matches a direct group-size recomputation") {
     val row = SparkEntry.queries("dq_kanon")(spark, TestSession.sf)
       .collect()(0)

@@ -504,6 +504,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!simple.contains("CartesianProduct"), simple.take(1500))
   }
 
+  test("range search: queries broadcast, corpus never hash-shuffles") {
+    val df = SparkEntry.queries("simsearch_range")(spark, TestSession.sf)
+    val simple = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(simple.contains("BroadcastNestedLoopJoin") ||
+      simple.contains("BroadcastHashJoin"), simple.take(1500))
+    // the only exchange allowed is the final orderBy's range partition
+    assert(hashExchanges(df) == 0,
+      "corpus must not hash-shuffle for a broadcast-query scan")
+    assert(!simple.contains("CartesianProduct"), simple.take(1500))
+  }
+
+  test("target encoding: grid joins broadcast — no corpus-sized shuffle join") {
+    val df = SparkEntry.queries("feat_target_encode")(spark, TestSession.sf)
+    val simple = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(simple.contains("BroadcastHashJoin"), simple.take(1500))
+    assert(!simple.contains("SortMergeJoin"), simple.take(1500))
+    assert(!simple.contains("CartesianProduct"), simple.take(1500))
+  }
+
   test("custom expressions are SQL-reachable via extensions registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(
