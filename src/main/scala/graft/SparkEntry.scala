@@ -1164,6 +1164,170 @@ object SparkEntry {
        |FROM nz ORDER BY event_type""".stripMargin
   }
 
+  /** Gini decision stump over `value → is-purchase` — the single-split
+    * classifier that doubles as best-split feature scoring in
+    * tree/GBDT training. Candidate thresholds are the floor(value)
+    * buckets (attribute-domain-bounded, ~500), so one keyed agg
+    * produces per-bucket (n, positives), one tiny ordered window
+    * produces cumulative left-side counts, and the weighted-Gini
+    * argmin is a min-struct over that bounded relation. All counts
+    * exact int64; the Gini chain is short IEEE over exact ints,
+    * round(6) before the (cost, threshold) argmin so ranking replays
+    * exactly. */
+  private def mlStump(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      floor(col("value")).cast("long").as("thr"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    val bk = ev.groupBy("thr").agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
+    val w = Window.orderBy("thr").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = bk
+      .withColumn("nl", sum("cnt").over(w))
+      .withColumn("pl", sum("pos").over(w))
+    val tot = ev.agg(count(lit(1)).as("n"), sum("y").as("p"))
+    def gini(pp: Column, nn: Column): Column = {
+      val a = pp.cast("double") / nn.cast("double")
+      val b = (nn - pp).cast("double") / nn.cast("double")
+      lit(1.0) - a * a - b * b
+    }
+    val cand = cum.crossJoin(broadcast(tot)).filter(col("nl") < col("n"))
+    val cost = round(
+      (col("nl").cast("double") / col("n").cast("double")) *
+        gini(col("pl"), col("nl")) +
+      ((col("n") - col("nl")).cast("double") / col("n").cast("double")) *
+        gini(col("p") - col("pl"), col("n") - col("nl")), 6)
+    cand.withColumn("cost", cost)
+      .agg(min(struct(col("cost"), col("thr"), col("nl"), col("pl"))).as("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("b.thr").as("split_at"), col("b.cost").as("gini_cost"),
+        col("b.nl").as("n_left"), col("b.pl").as("pos_left"),
+        (col("n") - col("b.nl")).as("n_right"),
+        (col("p") - col("b.pl")).as("pos_right"),
+        round(gini(col("p"), col("n")), 6).as("gini_base"))
+  }
+
+  private val mlStumpSql: String =
+    """WITH ev AS (SELECT CAST(floor(value) AS BIGINT) AS thr,
+      |             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |           FROM events),
+      |bk AS (SELECT thr, CAST(count(*) AS BIGINT) AS cnt,
+      |         CAST(sum(y) AS BIGINT) AS pos FROM ev GROUP BY thr),
+      |cum AS (SELECT thr,
+      |          CAST(sum(cnt) OVER (ORDER BY thr) AS BIGINT) AS nl,
+      |          CAST(sum(pos) OVER (ORDER BY thr) AS BIGINT) AS pl
+      |        FROM bk),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS p
+      |        FROM ev),
+      |cand AS (
+      |  SELECT thr, nl, pl, n, p,
+      |         round((CAST(nl AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |                 (1.0 - (CAST(pl AS DOUBLE)/CAST(nl AS DOUBLE))
+      |                          * (CAST(pl AS DOUBLE)/CAST(nl AS DOUBLE))
+      |                      - (CAST(nl - pl AS DOUBLE)/CAST(nl AS DOUBLE))
+      |                          * (CAST(nl - pl AS DOUBLE)/CAST(nl AS DOUBLE))) +
+      |               (CAST(n - nl AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |                 (1.0 - (CAST(p - pl AS DOUBLE)/CAST(n - nl AS DOUBLE))
+      |                          * (CAST(p - pl AS DOUBLE)/CAST(n - nl AS DOUBLE))
+      |                      - (CAST((n - nl) - (p - pl) AS DOUBLE)/CAST(n - nl AS DOUBLE))
+      |                          * (CAST((n - nl) - (p - pl) AS DOUBLE)/CAST(n - nl AS DOUBLE))), 6)
+      |           AS cost
+      |  FROM cum CROSS JOIN tot WHERE nl < n)
+      |SELECT thr AS split_at, cost AS gini_cost, nl AS n_left, pl AS pos_left,
+      |       n - nl AS n_right, p - pl AS pos_right,
+      |       round(1.0 - (CAST(p AS DOUBLE)/CAST(n AS DOUBLE))
+      |                     * (CAST(p AS DOUBLE)/CAST(n AS DOUBLE))
+      |                 - (CAST(n - p AS DOUBLE)/CAST(n AS DOUBLE))
+      |                     * (CAST(n - p AS DOUBLE)/CAST(n AS DOUBLE)), 6) AS gini_base
+      |FROM cand ORDER BY cost, thr LIMIT 1""".stripMargin
+
+  /** Per-document keyphrases: top-3 terms by tf·idf with idf =
+    * ln(N/df) — the classic keyword extractor over the corpus. Two
+    * keyed aggs (doc-term tf, term df), one keyed join on TERM (a
+    * 100 M-term vocabulary still flows — never broadcast), one
+    * single-row N broadcast, and a doc-PARTITIONED rank window.
+    * ln runs on an exact-int ratio (the text_zipf parity precedent);
+    * scores round 6 before ranking with (score desc, term) ties. */
+  private def textKeyphrase(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nd = docs.agg(count(lit(1)).as("nd"))
+    val td = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfr = td.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = td.join(dfr, "term").crossJoin(broadcast(nd))
+      .withColumn("score", round(col("tf").cast("double") *
+        log(col("nd").cast("double") / col("df").cast("double")), 6))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"), col("term"),
+        col("score"), col("tf"), col("df"))
+      .orderBy("doc_id", "rank")
+  }
+
+  private lazy val textKeyphraseSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+       |td AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM tok GROUP BY 1, 2),
+       |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM td GROUP BY 1),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+       |scored AS (
+       |  SELECT doc_id, term, tf, df,
+       |         round(CAST(tf AS DOUBLE) *
+       |               ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS score
+       |  FROM td JOIN dfr USING (term) CROSS JOIN nd),
+       |rk AS (SELECT doc_id, term, tf, df, score,
+       |         row_number() OVER (PARTITION BY doc_id
+       |           ORDER BY score DESC, term) AS rank
+       |       FROM scored)
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score, tf, df
+       |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  /** Hampel filter outlier repair on the per-type daily series:
+    * |x − med₇| > 3·1.4826·MAD₇ flags the point and substitutes the
+    * rolling median — the robust despiker run before feeding metrics
+    * into forecasting. The 7-slot frame materializes as a collected
+    * array per row (bounded by the window width, not the series), so
+    * the median AND the median-absolute-deviation are exact middle
+    * elements of sorted 7-arrays — no windowed-percentile
+    * interpolation to synchronize. Daily sums round 4 first; every
+    * later step is exact selection/comparison. Keyed windows only. */
+  private def tsHampel(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 4).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val d = daily
+      .withColumn("rn", row_number().over(w))
+      .withColumn("arr", collect_list("x").over(w.rowsBetween(-6, 0)))
+      .filter(col("rn") >= 7)
+      .withColumn("med7", element_at(array_sort(col("arr")), 4))
+      .withColumn("mad7", element_at(
+        array_sort(transform(col("arr"), v => abs(v - col("med7")))), 4))
+    val out = abs(col("x") - col("med7")) > lit(4.4478) * col("mad7")
+    d.select(col("event_type"), col("day").cast("timestamp").as("day"),
+        col("x"), col("med7"), col("mad7"), out.as("is_outlier"),
+        when(out, col("med7")).otherwise(col("x")).as("repaired"))
+      .orderBy("event_type", "day")
+  }
+
+  private val tsHampelSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, round(sum(value), 4) AS x
+      |  FROM events GROUP BY 1, 2),
+      |c AS (SELECT event_type, day, x,
+      |        list(x) OVER (PARTITION BY event_type ORDER BY day
+      |          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS arr,
+      |        row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      |      FROM daily),
+      |m AS (SELECT event_type, day, x, arr, list_sort(arr)[4] AS med7
+      |      FROM c WHERE rn >= 7),
+      |md AS (SELECT event_type, day, x, med7,
+      |         list_sort(list_transform(arr, v -> abs(v - med7)))[4] AS mad7
+      |       FROM m)
+      |SELECT event_type, CAST(day AS TIMESTAMP) AS day, x, med7, mad7,
+      |       abs(x - med7) > 4.4478 * mad7 AS is_outlier,
+      |       CASE WHEN abs(x - med7) > 4.4478 * mad7 THEN med7 ELSE x END
+      |         AS repaired
+      |FROM md ORDER BY event_type, day""".stripMargin
+
   /** Cosine radius search ([[Similarity.rangeSearch]]): every corpus
     * vector within cosine ≥ 0.35 of query vectors 0-7 — the
     * threshold-gated retrieval primitive (near-dup lookup, RAG
@@ -4749,6 +4913,9 @@ object SparkEntry {
     "feat_target_encode" -> (featTargetEncode(_, _)),
     "priv_dpcount" -> (privDpcount(_, _)),
     "simsearch_range" -> (simsearchRange(_, _)),
+    "ml_stump" -> (mlStump(_, _)),
+    "text_keyphrase" -> (textKeyphrase(_, _)),
+    "ts_hampel" -> (tsHampel(_, _)),
     "stats_chisq" -> (statsChisq(_, _)),
     "rank_ndcg" -> (rankNdcg(_, _)),
     "feat_transform" -> (featTransform(_, _)),
@@ -6332,6 +6499,9 @@ object SparkEntry {
     "feat_target_encode" -> featTargetEncodeSql,
     "priv_dpcount" -> privDpcountSql,
     "simsearch_range" -> simsearchRangeSql,
+    "ml_stump" -> mlStumpSql,
+    "text_keyphrase" -> textKeyphraseSql,
+    "ts_hampel" -> tsHampelSql,
     // sufficient-stat t-test: mean/var round to 6 dp BEFORE the
     // closed form so both engines run identical IEEE chains
     "stats_ttest" ->

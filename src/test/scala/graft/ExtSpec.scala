@@ -2005,6 +2005,91 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(got(0)._2 - 0.9 / math.sqrt(0.81 + 0.01)) < 1e-4)
   }
 
+  test("decision stump matches a direct driver-side best-split search") {
+    val row = SparkEntry.queries("ml_stump")(spark, TestSession.sf).collect()(0)
+    val ev = spark.read.parquet(s"${TestSession.sf}/events.parquet")
+      .select("value", "event_type").collect()
+      .map(r => (math.floor(r.getDouble(0)).toLong,
+        if (r.getString(1) == "purchase") 1L else 0L))
+    val n = ev.length.toDouble; val p = ev.map(_._2).sum.toDouble
+    def gini(pp: Double, nn: Double) =
+      1.0 - (pp / nn) * (pp / nn) - ((nn - pp) / nn) * ((nn - pp) / nn)
+    val best = ev.map(_._1).distinct.sorted.flatMap { t =>
+      val l = ev.filter(_._1 <= t)
+      if (l.length == ev.length) None
+      else {
+        val nl = l.length.toDouble; val pl = l.map(_._2).sum.toDouble
+        Some((BigDecimal(nl / n * gini(pl, nl) + (n - nl) / n *
+          gini(p - pl, n - nl)).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble, t))
+      }
+    }.min
+    assert(row.getLong(0) == best._2, s"split ${row.getLong(0)} vs ${best._2}")
+    assert(math.abs(row.getDouble(1) - best._1) < 1e-9, "cost")
+    assert(row.getDouble(1) <= row.getDouble(6),
+      "the best split must not be worse than the unsplit Gini")
+  }
+
+  test("keyphrases are each document's top tf-idf terms") {
+    val rows = SparkEntry.queries("text_keyphrase")(spark, TestSession.sf)
+      .collect()
+    val docs = spark.read.parquet(s"${TestSession.sf}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .toMap
+    val nD = docs.size.toDouble
+    val dfm = docs.values.flatMap(_.distinct).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    // every reported rank-1 phrase must attain the doc's max score
+    val byDoc = rows.groupBy(_.getLong(0))
+    for ((docId, rs) <- byDoc.take(50)) {
+      val toks = docs(docId)
+      val scores = toks.groupBy(identity).map { case (t, g) =>
+        t -> BigDecimal(g.length * math.log(nD / dfm(t))).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val top = rs.minBy(_.getLong(1))
+      assert(scores(top.getString(2)) == scores.values.max,
+        s"doc $docId rank-1 ${top.getString(2)} not argmax")
+      assert(rs.map(_.getDouble(3)).sorted.reverse.toSeq ==
+        rs.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq,
+        s"doc $docId scores not descending by rank")
+    }
+  }
+
+  test("Hampel repair substitutes the rolling median only on outliers") {
+    val rows = SparkEntry.queries("ts_hampel")(spark, TestSession.sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (x, med, mad) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      val outlier = math.abs(x - med) > 4.4478 * mad
+      assert(r.getBoolean(5) == outlier, r.toString)
+      assert(r.getDouble(6) == (if (outlier) med else x), r.toString)
+    }
+    // med7/mad7 are exact middle elements: recompute one series from the
+    // RAW daily aggregation (emitted rows start at day 7 — the first six
+    // days feed frames but are not emitted)
+    val typ = rows.head.getString(0)
+    val daily = Stream.normalizeTs(
+        spark.read.parquet(s"${TestSession.sf}/events.parquet"))
+      .filter(col("event_type") === typ)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 4).as("x"))
+      .orderBy("day").collect().map(_.getDouble(1))
+    val emitted = rows.filter(_.getString(0) == typ)
+      .sortBy(_.getTimestamp(1).getTime)
+    assert(emitted.length == daily.length - 6)
+    for (i <- 6 until daily.length) {
+      val wnd = daily.slice(i - 6, i + 1).sorted
+      assert(emitted(i - 6).getDouble(3) == wnd(3),
+        s"med7 at $i: ${emitted(i - 6).getDouble(3)} vs ${wnd(3)}")
+      val med = wnd(3)
+      val madW = daily.slice(i - 6, i + 1).map(v => math.abs(v - med)).sorted
+      assert(emitted(i - 6).getDouble(4) == madW(3), s"mad7 at $i")
+    }
+  }
+
   test("k-anonymity audit matches a direct group-size recomputation") {
     val row = SparkEntry.queries("dq_kanon")(spark, TestSession.sf)
       .collect()(0)

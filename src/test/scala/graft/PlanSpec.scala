@@ -525,6 +525,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!simple.contains("CartesianProduct"), simple.take(1500))
   }
 
+  test("stump/keyphrase/hampel: corpus windows stay keyed or domain-bounded") {
+    // ml_stump: the only window runs over the ~500-row threshold-bucket
+    // relation (attribute-domain-bounded); no corpus-sized sort join
+    val stump = SparkEntry.queries("ml_stump")(spark, TestSession.sf)
+    val sSimple = stump.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(!sSimple.contains("SortMergeJoin") && !sSimple.contains("CartesianProduct"),
+      sSimple.take(1500))
+    // text_keyphrase: the rank window must partition by doc_id
+    val kp = SparkEntry.queries("text_keyphrase")(spark, TestSession.sf)
+    val kSimple = kp.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    val kWindows = kSimple.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(kWindows.nonEmpty && kWindows.forall(_.contains("[doc_id#")),
+      s"keyphrase windows must be doc-keyed:\n${kWindows.mkString("\n")}")
+    // ts_hampel: every window partitions by event_type
+    val hp = SparkEntry.queries("ts_hampel")(spark, TestSession.sf)
+    val hSimple = hp.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    val hWindows = hSimple.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(hWindows.nonEmpty && hWindows.forall(_.contains("[event_type#")),
+      s"hampel windows must be series-keyed:\n${hWindows.mkString("\n")}")
+  }
+
   test("custom expressions are SQL-reachable via extensions registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(
