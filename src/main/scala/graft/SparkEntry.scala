@@ -1728,6 +1728,83 @@ object SparkEntry {
        |FROM d4 ORDER BY id""".stripMargin
   }
 
+  /** Truncated harmonic closeness ([[graft.ext.Graph
+    * .harmonicCloseness]], radius 4) of parts {1,2,3,4} on the part
+    * co-occurrence graph — Σ 1/dist over the 4-hop neighborhood. All
+    * four BFS waves share each round's single (seed, id)-keyed
+    * join+agg; the oracle replays the identical keyed min-plus
+    * unroll. */
+  private def graphCloseness(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Graph.harmonicCloseness(coOccurrenceEdges(s, dir),
+        seeds = Seq(1L, 2L, 3L, 4L), rounds = 4).orderBy("seed")
+
+  private val graphClosenessSql: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT seed, id, min(dist) AS dist FROM (
+         |    SELECT seed, id, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT p.seed, e.dst AS id, p.dist + 1 FROM ed e
+         |    JOIN d${i - 1} p ON p.id = e.src) GROUP BY seed, id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |            FROM lineitem WHERE l_linenumber <= 3),
+       |e0 AS MATERIALIZED (SELECT DISTINCT x.p AS u, y.p AS v
+       |       FROM ps x JOIN ps y ON x.o = y.o AND x.p < y.p),
+       |ed AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0
+       |       UNION SELECT v, u FROM e0),
+       |d0 AS (SELECT src AS seed, src AS id, CAST(0 AS BIGINT) AS dist
+       |       FROM (SELECT DISTINCT src FROM ed) WHERE src IN (1, 2, 3, 4)),
+       |$rounds
+       |SELECT CAST(seed AS BIGINT) AS seed,
+       |       CAST(count(*) AS BIGINT) AS n_reached,
+       |       round(sum(1.0 / dist), 6) AS harmonic
+       |FROM d4 WHERE dist > 0 GROUP BY seed ORDER BY seed""".stripMargin
+  }
+
+  /** Greedy k-center coreset selection ([[Similarity.kCenterSelect]],
+    * k=8 from vector 0) over the embeddings — farthest-first traversal
+    * on 1 − rounded-cosine. The oracle unrolls the full greedy trace:
+    * per round an argmax CTE ((d desc, id) order) and a `least`
+    * distance-update CTE, MATERIALIZED (each feeds two consumers). */
+  private def sampleKcenter(s: SparkSession, dir: String): DataFrame =
+    Similarity.kCenterSelect(t(s, dir, "embeddings"), k = 8, seedId = 0L)
+      .orderBy("sel_rank")
+
+  private val sampleKcenterSql: String = {
+    def excl(r: Int): String =
+      (Seq("id <> 0") ++ (2 until r).map(j => s"id <> (SELECT id FROM s$j)"))
+        .mkString(" AND ")
+    val rounds = (2 to 8).map { r =>
+      val upd =
+        if (r < 8)
+          s""",
+             |d$r AS MATERIALIZED (
+             |  SELECT c.id, least(d${r - 1}.d,
+             |    1.0 - round(list_cosine_similarity(c.v,
+             |      (SELECT v FROM c WHERE id = (SELECT id FROM s$r))), 6)) AS d
+             |  FROM c JOIN d${r - 1} ON d${r - 1}.id = c.id)""".stripMargin
+        else ""
+      s"""s$r AS MATERIALIZED (
+         |  SELECT id, d FROM d${r - 1} WHERE ${excl(r)}
+         |  ORDER BY d DESC, id LIMIT 1)$upd""".stripMargin
+    }.mkString(",\n")
+    val out = (2 to 8).map { r =>
+      s"""UNION ALL SELECT CAST($r AS BIGINT), (SELECT CAST(id AS BIGINT) FROM s$r),
+         |  round((SELECT d FROM s$r), 6)""".stripMargin
+    }.mkString("\n")
+    s"""WITH c AS MATERIALIZED (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |d1 AS MATERIALIZED (
+       |  SELECT id, 1.0 - round(list_cosine_similarity(v,
+       |    (SELECT v FROM c WHERE id = 0)), 6) AS d FROM c),
+       |$rounds
+       |SELECT CAST(1 AS BIGINT) AS sel_rank, CAST(0 AS BIGINT) AS vec_id,
+       |       0.0 AS dist_at_selection
+       |$out
+       |ORDER BY sel_rank""".stripMargin
+  }
+
   /** Label-propagation community detection
     * ([[graft.ext.Graph.labelPropagation]], [[lpaRounds]] synchronous
     * rounds, ties to the smallest label) over the part co-occurrence
@@ -4916,6 +4993,8 @@ object SparkEntry {
     "ml_stump" -> (mlStump(_, _)),
     "text_keyphrase" -> (textKeyphrase(_, _)),
     "ts_hampel" -> (tsHampel(_, _)),
+    "graph_closeness" -> (graphCloseness(_, _)),
+    "sample_kcenter" -> (sampleKcenter(_, _)),
     "stats_chisq" -> (statsChisq(_, _)),
     "rank_ndcg" -> (rankNdcg(_, _)),
     "feat_transform" -> (featTransform(_, _)),
@@ -6502,6 +6581,8 @@ object SparkEntry {
     "ml_stump" -> mlStumpSql,
     "text_keyphrase" -> textKeyphraseSql,
     "ts_hampel" -> tsHampelSql,
+    "graph_closeness" -> graphClosenessSql,
+    "sample_kcenter" -> sampleKcenterSql,
     // sufficient-stat t-test: mean/var round to 6 dp BEFORE the
     // closed form so both engines run identical IEEE chains
     "stats_ttest" ->

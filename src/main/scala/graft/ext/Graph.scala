@@ -551,6 +551,51 @@ object Graph {
       .limit(topK)
   }
 
+  /** Truncated harmonic closeness centrality from a seed set: for each
+    * seed, `Σ_{v reachable, 0 < dist(v) ≤ rounds} 1/dist(v)` — the
+    * bounded-radius centrality probe (harmonic form handles
+    * disconnected graphs; truncation makes the fixed unroll exact, the
+    * [[shortestHops]] contract). The frontier is keyed on (seed, id),
+    * so all `|seeds|` BFS waves share each round's single keyed
+    * join+agg — one traversal, not one per seed. The 1/dist sum is
+    * order-dependent in the last ulp → round(6), everything before it
+    * exact ints. */
+  def harmonicCloseness(
+      edges: DataFrame,
+      seeds: Seq[Long],
+      rounds: Int = 4,
+      srcCol: String = "src",
+      dstCol: String = "dst"
+  ): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(seeds.nonEmpty, "harmonicCloseness needs at least one seed")
+    val und0 = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = und0.select(col("a").as("src"), col("b").as("dst"))
+      .union(und0.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().localCheckpoint()
+    var dist = und.select(col("src").as("id")).distinct()
+      .filter(col("id").isInCollection(seeds))
+      .select(col("id").as("seed"), col("id"), lit(0L).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = und
+        .join(dist.select(col("id").as("src"), col("seed"), col("dist")), "src")
+        .select(col("seed"), col("dst").as("id"), (col("dist") + 1L).as("dist"))
+      val next = dist.union(relaxed)
+        .groupBy("seed", "id").agg(min("dist").as("dist"))
+        .localCheckpoint()
+      graft.core.Lineage.release(dist)
+      dist = next
+    }
+    val out = dist.filter(col("dist") > 0L)
+      .groupBy("seed").agg(count(lit(1)).as("n_reached"),
+        round(sum(lit(1.0) / col("dist").cast("double")), 6).as("harmonic"))
+    graft.core.Lineage.release(und)
+    out
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999): `a_{t+1}(v) =
     * Σ_{u→v} h_t(u)`, `h_{t+1}(u) = Σ_{u→v} a_{t+1}(v)`, each side
     * max-normalized after its update (max is order-independent, unlike

@@ -85,6 +85,57 @@ object Similarity {
       .filter(col("cosine") >= lit(minCosine))
   }
 
+  /** Greedy k-center selection (farthest-first traversal, Gonzalez
+    * 1985) — the coreset/data-pruning picker: starting from `seedId`,
+    * repeatedly add the point FARTHEST (1 − cosine) from everything
+    * selected so far. Scale shape: the corpus never shuffles — each of
+    * the k−1 rounds is one map-only `least(d, dist-to-new-center)`
+    * update against a LITERAL center vector plus one single-row
+    * argmax; the only driver state is the k selected vectors
+    * (parameter-bounded, the MMR/centroid precedent). Distances use
+    * the 6-dp-rounded cosine, ties break to the smallest id, so the
+    * greedy trace replays exactly as an unrolled relational oracle. */
+  def kCenterSelect(
+      corpus: DataFrame,
+      k: Int,
+      seedId: Long,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = corpus.sparkSession
+    val c = corpus
+      .select(col(idCol).cast("long").as("id"), normalize(col(vecCol)).as("v"))
+      .localCheckpoint()
+    def vecOf(id: Long): Column = {
+      val arr = c.filter(col("id") === id).head().getSeq[Double](1)
+      array(arr.map(lit): _*)
+    }
+    def distTo(center: Column): Column =
+      lit(1.0) - round(graft.functions.fx.vecDot(col("v"), center), 6)
+    var picked = List((1, seedId, 0.0))
+    var minDist = c.withColumn("d", distTo(vecOf(seedId))).localCheckpoint()
+    for (r <- 2 to k) {
+      val b = minDist.filter(!col("id").isInCollection(picked.map(_._2)))
+        .agg(min(struct((-col("d")).as("nd"), col("id").as("id"))).as("b"))
+        .select(col("b.id"), (-col("b.nd")).as("d")).head()
+      val (nid, nd) = (b.getLong(0), b.getDouble(1))
+      picked ::= (r, nid, nd)
+      if (r < k) {
+        val next = minDist
+          .withColumn("d", least(col("d"), distTo(vecOf(nid))))
+          .localCheckpoint()
+        graft.core.Lineage.release(minDist)
+        minDist = next
+      }
+    }
+    graft.core.Lineage.release(c, minDist)
+    import spark.implicits._
+    picked.reverse.toDF("sel_rank", "vec_id", "dist_at_selection")
+      .select(col("sel_rank").cast("long").as("sel_rank"), col("vec_id"),
+        round(col("dist_at_selection"), 6).as("dist_at_selection"))
+  }
+
   /** Hard-negative mining for contrastive/retrieval training: for each
     * query, the `k` most-similar corpus vectors with a DIFFERENT label
     * — the highest-loss negatives a dual-encoder trains against

@@ -2090,6 +2090,36 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("harmonic closeness: path graph sums 1/dist over the truncated ball") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val r = graft.ext.Graph.harmonicCloseness(edges, Seq(1L), rounds = 4)
+      .collect()(0)
+    // 4-hop ball from node 1 on the path: dists 1,2,3,4 (node 6 is cut)
+    assert(r.getLong(1) == 4, s"n_reached ${r.getLong(1)}")
+    val expect = BigDecimal(1.0 + 0.5 + 1.0 / 3.0 + 0.25)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(2) == expect, s"harmonic ${r.getDouble(2)} vs $expect")
+  }
+
+  test("k-center greedy picks the farthest-first trace") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val sel = Similarity.kCenterSelect(vecs, k = 3, seedId = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // farthest from 0 is the antipode 3 (d=2), then 2 (d=1 to both)
+    assert(sel.toSeq == Seq((1L, 0L), (2L, 3L), (3L, 2L)), sel.mkString(","))
+    // farthest-first distances are non-increasing on the real fixture
+    val ds = SparkEntry.queries("sample_kcenter")(spark, TestSession.sf)
+      .collect().sortBy(_.getLong(0)).map(_.getDouble(2)).drop(1)
+    assert(ds.sliding(2).forall(p => p(0) >= p(1)),
+      s"coverage radii must not increase: ${ds.mkString(",")}")
+  }
+
   test("k-anonymity audit matches a direct group-size recomputation") {
     val row = SparkEntry.queries("dq_kanon")(spark, TestSession.sf)
       .collect()(0)
