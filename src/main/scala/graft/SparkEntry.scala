@@ -1625,6 +1625,261 @@ object SparkEntry {
        |ORDER BY user_id, event_id""".stripMargin
   }
 
+  /** Holt–Winters-style seasonal forecast via the decompose-then-Holt
+    * formulation: per-type daily totals are deseasonalized by epoch-day
+    * weekday effects (slot = day mod 7, mean effect vs the grand mean —
+    * the [[graft.ext.TimeSeries.decompose]] slot discipline), the
+    * deseasonalized series runs through the [[graft.ext.TimeSeries
+    * .holt]] ladder (α=0.5, β=0.3, 20-term window), and the one-step
+    * forecast re-adds the NEXT day's slot effect. This composes the
+    * two exactly-replayable pieces instead of the coupled triple
+    * recursion (whose seasonal state has no closed ladder) — the
+    * standard production decomposition (FPP3 §3 + Holt). Scale: two
+    * keyed aggs (slot effects), one broadcast-back, one keyed window
+    * pass. */
+  private def tsHoltwinters(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        (unix_timestamp(date_trunc("day", col("ts"))) / 86400L).cast("long")
+          .as("day"))
+      .agg(round(sum("value"), 4).as("x"))
+      .withColumn("slot", pmod(col("day"), lit(7)))
+    val eff0 = daily.groupBy("event_type", "slot")
+      .agg(round(avg("x"), 6).as("wavg"))
+    val gm = daily.groupBy("event_type").agg(round(avg("x"), 6).as("gavg"))
+    val eff = eff0.join(gm, "event_type")
+      .select(col("event_type"), col("slot"),
+        round(col("wavg") - col("gavg"), 6).as("eff"))
+    val des = daily.join(broadcast(eff), Seq("event_type", "slot"))
+      .withColumn("xd", round(col("x") - col("eff"), 6))
+      .withColumn("tie", col("day"))
+    val h = graft.ext.TimeSeries.holt(des, "event_type", "day", "xd", "tie",
+      alpha = 0.5, beta = 0.3, window = 20)
+    h.withColumn("slot1", pmod(col("day") + 1L, lit(7)))
+      .join(broadcast(eff.select(col("event_type"), col("slot").as("slot1"),
+        col("eff").as("eff1"))), Seq("event_type", "slot1"))
+      .select(col("event_type"), col("day"), col("value").as("seasadj"),
+        col("level"), col("trend"),
+        round(col("forecast") + col("eff1"), 6).as("forecast_next"))
+      .orderBy("event_type", "day")
+  }
+
+  private val tsHoltwintersSql: String = {
+    val (lc, bc) = graft.ext.TimeSeries.holtWeights(0.5, 0.3, 20)
+    def term(l: Int): String = if (l == 0) "xd" else s"lag(xd, $l) OVER w"
+    def dot(cs: Seq[Double]): String =
+      cs.zipWithIndex.map { case (c, l) => s"${term(l)} * $c" }.mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |         CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT) AS day,
+       |         round(sum(value), 4) AS x
+       |  FROM events GROUP BY 1, 2),
+       |d2 AS (SELECT event_type, day, x, day % 7 AS slot FROM daily),
+       |eff0 AS (SELECT event_type, slot, round(avg(x), 6) AS wavg
+       |         FROM d2 GROUP BY 1, 2),
+       |gm AS (SELECT event_type, round(avg(x), 6) AS gavg FROM d2 GROUP BY 1),
+       |eff AS (SELECT event_type, slot, round(wavg - gavg, 6) AS eff
+       |        FROM eff0 JOIN gm USING (event_type)),
+       |des AS (SELECT d2.event_type, d2.day, round(x - eff, 6) AS xd
+       |        FROM d2 JOIN eff ON eff.event_type = d2.event_type
+       |                        AND eff.slot = d2.slot),
+       |h AS (
+       |  SELECT event_type, day, xd AS seasadj,
+       |         round(${dot(lc)}, 6) AS level,
+       |         round(${dot(bc)}, 6) AS trend,
+       |         round(round(${dot(lc)}, 6) + round(${dot(bc)}, 6), 6) AS fc
+       |  FROM des
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day, day)
+       |  QUALIFY lag(xd, 19) OVER w IS NOT NULL)
+       |SELECT h.event_type, h.day, h.seasadj, h.level, h.trend,
+       |       round(h.fc + eff.eff, 6) AS forecast_next
+       |FROM h JOIN eff ON eff.event_type = h.event_type
+       |               AND eff.slot = (h.day + 1) % 7
+       |ORDER BY h.event_type, h.day""".stripMargin
+  }
+
+  /** Per-dimension embedding whitening stats: mean and std of every
+    * coordinate plus the standardized min/max — the preprocessing step
+    * (and drift check) before cosine/PQ work when dimensions carry
+    * different scales. One posexplode (map-side, 64× fan-out) + one
+    * keyed agg to a dimension-bounded relation. z-scores use ROUNDED
+    * mean/std (ratio amplifies ulp) and min/max are order-independent,
+    * so no further rounding is needed. */
+  private def embWhiten(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"), col("v").cast("double").as("v"))
+    val st = e.groupBy("dim").agg(count(lit(1)).as("n"),
+      round(avg("v"), 6).as("mu"), round(stddev_samp("v"), 6).as("sigma"))
+    e.join(broadcast(st), "dim")
+      .withColumn("z", round((col("v") - col("mu")) / col("sigma"), 4))
+      .groupBy("dim").agg(first("n").as("n"), first("mu").as("mu"),
+        first("sigma").as("sigma"),
+        min("z").as("z_min"), max("z").as("z_max"))
+      .orderBy("dim")
+  }
+
+  private val embWhitenSql: String =
+    """WITH ve AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |e AS (
+      |  SELECT CAST(k - 1 AS BIGINT) AS dim, emb[CAST(k AS INT)] AS v
+      |  FROM (SELECT emb, unnest(generate_series(1, len(emb))) AS k FROM ve)),
+      |st AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+      |         round(avg(v), 6) AS mu, round(stddev_samp(v), 6) AS sigma
+      |       FROM e GROUP BY dim)
+      |SELECT dim, n, mu, sigma,
+      |       min(round((v - mu) / sigma, 4)) AS z_min,
+      |       max(round((v - mu) / sigma, 4)) AS z_max
+      |FROM e JOIN st USING (dim)
+      |GROUP BY dim, n, mu, sigma ORDER BY dim""".stripMargin
+
+  /** Brown–Forsythe test (the robust ANOVA-on-|deviations-from-
+    * median| variance-homogeneity check) of l_quantity across return
+    * flags. The group medians come from exact POSITIONAL selection on
+    * the 50-value × 3-flag cumulative-count relation (no percentile
+    * interpolation rule to synchronize), and because quantity is
+    * integer-valued the |x − med| deviations are dyadic multiples of
+    * 0.5 — every partial sum is exactly representable, so the z-sums
+    * are order-INDEPENDENT and the F chain needs rounding only at the
+    * end. Same pivot-to-columns trick as stats_anova. */
+  private def statsBf(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_quantity").as("q"))
+    val vc = li.groupBy("flag", "q").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("flag").orderBy("q")
+    val cum = vc
+      .withColumn("cumEnd", sum("cnt").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cumStart", col("cumEnd") - col("cnt"))
+    val tot = li.groupBy("flag").agg(count(lit(1)).as("ng"))
+    val med = cum.join(broadcast(tot), "flag")
+      .withColumn("p1", (col("ng") + 1L) / 2L)
+      .withColumn("p2", (col("ng") + 2L) / 2L)
+      .groupBy("flag")
+      .agg(((min(when(col("cumStart") < col("p1") && col("p1") <= col("cumEnd"),
+          col("q"))) +
+        min(when(col("cumStart") < col("p2") && col("p2") <= col("cumEnd"),
+          col("q")))) / 2.0).as("med"))
+    val z = li.join(broadcast(med), "flag")
+      .select(col("flag"), abs(col("q") - col("med")).as("z"))
+    def g(flag: String, e: Column): Column =
+      sum(when(col("flag") === flag, e).otherwise(lit(0.0)))
+    val a = z.agg(
+      g("A", lit(1.0)).as("na"), g("N", lit(1.0)).as("nn"),
+      g("R", lit(1.0)).as("nr"),
+      g("A", col("z")).as("sa"), g("N", col("z")).as("sn"),
+      g("R", col("z")).as("sr"),
+      g("A", col("z") * col("z")).as("qa"),
+      g("N", col("z") * col("z")).as("qn"),
+      g("R", col("z") * col("z")).as("qr"))
+    val tA = col("sa") * col("sa") / col("na")
+    val tN = col("sn") * col("sn") / col("nn")
+    val tR = col("sr") * col("sr") / col("nr")
+    val n = col("na") + col("nn") + col("nr")
+    val sTot = col("sa") + col("sn") + col("sr")
+    val qTot = col("qa") + col("qn") + col("qr")
+    val between = tA + tN + tR - sTot * sTot / n
+    val within = qTot - (tA + tN + tR)
+    val medW = med.groupBy().pivot("flag", Seq("A", "N", "R")).agg(first("med"))
+    a.crossJoin(broadcast(medW))
+      .select(col("A").as("med_a"), col("N").as("med_n"), col("R").as("med_r"),
+        n.cast("long").as("n"),
+        round(between, 6).as("ss_between"), round(within, 6).as("ss_within"),
+        round((between / 2.0) / (within / (n - 3.0)), 6).as("f_stat"))
+  }
+
+  private val statsBfSql: String =
+    """WITH li AS (SELECT l_returnflag AS flag, l_quantity AS q FROM lineitem),
+      |vc AS (SELECT flag, q, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM li GROUP BY 1, 2),
+      |cum AS (SELECT flag, q, cnt,
+      |          CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY q) AS BIGINT)
+      |            AS cumEnd
+      |        FROM vc),
+      |c2 AS (SELECT flag, q, cumEnd - cnt AS cumStart, cumEnd FROM cum),
+      |tot AS (SELECT flag, CAST(count(*) AS BIGINT) AS ng FROM li GROUP BY 1),
+      |med AS (SELECT flag,
+      |          (min(CASE WHEN cumStart < p1 AND p1 <= cumEnd THEN q END) +
+      |           min(CASE WHEN cumStart < p2 AND p2 <= cumEnd THEN q END)) / 2.0
+      |            AS med
+      |        FROM (SELECT c2.*, (ng + 1) // 2 AS p1, (ng + 2) // 2 AS p2
+      |              FROM c2 JOIN tot USING (flag))
+      |        GROUP BY flag),
+      |z AS (SELECT li.flag, abs(q - med) AS z FROM li JOIN med USING (flag)),
+      |a AS (SELECT
+      |        sum(CASE WHEN flag='A' THEN 1.0 ELSE 0.0 END) AS na,
+      |        sum(CASE WHEN flag='N' THEN 1.0 ELSE 0.0 END) AS nn,
+      |        sum(CASE WHEN flag='R' THEN 1.0 ELSE 0.0 END) AS nr,
+      |        sum(CASE WHEN flag='A' THEN z ELSE 0.0 END) AS sa,
+      |        sum(CASE WHEN flag='N' THEN z ELSE 0.0 END) AS sn,
+      |        sum(CASE WHEN flag='R' THEN z ELSE 0.0 END) AS sr,
+      |        sum(CASE WHEN flag='A' THEN z*z ELSE 0.0 END) AS qa,
+      |        sum(CASE WHEN flag='N' THEN z*z ELSE 0.0 END) AS qn,
+      |        sum(CASE WHEN flag='R' THEN z*z ELSE 0.0 END) AS qr
+      |      FROM z),
+      |b AS (SELECT na + nn + nr AS n,
+      |        sa*sa/na + sn*sn/nn + sr*sr/nr AS tsum,
+      |        sa + sn + sr AS s, qa + qn + qr AS qq
+      |      FROM a),
+      |mw AS (SELECT
+      |         min(CASE WHEN flag='A' THEN med END) AS med_a,
+      |         min(CASE WHEN flag='N' THEN med END) AS med_n,
+      |         min(CASE WHEN flag='R' THEN med END) AS med_r
+      |       FROM med)
+      |SELECT med_a, med_n, med_r, CAST(n AS BIGINT) AS n,
+      |       round(tsum - s*s/n, 6) AS ss_between,
+      |       round(qq - tsum, 6) AS ss_within,
+      |       round(((tsum - s*s/n) / 2.0) / ((qq - tsum) / (n - 3.0)), 6)
+      |         AS f_stat
+      |FROM b CROSS JOIN mw""".stripMargin
+
+  /** Approximate heavy hitters FROM the count-min sketch: every key in
+    * the (domain-bounded) candidate set probed against the broadcast
+    * parameter-sized sketch, ranked by estimate through the bounded
+    * heap — the "top-k without exact per-key state" pattern; exact
+    * counts ride along to expose the CMS overcount. Deterministic
+    * (md5-derived cells), so the oracle replays the estimates
+    * exactly. */
+  private def sketchCmsTopk(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val cells = graft.ext.Sketch.countMinBuild(ev, "user_id")
+    val cand = ev.select("user_id").distinct()
+    val est = graft.ext.Sketch.countMinEstimate(cells, cand, "user_id")
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+    est
+      .agg(graft.functions.fx.topKByScore(col("cms_est").cast("double"),
+        col("user_id"), 20).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("user_id"), col("t.score").cast("long").as("cms_est"))
+      .join(exact, Seq("user_id"))
+      .select("rank", "user_id", "cms_est", "exact_cnt")
+      .orderBy("rank")
+  }
+
+  private val sketchCmsTopkSql: String =
+    """WITH h(i) AS (VALUES (0), (1), (2), (3)),
+      |cells AS (
+      |  SELECT i, ('0x' || substr(md5(i || ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 512 AS pos,
+      |         count(*) AS n
+      |  FROM events CROSS JOIN h GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT user_id FROM events),
+      |ppos AS (
+      |  SELECT user_id, i,
+      |         ('0x' || substr(md5(i || ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 512 AS pos
+      |  FROM cand CROSS JOIN h),
+      |est AS (SELECT user_id, min(coalesce(n, 0)) AS cms_est
+      |        FROM ppos LEFT JOIN cells USING (i, pos) GROUP BY 1),
+      |exact AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+      |          FROM events GROUP BY 1),
+      |rk AS (SELECT user_id, cms_est,
+      |         row_number() OVER (ORDER BY cms_est DESC, user_id) AS rank
+      |       FROM est)
+      |SELECT CAST(rank AS BIGINT) AS rank, user_id,
+      |       CAST(cms_est AS BIGINT) AS cms_est, exact_cnt
+      |FROM rk JOIN exact USING (user_id) WHERE rank <= 20
+      |ORDER BY rank""".stripMargin
+
   /** Per-node degree profile ([[graft.ext.Graph.degrees]]) of the
     * pagerank edge multiset — the first question any graph pipeline
     * asks (skew detection, hot-key planning, sanity bounds before an
@@ -4995,6 +5250,10 @@ object SparkEntry {
     "ts_hampel" -> (tsHampel(_, _)),
     "graph_closeness" -> (graphCloseness(_, _)),
     "sample_kcenter" -> (sampleKcenter(_, _)),
+    "ts_holtwinters" -> (tsHoltwinters(_, _)),
+    "emb_whiten" -> (embWhiten(_, _)),
+    "stats_bf" -> (statsBf(_, _)),
+    "sketch_cms_topk" -> (sketchCmsTopk(_, _)),
     "stats_chisq" -> (statsChisq(_, _)),
     "rank_ndcg" -> (rankNdcg(_, _)),
     "feat_transform" -> (featTransform(_, _)),
@@ -6583,6 +6842,10 @@ object SparkEntry {
     "ts_hampel" -> tsHampelSql,
     "graph_closeness" -> graphClosenessSql,
     "sample_kcenter" -> sampleKcenterSql,
+    "ts_holtwinters" -> tsHoltwintersSql,
+    "emb_whiten" -> embWhitenSql,
+    "stats_bf" -> statsBfSql,
+    "sketch_cms_topk" -> sketchCmsTopkSql,
     // sufficient-stat t-test: mean/var round to 6 dp BEFORE the
     // closed form so both engines run identical IEEE chains
     "stats_ttest" ->

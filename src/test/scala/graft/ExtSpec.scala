@@ -2120,6 +2120,81 @@ class ExtSpec extends AnyFunSuite {
       s"coverage radii must not increase: ${ds.mkString(",")}")
   }
 
+  test("Holt-Winters: forecast re-adds the next day's slot effect") {
+    val rows = SparkEntry.queries("ts_holtwinters")(spark, TestSession.sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // recompute slot effects driver-side from the raw daily series
+    val daily = Stream.normalizeTs(
+        spark.read.parquet(s"${TestSession.sf}/events.parquet"))
+      .groupBy(col("event_type"),
+        (unix_timestamp(date_trunc("day", col("ts"))) / 86400L).cast("long")
+          .as("day"))
+      .agg(round(sum("value"), 4).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val eff = daily.groupBy(d => (d._1, d._2 % 7)).map { case (k, g) =>
+      val wavg = r6(g.map(_._3).sum / g.length)
+      val gall = daily.filter(_._1 == k._1)
+      val gavg = r6(gall.map(_._3).sum / gall.length)
+      k -> r6(wavg - gavg)
+    }
+    for (r <- rows.take(20)) {
+      val e1 = eff((r.getString(0), (r.getLong(1) + 1) % 7))
+      val fc = r6(r6(r.getDouble(3) + r.getDouble(4)) + e1)
+      assert(r.getDouble(5) == fc,
+        s"${r.getString(0)}/${r.getLong(1)}: ${r.getDouble(5)} vs $fc")
+    }
+  }
+
+  test("whitening stats match a direct per-dimension recomputation") {
+    val rows = SparkEntry.queries("emb_whiten")(spark, TestSession.sf)
+      .collect()
+    assert(rows.length == 64)
+    val vecs = spark.read.parquet(s"${TestSession.sf}/embeddings.parquet")
+      .select("embedding").collect().map(_.getSeq[Float](0).map(_.toDouble))
+    for (r <- rows.take(8)) {
+      val d = r.getLong(0).toInt
+      val vs = vecs.map(_(d))
+      val mu = vs.sum / vs.length
+      val sd = math.sqrt(vs.map(v => (v - mu) * (v - mu)).sum / (vs.length - 1))
+      assert(r.getLong(1) == vs.length)
+      assert(math.abs(r.getDouble(2) - mu) < 1e-5, s"dim $d mu")
+      assert(math.abs(r.getDouble(3) - sd) < 1e-5, s"dim $d sigma")
+      assert(r.getDouble(4) < 0 && r.getDouble(5) > 0,
+        s"dim $d z-range should straddle 0")
+    }
+  }
+
+  test("Brown-Forsythe medians are the exact positional medians") {
+    val row = SparkEntry.queries("stats_bf")(spark, TestSession.sf).collect()(0)
+    val li = spark.read.parquet(s"${TestSession.sf}/lineitem.parquet")
+      .select("l_returnflag", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def med(vs: Array[Double]): Double = {
+      val s = vs.sorted; val n = s.length
+      (s((n + 1) / 2 - 1) + s((n + 2) / 2 - 1)) / 2.0
+    }
+    assert(row.getDouble(0) == med(li.filter(_._1 == "A").map(_._2)), "med_a")
+    assert(row.getDouble(1) == med(li.filter(_._1 == "N").map(_._2)), "med_n")
+    assert(row.getDouble(2) == med(li.filter(_._1 == "R").map(_._2)), "med_r")
+    assert(row.getLong(3) == li.length)
+    assert(row.getDouble(6) >= 0.0, "F must be non-negative")
+  }
+
+  test("CMS top-k estimates never undercount and rank descending") {
+    val rows = SparkEntry.queries("sketch_cms_topk")(spark, TestSession.sf)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    for (r <- rows)
+      assert(r.getLong(2) >= r.getLong(3),
+        s"CMS must overcount: est ${r.getLong(2)} < exact ${r.getLong(3)}")
+    val ests = rows.map(_.getLong(2))
+    assert(ests.sliding(2).forall(p => p(0) >= p(1)),
+      s"estimates must be non-increasing by rank: ${ests.mkString(",")}")
+  }
+
   test("k-anonymity audit matches a direct group-size recomputation") {
     val row = SparkEntry.queries("dq_kanon")(spark, TestSession.sf)
       .collect()(0)
