@@ -1664,12 +1664,15 @@ object SparkEntry {
       .orderBy("event_type", "day")
   }
 
-  private val tsHoltwintersSql: String = {
+  /** Holt–Winters oracle CTE chain (daily … hw) — shared with the
+    * forecast-backtest oracle, which joins `hw` against next-day
+    * actuals (the textNbayesBodySql fragment precedent). */
+  private val tsHoltwintersCtes: String = {
     val (lc, bc) = graft.ext.TimeSeries.holtWeights(0.5, 0.3, 20)
     def term(l: Int): String = if (l == 0) "xd" else s"lag(xd, $l) OVER w"
     def dot(cs: Seq[Double]): String =
       cs.zipWithIndex.map { case (c, l) => s"${term(l)} * $c" }.mkString(" + ")
-    s"""WITH daily AS (
+    s"""daily AS (
        |  SELECT event_type,
        |         CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT) AS day,
        |         round(sum(value), 4) AS x
@@ -1690,13 +1693,160 @@ object SparkEntry {
        |         round(round(${dot(lc)}, 6) + round(${dot(bc)}, 6), 6) AS fc
        |  FROM des
        |  WINDOW w AS (PARTITION BY event_type ORDER BY day, day)
-       |  QUALIFY lag(xd, 19) OVER w IS NOT NULL)
-       |SELECT h.event_type, h.day, h.seasadj, h.level, h.trend,
-       |       round(h.fc + eff.eff, 6) AS forecast_next
-       |FROM h JOIN eff ON eff.event_type = h.event_type
-       |               AND eff.slot = (h.day + 1) % 7
-       |ORDER BY h.event_type, h.day""".stripMargin
+       |  QUALIFY lag(xd, 19) OVER w IS NOT NULL),
+       |hw AS (
+       |  SELECT h.event_type, h.day, h.seasadj, h.level, h.trend,
+       |         round(h.fc + eff.eff, 6) AS forecast_next
+       |  FROM h JOIN eff ON eff.event_type = h.event_type
+       |                 AND eff.slot = (h.day + 1) % 7)""".stripMargin
   }
+
+  private val tsHoltwintersSql: String =
+    s"""WITH $tsHoltwintersCtes
+       |SELECT event_type, day, seasadj, level, trend, forecast_next
+       |FROM hw ORDER BY event_type, day""".stripMargin
+
+  /** Forecast backtest: the [[tsHoltwinters]] one-step forecasts
+    * scored against the NEXT day's actual — MAE, RMSE, and MASE
+    * (MAE over the naive "tomorrow = today" error, the standard
+    * scale-free skill score; < 1 beats naive). One keyed lead join of
+    * the forecast frame onto the daily series; error sums round 6
+    * before each ratio. */
+  private def tsForecastEval(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        (unix_timestamp(date_trunc("day", col("ts"))) / 86400L).cast("long")
+          .as("day"))
+      .agg(round(sum("value"), 4).as("x"))
+    val nxt = daily.select(col("event_type"), (col("day") - 1L).as("day"),
+      col("x").as("x_next"))
+    val hw = tsHoltwinters(s, dir)
+      .select(col("event_type"), col("day"), col("forecast_next"))
+    val j = hw.join(nxt, Seq("event_type", "day"))
+      .join(daily.select(col("event_type"), col("day"), col("x")),
+        Seq("event_type", "day"))
+      .select(col("event_type"),
+        (col("x_next") - col("forecast_next")).as("e"),
+        (col("x_next") - col("x")).as("e_naive"))
+    // sums round at 4 BEFORE the /n ratio (shuffle-order ulp straddles
+    // a 6-dp boundary at sf0.01 otherwise — the statsBootstrap staging)
+    j.groupBy("event_type").agg(
+        count(lit(1)).as("n_eval"),
+        round(round(sum(abs(col("e"))), 4) / count(lit(1)), 6).as("mae"),
+        round(round(sum(col("e") * col("e")), 4) / count(lit(1)), 6).as("mse"),
+        round(round(sum(abs(col("e_naive"))), 4) / count(lit(1)), 6)
+          .as("mae_naive"))
+      .select(col("event_type"), col("n_eval"), col("mae"),
+        round(sqrt(col("mse")), 6).as("rmse"),
+        round(col("mae") / col("mae_naive"), 6).as("mase"))
+      .orderBy("event_type")
+  }
+
+  private val tsForecastEvalSql: String =
+    s"""WITH $tsHoltwintersCtes,
+       |nxt AS (SELECT event_type, day - 1 AS day, x AS x_next FROM daily),
+       |j AS (
+       |  SELECT hw.event_type,
+       |         x_next - forecast_next AS e,
+       |         x_next - d.x AS e_naive
+       |  FROM hw JOIN nxt ON nxt.event_type = hw.event_type
+       |                  AND nxt.day = hw.day
+       |          JOIN daily d ON d.event_type = hw.event_type
+       |                      AND d.day = hw.day),
+       |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+       |        round(round(sum(abs(e)), 4) / count(*), 6) AS mae,
+       |        round(round(sum(e * e), 4) / count(*), 6) AS mse,
+       |        round(round(sum(abs(e_naive)), 4) / count(*), 6) AS mae_naive
+       |      FROM j GROUP BY 1)
+       |SELECT event_type, n_eval, mae, round(sqrt(mse), 6) AS rmse,
+       |       round(mae / mae_naive, 6) AS mase
+       |FROM m ORDER BY event_type""".stripMargin
+
+  /** Functional-dependency violation audit of the candidate FD
+    * `c_mktsegment → c_nationkey` — the data-quality profiling step
+    * that quantifies how far a column pair is from a clean dependency
+    * (entity-resolution precursors, schema-inference hints). Per
+    * determinant value: support, distinct dependents, the majority
+    * dependent (argmax, smallest-key ties), and the violation rate
+    * (rows outside the majority). Two keyed aggs over the
+    * (X, Y)-domain-bounded grid; all exact ints + one division. */
+  private def dqFd(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "customer")
+      .groupBy(col("c_mktsegment").as("seg"),
+        col("c_nationkey").cast("long").as("nk"))
+      .agg(count(lit(1)).as("cnt"))
+    g.groupBy("seg").agg(
+        sum("cnt").as("n"), count(lit(1)).as("n_distinct_nk"),
+        min(struct((-col("cnt")).as("nc"), col("nk"))).as("b"))
+      .select(col("seg"), col("n"), col("n_distinct_nk"),
+        col("b.nk").as("majority_nk"), (-col("b.nc")).as("majority_cnt"),
+        round((col("n") + col("b.nc")).cast("double") / col("n").cast("double"),
+          6).as("violation_rate"))
+      .orderBy("seg")
+  }
+
+  private val dqFdSql: String =
+    """WITH g AS (SELECT c_mktsegment AS seg, CAST(c_nationkey AS BIGINT) AS nk,
+      |             CAST(count(*) AS BIGINT) AS cnt
+      |           FROM customer GROUP BY 1, 2),
+      |rk AS (SELECT seg, nk, cnt,
+      |         row_number() OVER (PARTITION BY seg
+      |           ORDER BY cnt DESC, nk) AS rn
+      |       FROM g),
+      |a AS (SELECT seg, CAST(sum(cnt) AS BIGINT) AS n,
+      |        CAST(count(*) AS BIGINT) AS n_distinct_nk
+      |      FROM g GROUP BY seg)
+      |SELECT a.seg, a.n, a.n_distinct_nk, rk.nk AS majority_nk,
+      |       rk.cnt AS majority_cnt,
+      |       round(CAST(a.n - rk.cnt AS DOUBLE) / CAST(a.n AS DOUBLE), 6)
+      |         AS violation_rate
+      |FROM a JOIN rk ON rk.seg = a.seg AND rk.rn = 1
+      |ORDER BY a.seg""".stripMargin
+
+  /** Effect size of the click-vs-purchase value gap: Cohen's d from
+    * the pooled standard deviation plus the small-sample Hedges' g
+    * correction — the "is it LARGE, not just significant" companion to
+    * [[statsTtest]] (same rounded-moment staging). One aggregation;
+    * the rest is a per-row scalar chain. */
+  private def statsEffect(s: SparkSession, dir: String): DataFrame = {
+    val clickV = when(col("event_type") === "click", col("value"))
+    val purchV = when(col("event_type") === "purchase", col("value"))
+    val a = t(s, dir, "events").agg(
+      count(clickV).as("n1"), round(avg(clickV), 6).as("m1"),
+      round(var_samp(clickV), 6).as("v1"),
+      count(purchV).as("n2"), round(avg(purchV), 6).as("m2"),
+      round(var_samp(purchV), 6).as("v2"))
+    val sp = sqrt(((col("n1") - 1L) * col("v1") + (col("n2") - 1L) * col("v2")) /
+      (col("n1") + col("n2") - 2L).cast("double"))
+    val d = (col("m1") - col("m2")) / sp
+    a.select(col("n1"), col("n2"),
+      round(col("m1") - col("m2"), 6).as("mean_diff"),
+      round(sp, 6).as("pooled_sd"),
+      round(d, 6).as("cohens_d"),
+      round(d * (lit(1.0) - lit(3.0) /
+        (lit(4.0) * (col("n1") + col("n2")).cast("double") - 9.0)), 6)
+        .as("hedges_g"))
+  }
+
+  private val statsEffectSql: String =
+    """WITH a AS (SELECT
+      |    CAST(count(CASE WHEN event_type='click' THEN value END) AS BIGINT) AS n1,
+      |    round(avg(CASE WHEN event_type='click' THEN value END), 6) AS m1,
+      |    round(var_samp(CASE WHEN event_type='click' THEN value END), 6) AS v1,
+      |    CAST(count(CASE WHEN event_type='purchase' THEN value END) AS BIGINT) AS n2,
+      |    round(avg(CASE WHEN event_type='purchase' THEN value END), 6) AS m2,
+      |    round(var_samp(CASE WHEN event_type='purchase' THEN value END), 6) AS v2
+      |  FROM events)
+      |SELECT n1, n2, round(m1 - m2, 6) AS mean_diff,
+      |       round(sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) /
+      |             CAST(n1 + n2 - 2 AS DOUBLE)), 6) AS pooled_sd,
+      |       round((m1 - m2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) /
+      |             CAST(n1 + n2 - 2 AS DOUBLE)), 6) AS cohens_d,
+      |       round(((m1 - m2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) /
+      |             CAST(n1 + n2 - 2 AS DOUBLE))) *
+      |             (1.0 - 3.0 / (4.0 * CAST(n1 + n2 AS DOUBLE) - 9.0)), 6)
+      |         AS hedges_g
+      |FROM a""".stripMargin
 
   /** Per-dimension embedding whitening stats: mean and std of every
     * coordinate plus the standardized min/max — the preprocessing step
@@ -5254,6 +5404,9 @@ object SparkEntry {
     "emb_whiten" -> (embWhiten(_, _)),
     "stats_bf" -> (statsBf(_, _)),
     "sketch_cms_topk" -> (sketchCmsTopk(_, _)),
+    "ts_forecast_eval" -> (tsForecastEval(_, _)),
+    "dq_fd" -> (dqFd(_, _)),
+    "stats_effect" -> (statsEffect(_, _)),
     "stats_chisq" -> (statsChisq(_, _)),
     "rank_ndcg" -> (rankNdcg(_, _)),
     "feat_transform" -> (featTransform(_, _)),
@@ -6846,6 +6999,9 @@ object SparkEntry {
     "emb_whiten" -> embWhitenSql,
     "stats_bf" -> statsBfSql,
     "sketch_cms_topk" -> sketchCmsTopkSql,
+    "ts_forecast_eval" -> tsForecastEvalSql,
+    "dq_fd" -> dqFdSql,
+    "stats_effect" -> statsEffectSql,
     // sufficient-stat t-test: mean/var round to 6 dp BEFORE the
     // closed form so both engines run identical IEEE chains
     "stats_ttest" ->

@@ -2195,6 +2195,46 @@ class ExtSpec extends AnyFunSuite {
       s"estimates must be non-increasing by rank: ${ests.mkString(",")}")
   }
 
+  test("forecast backtest: metrics are internally consistent") {
+    val rows = SparkEntry.queries("ts_forecast_eval")(spark, TestSession.sf)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getLong(1) > 0, "n_eval")
+      assert(r.getDouble(2) >= 0 && r.getDouble(3) >= 0, "mae/rmse >= 0")
+      assert(r.getDouble(3) >= r.getDouble(2) * 0.999,
+        s"RMSE >= MAE must hold: ${r.getDouble(3)} vs ${r.getDouble(2)}")
+      assert(r.getDouble(4) > 0, "mase > 0")
+    }
+  }
+
+  test("FD audit: violation rate matches the majority complement") {
+    val rows = SparkEntry.queries("dq_fd")(spark, TestSession.sf).collect()
+    val cust = spark.read.parquet(s"${TestSession.sf}/customer.parquet")
+      .select("c_mktsegment", "c_nationkey").collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong))
+    for (r <- rows) {
+      val g = cust.filter(_._1 == r.getString(0)).map(_._2)
+      val counts = g.groupBy(identity).view.mapValues(_.size)
+      val maxC = counts.values.max
+      // argmax with smallest-key ties
+      val majority = counts.filter(_._2 == maxC).keys.min
+      assert(r.getLong(1) == g.length && r.getLong(2) == counts.size)
+      assert(r.getLong(3) == majority && r.getLong(4) == maxC, r.toString)
+      assert(math.abs(r.getDouble(5) -
+        (g.length - maxC).toDouble / g.length) < 1e-6)
+    }
+  }
+
+  test("effect size: Cohen's d from pooled sd, Hedges' g shrinks toward 0") {
+    val r = SparkEntry.queries("stats_effect")(spark, TestSession.sf)
+      .collect()(0)
+    val d = r.getDouble(4); val g = r.getDouble(5)
+    assert(math.abs(g) < math.abs(d), "the small-sample correction shrinks |d|")
+    assert(math.abs(r.getDouble(2) / r.getDouble(3) - d) < 1e-5,
+      "d = mean_diff / pooled_sd")
+  }
+
   test("k-anonymity audit matches a direct group-size recomputation") {
     val row = SparkEntry.queries("dq_kanon")(spark, TestSession.sf)
       .collect()(0)
