@@ -4180,6 +4180,160 @@ object SparkEntry {
     Text.bm25(t(s, dir, "documents"), Seq("table", "spark", "query"))
       .orderBy("doc_id")
 
+  /** Ranked retrieval: BM25 top-10 for the shared 3-term query — the
+    * query-time half of [[textBm25]]'s scorer, ranked through the
+    * bounded heap (scores pre-rounded to 4 dp with doc-id ties, so the
+    * cut replays). */
+  private def textSearch(s: SparkSession, dir: String): DataFrame =
+    Text.bm25(t(s, dir, "documents"), Seq("table", "spark", "query"))
+      .agg(graft.functions.fx.topKByScore(col("bm25"), col("doc_id"), 10)
+        .as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("doc_id"), col("t.score").as("bm25"))
+      .orderBy("rank")
+
+  private lazy val textSearchSql: String =
+    s"""WITH t AS (SELECT doc_id, $duckToks AS ts FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl FROM t),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+       |tok AS (SELECT doc_id, unnest(ts) AS tok FROM t),
+       |tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM tok
+       |       WHERE tok IN ('table', 'spark', 'query') GROUP BY doc_id, tok),
+       |df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+       |sc AS (
+       |  SELECT tf.doc_id,
+       |         round(sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+       |           * (tf.tf * (1.2 + 1))
+       |           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 4)
+       |           AS bm25
+       |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+       |  GROUP BY tf.doc_id),
+       |rk AS (SELECT doc_id, bm25,
+       |         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+       |       FROM sc)
+       |SELECT CAST(rank AS BIGINT) AS rank, doc_id, bm25
+       |FROM rk WHERE rank <= 10 ORDER BY rank""".stripMargin
+
+  /** Domain-mix divergence: per source, the KL divergence of its
+    * language distribution from the corpus mix plus its own entropy —
+    * the diversity/imbalance diagnostic behind mixture reweighting
+    * (sample_temperature's measurement sibling). Every p and q is an
+    * exact-int ratio; each ln runs on one exact product ratio
+    * (c_sl·n)/(n_s·c_l); the ≤|langs| term sums round 6. Two keyed
+    * aggs over the (source, lang) grid. */
+  private def statsKl(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("source"), col("lang"))
+    val sl = d.groupBy("source", "lang").agg(count(lit(1)).as("c_sl"))
+    val sTot = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val lTot = d.groupBy("lang").agg(count(lit(1)).as("c_l"))
+    val n = d.agg(count(lit(1)).as("n"))
+    sl.join(broadcast(sTot), "source").join(broadcast(lTot), "lang")
+      .crossJoin(broadcast(n))
+      .withColumn("p", col("c_sl").cast("double") / col("n_s").cast("double"))
+      .withColumn("klterm", col("p") *
+        log((col("c_sl") * col("n")).cast("double") /
+          (col("n_s") * col("c_l")).cast("double")))
+      .withColumn("hterm", -col("p") * log(col("p")))
+      .groupBy("source")
+      .agg(first("n_s").as("n_docs"), count(lit(1)).as("n_langs"),
+        round(sum("klterm"), 6).as("kl_vs_corpus"),
+        round(sum("hterm"), 6).as("entropy"))
+      .orderBy("source")
+  }
+
+  private val statsKlSql: String =
+    """WITH d AS (SELECT source, lang FROM documents),
+      |sl AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c_sl
+      |       FROM d GROUP BY 1, 2),
+      |stot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM d GROUP BY 1),
+      |ltot AS (SELECT lang, CAST(count(*) AS BIGINT) AS c_l FROM d GROUP BY 1),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+      |terms AS (
+      |  SELECT source, n_s,
+      |         CAST(c_sl AS DOUBLE) / CAST(n_s AS DOUBLE) AS p,
+      |         CAST(c_sl AS DOUBLE) / CAST(n_s AS DOUBLE) *
+      |           ln(CAST(c_sl * n AS DOUBLE) / CAST(n_s * c_l AS DOUBLE))
+      |           AS klterm
+      |  FROM sl JOIN stot USING (source) JOIN ltot USING (lang) CROSS JOIN nn)
+      |SELECT source, CAST(min(n_s) AS BIGINT) AS n_docs,
+      |       CAST(count(*) AS BIGINT) AS n_langs,
+      |       round(sum(klterm), 6) AS kl_vs_corpus,
+      |       round(sum(-p * ln(p)), 6) AS entropy
+      |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
+  /** Top principal component of the embedding cloud by POWER ITERATION
+    * on the scatter matrix — PCA without a linear-algebra library,
+    * fully relational at any scale: the 64×64 scatter matrix comes
+    * from ONE pair-exploded keyed aggregation over centered
+    * coordinates (the outer-product accumulation that map-side
+    * combines; 100 TB of vectors still reduces to 4096 cells), and
+    * each of the 3 iterations is a (j,k)-keyed join+agg over that
+    * BOUNDED relation — no corpus rescans, no driver linear algebra.
+    * Determinism: mu and every scatter cell round 6 (shuffle-order
+    * sums); per-round scores max-normalize (max is order-independent)
+    * and round 6 — the graph_hits discipline. */
+  private def embPcaPower(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"), col("v").cast("double").as("v"))
+    val mu = e.groupBy("dim").agg(round(avg("v"), 6).as("mu"))
+    // pair join keyed by the row id — the outer-product accumulation
+    val eRow = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+    val xcr = eRow
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("v").cast("double").as("v"))
+      .join(broadcast(mu), "dim")
+      .select(col("vec_id"), col("dim"), (col("v") - col("mu")).as("x"))
+    val scatter = xcr.as("a")
+      .join(xcr.as("b").hint("shuffle_merge"), col("a.vec_id") === col("b.vec_id"))
+      .groupBy(col("a.dim").as("j"), col("b.dim").as("k"))
+      .agg(round(sum(col("a.x") * col("b.x")), 6).as("c"))
+      .localCheckpoint()
+    var v = mu.select(col("dim"), lit(1.0).as("w"))
+    var lambda: DataFrame = null
+    for (_ <- 1 to 3) {
+      val wRaw = scatter.join(v.select(col("dim").as("k"), col("w")), "k")
+        .groupBy(col("j").as("dim")).agg(round(sum(col("c") * col("w")), 6).as("raw"))
+      val mx = wRaw.agg(max(abs(col("raw"))).as("mx"))
+      lambda = mx
+      v = wRaw.crossJoin(broadcast(mx))
+        .select(col("dim"), round(col("raw") / col("mx"), 6).as("w"))
+    }
+    v.crossJoin(broadcast(lambda))
+      .select(col("dim"), col("w").as("loading"), col("mx").as("scatter_scale"))
+      .orderBy("dim")
+  }
+
+  private val embPcaPowerSql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""w$i AS MATERIALIZED (
+         |  SELECT j AS dim, round(sum(c * v${i - 1}.w), 6) AS raw
+         |  FROM scatter JOIN v${i - 1} ON v${i - 1}.dim = scatter.k
+         |  GROUP BY j),
+         |m$i AS (SELECT max(abs(raw)) AS mx FROM w$i),
+         |v$i AS MATERIALIZED (
+         |  SELECT dim, round(raw / mx, 6) AS w FROM w$i CROSS JOIN m$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |            FROM embeddings),
+       |e AS (SELECT vec_id, CAST(k - 1 AS BIGINT) AS dim,
+       |        emb[CAST(k AS INT)] AS v
+       |      FROM (SELECT vec_id, emb,
+       |              unnest(generate_series(1, len(emb))) AS k FROM ve)),
+       |mu AS (SELECT dim, round(avg(v), 6) AS mu FROM e GROUP BY dim),
+       |xc AS (SELECT vec_id, dim, v - mu AS x FROM e JOIN mu USING (dim)),
+       |scatter AS MATERIALIZED (
+       |  SELECT a.dim AS j, b.dim AS k, round(sum(a.x * b.x), 6) AS c
+       |  FROM xc a JOIN xc b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |v0 AS (SELECT dim, 1.0 AS w FROM mu),
+       |$rounds
+       |SELECT v3.dim, v3.w AS loading, m3.mx AS scatter_scale
+       |FROM v3 CROSS JOIN m3 ORDER BY v3.dim""".stripMargin
+  }
+
   /** Paragraph/segment-level exact dedup ([[Dedup.segmentDedup]] —
     * the MassiveText/CCNet repeated-paragraph pass): 16-token windows,
     * first corpus-wide occurrence wins, documents reassembled from
@@ -5407,6 +5561,9 @@ object SparkEntry {
     "ts_forecast_eval" -> (tsForecastEval(_, _)),
     "dq_fd" -> (dqFd(_, _)),
     "stats_effect" -> (statsEffect(_, _)),
+    "text_search" -> (textSearch(_, _)),
+    "stats_kl" -> (statsKl(_, _)),
+    "emb_pca_power" -> (embPcaPower(_, _)),
     "stats_chisq" -> (statsChisq(_, _)),
     "rank_ndcg" -> (rankNdcg(_, _)),
     "feat_transform" -> (featTransform(_, _)),
@@ -7002,6 +7159,9 @@ object SparkEntry {
     "ts_forecast_eval" -> tsForecastEvalSql,
     "dq_fd" -> dqFdSql,
     "stats_effect" -> statsEffectSql,
+    "text_search" -> textSearchSql,
+    "stats_kl" -> statsKlSql,
+    "emb_pca_power" -> embPcaPowerSql,
     // sufficient-stat t-test: mean/var round to 6 dp BEFORE the
     // closed form so both engines run identical IEEE chains
     "stats_ttest" ->

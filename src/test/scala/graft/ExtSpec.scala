@@ -2235,6 +2235,60 @@ class ExtSpec extends AnyFunSuite {
       "d = mean_diff / pooled_sd")
   }
 
+  test("text search returns the highest-scoring BM25 docs in order") {
+    val hits = SparkEntry.queries("text_search")(spark, TestSession.sf)
+      .collect().sortBy(_.getLong(0))
+    val all = SparkEntry.queries("text_bm25")(spark, TestSession.sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val bestScores = all.map(_._2).sorted.reverse.take(10)
+    assert(hits.map(_.getDouble(2)).toSeq == bestScores.toSeq,
+      "top-10 scores must equal the 10 best corpus scores")
+  }
+
+  test("KL divergence vs corpus mix is non-negative, entropy bounded") {
+    val rows = SparkEntry.queries("stats_kl")(spark, TestSession.sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getDouble(3) >= -1e-9, s"${r.getString(0)}: KL must be >= 0")
+      assert(r.getDouble(4) >= -1e-9 &&
+        r.getDouble(4) <= math.log(r.getLong(2).toDouble) + 1e-9,
+        s"${r.getString(0)}: entropy outside [0, ln(n_langs)]")
+    }
+    // direct recompute for one source
+    val docs = spark.read.parquet(s"${TestSession.sf}/documents.parquet")
+      .select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val src = rows.head.getString(0)
+    val inSrc = docs.filter(_._1 == src)
+    val kl = inSrc.groupBy(_._2).map { case (lang, g) =>
+      val p = g.length.toDouble / inSrc.length
+      val q = docs.count(_._2 == lang).toDouble / docs.length
+      p * math.log(p / q)
+    }.sum
+    assert(math.abs(rows.head.getDouble(3) - kl) < 1e-5,
+      s"KL ${rows.head.getDouble(3)} vs direct $kl")
+  }
+
+  test("power-iteration PCA: Rayleigh quotient dominates the diagonal") {
+    val rows = SparkEntry.queries("emb_pca_power")(spark, TestSession.sf)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == 64)
+    val v = rows.map(_.getDouble(1))
+    assert(math.abs(v.map(math.abs).max - 1.0) < 1e-9,
+      "max-normalized loading must peak at 1")
+    // scatter matrix driver-side
+    val vecs = spark.read.parquet(s"${TestSession.sf}/embeddings.parquet")
+      .select("embedding").collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val mu = (0 until 64).map(d => vecs.map(_(d)).sum / vecs.length).toArray
+    def sjk(j: Int, k: Int) = vecs.map(x => (x(j) - mu(j)) * (x(k) - mu(k))).sum
+    val sv = (0 until 64).map(j => (0 until 64).map(k => sjk(j, k) * v(k)).sum)
+    val rayleigh = (0 until 64).map(j => v(j) * sv(j)).sum /
+      v.map(x => x * x).sum
+    val maxDiag = (0 until 64).map(j => sjk(j, j)).max
+    assert(rayleigh >= 0.95 * maxDiag,
+      s"Rayleigh $rayleigh should dominate the max diagonal $maxDiag")
+  }
+
   test("k-anonymity audit matches a direct group-size recomputation") {
     val row = SparkEntry.queries("dq_kanon")(spark, TestSession.sf)
       .collect()(0)
