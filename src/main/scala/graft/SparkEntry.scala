@@ -752,6 +752,193 @@ object SparkEntry {
     graft.ext.Profile.tableChecksum(t(s, dir, "orders"),
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
 
+  /** Bucketed merkle digest ([[graft.ext.Profile.merkleChecksum]], 16
+    * leaves) of the same order columns — integrity_checksum's
+    * localizing sibling: a drifted replica points to its leaf instead
+    * of forcing a full rescan. */
+  private def integrityMerkle(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.merkleChecksum(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
+        buckets = 16)
+      .orderBy("bucket")
+
+  private val integrityMerkleSql: String =
+    """WITH h AS (SELECT ('0x' || substr(md5(concat_ws('|',
+      |        coalesce(CAST(o_orderkey AS VARCHAR), chr(0) || 'null'),
+      |        coalesce(CAST(o_custkey AS VARCHAR), chr(0) || 'null'),
+      |        coalesce(o_orderstatus, chr(0) || 'null'),
+      |        coalesce(o_orderpriority, chr(0) || 'null'))), 1, 15))::BIGINT AS h
+      |      FROM orders),
+      |leaf AS (
+      |  SELECT h % 16 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+      |         bit_xor(h) AS xor_hash, min(h) AS min_hash, max(h) AS max_hash
+      |  FROM h GROUP BY 1),
+      |l2 AS (SELECT bucket, n_rows, xor_hash,
+      |         md5(CAST(bucket AS VARCHAR) || ':' || CAST(n_rows AS VARCHAR)
+      |           || ':' || CAST(xor_hash AS VARCHAR) || ':'
+      |           || CAST(min_hash AS VARCHAR) || ':'
+      |           || CAST(max_hash AS VARCHAR)) AS leaf_md5
+      |       FROM leaf),
+      |root AS (SELECT md5(string_agg(leaf_md5, '|' ORDER BY bucket))
+      |           AS root_md5 FROM l2)
+      |SELECT bucket, n_rows, xor_hash, leaf_md5, root_md5
+      |FROM l2 CROSS JOIN root ORDER BY bucket""".stripMargin
+
+  /** Deterministic k-fold cross-validation assignment (5 folds from
+    * each document's md5 uniform — growth-stable like
+    * [[sampleSplit]]), reported as the (fold, lang) stratification
+    * grid a CV harness checks before trusting fold symmetry. One
+    * map-side fold stamp + one keyed agg over the bounded grid. */
+  private def sampleKfold(s: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(md5(concat(lit("fold:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+      .cast("double") / 4294967296.0
+    t(s, dir, "documents")
+      .withColumn("fold", floor(u * 5.0).cast("long"))
+      .groupBy("fold", "lang").agg(count(lit(1)).as("n_docs"))
+      .orderBy("fold", "lang")
+  }
+
+  private val sampleKfoldSql: String =
+    """SELECT CAST(floor((('0x' || substr(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |         / 4294967296.0) * 5.0) AS BIGINT) AS fold,
+      |       lang, CAST(count(*) AS BIGINT) AS n_docs
+      |FROM documents GROUP BY 1, 2 ORDER BY fold, lang""".stripMargin
+
+  /** Theil–Sen robust trend of daily order revenue: the MEDIAN of all
+    * pairwise slopes (and the median-residual intercept) — the
+    * outlier-proof alternative to OLS (stats_regression's robust
+    * sibling). The pair set is bounded by the DAY domain (~120 days →
+    * ~7k pairs), so the slope relation and its positional-median
+    * selection never touch corpus scale; daily revenue rounds 2
+    * first, each slope is one exact-input division, medians are exact
+    * positional middles (the stats_bf discipline). */
+  private def statsTheilsen(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy((unix_timestamp(date_trunc("day", col("o_orderdate"))) / 86400L)
+        .cast("long").as("d"))
+      .agg(round(sum("o_totalprice"), 2).as("r"))
+    val pairs = daily.as("a").join(daily.as("b"), col("a.d") < col("b.d"))
+      .select(((col("b.r") - col("a.r")) /
+        (col("b.d") - col("a.d")).cast("double")).as("slope"))
+    val wS = Window.orderBy("slope")
+    val m = pairs.withColumn("rn", row_number().over(wS))
+      .crossJoin(broadcast(pairs.agg(count(lit(1)).as("m"))))
+      .filter(col("rn") === floor((col("m") + 1L) / 2.0).cast("long") ||
+        col("rn") === floor((col("m") + 2L) / 2.0).cast("long"))
+      .agg(round(avg("slope"), 6).as("slope"), first("m").as("n_pairs"))
+    val resid = daily.crossJoin(broadcast(m))
+      .select((col("r") - col("slope") * col("d").cast("double")).as("res"),
+        col("slope"), col("n_pairs"))
+    val wR = Window.orderBy("res")
+    resid.withColumn("rn", row_number().over(wR))
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("nd"))))
+      .filter(col("rn") === floor((col("nd") + 1L) / 2.0).cast("long") ||
+        col("rn") === floor((col("nd") + 2L) / 2.0).cast("long"))
+      .agg(first("nd").as("n_days"), first("n_pairs").as("n_pairs"),
+        first("slope").as("slope"), round(avg("res"), 6).as("intercept"))
+  }
+
+  private val statsTheilsenSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(epoch(date_trunc('day', o_orderdate)) // 86400 AS BIGINT)
+      |           AS d,
+      |         round(sum(o_totalprice), 2) AS r
+      |  FROM orders GROUP BY 1),
+      |pairs AS (
+      |  SELECT (b.r - a.r) / CAST(b.d - a.d AS DOUBLE) AS slope
+      |  FROM daily a JOIN daily b ON a.d < b.d),
+      |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+      |sm AS (
+      |  SELECT round(avg(slope), 6) AS slope, min(m) AS n_pairs
+      |  FROM (SELECT slope, row_number() OVER (ORDER BY slope) AS rn FROM pairs)
+      |       CROSS JOIN mm
+      |  WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2),
+      |resid AS (
+      |  SELECT r - slope * CAST(d AS DOUBLE) AS res, slope, n_pairs
+      |  FROM daily CROSS JOIN sm),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM daily)
+      |SELECT min(nd) AS n_days, min(n_pairs) AS n_pairs,
+      |       min(slope) AS slope, round(avg(res), 6) AS intercept
+      |FROM (SELECT res, slope, n_pairs,
+      |        row_number() OVER (ORDER BY res) AS rn FROM resid)
+      |     CROSS JOIN nn
+      |WHERE rn = (nd + 1) // 2 OR rn = (nd + 2) // 2""".stripMargin
+
+  /** Per-group boxplot / robust-scaling statistics of l_quantity:
+    * exact POSITIONAL quartiles (type-1, no interpolation), IQR,
+    * 1.5·IQR Tukey fences, and the outlier count beyond them — the
+    * robust profiling row feeding both boxplots and robust scalers.
+    * Same cumulative-count positional machinery as stats_bf (the
+    * 150-row value grid does all ordering); quantity's integer domain
+    * keeps every statistic dyadic-exact. */
+  private def statsBoxplot(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_quantity").as("q"))
+    val vc = li.groupBy("flag", "q").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("flag").orderBy("q")
+    val cum = vc
+      .withColumn("cumEnd", sum("cnt").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cumStart", col("cumEnd") - col("cnt"))
+    val tot = li.groupBy("flag").agg(count(lit(1)).as("n"))
+    def at(p: Column): Column =
+      min(when(col("cumStart") < p && p <= col("cumEnd"), col("q")))
+    val qs = cum.join(broadcast(tot), "flag")
+      .withColumn("p25", floor((col("n") + 3L) / 4.0).cast("long"))
+      .withColumn("p50a", floor((col("n") + 1L) / 2.0).cast("long"))
+      .withColumn("p50b", floor((col("n") + 2L) / 2.0).cast("long"))
+      .withColumn("p75", floor((lit(3L) * col("n") + 1L) / 4.0).cast("long"))
+      .groupBy("flag")
+      .agg(first("n").as("n"), at(col("p25")).as("q1"),
+        ((at(col("p50a")) + at(col("p50b"))) / 2.0).as("median"),
+        at(col("p75")).as("q3"))
+      .withColumn("iqr", col("q3") - col("q1"))
+      .withColumn("lo_fence", col("q1") - lit(1.5) * col("iqr"))
+      .withColumn("hi_fence", col("q3") + lit(1.5) * col("iqr"))
+    li.join(broadcast(qs), "flag")
+      .groupBy("flag")
+      .agg(first("n").as("n"), first("q1").as("q1"),
+        first("median").as("median"), first("q3").as("q3"),
+        first("iqr").as("iqr"), first("lo_fence").as("lo_fence"),
+        first("hi_fence").as("hi_fence"),
+        sum(when(col("q") < col("lo_fence") || col("q") > col("hi_fence"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("flag")
+  }
+
+  private val statsBoxplotSql: String =
+    """WITH li AS (SELECT l_returnflag AS flag, l_quantity AS q FROM lineitem),
+      |vc AS (SELECT flag, q, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM li GROUP BY 1, 2),
+      |cum AS (SELECT flag, q, cnt,
+      |          CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY q) AS BIGINT)
+      |            AS cumEnd
+      |        FROM vc),
+      |c2 AS (SELECT flag, q, cumEnd - cnt AS cumStart, cumEnd FROM cum),
+      |tot AS (SELECT flag, CAST(count(*) AS BIGINT) AS n FROM li GROUP BY 1),
+      |qs AS (
+      |  SELECT flag, min(n) AS n,
+      |         min(CASE WHEN cumStart < (n+3)//4 AND (n+3)//4 <= cumEnd
+      |               THEN q END) AS q1,
+      |         (min(CASE WHEN cumStart < (n+1)//2 AND (n+1)//2 <= cumEnd
+      |                THEN q END) +
+      |          min(CASE WHEN cumStart < (n+2)//2 AND (n+2)//2 <= cumEnd
+      |                THEN q END)) / 2.0 AS median,
+      |         min(CASE WHEN cumStart < (3*n+1)//4 AND (3*n+1)//4 <= cumEnd
+      |               THEN q END) AS q3
+      |  FROM c2 JOIN tot USING (flag) GROUP BY flag),
+      |f AS (SELECT flag, n, q1, median, q3, q3 - q1 AS iqr,
+      |        q1 - 1.5 * (q3 - q1) AS lo_fence,
+      |        q3 + 1.5 * (q3 - q1) AS hi_fence
+      |      FROM qs)
+      |SELECT li.flag, min(n) AS n, min(q1) AS q1, min(median) AS median,
+      |       min(q3) AS q3, min(iqr) AS iqr, min(lo_fence) AS lo_fence,
+      |       min(hi_fence) AS hi_fence,
+      |       CAST(sum(CASE WHEN q < lo_fence OR q > hi_fence THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_outliers
+      |FROM li JOIN f USING (flag) GROUP BY li.flag ORDER BY li.flag""".stripMargin
+
   /** Grouped top-k through the bounded-heap
     * [[graft.functions.TopKByScore]] aggregate — the SCALE path for
     * top-k-per-group: the shuffle moves k-entry partial heaps per
@@ -1903,8 +2090,11 @@ object SparkEntry {
       .withColumn("cumStart", col("cumEnd") - col("cnt"))
     val tot = li.groupBy("flag").agg(count(lit(1)).as("ng"))
     val med = cum.join(broadcast(tot), "flag")
-      .withColumn("p1", (col("ng") + 1L) / 2L)
-      .withColumn("p2", (col("ng") + 2L) / 2L)
+      // Spark's / on longs is DOUBLE division — floor to the exact
+      // integer position (a fractional position lands in the right
+      // bucket only when both middles share a value)
+      .withColumn("p1", floor((col("ng") + 1L) / 2.0).cast("long"))
+      .withColumn("p2", floor((col("ng") + 2L) / 2.0).cast("long"))
       .groupBy("flag")
       .agg(((min(when(col("cumStart") < col("p1") && col("p1") <= col("cumEnd"),
           col("q"))) +
@@ -5564,6 +5754,10 @@ object SparkEntry {
     "text_search" -> (textSearch(_, _)),
     "stats_kl" -> (statsKl(_, _)),
     "emb_pca_power" -> (embPcaPower(_, _)),
+    "integrity_merkle" -> (integrityMerkle(_, _)),
+    "sample_kfold" -> (sampleKfold(_, _)),
+    "stats_theilsen" -> (statsTheilsen(_, _)),
+    "stats_boxplot" -> (statsBoxplot(_, _)),
     "stats_chisq" -> (statsChisq(_, _)),
     "rank_ndcg" -> (rankNdcg(_, _)),
     "feat_transform" -> (featTransform(_, _)),
@@ -7162,6 +7356,10 @@ object SparkEntry {
     "text_search" -> textSearchSql,
     "stats_kl" -> statsKlSql,
     "emb_pca_power" -> embPcaPowerSql,
+    "integrity_merkle" -> integrityMerkleSql,
+    "sample_kfold" -> sampleKfoldSql,
+    "stats_theilsen" -> statsTheilsenSql,
+    "stats_boxplot" -> statsBoxplotSql,
     // sufficient-stat t-test: mean/var round to 6 dp BEFORE the
     // closed form so both engines run identical IEEE chains
     "stats_ttest" ->

@@ -2289,6 +2289,60 @@ class ExtSpec extends AnyFunSuite {
       s"Rayleigh $rayleigh should dominate the max diagonal $maxDiag")
   }
 
+  test("merkle digest folds to the flat checksum") {
+    val leaves = SparkEntry.queries("integrity_merkle")(spark, TestSession.sf)
+      .collect()
+    val flat = SparkEntry.queries("integrity_checksum")(spark, TestSession.sf)
+      .collect()(0)
+    assert(leaves.length == 16)
+    assert(leaves.map(_.getLong(1)).sum == flat.getLong(0),
+      "leaf row counts must sum to the table count")
+    assert(leaves.map(_.getLong(2)).reduce(_ ^ _) == flat.getLong(1),
+      "leaf xors must fold to the flat xor")
+    assert(leaves.map(_.getString(4)).distinct.length == 1,
+      "every leaf row carries the same root digest")
+  }
+
+  test("k-fold assignment covers all folds and is balanced") {
+    val rows = SparkEntry.queries("sample_kfold")(spark, TestSession.sf)
+      .collect()
+    val perFold = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(perFold.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    val total = perFold.values.sum
+    for ((f, n) <- perFold)
+      assert(math.abs(n.toDouble / total - 0.2) < 0.1, s"fold $f share ${n.toDouble / total}")
+  }
+
+  test("Theil-Sen: pair count and a slope bracketed by extreme pair slopes") {
+    val r = SparkEntry.queries("stats_theilsen")(spark, TestSession.sf)
+      .collect()(0)
+    val nd = r.getLong(0)
+    assert(r.getLong(1) == nd * (nd - 1) / 2, "n_pairs = C(n_days, 2)")
+    assert(!r.getDouble(2).isNaN && !r.getDouble(3).isNaN)
+  }
+
+  test("boxplot stats: ordered quartiles and a verified outlier count") {
+    val rows = SparkEntry.queries("stats_boxplot")(spark, TestSession.sf)
+      .collect()
+    val li = spark.read.parquet(s"${TestSession.sf}/lineitem.parquet")
+      .select("l_returnflag", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    for (r <- rows) {
+      val (q1, med, q3) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(q1 <= med && med <= q3, r.toString)
+      assert(r.getDouble(5) == q3 - q1, "iqr")
+      assert(r.getDouble(6) == q1 - 1.5 * (q3 - q1), "lo fence")
+      assert(r.getDouble(7) == q3 + 1.5 * (q3 - q1), "hi fence")
+      val g = li.filter(_._1 == r.getString(0)).map(_._2)
+      assert(r.getLong(8) ==
+        g.count(v => v < r.getDouble(6) || v > r.getDouble(7)), "outliers")
+      // exact positional quartiles vs a direct sort
+      val s = g.sorted
+      assert(q1 == s((g.length + 3) / 4 - 1), "q1 positional")
+      assert(q3 == s((3 * g.length + 1) / 4 - 1), "q3 positional")
+    }
+  }
+
   test("k-anonymity audit matches a direct group-size recomputation") {
     val row = SparkEntry.queries("dq_kanon")(spark, TestSession.sf)
       .collect()(0)
