@@ -865,6 +865,71 @@ object SparkEntry {
       |     CROSS JOIN nn
       |WHERE rn = (nd + 1) // 2 OR rn = (nd + 2) // 2""".stripMargin
 
+  /** Wald–Wolfowitz runs test of daily order revenue around its
+    * median — the randomness/trend diagnostic (a trending series makes
+    * few long runs; an oscillating one too many). Median is the exact
+    * positional middle of the day-domain relation (stats_bf
+    * machinery); days AT the median drop by the standard rule; the
+    * runs count is one keyed lag over the bounded day relation; the
+    * z-statistic is a single IEEE chain over exact ints, round 6. */
+  private def statsRuns(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy((unix_timestamp(date_trunc("day", col("o_orderdate"))) / 86400L)
+        .cast("long").as("d"))
+      .agg(round(sum("o_totalprice"), 2).as("r"))
+    val w = Window.orderBy("r")
+    val nd = daily.agg(count(lit(1)).as("nd"))
+    val med = daily.withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(nd))
+      .filter(col("rn") === floor((col("nd") + 1L) / 2.0).cast("long") ||
+        col("rn") === floor((col("nd") + 2L) / 2.0).cast("long"))
+      .agg((sum("r") / 2.0).as("med"))
+    val signs = daily.crossJoin(broadcast(med))
+      .filter(col("r") =!= col("med"))
+      .select(col("d"), (col("r") > col("med")).cast("long").as("s"))
+    val wD = Window.orderBy("d")
+    val runs = signs
+      .withColumn("chg",
+        when(lag("s", 1).over(wD).isNull || col("s") =!= lag("s", 1).over(wD),
+          1L).otherwise(0L))
+      .agg(sum("chg").as("runs"),
+        sum("s").as("n1"), (count(lit(1)) - sum("s")).as("n2"))
+    val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+    val mu = lit(2.0) * n1 * n2 / (n1 + n2) + 1.0
+    val sg = sqrt((lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n1 - n2)) /
+      ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))
+    runs.select(col("n1"), col("n2"), col("runs"),
+      round(mu, 6).as("expected_runs"),
+      round((col("runs").cast("double") - mu) / sg, 6).as("z"))
+  }
+
+  private val statsRunsSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(epoch(date_trunc('day', o_orderdate)) // 86400 AS BIGINT)
+      |           AS d,
+      |         round(sum(o_totalprice), 2) AS r
+      |  FROM orders GROUP BY 1),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM daily),
+      |med AS (SELECT sum(r) / 2.0 AS med
+      |        FROM (SELECT r, row_number() OVER (ORDER BY r) AS rn FROM daily)
+      |             CROSS JOIN nn
+      |        WHERE rn = (nd + 1) // 2 OR rn = (nd + 2) // 2),
+      |signs AS (SELECT d, CAST(r > med AS BIGINT) AS s
+      |          FROM daily CROSS JOIN med WHERE r <> med),
+      |chg AS (SELECT s, CASE WHEN lag(s) OVER (ORDER BY d) IS NULL
+      |                         OR s <> lag(s) OVER (ORDER BY d)
+      |                       THEN 1 ELSE 0 END AS c
+      |        FROM signs),
+      |a AS (SELECT CAST(sum(c) AS BIGINT) AS runs, CAST(sum(s) AS BIGINT) AS n1,
+      |        CAST(count(*) - sum(s) AS BIGINT) AS n2
+      |      FROM chg)
+      |SELECT n1, n2, runs,
+      |       round(2.0 * n1 * n2 / (n1 + n2) + 1.0, 6) AS expected_runs,
+      |       round((CAST(runs AS DOUBLE) - (2.0 * n1 * n2 / (n1 + n2) + 1.0)) /
+      |             sqrt((2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)) /
+      |                  ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 6) AS z
+      |FROM a""".stripMargin
+
   /** Per-group boxplot / robust-scaling statistics of l_quantity:
     * exact POSITIONAL quartiles (type-1, no interpolation), IQR,
     * 1.5·IQR Tukey fences, and the outlier count beyond them — the
@@ -3263,6 +3328,35 @@ object SparkEntry {
       .orderBy("p_partkey")
   }
 
+  /** COPY parity for ENCLOSED MULTILINE fields: a column carrying an
+    * embedded record delimiter round-trips through quoted CSV —
+    * Snowflake enclosure semantics allow newlines inside
+    * FIELD_OPTIONALLY_ENCLOSED_BY fields, which
+    * [[graft.io.Options.translateRead]] now maps to Spark's multiLine
+    * (the read stays correct at the cost of file splittability — paid
+    * only when enclosure is requested). Oracle recomputes the column
+    * from part directly with chr(10). */
+  private def loadCsvMultilineRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("part_multiline_csv")
+    t(s, dir, "part").select(col("p_partkey"),
+        concat(lit("line1\nline2 "), col("p_name")).as("wrapped"),
+        col("p_retailprice"))
+      .coalesce(1).write
+      .option("header", "true").option("escape", "\"")
+      .csv(out)
+    Load.read(s, out, "csv",
+        options = Map("field_optionally_enclosed_by" -> "\"", "escape" -> "\""),
+        header = true)
+      .select(col("p_partkey").cast("long").as("p_partkey"), col("wrapped"),
+        col("p_retailprice").cast("double").as("p_retailprice"))
+      .orderBy("p_partkey")
+  }
+
+  private val loadCsvMultilineSql: String =
+    """SELECT p_partkey, 'line1' || chr(10) || 'line2 ' || p_name AS wrapped,
+      |       p_retailprice
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   /** UNLOAD parity: query → single-file CSV export with header
     * (PARALLEL OFF + header concat, locopy/redshift.py:349-441) →
     * read the exported artifact back. */
@@ -3639,6 +3733,26 @@ object SparkEntry {
     Text.langIdDf(t(s, dir, "documents"))
       .select("doc_id", "lang_pred")
       .orderBy("doc_id")
+
+  /** Language-ID quality scorecard: the confusion grid between the
+    * n-gram heuristic's prediction ([[Text.langIdDf]]) and the labeled
+    * language — the accuracy readout that gates whether the cheap
+    * classifier is good enough to route documents (ml_eval's sibling
+    * for the heuristic path). One keyed join + one agg over the
+    * (label, prediction) grid; the oracle nests the full langid replay
+    * as a subquery. */
+  private def textLangidEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Text.langIdDf(docs).join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "lang_pred")
+  }
+
+  private def textLangidEvalSql: String =
+    s"""SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+       |FROM documents d JOIN ($langidSql) p USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin
 
   private def textTokens(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -5758,6 +5872,9 @@ object SparkEntry {
     "sample_kfold" -> (sampleKfold(_, _)),
     "stats_theilsen" -> (statsTheilsen(_, _)),
     "stats_boxplot" -> (statsBoxplot(_, _)),
+    "text_langid_eval" -> (textLangidEval(_, _)),
+    "stats_runs" -> (statsRuns(_, _)),
+    "load_csv_multiline" -> (loadCsvMultilineRoundtrip(_, _)),
     "stats_chisq" -> (statsChisq(_, _)),
     "rank_ndcg" -> (rankNdcg(_, _)),
     "feat_transform" -> (featTransform(_, _)),
@@ -7360,6 +7477,9 @@ object SparkEntry {
     "sample_kfold" -> sampleKfoldSql,
     "stats_theilsen" -> statsTheilsenSql,
     "stats_boxplot" -> statsBoxplotSql,
+    "text_langid_eval" -> textLangidEvalSql,
+    "stats_runs" -> statsRunsSql,
+    "load_csv_multiline" -> loadCsvMultilineSql,
     // sufficient-stat t-test: mean/var round to 6 dp BEFORE the
     // closed form so both engines run identical IEEE chains
     "stats_ttest" ->

@@ -98,12 +98,18 @@ object Options {
     val lower = opts.map { case (k, v) => k.toLowerCase -> v }
     format match {
       case Csv =>
-        lower.map { case (k, v) =>
+        val mapped = lower.map { case (k, v) =>
           csvRead.get(k) match {
             case Some((sk, f)) => sk -> f(v)
             case None          => throw new OptionError(s"Invalid format option $k for csv")
           }
         }
+        // Snowflake semantics: FIELD_OPTIONALLY_ENCLOSED_BY fields may
+        // contain record delimiters — Spark needs multiLine for that
+        // (costs file-splittability; only paid when enclosure is on)
+        if (lower.contains("field_optionally_enclosed_by"))
+          mapped + ("multiLine" -> "true")
+        else mapped
       case Json =>
         lower.map { case (k, v) =>
           jsonRead.get(k) match {

@@ -2343,6 +2343,35 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("langid confusion grid: marginals match the corpus, accuracy sane") {
+    val grid = SparkEntry.queries("text_langid_eval")(spark, TestSession.sf)
+      .collect()
+    val total = grid.map(_.getLong(2)).sum
+    val nDocs = spark.read.parquet(s"${TestSession.sf}/documents.parquet").count()
+    assert(total == nDocs, "grid must cover every document exactly once")
+    val correct = grid.filter(r => r.getString(0) == r.getString(1))
+      .map(_.getLong(2)).sum
+    assert(correct.toDouble / total > 0.3,
+      s"heuristic accuracy ${correct.toDouble / total} implausibly low")
+  }
+
+  test("runs test: sign counts split at the median, runs within bounds") {
+    val r = SparkEntry.queries("stats_runs")(spark, TestSession.sf).collect()(0)
+    val (n1, n2, runs) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(math.abs(n1 - n2) <= 1, s"median split must balance: $n1 vs $n2")
+    assert(runs >= 1 && runs <= n1 + n2, s"runs $runs out of bounds")
+    assert(!r.getDouble(4).isNaN && !r.getDouble(4).isInfinite)
+  }
+
+  test("multiline CSV roundtrip preserves embedded record delimiters") {
+    val rows = SparkEntry.queries("load_csv_multiline")(spark, TestSession.sf)
+      .limit(3).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows)
+      assert(r.getString(1).startsWith("line1\nline2 "),
+        s"newline lost in: ${r.getString(1).take(30)}")
+  }
+
   test("k-anonymity audit matches a direct group-size recomputation") {
     val row = SparkEntry.queries("dq_kanon")(spark, TestSession.sf)
       .collect()(0)
