@@ -3058,6 +3058,162 @@ object SparkEntry {
       .orderBy("user_id", "ts")
   }
 
+  /** [[asofJoin]] with a 30-day staleness bound ([[graft.operators
+    * .AsOfJoin.asOfTolerance]]): the attached order date nulls out
+    * when older than the tolerance — pandas `merge_asof(tolerance)`
+    * semantics, same single-shuffle window plan. Oracle: DuckDB ASOF
+    * join + an epoch-gap CASE (match-then-null-out is exact because
+    * the as-of match IS the most recent candidate). */
+  private def asofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select("user_id", "ts")
+    val ord = t(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderdate").cast("timestamp").as("o_ts"),
+      col("o_orderdate"))
+    graft.operators.AsOfJoin.asOfTolerance(ev, ord,
+        leftKey = "user_id", leftTime = "ts",
+        rightKey = "o_custkey", rightTime = "o_ts",
+        rightVals = Seq("o_orderdate"), toleranceSeconds = 2592000L)
+      .select(col("user_id"), col("ts"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("last_order_date"))
+      .orderBy("user_id", "ts")
+  }
+
+  private val asofToleranceSql: String =
+    """SELECT e.user_id, e.ts,
+      |       CASE WHEN o.o_orderdate IS NOT NULL
+      |              AND epoch(e.ts) - epoch(CAST(o.o_orderdate AS TIMESTAMP))
+      |                  <= 2592000
+      |            THEN strftime(o.o_orderdate, '%Y-%m-%d') END
+      |         AS last_order_date
+      |FROM events e
+      |ASOF LEFT JOIN orders o
+      |  ON e.user_id = o.o_custkey AND e.ts >= CAST(o.o_orderdate AS TIMESTAMP)
+      |ORDER BY user_id, ts""".stripMargin
+
+  /** Bounded-round weighted SSSP ([[graft.ext.Graph.weightedSssp]],
+    * Bellman–Ford min-plus, 4 rounds) from parts {1,2,3,4} on the
+    * bipartite graph weighted by the cheapest quantity on each edge —
+    * all-integer distances, keyed relaxation join+agg per round,
+    * oracle replays the identical unroll. */
+  private def graphSssp(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val fwd = li.filter(col("l_returnflag") =!= "R")
+      .select(col("l_partkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"),
+        col("l_quantity").cast("long").as("w"))
+    val rev = li.filter(col("l_returnflag") === "R")
+      .select((col("l_suppkey") + 1000000L).as("src"), col("l_partkey").as("dst"),
+        col("l_quantity").cast("long").as("w"))
+    graft.ext.Graph.weightedSssp(fwd.union(rev), seeds = Seq(1L, 2L, 3L, 4L),
+        rounds = 4)
+      .orderBy("id")
+  }
+
+  private val graphSsspSql: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT id, min(dist) AS dist FROM (
+         |    SELECT id, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, p.dist + e.w FROM e
+         |    JOIN d${i - 1} p ON p.id = e.src) GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (
+       |  SELECT l_partkey AS src, 1000000 + l_suppkey AS dst,
+       |         CAST(l_quantity AS BIGINT) AS w
+       |  FROM lineitem WHERE l_returnflag <> 'R'
+       |  UNION ALL
+       |  SELECT 1000000 + l_suppkey, l_partkey, CAST(l_quantity AS BIGINT)
+       |  FROM lineitem WHERE l_returnflag = 'R'),
+       |e AS MATERIALIZED (
+       |  SELECT src, dst, CAST(min(w) AS BIGINT) AS w FROM raw
+       |  WHERE src <> dst GROUP BY src, dst),
+       |d0 AS (SELECT DISTINCT src AS id, CAST(0 AS BIGINT) AS dist FROM e
+       |       WHERE src IN (1, 2, 3, 4)),
+       |$rounds
+       |SELECT CAST(id AS BIGINT) AS id, CAST(dist AS BIGINT) AS dist
+       |FROM d4 ORDER BY id""".stripMargin
+  }
+
+  /** Bivariate OLS — `price ~ quantity + 100·discount` — by NORMAL
+    * EQUATIONS through Cramer's rule: ONE aggregation produces the
+    * full moment matrix (x-moments exact int64 — discount is
+    * 2-dp-decimal so ×100 is an exact integer; y-moments round 4),
+    * then the 3×3 solve is an explicit scalar chain with forced
+    * association, cast-to-double at the top (products overflow int64
+    * at scale; the cast is the same deterministic op both engines).
+    * The multi-feature sibling of the grouped [[statsRegression]]. */
+  private def statsRegression2(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      col("l_quantity").cast("long").as("x"),
+      round(col("l_discount") * 100.0, 0).cast("long").as("z"),
+      // y pre-scales by 1e-6 (the stats_corr discipline): raw sum(x*y)
+      // reaches ~1e12 where a 4-dp round sits inside the shuffle-order
+      // ulp band; scaled sums stay ~1e4-1e5 and round(6) is safe.
+      // Coefficients come out in 1e-6-price units.
+      (col("l_extendedprice") / 1000000.0).as("y"))
+    val a = li.agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("z").as("sz"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("z")).as("sxz"),
+      sum(col("z") * col("z")).as("szz"),
+      round(sum("y"), 6).as("sy"),
+      round(sum(col("x") * col("y")), 6).as("sxy"),
+      round(sum(col("z") * col("y")), 6).as("szy"))
+    def d(c: Column): Column = c.cast("double")
+    val (n, sx, sz) = (d(col("n")), d(col("sx")), d(col("sz")))
+    val (sxx, sxz, szz) = (d(col("sxx")), d(col("sxz")), d(col("szz")))
+    val (sy, sxy, szy) = (col("sy"), col("sxy"), col("szy"))
+    val det = n * (sxx * szz - sxz * sxz) - sx * (sx * szz - sxz * sz) +
+      sz * (sx * sxz - sxx * sz)
+    val detB0 = sy * (sxx * szz - sxz * sxz) - sx * (sxy * szz - sxz * szy) +
+      sz * (sxy * sxz - sxx * szy)
+    val detB1 = n * (sxy * szz - sxz * szy) - sy * (sx * szz - sxz * sz) +
+      sz * (sx * szy - sxy * sz)
+    val detB2 = n * (sxx * szy - sxy * sxz) - sx * (sx * szy - sxy * sz) +
+      sy * (sx * sxz - sxx * sz)
+    a.select(col("n"),
+      round(detB0 / det, 6).as("intercept"),
+      round(detB1 / det, 6).as("beta_qty"),
+      round(detB2 / det, 6).as("beta_disc100"))
+  }
+
+  private val statsRegression2Sql: String =
+    """WITH a AS (SELECT
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+      |    CAST(sum(CAST(round(l_discount * 100.0, 0) AS BIGINT)) AS BIGINT) AS sz,
+      |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+      |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(round(l_discount * 100.0, 0) AS BIGINT)) AS BIGINT) AS sxz,
+      |    CAST(sum(CAST(round(l_discount * 100.0, 0) AS BIGINT) * CAST(round(l_discount * 100.0, 0) AS BIGINT)) AS BIGINT) AS szz,
+      |    round(sum(l_extendedprice / 1000000.0), 6) AS sy,
+      |    round(sum(CAST(l_quantity AS BIGINT) * (l_extendedprice / 1000000.0)), 6) AS sxy,
+      |    round(sum(CAST(round(l_discount * 100.0, 0) AS BIGINT) * (l_extendedprice / 1000000.0)), 6) AS szy
+      |  FROM lineitem),
+      |b AS (SELECT n, sy, sxy, szy,
+      |        CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+      |        CAST(sz AS DOUBLE) AS szd, CAST(sxx AS DOUBLE) AS sxxd,
+      |        CAST(sxz AS DOUBLE) AS sxzd, CAST(szz AS DOUBLE) AS szzd
+      |      FROM a)
+      |SELECT n,
+      |       round((sy * (sxxd * szzd - sxzd * sxzd)
+      |              - sxd * (sxy * szzd - sxzd * szy)
+      |              + szd * (sxy * sxzd - sxxd * szy)) /
+      |             (nd * (sxxd * szzd - sxzd * sxzd)
+      |              - sxd * (sxd * szzd - sxzd * szd)
+      |              + szd * (sxd * sxzd - sxxd * szd)), 6) AS intercept,
+      |       round((nd * (sxy * szzd - sxzd * szy)
+      |              - sy * (sxd * szzd - sxzd * szd)
+      |              + szd * (sxd * szy - sxy * szd)) /
+      |             (nd * (sxxd * szzd - sxzd * sxzd)
+      |              - sxd * (sxd * szzd - sxzd * szd)
+      |              + szd * (sxd * sxzd - sxxd * szd)), 6) AS beta_qty,
+      |       round((nd * (sxxd * szy - sxy * sxzd)
+      |              - sxd * (sxd * szy - sxy * szd)
+      |              + sy * (sxd * sxzd - sxxd * szd)) /
+      |             (nd * (sxxd * szzd - sxzd * sxzd)
+      |              - sxd * (sxd * szzd - sxzd * szd)
+      |              + szd * (sxd * sxzd - sxxd * szd)), 6) AS beta_disc100
+      |FROM b""".stripMargin
+
   /** Skew-salted join ([[graft.operators.SaltedJoin]]): lineitem ⋈
     * supplier with the fact side split across 8 deterministic salts —
     * output must equal the plain equi-join (the oracle runs the
@@ -5875,6 +6031,9 @@ object SparkEntry {
     "text_langid_eval" -> (textLangidEval(_, _)),
     "stats_runs" -> (statsRuns(_, _)),
     "load_csv_multiline" -> (loadCsvMultilineRoundtrip(_, _)),
+    "asof_tolerance" -> (asofTolerance(_, _)),
+    "graph_sssp" -> (graphSssp(_, _)),
+    "stats_regression2" -> (statsRegression2(_, _)),
     "stats_chisq" -> (statsChisq(_, _)),
     "rank_ndcg" -> (rankNdcg(_, _)),
     "feat_transform" -> (featTransform(_, _)),
@@ -7480,6 +7639,9 @@ object SparkEntry {
     "text_langid_eval" -> textLangidEvalSql,
     "stats_runs" -> statsRunsSql,
     "load_csv_multiline" -> loadCsvMultilineSql,
+    "asof_tolerance" -> asofToleranceSql,
+    "graph_sssp" -> graphSsspSql,
+    "stats_regression2" -> statsRegression2Sql,
     // sufficient-stat t-test: mean/var round to 6 dp BEFORE the
     // closed form so both engines run identical IEEE chains
     "stats_ttest" ->

@@ -596,6 +596,46 @@ object Graph {
     out
   }
 
+  /** Bounded-round weighted single-source shortest paths (Bellman–
+    * Ford min-plus relaxation from a seed set): `dist_{t+1}(v) =
+    * min(dist_t(v), min_{u→v} dist_t(u) + w(u,v))` for `rounds`
+    * rounds — exact for all paths of ≤ `rounds` hops, the same
+    * fixed-unroll contract as [[shortestHops]] (distributed SSSP's
+    * standard form: no priority queue, one keyed join+agg per round).
+    * Integer weights keep every distance exact. */
+  def weightedSssp(
+      edges: DataFrame,
+      seeds: Seq[Long],
+      rounds: Int = 4,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      weightCol: String = "w"
+  ): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(seeds.nonEmpty, "weightedSssp needs at least one seed")
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(min("w").as("w"))
+      .localCheckpoint()
+    var dist = e0.select(col("src").as("id")).distinct()
+      .filter(col("id").isInCollection(seeds))
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = e0
+        .join(dist.select(col("id").as("src"), col("dist")), "src")
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      val next = dist.union(relaxed)
+        .groupBy("id").agg(min("dist").as("dist"))
+        .localCheckpoint()
+      graft.core.Lineage.release(dist)
+      dist = next
+    }
+    graft.core.Lineage.release(e0)
+    dist
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999): `a_{t+1}(v) =
     * Σ_{u→v} h_t(u)`, `h_{t+1}(u) = Σ_{u→v} a_{t+1}(v)`, each side
     * max-normalized after its update (max is order-independent, unlike

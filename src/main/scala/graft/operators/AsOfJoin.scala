@@ -85,4 +85,33 @@ object AsOfJoin {
     }
     attached.filter(col("__side") === 1).drop("__k", "__t", "__side")
   }
+
+  /** [[asOf]] with a staleness bound: the carried right row must lie
+    * within `toleranceSeconds` of the left time, else the attachment
+    * nulls out (pandas `merge_asof(tolerance=...)`). Because the as-of
+    * match IS the most recent right row, match-then-null-out is exact:
+    * no earlier right row could be within the window if the latest is
+    * not. Same single-shuffle window plan plus one carried right-time
+    * column. */
+  def asOfTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      leftTime: String,
+      rightKey: String,
+      rightTime: String,
+      rightVals: Seq[String],
+      toleranceSeconds: Long
+  ): DataFrame = {
+    require(toleranceSeconds >= 0, s"tolerance must be >= 0, got $toleranceSeconds")
+    val withRt = right.withColumn("__rt", col(rightTime).cast("timestamp"))
+    val attached = asOf(left, withRt, leftKey, leftTime, rightKey, rightTime,
+      rightVals :+ "__rt")
+    val fresh = col("__rt").isNotNull &&
+      unix_timestamp(col(leftTime).cast("timestamp")) - unix_timestamp(col("__rt")) <=
+        toleranceSeconds
+    rightVals.foldLeft(attached) { (d, c) =>
+      d.withColumn(c, when(fresh, col(c)))
+    }.drop("__rt")
+  }
 }

@@ -2372,6 +2372,63 @@ class ExtSpec extends AnyFunSuite {
         s"newline lost in: ${r.getString(1).take(30)}")
   }
 
+  test("asof tolerance nulls exactly the stale attachments") {
+    val plain = SparkEntry.queries("asof_join")(spark, TestSession.sf)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)) ->
+        Option(r.getString(2))).toMap
+    val tol = SparkEntry.queries("asof_tolerance")(spark, TestSession.sf)
+      .collect()
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    var stale = 0
+    for (r <- tol) {
+      val key = (r.getLong(0), r.getTimestamp(1))
+      val got = Option(r.getString(2))
+      plain(key) match {
+        case None => assert(got.isEmpty)
+        case Some(d) =>
+          val gap = (r.getTimestamp(1).getTime - fmt.parse(d).getTime) / 1000L
+          if (gap <= 2592000L) assert(got.contains(d), s"$key should keep $d")
+          else { assert(got.isEmpty, s"$key should be stale"); stale += 1 }
+      }
+    }
+    assert(stale > 0, "fixture should exercise the stale branch")
+  }
+
+  test("weighted SSSP: exact distances on a tiny weighted graph") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 10L), (3L, 4L, 2L))
+      .toDF("src", "dst", "w")
+    val d = graft.ext.Graph.weightedSssp(edges, Seq(1L), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1→2 (5), 1→2→3 (6) beats 1→3 (10), then →4 (8)
+    assert(d == Map(1L -> 0L, 2L -> 5L, 3L -> 6L, 4L -> 8L), d.toString)
+  }
+
+  test("bivariate OLS matches a driver-side normal-equation solve") {
+    val r = SparkEntry.queries("stats_regression2")(spark, TestSession.sf)
+      .collect()(0)
+    val li = spark.read.parquet(s"${TestSession.sf}/lineitem.parquet")
+      .select("l_quantity", "l_discount", "l_extendedprice").collect()
+      .map(x => (x.getDouble(0), math.round(x.getDouble(1) * 100.0).toDouble,
+        x.getDouble(2) / 1000000.0))
+    val n = li.length.toDouble
+    val (sx, sz, sy) = (li.map(_._1).sum, li.map(_._2).sum, li.map(_._3).sum)
+    val sxx = li.map(p => p._1 * p._1).sum
+    val sxz = li.map(p => p._1 * p._2).sum
+    val szz = li.map(p => p._2 * p._2).sum
+    val sxy = li.map(p => p._1 * p._3).sum
+    val szy = li.map(p => p._2 * p._3).sum
+    val det = n * (sxx * szz - sxz * sxz) - sx * (sx * szz - sxz * sz) +
+      sz * (sx * sxz - sxx * sz)
+    val b0 = (sy * (sxx * szz - sxz * sxz) - sx * (sxy * szz - sxz * szy) +
+      sz * (sxy * sxz - sxx * szy)) / det
+    val b1 = (n * (sxy * szz - sxz * szy) - sy * (sx * szz - sxz * sz) +
+      sz * (sx * szy - sxy * sz)) / det
+    assert(math.abs(r.getDouble(1) - b0) < 1e-5, s"intercept ${r.getDouble(1)} vs $b0")
+    assert(math.abs(r.getDouble(2) - b1) < 1e-5, s"beta_qty ${r.getDouble(2)} vs $b1")
+  }
+
   test("k-anonymity audit matches a direct group-size recomputation") {
     val row = SparkEntry.queries("dq_kanon")(spark, TestSession.sf)
       .collect()(0)
