@@ -822,8 +822,13 @@ object SparkEntry {
       .select(((col("b.r") - col("a.r")) /
         (col("b.d") - col("a.d")).cast("double")).as("slope"))
     val wS = Window.orderBy("slope")
+    // m = C(n_days, 2) from the day count — NOT a second scan of the
+    // pair join (recomputing `pairs` for its own count doubled the
+    // query's cost; the identity is exact)
+    val mCnt = daily.agg((count(lit(1)) * (count(lit(1)) - 1L) / lit(2))
+      .cast("long").as("m"))
     val m = pairs.withColumn("rn", row_number().over(wS))
-      .crossJoin(broadcast(pairs.agg(count(lit(1)).as("m"))))
+      .crossJoin(broadcast(mCnt))
       .filter(col("rn") === floor((col("m") + 1L) / 2.0).cast("long") ||
         col("rn") === floor((col("m") + 2L) / 2.0).cast("long"))
       .agg(round(avg("slope"), 6).as("slope"), first("m").as("n_pairs"))
@@ -3802,6 +3807,57 @@ object SparkEntry {
         maxBucket = 64)
       .orderBy("query_id", "rank")
 
+  /** ANN quality scorecard for the LSH path: per-query recall@10 of
+    * [[knnJoin]]'s band-collision candidates against the brute-force
+    * top-10 — the quantified gate that the banded index is good
+    * enough to serve (rank_ndcg's sibling for the LSH route; unlike
+    * the recall-1-assumed dedup oracles this measures recall
+    * directly). The oracle composes the full SRP replay with the
+    * exact ranking — both deterministic — so even the recall LOSSES
+    * hash-match. */
+  private def simsearchRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val lsh = Similarity.knnJoinLsh(emb, 10, nbits = 384, bandBits = 8,
+      maxBucket = 64).select("query_id", "nbr_id")
+    val bf = Similarity.bruteForceTopK(emb, emb, 10).select("query_id", "nbr_id")
+    val nHits = bf.join(lsh, Seq("query_id", "nbr_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    val nLsh = lsh.groupBy("query_id").agg(count(lit(1)).as("n_lsh"))
+    bf.groupBy("query_id").agg(count(lit(1)).as("n_bf"))
+      .join(nLsh, Seq("query_id"), "left")
+      .join(nHits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_bf"),
+        coalesce(col("n_lsh"), lit(0L)).as("n_lsh"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0, 6)
+          .as("recall"))
+      .orderBy("query_id")
+  }
+
+  private lazy val simsearchRecallSql: String =
+    s"""WITH lshr AS (SELECT query_id, nbr_id FROM ($knnJoinSql)),
+       |bfr AS (
+       |  SELECT query_id, nbr_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY round(list_cosine_similarity(
+       |               CAST(c.embedding AS DOUBLE[]),
+       |               CAST(q.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS rank
+       |    FROM embeddings c JOIN embeddings q ON q.vec_id <> c.vec_id)
+       |  WHERE rank <= 10),
+       |nh AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits
+       |       FROM bfr JOIN lshr USING (query_id, nbr_id)
+       |       GROUP BY 1),
+       |nl AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_lsh
+       |       FROM lshr GROUP BY 1),
+       |nb AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_bf
+       |       FROM bfr GROUP BY 1)
+       |SELECT nb.query_id, nb.n_bf, coalesce(nl.n_lsh, 0) AS n_lsh,
+       |       coalesce(nh.n_hits, 0) AS n_hits,
+       |       round(CAST(coalesce(nh.n_hits, 0) AS DOUBLE) / 10.0, 6) AS recall
+       |FROM nb LEFT JOIN nl USING (query_id) LEFT JOIN nh USING (query_id)
+       |ORDER BY nb.query_id""".stripMargin
+
   /** MMR diversity selection ([[Similarity.mmrSelect]]): top-8 of
     * query vector 5's 64-neighbor pool, relevance traded against
     * redundancy at (0.7, 0.3) — the post-ANN rerank. Hash-oracled by
@@ -6034,6 +6090,7 @@ object SparkEntry {
     "asof_tolerance" -> (asofTolerance(_, _)),
     "graph_sssp" -> (graphSssp(_, _)),
     "stats_regression2" -> (statsRegression2(_, _)),
+    "simsearch_recall" -> (simsearchRecall(_, _)),
     "stats_chisq" -> (statsChisq(_, _)),
     "rank_ndcg" -> (rankNdcg(_, _)),
     "feat_transform" -> (featTransform(_, _)),
@@ -6420,6 +6477,47 @@ object SparkEntry {
        |FROM hm ORDER BY doc_id""".stripMargin
   }
 
+  private val knnJoinSql: String =
+    """WITH dims AS (
+        |  SELECT vec_id, g.i AS i, CAST(embedding[g.i + 1] AS DOUBLE) AS v
+        |  FROM embeddings, generate_series(0, 63) g(i)
+        |), signs AS (
+        |  SELECT t1.i, t2.b,
+        |         CASE WHEN substr(md5(CAST(t1.i AS VARCHAR) || ':' || CAST(t2.b AS VARCHAR)), 1, 1) < '8'
+        |              THEN 1.0 ELSE -1.0 END AS s
+        |  FROM generate_series(0, 63) t1(i) CROSS JOIN generate_series(0, 383) t2(b)
+        |), proj AS (
+        |  SELECT d.vec_id, s.b, sum(d.v * s.s) AS p
+        |  FROM dims d JOIN signs s ON s.i = d.i GROUP BY 1, 2
+        |), bb AS (
+        |  SELECT vec_id, b // 8 AS band,
+        |         sum(CASE WHEN p > 0 THEN 1 << (b % 8) ELSE 0 END) AS chunk
+        |  FROM proj GROUP BY 1, 2
+        |), okb AS (
+        |  SELECT band, chunk FROM bb GROUP BY band, chunk HAVING count(*) <= 64
+        |), kept AS (
+        |  SELECT bb.vec_id, bb.band, bb.chunk FROM bb JOIN okb USING (band, chunk)
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM kept a JOIN kept b USING (band, chunk) WHERE a.vec_id < b.vec_id
+        |), sym AS (
+        |  SELECT id_a AS query_id, id_b AS nbr_id FROM cand
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM cand
+        |), scored AS (
+        |  SELECT s.query_id, s.nbr_id,
+        |         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+        |                                      CAST(eb.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM sym s JOIN embeddings ea ON ea.vec_id = s.query_id
+        |  JOIN embeddings eb ON eb.vec_id = s.nbr_id
+        |), ranked AS (
+        |  SELECT query_id, nbr_id, cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cosine DESC, nbr_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank, nbr_id, cosine
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_project_filter" ->
       """SELECT l_orderkey, l_linenumber,
@@ -6792,46 +6890,7 @@ object SparkEntry {
     // cosine -> top-10 with the (cosine DESC, nbr_id) tie chain. Bits
     // compare raw proj > 0: cross-engine sum-order noise is ~1e-13 vs
     // a measured 1.15e-6 |proj| floor on the fixtures (BENCHNOTES).
-    "knn_join" ->
-      """WITH dims AS (
-        |  SELECT vec_id, g.i AS i, CAST(embedding[g.i + 1] AS DOUBLE) AS v
-        |  FROM embeddings, generate_series(0, 63) g(i)
-        |), signs AS (
-        |  SELECT t1.i, t2.b,
-        |         CASE WHEN substr(md5(CAST(t1.i AS VARCHAR) || ':' || CAST(t2.b AS VARCHAR)), 1, 1) < '8'
-        |              THEN 1.0 ELSE -1.0 END AS s
-        |  FROM generate_series(0, 63) t1(i) CROSS JOIN generate_series(0, 383) t2(b)
-        |), proj AS (
-        |  SELECT d.vec_id, s.b, sum(d.v * s.s) AS p
-        |  FROM dims d JOIN signs s ON s.i = d.i GROUP BY 1, 2
-        |), bb AS (
-        |  SELECT vec_id, b // 8 AS band,
-        |         sum(CASE WHEN p > 0 THEN 1 << (b % 8) ELSE 0 END) AS chunk
-        |  FROM proj GROUP BY 1, 2
-        |), okb AS (
-        |  SELECT band, chunk FROM bb GROUP BY band, chunk HAVING count(*) <= 64
-        |), kept AS (
-        |  SELECT bb.vec_id, bb.band, bb.chunk FROM bb JOIN okb USING (band, chunk)
-        |), cand AS (
-        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM kept a JOIN kept b USING (band, chunk) WHERE a.vec_id < b.vec_id
-        |), sym AS (
-        |  SELECT id_a AS query_id, id_b AS nbr_id FROM cand
-        |  UNION ALL
-        |  SELECT id_b, id_a FROM cand
-        |), scored AS (
-        |  SELECT s.query_id, s.nbr_id,
-        |         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
-        |                                      CAST(eb.embedding AS DOUBLE[])), 6) AS cosine
-        |  FROM sym s JOIN embeddings ea ON ea.vec_id = s.query_id
-        |  JOIN embeddings eb ON eb.vec_id = s.nbr_id
-        |), ranked AS (
-        |  SELECT query_id, nbr_id, cosine,
-        |         row_number() OVER (PARTITION BY query_id
-        |           ORDER BY cosine DESC, nbr_id) AS rank
-        |  FROM scored)
-        |SELECT query_id, CAST(rank AS INT) AS rank, nbr_id, cosine
-        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "knn_join" -> knnJoinSql,
     // exhaustive-probe identity: nprobe = ncells probes every cell, so
     // the exact brute-force oracle applies verbatim to the IVF pipeline
     // (and, for the kmeans variant, to the trained quantizer too)
@@ -7642,6 +7701,7 @@ object SparkEntry {
     "asof_tolerance" -> asofToleranceSql,
     "graph_sssp" -> graphSsspSql,
     "stats_regression2" -> statsRegression2Sql,
+    "simsearch_recall" -> simsearchRecallSql,
     // sufficient-stat t-test: mean/var round to 6 dp BEFORE the
     // closed form so both engines run identical IEEE chains
     "stats_ttest" ->

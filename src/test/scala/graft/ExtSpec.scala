@@ -2429,6 +2429,19 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - b1) < 1e-5, s"beta_qty ${r.getDouble(2)} vs $b1")
   }
 
+  test("LSH recall scorecard: hits bounded by both sides, usable recall") {
+    val rows = SparkEntry.queries("simsearch_recall")(spark, TestSession.sf)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getLong(3) <= math.min(r.getLong(1), r.getLong(2)),
+        s"hits exceed a side: $r")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    val avg = rows.map(_.getDouble(4)).sum / rows.length
+    assert(avg >= 0.5, s"mean recall@10 $avg — the banded index is unusable")
+  }
+
   test("k-anonymity audit matches a direct group-size recomputation") {
     val row = SparkEntry.queries("dq_kanon")(spark, TestSession.sf)
       .collect()(0)

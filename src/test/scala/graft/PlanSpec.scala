@@ -549,6 +549,17 @@ class PlanSpec extends AnyFunSuite {
       s"hampel windows must be series-keyed:\n${hWindows.mkString("\n")}")
   }
 
+  test("sssp/closeness: per-round relaxation is keyed joins, never cartesian") {
+    for (q <- Seq("graph_sssp", "graph_closeness")) {
+      val df = SparkEntry.queries(q)(spark, TestSession.sf)
+      val simple = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      assert(!simple.contains("CartesianProduct"), s"$q:\n${simple.take(1500)}")
+      assert(!simple.contains("BroadcastNestedLoopJoin"),
+        s"$q: frontier joins must be equi-joins:\n${simple.take(1500)}")
+    }
+  }
+
   test("custom expressions are SQL-reachable via extensions registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(
