@@ -519,6 +519,133 @@ object SparkEntry {
       .orderBy("user_id", "valid_from", "event_id")
   }
 
+  /** Streaming SCD2 maintenance ([[graft.streaming.Stream
+    * .foreachBatchScd2]]): the purchase history built incrementally
+    * across two REAL micro-batches — each batch re-versions only its
+    * affected keys, untouched history rows carry verbatim, live table
+    * swaps via the staged rename. Split-invariance makes the oracle
+    * the single-shot lead() replay (the q44 shape on epoch-micro
+    * longs). */
+  private def streamScd2(s: SparkSession, dir: String): DataFrame =
+    Stream.foreachBatchScd2(s,
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        batch2Pred = pmod(col("event_id"), lit(2)) === 1)
+      .select(col("user_id"), col("valid_from"), col("event_id"),
+        col("value"), col("valid_to"), col("is_current"))
+      .orderBy("user_id", "valid_from", "event_id")
+
+  private val streamScd2Sql: String =
+    """SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS valid_from, event_id,
+      |       value,
+      |       lead(CAST(epoch_us(ts) AS BIGINT)) OVER
+      |         (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |         AS valid_to,
+      |       lead(ts) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |         IS NULL AS is_current
+      |FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
+
+  /** Deterministic-PCM audio frame analysis — the audio-modality
+    * sibling of the real-codec image path: each document's md5 is
+    * read as 8 big-endian signed 16-bit PCM samples (the
+    * deterministic stand-in the container's missing audio codecs
+    * require — the Spark-side plumbing, frame shape, and integer DSP
+    * are real), split into two 4-sample frames scored with energy
+    * (Σs²), zero-crossing count, and a silence flag. All-integer —
+    * exact on both engines. */
+  private def multimodalAudio(s: SparkSession, dir: String): DataFrame = {
+    val hex = md5(col("text"))
+    def sample(i: Int): Column = {
+      val u = conv(substring(hex, i * 4 + 1, 4), 16, 10).cast("long")
+      when(u >= 32768L, u - 65536L).otherwise(u)
+    }
+    val d = t(s, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      array((0 until 8).map(sample): _*).as("pcm"))
+    val frames = d.select(col("media_id"),
+      explode(array(lit(0), lit(1))).as("frame"), col("pcm"))
+    def at(k: Int): Column =
+      element_at(col("pcm"), col("frame") * 4 + (k + 1))
+    val energy = (0 until 4).map(k => at(k) * at(k)).reduceLeft(_ + _)
+    val zcr = (1 until 4).map(k =>
+      ((at(k) >= 0L) =!= (at(k - 1) >= 0L)).cast("long")).reduceLeft(_ + _)
+    frames.select(col("media_id"), col("frame").cast("long").as("frame"),
+        energy.as("energy"), zcr.as("zcr"),
+        (energy < 800000000L).as("is_silence"))
+      .orderBy("media_id", "frame")
+  }
+
+  private val multimodalAudioSql: String = {
+    def sample(i: Int): String = {
+      val u = s"('0x' || substr(md5(text), ${i * 4 + 1}, 4))::BIGINT"
+      s"(CASE WHEN $u >= 32768 THEN $u - 65536 ELSE $u END)"
+    }
+    def frame(f: Int): String = {
+      def at(k: Int) = sample(f * 4 + k)
+      val energy = (0 until 4).map(k => s"${at(k)} * ${at(k)}").mkString(" + ")
+      val zcr = (1 until 4).map(k =>
+        s"CASE WHEN (${at(k)} >= 0) <> (${at(k - 1)} >= 0) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""SELECT doc_id AS media_id, CAST($f AS BIGINT) AS frame,
+         |       CAST($energy AS BIGINT) AS energy, CAST($zcr AS BIGINT) AS zcr,
+         |       ($energy) < 800000000 AS is_silence
+         |FROM documents""".stripMargin
+    }
+    s"""${frame(0)}
+       |UNION ALL
+       |${frame(1)}
+       |ORDER BY media_id, frame""".stripMargin
+  }
+
+  /** Gini coefficient of customer account balance (shifted to a
+    * positive cent grid, so EVERY quantity in `G = Σ(2i−n−1)·x_i /
+    * (n·Σx)` is an exact int64 — no float anywhere until the final
+    * ratio): the inequality/concentration diagnostic behind dataset
+    * re-balancing decisions. Ranking uses the mannwhitney two-phase
+    * machinery (coarse cent buckets → tiny offset relation under the
+    * only ordered window; per-value position-block coefficient sums
+    * are closed-form, tie-invariant). Oracle: the independent
+    * single-window row_number formulation. */
+  private def statsGini(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(
+      (round(col("c_acctbal") * 100.0, 0).cast("long") + 100000L).as("cents"))
+    val vc = c.groupBy("cents").agg(count(lit(1)).as("cnt"))
+      .withColumn("bkt", floor(col("cents") / 10000.0).cast("long"))
+    val wOff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = vc.groupBy("bkt").agg(sum("cnt").as("btot"))
+      .withColumn("off", coalesce(sum("btot").over(wOff), lit(0L)))
+    val wIn = Window.partitionBy("bkt").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = c.agg(count(lit(1)).as("n"))
+    val ranked = vc.join(broadcast(offsets.select("bkt", "off")), Seq("bkt"))
+      .withColumn("cumStart", col("off") + coalesce(sum("cnt").over(wIn), lit(0L)))
+      .crossJoin(broadcast(tot))
+      // Σ_{i in block} (2i − n − 1) = 2·cnt·cumStart + cnt(cnt+1) − cnt(n+1)
+      // (division-free form — Spark's / on longs is double division)
+      .withColumn("coeff",
+        lit(2L) * col("cnt") * col("cumStart") +
+          col("cnt") * (col("cnt") + 1L) -
+          col("cnt") * (col("n") + 1L))
+    ranked.agg(first("n").as("n"),
+        sum(col("cnt") * col("cents")).as("s"),
+        sum(col("coeff") * col("cents")).as("num"))
+      .select(col("n"), col("s").as("total_cents"),
+        round(col("num").cast("double") /
+          (col("n") * col("s")).cast("double"), 6).as("gini"))
+  }
+
+  private val statsGiniSql: String =
+    """WITH c AS (SELECT CAST(round(c_acctbal * 100.0, 0) AS BIGINT) + 100000
+      |             AS cents FROM customer),
+      |r AS (SELECT cents,
+      |        CAST(row_number() OVER (ORDER BY cents) AS BIGINT) AS i
+      |      FROM c),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c)
+      |SELECT n, CAST(sum(cents) AS BIGINT) AS total_cents,
+      |       round(CAST(sum((2 * i - n - 1) * cents) AS DOUBLE) /
+      |             CAST(n * sum(cents) AS DOUBLE), 6) AS gini
+      |FROM r CROSS JOIN nn GROUP BY n""".stripMargin
+
   /** Ordered conversion funnel (view → click → purchase): per user,
     * first view, first click strictly after it, first purchase
     * strictly after that; stage 3 requires converting within 24 h of
@@ -6091,6 +6218,9 @@ object SparkEntry {
     "graph_sssp" -> (graphSssp(_, _)),
     "stats_regression2" -> (statsRegression2(_, _)),
     "simsearch_recall" -> (simsearchRecall(_, _)),
+    "stream_scd2" -> (streamScd2(_, _)),
+    "multimodal_audio" -> (multimodalAudio(_, _)),
+    "stats_gini" -> (statsGini(_, _)),
     "stats_chisq" -> (statsChisq(_, _)),
     "rank_ndcg" -> (rankNdcg(_, _)),
     "feat_transform" -> (featTransform(_, _)),
@@ -7702,6 +7832,9 @@ object SparkEntry {
     "graph_sssp" -> graphSsspSql,
     "stats_regression2" -> statsRegression2Sql,
     "simsearch_recall" -> simsearchRecallSql,
+    "stream_scd2" -> streamScd2Sql,
+    "multimodal_audio" -> multimodalAudioSql,
+    "stats_gini" -> statsGiniSql,
     // sufficient-stat t-test: mean/var round to 6 dp BEFORE the
     // closed form so both engines run identical IEEE chains
     "stats_ttest" ->

@@ -2442,6 +2442,84 @@ class ExtSpec extends AnyFunSuite {
     assert(avg >= 0.5, s"mean recall@10 $avg — the banded index is unusable")
   }
 
+  test("streaming SCD2: interval chains close, one open row per key") {
+    val rows = SparkEntry.queries("stream_scd2")(spark, TestSession.sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getLong(0))
+    for ((u, vs) <- byUser) {
+      val sorted = vs.sortBy(r => (r.getLong(1), r.getLong(2)))
+      assert(sorted.count(_.getBoolean(5)) == 1, s"user $u open-row count")
+      assert(sorted.last.getBoolean(5), s"user $u: last version must be open")
+      for (Array(a, b) <- sorted.sliding(2).map(_.toArray) if !a.getBoolean(5))
+        assert(a.getLong(4) == b.getLong(1),
+          s"user $u: valid_to must chain to the next valid_from")
+    }
+  }
+
+  test("SCD2 batch merge is replay-idempotent") {
+    import spark.implicits._
+    val table = "graft_scd2_replay_test"
+    graft.io.Load.dropManaged(spark, table)
+    graft.io.Load.dropManaged(spark, table + "__stage")
+    val b1 = Seq((1L, 100L, 10L, 1.0), (1L, 200L, 11L, 2.0), (2L, 150L, 12L, 3.0))
+      .toDF("user_id", "us", "event_id", "value")
+    Stream.mergeScd2Batch(spark, table, b1)
+    val once = spark.table(table).collect().map(_.toString).sorted.toSeq
+    Stream.mergeScd2Batch(spark, table, b1) // at-least-once redelivery
+    val twice = spark.table(table).collect().map(_.toString).sorted.toSeq
+    assert(once == twice, "redelivered batch must rewrite identical rows")
+    // an incremental batch versions only its key
+    val b2 = Seq((1L, 300L, 13L, 4.0)).toDF("user_id", "us", "event_id", "value")
+    Stream.mergeScd2Batch(spark, table, b2)
+    val after = spark.table(table).collect()
+    assert(after.count(r => r.getLong(0) == 1L) == 3, "user 1 gains a version")
+    assert(after.filter(r => r.getLong(0) == 1L && r.getLong(2) == 11L)
+      .forall(r => r.getLong(4) == 300L), "previous open row closes at the new ts")
+    graft.io.Load.dropManaged(spark, table)
+  }
+
+  test("PCM frames match a driver-side md5 sample decode") {
+    val rows = SparkEntry.queries("multimodal_audio")(spark, TestSession.sf)
+      .collect()
+    val docs = spark.read.parquet(s"${TestSession.sf}/documents.parquet")
+      .select("doc_id", "text").limit(5).collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (d <- docs) {
+      val hex = md.digest(d.getString(1).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val pcm = (0 until 8).map { i =>
+        val u = java.lang.Long.parseLong(hex.substring(i * 4, i * 4 + 4), 16)
+        if (u >= 32768) u - 65536 else u
+      }
+      for (f <- 0 until 2) {
+        val fr = pcm.slice(f * 4, f * 4 + 4)
+        val energy = fr.map(s => s * s).sum
+        val zcr = fr.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0))
+        val row = rows.find(r => r.getLong(0) == d.getLong(0) &&
+          r.getLong(1) == f).get
+        assert(row.getLong(2) == energy && row.getLong(3) == zcr,
+          s"doc ${d.getLong(0)} frame $f")
+      }
+    }
+  }
+
+  test("Gini matches a driver-side sorted computation and sits in [0,1)") {
+    val r = SparkEntry.queries("stats_gini")(spark, TestSession.sf).collect()(0)
+    val cents = spark.read.parquet(s"${TestSession.sf}/customer.parquet")
+      .select("c_acctbal").collect()
+      .map(x => math.round(x.getDouble(0) * 100.0) + 100000L).sorted
+    val n = cents.length.toLong
+    val s = cents.sum
+    val num = cents.zipWithIndex.map { case (x, i) =>
+      (2L * (i + 1) - n - 1) * x
+    }.sum
+    val g = num.toDouble / (n * s).toDouble
+    assert(r.getLong(0) == n && r.getLong(1) == s)
+    assert(math.abs(r.getDouble(2) - g) < 1e-6, s"gini ${r.getDouble(2)} vs $g")
+    assert(g >= 0 && g < 1)
+  }
+
   test("k-anonymity audit matches a direct group-size recomputation") {
     val row = SparkEntry.queries("dq_kanon")(spark, TestSession.sf)
       .collect()(0)
