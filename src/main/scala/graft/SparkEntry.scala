@@ -5127,6 +5127,98 @@ object SparkEntry {
       .orderBy("window_start", "event_type")
   }
 
+  /** Checkpoint RECOVERY through the real engine ([[Stream
+    * .runCheckpointed]]): the windowed aggregation runs to completion
+    * over half the event files, STOPS, more files land, and a second
+    * run resumes from the SAME checkpoint — the state store carries
+    * the phase-1 partial aggregates, so the final table equals the
+    * batch aggregate over everything while phase 2 ingests only the
+    * new files (ExtSpec asserts the ingest counts; the
+    * crash/redeploy-and-resume posture of a continuous pipeline).
+    * Shares the batch-replay oracle with stream_window. */
+  private def streamRestart(s: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("events_restart")
+    val cp = tmpDir("events_restart_cp")
+    val table = "graft_stream_restart"
+    graft.io.Load.dropManaged(s, table)
+    graft.io.Load.dropManaged(s, table + "__stage")
+    val ev = t(s, dir, "events")
+    ev.filter(pmod(col("event_id"), lit(4)) < 2)
+      .repartition(2).write.parquet(out)
+    Stream.runCheckpointed(s, out, cp, table)
+    ev.filter(pmod(col("event_id"), lit(4)) >= 2)
+      .repartition(2).write.mode("append").parquet(out)
+    Stream.runCheckpointed(s, out, cp, table)
+    s.table(table)
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        col("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL) between
+    * the even- and odd-order halves of lineitem's (flag, quantity)
+    * multiset — the multiplicity-preserving variants q06/q07/q25's
+    * distinct forms do not cover (reconciliation diffs want bags, not
+    * sets). Output aggregated to the bounded value grid. */
+  private def q60BagOps(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def half(m: Int) = li.filter(pmod(col("l_orderkey"), lit(2)) === m)
+      .select(col("l_returnflag"), col("l_quantity"))
+    val a = half(0); val b = half(1)
+    val ex = a.exceptAll(b).groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+    val in = a.intersectAll(b).groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+    ex.unionByName(in)
+      .select("op", "l_returnflag", "l_quantity", "n")
+      .orderBy("op", "l_returnflag", "l_quantity")
+  }
+
+  private val q60BagOpsSql: String =
+    """WITH a AS (SELECT l_returnflag, l_quantity FROM lineitem
+      |           WHERE l_orderkey % 2 = 0),
+      |b AS (SELECT l_returnflag, l_quantity FROM lineitem
+      |      WHERE l_orderkey % 2 = 1),
+      |ex AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b),
+      |ia AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+      |SELECT 'except_all' AS op, l_returnflag, l_quantity,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM ex GROUP BY 2, 3
+      |UNION ALL
+      |SELECT 'intersect_all', l_returnflag, l_quantity,
+      |       CAST(count(*) AS BIGINT)
+      |FROM ia GROUP BY 2, 3
+      |ORDER BY op, l_returnflag, l_quantity""".stripMargin
+
+  /** Time-interval RANGE frame: trailing 7-day revenue per order
+    * priority over the daily series — the calendar-aware frame (ROWS
+    * frames count rows and silently span date gaps; the INTERVAL
+    * boundary is the correct trailing-week semantics). SQL-expressed
+    * on both engines; daily sums round 2 before the frame, the frame
+    * sum rounds 2 again. */
+  private def q61TimeRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(
+      """SELECT o_orderpriority, day, rev,
+        |       round(sum(rev) OVER (PARTITION BY o_orderpriority ORDER BY day
+        |         RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW), 2)
+        |         AS rev_7d
+        |FROM (SELECT o_orderpriority, date_trunc('day', o_orderdate) AS day,
+        |        round(sum(o_totalprice), 2) AS rev
+        |      FROM orders GROUP BY 1, 2)
+        |ORDER BY o_orderpriority, day""".stripMargin)
+  }
+
+  private val q61TimeRangeFrameSql: String =
+    """SELECT o_orderpriority, day, rev,
+      |       round(sum(rev) OVER (PARTITION BY o_orderpriority ORDER BY day
+      |         RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW), 2)
+      |         AS rev_7d
+      |FROM (SELECT o_orderpriority, date_trunc('day', o_orderdate) AS day,
+      |        round(sum(o_totalprice), 2) AS rev
+      |      FROM orders GROUP BY 1, 2)
+      |ORDER BY o_orderpriority, day""".stripMargin
+
   /** SLIDING-window aggregate through the real micro-batch engine
     * ([[Stream.runSlidingOnce]]): 2-hour windows every 1 hour, so each
     * event feeds two overlapping buckets — the overlap shape the
@@ -6349,6 +6441,9 @@ object SparkEntry {
     "multimodal_frames" -> (multimodalFrames(_, _)),
     "stream_window" -> (streamWindow(_, _)),
     "stream_multifile" -> (streamMultifile(_, _)),
+    "stream_restart" -> (streamRestart(_, _)),
+    "q60_bag_ops" -> (q60BagOps(_, _)),
+    "q61_time_range_frame" -> (q61TimeRangeFrame(_, _)),
     "stream_sliding" -> (streamSliding(_, _)),
     "stream_sessions" -> (streamSessions(_, _)),
     "stream_sessions_stateful" -> (streamSessionsStateful(_, _)),
@@ -8523,6 +8618,9 @@ object SparkEntry {
     // table a pure function of the union of files, independent of the
     // per-file micro-batch schedule the query actually ran
     "stream_multifile" -> streamWindowSql,
+    "stream_restart" -> streamWindowSql,
+    "q60_bag_ops" -> q60BagOpsSql,
+    "q61_time_range_frame" -> q61TimeRangeFrameSql,
     "stream_sessions" -> streamSessionsSql,
     // the stateful sessionizer implements session_window's exact gap
     // semantics, so it shares the gaps-and-islands oracle verbatim

@@ -521,6 +521,44 @@ object Stream {
     (spark.table(queryName), batches)
   }
 
+  /** One CHECKPOINTED catch-up run of the windowed aggregation over a
+    * file-source directory: complete-mode state lives in the real
+    * state store under `checkpoint`, the full aggregate lands in
+    * `table` through a foreachBatch staged-rename overwrite (memory
+    * sinks cannot recover; a foreachBatch table sink can). Returns the
+    * rows THIS run ingested — a restarted run reads only files the
+    * checkpoint has not seen, which is the recovery evidence callers
+    * assert. Calling twice with the same checkpoint after adding files
+    * IS the crash/redeploy-and-resume posture of a 100 TB continuous
+    * pipeline. */
+  def runCheckpointed(spark: SparkSession, dir: String, checkpoint: String,
+      table: String, window_ : String = "1 hour",
+      maxFilesPerTrigger: Int = 1): Long = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(dir).schema
+    val stream = normalizeTs(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(dir))
+    val q = windowedAgg(stream, window_).writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val stage = table + "__stage"
+        val snap = batch.localCheckpoint()
+        graft.io.Load.dropManaged(spark, stage)
+        snap.write.saveAsTable(stage)
+        graft.io.Load.dropManaged(spark, table)
+        spark.sql(s"ALTER TABLE $stage RENAME TO $table")
+        graft.core.Lineage.release(snap)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.recentProgress.map(_.numInputRows).sum
+  }
+
   /** Stream-static enrichment: join a live event stream against a
     * static dimension table and aggregate — the classic "attach the
     * customer/nation to each event" streaming pattern. The static side

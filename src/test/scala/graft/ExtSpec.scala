@@ -2520,6 +2520,34 @@ class ExtSpec extends AnyFunSuite {
     assert(g >= 0 && g < 1)
   }
 
+  test("checkpoint restart resumes state: phase 2 ingests only new files") {
+    val base = java.nio.file.Files.createTempDirectory("restart_spec").toString
+    val dataDir = s"$base/data"; val cp = s"$base/cp"
+    val table = "graft_restart_spec"
+    graft.io.Load.dropManaged(spark, table)
+    graft.io.Load.dropManaged(spark, table + "__stage")
+    val ev = Stream.normalizeTs(
+      spark.read.parquet(s"${TestSession.sf}/events.parquet"))
+    val total = ev.count()
+    ev.filter(col("event_id") % 2 === 0).repartition(2).write.parquet(dataDir)
+    val r1 = Stream.runCheckpointed(spark, dataDir, cp, table)
+    ev.filter(col("event_id") % 2 === 1).repartition(2)
+      .write.mode("append").parquet(dataDir)
+    val r2 = Stream.runCheckpointed(spark, dataDir, cp, table)
+    assert(r1 > 0 && r2 > 0 && r1 + r2 == total,
+      s"phase ingests $r1 + $r2 must cover exactly the $total events")
+    assert(r2 < total, "phase 2 must NOT rescan phase-1 files")
+    // recovered state + new files == batch aggregate over everything
+    val got = spark.table(table)
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .collect().map(_.toString).sorted.toSeq
+    val want = Stream.windowedAgg(ev)
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want, "restarted aggregate must equal the batch aggregate")
+    graft.io.Load.dropManaged(spark, table)
+  }
+
   test("k-anonymity audit matches a direct group-size recomputation") {
     val row = SparkEntry.queries("dq_kanon")(spark, TestSession.sf)
       .collect()(0)
