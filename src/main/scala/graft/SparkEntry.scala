@@ -997,6 +997,56 @@ object SparkEntry {
       |     CROSS JOIN nn
       |WHERE rn = (nd + 1) // 2 OR rn = (nd + 2) // 2""".stripMargin
 
+  /** Mutual information between customer nation and market segment —
+    * the dependence measure behind categorical feature selection
+    * (chi-squared's information-theoretic sibling, stats_kl's
+    * machinery): `I = Σ (c_xy/n)·ln(c_xy·n/(c_x·c_y))`, every ratio an
+    * exact-int product ratio through one ln; marginal entropies and
+    * the uncertainty coefficient ride along. One keyed agg over the
+    * (nation, segment) grid + two marginal aggs. */
+  private def statsMi(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_nationkey").cast("long").as("x"), col("c_mktsegment").as("y"))
+    val g = c.groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+    val gx = c.groupBy("x").agg(count(lit(1)).as("cx"))
+    val gy = c.groupBy("y").agg(count(lit(1)).as("cy"))
+    val n = c.agg(count(lit(1)).as("n"))
+    val mi = g.join(broadcast(gx), "x").join(broadcast(gy), "y")
+      .crossJoin(broadcast(n))
+      .agg(round(sum((col("cxy").cast("double") / col("n").cast("double")) *
+        log((col("cxy") * col("n")).cast("double") /
+          (col("cx") * col("cy")).cast("double"))), 6).as("mi"))
+    val hx = gx.crossJoin(broadcast(n))
+      .agg(round(sum(-(col("cx").cast("double") / col("n").cast("double")) *
+        log(col("cx").cast("double") / col("n").cast("double"))), 6).as("h_x"))
+    val hy = gy.crossJoin(broadcast(n))
+      .agg(round(sum(-(col("cy").cast("double") / col("n").cast("double")) *
+        log(col("cy").cast("double") / col("n").cast("double"))), 6).as("h_y"))
+    n.crossJoin(mi).crossJoin(hx).crossJoin(hy)
+      .select(col("n"), col("mi"), col("h_x"), col("h_y"),
+        round(col("mi") / col("h_x"), 6).as("uncertainty_coef"))
+  }
+
+  private val statsMiSql: String =
+    """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS x, c_mktsegment AS y
+      |           FROM customer),
+      |g AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cxy FROM c GROUP BY 1, 2),
+      |gx AS (SELECT x, CAST(count(*) AS BIGINT) AS cx FROM c GROUP BY 1),
+      |gy AS (SELECT y, CAST(count(*) AS BIGINT) AS cy FROM c GROUP BY 1),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+      |mi AS (SELECT round(sum((CAST(cxy AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |               ln(CAST(cxy * n AS DOUBLE) / CAST(cx * cy AS DOUBLE))), 6)
+      |           AS mi
+      |       FROM g JOIN gx USING (x) JOIN gy USING (y) CROSS JOIN nn),
+      |hx AS (SELECT round(sum(-(CAST(cx AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |               ln(CAST(cx AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS h_x
+      |       FROM gx CROSS JOIN nn),
+      |hy AS (SELECT round(sum(-(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |               ln(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS h_y
+      |       FROM gy CROSS JOIN nn)
+      |SELECT n, mi, h_x, h_y, round(mi / h_x, 6) AS uncertainty_coef
+      |FROM nn CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy""".stripMargin
+
   /** Wald–Wolfowitz runs test of daily order revenue around its
     * median — the randomness/trend diagnostic (a trending series makes
     * few long runs; an oscillating one too many). Median is the exact
@@ -6311,6 +6361,7 @@ object SparkEntry {
     "stats_regression2" -> (statsRegression2(_, _)),
     "simsearch_recall" -> (simsearchRecall(_, _)),
     "stream_scd2" -> (streamScd2(_, _)),
+    "stats_mi" -> (statsMi(_, _)),
     "multimodal_audio" -> (multimodalAudio(_, _)),
     "stats_gini" -> (statsGini(_, _)),
     "stats_chisq" -> (statsChisq(_, _)),
@@ -7928,6 +7979,7 @@ object SparkEntry {
     "stats_regression2" -> statsRegression2Sql,
     "simsearch_recall" -> simsearchRecallSql,
     "stream_scd2" -> streamScd2Sql,
+    "stats_mi" -> statsMiSql,
     "multimodal_audio" -> multimodalAudioSql,
     "stats_gini" -> statsGiniSql,
     // sufficient-stat t-test: mean/var round to 6 dp BEFORE the

@@ -2548,6 +2548,14 @@ class ExtSpec extends AnyFunSuite {
     graft.io.Load.dropManaged(spark, table)
   }
 
+  test("mutual information is non-negative and bounded by both entropies") {
+    val r = SparkEntry.queries("stats_mi")(spark, TestSession.sf).collect()(0)
+    val (mi, hx, hy) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(mi >= -1e-9, s"MI must be >= 0: $mi")
+    assert(mi <= math.min(hx, hy) + 1e-9, s"MI $mi exceeds min($hx, $hy)")
+    assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1 + 1e-9)
+  }
+
   test("k-anonymity audit matches a direct group-size recomputation") {
     val row = SparkEntry.queries("dq_kanon")(spark, TestSession.sf)
       .collect()(0)
