@@ -3858,6 +3858,18 @@ object SparkEntry {
     Dedup.clusterIds(docs, pairs).orderBy("doc_id")
   }
 
+  /** Cluster-size histogram of the near-dup components — see
+    * [[dedupClusterStatsSql]]. */
+  private def dedupClusterStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, 0.8,
+      shingler = graft.functions.wordNgrams(_, 3))
+    Dedup.clusterIds(docs, pairs)
+      .groupBy("cluster_id").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("size")
+  }
+
   /** Incremental fuzzy dedup ([[Dedup.minhashIncrementPairs]]): even
     * doc ids play the standing corpus, odd ids the incoming batch;
     * near-dup (batch, corpus) pairs at Jaccard ≥ 0.8 via two-sided
@@ -4966,7 +4978,11 @@ object SparkEntry {
     * Determinism: mu and every scatter cell round 6 (shuffle-order
     * sums); per-round scores max-normalize (max is order-independent)
     * and round 6 — the graph_hits discipline. */
-  private def embPcaPower(s: SparkSession, dir: String): DataFrame = {
+  /** Shared power-iteration pieces: (centered coordinates, final
+    * loadings v3, final max-|raw| scale) — [[embPcaPower]] reports
+    * them, [[embPcaProject]] projects the corpus onto v3. */
+  private def pcaParts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val e = t(s, dir, "embeddings")
       .select(posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(col("dim").cast("long").as("dim"), col("v").cast("double").as("v"))
@@ -4994,12 +5010,43 @@ object SparkEntry {
       v = wRaw.crossJoin(broadcast(mx))
         .select(col("dim"), round(col("raw") / col("mx"), 6).as("w"))
     }
+    (xcr, v, lambda)
+  }
+
+  private def embPcaPower(s: SparkSession, dir: String): DataFrame = {
+    val (_, v, lambda) = pcaParts(s, dir)
     v.crossJoin(broadcast(lambda))
       .select(col("dim"), col("w").as("loading"), col("mx").as("scatter_scale"))
       .orderBy("dim")
   }
 
-  private val embPcaPowerSql: String = {
+  /** PCA projection + extremes: every vector's coordinate along the
+    * power-iteration component ([[pcaParts]]) — the dimensionality-
+    * reduction APPLY step, reported as the top/bottom-5 outliers along
+    * PC1 (the embedding-space anomaly probe). Projection is one keyed
+    * join + one agg per vector; extremes come from the bounded heap.
+    * Projections round 4 before ranking (64-term keyed sums). */
+  private def embPcaProject(s: SparkSession, dir: String): DataFrame = {
+    val (xcr, v, _) = pcaParts(s, dir)
+    val proj = xcr.join(broadcast(v), "dim")
+      .groupBy("vec_id").agg(round(sum(col("x") * col("w")), 4).as("proj"))
+    val hi = proj.agg(graft.functions.fx.topKByScore(col("proj"),
+        col("vec_id").cast("long"), 5).as("top"))
+      .select(lit("max").as("direction"), posexplode(col("top")).as(Seq("pos", "t")))
+    val lo = proj.agg(graft.functions.fx.topKByScore(-col("proj"),
+        col("vec_id").cast("long"), 5).as("top"))
+      .select(lit("min").as("direction"), posexplode(col("top")).as(Seq("pos", "t")))
+    hi.unionByName(lo)
+      .select(col("direction"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("vec_id"),
+        when(col("direction") === "min", -col("t.score"))
+          .otherwise(col("t.score")).as("proj"))
+      .orderBy("direction", "rank")
+  }
+
+  /** Power-iteration CTE chain (ve … v3/m3) — shared by the loadings
+    * oracle and the projection oracle. */
+  private val embPcaCtes: String = {
     val rounds = (1 to 3).map { i =>
       s"""w$i AS MATERIALIZED (
          |  SELECT j AS dim, round(sum(c * v${i - 1}.w), 6) AS raw
@@ -5010,7 +5057,7 @@ object SparkEntry {
          |  SELECT dim, round(raw / mx, 6) AS w FROM w$i CROSS JOIN m$i)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+    s"""ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
        |            FROM embeddings),
        |e AS (SELECT vec_id, CAST(k - 1 AS BIGINT) AS dim,
        |        emb[CAST(k AS INT)] AS v
@@ -5022,10 +5069,31 @@ object SparkEntry {
        |  SELECT a.dim AS j, b.dim AS k, round(sum(a.x * b.x), 6) AS c
        |  FROM xc a JOIN xc b ON a.vec_id = b.vec_id GROUP BY 1, 2),
        |v0 AS (SELECT dim, 1.0 AS w FROM mu),
-       |$rounds
+       |$rounds"""
+      .stripMargin
+  }
+
+  private lazy val embPcaPowerSql: String =
+    s"""WITH $embPcaCtes
        |SELECT v3.dim, v3.w AS loading, m3.mx AS scatter_scale
        |FROM v3 CROSS JOIN m3 ORDER BY v3.dim""".stripMargin
-  }
+
+  private lazy val embPcaProjectSql: String =
+    s"""WITH $embPcaCtes,
+       |proj AS (
+       |  SELECT xc.vec_id, round(sum(xc.x * v3.w), 4) AS proj
+       |  FROM xc JOIN v3 USING (dim) GROUP BY xc.vec_id),
+       |hi AS (SELECT 'max' AS direction, vec_id, proj,
+       |         row_number() OVER (ORDER BY proj DESC, vec_id) AS rank
+       |       FROM proj),
+       |lo AS (SELECT 'min' AS direction, vec_id, proj,
+       |         row_number() OVER (ORDER BY proj ASC, vec_id) AS rank
+       |       FROM proj)
+       |SELECT direction, CAST(rank AS BIGINT) AS rank,
+       |       CAST(vec_id AS BIGINT) AS vec_id, proj
+       |FROM (SELECT * FROM hi WHERE rank <= 5
+       |      UNION ALL SELECT * FROM lo WHERE rank <= 5)
+       |ORDER BY direction, rank""".stripMargin
 
   /** Paragraph/segment-level exact dedup ([[Dedup.segmentDedup]] —
     * the MassiveText/CCNet repeated-paragraph pass): 16-token windows,
@@ -6362,6 +6430,8 @@ object SparkEntry {
     "simsearch_recall" -> (simsearchRecall(_, _)),
     "stream_scd2" -> (streamScd2(_, _)),
     "stats_mi" -> (statsMi(_, _)),
+    "dedup_cluster_stats" -> (dedupClusterStats(_, _)),
+    "emb_pca_project" -> (embPcaProject(_, _)),
     "multimodal_audio" -> (multimodalAudio(_, _)),
     "stats_gini" -> (statsGini(_, _)),
     "stats_chisq" -> (statsChisq(_, _)),
@@ -6631,6 +6701,21 @@ object SparkEntry {
     s"""$dedupClusterCte
        |SELECT id AS doc_id, min(r) AS cluster_id
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** Cluster-size histogram over [[dedupCluster]]'s components — the
+    * dedup observability readout (how much mass sits in big near-dup
+    * families vs singletons) every curation run reports before
+    * committing to a survivor policy. Two keyed aggs on top of the
+    * shared component assignment; the oracle reuses the recursive-
+    * closure replay. */
+  private lazy val dedupClusterStatsSql: String =
+    s"""$dedupClusterCte,
+       |cl AS (SELECT id AS doc_id, min(r) AS cluster_id
+       |       FROM reach GROUP BY id),
+       |cz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
+       |       FROM cl GROUP BY 1)
+       |SELECT size, CAST(count(*) AS BIGINT) AS n_clusters
+       |FROM cz GROUP BY size ORDER BY size""".stripMargin
 
   private val dedupSurvivorSql =
     s"""$dedupClusterCte,
@@ -7980,6 +8065,8 @@ object SparkEntry {
     "simsearch_recall" -> simsearchRecallSql,
     "stream_scd2" -> streamScd2Sql,
     "stats_mi" -> statsMiSql,
+    "dedup_cluster_stats" -> dedupClusterStatsSql,
+    "emb_pca_project" -> embPcaProjectSql,
     "multimodal_audio" -> multimodalAudioSql,
     "stats_gini" -> statsGiniSql,
     // sufficient-stat t-test: mean/var round to 6 dp BEFORE the

@@ -2556,6 +2556,28 @@ class ExtSpec extends AnyFunSuite {
     assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1 + 1e-9)
   }
 
+  test("cluster-size histogram accounts for every document") {
+    val hist = SparkEntry.queries("dedup_cluster_stats")(spark, TestSession.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nDocs = spark.read.parquet(s"${TestSession.sf}/documents.parquet").count()
+    assert(hist.map { case (sz, n) => sz * n }.sum == nDocs,
+      "Σ size·count must equal the corpus size")
+    assert(hist.exists(_._1 == 1), "singletons must exist on this fixture")
+  }
+
+  test("PCA projection extremes straddle zero on centered data") {
+    val rows = SparkEntry.queries("emb_pca_project")(spark, TestSession.sf)
+      .collect()
+    assert(rows.length == 10)
+    val maxSide = rows.filter(_.getString(0) == "max").map(_.getDouble(3))
+    val minSide = rows.filter(_.getString(0) == "min").map(_.getDouble(3))
+    assert(maxSide.min > minSide.max,
+      "every top-side projection must exceed every bottom-side one")
+    assert(maxSide.max > 0 && minSide.min < 0,
+      "centered projections must straddle zero")
+    assert(maxSide.sorted.reverse.toSeq == maxSide.toSeq, "max side ordered")
+  }
+
   test("k-anonymity audit matches a direct group-size recomputation") {
     val row = SparkEntry.queries("dq_kanon")(spark, TestSession.sf)
       .collect()(0)
