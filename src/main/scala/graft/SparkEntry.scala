@@ -4514,6 +4514,184 @@ object SparkEntry {
     * seasonal effects (centered to sum 0), residual. Every aggregate
     * rounds to 6 dp before feeding the next stage (the repo's float
     * ladder), so the whole decomposition replays in SQL. */
+  /** Deterministic minority oversampling ([[graft.ext.Sample
+    * .oversampleTo]]): every language stratum replicated up to the
+    * largest stratum's size — floor-parity copies plus hash-chosen
+    * extras, the imbalanced-training upsampler (balancedTo's twin).
+    * Per-stratum summary with an md5 over the exact (id, copies)
+    * multiset gates the full selection. */
+  private def sampleOversample(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.ext.Sample.oversampleTo(t(s, dir, "documents"),
+      "lang", "doc_id", seed = "os")
+    out.groupBy("lang")
+      .agg(count(lit(1)).as("n_orig"), sum("copies").as("n_out"),
+        sort_array(collect_list(struct(col("doc_id"), col("copies")))).as("lst"))
+      .select(col("lang"), col("n_orig"), col("n_out"),
+        md5(concat_ws(",", expr(
+          "transform(lst, x -> concat(cast(x.doc_id as string), ':', cast(x.copies as string)))")))
+          .as("copies_md5"))
+      .orderBy("lang")
+  }
+
+  private val sampleOversampleSql: String =
+    """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+      |           FROM documents GROUP BY 1),
+      |t AS (SELECT max(n) AS target FROM c),
+      |r AS (SELECT d.doc_id, d.lang, n, target,
+      |        row_number() OVER (PARTITION BY d.lang
+      |          ORDER BY substr(md5('os' || CAST(doc_id AS VARCHAR)), 1, 8),
+      |                   doc_id) AS rn
+      |      FROM documents d JOIN c USING (lang) CROSS JOIN t),
+      |cp AS (SELECT doc_id, lang,
+      |         (target // n) +
+      |           CASE WHEN rn <= target - (target // n) * n THEN 1 ELSE 0 END
+      |           AS copies
+      |       FROM r)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_orig,
+      |       CAST(sum(copies) AS BIGINT) AS n_out,
+      |       md5(string_agg(CAST(doc_id AS VARCHAR) || ':'
+      |             || CAST(copies AS VARCHAR), ',' ORDER BY doc_id))
+      |         AS copies_md5
+      |FROM cp GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Dynamic partition overwrite round-trip: the orders table lands
+    * partitioned by priority, then ONE partition is rewritten with a
+    * filtered slice under `partitionOverwriteMode=dynamic` — the other
+    * partitions must survive untouched (static mode would truncate
+    * them; this is the idempotent per-partition backfill primitive of
+    * a partitioned lake). The oracle recomputes the expected
+    * post-overwrite state from the source table. */
+  private def ioPartitionOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("orders_dynpart")
+    val o = t(s, dir, "orders").withColumn("p", col("o_orderpriority"))
+    o.write.partitionBy("p").parquet(out)
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try o.filter(col("p") === "1-URGENT" && pmod(col("o_orderkey"), lit(2)) === 0)
+      .write.mode("overwrite").partitionBy("p").parquet(out)
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    s.read.parquet(out).groupBy("p")
+      .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("key_sum"))
+      .orderBy("p")
+  }
+
+  private val ioPartitionOverwriteSql: String =
+    """SELECT o_orderpriority AS p, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      |FROM orders
+      |WHERE o_orderpriority <> '1-URGENT' OR o_orderkey % 2 = 0
+      |GROUP BY 1 ORDER BY p""".stripMargin
+
+  /** Seasonal/trend STRENGTH metrics (Hyndman FPP3 §4.3) over the
+    * [[tsDecompose]] components: `F_trend = max(0, 1 −
+    * Var(R)/Var(T+R))`, `F_seasonal = max(0, 1 − Var(R)/Var(S+R))` —
+    * the two numbers a forecasting pipeline reads before choosing
+    * between [[tsHolt]] and [[tsHoltwinters]]. Variances come from
+    * rounded sufficient sums over the decomposed rows (full-window
+    * rows only); the oracle nests the decompose replay as a
+    * subquery. */
+  private def tsStrength(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.ext.TimeSeries.decompose(t(s, dir, "events"),
+        "event_type", "ts", sum(col("value")), period = 7)
+      .filter(col("trend").isNotNull && col("seasonal").isNotNull)
+      .select(col("event_type"), col("resid").as("r"),
+        (col("value") - col("seasonal")).as("tr"),
+        (col("value") - col("trend")).as("sr"))
+    def stats(c: String) = Seq(
+      round(sum(col(c)), 4).as(s"s_$c"),
+      round(sum(col(c) * col(c)), 4).as(s"q_$c"))
+    val a = d.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        stats("r") ++ stats("tr") ++ stats("sr"): _*)
+    def variance(c: String): Column =
+      (col(s"q_$c") - col(s"s_$c") * col(s"s_$c") / col("n").cast("double")) /
+        (col("n") - 1L).cast("double")
+    a.select(col("event_type"), col("n"),
+        round(greatest(lit(0.0), lit(1.0) - variance("r") / variance("tr")), 6)
+          .as("f_trend"),
+        round(greatest(lit(0.0), lit(1.0) - variance("r") / variance("sr")), 6)
+          .as("f_seasonal"))
+      .orderBy("event_type")
+  }
+
+  private lazy val tsStrengthSql: String =
+    s"""WITH dec AS (SELECT * FROM ($tsDecomposeSql)),
+       |d AS (SELECT event_type, resid AS r,
+       |        value - seasonal AS tr, value - trend AS sr
+       |      FROM dec WHERE trend IS NOT NULL AND seasonal IS NOT NULL),
+       |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |        round(sum(r), 4) AS s_r, round(sum(r*r), 4) AS q_r,
+       |        round(sum(tr), 4) AS s_tr, round(sum(tr*tr), 4) AS q_tr,
+       |        round(sum(sr), 4) AS s_sr, round(sum(sr*sr), 4) AS q_sr
+       |      FROM d GROUP BY 1)
+       |SELECT event_type, n,
+       |       round(greatest(0.0, 1.0 -
+       |         ((q_r - s_r * s_r / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) /
+       |         ((q_tr - s_tr * s_tr / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))), 6)
+       |         AS f_trend,
+       |       round(greatest(0.0, 1.0 -
+       |         ((q_r - s_r * s_r / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) /
+       |         ((q_sr - s_sr * s_sr / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))), 6)
+       |         AS f_seasonal
+       |FROM a ORDER BY event_type""".stripMargin
+
+  /** Lagged cross-correlation (CCF, lags 0–3 days) between the click
+    * and purchase daily series — "does one metric lead the other"
+    * (the cross-series sibling of [[graft.ext.TimeSeries.acf]], same
+    * rounding discipline: means round before deviations, sums round
+    * before the ratio; denominators are the full-series dev-energies
+    * so every lag shares one normalization). The lag fan-out is a
+    * 4-literal explode on the purchase side joined back on the day
+    * key. */
+  private def tsCcf(s: SparkSession, dir: String): DataFrame = {
+    def daily(et: String) = t(s, dir, "events")
+      .filter(col("event_type") === et)
+      .groupBy((unix_timestamp(date_trunc("day", col("ts"))) / 86400L)
+        .cast("long").as("day"))
+      .agg(round(sum("value"), 4).as("x"))
+    val a = daily("click"); val b = daily("purchase")
+    val ma = a.agg(round(avg("x"), 6).as("ma"))
+    val mb = b.agg(round(avg("x"), 6).as("mb"))
+    val da = a.crossJoin(broadcast(ma)).select(col("day"), (col("x") - col("ma")).as("da"))
+    val db = b.crossJoin(broadcast(mb)).select(col("day"), (col("x") - col("mb")).as("db"))
+    val sa = da.agg(round(sum(col("da") * col("da")), 6).as("sa"))
+    val sb = db.agg(round(sum(col("db") * col("db")), 6).as("sb"))
+    val bl = db.select(explode(sequence(lit(0), lit(3))).as("lag"),
+      (col("day") + col("lag")).as("day"), col("db"))
+    da.join(bl, "day")
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"), round(sum(col("da") * col("db")), 6).as("num"))
+      .crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+        round(col("num") / sqrt(col("sa") * col("sb")), 6).as("ccf"))
+      .orderBy("lag")
+  }
+
+  private val tsCcfSql: String =
+    """WITH a AS (SELECT CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT)
+      |             AS day, round(sum(value), 4) AS x
+      |           FROM events WHERE event_type = 'click' GROUP BY 1),
+      |b AS (SELECT CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT) AS day,
+      |        round(sum(value), 4) AS x
+      |      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |ma AS (SELECT round(avg(x), 6) AS ma FROM a),
+      |mb AS (SELECT round(avg(x), 6) AS mb FROM b),
+      |da AS (SELECT day, x - ma AS da FROM a CROSS JOIN ma),
+      |db AS (SELECT day, x - mb AS db FROM b CROSS JOIN mb),
+      |sa AS (SELECT round(sum(da * da), 6) AS sa FROM da),
+      |sb AS (SELECT round(sum(db * db), 6) AS sb FROM db),
+      |bl AS (SELECT l.lag, day + l.lag AS day, db
+      |       FROM db CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS lag) l),
+      |j AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+      |        round(sum(da * db), 6) AS num
+      |      FROM da JOIN bl USING (day) GROUP BY 1)
+      |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+      |       round(num / sqrt(sa * sb), 6) AS ccf
+      |FROM j CROSS JOIN sa CROSS JOIN sb ORDER BY lag""".stripMargin
+
   private def tsDecompose(s: SparkSession, dir: String): DataFrame =
     graft.ext.TimeSeries.decompose(t(s, dir, "events"),
         "event_type", "ts", sum(col("value")), period = 7)
@@ -6432,6 +6610,10 @@ object SparkEntry {
     "stats_mi" -> (statsMi(_, _)),
     "dedup_cluster_stats" -> (dedupClusterStats(_, _)),
     "emb_pca_project" -> (embPcaProject(_, _)),
+    "sample_oversample" -> (sampleOversample(_, _)),
+    "io_partition_overwrite" -> (ioPartitionOverwrite(_, _)),
+    "ts_strength" -> (tsStrength(_, _)),
+    "ts_ccf" -> (tsCcf(_, _)),
     "multimodal_audio" -> (multimodalAudio(_, _)),
     "stats_gini" -> (statsGini(_, _)),
     "stats_chisq" -> (statsChisq(_, _)),
@@ -8067,6 +8249,10 @@ object SparkEntry {
     "stats_mi" -> statsMiSql,
     "dedup_cluster_stats" -> dedupClusterStatsSql,
     "emb_pca_project" -> embPcaProjectSql,
+    "sample_oversample" -> sampleOversampleSql,
+    "io_partition_overwrite" -> ioPartitionOverwriteSql,
+    "ts_strength" -> tsStrengthSql,
+    "ts_ccf" -> tsCcfSql,
     "multimodal_audio" -> multimodalAudioSql,
     "stats_gini" -> statsGiniSql,
     // sufficient-stat t-test: mean/var round to 6 dp BEFORE the

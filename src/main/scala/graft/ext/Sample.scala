@@ -262,6 +262,37 @@ object Sample {
       .select(col("__id").as(idCol), col("n_tokens"), col("log_weight"))
   }
 
+  /** Deterministic minority OVERSAMPLING to per-stratum parity: every
+    * stratum is replicated up to the LARGEST stratum's size — each row
+    * gets `floor(target/n)` copies and the `target mod n` hash-smallest
+    * rows one extra, so the output hits the target EXACTLY and the
+    * replica multiset is a pure function of (ids, seed) — growth-stable
+    * and shuffle-invariant like every sampler here (the upsampling twin
+    * of [[balancedTo]]'s downsampling). Scale shape: one stratum-count
+    * agg, a single-row max broadcast, one keyed rank window, a map-side
+    * copy computation — replication happens logically via a `copies`
+    * column (explode only if the caller materializes). */
+  def oversampleTo(df: DataFrame, strataCol: String, idCol: String,
+                   seed: String = ""): DataFrame = {
+    val reserved = Seq("__rn", "__n", "__target", "__base", "__extra")
+      .filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"oversampleTo uses reserved working column(s) ${reserved.mkString(", ")}")
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("__n"))
+    val target = counts.agg(max("__n").as("__target"))
+    val w = Window.partitionBy(strataCol)
+      .orderBy(substring(md5(concat(lit(seed), col(idCol).cast("string"))), 1, 8),
+        col(idCol))
+    df.join(broadcast(counts), Seq(strataCol))
+      .crossJoin(broadcast(target))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__base", floor(col("__target") / col("__n")).cast("long"))
+      .withColumn("__extra", col("__target") - col("__base") * col("__n"))
+      .select(col(idCol), col(strataCol),
+        (col("__base") +
+          when(col("__rn") <= col("__extra"), 1L).otherwise(0L)).as("copies"))
+  }
+
   def capPerKey(df: DataFrame, keyCol: String, k: Int, idCol: String,
                 seed: String = ""): DataFrame = {
     require(k > 0, s"k must be positive, got $k")

@@ -2578,6 +2578,41 @@ class ExtSpec extends AnyFunSuite {
     assert(maxSide.sorted.reverse.toSeq == maxSide.toSeq, "max side ordered")
   }
 
+  test("oversampling hits the per-stratum target exactly") {
+    val rows = SparkEntry.queries("sample_oversample")(spark, TestSession.sf)
+      .collect()
+    val target = rows.map(_.getLong(1)).max
+    for (r <- rows)
+      assert(r.getLong(2) == target,
+        s"${r.getString(0)}: n_out ${r.getLong(2)} must equal target $target")
+    // the majority stratum replicates nothing
+    val maj = rows.maxBy(_.getLong(1))
+    assert(maj.getLong(2) == maj.getLong(1))
+  }
+
+  test("dynamic partition overwrite leaves sibling partitions intact") {
+    val rows = SparkEntry.queries("io_partition_overwrite")(spark, TestSession.sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orig = spark.read.parquet(s"${TestSession.sf}/orders.parquet")
+      .groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((p, n) <- orig if p != "1-URGENT")
+      assert(rows(p) == n, s"partition $p must be untouched")
+    assert(rows("1-URGENT") < orig("1-URGENT"),
+      "the overwritten partition must shrink to the filtered slice")
+  }
+
+  test("trend/seasonal strength and CCF land in their defined ranges") {
+    for (r <- SparkEntry.queries("ts_strength")(spark, TestSession.sf).collect()) {
+      assert(r.getDouble(2) >= 0 && r.getDouble(2) <= 1, s"f_trend $r")
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1, s"f_seasonal $r")
+    }
+    val ccf = SparkEntry.queries("ts_ccf")(spark, TestSession.sf).collect()
+    assert(ccf.length == 4)
+    for (r <- ccf)
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9, s"|ccf| <= 1: $r")
+  }
+
   test("k-anonymity audit matches a direct group-size recomputation") {
     val row = SparkEntry.queries("dq_kanon")(spark, TestSession.sf)
       .collect()(0)
