@@ -1065,7 +1065,7 @@ object SparkEntry {
       .crossJoin(broadcast(nd))
       .filter(col("rn") === floor((col("nd") + 1L) / 2.0).cast("long") ||
         col("rn") === floor((col("nd") + 2L) / 2.0).cast("long"))
-      .agg((sum("r") / 2.0).as("med"))
+      .agg(avg("r").as("med"))
     val signs = daily.crossJoin(broadcast(med))
       .filter(col("r") =!= col("med"))
       .select(col("d"), (col("r") > col("med")).cast("long").as("s"))
@@ -1092,7 +1092,7 @@ object SparkEntry {
       |         round(sum(o_totalprice), 2) AS r
       |  FROM orders GROUP BY 1),
       |nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM daily),
-      |med AS (SELECT sum(r) / 2.0 AS med
+      |med AS (SELECT avg(r) AS med
       |        FROM (SELECT r, row_number() OVER (ORDER BY r) AS rn FROM daily)
       |             CROSS JOIN nn
       |        WHERE rn = (nd + 1) // 2 OR rn = (nd + 2) // 2),
@@ -1522,8 +1522,11 @@ object SparkEntry {
     o.distinct()
       .join(broadcast(g), "cat").crossJoin(broadcast(glob))
       .select(col("cat"), col("y"), col("n_cat"), col("s_cat"),
-        round((col("s_cat") - col("y")).cast("double") /
-          (col("n_cat") - 1L).cast("double"), 6).as("loo_enc"),
+        round(when(col("n_cat") > 1L,
+            (col("s_cat") - col("y")).cast("double") /
+              (col("n_cat") - 1L).cast("double"))
+          .otherwise(col("sy").cast("double") / col("cnt").cast("double")),
+          6).as("loo_enc"),
         round(((col("s_cat") - col("y")).cast("double") +
             lit(10.0) * (col("sy").cast("double") / col("cnt").cast("double"))) /
           (col("n_cat") - 1L + 10L).cast("double"), 6).as("smoothed_enc"))
@@ -1539,7 +1542,9 @@ object SparkEntry {
       |gl AS (SELECT CAST(sum(y) AS BIGINT) AS sy,
       |         CAST(count(*) AS BIGINT) AS cnt FROM o)
       |SELECT DISTINCT o.cat, CAST(o.y AS BIGINT) AS y, n_cat, s_cat,
-      |       round(CAST(s_cat - y AS DOUBLE) / CAST(n_cat - 1 AS DOUBLE), 6)
+      |       round(CASE WHEN n_cat > 1
+      |                  THEN CAST(s_cat - y AS DOUBLE) / CAST(n_cat - 1 AS DOUBLE)
+      |                  ELSE CAST(sy AS DOUBLE) / CAST(cnt AS DOUBLE) END, 6)
       |         AS loo_enc,
       |       round((CAST(s_cat - y AS DOUBLE) +
       |              10.0 * (CAST(sy AS DOUBLE) / CAST(cnt AS DOUBLE))) /
@@ -3263,8 +3268,9 @@ object SparkEntry {
   private val asofToleranceSql: String =
     """SELECT e.user_id, e.ts,
       |       CASE WHEN o.o_orderdate IS NOT NULL
-      |              AND epoch(e.ts) - epoch(CAST(o.o_orderdate AS TIMESTAMP))
-      |                  <= 2592000
+      |              AND epoch_us(e.ts) -
+      |                  epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+      |                  <= CAST(2592000 AS BIGINT) * 1000000
       |            THEN strftime(o.o_orderdate, '%Y-%m-%d') END
       |         AS last_order_date
       |FROM events e

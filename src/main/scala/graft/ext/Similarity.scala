@@ -107,6 +107,9 @@ object Similarity {
     val c = corpus
       .select(col(idCol).cast("long").as("id"), normalize(col(vecCol)).as("v"))
       .localCheckpoint()
+    val nCorpus = c.count()
+    require(k <= nCorpus,
+      s"k-center k=$k exceeds corpus size $nCorpus - nothing left to pick")
     def vecOf(id: Long): Column = {
       val arr = c.filter(col("id") === id).head().getSeq[Double](1)
       array(arr.map(lit): _*)

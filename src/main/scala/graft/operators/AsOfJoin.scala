@@ -104,12 +104,16 @@ object AsOfJoin {
       toleranceSeconds: Long
   ): DataFrame = {
     require(toleranceSeconds >= 0, s"tolerance must be >= 0, got $toleranceSeconds")
+    require(!right.columns.contains("__rt"),
+      "right side already carries the reserved working column __rt")
     val withRt = right.withColumn("__rt", col(rightTime).cast("timestamp"))
     val attached = asOf(left, withRt, leftKey, leftTime, rightKey, rightTime,
       rightVals :+ "__rt")
+    // Microsecond epochs: whole-second unix_timestamp would truncate
+    // sub-second stamps and misclassify boundary rows by up to ~1s.
     val fresh = col("__rt").isNotNull &&
-      unix_timestamp(col(leftTime).cast("timestamp")) - unix_timestamp(col("__rt")) <=
-        toleranceSeconds
+      unix_micros(col(leftTime).cast("timestamp")) - unix_micros(col("__rt")) <=
+        toleranceSeconds * 1000000L
     rightVals.foldLeft(attached) { (d, c) =>
       d.withColumn(c, when(fresh, col(c)))
     }.drop("__rt")

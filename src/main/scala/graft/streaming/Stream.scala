@@ -545,6 +545,13 @@ object Stream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val stage = table + "__stage"
+        // Crash-recovery preamble (the mergeScd2Batch pattern): a crash
+        // between the drop and the rename below leaves only the stage
+        // table; promote it before staging this batch so the live table
+        // never stays missing across a restart.
+        if (!spark.catalog.tableExists(table) &&
+            spark.catalog.tableExists(stage))
+          spark.sql(s"ALTER TABLE $stage RENAME TO $table")
         val snap = batch.localCheckpoint()
         graft.io.Load.dropManaged(spark, stage)
         snap.write.saveAsTable(stage)
