@@ -251,12 +251,25 @@ object SparkEntry {
 
   /** Date cast + interval arithmetic — the reference's own integration
     * SQL shape `('2017-12-31'::date + row_number())::date`
-    * (tests/test_integration.py:166). Serialized as ISO strings for the
-    * cross-engine compare. */
+    * (tests/test_integration.py:166). The global row_number comes from
+    * the SAME two-phase distributed prefix sum as [[graft.ext.Pack
+    * .packShards]] and statsMannwhitney: orderkeys coarse-bucket by
+    * floor(key/2^16); only the TINY per-bucket offset relation sees an
+    * ordered window; within-bucket ranks run under a bucket-PARTITIONED
+    * window — no full-table single-partition sort at any scale. The
+    * oracle deliberately keeps the single-window global formulation
+    * (independent). Serialized as ISO strings for the cross-engine
+    * compare. */
   private def q22DateArith(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy("o_orderkey")
-    t(s, dir, "orders")
-      .select(col("o_orderkey"), row_number().over(w).as("rn"))
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"))
+      .withColumn("bkt", floor(col("o_orderkey") / 65536L).cast("long"))
+    val wOff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = o.groupBy("bkt").agg(count(lit(1)).as("btot"))
+      .withColumn("off", coalesce(sum("btot").over(wOff), lit(0L)))
+    val wIn = Window.partitionBy("bkt").orderBy("o_orderkey")
+    o.join(broadcast(offsets.select("bkt", "off")), Seq("bkt"))
+      .withColumn("rn", (col("off") + row_number().over(wIn)).cast("int"))
       .select(col("o_orderkey"),
         date_format(date_add(lit("2017-12-31").cast("date"), col("rn")), "yyyy-MM-dd").as("dt"))
       .orderBy("o_orderkey")
@@ -6325,10 +6338,14 @@ object SparkEntry {
     * rank vs log frequency through the closed-form OLS slope — the
     * one-number health check that a scraped corpus has a natural
     * vocabulary (slope ≈ −1) rather than boilerplate (flat) or spam
-    * (cliff). Rank window runs over the VOCABULARY (df ≥ 5, top
-    * 1000) — domain-bounded, the text_vocab class of global window.
-    * Log terms are per-row unary ops on exact ints; the OLS sums
-    * round at 6 dp and the rounded slope feeds the intercept
+    * (cliff). The top-1000 terms come from [[graft.functions.fx
+    * .topKByScore]] — the bounded-heap aggregate (map-side combinable,
+    * no global sort of ANY relation, vocabulary included). Ranks are
+    * positions in the heap output; the fit depends on a term only
+    * through its (rank, n) pair, and equal-n terms swap ranks without
+    * changing the multiset, so heap tie-breaking cannot perturb the
+    * statistic. Log terms are per-row unary ops on exact ints; the
+    * OLS sums round at 6 dp and the rounded slope feeds the intercept
     * (statsRegression staging). */
   private def textZipf(s: SparkSession, dir: String): DataFrame = {
     val tf = t(s, dir, "documents")
@@ -6336,9 +6353,10 @@ object SparkEntry {
       .groupBy("term").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 5)
     val ranked = tf
-      .withColumn("r", row_number().over(Window.orderBy(col("n").desc, col("term"))))
-      .filter(col("r") <= 1000)
-      .select(log(col("r")).as("x"), log(col("n")).as("y"))
+      .agg(graft.functions.fx.topKByScore(col("n").cast("double"),
+        xxhash64(col("term")), 1000).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "p")))
+      .select(log(col("pos") + lit(1.0)).as("x"), log(col("p.score")).as("y"))
     ranked.agg(
         count(lit(1)).as("n_terms"),
         round(sum("x"), 6).as("sx"), round(sum("y"), 6).as("sy"),

@@ -317,6 +317,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q22 global row_number: the orders-side window is bucket-partitioned") {
+    val df = SparkEntry.queries("q22_date_arith")(spark, TestSession.sf)
+    val simple = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    // the full-table rank must run under a window PARTITIONED by the
+    // coarse orderkey bucket; only the tiny per-bucket offset relation
+    // may see an unpartitioned window
+    val windowLines = simple.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.exists(_.contains("[bkt#")),
+      s"orders-side window must partition by bkt:\n${windowLines.mkString("\n")}")
+    assert(simple.contains("BroadcastHashJoin"),
+      s"bucket offsets must broadcast back, not shuffle orders:\n" + simple.take(1500))
+  }
+
+  test("text_zipf ranks the vocabulary with the heap aggregate, no window at all") {
+    val df = SparkEntry.queries("text_zipf")(spark, TestSession.sf)
+    val simple = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(!simple.contains("Window ["),
+      s"text_zipf must not contain any Window node:\n" + simple.take(1500))
+    assert(simple.contains("topk_by_score"),
+      s"expected the TopKByScore aggregate in the plan:\n" + simple.take(1500))
+  }
+
   test("bloom_join prunes the fact side with might_contain before the join") {
     val df = SparkEntry.queries("bloom_join")(spark, TestSession.sf)
     val simple = df.queryExecution.explainString(
