@@ -1369,7 +1369,7 @@ object SparkEntry {
   /** The shared part↔supplier bipartite graph: non-returned lines
     * point part → supplier, returned lines reverse the edge (so the
     * graph has real direction structure and dangling nodes). */
-  private def bipartiteEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def bipartiteEdges(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val fwd = li.filter(col("l_returnflag") =!= "R")
       .select(col("l_partkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
@@ -2508,7 +2508,7 @@ object SparkEntry {
     * co-supply alternative saturates to a complete graph on this
     * fixture (52M wedges) and is exactly the degenerate case the
     * line-number cap exists to avoid. */
-  private def coOccurrenceEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def coOccurrenceEdges(s: SparkSession, dir: String): DataFrame = {
     val ps = t(s, dir, "lineitem").filter(col("l_linenumber") <= 3)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
     ps.as("x").join(ps.as("y"),

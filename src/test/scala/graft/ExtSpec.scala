@@ -2627,4 +2627,62 @@ class ExtSpec extends AnyFunSuite {
     assert(row.getLong(4) == byQi.values.map(_.map(_._2).distinct.length).min,
       "l_diversity")
   }
+
+  // ---- Invariant gates for the replay-oracle graph families: the
+  // unrolled-recurrence oracles replay the engine's own recurrence, so
+  // a shared misreading would pass both sides. Each invariant below is
+  // a property of the DEFINITION (mass conservation, normalization,
+  // label closure, degeneracy), giving those families an independent
+  // tripwire.
+
+  test("pagerank invariant: dangling redistribution conserves total rank mass") {
+    val rows = SparkEntry.queries("graph_pagerank_dangling")(
+      spark, TestSession.sf).collect()
+    val n = rows.length.toDouble
+    val total = rows.map(_.getDouble(1)).sum
+    // exact recurrence keeps sum == N; per-node 6-dp rounding admits
+    // at most N * 5e-7 drift
+    assert(math.abs(total - n) <= n * 1e-6 + 1e-6,
+      s"rank mass $total must equal node count $n")
+  }
+
+  test("HITS invariant: max-normalized scores peak at exactly 1 on each side") {
+    val rows = SparkEntry.queries("graph_hits")(spark, TestSession.sf).collect()
+    val auth = rows.map(_.getDouble(1)); val hub = rows.map(_.getDouble(2))
+    assert(auth.forall(a => a >= 0.0 && a <= 1.0), "authority out of [0,1]")
+    assert(hub.forall(h => h >= 0.0 && h <= 1.0), "hub out of [0,1]")
+    assert(auth.max == 1.0, s"max authority ${auth.max} != 1")
+    assert(hub.max == 1.0, s"max hub ${hub.max} != 1")
+  }
+
+  test("LPA invariant: labels are node ids, one per node, with real coarsening") {
+    val rows = SparkEntry.queries("graph_lpa")(spark, TestSession.sf).collect()
+    val ids = rows.map(_.getLong(0)).toSet
+    assert(ids.size == rows.length, "one label row per node")
+    val labels = rows.map(_.getLong(1)).toSet
+    assert(labels.subsetOf(ids),
+      s"labels must come from the node-id space; aliens: ${(labels -- ids).take(5)}")
+    assert(labels.size < ids.size, "propagation must coarsen at least one label")
+    val mod = SparkEntry.queries("graph_modularity")(spark, TestSession.sf)
+      .collect()(0)
+    val q = mod.getDouble(mod.length - 1)
+    assert(q >= -0.5 && q <= 1.0, s"modularity $q outside [-0.5, 1]")
+  }
+
+  test("k-core invariant: the converged peel is degenerate and inside the 4-round peel") {
+    val edges = SparkEntry.coOccurrenceEdges(spark, TestSession.sf)
+    val converged = graft.ext.Graph.kCore(edges, k = 4, rounds = 32).collect()
+    assert(converged.nonEmpty, "sf graph should retain a 4-core")
+    // core_degree IS the degree within the surviving subgraph: at the
+    // fixpoint every member must meet the k bound (the definition)
+    for (r <- converged)
+      assert(r.getLong(1) >= 4L, s"node ${r.getLong(0)} degenerate: $r")
+    // peeling is monotone: the fixpoint core sits inside any bounded
+    // prefix of the peel, in particular the registry's 4-round run
+    val bounded = SparkEntry.queries("graph_kcore")(spark, TestSession.sf)
+      .collect().map(_.getLong(0)).toSet
+    val conv = converged.map(_.getLong(0)).toSet
+    assert(conv.subsetOf(bounded),
+      s"fixpoint core must be within the bounded peel; extras: ${(conv -- bounded).take(5)}")
+  }
 }
