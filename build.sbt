@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked run output straight through: sbt's default logger
+// prefixes every stdout line with "[info] ", which breaks any consumer
+// that json-parses the last line of `sbt runMain` output (all nine
+// BENCH_rN.json artifacts show parsed=null for exactly this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
