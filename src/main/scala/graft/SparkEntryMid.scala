@@ -1113,6 +1113,22 @@ trait SparkEntryMid extends SparkEntryBase {
       .orderBy("s_suppkey")
   }
 
+  /** Avro source/sink roundtrip — the row-oriented interchange format
+    * Spark 4 ships natively (spark-sql bundles the avro connector).
+    * Beyond the reference's csv/json/parquet whitelists, like ORC; the
+    * hop must be lossless, so the oracle reads the original parquet.
+    * Timestamps stay out of the projection: the events table's nanos
+    * column is the one type avro would coarsen (micros logical type). */
+  private[graft] def loadAvroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("customer_avro")
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"))
+      .write.format("org.apache.spark.sql.avro.AvroFileFormat").save(out)
+    s.read.format("org.apache.spark.sql.avro.AvroFileFormat")
+      .load(out).orderBy("c_custkey")
+  }
+
   /** Schema-evolution read (mergeSchema): half the table written under
     * a v1 schema (2 columns), half under a widened v2 (+1 column), read
     * back through parquet schema merging — the add-a-column migration

@@ -407,6 +407,9 @@ trait SparkEntryOracle extends SparkEntryTail {
     "load_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "load_avro_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     // the partitioned hop must be lossless too (partition column
     // round-trips through hive-style dirs)
     "unload_partitioned" ->
