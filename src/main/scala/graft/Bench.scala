@@ -24,9 +24,14 @@ object Bench {
     val only: Option[Set[String]] =
       if (args.length > 1) Some(args(1).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // local iteration knob for scale experiments: at sf1+ a fixed
+    // partitions==cores keeps per-partition sort-merge working sets
+    // growing with data; a real cluster scales this with executors
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
