@@ -407,6 +407,60 @@ trait SparkEntryOracle extends SparkEntryTail {
     "load_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "pipeline_pretrain" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, text, CAST(len($duckToks) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |qf AS (
+         |  SELECT doc_id, len($duckToks) AS nw,
+         |         len(list_filter($duckToks,
+         |           t -> t IN ('the','a','of','and','to','in','is','it','that','was'))) AS ns
+         |  FROM documents),
+         |q AS (
+         |  SELECT w.* FROM w JOIN qf USING (doc_id)
+         |  WHERE nw BETWEEN 60 AND 10000
+         |    AND CAST(ns AS DOUBLE) >= 0.05 * CAST(nw AS DOUBLE)),
+         |lp AS (SELECT doc_id FROM ($langidSql) WHERE lang_pred = 'en'),
+         |l AS (SELECT q.* FROM q JOIN lp USING (doc_id)),
+         |dd AS (SELECT min(doc_id) AS doc_id FROM l GROUP BY md5(text)),
+         |d AS (SELECT l.* FROM l JOIN dd USING (doc_id)),
+         |t3 AS (SELECT doc_id, $duckToks AS ts FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, greatest(len(ts) - 2, 0)),
+         |    i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i+1 AS INT)] || ' ' || ts[CAST(i+2 AS INT)]))) AS s3
+         |  FROM t3),
+         |ev AS (SELECT DISTINCT s3 FROM g WHERE doc_id % 50 = 0),
+         |corpus AS (SELECT * FROM d WHERE doc_id % 50 <> 0),
+         |bad AS (SELECT DISTINCT g.doc_id
+         |        FROM g JOIN ev USING (s3) JOIN corpus USING (doc_id)),
+         |dec AS (SELECT * FROM corpus
+         |        WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+         |pk AS (
+         |  SELECT n_tokens,
+         |         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+         |  FROM dec),
+         |sh AS (SELECT n_tokens,
+         |         CAST(floor(CAST(pre AS DOUBLE) / 2000.0) AS BIGINT) AS shard_id
+         |       FROM pk)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS stage_ord, 'ingest' AS stage,
+         |         CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |         CAST(0 AS BIGINT) AS n_shards FROM w
+         |  UNION ALL SELECT 2, 'quality', CAST(count(*) AS BIGINT),
+         |         CAST(sum(n_tokens) AS BIGINT), 0 FROM q
+         |  UNION ALL SELECT 3, 'langid', CAST(count(*) AS BIGINT),
+         |         CAST(sum(n_tokens) AS BIGINT), 0 FROM l
+         |  UNION ALL SELECT 4, 'dedup', CAST(count(*) AS BIGINT),
+         |         CAST(sum(n_tokens) AS BIGINT), 0 FROM d
+         |  UNION ALL SELECT 5, 'decontam', CAST(count(*) AS BIGINT),
+         |         CAST(sum(n_tokens) AS BIGINT), 0 FROM dec
+         |  UNION ALL SELECT 6, 'pack', CAST(count(*) AS BIGINT),
+         |         CAST(sum(n_tokens) AS BIGINT),
+         |         CAST(max(shard_id) + 1 AS BIGINT) FROM sh)
+         |ORDER BY stage_ord""".stripMargin,
     "load_avro_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal
         |FROM customer ORDER BY c_custkey""".stripMargin,

@@ -1823,4 +1823,57 @@ trait SparkEntryTail extends SparkEntryMid {
       |             sqrt((2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)) /
       |                  ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 6) AS z
       |FROM a""".stripMargin
+
+  /** The flagship end-to-end pretraining-data pipeline — the composed
+    * story every other family plays a part in, as ONE call: ingest →
+    * C4/Gopher quality rules ([[graft.ext.Text.qualityFilter]]) →
+    * language routing ([[graft.ext.Text.langIdDf]], keep 'en') → exact
+    * dedup (md5 groups, min-id survivor) → eval-set decontamination
+    * ([[graft.ext.Dedup.decontaminate]], 3-grams vs the held-out
+    * doc_id%50==0 slice) → token-budget shard packing ([[graft.ext
+    * .Pack.packShards]], 2000-token shards). Output is the stage
+    * funnel — (stage, docs, tokens) after each pass plus the final
+    * shard count — the observability row a 100 TB curation run logs.
+    *
+    * Scale shape: every stage is the already-audited operator —
+    * per-row predicates, keyed aggs, a broadcast of the (bounded)
+    * eval-gram set, and the two-phase prefix pack; nothing here adds
+    * a shuffle the stages don't own. The oracle replays each stage's
+    * published SQL formulation and unions the same funnel. */
+  private[graft] def pipelinePretrain(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val base = docs.select(col("doc_id"), col("text"),
+      graft.functions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val afterQuality = Text.qualityFilter(base,
+      minWords = 60, maxWords = 10000, minStopRatio = 0.05)
+    val english = Text.langIdDf(docs)
+      .filter(col("lang_pred") === "en").select("doc_id")
+    val afterLang = afterQuality.join(english, Seq("doc_id"), "left_semi")
+    val survivors = afterLang.groupBy(md5(col("text")).as("k"))
+      .agg(min("doc_id").as("doc_id"))
+    val afterDedup = afterLang.join(survivors.select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val evalSet = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+    val afterDecontam = Dedup.decontaminate(
+      afterDedup.filter(pmod(col("doc_id"), lit(50)) =!= 0), evalSet, n = 3)
+    val packed = graft.ext.Pack.packShards(
+      afterDecontam.select("doc_id", "n_tokens"), "doc_id", "n_tokens",
+      budget = 2000L)
+    def funnelRow(ord: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+        .select(lit(ord.toLong).as("stage_ord"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"), lit(0L).as("n_shards"))
+    val packRow = packed
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        (max("shard_id") + 1L).as("n_shards"))
+      .select(lit(6L).as("stage_ord"), lit("pack").as("stage"),
+        col("n_docs"), col("n_tokens"), col("n_shards"))
+    funnelRow(1, "ingest", base)
+      .unionByName(funnelRow(2, "quality", afterQuality))
+      .unionByName(funnelRow(3, "langid", afterLang))
+      .unionByName(funnelRow(4, "dedup", afterDedup))
+      .unionByName(funnelRow(5, "decontam", afterDecontam))
+      .unionByName(packRow)
+      .orderBy("stage_ord")
+  }
 }

@@ -2669,6 +2669,30 @@ class ExtSpec extends AnyFunSuite {
     assert(q >= -0.5 && q <= 1.0, s"modularity $q outside [-0.5, 1]")
   }
 
+  test("pretrain pipeline funnel: monotone, stage-consistent, shards bounded") {
+    val rows = SparkEntry.queries("pipeline_pretrain")(spark, TestSession.sf)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("ingest", "quality", "langid", "dedup", "decontam", "pack"))
+    // docs and tokens never increase through the funnel
+    for (Array(a, b) <- rows.sliding(2).map(_.toArray)) {
+      assert(b.getLong(2) <= a.getLong(2), s"docs grew: $a -> $b")
+      assert(b.getLong(3) <= a.getLong(3), s"tokens grew: $a -> $b")
+    }
+    // the quality stage must agree with the standalone text_filter query
+    val tf = SparkEntry.queries("text_filter")(spark, TestSession.sf).count()
+    assert(rows(1).getLong(2) == tf,
+      s"quality stage ${rows(1).getLong(2)} != text_filter $tf")
+    // pack preserves the decontam survivors and stays within the
+    // prefix-packing shard-count envelope
+    val dec = rows(4); val pack = rows(5)
+    assert(pack.getLong(2) == dec.getLong(2) && pack.getLong(3) == dec.getLong(3))
+    val nShards = pack.getLong(4)
+    assert(nShards >= 1 && nShards <= pack.getLong(2))
+    assert(nShards <= pack.getLong(3) / 2000L + 1L,
+      s"$nShards shards exceeds the prefix bound for ${pack.getLong(3)} tokens")
+  }
+
   test("k-core invariant: the converged peel is degenerate and inside the 4-round peel") {
     val edges = SparkEntry.coOccurrenceEdges(spark, TestSession.sf)
     val converged = graft.ext.Graph.kCore(edges, k = 4, rounds = 32).collect()
