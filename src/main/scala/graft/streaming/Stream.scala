@@ -534,6 +534,14 @@ object Stream {
   def runCheckpointed(spark: SparkSession, dir: String, checkpoint: String,
       table: String, window_ : String = "1 hour",
       maxFilesPerTrigger: Int = 1): Long = {
+    // Crash recovery BEFORE streaming: if a previous run died between
+    // its drop and rename, only the stage table survives — and if the
+    // checkpoint has already seen every input file, no batch will fire
+    // to run the in-batch preamble. Promote the stage eagerly so a
+    // bare restart always restores the live table.
+    if (!spark.catalog.tableExists(table) &&
+        spark.catalog.tableExists(table + "__stage"))
+      spark.sql(s"ALTER TABLE ${table}__stage RENAME TO $table")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dir).schema
     val stream = normalizeTs(

@@ -2669,6 +2669,30 @@ class ExtSpec extends AnyFunSuite {
     assert(q >= -0.5 && q <= 1.0, s"modularity $q outside [-0.5, 1]")
   }
 
+  test("runCheckpointed heals a crash between table drop and stage rename") {
+    val base = java.nio.file.Files.createTempDirectory("graft_crash").toString
+    val dataDir = s"$base/data"; val cp = s"$base/cp"
+    val table = "graft_crash_spec"
+    graft.io.Load.dropManaged(spark, table)
+    graft.io.Load.dropManaged(spark, table + "__stage")
+    val ev = Stream.normalizeTs(
+      spark.read.parquet(s"${TestSession.sf}/events.parquet"))
+    ev.limit(2000).repartition(2).write.parquet(dataDir)
+    assert(Stream.runCheckpointed(spark, dataDir, cp, table) > 0)
+    val want = spark.table(table).collect().map(_.toString).sorted.toSeq
+    // simulate the crash window: live table dropped, stage left behind
+    spark.sql(s"ALTER TABLE $table RENAME TO ${table}__stage")
+    assert(!spark.catalog.tableExists(table))
+    // bare restart with NO new files: zero batches fire, yet the
+    // eager preamble must still restore the live table from the stage
+    val r2 = Stream.runCheckpointed(spark, dataDir, cp, table)
+    assert(r2 == 0, s"restart must not re-ingest, got $r2 rows")
+    assert(spark.catalog.tableExists(table), "live table not restored")
+    val got = spark.table(table).collect().map(_.toString).sorted.toSeq
+    assert(got == want, "restored table must carry the pre-crash state")
+    graft.io.Load.dropManaged(spark, table)
+  }
+
   test("pretrain pipeline funnel: monotone, stage-consistent, shards bounded") {
     val rows = SparkEntry.queries("pipeline_pretrain")(spark, TestSession.sf)
       .collect().sortBy(_.getLong(0))
