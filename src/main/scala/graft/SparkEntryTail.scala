@@ -1876,4 +1876,22 @@ trait SparkEntryTail extends SparkEntryMid {
       .unionByName(packRow)
       .orderBy("stage_ord")
   }
+
+  /** Streaming near-dup dedup ([[graft.streaming.Stream
+    * .foreachBatchNearDup]]): documents stream in two micro-batches
+    * (even ids, then odd); each batch near-dups within itself
+    * (keep-first by id) and against the accumulated accepted corpus
+    * before appending — the daily-ingest-at-100-TB contract run
+    * through the real micro-batch engine. Output is the final
+    * accepted corpus. Oracle: the recall-1-assumed exact-Jaccard
+    * replay of both batch steps (the dedup_minhash oracle contract:
+    * the verify stage makes precision exact; 16 bands at this scale
+    * make banding recall 1, so the accepted set is determined by the
+    * exact pair set alone). */
+  private[graft] def streamDedupNeardup(s: SparkSession, dir: String): DataFrame =
+    Stream.foreachBatchNearDup(s,
+        t(s, dir, "documents").select("doc_id", "text"),
+        batch2Pred = pmod(col("doc_id"), lit(2)) === 1, threshold = 0.8)
+      .select(col("doc_id"), fingerprintMd5(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
 }

@@ -799,6 +799,94 @@ object Stream {
     spark.table(table)
   }
 
+  /** Streaming NEAR-dup deduplication: documents arrive in micro-
+    * batches; each batch is (1) near-dup'd within itself (MinHash-LSH
+    * banding + exact shingle-Jaccard verify ≥ `threshold`, drop any
+    * doc with a qualifying pair to a SMALLER id — the deterministic
+    * keep-first rule), then (2) checked against the ACCUMULATED
+    * accepted corpus ([[graft.ext.Dedup.minhashIncrementPairs]] —
+    * banded batch×corpus join, never corpus²), and only novel docs
+    * append to the state table. This is the streaming face of the
+    * daily-ingest contract: the corpus is an append-only table, each
+    * ingest pays O(batch · collisions).
+    *
+    * The state table swaps via the staged rename with the same
+    * crash-recovery preamble as [[mergeUpsertBatch]]; replaying a
+    * batch whose docs were all accepted/rejected re-derives the
+    * identical table (the accept rule is a pure function of the
+    * accumulated id-ordered corpus). */
+  def mergeNearDupBatch(spark: SparkSession, table: String,
+      batch: DataFrame, threshold: Double = 0.8): Unit = {
+    val stage = table + "__stage"
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(stage))
+      spark.sql(s"ALTER TABLE $stage RENAME TO $table")
+    if (batch.isEmpty) return
+    val withinPairs = graft.ext.Dedup.minhashNearDupes(
+      batch, threshold, k = 64, bands = 16, shingle = 5)
+    val withinSurv = batch.join(
+      withinPairs.select(col("id_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    val merged =
+      if (!spark.catalog.tableExists(table)) withinSurv
+      else {
+        val corpus = spark.table(table)
+        val cross = graft.ext.Dedup.minhashIncrementPairs(
+          corpus, withinSurv, threshold, k = 64, bands = 16, shingle = 5)
+        corpus.unionByName(withinSurv.join(
+          cross.select(col("batch_id").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti"))
+      }
+    val snap = merged.localCheckpoint()
+    graft.io.Load.dropManaged(spark, stage)
+    snap.write.saveAsTable(stage)
+    graft.io.Load.dropManaged(spark, table)
+    spark.sql(s"ALTER TABLE $stage RENAME TO $table")
+    graft.core.Lineage.release(snap)
+    ()
+  }
+
+  /** Two-micro-batch near-dup dedup run over a document set split by
+    * `batch2Pred` — the [[foreachBatchScd2]] harness shape driving
+    * [[mergeNearDupBatch]]. Returns the final accepted-corpus table. */
+  def foreachBatchNearDup(
+      spark: SparkSession,
+      docs: DataFrame,
+      batch2Pred: org.apache.spark.sql.Column,
+      threshold: Double = 0.8,
+      table: String = "graft_stream_neardup"
+  ): DataFrame = {
+    import spark.implicits._
+    // HARNESS BOUNDARY: driver-side collect is fixture-bounded (the
+    // two-batch split needs explicit MemoryStream batch control). The
+    // 100 TB path is the file-source runner family + [[mergeNearDupBatch]],
+    // which never collects.
+    val rows = docs
+      .select(col("doc_id").cast("long"), col("text"),
+        coalesce(batch2Pred.cast("boolean"), lit(false)))
+      .collect()
+    def part(second: Boolean) = rows.filter(_.getBoolean(2) == second)
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    graft.io.Load.dropManaged(spark, table)
+    graft.io.Load.dropManaged(spark, table + "__stage")
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](
+        implicitly[org.apache.spark.sql.Encoder[(Long, String)]],
+        spark.sqlContext)
+    val stream = ms.toDF().toDF("doc_id", "text")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeNearDupBatch(spark, table, batch, threshold)
+      }
+      .start()
+    try {
+      ms.addData(part(second = false))
+      q.processAllAvailable()
+      ms.addData(part(second = true))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(table)
+  }
+
   /** One SCD2 micro-batch merge (the [[foreachBatchScd2]] batch body):
     * re-version ONLY the batch's affected keys — their existing
     * history rows reduce back to raw (ts, event_id, value) facts

@@ -2693,6 +2693,30 @@ class ExtSpec extends AnyFunSuite {
     graft.io.Load.dropManaged(spark, table)
   }
 
+  test("streaming near-dup: accepted corpus is pairwise clean, rejects are real dups") {
+    val docs = spark.read.parquet(s"${TestSession.sf}/documents.parquet")
+      .select("doc_id", "text")
+    val accepted = graft.streaming.Stream.foreachBatchNearDup(spark, docs,
+      batch2Pred = pmod(col("doc_id"), lit(2)) === 1, threshold = 0.8,
+      table = "graft_neardup_spec")
+    val nAll = docs.count(); val nAcc = accepted.count()
+    assert(nAcc > 0 && nAcc < nAll,
+      s"expected a strict subset, got $nAcc of $nAll")
+    // the accept rule guarantees NO >= 0.8 pair survives in the corpus
+    val residual = graft.ext.Dedup.minhashNearDupes(
+      accepted, 0.8, k = 64, bands = 16, shingle = 5).count()
+    assert(residual == 0, s"$residual near-dup pairs left in accepted corpus")
+    // every rejected doc really has a qualifying partner somewhere
+    val rejected = docs.join(accepted.select("doc_id"), Seq("doc_id"), "left_anti")
+    val allPairs = graft.ext.Dedup.minhashNearDupes(
+      docs, 0.8, k = 64, bands = 16, shingle = 5)
+    val paired = allPairs.select(col("id_a").as("doc_id"))
+      .union(allPairs.select(col("id_b").as("doc_id"))).distinct()
+    val orphans = rejected.join(paired, Seq("doc_id"), "left_anti").count()
+    assert(orphans == 0, s"$orphans docs rejected without any near-dup pair")
+    graft.io.Load.dropManaged(spark, "graft_neardup_spec")
+  }
+
   test("pretrain pipeline funnel: monotone, stage-consistent, shards bounded") {
     val rows = SparkEntry.queries("pipeline_pretrain")(spark, TestSession.sf)
       .collect().sortBy(_.getLong(0))
