@@ -407,6 +407,36 @@ trait SparkEntryOracle extends SparkEntryTail {
     "load_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "pack_curriculum" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(len($duckToks) AS BIGINT) AS n_tokens,
+         |    len($duckToks) AS nw,
+         |    round(CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+         |          / greatest(length(text), 1), 6) AS pr,
+         |    round(CAST(len(list_filter($duckToks,
+         |            t -> t IN ('the','a','of','and','to','in','is','it','that','was'))) AS DOUBLE)
+         |          / greatest(len($duckToks), 1), 6) AS sr
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id, n_tokens,
+         |    round(((CASE WHEN nw BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END)
+         |         + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)
+         |         + (CASE WHEN sr >= 0.05 THEN 1.0 ELSE 0.5 END)) / 3.0, 6) AS score
+         |  FROM f),
+         |tq AS (
+         |  SELECT doc_id, n_tokens,
+         |         6 - CAST(round(score * 6.0, 0) AS BIGINT) AS tier
+         |  FROM sc),
+         |o AS (SELECT *, tier * 1099511627776 + doc_id AS ord FROM tq),
+         |pk AS (
+         |  SELECT doc_id, tier, n_tokens,
+         |         coalesce(sum(n_tokens) OVER (ORDER BY ord
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+         |  FROM o)
+         |SELECT doc_id, tier, n_tokens,
+         |       CAST(floor(CAST(pre AS DOUBLE) / 2000.0) AS BIGINT) AS shard_id
+         |FROM pk ORDER BY doc_id""".stripMargin,
     "stream_dedup_neardup" ->
       s"""$duckShingleCte, pairs AS (
          |  SELECT id_a, id_b FROM inter

@@ -1894,4 +1894,27 @@ trait SparkEntryTail extends SparkEntryMid {
         batch2Pred = pmod(col("doc_id"), lit(2)) === 1, threshold = 0.8)
       .select(col("doc_id"), fingerprintMd5(col("text")).as("fingerprint"))
       .orderBy("doc_id")
+
+  /** Curriculum-ordered shard packing: documents pack into 2000-token
+    * shards ordered by QUALITY TIER first (tier 0 = the composite
+    * [[graft.ext.Text.qualityScore]] at 1.0, tier 5 = worst), id
+    * second — so shard 0..k serve the cleanest data first, the
+    * curriculum/annealing data-order knob (quality-first scheduling)
+    * a pretraining run wants without a corpus-wide sort: the order key
+    * is synthesized (tier · 2⁴⁰ + doc_id) and packing is the same
+    * two-phase distributed prefix sum as [[graft.ext.Pack
+    * .packShards]]. Oracle replays score → tier → ordered prefix in
+    * SQL. */
+  private[graft] def packCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val base = docs.select(col("doc_id"),
+      graft.functions.tokenCount(col("text")).cast("long").as("n_tokens"),
+      (lit(6L) - round(Text.qualityScore(col("text")) * 6.0, 0).cast("long"))
+        .as("tier"))
+    val withOrd = base.withColumn("__ord",
+      col("tier") * lit(1L << 40) + col("doc_id"))
+    graft.ext.Pack.packShards(withOrd, "__ord", "n_tokens", budget = 2000L)
+      .select(col("doc_id"), col("tier"), col("n_tokens"), col("shard_id"))
+      .orderBy("doc_id")
+  }
 }
