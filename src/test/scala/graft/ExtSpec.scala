@@ -2717,6 +2717,39 @@ class ExtSpec extends AnyFunSuite {
     graft.io.Load.dropManaged(spark, "graft_neardup_spec")
   }
 
+  test("near-dup batch merge: replaying a delivered batch is a no-op") {
+    val docs = spark.read.parquet(s"${TestSession.sf}/documents.parquet")
+      .select("doc_id", "text")
+    val table = "graft_neardup_replay"
+    graft.io.Load.dropManaged(spark, table)
+    graft.io.Load.dropManaged(spark, table + "__stage")
+    val b1 = docs.filter(col("doc_id") % 2 === 0)
+    val b2 = docs.filter(col("doc_id") % 2 === 1)
+    graft.streaming.Stream.mergeNearDupBatch(spark, table, b1)
+    graft.streaming.Stream.mergeNearDupBatch(spark, table, b2)
+    val once = spark.table(table).collect().map(_.getLong(0)).sorted.toSeq
+    // at-least-once delivery: the same batch arrives again — every doc
+    // is either already accepted (self-pair at J=1 rejects it) or was
+    // rejected before for the same reason, so the corpus is unchanged
+    graft.streaming.Stream.mergeNearDupBatch(spark, table, b2)
+    val twice = spark.table(table).collect().map(_.getLong(0)).sorted.toSeq
+    assert(twice == once, "replayed batch must not change the corpus")
+    graft.io.Load.dropManaged(spark, table)
+  }
+
+  test("empty inputs: near-dup merge, dedup pairs and pagerank degrade cleanly") {
+    import spark.implicits._
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val table = "graft_neardup_empty"
+    graft.io.Load.dropManaged(spark, table)
+    graft.streaming.Stream.mergeNearDupBatch(spark, table, emptyDocs)
+    assert(!spark.catalog.tableExists(table),
+      "an empty first batch must not create the state table")
+    assert(graft.ext.Dedup.minhashNearDupes(emptyDocs, 0.8).count() == 0)
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.ext.Graph.pageRank(emptyEdges, iterations = 2).count() == 0)
+  }
+
   test("pretrain pipeline funnel: monotone, stage-consistent, shards bounded") {
     val rows = SparkEntry.queries("pipeline_pretrain")(spark, TestSession.sf)
       .collect().sortBy(_.getLong(0))
