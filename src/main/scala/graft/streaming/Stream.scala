@@ -820,10 +820,15 @@ object Stream {
     val stage = table + "__stage"
     if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(stage))
       spark.sql(s"ALTER TABLE $stage RENAME TO $table")
-    if (batch.isEmpty) return
+    // snapshot BEFORE any action (even isEmpty reads the source): the
+    // merge evaluates the batch several times (signatures, shingle
+    // arrays, anti-joins), and inside foreachBatch each re-evaluation
+    // would re-scan the source file
+    val b = batch.localCheckpoint()
+    if (b.isEmpty) { graft.core.Lineage.release(b); return }
     val withinPairs = graft.ext.Dedup.minhashNearDupes(
-      batch, threshold, k = 64, bands = 16, shingle = 5)
-    val withinSurv = batch.join(
+      b, threshold, k = 64, bands = 16, shingle = 5)
+    val withinSurv = b.join(
       withinPairs.select(col("id_b").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
     val merged =
@@ -841,8 +846,37 @@ object Stream {
     snap.write.saveAsTable(stage)
     graft.io.Load.dropManaged(spark, table)
     spark.sql(s"ALTER TABLE $stage RENAME TO $table")
-    graft.core.Lineage.release(snap)
+    graft.core.Lineage.release(snap, b)
     ()
+  }
+
+  /** The 100 TB path for streaming near-dup dedup: a checkpointed
+    * file-source run over a document directory, one micro-batch per
+    * file, each batch merged by [[mergeNearDupBatch]] — no driver-side
+    * collect anywhere; restarting against the same checkpoint ingests
+    * only unseen files (the [[runCheckpointed]] recovery contract,
+    * including its eager stage-promotion preamble). Returns rows
+    * ingested THIS run. */
+  def runNearDupDir(spark: SparkSession, dir: String, checkpoint: String,
+      table: String, threshold: Double = 0.8,
+      maxFilesPerTrigger: Int = 1): Long = {
+    if (!spark.catalog.tableExists(table) &&
+        spark.catalog.tableExists(table + "__stage"))
+      spark.sql(s"ALTER TABLE ${table}__stage RENAME TO $table")
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeNearDupBatch(spark, table, batch, threshold)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.recentProgress.map(_.numInputRows).sum
   }
 
   /** Two-micro-batch near-dup dedup run over a document set split by

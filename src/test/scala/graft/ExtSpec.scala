@@ -2717,6 +2717,34 @@ class ExtSpec extends AnyFunSuite {
     graft.io.Load.dropManaged(spark, "graft_neardup_spec")
   }
 
+  test("near-dup file-source runner: resumable, equals the MemoryStream result") {
+    val docs = spark.read.parquet(s"${TestSession.sf}/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft_nddir").toString
+    val dataDir = s"$base/docs"; val cp = s"$base/cp"
+    val table = "graft_neardup_dir"
+    graft.io.Load.dropManaged(spark, table)
+    graft.io.Load.dropManaged(spark, table + "__stage")
+    // file 1 = even ids, file 2 (written later) = odd ids — the same
+    // split the MemoryStream harness drives, now through the real
+    // checkpointed file source, one micro-batch per file
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(dataDir)
+    val r1 = graft.streaming.Stream.runNearDupDir(spark, dataDir, cp, table)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(dataDir)
+    val r2 = graft.streaming.Stream.runNearDupDir(spark, dataDir, cp, table)
+    assert(r1 > 0 && r2 > 0 && r1 + r2 == docs.count(),
+      s"two runs must ingest exactly the corpus: $r1 + $r2")
+    val got = spark.table(table).collect().map(_.getLong(0)).sorted.toSeq
+    val want = graft.streaming.Stream.foreachBatchNearDup(spark, docs,
+        batch2Pred = pmod(col("doc_id"), lit(2)) === 1,
+        table = "graft_neardup_dir_ms")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want, "file-source corpus must equal the MemoryStream corpus")
+    graft.io.Load.dropManaged(spark, table)
+    graft.io.Load.dropManaged(spark, "graft_neardup_dir_ms")
+  }
+
   test("near-dup batch merge: replaying a delivered batch is a no-op") {
     val docs = spark.read.parquet(s"${TestSession.sf}/documents.parquet")
       .select("doc_id", "text")
