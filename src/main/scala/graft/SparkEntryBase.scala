@@ -635,12 +635,16 @@ trait SparkEntryBase {
         lit(2L) * col("cnt") * col("cumStart") +
           col("cnt") * (col("cnt") + 1L) -
           col("cnt") * (col("n") + 1L))
+    // num ≈ n·Σx·G crosses int64 near 100× sf1 (the stats_spearman
+    // overflow class, caught by the round-10 sf1 gate) — sum in
+    // DECIMAL(38,0) and multiply n·s in double, mirroring the
+    // oracle's native HUGEINT accumulation
     ranked.agg(first("n").as("n"),
         sum(col("cnt") * col("cents")).as("s"),
-        sum(col("coeff") * col("cents")).as("num"))
+        sum((col("coeff") * col("cents")).cast("decimal(38,0)")).as("num"))
       .select(col("n"), col("s").as("total_cents"),
         round(col("num").cast("double") /
-          (col("n") * col("s")).cast("double"), 6).as("gini"))
+          (col("n").cast("double") * col("s").cast("double")), 6).as("gini"))
   }
 
   private[graft] val statsGiniSql: String =

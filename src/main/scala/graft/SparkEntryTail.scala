@@ -1155,11 +1155,18 @@ trait SparkEntryTail extends SparkEntryMid {
     val joined = li
       .join(broadcast(xr.select("x", "r2x")), Seq("x"))
       .join(yr.select("y", "r2y"), Seq("y"))
+    // Sufficient sums in DECIMAL(38,0): Σ r2y² ≈ 8.6e20 at sf1 — past
+    // int64, where Spark's long sum would WRAP silently (caught by the
+    // round-10 sf1 correctness run; the DuckDB oracle errored on the
+    // same overflow). Decimal sums stay exact integers; the one cast
+    // to double below is the same IEEE op on both engines.
     val a = joined.agg(
-      count(lit(1)).as("n"), sum("r2x").as("sx"), sum("r2y").as("sy"),
-      sum(col("r2x") * col("r2x")).as("sxx"),
-      sum(col("r2y") * col("r2y")).as("syy"),
-      sum(col("r2x") * col("r2y")).as("sxy"))
+      count(lit(1)).as("n"),
+      sum(col("r2x").cast("decimal(38,0)")).as("sx"),
+      sum(col("r2y").cast("decimal(38,0)")).as("sy"),
+      sum((col("r2x") * col("r2x")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("r2y") * col("r2y")).cast("decimal(38,0)")).as("syy"),
+      sum((col("r2x") * col("r2y")).cast("decimal(38,0)")).as("sxy"))
     a.select(col("n"),
       round((col("n").cast("double") * col("sxy").cast("double") -
           col("sx").cast("double") * col("sy").cast("double")) /
@@ -1179,10 +1186,10 @@ trait SparkEntryTail extends SparkEntryMid {
       |             + count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS r2y
       |      FROM li),
       |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
-      |        CAST(sum(r2x) AS BIGINT) AS sx, CAST(sum(r2y) AS BIGINT) AS sy,
-      |        CAST(sum(r2x * r2x) AS BIGINT) AS sxx,
-      |        CAST(sum(r2y * r2y) AS BIGINT) AS syy,
-      |        CAST(sum(r2x * r2y) AS BIGINT) AS sxy
+      |        sum(r2x) AS sx, sum(r2y) AS sy,
+      |        sum(r2x * r2x) AS sxx,
+      |        sum(r2y * r2y) AS syy,
+      |        sum(r2x * r2y) AS sxy
       |      FROM r)
       |SELECT n,
       |       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
