@@ -341,6 +341,19 @@ class PlanSpec extends AnyFunSuite {
       s"expected the TopKByScore aggregate in the plan:\n" + simple.take(1500))
   }
 
+  test("curriculum and pipeline packing stay on the bucket-partitioned prefix plan") {
+    for (q <- Seq("pack_curriculum", "pipeline_pretrain")) {
+      val df = SparkEntry.queries(q)(spark, TestSession.sf)
+      val simple = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      val windowLines = simple.linesIterator.filter(_.contains("Window [")).toSeq
+      assert(windowLines.exists(_.contains("[__bucket#")),
+        s"$q: pack prefix must run under a __bucket-partitioned window:\n" +
+          windowLines.mkString("\n"))
+      assert(!simple.contains("CartesianProduct"), q)
+    }
+  }
+
   test("bloom_join prunes the fact side with might_contain before the join") {
     val df = SparkEntry.queries("bloom_join")(spark, TestSession.sf)
     val simple = df.queryExecution.explainString(
