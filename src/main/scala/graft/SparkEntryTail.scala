@@ -1018,7 +1018,10 @@ trait SparkEntryTail extends SparkEntryMid {
       sum("cntA").as("nA"),
       (sum("cnt") - sum("cntA")).as("nB"),
       round(sum(col("cntA").cast("double") * col("avgRank")), 6).as("rA"),
-      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tsum"))
+      // tie term Σ(c³−c) in DECIMAL: a hot value's count cubes past
+      // int64 at extreme scale (the stats_spearman overflow class)
+      sum((col("cnt") * col("cnt")).cast("decimal(38,0)") * col("cnt") -
+        col("cnt")).as("tsum"))
     agg.select(
         col("nA").as("n_a"), col("nB").as("n_b"),
         round(col("rA") - (col("nA") * (col("nA") + 1L)) / lit(2), 6).as("u_a"),
@@ -1103,7 +1106,7 @@ trait SparkEntryTail extends SparkEntryMid {
       |         rank() OVER (ORDER BY v)
       |           + (count(*) OVER (PARTITION BY v) - 1) / 2.0 AS ar
       |  FROM ev),
-      |t AS (SELECT CAST(sum(c * c * c - c) AS BIGINT) AS tsum
+      |t AS (SELECT sum(CAST(c AS HUGEINT) * c * c - c) AS tsum
       |      FROM (SELECT count(*) AS c FROM ev GROUP BY v)),
       |a AS (
       |  SELECT CAST(sum(CASE WHEN grp = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS nA,
