@@ -417,6 +417,27 @@ class ExtSpec extends AnyFunSuite {
     assert(enc(0).getLong(2) == 4L, s"subwords aa|ab + aa|b = 4, got ${enc(0).getLong(2)}")
   }
 
+  test("BPE invariants on the corpus: subword counts shrink monotonically, bounded below by words") {
+    val docs = spark.read.parquet(s"${TestSession.sf}/documents.parquet")
+      .select("doc_id", "text").limit(100)
+    val merges = graft.ext.Text.bpeTrain(docs, nMerges = 6).orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.size == 6)
+    // each additional merge can only JOIN symbols: total subword count
+    // is non-increasing in the merge prefix, and never drops below one
+    // subword per word — the invariant no shared engine/oracle
+    // misreading of the merge rule can fake
+    var prev = Long.MaxValue
+    for (k <- 1 to merges.size) {
+      val enc = graft.ext.Text.bpeEncode(docs, merges.take(k))
+        .agg(sum("n_subwords"), sum("n_words")).head()
+      val (nSub, nWords) = (enc.getLong(0), enc.getLong(1))
+      assert(nSub <= prev, s"merge $k grew subwords: $prev -> $nSub")
+      assert(nSub >= nWords, s"merge $k went below one subword per word")
+      prev = nSub
+    }
+  }
+
   test("quantile_approx: every sketch estimate re-ranks within tolerance") {
     val rows = SparkEntry.queries("quantile_approx")(spark, TestSession.sf).collect()
     assert(rows.length == 12, s"3 flags x 4 quantiles expected, got ${rows.length}")
