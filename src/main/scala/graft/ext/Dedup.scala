@@ -220,6 +220,88 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash signature as ONE array column `(id, sig)` — the storable
+    * form: a streaming/incremental consumer persists it with the doc
+    * and re-derives band buckets from the array without ever touching
+    * the text again ([[bandedFromSig]]). Element i == column `mi` of
+    * [[minhashSignatures]] exactly. */
+  def sigArrays(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 64,
+      shingle: Int = 5
+  ): DataFrame = {
+    val sig = minhashSignatures(docs, idCol, textCol, k, shingle)
+    sig.select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** Sorted hashed-shingle arrays `(id, sz, hs)` — the storable verify
+    * side: the exact-Jaccard verify needs only these, so a stored
+    * corpus row never re-shingles. Identical to the arrays
+    * [[minhashNearDupes]] builds inline. */
+  def hashedShingleArrays(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingle: Int = 5
+  ): DataFrame =
+    docs.select(col(idCol).as("id"), charShingles(col(textCol), shingle).as("sh"))
+      .select(col("id"), size(col("sh")).as("sz"),
+        array_sort(array_distinct(transform(col("sh"), s => xxhash64(s)))).as("hs"))
+
+  /** Band buckets from a STORED signature array — bit-identical to the
+    * text-path banding (same xxhash64 over the same minima), so stored
+    * and fresh relations join against each other freely. */
+  def bandedFromSig(sig: DataFrame, k: Int = 64, bands: Int = 16): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val rowsPerBand = k / bands
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand)
+        .map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
+      xxhash64((cols :+ lit(b)): _*)
+    }
+    sig.select(col("id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+  }
+
+  /** Within-set near-dup pairs from STORED (sig, hashed) relations —
+    * [[minhashNearDupes]] semantics without touching any text. */
+  def nearDupePairsStored(sig: DataFrame, hashed: DataFrame,
+      threshold: Double, k: Int = 64, bands: Int = 16): DataFrame = {
+    val banded = bandedFromSig(sig, k, bands)
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        F.col("a.band") === F.col("b.band") &&
+          F.col("a.bucket") === F.col("b.bucket") &&
+          F.col("a.id") < F.col("b.id"))
+      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"))
+      .distinct()
+    verifyJaccard(cands, hashed, threshold)
+  }
+
+  /** Batch-vs-corpus near-dup pairs where BOTH sides are stored
+    * relations — [[minhashIncrementPairs]] without reprocessing the
+    * corpus text: the corpus contributes only its persisted signature
+    * and shingle-hash arrays, so each ingest's CPU is O(batch) text
+    * work plus the banded join over compact stored rows. (At 100 TB
+    * the stored band relation would additionally be bucketed by
+    * (band, bucket) so the join prunes to colliding buckets.) */
+  def minhashIncrementPairsStored(
+      corpusSig: DataFrame, corpusHashed: DataFrame,
+      batchSig: DataFrame, batchHashed: DataFrame,
+      threshold: Double, k: Int = 64, bands: Int = 16): DataFrame = {
+    val cands = bandedFromSig(batchSig, k, bands).as("a")
+      .join(bandedFromSig(corpusSig, k, bands).as("b").hint("shuffle_merge"),
+        F.col("a.band") === F.col("b.band") &&
+          F.col("a.bucket") === F.col("b.bucket"))
+      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"))
+      .distinct()
+    verifyJaccard(cands, batchHashed.union(corpusHashed), threshold)
+      .select(col("id_a").as("batch_id"), col("id_b").as("corpus_id"),
+        col("jaccard"))
+  }
+
   /** Verify stage shared by the minhash and prefix-filter pipelines:
     * join candidate pairs back to the per-doc hashed-shingle arrays and
     * keep pairs with exact Jaccard ≥ threshold.

@@ -826,17 +826,34 @@ object Stream {
     // would re-scan the source file
     val b = batch.localCheckpoint()
     if (b.isEmpty) { graft.core.Lineage.release(b); return }
-    val withinPairs = graft.ext.Dedup.minhashNearDupes(
-      b, threshold, k = 64, bands = 16, shingle = 5)
-    val withinSurv = b.join(
+    // Batch text is processed EXACTLY ONCE: signature and shingle-hash
+    // arrays are computed here, used for the within-batch pass, the
+    // corpus check, and then PERSISTED with the accepted rows — so the
+    // accumulated corpus never re-shingles on later ingests (the
+    // incremental contract: per-batch CPU is O(batch) text work plus
+    // the banded join over compact stored rows).
+    val enriched = b
+      .join(graft.ext.Dedup.sigArrays(b).withColumnRenamed("id", "doc_id"),
+        Seq("doc_id"))
+      .join(graft.ext.Dedup.hashedShingleArrays(b)
+        .withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+      .localCheckpoint()
+    def sigOf(df: DataFrame) = df.select(col("doc_id").as("id"), col("sig"))
+    def hashedOf(df: DataFrame) =
+      df.select(col("doc_id").as("id"), col("sz"), col("hs"))
+    val withinPairs = graft.ext.Dedup.nearDupePairsStored(
+      sigOf(enriched), hashedOf(enriched), threshold, k = 64, bands = 16)
+    val withinSurv = enriched.join(
       withinPairs.select(col("id_b").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
     val merged =
       if (!spark.catalog.tableExists(table)) withinSurv
       else {
         val corpus = spark.table(table)
-        val cross = graft.ext.Dedup.minhashIncrementPairs(
-          corpus, withinSurv, threshold, k = 64, bands = 16, shingle = 5)
+        val cross = graft.ext.Dedup.minhashIncrementPairsStored(
+          sigOf(corpus), hashedOf(corpus),
+          sigOf(withinSurv), hashedOf(withinSurv),
+          threshold, k = 64, bands = 16)
         corpus.unionByName(withinSurv.join(
           cross.select(col("batch_id").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti"))
@@ -846,7 +863,7 @@ object Stream {
     snap.write.saveAsTable(stage)
     graft.io.Load.dropManaged(spark, table)
     spark.sql(s"ALTER TABLE $stage RENAME TO $table")
-    graft.core.Lineage.release(snap, b)
+    graft.core.Lineage.release(snap, enriched, b)
     ()
   }
 
