@@ -531,8 +531,9 @@ trait SparkEntryBase {
   /** Streaming SCD2 maintenance ([[graft.streaming.Stream
     * .foreachBatchScd2]]): the purchase history built incrementally
     * across two REAL micro-batches — each batch re-versions only its
-    * affected keys, untouched history rows carry verbatim, live table
-    * swaps via the staged rename. Split-invariance makes the oracle
+    * affected keys and rewrites only their hash-bucket partitions
+    * (dynamic partition overwrite; untouched partitions stay
+    * byte-identical). Split-invariance makes the oracle
     * the single-shot lead() replay (the q44 shape on epoch-micro
     * longs). */
   private[graft] def streamScd2(s: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,160 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A minimal manifest-committed parquet table: the append-capable
+  * commit primitive the plain-parquet streaming merges were missing.
+  *
+  * Layout under `root`:
+  * {{{
+  *   _manifest.v<N>        one line per committed segment dir; highest N wins
+  *   seg-<N>-<uuid>/       parquet segment, one per committed append/replace
+  * }}}
+  *
+  * Commit protocol (single-writer, which is what foreachBatch gives —
+  * micro-batches apply serially):
+  *   1. write the new segment dir (normal parquet job commit);
+  *   2. write the FULL new segment list to `_manifest.v<N+1>.tmp-<uuid>`;
+  *   3. atomically `rename` the tmp onto `_manifest.v<N+1>`.
+  * A reader always resolves the highest committed manifest version, so
+  * a crash at any step leaves either v<N> or v<N+1> visible — never a
+  * half-appended table. A segment written but never named by a
+  * manifest (crash between 1 and 3) is an invisible orphan, collected
+  * by [[compact]]/[[destroy]]; the streaming checkpoint replays its
+  * batch, which re-merges against the OLD manifest state and commits a
+  * fresh segment.
+  *
+  * This is deliberately the smallest slice of a lakehouse log that
+  * makes per-ingest IO O(batch): an append writes ONLY the new rows
+  * plus a manifest of a few hundred bytes, while every previously
+  * committed segment's files stay byte-identical (spec-pinned). At
+  * 100 TB the same layout holds on any FS with atomic rename (HDFS,
+  * local); on S3-class stores the rename step would swap to a
+  * conditional PUT, the same escape hatch every manifest-log format
+  * uses. Segment count grows one per non-empty ingest — [[compact]]
+  * folds them back to one when the reader's per-segment open cost
+  * starts to matter (the reader hands Spark an explicit dir list, so
+  * scan parallelism is unaffected either way).
+  */
+object ManifestTable {
+
+  private val ManifestPrefix = "_manifest.v"
+
+  private def fs(spark: SparkSession, root: String): (FileSystem, Path) = {
+    val p = new Path(root)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Highest committed manifest version under `root`, if any. */
+  private def currentVersion(f: FileSystem, root: Path): Option[Long] =
+    if (!f.exists(root)) None
+    else {
+      val vs = f.listStatus(root).iterator.map(_.getPath.getName)
+        .filter(n => n.startsWith(ManifestPrefix) && !n.contains(".tmp-"))
+        .map(_.stripPrefix(ManifestPrefix).toLong)
+        .toSeq
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+
+  /** Committed segment dir names, in commit order (empty if no manifest). */
+  def segments(spark: SparkSession, root: String): Seq[String] = {
+    val (f, p) = fs(spark, root)
+    currentVersion(f, p) match {
+      case None => Seq.empty
+      case Some(v) =>
+        val in = f.open(new Path(p, ManifestPrefix + v))
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toList
+        finally in.close()
+    }
+  }
+
+  def exists(spark: SparkSession, root: String): Boolean = {
+    val (f, p) = fs(spark, root)
+    currentVersion(f, p).isDefined
+  }
+
+  /** Union-read every committed segment. The dir list is explicit, so
+    * orphan (uncommitted) segments are invisible to readers. */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val segs = segments(spark, root)
+    require(segs.nonEmpty, s"no committed manifest under $root")
+    spark.read.parquet(segs.map(s => s"$root/$s"): _*)
+  }
+
+  /** Atomically publish `segs` as manifest version `v`: tmp write +
+    * rename. Rename-onto-existing fails on local/HDFS semantics, which
+    * is exactly the single-winner guarantee a concurrent commit race
+    * needs. */
+  private def commit(f: FileSystem, root: Path, v: Long, segs: Seq[String]): Unit = {
+    val tmp = new Path(root,
+      s"$ManifestPrefix$v.tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write((segs.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val dst = new Path(root, ManifestPrefix + v)
+    if (!f.rename(tmp, dst)) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(s"manifest commit lost the race for $dst")
+    }
+  }
+
+  /** Append `df` as one new segment: IO = O(df) + a tiny manifest,
+    * regardless of how much data the table already holds. */
+  def append(spark: SparkSession, root: String, df: DataFrame): Unit = {
+    val (f, p) = fs(spark, root)
+    val v = currentVersion(f, p).getOrElse(0L)
+    val seg = s"seg-${v + 1}-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.parquet(s"$root/$seg")
+    commit(f, p, v + 1, segments(spark, root) :+ seg)
+  }
+
+  /** Replace the whole table with `df` (first write, or an explicit
+    * compaction rewrite) and garbage-collect every dir the new
+    * manifest no longer names — committed predecessors and crash
+    * orphans alike. */
+  def replace(spark: SparkSession, root: String, df: DataFrame): Unit = {
+    val (f, p) = fs(spark, root)
+    val v = currentVersion(f, p).getOrElse(0L)
+    val seg = s"seg-${v + 1}-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.parquet(s"$root/$seg")
+    commit(f, p, v + 1, Seq(seg))
+    gc(f, p)
+  }
+
+  /** Fold all committed segments into one (the staged full rewrite,
+    * now an EXPLICIT maintenance action instead of the per-batch tax).
+    * Readers see the old manifest until the new one lands. */
+  def compact(spark: SparkSession, root: String): Unit = {
+    val snap = read(spark, root).localCheckpoint()
+    try replace(spark, root, snap)
+    finally graft.core.Lineage.release(snap)
+  }
+
+  /** Delete every dir/file under `root` the current manifest does not
+    * name: superseded segments after a [[replace]] and orphans from
+    * crashed appends. Stale manifest versions stay (tiny, and the
+    * highest-wins reader ignores them). */
+  private def gc(f: FileSystem, root: Path): Unit = {
+    val live = currentVersion(f, root).map(v =>
+      (ManifestPrefix + v) +: {
+        val in = f.open(new Path(root, ManifestPrefix + v))
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toList
+        finally in.close()
+      }).getOrElse(Seq.empty).toSet
+    f.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (!live.contains(n) && !n.startsWith(ManifestPrefix))
+        f.delete(st.getPath, true)
+    }
+  }
+
+  /** Remove the table entirely. */
+  def destroy(spark: SparkSession, root: String): Unit = {
+    val (f, p) = fs(spark, root)
+    f.delete(p, true)
+    ()
+  }
+}

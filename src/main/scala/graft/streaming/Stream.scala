@@ -210,17 +210,16 @@ object Stream {
     * (foreachBatch is at-least-once on recovery) is a detected no-op —
     * keys already stamped with that batch id are anti-joined out of
     * the delta before counts accumulate (replay-idempotence is
-    * spec-tested). The merged snapshot lands in a staging table that
-    * is RENAMEd over the live one, so a crash mid-write leaves either
-    * the old state or a complete staged copy, never a half-written
-    * table.
+    * spec-tested), and the partition-by-partition dynamic-overwrite
+    * commit converges under replay even if a crash left only some
+    * touched buckets written (see [[mergeUpsertBatch]]).
     *
-    * 100 TB shape: the per-batch reduce is a keyed partial aggregate
-    * of the BATCH (bounded by trigger size, not corpus); the merge is
-    * one keyed shuffle of (state ∪ batch-delta) plus one delta-sized
-    * anti join. The driver-side collect feeds the deterministic
-    * two-batch schedule (semantics harness, as in
-    * [[lateDataWindowCounts]]). */
+    * 100 TB shape: the state table is hash-partitioned on the key, so
+    * the per-batch reduce is a keyed partial aggregate of the BATCH
+    * (bounded by trigger size, not corpus) and the merge reads AND
+    * rewrites only the touched bucket partitions. The driver-side
+    * collect feeds the deterministic two-batch schedule (semantics
+    * harness, as in [[lateDataWindowCounts]]). */
   def foreachBatchUpsert(
       spark: SparkSession,
       events: DataFrame,
@@ -262,6 +261,41 @@ object Stream {
     spark.table(table)
   }
 
+  /** Default bucket count for partition-scoped merge state tables.
+    * 8 keeps the test-scale layout inspectable; a 100 TB deployment
+    * sizes this like any hash-partitioned state store (e.g. 4096) so
+    * one micro-batch touches a small fraction of partitions and each
+    * partition's rewrite fits an executor. */
+  private[graft] val MergeBuckets = 8
+
+  /** The touched-bucket ids of a merge batch — a ≤`nBuckets`-element
+    * driver list (parameter-bounded, never data-sized). */
+  private def touchedBuckets(df: DataFrame, keyCol: String,
+      nBuckets: Int): Seq[Any] =
+    df.select(pmod(hash(col(keyCol)), lit(nBuckets)).as("__bucket"))
+      .distinct().collect().map(_.get(0)).toSeq
+
+  /** Write `rows` into partitioned state `table`, rewriting ONLY the
+    * partitions present in `rows` (dynamic partition overwrite); every
+    * other partition's files stay byte-identical (spec-pinned). First
+    * write creates the table partitioned by `__bucket`. */
+  private def overwriteTouched(spark: SparkSession, table: String,
+      rows: DataFrame): Unit = {
+    val snap = rows.localCheckpoint()
+    if (!spark.catalog.tableExists(table))
+      snap.write.partitionBy("__bucket").saveAsTable(table)
+    else {
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try snap.write.mode("overwrite").insertInto(table)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    graft.core.Lineage.release(snap)
+  }
+
   /** One idempotent MERGE of a micro-batch into the upsert state table
     * (the [[foreachBatchUpsert]] batch body, public so replays can be
     * driven directly in tests). Keys whose state row already carries
@@ -269,17 +303,29 @@ object Stream {
     * at-least-once re-delivery becomes a no-op instead of
     * double-counting `n_updates`. Batch ids are engine-monotonic, so
     * `max(__batch_id)` stamps updated keys with the new id while
-    * untouched keys keep their last-applied id. */
+    * untouched keys keep their last-applied id.
+    *
+    * PARTITION-SCOPED: the state table is hash-partitioned on the key
+    * (`__bucket` = pmod(hash(user_id), nBuckets), a physical partition
+    * column the callers project away). A batch reads ONLY its touched
+    * buckets (partition-pruned scan — untouched keys are never even
+    * read, where the old staged-rename design re-wrote the whole
+    * table) and rewrites ONLY those partitions via dynamic partition
+    * overwrite; untouched partitions' files stay byte-identical
+    * (spec-pinned). Per-batch IO is O(touched buckets), the
+    * hash-partitioned-state-store shape a 100 TB upsert needs.
+    *
+    * Crash contract (replaces the staged rename): dynamic overwrite
+    * commits partition-by-partition, so a crash can leave SOME touched
+    * buckets new and others old — but each bucket is internally whole,
+    * per-key rows are a pure function of (state, batch) within their
+    * bucket, and the per-key `__batch_id` stamp makes the
+    * at-least-once replay recompute already-committed buckets to
+    * byte-identical rows while completing the rest: the replay
+    * CONVERGES to exactly the all-committed state (idempotence is
+    * spec-pinned). */
   def mergeUpsertBatch(spark: SparkSession, table: String,
-      batch: DataFrame, batchId: Long): Unit = {
-    val stageName = table + "__stage"
-    // recovery: a crash between the live table's drop and the rename
-    // leaves the ONLY state copy in the staging table — promote it
-    // before merging, so the re-delivered batch anti-joins against the
-    // recovered state (its keys are already stamped with this batchId)
-    // instead of re-seeding from the batch alone
-    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(stageName))
-      spark.sql(s"ALTER TABLE $stageName RENAME TO $table")
+      batch: DataFrame, batchId: Long, nBuckets: Int = MergeBuckets): Unit = {
     val reduced = batch
       .groupBy("user_id")
       .agg(max(struct(col("us"), col("event_id"), col("value"))).as("s"),
@@ -290,13 +336,16 @@ object Stream {
     val merged =
       if (!spark.catalog.tableExists(table)) reduced
       else {
+        // partition-pruned: only the buckets this batch's keys hash to
         val state = spark.table(table)
+          .filter(col("__bucket").isin(
+            touchedBuckets(reduced, "user_id", nBuckets): _*))
         // replay guard: this batch's keys already stamped with this id
         // were merged by a previous (crashed-after-write) attempt
         val fresh = reduced.join(
           state.filter(col("__batch_id") === batchId).select("user_id"),
           Seq("user_id"), "left_anti")
-        state.unionByName(fresh)
+        state.drop("__bucket").unionByName(fresh)
           .groupBy("user_id")
           .agg(max(struct(col("us"), col("event_id"), col("value"))).as("s"),
             sum("n_updates").as("n_updates"),
@@ -305,24 +354,14 @@ object Stream {
             col("s.event_id").as("event_id"), col("s.value").as("value"),
             col("n_updates"), col("__batch_id"))
       }
-    // materialize BEFORE touching the table the merge reads, then swap
-    // via a staged rename: the live table is never half-written, and
-    // the recovery preamble above covers the drop→rename crash window
-    val snap = merged.localCheckpoint()
-    val stage = stageName
-    graft.io.Load.dropManaged(spark, stage)
-    snap.write.saveAsTable(stage)
-    graft.io.Load.dropManaged(spark, table)
-    spark.sql(s"ALTER TABLE $stage RENAME TO $table")
-    // the table holds the rows now; drop the block-manager copy
-    graft.core.Lineage.release(snap)
-    ()
+    overwriteTouched(spark, table,
+      merged.withColumn("__bucket", pmod(hash(col("user_id")), lit(nBuckets))))
   }
 
   /** Streaming CDC apply: a two-batch MemoryStream of I/U/D change
     * rows merged into a persisted base table with [[graft.io.Cdc
     * .applyChanges]] per micro-batch (foreachBatch), the live table
-    * swapped via the same staged rename as [[mergeUpsertBatch]].
+    * swapped via a staged rename ([[applyCdcBatch]]).
     * Because CDC ops carry ABSOLUTE values, a re-delivered batch is
     * naturally idempotent — re-updates rewrite the same values,
     * re-deletes no-op, re-inserts overwrite themselves — so no
@@ -799,6 +838,27 @@ object Stream {
     spark.table(table)
   }
 
+  /** Root dir of a streaming near-dup corpus: a [[graft.io
+    * .ManifestTable]] under the warehouse, named after the logical
+    * table. The corpus is NOT a managed catalog table — managed-table
+    * swaps forced a full rewrite per batch; the manifest log appends. */
+  private[graft] def nearDupRoot(spark: SparkSession, table: String): String =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase + "__corpus").toString
+
+  /** Drop a streaming near-dup corpus: the session temp view AND the
+    * manifest-table dir (the [[graft.io.Load.dropManaged]] analogue
+    * for this table kind). */
+  def dropNearDup(spark: SparkSession, table: String): Unit = {
+    spark.catalog.dropTempView(table)
+    // legacy managed-table layout (pre-manifest corpora), so a stale
+    // warehouse never shadows a fresh run
+    graft.io.Load.dropManaged(spark, table)
+    graft.io.Load.dropManaged(spark, table + "__stage")
+    graft.io.ManifestTable.destroy(spark, nearDupRoot(spark, table))
+  }
+
   /** Streaming NEAR-dup deduplication: documents arrive in micro-
     * batches; each batch is (1) near-dup'd within itself (MinHash-LSH
     * banding + exact shingle-Jaccard verify ≥ `threshold`, drop any
@@ -806,26 +866,44 @@ object Stream {
     * keep-first rule), then (2) checked against the ACCUMULATED
     * accepted corpus ([[graft.ext.Dedup.minhashIncrementPairs]] —
     * banded batch×corpus join, never corpus²), and only novel docs
-    * append to the state table. This is the streaming face of the
-    * daily-ingest contract: the corpus is an append-only table, each
-    * ingest pays O(batch · collisions).
+    * APPEND to the corpus. This is the streaming face of the
+    * daily-ingest contract, now true for IO as well as CPU: the
+    * corpus is a [[graft.io.ManifestTable]] (one segment dir per
+    * ingest, atomic manifest commit), so each ingest WRITES only its
+    * novel rows — previously committed segments stay byte-identical
+    * (spec-pinned) — and pays O(batch · collisions) compute. The full
+    * rewrite survives only as the explicit [[graft.io.ManifestTable
+    * .compact]] maintenance action.
     *
-    * The state table swaps via the staged rename with the same
-    * crash-recovery preamble as [[mergeUpsertBatch]]; replaying a
-    * batch whose docs were all accepted/rejected re-derives the
-    * identical table (the accept rule is a pure function of the
-    * accumulated id-ordered corpus). */
+    * Crash/replay contract (replaces the staged-rename preamble): the
+    * manifest commit is atomic, so readers see either the pre- or
+    * post-batch corpus, never a half-append. foreachBatch is
+    * at-least-once — a replayed batch finds its docs already in the
+    * corpus, every one self-pairs at J=1 ≥ threshold, the novel set
+    * is empty and nothing commits (idempotence is spec-pinned). A
+    * crash between segment write and manifest commit leaves an orphan
+    * dir no reader sees; compact() collects it.
+    *
+    * `spark.table(table)` keeps working: the merged corpus is
+    * registered as a session temp view over the manifest read.
+    * `counter`, when given, accumulates the batch's row count (the
+    * progress-buffer-proof ingest tally for [[runNearDupDir]]). */
   def mergeNearDupBatch(spark: SparkSession, table: String,
-      batch: DataFrame, threshold: Double = 0.8): Unit = {
-    val stage = table + "__stage"
-    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(stage))
-      spark.sql(s"ALTER TABLE $stage RENAME TO $table")
+      batch: DataFrame, threshold: Double = 0.8,
+      counter: Option[org.apache.spark.util.LongAccumulator] = None): Unit = {
+    val root = nearDupRoot(spark, table)
     // snapshot BEFORE any action (even isEmpty reads the source): the
     // merge evaluates the batch several times (signatures, shingle
     // arrays, anti-joins), and inside foreachBatch each re-evaluation
     // would re-scan the source file
-    val b = batch.localCheckpoint()
-    if (b.isEmpty) { graft.core.Lineage.release(b); return }
+    val b0 = batch.localCheckpoint()
+    counter.foreach(_.add(b0.count()))
+    if (b0.isEmpty) { graft.core.Lineage.release(b0); return }
+    // NULL text must not vanish in enrichment (explode over a null
+    // shingle array emits no rows, silently REJECTING the doc): an
+    // empty string shingles to [""] and so survives as a normal,
+    // accept-if-pairless document
+    val b = b0.withColumn("text", coalesce(col("text"), lit("")))
     // Batch text is processed EXACTLY ONCE: signature and shingle-hash
     // arrays are computed here, used for the within-batch pass, the
     // corpus check, and then PERSISTED with the accepted rows — so the
@@ -846,24 +924,23 @@ object Stream {
     val withinSurv = enriched.join(
       withinPairs.select(col("id_b").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
-    val merged =
-      if (!spark.catalog.tableExists(table)) withinSurv
+    val novel =
+      if (!graft.io.ManifestTable.exists(spark, root)) withinSurv
       else {
-        val corpus = spark.table(table)
+        val corpus = graft.io.ManifestTable.read(spark, root)
         val cross = graft.ext.Dedup.minhashIncrementPairsStored(
           sigOf(corpus), hashedOf(corpus),
           sigOf(withinSurv), hashedOf(withinSurv),
           threshold, k = 64, bands = 16)
-        corpus.unionByName(withinSurv.join(
+        withinSurv.join(
           cross.select(col("batch_id").as("doc_id")).distinct(),
-          Seq("doc_id"), "left_anti"))
+          Seq("doc_id"), "left_anti")
       }
-    val snap = merged.localCheckpoint()
-    graft.io.Load.dropManaged(spark, stage)
-    snap.write.saveAsTable(stage)
-    graft.io.Load.dropManaged(spark, table)
-    spark.sql(s"ALTER TABLE $stage RENAME TO $table")
-    graft.core.Lineage.release(snap, enriched, b)
+    val snap = novel.localCheckpoint()
+    if (!snap.isEmpty) graft.io.ManifestTable.append(spark, root, snap)
+    if (graft.io.ManifestTable.exists(spark, root))
+      graft.io.ManifestTable.read(spark, root).createOrReplaceTempView(table)
+    graft.core.Lineage.release(snap, enriched, b0)
     ()
   }
 
@@ -871,15 +948,21 @@ object Stream {
     * file-source run over a document directory, one micro-batch per
     * file, each batch merged by [[mergeNearDupBatch]] — no driver-side
     * collect anywhere; restarting against the same checkpoint ingests
-    * only unseen files (the [[runCheckpointed]] recovery contract,
-    * including its eager stage-promotion preamble). Returns rows
-    * ingested THIS run. */
+    * only unseen files. No crash preamble is needed: the manifest
+    * commit is atomic, so the corpus is always whole (the preamble
+    * here only re-registers the session view over an existing
+    * corpus, e.g. after a bare restart that fires zero batches).
+    * Returns rows ingested THIS run — tallied by an accumulator
+    * inside the batch body, NOT from `recentProgress`, whose ring
+    * buffer caps at `numRecentProgressUpdates` (default 100) entries
+    * and would silently undercount a >100-file backfill. */
   def runNearDupDir(spark: SparkSession, dir: String, checkpoint: String,
       table: String, threshold: Double = 0.8,
       maxFilesPerTrigger: Int = 1): Long = {
-    if (!spark.catalog.tableExists(table) &&
-        spark.catalog.tableExists(table + "__stage"))
-      spark.sql(s"ALTER TABLE ${table}__stage RENAME TO $table")
+    val root = nearDupRoot(spark, table)
+    if (graft.io.ManifestTable.exists(spark, root))
+      graft.io.ManifestTable.read(spark, root).createOrReplaceTempView(table)
+    val ingested = spark.sparkContext.longAccumulator(s"graft_neardup_$table")
     val schema = spark.read.parquet(dir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -887,13 +970,14 @@ object Stream {
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeNearDupBatch(spark, table, batch, threshold)
+        mergeNearDupBatch(spark, table, batch, threshold,
+          counter = Some(ingested))
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    q.recentProgress.map(_.numInputRows).sum
+    ingested.value
   }
 
   /** Two-micro-batch near-dup dedup run over a document set split by
@@ -917,8 +1001,7 @@ object Stream {
       .collect()
     def part(second: Boolean) = rows.filter(_.getBoolean(2) == second)
       .map(r => (r.getLong(0), r.getString(1))).toSeq
-    graft.io.Load.dropManaged(spark, table)
-    graft.io.Load.dropManaged(spark, table + "__stage")
+    dropNearDup(spark, table)
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)](
         implicitly[org.apache.spark.sql.Encoder[(Long, String)]],
@@ -942,24 +1025,33 @@ object Stream {
     * re-version ONLY the batch's affected keys — their existing
     * history rows reduce back to raw (ts, event_id, value) facts
     * (valid_from IS the fact timestamp), union the batch, and one
-    * key-partitioned lead() window rebuilds their intervals; untouched
-    * keys' rows are carried verbatim (an anti-join, never a rescan of
-    * their history). Live table swaps via the staged rename with the
-    * same crash-recovery preamble as [[mergeUpsertBatch]]. Re-versioning
-    * is idempotent (a pure function of the accumulated fact set), so a
-    * re-delivered batch rewrites identical rows. */
+    * key-partitioned lead() window rebuilds their intervals.
+    * Re-versioning is idempotent (a pure function of the accumulated
+    * fact set), so a re-delivered batch rewrites identical rows.
+    *
+    * PARTITION-SCOPED like [[mergeUpsertBatch]]: history lives
+    * hash-partitioned on the key; the merge reads only the touched
+    * buckets (partition-pruned — the anti-join that carries same-
+    * bucket unaffected keys verbatim runs over those buckets alone,
+    * never the full history) and dynamic-overwrites only them, so
+    * per-batch IO is O(touched buckets) and untouched partitions'
+    * files stay byte-identical (spec-pinned). Same per-bucket crash
+    * convergence argument as [[mergeUpsertBatch]]: each bucket's rows
+    * are a pure function of its accumulated facts, and the
+    * (user_id, event_id) fact identity already dedups a replay. */
   def mergeScd2Batch(spark: SparkSession, table: String,
-      batch: DataFrame): Unit = {
-    val stage = table + "__stage"
-    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(stage))
-      spark.sql(s"ALTER TABLE $stage RENAME TO $table")
+      batch: DataFrame, nBuckets: Int = MergeBuckets): Unit = {
     if (batch.isEmpty) return
     val facts = batch.select(col("user_id"), col("us"), col("event_id"),
       col("value"))
     val merged =
       if (!spark.catalog.tableExists(table)) version(facts)
       else {
+        // partition-pruned: only the buckets this batch's keys hash to
         val state = spark.table(table)
+          .filter(col("__bucket").isin(
+            touchedBuckets(facts, "user_id", nBuckets): _*))
+          .drop("__bucket")
         val keys = facts.select("user_id").distinct()
         // (user_id, event_id) is the fact identity: state copies of
         // facts the batch redelivers are dropped (batch wins), so an
@@ -971,16 +1063,13 @@ object Stream {
             col("value"))
           .join(facts.select("user_id", "event_id"),
             Seq("user_id", "event_id"), "left_anti")
+        // same-bucket keys the batch does NOT touch: carried verbatim,
+        // but rewritten — their partition is being overwritten
         val untouched = state.join(keys, Seq("user_id"), "left_anti")
         untouched.unionByName(version(stateFacts.unionByName(facts)))
       }
-    val snap = merged.localCheckpoint()
-    graft.io.Load.dropManaged(spark, stage)
-    snap.write.saveAsTable(stage)
-    graft.io.Load.dropManaged(spark, table)
-    spark.sql(s"ALTER TABLE $stage RENAME TO $table")
-    graft.core.Lineage.release(snap)
-    ()
+    overwriteTouched(spark, table,
+      merged.withColumn("__bucket", pmod(hash(col("user_id")), lit(nBuckets))))
   }
 
   /** The SCD2 versioning kernel: one key-partitioned lead() over the

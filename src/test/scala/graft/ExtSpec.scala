@@ -1810,8 +1810,9 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
-  test("mergeUpsertBatch is idempotent under micro-batch replay") {
+  test("mergeUpsertBatch: replay-idempotent, partition-scoped IO, partial-commit convergence") {
     import spark.implicits._
+    import org.apache.hadoop.fs.{FileUtil, Path}
     val table = "graft_upsert_replay_spec"
     graft.io.Load.dropManaged(spark, table)
     val b1 = Seq((1L, 1000L, 10L, 1.0), (2L, 1000L, 20L, 3.0))
@@ -1822,20 +1823,54 @@ class ExtSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
         r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
     Stream.mergeUpsertBatch(spark, table, b1, 0L)
+    val loc = new Path(spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(): Map[String, Long] = {
+      val it = fs.listFiles(loc, true)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) { val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet"))
+          b += st.getPath.toString -> st.getLen }
+      b.result()
+    }
+    val preB2 = files()
+    val backup = new Path(loc.getParent, table + "__backup")
+    fs.delete(backup, true)
+    FileUtil.copy(fs, loc, fs, backup, false, spark.sparkContext.hadoopConfiguration)
     Stream.mergeUpsertBatch(spark, table, b2, 1L)
     val applied = snapshot()
+    assert(applied.map(t => t._1 -> t._5).toMap == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+    // partition-scoped IO: a merge must leave every bucket partition it
+    // does not touch byte-identical — the O(touched)-not-O(state) claim
+    val touched = b2.select(pmod(hash(col("user_id")), lit(8)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val bucketOf = "__bucket=(\\d+)".r
+    val postB2 = files()
+    preB2.foreach { case (p, len) =>
+      bucketOf.findFirstMatchIn(p).map(_.group(1).toInt).foreach { bkt =>
+        if (!touched.contains(bkt))
+          assert(postB2.get(p).contains(len), s"untouched partition rewritten: $p")
+      }
+    }
     // at-least-once recovery re-delivers the last batch with the SAME id:
     // the batch-id stamp must make it a no-op (no double-counted updates)
     Stream.mergeUpsertBatch(spark, table, b2, 1L)
     assert(snapshot() == applied, s"replay changed state: ${snapshot()} vs $applied")
-    assert(applied.map(t => t._1 -> t._5).toMap == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
-    // crash-window recovery: simulate dying between the live table's
-    // drop and the rename (only the fully-written staging copy exists),
-    // then re-deliver the batch — the merge must promote the staged
-    // state and no-op, not re-seed from the batch alone
-    spark.sql(s"ALTER TABLE $table RENAME TO ${table}__stage")
+    // crash MID-COMMIT: dynamic overwrite lands partition-by-partition,
+    // so simulate dying with one touched bucket still on its pre-batch
+    // content (restored from the backup) while the rest committed — the
+    // re-delivered batch must CONVERGE to the fully-applied state
+    val revert = touched.head
+    val rdir = new Path(loc, s"__bucket=$revert")
+    fs.delete(rdir, true)
+    val bdir = new Path(backup, s"__bucket=$revert")
+    if (fs.exists(bdir))
+      FileUtil.copy(fs, bdir, fs, rdir, false, spark.sparkContext.hadoopConfiguration)
+    spark.catalog.refreshTable(table)
     Stream.mergeUpsertBatch(spark, table, b2, 1L)
-    assert(snapshot() == applied, s"crash recovery lost state: ${snapshot()} vs $applied")
+    assert(snapshot() == applied,
+      s"partial-commit replay must converge: ${snapshot()} vs $applied")
+    fs.delete(backup, true)
     graft.io.Load.dropManaged(spark, table)
   }
 
@@ -2490,9 +2525,33 @@ class ExtSpec extends AnyFunSuite {
     Stream.mergeScd2Batch(spark, table, b1) // at-least-once redelivery
     val twice = spark.table(table).collect().map(_.toString).sorted.toSeq
     assert(once == twice, "redelivered batch must rewrite identical rows")
-    // an incremental batch versions only its key
+    // an incremental batch versions only its key — and REWRITES only
+    // its key's bucket partition: every other bucket's files stay
+    // byte-identical (the partition-scoped IO contract)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(): Map[String, Long] = {
+      val it = fs.listFiles(loc, true)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) { val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet"))
+          b += st.getPath.toString -> st.getLen }
+      b.result()
+    }
+    val preB2 = files()
     val b2 = Seq((1L, 300L, 13L, 4.0)).toDF("user_id", "us", "event_id", "value")
     Stream.mergeScd2Batch(spark, table, b2)
+    val touched = b2.select(pmod(hash(col("user_id")), lit(8)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val bucketOf = "__bucket=(\\d+)".r
+    val postB2 = files()
+    preB2.foreach { case (p, len) =>
+      bucketOf.findFirstMatchIn(p).map(_.group(1).toInt).foreach { bkt =>
+        if (!touched.contains(bkt))
+          assert(postB2.get(p).contains(len), s"untouched partition rewritten: $p")
+      }
+    }
     val after = spark.table(table).collect()
     assert(after.count(r => r.getLong(0) == 1L) == 3, "user 1 gains a version")
     assert(after.filter(r => r.getLong(0) == 1L && r.getLong(2) == 11L)
@@ -2735,7 +2794,7 @@ class ExtSpec extends AnyFunSuite {
       .union(allPairs.select(col("id_b").as("doc_id"))).distinct()
     val orphans = rejected.join(paired, Seq("doc_id"), "left_anti").count()
     assert(orphans == 0, s"$orphans docs rejected without any near-dup pair")
-    graft.io.Load.dropManaged(spark, "graft_neardup_spec")
+    graft.streaming.Stream.dropNearDup(spark, "graft_neardup_spec")
   }
 
   test("near-dup file-source runner: resumable, equals the MemoryStream result") {
@@ -2744,8 +2803,7 @@ class ExtSpec extends AnyFunSuite {
     val base = java.nio.file.Files.createTempDirectory("graft_nddir").toString
     val dataDir = s"$base/docs"; val cp = s"$base/cp"
     val table = "graft_neardup_dir"
-    graft.io.Load.dropManaged(spark, table)
-    graft.io.Load.dropManaged(spark, table + "__stage")
+    graft.streaming.Stream.dropNearDup(spark, table)
     // file 1 = even ids, file 2 (written later) = odd ids — the same
     // split the MemoryStream harness drives, now through the real
     // checkpointed file source, one micro-batch per file
@@ -2762,16 +2820,15 @@ class ExtSpec extends AnyFunSuite {
         table = "graft_neardup_dir_ms")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(got == want, "file-source corpus must equal the MemoryStream corpus")
-    graft.io.Load.dropManaged(spark, table)
-    graft.io.Load.dropManaged(spark, "graft_neardup_dir_ms")
+    graft.streaming.Stream.dropNearDup(spark, table)
+    graft.streaming.Stream.dropNearDup(spark, "graft_neardup_dir_ms")
   }
 
   test("near-dup batch merge: replaying a delivered batch is a no-op") {
     val docs = spark.read.parquet(s"${TestSession.sf}/documents.parquet")
       .select("doc_id", "text")
     val table = "graft_neardup_replay"
-    graft.io.Load.dropManaged(spark, table)
-    graft.io.Load.dropManaged(spark, table + "__stage")
+    graft.streaming.Stream.dropNearDup(spark, table)
     val b1 = docs.filter(col("doc_id") % 2 === 0)
     val b2 = docs.filter(col("doc_id") % 2 === 1)
     graft.streaming.Stream.mergeNearDupBatch(spark, table, b1)
@@ -2783,14 +2840,60 @@ class ExtSpec extends AnyFunSuite {
     graft.streaming.Stream.mergeNearDupBatch(spark, table, b2)
     val twice = spark.table(table).collect().map(_.getLong(0)).sorted.toSeq
     assert(twice == once, "replayed batch must not change the corpus")
-    graft.io.Load.dropManaged(spark, table)
+    graft.streaming.Stream.dropNearDup(spark, table)
+  }
+
+  test("near-dup corpus commits O(batch) bytes: prior segments immutable, compact folds") {
+    import org.apache.hadoop.fs.Path
+    val docs = spark.read.parquet(s"${TestSession.sf}/documents.parquet")
+      .select("doc_id", "text")
+    val table = "graft_neardup_appendio"
+    graft.streaming.Stream.dropNearDup(spark, table)
+    val root = graft.streaming.Stream.nearDupRoot(spark, table)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Map[String, Long] = {
+      val it = fs.listFiles(new Path(root), true)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) { val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet"))
+          b += st.getPath.toString -> st.getLen }
+      b.result()
+    }
+    graft.streaming.Stream.mergeNearDupBatch(spark, table,
+      docs.filter(col("doc_id") % 2 === 0))
+    val after1 = dataFiles()
+    val corpus1 = spark.table(table).count()
+    graft.streaming.Stream.mergeNearDupBatch(spark, table,
+      docs.filter(col("doc_id") % 2 === 1))
+    val after2 = dataFiles()
+    // the IO contract: batch 2 never rewrites batch 1's segment — every
+    // committed file is still there, byte-for-byte the same length
+    after1.foreach { case (p, len) =>
+      assert(after2.get(p).contains(len), s"segment file rewritten: $p") }
+    // and the bytes batch 2 DID write hold exactly its novel rows, not
+    // a copy of the corpus: the new files form one segment whose row
+    // count is the corpus delta (O(batch), not O(corpus))
+    val segs = graft.io.ManifestTable.segments(spark, root)
+    assert(segs.size == 2, s"expected one segment per ingest, got $segs")
+    val novel2 = spark.table(table).count() - corpus1
+    val seg2Rows = spark.read.parquet(s"$root/${segs.last}").count()
+    assert(seg2Rows == novel2,
+      s"batch-2 segment must hold only novel rows: $seg2Rows vs $novel2")
+    // compact = the explicit full rewrite: content identical, 1 segment
+    val before = spark.table(table).collect().map(_.getLong(0)).sorted.toSeq
+    graft.io.ManifestTable.compact(spark, root)
+    assert(graft.io.ManifestTable.segments(spark, root).size == 1)
+    val after = graft.io.ManifestTable.read(spark, root)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == before, "compact must preserve the corpus exactly")
+    graft.streaming.Stream.dropNearDup(spark, table)
   }
 
   test("empty inputs: near-dup merge, dedup pairs and pagerank degrade cleanly") {
     import spark.implicits._
     val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val table = "graft_neardup_empty"
-    graft.io.Load.dropManaged(spark, table)
+    graft.streaming.Stream.dropNearDup(spark, table)
     graft.streaming.Stream.mergeNearDupBatch(spark, table, emptyDocs)
     assert(!spark.catalog.tableExists(table),
       "an empty first batch must not create the state table")
