@@ -54,9 +54,14 @@ object ScaleGen {
         .parquet(s"$out/$name.parquet")
 
     // spans = max key + 1 of the base SF (driver generator uses dense
-    // 0-based keys; measure instead of assuming to stay SF-agnostic)
-    def span(df: DataFrame, c: String): Long =
-      df.agg(max(col(c))).head().getLong(0) + 1L
+    // 0-based keys; measure instead of assuming to stay SF-agnostic).
+    // Cast in the query so int32 key columns don't throw on getLong,
+    // and fail with a real message on an empty/all-null base table.
+    def span(df: DataFrame, c: String): Long = {
+      val row = df.agg(max(col(c)).cast("long")).head()
+      require(!row.isNullAt(0), s"cannot span empty/all-null key column $c")
+      row.getLong(0) + 1L
+    }
 
     val cust = rd("customer"); val supp = rd("supplier"); val part = rd("part")
     val ord = rd("orders"); val li = rd("lineitem"); val ev = rd("events")
@@ -73,7 +78,7 @@ object ScaleGen {
     rd("region").write.mode("overwrite").parquet(s"$out/region.parquet")
     rd("nation").write.mode("overwrite").parquet(s"$out/nation.parquet")
     write(scaled(cust, Map("c_custkey" -> cSpan)), "customer", 4 * factor / 10 max 1)
-    write(scaled(supp, Map("s_suppkey" -> sSpan)), "supplier", 1)
+    write(scaled(supp, Map("s_suppkey" -> sSpan)), "supplier", factor / 10 max 1)
     write(scaled(part, Map("p_partkey" -> pSpan)), "part", 4 * factor / 10 max 1)
     write(scaled(ord, Map("o_orderkey" -> oSpan, "o_custkey" -> cSpan)),
       "orders", 8 * factor / 10 max 2)

@@ -1907,11 +1907,16 @@ trait SparkEntryTail extends SparkEntryMid {
 
   /** Curriculum-ordered shard packing: documents pack into 2000-token
     * shards ordered by QUALITY TIER first (tier 0 = the composite
-    * [[graft.ext.Text.qualityScore]] at 1.0, tier 5 = worst), id
-    * second — so shard 0..k serve the cleanest data first, the
-    * curriculum/annealing data-order knob (quality-first scheduling)
-    * a pretraining run wants without a corpus-wide sort: the order key
-    * is synthesized (tier · 2⁴⁰ + doc_id) and packing is the same
+    * [[graft.ext.Text.qualityScore]] at 1.0, tier 6 = a score of
+    * exactly 0 — `6 − round(score·6)` spans 0..6, with 6 reachable
+    * only at the degenerate floor), id second — so shard 0..k serve
+    * the cleanest data first, the curriculum/annealing data-order
+    * knob (quality-first scheduling) a pretraining run wants without
+    * a corpus-wide sort: the order key is synthesized
+    * (tier · 2⁴⁰ + doc_id), which REQUIRES doc_id < 2⁴⁰ (~1.1e12 —
+    * ample for the 100 TB contract's doc counts, but a corpus with
+    * wider synthetic ids must widen the shift or order by a
+    * (tier, doc_id) struct instead), and packing is the same
     * two-phase distributed prefix sum as [[graft.ext.Pack
     * .packShards]]. Oracle replays score → tier → ordered prefix in
     * SQL. */

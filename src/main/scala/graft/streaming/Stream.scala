@@ -417,30 +417,52 @@ object Stream {
     spark.table(table)
   }
 
+  /** Crash-recovery preamble for the staged-rename table swap: a crash
+    * between [[stagedSwap]]'s drop and rename leaves the ONLY state
+    * copy in `table`__stage — promote it whenever the live table is
+    * missing, so a restart (or an empty micro-batch after recovery)
+    * always restores `spark.table(table)` before any merge logic runs.
+    * One definition for every staged-rename site. */
+  private[graft] def promoteStageIfCrashed(spark: SparkSession,
+      table: String): Unit = {
+    val stage = table + "__stage"
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(stage))
+      spark.sql(s"ALTER TABLE $stage RENAME TO $table")
+  }
+
+  /** Swap `rows` in as the new content of managed `table` via the
+    * staged rename: materialize, write the stage table, drop the live
+    * one, rename stage over it. A crash leaves either the old live
+    * table or a complete stage copy — never a half-written table —
+    * and [[promoteStageIfCrashed]] closes the drop→rename window.
+    * This is the full-rewrite commit, kept ONLY for sinks whose whole
+    * content changes per batch (complete-mode aggregates, CDC over
+    * arbitrary keys); the merge family uses partitioned or
+    * manifest-append commits instead. */
+  private def stagedSwap(spark: SparkSession, table: String,
+      rows: DataFrame): Unit = {
+    val stage = table + "__stage"
+    val snap = rows.localCheckpoint()
+    graft.io.Load.dropManaged(spark, stage)
+    snap.write.saveAsTable(stage)
+    graft.io.Load.dropManaged(spark, table)
+    spark.sql(s"ALTER TABLE $stage RENAME TO $table")
+    graft.core.Lineage.release(snap)
+  }
+
   /** One CDC micro-batch apply (the [[foreachBatchCdc]] batch body,
     * public so replay-idempotence can be driven directly in tests):
     * merge the batch into `table` with [[graft.io.Cdc.applyChanges]]
     * and swap through the staged rename (live table never
     * half-written). */
   def applyCdcBatch(spark: SparkSession, table: String, batch: DataFrame): Unit = {
-    val stage = table + "__stage"
-    // crash window recovery as in mergeUpsertBatch: promote a stranded
-    // stage if the live table is missing. This must run BEFORE the
-    // empty-batch early return — after a crash in the drop->rename
-    // window, an empty micro-batch must still restore the live table
-    // rather than leave spark.table(table) failing until data arrives.
-    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(stage))
-      spark.sql(s"ALTER TABLE $stage RENAME TO $table")
+    // must run BEFORE the empty-batch early return — after a crash in
+    // the drop->rename window, an empty micro-batch must still restore
+    // the live table rather than leave spark.table(table) failing
+    promoteStageIfCrashed(spark, table)
     if (batch.isEmpty) return
-    val applied = graft.io.Cdc
-      .applyChanges(spark.table(table), batch, "okey", "seq", "op")
-      .localCheckpoint()
-    graft.io.Load.dropManaged(spark, stage)
-    applied.write.saveAsTable(stage)
-    graft.io.Load.dropManaged(spark, table)
-    spark.sql(s"ALTER TABLE $stage RENAME TO $table")
-    graft.core.Lineage.release(applied)
-    ()
+    stagedSwap(spark, table,
+      graft.io.Cdc.applyChanges(spark.table(table), batch, "okey", "seq", "op"))
   }
 
   /** Normalize the events `ts` column to TimestampType regardless of the
@@ -573,14 +595,11 @@ object Stream {
   def runCheckpointed(spark: SparkSession, dir: String, checkpoint: String,
       table: String, window_ : String = "1 hour",
       maxFilesPerTrigger: Int = 1): Long = {
-    // Crash recovery BEFORE streaming: if a previous run died between
-    // its drop and rename, only the stage table survives — and if the
-    // checkpoint has already seen every input file, no batch will fire
-    // to run the in-batch preamble. Promote the stage eagerly so a
-    // bare restart always restores the live table.
-    if (!spark.catalog.tableExists(table) &&
-        spark.catalog.tableExists(table + "__stage"))
-      spark.sql(s"ALTER TABLE ${table}__stage RENAME TO $table")
+    // Crash recovery BEFORE streaming: if the checkpoint has already
+    // seen every input file, no batch will fire to run the in-batch
+    // preamble — promote a stranded stage eagerly so a bare restart
+    // always restores the live table.
+    promoteStageIfCrashed(spark, table)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dir).schema
     val stream = normalizeTs(
@@ -591,20 +610,8 @@ object Stream {
       .outputMode("complete")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val stage = table + "__stage"
-        // Crash-recovery preamble (the mergeScd2Batch pattern): a crash
-        // between the drop and the rename below leaves only the stage
-        // table; promote it before staging this batch so the live table
-        // never stays missing across a restart.
-        if (!spark.catalog.tableExists(table) &&
-            spark.catalog.tableExists(stage))
-          spark.sql(s"ALTER TABLE $stage RENAME TO $table")
-        val snap = batch.localCheckpoint()
-        graft.io.Load.dropManaged(spark, stage)
-        snap.write.saveAsTable(stage)
-        graft.io.Load.dropManaged(spark, table)
-        spark.sql(s"ALTER TABLE $stage RENAME TO $table")
-        graft.core.Lineage.release(snap)
+        promoteStageIfCrashed(spark, table)
+        stagedSwap(spark, table, batch)
         ()
       }
       .trigger(Trigger.AvailableNow())
