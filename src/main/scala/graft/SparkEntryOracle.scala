@@ -199,6 +199,39 @@ trait SparkEntryOracle extends SparkEntryTail {
       |SELECT query_id, CAST(rank AS INT) AS rank, nbr_id, cosine
       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** The MemoryStream and checkpointed-file-source near-dup paths both
+    * ingest the even-id half as batch 1 and the odd half as batch 2;
+    * the accepted corpus is a pure function of that split, so one
+    * exact-Jaccard accept-rule replay serves both queries. */
+  private lazy val streamNeardupAcceptSql: String =
+    s"""$duckShingleCte, pairs AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8),
+       |b1 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+       |b2 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1),
+       |acc1 AS (
+       |  SELECT doc_id FROM b1 WHERE doc_id NOT IN (
+       |    SELECT p.id_b FROM pairs p
+       |    JOIN b1 x ON p.id_a = x.doc_id JOIN b1 y ON p.id_b = y.doc_id)),
+       |s2 AS (
+       |  SELECT doc_id FROM b2 WHERE doc_id NOT IN (
+       |    SELECT p.id_b FROM pairs p
+       |    JOIN b2 x ON p.id_a = x.doc_id JOIN b2 y ON p.id_b = y.doc_id)),
+       |acc2 AS (
+       |  SELECT doc_id FROM s2 WHERE doc_id NOT IN (
+       |    SELECT s2.doc_id FROM pairs p
+       |    JOIN s2 ON p.id_a = s2.doc_id JOIN acc1 ON p.id_b = acc1.doc_id
+       |    UNION
+       |    SELECT s2.doc_id FROM pairs p
+       |    JOIN s2 ON p.id_b = s2.doc_id JOIN acc1 ON p.id_a = acc1.doc_id)),
+       |acc AS (SELECT doc_id FROM acc1 UNION ALL SELECT doc_id FROM acc2)
+       |SELECT d.doc_id,
+       |       md5(regexp_replace(lower(trim(d.text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fingerprint
+       |FROM documents d JOIN acc USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_project_filter" ->
       """SELECT l_orderkey, l_linenumber,
@@ -437,34 +470,11 @@ trait SparkEntryOracle extends SparkEntryTail {
          |SELECT doc_id, tier, n_tokens,
          |       CAST(floor(CAST(pre AS DOUBLE) / 2000.0) AS BIGINT) AS shard_id
          |FROM pk ORDER BY doc_id""".stripMargin,
-    "stream_dedup_neardup" ->
-      s"""$duckShingleCte, pairs AS (
-         |  SELECT id_a, id_b FROM inter
-         |  JOIN sizes sa ON sa.doc_id = id_a
-         |  JOIN sizes sb ON sb.doc_id = id_b
-         |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8),
-         |b1 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
-         |b2 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1),
-         |acc1 AS (
-         |  SELECT doc_id FROM b1 WHERE doc_id NOT IN (
-         |    SELECT p.id_b FROM pairs p
-         |    JOIN b1 x ON p.id_a = x.doc_id JOIN b1 y ON p.id_b = y.doc_id)),
-         |s2 AS (
-         |  SELECT doc_id FROM b2 WHERE doc_id NOT IN (
-         |    SELECT p.id_b FROM pairs p
-         |    JOIN b2 x ON p.id_a = x.doc_id JOIN b2 y ON p.id_b = y.doc_id)),
-         |acc2 AS (
-         |  SELECT doc_id FROM s2 WHERE doc_id NOT IN (
-         |    SELECT s2.doc_id FROM pairs p
-         |    JOIN s2 ON p.id_a = s2.doc_id JOIN acc1 ON p.id_b = acc1.doc_id
-         |    UNION
-         |    SELECT s2.doc_id FROM pairs p
-         |    JOIN s2 ON p.id_b = s2.doc_id JOIN acc1 ON p.id_a = acc1.doc_id)),
-         |acc AS (SELECT doc_id FROM acc1 UNION ALL SELECT doc_id FROM acc2)
-         |SELECT d.doc_id,
-         |       md5(regexp_replace(lower(trim(d.text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fingerprint
-         |FROM documents d JOIN acc USING (doc_id)
-         |ORDER BY doc_id""".stripMargin,
+    "stream_dedup_neardup" -> streamNeardupAcceptSql,
+    // the checkpointed file-source runner ingests the same even/odd
+    // split (file 1 = even ids, file 2 = odd), so the accepted corpus
+    // — a pure function of the batch split — shares the oracle
+    "stream_neardup_restart" -> streamNeardupAcceptSql,
     "pipeline_pretrain" ->
       s"""WITH w AS (
          |  SELECT doc_id, text, CAST(len($duckToks) AS BIGINT) AS n_tokens

@@ -1905,6 +1905,38 @@ trait SparkEntryTail extends SparkEntryMid {
       .select(col("doc_id"), fingerprintMd5(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Streaming near-dup dedup through the CHECKPOINTED file-source
+    * runner ([[Stream.runNearDupDir]]) — the production (no-collect)
+    * twin of [[streamDedupNeardup]], driven end-to-end: the even-id
+    * documents land as file 1 and are ingested by run 1; the odd-id
+    * file is added afterwards and a SECOND run against the SAME
+    * checkpoint ingests exactly the unseen file (the accumulator
+    * tallies are asserted: run 2's rows = the odd half, nothing
+    * re-read). The accept rule is a pure function of the id-ordered
+    * batch split, so the corpus equals the MemoryStream path's and
+    * shares its oracle. */
+  private[graft] def streamNeardupRestart(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft_ndrestart").toString
+    val dataDir = s"$base/docs"; val cp = s"$base/cp"
+    val table = "graft_stream_neardup_restart"
+    Stream.dropNearDup(s, table)
+    val nEven = docs.filter(col("doc_id") % 2 === 0).count()
+    val nOdd = docs.filter(col("doc_id") % 2 === 1).count()
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(dataDir)
+    val r1 = Stream.runNearDupDir(s, dataDir, cp, table)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(dataDir)
+    val r2 = Stream.runNearDupDir(s, dataDir, cp, table)
+    require(r1 == nEven && r2 == nOdd,
+      s"restart must ingest only unseen files: run1=$r1 (want $nEven), " +
+        s"run2=$r2 (want $nOdd)")
+    s.table(table)
+      .select(col("doc_id"), fingerprintMd5(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
   /** Curriculum-ordered shard packing: documents pack into 2000-token
     * shards ordered by QUALITY TIER first (tier 0 = the composite
     * [[graft.ext.Text.qualityScore]] at 1.0, tier 6 = a score of
