@@ -94,4 +94,43 @@ class BenchSpec extends AnyFunSuite {
     assert(after <= before * 3 + 0.1,
       s"cheap query slowed after 24-query interleave: $before s -> $after s")
   }
+
+  test("per-query budget: newest sf0.1 bench detail stays within 3x of the r10 reference") {
+    // Regressions must surface in CI, not at round end: whenever a
+    // newer bench-detail artifact exists (Bench writes one per run),
+    // every query it shares with the r10 reference must stay under
+    // 3x its recorded median (+0.5 s noise floor for sub-second
+    // queries). No newer artifact -> nothing to check this run.
+    val dir = new java.io.File("bench")
+    val ref = new java.io.File(dir, "bench_detail_sf0.1_r10_final.json")
+    assume(ref.exists(), "r10 reference bench detail missing")
+    def queries(f: java.io.File): Map[String, Double] = {
+      val txt = scala.io.Source.fromFile(f, "UTF-8").mkString
+      val parsed = org.json4s.jackson.JsonMethods.parse(txt)
+      (parsed \ "queries") match {
+        case org.json4s.JObject(fields) =>
+          fields.collect {
+            case (k, org.json4s.JDouble(v)) => k -> v
+            case (k, org.json4s.JInt(v)) => k -> v.toDouble
+            case (k, org.json4s.JDecimal(v)) => k -> v.toDouble
+          }.toMap
+        case _ => Map.empty
+      }
+    }
+    val newer = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("bench_detail_sf0.1_") &&
+        f.getName.endsWith(".json") && f.lastModified > ref.lastModified)
+      .sortBy(_.lastModified).lastOption
+    newer match {
+      case None => cancel("no bench detail newer than the r10 reference")
+      case Some(f) =>
+        val base = queries(ref); val cur = queries(f)
+        val regressed = cur.toSeq.collect {
+          case (q, sec) if base.contains(q) && sec > base(q) * 3 + 0.5 =>
+            f"$q: ${base(q)}%.2f s -> $sec%.2f s"
+        }
+        assert(regressed.isEmpty,
+          s"${f.getName} regressed vs r10 budgets:\n  " + regressed.mkString("\n  "))
+    }
+  }
 }
