@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Invariant gates for the two registry queries whose DuckDB oracle
+  * replay is intractable at sf1 (the round-10 gap: the oracle engine
+  * spilled >79 GB replaying them, an oracle-side resource limit, not
+  * an engine mismatch):
+  *
+  *  - `graph_pagerank_dangling` — the dangling-redistribution
+  *    recurrence conserves total rank mass by DEFINITION, so at any
+  *    scale Σ pr must equal the node count within per-node 6-dp
+  *    rounding drift (the ExtSpec invariant, run at scale), with
+  *    every rank strictly positive.
+  *  - `rank_ndcg` — (a) per-query bounds (ndcg/recall ∈ [0,1],
+  *    n_hit ≤ 10, idcg = the closed-form constant Σ (11−r)/log2(r+1),
+  *    since the exact ranking always yields 10 graded neighbors) and
+  *    (b) an EXACT replay of the metric pipeline for every query
+  *    vector: the exact ranking recomputed through an independent
+  *    formulation (higher-order-function dot products + a window
+  *    ranking, instead of the codegen'd `vecDot` kernel + the
+  *    `TopKByScore` heap; same 6-dp rounding and id tie-break), and
+  *    the rel/DCG/NDCG arithmetic recomputed driver-side from the
+  *    collected rankings (≤ 80 rows). The LSH ANN side is the system
+  *    under test; everything downstream of it is re-derived.
+  *
+  * Run as a main against any sf dir (the sf1 gate:
+  * `runMain graft.ScaleGate /root/repo/testdata-sf1`); ExtSpec runs
+  * [[check]] at sf0.01 every CI pass, where the hash oracle ALSO
+  * covers both queries — so the replay logic itself is
+  * cross-validated against DuckDB at small scale before it stands
+  * in for DuckDB at large scale. Emits one JSON line; throws on any
+  * violated invariant. */
+object ScaleGate {
+
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def log2d(x: Double): Double = math.log(x) / math.log(2.0)
+
+  /** Σ_{r=1..10} (11−r)/log2(r+1), rounded like the query — the ideal
+    * DCG of a full graded top-10, constant across queries. */
+  private def idealDcg: Double =
+    round6((1 to 10).map(r => (11.0 - r) / log2d(r + 1.0)).sum)
+
+  /** Run both gates; returns the JSON report line. Throws (with the
+    * violated invariant in the message) on failure. */
+  def check(spark: SparkSession, sfDir: String): String = {
+    // ---- gate 1: dangling pagerank conserves rank mass at scale
+    val pr = SparkEntry.queries("graph_pagerank_dangling")(spark, sfDir)
+    val a = pr.agg(count(lit(1)).cast("long"), sum("pr"), min("pr")).head()
+    val n = a.getLong(0); val mass = a.getDouble(1); val minPr = a.getDouble(2)
+    require(math.abs(mass - n) <= n * 1e-6 + 1e-6,
+      f"rank mass $mass%.6f must equal node count $n (drift bound ${n * 1e-6}%.6f)")
+    require(minPr > 0.0, s"pagerank emitted a non-positive rank: $minPr")
+
+    // ---- gate 2: rank_ndcg bounds + independent metric replay
+    val out = SparkEntry.queries("rank_ndcg")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    require(out.nonEmpty, "rank_ndcg returned no rows")
+    val idcg = idealDcg
+    out.foreach { case (q, nHit, recall, ndcg) =>
+      require(nHit >= 0 && nHit <= 10, s"q$q: n_hit $nHit out of [0,10]")
+      require(math.abs(recall - nHit / 10.0) < 1e-9, s"q$q: recall != n_hit/10")
+      require(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9, s"q$q: ndcg $ndcg out of [0,1]")
+    }
+    // the ANN ranking under test (same call as the registry query)
+    val emb = SparkEntry.t(spark, sfDir, "embeddings")
+    val ann = graft.ext.Similarity
+      .knnJoinLsh(emb, 10, nbits = 384, bandBits = 8, maxBucket = 64)
+      .filter(col("query_id") < 8)
+      .select("query_id", "nbr_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // independent exact ranking: HOF dot (same sequential component
+    // order as vecDot, same shared normalize primitive, same 6-dp
+    // pre-rank rounding) + row_number window (score desc, id asc —
+    // the documented TopKByScore tie-break)
+    val nv = emb.select(col("vec_id").cast("long").as("id"),
+      graft.functions.normalize(col("embedding")).as("v"))
+    val qs = nv.filter(col("id") < 8)
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    val pairs = nv.join(broadcast(qs), col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("nbr_id"),
+        round(aggregate(zip_with(col("qv"), col("v"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x), 6).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("nbr_id").asc)
+    val exact = pairs.withColumn("erank", row_number().over(w))
+      .filter(col("erank") <= 10)
+      .select("query_id", "nbr_id", "erank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // driver-side rel/DCG/NDCG replay from the two rankings
+    val erankOf = exact.map(t => (t._1, t._2) -> t._3).toMap
+    var maxDiff = 0.0
+    out.foreach { case (q, nHit, _, ndcg) =>
+      val rows = ann.filter(_._1 == q).sortBy(_._3)
+      val rels = rows.map { case (_, nbr, rank) =>
+        (erankOf.get((q, nbr)).map(11 - _).getOrElse(0), rank) }
+      val dcg = round6(rels.map { case (rel, rank) =>
+        rel / log2d(rank + 1.0) }.sum)
+      val ndcgReplay = round6(dcg / idcg)
+      val nHitReplay = rels.count(_._1 > 0)
+      require(nHitReplay == nHit,
+        s"q$q: n_hit replay $nHitReplay != query output $nHit")
+      val diff = math.abs(ndcgReplay - ndcg)
+      maxDiff = math.max(maxDiff, diff)
+      require(diff <= 1.5e-6,
+        f"q$q: ndcg replay $ndcgReplay%.6f != query output $ndcg%.6f")
+    }
+    s"""{"gate":"sf_invariants","sf":"$sfDir","pagerank_nodes":$n,""" +
+      f""""pagerank_mass":$mass%.6f,"ndcg_queries":${out.length},""" +
+      f""""ndcg_max_replay_diff":$maxDiff%.1e,"pass":true}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(check(spark, sfDir))
+    spark.stop()
+  }
+}

@@ -2715,6 +2715,14 @@ class ExtSpec extends AnyFunSuite {
   // label closure, degeneracy), giving those families an independent
   // tripwire.
 
+  test("ScaleGate invariants pass at spec scale (where the hash oracle cross-validates them)") {
+    // the sf1 stand-in gate for the two oracle-intractable queries;
+    // running it here, at the scale where the DuckDB oracle ALSO
+    // covers both queries, keeps the replay logic itself honest
+    val report = ScaleGate.check(spark, TestSession.sf)
+    assert(report.contains("\"pass\":true"), report)
+  }
+
   test("pagerank invariant: dangling redistribution conserves total rank mass") {
     val rows = SparkEntry.queries("graph_pagerank_dangling")(
       spark, TestSession.sf).collect()
