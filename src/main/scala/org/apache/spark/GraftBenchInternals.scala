@@ -83,6 +83,12 @@ object GraftBenchInternals {
       .foreach(deleteRecursively)
   }
 
+  /** Drain the async listener bus so stage metrics accumulated by an
+    * attached [[org.apache.spark.scheduler.SparkListener]] are
+    * complete before the caller reads them (profiling harness use). */
+  def drainListenerBus(sc: SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
   private def deleteRecursively(f: File): Unit = {
     if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
