@@ -396,7 +396,7 @@ object Stream {
       }
     graft.io.Load.dropManaged(spark, table)
     graft.io.Load.dropManaged(spark, table + "__stage")
-    base.write.saveAsTable(table)
+    seedCdcTable(spark, table, base)
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Long, String, Option[Double], Option[String])](
         implicitly[org.apache.spark.sql.Encoder[
@@ -414,7 +414,7 @@ object Stream {
       ms.addData(part(second = true))
       q.processAllAvailable()
     } finally q.stop()
-    spark.table(table)
+    spark.table(table).drop("__bucket")
   }
 
   /** Crash-recovery preamble for the staged-rename table swap: a crash
@@ -426,43 +426,108 @@ object Stream {
   private[graft] def promoteStageIfCrashed(spark: SparkSession,
       table: String): Unit = {
     val stage = table + "__stage"
-    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(stage))
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(stage)) {
       spark.sql(s"ALTER TABLE $stage RENAME TO $table")
+      repairIfPartitioned(spark, table)
+    }
   }
+
+  /** RENAME moves a table's directory but leaves a partitioned
+    * datasource table's per-partition catalog locations pointing at
+    * the OLD path — reads then silently see zero files. Re-derive the
+    * partition metadata from the filesystem after any rename of a
+    * partitioned table (a bucket-count-bounded listing). */
+  private def repairIfPartitioned(spark: SparkSession, table: String): Unit =
+    if (spark.catalog.listColumns(table).collect().exists(_.isPartition))
+      spark.sql(s"MSCK REPAIR TABLE $table")
 
   /** Swap `rows` in as the new content of managed `table` via the
     * staged rename: materialize, write the stage table, drop the live
     * one, rename stage over it. A crash leaves either the old live
     * table or a complete stage copy — never a half-written table —
     * and [[promoteStageIfCrashed]] closes the drop→rename window.
-    * This is the full-rewrite commit, kept ONLY for sinks whose whole
-    * content changes per batch (complete-mode aggregates, CDC over
-    * arbitrary keys); the merge family uses partitioned or
-    * manifest-append commits instead. */
+    * This is the full-rewrite commit, kept ONLY for whole-content
+    * swaps (complete-mode aggregates, the one-time CDC layout
+    * migration); the merge family uses partitioned or manifest-append
+    * commits instead. `partitionCols` makes the stage (and hence the
+    * renamed live table) a partitioned layout. */
   private def stagedSwap(spark: SparkSession, table: String,
-      rows: DataFrame): Unit = {
+      rows: DataFrame, partitionCols: Seq[String] = Nil): Unit = {
     val stage = table + "__stage"
     val snap = rows.localCheckpoint()
     graft.io.Load.dropManaged(spark, stage)
-    snap.write.saveAsTable(stage)
+    snap.write.partitionBy(partitionCols: _*).saveAsTable(stage)
     graft.io.Load.dropManaged(spark, table)
     spark.sql(s"ALTER TABLE $stage RENAME TO $table")
+    repairIfPartitioned(spark, table)
+    graft.core.Lineage.release(snap)
+  }
+
+  /** Seed a CDC base table in the bucket-partitioned layout
+    * [[applyCdcBatch]] merges into: `__bucket` = pmod(hash(key),
+    * nBuckets) as a physical partition column (callers project it
+    * away on read). */
+  def seedCdcTable(spark: SparkSession, table: String, rows: DataFrame,
+      keyCol: String = "okey", nBuckets: Int = MergeBuckets): Unit = {
+    val snap = rows
+      .withColumn("__bucket", pmod(hash(col(keyCol)), lit(nBuckets)))
+      .localCheckpoint()
+    snap.write.partitionBy("__bucket").saveAsTable(table)
     graft.core.Lineage.release(snap)
   }
 
   /** One CDC micro-batch apply (the [[foreachBatchCdc]] batch body,
     * public so replay-idempotence can be driven directly in tests):
-    * merge the batch into `table` with [[graft.io.Cdc.applyChanges]]
-    * and swap through the staged rename (live table never
-    * half-written). */
-  def applyCdcBatch(spark: SparkSession, table: String, batch: DataFrame): Unit = {
+    * merge the batch into `table` with [[graft.io.Cdc.applyChanges]].
+    *
+    * PARTITION-SCOPED like [[mergeUpsertBatch]]: a CDC batch's
+    * touched keys ARE its `okey`s, so on a bucket-partitioned base
+    * ([[seedCdcTable]]) the apply reads only the touched buckets
+    * (partition-pruned) and dynamic-overwrites only them; untouched
+    * partitions' files stay byte-identical (spec-pinned). CDC ops
+    * carry ABSOLUTE values, so a partially committed batch replayed
+    * by the at-least-once engine rewrites committed buckets to
+    * identical rows and completes the rest — per-bucket convergence
+    * without any batch-id stamping.
+    *
+    * A base table in the pre-bucketing flat layout is migrated on its
+    * first non-empty batch: one staged-rename full rewrite into the
+    * partitioned layout (crash-covered by [[promoteStageIfCrashed]]),
+    * partition-scoped from then on. */
+  def applyCdcBatch(spark: SparkSession, table: String, batch: DataFrame,
+      nBuckets: Int = MergeBuckets): Unit = {
     // must run BEFORE the empty-batch early return — after a crash in
-    // the drop->rename window, an empty micro-batch must still restore
-    // the live table rather than leave spark.table(table) failing
+    // the migration's drop->rename window, an empty micro-batch must
+    // still restore the live table rather than leave it missing
     promoteStageIfCrashed(spark, table)
     if (batch.isEmpty) return
-    stagedSwap(spark, table,
-      graft.io.Cdc.applyChanges(spark.table(table), batch, "okey", "seq", "op"))
+    val state = spark.table(table)
+    if (!state.columns.contains("__bucket")) {
+      // legacy flat layout: apply + one-time migration to buckets
+      val applied = graft.io.Cdc
+        .applyChanges(state, batch, "okey", "seq", "op")
+        .withColumn("__bucket", pmod(hash(col("okey")), lit(nBuckets)))
+      stagedSwap(spark, table, applied, partitionCols = Seq("__bucket"))
+    } else {
+      val tb = touchedBuckets(batch, "okey", nBuckets)
+      val touched = state.filter(col("__bucket").isin(tb: _*))
+      val applied = graft.io.Cdc
+        .applyChanges(touched.drop("__bucket"), batch, "okey", "seq", "op")
+        .withColumn("__bucket", pmod(hash(col("okey")), lit(nBuckets)))
+        .localCheckpoint()
+      // dynamic overwrite only rewrites partitions PRESENT in the
+      // output — a batch that deletes every key in a bucket emits no
+      // rows for it, so those partitions must be dropped explicitly
+      // (replay-safe: re-applying the deletes re-derives the same
+      // empty set and re-drops)
+      val present = applied.select("__bucket").distinct()
+        .collect().map(_.get(0)).toSet
+      overwriteTouched(spark, table, applied)
+      tb.filterNot(present).foreach { b =>
+        spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (__bucket=$b)")
+      }
+      graft.core.Lineage.release(applied)
+    }
   }
 
   /** Normalize the events `ts` column to TimestampType regardless of the

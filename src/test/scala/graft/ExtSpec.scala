@@ -1569,16 +1569,68 @@ class ExtSpec extends AnyFunSuite {
       (2L, 1L, "D", None: Option[Double], None: Option[String]),
       (4L, 1L, "I", Some(40.0), Some("d")))
       .toDF("okey", "seq", "op", "price", "status")
+    // seeded FLAT (no __bucket): the first apply must migrate the
+    // table to the bucket-partitioned layout and stay correct
     graft.streaming.Stream.applyCdcBatch(spark, table, batch)
+    assert(spark.table(table).columns.contains("__bucket"),
+      "first apply must migrate the flat seed to the partitioned layout")
     val once = spark.table(table).orderBy("okey").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
-    // at-least-once re-delivery of the SAME batch must be a no-op
+    // at-least-once re-delivery of the SAME batch must be a no-op —
+    // and must rewrite ONLY the touched buckets (partition-scoped IO)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(): Map[String, Long] = {
+      val it = fs.listFiles(loc, true)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) { val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet"))
+          b += st.getPath.toString -> st.getLen }
+      b.result()
+    }
+    val pre = files()
     graft.streaming.Stream.applyCdcBatch(spark, table, batch)
     val twice = spark.table(table).orderBy("okey").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
     assert(once == Seq((1L, 11.0, "a2"), (3L, 30.0, "c"), (4L, 40.0, "d")),
       once.toString)
     assert(twice == once, s"replay changed state: $twice vs $once")
+    val touched = batch.select(pmod(hash(col("okey")), lit(8)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val bucketOf = "__bucket=(\\d+)".r
+    val post = files()
+    pre.foreach { case (p, len) =>
+      bucketOf.findFirstMatchIn(p).map(_.group(1).toInt).foreach { bkt =>
+        if (!touched.contains(bkt))
+          assert(post.get(p).contains(len), s"untouched partition rewritten: $p")
+      }
+    }
+    graft.io.Load.dropManaged(spark, table)
+  }
+
+  test("applyCdcBatch: a batch that deletes a whole bucket drops its partition") {
+    import spark.implicits._
+    val table = "graft_cdc_emptybucket_test"
+    graft.io.Load.dropManaged(spark, table)
+    graft.io.Load.dropManaged(spark, table + "__stage")
+    val base = Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"))
+      .toDF("okey", "price", "status")
+    graft.streaming.Stream.seedCdcTable(spark, table, base)
+    // delete EVERY key: every touched bucket ends empty — dynamic
+    // overwrite alone would leave the old files (no output rows name
+    // those partitions); the explicit partition drop must kick in
+    val wipe = Seq(
+      (1L, 1L, "D", None: Option[Double], None: Option[String]),
+      (2L, 1L, "D", None: Option[Double], None: Option[String]),
+      (3L, 1L, "D", None: Option[Double], None: Option[String]))
+      .toDF("okey", "seq", "op", "price", "status")
+    graft.streaming.Stream.applyCdcBatch(spark, table, wipe)
+    assert(spark.table(table).count() == 0,
+      "deleted rows must not survive in emptied bucket partitions")
+    // replay of the wipe converges (re-drops the already-empty set)
+    graft.streaming.Stream.applyCdcBatch(spark, table, wipe)
+    assert(spark.table(table).count() == 0)
     graft.io.Load.dropManaged(spark, table)
   }
 
