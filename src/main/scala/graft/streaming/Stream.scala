@@ -281,7 +281,11 @@ object Stream {
     * write creates the table partitioned by `__bucket`. */
   private def overwriteTouched(spark: SparkSession, table: String,
       rows: DataFrame): Unit = {
-    val snap = rows.localCheckpoint()
+    // materialize before writing into a table the plan may read — but
+    // don't double-copy rows the caller already checkpointed
+    val snap =
+      if (graft.core.Lineage.checkpointRdd(rows).isDefined) rows
+      else rows.localCheckpoint()
     if (!spark.catalog.tableExists(table))
       snap.write.partitionBy("__bucket").saveAsTable(table)
     else {
@@ -337,9 +341,11 @@ object Stream {
       if (!spark.catalog.tableExists(table)) reduced
       else {
         // partition-pruned: only the buckets this batch's keys hash to
+        // (bucket set computed from the RAW batch — same key set as
+        // `reduced`, without re-running its aggregation)
         val state = spark.table(table)
           .filter(col("__bucket").isin(
-            touchedBuckets(reduced, "user_id", nBuckets): _*))
+            touchedBuckets(batch, "user_id", nBuckets): _*))
         // replay guard: this batch's keys already stamped with this id
         // were merged by a previous (crashed-after-write) attempt
         val fresh = reduced.join(
