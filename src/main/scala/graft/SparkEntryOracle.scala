@@ -475,6 +475,8 @@ trait SparkEntryOracle extends SparkEntryTail {
     // split (file 1 = even ids, file 2 = odd), so the accepted corpus
     // — a pure function of the batch split — shares the oracle
     "stream_neardup_restart" -> streamNeardupAcceptSql,
+    // compaction preserves the corpus exactly — same accept-rule oracle
+    "stream_neardup_compact" -> streamNeardupAcceptSql,
     "pipeline_pretrain" ->
       s"""WITH w AS (
          |  SELECT doc_id, text, CAST(len($duckToks) AS BIGINT) AS n_tokens

@@ -1937,6 +1937,29 @@ trait SparkEntryTail extends SparkEntryMid {
       .orderBy("doc_id")
   }
 
+  /** The explicit near-dup corpus COMPACTION under the correctness
+    * gate: build the two-batch accepted corpus, fold its per-ingest
+    * segments into one ([[graft.io.ManifestTable.compact]] — the only
+    * full rewrite left in the streaming near-dup path), and emit the
+    * compacted corpus. Content must be byte-for-byte the accept
+    * rule's output, so it shares [[streamDedupNeardup]]'s oracle —
+    * which makes "compaction loses/duplicates nothing" a driver-gated
+    * hash check, not just a spec. */
+  private[graft] def streamNeardupCompact(s: SparkSession, dir: String): DataFrame = {
+    val table = "graft_stream_neardup_compact"
+    Stream.foreachBatchNearDup(s,
+      t(s, dir, "documents").select("doc_id", "text"),
+      batch2Pred = pmod(col("doc_id"), lit(2)) === 1, threshold = 0.8,
+      table = table)
+    val root = Stream.nearDupRoot(s, table)
+    graft.io.ManifestTable.compact(s, root)
+    require(graft.io.ManifestTable.segments(s, root).size == 1,
+      "compact must fold the log to one segment")
+    graft.io.ManifestTable.read(s, root)
+      .select(col("doc_id"), fingerprintMd5(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
   /** Curriculum-ordered shard packing: documents pack into 2000-token
     * shards ordered by QUALITY TIER first (tier 0 = the composite
     * [[graft.ext.Text.qualityScore]] at 1.0, tier 6 = a score of

@@ -1036,7 +1036,7 @@ object Stream {
     * and would silently undercount a >100-file backfill. */
   def runNearDupDir(spark: SparkSession, dir: String, checkpoint: String,
       table: String, threshold: Double = 0.8,
-      maxFilesPerTrigger: Int = 1): Long = {
+      maxFilesPerTrigger: Int = 1, maxSegments: Int = 128): Long = {
     val root = nearDupRoot(spark, table)
     if (graft.io.ManifestTable.exists(spark, root))
       graft.io.ManifestTable.read(spark, root).createOrReplaceTempView(table)
@@ -1050,6 +1050,18 @@ object Stream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         mergeNearDupBatch(spark, table, batch, threshold,
           counter = Some(ingested))
+        // compaction policy: one segment lands per novel-bearing
+        // ingest; past `maxSegments` the per-read open cost starts to
+        // matter, so fold the log back to one segment here — this is
+        // the ONLY full rewrite in the path, amortized to once per
+        // maxSegments ingests and crash-safe (compact commits through
+        // the same atomic manifest rename; a crash mid-compact leaves
+        // the old manifest readable)
+        if (graft.io.ManifestTable.segments(spark, root).size > maxSegments) {
+          graft.io.ManifestTable.compact(spark, root)
+          graft.io.ManifestTable.read(spark, root)
+            .createOrReplaceTempView(table)
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

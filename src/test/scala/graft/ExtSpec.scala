@@ -2903,6 +2903,36 @@ class ExtSpec extends AnyFunSuite {
     graft.streaming.Stream.dropNearDup(spark, table)
   }
 
+  test("runNearDupDir compaction policy caps the segment log without changing the corpus") {
+    val docs = spark.read.parquet(s"${TestSession.sf}/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .filter(col("doc_id") < 200)
+    val base = java.nio.file.Files.createTempDirectory("graft_ndcap").toString
+    // four files written sequentially -> four deterministic micro-batches
+    (0 to 3).foreach { k =>
+      docs.filter(col("doc_id") % 4 === k).coalesce(1)
+        .write.mode("append").parquet(s"$base/docs")
+      Thread.sleep(5) // distinct mtimes pin the file-source batch order
+    }
+    def run(table: String, maxSegments: Int): Seq[Long] = {
+      graft.streaming.Stream.dropNearDup(spark, table)
+      graft.streaming.Stream.runNearDupDir(spark, s"$base/docs",
+        s"$base/cp_$table", table, maxSegments = maxSegments)
+      spark.table(table).collect().map(_.getLong(0)).sorted.toSeq
+    }
+    val capped = run("graft_ndcap_on", maxSegments = 1)
+    val free = run("graft_ndcap_off", maxSegments = 128)
+    assert(capped == free, "compaction must not change the accepted corpus")
+    val segsOn = graft.io.ManifestTable.segments(spark,
+      graft.streaming.Stream.nearDupRoot(spark, "graft_ndcap_on")).size
+    val segsOff = graft.io.ManifestTable.segments(spark,
+      graft.streaming.Stream.nearDupRoot(spark, "graft_ndcap_off")).size
+    assert(segsOn <= 2, s"cap=1 must keep the log folded, got $segsOn segments")
+    assert(segsOff >= 3, s"expected one segment per novel-bearing ingest, got $segsOff")
+    graft.streaming.Stream.dropNearDup(spark, "graft_ndcap_on")
+    graft.streaming.Stream.dropNearDup(spark, "graft_ndcap_off")
+  }
+
   test("near-dup corpus commits O(batch) bytes: prior segments immutable, compact folds") {
     import org.apache.hadoop.fs.Path
     val docs = spark.read.parquet(s"${TestSession.sf}/documents.parquet")
