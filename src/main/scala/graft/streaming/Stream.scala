@@ -330,6 +330,10 @@ object Stream {
     * spec-pinned). */
   def mergeUpsertBatch(spark: SparkSession, table: String,
       batch: DataFrame, batchId: Long, nBuckets: Int = MergeBuckets): Unit = {
+    // ONE pass over the batch source: the reduce is materialized, and
+    // the bucket set, the replay guard and the merge all read the
+    // key-bounded snapshot (inside foreachBatch every re-evaluation
+    // would re-scan the micro-batch source)
     val reduced = batch
       .groupBy("user_id")
       .agg(max(struct(col("us"), col("event_id"), col("value"))).as("s"),
@@ -337,15 +341,14 @@ object Stream {
       .select(col("user_id"), col("s.us").as("us"),
         col("s.event_id").as("event_id"), col("s.value").as("value"),
         col("n_updates"), lit(batchId).as("__batch_id"))
+      .localCheckpoint()
     val merged =
       if (!spark.catalog.tableExists(table)) reduced
       else {
         // partition-pruned: only the buckets this batch's keys hash to
-        // (bucket set computed from the RAW batch — same key set as
-        // `reduced`, without re-running its aggregation)
         val state = spark.table(table)
           .filter(col("__bucket").isin(
-            touchedBuckets(batch, "user_id", nBuckets): _*))
+            touchedBuckets(reduced, "user_id", nBuckets): _*))
         // replay guard: this batch's keys already stamped with this id
         // were merged by a previous (crashed-after-write) attempt
         val fresh = reduced.join(
@@ -362,6 +365,7 @@ object Stream {
       }
     overwriteTouched(spark, table,
       merged.withColumn("__bucket", pmod(hash(col("user_id")), lit(nBuckets))))
+    graft.core.Lineage.release(reduced)
   }
 
   /** Streaming CDC apply: a two-batch MemoryStream of I/U/D change
@@ -506,19 +510,22 @@ object Stream {
     // the migration's drop->rename window, an empty micro-batch must
     // still restore the live table rather than leave it missing
     promoteStageIfCrashed(spark, table)
-    if (batch.isEmpty) return
+    // ONE pass over the batch source (see mergeUpsertBatch): the
+    // snapshot serves the empty check, the bucket set, and the apply
+    val b = batch.localCheckpoint()
+    if (b.isEmpty) { graft.core.Lineage.release(b); return }
     val state = spark.table(table)
     if (!state.columns.contains("__bucket")) {
       // legacy flat layout: apply + one-time migration to buckets
       val applied = graft.io.Cdc
-        .applyChanges(state, batch, "okey", "seq", "op")
+        .applyChanges(state, b, "okey", "seq", "op")
         .withColumn("__bucket", pmod(hash(col("okey")), lit(nBuckets)))
       stagedSwap(spark, table, applied, partitionCols = Seq("__bucket"))
     } else {
-      val tb = touchedBuckets(batch, "okey", nBuckets)
+      val tb = touchedBuckets(b, "okey", nBuckets)
       val touched = state.filter(col("__bucket").isin(tb: _*))
       val applied = graft.io.Cdc
-        .applyChanges(touched.drop("__bucket"), batch, "okey", "seq", "op")
+        .applyChanges(touched.drop("__bucket"), b, "okey", "seq", "op")
         .withColumn("__bucket", pmod(hash(col("okey")), lit(nBuckets)))
         .localCheckpoint()
       // dynamic overwrite only rewrites partitions PRESENT in the
@@ -529,11 +536,12 @@ object Stream {
       val present = applied.select("__bucket").distinct()
         .collect().map(_.get(0)).toSet
       overwriteTouched(spark, table, applied)
-      tb.filterNot(present).foreach { b =>
-        spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (__bucket=$b)")
+      tb.filterNot(present).foreach { bkt =>
+        spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (__bucket=$bkt)")
       }
       graft.core.Lineage.release(applied)
     }
+    graft.core.Lineage.release(b)
   }
 
   /** Normalize the events `ts` column to TimestampType regardless of the
@@ -1131,9 +1139,11 @@ object Stream {
     * (user_id, event_id) fact identity already dedups a replay. */
   def mergeScd2Batch(spark: SparkSession, table: String,
       batch: DataFrame, nBuckets: Int = MergeBuckets): Unit = {
-    if (batch.isEmpty) return
+    // ONE pass over the batch source (see mergeUpsertBatch): the fact
+    // snapshot serves the empty check, the bucket set, and the merge
     val facts = batch.select(col("user_id"), col("us"), col("event_id"),
-      col("value"))
+      col("value")).localCheckpoint()
+    if (facts.isEmpty) { graft.core.Lineage.release(facts); return }
     val merged =
       if (!spark.catalog.tableExists(table)) version(facts)
       else {
@@ -1160,6 +1170,7 @@ object Stream {
       }
     overwriteTouched(spark, table,
       merged.withColumn("__bucket", pmod(hash(col("user_id")), lit(nBuckets))))
+    graft.core.Lineage.release(facts)
   }
 
   /** The SCD2 versioning kernel: one key-partitioned lead() over the
