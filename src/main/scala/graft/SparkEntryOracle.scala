@@ -24,10 +24,16 @@ trait SparkEntryOracle extends SparkEntryTail {
 
   /** Shared DuckDB fragment: distinct char-5 shingles of normalized
     * text (norm + sh CTEs only — the simhash oracle reuses these
-    * without the quadratic `inter` self-join). */
-  private[graft] val duckShingleBase =
-    """WITH norm AS (
-      |  SELECT doc_id, regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g') AS t0 FROM documents
+    * without the quadratic `inter` self-join). `textExpr`
+    * parameterizes the text source: the batch dedup queries shingle
+    * `text` as-is, while the STREAMING accept oracle mirrors the
+    * engine's ingest rule `coalesce(text, '')` (mergeNearDupBatch
+    * keeps a NULL-text doc as an empty-string doc rather than silently
+    * rejecting it), so engine and oracle agree on datasets with NULL
+    * text instead of diverging latently. */
+  private[graft] def duckShingleBaseOn(textExpr: String): String =
+    s"""WITH norm AS (
+      |  SELECT doc_id, regexp_replace(lower(trim($textExpr)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS t0 FROM documents
       |), sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
       |    generate_series(1, greatest(length(t0) - 4, 1)),
@@ -35,15 +41,19 @@ trait SparkEntryOracle extends SparkEntryTail {
       |  FROM norm
       |)""".stripMargin
 
+  private[graft] val duckShingleBase = duckShingleBaseOn("text")
+
   /** Shared DuckDB fragment: char-5-shingle sizes + pair intersections. */
-  private[graft] val duckShingleCte =
-    s"""$duckShingleBase, sizes AS (
+  private[graft] def duckShingleCteOn(textExpr: String): String =
+    s"""${duckShingleBaseOn(textExpr)}, sizes AS (
       |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
       |), inter AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2
       |)""".stripMargin
+
+  private[graft] val duckShingleCte = duckShingleCteOn("text")
 
   /** Shared DuckDB fragment: distinct word-3-gram shingles. */
   private[graft] val duckWord3Cte =
@@ -204,7 +214,7 @@ trait SparkEntryOracle extends SparkEntryTail {
     * the accepted corpus is a pure function of that split, so one
     * exact-Jaccard accept-rule replay serves both queries. */
   private lazy val streamNeardupAcceptSql: String =
-    s"""$duckShingleCte, pairs AS (
+    s"""${duckShingleCteOn("coalesce(text, '')")}, pairs AS (
        |  SELECT id_a, id_b FROM inter
        |  JOIN sizes sa ON sa.doc_id = id_a
        |  JOIN sizes sb ON sb.doc_id = id_b
@@ -228,7 +238,7 @@ trait SparkEntryOracle extends SparkEntryTail {
        |    JOIN s2 ON p.id_b = s2.doc_id JOIN acc1 ON p.id_a = acc1.doc_id)),
        |acc AS (SELECT doc_id FROM acc1 UNION ALL SELECT doc_id FROM acc2)
        |SELECT d.doc_id,
-       |       md5(regexp_replace(lower(trim(d.text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fingerprint
+       |       md5(regexp_replace(lower(trim(coalesce(d.text, ''))), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fingerprint
        |FROM documents d JOIN acc USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 

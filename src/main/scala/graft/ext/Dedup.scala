@@ -283,21 +283,55 @@ object Dedup {
   /** Batch-vs-corpus near-dup pairs where BOTH sides are stored
     * relations — [[minhashIncrementPairs]] without reprocessing the
     * corpus text: the corpus contributes only its persisted signature
-    * and shingle-hash arrays, so each ingest's CPU is O(batch) text
-    * work plus the banded join over compact stored rows. (At 100 TB
-    * the stored band relation would additionally be bucketed by
-    * (band, bucket) so the join prunes to colliding buckets.) */
+    * and shingle-hash arrays. MICRO-BATCH contract: `batchSig` is
+    * ingest-sized (a micro-batch, not a corpus half), so its banded
+    * rows broadcast and the corpus side is pruned to candidates before
+    * the verify — per-ingest shuffle is O(batch · collisions), never
+    * O(corpus). Callers that already hold a persisted banded index use
+    * [[incrementCandidatesBanded]] + [[verifyIncrement]] directly and
+    * skip the corpus-wide re-banding this convenience form pays. */
   def minhashIncrementPairsStored(
       corpusSig: DataFrame, corpusHashed: DataFrame,
       batchSig: DataFrame, batchHashed: DataFrame,
       threshold: Double, k: Int = 64, bands: Int = 16): DataFrame = {
-    val cands = bandedFromSig(batchSig, k, bands).as("a")
-      .join(bandedFromSig(corpusSig, k, bands).as("b").hint("shuffle_merge"),
+    val cands = incrementCandidatesBanded(
+      bandedFromSig(batchSig, k, bands), bandedFromSig(corpusSig, k, bands))
+    verifyIncrement(cands, corpusHashed, batchHashed, threshold)
+  }
+
+  /** Batch-vs-corpus LSH candidate pairs against a PRE-BANDED corpus
+    * index `(band, bucket, id)` — the read-side twin of the manifest
+    * corpus's append-only write side. The batch's banded rows (bands
+    * rows of ~20 bytes per batch doc) BROADCAST, so the corpus index
+    * streams through a broadcast hash join with NO shuffle of corpus
+    * data at all; at scale the caller additionally partition-prunes
+    * the index to the batch's colliding (band, bucket) hash partitions
+    * ([[graft.streaming.NearDupIndex.read]]), making the scan — not
+    * just the shuffle — O(colliding buckets). Returns distinct
+    * (id_a = batch id, id_b = corpus id). */
+  def incrementCandidatesBanded(batchBanded: DataFrame,
+      corpusBanded: DataFrame): DataFrame =
+    broadcast(batchBanded.select("id", "band", "bucket")).as("a")
+      .join(corpusBanded.as("b"),
         F.col("a.band") === F.col("b.band") &&
           F.col("a.bucket") === F.col("b.bucket"))
       .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"))
       .distinct()
-    verifyJaccard(cands, batchHashed.union(corpusHashed), threshold)
+
+  /** Verify increment candidates with the corpus side PRUNED first:
+    * the distinct candidate corpus-id set — O(batch · collisions),
+    * bucket-cap-bounded — broadcasts into a left-semi join that keeps
+    * only candidate rows of `corpusHashed`, so [[verifyJaccard]]'s
+    * pinned shuffle-merge joins move O(candidates) hashed-shingle
+    * arrays instead of the whole corpus per ingest (the round-11
+    * read-side scale fix). Prune-then-verify returns exactly what
+    * verify-over-everything returned: a corpus row without a candidate
+    * pair cannot appear in the verify output. */
+  def verifyIncrement(cands: DataFrame, corpusHashed: DataFrame,
+      batchHashed: DataFrame, threshold: Double): DataFrame = {
+    val candIds = cands.select(col("id_b").as("id")).distinct()
+    val pruned = corpusHashed.join(broadcast(candIds), Seq("id"), "left_semi")
+    verifyJaccard(cands, batchHashed.union(pruned), threshold)
       .select(col("id_a").as("batch_id"), col("id_b").as("corpus_id"),
         col("jaccard"))
   }

@@ -41,6 +41,45 @@ object ManifestTable {
 
   private val ManifestPrefix = "_manifest.v"
 
+  /** The atomic publish step, pluggable per storage class. A strategy
+    * must (1) make manifest version `v` visible atomically — readers
+    * see the old or the new manifest, never a torn one — and (2)
+    * guarantee a SINGLE WINNER when two writers race to publish the
+    * same version (the loser throws, its segment becomes an orphan
+    * that [[compact]]/GC collects; nothing already committed is ever
+    * lost, because a manifest names the full segment list and losers
+    * never overwrite it). [[RenameCommit]] implements this with
+    * tmp-write + no-overwrite `rename` (HDFS/local semantics); an
+    * S3-class store — where rename is copy+delete and not atomic —
+    * plugs in a conditional-PUT (If-None-Match) strategy against the
+    * same interface. */
+  trait CommitStrategy {
+    /** Publish `content` as exactly `dst`, atomically, failing (not
+      * overwriting) if `dst` already exists. */
+    def publish(f: FileSystem, dir: Path, dst: Path, content: String): Unit
+  }
+
+  /** Atomic-rename commit: correct on any FS with atomic, no-overwrite
+    * rename (HDFS, local, ABFS). */
+  object RenameCommit extends CommitStrategy {
+    def publish(f: FileSystem, dir: Path, dst: Path, content: String): Unit = {
+      val tmp = new Path(dir,
+        s"${dst.getName}.tmp-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, false)
+      try out.write(content.getBytes("UTF-8"))
+      finally out.close()
+      if (!f.rename(tmp, dst)) {
+        f.delete(tmp, false)
+        throw new IllegalStateException(
+          s"manifest commit lost the race for $dst")
+      }
+    }
+  }
+
+  /** Process-wide strategy hook; deployments on stores without atomic
+    * rename swap this once at startup. */
+  @volatile var commitStrategy: CommitStrategy = RenameCommit
+
   private def fs(spark: SparkSession, root: String): (FileSystem, Path) = {
     val p = new Path(root)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -83,22 +122,12 @@ object ManifestTable {
     spark.read.parquet(segs.map(s => s"$root/$s"): _*)
   }
 
-  /** Atomically publish `segs` as manifest version `v`: tmp write +
-    * rename. Rename-onto-existing fails on local/HDFS semantics, which
-    * is exactly the single-winner guarantee a concurrent commit race
-    * needs. */
-  private def commit(f: FileSystem, root: Path, v: Long, segs: Seq[String]): Unit = {
-    val tmp = new Path(root,
-      s"$ManifestPrefix$v.tmp-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, false)
-    try out.write((segs.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    val dst = new Path(root, ManifestPrefix + v)
-    if (!f.rename(tmp, dst)) {
-      f.delete(tmp, false)
-      throw new IllegalStateException(s"manifest commit lost the race for $dst")
-    }
-  }
+  /** Atomically publish `segs` as manifest version `v` through the
+    * configured [[CommitStrategy]] (single winner per version; the
+    * loser throws and its segment dir is orphaned, never read). */
+  private def commit(f: FileSystem, root: Path, v: Long, segs: Seq[String]): Unit =
+    commitStrategy.publish(f, root, new Path(root, ManifestPrefix + v),
+      segs.mkString("\n") + "\n")
 
   /** Append `df` as one new segment: IO = O(df) + a tiny manifest,
     * regardless of how much data the table already holds. */

@@ -278,25 +278,33 @@ object Stream {
   /** Write `rows` into partitioned state `table`, rewriting ONLY the
     * partitions present in `rows` (dynamic partition overwrite); every
     * other partition's files stay byte-identical (spec-pinned). First
-    * write creates the table partitioned by `__bucket`. */
+    * write creates the table partitioned by `__bucket` WITH the
+    * `partitionOverwriteMode=dynamic` datasource option baked into its
+    * catalog entry — the table itself declares dynamic semantics, so
+    * every subsequent insert honors them with ZERO session-conf
+    * mutation (no toggle, no restore, no race with a concurrent
+    * foreachBatch in the same session; the per-write DataFrameWriter
+    * option is silently ignored by v1 `insertInto`, measured, so the
+    * table-level option is the only mutation-free spelling). */
   private def overwriteTouched(spark: SparkSession, table: String,
-      rows: DataFrame): Unit = {
+      rows: DataFrame, nBuckets: Int): Unit = {
     // materialize before writing into a table the plan may read — but
     // don't double-copy rows the caller already checkpointed
     val snap =
       if (graft.core.Lineage.checkpointRdd(rows).isDefined) rows
       else rows.localCheckpoint()
-    if (!spark.catalog.tableExists(table))
-      snap.write.partitionBy("__bucket").saveAsTable(table)
-    else {
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try snap.write.mode("overwrite").insertInto(table)
-      finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-    }
+    if (!spark.catalog.tableExists(table)) {
+      snap.write.partitionBy("__bucket")
+        .option("partitionOverwriteMode", "dynamic")
+        .saveAsTable(table)
+      // record the layout's bucket count where [[bucketCountOf]] reads
+      // it back. Crash window (table created, property not yet set) is
+      // benign: merges then fall back to the caller's default, which
+      // is exactly the count this table was just created with
+      spark.sql(
+        s"ALTER TABLE $table SET TBLPROPERTIES('$BucketProp'='$nBuckets')")
+    } else
+      snap.write.mode("overwrite").insertInto(table)
     graft.core.Lineage.release(snap)
   }
 
@@ -330,6 +338,9 @@ object Stream {
     * spec-pinned). */
   def mergeUpsertBatch(spark: SparkSession, table: String,
       batch: DataFrame, batchId: Long, nBuckets: Int = MergeBuckets): Unit = {
+    // crash/upgrade preamble + the table's authoritative bucket count
+    // (the caller's default must not mis-prune a rebucketed table)
+    val n = ensureBucketedState(spark, table, "user_id", nBuckets)
     // ONE pass over the batch source: the reduce is materialized, and
     // the bucket set, the replay guard and the merge all read the
     // key-bounded snapshot (inside foreachBatch every re-evaluation
@@ -348,7 +359,7 @@ object Stream {
         // partition-pruned: only the buckets this batch's keys hash to
         val state = spark.table(table)
           .filter(col("__bucket").isin(
-            touchedBuckets(reduced, "user_id", nBuckets): _*))
+            touchedBuckets(reduced, "user_id", n): _*))
         // replay guard: this batch's keys already stamped with this id
         // were merged by a previous (crashed-after-write) attempt
         val fresh = reduced.join(
@@ -364,7 +375,7 @@ object Stream {
             col("n_updates"), col("__batch_id"))
       }
     overwriteTouched(spark, table,
-      merged.withColumn("__bucket", pmod(hash(col("user_id")), lit(nBuckets))))
+      merged.withColumn("__bucket", pmod(hash(col("user_id")), lit(n))), n)
     graft.core.Lineage.release(reduced)
   }
 
@@ -457,20 +468,108 @@ object Stream {
     * table or a complete stage copy — never a half-written table —
     * and [[promoteStageIfCrashed]] closes the drop→rename window.
     * This is the full-rewrite commit, kept ONLY for whole-content
-    * swaps (complete-mode aggregates, the one-time CDC layout
-    * migration); the merge family uses partitioned or manifest-append
-    * commits instead. `partitionCols` makes the stage (and hence the
-    * renamed live table) a partitioned layout. */
+    * swaps (complete-mode aggregates, one-time layout migrations,
+    * [[rebucket]]); the merge family uses partitioned or
+    * manifest-append commits instead. `partitionCols` makes the stage
+    * (and hence the renamed live table) a partitioned layout; `props`
+    * are set on the STAGE before the rename, so they ride the atomic
+    * swap (a crash never publishes the new content without them). */
   private def stagedSwap(spark: SparkSession, table: String,
-      rows: DataFrame, partitionCols: Seq[String] = Nil): Unit = {
+      rows: DataFrame, partitionCols: Seq[String] = Nil,
+      props: Map[String, String] = Map.empty): Unit = {
     val stage = table + "__stage"
     val snap = rows.localCheckpoint()
     graft.io.Load.dropManaged(spark, stage)
-    snap.write.partitionBy(partitionCols: _*).saveAsTable(stage)
+    // partitioned stages carry the dynamic-overwrite option in their
+    // catalog entry (see overwriteTouched — the mutation-free spelling)
+    snap.write.partitionBy(partitionCols: _*)
+      .option("partitionOverwriteMode", "dynamic")
+      .saveAsTable(stage)
+    props.foreach { case (k, v) =>
+      spark.sql(s"ALTER TABLE $stage SET TBLPROPERTIES('$k'='$v')") }
     graft.io.Load.dropManaged(spark, table)
     spark.sql(s"ALTER TABLE $stage RENAME TO $table")
     repairIfPartitioned(spark, table)
     graft.core.Lineage.release(snap)
+  }
+
+  private val BucketProp = "graft.buckets"
+
+  /** The bucket count a merge state table was PHYSICALLY laid out
+    * with, from its table property — the layout's source of truth, so
+    * a caller-passed default can never mis-prune a table that was
+    * created (or [[rebucket]]ed) at a different count. Legacy tables
+    * without the property fall back to the caller's value. */
+  private[graft] def bucketCountOf(spark: SparkSession,
+      table: String): Option[Int] =
+    spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .collectFirst { case r if r.getString(0) == BucketProp =>
+        r.getString(1).toInt }
+
+  /** Upgrade/crash preamble shared by the bucket-partitioned merges:
+    * (1) promote a crashed staged rename (a pre-upgrade crash that
+    * left only `table`__stage must restore state BEFORE any merge
+    * logic, or the merge would silently re-seed from the batch alone
+    * and lose accumulated state); (2) one-time migration of a legacy
+    * flat (pre-bucketing) layout into `__bucket` partitions — a
+    * staged-rename full rewrite, the same migration [[applyCdcBatch]]
+    * has always done, so an upgraded deployment's first batch against
+    * an old state table works instead of throwing UNRESOLVED_COLUMN.
+    * Returns the table's authoritative bucket count. */
+  private def ensureBucketedState(spark: SparkSession, table: String,
+      keyCol: String, nBuckets: Int): Int = {
+    promoteStageIfCrashed(spark, table)
+    if (!spark.catalog.tableExists(table)) nBuckets
+    else if (!spark.table(table).columns.contains("__bucket")) {
+      stagedSwap(spark, table,
+        spark.table(table)
+          .withColumn("__bucket", pmod(hash(col(keyCol)), lit(nBuckets))),
+        partitionCols = Seq("__bucket"),
+        props = Map(BucketProp -> nBuckets.toString))
+      nBuckets
+    } else {
+      val n = bucketCountOf(spark, table).getOrElse(nBuckets)
+      // a bucketed table WITHOUT the dynamic-overwrite option in its
+      // catalog entry (created before the option-carrying layout)
+      // would be silently TRUNCATED by the next insert — migrate it
+      // once through the same staged swap, which recreates the entry
+      // with the option
+      if (!hasDynamicOverwrite(spark, table))
+        stagedSwap(spark, table, spark.table(table),
+          partitionCols = Seq("__bucket"),
+          props = Map(BucketProp -> n.toString))
+      n
+    }
+  }
+
+  /** Whether `table`'s catalog entry carries the
+    * `partitionOverwriteMode=dynamic` datasource option. */
+  private def hasDynamicOverwrite(spark: SparkSession,
+      table: String): Boolean =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .storage.properties
+      .exists { case (k, v) =>
+        k.equalsIgnoreCase("partitionOverwriteMode") &&
+          v.equalsIgnoreCase("dynamic") }
+
+  /** Maintenance action: rewrite a bucket-partitioned merge state
+    * table at a NEW bucket count — [[graft.io.ManifestTable.compact]]'s
+    * sibling for the merge family, so a deployment can grow 8 →
+    * 4096 buckets without a bespoke migration. One staged-rename full
+    * rewrite (crash leaves old or new layout, never half, and
+    * [[promoteStageIfCrashed]] closes the swap window); the new count
+    * rides the swap as a table property, which every subsequent merge
+    * reads as the layout's source of truth — callers' `nBuckets`
+    * defaults stop mattering the moment the property exists. */
+  def rebucket(spark: SparkSession, table: String, keyCol: String,
+      nBuckets: Int): Unit = {
+    promoteStageIfCrashed(spark, table)
+    stagedSwap(spark, table,
+      spark.table(table).drop("__bucket")
+        .withColumn("__bucket", pmod(hash(col(keyCol)), lit(nBuckets))),
+      partitionCols = Seq("__bucket"),
+      props = Map(BucketProp -> nBuckets.toString))
   }
 
   /** Seed a CDC base table in the bucket-partitioned layout
@@ -482,7 +581,11 @@ object Stream {
     val snap = rows
       .withColumn("__bucket", pmod(hash(col(keyCol)), lit(nBuckets)))
       .localCheckpoint()
-    snap.write.partitionBy("__bucket").saveAsTable(table)
+    snap.write.partitionBy("__bucket")
+      .option("partitionOverwriteMode", "dynamic")
+      .saveAsTable(table)
+    spark.sql(
+      s"ALTER TABLE $table SET TBLPROPERTIES('$BucketProp'='$nBuckets')")
     graft.core.Lineage.release(snap)
   }
 
@@ -500,47 +603,39 @@ object Stream {
     * identical rows and completes the rest — per-bucket convergence
     * without any batch-id stamping.
     *
-    * A base table in the pre-bucketing flat layout is migrated on its
-    * first non-empty batch: one staged-rename full rewrite into the
-    * partitioned layout (crash-covered by [[promoteStageIfCrashed]]),
-    * partition-scoped from then on. */
+    * A base table in the pre-bucketing flat layout is migrated by the
+    * shared preamble on its first batch: one staged-rename full
+    * rewrite into the partitioned layout (crash-covered by
+    * [[promoteStageIfCrashed]]), partition-scoped from then on. */
   def applyCdcBatch(spark: SparkSession, table: String, batch: DataFrame,
       nBuckets: Int = MergeBuckets): Unit = {
     // must run BEFORE the empty-batch early return — after a crash in
-    // the migration's drop->rename window, an empty micro-batch must
+    // a staged swap's drop->rename window, an empty micro-batch must
     // still restore the live table rather than leave it missing
-    promoteStageIfCrashed(spark, table)
+    val n = ensureBucketedState(spark, table, "okey", nBuckets)
     // ONE pass over the batch source (see mergeUpsertBatch): the
     // snapshot serves the empty check, the bucket set, and the apply
     val b = batch.localCheckpoint()
     if (b.isEmpty) { graft.core.Lineage.release(b); return }
     val state = spark.table(table)
-    if (!state.columns.contains("__bucket")) {
-      // legacy flat layout: apply + one-time migration to buckets
-      val applied = graft.io.Cdc
-        .applyChanges(state, b, "okey", "seq", "op")
-        .withColumn("__bucket", pmod(hash(col("okey")), lit(nBuckets)))
-      stagedSwap(spark, table, applied, partitionCols = Seq("__bucket"))
-    } else {
-      val tb = touchedBuckets(b, "okey", nBuckets)
-      val touched = state.filter(col("__bucket").isin(tb: _*))
-      val applied = graft.io.Cdc
-        .applyChanges(touched.drop("__bucket"), b, "okey", "seq", "op")
-        .withColumn("__bucket", pmod(hash(col("okey")), lit(nBuckets)))
-        .localCheckpoint()
-      // dynamic overwrite only rewrites partitions PRESENT in the
-      // output — a batch that deletes every key in a bucket emits no
-      // rows for it, so those partitions must be dropped explicitly
-      // (replay-safe: re-applying the deletes re-derives the same
-      // empty set and re-drops)
-      val present = applied.select("__bucket").distinct()
-        .collect().map(_.get(0)).toSet
-      overwriteTouched(spark, table, applied)
-      tb.filterNot(present).foreach { bkt =>
-        spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (__bucket=$bkt)")
-      }
-      graft.core.Lineage.release(applied)
+    val tb = touchedBuckets(b, "okey", n)
+    val touched = state.filter(col("__bucket").isin(tb: _*))
+    val applied = graft.io.Cdc
+      .applyChanges(touched.drop("__bucket"), b, "okey", "seq", "op")
+      .withColumn("__bucket", pmod(hash(col("okey")), lit(n)))
+      .localCheckpoint()
+    // dynamic overwrite only rewrites partitions PRESENT in the
+    // output — a batch that deletes every key in a bucket emits no
+    // rows for it, so those partitions must be dropped explicitly
+    // (replay-safe: re-applying the deletes re-derives the same
+    // empty set and re-drops)
+    val present = applied.select("__bucket").distinct()
+      .collect().map(_.get(0)).toSet
+    overwriteTouched(spark, table, applied, n)
+    tb.filterNot(present).foreach { bkt =>
+      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (__bucket=$bkt)")
     }
+    graft.core.Lineage.release(applied)
     graft.core.Lineage.release(b)
   }
 
@@ -943,6 +1038,7 @@ object Stream {
     graft.io.Load.dropManaged(spark, table)
     graft.io.Load.dropManaged(spark, table + "__stage")
     graft.io.ManifestTable.destroy(spark, nearDupRoot(spark, table))
+    NearDupIndex.destroy(spark, nearDupRoot(spark, table))
   }
 
   /** Streaming NEAR-dup deduplication: documents arrive in micro-
@@ -950,8 +1046,11 @@ object Stream {
     * banding + exact shingle-Jaccard verify ≥ `threshold`, drop any
     * doc with a qualifying pair to a SMALLER id — the deterministic
     * keep-first rule), then (2) checked against the ACCUMULATED
-    * accepted corpus ([[graft.ext.Dedup.minhashIncrementPairs]] —
-    * banded batch×corpus join, never corpus²), and only novel docs
+    * accepted corpus via the PERSISTED banded index
+    * ([[NearDupIndex]] candidates + [[graft.ext.Dedup
+    * .verifyIncrement]] — partition-pruned index read, broadcast batch
+    * bands, candidate-semi-join-pruned verify: never corpus², and no
+    * O(corpus) shuffle either), and only novel docs
     * APPEND to the corpus. This is the streaming face of the
     * daily-ingest contract, now true for IO as well as CPU: the
     * corpus is a [[graft.io.ManifestTable]] (one segment dir per
@@ -1010,22 +1109,47 @@ object Stream {
     val withinSurv = enriched.join(
       withinPairs.select(col("id_b").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
-    val novel =
-      if (!graft.io.ManifestTable.exists(spark, root)) withinSurv
+    // corpus check: READ-side O(batch · collisions), the round-11
+    // write-side twin. Candidates come from the PERSISTED banded index
+    // (NearDupIndex — partition-pruned to the batch's own pb collision
+    // partitions; the batch's banded rows broadcast, so no corpus data
+    // shuffles), and the verify joins see only corpus rows the
+    // candidate-id semi-join keeps (Dedup.verifyIncrement) — the full
+    // corpus's hashed-shingle arrays are never shuffled per ingest
+    // (spec-pinned: shuffle bytes stay flat as the corpus grows).
+    val cross =
+      if (!graft.io.ManifestTable.exists(spark, root)) None
       else {
-        val corpus = graft.io.ManifestTable.read(spark, root)
-        val cross = graft.ext.Dedup.minhashIncrementPairsStored(
-          sigOf(corpus), hashedOf(corpus),
-          sigOf(withinSurv), hashedOf(withinSurv),
-          threshold, k = 64, bands = 16)
-        withinSurv.join(
-          cross.select(col("batch_id").as("doc_id")).distinct(),
-          Seq("doc_id"), "left_anti")
+        NearDupIndex.sync(spark, root) // heal crash-window gaps first
+        val batchBanded = NearDupIndex.withPb(
+          graft.ext.Dedup.bandedFromSig(sigOf(withinSurv)))
+          .localCheckpoint()
+        // the batch's collision partitions: ≤ PartBuckets values
+        val pbs = batchBanded.select("pb").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val cands = graft.ext.Dedup.incrementCandidatesBanded(
+          batchBanded, NearDupIndex.read(spark, root, pbs))
+        Some((graft.ext.Dedup.verifyIncrement(
+          cands, hashedOf(graft.io.ManifestTable.read(spark, root)),
+          hashedOf(withinSurv), threshold), batchBanded))
       }
+    val novel = cross match {
+      case None => withinSurv
+      case Some((pairs, _)) =>
+        withinSurv.join(
+          pairs.select(col("batch_id").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+    }
     val snap = novel.localCheckpoint()
-    if (!snap.isEmpty) graft.io.ManifestTable.append(spark, root, snap)
+    if (!snap.isEmpty) {
+      graft.io.ManifestTable.append(spark, root, snap)
+      // index the fresh segment now (normal path); a crash before this
+      // line is the window sync() heals on the next ingest
+      NearDupIndex.sync(spark, root)
+    }
     if (graft.io.ManifestTable.exists(spark, root))
       graft.io.ManifestTable.read(spark, root).createOrReplaceTempView(table)
+    cross.foreach { case (_, bb) => graft.core.Lineage.release(bb) }
     graft.core.Lineage.release(snap, enriched, b0)
     ()
   }
@@ -1067,6 +1191,10 @@ object Stream {
         // the old manifest readable)
         if (graft.io.ManifestTable.segments(spark, root).size > maxSegments) {
           graft.io.ManifestTable.compact(spark, root)
+          // rebuild the banded index for the folded segment eagerly
+          // (and GC the superseded segments' index dirs) so the next
+          // ingest doesn't pay the rebuild inside its own latency
+          NearDupIndex.sync(spark, root)
           graft.io.ManifestTable.read(spark, root)
             .createOrReplaceTempView(table)
         }
@@ -1139,6 +1267,8 @@ object Stream {
     * (user_id, event_id) fact identity already dedups a replay. */
   def mergeScd2Batch(spark: SparkSession, table: String,
       batch: DataFrame, nBuckets: Int = MergeBuckets): Unit = {
+    // crash/upgrade preamble + the table's authoritative bucket count
+    val n = ensureBucketedState(spark, table, "user_id", nBuckets)
     // ONE pass over the batch source (see mergeUpsertBatch): the fact
     // snapshot serves the empty check, the bucket set, and the merge
     val facts = batch.select(col("user_id"), col("us"), col("event_id"),
@@ -1150,7 +1280,7 @@ object Stream {
         // partition-pruned: only the buckets this batch's keys hash to
         val state = spark.table(table)
           .filter(col("__bucket").isin(
-            touchedBuckets(facts, "user_id", nBuckets): _*))
+            touchedBuckets(facts, "user_id", n): _*))
           .drop("__bucket")
         val keys = facts.select("user_id").distinct()
         // (user_id, event_id) is the fact identity: state copies of
@@ -1169,7 +1299,7 @@ object Stream {
         untouched.unionByName(version(stateFacts.unionByName(facts)))
       }
     overwriteTouched(spark, table,
-      merged.withColumn("__bucket", pmod(hash(col("user_id")), lit(nBuckets))))
+      merged.withColumn("__bucket", pmod(hash(col("user_id")), lit(n))), n)
     graft.core.Lineage.release(facts)
   }
 

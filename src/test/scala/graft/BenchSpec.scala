@@ -101,6 +101,10 @@ class BenchSpec extends AnyFunSuite {
     // every query it shares with the r10 reference must stay under
     // 3x its recorded median (+0.5 s noise floor for sub-second
     // queries). No newer artifact -> nothing to check this run.
+    // escape hatch for machines much slower than the one that recorded
+    // the reference medians — budget ratios are hardware-relative
+    assume(!sys.env.contains("GRAFT_SKIP_BENCH_BUDGETS"),
+      "budget check disabled via GRAFT_SKIP_BENCH_BUDGETS")
     val dir = new java.io.File("bench")
     val ref = new java.io.File(dir, "bench_detail_sf0.1_r10_final.json")
     assume(ref.exists(), "r10 reference bench detail missing")
@@ -117,10 +121,20 @@ class BenchSpec extends AnyFunSuite {
         case _ => Map.empty
       }
     }
+    // order artifacts by the round encoded in the filename (…_rN[suffix]
+    // .json), NOT file mtime: git checkouts don't preserve mtimes, so a
+    // fresh clone would otherwise nondeterministically skip or include
+    // the committed artifacts
+    def roundOf(name: String): Option[(Int, String)] =
+      "_r(\\d+)([a-z_]*)\\.json$".r.findFirstMatchIn(name)
+        .map(m => (m.group(1).toInt, m.group(2)))
+    val refRound = roundOf(ref.getName).get
+    implicit val ord: Ordering[(Int, String)] = Ordering.Tuple2
     val newer = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("bench_detail_sf0.1_") &&
-        f.getName.endsWith(".json") && f.lastModified > ref.lastModified)
-      .sortBy(_.lastModified).lastOption
+      .filter(f => f.getName.startsWith("bench_detail_sf0.1_"))
+      .flatMap(f => roundOf(f.getName).map(r => (r, f)))
+      .filter { case (r, _) => ord.gt(r, refRound) }
+      .sortBy(_._1).lastOption.map(_._2)
     newer match {
       case None => cancel("no bench detail newer than the r10 reference")
       case Some(f) =>

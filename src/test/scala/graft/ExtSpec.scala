@@ -1926,6 +1926,146 @@ class ExtSpec extends AnyFunSuite {
     graft.io.Load.dropManaged(spark, table)
   }
 
+  test("rebucket: state survives an 8->32 bucket-count change, later merges prune by the new count") {
+    import spark.implicits._
+    val table = "graft_rebucket_spec"
+    val twin = "graft_rebucket_twin"
+    graft.io.Load.dropManaged(spark, table)
+    graft.io.Load.dropManaged(spark, twin)
+    val b1 = (1L to 60L).map(k => (k, 1000L + k, k, k * 1.0))
+      .toDF("user_id", "us", "event_id", "value")
+    val b2 = (41L to 100L).map(k => (k, 9000L + k, 100 + k, k * 2.0))
+      .toDF("user_id", "us", "event_id", "value")
+    Stream.mergeUpsertBatch(spark, table, b1, 0L)
+    Stream.rebucket(spark, table, "user_id", 32)
+    assert(Stream.bucketCountOf(spark, table).contains(32),
+      "rebucket must stamp the new count as the layout's source of truth")
+    // the caller still passes the DEFAULT bucket count — the table
+    // property must win, or pruning would read mod-8 bucket ids out of
+    // a mod-32 layout and silently lose state
+    Stream.mergeUpsertBatch(spark, table, b2, 1L)
+    Stream.mergeUpsertBatch(spark, twin, b1, 0L)
+    Stream.mergeUpsertBatch(spark, twin, b2, 1L)
+    def snap(t: String) = spark.table(t).drop("__bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).sortBy(_._1).toSeq
+    assert(snap(table) == snap(twin),
+      "rebucketed merge sequence must equal the straight one")
+    // physical layout really is 32-way now: every key sits in its
+    // mod-32 bucket partition
+    val misplaced = spark.table(table)
+      .filter(col("__bucket") =!= pmod(hash(col("user_id")), lit(32)))
+      .count()
+    assert(misplaced == 0, s"$misplaced rows in the wrong mod-32 bucket")
+    // untouched-partition byte-identity still holds at the new count
+    import org.apache.hadoop.fs.Path
+    val loc = new Path(spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(): Map[String, Long] = {
+      val it = fs.listFiles(loc, true)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) { val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet"))
+          b += st.getPath.toString -> st.getLen }
+      b.result()
+    }
+    val before = files()
+    val b3 = Seq((7L, 99999L, 777L, 7.0)).toDF("user_id", "us", "event_id", "value")
+    val touched = b3.select(pmod(hash(col("user_id")), lit(32)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    Stream.mergeUpsertBatch(spark, table, b3, 2L)
+    val after = files()
+    val bucketOf = "__bucket=(\\d+)".r
+    before.foreach { case (p, len) =>
+      bucketOf.findFirstMatchIn(p).map(_.group(1).toInt).foreach { bkt =>
+        if (!touched.contains(bkt))
+          assert(after.get(p).contains(len),
+            s"untouched mod-32 partition rewritten: $p")
+      }
+    }
+    graft.io.Load.dropManaged(spark, table)
+    graft.io.Load.dropManaged(spark, twin)
+  }
+
+  test("merge partition pruning: a 1-bucket batch reads and rewrites ~1/8 of the state") {
+    import spark.implicits._
+    // the byte-identity specs pin that untouched partitions are not
+    // REWRITTEN; this pins the positive half — a batch confined to one
+    // bucket also doesn't READ the other seven (partition-pruned scan)
+    val table = "graft_upsert_prune_spec"
+    graft.io.Load.dropManaged(spark, table)
+    val seed = (1L to 400L).map(k => (k, 1000L, k, 1.0))
+      .toDF("user_id", "us", "event_id", "value")
+    Stream.mergeUpsertBatch(spark, table, seed, 0L)
+    // 16 keys that all hash to ONE bucket vs 16 spread across all 8
+    val byBucket = (1L to 400L).toDF("user_id")
+      .withColumn("b", pmod(hash(col("user_id")), lit(8)))
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    val oneKeys = byBucket.filter(_._2 == byBucket.head._2).take(16).map(_._1)
+    val allKeys = byBucket.groupBy(_._2).values.flatMap(_.take(2)).map(_._1).take(16)
+    assert(allKeys.map(k => byBucket.toMap.apply(k)).toSet.size == 8)
+    class Agg extends org.apache.spark.scheduler.SparkListener {
+      @volatile var read = 0L
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        Option(s.stageInfo.taskMetrics).foreach(
+          m => read += m.inputMetrics.bytesRead)
+    }
+    def ingest(keys: Iterable[Long], id: Long): Long = {
+      val agg = new Agg
+      spark.sparkContext.addSparkListener(agg)
+      try {
+        Stream.mergeUpsertBatch(spark, table,
+          keys.map(k => (k, 2000L + id, k, 2.0)).toSeq
+            .toDF("user_id", "us", "event_id", "value"), id)
+        org.apache.spark.GraftBenchInternals
+          .drainListenerBus(spark.sparkContext)
+      } finally spark.sparkContext.removeSparkListener(agg)
+      agg.read
+    }
+    val readAll = ingest(allKeys, 1L)
+    val readOne = ingest(oneKeys, 2L)
+    info(f"16-key merge input bytes: $readAll%d (8 buckets) vs $readOne%d (1 bucket)")
+    // 1 of 8 partitions ≈ 1/8 of the state scan; 1/3 leaves room for
+    // per-file footer overhead and the batch's own input
+    assert(readOne * 3 <= readAll,
+      s"1-bucket merge read $readOne B vs 8-bucket $readAll B — pruning not engaged")
+    graft.io.Load.dropManaged(spark, table)
+  }
+
+  test("legacy upsert layouts migrate on first merge instead of losing state") {
+    import spark.implicits._
+    val table = "graft_upsert_legacy_spec"
+    graft.io.Load.dropManaged(spark, table)
+    // 1) pre-bucketing FLAT layout: state written without __bucket —
+    // the next merge must migrate it, not throw UNRESOLVED_COLUMN or
+    // silently re-seed from the batch alone
+    Seq((1L, 1000L, 10L, 1.0, 1L, 0L), (2L, 1000L, 20L, 3.0, 1L, 0L))
+      .toDF("user_id", "us", "event_id", "value", "n_updates", "__batch_id")
+      .write.saveAsTable(table)
+    Stream.mergeUpsertBatch(spark, table,
+      Seq((1L, 2000L, 11L, 2.0)).toDF("user_id", "us", "event_id", "value"), 1L)
+    def state() = spark.table(table).drop("__bucket").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(state() == Seq(1L -> (2.0, 2L), 2L -> (3.0, 1L)),
+      s"flat-layout migration lost state: ${state()}")
+    assert(spark.table(table).columns.contains("__bucket"),
+      "flat layout must be migrated to buckets")
+    graft.io.Load.dropManaged(spark, table)
+    // 2) bucketed but WITHOUT the dynamic-overwrite catalog option
+    // (the r11 layout): a merge must not static-truncate the table
+    Seq((1L, 1000L, 10L, 1.0, 1L, 0L), (2L, 1000L, 20L, 3.0, 1L, 0L))
+      .toDF("user_id", "us", "event_id", "value", "n_updates", "__batch_id")
+      .withColumn("__bucket", pmod(hash(col("user_id")), lit(8)))
+      .write.partitionBy("__bucket").saveAsTable(table)
+    Stream.mergeUpsertBatch(spark, table,
+      Seq((1L, 2000L, 11L, 2.0)).toDF("user_id", "us", "event_id", "value"), 1L)
+    assert(state() == Seq(1L -> (2.0, 2L), 2L -> (3.0, 1L)),
+      s"option-less layout lost state on merge: ${state()}")
+    graft.io.Load.dropManaged(spark, table)
+  }
+
   test("pqTrainCodebooks lowers quantization error vs the first-k seed") {
     val vecs = emb.select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
@@ -2976,6 +3116,112 @@ class ExtSpec extends AnyFunSuite {
     val after = graft.io.ManifestTable.read(spark, root)
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(after == before, "compact must preserve the corpus exactly")
+    graft.streaming.Stream.dropNearDup(spark, table)
+  }
+
+  test("ManifestTable: losing a commit race throws, loses no committed segment, next append recovers") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val root = new Path(spark.conf.get("spark.sql.warehouse.dir"),
+      "graft_manifest_race").toString
+    graft.io.ManifestTable.destroy(spark, root)
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.io.ManifestTable.append(spark, root, (1L to 10L).toDF("v"))
+    val segs1 = graft.io.ManifestTable.segments(spark, root)
+    // the competitor's segment: real parquet, committed (by the
+    // competitor) in the manifest planted below
+    (100L to 104L).toDF("v").write.parquet(s"$root/seg-2-race")
+    val competitor = (segs1 :+ "seg-2-race").mkString("\n") + "\n"
+    // deterministic interleaving of the exact race window: OUR append
+    // reads version 1, writes its segment, and at publish time the
+    // competitor's v2 manifest lands FIRST — the no-overwrite rename
+    // must make us the single loser
+    graft.io.ManifestTable.commitStrategy =
+      new graft.io.ManifestTable.CommitStrategy {
+        def publish(f: org.apache.hadoop.fs.FileSystem, dir: Path,
+            dst: Path, content: String): Unit = {
+          graft.io.ManifestTable.RenameCommit.publish(f, dir, dst, competitor)
+          graft.io.ManifestTable.RenameCommit.publish(f, dir, dst, content)
+        }
+      }
+    try intercept[IllegalStateException] {
+      graft.io.ManifestTable.append(spark, root, (20L to 25L).toDF("v"))
+    } finally graft.io.ManifestTable.commitStrategy =
+      graft.io.ManifestTable.RenameCommit
+    // the winner's commit is what readers see; nothing committed is lost
+    assert(graft.io.ManifestTable.segments(spark, root) ==
+      segs1 :+ "seg-2-race")
+    def vals() = graft.io.ManifestTable.read(spark, root)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(vals() == ((1L to 10L) ++ (100L to 104L)).sorted,
+      "race loser must not corrupt the committed corpus")
+    // the loser's segment is an on-disk orphan no manifest names
+    val orphan = fs.listStatus(new Path(root))
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("seg-") && n != "seg-2-race" &&
+        !segs1.contains(n))
+    assert(orphan.length == 1, s"expected exactly the loser's orphan: ${orphan.toSeq}")
+    // a retried append (the streaming replay) proceeds at the next version
+    graft.io.ManifestTable.append(spark, root, (20L to 25L).toDF("v"))
+    assert(vals() == ((1L to 10L) ++ (100L to 104L) ++ (20L to 25L)).sorted)
+    // compact folds the log AND collects the orphan
+    graft.io.ManifestTable.compact(spark, root)
+    assert(graft.io.ManifestTable.segments(spark, root).size == 1)
+    assert(vals() == ((1L to 10L) ++ (100L to 104L) ++ (20L to 25L)).sorted)
+    val leftover = fs.listStatus(new Path(root)).map(_.getPath.getName)
+      .filter(n => n.startsWith("seg-")).toSet
+    assert(leftover == graft.io.ManifestTable.segments(spark, root).toSet,
+      s"orphans must be GC'd by compact: $leftover")
+    graft.io.ManifestTable.destroy(spark, root)
+  }
+
+  test("near-dup ingest shuffle is O(batch): bytes stay flat as the corpus grows") {
+    // The round-11 read-side finding: the per-ingest corpus check used
+    // to shuffle the WHOLE corpus's hashed-shingle arrays (and re-band
+    // every stored signature) per micro-batch. With the persisted
+    // banded index + candidate-pruned verify, an ingest's shuffle
+    // volume is a function of the BATCH (its own sig/verify stages +
+    // O(collisions) candidate rows), not of the corpus size — pinned
+    // here by ingesting two same-size probe batches against a small
+    // and a ~4x corpus and asserting the shuffle-read bytes don't
+    // scale with the corpus.
+    val docs = spark.read.parquet(s"${TestSession.sf}/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val table = "graft_neardup_scaleio"
+    graft.streaming.Stream.dropNearDup(spark, table)
+    class Agg extends org.apache.spark.scheduler.SparkListener {
+      @volatile var bytes = 0L
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        Option(s.stageInfo.taskMetrics).foreach(
+          m => bytes += m.shuffleReadMetrics.totalBytesRead)
+    }
+    def ingest(lo: Long, hi: Long): Long = {
+      val agg = new Agg
+      spark.sparkContext.addSparkListener(agg)
+      try {
+        graft.streaming.Stream.mergeNearDupBatch(spark, table,
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hi))
+        org.apache.spark.GraftBenchInternals
+          .drainListenerBus(spark.sparkContext)
+      } finally spark.sparkContext.removeSparkListener(agg)
+      agg.bytes
+    }
+    ingest(0, 100) // seed: corpus ~100 docs
+    val atSmall = ingest(100, 125) // 25-doc probe vs ~100-doc corpus
+    ingest(125, 250); ingest(250, 375); ingest(375, 475) // grow ~4x
+    val atBig = ingest(475, 500) // same-size probe vs ~475-doc corpus
+    info(f"25-doc ingest shuffle-read: ${atSmall}%d B vs ~100-doc corpus, " +
+      f"${atBig}%d B vs ~475-doc corpus")
+    // the corpus grew ~4.4x between probes; the old path's bytes grew
+    // with it (measured: it would land ~2.3x over this bound), the
+    // indexed path's stay batch-sized — 1.5x headroom + a small floor
+    // absorb collision-count variance between probes without letting a
+    // corpus-proportional term back in
+    assert(atBig <= atSmall * 3 / 2 + (64L << 10),
+      f"ingest shuffle grew with the corpus: $atSmall%d B at ~100 docs " +
+        f"-> $atBig%d B at ~475 docs")
     graft.streaming.Stream.dropNearDup(spark, table)
   }
 
