@@ -1932,6 +1932,13 @@ trait SparkEntryTail extends SparkEntryMid {
     require(r1 == nEven && r2 == nOdd,
       s"restart must ingest only unseen files: run1=$r1 (want $nEven), " +
         s"run2=$r2 (want $nOdd)")
+    // the harness scratch (source files + checkpoint) has served its
+    // purpose; the corpus itself lives in the warehouse manifest, so
+    // the returned plan never reads `base` — delete it rather than
+    // leak one temp dir per bench/correctness invocation
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(basePath, true)
     s.table(table)
       .select(col("doc_id"), fingerprintMd5(col("text")).as("fingerprint"))
       .orderBy("doc_id")

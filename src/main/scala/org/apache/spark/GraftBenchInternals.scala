@@ -81,6 +81,17 @@ object GraftBenchInternals {
       tmpCheckpointBaseline = current.map(_.getName).toSet
     else current.filterNot(f => tmpCheckpointBaseline.contains(f.getName))
       .foreach(deleteRecursively)
+    // streaming near-dup corpora: manifest-table roots (and their
+    // banded-index siblings) under the warehouse are NOT catalog
+    // tables, so the managed-table sweeps never see them — a suite
+    // would otherwise carry every query's accepted corpus on disk (and
+    // its temp view on the heap) for the rest of the run
+    val wh = new File(java.net.URI.create(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    Option(wh.listFiles).getOrElse(Array.empty[File])
+      .filter(f => f.isDirectory && (f.getName.endsWith("__corpus") ||
+        f.getName.endsWith("__corpus__bands")))
+      .foreach(deleteRecursively)
   }
 
   /** Drain the async listener bus so stage metrics accumulated by an
