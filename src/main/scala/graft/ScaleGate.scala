@@ -108,9 +108,93 @@ object ScaleGate {
       require(diff <= 1.5e-6,
         f"q$q: ndcg replay $ndcgReplay%.6f != query output $ndcg%.6f")
     }
+    // ---- gate 3 (round 12): the bucket-partitioned merge family
+    val mergeRows = checkMerges(spark, sfDir)
+
     s"""{"gate":"sf_invariants","sf":"$sfDir","pagerank_nodes":$n,""" +
       f""""pagerank_mass":$mass%.6f,"ndcg_queries":${out.length},""" +
-      f""""ndcg_max_replay_diff":$maxDiff%.1e,"pass":true}"""
+      f""""ndcg_max_replay_diff":$maxDiff%.1e,""" +
+      s""""merge_rows":$mergeRows,"pass":true}"""
+  }
+
+  /** The bucket-partitioned merge family at scale: each streaming
+    * merge is split-invariant by contract (N micro-batches ≡ one
+    * batch apply), so its final state is replayed here as ONE
+    * independent single-pass formulation over the same source — the
+    * DuckDB oracle's shape, expressed in Spark — and compared exactly
+    * (two-way exceptAll; distributed, no driver-size limit, so this
+    * gate runs at any sf). The physical layout is then audited
+    * directly: every state row must sit in the partition its key
+    * hashes to under the table's OWN bucket count (the `graft.buckets`
+    * property the merges prune by must exist and agree with the
+    * layout — the invariant [[graft.streaming.Stream.rebucket]]
+    * preserves). Returns total state rows audited. */
+  private def checkMerges(spark: SparkSession, sfDir: String): Long = {
+    import org.apache.spark.sql.expressions.Window
+    def mustMatch(name: String, got: DataFrame, replay: DataFrame): Unit = {
+      val d = got.exceptAll(replay).count() + replay.exceptAll(got).count()
+      require(d == 0, s"$name: $d rows differ from the one-batch replay")
+    }
+    def layout(table: String, keyCol: String): Long = {
+      val n = graft.streaming.Stream.bucketCountOf(spark, table)
+      require(n.nonEmpty, s"$table lacks the graft.buckets layout property")
+      val st = spark.table(table)
+      val misplaced = st
+        .filter(col("__bucket") =!= pmod(hash(col(keyCol)), lit(n.get)))
+        .count()
+      require(misplaced == 0L, s"$table: $misplaced rows outside their " +
+        s"key-hash bucket (nBuckets=${n.get})")
+      st.count()
+    }
+
+    val up = SparkEntry.queries("stream_upsert")(spark, sfDir)
+    val ev = SparkEntry.t(spark, sfDir, "events")
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id").cast("long").as("event_id"),
+        col("value").cast("double").as("value"))
+    val upReplay = ev.groupBy("user_id")
+      .agg(max(struct(col("us"), col("event_id"), col("value"))).as("s"),
+        count(lit(1)).as("n_updates"))
+      .select(col("user_id"), timestamp_micros(col("s.us")).as("last_ts"),
+        col("s.event_id").as("last_event_id"),
+        col("s.value").as("last_value"), col("n_updates"))
+    mustMatch("stream_upsert", up, upReplay)
+    val upRows = layout("graft_stream_upsert", "user_id")
+
+    val sc = SparkEntry.queries("stream_scd2")(spark, sfDir)
+    val w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    val scReplay = SparkEntry.t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("valid_from"),
+        col("event_id").cast("long").as("event_id"),
+        col("value").cast("double").as("value"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select("user_id", "valid_from", "event_id", "value",
+        "valid_to", "is_current")
+    mustMatch("stream_scd2", sc, scReplay)
+    val scRows = layout("graft_stream_scd2", "user_id")
+
+    val cd = SparkEntry.queries("stream_cdc")(spark, sfDir)
+    val (base, feed) = SparkEntry.cdcBaseAndFeed(spark, sfDir)
+    val wseq = Window.partitionBy("okey").orderBy(col("seq").desc)
+    val latest = feed.withColumn("rn", row_number().over(wseq))
+      .filter(col("rn") === 1)
+      .select(col("okey"), col("op"), col("price").as("l_price"),
+        col("status").as("l_status"))
+    val cdReplay = base.join(latest, Seq("okey"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("okey"),
+        when(col("op").isNotNull, col("l_price"))
+          .otherwise(col("price")).as("price"),
+        when(col("op").isNotNull, col("l_status"))
+          .otherwise(col("status")).as("status"))
+    mustMatch("stream_cdc", cd, cdReplay)
+    val cdRows = layout("graft_stream_cdc", "okey")
+
+    upRows + scRows + cdRows
   }
 
   def main(args: Array[String]): Unit = {

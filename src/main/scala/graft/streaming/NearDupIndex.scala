@@ -73,15 +73,29 @@ object NearDupIndex {
         if (!live.contains(st.getPath.getName)) f.delete(st.getPath, true)
       }
     segs.foreach { seg =>
-      if (!f.exists(new Path(new Path(br, seg), "_SUCCESS"))) {
-        val sig = spark.read.parquet(s"$root/$seg")
-          .select(col("doc_id").as("id"), col("sig"))
-        withPb(graft.ext.Dedup.bandedFromSig(sig))
-          .write.mode("overwrite").partitionBy("pb")
-          .parquet(s"${bandsRoot(root)}/$seg")
-      }
+      if (!f.exists(new Path(new Path(br, seg), "_SUCCESS")))
+        writeFor(spark, root, seg,
+          spark.read.parquet(s"$root/$seg")
+            .select(col("doc_id").as("id"), col("sig")))
     }
   }
+
+  /** Write segment `seg`'s band dir from its signature relation.
+    * Callers that still hold the just-appended rows in memory pass
+    * them directly (the normal ingest path — no re-read of the
+    * segment); [[sync]] derives the same relation from disk when
+    * healing. The rows are repartitioned BY `pb` before the
+    * partitioned write so each pb dir gets exactly one file — without
+    * it every task writes into every colliding dir and a 32-thread
+    * local session scatters a tiny segment's index across up to
+    * 64×32 files, paying seconds of file-commit overhead per ingest
+    * (measured; the same write was the round-12 bench regression). */
+  private[graft] def writeFor(spark: SparkSession, root: String,
+      seg: String, sig: DataFrame): Unit =
+    withPb(graft.ext.Dedup.bandedFromSig(sig))
+      .repartition(col("pb"))
+      .write.mode("overwrite").partitionBy("pb")
+      .parquet(s"${bandsRoot(root)}/$seg")
 
   /** Read the corpus index pruned to the given `pb` partitions (the
     * batch's own collision partitions — a ≤[[PartBuckets]]-element

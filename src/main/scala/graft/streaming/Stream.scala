@@ -1127,15 +1127,19 @@ object Stream {
         // the batch's collision partitions: ≤ PartBuckets values
         val pbs = batchBanded.select("pb").distinct()
           .collect().map(_.getInt(0)).toSeq
+        // materialized: verifyIncrement reads cands twice (candidate-id
+        // broadcast + the verify join) — unmaterialized, the whole
+        // index read + candidate join would execute twice per ingest
         val cands = graft.ext.Dedup.incrementCandidatesBanded(
           batchBanded, NearDupIndex.read(spark, root, pbs))
+          .localCheckpoint()
         Some((graft.ext.Dedup.verifyIncrement(
           cands, hashedOf(graft.io.ManifestTable.read(spark, root)),
-          hashedOf(withinSurv), threshold), batchBanded))
+          hashedOf(withinSurv), threshold), batchBanded, cands))
       }
     val novel = cross match {
       case None => withinSurv
-      case Some((pairs, _)) =>
+      case Some((pairs, _, _)) =>
         withinSurv.join(
           pairs.select(col("batch_id").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
@@ -1143,13 +1147,16 @@ object Stream {
     val snap = novel.localCheckpoint()
     if (!snap.isEmpty) {
       graft.io.ManifestTable.append(spark, root, snap)
-      // index the fresh segment now (normal path); a crash before this
-      // line is the window sync() heals on the next ingest
-      NearDupIndex.sync(spark, root)
+      // index the fresh segment from the rows still in memory (no
+      // disk re-read); a crash before this line is exactly the window
+      // sync() heals on the next ingest
+      NearDupIndex.writeFor(spark, root,
+        graft.io.ManifestTable.segments(spark, root).last,
+        snap.select(col("doc_id").as("id"), col("sig")))
     }
     if (graft.io.ManifestTable.exists(spark, root))
       graft.io.ManifestTable.read(spark, root).createOrReplaceTempView(table)
-    cross.foreach { case (_, bb) => graft.core.Lineage.release(bb) }
+    cross.foreach { case (_, bb, cd) => graft.core.Lineage.release(bb, cd) }
     graft.core.Lineage.release(snap, enriched, b0)
     ()
   }
