@@ -1742,6 +1742,27 @@ trait SparkEntryMid extends SparkEntryBase {
       .orderBy("query_id", "rank")
   }
 
+  /** Streaming ANN: the IVF corpus arrives in TWO micro-batches (even
+    * ids, then odd) through the real engine into a persisted
+    * cell-partitioned [[graft.streaming.AnnIndex]] (ManifestTable
+    * appends, batch-id replay tags), then the SAME pruned-probe top-k
+    * as [[simsearchIvf]] runs against the accumulated index reading
+    * only probed `cell=` partition dirs. Cell assignment is per-row
+    * and the quantizer is frozen, so batching never changes the
+    * result — the query therefore shares simsearch_ivf's exact
+    * pruned-probe replay oracle (hash match, not just recall), which
+    * gates ingest, replay-guarded commit, partition-pruned read, and
+    * ranking end-to-end. */
+  private[graft] def streamAnnIngest(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = Similarity.firstNCentroids(emb, 16)
+    graft.streaming.AnnIndex.foreachBatchIngest(s, emb,
+      batch2Pred = pmod(col("vec_id"), lit(2)) === 1, cents)
+    graft.streaming.AnnIndex.topK(s, "graft_stream_ann",
+        emb.filter(col("vec_id") < 8), k = 10, cents, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF with EVERY cell probed (nprobe = ncells): probing all cells
     * makes IVF ≡ brute force by the exhaustive-probe identity, so the
     * whole IVF code path — quantizer build, per-row cell argmin, probe

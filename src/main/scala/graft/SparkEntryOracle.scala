@@ -209,6 +209,38 @@ trait SparkEntryOracle extends SparkEntryTail {
       |SELECT query_id, CAST(rank AS INT) AS rank, nbr_id, cosine
       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** Pruned-probe IVF replay (first-16 quantizer, nprobe 4, k 10):
+    * centroid scores round to 6 dp BEFORE the argmin / probe ranking
+    * on both engines, ties to lowest centroid id — shared by
+    * simsearch_ivf (batch) and stream_ann_ingest (the persisted
+    * streaming index accumulating the same corpus under the same
+    * frozen quantizer). */
+  private[graft] val simsearchIvfPrunedSql =
+    """WITH cents AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 16),
+      |sa AS (SELECT e.vec_id, c.cid,
+      |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                      CAST(c.embedding AS DOUBLE[])), 6) AS s
+      |       FROM embeddings e CROSS JOIN cents c),
+      |cells AS (SELECT vec_id, cid AS cell FROM (
+      |         SELECT vec_id, cid,
+      |                row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+      |         FROM sa) WHERE rn = 1),
+      |probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
+      |         SELECT vec_id, cid,
+      |                row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+      |         FROM sa WHERE vec_id < 8) WHERE rn <= 4),
+      |scored AS (SELECT p.query_id, a.vec_id AS nbr_id,
+      |         round(list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+      |                                      CAST(en.embedding AS DOUBLE[])), 6) AS cosine
+      |       FROM probes p JOIN cells a ON a.cell = p.cell AND a.vec_id <> p.query_id
+      |       JOIN embeddings eq ON eq.vec_id = p.query_id
+      |       JOIN embeddings en ON en.vec_id = a.vec_id),
+      |ranked AS (SELECT query_id, nbr_id, cosine,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY cosine DESC, nbr_id) AS rank FROM scored)
+      |SELECT query_id, CAST(rank AS INT) AS rank, nbr_id, cosine
+      |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   /** The MemoryStream and checkpointed-file-source near-dup paths both
     * ingest the even-id half as batch 1 and the odd half as batch 2;
     * the accepted corpus is a pure function of that split, so one
@@ -719,31 +751,12 @@ trait SparkEntryOracle extends SparkEntryTail {
     // id), so cell assignment, the nprobe selection, and the pruned
     // top-k are all reproduced exactly — list_cosine_similarity(raw)
     // equals dot(normalized) up to the ulp the rounding collapses
-    "simsearch_ivf" ->
-      """WITH cents AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 16),
-        |sa AS (SELECT e.vec_id, c.cid,
-        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-        |                                      CAST(c.embedding AS DOUBLE[])), 6) AS s
-        |       FROM embeddings e CROSS JOIN cents c),
-        |cells AS (SELECT vec_id, cid AS cell FROM (
-        |         SELECT vec_id, cid,
-        |                row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-        |         FROM sa) WHERE rn = 1),
-        |probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
-        |         SELECT vec_id, cid,
-        |                row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-        |         FROM sa WHERE vec_id < 8) WHERE rn <= 4),
-        |scored AS (SELECT p.query_id, a.vec_id AS nbr_id,
-        |         round(list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
-        |                                      CAST(en.embedding AS DOUBLE[])), 6) AS cosine
-        |       FROM probes p JOIN cells a ON a.cell = p.cell AND a.vec_id <> p.query_id
-        |       JOIN embeddings eq ON eq.vec_id = p.query_id
-        |       JOIN embeddings en ON en.vec_id = a.vec_id),
-        |ranked AS (SELECT query_id, nbr_id, cosine,
-        |         row_number() OVER (PARTITION BY query_id
-        |           ORDER BY cosine DESC, nbr_id) AS rank FROM scored)
-        |SELECT query_id, CAST(rank AS INT) AS rank, nbr_id, cosine
-        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "simsearch_ivf" -> simsearchIvfPrunedSql,
+    // the streaming index accumulates the SAME corpus under the SAME
+    // frozen quantizer (per-row assignment — batching can't change
+    // it), so the batch pruned-probe replay is the exact oracle for
+    // ingest + replay-guard + partition-pruned read + ranking
+    "stream_ann_ingest" -> simsearchIvfPrunedSql,
     "emb_centroids" ->
       """SELECT CAST(vec_id % 8 AS BIGINT) AS grp, CAST(g.i AS INT) AS dim,
         |       round(avg(CAST(embedding[g.i + 1] AS DOUBLE)), 6) AS mean

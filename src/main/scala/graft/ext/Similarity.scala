@@ -27,7 +27,7 @@ object Similarity {
 
   /** Explode a `topk_by_score` result array into
     * (group, rank, id, score) rows — rank 1 = best. */
-  private def explodeTopK(
+  private[graft] def explodeTopK(
       agg: DataFrame, groupCol: String, idName: String, scoreName: String): DataFrame =
     agg
       .select(col(groupCol), posexplode(col("top")).as(Seq("pos", "t")))
@@ -291,6 +291,29 @@ object Similarity {
     cents
   }
 
+  /** Each query's `nprobe` nearest cells under the quantizer —
+    * (cell, query_id, qv) with qv the NORMALIZED query vector, one row
+    * per probe. The same 6-dp-rounded, lowest-cid-tie-broken centroid
+    * ranking as [[assignCells]], so probe selection is exactly
+    * replayable cross-engine (the property the pruned-probe IVF hash
+    * oracle rests on). Pure codegen'd projection over the (small)
+    * query side — no shuffle. Shared by [[ivfTopK]] and the persisted
+    * streaming index ([[graft.streaming.AnnIndex]]). */
+  def probeCells(
+      queries: DataFrame,
+      cents: Seq[(Long, Seq[Double])],
+      nprobe: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    require(cents.nonEmpty, "probeCells: need at least one centroid")
+    queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(slice(array_sort(array(centScoreStructs(cents)(col("qv")): _*)),
+          1, nprobe)).as("pc"))
+      .select(col("pc.cent_id").as("cell"), col("query_id"), col("qv"))
+  }
+
   /** IVF top-k: coarse quantizer = `centroids` when given (train one
     * with [[kmeansCentroids]]) else the deterministic first-`ncells`
     * init; corpus assigned to nearest cell once, queries probe
@@ -320,7 +343,6 @@ object Similarity {
       centroids.getOrElse(firstNCentroids(corpus, ncells, idCol, vecCol))
     require(cents.nonEmpty,
       "ivfTopK: corpus is empty — cannot build an IVF quantizer from zero centroids")
-    def centScore(vec: Column): Seq[Column] = centScoreStructs(cents)(vec)
     def bestCell(vec: Column): Column = bestCellExpr(cents)(vec)
 
     // corpus assignment: zero-shuffle per-row argmin projection
@@ -328,13 +350,9 @@ object Similarity {
     val assigned = c.withColumn("cell", bestCell(col("cv")))
 
     // queries probe their nprobe nearest cells (query side is small;
-    // sort the ncells scores per row and take the prefix — building
-    // the array from the same codegen'd structs)
-    val q = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qv"))
-    val probes = q
-      .select(col("query_id"), col("qv"),
-        explode(slice(array_sort(array(centScore(col("qv")): _*)), 1, nprobe)).as("pc"))
-      .select(col("pc.cent_id").as("cell"), col("query_id"), col("qv"))
+    // sort the ncells scores per row and take the prefix — the same
+    // codegen'd structs as the corpus argmin)
+    val probes = probeCells(queries, cents, nprobe, idCol, vecCol)
 
     // each corpus row lives in exactly one cell and a query's probed
     // cells are distinct, so a (query, nbr) pair meets at most once —

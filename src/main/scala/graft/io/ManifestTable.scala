@@ -115,11 +115,16 @@ object ManifestTable {
   }
 
   /** Union-read every committed segment. The dir list is explicit, so
-    * orphan (uncommitted) segments are invisible to readers. */
+    * orphan (uncommitted) segments are invisible to readers. Each
+    * segment is read single-rooted and unioned — a multi-path read
+    * would reject hive-partitioned segment layouts
+    * (CONFLICTING_DIRECTORY_STRUCTURES) and this way partition
+    * discovery (and pruning on the partition column) works per
+    * segment. Same files either way; scan parallelism is per-file. */
   def read(spark: SparkSession, root: String): DataFrame = {
     val segs = segments(spark, root)
     require(segs.nonEmpty, s"no committed manifest under $root")
-    spark.read.parquet(segs.map(s => s"$root/$s"): _*)
+    segs.map(s => spark.read.parquet(s"$root/$s")).reduce(_ unionByName _)
   }
 
   /** Atomically publish `segs` as manifest version `v` through the
@@ -129,13 +134,29 @@ object ManifestTable {
     commitStrategy.publish(f, root, new Path(root, ManifestPrefix + v),
       segs.mkString("\n") + "\n")
 
+  private def writeSeg(df: DataFrame, dir: String, partitionBy: Seq[String]): Unit = {
+    val w = df.write
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dir)
+  }
+
   /** Append `df` as one new segment: IO = O(df) + a tiny manifest,
-    * regardless of how much data the table already holds. */
-  def append(spark: SparkSession, root: String, df: DataFrame): Unit = {
+    * regardless of how much data the table already holds.
+    *
+    * `partitionBy` lays the segment out as hive-style partition dirs
+    * (readers that filter on those columns get parquet PARTITION
+    * pruning inside every segment — the [[graft.streaming.AnnIndex]]
+    * probed-cell read path). `tag`, when given, is folded into the
+    * segment name as `seg-<v>-<tag>-<uuid>`: a cheap at-least-once
+    * replay guard — a caller that derives the tag from its micro-batch
+    * id can detect an already-committed batch from [[segments]] alone
+    * (name scan, no data read) and skip the duplicate append. */
+  def append(spark: SparkSession, root: String, df: DataFrame,
+      partitionBy: Seq[String] = Nil, tag: Option[String] = None): Unit = {
     val (f, p) = fs(spark, root)
     val v = currentVersion(f, p).getOrElse(0L)
-    val seg = s"seg-${v + 1}-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.parquet(s"$root/$seg")
+    val t = tag.map(_ + "-").getOrElse("")
+    val seg = s"seg-${v + 1}-$t${java.util.UUID.randomUUID().toString.take(8)}"
+    writeSeg(df, s"$root/$seg", partitionBy)
     commit(f, p, v + 1, segments(spark, root) :+ seg)
   }
 
@@ -143,21 +164,26 @@ object ManifestTable {
     * compaction rewrite) and garbage-collect every dir the new
     * manifest no longer names — committed predecessors and crash
     * orphans alike. */
-  def replace(spark: SparkSession, root: String, df: DataFrame): Unit = {
+  def replace(spark: SparkSession, root: String, df: DataFrame,
+      partitionBy: Seq[String] = Nil): Unit = {
     val (f, p) = fs(spark, root)
     val v = currentVersion(f, p).getOrElse(0L)
     val seg = s"seg-${v + 1}-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.parquet(s"$root/$seg")
+    writeSeg(df, s"$root/$seg", partitionBy)
     commit(f, p, v + 1, Seq(seg))
     gc(f, p)
   }
 
   /** Fold all committed segments into one (the staged full rewrite,
     * now an EXPLICIT maintenance action instead of the per-batch tax).
-    * Readers see the old manifest until the new one lands. */
-  def compact(spark: SparkSession, root: String): Unit = {
+    * Readers see the old manifest until the new one lands.
+    * `partitionBy` preserves a partitioned layout through the rewrite
+    * (the columns come back as normal columns from [[read]]'s
+    * partition discovery, so the fold round-trips them). */
+  def compact(spark: SparkSession, root: String,
+      partitionBy: Seq[String] = Nil): Unit = {
     val snap = read(spark, root).localCheckpoint()
-    try replace(spark, root, snap)
+    try replace(spark, root, snap, partitionBy)
     finally graft.core.Lineage.release(snap)
   }
 

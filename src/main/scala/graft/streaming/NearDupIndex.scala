@@ -40,9 +40,18 @@ import org.apache.spark.sql.functions._
 object NearDupIndex {
 
   /** Hash-partition count of the `pb` pruning key. Writer and reader
-    * must agree; changing it only requires deleting the index dirs
-    * ([[sync]] rebuilds them at the new count). */
+    * must agree — a reader pruning with pb values computed at a count
+    * the segment was NOT written at silently misses collisions (false
+    * accepts), so each segment dir records its count in a
+    * `_pb_count_<n>` marker and [[sync]] REBUILDS any segment whose
+    * recorded count differs from the current constant. A deployment
+    * can therefore change this value and the next ingest self-heals;
+    * no manual index deletion, no silent mis-pruning window (readers
+    * run after sync). */
   val PartBuckets = 64
+
+  private def pbMarker(segDir: Path, n: Int): Path =
+    new Path(segDir, s"_pb_count_$n")
 
   private[graft] def bandsRoot(root: String): String = root + "__bands"
 
@@ -73,7 +82,12 @@ object NearDupIndex {
         if (!live.contains(st.getPath.getName)) f.delete(st.getPath, true)
       }
     segs.foreach { seg =>
-      if (!f.exists(new Path(new Path(br, seg), "_SUCCESS")))
+      val segDir = new Path(br, seg)
+      // complete = committed AND banded at the CURRENT pb count; a
+      // count mismatch (constant changed between deployments) would
+      // mis-prune — rebuild the segment's index at the new count
+      if (!f.exists(new Path(segDir, "_SUCCESS")) ||
+          !f.exists(pbMarker(segDir, PartBuckets)))
         writeFor(spark, root, seg,
           spark.read.parquet(s"$root/$seg")
             .select(col("doc_id").as("id"), col("sig")))
@@ -91,11 +105,20 @@ object NearDupIndex {
     * 64×32 files, paying seconds of file-commit overhead per ingest
     * (measured; the same write was the round-12 bench regression). */
   private[graft] def writeFor(spark: SparkSession, root: String,
-      seg: String, sig: DataFrame): Unit =
+      seg: String, sig: DataFrame): Unit = {
+    val dir = s"${bandsRoot(root)}/$seg"
     withPb(graft.ext.Dedup.bandedFromSig(sig))
       .repartition(col("pb"))
-      .write.mode("overwrite").partitionBy("pb")
-      .parquet(s"${bandsRoot(root)}/$seg")
+      .write.mode("overwrite")
+      // pin whole-dir replace semantics regardless of session config:
+      // a rebuild at a NEW pb count must not leave old-count dirs
+      // behind (dynamic mode only overwrites colliding partitions)
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("pb")
+      .parquet(dir)
+    val (f, _) = hadoopFs(spark, dir)
+    f.create(pbMarker(new Path(dir), PartBuckets), true).close()
+  }
 
   /** Read the corpus index pruned to the given `pb` partitions (the
     * batch's own collision partitions — a ≤[[PartBuckets]]-element

@@ -90,7 +90,8 @@ object GraftBenchInternals {
       spark.conf.get("spark.sql.warehouse.dir")).getPath)
     Option(wh.listFiles).getOrElse(Array.empty[File])
       .filter(f => f.isDirectory && (f.getName.endsWith("__corpus") ||
-        f.getName.endsWith("__corpus__bands")))
+        f.getName.endsWith("__corpus__bands") ||
+        f.getName.endsWith("__annivf")))
       .foreach(deleteRecursively)
   }
 

@@ -3119,6 +3119,149 @@ class ExtSpec extends AnyFunSuite {
     graft.streaming.Stream.dropNearDup(spark, table)
   }
 
+  test("near-dup index pb-count change self-heals: a stale-count segment index is rebuilt, not mis-pruned") {
+    // The hazard: the reader prunes the banded index with pb values
+    // computed at the CURRENT PartBuckets; a segment dir written by a
+    // deployment with a DIFFERENT count would silently miss most
+    // collisions (false accepts). sync() must detect the recorded
+    // count and rebuild. Simulate the old deployment by rewriting the
+    // segment's index partitioned at pb count 8 with its marker.
+    import org.apache.hadoop.fs.Path
+    val docs = spark.read.parquet(s"${TestSession.sf}/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") % 7 === 0)
+    val table = "graft_neardup_pbevolve"
+    graft.streaming.Stream.dropNearDup(spark, table)
+    graft.streaming.Stream.mergeNearDupBatch(spark, table, docs)
+    val root = graft.streaming.Stream.nearDupRoot(spark, table)
+    val corpus1 = spark.table(table).count()
+    val seg = graft.io.ManifestTable.segments(spark, root).head
+    val segDir = s"${root}__bands/$seg"
+    val fs = new Path(segDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(segDir), true)
+    val oldCount = 8
+    graft.streaming.NearDupIndex.withPb(graft.ext.Dedup.bandedFromSig(
+        spark.read.parquet(s"$root/$seg")
+          .select(col("doc_id").as("id"), col("sig"))))
+      .withColumn("pb", pmod(xxhash64(col("band"), col("bucket")),
+        lit(oldCount)).cast("int"))
+      .repartition(col("pb"))
+      .write.mode("overwrite").partitionBy("pb").parquet(segDir)
+    fs.create(new Path(segDir, s"_pb_count_$oldCount"), true).close()
+    // replay the SAME docs: every one self-pairs at J=1 against the
+    // corpus, so idempotence demands zero accepts — which only holds
+    // if candidate pruning still finds the collisions after the heal
+    // (unhealed, the count mismatch drops ~7/8 of candidates and the
+    // replay falsely re-ingests)
+    graft.streaming.Stream.mergeNearDupBatch(spark, table, docs)
+    assert(spark.table(table).count() == corpus1,
+      "replay against a healed index must accept nothing")
+    assert(fs.exists(new Path(segDir,
+        s"_pb_count_${graft.streaming.NearDupIndex.PartBuckets}")),
+      "sync must restamp the segment at the current pb count")
+    assert(!fs.exists(new Path(segDir, s"_pb_count_$oldCount")),
+      "the stale-count marker must not survive the rebuild")
+    graft.streaming.Stream.dropNearDup(spark, table)
+  }
+
+  test("streaming ANN index: split-invariant vs batch IVF, replay-guarded, partition-pruned reads, compaction-stable") {
+    import graft.streaming.AnnIndex
+    import graft.ext.Similarity
+    val emb = spark.read.parquet(s"${TestSession.sf}/embeddings.parquet")
+    val cents = Similarity.firstNCentroids(emb, 16)
+    val queries = emb.filter(col("vec_id") < 8)
+    // ground truth: the batch pruned-probe IVF over the same corpus
+    // and frozen quantizer (assignment is per-row -> batching is
+    // invisible by construction; this pins it)
+    val expected = Similarity.ivfTopK(emb, queries, 10, ncells = 16, nprobe = 4)
+      .orderBy("query_id", "rank").collect().toSeq.map(_.toSeq)
+    val t1 = "graft_ann_spec_one"; val t3 = "graft_ann_spec_three"
+    AnnIndex.drop(spark, t1); AnnIndex.drop(spark, t3)
+    AnnIndex.ingest(spark, t1, emb, cents, 0L)
+    (0 until 3).foreach { i =>
+      AnnIndex.ingest(spark, t3,
+        emb.filter(pmod(col("vec_id"), lit(3)) === i), cents, i.toLong)
+    }
+    def res(t: String) = AnnIndex.topK(spark, t, queries, 10, cents, nprobe = 4)
+      .orderBy("query_id", "rank")
+    assert(res(t1).collect().toSeq.map(_.toSeq) == expected,
+      "single-batch index must equal batch ivfTopK")
+    assert(res(t3).collect().toSeq.map(_.toSeq) == expected,
+      "three-batch index must equal batch ivfTopK (split invariance)")
+    // at-least-once replay: a re-delivered batch id is detected from
+    // the manifest alone and appends NOTHING
+    val root3 = AnnIndex.annRoot(spark, t3)
+    val segsBefore = graft.io.ManifestTable.segments(spark, root3)
+    AnnIndex.ingest(spark, t3,
+      emb.filter(pmod(col("vec_id"), lit(3)) === 1), cents, 1L)
+    assert(graft.io.ManifestTable.segments(spark, root3) == segsBefore,
+      "replayed batch must not commit a second segment")
+    // partition pruning is PHYSICAL (bytes read, not plan text): a
+    // 1-query / nprobe-2 search reads only its probed cell= dirs, so
+    // its input bytes must be a small fraction of an exhaustive
+    // (nprobe = ncells) search over the same index
+    // query as an IN-MEMORY frame so the measured jobs' only file
+    // input is the index itself (a parquet-sourced query side would
+    // add a constant embeddings scan to both sides of the ratio)
+    val q1 = {
+      import spark.implicits._
+      emb.filter(col("vec_id") === 0)
+        .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+        .toDF("vec_id", "embedding")
+    }
+    val probed = Similarity.probeCells(q1, cents, 2)
+      .select("cell").distinct().collect().map(_.getLong(0)).toSet
+    val allCells = segsBefore.flatMap { seg =>
+      val d = new java.io.File(new java.net.URI(s"$root3/$seg").getPath)
+      Option(d.listFiles).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(_.getName.stripPrefix("cell=").toLong)
+    }.toSet
+    assert(probed.size < allCells.size,
+      s"fixture regressed: probes ${probed.size} of ${allCells.size} cells — pruning unexercised")
+    class Agg extends org.apache.spark.scheduler.SparkListener {
+      @volatile var read = 0L
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        Option(s.stageInfo.taskMetrics).foreach(
+          m => read += m.inputMetrics.bytesRead)
+    }
+    def bytesOf(body: => Unit): Long = {
+      val agg = new Agg
+      spark.sparkContext.addSparkListener(agg)
+      try {
+        body
+        org.apache.spark.GraftBenchInternals
+          .drainListenerBus(spark.sparkContext)
+      } finally spark.sparkContext.removeSparkListener(agg)
+      agg.read
+    }
+    val prunedBytes = bytesOf {
+      AnnIndex.topK(spark, t3, q1, 10, cents, nprobe = 2).collect(): Unit
+    }
+    val fullBytes = bytesOf {
+      AnnIndex.topK(spark, t3, q1, 10, cents, nprobe = 16).collect(): Unit
+    }
+    info(f"probe-2 read $prunedBytes%d B vs probe-16 $fullBytes%d B over ${allCells.size} cells")
+    assert(prunedBytes * 3 <= fullBytes,
+      s"probed read $prunedBytes B vs exhaustive $fullBytes B — partition pruning not engaged")
+    // compaction folds to one segment, keeps the cell= layout, and
+    // changes nothing the query can see
+    AnnIndex.compact(spark, t3)
+    val segsAfter = graft.io.ManifestTable.segments(spark, root3)
+    assert(segsAfter.size == 1, "compact must fold to one segment")
+    val cellDirs = {
+      val d = new java.io.File(new java.net.URI(s"$root3/${segsAfter.head}").getPath)
+      Option(d.listFiles).getOrElse(Array.empty)
+        .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    }
+    assert(cellDirs > 0, "compacted segment must keep the cell= partition layout")
+    assert(res(t3).collect().toSeq.map(_.toSeq) == expected,
+      "compaction must not change query results")
+    AnnIndex.drop(spark, t1); AnnIndex.drop(spark, t3)
+  }
+
   test("ManifestTable: losing a commit race throws, loses no committed segment, next append recovers") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
