@@ -1763,6 +1763,27 @@ trait SparkEntryMid extends SparkEntryBase {
       .orderBy("query_id", "rank")
   }
 
+  /** Streaming SemDeDup ([[graft.streaming.AnnIndex.semanticIngest]]):
+    * embeddings stream in two micro-batches (even ids, then odd); each
+    * batch dedups within itself (same-cell cosine ≥ 0.42, lower id
+    * wins — the batch [[graft.ext.Dedup.semanticDedup]] removal rule)
+    * and its survivors against the accumulated ACCEPTED corpus (read
+    * pruned to the batch's own `cell=` partitions, batch broadcast),
+    * before appending one cell-partitioned manifest segment — the
+    * embedding-space twin of stream_dedup_neardup. Output is the final
+    * accepted corpus (vec_id, cell). Oracle: exact replay — the frozen
+    * first-16 quantizer's 6-dp argmin fixes every cell, and both
+    * accept steps compare the 6-dp-rounded cosine, so the accepted set
+    * is a pure function of the id-ordered batch split. */
+  private[graft] def streamDedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = Similarity.firstNCentroids(emb, 16)
+    graft.streaming.AnnIndex.foreachBatchSemanticDedup(s, emb,
+        batch2Pred = pmod(col("vec_id"), lit(2)) === 1, cents, threshold = 0.42)
+      .select(col("id").as("vec_id"), col("cell"))
+      .orderBy("vec_id")
+  }
+
   /** IVF with EVERY cell probed (nprobe = ncells): probing all cells
     * makes IVF ≡ brute force by the exhaustive-probe identity, so the
     * whole IVF code path — quantizer build, per-row cell argmin, probe

@@ -757,6 +757,49 @@ trait SparkEntryOracle extends SparkEntryTail {
     // it), so the batch pruned-probe replay is the exact oracle for
     // ingest + replay-guard + partition-pruned read + ranking
     "stream_ann_ingest" -> simsearchIvfPrunedSql,
+    // streaming SemDeDup replay: cells exactly as dedup_semantic's
+    // (6-dp-rounded centroid scores, ties to lowest cid), the
+    // same-cell >= 0.42 pair set once, then the two-batch keep-first
+    // accept recursion in the stream_dedup_neardup oracle's shape —
+    // within-batch lower-id removal, then survivors against batch 1's
+    // accepted set in both pair directions
+    "stream_dedup_semantic" ->
+      """WITH cents AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 16),
+        |sa AS (SELECT e.vec_id, c.cid,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                      CAST(c.embedding AS DOUBLE[])), 6) AS s
+        |       FROM embeddings e CROSS JOIN cents c),
+        |cells AS (SELECT vec_id, cid AS cell FROM (
+        |         SELECT vec_id, cid,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        |         FROM sa) WHERE rn = 1),
+        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |       FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |       JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |       JOIN embeddings eb ON eb.vec_id = b.vec_id
+        |       WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+        |                                          CAST(eb.embedding AS DOUBLE[])), 6) >= 0.42),
+        |b1 AS (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0),
+        |b2 AS (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 1),
+        |acc1 AS (
+        |  SELECT vec_id FROM b1 WHERE vec_id NOT IN (
+        |    SELECT p.id_b FROM pairs p
+        |    JOIN b1 x ON p.id_a = x.vec_id JOIN b1 y ON p.id_b = y.vec_id)),
+        |s2 AS (
+        |  SELECT vec_id FROM b2 WHERE vec_id NOT IN (
+        |    SELECT p.id_b FROM pairs p
+        |    JOIN b2 x ON p.id_a = x.vec_id JOIN b2 y ON p.id_b = y.vec_id)),
+        |acc2 AS (
+        |  SELECT vec_id FROM s2 WHERE vec_id NOT IN (
+        |    SELECT s2.vec_id FROM pairs p
+        |    JOIN s2 ON p.id_a = s2.vec_id JOIN acc1 ON p.id_b = acc1.vec_id
+        |    UNION
+        |    SELECT s2.vec_id FROM pairs p
+        |    JOIN s2 ON p.id_b = s2.vec_id JOIN acc1 ON p.id_a = acc1.vec_id)),
+        |acc AS (SELECT vec_id FROM acc1 UNION ALL SELECT vec_id FROM acc2)
+        |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell
+        |FROM cells c JOIN acc USING (vec_id)
+        |ORDER BY c.vec_id""".stripMargin,
     "emb_centroids" ->
       """SELECT CAST(vec_id % 8 AS BIGINT) AS grp, CAST(g.i AS INT) AS dim,
         |       round(avg(CAST(embedding[g.i + 1] AS DOUBLE)), 6) AS mean

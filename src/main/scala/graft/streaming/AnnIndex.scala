@@ -136,6 +136,137 @@ object AnnIndex {
       "query_id", "nbr_id", "cosine")
   }
 
+  /** Streaming SemDeDup: ingest one micro-batch of (id, vector) rows
+    * into an accumulating ACCEPTED corpus, rejecting near-duplicates
+    * in embedding space — the cosine twin of
+    * [[Stream.mergeNearDupBatch]]'s MinHash path, built on this
+    * index's physical layout instead of an LSH band index.
+    *
+    * Accept rule (exactly replayable cross-engine — every compare is
+    * on the 6-dp-rounded cosine and cell assignment is the frozen
+    * [[graft.ext.Similarity.assignCellsVec]] argmin):
+    *  1. within-batch: a row is rejected when ANY lower-id batch row
+    *     in the SAME cell has cosine ≥ `threshold` (the batch
+    *     [[graft.ext.Dedup.semanticDedup]] removal rule, applied to
+    *     the batch alone);
+    *  2. cross-batch: a within-batch survivor is rejected when ANY
+    *     already-accepted corpus row in the same cell has cosine ≥
+    *     `threshold` (keep-first across arrival order).
+    * Same-cell is the candidate scope on BOTH sides — the SemDeDup
+    * contract: with ncells sized to the corpus (50k cells for LAION),
+    * within-cell comparisons stay bounded while cross-cell near-dups
+    * are accepted collateral, identically in batch and streaming form.
+    *
+    * Scale shape per ingest: cell assignment is a zero-shuffle
+    * codegen'd argmin; the within-batch pair join is cell-keyed
+    * (Σ|batch∩cell|², never batch²); the corpus side reads ONLY the
+    * batch's cell partitions (pruned — the distinct cell list is
+    * ≤ min(|batch|, ncells), collected bounded) and joins them against
+    * the BROADCAST batch survivors, so nothing O(corpus) shuffles; the
+    * accepted rows append as one cell-partitioned segment (O(batch)
+    * write + manifest). Replay is the manifest name-scan skip; a
+    * replayed batch that accepted nothing re-runs harmlessly (the
+    * corpus it reads is unchanged, so it accepts nothing again).
+    * Returns the number of rows ACCEPTED (0 for empty/replayed). */
+  def semanticIngest(spark: SparkSession, table: String, batch: DataFrame,
+      cents: Seq[(Long, Seq[Double])], threshold: Double, batchId: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
+    require(cents.nonEmpty, "AnnIndex.semanticIngest: need a non-empty quantizer")
+    val root = annRoot(spark, table)
+    if (committed(spark, root, batchId)) return 0L
+    val b = batch.localCheckpoint()
+    try {
+      if (b.isEmpty) return 0L
+      val assigned = Similarity.assignCellsVec(b, cents, idCol, vecCol)
+      val cos = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+        round(graft.functions.fx.vecDot(x, y), 6)
+      // 1. within-batch removal: cell-keyed pair join, lower id wins
+      val removedIn = assigned.as("a")
+        .join(assigned.as("b").hint("shuffle_merge"),
+          col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+        .filter(cos(col("a.v"), col("b.v")) >= threshold)
+        .select(col("b.id").as("id")).distinct()
+      val surv = assigned.join(removedIn, Seq("id"), "left_anti")
+      // 2. cross-batch: prune the corpus read to the batch's own cells
+      // (bounded collect ≤ ncells — the projection never joins), then
+      // broadcast the survivors into the pruned corpus
+      val segs = ManifestTable.segments(spark, root)
+      val accepted = if (segs.isEmpty) surv else {
+        val cells = assigned.select(col("cell").cast("int")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val corpus = segs.map { seg =>
+            spark.read.parquet(s"$root/$seg")
+              .filter(col("cell").isin(cells: _*))
+          }.reduce(_ unionByName _)
+          .select(col("cell").cast("long").as("cell"), col("v").as("cv"))
+        val hit = corpus
+          .join(broadcast(surv.select(col("id"), col("cell"), col("v"))), Seq("cell"))
+          .filter(cos(col("cv"), col("v")) >= threshold)
+          .select(col("id")).distinct()
+        surv.join(hit, Seq("id"), "left_anti")
+      }
+      // snapshot so count + append execute the accept pipeline once
+      val acc = accepted
+        .select(col("id"), col("cell").cast("int").as("cell"), col("v"))
+        .localCheckpoint()
+      try {
+        val n = acc.count()
+        if (n > 0)
+          ManifestTable.append(spark, root, acc,
+            partitionBy = Seq("cell"), tag = Some(batchTag(batchId)))
+        n
+      } finally graft.core.Lineage.release(acc)
+    } finally graft.core.Lineage.release(b)
+  }
+
+  /** The accumulated accepted corpus of [[semanticIngest]]:
+    * (id, cell) per accepted row. */
+  def semanticCorpus(spark: SparkSession, table: String): DataFrame =
+    ManifestTable.read(spark, annRoot(spark, table))
+      .select(col("id"), col("cell").cast("long").as("cell"))
+
+  /** Two-batch MemoryStream run of [[semanticIngest]] through the real
+    * micro-batch engine (rows matching `batch2Pred` arrive second);
+    * returns the final accepted corpus. HARNESS BOUNDARY — the
+    * driver-side collect is fixture-bounded (explicit batch control
+    * needs MemoryStream); production is [[semanticIngest]] inside any
+    * foreachBatch sink, which never collects. */
+  def foreachBatchSemanticDedup(
+      spark: SparkSession,
+      emb: DataFrame,
+      batch2Pred: org.apache.spark.sql.Column,
+      cents: Seq[(Long, Seq[Double])],
+      threshold: Double,
+      table: String = "graft_stream_semdedup"
+  ): DataFrame = {
+    import spark.implicits._
+    val rows = emb
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"),
+        coalesce(batch2Pred.cast("boolean"), lit(false)))
+      .collect()
+    def part(second: Boolean) = rows.filter(_.getBoolean(2) == second)
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    drop(spark, table)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])](
+        implicitly[org.apache.spark.sql.Encoder[(Long, Seq[Double])]],
+        spark.sqlContext)
+    val stream = ms.toDF().toDF("vec_id", "embedding")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        semanticIngest(spark, table, batch, cents, threshold, id)
+        ()
+      }
+      .start()
+    try {
+      ms.addData(part(second = false))
+      q.processAllAvailable()
+      ms.addData(part(second = true))
+      q.processAllAvailable()
+    } finally q.stop()
+    semanticCorpus(spark, table)
+  }
+
   /** Fold all segments into one, keeping the `cell=` layout (the
     * explicit maintenance action; readers see old or new manifest,
     * never a half-fold). */

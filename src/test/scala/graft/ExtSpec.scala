@@ -3262,6 +3262,71 @@ class ExtSpec extends AnyFunSuite {
     AnnIndex.drop(spark, t1); AnnIndex.drop(spark, t3)
   }
 
+  test("streaming SemDeDup: single-batch equals batch rule, corpus pairwise clean, every reject justified, replay-guarded") {
+    import graft.streaming.AnnIndex
+    import graft.ext.{Dedup, Similarity}
+    val emb = spark.read.parquet(s"${TestSession.sf}/embeddings.parquet")
+    val cents = Similarity.firstNCentroids(emb, 16)
+    val tau = 0.42
+    // 1. one batch == the batch semanticDedup kept set (the streaming
+    // rule degenerates to the batch removal rule when nothing
+    // precedes it)
+    val t1 = "graft_semdedup_spec_one"
+    AnnIndex.drop(spark, t1)
+    AnnIndex.semanticIngest(spark, t1, emb, cents, tau, 0L)
+    val streamed1 = AnnIndex.semanticCorpus(spark, t1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val batchKept = Dedup.semanticDedup(emb, ncells = 16, threshold = tau,
+        centroids = Some(cents))
+      .filter(col("kept")).select("id").collect().map(_.getLong(0)).toSet
+    assert(streamed1 == batchKept,
+      "single-batch streaming corpus must equal the batch kept set")
+    // 2+3 on a two-batch run: accepted corpus has no same-cell pair at
+    // cosine >= tau, and every rejected id has a justifying partner —
+    // same cell, cosine >= tau, lower id in its own batch or accepted
+    // in an earlier one
+    val t2 = "graft_semdedup_spec_two"
+    AnnIndex.drop(spark, t2)
+    AnnIndex.semanticIngest(spark, t2,
+      emb.filter(pmod(col("vec_id"), lit(2)) === 0), cents, tau, 0L)
+    AnnIndex.semanticIngest(spark, t2,
+      emb.filter(pmod(col("vec_id"), lit(2)) === 1), cents, tau, 1L)
+    val corpus = AnnIndex.semanticCorpus(spark, t2)
+    val assigned = Similarity.assignCellsVec(emb, cents)
+    val cos = round(graft.functions.fx.vecDot(col("a.v"), col("b.v")), 6)
+    val accAssigned = assigned.join(corpus.select("id"), Seq("id"))
+    val dirty = accAssigned.as("a")
+      .join(accAssigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .filter(cos >= tau).count()
+    assert(dirty == 0L, s"accepted corpus has $dirty same-cell pairs >= $tau")
+    val rejected = assigned.join(corpus.select("id"), Seq("id"), "left_anti")
+      .withColumn("batch", pmod(col("id"), lit(2)))
+    val aSide = assigned.withColumn("batch", pmod(col("id"), lit(2)))
+      .join(corpus.select(col("id"), lit(true).as("acc")), Seq("id"), "left")
+      .withColumn("acc", coalesce(col("acc"), lit(false)))
+    val justified = rejected.as("b")
+      .join(aSide.as("a"),
+        col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
+      .filter(cos >= tau)
+      .filter( // lower id in the same batch, or accepted earlier
+        (col("a.batch") === col("b.batch") && col("a.id") < col("b.id")) ||
+        (col("a.batch") < col("b.batch") && col("a.acc")))
+      .select(col("b.id")).distinct().count()
+    val nRejected = rejected.count()
+    assert(justified == nRejected,
+      s"only $justified of $nRejected rejects have a justifying partner")
+    assert(nRejected > 0, "fixture regressed: nothing rejected — dedup unexercised")
+    // 4. at-least-once replay: a re-delivered batch id commits nothing
+    val root = AnnIndex.annRoot(spark, t2)
+    val before = graft.io.ManifestTable.segments(spark, root)
+    val n = AnnIndex.semanticIngest(spark, t2,
+      emb.filter(pmod(col("vec_id"), lit(2)) === 1), cents, tau, 1L)
+    assert(n == 0L && graft.io.ManifestTable.segments(spark, root) == before,
+      "replayed batch must be a manifest name-scan skip")
+    AnnIndex.drop(spark, t1); AnnIndex.drop(spark, t2)
+  }
+
   test("ManifestTable: losing a commit race throws, loses no committed segment, next append recovers") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
