@@ -1763,6 +1763,29 @@ trait SparkEntryMid extends SparkEntryBase {
       .orderBy("query_id", "rank")
   }
 
+  /** Merge-on-read DELETE from the streaming ANN index
+    * ([[graft.streaming.AnnIndex.delete]]): ingest the corpus in two
+    * micro-batches, then delete every vec_id ≡ 0 (mod 3) — an O(ids)
+    * tombstone append that leaves every data segment byte-identical —
+    * and run the same pruned-probe top-k. Deleted rows must vanish
+    * from results at the next manifest version (the
+    * right-to-be-forgotten contract: forget now, reclaim at
+    * compact()). Oracle: the pruned-probe IVF replay with the deleted
+    * ids filtered from the corpus side only — the quantizer is frozen
+    * so cell assignment and probe selection are unchanged. */
+  private[graft] def streamAnnDelete(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = Similarity.firstNCentroids(emb, 16)
+    val table = "graft_stream_ann_del"
+    graft.streaming.AnnIndex.foreachBatchIngest(s, emb,
+      batch2Pred = pmod(col("vec_id"), lit(2)) === 1, cents, table = table)
+    graft.streaming.AnnIndex.delete(s, table,
+      emb.filter(pmod(col("vec_id"), lit(3)) === 0).select("vec_id"))
+    graft.streaming.AnnIndex.topK(s, table,
+        emb.filter(col("vec_id") < 8), k = 10, cents, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   /** Streaming SemDeDup ([[graft.streaming.AnnIndex.semanticIngest]]):
     * embeddings stream in two micro-batches (even ids, then odd); each
     * batch dedups within itself (same-cell cosine ≥ 0.42, lower id

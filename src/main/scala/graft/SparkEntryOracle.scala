@@ -757,6 +757,36 @@ trait SparkEntryOracle extends SparkEntryTail {
     // it), so the batch pruned-probe replay is the exact oracle for
     // ingest + replay-guard + partition-pruned read + ranking
     "stream_ann_ingest" -> simsearchIvfPrunedSql,
+    // the tombstone delete removes corpus rows ONLY — the frozen
+    // quantizer keeps cells and probe selection identical, so the
+    // replay is the pruned-probe SQL with the deleted ids filtered
+    // from the corpus join side
+    "stream_ann_delete" ->
+      """WITH cents AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 16),
+        |sa AS (SELECT e.vec_id, c.cid,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                      CAST(c.embedding AS DOUBLE[])), 6) AS s
+        |       FROM embeddings e CROSS JOIN cents c),
+        |cells AS (SELECT vec_id, cid AS cell FROM (
+        |         SELECT vec_id, cid,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        |         FROM sa) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
+        |         SELECT vec_id, cid,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        |         FROM sa WHERE vec_id < 8) WHERE rn <= 4),
+        |scored AS (SELECT p.query_id, a.vec_id AS nbr_id,
+        |         round(list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+        |                                      CAST(en.embedding AS DOUBLE[])), 6) AS cosine
+        |       FROM probes p JOIN cells a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        |         AND a.vec_id % 3 <> 0
+        |       JOIN embeddings eq ON eq.vec_id = p.query_id
+        |       JOIN embeddings en ON en.vec_id = a.vec_id),
+        |ranked AS (SELECT query_id, nbr_id, cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cosine DESC, nbr_id) AS rank FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank, nbr_id, cosine
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // streaming SemDeDup replay: cells exactly as dedup_semantic's
     // (6-dp-rounded centroid scores, ties to lowest cid), the
     // same-cell >= 0.42 pair set once, then the two-batch keep-first

@@ -9,7 +9,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Layout under `root`:
   * {{{
   *   _manifest.v<N>        one line per committed segment dir; highest N wins
-  *   seg-<N>-<uuid>/       parquet segment, one per committed append/replace
+  *   seg-<N>-<uuid>/       parquet data segment, one per committed append/replace
+  *   del-<N>-<uuid>/       parquet TOMBSTONE segment (deleted keys; see [[delete]])
   * }}}
   *
   * Commit protocol (single-writer, which is what foreachBatch gives —
@@ -40,6 +41,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object ManifestTable {
 
   private val ManifestPrefix = "_manifest.v"
+  private val DelPrefix = "del-"
 
   /** The atomic publish step, pluggable per storage class. A strategy
     * must (1) make manifest version `v` visible atomically — readers
@@ -114,6 +116,15 @@ object ManifestTable {
     currentVersion(f, p).isDefined
   }
 
+  /** Committed DATA segments — the manifest list minus tombstone
+    * (`del-`) segments. */
+  def dataSegments(spark: SparkSession, root: String): Seq[String] =
+    segments(spark, root).filterNot(_.startsWith(DelPrefix))
+
+  /** Committed tombstone segments (see [[delete]]). */
+  def deleteSegments(spark: SparkSession, root: String): Seq[String] =
+    segments(spark, root).filter(_.startsWith(DelPrefix))
+
   /** Union-read every committed segment. The dir list is explicit, so
     * orphan (uncommitted) segments are invisible to readers. Each
     * segment is read single-rooted and unioned — a multi-path read
@@ -122,9 +133,33 @@ object ManifestTable {
     * discovery (and pruning on the partition column) works per
     * segment. Same files either way; scan parallelism is per-file. */
   def read(spark: SparkSession, root: String): DataFrame = {
-    val segs = segments(spark, root)
+    val segs = dataSegments(spark, root)
     require(segs.nonEmpty, s"no committed manifest under $root")
     segs.map(s => spark.read.parquet(s"$root/$s")).reduce(_ unionByName _)
+  }
+
+  /** The union of all committed tombstone keys (column set = whatever
+    * [[delete]] was given), or None when nothing was ever deleted. */
+  def tombstones(spark: SparkSession, root: String): Option[DataFrame] = {
+    val d = deleteSegments(spark, root)
+    if (d.isEmpty) None
+    else Some(d.map(s => spark.read.parquet(s"$root/$s"))
+      .reduce(_ unionByName _).distinct())
+  }
+
+  /** Merge-on-read: [[read]] minus [[tombstones]], anti-joined on the
+    * tombstones' own column set. The tombstone side is O(deleted keys)
+    * and BROADCAST — a read never shuffles the data side to honor
+    * deletes; when the accumulated delete set outgrows broadcast
+    * range, [[compact]] applies it physically and clears it. */
+  def readMerged(spark: SparkSession, root: String): DataFrame = {
+    val data = read(spark, root)
+    tombstones(spark, root) match {
+      case None => data
+      case Some(t) =>
+        data.join(org.apache.spark.sql.functions.broadcast(t),
+          t.columns.toSeq, "left_anti")
+    }
   }
 
   /** Atomically publish `segs` as manifest version `v` through the
@@ -160,6 +195,26 @@ object ManifestTable {
     commit(f, p, v + 1, segments(spark, root) :+ seg)
   }
 
+  /** Merge-on-read DELETE: append `keys` (deduplicated) as one
+    * tombstone segment — IO is O(keys) + a tiny manifest; no data
+    * segment is touched (they stay byte-identical, same append
+    * contract). Readers going through [[readMerged]] (or any caller
+    * anti-joining [[tombstones]]) stop seeing matching rows at the
+    * next manifest version; [[compact]] later applies the deletes
+    * physically and retires the tombstones. `keys`' column set defines
+    * the delete identity (typically the table's id column). `tag`
+    * works as in [[append]]. */
+  def delete(spark: SparkSession, root: String, keys: DataFrame,
+      tag: Option[String] = None): Unit = {
+    val (f, p) = fs(spark, root)
+    val v = currentVersion(f, p).getOrElse(
+      throw new IllegalStateException(s"delete from uncommitted table $root"))
+    val t = tag.map(_ + "-").getOrElse("")
+    val seg = s"$DelPrefix${v + 1}-$t${java.util.UUID.randomUUID().toString.take(8)}"
+    keys.distinct().write.parquet(s"$root/$seg")
+    commit(f, p, v + 1, segments(spark, root) :+ seg)
+  }
+
   /** Replace the whole table with `df` (first write, or an explicit
     * compaction rewrite) and garbage-collect every dir the new
     * manifest no longer names — committed predecessors and crash
@@ -175,14 +230,16 @@ object ManifestTable {
   }
 
   /** Fold all committed segments into one (the staged full rewrite,
-    * now an EXPLICIT maintenance action instead of the per-batch tax).
-    * Readers see the old manifest until the new one lands.
-    * `partitionBy` preserves a partitioned layout through the rewrite
-    * (the columns come back as normal columns from [[read]]'s
-    * partition discovery, so the fold round-trips them). */
+    * now an EXPLICIT maintenance action instead of the per-batch tax),
+    * applying any accumulated tombstones PHYSICALLY — the new manifest
+    * names one data segment and no tombstones, so the per-read
+    * anti-join cost resets to zero. Readers see the old manifest until
+    * the new one lands. `partitionBy` preserves a partitioned layout
+    * through the rewrite (the columns come back as normal columns from
+    * [[read]]'s partition discovery, so the fold round-trips them). */
   def compact(spark: SparkSession, root: String,
       partitionBy: Seq[String] = Nil): Unit = {
-    val snap = read(spark, root).localCheckpoint()
+    val snap = readMerged(spark, root).localCheckpoint()
     try replace(spark, root, snap, partitionBy)
     finally graft.core.Lineage.release(snap)
   }

@@ -98,6 +98,38 @@ object AnnIndex {
     } finally graft.core.Lineage.release(b)
   }
 
+  /** The index restricted to `cells`: per-segment partition-pruned
+    * reads (only the named `cell=` dirs are opened), minus any
+    * tombstoned ids — the tombstone set is O(deleted) and BROADCAST
+    * into a left-anti join, so honoring deletes never shuffles the
+    * corpus side; [[compact]] applies deletes physically and resets
+    * that cost to zero. */
+  private def readCells(spark: SparkSession, root: String,
+      cells: Seq[Int]): DataFrame = {
+    val segs = ManifestTable.dataSegments(spark, root)
+    require(segs.nonEmpty, s"AnnIndex: no committed index under $root")
+    val data = segs.map { seg =>
+      spark.read.parquet(s"$root/$seg").filter(col("cell").isin(cells: _*))
+    }.reduce(_ unionByName _)
+    ManifestTable.tombstones(spark, root) match {
+      case None => data
+      case Some(t) =>
+        data.join(broadcast(t.select("id")), Seq("id"), "left_anti")
+    }
+  }
+
+  /** Merge-on-read DELETE from the index: append the ids as one
+    * tombstone segment — O(ids) IO, every data segment stays
+    * byte-identical. Queries stop returning them at the next manifest
+    * version; [[compact]] applies the deletes physically (the
+    * right-to-be-forgotten path at 100 TB: the forget is immediate
+    * and cheap, the space reclaim is the scheduled maintenance
+    * action). */
+  def delete(spark: SparkSession, table: String, ids: DataFrame,
+      idCol: String = "vec_id"): Unit =
+    ManifestTable.delete(spark, annRoot(spark, table),
+      ids.select(col(idCol).cast("long").as("id")))
+
   /** Top-k cosine neighbors for each query against the ACCUMULATED
     * index, reading only probed cells. Same semantics as
     * [[graft.ext.Similarity.ivfTopK]] over the union of all ingested
@@ -115,12 +147,7 @@ object AnnIndex {
     // pruning inside every segment scan below
     val cells = probes.select(col("cell").cast("int")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val segs = ManifestTable.segments(spark, root)
-    require(segs.nonEmpty, s"AnnIndex.topK: no committed index under $root")
-    val corpus = segs.map { seg =>
-        spark.read.parquet(s"$root/$seg")
-          .filter(col("cell").isin(cells: _*))
-      }.reduce(_ unionByName _)
+    val corpus = readCells(spark, root, cells)
       .select(col("id").as("nbr_id"), col("cell").cast("long").as("cell"),
         col("v").as("cv"))
     // each corpus row lives in exactly one cell and a query's probed
@@ -190,14 +217,10 @@ object AnnIndex {
       // 2. cross-batch: prune the corpus read to the batch's own cells
       // (bounded collect ≤ ncells — the projection never joins), then
       // broadcast the survivors into the pruned corpus
-      val segs = ManifestTable.segments(spark, root)
-      val accepted = if (segs.isEmpty) surv else {
+      val accepted = if (ManifestTable.dataSegments(spark, root).isEmpty) surv else {
         val cells = assigned.select(col("cell").cast("int")).distinct()
           .collect().map(_.getInt(0)).toSeq
-        val corpus = segs.map { seg =>
-            spark.read.parquet(s"$root/$seg")
-              .filter(col("cell").isin(cells: _*))
-          }.reduce(_ unionByName _)
+        val corpus = readCells(spark, root, cells)
           .select(col("cell").cast("long").as("cell"), col("v").as("cv"))
         val hit = corpus
           .join(broadcast(surv.select(col("id"), col("cell"), col("v"))), Seq("cell"))
@@ -222,7 +245,7 @@ object AnnIndex {
   /** The accumulated accepted corpus of [[semanticIngest]]:
     * (id, cell) per accepted row. */
   def semanticCorpus(spark: SparkSession, table: String): DataFrame =
-    ManifestTable.read(spark, annRoot(spark, table))
+    ManifestTable.readMerged(spark, annRoot(spark, table))
       .select(col("id"), col("cell").cast("long").as("cell"))
 
   /** Two-batch MemoryStream run of [[semanticIngest]] through the real

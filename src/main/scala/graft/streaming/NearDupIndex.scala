@@ -75,7 +75,7 @@ object NearDupIndex {
       if (f.exists(br)) f.delete(br, true)
       return
     }
-    val segs = graft.io.ManifestTable.segments(spark, root)
+    val segs = graft.io.ManifestTable.dataSegments(spark, root)
     val live = segs.toSet
     if (f.exists(br))
       f.listStatus(br).foreach { st =>
@@ -126,7 +126,7 @@ object NearDupIndex {
     * discovery single-rooted; the `pb` filter pushes into each scan as
     * partition pruning. Call [[sync]] first. */
   def read(spark: SparkSession, root: String, pbs: Seq[Int]): DataFrame = {
-    val segs = graft.io.ManifestTable.segments(spark, root)
+    val segs = graft.io.ManifestTable.dataSegments(spark, root)
     require(segs.nonEmpty, s"no committed corpus under $root")
     segs.map { seg =>
       spark.read.parquet(s"${bandsRoot(root)}/$seg")
