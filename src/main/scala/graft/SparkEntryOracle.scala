@@ -2141,6 +2141,34 @@ trait SparkEntryOracle extends SparkEntryTail {
         |        coalesce(lang, chr(0) || 'null'),
         |        coalesce(CAST(n_chars AS VARCHAR), chr(0) || 'null'))), 1, 15))::BIGINT AS h
         |      FROM documents)""".stripMargin,
+    // Manifest-log family: time travel / data skipping / schema
+    // evolution / incremental view are all STORAGE mechanisms — each
+    // oracle recomputes the same answer from the raw events table, so
+    // a hash match proves the mechanism is result-invisible.
+    "manifest_timetravel" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |FROM events WHERE event_id % 3 <= 1
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "manifest_skipping" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-15 23:59:59.999999'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "manifest_evolution" ->
+      """SELECT CASE WHEN event_id % 2 = 1 THEN event_type
+        |            ELSE '_pre_evolution' END AS etype,
+        |       count(*) AS cnt,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "manifest_incr_agg" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value,
+        |       round(min(value), 4) AS min_value,
+        |       round(max(value), 4) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "simsearch_pq_adc" -> simsearchPqAdcSql,
     "simsearch_ivfpq" -> simsearchIvfPqSql,
     "ts_decompose" -> tsDecomposeSql,

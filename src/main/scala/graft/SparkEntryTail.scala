@@ -1994,4 +1994,113 @@ trait SparkEntryTail extends SparkEntryMid {
       .select(col("doc_id"), col("tier"), col("n_tokens"), col("shard_id"))
       .orderBy("doc_id")
   }
+
+  private def manifestRoot(s: SparkSession, name: String): String =
+    new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), name).toString
+
+  private def decSum: Column =
+    round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4)
+
+  /** Time travel on the [[graft.io.ManifestTable]] log: events are
+    * appended in three commits (event_id mod 3 = 0, 1, 2 → manifest
+    * v1..v3), then the view is read AS OF v2 — the first two commits,
+    * exactly as a reader at that point saw them. Pinning a manifest
+    * version is how a 100 TB training run stays reproducible against
+    * a corpus that keeps ingesting: no copy, just a version number.
+    * Oracle: the same aggregate over `event_id % 3 <= 1` — time travel
+    * must equal the prefix the first two commits contained. */
+  private[graft] def manifestTimetravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.ManifestTable
+    val root = manifestRoot(s, "graft_manifest_tt__log")
+    ManifestTable.destroy(s, root)
+    val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+    (0 to 2).foreach { k =>
+      ManifestTable.append(s, root, ev.filter(pmod(col("event_id"), lit(3)) === k))
+    }
+    ManifestTable.readAt(s, root, 2L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), decSum.as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Segment-granular data skipping: events land as six 5-day
+    * segments, each [[graft.io.ManifestTable.append]]ed with a
+    * `ts`/`event_id` zone-map sidecar; the range read for Jan 11-15
+    * then opens EXACTLY ONE segment (spec-pinned via
+    * `prunedDataSegments`) — the reason a time-keyed 100 TB log
+    * answers a point-in-time query with O(range) IO, not O(table).
+    * Oracle: the same aggregate over a plain BETWEEN on raw events —
+    * skipping is an IO optimization and must be result-invisible. */
+  private[graft] def manifestSkipping(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.ManifestTable
+    val root = manifestRoot(s, "graft_manifest_skip__log")
+    ManifestTable.destroy(s, root)
+    val ev = t(s, dir, "events").select("event_id", "ts", "event_type", "value")
+    (0 to 5).foreach { k =>
+      ManifestTable.append(s, root,
+        ev.filter(floor((dayofmonth(col("ts")) - 1) / 5) === k),
+        statsCols = Seq("ts", "event_id"))
+    }
+    ManifestTable.readRange(s, root, "ts",
+        Some(java.sql.Timestamp.valueOf("2024-01-11 00:00:00")),
+        Some(java.sql.Timestamp.valueOf("2024-01-15 23:59:59.999999")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), decSum.as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Additive schema evolution across manifest commits: segment 1
+    * lands WITHOUT `event_type`, segment 2 adds it; the evolved read
+    * surfaces old rows as NULL in the new column — append-only logs
+    * never rewrite 100 TB to add a field. Oracle: the same rollup
+    * computed from raw events with the evolution boundary expressed
+    * as a CASE on the segment-split key. */
+  private[graft] def manifestEvolution(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.ManifestTable
+    val root = manifestRoot(s, "graft_manifest_evo__log")
+    ManifestTable.destroy(s, root)
+    val ev = t(s, dir, "events")
+    ManifestTable.append(s, root,
+      ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .select("event_id", "user_id", "value"))
+    ManifestTable.append(s, root,
+      ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .select("event_id", "user_id", "value", "event_type"))
+    ManifestTable.read(s, root)
+      .withColumn("etype", coalesce(col("event_type"), lit("_pre_evolution")))
+      .groupBy("etype")
+      .agg(count(lit(1)).as("cnt"), decSum.as("sum_value"))
+      .orderBy("etype")
+  }
+
+  /** Incrementally-maintained materialized aggregate view
+    * ([[graft.io.AggView]]): three event micro-batches each append an
+    * O(groups)-row PARTIAL segment (the view never re-reads the base
+    * log), with a [[graft.io.AggView.compact]] folded in mid-stream to
+    * prove the stored form is itself a mergeable partial. DECIMAL
+    * internal sums make the result independent of batch split and
+    * merge order — bit-stable under any replan. Oracle: the straight
+    * GROUP BY over all events; an incremental view must be
+    * indistinguishable from recomputation. */
+  private[graft] def manifestIncrAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.AggView
+    val root = manifestRoot(s, "graft_aggview__log")
+    graft.io.ManifestTable.destroy(s, root)
+    val ev = t(s, dir, "events")
+      .withColumn("value_dec", col("value").cast("decimal(18,6)"))
+    val spec = AggView.spec("event_type").count("cnt")
+      .sum("value_dec", "sum_dec").min("value", "min_value")
+      .max("value", "max_value")
+    AggView.ingest(s, root, ev.filter(pmod(col("event_id"), lit(3)) === 0), spec)
+    AggView.ingest(s, root, ev.filter(pmod(col("event_id"), lit(3)) === 1), spec)
+    AggView.compact(s, root, spec)
+    AggView.ingest(s, root, ev.filter(pmod(col("event_id"), lit(3)) === 2), spec)
+    AggView.read(s, root, spec)
+      .select(col("event_type"), col("cnt"),
+        round(col("sum_dec").cast("double"), 4).as("sum_value"),
+        round(col("min_value"), 4).as("min_value"),
+        round(col("max_value"), 4).as("max_value"))
+      .orderBy("event_type")
+  }
 }

@@ -2,6 +2,8 @@ package graft.io
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, datediff, lit, max, min, unix_micros}
+import org.apache.spark.sql.types._
 
 /** A minimal manifest-committed parquet table: the append-capable
   * commit primitive the plain-parquet streaming merges were missing.
@@ -98,17 +100,45 @@ object ManifestTable {
       if (vs.isEmpty) None else Some(vs.max)
     }
 
+  private def readManifest(f: FileSystem, root: Path, v: Long): Seq[String] = {
+    val in = f.open(new Path(root, ManifestPrefix + v))
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
   /** Committed segment dir names, in commit order (empty if no manifest). */
   def segments(spark: SparkSession, root: String): Seq[String] = {
     val (f, p) = fs(spark, root)
     currentVersion(f, p) match {
       case None => Seq.empty
-      case Some(v) =>
-        val in = f.open(new Path(p, ManifestPrefix + v))
-        try scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().filter(_.nonEmpty).toList
-        finally in.close()
+      case Some(v) => readManifest(f, p, v)
     }
+  }
+
+  /** Every committed manifest version under `root`, ascending. Stale
+    * versions survive appends (each manifest is a few hundred bytes),
+    * which is what makes [[readAt]] time travel possible; [[replace]]/
+    * [[compact]] garbage-collect superseded SEGMENTS, so history is
+    * readable back to the last compaction — the same retention shape
+    * as a lakehouse log's VACUUM horizon. */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val (f, p) = fs(spark, root)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).iterator.map(_.getPath.getName)
+      .filter(n => n.startsWith(ManifestPrefix) && !n.contains(".tmp-"))
+      .map(_.stripPrefix(ManifestPrefix).toLong).toSeq.sorted
+  }
+
+  /** Segment list as of manifest version `v` (time travel). Throws if
+    * `v` was never committed; segments named by `v` but since
+    * garbage-collected by a [[replace]]/[[compact]] surface as read
+    * errors downstream, same as any past-retention lakehouse read. */
+  def segmentsAt(spark: SparkSession, root: String, v: Long): Seq[String] = {
+    val (f, p) = fs(spark, root)
+    require(f.exists(new Path(p, ManifestPrefix + v)),
+      s"no committed manifest version $v under $root")
+    readManifest(f, p, v)
   }
 
   def exists(spark: SparkSession, root: String): Boolean = {
@@ -125,26 +155,59 @@ object ManifestTable {
   def deleteSegments(spark: SparkSession, root: String): Seq[String] =
     segments(spark, root).filter(_.startsWith(DelPrefix))
 
-  /** Union-read every committed segment. The dir list is explicit, so
-    * orphan (uncommitted) segments are invisible to readers. Each
-    * segment is read single-rooted and unioned — a multi-path read
-    * would reject hive-partitioned segment layouts
+  /** Union a segment list with schema EVOLUTION tolerance: later
+    * segments may add columns (earlier rows read NULL there) — the
+    * additive-evolution contract every append-only log needs, since a
+    * 100 TB table is never rewritten just to add a field. Each segment
+    * is read single-rooted and unioned — a multi-path read would
+    * reject hive-partitioned segment layouts
     * (CONFLICTING_DIRECTORY_STRUCTURES) and this way partition
     * discovery (and pruning on the partition column) works per
     * segment. Same files either way; scan parallelism is per-file. */
+  private def readSegs(spark: SparkSession, root: String, segs: Seq[String]): DataFrame =
+    segs.map(s => spark.read.parquet(s"$root/$s"))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Union-read every committed data segment. The dir list is
+    * explicit, so orphan (uncommitted) segments are invisible to
+    * readers. */
   def read(spark: SparkSession, root: String): DataFrame = {
     val segs = dataSegments(spark, root)
     require(segs.nonEmpty, s"no committed manifest under $root")
-    segs.map(s => spark.read.parquet(s"$root/$s")).reduce(_ unionByName _)
+    readSegs(spark, root, segs)
+  }
+
+  /** Time-travel read: the data segments named by manifest version
+    * `v`, exactly as a reader at that commit saw them. Reproducible
+    * training runs pin a version instead of copying the corpus. */
+  def readAt(spark: SparkSession, root: String, v: Long): DataFrame = {
+    val segs = segmentsAt(spark, root, v).filterNot(_.startsWith(DelPrefix))
+    require(segs.nonEmpty, s"manifest v$v of $root names no data segments")
+    readSegs(spark, root, segs)
+  }
+
+  private def tombstonesOf(spark: SparkSession, root: String,
+      segs: Seq[String]): Option[DataFrame] = {
+    val d = segs.filter(_.startsWith(DelPrefix))
+    if (d.isEmpty) None
+    else Some(d.map(s => spark.read.parquet(s"$root/$s"))
+      .reduce(_ unionByName _).distinct())
   }
 
   /** The union of all committed tombstone keys (column set = whatever
     * [[delete]] was given), or None when nothing was ever deleted. */
-  def tombstones(spark: SparkSession, root: String): Option[DataFrame] = {
-    val d = deleteSegments(spark, root)
-    if (d.isEmpty) None
-    else Some(d.map(s => spark.read.parquet(s"$root/$s"))
-      .reduce(_ unionByName _).distinct())
+  def tombstones(spark: SparkSession, root: String): Option[DataFrame] =
+    tombstonesOf(spark, root, segments(spark, root))
+
+  private def mergeRead(spark: SparkSession, root: String,
+      segs: Seq[String]): DataFrame = {
+    val data = readSegs(spark, root, segs.filterNot(_.startsWith(DelPrefix)))
+    tombstonesOf(spark, root, segs) match {
+      case None => data
+      case Some(t) =>
+        data.join(org.apache.spark.sql.functions.broadcast(t),
+          t.columns.toSeq, "left_anti")
+    }
   }
 
   /** Merge-on-read: [[read]] minus [[tombstones]], anti-joined on the
@@ -152,15 +215,14 @@ object ManifestTable {
     * and BROADCAST — a read never shuffles the data side to honor
     * deletes; when the accumulated delete set outgrows broadcast
     * range, [[compact]] applies it physically and clears it. */
-  def readMerged(spark: SparkSession, root: String): DataFrame = {
-    val data = read(spark, root)
-    tombstones(spark, root) match {
-      case None => data
-      case Some(t) =>
-        data.join(org.apache.spark.sql.functions.broadcast(t),
-          t.columns.toSeq, "left_anti")
-    }
-  }
+  def readMerged(spark: SparkSession, root: String): DataFrame =
+    mergeRead(spark, root, segments(spark, root))
+
+  /** Time-travel [[readMerged]]: state as of manifest version `v` —
+    * deletes committed after `v` are invisible, deletes at or before
+    * `v` apply. */
+  def readMergedAt(spark: SparkSession, root: String, v: Long): DataFrame =
+    mergeRead(spark, root, segmentsAt(spark, root, v))
 
   /** Atomically publish `segs` as manifest version `v` through the
     * configured [[CommitStrategy]] (single winner per version; the
@@ -184,14 +246,21 @@ object ManifestTable {
     * segment name as `seg-<v>-<tag>-<uuid>`: a cheap at-least-once
     * replay guard — a caller that derives the tag from its micro-batch
     * id can detect an already-committed batch from [[segments]] alone
-    * (name scan, no data read) and skip the duplicate append. */
+    * (name scan, no data read) and skip the duplicate append.
+    * `statsCols` names columns whose per-segment min/max are collected
+    * into a `_stats.graft.json` sidecar INSIDE the segment dir (an
+    * O(batch) pass over the committed bytes; data readers ignore
+    * `_`-prefixed files) — the zone-map input [[readRange]] prunes
+    * whole segments with. */
   def append(spark: SparkSession, root: String, df: DataFrame,
-      partitionBy: Seq[String] = Nil, tag: Option[String] = None): Unit = {
+      partitionBy: Seq[String] = Nil, tag: Option[String] = None,
+      statsCols: Seq[String] = Nil): Unit = {
     val (f, p) = fs(spark, root)
     val v = currentVersion(f, p).getOrElse(0L)
     val t = tag.map(_ + "-").getOrElse("")
     val seg = s"seg-${v + 1}-$t${java.util.UUID.randomUUID().toString.take(8)}"
     writeSeg(df, s"$root/$seg", partitionBy)
+    if (statsCols.nonEmpty) writeStats(spark, f, s"$root/$seg", statsCols)
     commit(f, p, v + 1, segments(spark, root) :+ seg)
   }
 
@@ -268,5 +337,155 @@ object ManifestTable {
     val (f, p) = fs(spark, root)
     f.delete(p, true)
     ()
+  }
+
+  // ------------------------------------------------------------------
+  // Segment statistics (zone maps) + data-skipping reads.
+  //
+  // Each stats-enabled segment carries a `_stats.graft.json` sidecar:
+  //   {"rows":N,"cols":{"c":{"t":"n|ts|d|s","min":"…","max":"…"}}}
+  // min/max are canonical sortable keys — numerics as their decimal
+  // string, timestamps as epoch MICROS, dates as epoch DAYS, strings
+  // raw. A range read resolves the manifest, opens only the sidecars
+  // (a few hundred bytes per segment, driver-side), and hands Spark
+  // just the segments whose [min,max] intersects the predicate — the
+  // segment-granularity analogue of parquet row-group zone maps, and
+  // the reason a time-keyed 100 TB append log answers a point-in-time
+  // query by reading one segment instead of all of them. Conservative
+  // by construction: a segment without a sidecar (or without stats for
+  // the queried column) is always read.
+  // ------------------------------------------------------------------
+
+  private val StatsFile = "_stats.graft.json"
+
+  /** Per-column segment statistic: type tag + canonical min/max keys
+    * (None = every value in the segment is NULL for that column). */
+  final case class ColStat(t: String, min: Option[String], max: Option[String])
+  final case class SegStats(rows: Long, cols: Map[String, ColStat])
+
+  private def statType(dt: DataType): Option[String] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | _: DecimalType => Some("n")
+    case TimestampType => Some("ts")
+    case DateType => Some("d")
+    case StringType => Some("s")
+    case _ => None
+  }
+
+  /** One aggregate pass over the just-committed segment bytes (column-
+    * pruned to `cols`), then a tiny JSON write. O(segment) once, at
+    * write time — never again on the read path. */
+  private def writeStats(spark: SparkSession, f: FileSystem,
+      segDir: String, cols: Seq[String]): Unit = {
+    val df = spark.read.parquet(segDir)
+    val typed = cols.flatMap(c => statType(df.schema(c).dataType).map((c, _)))
+    val aggs = typed.flatMap { case (c, t) =>
+      val key = t match {
+        case "ts" => unix_micros(col(c))
+        case "d"  => datediff(col(c), lit("1970-01-01"))
+        case _    => col(c)
+      }
+      Seq(min(key).cast("string"), max(key).cast("string"))
+    }
+    val row = df.agg(count(lit(1)).as("rows"), aggs: _*).head()
+    val colsJson = typed.zipWithIndex.map { case ((c, t), i) =>
+      def v(off: Int): String = Option(row.getString(1 + 2 * i + off))
+        .map(s => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .getOrElse("null")
+      s""""$c":{"t":"$t","min":${v(0)},"max":${v(1)}}"""
+    }.mkString(",")
+    val json = s"""{"rows":${row.getLong(0)},"cols":{$colsJson}}"""
+    commitStrategy.publish(f, new Path(segDir), new Path(segDir, StatsFile), json)
+  }
+
+  /** Parse a segment's stats sidecar, if it has one. */
+  def segmentStats(spark: SparkSession, root: String, seg: String): Option[SegStats] = {
+    val (f, _) = fs(spark, root)
+    val p = new Path(s"$root/$seg", StatsFile)
+    if (!f.exists(p)) None
+    else {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val j = JsonMethods.parse(txt)
+      val rows = (j \ "rows") match { case JInt(n) => n.toLong; case _ => 0L }
+      val cols = (j \ "cols") match {
+        case JObject(fields) => fields.map { case (name, cs) =>
+          def str(k: String): Option[String] =
+            (cs \ k) match { case JString(s) => Some(s); case _ => None }
+          name -> ColStat(str("t").getOrElse("s"), str("min"), str("max"))
+        }.toMap
+        case _ => Map.empty[String, ColStat]
+      }
+      Some(SegStats(rows, cols))
+    }
+  }
+
+  /** Canonical comparison key for a caller-supplied bound, matched to
+    * the stored stat's type tag. */
+  private def boundKey(t: String, v: Any): Any = (t, v) match {
+    case ("s", x) => x.toString
+    case ("ts", ts: java.sql.Timestamp) =>
+      BigDecimal(ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L)
+    case ("ts", i: java.time.Instant) =>
+      BigDecimal(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case ("ts", s: String) => boundKey("ts", java.sql.Timestamp.valueOf(s))
+    case ("d", d: java.sql.Date) => BigDecimal(d.toLocalDate.toEpochDay)
+    case ("d", d: java.time.LocalDate) => BigDecimal(d.toEpochDay)
+    case ("d", s: String) => BigDecimal(java.time.LocalDate.parse(s).toEpochDay)
+    case (_, x) => BigDecimal(x.toString)
+  }
+
+  private def leq(t: String, a: Any, b: Any): Boolean = (a, b) match {
+    case (x: String, y: String) if t == "s" => x <= y
+    case (x: BigDecimal, y: BigDecimal) => x <= y
+    case _ => true // type confusion -> conservative: don't prune
+  }
+
+  private def statKey(t: String, s: String): Any =
+    if (t == "s") s else scala.util.Try(BigDecimal(s)).getOrElse(s)
+
+  /** The data segments a `lo <= colName <= hi` read must open: every
+    * segment whose stats intersect the range, plus every segment
+    * without usable stats (conservative). A stats-bearing segment
+    * whose column is entirely NULL is pruned — a range predicate
+    * matches no NULLs. Open bounds via None. */
+  def prunedDataSegments(spark: SparkSession, root: String, colName: String,
+      lo: Option[Any], hi: Option[Any]): Seq[String] =
+    dataSegments(spark, root).filter { seg =>
+      segmentStats(spark, root, seg).flatMap(_.cols.get(colName)) match {
+        case None => true
+        case Some(ColStat(_, None, None)) => false
+        case Some(ColStat(t, mn, mx)) =>
+          val aboveLo = (lo, mx) match {
+            case (Some(l), Some(m)) => leq(t, boundKey(t, l), statKey(t, m))
+            case _ => true
+          }
+          val belowHi = (hi, mn) match {
+            case (Some(h), Some(m)) => leq(t, statKey(t, m), boundKey(t, h))
+            case _ => true
+          }
+          aboveLo && belowHi
+      }
+    }
+
+  /** Data-skipping range read: resolve the manifest, keep only
+    * segments whose zone map intersects `[lo, hi]`, and apply the
+    * residual predicate (zone maps are segment-granular — kept
+    * segments can still hold out-of-range rows). Equivalent to
+    * `read(...).filter(between)` by construction; the difference is
+    * IO — segments outside the range are never opened. */
+  def readRange(spark: SparkSession, root: String, colName: String,
+      lo: Option[Any], hi: Option[Any]): DataFrame = {
+    val keep = prunedDataSegments(spark, root, colName, lo, hi)
+    val base =
+      if (keep.nonEmpty) readSegs(spark, root, keep)
+      else read(spark, root).filter(lit(false)) // schema-only; empty plan
+    val c = col(colName)
+    val pred = (lo.map(c >= lit(_)) ++ hi.map(c <= lit(_)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    base.filter(pred)
   }
 }

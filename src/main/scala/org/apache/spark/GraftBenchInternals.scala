@@ -91,7 +91,8 @@ object GraftBenchInternals {
     Option(wh.listFiles).getOrElse(Array.empty[File])
       .filter(f => f.isDirectory && (f.getName.endsWith("__corpus") ||
         f.getName.endsWith("__corpus__bands") ||
-        f.getName.endsWith("__annivf")))
+        f.getName.endsWith("__annivf") ||
+        f.getName.endsWith("__log")))
       .foreach(deleteRecursively)
   }
 

@@ -3439,6 +3439,132 @@ class ExtSpec extends AnyFunSuite {
     graft.io.ManifestTable.destroy(spark, root)
   }
 
+  test("ManifestTable time travel: each version reads exactly its prefix; deletes respect the version fence") {
+    import spark.implicits._
+    import graft.io.ManifestTable
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_manifest_tt_spec").toString
+    ManifestTable.destroy(spark, root)
+    ManifestTable.append(spark, root, (1L to 10L).toDF("v"))   // v1
+    ManifestTable.append(spark, root, (11L to 20L).toDF("v"))  // v2
+    ManifestTable.delete(spark, root, (1L to 5L).toDF("v"))    // v3
+    ManifestTable.append(spark, root, (21L to 30L).toDF("v"))  // v4
+    assert(ManifestTable.versions(spark, root) == Seq(1L, 2L, 3L, 4L))
+    def at(v: Long) = ManifestTable.readAt(spark, root, v)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    def mergedAt(v: Long) = ManifestTable.readMergedAt(spark, root, v)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(at(1) == (1L to 10L))
+    assert(at(2) == (1L to 20L))
+    // a delete committed AFTER the pinned version must be invisible…
+    assert(mergedAt(2) == (1L to 20L))
+    // …and visible at its own fence
+    assert(mergedAt(3) == (6L to 20L))
+    assert(ManifestTable.readMerged(spark, root)
+      .collect().map(_.getLong(0)).sorted.toSeq == (6L to 30L))
+    intercept[IllegalArgumentException] { ManifestTable.segmentsAt(spark, root, 9L) }
+    ManifestTable.destroy(spark, root)
+  }
+
+  test("ManifestTable zone maps: range reads open only intersecting segments, stay conservative without stats, prune all-null segments") {
+    import spark.implicits._
+    import graft.io.ManifestTable
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_manifest_zm_spec").toString
+    ManifestTable.destroy(spark, root)
+    ManifestTable.append(spark, root, (1L to 10L).toDF("v"), statsCols = Seq("v"))
+    ManifestTable.append(spark, root, (11L to 20L).toDF("v"), statsCols = Seq("v"))
+    ManifestTable.append(spark, root, (21L to 30L).toDF("v"), statsCols = Seq("v"))
+    // no sidecar -> can never be skipped (conservative fallback)
+    ManifestTable.append(spark, root, (31L to 40L).toDF("v"))
+    // all-NULL stats column -> no non-null value can match a range
+    ManifestTable.append(spark, root,
+      Seq[Option[Long]](None, None, None).toDF("v"),
+      statsCols = Seq("v"))
+    val segs = ManifestTable.dataSegments(spark, root)
+    assert(segs.size == 5)
+    val kept = ManifestTable.prunedDataSegments(spark, root, "v",
+      Some(12L), Some(15L))
+    // exactly [11..20] plus the stats-less segment survive pruning
+    assert(kept.size == 2, s"kept: $kept")
+    assert(kept.contains(segs(1)) && kept.contains(segs(3)))
+    val got = ManifestTable.readRange(spark, root, "v", Some(12L), Some(15L))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (12L to 15L), "skipping must be result-invisible")
+    // open upper bound: only the stats-less segment (which actually
+    // holds 31..40) survives — every stats-bearing segment tops out
+    // below 35 and the all-null one can't match any range
+    val kept2 = ManifestTable.prunedDataSegments(spark, root, "v", Some(35L), None)
+    assert(kept2 == Seq(segs(3)), s"kept2: $kept2")
+    // stats survive in-segment (data readers ignore the _ sidecar)
+    assert(ManifestTable.read(spark, root).count() == 43)
+    val st = ManifestTable.segmentStats(spark, root, segs(1)).get
+    assert(st.rows == 10 && st.cols("v").min.contains("11") &&
+      st.cols("v").max.contains("20"))
+    ManifestTable.destroy(spark, root)
+  }
+
+  test("manifest_skipping opens exactly one of six segments for the 5-day window") {
+    SparkEntry.queries("manifest_skipping")(spark, TestSession.sf).collect()
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_manifest_skip__log").toString
+    assert(graft.io.ManifestTable.dataSegments(spark, root).size == 6)
+    val kept = graft.io.ManifestTable.prunedDataSegments(spark, root, "ts",
+      Some(java.sql.Timestamp.valueOf("2024-01-11 00:00:00")),
+      Some(java.sql.Timestamp.valueOf("2024-01-15 23:59:59.999999")))
+    assert(kept.size == 1,
+      s"the 5-day window must map to exactly its own segment, got $kept")
+    graft.io.ManifestTable.destroy(spark, root)
+  }
+
+  test("manifest schema evolution: pre-evolution segments read NULL in later-added columns") {
+    import spark.implicits._
+    import graft.io.ManifestTable
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_manifest_evo_spec").toString
+    ManifestTable.destroy(spark, root)
+    ManifestTable.append(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    ManifestTable.append(spark, root,
+      Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("k", "s", "extra"))
+    val out = ManifestTable.read(spark, root).orderBy("k").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out.take(2).forall(_.isNullAt(2)), "old rows surface NULL in new columns")
+    assert(out.drop(2).map(_.getLong(2)).toSeq == Seq(30L, 40L))
+    ManifestTable.destroy(spark, root)
+  }
+
+  test("AggView: incremental partials + mid-stream compact are indistinguishable from recomputation, and read IO is O(groups)") {
+    import graft.io.{AggView, ManifestTable}
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_aggview_spec").toString
+    ManifestTable.destroy(spark, root)
+    val ev = spark.read.parquet(s"${TestSession.sf}/events.parquet")
+      .withColumn("value_dec", col("value").cast("decimal(18,6)"))
+    val spec = AggView.spec("event_type").count("cnt")
+      .sum("value_dec", "s").min("value", "mn").max("value", "mx")
+    AggView.ingest(spark, root, ev.filter(pmod(col("event_id"), lit(3)) === 0), spec)
+    AggView.ingest(spark, root, ev.filter(pmod(col("event_id"), lit(3)) === 1), spec)
+    AggView.compact(spark, root, spec)
+    AggView.ingest(spark, root, ev.filter(pmod(col("event_id"), lit(3)) === 2), spec)
+    // stored form after compact+1 ingest: exactly two partial segments,
+    // each O(groups) rows — the view never re-reads the base table
+    assert(ManifestTable.dataSegments(spark, root).size == 2)
+    val nGroups = ev.select("event_type").distinct().count()
+    assert(ManifestTable.read(spark, root).count() <= 2 * nGroups)
+    val got = AggView.read(spark, root, spec)
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString,
+        r.getDouble(3), r.getDouble(4))).toSeq
+    val want = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum("value_dec").as("s"),
+        min("value").as("mn"), max("value").as("mx"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString,
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == want)
+    ManifestTable.destroy(spark, root)
+  }
+
   test("near-dup ingest shuffle is O(batch): bytes stay flat as the corpus grows") {
     // The round-11 read-side finding: the per-ingest corpus check used
     // to shuffle the WHOLE corpus's hashed-shingle arrays (and re-band
