@@ -2169,6 +2169,20 @@ trait SparkEntryOracle extends SparkEntryTail {
         |       round(min(value), 4) AS min_value,
         |       round(max(value), 4) AS max_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "manifest_changefeed" ->
+      """SELECT * FROM (
+        |  SELECT 'insert' AS change_type, event_type AS etype, count(*) AS cnt,
+        |         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |  FROM events WHERE event_id % 4 = 2 GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'delete', '_del', count(*), CAST(NULL AS DOUBLE)
+        |  FROM events WHERE event_id % 8 = 1
+        |) ORDER BY change_type, etype""".stripMargin,
+    "manifest_optimize" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value,
+        |       (SELECT count(*) FROM events) AS total_rows
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "simsearch_pq_adc" -> simsearchPqAdcSql,
     "simsearch_ivfpq" -> simsearchIvfPqSql,
     "ts_decompose" -> tsDecomposeSql,

@@ -2103,4 +2103,70 @@ trait SparkEntryTail extends SparkEntryMid {
         round(col("max_value"), 4).as("max_value"))
       .orderBy("event_type")
   }
+
+  /** Change-data-feed consumption off the manifest log: events land in
+    * two append commits (v1, v2), a consumer pins v2, then a DELETE
+    * tombstone (v3) and a third append (v4) commit behind it; the
+    * consumer reads EXACTLY the window (v2, v4] — batch-3 rows as
+    * inserts, the tombstone keys as deletes — with IO O(changed
+    * segments), never the table. This is how downstream pipelines at
+    * 100 TB stay incremental: remember a version number, poll the
+    * delta. Oracle: inserts recomputed from the third batch's
+    * predicate, deletes from the tombstone predicate — the feed must
+    * contain exactly what was committed in the window, nothing from
+    * before the pin. */
+  private[graft] def manifestChangefeed(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.ManifestTable
+    val root = manifestRoot(s, "graft_manifest_cf__log")
+    ManifestTable.destroy(s, root)
+    val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+    (0 to 1).foreach { k =>
+      ManifestTable.append(s, root, ev.filter(pmod(col("event_id"), lit(4)) === k))
+    }
+    val pinned = ManifestTable.versions(s, root).max // = 2
+    ManifestTable.delete(s, root,
+      ev.filter(pmod(col("event_id"), lit(8)) === 1).select("event_id"))
+    ManifestTable.append(s, root, ev.filter(pmod(col("event_id"), lit(4)) === 2))
+    val head = ManifestTable.versions(s, root).max // = 4
+    ManifestTable.readChanges(s, root, pinned, head)
+      .groupBy(col("_change_type").as("change_type"),
+        coalesce(col("event_type"), lit("_del")).as("etype"))
+      .agg(count(lit(1)).as("cnt"), decSum.as("sum_value"))
+      .orderBy("change_type", "etype")
+  }
+
+  /** Bin-packing small-segment compaction ([[graft.io.ManifestTable
+    * .optimize]]): one big append (2/3 of events) plus four small ones
+    * (1/12 each, all zone-mapped) accrete five segments; optimize at a
+    * threshold between the sizes folds ONLY the four small segments —
+    * the big one stays byte-identical (spec-pinned) — and regenerates
+    * the packed segment's sidecar, so [[graft.io.ManifestTable
+    * .fastRowCount]] still answers count(*) from metadata alone (it is
+    * surfaced as the total_rows column and oracled against DuckDB's
+    * real count). The maintenance action a streaming log runs nightly:
+    * small-file debt is paid in O(small bytes), never the table.
+    * Oracle: the rollup plus count(*) over all events — packing must
+    * be result-invisible. */
+  private[graft] def manifestOptimize(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.ManifestTable
+    val root = manifestRoot(s, "graft_manifest_opt__log")
+    ManifestTable.destroy(s, root)
+    val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+    ManifestTable.append(s, root,
+      ev.filter(pmod(col("event_id"), lit(3)) < 2), statsCols = Seq("event_id"))
+    Seq(2, 5, 8, 11).foreach { k =>
+      ManifestTable.append(s, root,
+        ev.filter(pmod(col("event_id"), lit(12)) === k), statsCols = Seq("event_id"))
+    }
+    val sizes = ManifestTable.segmentSizes(s, root).map(_._2)
+    val folded = ManifestTable.optimize(s, root, smallBytes = sizes.max)
+    require(folded == 4, s"expected the 4 sub-threshold segments to fold, got $folded")
+    val total = ManifestTable.fastRowCount(s, root).getOrElse(
+      sys.error("fastRowCount must stay available: packing regenerates sidecars"))
+    ManifestTable.read(s, root)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), decSum.as("sum_value"))
+      .withColumn("total_rows", lit(total))
+      .orderBy("event_type")
+  }
 }

@@ -340,6 +340,127 @@ object ManifestTable {
   }
 
   // ------------------------------------------------------------------
+  // Change feed: incremental consumption between manifest versions.
+  //
+  // Because appends/deletes only ever ADD segment names to the
+  // manifest, the delta between two versions IS the set of segments
+  // committed in the window — a consumer that remembers the last
+  // version it processed reads O(new data) per poll, never the table.
+  // A rewrite ([[replace]]/[[compact]]/[[optimize]]) breaks the
+  // append-only property, so a feed spanning one fails loudly (the
+  // consumer full-refreshes and re-pins), the same contract every
+  // lakehouse change-data-feed ships with.
+  // ------------------------------------------------------------------
+
+  /** Segment names committed after version `fromV`, up to and
+    * including `toV` (`fromV = 0` = since table creation). Throws if
+    * a rewrite dropped any of `fromV`'s segments inside the window. */
+  def changedSegments(spark: SparkSession, root: String,
+      fromV: Long, toV: Long): Seq[String] = {
+    require(fromV <= toV, s"change window [$fromV, $toV] is inverted")
+    val toSegs = segmentsAt(spark, root, toV)
+    val fromSegs =
+      if (fromV == 0L) Seq.empty else segmentsAt(spark, root, fromV)
+    val toSet = toSegs.toSet
+    val dropped = fromSegs.filterNot(toSet)
+    require(dropped.isEmpty,
+      s"segments of v$fromV were rewritten inside the change window " +
+        s"(compact/optimize at work: ${dropped.mkString(", ")}); " +
+        "change feed invalid — full refresh and re-pin required")
+    val fromSet = fromSegs.toSet
+    toSegs.filterNot(fromSet)
+  }
+
+  /** Change-data-feed read for the window `(fromV, toV]`: every row
+    * appended in the window with `_change_type = 'insert'`, plus every
+    * tombstone key committed in the window as `_change_type =
+    * 'delete'` (tombstones carry only their key columns — other
+    * columns surface NULL, same additive-union contract as schema
+    * evolution). IO is O(changed segments) by construction. */
+  def readChanges(spark: SparkSession, root: String,
+      fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val chg = changedSegments(spark, root, fromV, toV)
+    require(chg.nonEmpty, s"no segments committed in ($fromV, $toV] under $root")
+    val ins = chg.filterNot(_.startsWith(DelPrefix))
+    val del = chg.filter(_.startsWith(DelPrefix))
+    val insDf =
+      if (ins.isEmpty) None
+      else Some(readSegs(spark, root, ins).withColumn("_change_type", lit("insert")))
+    val delDf =
+      if (del.isEmpty) None
+      else Some(del.map(s => spark.read.parquet(s"$root/$s"))
+        .reduce(_ unionByName _).distinct()
+        .withColumn("_change_type", lit("delete")))
+    (insDf, delDf) match {
+      case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case _ => throw new IllegalStateException("unreachable: chg nonEmpty")
+    }
+  }
+
+  /** Committed data segments with their on-disk byte sizes (driver-
+    * side FS metadata listing — no data read). The planning input for
+    * [[optimize]]'s small-file threshold. */
+  def segmentSizes(spark: SparkSession, root: String): Seq[(String, Long)] = {
+    val (f, p) = fs(spark, root)
+    dataSegments(spark, root)
+      .map(s => s -> f.getContentSummary(new Path(p, s)).getLength)
+  }
+
+  /** Bin-packing small-file compaction: fold ONLY the data segments
+    * smaller than `smallBytes` into one packed segment, leaving every
+    * larger segment (and all tombstones) untouched — byte-identical,
+    * spec-pinned. This is the maintenance action a 100 TB log actually
+    * runs: streaming ingest accretes thousands of small segments whose
+    * per-open cost taxes readers, but rewriting the big ones (the bulk
+    * of the bytes) to fix that would be [[compact]]'s full-table
+    * price. IO here is O(small segments only). Tombstones are NOT
+    * applied (the packed rows keep anti-joining against them, exactly
+    * as before — [[compact]] remains the action that retires deletes).
+    * Zone-map sidecars are regenerated for the packed segment over the
+    * union of stat columns its inputs carried, so data skipping
+    * survives packing. Returns the number of segments folded (0 =
+    * fewer than two small segments, nothing rewritten, no new manifest
+    * version). */
+  def optimize(spark: SparkSession, root: String, smallBytes: Long,
+      partitionBy: Seq[String] = Nil): Int = {
+    val (f, p) = fs(spark, root)
+    val v = currentVersion(f, p).getOrElse(
+      throw new IllegalStateException(s"optimize of uncommitted table $root"))
+    val all = readManifest(f, p, v)
+    val small = all.filterNot(_.startsWith(DelPrefix))
+      .filter(s => f.getContentSummary(new Path(p, s)).getLength < smallBytes)
+    if (small.size < 2) return 0
+    val statCols = small
+      .flatMap(s => segmentStats(spark, root, s).toSeq.flatMap(_.cols.keys))
+      .distinct
+    val seg = s"seg-${v + 1}-opt-${java.util.UUID.randomUUID().toString.take(8)}"
+    writeSeg(readSegs(spark, root, small), s"$root/$seg", partitionBy)
+    if (statCols.nonEmpty) writeStats(spark, f, s"$root/$seg", statCols)
+    val smallSet = small.toSet
+    commit(f, p, v + 1, all.filterNot(smallSet) :+ seg)
+    gc(f, p)
+    small.size
+  }
+
+  /** Exact row count from zone-map sidecars alone — zero data IO, a
+    * driver-side metadata sum. Available (Some) only when every data
+    * segment carries a sidecar and no tombstones are outstanding
+    * (tombstone matches can't be counted without reading); callers
+    * fall back to `read(root).count()` on None. The metadata-only
+    * count a 100 TB log answers in milliseconds. */
+  def fastRowCount(spark: SparkSession, root: String): Option[Long] = {
+    if (deleteSegments(spark, root).nonEmpty) None
+    else {
+      val st = dataSegments(spark, root).map(s => segmentStats(spark, root, s))
+      if (st.isEmpty || st.exists(_.isEmpty)) None
+      else Some(st.flatten.map(_.rows).sum)
+    }
+  }
+
+  // ------------------------------------------------------------------
   // Segment statistics (zone maps) + data-skipping reads.
   //
   // Each stats-enabled segment carries a `_stats.graft.json` sidecar:
