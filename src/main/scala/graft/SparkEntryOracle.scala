@@ -2183,6 +2183,13 @@ trait SparkEntryOracle extends SparkEntryTail {
         |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value,
         |       (SELECT count(*) FROM events) AS total_rows
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "manifest_cluster" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-15 23:59:59.999999'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "simsearch_pq_adc" -> simsearchPqAdcSql,
     "simsearch_ivfpq" -> simsearchIvfPqSql,
     "ts_decompose" -> tsDecomposeSql,

@@ -2169,4 +2169,35 @@ trait SparkEntryTail extends SparkEntryMid {
       .withColumn("total_rows", lit(total))
       .orderBy("event_type")
   }
+
+  /** Sort-based re-clustering ([[graft.io.ManifestTable.cluster]]):
+    * events arrive in three id-interleaved commits, so EVERY segment
+    * spans the whole month and the ts zone maps prune nothing — the
+    * layout streaming ingest always degrades to; cluster(ts, 6)
+    * rewrites the log as six range-disjoint zone-mapped segments (one
+    * ranged shuffle + one write pass), after which the same Jan-11..15
+    * read opens a small minority of segments (spec-pinned ≤ 3 of 6 vs
+    * all 3 before; ≤ 2 of 6 in the exact-boundary integer spec — the
+    * ts boundaries here come from range sampling, so the window can
+    * straddle one). The read-locality half of the maintenance pair —
+    * optimize() pays write debt, cluster() pays read debt. Oracle: the
+    * window aggregate over raw events — re-clustering must be
+    * result-invisible. */
+  private[graft] def manifestCluster(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.ManifestTable
+    val root = manifestRoot(s, "graft_manifest_clu__log")
+    ManifestTable.destroy(s, root)
+    val ev = t(s, dir, "events").select("event_id", "ts", "event_type", "value")
+    (0 to 2).foreach { k =>
+      ManifestTable.append(s, root, ev.filter(pmod(col("event_id"), lit(3)) === k),
+        statsCols = Seq("ts"))
+    }
+    ManifestTable.cluster(s, root, "ts", 6)
+    ManifestTable.readRange(s, root, "ts",
+        Some(java.sql.Timestamp.valueOf("2024-01-11 00:00:00")),
+        Some(java.sql.Timestamp.valueOf("2024-01-15 23:59:59.999999")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), decSum.as("sum_value"))
+      .orderBy("event_type")
+  }
 }

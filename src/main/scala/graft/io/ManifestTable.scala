@@ -445,6 +445,51 @@ object ManifestTable {
     small.size
   }
 
+  /** Sort-based RE-CLUSTERING: rewrite the table as `nSegments`
+    * range-disjoint segments ordered by `byCol`, each with a
+    * regenerated zone-map sidecar. Streaming ingest commits segments
+    * in ARRIVAL order, so every segment spans the whole key range and
+    * zone maps prune nothing; clustering restores the sorted layout
+    * that makes [[readRange]] open O(range) segments — the standard
+    * lakehouse maintenance pair (bin-pack for write debt, cluster for
+    * read locality). One shuffle (range repartition by `byCol`, skew
+    * handled by Spark's range sampling) + one write pass; tombstones
+    * are applied physically (this is a full rewrite, [[compact]]'s
+    * sibling — run it at the cadence a 100 TB deployment can afford,
+    * per partition of the log in practice). `statsCols` defaults to
+    * `byCol` alone. */
+  def cluster(spark: SparkSession, root: String, byCol: String,
+      nSegments: Int, statsCols: Seq[String] = Nil): Unit = {
+    require(nSegments >= 1, s"nSegments must be >= 1, got $nSegments")
+    val (f, p) = fs(spark, root)
+    val v = currentVersion(f, p).getOrElse(
+      throw new IllegalStateException(s"cluster of uncommitted table $root"))
+    val snap = readMerged(spark, root).localCheckpoint()
+    try {
+      // One ranged shuffle, one write: partition dirs _seg=K of a tmp
+      // hive write become the new segment dirs by driver-side rename
+      // (the alternative — one filtered write per segment — would
+      // re-scan the table nSegments times).
+      val tmp = s".cluster-tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+      snap.repartitionByRange(nSegments, col(byCol))
+        .withColumn("_seg", org.apache.spark.sql.functions.spark_partition_id())
+        .write.partitionBy("_seg").parquet(s"$root/$tmp")
+      val subdirs = f.listStatus(new Path(p, tmp))
+        .filter(_.isDirectory).map(_.getPath)
+        .sortBy(d => d.getName.stripPrefix("_seg=").toInt)
+      val stats = if (statsCols.nonEmpty) statsCols else Seq(byCol)
+      val segs = subdirs.zipWithIndex.map { case (d, i) =>
+        val seg = s"seg-${v + 1}-clu$i-${java.util.UUID.randomUUID().toString.take(8)}"
+        require(f.rename(d, new Path(p, seg)),
+          s"failed to place clustered segment $seg")
+        writeStats(spark, f, s"$root/$seg", stats)
+        seg
+      }.toSeq
+      commit(f, p, v + 1, segs)
+      gc(f, p) // retires the old segments, tombstones, and the tmp shell
+    } finally graft.core.Lineage.release(snap)
+  }
+
   /** Exact row count from zone-map sidecars alone — zero data IO, a
     * driver-side metadata sum. Available (Some) only when every data
     * segment carries a sidecar and no tombstones are outstanding

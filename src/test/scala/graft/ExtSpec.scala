@@ -3517,6 +3517,20 @@ class ExtSpec extends AnyFunSuite {
     graft.io.ManifestTable.destroy(spark, root)
   }
 
+  test("manifest_cluster restores read locality: the 5-day window opens a minority of the six range segments") {
+    SparkEntry.queries("manifest_cluster")(spark, TestSession.sf).collect()
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_manifest_clu__log").toString
+    val segs = graft.io.ManifestTable.dataSegments(spark, root)
+    assert(segs.size == 6)
+    val kept = graft.io.ManifestTable.prunedDataSegments(spark, root, "ts",
+      Some(java.sql.Timestamp.valueOf("2024-01-11 00:00:00")),
+      Some(java.sql.Timestamp.valueOf("2024-01-15 23:59:59.999999")))
+    assert(kept.size <= 3,
+      s"a ~5.2-day range segment layout must keep the 5-day window to <=3 opens, got $kept")
+    graft.io.ManifestTable.destroy(spark, root)
+  }
+
   test("manifest schema evolution: pre-evolution segments read NULL in later-added columns") {
     import spark.implicits._
     import graft.io.ManifestTable
@@ -3648,6 +3662,48 @@ class ExtSpec extends AnyFunSuite {
     val vBefore = ManifestTable.versions(spark, root).max
     assert(ManifestTable.optimize(spark, root, 1L) == 0)
     assert(ManifestTable.versions(spark, root).max == vBefore)
+    ManifestTable.destroy(spark, root)
+  }
+
+  test("ManifestTable cluster: arrival-order segments become range-disjoint; zone maps go from prune-nothing to prune-most") {
+    import spark.implicits._
+    import graft.io.ManifestTable
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_manifest_clu_spec").toString
+    ManifestTable.destroy(spark, root)
+    // interleaved arrival: every append spans the FULL key range, so
+    // pre-cluster zone maps cannot prune anything
+    (1L to 3L).foreach { r =>
+      ManifestTable.append(spark, root, (r to 600L by 3).toDF("v"),
+        statsCols = Seq("v"))
+    }
+    assert(ManifestTable.prunedDataSegments(spark, root, "v",
+      Some(250L), Some(260L)).size == 3, "arrival order: nothing prunes")
+    ManifestTable.delete(spark, root, Seq(255L).toDF("v"))
+    ManifestTable.cluster(spark, root, "v", 6)
+    val segs = ManifestTable.dataSegments(spark, root)
+    assert(segs.size == 6)
+    assert(ManifestTable.deleteSegments(spark, root).isEmpty,
+      "a full rewrite retires tombstones")
+    // commit order == range order, ranges pairwise disjoint
+    val ranges = segs.map { s =>
+      val cs = ManifestTable.segmentStats(spark, root, s).get.cols("v")
+      (BigDecimal(cs.min.get), BigDecimal(cs.max.get))
+    }
+    assert(ranges == ranges.sortBy(_._1))
+    assert(ranges.sliding(2).forall {
+      case Seq(a, b) => a._2 < b._1
+      case _ => true
+    }, s"ranges overlap: $ranges")
+    // the same window read now opens a small minority of segments
+    val kept = ManifestTable.prunedDataSegments(spark, root, "v",
+      Some(250L), Some(260L))
+    assert(kept.nonEmpty && kept.size <= 2, s"kept: $kept")
+    assert(ManifestTable.readRange(spark, root, "v", Some(250L), Some(260L))
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      (250L to 260L).filterNot(_ == 255L))
+    assert(ManifestTable.read(spark, root).count() == 599)
+    assert(ManifestTable.fastRowCount(spark, root).contains(599L))
     ManifestTable.destroy(spark, root)
   }
 
