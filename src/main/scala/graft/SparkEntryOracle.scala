@@ -2190,6 +2190,10 @@ trait SparkEntryOracle extends SparkEntryTail {
         |WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'
         |  AND ts <= TIMESTAMP '2024-01-15 23:59:59.999999'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "manifest_cf_view" ->
+      """SELECT CAST(user_id AS BIGINT) % 100 AS user_bucket, count(*) AS cnt,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "simsearch_pq_adc" -> simsearchPqAdcSql,
     "simsearch_ivfpq" -> simsearchIvfPqSql,
     "ts_decompose" -> tsDecomposeSql,

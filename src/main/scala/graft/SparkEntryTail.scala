@@ -2200,4 +2200,39 @@ trait SparkEntryTail extends SparkEntryMid {
       .agg(count(lit(1)).as("cnt"), decSum.as("sum_value"))
       .orderBy("event_type")
   }
+
+  /** Change-feed-DRIVEN view maintenance ([[graft.io.AggView
+    * .syncFromLog]]): the base log takes three append commits; the
+    * view syncs after the first and again after the last two, each
+    * sync reading ONLY the base segments behind its cursor (the
+    * cursor rides in the view's own segment tags, committed atomically
+    * with the partial — no separate checkpoint to desync from). A
+    * third sync is a no-op (cursor == head). This is the scheduled
+    * rollup-maintenance loop at 100 TB: each cycle costs O(new data),
+    * never the base. Oracle: the straight per-bucket rollup over all
+    * events — cursor-driven increments must be indistinguishable from
+    * recomputation. */
+  private[graft] def manifestCfView(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{AggView, ManifestTable}
+    val base = manifestRoot(s, "graft_cfview_base__log")
+    val view = manifestRoot(s, "graft_cfview_view__log")
+    ManifestTable.destroy(s, base)
+    ManifestTable.destroy(s, view)
+    val ev = t(s, dir, "events").select(
+      pmod(col("user_id").cast("long"), lit(100L)).as("user_bucket"),
+      col("event_id"),
+      col("value").cast("decimal(18,6)").as("value_dec"))
+    val spec = AggView.spec("user_bucket").count("cnt").sum("value_dec", "sum_dec")
+    ManifestTable.append(s, base, ev.filter(pmod(col("event_id"), lit(3)) === 0))
+    AggView.syncFromLog(s, view, base, spec)
+    ManifestTable.append(s, base, ev.filter(pmod(col("event_id"), lit(3)) === 1))
+    ManifestTable.append(s, base, ev.filter(pmod(col("event_id"), lit(3)) === 2))
+    AggView.syncFromLog(s, view, base, spec)
+    require(AggView.syncFromLog(s, view, base, spec) == 3L,
+      "third sync must be a cursor no-op at base head 3")
+    AggView.read(s, view, spec)
+      .select(col("user_bucket"), col("cnt"),
+        round(col("sum_dec").cast("double"), 4).as("sum_value"))
+      .orderBy("user_bucket")
+  }
 }

@@ -85,10 +85,77 @@ object AggView {
 
   /** Fold all partial segments into one merged segment (the stored
     * form IS a valid partial — see the representation invariant), so
-    * per-read merge cost resets to a single-segment scan. */
+    * per-read merge cost resets to a single-segment scan. A change-
+    * feed cursor riding in the segment tags (see [[syncFromLog]])
+    * survives the fold. */
   def compact(spark: SparkSession, root: String, spec: Spec): Unit = {
+    val cur = cursorOf(spark, root)
     val snap = read(spark, root, spec).localCheckpoint()
-    try ManifestTable.replace(spark, root, snap)
+    try ManifestTable.replace(spark, root, snap,
+      tag = if (cur > 0) Some(s"b$cur") else None)
     finally graft.core.Lineage.release(snap)
+  }
+
+  // ------------------------------------------------------------------
+  // Change-feed-driven maintenance: the view tracks its base
+  // ManifestTable by version number. The cursor (highest base version
+  // the view reflects) rides in the view's OWN segment tags
+  // (`…-b<version>-…`), so it is committed atomically with the partial
+  // it describes — a crash between ingest and "cursor update" cannot
+  // exist, and a replayed sync sees cursor == head and no-ops. This is
+  // the incremental-view-maintenance loop a 100 TB deployment runs on
+  // a schedule: each sync costs O(new base segments), never the base.
+  // ------------------------------------------------------------------
+
+  private val CursorRe = "-b(\\d+)-".r
+
+  /** Highest base version this view reflects (0 = never synced). */
+  def cursorOf(spark: SparkSession, root: String): Long =
+    if (!ManifestTable.exists(spark, root)) 0L
+    else ManifestTable.segments(spark, root)
+      .flatMap(n => CursorRe.findAllMatchIn(n).map(_.group(1).toLong))
+      .maxOption.getOrElse(0L)
+
+  /** Pull the view up to date with `baseRoot` through the change
+    * feed: read ONLY the base segments committed after the cursor,
+    * fold them in as one partial, and advance the cursor — all in one
+    * atomic manifest commit on the view. Insert-only by construction:
+    * a tombstone in the window throws (tombstones carry keys, not the
+    * pre-image values count/sum retraction would need) — rebuild with
+    * [[rebuild]] instead, same as after a base compact/optimize/
+    * cluster breaks the feed. Returns the new cursor. */
+  def syncFromLog(spark: SparkSession, viewRoot: String, baseRoot: String,
+      spec0: Spec): Long = {
+    val spec = spec0.checked
+    val vs = ManifestTable.versions(spark, baseRoot)
+    if (vs.isEmpty) return cursorOf(spark, viewRoot)
+    val head = vs.max
+    val cursor = cursorOf(spark, viewRoot)
+    if (cursor >= head) return cursor
+    val chg = ManifestTable.readChanges(spark, baseRoot, cursor, head)
+    require(ManifestTable.changedSegments(spark, baseRoot, cursor, head)
+        .forall(!_.startsWith("del-")),
+      s"base $baseRoot committed deletes in ($cursor, $head]: tombstones " +
+        "carry keys only, so count/sum cannot retract — rebuild() the view")
+    ingest(spark, viewRoot, chg.drop("_change_type"), spec,
+      tag = Some(s"b$head"))
+    head
+  }
+
+  /** Full refresh: recompute the view from the base's CURRENT state
+    * (tombstones applied) and re-pin the cursor at the base head. The
+    * recovery path after a base rewrite or an expired feed window —
+    * O(base) once, instead of silently wrong increments. */
+  def rebuild(spark: SparkSession, viewRoot: String, baseRoot: String,
+      spec0: Spec): Long = {
+    val spec = spec0.checked
+    val head = ManifestTable.versions(spark, baseRoot).max
+    val snap = ManifestTable.readMerged(spark, baseRoot)
+      .groupBy(spec.groupCols.map(col): _*)
+      .agg(spec.aggs.head.partial, spec.aggs.tail.map(_.partial): _*)
+      .localCheckpoint()
+    try ManifestTable.replace(spark, viewRoot, snap, tag = Some(s"b$head"))
+    finally graft.core.Lineage.release(snap)
+    head
   }
 }

@@ -287,12 +287,15 @@ object ManifestTable {
   /** Replace the whole table with `df` (first write, or an explicit
     * compaction rewrite) and garbage-collect every dir the new
     * manifest no longer names — committed predecessors and crash
-    * orphans alike. */
+    * orphans alike. `tag` folds into the segment name exactly as in
+    * [[append]] (callers that ride state in tags — e.g. [[AggView]]'s
+    * change-feed cursor — keep it across the rewrite). */
   def replace(spark: SparkSession, root: String, df: DataFrame,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil, tag: Option[String] = None): Unit = {
     val (f, p) = fs(spark, root)
     val v = currentVersion(f, p).getOrElse(0L)
-    val seg = s"seg-${v + 1}-${java.util.UUID.randomUUID().toString.take(8)}"
+    val t = tag.map(_ + "-").getOrElse("")
+    val seg = s"seg-${v + 1}-$t${java.util.UUID.randomUUID().toString.take(8)}"
     writeSeg(df, s"$root/$seg", partitionBy)
     commit(f, p, v + 1, Seq(seg))
     gc(f, p)
@@ -330,6 +333,25 @@ object ManifestTable {
       if (!live.contains(n) && !n.startsWith(ManifestPrefix))
         f.delete(st.getPath, true)
     }
+  }
+
+  /** Bound LOG metadata growth: delete every manifest file older than
+    * the newest `keepLast` versions. This is the retention horizon for
+    * [[readAt]] time travel and [[readChanges]] consumers — a consumer
+    * whose pinned version expires gets a loud missing-manifest error
+    * and full-refreshes, never a silently different answer. Segment
+    * DATA is untouched (liveness is governed by the CURRENT manifest;
+    * segments superseded by rewrites were already GC'd at rewrite
+    * time), so this is purely the log-side VACUUM: a few hundred bytes
+    * per expired version, run at whatever cadence bounds the listing.
+    * Returns the expired versions. */
+  def expireVersions(spark: SparkSession, root: String,
+      keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val (f, p) = fs(spark, root)
+    val drop = versions(spark, root).dropRight(keepLast)
+    drop.foreach(v => f.delete(new Path(p, ManifestPrefix + v), false))
+    drop
   }
 
   /** Remove the table entirely. */

@@ -3665,6 +3665,71 @@ class ExtSpec extends AnyFunSuite {
     ManifestTable.destroy(spark, root)
   }
 
+  test("ManifestTable expireVersions: log retention bounds time travel loudly, current reads unaffected") {
+    import spark.implicits._
+    import graft.io.ManifestTable
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_manifest_exp_spec").toString
+    ManifestTable.destroy(spark, root)
+    (1 to 4).foreach { k =>
+      ManifestTable.append(spark, root, Seq(k.toLong).toDF("v"))
+    }
+    assert(ManifestTable.expireVersions(spark, root, keepLast = 2) == Seq(1L, 2L))
+    assert(ManifestTable.versions(spark, root) == Seq(3L, 4L))
+    // current read: all four segments still live (data untouched)
+    assert(ManifestTable.read(spark, root).count() == 4)
+    // inside the horizon: fine; past it: loud
+    assert(ManifestTable.readAt(spark, root, 3L).count() == 3)
+    intercept[IllegalArgumentException] { ManifestTable.readAt(spark, root, 2L) }
+    assert(ManifestTable.readChanges(spark, root, 3L, 4L).count() == 1)
+    intercept[IllegalArgumentException] {
+      ManifestTable.readChanges(spark, root, 1L, 4L)
+    }
+    ManifestTable.destroy(spark, root)
+  }
+
+  test("AggView.syncFromLog: cursor rides in segment tags — incremental, idempotent, compact-surviving, delete-refusing") {
+    import spark.implicits._
+    import graft.io.{AggView, ManifestTable}
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val base = new org.apache.hadoop.fs.Path(wh, "graft_cfv_base_spec").toString
+    val view = new org.apache.hadoop.fs.Path(wh, "graft_cfv_view_spec").toString
+    ManifestTable.destroy(spark, base); ManifestTable.destroy(spark, view)
+    val spec = AggView.spec("k").count("cnt").sum("x", "sx")
+    def baseRows(rows: (String, Long)*) = rows.toSeq.toDF("k", "x")
+    ManifestTable.append(spark, base, baseRows("a" -> 1L, "b" -> 2L))
+    assert(AggView.syncFromLog(spark, view, base, spec) == 1L)
+    ManifestTable.append(spark, base, baseRows("a" -> 10L))
+    ManifestTable.append(spark, base, baseRows("b" -> 20L, "c" -> 3L))
+    assert(AggView.syncFromLog(spark, view, base, spec) == 3L)
+    // replayed sync: cursor == head, NO new view segment (name-scan no-op)
+    val segsBefore = ManifestTable.segments(spark, view)
+    assert(AggView.syncFromLog(spark, view, base, spec) == 3L)
+    assert(ManifestTable.segments(spark, view) == segsBefore)
+    def viewNow() = AggView.read(spark, view, spec).orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viewNow() == Seq(("a", 2L, 11L), ("b", 2L, 22L), ("c", 1L, 3L)))
+    // view compaction keeps the cursor: next sync is still incremental
+    AggView.compact(spark, view, spec)
+    assert(AggView.cursorOf(spark, view) == 3L)
+    ManifestTable.append(spark, base, baseRows("c" -> 30L))
+    assert(AggView.syncFromLog(spark, view, base, spec) == 4L)
+    assert(viewNow() == Seq(("a", 2L, 11L), ("b", 2L, 22L), ("c", 2L, 33L)))
+    // deletes cannot retract partials: sync refuses, rebuild recovers
+    ManifestTable.delete(spark, base, Seq("a").toDF("k"))
+    val e = intercept[IllegalArgumentException] {
+      AggView.syncFromLog(spark, view, base, spec)
+    }
+    assert(e.getMessage.contains("rebuild"))
+    assert(AggView.rebuild(spark, view, base, spec) == 5L)
+    assert(viewNow() == Seq(("b", 2L, 22L), ("c", 2L, 33L)))
+    // and the rebuilt cursor keeps syncing incrementally afterwards
+    ManifestTable.append(spark, base, baseRows("b" -> 100L))
+    assert(AggView.syncFromLog(spark, view, base, spec) == 6L)
+    assert(viewNow() == Seq(("b", 3L, 122L), ("c", 2L, 33L)))
+    ManifestTable.destroy(spark, base); ManifestTable.destroy(spark, view)
+  }
+
   test("ManifestTable cluster: arrival-order segments become range-disjoint; zone maps go from prune-nothing to prune-most") {
     import spark.implicits._
     import graft.io.ManifestTable
