@@ -80,6 +80,33 @@ object ManifestTable {
     }
   }
 
+  /** Conditional-PUT commit for object stores: S3-class stores
+    * (If-None-Match PUT), GCS (ifGenerationMatch 0) and strongly
+    * consistent FS APIs expose "create exactly this key, fail if it
+    * exists" — and an object becomes visible ATOMICALLY on PUT
+    * completion, so there is no torn-read window and no rename needed.
+    * Through Hadoop's API the same contract is `create(dst,
+    * overwrite=false)` (atomic create-exclusive; the loser of a race
+    * gets FileAlreadyExistsException → rethrown as the standard
+    * lost-race error, its segment orphaned exactly as under
+    * [[RenameCommit]]). On plain local/HDFS paths a reader could in
+    * principle observe the file mid-write (those FSs make FILES
+    * visible at create, not close) — which is why [[RenameCommit]]
+    * stays the default there and this strategy is for object-store
+    * semantics, where PUT visibility is all-or-nothing. */
+  object CreateExclusiveCommit extends CommitStrategy {
+    def publish(f: FileSystem, dir: Path, dst: Path, content: String): Unit = {
+      val out =
+        try f.create(dst, false)
+        catch { case _: java.io.IOException =>
+          throw new IllegalStateException(
+            s"manifest commit lost the race for $dst")
+        }
+      try out.write(content.getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
   /** Process-wide strategy hook; deployments on stores without atomic
     * rename swap this once at startup. */
   @volatile var commitStrategy: CommitStrategy = RenameCommit

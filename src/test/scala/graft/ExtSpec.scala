@@ -3665,6 +3665,48 @@ class ExtSpec extends AnyFunSuite {
     ManifestTable.destroy(spark, root)
   }
 
+  test("CreateExclusiveCommit: full table lifecycle under object-store PUT-if-absent semantics; same-version race has one winner") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    import graft.io.ManifestTable
+    val root = new Path(spark.conf.get("spark.sql.warehouse.dir"),
+      "graft_manifest_putcommit").toString
+    ManifestTable.destroy(spark, root)
+    ManifestTable.commitStrategy = ManifestTable.CreateExclusiveCommit
+    try {
+      // appends, deletes, time travel, stats and optimize all flow
+      // through publish() — the whole lifecycle must work unchanged
+      ManifestTable.append(spark, root, (1L to 10L).toDF("v"), statsCols = Seq("v"))
+      ManifestTable.append(spark, root, (11L to 20L).toDF("v"), statsCols = Seq("v"))
+      ManifestTable.delete(spark, root, Seq(4L).toDF("v"))
+      assert(ManifestTable.readMerged(spark, root).count() == 19)
+      assert(ManifestTable.readAt(spark, root, 1L).count() == 10)
+      assert(ManifestTable.prunedDataSegments(spark, root, "v",
+        Some(15L), Some(16L)).size == 1)
+      // same-version race, deterministically interleaved: OUR append
+      // reads v3, and at publish time the competitor's manifest for
+      // the SAME next version lands first — create-exclusive must make
+      // us the single loser, corpus intact
+      val competitor = ManifestTable.segments(spark, root).mkString("\n") + "\n"
+      ManifestTable.commitStrategy = new ManifestTable.CommitStrategy {
+        def publish(f: org.apache.hadoop.fs.FileSystem, dir: Path,
+            dst: Path, content: String): Unit = {
+          ManifestTable.CreateExclusiveCommit.publish(f, dir, dst, competitor)
+          ManifestTable.CreateExclusiveCommit.publish(f, dir, dst, content)
+        }
+      }
+      try intercept[IllegalStateException] {
+        ManifestTable.append(spark, root, (21L to 25L).toDF("v"))
+      } finally ManifestTable.commitStrategy = ManifestTable.CreateExclusiveCommit
+      assert(ManifestTable.readMerged(spark, root).count() == 19,
+        "race loser must not corrupt the committed corpus")
+      // retry proceeds at the next version
+      ManifestTable.append(spark, root, (21L to 25L).toDF("v"))
+      assert(ManifestTable.readMerged(spark, root).count() == 24)
+    } finally ManifestTable.commitStrategy = ManifestTable.RenameCommit
+    ManifestTable.destroy(spark, root)
+  }
+
   test("ManifestTable expireVersions: log retention bounds time travel loudly, current reads unaffected") {
     import spark.implicits._
     import graft.io.ManifestTable
