@@ -1344,6 +1344,23 @@ trait SparkEntryOracle extends SparkEntryTail {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |         AS cum_users
         |FROM d ORDER BY day""".stripMargin,
+    "pipeline_lakehouse" ->
+      """WITH kept AS (
+        |  SELECT * FROM events
+        |  WHERE NOT (event_id % 10 = 3 AND event_id % 4 < 3)
+        |)
+        |SELECT * FROM (
+        |  SELECT 'total' AS section, event_type, count(*) AS cnt,
+        |         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |  FROM kept GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'window', event_type, count(*),
+        |         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |  FROM kept
+        |  WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-15 23:59:59.999999'
+        |  GROUP BY event_type
+        |) ORDER BY section, event_type""".stripMargin,
     "dq_expectations" ->
       """WITH a AS (SELECT count(*) AS n,
         |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r1,

@@ -2235,4 +2235,62 @@ trait SparkEntryTail extends SparkEntryMid {
         round(col("sum_dec").cast("double"), 4).as("sum_value"))
       .orderBy("user_bucket")
   }
+
+  /** The composed lakehouse lifecycle, one oracle: four interleaved
+    * event appends with ts zone maps; a change-feed-maintained rollup
+    * view that syncs incrementally after each wave; a merge-on-read
+    * DELETE the sync correctly REFUSES (tombstones carry no
+    * pre-images) and a rebuild() recovery; a bin-packing optimize that
+    * breaks the feed window (rebuild again — the documented contract);
+    * a final sort-based cluster that applies the tombstones physically
+    * and restores range locality. Output: the view's rollup ('total')
+    * plus a zone-map-pruned 5-day window rollup ('window') — both
+    * must equal DuckDB recomputation over events minus the deleted
+    * keys. Every mechanism is individually oracled elsewhere; this
+    * query pins their INTERACTIONS (delete→sync divergence, rewrite→
+    * feed invalidation, tombstone→cluster retirement). */
+  private[graft] def pipelineLakehouse(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{AggView, ManifestTable}
+    val base = manifestRoot(s, "graft_lake_base__log")
+    val view = manifestRoot(s, "graft_lake_view__log")
+    ManifestTable.destroy(s, base)
+    ManifestTable.destroy(s, view)
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"),
+        col("value").cast("decimal(18,6)").as("value_dec"))
+    def batch(k: Int) = ev.filter(pmod(col("event_id"), lit(4)) === k)
+    val spec = AggView.spec("event_type").count("cnt").sum("value_dec", "sum_dec")
+    ManifestTable.append(s, base, batch(0), statsCols = Seq("ts"))
+    ManifestTable.append(s, base, batch(1), statsCols = Seq("ts"))
+    AggView.syncFromLog(s, view, base, spec)                       // cursor 2
+    ManifestTable.append(s, base, batch(2), statsCols = Seq("ts"))
+    AggView.syncFromLog(s, view, base, spec)                       // cursor 3
+    // merge-on-read delete (keys confined to already-viewed batches);
+    // the incremental sync must refuse and the rebuild must recover
+    ManifestTable.delete(s, base,
+      ev.filter(pmod(col("event_id"), lit(10)) === 3 &&
+        pmod(col("event_id"), lit(4)) < 3).select("event_id"))
+    require(scala.util.Try(AggView.syncFromLog(s, view, base, spec)).isFailure,
+      "sync must refuse a delete-bearing feed window")
+    AggView.rebuild(s, view, base, spec)                           // cursor 4
+    ManifestTable.append(s, base, batch(3), statsCols = Seq("ts"))
+    AggView.syncFromLog(s, view, base, spec)                       // cursor 5
+    // pay the small-file debt; the rewrite invalidates the feed (loudly)
+    val maxSeg = ManifestTable.segmentSizes(s, base).map(_._2).max
+    require(ManifestTable.optimize(s, base, maxSeg + 1) == 4)
+    require(scala.util.Try(AggView.syncFromLog(s, view, base, spec)).isFailure,
+      "a rewrite inside the feed window must invalidate the feed")
+    AggView.rebuild(s, view, base, spec)                           // cursor 6
+    // restore range locality; tombstones retire physically
+    ManifestTable.cluster(s, base, "ts", 6)
+    val total = AggView.read(s, view, spec)
+      .select(lit("total").as("section"), col("event_type"), col("cnt"),
+        round(col("sum_dec").cast("double"), 4).as("sum_value"))
+    val window = ManifestTable.readRange(s, base, "ts",
+        Some(java.sql.Timestamp.valueOf("2024-01-11 00:00:00")),
+        Some(java.sql.Timestamp.valueOf("2024-01-15 23:59:59.999999")))
+      .groupBy(lit("window").as("section"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), decSum.as("sum_value"))
+    total.unionByName(window).orderBy("section", "event_type")
+  }
 }
