@@ -1344,6 +1344,11 @@ trait SparkEntryOracle extends SparkEntryTail {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |         AS cum_users
         |FROM d ORDER BY day""".stripMargin,
+    "manifest_hll_view" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       count(DISTINCT user_id) AS n_exact,
+        |       TRUE AS within_tol
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "pipeline_lakehouse" ->
       """WITH kept AS (
         |  SELECT * FROM events

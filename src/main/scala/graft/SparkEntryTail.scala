@@ -2236,6 +2236,42 @@ trait SparkEntryTail extends SparkEntryMid {
       .orderBy("user_bucket")
   }
 
+  /** Sketch-typed materialized view: the rollup keeps a MERGEABLE
+    * DataSketches HLL binary per group ([[graft.io.AggView]] fn
+    * `hll`), maintained incrementally through the change feed and
+    * folded by compact() — exact distincts don't decompose into
+    * partials, sketches do, which is why every at-scale store keeps
+    * distinct-count metrics this way. Estimates are deterministic and
+    * order-insensitive for a given value set (ExtSpec pins view ==
+    * one-shot sketch exactly), so the q20-style quantified tolerance
+    * gate is hash-stable: the query emits the exact distinct count
+    * plus within_tol = |est − exact|/exact ≤ 0.05, and the oracle
+    * replays the exact count with TRUE — the hash greens iff every
+    * estimate is in tolerance. */
+  private[graft] def manifestHllView(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{AggView, ManifestTable}
+    val base = manifestRoot(s, "graft_hll_base__log")
+    val view = manifestRoot(s, "graft_hll_view__log")
+    ManifestTable.destroy(s, base)
+    ManifestTable.destroy(s, view)
+    val ev = t(s, dir, "events").select("event_id", "event_type", "user_id")
+    val spec = AggView.spec("event_type").count("cnt").hll("user_id", "users_sketch")
+    (0 to 2).foreach { k =>
+      ManifestTable.append(s, base, ev.filter(pmod(col("event_id"), lit(3)) === k))
+      AggView.syncFromLog(s, view, base, spec)
+    }
+    AggView.compact(s, view, spec) // sketch partials must survive the fold
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_exact"))
+    AggView.read(s, view, spec)
+      .withColumn("n_est", hll_sketch_estimate(col("users_sketch")))
+      .join(exact, Seq("event_type"))
+      .select(col("event_type"), col("cnt"), col("n_exact"),
+        (abs(col("n_est") - col("n_exact")) <= col("n_exact") * 0.05)
+          .as("within_tol"))
+      .orderBy("event_type")
+  }
+
   /** The composed lakehouse lifecycle, one oracle: four interleaved
     * event appends with ts zone maps; a change-feed-maintained rollup
     * view that syncs incrementally after each wave; a merge-on-read

@@ -29,22 +29,34 @@ import org.apache.spark.sql.functions._
   */
 object AggView {
 
-  /** One aggregate column: `fn` ∈ count|sum|min|max applied to
-    * `input` (ignored for count), surfaced as `as`. */
+  /** One aggregate column: `fn` ∈ count|sum|min|max|hll applied to
+    * `input` (ignored for count), surfaced as `as`. `hll` keeps a
+    * MERGEABLE DataSketches HLL binary (Spark's hll_sketch_agg /
+    * hll_union_agg pair) — the sketch-typed rollup column every
+    * at-scale store keeps for distinct-count metrics, because exact
+    * distincts don't decompose into partials but sketches do;
+    * estimates are order-insensitive and deterministic for a given
+    * value set, so a sketch view is replay-stable. Read the estimate
+    * at the edge with `hll_sketch_estimate(col)`. */
   final case class Agg(fn: String, input: String, as: String) {
-    require(Set("count", "sum", "min", "max")(fn), s"unsupported agg fn: $fn")
+    require(Set("count", "sum", "min", "max", "hll")(fn),
+      s"unsupported agg fn: $fn")
     /** Batch-local partial. */
     private[io] def partial: Column = fn match {
       case "count" => count(lit(1)).as(as)
       case "sum"   => sum(col(input)).as(as)
       case "min"   => min(col(input)).as(as)
       case "max"   => max(col(input)).as(as)
+      case "hll"   => hll_sketch_agg(col(input)).as(as)
     }
-    /** Merge of stored partials (count merges by sum). */
+    /** Merge of stored partials (count merges by sum; hll by sketch
+      * union, whose output is itself a sketch — the representation
+      * invariant compact() relies on holds for every fn). */
     private[io] def merge: Column = fn match {
       case "count" | "sum" => sum(col(as)).as(as)
       case "min"           => min(col(as)).as(as)
       case "max"           => max(col(as)).as(as)
+      case "hll"           => hll_union_agg(col(as)).as(as)
     }
   }
 
@@ -55,6 +67,7 @@ object AggView {
     def sum(input: String, as: String): Spec = copy(aggs = aggs :+ Agg("sum", input, as))
     def min(input: String, as: String): Spec = copy(aggs = aggs :+ Agg("min", input, as))
     def max(input: String, as: String): Spec = copy(aggs = aggs :+ Agg("max", input, as))
+    def hll(input: String, as: String): Spec = copy(aggs = aggs :+ Agg("hll", input, as))
     private[io] def checked: Spec = {
       require(aggs.nonEmpty, "a view needs at least one aggregate"); this
     }

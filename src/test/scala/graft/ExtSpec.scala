@@ -3772,6 +3772,30 @@ class ExtSpec extends AnyFunSuite {
     ManifestTable.destroy(spark, base); ManifestTable.destroy(spark, view)
   }
 
+  test("AggView hll: batched sketch partials + compact estimate EXACTLY like a one-shot sketch") {
+    import graft.io.{AggView, ManifestTable}
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val base = new org.apache.hadoop.fs.Path(wh, "graft_hll_base_spec").toString
+    val view = new org.apache.hadoop.fs.Path(wh, "graft_hll_view_spec").toString
+    ManifestTable.destroy(spark, base); ManifestTable.destroy(spark, view)
+    val ev = spark.read.parquet(s"${TestSession.sf}/events.parquet")
+      .select("event_id", "event_type", "user_id")
+    val spec = AggView.spec("event_type").count("cnt").hll("user_id", "sk")
+    (0 to 2).foreach { k =>
+      AggView.ingest(spark, view, ev.filter(pmod(col("event_id"), lit(3)) === k), spec)
+      if (k == 1) AggView.compact(spark, view, spec) // fold mid-stream
+    }
+    def est(df: org.apache.spark.sql.DataFrame) = df.orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val viaView = est(AggView.read(spark, view, spec)
+      .select(col("event_type"), hll_sketch_estimate(col("sk")).as("e")))
+    val oneShot = est(ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("e")))
+    assert(viaView == oneShot,
+      "HLL union of batch partials must equal the one-shot sketch estimate")
+    ManifestTable.destroy(spark, base); ManifestTable.destroy(spark, view)
+  }
+
   test("ManifestTable cluster: arrival-order segments become range-disjoint; zone maps go from prune-nothing to prune-most") {
     import spark.implicits._
     import graft.io.ManifestTable
