@@ -597,6 +597,27 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("ManifestTable.readRange pushes the residual predicate into the parquet scan (row-group skipping under the segment zone maps)") {
+    import spark.implicits._
+    import graft.io.ManifestTable
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_zm_pushdown_spec").toString
+    ManifestTable.destroy(spark, root)
+    ManifestTable.append(spark, root, (1L to 1000L).toDF("v"), statsCols = Seq("v"))
+    ManifestTable.append(spark, root, (1001L to 2000L).toDF("v"), statsCols = Seq("v"))
+    val df = ManifestTable.readRange(spark, root, "v", Some(1200L), Some(1300L))
+    val plan = explained(df)
+    // layer 1 (manifest): only the intersecting segment is in the plan
+    assert(ManifestTable.prunedDataSegments(spark, root, "v",
+      Some(1200L), Some(1300L)).size == 1)
+    // layer 2 (parquet): the residual range reaches the scan as pushed
+    // filters, so row groups inside the kept segment skip too
+    assert(plan.contains("GreaterThanOrEqual(v,1200)") &&
+      plan.contains("LessThanOrEqual(v,1300)"),
+      plan.take(2000))
+    ManifestTable.destroy(spark, root)
+  }
+
   test("custom expressions are SQL-reachable via extensions registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(
