@@ -2276,15 +2276,17 @@ trait SparkEntryTail extends SparkEntryMid {
     * event appends with ts zone maps; a change-feed-maintained rollup
     * view that syncs incrementally after each wave; a merge-on-read
     * DELETE the sync correctly REFUSES (tombstones carry no
-    * pre-images) and a rebuild() recovery; a bin-packing optimize that
-    * breaks the feed window (rebuild again — the documented contract);
-    * a final sort-based cluster that applies the tombstones physically
-    * and restores range locality. Output: the view's rollup ('total')
-    * plus a zone-map-pruned 5-day window rollup ('window') — both
-    * must equal DuckDB recomputation over events minus the deleted
-    * keys. Every mechanism is individually oracled elsewhere; this
-    * query pins their INTERACTIONS (delete→sync divergence, rewrite→
-    * feed invalidation, tombstone→cluster retirement). */
+    * pre-images) and a rebuild() recovery; a bin-packing optimize the
+    * feed walks THROUGH (the rewrite mark + the caught-up cursor make
+    * maintenance invisible — the sync succeeds with an empty delta
+    * and just advances the cursor); a final sort-based cluster that
+    * applies the tombstones physically and restores range locality.
+    * Output: the view's rollup ('total') plus a zone-map-pruned 5-day
+    * window rollup ('window') — both must equal DuckDB recomputation
+    * over events minus the deleted keys. Every mechanism is
+    * individually oracled elsewhere; this query pins their
+    * INTERACTIONS (delete→sync divergence, rewrite-transparent feed,
+    * tombstone→cluster retirement). */
   private[graft] def pipelineLakehouse(s: SparkSession, dir: String): DataFrame = {
     import graft.io.{AggView, ManifestTable}
     val base = manifestRoot(s, "graft_lake_base__log")
@@ -2311,12 +2313,13 @@ trait SparkEntryTail extends SparkEntryMid {
     AggView.rebuild(s, view, base, spec)                           // cursor 4
     ManifestTable.append(s, base, batch(3), statsCols = Seq("ts"))
     AggView.syncFromLog(s, view, base, spec)                       // cursor 5
-    // pay the small-file debt; the rewrite invalidates the feed (loudly)
+    // pay the small-file debt; the MARKED rewrite of already-consumed
+    // segments is invisible to the caught-up consumer — the sync
+    // walks through it with an empty delta and advances the cursor
     val maxSeg = ManifestTable.segmentSizes(s, base).map(_._2).max
     require(ManifestTable.optimize(s, base, maxSeg + 1) == 4)
-    require(scala.util.Try(AggView.syncFromLog(s, view, base, spec)).isFailure,
-      "a rewrite inside the feed window must invalidate the feed")
-    AggView.rebuild(s, view, base, spec)                           // cursor 6
+    require(AggView.syncFromLog(s, view, base, spec) == 6L,
+      "a caught-up consumer must sync THROUGH a marked rewrite")    // cursor 6
     // restore range locality; tombstones retire physically
     ManifestTable.cluster(s, base, "ts", 6)
     val total = AggView.read(s, view, spec)

@@ -105,7 +105,7 @@ object AggView {
     val cur = cursorOf(spark, root)
     val snap = read(spark, root, spec).localCheckpoint()
     try ManifestTable.replace(spark, root, snap,
-      tag = if (cur > 0) Some(s"b$cur") else None)
+      tag = if (cur > 0) Some(s"b$cur") else None, rewrite = true)
     finally graft.core.Lineage.release(snap)
   }
 
@@ -145,13 +145,19 @@ object AggView {
     val head = vs.max
     val cursor = cursorOf(spark, viewRoot)
     if (cursor >= head) return cursor
-    val chg = ManifestTable.readChanges(spark, baseRoot, cursor, head)
-    require(ManifestTable.changedSegments(spark, baseRoot, cursor, head)
-        .forall(!_.startsWith("del-")),
+    val chgSegs = ManifestTable.changedSegments(spark, baseRoot, cursor, head)
+    require(chgSegs.forall(!_.startsWith("del-")),
       s"base $baseRoot committed deletes in ($cursor, $head]: tombstones " +
         "carry keys only, so count/sum cannot retract — rebuild() the view")
-    ingest(spark, viewRoot, chg.drop("_change_type"), spec,
-      tag = Some(s"b$head"))
+    val batch =
+      if (chgSegs.isEmpty)
+        // the window held only safe rewrites (optimize/cluster/compact
+        // of already-consumed segments): nothing to fold, but the
+        // cursor must still advance — an empty partial commits it
+        ManifestTable.read(spark, baseRoot).filter(lit(false))
+      else ManifestTable.readChanges(spark, baseRoot, cursor, head)
+        .drop("_change_type")
+    ingest(spark, viewRoot, batch, spec, tag = Some(s"b$head"))
     head
   }
 

@@ -127,12 +127,28 @@ object ManifestTable {
       if (vs.isEmpty) None else Some(vs.max)
     }
 
-  private def readManifest(f: FileSystem, root: Path, v: Long): Seq[String] = {
+  /** Metadata marker for a commit that only REPACKAGES existing rows
+    * (optimize/cluster/compact): `#`-prefixed lines in a manifest are
+    * commit metadata, invisible to segment listing. */
+  private val RewriteMark = "#rewrite"
+
+  private def manifestLines(f: FileSystem, root: Path, v: Long): Seq[String] = {
     val in = f.open(new Path(root, ManifestPrefix + v))
     try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().filter(_.nonEmpty).toList
     finally in.close()
   }
+
+  private def readManifest(f: FileSystem, root: Path, v: Long): Seq[String] =
+    manifestLines(f, root, v).filterNot(_.startsWith("#"))
+
+  private def isRewrite(f: FileSystem, root: Path, v: Long): Boolean =
+    manifestLines(f, root, v).contains(RewriteMark)
+
+  /** Commit version encoded in a segment dir name
+    * (`seg-<v>-…` / `del-<v>-…`). */
+  private def segVersion(name: String): Long =
+    name.split("-")(1).toLong
 
   /** Committed segment dir names, in commit order (empty if no manifest). */
   def segments(spark: SparkSession, root: String): Seq[String] = {
@@ -253,10 +269,12 @@ object ManifestTable {
 
   /** Atomically publish `segs` as manifest version `v` through the
     * configured [[CommitStrategy]] (single winner per version; the
-    * loser throws and its segment dir is orphaned, never read). */
-  private def commit(f: FileSystem, root: Path, v: Long, segs: Seq[String]): Unit =
+    * loser throws and its segment dir is orphaned, never read).
+    * `marks` are `#`-prefixed metadata lines ([[RewriteMark]]). */
+  private def commit(f: FileSystem, root: Path, v: Long, segs: Seq[String],
+      marks: Seq[String] = Nil): Unit =
     commitStrategy.publish(f, root, new Path(root, ManifestPrefix + v),
-      segs.mkString("\n") + "\n")
+      (marks ++ segs).mkString("\n") + "\n")
 
   private def writeSeg(df: DataFrame, dir: String, partitionBy: Seq[String]): Unit = {
     val w = df.write
@@ -316,15 +334,18 @@ object ManifestTable {
     * manifest no longer names — committed predecessors and crash
     * orphans alike. `tag` folds into the segment name exactly as in
     * [[append]] (callers that ride state in tags — e.g. [[AggView]]'s
-    * change-feed cursor — keep it across the rewrite). */
+    * change-feed cursor — keep it across the rewrite). `rewrite=true`
+    * marks the commit as a pure repackaging of existing rows (see
+    * [[changedSegments]] — caught-up feed consumers skip it). */
   def replace(spark: SparkSession, root: String, df: DataFrame,
-      partitionBy: Seq[String] = Nil, tag: Option[String] = None): Unit = {
+      partitionBy: Seq[String] = Nil, tag: Option[String] = None,
+      rewrite: Boolean = false): Unit = {
     val (f, p) = fs(spark, root)
     val v = currentVersion(f, p).getOrElse(0L)
     val t = tag.map(_ + "-").getOrElse("")
     val seg = s"seg-${v + 1}-$t${java.util.UUID.randomUUID().toString.take(8)}"
     writeSeg(df, s"$root/$seg", partitionBy)
-    commit(f, p, v + 1, Seq(seg))
+    commit(f, p, v + 1, Seq(seg), if (rewrite) Seq(RewriteMark) else Nil)
     gc(f, p)
   }
 
@@ -339,7 +360,7 @@ object ManifestTable {
   def compact(spark: SparkSession, root: String,
       partitionBy: Seq[String] = Nil): Unit = {
     val snap = readMerged(spark, root).localCheckpoint()
-    try replace(spark, root, snap, partitionBy)
+    try replace(spark, root, snap, partitionBy, rewrite = true)
     finally graft.core.Lineage.release(snap)
   }
 
@@ -395,29 +416,59 @@ object ManifestTable {
   // manifest, the delta between two versions IS the set of segments
   // committed in the window — a consumer that remembers the last
   // version it processed reads O(new data) per poll, never the table.
-  // A rewrite ([[replace]]/[[compact]]/[[optimize]]) breaks the
-  // append-only property, so a feed spanning one fails loudly (the
-  // consumer full-refreshes and re-pins), the same contract every
-  // lakehouse change-data-feed ships with.
+  //
+  // Maintenance rewrites ([[compact]]/[[optimize]]/[[cluster]]) only
+  // REPACKAGE rows the log already held, so they commit with a
+  // #rewrite mark and the feed walks THROUGH them: a rewrite
+  // contributes no changed segments, PROVIDED everything it folded was
+  // already behind the consumer's cursor (segment names carry their
+  // commit version, so this is checkable per consumer). A rewrite that
+  // folded unconsumed segments — or any unmarked drop — fails loudly
+  // and the consumer full-refreshes, the fallback contract every
+  // lakehouse change-data-feed ships with. This is strictly stronger
+  // than the usual "compaction breaks CDF" rule: nightly maintenance
+  // is invisible to caught-up consumers.
   // ------------------------------------------------------------------
 
   /** Segment names committed after version `fromV`, up to and
-    * including `toV` (`fromV = 0` = since table creation). Throws if
-    * a rewrite dropped any of `fromV`'s segments inside the window. */
+    * including `toV` (`fromV = 0` = bootstrap: the full segment list
+    * at `toV`, i.e. current state). Marked rewrites of
+    * already-consumed segments are skipped; anything else that drops
+    * a segment throws (full refresh required). */
   def changedSegments(spark: SparkSession, root: String,
       fromV: Long, toV: Long): Seq[String] = {
     require(fromV <= toV, s"change window [$fromV, $toV] is inverted")
-    val toSegs = segmentsAt(spark, root, toV)
-    val fromSegs =
-      if (fromV == 0L) Seq.empty else segmentsAt(spark, root, fromV)
-    val toSet = toSegs.toSet
-    val dropped = fromSegs.filterNot(toSet)
-    require(dropped.isEmpty,
-      s"segments of v$fromV were rewritten inside the change window " +
-        s"(compact/optimize at work: ${dropped.mkString(", ")}); " +
-        "change feed invalid — full refresh and re-pin required")
-    val fromSet = fromSegs.toSet
-    toSegs.filterNot(fromSet)
+    if (fromV == 0L) return segmentsAt(spark, root, toV)
+    val (f, p) = fs(spark, root)
+    var prev = segmentsAt(spark, root, fromV)
+    // outputs of safe rewrites seen in this walk: repackagings of
+    // already-consumed rows, so later rewrites may drop them too
+    var rewriteOutputs = Set.empty[String]
+    val out = Seq.newBuilder[String]
+    (fromV + 1 to toV).foreach { v =>
+      val cur = segmentsAt(spark, root, v)
+      val prevSet = prev.toSet
+      val curSet = cur.toSet
+      val dropped = prev.filterNot(curSet)
+      if (dropped.isEmpty) out ++= cur.filterNot(prevSet)
+      else {
+        require(isRewrite(f, p, v),
+          s"v$v dropped segments without a rewrite mark " +
+            s"(${dropped.mkString(", ")}); " +
+            "change feed invalid — full refresh and re-pin required")
+        val unconsumed = dropped
+          .filter(d => segVersion(d) > fromV && !rewriteOutputs(d))
+        require(unconsumed.isEmpty,
+          s"rewrite v$v folded segments the consumer at v$fromV never " +
+            s"read (${unconsumed.mkString(", ")}); " +
+            "change feed invalid — full refresh and re-pin required")
+        // a safe rewrite's additions are repackaged already-consumed
+        // rows: contribute nothing to the feed, but remember them
+        rewriteOutputs ++= cur.filterNot(prevSet)
+      }
+      prev = cur
+    }
+    out.result()
   }
 
   /** Change-data-feed read for the window `(fromV, toV]`: every row
@@ -489,7 +540,7 @@ object ManifestTable {
     writeSeg(readSegs(spark, root, small), s"$root/$seg", partitionBy)
     if (statCols.nonEmpty) writeStats(spark, f, s"$root/$seg", statCols)
     val smallSet = small.toSet
-    commit(f, p, v + 1, all.filterNot(smallSet) :+ seg)
+    commit(f, p, v + 1, all.filterNot(smallSet) :+ seg, Seq(RewriteMark))
     gc(f, p)
     small.size
   }
@@ -534,7 +585,7 @@ object ManifestTable {
         writeStats(spark, f, s"$root/$seg", stats)
         seg
       }.toSeq
-      commit(f, p, v + 1, segs)
+      commit(f, p, v + 1, segs, Seq(RewriteMark))
       gc(f, p) // retires the old segments, tombstones, and the tmp shell
     } finally graft.core.Lineage.release(snap)
   }

@@ -3707,6 +3707,41 @@ class ExtSpec extends AnyFunSuite {
     ManifestTable.destroy(spark, root)
   }
 
+  test("change feed walks THROUGH marked rewrites for caught-up consumers; behind or mid-window-folded consumers fail loudly") {
+    import spark.implicits._
+    import graft.io.ManifestTable
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_manifest_cfrw_spec").toString
+    ManifestTable.destroy(spark, root)
+    ManifestTable.append(spark, root, (1L to 10L).toDF("v"))    // v1
+    ManifestTable.append(spark, root, (11L to 20L).toDF("v"))   // v2
+    // caught-up consumer at v2: the optimize (folds v1+v2) is invisible
+    val sizes = ManifestTable.segmentSizes(spark, root).map(_._2)
+    assert(ManifestTable.optimize(spark, root, sizes.max + 1) == 2) // v3
+    assert(ManifestTable.changedSegments(spark, root, 2L, 3L).isEmpty,
+      "maintenance of consumed segments must be feed-invisible")
+    ManifestTable.append(spark, root, (21L to 25L).toDF("v"))   // v4
+    assert(ManifestTable.readChanges(spark, root, 2L, 4L)
+      .collect().map(_.getLong(0)).sorted.toSeq == (21L to 25L),
+      "the feed must deliver exactly the post-rewrite appends")
+    // back-to-back rewrites: compact (v5) drops optimize's own output —
+    // still invisible to a consumer caught up past everything folded
+    ManifestTable.compact(spark, root)                          // v5
+    assert(ManifestTable.changedSegments(spark, root, 4L, 5L).isEmpty)
+    // BEHIND consumer: v3 folded seg v2 a consumer at v1 never read
+    val e1 = intercept[IllegalArgumentException] {
+      ManifestTable.changedSegments(spark, root, 1L, 3L)
+    }
+    assert(e1.getMessage.contains("never read"))
+    // mid-window fold: consumer at v2 never read seg v4, and v5's
+    // compact folded it away — the feed cannot reconstruct it
+    val e2 = intercept[IllegalArgumentException] {
+      ManifestTable.changedSegments(spark, root, 2L, 5L)
+    }
+    assert(e2.getMessage.contains("never read"))
+    ManifestTable.destroy(spark, root)
+  }
+
   test("ManifestTable expireVersions: log retention bounds time travel loudly, current reads unaffected") {
     import spark.implicits._
     import graft.io.ManifestTable
