@@ -1349,6 +1349,10 @@ trait SparkEntryOracle extends SparkEntryTail {
         |       count(DISTINCT user_id) AS n_exact,
         |       TRUE AS within_tol
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_lakehouse" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "pipeline_lakehouse" ->
       """WITH kept AS (
         |  SELECT * FROM events

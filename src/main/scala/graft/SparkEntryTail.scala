@@ -2236,6 +2236,43 @@ trait SparkEntryTail extends SparkEntryMid {
       .orderBy("user_bucket")
   }
 
+  /** The continuous-lakehouse posture through the REAL micro-batch
+    * engine ([[graft.streaming.Stream.runLakehouseIngest]]): event
+    * files stream through a checkpointed file source; each micro-batch
+    * commits one base-log segment tagged by batch id (replay = a
+    * manifest name-scan skip) and advances the change-feed-maintained
+    * rollup view inside the same batch. Two runs against one
+    * checkpoint — files land between them — so the second run ingests
+    * ONLY the unseen files (asserted), and the view still equals the
+    * batch aggregate over everything. Oracle: the straight rollup
+    * over all events. */
+  private[graft] def streamLakehouse(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{AggView, ManifestTable}
+    val src = tmpDir("events_lakehouse")
+    val cp = tmpDir("events_lakehouse_cp")
+    val base = manifestRoot(s, "graft_slake_base__log")
+    val view = manifestRoot(s, "graft_slake_view__log")
+    ManifestTable.destroy(s, base)
+    ManifestTable.destroy(s, view)
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"),
+        col("value").cast("decimal(18,6)").as("value_dec"))
+    val spec = AggView.spec("event_type").count("cnt").sum("value_dec", "sum_dec")
+    ev.filter(pmod(col("event_id"), lit(2)) === 0)
+      .repartition(2).write.parquet(src)
+    Stream.runLakehouseIngest(s, src, cp, base, view, spec)
+    ev.filter(pmod(col("event_id"), lit(2)) === 1)
+      .repartition(2).write.mode("append").parquet(src)
+    val run2 = Stream.runLakehouseIngest(s, src, cp, base, view, spec)
+    val half = ev.filter(pmod(col("event_id"), lit(2)) === 1).count()
+    require(run2 == half,
+      s"restarted run must ingest only the unseen files: $run2 vs $half")
+    AggView.read(s, view, spec)
+      .select(col("event_type"), col("cnt"),
+        round(col("sum_dec").cast("double"), 4).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** Sketch-typed materialized view: the rollup keeps a MERGEABLE
     * DataSketches HLL binary per group ([[graft.io.AggView]] fn
     * `hll`), maintained incrementally through the change feed and

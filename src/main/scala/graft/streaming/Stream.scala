@@ -794,6 +794,54 @@ object Stream {
     q.recentProgress.map(_.numInputRows).sum
   }
 
+  /** Checkpointed file-source ingestion into a [[graft.io
+    * .ManifestTable]] base log with per-micro-batch [[graft.io
+    * .AggView]] maintenance — the continuous lakehouse posture: files
+    * land, each becomes one base SEGMENT (O(batch) commit) tagged by
+    * its micro-batch id, and the rollup view advances through the
+    * change feed in the same batch. Exactly-once without idempotent
+    * sinks: on an at-least-once replay the batch tag is detected from
+    * [[graft.io.ManifestTable.segments]] alone (a manifest NAME SCAN,
+    * no data read) and the append is skipped, while the view sync is
+    * naturally idempotent (its cursor rides in its own segment tags).
+    * A crash between base append and view sync replays into
+    * skip-append + catch-up-sync — the two logs re-converge from
+    * their own committed state, no two-phase coordination. Returns
+    * the rows THIS run appended (a restarted run returns only the
+    * unseen files' rows). */
+  def runLakehouseIngest(spark: SparkSession, dir: String, checkpoint: String,
+      baseRoot: String, viewRoot: String, spec: graft.io.AggView.Spec,
+      maxFilesPerTrigger: Int = 1): Long = {
+    import graft.io.{AggView, ManifestTable}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(dir).schema
+    val stream = normalizeTs(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(dir))
+    val ingested = spark.sparkContext.longAccumulator("graft.lakehouse.ingested")
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tag = s"mb$batchId"
+        val seen = ManifestTable.exists(spark, baseRoot) &&
+          ManifestTable.segments(spark, baseRoot).exists(_.contains(s"-$tag-"))
+        if (!seen) {
+          val snap = batch.localCheckpoint() // one pass over the batch
+          try {
+            ManifestTable.append(spark, baseRoot, snap, tag = Some(tag))
+            ingested.add(snap.count())
+          } finally graft.core.Lineage.release(snap)
+        }
+        AggView.syncFromLog(spark, viewRoot, baseRoot, spec)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ingested.value
+  }
+
   /** Stream-static enrichment: join a live event stream against a
     * static dimension table and aggregate — the classic "attach the
     * customer/nation to each event" streaming pattern. The static side

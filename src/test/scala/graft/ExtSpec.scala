@@ -3707,6 +3707,47 @@ class ExtSpec extends AnyFunSuite {
     ManifestTable.destroy(spark, root)
   }
 
+  test("runLakehouseIngest: one tagged segment per micro-batch, idempotent catch-up runs, view == batch aggregate") {
+    import graft.io.{AggView, ManifestTable}
+    import graft.streaming.Stream
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val base = new org.apache.hadoop.fs.Path(wh, "graft_slake_base_spec").toString
+    val view = new org.apache.hadoop.fs.Path(wh, "graft_slake_view_spec").toString
+    ManifestTable.destroy(spark, base); ManifestTable.destroy(spark, view)
+    val src = java.nio.file.Files.createTempDirectory("graft_slake_src").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_slake_cp").toString
+    new java.io.File(src).delete(); new java.io.File(cp).delete()
+    val ev = spark.read.parquet(s"${TestSession.sf}/events.parquet")
+      .select(col("event_id"), col("event_type"),
+        col("value").cast("decimal(18,6)").as("vd"))
+    val spec = AggView.spec("event_type").count("cnt").sum("vd", "s")
+    ev.filter(pmod(col("event_id"), lit(2)) === 0).repartition(2).write.parquet(src)
+    val r1 = Stream.runLakehouseIngest(spark, src, cp, base, view, spec)
+    assert(r1 == ev.filter(pmod(col("event_id"), lit(2)) === 0).count())
+    // one base segment per micro-batch (2 files x maxFilesPerTrigger=1),
+    // each carrying its batch tag
+    val segs1 = ManifestTable.dataSegments(spark, base)
+    assert(segs1.size == 2 && segs1.forall(_.contains("-mb")), segs1.toString)
+    // catch-up run with nothing new: ingests 0, commits nothing
+    assert(Stream.runLakehouseIngest(spark, src, cp, base, view, spec) == 0L)
+    assert(ManifestTable.dataSegments(spark, base) == segs1)
+    // more files land; a restarted run ingests ONLY them, view tracks
+    ev.filter(pmod(col("event_id"), lit(2)) === 1).repartition(2)
+      .write.mode("append").parquet(src)
+    val r2 = Stream.runLakehouseIngest(spark, src, cp, base, view, spec)
+    assert(r2 == ev.filter(pmod(col("event_id"), lit(2)) === 1).count())
+    val got = AggView.read(spark, view, spec).orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString)).toSeq
+    val want = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum("vd").as("s"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString)).toSeq
+    assert(got == want)
+    ManifestTable.destroy(spark, base); ManifestTable.destroy(spark, view)
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(src))
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(cp))
+  }
+
   test("change feed walks THROUGH marked rewrites for caught-up consumers; behind or mid-window-folded consumers fail loudly") {
     import spark.implicits._
     import graft.io.ManifestTable
