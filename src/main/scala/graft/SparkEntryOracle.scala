@@ -1353,6 +1353,24 @@ trait SparkEntryOracle extends SparkEntryTail {
       """SELECT event_type, count(*) AS cnt,
         |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "dq_fk" ->
+      """SELECT rule, (SELECT count(*) FROM lineitem) AS n_rows,
+        |       n_violations, n_violations = 0 AS pass
+        |FROM (
+        |  SELECT 'fk_orders' AS rule,
+        |         (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_violations
+        |  UNION ALL SELECT 'fk_part',
+        |         (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |            (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |  UNION ALL SELECT 'fk_supplier',
+        |         (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |            (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        |  UNION ALL SELECT 'fk_finished_orders',
+        |         (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+        |             AND o.o_orderstatus = 'F'))
+        |) ORDER BY rule""".stripMargin,
     "pipeline_lakehouse" ->
       """WITH kept AS (
         |  SELECT * FROM events

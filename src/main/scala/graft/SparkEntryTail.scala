@@ -2236,6 +2236,24 @@ trait SparkEntryTail extends SparkEntryMid {
       .orderBy("user_bucket")
   }
 
+  /** Referential-integrity gate ([[graft.ext.Profile.expectRefs]]):
+    * lineitem's three real foreign keys (orders / part / supplier —
+    * intact by construction, 0 violations each) plus a deliberately
+    * failing policy rule ("every lineitem belongs to a FINISHED
+    * order") whose violation count the oracle recomputes with an
+    * anti-join. Each rule is one left-anti join against the dedup'd
+    * dimension keys — the fact side never broadcasts or collects. */
+  private[graft] def dqFk(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    graft.ext.Profile.expectRefs(li, Seq(
+      ("fk_orders", "l_orderkey", t(s, dir, "orders"), "o_orderkey"),
+      ("fk_part", "l_partkey", t(s, dir, "part"), "p_partkey"),
+      ("fk_supplier", "l_suppkey", t(s, dir, "supplier"), "s_suppkey"),
+      ("fk_finished_orders", "l_orderkey",
+        t(s, dir, "orders").filter(col("o_orderstatus") === "F"), "o_orderkey")))
+      .orderBy("rule")
+  }
+
   /** The continuous-lakehouse posture through the REAL micro-batch
     * engine ([[graft.streaming.Stream.runLakehouseIngest]]): event
     * files stream through a checkpointed file source; each micro-batch

@@ -179,6 +179,34 @@ object Profile {
     out.toDF("rule", "n_rows", "n_violations", "pass")
   }
 
+  /** Referential-integrity expectations — the FK gate [[expect]]'s
+    * single-table aggregation pass cannot express. Each rule
+    * `(name, fkCol, ref, refCol)` counts the rows of `df` whose
+    * foreign key has no match in `ref.refCol`; a NULL foreign key
+    * never matches and therefore violates (a nullable-FK policy is
+    * expressed by pre-filtering `df`). Output schema matches
+    * [[expect]] so callers union the two reports.
+    *
+    * Scale shape: one LEFT ANTI join per rule against the DISTINCT
+    * reference keys — the reference side reduces to its key set first
+    * (dimension-sized, broadcast when small), the fact side streams
+    * through the join and only orphans are counted. Nothing fact-sized
+    * is ever collected or broadcast. */
+  def expectRefs(df: DataFrame,
+      refs: Seq[(String, String, DataFrame, String)]): DataFrame = {
+    require(refs.nonEmpty, "expectRefs requires at least one rule")
+    val n = df.count()
+    val out = refs.map { case (name, fkCol, ref, refCol) =>
+      val viol = df.select(col(fkCol))
+        .join(ref.select(col(refCol).as(fkCol)).distinct(), Seq(fkCol), "left_anti")
+        .count()
+      (name, n, viol, viol == 0L)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.toDF("rule", "n_rows", "n_violations", "pass")
+  }
+
   /** Keyed table diff — the row-level complement of [[tableChecksum]]
     * (the checksum says two versions DIFFER; the diff says WHERE):
     * given two versions of a keyed table, emit one row per key whose

@@ -3707,6 +3707,33 @@ class ExtSpec extends AnyFunSuite {
     ManifestTable.destroy(spark, root)
   }
 
+  test("Profile.expectRefs: dangling and NULL foreign keys violate; intact refs pass; schema unions with expect") {
+    import spark.implicits._
+    import graft.ext.Profile
+    val facts = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "b"), (9L, "dangling"), (null, "nullfk"), (2L, "b2"))
+      .toDF("fk", "payload")
+    val dim = Seq(1L, 2L, 3L).toDF("k")
+    val out = Profile.expectRefs(facts, Seq(
+      ("fk_ok_subset", "fk", dim, "k"),
+      ("fk_strict", "fk", dim.filter(col("k") === 1L), "k")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    // dangling 9 + NULL fk violate the intact dim; the filtered dim
+    // additionally orphans both fk=2 rows
+    assert(out == Seq(
+      ("fk_ok_subset", 5L, 2L, false),
+      ("fk_strict", 5L, 4L, false)))
+    // fully intact reference: pass
+    val clean = Profile.expectRefs(facts.filter(col("fk").isNotNull &&
+        col("fk") =!= 9L), Seq(("fk", "fk", dim, "k"))).head()
+    assert(clean.getLong(2) == 0L && clean.getBoolean(3))
+    // schema matches expect(), so the two reports union
+    val e = Profile.expect(facts, Seq("payload_nonempty" -> (length(col("payload")) === 0)))
+    assert(e.columns.toSeq ==
+      Profile.expectRefs(facts, Seq(("x", "fk", dim, "k"))).columns.toSeq)
+  }
+
   test("runLakehouseIngest: one tagged segment per micro-batch, idempotent catch-up runs, view == batch aggregate") {
     import graft.io.{AggView, ManifestTable}
     import graft.streaming.Stream
