@@ -590,6 +590,52 @@ object ManifestTable {
     } finally graft.core.Lineage.release(snap)
   }
 
+  /** INCREMENTAL clustering: [[cluster]] scoped to the segments whose
+    * zone maps intersect `[lo, hi]` on `byCol` — the nightly job a
+    * 100 TB log actually runs ("cluster yesterday's arrivals"), paying
+    * only for the segments the range touches while everything else
+    * stays byte-identical. Touched segments are rewritten WHOLE (they
+    * may hold rows outside the range — zone maps are segment-granular
+    * — and those rows simply travel into the new layout), tombstones
+    * are NOT applied (unlike the full [[cluster]]: untouched segments
+    * may still hold matching rows, so retirement stays [[compact]]/
+    * [[cluster]]'s job), and the commit carries the rewrite mark so
+    * caught-up change-feed consumers walk through it. Stats-less
+    * segments are conservatively "intersecting" and get clustered
+    * (and thereby gain sidecars). Returns the number of segments
+    * folded (0 = fewer than two intersect; nothing rewritten). */
+  def clusterRange(spark: SparkSession, root: String, byCol: String,
+      lo: Option[Any], hi: Option[Any], nSegments: Int,
+      statsCols: Seq[String] = Nil): Int = {
+    require(nSegments >= 1, s"nSegments must be >= 1, got $nSegments")
+    val (f, p) = fs(spark, root)
+    val v = currentVersion(f, p).getOrElse(
+      throw new IllegalStateException(s"clusterRange of uncommitted table $root"))
+    val all = readManifest(f, p, v)
+    val touched = prunedDataSegments(spark, root, byCol, lo, hi)
+    if (touched.size < 2) return 0
+    val tmp = s".cluster-tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+    readSegs(spark, root, touched)
+      .repartitionByRange(nSegments, col(byCol))
+      .withColumn("_seg", org.apache.spark.sql.functions.spark_partition_id())
+      .write.partitionBy("_seg").parquet(s"$root/$tmp")
+    val subdirs = f.listStatus(new Path(p, tmp))
+      .filter(_.isDirectory).map(_.getPath)
+      .sortBy(d => d.getName.stripPrefix("_seg=").toInt)
+    val stats = if (statsCols.nonEmpty) statsCols else Seq(byCol)
+    val segs = subdirs.zipWithIndex.map { case (d, i) =>
+      val seg = s"seg-${v + 1}-clr$i-${java.util.UUID.randomUUID().toString.take(8)}"
+      require(f.rename(d, new Path(p, seg)),
+        s"failed to place clustered segment $seg")
+      writeStats(spark, f, s"$root/$seg", stats)
+      seg
+    }.toSeq
+    val touchedSet = touched.toSet
+    commit(f, p, v + 1, all.filterNot(touchedSet) ++ segs, Seq(RewriteMark))
+    gc(f, p)
+    touched.size
+  }
+
   /** Exact row count from zone-map sidecars alone — zero data IO, a
     * driver-side metadata sum. Available (Some) only when every data
     * segment carries a sidecar and no tombstones are outstanding

@@ -3899,6 +3899,50 @@ class ExtSpec extends AnyFunSuite {
     ManifestTable.destroy(spark, base); ManifestTable.destroy(spark, view)
   }
 
+  test("ManifestTable clusterRange: only range-touched segments fold; cold segments byte-identical; feed walks through") {
+    import spark.implicits._
+    import graft.io.ManifestTable
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_manifest_clr_spec").toString
+    ManifestTable.destroy(spark, root)
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // COLD history: already-clustered low range, zone-mapped
+    ManifestTable.append(spark, root, (1L to 500L).toDF("v"), statsCols = Seq("v"))
+    // HOT tail: three interleaved arrivals spanning 1000..1600
+    (0L to 2L).foreach { r =>
+      ManifestTable.append(spark, root, (1000L + r to 1600L by 3).toDF("v"),
+        statsCols = Seq("v"))
+    }
+    val cold = ManifestTable.dataSegments(spark, root).head
+    def coldFiles() = fsys.listStatus(new org.apache.hadoop.fs.Path(s"$root/$cold"))
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+      .sortBy(_._1).toSeq
+    val before = coldFiles()
+    // consumer caught up at the current head
+    val pin = ManifestTable.versions(spark, root).max
+    // cluster ONLY the hot range into 3 disjoint segments
+    assert(ManifestTable.clusterRange(spark, root, "v",
+      Some(1000L), Some(1700L), 3) == 3)
+    assert(coldFiles() == before, "cold segments must stay byte-identical")
+    val segs = ManifestTable.dataSegments(spark, root)
+    assert(segs.size == 4 && segs.count(_.contains("-clr")) == 3)
+    // hot tail now range-disjoint: a tail window opens 1 segment + never cold
+    val kept = ManifestTable.prunedDataSegments(spark, root, "v",
+      Some(1100L), Some(1150L))
+    assert(kept.size == 1 && kept.head.contains("-clr"), kept.toString)
+    // results unchanged
+    assert(ManifestTable.read(spark, root).count() == 500 + 601)
+    assert(ManifestTable.readRange(spark, root, "v", Some(1100L), Some(1150L))
+      .count() == 51)
+    // the marked rewrite is invisible to the caught-up feed consumer
+    assert(ManifestTable.changedSegments(spark, root, pin,
+      ManifestTable.versions(spark, root).max).isEmpty)
+    // sub-threshold: a range touching one segment is a no-op
+    assert(ManifestTable.clusterRange(spark, root, "v", Some(1L), Some(2L), 3) == 0)
+    ManifestTable.destroy(spark, root)
+  }
+
   test("ManifestTable cluster: arrival-order segments become range-disjoint; zone maps go from prune-nothing to prune-most") {
     import spark.implicits._
     import graft.io.ManifestTable
