@@ -590,6 +590,48 @@ object ManifestTable {
     } finally graft.core.Lineage.release(snap)
   }
 
+  /** Multi-column Z-ORDER clustering: [[cluster]] with the
+    * z-interleave of (`colA`, `colB`) as the layout key ([[graft
+    * .functions.zInterleave2]]; Delta/Iceberg's OPTIMIZE ZORDER BY),
+    * so each segment covers a rectangle-ish region of the composite
+    * key space and the per-segment zone maps — written for BOTH
+    * columns — prune range reads on EITHER one. A single-column
+    * [[cluster]] only ever helps its own key; this is the layout for
+    * two independent access paths on the same 100 TB log. Same cost
+    * shape as cluster: one ranged shuffle + one write pass; tombstones
+    * applied physically; rewrite-marked for the change feed. */
+  def clusterZ(spark: SparkSession, root: String, colA: String, colB: String,
+      nSegments: Int, bits: Int = 16): Unit = {
+    require(nSegments >= 1, s"nSegments must be >= 1, got $nSegments")
+    val (f, p) = fs(spark, root)
+    val v = currentVersion(f, p).getOrElse(
+      throw new IllegalStateException(s"clusterZ of uncommitted table $root"))
+    val snap = readMerged(spark, root).localCheckpoint()
+    try {
+      require(!snap.columns.contains("__z"),
+        "clusterZ uses a reserved working column __z already present in the input")
+      val tmp = s".cluster-tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+      snap.withColumn("__z",
+          graft.functions.zInterleave2(col(colA), col(colB), bits))
+        .repartitionByRange(nSegments, col("__z"))
+        .withColumn("_seg", org.apache.spark.sql.functions.spark_partition_id())
+        .drop("__z")
+        .write.partitionBy("_seg").parquet(s"$root/$tmp")
+      val subdirs = f.listStatus(new Path(p, tmp))
+        .filter(_.isDirectory).map(_.getPath)
+        .sortBy(d => d.getName.stripPrefix("_seg=").toInt)
+      val segs = subdirs.zipWithIndex.map { case (d, i) =>
+        val seg = s"seg-${v + 1}-clz$i-${java.util.UUID.randomUUID().toString.take(8)}"
+        require(f.rename(d, new Path(p, seg)),
+          s"failed to place z-clustered segment $seg")
+        writeStats(spark, f, s"$root/$seg", Seq(colA, colB))
+        seg
+      }.toSeq
+      commit(f, p, v + 1, segs, Seq(RewriteMark))
+      gc(f, p)
+    } finally graft.core.Lineage.release(snap)
+  }
+
   /** INCREMENTAL clustering: [[cluster]] scoped to the segments whose
     * zone maps intersect `[lo, hi]` on `byCol` — the nightly job a
     * 100 TB log actually runs ("cluster yesterday's arrivals"), paying

@@ -3899,6 +3899,42 @@ class ExtSpec extends AnyFunSuite {
     ManifestTable.destroy(spark, base); ManifestTable.destroy(spark, view)
   }
 
+  test("ManifestTable clusterZ: zone maps prune on EITHER z-ordered column; single-column cluster only prunes its own") {
+    import spark.implicits._
+    import graft.io.ManifestTable
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_manifest_clz_spec").toString
+    ManifestTable.destroy(spark, root)
+    // 100x100 uniform grid, arrival order spans the whole space
+    val grid = (0L until 10000L).toDF("i")
+      .select((col("i") % 100).as("x"),
+        floor(col("i") / 100).cast("long").as("y"))
+    ManifestTable.append(spark, root, grid)
+    ManifestTable.clusterZ(spark, root, "x", "y", 16, bits = 8)
+    assert(ManifestTable.dataSegments(spark, root).size == 16)
+    // a 10-wide strip on EACH axis keeps at most half the segments —
+    // the z-rectangle property a single-column sort cannot give both
+    val keptX = ManifestTable.prunedDataSegments(spark, root, "x",
+      Some(10L), Some(19L))
+    val keptY = ManifestTable.prunedDataSegments(spark, root, "y",
+      Some(40L), Some(49L))
+    assert(keptX.size <= 8, s"x-strip kept ${keptX.size} of 16")
+    assert(keptY.size <= 8, s"y-strip kept ${keptY.size} of 16")
+    // result-invisible
+    assert(ManifestTable.readRange(spark, root, "x", Some(10L), Some(19L))
+      .count() == 1000)
+    assert(ManifestTable.readRange(spark, root, "y", Some(40L), Some(49L))
+      .count() == 1000)
+    assert(ManifestTable.read(spark, root).count() == 10000)
+    // contrast: single-column cluster on x (y still zone-mapped) —
+    // x-sorted segments each span (nearly) the full y range, so the
+    // same y-strip prunes (almost) nothing once x is the only sort key
+    ManifestTable.cluster(spark, root, "x", 16, statsCols = Seq("x", "y"))
+    assert(ManifestTable.prunedDataSegments(spark, root, "y",
+      Some(40L), Some(49L)).size >= 14)
+    ManifestTable.destroy(spark, root)
+  }
+
   test("ManifestTable clusterRange: only range-touched segments fold; cold segments byte-identical; feed walks through") {
     import spark.implicits._
     import graft.io.ManifestTable
