@@ -513,7 +513,17 @@ object Graph {
     * Scale shape identical to [[adamicAdar]]: keyed wedge self-join
     * bounded by maxDeg², anti-join against existing edges, one keyed
     * count, heap-based top-k. Score is one exact-int division →
-    * round(6) BEFORE the ranking. */
+    * round(6) BEFORE the ranking.
+    *
+    * Degrees are attached to the ADJACENCY rows (one O(edges) keyed
+    * join) and ride through the wedge join, so the O(candidate pairs)
+    * stream is never joined again after its aggregation — the naive
+    * alternative (join deg onto the aggregated pairs) is broadcast-
+    * shaped at toy scale but flips to sort-merge once deg outgrows
+    * the threshold, double-shuffling the pair stream exactly when it
+    * is largest (measured: 22× shuffle records for 10× data; with
+    * degrees riding the wedges, every shuffle in the plan is linear
+    * in edges + capped wedges at any scale). */
   def jaccardLinks(
       edges: DataFrame,
       maxDeg: Int = 64,
@@ -532,18 +542,22 @@ object Graph {
       .union(und.select(col("v").as("z"), col("u").as("x")))
     val deg = adj.groupBy("z").agg(count(lit(1)).as("d"))
     val pivots = deg.filter(col("d") >= 2 && col("d") <= maxDeg).select("z")
-    val padj = adj.join(pivots.hint("shuffle_merge"), "z")
+    // each endpoint's FULL degree rides on its adjacency row from here
+    val dadj = adj.join(
+      deg.select(col("z").as("x"), col("d").as("dx")).hint("shuffle_merge"), "x")
+    val padj = dadj.join(pivots.hint("shuffle_merge"), "z")
     val wedges = padj.as("a")
       .join(padj.as("b").hint("shuffle_merge"),
         col("a.z") === col("b.z") && col("a.x") < col("b.x"))
-      .select(col("a.x").as("x"), col("b.x").as("y"))
+      .select(col("a.x").as("x"), col("a.dx").as("dx"),
+        col("b.x").as("y"), col("b.dx").as("dy"))
     val inter = wedges.join(
         und.select(col("u").as("x"), col("v").as("y")).hint("shuffle_merge"),
         Seq("x", "y"), "left_anti")
-      .groupBy("x", "y").agg(count(lit(1)).as("i"))
+      .groupBy("x", "y").agg(count(lit(1)).as("i"),
+        // dx/dy are functions of the group key — max() is exact
+        max(col("dx")).as("dx"), max(col("dy")).as("dy"))
     inter
-      .join(deg.select(col("z").as("x"), col("d").as("dx")), "x")
-      .join(deg.select(col("z").as("y"), col("d").as("dy")), "y")
       .select(col("x"), col("y"),
         round(col("i").cast("double") /
           (col("dx") + col("dy") - col("i")).cast("double"), 6).as("score"))

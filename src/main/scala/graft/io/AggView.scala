@@ -78,9 +78,24 @@ object AggView {
     * as one manifest segment. `tag` gives at-least-once replay safety
     * exactly as in [[ManifestTable.append]] — derive it from the
     * micro-batch id and check [[ManifestTable.segments]] first when
-    * the caller replays. */
+    * the caller replays. The `b<digits>` shape is RESERVED for the
+    * change-feed cursor ([[syncFromLog]] rides it in segment names):
+    * a caller tag like `b7` would read back as "synced through base
+    * v7" and make a later sync silently skip base versions — so it is
+    * rejected loudly here (prefix such tags, e.g. `batch-7`). */
   def ingest(spark: SparkSession, root: String, batch: DataFrame,
       spec0: Spec, tag: Option[String] = None): Unit = {
+    tag.foreach { t =>
+      require(CursorRe.findFirstIn(s"-$t-").isEmpty,
+        s"tag '$t' collides with the reserved change-feed cursor " +
+          "namespace b<digits> (it would be parsed as a sync cursor " +
+          "and silently skip base versions); prefix it, e.g. 'batch-7'")
+    }
+    ingestPartial(spark, root, batch, spec0, tag)
+  }
+
+  private def ingestPartial(spark: SparkSession, root: String,
+      batch: DataFrame, spec0: Spec, tag: Option[String]): Unit = {
     val spec = spec0.checked
     val partial = batch.groupBy(spec.groupCols.map(col): _*)
       .agg(spec.aggs.head.partial, spec.aggs.tail.map(_.partial): _*)
@@ -157,7 +172,7 @@ object AggView {
         ManifestTable.read(spark, baseRoot).filter(lit(false))
       else ManifestTable.readChanges(spark, baseRoot, cursor, head)
         .drop("_change_type")
-    ingest(spark, viewRoot, batch, spec, tag = Some(s"b$head"))
+    ingestPartial(spark, viewRoot, batch, spec, tag = Some(s"b$head"))
     head
   }
 

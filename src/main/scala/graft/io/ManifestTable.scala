@@ -93,17 +93,49 @@ object ManifestTable {
     * principle observe the file mid-write (those FSs make FILES
     * visible at create, not close) — which is why [[RenameCommit]]
     * stays the default there and this strategy is for object-store
-    * semantics, where PUT visibility is all-or-nothing. */
+    * semantics, where PUT visibility is all-or-nothing.
+    *
+    * REQUIREMENT on S3A specifically: the filesystem must enforce
+    * create-exclusive at PUT time, not just at `create()` time.
+    * Plain S3A checks overwrite=false with a HEAD when the stream is
+    * opened but only PUTs the object at close(), so two racing
+    * writers could both pass the check and the later close() would
+    * silently win. Hadoop 3.4.1+ closes that window when conditional
+    * creates are enabled (`fs.s3a.create.conditional.enabled`, which
+    * maps create(overwrite=false) to an If-None-Match PUT); this
+    * strategy is only correct on S3A under that setting (or any
+    * store whose create-exclusive is truly atomic at publish). On
+    * stores without it, single-winner publication needs an external
+    * lock or a DynamoDB-style commit service.
+    *
+    * Failure semantics: ONLY a create-exclusive conflict
+    * (FileAlreadyExistsException) is reported as a lost race; any
+    * other IO failure (permissions, quota, transient store errors)
+    * propagates unchanged so operators debug the store, not a
+    * phantom concurrency bug. If the stream was created but the
+    * write/close fails, the possibly-torn `dst` is best-effort
+    * deleted before rethrowing — on create-visible FSs that file
+    * would otherwise be permanently resolved as the committed head
+    * (wedging the table on a torn segment list) and the version
+    * could never be retried. */
   object CreateExclusiveCommit extends CommitStrategy {
     def publish(f: FileSystem, dir: Path, dst: Path, content: String): Unit = {
       val out =
         try f.create(dst, false)
-        catch { case _: java.io.IOException =>
-          throw new IllegalStateException(
-            s"manifest commit lost the race for $dst")
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+               _: java.nio.file.FileAlreadyExistsException =>
+            throw new IllegalStateException(
+              s"manifest commit lost the race for $dst")
         }
-      try out.write(content.getBytes("UTF-8"))
-      finally out.close()
+      try {
+        out.write(content.getBytes("UTF-8"))
+        out.close()
+      } catch { case e: Throwable =>
+        scala.util.Try(out.close())
+        scala.util.Try(f.delete(dst, false))
+        throw e
+      }
     }
   }
 
@@ -162,9 +194,11 @@ object ManifestTable {
   /** Every committed manifest version under `root`, ascending. Stale
     * versions survive appends (each manifest is a few hundred bytes),
     * which is what makes [[readAt]] time travel possible; [[replace]]/
-    * [[compact]] garbage-collect superseded SEGMENTS, so history is
-    * readable back to the last compaction — the same retention shape
-    * as a lakehouse log's VACUUM horizon. */
+    * [[compact]]-class rewrites garbage-collect SEGMENTS past the
+    * table's [[retainVersions]] horizon (default 1), so history is
+    * readable back to that horizon — and [[vacuum]] is the explicit
+    * physical trim, the same logical-rewrite/physical-vacuum split
+    * every lakehouse log ships. */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val (f, p) = fs(spark, root)
     if (!f.exists(p)) Seq.empty
@@ -364,23 +398,102 @@ object ManifestTable {
     finally graft.core.Lineage.release(snap)
   }
 
-  /** Delete every dir/file under `root` the current manifest does not
-    * name: superseded segments after a [[replace]] and orphans from
-    * crashed appends. Stale manifest versions stay (tiny, and the
-    * highest-wins reader ignores them). */
-  private def gc(f: FileSystem, root: Path): Unit = {
-    val live = currentVersion(f, root).map(v =>
-      (ManifestPrefix + v) +: {
-        val in = f.open(new Path(root, ManifestPrefix + v))
-        try scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().filter(_.nonEmpty).toList
+  // ------------------------------------------------------------------
+  // Physical retention: how many manifest versions' SEGMENTS survive a
+  // rewrite. Every real lakehouse separates logical rewrite from
+  // physical vacuum — "reproducible training runs pin a version" only
+  // holds through nightly maintenance if optimize/cluster/compact keep
+  // the data the recent history names. The horizon is a table-level
+  // setting persisted under root (`_retain.graft`, default 1 =
+  // immediate GC, the pre-retention behavior); [[vacuum]] is the
+  // explicit physical GC that [[expireVersions]] (log-side) pairs
+  // with.
+  // ------------------------------------------------------------------
+
+  private val RetainFile = "_retain.graft"
+
+  /** Set the table's retention horizon: rewrites ([[replace]]/
+    * [[optimize]]/[[cluster]]/[[clusterZ]]/[[clusterRange]]/
+    * [[compact]]) keep every segment still named by the newest `n`
+    * committed manifest versions, so [[readAt]]/[[readMergedAt]]/
+    * [[readChanges]] stay serviceable that far back regardless of
+    * maintenance cadence. Overwrites any previous setting (it is a
+    * knob, not a commit — readers never resolve it for correctness). */
+  def setRetainVersions(spark: SparkSession, root: String, n: Int): Unit = {
+    require(n >= 1, s"retainVersions must be >= 1, got $n")
+    val (f, p) = fs(spark, root)
+    if (!f.exists(p)) f.mkdirs(p)
+    val out = f.create(new Path(p, RetainFile), true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The table's retention horizon (default 1: only the current
+    * manifest's segments survive a rewrite). */
+  def retainVersions(spark: SparkSession, root: String): Int = {
+    val (f, p) = fs(spark, root)
+    retainOf(f, p)
+  }
+
+  private def retainOf(f: FileSystem, root: Path): Int = {
+    val p = new Path(root, RetainFile)
+    if (!f.exists(p)) 1
+    else {
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-      }).getOrElse(Seq.empty).toSet
+      scala.util.Try(txt.toInt).toOption.filter(_ >= 1).getOrElse(1)
+    }
+  }
+
+  private def versionsOf(f: FileSystem, root: Path): Seq[Long] =
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).iterator.map(_.getPath.getName)
+      .filter(n => n.startsWith(ManifestPrefix) && !n.contains(".tmp-"))
+      .map(_.stripPrefix(ManifestPrefix).toLong).toSeq.sorted
+
+  /** Dirs named by any of the newest `horizon` manifest versions still
+    * on disk — the physically-live set a GC pass must keep. */
+  private def liveDirs(f: FileSystem, root: Path, horizon: Int): Set[String] =
+    versionsOf(f, root).takeRight(horizon)
+      .flatMap(v => readManifest(f, root, v)).toSet
+
+  /** Delete every dir/file under `root` that no manifest inside the
+    * retention horizon names: superseded segments past retention after
+    * a [[replace]]-class rewrite, and orphans from crashed appends
+    * (named by NO manifest — always collected, any horizon). Manifest
+    * files and the retention marker stay ([[expireVersions]] trims the
+    * former). */
+  private def gc(f: FileSystem, root: Path): Unit =
+    gcKeeping(f, root, retainOf(f, root))
+
+  private def gcKeeping(f: FileSystem, root: Path, horizon: Int): Seq[String] = {
+    val live = liveDirs(f, root, horizon)
+    val removed = Seq.newBuilder[String]
     f.listStatus(root).foreach { st =>
       val n = st.getPath.getName
-      if (!live.contains(n) && !n.startsWith(ManifestPrefix))
+      if (!live.contains(n) && !n.startsWith(ManifestPrefix) && n != RetainFile) {
+        removed += n
         f.delete(st.getPath, true)
+      }
     }
+    removed.result()
+  }
+
+  /** Explicit physical GC, the pair to [[expireVersions]]' log-side
+    * trim: expire every manifest older than the newest `keepLast`
+    * versions, then delete every segment dir only those expired
+    * versions named. LOUD — returns (expired versions, removed dirs),
+    * so an operator sees exactly what history just became unreadable;
+    * a consumer pinned past the horizon gets a missing-manifest error
+    * on its next read, never a silently different answer. Run at
+    * whatever cadence bounds disk debt; between runs the table's
+    * [[retainVersions]] horizon governs what rewrites keep. */
+  def vacuum(spark: SparkSession, root: String,
+      keepLast: Int): (Seq[Long], Seq[String]) = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val (f, p) = fs(spark, root)
+    val expired = expireVersions(spark, root, keepLast)
+    (expired, gcKeeping(f, p, keepLast))
   }
 
   /** Bound LOG metadata growth: delete every manifest file older than
@@ -388,11 +501,11 @@ object ManifestTable {
     * [[readAt]] time travel and [[readChanges]] consumers — a consumer
     * whose pinned version expires gets a loud missing-manifest error
     * and full-refreshes, never a silently different answer. Segment
-    * DATA is untouched (liveness is governed by the CURRENT manifest;
-    * segments superseded by rewrites were already GC'd at rewrite
-    * time), so this is purely the log-side VACUUM: a few hundred bytes
-    * per expired version, run at whatever cadence bounds the listing.
-    * Returns the expired versions. */
+    * DATA is untouched (liveness is governed by the retention-horizon
+    * manifests; see [[vacuum]] for the paired physical trim), so this
+    * is purely the log-side VACUUM: a few hundred bytes per expired
+    * version, run at whatever cadence bounds the listing. Returns the
+    * expired versions. */
   def expireVersions(spark: SparkSession, root: String,
       keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
@@ -712,6 +825,26 @@ object ManifestTable {
 
   private val StatsFile = "_stats.graft.json"
 
+  /** Full JSON string escaping — backslash, quote, AND control
+    * characters. A string column whose min/max carries a newline or
+    * tab must not produce an invalid sidecar: sidecars gate the whole
+    * read path, so "weird value" must degrade to "slightly bigger
+    * sidecar", never to "every readRange throws". */
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"'  => sb.append("\\\"")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+  private def jsonString(s: String): String = "\"" + jsonEscape(s) + "\""
+
   /** Per-column segment statistic: type tag + canonical min/max keys
     * (None = every value in the segment is NULL for that column). */
   final case class ColStat(t: String, min: Option[String], max: Option[String])
@@ -744,20 +877,24 @@ object ManifestTable {
     val row = df.agg(count(lit(1)).as("rows"), aggs: _*).head()
     val colsJson = typed.zipWithIndex.map { case ((c, t), i) =>
       def v(off: Int): String = Option(row.getString(1 + 2 * i + off))
-        .map(s => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-        .getOrElse("null")
-      s""""$c":{"t":"$t","min":${v(0)},"max":${v(1)}}"""
+        .map(jsonString).getOrElse("null")
+      s""""${jsonEscape(c)}":{"t":"$t","min":${v(0)},"max":${v(1)}}"""
     }.mkString(",")
     val json = s"""{"rows":${row.getLong(0)},"cols":{$colsJson}}"""
     commitStrategy.publish(f, new Path(segDir), new Path(segDir, StatsFile), json)
   }
 
-  /** Parse a segment's stats sidecar, if it has one. */
+  /** Parse a segment's stats sidecar, if it has one. A malformed or
+    * unreadable sidecar (partial write, store corruption, a writer
+    * from before an escaping fix) degrades to None — the CONSERVATIVE
+    * answer: the segment is always read, [[fastRowCount]] returns
+    * None, nothing throws. One bad sidecar must never wedge
+    * [[readRange]]/[[optimize]] for the whole table. */
   def segmentStats(spark: SparkSession, root: String, seg: String): Option[SegStats] = {
     val (f, _) = fs(spark, root)
     val p = new Path(s"$root/$seg", StatsFile)
     if (!f.exists(p)) None
-    else {
+    else scala.util.Try {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
       val in = f.open(p)
@@ -773,8 +910,8 @@ object ManifestTable {
         }.toMap
         case _ => Map.empty[String, ColStat]
       }
-      Some(SegStats(rows, cols))
-    }
+      SegStats(rows, cols)
+    }.toOption
   }
 
   /** Canonical comparison key for a caller-supplied bound, matched to
@@ -792,8 +929,26 @@ object ManifestTable {
     case (_, x) => BigDecimal(x.toString)
   }
 
+  /** String bound comparison by CODE POINT (via UTF-8 bytes), not
+    * Java's UTF-16 code-unit `compareTo`: the stored min/max come from
+    * Spark's min/max, whose string ordering is binary (code-point).
+    * The two orders disagree for supplementary-plane characters vs
+    * U+E000–U+FFFF, and a wrong order here wrongly PRUNES a segment
+    * that intersects the range — a silent row drop, not a slow read. */
+  private def utf8Leq(x: String, y: String): Boolean = {
+    val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    a.length <= b.length
+  }
+
   private def leq(t: String, a: Any, b: Any): Boolean = (a, b) match {
-    case (x: String, y: String) if t == "s" => x <= y
+    case (x: String, y: String) if t == "s" => utf8Leq(x, y)
     case (x: BigDecimal, y: BigDecimal) => x <= y
     case _ => true // type confusion -> conservative: don't prune
   }

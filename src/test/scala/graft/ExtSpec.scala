@@ -3833,6 +3833,183 @@ class ExtSpec extends AnyFunSuite {
     ManifestTable.destroy(spark, root)
   }
 
+  test("ManifestTable retention: retainVersions keeps time travel and the change feed alive through compact; vacuum expires loudly; orphans still collected") {
+    import spark.implicits._
+    import graft.io.ManifestTable
+    import org.apache.hadoop.fs.Path
+    val root = new Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_manifest_ret_spec").toString
+    ManifestTable.destroy(spark, root)
+    ManifestTable.setRetainVersions(spark, root, 3)
+    assert(ManifestTable.retainVersions(spark, root) == 3)
+    ManifestTable.append(spark, root, (1L to 10L).toDF("v"))   // v1
+    ManifestTable.append(spark, root, (11L to 20L).toDF("v"))  // v2
+    // an orphan from a crashed append: named by NO manifest version,
+    // so any-horizon GC must still collect it
+    (900L to 905L).toDF("v").write.parquet(s"$root/seg-9-orphan")
+    ManifestTable.compact(spark, root)                         // v3 (rewrite)
+    def at(v: Long) = ManifestTable.readAt(spark, root, v)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // inside the retainVersions=3 horizon {v1,v2,v3}: history readable
+    assert(at(1) == (1L to 10L), "retained pre-compact version must stay readable")
+    assert(at(2) == (1L to 20L))
+    assert(at(3) == (1L to 20L))
+    // the change feed over retained windows works THROUGH the compact
+    assert(ManifestTable.readChanges(spark, root, 1L, 2L)
+      .collect().map(_.getLong(0)).sorted.toSeq == (11L to 20L))
+    // orphan collected by the compact's GC even at horizon 3
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(root, "seg-9-orphan")),
+      "orphans must be collected regardless of retention horizon")
+    // one more rewrite: v1 ages OUT of the 3-version horizon {v2,v3,v4}
+    ManifestTable.append(spark, root, (21L to 25L).toDF("v"))  // v4
+    ManifestTable.compact(spark, root)                         // v5 → horizon {v3,v4,v5}
+    assert(at(3) == (1L to 20L), "still in horizon")
+    assert(at(4) == (1L to 25L))
+    intercept[Exception] { at(1).length } // segments GC'd past horizon → read fails
+    // vacuum(keepLast=1): loud — reports expired versions + removed dirs
+    val before = ManifestTable.read(spark, root)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val (expired, removed) = ManifestTable.vacuum(spark, root, keepLast = 1)
+    assert(expired.nonEmpty && expired.max < 5L)
+    assert(removed.nonEmpty, "vacuum must report the dirs it physically removed")
+    assert(ManifestTable.versions(spark, root) == Seq(5L))
+    intercept[IllegalArgumentException] { ManifestTable.readAt(spark, root, 4L) }
+    assert(ManifestTable.read(spark, root)
+      .collect().map(_.getLong(0)).sorted.toSeq == before,
+      "vacuum must not disturb the current state")
+    ManifestTable.destroy(spark, root)
+  }
+
+  test("CreateExclusiveCommit: race loss only on create-exclusive conflict; genuine IO failures propagate; torn dst removed") {
+    import org.apache.hadoop.fs.{FSDataOutputStream, Path}
+    import graft.io.ManifestTable.CreateExclusiveCommit
+    val wh = new Path(spark.conf.get("spark.sql.warehouse.dir"), "graft_cx_spec")
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(wh, true); fs.mkdirs(wh)
+    val dst = new Path(wh, "_manifest.v1")
+    // 1. normal publish succeeds
+    CreateExclusiveCommit.publish(fs, wh, dst, "seg-1-a\n")
+    // 2. a second publish of the same version = lost race (the one
+    //    and only condition reported as such)
+    val e = intercept[IllegalStateException] {
+      CreateExclusiveCommit.publish(fs, wh, dst, "seg-1-b\n")
+    }
+    assert(e.getMessage.contains("lost the race"))
+    // 3. a genuine IO failure (fault-injected at write time) must NOT
+    //    masquerade as a race — and the torn dst must not stay visible
+    //    on a create-visible store (it would wedge version resolution)
+    val dst2 = new Path(wh, "_manifest.v2")
+    val boom = new java.io.IOException("injected store failure")
+    val failing = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def create(f: Path, overwrite: Boolean): FSDataOutputStream = {
+        val real = this.fs.create(f, overwrite) // create-visible: dst appears now
+        new FSDataOutputStream(new java.io.OutputStream {
+          def write(b: Int): Unit = throw boom
+          override def write(b: Array[Byte], off: Int, len: Int): Unit = throw boom
+          override def close(): Unit = real.close()
+        }, null)
+      }
+    }
+    val got = intercept[java.io.IOException] {
+      CreateExclusiveCommit.publish(failing, wh, dst2, "seg-2-a\n")
+    }
+    assert(got eq boom,
+      "an injected IO failure must propagate unchanged, not read as a lost race")
+    assert(!fs.exists(dst2),
+      "a torn manifest must be removed so the version stays retryable")
+    fs.delete(wh, true)
+  }
+
+  test("ManifestTable zone maps: control characters in string stats stay valid JSON; a malformed sidecar degrades to no-prune, not a wedged table") {
+    import spark.implicits._
+    import graft.io.ManifestTable
+    import org.apache.hadoop.fs.Path
+    val root = new Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_manifest_esc_spec").toString
+    ManifestTable.destroy(spark, root)
+    // min/max carry a newline, a tab, and a quote — the sidecar must
+    // parse and prune correctly anyway
+    ManifestTable.append(spark, root,
+      Seq("a\nlpha", "m\"id\tdle").toDF("s"), statsCols = Seq("s"))
+    ManifestTable.append(spark, root,
+      Seq("zeta\r1", "zz").toDF("s"), statsCols = Seq("s"))
+    val segs = ManifestTable.segments(spark, root)
+    assert(ManifestTable.segmentStats(spark, root, segs.head).exists(_.rows == 2),
+      "control-character stats must still parse")
+    assert(ManifestTable.prunedDataSegments(spark, root, "s",
+      Some("y"), Some("zzz")) == Seq(segs(1)),
+      "escaped sidecars must still prune")
+    assert(ManifestTable.readRange(spark, root, "s", Some("y"), Some("zzz"))
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("zeta\r1", "zz"))
+    // corrupt one sidecar on disk: that segment degrades to
+    // always-read; nothing throws anywhere on the read path
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bad = new Path(new Path(root, segs.head), "_stats.graft.json")
+    fs.delete(bad, false)
+    val out = fs.create(bad, true)
+    out.write("{not json at all".getBytes("UTF-8")); out.close()
+    assert(ManifestTable.segmentStats(spark, root, segs.head).isEmpty,
+      "malformed sidecar must degrade to None, not throw")
+    assert(ManifestTable.prunedDataSegments(spark, root, "s",
+      Some("y"), Some("zzz")).toSet == segs.toSet,
+      "stat-less segment is conservatively read")
+    assert(ManifestTable.readRange(spark, root, "s", Some("y"), Some("zzz"))
+      .count() == 2)
+    assert(ManifestTable.fastRowCount(spark, root).isEmpty,
+      "fastRowCount must fall back (None) on a malformed sidecar")
+    ManifestTable.destroy(spark, root)
+  }
+
+  test("ManifestTable zone maps: string pruning follows code-point order for non-BMP values (no wrong prune)") {
+    import spark.implicits._
+    import graft.io.ManifestTable
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_manifest_cp_spec").toString
+    ManifestTable.destroy(spark, root)
+    // U+E000 (private use, BMP) sorts ABOVE U+10000 (supplementary) in
+    // Java's UTF-16 code-unit order but BELOW it in code-point order —
+    // Spark's min/max use the latter, so must the pruner.
+    val bmp = "\uE000"
+    val supp = new String(Character.toChars(0x10000)) // U+10000
+    ManifestTable.append(spark, root, Seq(supp).toDF("s"), statsCols = Seq("s"))
+    // range [supp, supp]: UTF-16 compare would call min(=supp) > hi(=supp)
+    // fine but lo: leq(bound=supp, max=supp) — the failure case is a
+    // range like [bmp-above-in-utf16, ...]; assert both directions:
+    assert(ManifestTable.readRange(spark, root, "s", Some(supp), None).count() == 1,
+      "segment holding U+10000 must not be pruned for lo=U+10000")
+    // lo = U+E000: in code-point order U+E000 < U+10000, so the segment
+    // intersects [U+E000, ∞) and must be read. A UTF-16 comparator
+    // concludes U+E000 > U+10000 (0xE000 > 0xD800) and wrongly prunes.
+    assert(ManifestTable.readRange(spark, root, "s", Some(bmp), None).count() == 1,
+      "UTF-16 code-unit comparison would wrongly prune this segment")
+    // and the mirrored case: hi = U+E000 with Spark-min = U+10000 —
+    // code-point order says no intersection (10000 > E000): pruned.
+    assert(ManifestTable.prunedDataSegments(spark, root, "s",
+      None, Some(bmp)).isEmpty,
+      "code-point order: [.., U+E000] does not intersect a min of U+10000")
+    ManifestTable.destroy(spark, root)
+  }
+
+  test("AggView.ingest: user tags colliding with the b<digits> cursor namespace are rejected loudly") {
+    import spark.implicits._
+    import graft.io.AggView
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_aggview_tag_spec").toString
+    graft.io.ManifestTable.destroy(spark, root)
+    val spec = AggView.spec("k").count("n")
+    val df = Seq((1L, "x")).toDF("k", "x")
+    val e = intercept[IllegalArgumentException] {
+      AggView.ingest(spark, root, df, spec, tag = Some("b7"))
+    }
+    assert(e.getMessage.contains("cursor"))
+    // a prefixed tag is fine, and the cursor stays untouched (0)
+    AggView.ingest(spark, root, df, spec, tag = Some("batch-7"))
+    assert(AggView.cursorOf(spark, root) == 0L,
+      "a user tag must never read back as a sync cursor")
+    graft.io.ManifestTable.destroy(spark, root)
+  }
+
   test("AggView.syncFromLog: cursor rides in segment tags — incremental, idempotent, compact-surviving, delete-refusing") {
     import spark.implicits._
     import graft.io.{AggView, ManifestTable}
