@@ -2201,6 +2201,13 @@ trait SparkEntryOracle extends SparkEntryTail {
         |WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'
         |  AND ts <= TIMESTAMP '2024-01-15 23:59:59.999999'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "manifest_sql" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-15 23:59:59.999999'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "manifest_evolution" ->
       """SELECT CASE WHEN event_id % 2 = 1 THEN event_type
         |            ELSE '_pre_evolution' END AS etype,

@@ -2050,6 +2050,40 @@ trait SparkEntryTail extends SparkEntryMid {
       .orderBy("event_type")
   }
 
+  /** The SQL face of the manifest log ([[graft.sources
+    * .ManifestSource]], `format("graft.manifest")`): the same six
+    * 5-day zone-mapped segments as [[manifestSkipping]], but read as a
+    * REGISTERED DATA SOURCE and aggregated in pure SQL over a temp
+    * view — the reference's whole interface is SQL passthrough
+    * (`locopy/database.py:131-190`), so the lakehouse family must be
+    * reachable from `execute`, not only from the typed API. The WHERE
+    * range reaches the relation's file index as pushed data filters,
+    * so zone maps prune segments under plain SQL exactly as under
+    * `readRange` (spec-pinned in PlanSpec), and the scan below is the
+    * stock parquet reader — PushedFilters, column pruning and codegen
+    * all intact. Oracle: the same BETWEEN aggregate on raw events. */
+  private[graft] def manifestSql(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.ManifestTable
+    val root = manifestRoot(s, "graft_manifest_sql__log")
+    ManifestTable.destroy(s, root)
+    val ev = t(s, dir, "events").select("event_id", "ts", "event_type", "value")
+    (0 to 5).foreach { k =>
+      ManifestTable.append(s, root,
+        ev.filter(floor((dayofmonth(col("ts")) - 1) / 5) === k),
+        statsCols = Seq("ts", "event_id"))
+    }
+    s.read.format("graft.manifest").load(root)
+      .createOrReplaceTempView("manifest_sql_events")
+    s.sql("""
+      SELECT event_type, count(1) AS cnt,
+             round(cast(sum(cast(value AS decimal(18,6))) AS double), 4) AS sum_value
+      FROM manifest_sql_events
+      WHERE ts >= timestamp'2024-01-11 00:00:00'
+        AND ts <= timestamp'2024-01-15 23:59:59.999999'
+      GROUP BY event_type
+      ORDER BY event_type""")
+  }
+
   /** Additive schema evolution across manifest commits: segment 1
     * lands WITHOUT `event_type`, segment 2 adds it; the evolved read
     * surfaces old rows as NULL in the new column — append-only logs

@@ -956,6 +956,29 @@ object ManifestTable {
   private def statKey(t: String, s: String): Any =
     if (t == "s") s else scala.util.Try(BigDecimal(s)).getOrElse(s)
 
+  /** Can a segment with sidecar `stats` hold rows satisfying
+    * `lo <= colName <= hi`? Conservative: missing/unusable stats →
+    * true (always read); a stats-bearing segment whose column is
+    * entirely NULL → false (a range predicate matches no NULLs).
+    * Shared by [[prunedDataSegments]] and the SQL-face
+    * [[graft.sources.ManifestSource]] file index. */
+  private[graft] def statsAdmit(stats: Option[SegStats], colName: String,
+      lo: Option[Any], hi: Option[Any]): Boolean =
+    stats.flatMap(_.cols.get(colName)) match {
+      case None => true
+      case Some(ColStat(_, None, None)) => false
+      case Some(ColStat(t, mn, mx)) =>
+        val aboveLo = (lo, mx) match {
+          case (Some(l), Some(m)) => leq(t, boundKey(t, l), statKey(t, m))
+          case _ => true
+        }
+        val belowHi = (hi, mn) match {
+          case (Some(h), Some(m)) => leq(t, statKey(t, m), boundKey(t, h))
+          case _ => true
+        }
+        aboveLo && belowHi
+    }
+
   /** The data segments a `lo <= colName <= hi` read must open: every
     * segment whose stats intersect the range, plus every segment
     * without usable stats (conservative). A stats-bearing segment
@@ -964,20 +987,7 @@ object ManifestTable {
   def prunedDataSegments(spark: SparkSession, root: String, colName: String,
       lo: Option[Any], hi: Option[Any]): Seq[String] =
     dataSegments(spark, root).filter { seg =>
-      segmentStats(spark, root, seg).flatMap(_.cols.get(colName)) match {
-        case None => true
-        case Some(ColStat(_, None, None)) => false
-        case Some(ColStat(t, mn, mx)) =>
-          val aboveLo = (lo, mx) match {
-            case (Some(l), Some(m)) => leq(t, boundKey(t, l), statKey(t, m))
-            case _ => true
-          }
-          val belowHi = (hi, mn) match {
-            case (Some(h), Some(m)) => leq(t, statKey(t, m), boundKey(t, h))
-            case _ => true
-          }
-          aboveLo && belowHi
-      }
+      statsAdmit(segmentStats(spark, root, seg), colName, lo, hi)
     }
 
   /** Data-skipping range read: resolve the manifest, keep only

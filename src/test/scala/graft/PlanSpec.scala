@@ -618,6 +618,62 @@ class PlanSpec extends AnyFunSuite {
     ManifestTable.destroy(spark, root)
   }
 
+  test("graft.manifest SQL relation: zone-map segment pruning survives the registered-source path; parquet pushdown intact") {
+    import graft.io.ManifestTable
+    import org.apache.spark.sql.functions.col
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_manifest_sqlsrc_plan").toString
+    ManifestTable.destroy(spark, root)
+    import spark.implicits._
+    // four segments with disjoint v-ranges + zone maps
+    (0 to 3).foreach { k =>
+      ManifestTable.append(spark, root,
+        ((k * 1000L) until (k * 1000L + 1000L)).toDF("v"), statsCols = Seq("v"))
+    }
+    val df = spark.read.format("graft.manifest").load(root)
+      .filter(col("v") >= 1200L && col("v") <= 1300L)
+    val rows = df.collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == (1200L to 1300L), "SQL-path read must be exact")
+    // the file index saw the pushed range and kept exactly one segment
+    assert(graft.sources.ManifestSource.lastListedSegments.size == 1,
+      s"zone maps must prune 3 of 4 segments on the SQL path: " +
+        graft.sources.ManifestSource.lastListedSegments)
+    // the residual predicate still reaches parquet as pushed filters
+    val plan = explained(df)
+    assert(plan.contains("GreaterThanOrEqual(v,1200)") &&
+      plan.contains("LessThanOrEqual(v,1300)"), plan.take(2000))
+    // pure-SQL route over the same source resolves and prunes too
+    spark.read.format("graft.manifest").load(root)
+      .createOrReplaceTempView("manifest_sqlsrc_plan_v")
+    val viaSql = spark.sql(
+      "SELECT count(*) AS c FROM manifest_sqlsrc_plan_v WHERE v >= 3500")
+    assert(viaSql.head().getLong(0) == 500L)
+    assert(graft.sources.ManifestSource.lastListedSegments.size == 1)
+    // time travel through the option surface
+    assert(spark.read.format("graft.manifest").option("version", "2")
+      .load(root).count() == 2000L)
+    // loud contract edges: tombstones refuse (unless opted in)…
+    ManifestTable.delete(spark, root, Seq(1L, 2L).toDF("v"))
+    val e = intercept[IllegalStateException] {
+      spark.read.format("graft.manifest").load(root).collect()
+    }
+    assert(e.getMessage.contains("tombstone"))
+    assert(spark.read.format("graft.manifest")
+      .option("allowTombstones", "true").load(root).count() == 4000L)
+    // …and hive-partitioned segments refuse with guidance
+    val root2 = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_manifest_sqlsrc_part").toString
+    ManifestTable.destroy(spark, root2)
+    ManifestTable.append(spark, root2,
+      Seq((1L, "a"), (2L, "b")).toDF("v", "p"), partitionBy = Seq("p"))
+    val e2 = intercept[Exception] {
+      spark.read.format("graft.manifest").load(root2).collect()
+    }
+    assert(e2.getMessage.contains("partitioned"))
+    ManifestTable.destroy(spark, root)
+    ManifestTable.destroy(spark, root2)
+  }
+
   test("custom expressions are SQL-reachable via extensions registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(
