@@ -297,6 +297,20 @@ object AnnIndex {
     ManifestTable.compact(spark, annRoot(spark, table),
       partitionBy = Seq("cell"))
 
+  /** Index bin-packing between compacts: fold only the segments
+    * smaller than `smallBytes` ([[ManifestTable.optimize]]), keeping
+    * the `cell=` layout. Streaming ingest accretes one segment per
+    * micro-batch and every probe opens each segment's probed `cell=`
+    * dirs, so per-query file opens grow with ingest count; packing
+    * resets them toward O(nprobe) at O(small segments) IO — without
+    * [[compact]]'s full rewrite or tombstone retirement. Folded
+    * segments lose their `b<batchId>` replay tags (same as compact):
+    * run it from maintenance, not from inside the ingest's
+    * crash-replay window. Returns the number of segments folded. */
+  def optimize(spark: SparkSession, table: String, smallBytes: Long): Int =
+    ManifestTable.optimize(spark, annRoot(spark, table), smallBytes,
+      partitionBy = Seq("cell"))
+
   /** Remove the index entirely. */
   def drop(spark: SparkSession, table: String): Unit =
     ManifestTable.destroy(spark, annRoot(spark, table))

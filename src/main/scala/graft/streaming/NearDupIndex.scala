@@ -55,6 +55,16 @@ object NearDupIndex {
 
   private[graft] def bandsRoot(root: String): String = root + "__bands"
 
+  /** Dir-name prefix of a PACKED index dir (see [[pack]]): one parquet
+    * root holding the band rows of MANY corpus segments, named in its
+    * `_covers` sidecar. Packing is index-side bin-packing — between
+    * corpus compactions a streaming table accretes one band dir per
+    * ingest, and every probed read opens each of them; [[pack]] folds
+    * them into one root (index rows are ~2.5% of the signature bytes,
+    * so this is cheap maintenance, not a corpus rewrite). */
+  private val PackPrefix = "_packed-"
+  private val CoversFile = "_covers.graft"
+
   /** Attach the physical pruning key to a banded relation. */
   private[graft] def withPb(banded: DataFrame): DataFrame =
     banded.withColumn("pb",
@@ -65,10 +75,41 @@ object NearDupIndex {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** Reconcile the index to the corpus manifest: delete band dirs for
-    * segments the manifest no longer names, build band dirs for
-    * segments that lack a complete one. O(new segments) work in steady
-    * state — an already-indexed segment costs one existence check. */
+  /** A pack dir is valid iff its parquet job committed (_SUCCESS), it
+    * carries a covers sidecar and the current pb-count marker, and
+    * every segment it covers is still manifest-live — a corpus
+    * rewrite that retired any covered segment invalidates the whole
+    * pack (its rows may include vanished docs; [[sync]] deletes it and
+    * rebuilds per-segment dirs for the surviving segments). */
+  private def packCovers(f: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Option[Seq[String]] = {
+    val covers = new Path(dir, CoversFile)
+    if (!f.exists(new Path(dir, "_SUCCESS")) || !f.exists(covers) ||
+        !f.exists(pbMarker(dir, PartBuckets))) None
+    else {
+      val in = f.open(covers)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList)
+      finally in.close()
+    }
+  }
+
+  /** Valid packs under the bands root: (pack dir name, covered segs). */
+  private def validPacks(f: org.apache.hadoop.fs.FileSystem, br: Path,
+      live: Set[String]): Seq[(String, Seq[String])] =
+    if (!f.exists(br)) Seq.empty
+    else f.listStatus(br).toSeq
+      .map(_.getPath).filter(_.getName.startsWith(PackPrefix))
+      .flatMap { p =>
+        packCovers(f, p).filter(_.forall(live)).map(p.getName -> _)
+      }
+
+  /** Reconcile the index to the corpus manifest: delete pack dirs a
+    * corpus rewrite invalidated and per-segment band dirs that are
+    * dead (segment gone) or redundant (covered by a valid pack), then
+    * build band dirs for live uncovered segments that lack a complete
+    * one. O(new segments) work in steady state — an already-indexed
+    * segment costs one existence check. */
   def sync(spark: SparkSession, root: String): Unit = {
     val (f, br) = hadoopFs(spark, bandsRoot(root))
     if (!graft.io.ManifestTable.exists(spark, root)) {
@@ -77,11 +118,24 @@ object NearDupIndex {
     }
     val segs = graft.io.ManifestTable.dataSegments(spark, root)
     val live = segs.toSet
-    if (f.exists(br))
+    if (f.exists(br)) {
+      // invalid packs first, so the covered set below is trustworthy
       f.listStatus(br).foreach { st =>
-        if (!live.contains(st.getPath.getName)) f.delete(st.getPath, true)
+        val n = st.getPath.getName
+        if (n.startsWith(PackPrefix) &&
+            !packCovers(f, st.getPath).exists(_.forall(live)))
+          f.delete(st.getPath, true)
       }
-    segs.foreach { seg =>
+      val covered = validPacks(f, br, live).flatMap(_._2).toSet
+      f.listStatus(br).foreach { st =>
+        val n = st.getPath.getName
+        if (!n.startsWith(PackPrefix) &&
+            (!live.contains(n) || covered.contains(n)))
+          f.delete(st.getPath, true)
+      }
+    }
+    val covered = validPacks(f, br, live).flatMap(_._2).toSet
+    segs.filterNot(covered).foreach { seg =>
       val segDir = new Path(br, seg)
       // complete = committed AND banded at the CURRENT pb count; a
       // count mismatch (constant changed between deployments) would
@@ -92,6 +146,57 @@ object NearDupIndex {
           spark.read.parquet(s"$root/$seg")
             .select(col("doc_id").as("id"), col("sig")))
     }
+  }
+
+  /** The parquet roots a probed [[read]] opens right now: valid pack
+    * dirs plus per-segment dirs of uncovered live segments. The
+    * file-open budget of every ingest's corpus check — [[pack]]'s
+    * whole purpose is to shrink this list. */
+  def indexRoots(spark: SparkSession, root: String): Seq[String] = {
+    val (f, br) = hadoopFs(spark, bandsRoot(root))
+    val live = graft.io.ManifestTable.dataSegments(spark, root)
+    val packs = validPacks(f, br, live.toSet)
+    val covered = packs.flatMap(_._2).toSet
+    packs.map(_._1) ++ live.filterNot(covered)
+  }
+
+  /** Index-side bin-packing: fold every current index root (packs and
+    * per-segment dirs alike) into ONE packed dir covering all live
+    * segments, then retire the inputs. Between corpus compactions a
+    * streaming table accretes one band dir per ingest and every
+    * ingest's corpus check opens all of them; packing resets that
+    * per-read open count to 1 WITHOUT touching corpus data (the index
+    * is ~2.5% of the signature bytes — this is the cheap maintenance
+    * action; corpus [[graft.io.ManifestTable.optimize]]/compact remain
+    * the data-side ones, and [[sync]] keeps the index consistent
+    * through either order). Crash-safe without a commit protocol: a
+    * pack missing _SUCCESS/_covers is invisible (deleted by sync); a
+    * crash after the pack lands but before input cleanup leaves
+    * duplicate index rows, which candidate generation dedups
+    * (`distinct()` on (id_a, id_b)) and the next sync removes.
+    * Returns the number of roots folded (0 = nothing to do). */
+  def pack(spark: SparkSession, root: String): Int = {
+    sync(spark, root) // start complete: every live segment indexed
+    val (f, br) = hadoopFs(spark, bandsRoot(root))
+    val roots = indexRoots(spark, root)
+    if (roots.size < 2) return 0
+    val live = graft.io.ManifestTable.dataSegments(spark, root)
+    val dir = s"$PackPrefix${java.util.UUID.randomUUID().toString.take(8)}"
+    roots.map(r => spark.read.parquet(s"${bandsRoot(root)}/$r"))
+      .reduce(_ unionByName _)
+      .select(col("band"), col("bucket"), col("id"), col("pb"))
+      .repartition(col("pb"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("pb")
+      .parquet(s"${bandsRoot(root)}/$dir")
+    val d = new Path(br, dir)
+    val out = f.create(new Path(d, CoversFile), true)
+    try out.write((live.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    f.create(pbMarker(d, PartBuckets), true).close()
+    roots.foreach(r => f.delete(new Path(br, r), true))
+    roots.size
   }
 
   /** Write segment `seg`'s band dir from its signature relation.
@@ -126,10 +231,10 @@ object NearDupIndex {
     * discovery single-rooted; the `pb` filter pushes into each scan as
     * partition pruning. Call [[sync]] first. */
   def read(spark: SparkSession, root: String, pbs: Seq[Int]): DataFrame = {
-    val segs = graft.io.ManifestTable.dataSegments(spark, root)
-    require(segs.nonEmpty, s"no committed corpus under $root")
-    segs.map { seg =>
-      spark.read.parquet(s"${bandsRoot(root)}/$seg")
+    val roots = indexRoots(spark, root)
+    require(roots.nonEmpty, s"no committed corpus under $root")
+    roots.map { r =>
+      spark.read.parquet(s"${bandsRoot(root)}/$r")
         .filter(col("pb").isin(pbs: _*))
         .select("band", "bucket", "id")
     }.reduce(_ unionByName _)

@@ -1089,6 +1089,13 @@ object Stream {
     NearDupIndex.destroy(spark, nearDupRoot(spark, table))
   }
 
+  /** Index-side maintenance for a near-dup table: fold every
+    * per-segment band dir into one packed root ([[NearDupIndex
+    * .pack]]), so the next ingest's corpus check opens 1 index root
+    * instead of one per prior ingest. Corpus data untouched. */
+  def packNearDupIndex(spark: SparkSession, table: String): Int =
+    NearDupIndex.pack(spark, nearDupRoot(spark, table))
+
   /** Streaming NEAR-dup deduplication: documents arrive in micro-
     * batches; each batch is (1) near-dup'd within itself (MinHash-LSH
     * banding + exact shingle-Jaccard verify ≥ `threshold`, drop any
@@ -1130,8 +1137,11 @@ object Stream {
     // arrays, anti-joins), and inside foreachBatch each re-evaluation
     // would re-scan the source file
     val b0 = batch.localCheckpoint()
-    counter.foreach(_.add(b0.count()))
-    if (b0.isEmpty) { graft.core.Lineage.release(b0); return }
+    // one action covers both the ingest tally and the empty-batch
+    // exit (count + isEmpty were two scheduler rounds for one answer)
+    val nRows = b0.count()
+    counter.foreach(_.add(nRows))
+    if (nRows == 0L) { graft.core.Lineage.release(b0); return }
     // NULL text must not vanish in enrichment (explode over a null
     // shingle array emits no rows, silently REJECTING the doc): an
     // empty string shingles to [""] and so survives as a normal,
@@ -1154,9 +1164,18 @@ object Stream {
       df.select(col("doc_id").as("id"), col("sz"), col("hs"))
     val withinPairs = graft.ext.Dedup.nearDupePairsStored(
       sigOf(enriched), hashedOf(enriched), threshold, k = 64, bands = 16)
+    // the within-batch pass (banded self-join + exact verify, several
+    // shuffle stages) runs EXACTLY ONCE: its survivors are snapshotted
+    // and every downstream consumer — the corpus-pass banding, the
+    // verify's batch side, the novel anti-join — reads the snapshot.
+    // Unsnapshotted, the same pipeline re-executed up to three times
+    // per ingest (each consumer is a separate DAG branch and Spark
+    // does not dedupe common subplans) — the bulk of the ~2 s/ingest
+    // toy-scale scheduling constant round 12 disclosed.
     val withinSurv = enriched.join(
       withinPairs.select(col("id_b").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     // corpus check: READ-side O(batch · collisions), the round-11
     // write-side twin. Candidates come from the PERSISTED banded index
     // (NearDupIndex — partition-pruned to the batch's own pb collision
@@ -1169,9 +1188,11 @@ object Stream {
       if (!graft.io.ManifestTable.exists(spark, root)) None
       else {
         NearDupIndex.sync(spark, root) // heal crash-window gaps first
+        // banded rows derive NARROWLY (a posexplode, no shuffle) from
+        // the survivor snapshot — re-evaluation per consumer is
+        // cheaper than a dedicated snapshot job was
         val batchBanded = NearDupIndex.withPb(
           graft.ext.Dedup.bandedFromSig(sigOf(withinSurv)))
-          .localCheckpoint()
         // the batch's collision partitions: ≤ PartBuckets values
         val pbs = batchBanded.select("pb").distinct()
           .collect().map(_.getInt(0)).toSeq
@@ -1183,11 +1204,11 @@ object Stream {
           .localCheckpoint()
         Some((graft.ext.Dedup.verifyIncrement(
           cands, hashedOf(graft.io.ManifestTable.read(spark, root)),
-          hashedOf(withinSurv), threshold), batchBanded, cands))
+          hashedOf(withinSurv), threshold), cands))
       }
     val novel = cross match {
       case None => withinSurv
-      case Some((pairs, _, _)) =>
+      case Some((pairs, _)) =>
         withinSurv.join(
           pairs.select(col("batch_id").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
@@ -1204,8 +1225,8 @@ object Stream {
     }
     if (graft.io.ManifestTable.exists(spark, root))
       graft.io.ManifestTable.read(spark, root).createOrReplaceTempView(table)
-    cross.foreach { case (_, bb, cd) => graft.core.Lineage.release(bb, cd) }
-    graft.core.Lineage.release(snap, enriched, b0)
+    cross.foreach { case (_, cd) => graft.core.Lineage.release(cd) }
+    graft.core.Lineage.release(snap, withinSurv, enriched, b0)
     ()
   }
 

@@ -3043,6 +3043,87 @@ class ExtSpec extends AnyFunSuite {
     graft.streaming.Stream.dropNearDup(spark, table)
   }
 
+  test("NearDupIndex.pack: probed reads open ONE root after packing, index contents identical, ingest unchanged; corpus compact invalidates the pack and sync heals") {
+    import graft.streaming.{NearDupIndex, Stream}
+    val docs = spark.read.parquet(s"${TestSession.sf}/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .filter(col("doc_id") < 240)
+    val table = "graft_ndpack_spec"
+    Stream.dropNearDup(spark, table)
+    (0 to 2).foreach { k =>
+      Stream.mergeNearDupBatch(spark, table,
+        docs.filter(col("doc_id") % 4 === k))
+    }
+    val root = Stream.nearDupRoot(spark, table)
+    assert(NearDupIndex.indexRoots(spark, root).size == 3,
+      "one band dir per ingest before packing")
+    def indexRows() = NearDupIndex.read(spark, root, 0 until 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val before = indexRows()
+    assert(NearDupIndex.pack(spark, root) == 3)
+    assert(NearDupIndex.indexRoots(spark, root).size == 1,
+      "the probed-read open count must drop to one packed root")
+    assert(indexRows() == before,
+      "packing must not change a single index row")
+    // the next ingest dedups THROUGH the pack (known dups rejected,
+    // novel docs appended as a fresh per-segment dir beside it)
+    val sizeBefore = spark.table(table).count()
+    Stream.mergeNearDupBatch(spark, table,
+      docs.filter(col("doc_id") % 4 === 0)) // full replay: all dups
+    assert(spark.table(table).count() == sizeBefore,
+      "replayed batch must be fully rejected through the packed index")
+    Stream.mergeNearDupBatch(spark, table,
+      docs.filter(col("doc_id") % 4 === 3))
+    val roots2 = NearDupIndex.indexRoots(spark, root)
+    assert(roots2.size == 2 && roots2.exists(_.startsWith("_packed-")),
+      s"novel ingest lands beside the pack: $roots2")
+    // a corpus rewrite retires covered segments -> the pack is invalid;
+    // sync deletes it and rebuilds per-segment dirs for the new layout
+    val expect = indexRows()
+    graft.io.ManifestTable.compact(spark, root)
+    NearDupIndex.sync(spark, root)
+    val roots3 = NearDupIndex.indexRoots(spark, root)
+    assert(roots3.size == 1 && !roots3.head.startsWith("_packed-"),
+      s"post-compact the index is rebuilt per segment: $roots3")
+    assert(indexRows() == expect,
+      "rebuilt index must equal the pre-compact banding (pure derivation)")
+    Stream.dropNearDup(spark, table)
+  }
+
+  test("AnnIndex.optimize: bin-packs small segments keeping the cell layout; probe results unchanged") {
+    import graft.streaming.AnnIndex
+    import spark.implicits._
+    val table = "graft_annopt_spec"
+    AnnIndex.drop(spark, table)
+    val cents = Seq(0L -> Seq(1.0, 0.0), 1L -> Seq(0.0, 1.0))
+    def vec(x: Double, y: Double) = Array(x, y)
+    (0 to 3).foreach { k =>
+      val rows = (0 until 8).map { i =>
+        val id = k * 8L + i
+        if (i % 2 == 0) (id, vec(1.0, 0.1 * (i + k))) else (id, vec(0.1 * (i + k), 1.0))
+      }
+      AnnIndex.ingest(spark, table, rows.toDF("vec_id", "embedding"),
+        cents, batchId = k.toLong)
+    }
+    val root = AnnIndex.annRoot(spark, table)
+    assert(graft.io.ManifestTable.dataSegments(spark, root).size == 4)
+    val q = Seq((100L, vec(0.9, 0.2))).toDF("vec_id", "embedding")
+    def top() = AnnIndex.topK(spark, table, q, k = 5, cents = cents,
+        nprobe = 1)
+      .select("query_id", "rank", "nbr_id", "cosine")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).intValue,
+        r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    val before = top()
+    assert(AnnIndex.optimize(spark, table, smallBytes = 1L << 30) == 4,
+      "all four toy segments are below the threshold")
+    assert(graft.io.ManifestTable.dataSegments(spark, root).size == 1,
+      "probe file-opens drop to one segment's probed cell dirs")
+    assert(top() == before, "packing must be result-invisible to probes")
+    AnnIndex.drop(spark, table)
+  }
+
   test("runNearDupDir compaction policy caps the segment log without changing the corpus") {
     val docs = spark.read.parquet(s"${TestSession.sf}/documents.parquet")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
