@@ -2270,6 +2270,40 @@ trait SparkEntryTail extends SparkEntryMid {
       .orderBy("user_bucket")
   }
 
+  /** RETRACTABLE incremental view maintenance ([[graft.io.AggView
+    * .syncFromLog]]): count/sum partials form a group, so a point
+    * DELETE on the base log folds into the view as the pre-image's
+    * NEGATED partial through the change feed — O(changed + matched)
+    * work, not the O(base) [[graft.io.AggView.rebuild]] — and the
+    * view tracks the table's merge-on-read rule exactly (a tombstone
+    * hides matching rows in EVERY segment, including ones committed
+    * after it, until a compact retires it — which is why the later
+    * v4 append's matching rows stay invisible too). Oracle: the
+    * rollup over events excluding the tombstoned keys. */
+  private[graft] def manifestRetractView(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{AggView, ManifestTable}
+    val base = manifestRoot(s, "graft_retract_base__log")
+    val view = manifestRoot(s, "graft_retract_view__log")
+    ManifestTable.destroy(s, base); ManifestTable.destroy(s, view)
+    val ev = t(s, dir, "events").select(
+      col("event_id"), col("event_type"),
+      col("value").cast("decimal(18,6)").as("value_dec"))
+    val spec = AggView.spec("event_type").count("cnt").sum("value_dec", "sum_dec")
+    ManifestTable.append(s, base, ev.filter(pmod(col("event_id"), lit(3)) === 0)) // v1
+    ManifestTable.append(s, base, ev.filter(pmod(col("event_id"), lit(3)) === 1)) // v2
+    AggView.syncFromLog(s, view, base, spec) // cursor -> 2
+    ManifestTable.delete(s, base,
+      ev.filter(pmod(col("event_id"), lit(7)) === 3).select("event_id"))          // v3
+    ManifestTable.append(s, base, ev.filter(pmod(col("event_id"), lit(3)) === 2)) // v4
+    require(AggView.syncFromLog(s, view, base, spec) == 4L,
+      "retracting sync must advance the cursor to the base head")
+    AggView.read(s, view, spec)
+      .filter(col("cnt") > 0) // SQL GROUP BY parity for all-deleted groups
+      .select(col("event_type"), col("cnt"),
+        round(col("sum_dec").cast("double"), 4).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** Referential-integrity gate ([[graft.ext.Profile.expectRefs]]):
     * lineitem's three real foreign keys (orders / part / supplier —
     * intact by construction, 0 violations each) plus a deliberately
@@ -2364,18 +2398,19 @@ trait SparkEntryTail extends SparkEntryMid {
   /** The composed lakehouse lifecycle, one oracle: four interleaved
     * event appends with ts zone maps; a change-feed-maintained rollup
     * view that syncs incrementally after each wave; a merge-on-read
-    * DELETE the sync correctly REFUSES (tombstones carry no
-    * pre-images) and a rebuild() recovery; a bin-packing optimize the
-    * feed walks THROUGH (the rewrite mark + the caught-up cursor make
-    * maintenance invisible — the sync succeeds with an empty delta
-    * and just advances the cursor); a final sort-based cluster that
-    * applies the tombstones physically and restores range locality.
-    * Output: the view's rollup ('total') plus a zone-map-pruned 5-day
-    * window rollup ('window') — both must equal DuckDB recomputation
-    * over events minus the deleted keys. Every mechanism is
-    * individually oracled elsewhere; this query pins their
-    * INTERACTIONS (delete→sync divergence, rewrite-transparent feed,
-    * tombstone→cluster retirement). */
+    * DELETE the count/sum view RETRACTS through the feed (the
+    * pre-image folds in negated — [[graft.io.AggView.syncFromLog]];
+    * no rebuild, O(changed + matched) work); a bin-packing optimize
+    * the feed walks THROUGH (the rewrite mark + the caught-up cursor
+    * make maintenance invisible — the sync succeeds with an empty
+    * delta and just advances the cursor); a final sort-based cluster
+    * that applies the tombstones physically and restores range
+    * locality. Output: the view's rollup ('total') plus a
+    * zone-map-pruned 5-day window rollup ('window') — both must equal
+    * DuckDB recomputation over events minus the deleted keys. Every
+    * mechanism is individually oracled elsewhere; this query pins
+    * their INTERACTIONS (delete→retracting sync,
+    * rewrite-transparent feed, tombstone→cluster retirement). */
   private[graft] def pipelineLakehouse(s: SparkSession, dir: String): DataFrame = {
     import graft.io.{AggView, ManifestTable}
     val base = manifestRoot(s, "graft_lake_base__log")
@@ -2393,13 +2428,13 @@ trait SparkEntryTail extends SparkEntryMid {
     ManifestTable.append(s, base, batch(2), statsCols = Seq("ts"))
     AggView.syncFromLog(s, view, base, spec)                       // cursor 3
     // merge-on-read delete (keys confined to already-viewed batches);
-    // the incremental sync must refuse and the rebuild must recover
+    // the count/sum view RETRACTS the pre-image through the feed —
+    // no rebuild, the cursor just advances over the tombstone commit
     ManifestTable.delete(s, base,
       ev.filter(pmod(col("event_id"), lit(10)) === 3 &&
         pmod(col("event_id"), lit(4)) < 3).select("event_id"))
-    require(scala.util.Try(AggView.syncFromLog(s, view, base, spec)).isFailure,
-      "sync must refuse a delete-bearing feed window")
-    AggView.rebuild(s, view, base, spec)                           // cursor 4
+    require(AggView.syncFromLog(s, view, base, spec) == 4L,
+      "a count/sum view must retract a delete-bearing feed window")  // cursor 4
     ManifestTable.append(s, base, batch(3), statsCols = Seq("ts"))
     AggView.syncFromLog(s, view, base, spec)                       // cursor 5
     // pay the small-file debt; the MARKED rewrite of already-consumed

@@ -58,6 +58,19 @@ object AggView {
       case "max"           => max(col(as)).as(as)
       case "hll"           => hll_union_agg(col(as)).as(as)
     }
+    /** Is this aggregate a GROUP: does a deletion's effect equal
+      * merging the NEGATED partial of the deleted rows? True for
+      * count/sum (the abelian-group aggregates); min/max/hll only
+      * form monoids — a retraction there needs the surviving rows,
+      * i.e. a rebuild. */
+    private[io] def retractable: Boolean = fn == "count" || fn == "sum"
+    /** Negated batch-local partial of deleted pre-image rows. */
+    private[io] def retract: Column = fn match {
+      case "count" => (-count(lit(1))).as(as)
+      case "sum"   => (-sum(col(input))).as(as)
+      case other   => throw new IllegalStateException(
+        s"$other does not retract") // guarded by retractable above
+    }
   }
 
   /** View definition: grouping columns + aggregate columns (builder
@@ -147,11 +160,42 @@ object AggView {
   /** Pull the view up to date with `baseRoot` through the change
     * feed: read ONLY the base segments committed after the cursor,
     * fold them in as one partial, and advance the cursor — all in one
-    * atomic manifest commit on the view. Insert-only by construction:
-    * a tombstone in the window throws (tombstones carry keys, not the
-    * pre-image values count/sum retraction would need) — rebuild with
-    * [[rebuild]] instead, same as after a base compact/optimize/
-    * cluster breaks the feed. Returns the new cursor. */
+    * atomic manifest commit on the view.
+    *
+    * Deletes RETRACT when every aggregate is count/sum (the
+    * abelian-group aggregates), keeping the view equal to a rollup of
+    * [[ManifestTable.readMerged]] under the table's merge-on-read
+    * semantics (a tombstone hides every matching row — earlier or
+    * later-committed — until a compact retires it):
+    *  - the window's INSERT rows are anti-joined against the base's
+    *    outstanding tombstones (broadcast, O(deleted keys)), exactly
+    *    as a merged read would hide them;
+    *  - the window's NEW tombstone keys retract the PRE-IMAGE they
+    *    killed: rows alive at the cursor ([[ManifestTable
+    *    .readMergedAt]] cursor — earlier tombstones already applied,
+    *    so nothing double-subtracts) semi-joined to the keys
+    *    (broadcast; shuffle is O(matched rows)), folded in as a
+    *    NEGATED partial. The pre-image scan is O(segments at cursor)
+    *    IO — far below the O(base) recompute of [[rebuild]] for
+    *    point deletes.
+    * Both pieces commit atomically with the cursor tag. A bootstrap
+    * sync (cursor 0) has no pre-image to retract — it reads the
+    * merged current state directly, so it works for EVERY aggregate
+    * even with outstanding tombstones.
+    *
+    * min/max/hll keep the rebuild contract (a retraction there needs
+    * the surviving rows): a tombstone in a non-bootstrap window with
+    * any non-retractable aggregate throws — [[rebuild]] instead, same
+    * as after a base rewrite breaks the feed. The pre-image read
+    * needs the cursor's manifest version: if [[ManifestTable
+    * .expireVersions]] already trimmed it, the read fails loudly —
+    * rebuild.
+    *
+    * Known divergence, documented: a group whose rows are ALL deleted
+    * keeps a zero-valued partial row (count 0, sum 0) where a SQL
+    * recompute would drop the group; readers that need exact GROUP BY
+    * semantics filter on the count column (or [[rebuild]], which
+    * recomputes from survivors). Returns the new cursor. */
   def syncFromLog(spark: SparkSession, viewRoot: String, baseRoot: String,
       spec0: Spec): Long = {
     val spec = spec0.checked
@@ -161,18 +205,43 @@ object AggView {
     val cursor = cursorOf(spark, viewRoot)
     if (cursor >= head) return cursor
     val chgSegs = ManifestTable.changedSegments(spark, baseRoot, cursor, head)
-    require(chgSegs.forall(!_.startsWith("del-")),
-      s"base $baseRoot committed deletes in ($cursor, $head]: tombstones " +
-        "carry keys only, so count/sum cannot retract — rebuild() the view")
-    val batch =
-      if (chgSegs.isEmpty)
-        // the window held only safe rewrites (optimize/cluster/compact
-        // of already-consumed segments): nothing to fold, but the
-        // cursor must still advance — an empty partial commits it
+    val dels = chgSegs.filter(_.startsWith("del-"))
+    require(dels.isEmpty || cursor == 0L || spec.aggs.forall(_.retractable),
+      s"base $baseRoot committed deletes in ($cursor, $head] and the view " +
+        "holds non-retractable aggregates (min/max/hll need the surviving " +
+        "rows, not the deleted ones) — rebuild() the view")
+    val gcols = spec.groupCols.map(col)
+    val ins = chgSegs.filterNot(_.startsWith("del-"))
+    val insRows0 =
+      if (ins.isEmpty)
+        // only safe rewrites (and/or deletes) in the window: the
+        // cursor must still advance — an empty insert partial
         ManifestTable.read(spark, baseRoot).filter(lit(false))
-      else ManifestTable.readChanges(spark, baseRoot, cursor, head)
-        .drop("_change_type")
-    ingestPartial(spark, viewRoot, batch, spec, tag = Some(s"b$head"))
+      else ManifestTable.readSegs(spark, baseRoot, ins)
+    // merged-read parity: outstanding tombstones hide insert rows too
+    val insRows = ManifestTable.tombstones(spark, baseRoot) match {
+      case Some(t) if ins.nonEmpty =>
+        insRows0.join(broadcast(t), t.columns.toSeq, "left_anti")
+      case _ => insRows0
+    }
+    val insPartial = insRows.groupBy(gcols: _*)
+      .agg(spec.aggs.head.partial, spec.aggs.tail.map(_.partial): _*)
+    val retractPartials =
+      if (dels.isEmpty || cursor == 0L) Seq.empty
+      else {
+        val keys = dels.map(d => spark.read.parquet(s"$baseRoot/$d"))
+          .reduce(_ unionByName _).distinct()
+        Seq(ManifestTable.readMergedAt(spark, baseRoot, cursor)
+          .join(broadcast(keys), keys.columns.toSeq, "left_semi")
+          .groupBy(gcols: _*)
+          .agg(spec.aggs.head.retract, spec.aggs.tail.map(_.retract): _*))
+      }
+    // fold inserts + retractions into ONE stored partial (merge of
+    // partials is itself a partial — the representation invariant)
+    val folded = (insPartial +: retractPartials).reduce(_ unionByName _)
+      .groupBy(gcols: _*)
+      .agg(spec.aggs.head.merge, spec.aggs.tail.map(_.merge): _*)
+    ManifestTable.append(spark, viewRoot, folded, tag = Some(s"b$head"))
     head
   }
 

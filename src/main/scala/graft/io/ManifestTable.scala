@@ -179,7 +179,7 @@ object ManifestTable {
 
   /** Commit version encoded in a segment dir name
     * (`seg-<v>-…` / `del-<v>-…`). */
-  private def segVersion(name: String): Long =
+  private[io] def segVersion(name: String): Long =
     name.split("-")(1).toLong
 
   /** Committed segment dir names, in commit order (empty if no manifest). */
@@ -241,7 +241,7 @@ object ManifestTable {
     * (CONFLICTING_DIRECTORY_STRUCTURES) and this way partition
     * discovery (and pruning on the partition column) works per
     * segment. Same files either way; scan parallelism is per-file. */
-  private def readSegs(spark: SparkSession, root: String, segs: Seq[String]): DataFrame =
+  private[io] def readSegs(spark: SparkSession, root: String, segs: Seq[String]): DataFrame =
     segs.map(s => spark.read.parquet(s"$root/$s"))
       .reduce(_.unionByName(_, allowMissingColumns = true))
 

@@ -4091,7 +4091,7 @@ class ExtSpec extends AnyFunSuite {
     graft.io.ManifestTable.destroy(spark, root)
   }
 
-  test("AggView.syncFromLog: cursor rides in segment tags — incremental, idempotent, compact-surviving, delete-refusing") {
+  test("AggView.syncFromLog: cursor rides in segment tags — incremental, idempotent, compact-surviving; count/sum retract deletes, min/max refuse") {
     import spark.implicits._
     import graft.io.{AggView, ManifestTable}
     val wh = spark.conf.get("spark.sql.warehouse.dir")
@@ -4118,19 +4118,59 @@ class ExtSpec extends AnyFunSuite {
     ManifestTable.append(spark, base, baseRows("c" -> 30L))
     assert(AggView.syncFromLog(spark, view, base, spec) == 4L)
     assert(viewNow() == Seq(("a", 2L, 11L), ("b", 2L, 22L), ("c", 2L, 33L)))
-    // deletes cannot retract partials: sync refuses, rebuild recovers
+    // count/sum form a group: the delete's pre-image ("a": 2 rows
+    // summing 11) folds in NEGATED — no rebuild, O(changed) sync
     ManifestTable.delete(spark, base, Seq("a").toDF("k"))
-    val e = intercept[IllegalArgumentException] {
-      AggView.syncFromLog(spark, view, base, spec)
-    }
-    assert(e.getMessage.contains("rebuild"))
-    assert(AggView.rebuild(spark, view, base, spec) == 5L)
-    assert(viewNow() == Seq(("b", 2L, 22L), ("c", 2L, 33L)))
-    // and the rebuilt cursor keeps syncing incrementally afterwards
+    assert(AggView.syncFromLog(spark, view, base, spec) == 5L)
+    // the all-deleted group keeps a ZERO partial row (documented
+    // divergence from SQL GROUP BY, which drops the group): exact
+    // zeros, never a wrong value — and filtering cnt > 0 restores
+    // recompute parity
+    assert(viewNow() == Seq(("a", 0L, 0L), ("b", 2L, 22L), ("c", 2L, 33L)))
+    def viewLive() = AggView.read(spark, view, spec)
+      .filter(col("cnt") > 0).orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viewLive() == Seq(("b", 2L, 22L), ("c", 2L, 33L)))
+    // and the cursor keeps syncing incrementally afterwards
     ManifestTable.append(spark, base, baseRows("b" -> 100L))
     assert(AggView.syncFromLog(spark, view, base, spec) == 6L)
-    assert(viewNow() == Seq(("b", 3L, 122L), ("c", 2L, 33L)))
+    assert(viewLive() == Seq(("b", 3L, 122L), ("c", 2L, 33L)))
+    // merged-read parity under re-insertion: a tombstone hides every
+    // matching row, earlier OR later-committed (the table's
+    // merge-on-read rule) — delete c, re-insert c=7 (hidden by the
+    // outstanding tombstone), delete c again; one retraction of the
+    // pre-image alive at the cursor, the re-insert never counts
+    ManifestTable.delete(spark, base, Seq("c").toDF("k"))           // v7
+    ManifestTable.append(spark, base, baseRows("c" -> 7L))          // v8
+    ManifestTable.delete(spark, base, Seq("c").toDF("k"))           // v9
+    assert(AggView.syncFromLog(spark, view, base, spec) == 9L)
+    assert(viewLive() == Seq(("b", 3L, 122L)))
+    // ...which is exactly the merged-read rollup
+    assert(ManifestTable.readMerged(spark, base).groupBy("k")
+      .agg(count(lit(1)).as("cnt"), sum("x").as("sx")).orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq == viewLive())
+    // min/max only form monoids: BOOTSTRAP through outstanding
+    // tombstones is fine (no retraction, just a merged read)…
+    val view2 = new org.apache.hadoop.fs.Path(wh, "graft_cfv_view2_spec").toString
+    ManifestTable.destroy(spark, view2)
+    val spec2 = AggView.spec("k").count("cnt").min("x", "mn")
+    assert(AggView.syncFromLog(spark, view2, base, spec2) == 9L)
+    assert(AggView.read(spark, view2, spec2).orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("b", 3L, 2L)))
+    // …but an IN-WINDOW delete refuses (retraction needs survivors),
+    // and rebuild recovers
+    ManifestTable.delete(spark, base, Seq("b").toDF("k"))           // v10
+    val e = intercept[IllegalArgumentException] {
+      AggView.syncFromLog(spark, view2, base, spec2)
+    }
+    assert(e.getMessage.contains("rebuild"))
+    assert(AggView.rebuild(spark, view2, base, spec2) == 10L)
+    assert(AggView.read(spark, view2, spec2).count() == 0L,
+      "every key deleted -> empty rebuilt view")
     ManifestTable.destroy(spark, base); ManifestTable.destroy(spark, view)
+    ManifestTable.destroy(spark, view2)
   }
 
   test("AggView hll: batched sketch partials + compact estimate EXACTLY like a one-shot sketch") {
