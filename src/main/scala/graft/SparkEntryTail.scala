@@ -2061,16 +2061,21 @@ trait SparkEntryTail extends SparkEntryMid {
     * so zone maps prune segments under plain SQL exactly as under
     * `readRange` (spec-pinned in PlanSpec), and the scan below is the
     * stock parquet reader — PushedFilters, column pruning and codegen
-    * all intact. Oracle: the same BETWEEN aggregate on raw events. */
+    * all intact. The segments are COMMITTED through the format's
+    * write path too (`df.write.format("graft.manifest").mode
+    * ("append")` = one atomic manifest commit per call, zone maps via
+    * `statsCols`), so the query pins the full SQL-facing round trip.
+    * Oracle: the same BETWEEN aggregate on raw events. */
   private[graft] def manifestSql(s: SparkSession, dir: String): DataFrame = {
     import graft.io.ManifestTable
     val root = manifestRoot(s, "graft_manifest_sql__log")
     ManifestTable.destroy(s, root)
     val ev = t(s, dir, "events").select("event_id", "ts", "event_type", "value")
     (0 to 5).foreach { k =>
-      ManifestTable.append(s, root,
-        ev.filter(floor((dayofmonth(col("ts")) - 1) / 5) === k),
-        statsCols = Seq("ts", "event_id"))
+      ev.filter(floor((dayofmonth(col("ts")) - 1) / 5) === k)
+        .write.format("graft.manifest")
+        .option("statsCols", "ts,event_id")
+        .mode("append").save(root)
     }
     s.read.format("graft.manifest").load(root)
       .createOrReplaceTempView("manifest_sql_events")

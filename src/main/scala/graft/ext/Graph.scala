@@ -542,9 +542,13 @@ object Graph {
       .union(und.select(col("v").as("z"), col("u").as("x")))
     val deg = adj.groupBy("z").agg(count(lit(1)).as("d"))
     val pivots = deg.filter(col("d") >= 2 && col("d") <= maxDeg).select("z")
-    // each endpoint's FULL degree rides on its adjacency row from here
+    // each endpoint's FULL degree rides on its adjacency row from here.
+    // Deliberately UNHINTED: either strategy is O(edges) — broadcast
+    // while deg (one row per node) fits the threshold, sort-merge when
+    // it outgrows it — and neither touches the O(pairs) stream, which
+    // is what the pinned hints below protect.
     val dadj = adj.join(
-      deg.select(col("z").as("x"), col("d").as("dx")).hint("shuffle_merge"), "x")
+      deg.select(col("z").as("x"), col("d").as("dx")), "x")
     val padj = dadj.join(pivots.hint("shuffle_merge"), "z")
     val wedges = padj.as("a")
       .join(padj.as("b").hint("shuffle_merge"),

@@ -373,12 +373,13 @@ object ManifestTable {
     * [[changedSegments]] — caught-up feed consumers skip it). */
   def replace(spark: SparkSession, root: String, df: DataFrame,
       partitionBy: Seq[String] = Nil, tag: Option[String] = None,
-      rewrite: Boolean = false): Unit = {
+      rewrite: Boolean = false, statsCols: Seq[String] = Nil): Unit = {
     val (f, p) = fs(spark, root)
     val v = currentVersion(f, p).getOrElse(0L)
     val t = tag.map(_ + "-").getOrElse("")
     val seg = s"seg-${v + 1}-$t${java.util.UUID.randomUUID().toString.take(8)}"
     writeSeg(df, s"$root/$seg", partitionBy)
+    if (statsCols.nonEmpty) writeStats(spark, f, s"$root/$seg", statsCols)
     commit(f, p, v + 1, Seq(seg), if (rewrite) Seq(RewriteMark) else Nil)
     gc(f, p)
   }

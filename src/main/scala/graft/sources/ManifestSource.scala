@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileStatus, Path}
-import org.apache.spark.sql.{SparkSession, SQLContext}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo,
   Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual,
@@ -9,8 +9,8 @@ import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo,
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation,
   PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister,
-  RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider,
+  DataSourceRegister, RelationProvider}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -56,21 +56,108 @@ import graft.io.ManifestTable
   *    the merged footer schema and parquet reads NULL-fill columns a
   *    segment predates.
   */
-class ManifestSource extends RelationProvider with DataSourceRegister {
+class ManifestSource extends RelationProvider with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft.manifest"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.get("path").orElse(parameters.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft.manifest needs a table root: .load(root) or .option(\"path\", root)"))
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
-    val root = parameters.get("path").orElse(parameters.get("root")).getOrElse(
-      throw new IllegalArgumentException(
-        "graft.manifest needs a table root: .load(root) or .option(\"path\", root)"))
+    val root = rootOf(parameters)
     val version = parameters.get("version").map(_.toLong)
     val allowTombstones =
       parameters.get("allowtombstones").orElse(parameters.get("allowTombstones"))
         .exists(_.equalsIgnoreCase("true"))
     ManifestSource.relation(spark, root, version, allowTombstones)
+  }
+
+  /** Write path — `df.write.format("graft.manifest")` with the
+    * standard SaveMode semantics mapped onto the log's commit verbs:
+    * Append = one [[ManifestTable.append]]ed segment (atomic manifest
+    * commit, O(df) IO); Overwrite = [[ManifestTable.replace]] (a new
+    * single-segment version, history retained per [[ManifestTable
+    * .retainVersions]]); ErrorIfExists/Ignore follow their contracts
+    * against manifest existence. Options: `statsCols` (comma list)
+    * collects zone-map sidecars for the new segment; `tag` rides in
+    * the segment name (the at-least-once replay guard). Partitioned
+    * (hive-layout) segments stay on the typed API — this surface
+    * writes flat segments, matching what the SQL read path scans. */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    val statsCols = parameters.get("statscols").orElse(parameters.get("statsCols"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+    val tag = parameters.get("tag")
+    val exists = ManifestTable.exists(spark, root)
+    mode match {
+      case SaveMode.Append =>
+        ManifestTable.append(spark, root, data, statsCols = statsCols, tag = tag)
+      case SaveMode.Overwrite =>
+        ManifestTable.replace(spark, root, data, tag = tag,
+          statsCols = statsCols)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"manifest table $root already exists (SaveMode.ErrorIfExists); " +
+            "use mode(\"append\") or mode(\"overwrite\")")
+        ManifestTable.append(spark, root, data, statsCols = statsCols, tag = tag)
+      case SaveMode.Ignore =>
+        if (!exists)
+          ManifestTable.append(spark, root, data, statsCols = statsCols, tag = tag)
+    }
+    createRelation(sqlContext, parameters)
+  }
+
+  /** Streaming sink — `df.writeStream.format("graft.manifest")
+    * .option("path", root)`: each micro-batch commits as ONE
+    * manifest-logged segment tagged `mb<batchId>` (the
+    * [[graft.streaming.Stream.runLakehouseIngest]] convention), so an
+    * at-least-once replay is detected from the manifest NAME SCAN
+    * alone and skipped — exactly-once table contents on top of an
+    * at-least-once engine, with no idempotent-sink requirement pushed
+    * to readers. Append output mode only (the log is append-only by
+    * construction; aggregations ride [[graft.io.AggView]], not sink
+    * upserts). `statsCols` collects zone-map sidecars per batch
+    * segment. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft.manifest sink supports Append output mode, got $outputMode " +
+        "(aggregate maintenance rides AggView over the log, not sink upserts)")
+    val root = rootOf(parameters)
+    val statsCols = parameters.get("statscols").orElse(parameters.get("statsCols"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+    new ManifestSink(sqlContext.sparkSession, root, statsCols, partitionColumns)
+  }
+}
+
+/** One manifest commit per micro-batch; replays skip on the batch tag. */
+private[sources] class ManifestSink(spark: SparkSession, root: String,
+    statsCols: Seq[String], partitionBy: Seq[String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val tag = s"mb$batchId"
+    val seen = ManifestTable.exists(spark, root) &&
+      ManifestTable.segments(spark, root).exists(_.contains(s"-$tag-"))
+    if (seen) return
+    // the V1 sink hands a STREAMING-flagged frame (batch writers
+    // refuse it) — re-expose the same physical rows as a batch frame,
+    // then snapshot once: append evaluates it for the segment write
+    // and (when statsCols is set) again for the sidecar aggregate
+    val snap = org.apache.spark.sql.GraftColumnBridge.asBatchDataFrame(data)
+      .localCheckpoint()
+    try ManifestTable.append(spark, root, snap, partitionBy = partitionBy,
+      tag = Some(tag), statsCols = statsCols)
+    finally graft.core.Lineage.release(snap)
   }
 }
 

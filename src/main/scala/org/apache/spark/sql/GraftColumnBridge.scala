@@ -17,4 +17,17 @@ object GraftColumnBridge {
     * streaming query reloads its state from checkpoint as usual. */
   def unloadAllStateStores(): Unit =
     org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
+
+  /** Re-expose a V1 streaming sink's per-batch frame as a BATCH frame
+    * (what `ForeachBatchSink` does internally): the frame `addBatch`
+    * receives carries the streaming flag, so batch writers refuse it
+    * and any fresh action re-trips the unsupported-operations check.
+    * Wrapping the SAME physical rows (`queryExecution.toRdd`) with
+    * `isStreaming = false` hands the sink an ordinary DataFrame —
+    * one extra pipelined pass, no extra shuffle. */
+  def asBatchDataFrame(df: Dataset[Row]): DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = false)
+  }
 }

@@ -95,10 +95,10 @@ class BenchSpec extends AnyFunSuite {
       s"cheap query slowed after 24-query interleave: $before s -> $after s")
   }
 
-  test("per-query budget: newest sf0.1 bench detail stays within 3x of the r12 reference") {
+  test("per-query budget: newest sf0.1 bench detail stays within 3x of the r13 reference") {
     // Regressions must surface in CI, not at round end: whenever a
     // newer bench-detail artifact exists (Bench writes one per run),
-    // every query it shares with the r12 reference must stay under
+    // every query it shares with the r13 reference must stay under
     // 3x its recorded median (+0.5 s noise floor for sub-second
     // queries). No newer artifact -> nothing to check this run.
     // escape hatch for machines much slower than the one that recorded
@@ -106,8 +106,8 @@ class BenchSpec extends AnyFunSuite {
     assume(!sys.env.contains("GRAFT_SKIP_BENCH_BUDGETS"),
       "budget check disabled via GRAFT_SKIP_BENCH_BUDGETS")
     val dir = new java.io.File("bench")
-    val ref = new java.io.File(dir, "bench_detail_sf0.1_r12b.json")
-    assume(ref.exists(), "r12 reference bench detail missing")
+    val ref = new java.io.File(dir, "bench_detail_sf0.1_r13a.json")
+    assume(ref.exists(), "r13 reference bench detail missing")
     def queries(f: java.io.File): Map[String, Double] = {
       val txt = scala.io.Source.fromFile(f, "UTF-8").mkString
       val parsed = org.json4s.jackson.JsonMethods.parse(txt)
@@ -136,7 +136,7 @@ class BenchSpec extends AnyFunSuite {
       .filter { case (r, _) => ord.gt(r, refRound) }
       .sortBy(_._1).lastOption.map(_._2)
     newer match {
-      case None => cancel("no bench detail newer than the r12 reference")
+      case None => cancel("no bench detail newer than the r13 reference")
       case Some(f) =>
         val base = queries(ref); val cur = queries(f)
         val regressed = cur.toSeq.collect {
@@ -144,7 +144,7 @@ class BenchSpec extends AnyFunSuite {
             f"$q: ${base(q)}%.2f s -> $sec%.2f s"
         }
         assert(regressed.isEmpty,
-          s"${f.getName} regressed vs r12 budgets:\n  " + regressed.mkString("\n  "))
+          s"${f.getName} regressed vs r13 budgets:\n  " + regressed.mkString("\n  "))
     }
   }
 }

@@ -3891,6 +3891,57 @@ class ExtSpec extends AnyFunSuite {
     ManifestTable.destroy(spark, root)
   }
 
+  test("graft.manifest streaming sink: one tagged segment per micro-batch through the real engine; restart ingests only unseen files; zone maps per batch") {
+    import spark.implicits._
+    import graft.io.ManifestTable
+    val base = java.nio.file.Files.createTempDirectory("graft_sinkspec").toString
+    val src = s"$base/src"; val cp = s"$base/cp"
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_manifest_sink_spec").toString
+    ManifestTable.destroy(spark, root)
+    (1L to 50L).toDF("v").coalesce(1).write.parquet(src)
+    def runOnce(): Unit = {
+      val schema = spark.read.parquet(src).schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream.format("graft.manifest")
+        .option("path", root).option("statsCols", "v")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val segs1 = ManifestTable.segments(spark, root)
+    assert(segs1.size == 1 && segs1.head.contains("-mb0-"),
+      s"one batch-tagged segment per micro-batch: $segs1")
+    assert(ManifestTable.fastRowCount(spark, root).contains(50L),
+      "statsCols option must produce sidecars (metadata-only count works)")
+    // new file lands; the RESTARTED query (same checkpoint) commits
+    // only the unseen batch as mb1
+    (51L to 80L).toDF("v").coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    val segs2 = ManifestTable.segments(spark, root)
+    assert(segs2.size == 2 && segs2.last.contains("-mb1-"), segs2.toString)
+    assert(ManifestTable.read(spark, root)
+      .collect().map(_.getLong(0)).sorted.toSeq == (1L to 80L))
+    // per-batch zone maps prune range reads to the intersecting segment
+    assert(ManifestTable.prunedDataSegments(spark, root, "v",
+      Some(60L), Some(70L)) == Seq(segs2.last))
+    // non-append output modes refuse loudly
+    val e = intercept[Exception] {
+      spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        .groupBy("v").count()
+        .writeStream.format("graft.manifest")
+        .option("path", root).option("checkpointLocation", s"$base/cp2")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    assert(e.getMessage.toLowerCase.contains("append"))
+    ManifestTable.destroy(spark, root)
+  }
+
   test("ManifestTable expireVersions: log retention bounds time travel loudly, current reads unaffected") {
     import spark.implicits._
     import graft.io.ManifestTable

@@ -625,11 +625,22 @@ class PlanSpec extends AnyFunSuite {
       spark.conf.get("spark.sql.warehouse.dir"), "graft_manifest_sqlsrc_plan").toString
     ManifestTable.destroy(spark, root)
     import spark.implicits._
-    // four segments with disjoint v-ranges + zone maps
+    // four segments with disjoint v-ranges + zone maps, committed
+    // through the format's WRITE path (one atomic manifest commit per
+    // mode("append").save)
     (0 to 3).foreach { k =>
-      ManifestTable.append(spark, root,
-        ((k * 1000L) until (k * 1000L + 1000L)).toDF("v"), statsCols = Seq("v"))
+      ((k * 1000L) until (k * 1000L + 1000L)).toDF("v")
+        .write.format("graft.manifest").option("statsCols", "v")
+        .mode("append").save(root)
     }
+    // SaveMode contracts against manifest existence
+    intercept[IllegalStateException] {
+      Seq(9L).toDF("v").write.format("graft.manifest")
+        .mode("errorifexists").save(root)
+    }
+    Seq(9L).toDF("v").write.format("graft.manifest")
+      .mode("ignore").save(root) // existing table: no-op
+    assert(ManifestTable.read(spark, root).count() == 4000L)
     val df = spark.read.format("graft.manifest").load(root)
       .filter(col("v") >= 1200L && col("v") <= 1300L)
     val rows = df.collect().map(_.getLong(0)).sorted
