@@ -2245,6 +2245,10 @@ trait SparkEntryOracle extends SparkEntryTail {
       """SELECT CAST(user_id AS BIGINT) % 100 AS user_bucket, count(*) AS cnt,
         |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_sink_manifest" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "manifest_retract_view" ->
       """SELECT event_type, count(*) AS cnt,
         |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value

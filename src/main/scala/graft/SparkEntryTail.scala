@@ -2309,6 +2309,49 @@ trait SparkEntryTail extends SparkEntryMid {
       .orderBy("event_type")
   }
 
+  /** The DECLARATIVE lakehouse ingest loop: event files stream
+    * through the real micro-batch engine straight into a manifest log
+    * via the registered sink (`writeStream.format("graft.manifest")`,
+    * [[graft.sources.ManifestSource]] — one `mb<batchId>`-tagged
+    * atomic commit per micro-batch, at-least-once replays skipped
+    * from the manifest name scan alone, zone maps per batch via
+    * `statsCols`), then read back through the registered SQL relation
+    * and rolled up in pure SQL. The foreachBatch-free twin of
+    * [[streamLakehouse]]: the sink IS the ingest loop, no user code
+    * in the hot path. Oracle: the straight rollup over all events —
+    * the streaming commit path must be result-invisible. */
+  private[graft] def streamSinkManifest(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.ManifestTable
+    val src = tmpDir("events_sink_src")
+    val cp = tmpDir("events_sink_cp")
+    val root = manifestRoot(s, "graft_sinkq__log")
+    ManifestTable.destroy(s, root)
+    val ev = t(s, dir, "events").select("event_id", "ts", "event_type", "value")
+    (0 to 3).foreach { k => // four files -> four deterministic micro-batches
+      ev.filter(pmod(col("event_id"), lit(4)) === k).coalesce(1)
+        .write.mode("append").parquet(src)
+    }
+    val q = s.readStream.schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream.format("graft.manifest")
+      .option("path", root).option("statsCols", "ts")
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val segs = ManifestTable.segments(s, root)
+    require(segs.size == 4 && segs.forall(_.contains("-mb")),
+      s"one tagged segment per micro-batch expected, got $segs")
+    s.read.format("graft.manifest").load(root)
+      .createOrReplaceTempView("stream_sink_events")
+    s.sql("""
+      SELECT event_type, count(1) AS cnt,
+             round(cast(sum(cast(value AS decimal(18,6))) AS double), 4) AS sum_value
+      FROM stream_sink_events
+      GROUP BY event_type
+      ORDER BY event_type""")
+  }
+
   /** Referential-integrity gate ([[graft.ext.Profile.expectRefs]]):
     * lineitem's three real foreign keys (orders / part / supplier —
     * intact by construction, 0 violations each) plus a deliberately
