@@ -1763,6 +1763,36 @@ trait SparkEntryMid extends SparkEntryBase {
       .orderBy("query_id", "rank")
   }
 
+  /** The ANN index through the engine's SQL face: the same two-batch
+    * cell-partitioned [[graft.streaming.AnnIndex]] ingest, then the
+    * index ROOT is read as a registered `graft.manifest` relation —
+    * the `cell=` hive layout surfaces as a real column and the
+    * `WHERE cell < 8` predicate reaches the file index as a pushed
+    * partition filter, opening only those cells' dirs (PlanSpec pins
+    * the pruning; this query pins the VALUES). Oracle: the frozen
+    * first-16 quantizer's 6-dp argmin cell assignment replayed in
+    * DuckDB, rolled up per cell. */
+  private[graft] def annSql(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = Similarity.firstNCentroids(emb, 16)
+    val table = "graft_ann_sql"
+    graft.streaming.AnnIndex.drop(s, table)
+    graft.streaming.AnnIndex.ingest(s, table,
+      emb.filter(pmod(col("vec_id"), lit(2)) === 0), cents, batchId = 0)
+    graft.streaming.AnnIndex.ingest(s, table,
+      emb.filter(pmod(col("vec_id"), lit(2)) === 1), cents, batchId = 1)
+    s.read.format("graft.manifest")
+      .load(graft.streaming.AnnIndex.annRoot(s, table))
+      .createOrReplaceTempView("ann_sql_idx")
+    s.sql("""
+      SELECT CAST(cell AS BIGINT) AS cell, count(1) AS n,
+             min(id) AS min_id, max(id) AS max_id
+      FROM ann_sql_idx
+      WHERE cell < 8
+      GROUP BY cell
+      ORDER BY cell""")
+  }
+
   /** Merge-on-read DELETE from the streaming ANN index
     * ([[graft.streaming.AnnIndex.delete]]): ingest the corpus in two
     * micro-batches, then delete every vec_id ≡ 0 (mod 3) — an O(ids)

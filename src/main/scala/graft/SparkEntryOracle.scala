@@ -757,6 +757,19 @@ trait SparkEntryOracle extends SparkEntryTail {
     // it), so the batch pruned-probe replay is the exact oracle for
     // ingest + replay-guard + partition-pruned read + ranking
     "stream_ann_ingest" -> simsearchIvfPrunedSql,
+    "ann_sql" ->
+      """WITH cents AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 16),
+        |sa AS (SELECT e.vec_id, c.cid,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                      CAST(c.embedding AS DOUBLE[])), 6) AS s
+        |       FROM embeddings e CROSS JOIN cents c),
+        |cells AS (SELECT vec_id, cid AS cell FROM (
+        |         SELECT vec_id, cid,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        |         FROM sa) WHERE rn = 1)
+        |SELECT cell, count(*) AS n, min(vec_id) AS min_id, max(vec_id) AS max_id
+        |FROM cells WHERE cell < 8
+        |GROUP BY cell ORDER BY cell""".stripMargin,
     // the tombstone delete removes corpus rows ONLY — the frozen
     // quantizer keeps cells and probe selection identical, so the
     // replay is the pruned-probe SQL with the deleted ids filtered

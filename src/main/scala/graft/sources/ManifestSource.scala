@@ -49,9 +49,13 @@ import graft.io.ManifestTable
   *    file scan cannot apply the anti-join; `compact()` first, read
   *    through `readMerged`, or pass `allowTombstones=true` to read
   *    raw data segments knowingly);
-  *  - hive-partitioned segments (written with `partitionBy`) fail the
-  *    build (their partition values live in dir names this flat
-  *    listing would drop — the typed API reads handle them);
+  *  - hive-partitioned segments (written with `partitionBy`, e.g. the
+  *    ANN index's `cell=` layout) are first-class: the partition
+  *    column surfaces in the schema and pushed partition predicates
+  *    prune `col=value` dirs inside every surviving segment — but the
+  *    layout must be consistent (all flat, or all single-level on one
+  *    column; anything else fails the build rather than dropping
+  *    dirs);
   *  - additive schema evolution is supported: the relation's schema is
   *    the merged footer schema and parquet reads NULL-fill columns a
   *    segment predates.
@@ -168,6 +172,10 @@ object ManifestSource {
     * skipping survives the SQL path), not a production surface. */
   @volatile var lastListedSegments: Seq[String] = Nil
 
+  /** Partition dirs the most recent listFiles kept after partition
+    * pruning (= segments for flat layouts) — same test-hook role. */
+  @volatile var lastListedPartitions: Int = 0
+
   private[sources] def relation(spark: SparkSession, root: String,
       version: Option[Long], allowTombstones: Boolean): HadoopFsRelation = {
     val all = version match {
@@ -186,22 +194,34 @@ object ManifestSource {
           "data segments.")
     val segs = all.filterNot(_.startsWith("del-"))
     val index = new ManifestFileIndex(spark, root, segs)
-    val schema = spark.read.option("mergeSchema", "true")
-      .parquet(segs.map(s => s"$root/$s"): _*).schema
+    // merged footer schema per segment root (additive evolution:
+    // later segments may add columns), minus the partition columns —
+    // those come back from the file index's partition values
+    val dataSchema = segs
+      .map(s => spark.read.option("mergeSchema", "true").parquet(s"$root/$s").schema)
+      .reduce { (a, b) =>
+        StructType(a.fields ++ b.fields.filterNot(f => a.fieldNames.contains(f.name)))
+      }
+    val partNames = index.partitionSchema.fieldNames.toSet
     HadoopFsRelation(
       location = index,
-      partitionSchema = StructType(Nil),
-      dataSchema = schema,
+      partitionSchema = index.partitionSchema,
+      dataSchema = StructType(dataSchema.filterNot(f => partNames.contains(f.name))),
       bucketSpec = None,
       fileFormat = new ParquetFileFormat(),
       options = Map.empty)(spark)
   }
 }
 
-/** Committed-segment file index with zone-map segment skipping.
-  * Listing state (files, sidecar stats) is resolved ONCE at
-  * construction — driver-side metadata proportional to segment count,
-  * the same cost class as the manifest read itself. */
+/** Committed-segment file index with TWO pruning layers above
+  * parquet's own: zone-map segment skipping on pushed data filters,
+  * and hive-style partition-dir pruning on pushed partition filters
+  * (single-level `col=value` layouts, the shape [[ManifestTable
+  * .append]]'s `partitionBy` and the ANN index's `cell=` dirs write).
+  * Listing state (files, partition values, sidecar stats) is resolved
+  * ONCE at construction — driver-side metadata proportional to
+  * segment count × partition dirs, the same cost class as the
+  * manifest read itself. */
 private[sources] class ManifestFileIndex(spark: SparkSession, root: String,
     segs: Seq[String]) extends FileIndex {
 
@@ -209,20 +229,62 @@ private[sources] class ManifestFileIndex(spark: SparkSession, root: String,
   private val fs =
     rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** (segment, its data files); hive-partitioned segments are refused
-    * up front — their partition values ride in dir names a flat
-    * listing would silently drop. */
-  private val segFiles: Seq[(String, Array[FileStatus])] = segs.map { s =>
-    val entries = fs.listStatus(new Path(rootPath, s))
-    val dirs = entries.filter(_.isDirectory)
-    require(dirs.isEmpty,
-      s"segment $s of $root is hive-partitioned (${dirs.head.getPath.getName}); " +
-        "the graft.manifest SQL relation reads flat segments — use " +
-        "ManifestTable.read for partitioned layouts")
-    s -> entries.filter { st =>
+  private def dataFiles(dir: Path): Array[FileStatus] =
+    fs.listStatus(dir).filter { st =>
       val n = st.getPath.getName
       st.isFile && !n.startsWith("_") && !n.startsWith(".")
     }
+
+  private var partCol: Option[String] = None
+
+  /** (segment, raw partition value or None for flat, files). Every
+    * segment must agree on the layout — all flat, or all single-level
+    * partitioned on the same column (the only shapes our writers
+    * produce; anything else fails loudly rather than dropping dirs). */
+  private val entries: Seq[(String, Option[String], Array[FileStatus])] =
+    segs.flatMap { s =>
+      val segDir = new Path(rootPath, s)
+      val all = fs.listStatus(segDir)
+      val dirs = all.filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      if (dirs.isEmpty) Seq((s, None, dataFiles(segDir)))
+      else dirs.toSeq.map { d =>
+        val Array(c, v) = d.getPath.getName.split("=", 2)
+        require(partCol.forall(_ == c),
+          s"segment $s of $root is partitioned on '$c' but another segment " +
+            s"uses '${partCol.get}'; the graft.manifest relation needs one " +
+            "consistent layout — use ManifestTable.read for mixed layouts")
+        partCol = Some(c)
+        (s, Some(v), dataFiles(d.getPath))
+      }
+    }
+  // force the listing (and with it partCol) at construction
+  require(entries.forall(e => (e._2.isEmpty) == partCol.isEmpty),
+    s"$root mixes flat and partitioned segments; the graft.manifest " +
+      "relation needs one consistent layout — use ManifestTable.read")
+
+  /** Partition value type: smallest of Int/Long that fits every dir
+    * value, else String — matching what hive-style discovery infers
+    * for the layouts our writers produce. */
+  override val partitionSchema: StructType = partCol match {
+    case None => StructType(Nil)
+    case Some(c) =>
+      val vals = entries.flatMap(_._2)
+      val dt =
+        if (vals.forall(v => scala.util.Try(v.toInt).isSuccess)) IntegerType
+        else if (vals.forall(v => scala.util.Try(v.toLong).isSuccess)) LongType
+        else StringType
+      StructType(Seq(StructField(c, dt, nullable = false)))
+  }
+
+  private def partRow(raw: Option[String]): InternalRow = raw match {
+    case None => InternalRow.empty
+    case Some(v) =>
+      val x: Any = partitionSchema.head.dataType match {
+        case IntegerType => v.toInt
+        case LongType => v.toLong
+        case _ => UTF8String.fromString(v)
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array(x))
   }
 
   private val stats: Map[String, Option[ManifestTable.SegStats]] =
@@ -230,28 +292,42 @@ private[sources] class ManifestFileIndex(spark: SparkSession, root: String,
 
   override def rootPaths: Seq[Path] = segs.map(s => new Path(rootPath, s))
 
-  override def partitionSchema: StructType = StructType(Nil)
-
   override def sizeInBytes: Long =
-    segFiles.iterator.flatMap(_._2).map(_.getLen).sum
+    entries.iterator.flatMap(_._3).map(_.getLen).sum
 
   override def inputFiles: Array[String] =
-    segFiles.flatMap(_._2.map(_.getPath.toString)).toArray
+    entries.flatMap(_._3.map(_.getPath.toString)).toArray
 
   override def refresh(): Unit = () // snapshot-pinned by design
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val bounds = dataFilters.flatMap(ManifestFileIndex.rangeBounds)
-    val keep = segFiles.filter { case (s, _) =>
+    // layer 1: zone maps drop whole segments
+    val keep = entries.filter { case (s, _, _) =>
       bounds.forall { case (c, lo, hi) =>
         ManifestTable.statsAdmit(stats(s), c, lo, hi)
       }
     }
-    ManifestSource.lastListedSegments = keep.map(_._1)
-    keep.map { case (_, files) =>
-      PartitionDirectory(InternalRow.empty, files)
+    // layer 2: partition filters drop col=value dirs inside survivors
+    val pred = partitionFilters.reduceOption(And).map { e =>
+      val bound = e.transformUp {
+        case a: Attribute =>
+          org.apache.spark.sql.catalyst.expressions.BoundReference(
+            partitionSchema.fieldIndex(a.name),
+            partitionSchema(partitionSchema.fieldIndex(a.name)).dataType,
+            nullable = false)
+      }
+      val p = org.apache.spark.sql.catalyst.expressions.Predicate.create(bound)
+      p.initialize(0)
+      p
     }
+    val kept = keep
+      .map { case (s, raw, files) => (s, partRow(raw), files) }
+      .filter { case (_, row, _) => pred.forall(_.eval(row)) }
+    ManifestSource.lastListedSegments = kept.map(_._1).distinct
+    ManifestSource.lastListedPartitions = kept.size
+    kept.map { case (_, row, files) => PartitionDirectory(row, files) }
   }
 }
 

@@ -671,16 +671,26 @@ class PlanSpec extends AnyFunSuite {
     assert(e.getMessage.contains("tombstone"))
     assert(spark.read.format("graft.manifest")
       .option("allowTombstones", "true").load(root).count() == 4000L)
-    // …and hive-partitioned segments refuse with guidance
+    // …and hive-partitioned segments are first-class: the partition
+    // column surfaces in the schema and pushed partition predicates
+    // prune col=value dirs inside every segment (the ANN-index layout)
     val root2 = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), "graft_manifest_sqlsrc_part").toString
     ManifestTable.destroy(spark, root2)
     ManifestTable.append(spark, root2,
-      Seq((1L, "a"), (2L, "b")).toDF("v", "p"), partitionBy = Seq("p"))
-    val e2 = intercept[Exception] {
-      spark.read.format("graft.manifest").load(root2).collect()
-    }
-    assert(e2.getMessage.contains("partitioned"))
+      Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("v", "p"), partitionBy = Seq("p"))
+    ManifestTable.append(spark, root2,
+      Seq((4L, "b")).toDF("v", "p"), partitionBy = Seq("p"))
+    val pdf = spark.read.format("graft.manifest").load(root2)
+    assert(pdf.columns.toSeq == Seq("v", "p"))
+    val aRows = pdf.filter(col("p") === "a")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(aRows == Seq((1L, "a"), (3L, "a")))
+    assert(graft.sources.ManifestSource.lastListedPartitions == 1,
+      "p='a' must open exactly one partition dir (segment 2 has none)")
+    assert(pdf.collect().length == 4)
+    assert(graft.sources.ManifestSource.lastListedPartitions == 3,
+      "unfiltered read opens all three col=value dirs")
     ManifestTable.destroy(spark, root)
     ManifestTable.destroy(spark, root2)
   }
