@@ -2221,6 +2221,11 @@ trait SparkEntryOracle extends SparkEntryTail {
         |WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'
         |  AND ts <= TIMESTAMP '2024-01-15 23:59:59.999999'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "manifest_point" ->
+      """SELECT event_id, event_type, round(value, 4) AS value_r
+        |FROM events
+        |WHERE event_id = (SELECT min(event_id) + 100 FROM events)
+        |ORDER BY event_id""".stripMargin,
     "manifest_evolution" ->
       """SELECT CASE WHEN event_id % 2 = 1 THEN event_type
         |            ELSE '_pre_evolution' END AS etype,

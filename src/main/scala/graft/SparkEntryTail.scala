@@ -2309,6 +2309,39 @@ trait SparkEntryTail extends SparkEntryMid {
       .orderBy("event_type")
   }
 
+  /** Bloom-pruned POINT lookup on an arrival-ordered log
+    * ([[graft.io.ManifestTable.readPoint]]): events land as six
+    * id-interleaved segments (id % 6 — every segment's zone map spans
+    * the whole id domain, so range stats prune NOTHING; asserted),
+    * each carrying a `_bloom.event_id` sidecar; the lookup for one id
+    * then opens exactly the holding segment (asserted — Spark's Bloom
+    * sketch is deterministic, so the assertion is stable per
+    * fixture). This is `WHERE id = k` on a 100 TB log reading
+    * O(segments holding k) instead of O(table) — the sidecar class
+    * zone maps cannot replace. Oracle: the plain equality select. */
+  private[graft] def manifestPoint(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.ManifestTable
+    val root = manifestRoot(s, "graft_manifest_pt__log")
+    ManifestTable.destroy(s, root)
+    val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+    (0 to 5).foreach { k =>
+      ManifestTable.append(s, root,
+        ev.filter(pmod(col("event_id"), lit(6)) === k),
+        statsCols = Seq("event_id"), bloomCols = Seq("event_id"))
+    }
+    val k = ev.agg(min("event_id")).head.getAs[Number](0).longValue + 100L
+    require(ManifestTable.prunedDataSegments(s, root, "event_id",
+      Some(k), Some(k)).size == 6,
+      "zone maps must be useless on the interleaved layout")
+    val hits = ManifestTable.pointSegments(s, root, "event_id", k)
+    require(hits.size == 1,
+      s"the bloom sidecars must isolate the holding segment, got $hits")
+    ManifestTable.readPoint(s, root, "event_id", k)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 4).as("value_r"))
+      .orderBy("event_id")
+  }
+
   /** The DECLARATIVE lakehouse ingest loop: event files stream
     * through the real micro-batch engine straight into a manifest log
     * via the registered sink (`writeStream.format("graft.manifest")`,

@@ -333,13 +333,14 @@ object ManifestTable {
     * whole segments with. */
   def append(spark: SparkSession, root: String, df: DataFrame,
       partitionBy: Seq[String] = Nil, tag: Option[String] = None,
-      statsCols: Seq[String] = Nil): Unit = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Unit = {
     val (f, p) = fs(spark, root)
     val v = currentVersion(f, p).getOrElse(0L)
     val t = tag.map(_ + "-").getOrElse("")
     val seg = s"seg-${v + 1}-$t${java.util.UUID.randomUUID().toString.take(8)}"
     writeSeg(df, s"$root/$seg", partitionBy)
     if (statsCols.nonEmpty) writeStats(spark, f, s"$root/$seg", statsCols)
+    if (bloomCols.nonEmpty) writeBlooms(spark, f, s"$root/$seg", bloomCols)
     commit(f, p, v + 1, segments(spark, root) :+ seg)
   }
 
@@ -373,13 +374,15 @@ object ManifestTable {
     * [[changedSegments]] — caught-up feed consumers skip it). */
   def replace(spark: SparkSession, root: String, df: DataFrame,
       partitionBy: Seq[String] = Nil, tag: Option[String] = None,
-      rewrite: Boolean = false, statsCols: Seq[String] = Nil): Unit = {
+      rewrite: Boolean = false, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Unit = {
     val (f, p) = fs(spark, root)
     val v = currentVersion(f, p).getOrElse(0L)
     val t = tag.map(_ + "-").getOrElse("")
     val seg = s"seg-${v + 1}-$t${java.util.UUID.randomUUID().toString.take(8)}"
     writeSeg(df, s"$root/$seg", partitionBy)
     if (statsCols.nonEmpty) writeStats(spark, f, s"$root/$seg", statsCols)
+    if (bloomCols.nonEmpty) writeBlooms(spark, f, s"$root/$seg", bloomCols)
     commit(f, p, v + 1, Seq(seg), if (rewrite) Seq(RewriteMark) else Nil)
     gc(f, p)
   }
@@ -650,9 +653,11 @@ object ManifestTable {
     val statCols = small
       .flatMap(s => segmentStats(spark, root, s).toSeq.flatMap(_.cols.keys))
       .distinct
+    val bCols = small.flatMap(s => bloomColsOf(f, new Path(p, s))).distinct
     val seg = s"seg-${v + 1}-opt-${java.util.UUID.randomUUID().toString.take(8)}"
     writeSeg(readSegs(spark, root, small), s"$root/$seg", partitionBy)
     if (statCols.nonEmpty) writeStats(spark, f, s"$root/$seg", statCols)
+    if (bCols.nonEmpty) writeBlooms(spark, f, s"$root/$seg", bCols)
     val smallSet = small.toSet
     commit(f, p, v + 1, all.filterNot(smallSet) :+ seg, Seq(RewriteMark))
     gc(f, p)
@@ -1007,5 +1012,110 @@ object ManifestTable {
     val pred = (lo.map(c >= lit(_)) ++ hi.map(c <= lit(_)))
       .reduceOption(_ && _).getOrElse(lit(true))
     base.filter(pred)
+  }
+
+  // ------------------------------------------------------------------
+  // Bloom sidecars + point-lookup data skipping.
+  //
+  // Zone maps prune RANGE reads, but they are useless for point
+  // lookups on an arrival-ordered log: every segment's [min, max]
+  // spans most of an id-like key's domain, so `WHERE id = k` opens
+  // everything. A per-segment Bloom sidecar (`_bloom.<col>.graft`,
+  // Spark's deterministic Murmur3 BloomFilter sketch, fpp 1e-6 ≈
+  // 29 bits/key) answers "might this segment hold k?" from a few
+  // hundred KB of driver-side metadata — the point-lookup analogue of
+  // the zone maps, and the mechanism Delta/Iceberg ship as Bloom
+  // filter indexes. Conservative by construction: a segment without a
+  // sidecar for the column is always read; a false positive costs one
+  // extra segment scan, never a wrong answer (the residual equality
+  // filter always runs).
+  // ------------------------------------------------------------------
+
+  private def bloomFile(colName: String) = s"_bloom.$colName.graft"
+
+  /** Columns a segment carries Bloom sidecars for (file-name scan —
+    * how [[optimize]] knows what to regenerate on the packed output). */
+  private def bloomColsOf(f: FileSystem, segDir: Path): Seq[String] =
+    if (!f.exists(segDir)) Seq.empty
+    else f.listStatus(segDir).iterator.map(_.getPath.getName)
+      .filter(n => n.startsWith("_bloom.") && n.endsWith(".graft"))
+      .map(_.stripPrefix("_bloom.").stripSuffix(".graft"))
+      .toSeq
+
+  /** Column types a Bloom sidecar supports (what Spark's BloomFilter
+    * hashes): integral + string. Callers naming other types fail
+    * loudly at write time rather than silently skipping. */
+  private def bloomable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType => true
+    case _ => false
+  }
+
+  private def writeBlooms(spark: SparkSession, f: FileSystem,
+      segDir: String, cols: Seq[String]): Unit = {
+    val df = spark.read.parquet(segDir)
+    cols.foreach { c =>
+      require(bloomable(df.schema(c).dataType),
+        s"bloom sidecars support integral/string columns; '$c' is " +
+          s"${df.schema(c).dataType.simpleString}")
+    }
+    val n = math.max(df.count(), 1L)
+    cols.foreach { c =>
+      val bf = df.stat.bloomFilter(c, n, 1e-6)
+      val out = f.create(new Path(segDir, bloomFile(c)), true)
+      try bf.writeTo(out) finally out.close()
+    }
+  }
+
+  /** Load a segment's Bloom sidecar for `colName`, if present and
+    * readable (malformed → None = conservative always-read, the
+    * [[segmentStats]] contract). */
+  def segmentBloom(spark: SparkSession, root: String, seg: String,
+      colName: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val (f, _) = fs(spark, root)
+    val p = new Path(s"$root/$seg", bloomFile(colName))
+    if (!f.exists(p)) None
+    else scala.util.Try {
+      val in = f.open(p)
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+      finally in.close()
+    }.toOption
+  }
+
+  /** Might a segment with this sidecar hold `value`? None → yes
+    * (conservative). Integral values hash as longs (how the filter
+    * was built); other types are admitted unconditionally. */
+  private[graft] def bloomAdmit(
+      bloom: Option[org.apache.spark.util.sketch.BloomFilter],
+      value: Any): Boolean = bloom match {
+    case None => true
+    case Some(b) => value match {
+      case x: Byte => b.mightContainLong(x.toLong)
+      case x: Short => b.mightContainLong(x.toLong)
+      case x: Int => b.mightContainLong(x.toLong)
+      case x: Long => b.mightContainLong(x)
+      case s: String => b.mightContainString(s)
+      case _ => true
+    }
+  }
+
+  /** The data segments a `colName = value` read must open: every
+    * segment whose Bloom sidecar admits the value (or has none). */
+  def pointSegments(spark: SparkSession, root: String, colName: String,
+      value: Any): Seq[String] =
+    dataSegments(spark, root).filter { seg =>
+      bloomAdmit(segmentBloom(spark, root, seg, colName), value)
+    }
+
+  /** Bloom-pruned point lookup: equivalent to `read(...).filter(col =
+    * value)` by construction; segments whose sidecar excludes the key
+    * are never opened — `WHERE id = k` on a 100 TB arrival-ordered
+    * log reads O(segments holding k), not O(table). */
+  def readPoint(spark: SparkSession, root: String, colName: String,
+      value: Any): DataFrame = {
+    val keep = pointSegments(spark, root, colName, value)
+    val base =
+      if (keep.nonEmpty) readSegs(spark, root, keep)
+      else read(spark, root).filter(lit(false)) // schema-only; empty plan
+    base.filter(col(colName) === lit(value))
   }
 }

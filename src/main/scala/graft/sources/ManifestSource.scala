@@ -89,32 +89,38 @@ class ManifestSource extends RelationProvider with CreatableRelationProvider
     * single-segment version, history retained per [[ManifestTable
     * .retainVersions]]); ErrorIfExists/Ignore follow their contracts
     * against manifest existence. Options: `statsCols` (comma list)
-    * collects zone-map sidecars for the new segment; `tag` rides in
-    * the segment name (the at-least-once replay guard). Partitioned
+    * collects zone-map sidecars for the new segment, `bloomCols` its
+    * point-lookup Bloom sidecars; `tag` rides in the segment name
+    * (the at-least-once replay guard). Partitioned
     * (hive-layout) segments stay on the typed API — this surface
     * writes flat segments, matching what the SQL read path scans. */
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
     val spark = sqlContext.sparkSession
     val root = rootOf(parameters)
-    val statsCols = parameters.get("statscols").orElse(parameters.get("statsCols"))
+    def colsOpt(k: String) = parameters.get(k.toLowerCase).orElse(parameters.get(k))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+    val statsCols = colsOpt("statsCols")
+    val bloomCols = colsOpt("bloomCols")
     val tag = parameters.get("tag")
     val exists = ManifestTable.exists(spark, root)
     mode match {
       case SaveMode.Append =>
-        ManifestTable.append(spark, root, data, statsCols = statsCols, tag = tag)
+        ManifestTable.append(spark, root, data, statsCols = statsCols,
+          bloomCols = bloomCols, tag = tag)
       case SaveMode.Overwrite =>
         ManifestTable.replace(spark, root, data, tag = tag,
-          statsCols = statsCols)
+          statsCols = statsCols, bloomCols = bloomCols)
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(
           s"manifest table $root already exists (SaveMode.ErrorIfExists); " +
             "use mode(\"append\") or mode(\"overwrite\")")
-        ManifestTable.append(spark, root, data, statsCols = statsCols, tag = tag)
+        ManifestTable.append(spark, root, data, statsCols = statsCols,
+          bloomCols = bloomCols, tag = tag)
       case SaveMode.Ignore =>
         if (!exists)
-          ManifestTable.append(spark, root, data, statsCols = statsCols, tag = tag)
+          ManifestTable.append(spark, root, data, statsCols = statsCols,
+            bloomCols = bloomCols, tag = tag)
     }
     createRelation(sqlContext, parameters)
   }
@@ -138,15 +144,16 @@ class ManifestSource extends RelationProvider with CreatableRelationProvider
       s"graft.manifest sink supports Append output mode, got $outputMode " +
         "(aggregate maintenance rides AggView over the log, not sink upserts)")
     val root = rootOf(parameters)
-    val statsCols = parameters.get("statscols").orElse(parameters.get("statsCols"))
+    def colsOpt(k: String) = parameters.get(k.toLowerCase).orElse(parameters.get(k))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
-    new ManifestSink(sqlContext.sparkSession, root, statsCols, partitionColumns)
+    new ManifestSink(sqlContext.sparkSession, root, colsOpt("statsCols"),
+      colsOpt("bloomCols"), partitionColumns)
   }
 }
 
 /** One manifest commit per micro-batch; replays skip on the batch tag. */
 private[sources] class ManifestSink(spark: SparkSession, root: String,
-    statsCols: Seq[String], partitionBy: Seq[String])
+    statsCols: Seq[String], bloomCols: Seq[String], partitionBy: Seq[String])
     extends org.apache.spark.sql.execution.streaming.Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val tag = s"mb$batchId"
@@ -160,7 +167,7 @@ private[sources] class ManifestSink(spark: SparkSession, root: String,
     val snap = org.apache.spark.sql.GraftColumnBridge.asBatchDataFrame(data)
       .localCheckpoint()
     try ManifestTable.append(spark, root, snap, partitionBy = partitionBy,
-      tag = Some(tag), statsCols = statsCols)
+      tag = Some(tag), statsCols = statsCols, bloomCols = bloomCols)
     finally graft.core.Lineage.release(snap)
   }
 }
@@ -290,6 +297,14 @@ private[sources] class ManifestFileIndex(spark: SparkSession, root: String,
   private val stats: Map[String, Option[ManifestTable.SegStats]] =
     segs.map(s => s -> ManifestTable.segmentStats(spark, root, s)).toMap
 
+  // Bloom sidecars load lazily (a probe-free query never opens them)
+  // and memoize per (segment, column) for the relation's lifetime
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Option[org.apache.spark.util.sketch.BloomFilter]]
+  private def bloomOf(seg: String, colName: String) =
+    bloomCache.computeIfAbsent((seg, colName),
+      _ => ManifestTable.segmentBloom(spark, root, seg, colName))
+
   override def rootPaths: Seq[Path] = segs.map(s => new Path(rootPath, s))
 
   override def sizeInBytes: Long =
@@ -303,10 +318,15 @@ private[sources] class ManifestFileIndex(spark: SparkSession, root: String,
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val bounds = dataFilters.flatMap(ManifestFileIndex.rangeBounds)
-    // layer 1: zone maps drop whole segments
+    val eqs = dataFilters.flatMap(ManifestFileIndex.eqProbes)
+    // layer 1: zone maps (ranges) + Bloom sidecars (point probes —
+    // the pruning an arrival-ordered log needs for `id = k`, where
+    // every segment's [min, max] admits everything) drop segments
     val keep = entries.filter { case (s, _, _) =>
       bounds.forall { case (c, lo, hi) =>
         ManifestTable.statsAdmit(stats(s), c, lo, hi)
+      } && eqs.forall { case (c, v) =>
+        ManifestTable.bloomAdmit(bloomOf(s, c), v)
       }
     }
     // layer 2: partition filters drop col=value dirs inside survivors
@@ -367,6 +387,27 @@ private[sources] object ManifestFileIndex {
       bound(a, v, dt).map(b => (a.name, Some(b), None)).toSeq
     case _ => Nil
   }
+
+  /** Extract `(column, value)` Bloom probes from one pushed
+    * predicate: And-conjunct equalities against integral/string
+    * literals (the types Bloom sidecars hash). Same conservatism as
+    * [[rangeBounds]] — anything else contributes nothing. */
+  private[sources] def eqProbes(e: Expression): Seq[(String, Any)] = e match {
+    case And(l, r) => eqProbes(l) ++ eqProbes(r)
+    case EqualTo(a: Attribute, Literal(v, dt)) =>
+      probeVal(v, dt).map(a.name -> _).toSeq
+    case EqualTo(Literal(v, dt), a: Attribute) =>
+      probeVal(v, dt).map(a.name -> _).toSeq
+    case _ => Nil
+  }
+
+  private def probeVal(v: Any, dt: DataType): Option[Any] =
+    if (v == null) None
+    else dt match {
+      case StringType => Some(v.asInstanceOf[UTF8String].toString)
+      case ByteType | ShortType | IntegerType | LongType => Some(v)
+      case _ => None
+    }
 
   /** Catalyst internal literal → the external value shape
     * [[ManifestTable.statsAdmit]]'s bound keys understand. Unmappable

@@ -4093,6 +4093,60 @@ class ExtSpec extends AnyFunSuite {
     ManifestTable.destroy(spark, root)
   }
 
+  test("ManifestTable bloom sidecars: point lookups open only admitting segments, survive optimize, degrade conservatively") {
+    import spark.implicits._
+    import graft.io.ManifestTable
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_manifest_bloom_spec").toString
+    ManifestTable.destroy(spark, root)
+    // arrival-ordered log: ids INTERLEAVE across segments (k, k+4, …),
+    // so every segment's zone map spans the whole domain — the case
+    // where range stats prune NOTHING and blooms are the only index
+    (0 to 3).foreach { k =>
+      ManifestTable.append(spark, root,
+        (0L until 400L).filter(_ % 4 == k).map(i => (i, s"d$i")).toDF("id", "s"),
+        statsCols = Seq("id"), bloomCols = Seq("id", "s"))
+    }
+    // zone maps: useless here (all four segments admit id=42)
+    assert(ManifestTable.prunedDataSegments(spark, root, "id",
+      Some(42L), Some(42L)).size == 4)
+    // blooms: exactly the one holding segment (deterministic sketch)
+    val segs = ManifestTable.segments(spark, root)
+    assert(ManifestTable.pointSegments(spark, root, "id", 42L) == Seq(segs(2)),
+      "id=42 lives in the k=2 slice only")
+    assert(ManifestTable.readPoint(spark, root, "id", 42L)
+      .collect().map(_.getString(1)).toSeq == Seq("d42"))
+    // string keys too
+    assert(ManifestTable.pointSegments(spark, root, "s", "d43") == Seq(segs(3)))
+    // a missing key is excluded everywhere (no segment opened)
+    assert(ManifestTable.pointSegments(spark, root, "id", 100000L).isEmpty)
+    assert(ManifestTable.readPoint(spark, root, "id", 100000L).count() == 0L)
+    // the SQL face consults the same sidecars for pushed equalities
+    val df = spark.read.format("graft.manifest").load(root)
+      .filter(col("id") === 42L)
+    assert(df.collect().map(_.getString(1)).toSeq == Seq("d42"))
+    assert(graft.sources.ManifestSource.lastListedSegments == Seq(segs(2)),
+      "pushed id=42 must bloom-prune three of four segments on the SQL path")
+    // optimize regenerates blooms on the packed segment
+    assert(ManifestTable.optimize(spark, root, smallBytes = 1L << 30) == 4)
+    val packed = ManifestTable.segments(spark, root)
+    assert(ManifestTable.pointSegments(spark, root, "id", 42L) == packed,
+      "packed segment must carry a regenerated bloom that admits its keys")
+    assert(ManifestTable.pointSegments(spark, root, "id", 100000L).isEmpty,
+      "…and still excludes absent keys")
+    // a segment without a sidecar is conservatively read
+    ManifestTable.append(spark, root, Seq((1000L, "x")).toDF("id", "s"))
+    assert(ManifestTable.pointSegments(spark, root, "id", 100000L).size == 1,
+      "sidecar-less segments always admit")
+    // unsupported column types refuse loudly at write time
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, root,
+        Seq((1.5, 1L)).toDF("d", "id"), bloomCols = Seq("d"))
+    }
+    assert(e.getMessage.contains("integral/string"))
+    ManifestTable.destroy(spark, root)
+  }
+
   test("ManifestTable zone maps: string pruning follows code-point order for non-BMP values (no wrong prune)") {
     import spark.implicits._
     import graft.io.ManifestTable
