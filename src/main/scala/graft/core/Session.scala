@@ -30,6 +30,12 @@ object Session {
         .builder()
         .master(master)
         .appName(appName)
+        // the engine's SQL surface carries its extensions: custom
+        // Catalyst functions (vec_dot, sorted_intersect_count,
+        // topk_by_score) and the `graft.manifest`.`root[@vN]` pure-SQL
+        // manifest relation — execute() users get both, matching the
+        // reference's everything-through-SQL posture
+        .withExtensions(new graft.plans.GraftExtensions)
         .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

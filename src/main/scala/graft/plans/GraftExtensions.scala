@@ -41,6 +41,50 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("topk_by_score",
         "topk_by_score(score, id, k) - aggregate: top k (score, id) pairs per group, best first"),
       (args: Seq[Expression]) => GraftExtensions.buildTopK(args)))
+    // HINT-batch placement, not the resolution batch: Spark's own
+    // ResolveSQLOnFile recognizes the registered source name and
+    // throws UNSUPPORTED_DATASOURCE_FOR_DIRECT_QUERY for any
+    // non-FileFormat source before a same-batch custom rule can win —
+    // the hint batch runs earlier, so the relation resolves first
+    e.injectHintResolutionRule(session => new ResolveManifestRelation(session))
+  }
+}
+
+/** Analyzer rule resolving the pure-SQL manifest table syntax
+  * (extension-registered sessions only — plain sessions use
+  * `spark.read.format("graft.manifest")` + a temp view):
+  *
+  * {{{
+  *   SELECT … FROM `graft.manifest`.`/warehouse/events__log`       -- head
+  *   SELECT … FROM `graft.manifest`.`/warehouse/events__log@v3`    -- time travel
+  * }}}
+  *
+  * Spark's own direct-query-on-files path only admits FileFormat
+  * sources, so a manifest-resolving relation needs this rule — the
+  * same extension-rule route the public lakehouse formats take. The
+  * resolved relation is [[graft.sources.ManifestSource.relation]]
+  * verbatim: committed-segment listing, snapshot pinning, zone-map +
+  * Bloom + partition pruning all identical to the reader-API path. */
+class ResolveManifestRelation(spark: org.apache.spark.sql.SparkSession)
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case u: UnresolvedRelation if u.multipartIdentifier.length == 2 &&
+        u.multipartIdentifier.head.equalsIgnoreCase("graft.manifest") =>
+      val spec = u.multipartIdentifier(1)
+      val (root, version) = spec.lastIndexOf("@v") match {
+        case i if i > 0 && spec.drop(i + 2).nonEmpty &&
+            spec.drop(i + 2).forall(_.isDigit) =>
+          (spec.take(i), Some(spec.drop(i + 2).toLong))
+        case _ => (spec, None)
+      }
+      org.apache.spark.sql.execution.datasources.LogicalRelation(
+        graft.sources.ManifestSource.relation(spark, root, version,
+          allowTombstones = false),
+        isStreaming = false)
   }
 }
 

@@ -183,7 +183,7 @@ object ManifestSource {
     * pruning (= segments for flat layouts) — same test-hook role. */
   @volatile var lastListedPartitions: Int = 0
 
-  private[sources] def relation(spark: SparkSession, root: String,
+  private[graft] def relation(spark: SparkSession, root: String,
       version: Option[Long], allowTombstones: Boolean): HadoopFsRelation = {
     val all = version match {
       case Some(v) => ManifestTable.segmentsAt(spark, root, v)

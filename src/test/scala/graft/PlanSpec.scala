@@ -695,6 +695,23 @@ class PlanSpec extends AnyFunSuite {
     ManifestTable.destroy(spark, root2)
   }
 
+  test("graft.manifest resolves from pure SQL table syntax (datasource.`path`)") {
+    import graft.io.ManifestTable
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_manifest_sqlfrom").toString
+    ManifestTable.destroy(spark, root)
+    (1L to 100L).toDF("v").write.format("graft.manifest").mode("append").save(root)
+    (101L to 130L).toDF("v").write.format("graft.manifest").mode("append").save(root)
+    val n = spark.sql(s"SELECT count(*) AS c FROM `graft.manifest`.`$root`")
+      .head().getLong(0)
+    assert(n == 130L)
+    // time travel rides an @v suffix on the path
+    assert(spark.sql(s"SELECT count(*) AS c FROM `graft.manifest`.`$root@v1`")
+      .head().getLong(0) == 100L)
+    ManifestTable.destroy(spark, root)
+  }
+
   test("custom expressions are SQL-reachable via extensions registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(
