@@ -218,8 +218,14 @@ object AggView {
         // cursor must still advance — an empty insert partial
         ManifestTable.read(spark, baseRoot).filter(lit(false))
       else ManifestTable.readSegs(spark, baseRoot, ins)
-    // merged-read parity: outstanding tombstones hide insert rows too
-    val insRows = ManifestTable.tombstones(spark, baseRoot) match {
+    // merged-read parity: outstanding tombstones hide insert rows too.
+    // Tombstones are resolved AT THE PINNED HEAD, not the live
+    // manifest: a delete committed between this sync's version capture
+    // and its execution must not hide rows the cursor never advances
+    // over (it would never be added here, yet the NEXT sync's window
+    // would retract its pre-image — a silent double-subtraction).
+    val insRows = ManifestTable.tombstonesOf(spark, baseRoot,
+        ManifestTable.segmentsAt(spark, baseRoot, head)) match {
       case Some(t) if ins.nonEmpty =>
         insRows0.join(broadcast(t), t.columns.toSeq, "left_anti")
       case _ => insRows0

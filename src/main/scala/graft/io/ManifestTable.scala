@@ -150,14 +150,7 @@ object ManifestTable {
 
   /** Highest committed manifest version under `root`, if any. */
   private def currentVersion(f: FileSystem, root: Path): Option[Long] =
-    if (!f.exists(root)) None
-    else {
-      val vs = f.listStatus(root).iterator.map(_.getPath.getName)
-        .filter(n => n.startsWith(ManifestPrefix) && !n.contains(".tmp-"))
-        .map(_.stripPrefix(ManifestPrefix).toLong)
-        .toSeq
-      if (vs.isEmpty) None else Some(vs.max)
-    }
+    versionsOf(f, root).lastOption
 
   /** Metadata marker for a commit that only REPACKAGES existing rows
     * (optimize/cluster/compact): `#`-prefixed lines in a manifest are
@@ -201,10 +194,7 @@ object ManifestTable {
     * every lakehouse log ships. */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val (f, p) = fs(spark, root)
-    if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).iterator.map(_.getPath.getName)
-      .filter(n => n.startsWith(ManifestPrefix) && !n.contains(".tmp-"))
-      .map(_.stripPrefix(ManifestPrefix).toLong).toSeq.sorted
+    versionsOf(f, p)
   }
 
   /** Segment list as of manifest version `v` (time travel). Throws if
@@ -263,7 +253,7 @@ object ManifestTable {
     readSegs(spark, root, segs)
   }
 
-  private def tombstonesOf(spark: SparkSession, root: String,
+  private[io] def tombstonesOf(spark: SparkSession, root: String,
       segs: Seq[String]): Option[DataFrame] = {
     val d = segs.filter(_.startsWith(DelPrefix))
     if (d.isEmpty) None
@@ -427,8 +417,17 @@ object ManifestTable {
     require(n >= 1, s"retainVersions must be >= 1, got $n")
     val (f, p) = fs(spark, root)
     if (!f.exists(p)) f.mkdirs(p)
-    val out = f.create(new Path(p, RetainFile), true)
+    // tmp-write + rename: this knob governs physical DELETION, so a
+    // torn in-place write must never be readable (see retainOf's loud
+    // parse contract — the worst case of this two-step is a briefly
+    // absent file, i.e. the conservative unset default)
+    val tmp = new Path(p,
+      s"$RetainFile.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, true)
     try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+    f.delete(new Path(p, RetainFile), false)
+    require(f.rename(tmp, new Path(p, RetainFile)),
+      s"failed to publish retention horizon under $root")
   }
 
   /** The table's retention horizon (default 1: only the current
@@ -440,12 +439,19 @@ object ManifestTable {
 
   private def retainOf(f: FileSystem, root: Path): Int = {
     val p = new Path(root, RetainFile)
-    if (!f.exists(p)) 1
+    if (!f.exists(p)) 1 // unset: the pre-retention default
     else {
       val in = f.open(p)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-      scala.util.Try(txt.toInt).toOption.filter(_ >= 1).getOrElse(1)
+      // LOUD on garbage: silently falling back to 1 would let the next
+      // rewrite garbage-collect history the configured horizon
+      // promised to keep — a corrupt deletion knob must stop the
+      // deletion, not shrink it
+      scala.util.Try(txt.toInt).toOption.filter(_ >= 1).getOrElse(
+        throw new IllegalStateException(
+          s"corrupt retention marker $p (content: '$txt'); refusing to " +
+            "garbage-collect — setRetainVersions() to repair"))
     }
   }
 
@@ -475,7 +481,8 @@ object ManifestTable {
     val removed = Seq.newBuilder[String]
     f.listStatus(root).foreach { st =>
       val n = st.getPath.getName
-      if (!live.contains(n) && !n.startsWith(ManifestPrefix) && n != RetainFile) {
+      if (!live.contains(n) && !n.startsWith(ManifestPrefix) &&
+          !n.startsWith(RetainFile)) { // incl. a concurrent set's tmp
         removed += n
         f.delete(st.getPath, true)
       }

@@ -75,9 +75,14 @@ class ResolveManifestRelation(spark: org.apache.spark.sql.SparkSession)
     case u: UnresolvedRelation if u.multipartIdentifier.length == 2 &&
         u.multipartIdentifier.head.equalsIgnoreCase("graft.manifest") =>
       val spec = u.multipartIdentifier(1)
+      // @v only time-travels when the LITERAL path is not itself a
+      // committed table: a table legitimately rooted at …/events@v2
+      // must resolve to that table's head, never silently to version
+      // 2 of a different table that happens to share the prefix
       val (root, version) = spec.lastIndexOf("@v") match {
         case i if i > 0 && spec.drop(i + 2).nonEmpty &&
-            spec.drop(i + 2).forall(_.isDigit) =>
+            spec.drop(i + 2).forall(_.isDigit) &&
+            !graft.io.ManifestTable.exists(spark, spec) =>
           (spec.take(i), Some(spec.drop(i + 2).toLong))
         case _ => (spec, None)
       }

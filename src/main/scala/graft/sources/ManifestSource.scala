@@ -122,7 +122,16 @@ class ManifestSource extends RelationProvider with CreatableRelationProvider
           ManifestTable.append(spark, root, data, statsCols = statsCols,
             bloomCols = bloomCols, tag = tag)
     }
-    createRelation(sqlContext, parameters)
+    // schema-only result: building the full read relation here would
+    // re-list every segment and re-read every sidecar/footer after
+    // EACH commit (O(table metadata) per write on a streaming-ingest
+    // log) for a return value DataFrameWriter never scans — readers
+    // construct the real relation through the read path
+    val ctx = sqlContext
+    new BaseRelation {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = data.schema
+    }
   }
 
   /** Streaming sink — `df.writeStream.format("graft.manifest")
@@ -166,8 +175,14 @@ private[sources] class ManifestSink(spark: SparkSession, root: String,
     // and (when statsCols is set) again for the sidecar aggregate
     val snap = org.apache.spark.sql.GraftColumnBridge.asBatchDataFrame(data)
       .localCheckpoint()
-    try ManifestTable.append(spark, root, snap, partitionBy = partitionBy,
-      tag = Some(tag), statsCols = statsCols, bloomCols = bloomCols)
+    // empty micro-batches commit NOTHING: beyond being pointless, an
+    // empty segment under partitionBy writes zero col=value dirs and
+    // would read back as a flat segment in an otherwise-partitioned
+    // layout (wedging every subsequent relation build); a replayed
+    // empty batch re-skips identically, so exactly-once holds
+    try if (!snap.isEmpty)
+      ManifestTable.append(spark, root, snap, partitionBy = partitionBy,
+        tag = Some(tag), statsCols = statsCols, bloomCols = bloomCols)
     finally graft.core.Lineage.release(snap)
   }
 }
@@ -201,14 +216,21 @@ object ManifestSource {
           "data segments.")
     val segs = all.filterNot(_.startsWith("del-"))
     val index = new ManifestFileIndex(spark, root, segs)
-    // merged footer schema per segment root (additive evolution:
-    // later segments may add columns), minus the partition columns —
-    // those come back from the file index's partition values
-    val dataSchema = segs
-      .map(s => spark.read.option("mergeSchema", "true").parquet(s"$root/$s").schema)
-      .reduce { (a, b) =>
-        StructType(a.fields ++ b.fields.filterNot(f => a.fieldNames.contains(f.name)))
-      }
+    // merged footer schema (additive evolution: later segments may add
+    // columns) in ONE footer-merge pass over the index's already-listed
+    // leaf files — a per-segment read here would run one planning job
+    // per segment on every relation build, dominating short-query
+    // latency on a streaming-fed log with hundreds of segments
+    val files = index.inputFiles
+    val dataSchema =
+      if (files.nonEmpty)
+        spark.read.option("mergeSchema", "true").parquet(files.toSeq: _*).schema
+      else // degenerate: only file-less (empty partitioned) segments
+        segs.map(s => spark.read.parquet(s"$root/$s").schema)
+          .reduce { (a, b) =>
+            StructType(a.fields ++
+              b.fields.filterNot(f => a.fieldNames.contains(f.name)))
+          }
     val partNames = index.partitionSchema.fieldNames.toSet
     HadoopFsRelation(
       location = index,

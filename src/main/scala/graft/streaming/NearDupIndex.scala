@@ -105,11 +105,11 @@ object NearDupIndex {
       }
 
   /** Reconcile the index to the corpus manifest: delete pack dirs a
-    * corpus rewrite invalidated and per-segment band dirs that are
-    * dead (segment gone) or redundant (covered by a valid pack), then
-    * build band dirs for live uncovered segments that lack a complete
-    * one. O(new segments) work in steady state — an already-indexed
-    * segment costs one existence check. */
+    * corpus rewrite invalidated or a newer pack made redundant, delete
+    * per-segment band dirs that are dead (segment gone) or covered by
+    * a kept pack, then build band dirs for live uncovered segments
+    * that lack a complete one. O(new segments) work in steady state —
+    * an already-indexed segment costs one existence check. */
   def sync(spark: SparkSession, root: String): Unit = {
     val (f, br) = hadoopFs(spark, bandsRoot(root))
     if (!graft.io.ManifestTable.exists(spark, root)) {
@@ -118,23 +118,38 @@ object NearDupIndex {
     }
     val segs = graft.io.ManifestTable.dataSegments(spark, root)
     val live = segs.toSet
-    if (f.exists(br)) {
-      // invalid packs first, so the covered set below is trustworthy
-      f.listStatus(br).foreach { st =>
-        val n = st.getPath.getName
-        if (n.startsWith(PackPrefix) &&
-            !packCovers(f, st.getPath).exists(_.forall(live)))
-          f.delete(st.getPath, true)
+    val covered: Set[String] =
+      if (!f.exists(br)) Set.empty
+      else {
+        // invalid packs first, so the kept set below is trustworthy
+        f.listStatus(br).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith(PackPrefix) &&
+              !packCovers(f, st.getPath).exists(_.forall(live)))
+            f.delete(st.getPath, true)
+        }
+        // redundant packs next: a crash in pack() between publishing
+        // the new pack and deleting its inputs leaves an older pack
+        // fully covered by the newer one — both valid, both read,
+        // duplicate rows forever. Keep greedily by descending cover
+        // size (name-tiebroken); a pack contributing no new coverage
+        // is deleted here, completing pack()'s crash recovery.
+        val packs = validPacks(f, br, live)
+          .sortBy { case (n, c) => (-c.size, n) }
+        var kept = Set.empty[String]
+        packs.foreach { case (name, covers) =>
+          if (covers.forall(kept)) f.delete(new Path(br, name), true)
+          else kept ++= covers
+        }
+        // per-segment dirs: dead or redundant (covered by a kept pack)
+        f.listStatus(br).foreach { st =>
+          val n = st.getPath.getName
+          if (!n.startsWith(PackPrefix) &&
+              (!live.contains(n) || kept.contains(n)))
+            f.delete(st.getPath, true)
+        }
+        kept
       }
-      val covered = validPacks(f, br, live).flatMap(_._2).toSet
-      f.listStatus(br).foreach { st =>
-        val n = st.getPath.getName
-        if (!n.startsWith(PackPrefix) &&
-            (!live.contains(n) || covered.contains(n)))
-          f.delete(st.getPath, true)
-      }
-    }
-    val covered = validPacks(f, br, live).flatMap(_._2).toSet
     segs.filterNot(covered).foreach { seg =>
       val segDir = new Path(br, seg)
       // complete = committed AND banded at the CURRENT pb count; a
@@ -185,6 +200,9 @@ object NearDupIndex {
     roots.map(r => spark.read.parquet(s"${bandsRoot(root)}/$r"))
       .reduce(_ unionByName _)
       .select(col("band"), col("bucket"), col("id"), col("pb"))
+      // insurance against a prior crash's overlapping inputs: band
+      // rows are set-semantic, so dedup here is free correctness
+      .distinct()
       .repartition(col("pb"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "static")

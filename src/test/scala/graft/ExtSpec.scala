@@ -3065,6 +3065,27 @@ class ExtSpec extends AnyFunSuite {
       "the probed-read open count must drop to one packed root")
     assert(indexRows() == before,
       "packing must not change a single index row")
+    // crash recovery: a pack() that died between publishing its output
+    // and deleting its inputs leaves an older, fully-covered pack
+    // behind — plant one (valid by every marker, covering one live
+    // segment) and assert sync deletes it as redundant
+    val liveSegs = graft.io.ManifestTable.dataSegments(spark, root)
+    val br = root + "__bands"
+    val fake = s"$br/_packed-zzfake"
+    spark.read.parquet(s"$br/${NearDupIndex.indexRoots(spark, root).head}")
+      .limit(5).write.partitionBy("pb").parquet(fake)
+    val ffs = new org.apache.hadoop.fs.Path(br)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cov = ffs.create(new org.apache.hadoop.fs.Path(fake, "_covers.graft"), true)
+    cov.write((liveSegs.head + "\n").getBytes("UTF-8")); cov.close()
+    ffs.create(new org.apache.hadoop.fs.Path(fake, "_pb_count_64"), true).close()
+    assert(NearDupIndex.indexRoots(spark, root).size == 2,
+      "the planted redundant pack must look valid before sync")
+    NearDupIndex.sync(spark, root)
+    assert(NearDupIndex.indexRoots(spark, root).size == 1 &&
+      !ffs.exists(new org.apache.hadoop.fs.Path(fake)),
+      "sync must delete a pack made redundant by a larger one")
+    assert(indexRows() == before, "redundancy cleanup changes no rows")
     // the next ingest dedups THROUGH the pack (known dups rejected,
     // novel docs appended as a fresh per-segment dir beside it)
     val sizeBefore = spark.table(table).count()
