@@ -157,6 +157,23 @@ object ManifestTable {
     * commit metadata, invisible to segment listing. */
   private val RewriteMark = "#rewrite"
 
+  /** Per-segment metadata embedded IN the manifest commit:
+    * `#meta <segment> <one-line json>` with the segment's data-file
+    * list (+ sizes), its Spark schema, its zone-map stats and its
+    * Bloom-sidecar columns. This is what lets the SQL relation
+    * ([[graft.sources.ManifestSource]]) plan from ONE log read —
+    * no per-segment `listStatus`, no per-segment `_stats.graft.json`
+    * open, no footer-merge job over every file. On a streaming-fed
+    * log with thousands of ingests between packs that was the
+    * remaining O(segments) driver IO per query; real lakehouse logs
+    * carry exactly this in the commit. Sidecars keep being written
+    * (the typed API's `segmentStats`/`readRange` path and external
+    * tools read them); the manifest line is a COPY taken at commit
+    * time, authoritative for the snapshot it names. Tables written
+    * before this existed (or by hand) simply lack `#meta` lines and
+    * fall back to the per-segment listing/sidecar path, per segment. */
+  private val MetaPrefix = "#meta "
+
   private def manifestLines(f: FileSystem, root: Path, v: Long): Seq[String] = {
     val in = f.open(new Path(root, ManifestPrefix + v))
     try scala.io.Source.fromInputStream(in, "UTF-8")
@@ -195,6 +212,18 @@ object ManifestTable {
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val (f, p) = fs(spark, root)
     versionsOf(f, p)
+  }
+
+  /** (version, manifest-file modification time ms) for every committed
+    * version, ascending — the `TIMESTAMP AS OF` resolution input (the
+    * manifest file is written once at commit, so its mtime IS the
+    * commit time on any FS that preserves it). O(versions) driver
+    * metadata, no data IO. */
+  def versionsWithTimes(spark: SparkSession, root: String): Seq[(Long, Long)] = {
+    val (f, p) = fs(spark, root)
+    versionsOf(f, p).map { v =>
+      (v, f.getFileStatus(new Path(p, ManifestPrefix + v)).getModificationTime)
+    }
   }
 
   /** Segment list as of manifest version `v` (time travel). Throws if
@@ -294,11 +323,149 @@ object ManifestTable {
   /** Atomically publish `segs` as manifest version `v` through the
     * configured [[CommitStrategy]] (single winner per version; the
     * loser throws and its segment dir is orphaned, never read).
-    * `marks` are `#`-prefixed metadata lines ([[RewriteMark]]). */
+    * `marks` are `#`-prefixed metadata lines ([[RewriteMark]]);
+    * `metas` maps segment names to their embedded-metadata JSON
+    * ([[MetaPrefix]] lines — only segments actually named by this
+    * commit are emitted, so a carried-forward map can never leak a
+    * retired segment's metadata into a newer snapshot). */
   private def commit(f: FileSystem, root: Path, v: Long, segs: Seq[String],
-      marks: Seq[String] = Nil): Unit =
+      marks: Seq[String] = Nil, metas: Map[String, String] = Map.empty): Unit = {
+    val metaLns = segs.flatMap(s => metas.get(s).map(j => s"$MetaPrefix$s $j"))
     commitStrategy.publish(f, root, new Path(root, ManifestPrefix + v),
-      (marks ++ segs).mkString("\n") + "\n")
+      (marks ++ metaLns ++ segs).mkString("\n") + "\n")
+  }
+
+  /** Raw `#meta` lines of manifest `v`: segment name -> embedded JSON.
+    * Tolerant of malformed lines (they read as absent — the embedded
+    * metadata is a planning fast path, never a correctness gate). */
+  private def metaLinesOf(f: FileSystem, root: Path, v: Long): Map[String, String] =
+    manifestLines(f, root, v).iterator
+      .filter(_.startsWith(MetaPrefix))
+      .flatMap { l =>
+        val rest = l.stripPrefix(MetaPrefix)
+        val sp = rest.indexOf(' ')
+        if (sp <= 0) None else Some((rest.take(sp), rest.drop(sp + 1)))
+      }.toMap
+
+  /** The previous version's embedded metadata, carried into the next
+    * commit (append/delete name every prior segment unchanged). */
+  private def priorMetas(f: FileSystem, root: Path, v: Long): Map[String, String] =
+    if (v == 0L) Map.empty
+    else scala.util.Try(metaLinesOf(f, root, v)).getOrElse(Map.empty)
+
+  /** Recursive data-file listing of a segment dir: (path relative to
+    * the segment, byte length), descending through hive `col=value`
+    * partition dirs. Runs ONCE at commit time on the just-written
+    * segment — the listing every reader would otherwise redo. */
+  private def listDataFilesRec(f: FileSystem, dir: Path,
+      prefix: String): Seq[(String, Long)] =
+    f.listStatus(dir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) Nil
+      else if (st.isFile) Seq((prefix + n, st.getLen))
+      else listDataFilesRec(f, st.getPath, prefix + n + "/")
+    }
+
+  /** Build a segment's embedded-metadata JSON at commit time: file
+    * list + sizes, read-back Spark schema (including discovered
+    * partition columns), zone-map stats (the sidecar JSON, when
+    * collected) and Bloom-sidecar column names. O(one segment) —
+    * a listing plus one footer read — paid once per commit so NO
+    * reader ever pays it again. */
+  private def buildMeta(spark: SparkSession, f: FileSystem, root: String,
+      seg: String, statsJson: Option[String], bloomCols: Seq[String]): String = {
+    val files = listDataFilesRec(f, new Path(s"$root/$seg"), "")
+    val schemaJson =
+      if (files.isEmpty) "null"
+      else spark.read.parquet(s"$root/$seg").schema.json
+    val filesJson = files.map { case (pp, l) =>
+      s"""{"p":${jsonString(pp)},"l":$l}"""
+    }.mkString(",")
+    val bloomsJson = bloomCols.map(jsonString).mkString(",")
+    s"""{"files":[$filesJson],"schema":$schemaJson,""" +
+      s""""stats":${statsJson.getOrElse("null")},"blooms":[$bloomsJson]}"""
+  }
+
+  /** A segment's embedded metadata, decoded: data files (segment-
+    * relative path, length), read-back schema, zone-map stats, Bloom
+    * columns. */
+  final case class SegMeta(files: Seq[(String, Long)],
+      schema: Option[StructType], stats: Option[SegStats], blooms: Seq[String])
+
+  /** Decode one embedded-metadata JSON (None on any parse failure —
+    * the conservative fall-back-to-listing answer). */
+  private def decodeMeta(json: String): Option[SegMeta] =
+    scala.util.Try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val j = JsonMethods.parse(json)
+      val files = (j \ "files") match {
+        case JArray(xs) => xs.flatMap { x =>
+          ((x \ "p"), (x \ "l")) match {
+            case (JString(pp), JInt(l)) => Some((pp, l.toLong))
+            case _ => None
+          }
+        }
+        case _ => Seq.empty[(String, Long)]
+      }
+      val schema = (j \ "schema") match {
+        case JNothing | JNull => None
+        case s => scala.util.Try(DataType.fromJson(
+          JsonMethods.compact(JsonMethods.render(s)))
+          .asInstanceOf[StructType]).toOption
+      }
+      val stats = (j \ "stats") match {
+        case JNothing | JNull => None
+        case s => Some(statsFromJValue(s))
+      }
+      val blooms = (j \ "blooms") match {
+        case JArray(xs) => xs.collect { case JString(b) => b }
+        case _ => Seq.empty[String]
+      }
+      SegMeta(files, schema, stats, blooms)
+    }.toOption
+
+  private def metasFromLines(lines: Seq[String]): Map[String, SegMeta] =
+    lines.iterator
+      .filter(_.startsWith(MetaPrefix))
+      .flatMap { l =>
+        val rest = l.stripPrefix(MetaPrefix)
+        val sp = rest.indexOf(' ')
+        if (sp <= 0) None
+        else decodeMeta(rest.drop(sp + 1)).map(m => (rest.take(sp), m))
+      }.toMap
+
+  /** Embedded per-segment metadata of manifest `version` (head when
+    * None): the one-log-read planning input for the SQL relation.
+    * Segments without a (parseable) `#meta` line are simply absent —
+    * callers fall back to the per-segment listing/sidecar path for
+    * those. */
+  def segmentMetas(spark: SparkSession, root: String,
+      version: Option[Long] = None): Map[String, SegMeta] = {
+    val (f, p) = fs(spark, root)
+    version.orElse(currentVersion(f, p)) match {
+      case None => Map.empty
+      case Some(v) => metasFromLines(manifestLines(f, p, v))
+    }
+  }
+
+  /** ONE-read snapshot of manifest `v`: (segment list, embedded metas,
+    * content fingerprint). The SQL relation's entire planning input —
+    * and the fingerprint is its cache key: version numbers can recur
+    * across destroy/recreate, but never with identical content (every
+    * segment name carries a fresh UUID). */
+  private[graft] def manifestSnapshot(spark: SparkSession, root: String,
+      v: Long): (Seq[String], Map[String, SegMeta], String) = {
+    val (f, p) = fs(spark, root)
+    require(f.exists(new Path(p, ManifestPrefix + v)),
+      s"no committed manifest version $v under $root")
+    val lines = manifestLines(f, p, v)
+    val segs = lines.filterNot(_.startsWith("#"))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hash = md.digest(lines.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (segs, metasFromLines(lines), hash)
+  }
 
   private def writeSeg(df: DataFrame, dir: String, partitionBy: Seq[String]): Unit = {
     val w = df.write
@@ -324,14 +491,47 @@ object ManifestTable {
   def append(spark: SparkSession, root: String, df: DataFrame,
       partitionBy: Seq[String] = Nil, tag: Option[String] = None,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Unit = {
+    rejectReservedTag(tag)
+    appendReserved(spark, root, df, partitionBy, tag, statsCols, bloomCols)
+  }
+
+  /** Tags of the form `mb<digits>` name the streaming sink's
+    * micro-batch replay namespace ([[graft.sources.ManifestSink]] /
+    * [[graft.streaming.Stream.runLakehouseIngest]] detect an
+    * already-committed batch from the segment NAME scan alone). A user
+    * batch append tagged `mb3` on the same root would make the sink
+    * silently SKIP micro-batch 3 — data loss — so the public write
+    * paths reject the namespace loudly, mirroring [[AggView]]'s
+    * `b<digits>` cursor guard. */
+  private val ReservedTagRe = "mb\\d+".r
+
+  private[graft] def rejectReservedTag(tag: Option[String]): Unit =
+    tag.foreach { t =>
+      require(!ReservedTagRe.pattern.matcher(t).matches(),
+        s"tag '$t' is reserved: mb<digits> names streaming micro-batch " +
+          "segments (a colliding tag would make the sink silently skip " +
+          "that batch on replay) — pick another tag")
+    }
+
+  /** [[append]] without the reserved-tag guard — the streaming ingest
+    * paths' entry point (they OWN the `mb<digits>` namespace). */
+  private[graft] def appendReserved(spark: SparkSession, root: String,
+      df: DataFrame, partitionBy: Seq[String] = Nil,
+      tag: Option[String] = None, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Unit = {
     val (f, p) = fs(spark, root)
     val v = currentVersion(f, p).getOrElse(0L)
     val t = tag.map(_ + "-").getOrElse("")
     val seg = s"seg-${v + 1}-$t${java.util.UUID.randomUUID().toString.take(8)}"
     writeSeg(df, s"$root/$seg", partitionBy)
-    if (statsCols.nonEmpty) writeStats(spark, f, s"$root/$seg", statsCols)
+    val statsJson =
+      if (statsCols.nonEmpty) Some(writeStats(spark, f, s"$root/$seg", statsCols))
+      else None
     if (bloomCols.nonEmpty) writeBlooms(spark, f, s"$root/$seg", bloomCols)
-    commit(f, p, v + 1, segments(spark, root) :+ seg)
+    val meta = buildMeta(spark, f, root, seg, statsJson, bloomCols)
+    val prior = if (v == 0L) Seq.empty else readManifest(f, p, v)
+    commit(f, p, v + 1, prior :+ seg,
+      metas = priorMetas(f, p, v) + (seg -> meta))
   }
 
   /** Merge-on-read DELETE: append `keys` (deduplicated) as one
@@ -345,13 +545,15 @@ object ManifestTable {
     * works as in [[append]]. */
   def delete(spark: SparkSession, root: String, keys: DataFrame,
       tag: Option[String] = None): Unit = {
+    rejectReservedTag(tag)
     val (f, p) = fs(spark, root)
     val v = currentVersion(f, p).getOrElse(
       throw new IllegalStateException(s"delete from uncommitted table $root"))
     val t = tag.map(_ + "-").getOrElse("")
     val seg = s"$DelPrefix${v + 1}-$t${java.util.UUID.randomUUID().toString.take(8)}"
     keys.distinct().write.parquet(s"$root/$seg")
-    commit(f, p, v + 1, segments(spark, root) :+ seg)
+    commit(f, p, v + 1, readManifest(f, p, v) :+ seg,
+      metas = priorMetas(f, p, v))
   }
 
   /** Replace the whole table with `df` (first write, or an explicit
@@ -366,14 +568,19 @@ object ManifestTable {
       partitionBy: Seq[String] = Nil, tag: Option[String] = None,
       rewrite: Boolean = false, statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil): Unit = {
+    rejectReservedTag(tag)
     val (f, p) = fs(spark, root)
     val v = currentVersion(f, p).getOrElse(0L)
     val t = tag.map(_ + "-").getOrElse("")
     val seg = s"seg-${v + 1}-$t${java.util.UUID.randomUUID().toString.take(8)}"
     writeSeg(df, s"$root/$seg", partitionBy)
-    if (statsCols.nonEmpty) writeStats(spark, f, s"$root/$seg", statsCols)
+    val statsJson =
+      if (statsCols.nonEmpty) Some(writeStats(spark, f, s"$root/$seg", statsCols))
+      else None
     if (bloomCols.nonEmpty) writeBlooms(spark, f, s"$root/$seg", bloomCols)
-    commit(f, p, v + 1, Seq(seg), if (rewrite) Seq(RewriteMark) else Nil)
+    val meta = buildMeta(spark, f, root, seg, statsJson, bloomCols)
+    commit(f, p, v + 1, Seq(seg), if (rewrite) Seq(RewriteMark) else Nil,
+      metas = Map(seg -> meta))
     gc(f, p)
   }
 
@@ -417,17 +624,24 @@ object ManifestTable {
     require(n >= 1, s"retainVersions must be >= 1, got $n")
     val (f, p) = fs(spark, root)
     if (!f.exists(p)) f.mkdirs(p)
-    // tmp-write + rename: this knob governs physical DELETION, so a
-    // torn in-place write must never be readable (see retainOf's loud
-    // parse contract — the worst case of this two-step is a briefly
-    // absent file, i.e. the conservative unset default)
+    // tmp-write + OVERWRITE rename: this knob governs physical
+    // DELETION, so the marker must never be torn OR absent mid-swap —
+    // a delete-then-rename window would let a concurrent rewrite's
+    // gc() read "unset" and fall back to horizon 1 (the MOST
+    // aggressive deletion setting), collecting history the configured
+    // horizon promised to keep. FileContext.rename(OVERWRITE) swaps
+    // atomically on HDFS/local/ABFS; retainOf additionally falls back
+    // to the newest tmp marker so even a crash between create and
+    // rename (or an FS without overwrite rename) never reads as
+    // "unset".
     val tmp = new Path(p,
       s"$RetainFile.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, true)
     try out.write(n.toString.getBytes("UTF-8")) finally out.close()
-    f.delete(new Path(p, RetainFile), false)
-    require(f.rename(tmp, new Path(p, RetainFile)),
-      s"failed to publish retention horizon under $root")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      p.toUri, f.getConf)
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(new Path(p, RetainFile)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** The table's retention horizon (default 1: only the current
@@ -437,21 +651,35 @@ object ManifestTable {
     retainOf(f, p)
   }
 
+  private def parseRetain(f: FileSystem, p: Path): Int = {
+    val in = f.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    // LOUD on garbage: silently falling back to 1 would let the next
+    // rewrite garbage-collect history the configured horizon
+    // promised to keep — a corrupt deletion knob must stop the
+    // deletion, not shrink it
+    scala.util.Try(txt.toInt).toOption.filter(_ >= 1).getOrElse(
+      throw new IllegalStateException(
+        s"corrupt retention marker $p (content: '$txt'); refusing to " +
+          "garbage-collect — setRetainVersions() to repair"))
+  }
+
   private def retainOf(f: FileSystem, root: Path): Int = {
     val p = new Path(root, RetainFile)
-    if (!f.exists(p)) 1 // unset: the pre-retention default
+    if (f.exists(p)) parseRetain(f, p)
     else {
-      val in = f.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      // LOUD on garbage: silently falling back to 1 would let the next
-      // rewrite garbage-collect history the configured horizon
-      // promised to keep — a corrupt deletion knob must stop the
-      // deletion, not shrink it
-      scala.util.Try(txt.toInt).toOption.filter(_ >= 1).getOrElse(
-        throw new IllegalStateException(
-          s"corrupt retention marker $p (content: '$txt'); refusing to " +
-            "garbage-collect — setRetainVersions() to repair"))
+      // marker absent: before defaulting to 1 (immediate GC), honor
+      // any tmp marker a crashed/in-flight setRetainVersions left —
+      // an INTENDED horizon must never silently read as "delete
+      // everything past head" (newest tmp wins; a torn tmp still
+      // fails parseRetain's loud contract)
+      val tmps =
+        if (!f.exists(root)) Array.empty[org.apache.hadoop.fs.FileStatus]
+        else f.listStatus(root).filter(st =>
+          st.isFile && st.getPath.getName.startsWith(RetainFile + ".tmp-"))
+      if (tmps.isEmpty) 1 // genuinely unset: the pre-retention default
+      else parseRetain(f, tmps.maxBy(_.getModificationTime).getPath)
     }
   }
 
@@ -663,10 +891,14 @@ object ManifestTable {
     val bCols = small.flatMap(s => bloomColsOf(f, new Path(p, s))).distinct
     val seg = s"seg-${v + 1}-opt-${java.util.UUID.randomUUID().toString.take(8)}"
     writeSeg(readSegs(spark, root, small), s"$root/$seg", partitionBy)
-    if (statCols.nonEmpty) writeStats(spark, f, s"$root/$seg", statCols)
+    val statsJson =
+      if (statCols.nonEmpty) Some(writeStats(spark, f, s"$root/$seg", statCols))
+      else None
     if (bCols.nonEmpty) writeBlooms(spark, f, s"$root/$seg", bCols)
+    val meta = buildMeta(spark, f, root, seg, statsJson, bCols)
     val smallSet = small.toSet
-    commit(f, p, v + 1, all.filterNot(smallSet) :+ seg, Seq(RewriteMark))
+    commit(f, p, v + 1, all.filterNot(smallSet) :+ seg, Seq(RewriteMark),
+      metas = (priorMetas(f, p, v) -- smallSet) + (seg -> meta))
     gc(f, p)
     small.size
   }
@@ -708,10 +940,10 @@ object ManifestTable {
         val seg = s"seg-${v + 1}-clu$i-${java.util.UUID.randomUUID().toString.take(8)}"
         require(f.rename(d, new Path(p, seg)),
           s"failed to place clustered segment $seg")
-        writeStats(spark, f, s"$root/$seg", stats)
-        seg
+        val sj = writeStats(spark, f, s"$root/$seg", stats)
+        seg -> buildMeta(spark, f, root, seg, Some(sj), Nil)
       }.toSeq
-      commit(f, p, v + 1, segs, Seq(RewriteMark))
+      commit(f, p, v + 1, segs.map(_._1), Seq(RewriteMark), metas = segs.toMap)
       gc(f, p) // retires the old segments, tombstones, and the tmp shell
     } finally graft.core.Lineage.release(snap)
   }
@@ -750,10 +982,10 @@ object ManifestTable {
         val seg = s"seg-${v + 1}-clz$i-${java.util.UUID.randomUUID().toString.take(8)}"
         require(f.rename(d, new Path(p, seg)),
           s"failed to place z-clustered segment $seg")
-        writeStats(spark, f, s"$root/$seg", Seq(colA, colB))
-        seg
+        val sj = writeStats(spark, f, s"$root/$seg", Seq(colA, colB))
+        seg -> buildMeta(spark, f, root, seg, Some(sj), Nil)
       }.toSeq
-      commit(f, p, v + 1, segs, Seq(RewriteMark))
+      commit(f, p, v + 1, segs.map(_._1), Seq(RewriteMark), metas = segs.toMap)
       gc(f, p)
     } finally graft.core.Lineage.release(snap)
   }
@@ -795,11 +1027,13 @@ object ManifestTable {
       val seg = s"seg-${v + 1}-clr$i-${java.util.UUID.randomUUID().toString.take(8)}"
       require(f.rename(d, new Path(p, seg)),
         s"failed to place clustered segment $seg")
-      writeStats(spark, f, s"$root/$seg", stats)
-      seg
+      val sj = writeStats(spark, f, s"$root/$seg", stats)
+      seg -> buildMeta(spark, f, root, seg, Some(sj), Nil)
     }.toSeq
     val touchedSet = touched.toSet
-    commit(f, p, v + 1, all.filterNot(touchedSet) ++ segs, Seq(RewriteMark))
+    commit(f, p, v + 1, all.filterNot(touchedSet) ++ segs.map(_._1),
+      Seq(RewriteMark),
+      metas = (priorMetas(f, p, v) -- touchedSet) ++ segs.toMap)
     gc(f, p)
     touched.size
   }
@@ -874,9 +1108,11 @@ object ManifestTable {
 
   /** One aggregate pass over the just-committed segment bytes (column-
     * pruned to `cols`), then a tiny JSON write. O(segment) once, at
-    * write time — never again on the read path. */
+    * write time — never again on the read path. Returns the sidecar
+    * JSON so commit-time callers can embed the same stats in the
+    * manifest line ([[buildMeta]]) without re-reading it. */
   private def writeStats(spark: SparkSession, f: FileSystem,
-      segDir: String, cols: Seq[String]): Unit = {
+      segDir: String, cols: Seq[String]): String = {
     val df = spark.read.parquet(segDir)
     val typed = cols.flatMap(c => statType(df.schema(c).dataType).map((c, _)))
     val aggs = typed.flatMap { case (c, t) =>
@@ -895,6 +1131,7 @@ object ManifestTable {
     }.mkString(",")
     val json = s"""{"rows":${row.getLong(0)},"cols":{$colsJson}}"""
     commitStrategy.publish(f, new Path(segDir), new Path(segDir, StatsFile), json)
+    json
   }
 
   /** Parse a segment's stats sidecar, if it has one. A malformed or
@@ -903,27 +1140,32 @@ object ManifestTable {
     * answer: the segment is always read, [[fastRowCount]] returns
     * None, nothing throws. One bad sidecar must never wedge
     * [[readRange]]/[[optimize]] for the whole table. */
+  /** Decode the stats JSON shape (shared by the sidecar file and the
+    * manifest-embedded copy). */
+  private def statsFromJValue(j: org.json4s.JValue): SegStats = {
+    import org.json4s._
+    val rows = (j \ "rows") match { case JInt(n) => n.toLong; case _ => 0L }
+    val cols = (j \ "cols") match {
+      case JObject(fields) => fields.map { case (name, cs) =>
+        def str(k: String): Option[String] =
+          (cs \ k) match { case JString(s) => Some(s); case _ => None }
+        name -> ColStat(str("t").getOrElse("s"), str("min"), str("max"))
+      }.toMap
+      case _ => Map.empty[String, ColStat]
+    }
+    SegStats(rows, cols)
+  }
+
   def segmentStats(spark: SparkSession, root: String, seg: String): Option[SegStats] = {
     val (f, _) = fs(spark, root)
     val p = new Path(s"$root/$seg", StatsFile)
     if (!f.exists(p)) None
     else scala.util.Try {
-      import org.json4s._
       import org.json4s.jackson.JsonMethods
       val in = f.open(p)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      val j = JsonMethods.parse(txt)
-      val rows = (j \ "rows") match { case JInt(n) => n.toLong; case _ => 0L }
-      val cols = (j \ "cols") match {
-        case JObject(fields) => fields.map { case (name, cs) =>
-          def str(k: String): Option[String] =
-            (cs \ k) match { case JString(s) => Some(s); case _ => None }
-          name -> ColStat(str("t").getOrElse("s"), str("min"), str("max"))
-        }.toMap
-        case _ => Map.empty[String, ColStat]
-      }
-      SegStats(rows, cols)
+      statsFromJValue(JsonMethods.parse(txt))
     }.toOption
   }
 

@@ -16,6 +16,13 @@ import graft.functions.{SortedIntersectCount, TopKByScore, VecDotProduct}
   * (The reference has no user-extension surface at all — SURVEY §2.3
   * UDF row; this is engine-native extensibility via the public
   * SparkSessionExtensions API.)
+  *
+  * Also registers the lakehouse SQL face: the `graft.manifest` table
+  * syntax (head / `@vN` / standard `VERSION AS OF` / `TIMESTAMP AS
+  * OF`), `INSERT INTO` routed onto the log's commit verbs, and the
+  * maintenance verbs as table functions (`graft_manifest_vacuum` etc.)
+  * — everything-through-SQL, matching the reference's posture
+  * (`locopy/database.py:131-190`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -47,6 +54,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // non-FileFormat source before a same-batch custom rule can win —
     // the hint batch runs earlier, so the relation resolves first
     e.injectHintResolutionRule(session => new ResolveManifestRelation(session))
+    // maintenance verbs as table functions: SELECT * FROM
+    // graft_manifest_vacuum('/path', 3) — each returns a
+    // LeafRunnableCommand, so the action runs exactly once per query
+    // EXECUTION (planning/EXPLAIN never trigger it)
+    GraftMaintenance.all.foreach { case (name, usage, builder) =>
+      e.injectTableFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
   }
 }
 
@@ -55,8 +69,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * `spark.read.format("graft.manifest")` + a temp view):
   *
   * {{{
-  *   SELECT … FROM `graft.manifest`.`/warehouse/events__log`       -- head
-  *   SELECT … FROM `graft.manifest`.`/warehouse/events__log@v3`    -- time travel
+  *   SELECT … FROM `graft.manifest`.`/wh/events__log`                -- head
+  *   SELECT … FROM `graft.manifest`.`/wh/events__log@v3`             -- time travel (sugar)
+  *   SELECT … FROM `graft.manifest`.`/wh/events__log` VERSION AS OF 3
+  *   SELECT … FROM `graft.manifest`.`/wh/events__log`
+  *     TIMESTAMP AS OF '2026-08-15 12:00:00'                         -- commit-time travel
+  *   INSERT INTO `graft.manifest`.`/wh/events__log` SELECT …         -- append commit
+  *   INSERT OVERWRITE `graft.manifest`.`/wh/events__log` SELECT …    -- replace commit
   * }}}
   *
   * Spark's own direct-query-on-files path only admits FileFormat
@@ -64,32 +83,99 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * same extension-rule route the public lakehouse formats take. The
   * resolved relation is [[graft.sources.ManifestSource.relation]]
   * verbatim: committed-segment listing, snapshot pinning, zone-map +
-  * Bloom + partition pruning all identical to the reader-API path. */
+  * Bloom + partition pruning all identical to the reader-API path.
+  * INSERT resolves the target to an InsertableRelation wrapping the
+  * log's append/replace commit verbs, so Spark's stock V1 insert path
+  * (InsertIntoDataSourceCommand) does the column coercion and the
+  * manifest does the atomic publish — never a raw parquet write into
+  * the table root. */
 class ResolveManifestRelation(spark: org.apache.spark.sql.SparkSession)
     extends org.apache.spark.sql.catalyst.rules.Rule[
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
-  import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+  import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan}
+  import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+  private def isManifest(u: UnresolvedRelation): Boolean =
+    u.multipartIdentifier.length == 2 &&
+      u.multipartIdentifier.head.equalsIgnoreCase("graft.manifest")
+
+  private def resolved(root: String, version: Option[Long]): LogicalPlan =
+    LogicalRelation(
+      graft.sources.ManifestSource.relation(spark, root, version,
+        allowTombstones = false),
+      isStreaming = false)
+
+  /** `@vN` path-suffix sugar: only time-travels when the LITERAL path
+    * is not itself a committed table — a table legitimately rooted at
+    * `…/events@v2` must resolve to that table's head, never silently
+    * to version 2 of a different table sharing the prefix. */
+  private def parseSpec(spec: String): (String, Option[Long]) =
+    spec.lastIndexOf("@v") match {
+      case i if i > 0 && spec.drop(i + 2).nonEmpty &&
+          spec.drop(i + 2).forall(_.isDigit) &&
+          !graft.io.ManifestTable.exists(spark, spec) =>
+        (spec.take(i), Some(spec.drop(i + 2).toLong))
+      case _ => (spec, None)
+    }
+
+  /** TIMESTAMP AS OF → the newest manifest version whose commit
+    * (manifest file) time is at or before the cutoff — O(versions)
+    * driver metadata, no data IO. */
+  private def versionAsOfTime(root: String, cutoffMs: Long): Long = {
+    val vs = graft.io.ManifestTable.versionsWithTimes(spark, root)
+    vs.filter(_._2 <= cutoffMs).map(_._1).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no manifest version of $root committed at or before " +
+          s"${java.time.Instant.ofEpochMilli(cutoffMs)} (earliest commit: " +
+          vs.headOption.map(v => java.time.Instant.ofEpochMilli(v._2).toString)
+            .getOrElse("none") + ")"))
+  }
+
+  private def evalCutoffMs(e: org.apache.spark.sql.catalyst.expressions.Expression): Long = {
+    val cast = org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.TimestampType,
+      Some(spark.sessionState.conf.sessionLocalTimeZone))
+    require(cast.foldable,
+      s"TIMESTAMP AS OF needs a literal timestamp, got $e")
+    val micros = cast.eval(null)
+    require(micros != null, s"TIMESTAMP AS OF evaluated to NULL: $e")
+    micros.asInstanceOf[Long] / 1000L
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case u: UnresolvedRelation if u.multipartIdentifier.length == 2 &&
-        u.multipartIdentifier.head.equalsIgnoreCase("graft.manifest") =>
+    // standard SQL time travel: VERSION AS OF n / TIMESTAMP AS OF ts
+    case RelationTimeTravel(u: UnresolvedRelation, ts, ver) if isManifest(u) =>
       val spec = u.multipartIdentifier(1)
-      // @v only time-travels when the LITERAL path is not itself a
-      // committed table: a table legitimately rooted at …/events@v2
-      // must resolve to that table's head, never silently to version
-      // 2 of a different table that happens to share the prefix
-      val (root, version) = spec.lastIndexOf("@v") match {
-        case i if i > 0 && spec.drop(i + 2).nonEmpty &&
-            spec.drop(i + 2).forall(_.isDigit) &&
-            !graft.io.ManifestTable.exists(spark, spec) =>
-          (spec.take(i), Some(spec.drop(i + 2).toLong))
-        case _ => (spec, None)
+      (ver, ts) match {
+        case (Some(vs), None) =>
+          require(vs.forall(_.isDigit),
+            s"VERSION AS OF on graft.manifest takes a numeric manifest version, got '$vs'")
+          resolved(spec, Some(vs.toLong))
+        case (None, Some(expr)) =>
+          resolved(spec, Some(versionAsOfTime(spec, evalCutoffMs(expr))))
+        case _ => throw new IllegalArgumentException(
+          "time travel needs exactly one of VERSION AS OF / TIMESTAMP AS OF")
       }
-      org.apache.spark.sql.execution.datasources.LogicalRelation(
-        graft.sources.ManifestSource.relation(spark, root, version,
-          allowTombstones = false),
-        isStreaming = false)
+    // INSERT INTO / INSERT OVERWRITE → the log's commit verbs
+    case i: InsertIntoStatement =>
+      i.table match {
+        case u: UnresolvedRelation if isManifest(u) =>
+          require(i.partitionSpec.isEmpty,
+            "INSERT INTO graft.manifest does not take a PARTITION spec; " +
+              "hive-layout segments ride ManifestTable.append(partitionBy=…)")
+          val (root, version) = parseSpec(u.multipartIdentifier(1))
+          require(version.isEmpty,
+            s"cannot INSERT into a pinned version of $root — inserts " +
+              "commit a new version at the head")
+          i.copy(table = LogicalRelation(
+            new graft.sources.ManifestInsertableRelation(spark, root),
+            isStreaming = false))
+        case _ => i
+      }
+    case u: UnresolvedRelation if isManifest(u) =>
+      val (root, version) = parseSpec(u.multipartIdentifier(1))
+      resolved(root, version)
   }
 }
 

@@ -1,0 +1,125 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute,
+  AttributeReference, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The lakehouse maintenance verbs as SQL table functions, so the ops
+  * surface is reachable from `execute` like everything else (the
+  * reference's interface is SQL passthrough end to end —
+  * `locopy/database.py:131-190`; real lakehouses ship these as
+  * CALL/VACUUM statements):
+  *
+  * {{{
+  *   SELECT * FROM graft_manifest_compact('/wh/events__log')
+  *   SELECT * FROM graft_manifest_optimize('/wh/events__log', 1048576)
+  *   SELECT * FROM graft_manifest_vacuum('/wh/events__log', 3)
+  *   SELECT * FROM graft_manifest_expire('/wh/events__log', 3)
+  *   SELECT * FROM graft_manifest_set_retain('/wh/events__log', 5)
+  *   SELECT * FROM graft_neardup_pack('/wh/ndx')
+  *   SELECT * FROM graft_ann_optimize('/wh/annx', 1048576)
+  * }}}
+  *
+  * Each verb is a [[LeafRunnableCommand]]: the action runs exactly
+  * once per query EXECUTION (planning and EXPLAIN never trigger it)
+  * and returns one row — (action, n, detail) — so the caller sees what
+  * the maintenance pass actually did. Arguments must be literals (the
+  * command is built at resolution time; a computed table root inside a
+  * maintenance verb is an operator error, not a use case). */
+case class GraftMaintenanceCommand(verb: String, root: String,
+    arg: Option[Long]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("action", StringType, nullable = false)(),
+    AttributeReference("n", LongType, nullable = false)(),
+    AttributeReference("detail", StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    import graft.io.ManifestTable
+    verb match {
+      case "compact" =>
+        val before = ManifestTable.segments(session, root).size
+        ManifestTable.compact(session, root)
+        Seq(Row("compact", before.toLong,
+          s"folded $before segment(s) to 1; tombstones applied physically"))
+      case "optimize" =>
+        val folded = ManifestTable.optimize(session, root, arg.get)
+        Seq(Row("optimize", folded.toLong,
+          s"bin-packed $folded segment(s) under ${arg.get} bytes"))
+      case "vacuum" =>
+        val (expired, removed) = ManifestTable.vacuum(session, root, arg.get.toInt)
+        Seq(Row("vacuum", removed.size.toLong,
+          s"expired ${expired.size} manifest version(s); " +
+            s"removed ${removed.size} dir(s)"))
+      case "expire" =>
+        val expired = ManifestTable.expireVersions(session, root, arg.get.toInt)
+        Seq(Row("expire", expired.size.toLong,
+          s"expired manifest version(s): ${expired.mkString(",")}"))
+      case "set_retain" =>
+        ManifestTable.setRetainVersions(session, root, arg.get.toInt)
+        Seq(Row("set_retain", arg.get,
+          s"rewrites now keep segments of the newest ${arg.get} version(s)"))
+      case "neardup_pack" =>
+        val folded = graft.streaming.NearDupIndex.pack(session, root)
+        Seq(Row("neardup_pack", folded.toLong,
+          s"folded $folded per-ingest band root(s) into one packed root"))
+      case "ann_optimize" =>
+        val folded = graft.streaming.AnnIndex.optimize(session, root, arg.get)
+        Seq(Row("ann_optimize", folded.toLong,
+          s"bin-packed $folded index segment(s) under ${arg.get} bytes"))
+      case other =>
+        throw new IllegalStateException(s"unknown maintenance verb $other")
+    }
+  }
+}
+
+object GraftMaintenance {
+
+  private def str(e: Expression, fn: String): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: table root must be a string literal, got $other")
+  }
+
+  private def lng(e: Expression, fn: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument must be an integer literal, got $other")
+  }
+
+  private def fn1(name: String, verb: String, usage: String)
+      : (String, String, Seq[Expression] => LogicalPlan) =
+    (name, usage, args => {
+      require(args.length == 1, s"$name(root) takes 1 argument, got ${args.length}")
+      GraftMaintenanceCommand(verb, str(args.head, name), None)
+    })
+
+  private def fn2(name: String, verb: String, usage: String)
+      : (String, String, Seq[Expression] => LogicalPlan) =
+    (name, usage, args => {
+      require(args.length == 2, s"$name(root, n) takes 2 arguments, got ${args.length}")
+      GraftMaintenanceCommand(verb, str(args.head, name), Some(lng(args(1), name)))
+    })
+
+  /** (function name, usage, plan builder) for every maintenance TVF. */
+  val all: Seq[(String, String, Seq[Expression] => LogicalPlan)] = Seq(
+    fn1("graft_manifest_compact", "compact",
+      "graft_manifest_compact(root) - fold all segments to one, applying tombstones physically"),
+    fn2("graft_manifest_optimize", "optimize",
+      "graft_manifest_optimize(root, smallBytes) - bin-pack data segments smaller than smallBytes"),
+    fn2("graft_manifest_vacuum", "vacuum",
+      "graft_manifest_vacuum(root, keepLast) - expire manifests past keepLast and delete the dirs only they named"),
+    fn2("graft_manifest_expire", "expire",
+      "graft_manifest_expire(root, keepLast) - log-side trim: delete manifests past the newest keepLast versions"),
+    fn2("graft_manifest_set_retain", "set_retain",
+      "graft_manifest_set_retain(root, n) - rewrites keep segments named by the newest n versions"),
+    fn1("graft_neardup_pack", "neardup_pack",
+      "graft_neardup_pack(root) - fold per-ingest near-dup band roots into one packed root"),
+    fn2("graft_ann_optimize", "ann_optimize",
+      "graft_ann_optimize(root, smallBytes) - bin-pack small ANN index segments"))
+}

@@ -4,8 +4,8 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo,
-  Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual,
-  Literal}
+  Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan,
+  LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation,
   PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -62,6 +62,7 @@ import graft.io.ManifestTable
   */
 class ManifestSource extends RelationProvider with CreatableRelationProvider
     with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft.manifest"
@@ -158,6 +159,59 @@ class ManifestSource extends RelationProvider with CreatableRelationProvider
     new ManifestSink(sqlContext.sparkSession, root, colsOpt("statsCols"),
       colsOpt("bloomCols"), partitionColumns)
   }
+
+  /** Streaming SOURCE — `spark.readStream.format("graft.manifest")
+    * .load(root)`: replays the log's change feed as micro-batches,
+    * offset = manifest version. Because appends only ever ADD segment
+    * names, the delta between two offsets IS the set of segments
+    * committed in the window ([[graft.io.ManifestTable
+    * .changedSegments]]), so each batch reads O(new data) — never the
+    * table — and a restart replays exactly the uncommitted window from
+    * the checkpointed offset. Rewrite commits (compact/optimize/
+    * cluster) are walked through: they repackage rows behind the
+    * cursor and contribute EMPTY batches. This is the read half the
+    * r13 sink made necessary: log→log pipelines (ingest → transform →
+    * another log) now compose symmetrically, the reference's staged
+    * load/unload pipeline shape re-expressed as streams
+    * (`locopy/redshift.py:235-441`).
+    *
+    * Options: `startingVersion` = `0` (default — bootstrap: the full
+    * table state is batch one) | `latest` (only commits after stream
+    * start) | any committed version number (exclusive low fence).
+    * `changeFeed=true` surfaces deletes: rows carry a `_change_type`
+    * column (`insert`/`delete`, tombstone rows NULL-fill non-key
+    * columns). Without it, a tombstone inside a window fails the
+    * batch loudly — a plain append stream must not silently ignore
+    * deletes. A window expired by `expireVersions` also fails loudly
+    * (full refresh + re-pin, the standard change-feed fallback). */
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), ManifestSource.streamSchema(sqlContext.sparkSession,
+      rootOf(parameters), changeFeedOf(parameters)))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    val changeFeed = changeFeedOf(parameters)
+    val declared = schema.getOrElse(
+      ManifestSource.streamSchema(spark, root, changeFeed))
+    val startV = parameters.get("startingversion")
+      .orElse(parameters.get("startingVersion")) match {
+      case Some(s) if s.equalsIgnoreCase("latest") =>
+        ManifestTable.versions(spark, root).lastOption.getOrElse(0L)
+      case Some(s) => s.toLong
+      case None => 0L
+    }
+    new ManifestStreamSource(spark, root, declared, changeFeed, startV)
+  }
+
+  private def changeFeedOf(parameters: Map[String, String]): Boolean =
+    parameters.get("changefeed").orElse(parameters.get("changeFeed"))
+      .exists(_.equalsIgnoreCase("true"))
 }
 
 /** One manifest commit per micro-batch; replays skip on the batch tag. */
@@ -181,13 +235,93 @@ private[sources] class ManifestSink(spark: SparkSession, root: String,
     // layout (wedging every subsequent relation build); a replayed
     // empty batch re-skips identically, so exactly-once holds
     try if (!snap.isEmpty)
-      ManifestTable.append(spark, root, snap, partitionBy = partitionBy,
+      ManifestTable.appendReserved(spark, root, snap, partitionBy = partitionBy,
         tag = Some(tag), statsCols = statsCols, bloomCols = bloomCols)
     finally graft.core.Lineage.release(snap)
   }
 }
 
+/** The log's change feed as a V1 streaming Source: offset = manifest
+  * version; a batch = the segments committed in `(fromV, toV]`, read
+  * through [[ManifestTable.changedSegments]] (O(new data) — rewrites
+  * walk through as empty batches; an unmarked drop or an expired
+  * window fails loudly, the full-refresh contract). */
+private[sources] class ManifestStreamSource(spark: SparkSession,
+    root: String, declared: StructType, changeFeed: Boolean, startV: Long)
+    extends org.apache.spark.sql.execution.streaming.Source {
+  import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
+  import org.apache.spark.sql.execution.streaming.runtime.{LongOffset,
+    SerializedOffset}
+
+  override def schema: StructType = declared
+
+  /** Head manifest version (None until something is committed past
+    * the starting fence) — one root listing per poll, no data IO. */
+  override def getOffset: Option[V1Offset] = {
+    val head = ManifestTable.versions(spark, root).lastOption.getOrElse(0L)
+    if (head <= startV) None else Some(LongOffset(head))
+  }
+
+  private def vOf(o: V1Offset): Long = o match {
+    case LongOffset(v) => v
+    case SerializedOffset(json) => json.trim.toLong
+    case other =>
+      throw new IllegalArgumentException(s"unexpected offset shape $other")
+  }
+
+  /** Every batch is conformed to the DECLARED schema (stream schemas
+    * are fixed at start): pre-evolution segments NULL-fill later
+    * columns, tombstone rows NULL-fill non-key columns, and column
+    * order is pinned. */
+  private def conform(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    df.select(declared.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val fromV = start.map(vOf).getOrElse(startV)
+    val toV = vOf(end)
+    val chg = ManifestTable.changedSegments(spark, root, fromV, toV)
+    val dels = chg.filter(_.startsWith("del-"))
+    require(changeFeed || dels.isEmpty,
+      s"window ($fromV, $toV] of $root commits ${dels.size} tombstone " +
+        "segment(s); a plain append stream cannot represent deletes — " +
+        "restart with option(\"changeFeed\", \"true\") (rows gain " +
+        "_change_type) or apply deletes upstream via compact()")
+    val batch =
+      if (chg.isEmpty) // rewrite-only window: nothing new for the feed
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
+      else {
+        val raw = ManifestTable.readChanges(spark, root, fromV, toV)
+        conform(if (changeFeed) raw else raw.drop("_change_type"))
+      }
+    org.apache.spark.sql.GraftColumnBridge.asStreamingDataFrame(batch)
+  }
+
+  override def commit(end: V1Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"ManifestStreamSource[$root]"
+}
+
 object ManifestSource {
+
+  /** Stream schema = the SQL relation's schema (embedded-metadata
+    * resolution, cached) + `_change_type` when the change feed is on.
+    * Resolved once at stream definition — the log must already be
+    * committed (a log→log pipeline starts from an existing upstream). */
+  private[sources] def streamSchema(spark: SparkSession, root: String,
+      changeFeed: Boolean): StructType = {
+    val rel = relation(spark, root, None, allowTombstones = true)
+    val base = StructType(rel.dataSchema.fields ++ rel.partitionSchema.fields)
+    if (changeFeed)
+      StructType(base.fields :+
+        StructField("_change_type", StringType, nullable = false))
+    else base
+  }
 
   /** Segments the most recent listFiles kept after zone-map pruning —
     * a test observation hook (plan-shape specs assert the segment
@@ -198,14 +332,65 @@ object ManifestSource {
     * pruning (= segments for flat layouts) — same test-hook role. */
   @volatile var lastListedPartitions: Int = 0
 
+  // ------------------------------------------------------------------
+  // Relation-build cost observation hooks (test-only): with manifest-
+  // embedded metadata a relation build must do O(1) filesystem work in
+  // SEGMENT COUNT — one root listing to resolve the head version plus
+  // one manifest read — instead of a listStatus + sidecar open per
+  // segment and a footer-merge job over every file. PlanSpec asserts
+  // these counters stay zero on meta-bearing tables and grow O(n) only
+  // on the legacy fallback path.
+  // ------------------------------------------------------------------
+  @volatile var lastBuildListOps: Int = 0       // per-segment listStatus calls
+  @volatile var lastBuildSidecarReads: Int = 0  // _stats.graft.json opens
+  @volatile var lastBuildFooterJobs: Int = 0    // schema footer-merge jobs
+  @volatile var lastBuildCacheHit: Boolean = false
+
+  /** Snapshot-relation cache: manifests are immutable once committed
+    * and every segment name carries a fresh UUID, so the manifest
+    * CONTENT fingerprint identifies a snapshot exactly — across
+    * appends (new version = new key), across destroy/recreate (same
+    * version number, different content), across processes restarts
+    * (rebuilt on first use). Bounded LRU; a stale entry whose segments
+    * were since vacuumed fails at scan time with the same
+    * missing-file error the uncached API read gives for past-retention
+    * access. */
+  private case class CacheKey(root: String, v: Long, fingerprint: String)
+  private case class Cached(index: ManifestFileIndex, dataSchema: StructType)
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[CacheKey, Cached](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[CacheKey, Cached]): Boolean = size() > 64
+    })
+
+  /** Additive-evolution merge of per-segment schemas, in commit order:
+    * later segments may ADD columns; a same-name column whose type
+    * changed is NOT additive → None (caller falls back to the footer-
+    * merge job, which applies parquet's own reconciliation). */
+  private def mergeAdditive(schemas: Seq[StructType]): Option[StructType] =
+    schemas.foldLeft(Option(StructType(Nil))) {
+      case (None, _) => None
+      case (Some(acc), st) =>
+        val byName = acc.fields.map(f => f.name -> f.dataType).toMap
+        if (st.fields.exists(f => byName.get(f.name).exists(_ != f.dataType))) None
+        else Some(StructType(acc.fields ++
+          st.fields.filterNot(f => byName.contains(f.name))))
+    }.filter(_.fields.nonEmpty)
+
   private[graft] def relation(spark: SparkSession, root: String,
       version: Option[Long], allowTombstones: Boolean): HadoopFsRelation = {
-    val all = version match {
-      case Some(v) => ManifestTable.segmentsAt(spark, root, v)
-      case None => ManifestTable.segments(spark, root)
-    }
+    lastBuildListOps = 0
+    lastBuildSidecarReads = 0
+    lastBuildFooterJobs = 0
+    lastBuildCacheHit = false
+    // head resolution = ONE root listing; pinned versions skip even that
+    val v = version.orElse(ManifestTable.versions(spark, root).lastOption)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed manifest under $root"))
+    // ONE manifest read: segment list + embedded metadata + fingerprint
+    val (all, metas, fp) = ManifestTable.manifestSnapshot(spark, root, v)
     require(all.nonEmpty, s"no committed manifest under $root" +
-      version.map(v => s" at version $v").getOrElse(""))
+      version.map(v0 => s" at version $v0").getOrElse(""))
     val dels = all.filter(_.startsWith("del-"))
     if (dels.nonEmpty && !allowTombstones)
       throw new IllegalStateException(
@@ -215,48 +400,110 @@ object ManifestSource {
           "option(\"allowTombstones\", \"true\") to knowingly scan raw " +
           "data segments.")
     val segs = all.filterNot(_.startsWith("del-"))
-    val index = new ManifestFileIndex(spark, root, segs)
-    // merged footer schema (additive evolution: later segments may add
-    // columns) in ONE footer-merge pass over the index's already-listed
-    // leaf files — a per-segment read here would run one planning job
-    // per segment on every relation build, dominating short-query
-    // latency on a streaming-fed log with hundreds of segments
-    val files = index.inputFiles
-    val dataSchema =
-      if (files.nonEmpty)
-        spark.read.option("mergeSchema", "true").parquet(files.toSeq: _*).schema
-      else // degenerate: only file-less (empty partitioned) segments
-        segs.map(s => spark.read.parquet(s"$root/$s").schema)
-          .reduce { (a, b) =>
-            StructType(a.fields ++
-              b.fields.filterNot(f => a.fieldNames.contains(f.name)))
-          }
-    val partNames = index.partitionSchema.fieldNames.toSet
+    val key = CacheKey(root, v, fp)
+    val cached = cache.get(key) match {
+      case c if c != null =>
+        lastBuildCacheHit = true
+        c
+      case _ =>
+        val index = new ManifestFileIndex(spark, root, segs, metas)
+        val dataSchema = resolveDataSchema(spark, root, segs, metas, index)
+        val c = Cached(index, dataSchema)
+        cache.put(key, c)
+        c
+    }
+    val partNames = cached.index.partitionSchema.fieldNames.toSet
     HadoopFsRelation(
-      location = index,
-      partitionSchema = index.partitionSchema,
-      dataSchema = StructType(dataSchema.filterNot(f => partNames.contains(f.name))),
+      location = cached.index,
+      partitionSchema = cached.index.partitionSchema,
+      dataSchema = StructType(
+        cached.dataSchema.filterNot(f => partNames.contains(f.name))),
       bucketSpec = None,
       fileFormat = new ParquetFileFormat(),
       options = Map.empty)(spark)
   }
+
+  /** The relation's data schema. Fast path: every file-bearing segment
+    * carries an embedded schema → additive merge in commit order, ZERO
+    * footer reads. Fallback (legacy/mixed tables, or a non-additive
+    * type change): one mergeSchema footer job over all listed files —
+    * the pre-metadata behavior. A table with no data files at all
+    * fails with a clear contract error instead of parquet's
+    * unable-to-infer. */
+  private def resolveDataSchema(spark: SparkSession, root: String,
+      segs: Seq[String], metas: Map[String, ManifestTable.SegMeta],
+      index: ManifestFileIndex): StructType = {
+    val withFiles = segs.filter(s => metas.get(s).forall(_.files.nonEmpty))
+    val embedded = withFiles.map(s => metas.get(s).flatMap(_.schema))
+    val fromMeta =
+      if (embedded.nonEmpty && embedded.forall(_.isDefined))
+        mergeAdditive(embedded.flatten)
+      else None
+    fromMeta.getOrElse {
+      val files = index.inputFiles
+      if (files.isEmpty)
+        throw new IllegalStateException(
+          s"manifest table $root has no data files (every committed " +
+            "segment is empty) and no embedded schema; append data " +
+            "before reading it through SQL")
+      lastBuildFooterJobs += 1
+      spark.read.option("mergeSchema", "true").parquet(files.toSeq: _*).schema
+    }
+  }
 }
 
 /** Committed-segment file index with TWO pruning layers above
-  * parquet's own: zone-map segment skipping on pushed data filters,
-  * and hive-style partition-dir pruning on pushed partition filters
-  * (single-level `col=value` layouts, the shape [[ManifestTable
-  * .append]]'s `partitionBy` and the ANN index's `cell=` dirs write).
-  * Listing state (files, partition values, sidecar stats) is resolved
-  * ONCE at construction — driver-side metadata proportional to
-  * segment count × partition dirs, the same cost class as the
-  * manifest read itself. */
+  * parquet's own: zone-map + Bloom segment skipping on pushed data
+  * filters (conjunct ranges, equalities, and IN/OR-of-equality value
+  * sets), and hive-style partition-dir pruning on pushed partition
+  * filters (`a=v/b=w` layouts of any depth, the shapes [[ManifestTable
+  * .append]]'s `partitionBy` writes). All listing state comes from the
+  * manifest's embedded metadata when present — ZERO per-segment
+  * filesystem calls; segments without metadata (legacy tables) fall
+  * back to a per-segment recursive listing + sidecar read, counted in
+  * [[ManifestSource.lastBuildListOps]]/[[ManifestSource
+  * .lastBuildSidecarReads]]. */
 private[sources] class ManifestFileIndex(spark: SparkSession, root: String,
-    segs: Seq[String]) extends FileIndex {
+    segs: Seq[String], metas: Map[String, graft.io.ManifestTable.SegMeta])
+    extends FileIndex {
 
   private val rootPath = new Path(root)
   private val fs =
     rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Synthetic FileStatus from embedded metadata — length is what scan
+    * planning consumes (split sizing); mtime/blocksize are unused by
+    * the parquet read path. */
+  private def metaStatus(seg: String, rel: String, len: Long): FileStatus =
+    new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L,
+      fs.makeQualified(new Path(rootPath, s"$seg/$rel")))
+
+  /** One file group per (segment, partition-value vector):
+    * (segment, partition column names, raw values, files). Partition
+    * names must agree across every group (checked below). */
+  private val entries: Seq[(String, Seq[String], Seq[String], Array[FileStatus])] =
+    segs.flatMap { s =>
+      metas.get(s) match {
+        case Some(m) =>
+          // manifest-embedded listing: the commit named these files, so
+          // junk later dropped into the dir is invisible — the same
+          // only-the-log-is-truth contract as the API reads
+          m.files.groupBy(f => partOf(f._1)).toSeq
+            .sortBy(_._1.map(_._2).mkString("/"))
+            .map { case (pvs, fl) =>
+              (s, pvs.map(_._1), pvs.map(_._2),
+                fl.map { case (rel, len) => metaStatus(s, rel, len) }.toArray)
+            }
+        case None => listSegment(s)
+      }
+    }
+
+  /** `a=1/b=2/part-x.parquet` → Seq(("a","1"),("b","2")). */
+  private def partOf(rel: String): Seq[(String, String)] =
+    rel.split("/").dropRight(1).toSeq.map { d =>
+      val Array(c, v) = d.split("=", 2)
+      (c, v)
+    }
 
   private def dataFiles(dir: Path): Array[FileStatus] =
     fs.listStatus(dir).filter { st =>
@@ -264,91 +511,149 @@ private[sources] class ManifestFileIndex(spark: SparkSession, root: String,
       st.isFile && !n.startsWith("_") && !n.startsWith(".")
     }
 
-  private var partCol: Option[String] = None
-
-  /** (segment, raw partition value or None for flat, files). Every
-    * segment must agree on the layout — all flat, or all single-level
-    * partitioned on the same column (the only shapes our writers
-    * produce; anything else fails loudly rather than dropping dirs). */
-  private val entries: Seq[(String, Option[String], Array[FileStatus])] =
-    segs.flatMap { s =>
-      val segDir = new Path(rootPath, s)
-      val all = fs.listStatus(segDir)
-      val dirs = all.filter(st => st.isDirectory && st.getPath.getName.contains("="))
-      if (dirs.isEmpty) Seq((s, None, dataFiles(segDir)))
-      else dirs.toSeq.map { d =>
-        val Array(c, v) = d.getPath.getName.split("=", 2)
-        require(partCol.forall(_ == c),
-          s"segment $s of $root is partitioned on '$c' but another segment " +
-            s"uses '${partCol.get}'; the graft.manifest relation needs one " +
-            "consistent layout — use ManifestTable.read for mixed layouts")
-        partCol = Some(c)
-        (s, Some(v), dataFiles(d.getPath))
+  /** Legacy fallback: recursive listing of one segment (no embedded
+    * metadata). Each level must be all `col=value` dirs or all files —
+    * a mixed shape reads back partially, so it fails loudly. */
+  private def listSegment(
+      s: String): Seq[(String, Seq[String], Seq[String], Array[FileStatus])] = {
+    def walk(dir: Path, cols: Seq[String], vals: Seq[String])
+        : Seq[(String, Seq[String], Seq[String], Array[FileStatus])] = {
+      ManifestSource.lastBuildListOps += 1
+      val all = fs.listStatus(dir)
+      val dirs = all.filter(st =>
+        st.isDirectory && st.getPath.getName.contains("="))
+      val files = all.filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      if (dirs.isEmpty) Seq((s, cols, vals, files))
+      else {
+        require(files.isEmpty,
+          s"segment $s of $root mixes partition dirs with ${files.length} " +
+            s"loose data file(s) (e.g. ${files.head.getPath.getName}); " +
+            "refusing to read a partially-visible segment — repair the " +
+            "layout or use ManifestTable.read")
+        dirs.toSeq.flatMap { d =>
+          val Array(c, v) = d.getPath.getName.split("=", 2)
+          walk(d.getPath, cols :+ c, vals :+ v)
+        }
       }
     }
-  // force the listing (and with it partCol) at construction
-  require(entries.forall(e => (e._2.isEmpty) == partCol.isEmpty),
+    walk(new Path(rootPath, s), Nil, Nil)
+  }
+
+  /** The one partition layout every group must share (Nil = flat).
+    * File-less groups (empty partitioned segments) carry no layout
+    * evidence and are exempt. */
+  private val partCols: Seq[String] = {
+    val layouts = entries.filter(_._4.nonEmpty).map(e => (e._1, e._2)).distinct
+    layouts.map(_._2).distinct match {
+      case Nil => Nil
+      case Seq(one) => one
+      case several =>
+        val flat = layouts.collectFirst { case (s, Nil) => s }
+        val parted = layouts.collectFirst { case (s, c) if c.nonEmpty => s }
+        if (flat.isDefined && several.size == 2 && several.contains(Nil))
+          throw new IllegalArgumentException(
+            s"$root mixes flat and partitioned segments (e.g. " +
+              s"${flat.get} vs ${parted.get}); the graft.manifest " +
+              "relation needs one consistent layout — use ManifestTable.read")
+        else {
+          val Seq(a, b) = several.filter(_.nonEmpty).take(2)
+          val segA = layouts.find(_._2 == a).get._1
+          val segB = layouts.find(_._2 == b).get._1
+          throw new IllegalArgumentException(
+            s"segment $segB of $root is partitioned on " +
+              s"'${b.mkString("/")}' but segment $segA " +
+              s"uses '${a.mkString("/")}'; the graft.manifest relation " +
+              "needs one consistent layout — use ManifestTable.read for " +
+              "mixed layouts")
+        }
+    }
+  }
+  require(entries.filter(_._4.nonEmpty)
+      .forall(e => (e._2.isEmpty) == partCols.isEmpty),
     s"$root mixes flat and partitioned segments; the graft.manifest " +
       "relation needs one consistent layout — use ManifestTable.read")
 
-  /** Partition value type: smallest of Int/Long that fits every dir
-    * value, else String — matching what hive-style discovery infers
-    * for the layouts our writers produce. */
-  override val partitionSchema: StructType = partCol match {
-    case None => StructType(Nil)
-    case Some(c) =>
-      val vals = entries.flatMap(_._2)
+  /** Partition value types: smallest of Int/Long that fits every dir
+    * value per column, else String — matching what hive-style
+    * discovery infers for the layouts our writers produce. */
+  override val partitionSchema: StructType = StructType(
+    partCols.zipWithIndex.map { case (c, i) =>
+      val vals = entries.filter(_._2.nonEmpty).map(_._3(i))
       val dt =
         if (vals.forall(v => scala.util.Try(v.toInt).isSuccess)) IntegerType
         else if (vals.forall(v => scala.util.Try(v.toLong).isSuccess)) LongType
         else StringType
-      StructType(Seq(StructField(c, dt, nullable = false)))
-  }
+      StructField(c, dt, nullable = false)
+    })
 
-  private def partRow(raw: Option[String]): InternalRow = raw match {
-    case None => InternalRow.empty
-    case Some(v) =>
-      val x: Any = partitionSchema.head.dataType match {
-        case IntegerType => v.toInt
-        case LongType => v.toLong
-        case _ => UTF8String.fromString(v)
-      }
-      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array(x))
-  }
+  private def partRow(raw: Seq[String]): InternalRow =
+    if (raw.isEmpty) InternalRow.empty
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      raw.zipWithIndex.map { case (v, i) =>
+        val x: Any = partitionSchema(i).dataType match {
+          case IntegerType => v.toInt
+          case LongType => v.toLong
+          case _ => UTF8String.fromString(v)
+        }
+        x
+      }.toArray)
 
-  private val stats: Map[String, Option[ManifestTable.SegStats]] =
-    segs.map(s => s -> ManifestTable.segmentStats(spark, root, s)).toMap
+  /** Zone-map stats per segment: embedded copy when present (zero IO),
+    * else the sidecar file (counted). A meta-bearing segment with NO
+    * embedded stats genuinely collected none — no sidecar exists to
+    * read. */
+  private val stats: Map[String, Option[graft.io.ManifestTable.SegStats]] =
+    segs.map { s =>
+      s -> (metas.get(s) match {
+        case Some(m) => m.stats
+        case None =>
+          ManifestSource.lastBuildSidecarReads += 1
+          ManifestTable.segmentStats(spark, root, s)
+      })
+    }.toMap
 
   // Bloom sidecars load lazily (a probe-free query never opens them)
-  // and memoize per (segment, column) for the relation's lifetime
+  // and memoize per (segment, column) for the relation's lifetime;
+  // embedded metadata short-circuits columns with no sidecar.
   private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String), Option[org.apache.spark.util.sketch.BloomFilter]]
   private def bloomOf(seg: String, colName: String) =
-    bloomCache.computeIfAbsent((seg, colName),
-      _ => ManifestTable.segmentBloom(spark, root, seg, colName))
+    bloomCache.computeIfAbsent((seg, colName), _ =>
+      metas.get(seg) match {
+        case Some(m) if !m.blooms.contains(colName) => None
+        case _ => ManifestTable.segmentBloom(spark, root, seg, colName)
+      })
 
   override def rootPaths: Seq[Path] = segs.map(s => new Path(rootPath, s))
 
   override def sizeInBytes: Long =
-    entries.iterator.flatMap(_._3).map(_.getLen).sum
+    entries.iterator.flatMap(_._4).map(_.getLen).sum
 
   override def inputFiles: Array[String] =
-    entries.flatMap(_._3.map(_.getPath.toString)).toArray
+    entries.flatMap(_._4.map(_.getPath.toString)).toArray
 
   override def refresh(): Unit = () // snapshot-pinned by design
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val bounds = dataFilters.flatMap(ManifestFileIndex.rangeBounds)
-    val eqs = dataFilters.flatMap(ManifestFileIndex.eqProbes)
-    // layer 1: zone maps (ranges) + Bloom sidecars (point probes —
-    // the pruning an arrival-ordered log needs for `id = k`, where
-    // every segment's [min, max] admits everything) drop segments
-    val keep = entries.filter { case (s, _, _) =>
+    val keySets = dataFilters.flatMap(ManifestFileIndex.keySetProbes)
+    // layer 1: zone maps (ranges) + Bloom sidecars + value-set probes
+    // (IN-lists / OR-of-equality — an `id IN (k1,k2,k3)` point lookup
+    // opens only the union of per-key admitting segments) drop whole
+    // segments
+    val keep = entries.filter { case (s, _, _, _) =>
       bounds.forall { case (c, lo, hi) =>
         ManifestTable.statsAdmit(stats(s), c, lo, hi)
-      } && eqs.forall { case (c, v) =>
-        ManifestTable.bloomAdmit(bloomOf(s, c), v)
+      } && keySets.forall { case (c, values) =>
+        values.exists { case (b, pv) =>
+          b.forall(x =>
+            ManifestTable.statsAdmit(stats(s), c, Some(x), Some(x))) &&
+          pv.forall(x => ManifestTable.bloomAdmit(bloomOf(s, c), x))
+        }
       }
     }
     // layer 2: partition filters drop col=value dirs inside survivors
@@ -365,7 +670,7 @@ private[sources] class ManifestFileIndex(spark: SparkSession, root: String,
       p
     }
     val kept = keep
-      .map { case (s, raw, files) => (s, partRow(raw), files) }
+      .map { case (s, _, raw, files) => (s, partRow(raw), files) }
       .filter { case (_, row, _) => pred.forall(_.eval(row)) }
     ManifestSource.lastListedSegments = kept.map(_._1).distinct
     ManifestSource.lastListedPartitions = kept.size
@@ -378,9 +683,10 @@ private[sources] object ManifestFileIndex {
   /** Extract `(column, lo, hi)` zone-map probes from one pushed
     * predicate. Only shapes whose truth REQUIRES the column inside
     * the range contribute (conjuncts of =, <, <=, >, >= against
-    * literals); anything else — OR, IS NULL, functions, non-literal
+    * literals); anything else — IS NULL, functions, non-literal
     * comparands — contributes nothing and the segment is read
-    * (conservative, same contract as a parquet row-group filter).
+    * (conservative, same contract as a parquet row-group filter;
+    * IN-lists and OR-of-equalities ride [[keySetProbes]]).
     * `>`/`<` relax to their inclusive forms: zone maps are
     * segment-granular, so inclusivity only costs a false keep, never
     * a wrong prune. */
@@ -410,17 +716,54 @@ private[sources] object ManifestFileIndex {
     case _ => Nil
   }
 
-  /** Extract `(column, value)` Bloom probes from one pushed
-    * predicate: And-conjunct equalities against integral/string
-    * literals (the types Bloom sidecars hash). Same conservatism as
-    * [[rangeBounds]] — anything else contributes nothing. */
-  private[sources] def eqProbes(e: Expression): Seq[(String, Any)] = e match {
-    case And(l, r) => eqProbes(l) ++ eqProbes(r)
-    case EqualTo(a: Attribute, Literal(v, dt)) =>
-      probeVal(v, dt).map(a.name -> _).toSeq
-    case EqualTo(Literal(v, dt), a: Attribute) =>
-      probeVal(v, dt).map(a.name -> _).toSeq
-    case _ => Nil
+  /** Extract value-SET probes from one pushed predicate: a conjunct
+    * whose truth requires `column IN {v1..vn}` — a bare equality, an
+    * `IN` list (or its optimized `InSet` form), or an OR-tree of
+    * equalities/INs over ONE attribute. A segment is admitted when ANY
+    * value passes BOTH its zone map (point range) and its Bloom
+    * sidecar, so `id IN (k1,k2,k3)` opens the union of per-key holders
+    * instead of the whole log. Each value carries its external
+    * zone-map key and its Bloom probe shape (either may be absent for
+    * un-probeable types); a value representable as neither makes the
+    * whole probe vacuous (conservative). NULL values never satisfy an
+    * equality/IN and are dropped. Mixed-attribute ORs contribute
+    * nothing. */
+  private[sources] def keySetProbes(
+      e: Expression): Seq[(String, Seq[(Option[Any], Option[Any])])] = e match {
+    case And(l, r) => keySetProbes(l) ++ keySetProbes(r)
+    case other =>
+      disjunctValues(other) match {
+        case Some((c, vs)) if vs.nonEmpty =>
+          val converted = vs.map { case (v, dt) =>
+            (boundFor(v, dt), probeVal(v, dt))
+          }
+          if (converted.exists(p => p._1.isEmpty && p._2.isEmpty)) Nil
+          else Seq((c, converted))
+        case _ => Nil
+      }
+  }
+
+  /** `(attribute, values)` when `e` is a disjunction of equalities /
+    * IN-lists over exactly one attribute; None otherwise. */
+  private def disjunctValues(
+      e: Expression): Option[(String, Seq[(Any, DataType)])] = e match {
+    case Or(l, r) =>
+      for {
+        (cl, vl) <- disjunctValues(l)
+        (cr, vr) <- disjunctValues(r)
+        if cl == cr
+      } yield (cl, vl ++ vr)
+    case EqualTo(a: Attribute, Literal(v, dt)) if v != null =>
+      Some((a.name, Seq((v, dt))))
+    case EqualTo(Literal(v, dt), a: Attribute) if v != null =>
+      Some((a.name, Seq((v, dt))))
+    case In(a: Attribute, list) if list.forall(_.isInstanceOf[Literal]) =>
+      Some((a.name, list.collect {
+        case Literal(v, dt) if v != null => (v, dt)
+      }))
+    case InSet(a: Attribute, set) =>
+      Some((a.name, set.toSeq.filter(_ != null).map(v => (v, a.dataType))))
+    case _ => None
   }
 
   private def probeVal(v: Any, dt: DataType): Option[Any] =
@@ -431,11 +774,14 @@ private[sources] object ManifestFileIndex {
       case _ => None
     }
 
+  private def bound(a: Attribute, v: Any, dt: DataType): Option[Any] =
+    boundFor(v, dt)
+
   /** Catalyst internal literal → the external value shape
     * [[ManifestTable.statsAdmit]]'s bound keys understand. Unmappable
     * values (NaN/Inf, exotic types, NULL literals) → None = no probe
     * for this predicate (conservative). */
-  private def bound(a: Attribute, v: Any, dt: DataType): Option[Any] =
+  private def boundFor(v: Any, dt: DataType): Option[Any] =
     if (v == null) None
     else scala.util.Try[Any] {
       dt match {
@@ -451,4 +797,36 @@ private[sources] object ManifestFileIndex {
         case _ => return None
       }
     }.toOption
+}
+
+/** INSERT-INTO face of the log ([[graft.plans.ResolveManifestRelation]]
+  * resolves `INSERT INTO \`graft.manifest\`.\`root\`` onto this), so
+  * Spark's stock V1 insert path does the column-count check and type
+  * coercion while the write itself is the log's ATOMIC commit verb:
+  * append → one [[ManifestTable.append]]ed segment; INSERT OVERWRITE →
+  * [[ManifestTable.replace]] (history retained per the table's
+  * retention horizon). Never a raw parquet write into the root. Flat
+  * segments only, like the DataFrameWriter path: inserting into a
+  * hive-partitioned table is rejected at resolution (a flat segment
+  * would wedge the layout contract) — partitioned ingest rides
+  * `ManifestTable.append(partitionBy=…)`. */
+private[graft] class ManifestInsertableRelation(
+    spark: SparkSession, root: String) extends BaseRelation
+    with org.apache.spark.sql.sources.InsertableRelation {
+
+  override def sqlContext: SQLContext = spark.sqlContext
+
+  override val schema: StructType = {
+    val rel = ManifestSource.relation(spark, root, None, allowTombstones = true)
+    require(rel.partitionSchema.isEmpty,
+      s"INSERT INTO a hive-partitioned manifest table ($root is " +
+        s"partitioned on ${rel.partitionSchema.fieldNames.mkString("/")}) " +
+        "is not supported through SQL — a flat segment would break the " +
+        "layout contract; use ManifestTable.append(partitionBy=…)")
+    rel.dataSchema
+  }
+
+  override def insert(data: DataFrame, overwrite: Boolean): Unit =
+    if (overwrite) ManifestTable.replace(spark, root, data)
+    else ManifestTable.append(spark, root, data)
 }

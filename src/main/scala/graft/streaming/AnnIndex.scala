@@ -78,7 +78,9 @@ object AnnIndex {
     * re-normalize the corpus. */
   def ingest(spark: SparkSession, table: String, batch: DataFrame,
       cents: Seq[(Long, Seq[Double])], batchId: Long,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      optimizeEvery: Int = 0,
+      smallBytes: Long = 32L * 1024 * 1024): Long = {
     require(cents.nonEmpty, "AnnIndex.ingest: need a non-empty quantizer")
     val root = annRoot(spark, table)
     if (committed(spark, root, batchId)) return 0L
@@ -94,6 +96,15 @@ object AnnIndex {
         .select(col("id"), col("cell").cast("int").as("cell"), col("v"))
       ManifestTable.append(spark, root, assigned,
         partitionBy = Seq("cell"), tag = Some(batchTag(batchId)))
+      // auto-maintenance cadence: once the segment count reaches
+      // `optimizeEvery`, bin-pack the small ones inline so a probe's
+      // per-segment open debt stays bounded WITHOUT operator action
+      // (0 = manual maintenance only). Idempotent on replay — a
+      // re-run that folds nothing commits nothing — and rewrite-
+      // marked, so change-feed consumers walk through it.
+      if (optimizeEvery > 0 &&
+          ManifestTable.dataSegments(spark, root).size >= optimizeEvery)
+        optimize(spark, table, smallBytes)
       n
     } finally graft.core.Lineage.release(b)
   }

@@ -811,7 +811,8 @@ object Stream {
     * unseen files' rows). */
   def runLakehouseIngest(spark: SparkSession, dir: String, checkpoint: String,
       baseRoot: String, viewRoot: String, spec: graft.io.AggView.Spec,
-      maxFilesPerTrigger: Int = 1): Long = {
+      maxFilesPerTrigger: Int = 1, optimizeEvery: Int = 0,
+      smallBytes: Long = 64L * 1024 * 1024): Long = {
     import graft.io.{AggView, ManifestTable}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dir).schema
@@ -829,11 +830,20 @@ object Stream {
         if (!seen) {
           val snap = batch.localCheckpoint() // one pass over the batch
           try {
-            ManifestTable.append(spark, baseRoot, snap, tag = Some(tag))
+            ManifestTable.appendReserved(spark, baseRoot, snap, tag = Some(tag))
             ingested.add(snap.count())
           } finally graft.core.Lineage.release(snap)
         }
         AggView.syncFromLog(spark, viewRoot, baseRoot, spec)
+        // auto-maintenance cadence: bin-pack small base segments once
+        // their count reaches `optimizeEvery` (0 = manual only).
+        // AFTER the view sync on purpose — the rewrite then folds
+        // only segments already behind the view's change-feed cursor,
+        // so the caught-up consumer walks through it (the marked-
+        // rewrite contract) instead of tripping a full refresh.
+        if (optimizeEvery > 0 && ManifestTable.exists(spark, baseRoot) &&
+            ManifestTable.dataSegments(spark, baseRoot).size >= optimizeEvery)
+          ManifestTable.optimize(spark, baseRoot, smallBytes)
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -1244,7 +1254,8 @@ object Stream {
     * and would silently undercount a >100-file backfill. */
   def runNearDupDir(spark: SparkSession, dir: String, checkpoint: String,
       table: String, threshold: Double = 0.8,
-      maxFilesPerTrigger: Int = 1, maxSegments: Int = 128): Long = {
+      maxFilesPerTrigger: Int = 1, maxSegments: Int = 128,
+      packEvery: Int = 16): Long = {
     val root = nearDupRoot(spark, table)
     if (graft.io.ManifestTable.exists(spark, root))
       graft.io.ManifestTable.read(spark, root).createOrReplaceTempView(table)
@@ -1274,6 +1285,19 @@ object Stream {
           graft.io.ManifestTable.read(spark, root)
             .createOrReplaceTempView(table)
         }
+        // index-side auto-maintenance (the r13 pack() verb, now on a
+        // cadence): between corpus compactions each ingest adds one
+        // band dir and every corpus check opens all of them — once
+        // the open count reaches `packEvery`, fold the index roots
+        // back to one (index rows are ~2.5% of signature bytes, so
+        // this is cheap and never touches corpus data). The invariant
+        // a spec pins: indexRoots stays ≤ packEvery after EVERY
+        // ingest, for any run length, without operator action.
+        else if (packEvery > 0 &&
+            graft.io.ManifestTable.exists(spark, root) &&
+            NearDupIndex.indexRoots(spark, root).size >= packEvery)
+          NearDupIndex.pack(spark, root)
+        ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -30,4 +30,15 @@ object GraftColumnBridge {
     ds.sparkSession.internalCreateDataFrame(
       ds.queryExecution.toRdd, ds.schema, isStreaming = false)
   }
+
+  /** The inverse, for a V1 streaming SOURCE's `getBatch`: the engine
+    * requires the returned frame to carry the streaming flag (it is
+    * spliced into the micro-batch plan), but the natural way to build
+    * the batch contents is ordinary batch reads. Same physical rows,
+    * re-flagged — the pattern Spark's own FileStreamSource uses. */
+  def asStreamingDataFrame(df: Dataset[Row]): DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = true)
+  }
 }

@@ -4547,4 +4547,111 @@ class ExtSpec extends AnyFunSuite {
     assert(conv.subsetOf(bounded),
       s"fixpoint core must be within the bounded peel; extras: ${(conv -- bounded).take(5)}")
   }
+
+  test("ManifestTable retention marker: a crashed publish (tmp only) still reads as the configured horizon, never as immediate GC") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    import graft.io.ManifestTable
+    val root = new Path(spark.conf.get("spark.sql.warehouse.dir"),
+      "graft_manifest_retain_tmp").toString
+    ManifestTable.destroy(spark, root)
+    ManifestTable.append(spark, root, (1L to 10L).toDF("v"))
+    ManifestTable.setRetainVersions(spark, root, 3)
+    assert(ManifestTable.retainVersions(spark, root) == 3)
+    // simulate a crash between tmp-create and rename: only the tmp
+    // marker exists. retainOf must honor the intended horizon instead
+    // of defaulting to 1 (the MOST aggressive deletion setting).
+    val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(root, "_retain.graft")
+    val tmp = new Path(root, "_retain.graft.tmp-crashed1")
+    val out = f.create(tmp, true)
+    try out.write("5".getBytes("UTF-8")) finally out.close()
+    assert(f.delete(marker, false))
+    assert(ManifestTable.retainVersions(spark, root) == 5,
+      "tmp marker must be honored when the published marker is absent")
+    // a rewrite under the tmp-only marker keeps 5 versions of history
+    ManifestTable.append(spark, root, (11L to 20L).toDF("v"))
+    ManifestTable.compact(spark, root)
+    assert(ManifestTable.readAt(spark, root, 1L).count() == 10,
+      "history inside the tmp horizon must survive the rewrite")
+    // re-publishing overwrites atomically (no delete step) and wins
+    // over any stale tmp
+    ManifestTable.setRetainVersions(spark, root, 2)
+    assert(ManifestTable.retainVersions(spark, root) == 2)
+    ManifestTable.destroy(spark, root)
+  }
+
+  test("ManifestTable reserved tags: public writes reject mb<digits> (the streaming sink's replay namespace); other tags pass") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    import graft.io.ManifestTable
+    val root = new Path(spark.conf.get("spark.sql.warehouse.dir"),
+      "graft_manifest_tagguard").toString
+    ManifestTable.destroy(spark, root)
+    // a user batch tagged mb3 would make the sink silently SKIP
+    // micro-batch 3 on replay (data loss) -> loud reject on every
+    // public write verb
+    intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, root, (1L to 3L).toDF("v"), tag = Some("mb3"))
+    }
+    ManifestTable.append(spark, root, (1L to 3L).toDF("v"), tag = Some("batchA"))
+    intercept[IllegalArgumentException] {
+      ManifestTable.delete(spark, root, Seq(1L).toDF("v"), tag = Some("mb0"))
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.replace(spark, root, (1L to 3L).toDF("v"), tag = Some("mb12"))
+    }
+    intercept[IllegalArgumentException] { // the writer-side reject
+      (4L to 6L).toDF("v").write.format("graft.manifest")
+        .mode("append").option("tag", "mb7").save(root)
+    }
+    // near-misses are NOT reserved: mb without digits, digits without mb
+    ManifestTable.append(spark, root, (4L to 6L).toDF("v"), tag = Some("mb"))
+    ManifestTable.append(spark, root, (7L to 9L).toDF("v"), tag = Some("b3"))
+    assert(ManifestTable.read(spark, root).count() == 9)
+    ManifestTable.destroy(spark, root)
+  }
+
+  test("graft.manifest relation: a partitioned segment with loose files at its root fails the build loudly, never reads partially") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    import graft.io.ManifestTable
+    val root = new Path(spark.conf.get("spark.sql.warehouse.dir"),
+      "graft_manifest_mixedshape").toString
+    ManifestTable.destroy(spark, root)
+    ManifestTable.append(spark, root,
+      Seq((1L, 0), (2L, 1)).toDF("v", "p"), partitionBy = Seq("p"))
+    // corrupt the segment by hand: drop a loose parquet file at the
+    // segment root next to the p=0/p=1 dirs
+    val seg = ManifestTable.segments(spark, root).head
+    Seq(99L).toDF("v").coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/.loose-tmp")
+    val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val looseSrc = f.listStatus(new Path(root, ".loose-tmp"))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")).head
+    assert(f.rename(looseSrc.getPath, new Path(s"$root/$seg/loose.parquet")))
+    f.delete(new Path(root, ".loose-tmp"), true)
+    // with manifest-embedded metadata the commit's file list is the
+    // source of truth: the junk file is INVISIBLE, not a wedge
+    assert(spark.read.format("graft.manifest").load(root)
+      .agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0) == 3L,
+      "files the commit never named must be invisible to the relation")
+    // legacy table (no #meta lines -> per-segment listing fallback):
+    // the same mixed shape must fail the build loudly, never read
+    // partially
+    val mf = f.listStatus(new Path(root)).map(_.getPath.getName)
+      .filter(_.startsWith("_manifest.v")).sorted.last
+    val in = f.open(new Path(root, mf))
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    f.delete(new Path(root, mf), false)
+    val out = f.create(new Path(root, mf), true)
+    try out.write(lines.filterNot(_.startsWith("#meta "))
+      .mkString("\n").concat("\n").getBytes("UTF-8")) finally out.close()
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft.manifest").load(root).count()
+    }
+    assert(e.getMessage.contains("loose data file"))
+    ManifestTable.destroy(spark, root)
+  }
 }

@@ -726,4 +726,150 @@ class PlanSpec extends AnyFunSuite {
       .head().getSeq[org.apache.spark.sql.Row](0)
     assert(top.map(_.getLong(1)) == Seq(2L, 3L))
   }
+
+  test("graft.manifest relation build: O(1) filesystem work in segment count from manifest-embedded metadata; snapshot cache hits; legacy tables fall back per segment") {
+    import graft.io.ManifestTable
+    import graft.sources.ManifestSource
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_manifest_meta_cost").toString
+    ManifestTable.destroy(spark, root)
+    val n = 12
+    (1 to n).foreach { k =>
+      ManifestTable.append(spark, root,
+        ((k * 100L) until (k * 100L + 100L)).toDF("v"),
+        statsCols = Seq("v"), bloomCols = Seq("v"))
+    }
+    // first build: everything (file lists, stats, schema) comes from
+    // ONE manifest read — zero per-segment listings, zero sidecar
+    // opens, zero footer-merge jobs
+    val df = spark.read.format("graft.manifest").load(root)
+    assert(ManifestSource.lastBuildListOps == 0,
+      s"embedded metadata must eliminate per-segment listings, saw ${ManifestSource.lastBuildListOps}")
+    assert(ManifestSource.lastBuildSidecarReads == 0,
+      s"embedded stats must eliminate sidecar opens, saw ${ManifestSource.lastBuildSidecarReads}")
+    assert(ManifestSource.lastBuildFooterJobs == 0,
+      s"embedded schemas must eliminate the footer-merge job, saw ${ManifestSource.lastBuildFooterJobs}")
+    assert(!ManifestSource.lastBuildCacheHit)
+    assert(df.count() == n * 100L, "meta-listed files must scan exactly")
+    // same snapshot again: served from the relation cache
+    spark.read.format("graft.manifest").load(root)
+    assert(ManifestSource.lastBuildCacheHit,
+      "an unchanged snapshot must hit the relation cache")
+    // zone maps embedded in the manifest still prune on the SQL path
+    val pruned = spark.read.format("graft.manifest").load(root)
+      .filter(org.apache.spark.sql.functions.col("v") >= (n * 100L))
+    assert(pruned.count() == 100L)
+    assert(ManifestSource.lastListedSegments.size == 1,
+      s"embedded zone maps must prune ${n - 1} of $n segments")
+    // a new commit = new snapshot: rebuilt (still O(1)), not stale
+    ManifestTable.append(spark, root, Seq(99999L).toDF("v"),
+      statsCols = Seq("v"))
+    assert(spark.read.format("graft.manifest").load(root).count() == n * 100L + 1)
+    assert(!ManifestSource.lastBuildCacheHit)
+    assert(ManifestSource.lastBuildListOps == 0)
+    // legacy table (manifest without #meta lines, the pre-metadata
+    // format): the build falls back to one listing + one sidecar read
+    // per segment and one footer-merge job — and still answers right
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mf = f.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("_manifest.v"))
+      .maxBy(_.stripPrefix("_manifest.v").toLong)
+    val in = f.open(new org.apache.hadoop.fs.Path(root, mf))
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    f.delete(new org.apache.hadoop.fs.Path(root, mf), false)
+    val out = f.create(new org.apache.hadoop.fs.Path(root, mf), true)
+    try out.write(lines.filterNot(_.startsWith("#meta "))
+      .mkString("\n").concat("\n").getBytes("UTF-8")) finally out.close()
+    assert(spark.read.format("graft.manifest").load(root).count() == n * 100L + 1)
+    assert(ManifestSource.lastBuildListOps == n + 1,
+      s"legacy fallback lists each flat segment once, saw ${ManifestSource.lastBuildListOps}")
+    assert(ManifestSource.lastBuildSidecarReads == n + 1)
+    assert(ManifestSource.lastBuildFooterJobs == 1)
+    ManifestTable.destroy(spark, root)
+  }
+
+  test("graft.manifest IN-list and OR-of-equality probes prune to the union of per-key admitting segments (Bloom) where zone maps prune nothing") {
+    import graft.io.ManifestTable
+    import graft.sources.ManifestSource
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_manifest_inlist").toString
+    ManifestTable.destroy(spark, root)
+    // arrival-ordered layout: segment k holds v = k mod 6 over the full
+    // range, so every segment's [min,max] spans ~everything — zone maps
+    // are useless and only the Bloom sidecars can isolate keys
+    (0 until 6).foreach { k =>
+      (0L until 600L).filter(_ % 6 == k).toDF("v")
+        .write.format("graft.manifest")
+        .option("statsCols", "v").option("bloomCols", "v")
+        .mode("append").save(root)
+    }
+    spark.read.format("graft.manifest").load(root)
+      .createOrReplaceTempView("manifest_inlist_v")
+    // IN-list: keys 7 (seg 1) and 14 (seg 2) -> exactly two segments
+    val r1 = spark.sql(
+      "SELECT sum(v) AS s FROM manifest_inlist_v WHERE v IN (7, 14)")
+    assert(r1.head().getLong(0) == 21L)
+    assert(ManifestSource.lastListedSegments.size <= 2,
+      s"IN-list must open at most the union of per-key holders: " +
+        ManifestSource.lastListedSegments)
+    // OR-of-equality over one column: same pruning
+    val r2 = spark.sql(
+      "SELECT count(*) AS c FROM manifest_inlist_v WHERE v = 8 OR v = 20")
+    assert(r2.head().getLong(0) == 2L)
+    assert(ManifestSource.lastListedSegments.size <= 2,
+      s"OR-of-equality must prune like an IN-list: " +
+        ManifestSource.lastListedSegments)
+    // a long IN-list (optimizer may rewrite In -> InSet) still prunes
+    val keys = (0 until 15).map(i => 6 * i + 3) // all in segment 3
+    val r3 = spark.sql(
+      s"SELECT count(*) AS c FROM manifest_inlist_v WHERE v IN (${keys.mkString(",")})")
+    assert(r3.head().getLong(0) == 15L)
+    assert(ManifestSource.lastListedSegments.size == 1,
+      s"single-segment IN-list must open one segment: " +
+        ManifestSource.lastListedSegments)
+    // mixed-attribute OR must NOT prune (conservative): v = 7 OR v+1 = 0
+    val r4 = spark.sql(
+      "SELECT count(*) AS c FROM manifest_inlist_v WHERE v = 7 OR v + 1 = 0")
+    assert(r4.head().getLong(0) == 1L)
+    assert(ManifestSource.lastListedSegments.size == 6,
+      "an OR the probe cannot decide must read everything")
+    ManifestTable.destroy(spark, root)
+  }
+
+  test("graft.manifest multi-level hive layout: nested a=/b= partition dirs surface in the schema and prune as a pair") {
+    import graft.io.ManifestTable
+    import graft.sources.ManifestSource
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_manifest_nested").toString
+    ManifestTable.destroy(spark, root)
+    val rows = for (a <- 0 to 1; b <- 0 to 2; i <- 0 to 9)
+      yield (a * 1000L + b * 100L + i, a, b)
+    ManifestTable.append(spark, root, rows.toDF("v", "a", "b"),
+      partitionBy = Seq("a", "b"))
+    ManifestTable.append(spark, root,
+      Seq((9999L, 1, 2)).toDF("v", "a", "b"), partitionBy = Seq("a", "b"))
+    val df = spark.read.format("graft.manifest").load(root)
+    assert(df.columns.toSeq == Seq("v", "a", "b"))
+    assert(df.count() == 61L)
+    // both partition levels prune: (a=1, b=2) appears in two segments
+    assert(df.filter(col("a") === 1 && col("b") === 2).count() == 11L)
+    assert(ManifestSource.lastListedPartitions == 2,
+      s"a=1/b=2 must open exactly its two dirs, saw ${ManifestSource.lastListedPartitions}")
+    // one level alone prunes too
+    assert(df.filter(col("a") === 0).count() == 30L)
+    assert(ManifestSource.lastListedPartitions == 3)
+    // the group-by answer through SQL matches a plain computation
+    df.createOrReplaceTempView("manifest_nested_v")
+    val viaSql = spark.sql(
+      "SELECT a, b, count(*) AS c FROM manifest_nested_v GROUP BY a, b ORDER BY a, b")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(viaSql == Seq((0,0,10L),(0,1,10L),(0,2,10L),(1,0,10L),(1,1,10L),(1,2,11L)))
+    ManifestTable.destroy(spark, root)
+  }
 }
