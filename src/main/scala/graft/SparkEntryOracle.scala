@@ -2267,6 +2267,43 @@ trait SparkEntryOracle extends SparkEntryTail {
       """SELECT event_type, count(*) AS cnt,
         |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "manifest_stream_source" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "manifest_version_asof" ->
+      """SELECT * FROM (
+        |  SELECT 'head' AS section, event_type, count(*) AS cnt,
+        |         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |  FROM events GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'ts_fence', event_type, count(*),
+        |         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |  FROM events WHERE event_id % 3 <= 1 GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'v2', event_type, count(*),
+        |         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |  FROM events WHERE event_id % 3 <= 1 GROUP BY event_type
+        |) ORDER BY section, event_type""".stripMargin,
+    "manifest_insert_sql" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "manifest_maint_sql" ->
+      """SELECT * FROM (
+        |  SELECT 'set_retain' AS action, CAST(3 AS BIGINT) AS n
+        |  UNION ALL SELECT 'optimize', CAST(4 AS BIGINT)
+        |  UNION ALL SELECT 'compact', CAST(2 AS BIGINT)
+        |  UNION ALL SELECT 'vacuum', CAST(6 AS BIGINT)
+        |  UNION ALL SELECT 'rows',
+        |    (SELECT count(*) FROM events WHERE event_id % 16 <> 1)
+        |) ORDER BY action""".stripMargin,
+    "manifest_nested_part" ->
+      """SELECT CAST(event_id % 2 AS INT) AS y,
+        |       CAST(EXTRACT(day FROM ts) % 3 AS INT) AS m,
+        |       count(*) AS cnt,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "manifest_retract_view" ->
       """SELECT event_type, count(*) AS cnt,
         |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value

@@ -2537,4 +2537,169 @@ trait SparkEntryTail extends SparkEntryMid {
       .agg(count(lit(1)).as("cnt"), decSum.as("sum_value"))
     total.unionByName(window).orderBy("section", "event_type")
   }
+
+  /** Log-to-log streaming through the REAL engine via the registered
+    * SOURCE + SINK pair ([[graft.sources.ManifestSource]]): three
+    * upstream commits stream into a downstream log (offset = manifest
+    * version, one batch = the committed window), then the upstream is
+    * COMPACTED (a marked rewrite — the feed walks through it as an
+    * empty batch) and a fourth commit lands; the restarted stream
+    * ingests ONLY the unseen window from its checkpointed offset. The
+    * reference's staged load→unload pipeline shape
+    * (`locopy/redshift.py:235-441`) re-expressed as a symmetric
+    * log→log stream. Oracle: the straight rollup over all events —
+    * the whole pipeline must be result-invisible. */
+  private[graft] def manifestStreamSource(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.ManifestTable
+    val up = manifestRoot(s, "graft_msrcq_up__log")
+    val down = manifestRoot(s, "graft_msrcq_down__log")
+    val cp = tmpDir("msrcq_cp")
+    ManifestTable.destroy(s, up)
+    ManifestTable.destroy(s, down)
+    val ev = t(s, dir, "events").select("event_id", "ts", "event_type", "value")
+    def batch(k: Int) = ev.filter(pmod(col("event_id"), lit(4)) === k)
+    (0 to 2).foreach(k => ManifestTable.append(s, up, batch(k)))
+    def run(): Unit = {
+      val q = s.readStream.format("graft.manifest").load(up)
+        .writeStream.format("graft.manifest").option("path", down)
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run() // batch 1: the bootstrap window (v0, v3]
+    ManifestTable.compact(s, up) // marked rewrite: empty batch downstream
+    ManifestTable.append(s, up, batch(3))
+    run() // restart: only (v3, v5] flows
+    require(ManifestTable.segments(s, down).size == 2,
+      "exactly one non-empty downstream segment per engine run expected")
+    s.read.format("graft.manifest").load(down)
+      .createOrReplaceTempView("msrc_events")
+    s.sql("""
+      SELECT event_type, count(1) AS cnt,
+             round(cast(sum(cast(value AS decimal(18,6))) AS double), 4) AS sum_value
+      FROM msrc_events
+      GROUP BY event_type
+      ORDER BY event_type""")
+  }
+
+  /** Standard SQL time travel on the lakehouse face: `VERSION AS OF`
+    * pins a committed snapshot, `TIMESTAMP AS OF` resolves the newest
+    * commit at or before the cutoff from the manifest files' commit
+    * times, and the bare table reads the head — all through the
+    * extension-resolved `graft.manifest` syntax, no reader API. The
+    * fence timestamp is taken BETWEEN commits 2 and 3, so the
+    * timestamp route must agree exactly with `VERSION AS OF 2`.
+    * Oracle: the mod-split aggregates recomputed from raw events. */
+  private[graft] def manifestVersionAsof(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.ManifestTable
+    val root = manifestRoot(s, "graft_vasof__log")
+    ManifestTable.destroy(s, root)
+    val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+    def batch(k: Int) = ev.filter(pmod(col("event_id"), lit(3)) === k)
+    ManifestTable.append(s, root, batch(0))
+    ManifestTable.append(s, root, batch(1))
+    Thread.sleep(20) // commit times separate the fence from v2 and v3
+    val fence = java.time.LocalDateTime.now().format(
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    Thread.sleep(20)
+    ManifestTable.append(s, root, batch(2))
+    def agg(section: String, suffix: String) = s"""
+      SELECT '$section' AS section, event_type, count(1) AS cnt,
+             round(cast(sum(cast(value AS decimal(18,6))) AS double), 4) AS sum_value
+      FROM `graft.manifest`.`$root`$suffix
+      GROUP BY event_type"""
+    s.sql(s"""
+      ${agg("head", "")}
+      UNION ALL ${agg("ts_fence", s" TIMESTAMP AS OF '$fence'")}
+      UNION ALL ${agg("v2", " VERSION AS OF 2")}
+      ORDER BY section, event_type""")
+  }
+
+  /** `INSERT INTO` / the log: each statement is ONE atomic manifest
+    * commit through [[graft.sources.ManifestInsertableRelation]] —
+    * Spark's stock V1 insert path does the column coercion, the log
+    * does the publish; a raw parquet write into the root never
+    * happens. Three thirds of events arrive as seed + two inserts and
+    * the head must equal the straight rollup. Oracle: that rollup. */
+  private[graft] def manifestInsertSql(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.ManifestTable
+    val root = manifestRoot(s, "graft_insq__log")
+    ManifestTable.destroy(s, root)
+    val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+    ManifestTable.append(s, root, ev.filter(pmod(col("event_id"), lit(3)) === 0))
+    ev.createOrReplaceTempView("insert_src_events")
+    s.sql(s"""INSERT INTO `graft.manifest`.`$root`
+      SELECT event_id, event_type, value FROM insert_src_events
+      WHERE event_id % 3 = 1""")
+    s.sql(s"""INSERT INTO `graft.manifest`.`$root`
+      SELECT event_id, event_type, value FROM insert_src_events
+      WHERE event_id % 3 = 2""")
+    require(ManifestTable.versions(s, root) == Seq(1L, 2L, 3L),
+      "each INSERT must be exactly one manifest commit")
+    s.sql(s"""
+      SELECT event_type, count(1) AS cnt,
+             round(cast(sum(cast(value AS decimal(18,6))) AS double), 4) AS sum_value
+      FROM `graft.manifest`.`$root`
+      GROUP BY event_type
+      ORDER BY event_type""")
+  }
+
+  /** The maintenance verbs through their SQL table functions
+    * ([[graft.plans.GraftMaintenance]]): retention, bin-packing,
+    * full compaction (applying a merge-on-read delete physically) and
+    * physical vacuum, each returning its (action, n) receipt — the
+    * whole ops surface reachable from `execute`, the reference's
+    * everything-through-SQL posture. Counts are deterministic by
+    * construction: 4 small appends fold to 1 (optimize n=4), compact
+    * folds packed+tombstone (n=2), vacuum removes the 6 dirs only the
+    * 6 expired versions named. Oracle: those literals plus the
+    * surviving row count. */
+  private[graft] def manifestMaintSql(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.ManifestTable
+    val root = manifestRoot(s, "graft_maintq__log")
+    ManifestTable.destroy(s, root)
+    val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+    (0 to 3).foreach { k =>
+      ManifestTable.append(s, root, ev.filter(pmod(col("event_id"), lit(4)) === k))
+    }
+    ManifestTable.delete(s, root,
+      ev.filter(pmod(col("event_id"), lit(16)) === 1).select("event_id"))
+    def verb(sql: String) = s.sql(sql).select("action", "n")
+    val retain = verb(s"SELECT * FROM graft_manifest_set_retain('$root', 3)")
+    val opt = verb(s"SELECT * FROM graft_manifest_optimize('$root', 10000000000)")
+    val comp = verb(s"SELECT * FROM graft_manifest_compact('$root')")
+    val vac = verb(s"SELECT * FROM graft_manifest_vacuum('$root', 1)")
+    val rows = s.sql(s"SELECT 'rows' AS action, count(1) AS n FROM `graft.manifest`.`$root`")
+    retain.unionByName(opt).unionByName(comp).unionByName(vac)
+      .unionByName(rows).orderBy("action")
+  }
+
+  /** Multi-level hive layout through the SQL face: segments laid out
+    * as nested `y=<id mod 2>/m=<day mod 3>` partition dirs (two
+    * commits, one per parity) surface both partition columns in the
+    * relation schema and prune as a pair (PlanSpec pins the dir
+    * counts); the rollup over the partition columns must equal the
+    * derived-column aggregate on raw events. */
+  private[graft] def manifestNestedPart(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.ManifestTable
+    val root = manifestRoot(s, "graft_nested__log")
+    ManifestTable.destroy(s, root)
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("value"),
+        pmod(col("event_id"), lit(2)).cast("int").as("y"),
+        (dayofmonth(col("ts")) % 3).cast("int").as("m"))
+    ManifestTable.append(s, root, ev.filter(col("y") === 0),
+      partitionBy = Seq("y", "m"))
+    ManifestTable.append(s, root, ev.filter(col("y") === 1),
+      partitionBy = Seq("y", "m"))
+    s.read.format("graft.manifest").load(root)
+      .createOrReplaceTempView("nested_part_events")
+    s.sql("""
+      SELECT y, m, count(1) AS cnt,
+             round(cast(sum(cast(value AS decimal(18,6))) AS double), 4) AS sum_value
+      FROM nested_part_events
+      GROUP BY y, m
+      ORDER BY y, m""")
+  }
 }

@@ -260,7 +260,7 @@ object ManifestTable {
     * (CONFLICTING_DIRECTORY_STRUCTURES) and this way partition
     * discovery (and pruning on the partition column) works per
     * segment. Same files either way; scan parallelism is per-file. */
-  private[io] def readSegs(spark: SparkSession, root: String, segs: Seq[String]): DataFrame =
+  private[graft] def readSegs(spark: SparkSession, root: String, segs: Seq[String]): DataFrame =
     segs.map(s => spark.read.parquet(s"$root/$s"))
       .reduce(_.unionByName(_, allowMissingColumns = true))
 
@@ -552,8 +552,13 @@ object ManifestTable {
     val t = tag.map(_ + "-").getOrElse("")
     val seg = s"$DelPrefix${v + 1}-$t${java.util.UUID.randomUUID().toString.take(8)}"
     keys.distinct().write.parquet(s"$root/$seg")
+    // tombstones carry embedded metadata too: the streaming source
+    // plans change-feed batches from the manifest alone (its recovery
+    // contract re-requests committed windows whose segments
+    // maintenance may have retired)
+    val meta = buildMeta(spark, f, root, seg, None, Nil)
     commit(f, p, v + 1, readManifest(f, p, v) :+ seg,
-      metas = priorMetas(f, p, v))
+      metas = priorMetas(f, p, v) + (seg -> meta))
   }
 
   /** Replace the whole table with `df` (first write, or an explicit

@@ -281,7 +281,17 @@ private[sources] class ManifestStreamSource(spark: SparkSession,
     }.toSeq: _*)
   }
 
+  /** Build the batch for `(fromV, toV]`. RECOVERY CONTRACT: on
+    * restart the engine re-requests the LAST COMMITTED window (it
+    * splices the plan back in without executing it), and by then
+    * maintenance may have legally retired that window's segments — so
+    * the plan must build from the manifest's embedded metadata alone,
+    * never from an eager filesystem listing (the same reason
+    * FileStreamSource plans from its own metadata log). Genuinely
+    * unexecuted windows re-run against segments a rewrite could not
+    * have touched (the change feed's folded-unconsumed guard). */
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    import org.apache.spark.sql.functions.lit
     val fromV = start.map(vOf).getOrElse(startV)
     val toV = vOf(end)
     val chg = ManifestTable.changedSegments(spark, root, fromV, toV)
@@ -296,7 +306,22 @@ private[sources] class ManifestStreamSource(spark: SparkSession,
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
       else {
-        val raw = ManifestTable.readChanges(spark, root, fromV, toV)
+        val metas = ManifestTable.segmentMetas(spark, root, Some(toV))
+        val ins = chg.filterNot(_.startsWith("del-"))
+        val insDf =
+          if (ins.isEmpty) None
+          else Some(ManifestSource.readSegsPlanned(spark, root, ins, metas)
+            .withColumn("_change_type", lit("insert")))
+        val delDf =
+          if (dels.isEmpty) None
+          else Some(ManifestSource.readSegsPlanned(spark, root, dels, metas)
+            .distinct().withColumn("_change_type", lit("delete")))
+        val raw = (insDf, delDf) match {
+          case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true)
+          case (Some(a), None) => a
+          case (None, Some(b)) => b
+          case _ => throw new IllegalStateException("unreachable: chg nonEmpty")
+        }
         conform(if (changeFeed) raw else raw.drop("_change_type"))
       }
     org.apache.spark.sql.GraftColumnBridge.asStreamingDataFrame(batch)
@@ -376,6 +401,38 @@ object ManifestSource {
         else Some(StructType(acc.fields ++
           st.fields.filterNot(f => byName.contains(f.name))))
     }.filter(_.fields.nonEmpty)
+
+  /** A DataFrame over exactly `segs` of `root`, PLANNED from embedded
+    * metadata when every segment carries it — zero filesystem calls at
+    * plan time, so the plan builds even for segments maintenance has
+    * already retired (the streaming source's recovery contract: the
+    * engine re-requests the last committed window on restart and never
+    * executes it). Legacy segments without metadata fall back to the
+    * eager per-segment union read. */
+  private[graft] def readSegsPlanned(spark: SparkSession, root: String,
+      segs: Seq[String],
+      metas: Map[String, ManifestTable.SegMeta]): DataFrame = {
+    val schemas = segs.filter(s => metas.get(s).forall(_.files.nonEmpty))
+      .map(s => metas.get(s).flatMap(_.schema))
+    val merged =
+      if (segs.forall(metas.contains) && schemas.forall(_.isDefined))
+        mergeAdditive(schemas.flatten)
+      else None
+    merged match {
+      case Some(dataSchema) =>
+        val index = new ManifestFileIndex(spark, root, segs, metas)
+        val partNames = index.partitionSchema.fieldNames.toSet
+        spark.baseRelationToDataFrame(HadoopFsRelation(
+          location = index,
+          partitionSchema = index.partitionSchema,
+          dataSchema = StructType(
+            dataSchema.filterNot(f => partNames.contains(f.name))),
+          bucketSpec = None,
+          fileFormat = new ParquetFileFormat(),
+          options = Map.empty)(spark))
+      case None => ManifestTable.readSegs(spark, root, segs)
+    }
+  }
 
   private[graft] def relation(spark: SparkSession, root: String,
       version: Option[Long], allowTombstones: Boolean): HadoopFsRelation = {

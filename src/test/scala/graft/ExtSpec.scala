@@ -4654,4 +4654,223 @@ class ExtSpec extends AnyFunSuite {
     assert(e.getMessage.contains("loose data file"))
     ManifestTable.destroy(spark, root)
   }
+
+  test("graft.manifest streaming source: log-to-log pipeline through the real engine; restart replays only the unseen window; rewrites walk through empty") {
+    import spark.implicits._
+    import graft.io.ManifestTable
+    import org.apache.spark.sql.streaming.Trigger
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val up = new org.apache.hadoop.fs.Path(wh, "graft_msrc_up").toString
+    val down = new org.apache.hadoop.fs.Path(wh, "graft_msrc_down").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_msrc_cp").toString
+    ManifestTable.destroy(spark, up)
+    ManifestTable.destroy(spark, down)
+    ManifestTable.append(spark, up, (1L to 10L).toDF("v"))
+    ManifestTable.append(spark, up, (11L to 20L).toDF("v"))
+    def run(): Unit = {
+      val q = spark.readStream.format("graft.manifest").load(up)
+        .writeStream.format("graft.manifest").option("path", down)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run() // batch 1: the full bootstrap window (v0, v2]
+    assert(ManifestTable.read(spark, down).count() == 20)
+    // a rewrite upstream contributes an EMPTY batch (walked through);
+    // a fresh append then flows alone on the next run
+    ManifestTable.compact(spark, up)
+    ManifestTable.append(spark, up, (21L to 25L).toDF("v"))
+    run() // only the (2, 4] window: compact (empty) + 5 new rows
+    val downRows = ManifestTable.read(spark, down)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(downRows == (1L to 25L), s"downstream must equal upstream, got ${downRows.take(30)}")
+    // no duplicate ingestion: downstream committed at most one non-empty
+    // segment per engine batch
+    assert(ManifestTable.read(spark, down).count() == 25)
+    // a tombstone inside the window fails a PLAIN stream loudly…
+    ManifestTable.delete(spark, up, Seq(3L).toDF("v"))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { run() }
+    assert(err.getMessage.contains("changeFeed") ||
+      Option(err.getCause).exists(_.getMessage.contains("changeFeed")))
+    // …and a changeFeed stream surfaces it as a typed delete row
+    val cp2 = java.nio.file.Files.createTempDirectory("graft_msrc_cp2").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    val q2 = spark.readStream.format("graft.manifest")
+      .option("changeFeed", "true").option("startingVersion", "4")
+      .load(up)
+      .writeStream.option("checkpointLocation", cp2)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => seen.add(
+          (r.getAs[String]("_change_type"), r.getAs[Long]("v"))))
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSet == Set(("delete", 3L)),
+      s"changeFeed from v4 must carry exactly the tombstone, got ${seen}")
+    ManifestTable.destroy(spark, up)
+    ManifestTable.destroy(spark, down)
+  }
+
+  test("graft.manifest SQL time travel: VERSION AS OF / TIMESTAMP AS OF resolve committed snapshots; INSERT INTO commits through the log") {
+    import spark.implicits._
+    import graft.io.ManifestTable
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val root = new org.apache.hadoop.fs.Path(wh, "graft_sql_travel").toString
+    ManifestTable.destroy(spark, root)
+    ManifestTable.append(spark, root, (1L to 10L).toDF("v"))
+    ManifestTable.append(spark, root, (11L to 20L).toDF("v"))
+    Thread.sleep(20) // commit-time resolution needs distinct mtimes
+    val fence = java.time.LocalDateTime.now()
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    Thread.sleep(20)
+    ManifestTable.append(spark, root, (21L to 30L).toDF("v"))
+    def one(sql: String): Long = spark.sql(sql).head().getLong(0)
+    assert(one(s"SELECT count(*) AS c FROM `graft.manifest`.`$root`") == 30L)
+    assert(one(s"SELECT count(*) AS c FROM `graft.manifest`.`$root` VERSION AS OF 1") == 10L)
+    assert(one(s"SELECT count(*) AS c FROM `graft.manifest`.`$root` VERSION AS OF 2") == 20L)
+    assert(one(s"SELECT count(*) AS c FROM `graft.manifest`.`$root` TIMESTAMP AS OF '$fence'") == 20L,
+      "TIMESTAMP AS OF must resolve to the newest commit at or before the cutoff")
+    // a cutoff before the first commit is a loud error
+    val e = intercept[Exception] {
+      one(s"SELECT count(*) AS c FROM `graft.manifest`.`$root` TIMESTAMP AS OF '2000-01-01'")
+    }
+    assert(e.getMessage.contains("committed at or before"))
+    // INSERT INTO = one append commit; INSERT OVERWRITE = replace
+    spark.sql(s"INSERT INTO `graft.manifest`.`$root` VALUES (31), (32)")
+    assert(one(s"SELECT count(*) AS c FROM `graft.manifest`.`$root`") == 32L)
+    assert(ManifestTable.versions(spark, root).last == 4L,
+      "each INSERT is exactly one manifest commit")
+    // type coercion rides Spark's stock insert path (int -> bigint)
+    spark.sql(s"INSERT INTO `graft.manifest`.`$root` SELECT CAST(33 AS INT)")
+    assert(one(s"SELECT sum(v) AS c FROM `graft.manifest`.`$root`") == (1L to 33L).sum)
+    spark.sql(s"INSERT OVERWRITE `graft.manifest`.`$root` VALUES (100)")
+    assert(one(s"SELECT count(*) AS c FROM `graft.manifest`.`$root`") == 1L)
+    // INSERT into a pinned version is rejected
+    val e2 = intercept[Exception] {
+      spark.sql(s"INSERT INTO `graft.manifest`.`$root@v2` VALUES (1)")
+    }
+    assert(e2.getMessage.contains("pinned version"))
+    // INSERT into a hive-partitioned table is rejected at resolution
+    val root2 = new org.apache.hadoop.fs.Path(wh, "graft_sql_travel_part").toString
+    ManifestTable.destroy(spark, root2)
+    ManifestTable.append(spark, root2,
+      Seq((1L, 0), (2L, 1)).toDF("v", "p"), partitionBy = Seq("p"))
+    val e3 = intercept[Exception] {
+      spark.sql(s"INSERT INTO `graft.manifest`.`$root2` VALUES (3, 2)")
+    }
+    assert(e3.getMessage.contains("partitioned"))
+    ManifestTable.destroy(spark, root)
+    ManifestTable.destroy(spark, root2)
+  }
+
+  test("maintenance verbs through SQL table functions: each executes once per query execution, never at plan time") {
+    import spark.implicits._
+    import graft.io.ManifestTable
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val root = new org.apache.hadoop.fs.Path(wh, "graft_sql_maint").toString
+    ManifestTable.destroy(spark, root)
+    (0 until 4).foreach { k =>
+      ManifestTable.append(spark, root,
+        ((k * 10L) until (k * 10L + 10L)).toDF("v"), statsCols = Seq("v"))
+    }
+    ManifestTable.delete(spark, root, Seq(5L).toDF("v"))
+    val retain = spark.sql(
+      s"SELECT action, n FROM graft_manifest_set_retain('$root', 3)").head()
+    assert((retain.getString(0), retain.getLong(1)) == ("set_retain", 3L))
+    assert(ManifestTable.retainVersions(spark, root) == 3)
+    val opt = spark.sql(
+      s"SELECT n FROM graft_manifest_optimize('$root', ${Long.MaxValue})").head()
+    assert(opt.getLong(0) == 4L, "optimize folds the four small data segments")
+    // command semantics: the verb runs exactly once, WHEN the
+    // statement is issued (spark.sql eagerly executes commands, same
+    // as INSERT/CREATE); re-collecting the returned frame re-reads
+    // the buffered result, never re-runs the action
+    val compDf = spark.sql(s"SELECT n FROM graft_manifest_compact('$root')")
+    val segsAfter = ManifestTable.segments(spark, root).size
+    assert(segsAfter == 1, "compact ran once at statement issue")
+    assert(compDf.head().getLong(0) == 2L,
+      "compact folds packed segment + tombstone")
+    val vBefore = ManifestTable.versions(spark, root).size
+    compDf.collect(); compDf.collect()
+    assert(ManifestTable.versions(spark, root).size == vBefore &&
+      ManifestTable.segments(spark, root).size == 1,
+      "re-collect must not re-run the verb")
+    assert(ManifestTable.readMerged(spark, root).count() == 39L)
+    val vac = spark.sql(
+      s"SELECT n FROM graft_manifest_vacuum('$root', 1)").head()
+    assert(vac.getLong(0) == 6L,
+      "vacuum removes the 6 dirs only expired versions named")
+    assert(ManifestTable.read(spark, root).count() == 39L,
+      "current state survives the vacuum")
+    // literal-argument contract is loud
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_manifest_vacuum('$root', 1 + 1)").collect()
+    }
+    ManifestTable.destroy(spark, root)
+  }
+
+  test("AnnIndex auto-maintenance cadence: optimizeEvery bounds segment count across many ingests with unchanged answers") {
+    import spark.implicits._
+    import graft.streaming.AnnIndex
+    val table = "graft_ann_cadence"
+    AnnIndex.drop(spark, table)
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+    val maxSegs = (0 until 12).map { k =>
+      val rows = Seq(
+        (k * 2L, Seq(1.0, 0.01 * k)), (k * 2L + 1L, Seq(0.01 * k, 1.0)))
+        .toDF("vec_id", "embedding")
+      AnnIndex.ingest(spark, table, rows, cents, batchId = k,
+        optimizeEvery = 4, smallBytes = Long.MaxValue)
+      graft.io.ManifestTable.dataSegments(spark,
+        graft.streaming.AnnIndex.annRoot(spark, table)).size
+    }.max
+    assert(maxSegs <= 4,
+      s"cadence 4 must bound the live segment count, saw max $maxSegs")
+    // contents identical to an uncompacted twin
+    val topk = AnnIndex.topK(spark, table,
+      Seq((99L, Seq(1.0, 0.0))).toDF("vec_id", "embedding"), k = 3, cents = cents,
+      nprobe = 2)
+    assert(topk.count() == 3)
+    AnnIndex.drop(spark, table)
+  }
+
+  test("runNearDupDir packEvery cadence bounds the index file-open debt across many ingests without changing the corpus") {
+    val docs = spark.read.parquet(s"${TestSession.sf}/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .filter(col("doc_id") < 300)
+    val base = java.nio.file.Files.createTempDirectory("graft_ndpack").toString
+    // ten files -> ten deterministic micro-batches (one band dir each
+    // without cadence)
+    (0 to 9).foreach { k =>
+      docs.filter(col("doc_id") % 10 === k).coalesce(1)
+        .write.mode("append").parquet(s"$base/docs")
+      Thread.sleep(5)
+    }
+    def run(table: String, packEvery: Int): Seq[Long] = {
+      graft.streaming.Stream.dropNearDup(spark, table)
+      graft.streaming.Stream.runNearDupDir(spark, s"$base/docs",
+        s"$base/cp_$table", table, packEvery = packEvery)
+      spark.table(table).collect().map(_.getLong(0)).sorted.toSeq
+    }
+    val packed = run("graft_ndpack_on", packEvery = 3)
+    val free = run("graft_ndpack_off", packEvery = 0)
+    assert(packed == free,
+      "index packing cadence must not change the accepted corpus")
+    import graft.streaming.{NearDupIndex, Stream}
+    val rootsOn = NearDupIndex.indexRoots(spark,
+      Stream.nearDupRoot(spark, "graft_ndpack_on")).size
+    val rootsOff = NearDupIndex.indexRoots(spark,
+      Stream.nearDupRoot(spark, "graft_ndpack_off")).size
+    // cadence 3: after every ingest the open debt is <= 3 (pack fires
+    // the moment the threshold is reached); the uncadenced twin keeps
+    // one band dir per novel-bearing ingest
+    assert(rootsOn <= 3,
+      s"packEvery=3 must keep indexRoots bounded, got $rootsOn")
+    assert(rootsOff >= 8,
+      s"expected ~one band dir per ingest without cadence, got $rootsOff")
+    graft.streaming.Stream.dropNearDup(spark, "graft_ndpack_on")
+    graft.streaming.Stream.dropNearDup(spark, "graft_ndpack_off")
+  }
 }
