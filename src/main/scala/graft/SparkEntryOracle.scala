@@ -2298,6 +2298,30 @@ trait SparkEntryOracle extends SparkEntryTail {
         |  UNION ALL SELECT 'rows',
         |    (SELECT count(*) FROM events WHERE event_id % 16 <> 1)
         |) ORDER BY action""".stripMargin,
+    "manifest_dml_sql" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |FROM (
+        |  SELECT event_type,
+        |         CASE WHEN event_type = 'click' THEN value * 2 ELSE value END AS value
+        |  FROM events WHERE event_id % 5 <> 2
+        |) GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "manifest_merge_sql" ->
+      """WITH t AS (SELECT event_id, event_type, value FROM events WHERE event_id % 3 = 0),
+        |     s AS (SELECT event_id, event_type, value FROM events WHERE event_id % 4 = 0),
+        |     merged AS (
+        |       SELECT t.event_id, t.event_type,
+        |              CASE WHEN s.event_id IS NOT NULL THEN s.value * 2
+        |                   ELSE t.value END AS value
+        |       FROM t LEFT JOIN s ON t.event_id = s.event_id
+        |       WHERE s.event_id IS NULL OR s.event_id % 24 <> 0
+        |       UNION ALL
+        |       SELECT s.event_id, s.event_type, s.value
+        |       FROM s WHERE s.event_id NOT IN (SELECT event_id FROM t)
+        |     )
+        |SELECT event_type, count(*) AS cnt,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin,
     "manifest_nested_part" ->
       """SELECT CAST(event_id % 2 AS INT) AS y,
         |       CAST(EXTRACT(day FROM ts) % 3 AS INT) AS m,

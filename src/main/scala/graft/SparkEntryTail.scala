@@ -2702,4 +2702,79 @@ trait SparkEntryTail extends SparkEntryMid {
       GROUP BY y, m
       ORDER BY y, m""")
   }
+
+  /** Row-level SQL DML on the log ([[graft.plans.ResolveManifestDml]]
+    * → [[graft.io.ManifestDml]]): a pure-SQL DELETE then UPDATE, each
+    * ONE atomic copy-on-write manifest commit with a
+    * (segments_rewritten, rows_matched) receipt — receipts are
+    * require-pinned (the DELETE's predicate hits all 3 mod-split
+    * segments; the UPDATE then touches the single replacement
+    * segment). The oracle replays both statements relationally over
+    * raw events: delete = filter, update = CASE projection. */
+  private[graft] def manifestDmlSql(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.ManifestTable
+    val root = manifestRoot(s, "graft_dmlq__log")
+    ManifestTable.destroy(s, root)
+    val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+    (0 to 2).foreach { k =>
+      ManifestTable.append(s, root,
+        ev.filter(pmod(col("event_id"), lit(3)) === k),
+        statsCols = Seq("event_id"))
+    }
+    val del = s.sql(
+      s"DELETE FROM `graft.manifest`.`$root` WHERE event_id % 5 = 2").collect()
+    require(del.toSeq.map(r => (r.getString(0), r.getInt(1))) ==
+      Seq(("delete", 3)), s"unexpected DELETE receipt: ${del.toSeq}")
+    val upd = s.sql(
+      s"UPDATE `graft.manifest`.`$root` SET value = value * 2 " +
+        "WHERE event_type = 'click'").collect()
+    require(upd.toSeq.map(r => (r.getString(0), r.getInt(1))) ==
+      Seq(("update", 1)), s"unexpected UPDATE receipt: ${upd.toSeq}")
+    s.sql(s"""
+      SELECT event_type, count(1) AS cnt,
+             round(cast(sum(cast(value AS decimal(18,6))) AS double), 4) AS sum_value
+      FROM `graft.manifest`.`$root`
+      GROUP BY event_type
+      ORDER BY event_type""")
+  }
+
+  /** SQL MERGE INTO on the log: conditional WHEN MATCHED DELETE /
+    * UPDATE plus WHEN NOT MATCHED INSERT in one atomic commit. The
+    * target splits into two parity segments; every matched id
+    * (`%12 = 0`) is even, so the pruning-first plan rewrites exactly
+    * ONE segment (require-pinned receipt) while the odd-parity
+    * segment stays byte-identical. Oracle: the matched/not-matched
+    * split replayed as a LEFT JOIN projection plus an anti-join
+    * insert arm. */
+  private[graft] def manifestMergeSql(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.ManifestTable
+    val root = manifestRoot(s, "graft_mergeq__log")
+    ManifestTable.destroy(s, root)
+    val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+    val tgt = ev.filter(col("event_id") % 3 === 0)
+    (0 to 1).foreach { k =>
+      ManifestTable.append(s, root,
+        tgt.filter(pmod(col("event_id"), lit(2)) === k),
+        statsCols = Seq("event_id"))
+    }
+    ev.filter(col("event_id") % 4 === 0)
+      .createOrReplaceTempView("merge_src_events")
+    val rc = s.sql(s"""
+      MERGE INTO `graft.manifest`.`$root` t
+      USING merge_src_events s
+      ON t.event_id = s.event_id
+      WHEN MATCHED AND s.event_id % 24 = 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET value = s.value * 2
+      WHEN NOT MATCHED THEN
+        INSERT (event_id, event_type, value)
+        VALUES (s.event_id, s.event_type, s.value)""").collect()
+    require(rc.toSeq.map(r => (r.getString(0), r.getInt(1))) ==
+      Seq(("merge", 1)), s"unexpected MERGE receipt: ${rc.toSeq}")
+    s.sql(s"""
+      SELECT event_type, count(1) AS cnt,
+             round(cast(sum(cast(value AS decimal(18,6))) AS double), 4) AS sum_value
+      FROM `graft.manifest`.`$root`
+      GROUP BY event_type
+      ORDER BY event_type""")
+  }
 }

@@ -43,7 +43,7 @@ import org.apache.spark.sql.types._
 object ManifestTable {
 
   private val ManifestPrefix = "_manifest.v"
-  private val DelPrefix = "del-"
+  private[io] val DelPrefix = "del-"
 
   /** The atomic publish step, pluggable per storage class. A strategy
     * must (1) make manifest version `v` visible atomically — readers
@@ -143,19 +143,29 @@ object ManifestTable {
     * rename swap this once at startup. */
   @volatile var commitStrategy: CommitStrategy = RenameCommit
 
-  private def fs(spark: SparkSession, root: String): (FileSystem, Path) = {
+  private[io] def fs(spark: SparkSession, root: String): (FileSystem, Path) = {
     val p = new Path(root)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
   /** Highest committed manifest version under `root`, if any. */
-  private def currentVersion(f: FileSystem, root: Path): Option[Long] =
+  private[io] def currentVersion(f: FileSystem, root: Path): Option[Long] =
     versionsOf(f, root).lastOption
 
   /** Metadata marker for a commit that only REPACKAGES existing rows
     * (optimize/cluster/compact): `#`-prefixed lines in a manifest are
     * commit metadata, invisible to segment listing. */
   private val RewriteMark = "#rewrite"
+
+  /** Metadata marker for a row-level DML commit ([[ManifestDml]]'s
+    * copy-on-write DELETE/UPDATE/MERGE): the commit DROPS the touched
+    * segments and adds their rewritten replacement, so — unlike a
+    * [[RewriteMark]]ed repackaging — the rows themselves changed. The
+    * change feed surfaces such a commit as pre-image DELETES of every
+    * dropped segment followed by INSERTS of the replacement
+    * ([[readChanges]]; a consumer applies a window's deletes before
+    * its inserts), and plain additions-only consumers fail loudly. */
+  private[io] val DmlMark = "#dml"
 
   /** Per-segment metadata embedded IN the manifest commit:
     * `#meta <segment> <one-line json>` with the segment's data-file
@@ -174,17 +184,17 @@ object ManifestTable {
     * fall back to the per-segment listing/sidecar path, per segment. */
   private val MetaPrefix = "#meta "
 
-  private def manifestLines(f: FileSystem, root: Path, v: Long): Seq[String] = {
+  private[io] def manifestLines(f: FileSystem, root: Path, v: Long): Seq[String] = {
     val in = f.open(new Path(root, ManifestPrefix + v))
     try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().filter(_.nonEmpty).toList
     finally in.close()
   }
 
-  private def readManifest(f: FileSystem, root: Path, v: Long): Seq[String] =
+  private[io] def readManifest(f: FileSystem, root: Path, v: Long): Seq[String] =
     manifestLines(f, root, v).filterNot(_.startsWith("#"))
 
-  private def isRewrite(f: FileSystem, root: Path, v: Long): Boolean =
+  private[io] def isRewrite(f: FileSystem, root: Path, v: Long): Boolean =
     manifestLines(f, root, v).contains(RewriteMark)
 
   /** Commit version encoded in a segment dir name
@@ -328,7 +338,7 @@ object ManifestTable {
     * ([[MetaPrefix]] lines — only segments actually named by this
     * commit are emitted, so a carried-forward map can never leak a
     * retired segment's metadata into a newer snapshot). */
-  private def commit(f: FileSystem, root: Path, v: Long, segs: Seq[String],
+  private[io] def commit(f: FileSystem, root: Path, v: Long, segs: Seq[String],
       marks: Seq[String] = Nil, metas: Map[String, String] = Map.empty): Unit = {
     val metaLns = segs.flatMap(s => metas.get(s).map(j => s"$MetaPrefix$s $j"))
     commitStrategy.publish(f, root, new Path(root, ManifestPrefix + v),
@@ -349,7 +359,7 @@ object ManifestTable {
 
   /** The previous version's embedded metadata, carried into the next
     * commit (append/delete name every prior segment unchanged). */
-  private def priorMetas(f: FileSystem, root: Path, v: Long): Map[String, String] =
+  private[io] def priorMetas(f: FileSystem, root: Path, v: Long): Map[String, String] =
     if (v == 0L) Map.empty
     else scala.util.Try(metaLinesOf(f, root, v)).getOrElse(Map.empty)
 
@@ -357,7 +367,7 @@ object ManifestTable {
     * the segment, byte length), descending through hive `col=value`
     * partition dirs. Runs ONCE at commit time on the just-written
     * segment — the listing every reader would otherwise redo. */
-  private def listDataFilesRec(f: FileSystem, dir: Path,
+  private[io] def listDataFilesRec(f: FileSystem, dir: Path,
       prefix: String): Seq[(String, Long)] =
     f.listStatus(dir).toSeq.flatMap { st =>
       val n = st.getPath.getName
@@ -372,7 +382,7 @@ object ManifestTable {
     * collected) and Bloom-sidecar column names. O(one segment) —
     * a listing plus one footer read — paid once per commit so NO
     * reader ever pays it again. */
-  private def buildMeta(spark: SparkSession, f: FileSystem, root: String,
+  private[io] def buildMeta(spark: SparkSession, f: FileSystem, root: String,
       seg: String, statsJson: Option[String], bloomCols: Seq[String]): String = {
     val files = listDataFilesRec(f, new Path(s"$root/$seg"), "")
     val schemaJson =
@@ -425,7 +435,7 @@ object ManifestTable {
       SegMeta(files, schema, stats, blooms)
     }.toOption
 
-  private def metasFromLines(lines: Seq[String]): Map[String, SegMeta] =
+  private[io] def metasFromLines(lines: Seq[String]): Map[String, SegMeta] =
     lines.iterator
       .filter(_.startsWith(MetaPrefix))
       .flatMap { l =>
@@ -467,7 +477,7 @@ object ManifestTable {
     (segs, metasFromLines(lines), hash)
   }
 
-  private def writeSeg(df: DataFrame, dir: String, partitionBy: Seq[String]): Unit = {
+  private[io] def writeSeg(df: DataFrame, dir: String, partitionBy: Seq[String]): Unit = {
     val w = df.write
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dir)
   }
@@ -706,7 +716,7 @@ object ManifestTable {
     * (named by NO manifest — always collected, any horizon). Manifest
     * files and the retention marker stay ([[expireVersions]] trims the
     * former). */
-  private def gc(f: FileSystem, root: Path): Unit =
+  private[io] def gc(f: FileSystem, root: Path): Unit =
     gcKeeping(f, root, retainOf(f, root))
 
   private def gcKeeping(f: FileSystem, root: Path, horizon: Int): Seq[String] = {
@@ -791,24 +801,66 @@ object ManifestTable {
     * including `toV` (`fromV = 0` = bootstrap: the full segment list
     * at `toV`, i.e. current state). Marked rewrites of
     * already-consumed segments are skipped; anything else that drops
-    * a segment throws (full refresh required). */
+    * a segment throws (full refresh required) — including row-level
+    * DML commits, which this additions-only view cannot represent
+    * (their pre-image deletes ride [[changedSegmentsDml]]/
+    * [[readChanges]]). */
   def changedSegments(spark: SparkSession, root: String,
-      fromV: Long, toV: Long): Seq[String] = {
+      fromV: Long, toV: Long): Seq[String] =
+    walkChanges(spark, root, fromV, toV, dmlAware = false)._1
+
+  /** DML-aware change walk: `(additions, preImages)` for the window
+    * `(fromV, toV]`. `additions` is [[changedSegments]]' answer;
+    * `preImages` names every segment a [[DmlMark]]ed commit dropped
+    * whose rows the consumer HAD seen (committed at or before `fromV`,
+    * or the output of an in-window rewrite) — their full rows are the
+    * window's value-identity DELETES, to be applied before the
+    * window's inserts. A segment added AND dml-dropped inside the same
+    * window nets out entirely (never delivered, its survivors ride the
+    * replacement segment). Each pre-image carries the embedded
+    * metadata the manifest held just before the drop, so planned
+    * readers ([[graft.sources.ManifestSource.readSegsPlanned]]) can
+    * build the batch without filesystem listings. */
+  private[graft] def changedSegmentsDml(spark: SparkSession, root: String,
+      fromV: Long, toV: Long): (Seq[String], Seq[(String, Option[SegMeta])]) =
+    walkChanges(spark, root, fromV, toV, dmlAware = true)
+
+  private def walkChanges(spark: SparkSession, root: String,
+      fromV: Long, toV: Long, dmlAware: Boolean)
+      : (Seq[String], Seq[(String, Option[SegMeta])]) = {
     require(fromV <= toV, s"change window [$fromV, $toV] is inverted")
-    if (fromV == 0L) return segmentsAt(spark, root, toV)
+    if (fromV == 0L) return (segmentsAt(spark, root, toV), Nil)
     val (f, p) = fs(spark, root)
     var prev = segmentsAt(spark, root, fromV)
     // outputs of safe rewrites seen in this walk: repackagings of
     // already-consumed rows, so later rewrites may drop them too
     var rewriteOutputs = Set.empty[String]
-    val out = Seq.newBuilder[String]
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    val pre = Seq.newBuilder[(String, Option[SegMeta])]
     (fromV + 1 to toV).foreach { v =>
       val cur = segmentsAt(spark, root, v)
       val prevSet = prev.toSet
       val curSet = cur.toSet
       val dropped = prev.filterNot(curSet)
       if (dropped.isEmpty) out ++= cur.filterNot(prevSet)
-      else {
+      else if (isDml(f, p, v)) {
+        require(dmlAware,
+          s"v$v of $root is a row-level DML commit (segments rewritten " +
+            s"in place: ${dropped.mkString(", ")}); this consumer reads " +
+            "additions only — consume through readChanges (pre-image " +
+            "deletes + re-inserts) or full-refresh and re-pin")
+        // pre-image metadata = what the manifest said just before the
+        // drop (the replacement's commit no longer names the segment)
+        lazy val prevMetas = metasFromLines(manifestLines(f, p, v - 1))
+        dropped.foreach { d =>
+          if (out.contains(d)) out -= d // in-window addition: nets out
+          else {
+            rewriteOutputs -= d
+            pre += ((d, prevMetas.get(d)))
+          }
+        }
+        out ++= cur.filterNot(prevSet)
+      } else {
         require(isRewrite(f, p, v),
           s"v$v dropped segments without a rewrite mark " +
             s"(${dropped.mkString(", ")}); " +
@@ -825,35 +877,49 @@ object ManifestTable {
       }
       prev = cur
     }
-    out.result()
+    (out.toSeq, pre.result())
   }
+
+  private[io] def isDml(f: FileSystem, root: Path, v: Long): Boolean =
+    manifestLines(f, root, v).contains(DmlMark)
 
   /** Change-data-feed read for the window `(fromV, toV]`: every row
     * appended in the window with `_change_type = 'insert'`, plus every
     * tombstone key committed in the window as `_change_type =
     * 'delete'` (tombstones carry only their key columns — other
     * columns surface NULL, same additive-union contract as schema
-    * evolution). IO is O(changed segments) by construction. */
+    * evolution). A row-level DML commit in the window additionally
+    * emits the FULL pre-image rows of every segment it dropped as
+    * `delete` rows, with its replacement segment riding the `insert`
+    * side — a consumer reconstructs state by applying a window's
+    * deletes BEFORE its inserts (value identity, the same multiset
+    * contract as the tombstone family; and reading pre-images needs
+    * the dropped dirs still on disk, i.e. a [[retainVersions]] horizon
+    * covering the window). IO is O(changed segments) by construction. */
   def readChanges(spark: SparkSession, root: String,
       fromV: Long, toV: Long): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val chg = changedSegments(spark, root, fromV, toV)
-    require(chg.nonEmpty, s"no segments committed in ($fromV, $toV] under $root")
+    val (chg, pre) = changedSegmentsDml(spark, root, fromV, toV)
+    require(chg.nonEmpty || pre.nonEmpty,
+      s"no segments committed in ($fromV, $toV] under $root")
     val ins = chg.filterNot(_.startsWith(DelPrefix))
     val del = chg.filter(_.startsWith(DelPrefix))
     val insDf =
       if (ins.isEmpty) None
       else Some(readSegs(spark, root, ins).withColumn("_change_type", lit("insert")))
-    val delDf =
-      if (del.isEmpty) None
-      else Some(del.map(s => spark.read.parquet(s"$root/$s"))
-        .reduce(_ unionByName _).distinct()
-        .withColumn("_change_type", lit("delete")))
+    val delSides =
+      (if (del.isEmpty) Nil
+       else Seq(del.map(s => spark.read.parquet(s"$root/$s"))
+         .reduce(_ unionByName _).distinct())) ++
+      (if (pre.isEmpty) Nil
+       else Seq(readSegs(spark, root, pre.map(_._1)).distinct()))
+    val delDf = delSides.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .map(_.withColumn("_change_type", lit("delete")))
     (insDf, delDf) match {
       case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true)
       case (Some(a), None) => a
       case (None, Some(b)) => b
-      case _ => throw new IllegalStateException("unreachable: chg nonEmpty")
+      case _ => throw new IllegalStateException("unreachable: chg or pre nonEmpty")
     }
   }
 
@@ -1116,7 +1182,7 @@ object ManifestTable {
     * write time — never again on the read path. Returns the sidecar
     * JSON so commit-time callers can embed the same stats in the
     * manifest line ([[buildMeta]]) without re-reading it. */
-  private def writeStats(spark: SparkSession, f: FileSystem,
+  private[io] def writeStats(spark: SparkSession, f: FileSystem,
       segDir: String, cols: Seq[String]): String = {
     val df = spark.read.parquet(segDir)
     val typed = cols.flatMap(c => statType(df.schema(c).dataType).map((c, _)))
@@ -1289,7 +1355,7 @@ object ManifestTable {
 
   /** Columns a segment carries Bloom sidecars for (file-name scan —
     * how [[optimize]] knows what to regenerate on the packed output). */
-  private def bloomColsOf(f: FileSystem, segDir: Path): Seq[String] =
+  private[io] def bloomColsOf(f: FileSystem, segDir: Path): Seq[String] =
     if (!f.exists(segDir)) Seq.empty
     else f.listStatus(segDir).iterator.map(_.getPath.getName)
       .filter(n => n.startsWith("_bloom.") && n.endsWith(".graft"))
@@ -1304,7 +1370,7 @@ object ManifestTable {
     case _ => false
   }
 
-  private def writeBlooms(spark: SparkSession, f: FileSystem,
+  private[io] def writeBlooms(spark: SparkSession, f: FileSystem,
       segDir: String, cols: Seq[String]): Unit = {
     val df = spark.read.parquet(segDir)
     cols.foreach { c =>

@@ -54,6 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // non-FileFormat source before a same-batch custom rule can win —
     // the hint batch runs earlier, so the relation resolves first
     e.injectHintResolutionRule(session => new ResolveManifestRelation(session))
+    // row-level DML (DELETE/UPDATE/MERGE) over the resolved manifest
+    // relation: converts in the resolution fixed point, BEFORE Spark's
+    // own only-v2-tables rejection (which lives in the planner)
+    e.injectResolutionRule(session => new ResolveManifestDml(session))
     // maintenance verbs as table functions: SELECT * FROM
     // graft_manifest_vacuum('/path', 3) — each returns a
     // LeafRunnableCommand, so the action runs exactly once per query

@@ -1,0 +1,185 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
+  AttributeSet, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+import graft.io.ManifestDml
+import graft.io.ManifestDml.{MergeDelete, MergeInsert, MergeRule, MergeUpdate}
+
+/** Row-level SQL DML on the manifest log — the third face of the
+  * lakehouse trio after SELECT (+time travel) and INSERT:
+  *
+  * {{{
+  *   DELETE FROM `graft.manifest`.`/wh/events__log` WHERE id = 7
+  *   UPDATE `graft.manifest`.`/wh/events__log` SET v = v * 2 WHERE id < 10
+  *   MERGE INTO `graft.manifest`.`/wh/events__log` t USING updates s
+  *     ON t.id = s.id
+  *     WHEN MATCHED AND s.op = 'del' THEN DELETE
+  *     WHEN MATCHED THEN UPDATE SET v = s.v
+  *     WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+  * }}}
+  *
+  * Spark parses these into `DeleteFromTable`/`UpdateTable`/
+  * `MergeIntoTable` and resolves every reference generically; its OWN
+  * execution path then requires a v2 catalog table. This rule runs in
+  * the same resolution fixed point: once a statement over a resolved
+  * `graft.manifest` relation is fully resolved, it converts to a
+  * runnable command backed by [[graft.io.ManifestDml]]'s pruning-first
+  * copy-on-write verbs — the identical code path the typed API takes,
+  * so plan shape, sidecar regeneration, change-feed marking and
+  * optimistic-concurrency behavior are one implementation.
+  *
+  * Resolution details: resolved references are rebased BY NAME before
+  * the statement leaves the analyzer — target attributes onto the
+  * `__t` alias and (for MERGE) source attributes onto `__s` — so the
+  * executing verb re-resolves them against its own scan of the table
+  * head; the relation's pinned version rides along as the OCC
+  * expectation (a pinned `@vN` target or a concurrent commit fails
+  * loudly instead of applying a stale plan). Commands return a
+  * `(action, segments_rewritten, rows_matched)` receipt row, same
+  * shape as the maintenance table functions. */
+class ResolveManifestDml(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  /** `(root, pinnedVersion, output)` when `plan` is (an alias over)
+    * the manifest SQL relation. */
+  private def targetOf(plan: LogicalPlan): Option[(String, Long, Seq[Attribute])] =
+    plan match {
+      case SubqueryAlias(_, child) => targetOf(child)
+      case r: LogicalRelation =>
+        (r.relation match {
+          case h: HadoopFsRelation => h.location
+          case _ => null
+        }) match {
+          case idx: graft.sources.ManifestFileIndex if idx.pinnedVersion >= 0 =>
+            Some((idx.tableRoot, idx.pinnedVersion, r.output))
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** Rebase a resolved expression onto executor-side aliases by NAME:
+    * target attributes → `__t.<name>`, source attributes (MERGE) →
+    * `__s.<name>`. The returned Column re-resolves inside the verb's
+    * own plan, so the statement survives the analyzer discarding this
+    * plan's attribute ids. */
+  private def rebase(e: Expression, tSet: AttributeSet,
+      sSet: AttributeSet): Column =
+    GraftColumnBridge.column(e.transform {
+      case a: AttributeReference if tSet.contains(a) =>
+        UnresolvedAttribute(Seq("__t", a.name))
+      case a: AttributeReference if sSet.contains(a) =>
+        UnresolvedAttribute(Seq("__s", a.name))
+      case a: AttributeReference =>
+        throw new IllegalArgumentException(
+          s"reference ${a.name} belongs to neither the MERGE target nor " +
+            "its source — correlated outer references are not supported " +
+            "in manifest DML")
+    })
+
+  /** For single-table DELETE/UPDATE the verbs resolve bare names. */
+  private def rebaseBare(e: Expression): Column =
+    GraftColumnBridge.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+
+  private def assignmentName(key: Expression): String = key match {
+    case a: AttributeReference => a.name
+    case other => throw new IllegalArgumentException(
+      s"manifest DML supports top-level column assignments only, got $other " +
+        "(nested-field assignment needs a full-column update)")
+  }
+
+  private def toRules(actions: Seq[MergeAction], tSet: AttributeSet,
+      sSet: AttributeSet): Seq[MergeRule] = actions.map {
+    case u: UpdateAction => MergeUpdate(
+      u.condition.map(rebase(_, tSet, sSet)),
+      u.assignments.map(a =>
+        assignmentName(a.key) -> rebase(a.value, tSet, sSet)))
+    case d: DeleteAction => MergeDelete(d.condition.map(rebase(_, tSet, sSet)))
+    case i: InsertAction => MergeInsert(
+      i.condition.map(rebase(_, tSet, sSet)),
+      i.assignments.map(a =>
+        assignmentName(a.key) -> rebase(a.value, tSet, sSet)))
+    case other => throw new IllegalArgumentException(
+      s"unsupported MERGE action on a manifest table: $other")
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case d @ DeleteFromTable(t, cond) if d.resolved =>
+      targetOf(t).fold(d: LogicalPlan) { case (root, v, _) =>
+        ManifestDeleteCommand(root, v, rebaseBare(cond))
+      }
+    case u @ UpdateTable(t, assignments, cond) if u.resolved =>
+      targetOf(t).fold(u: LogicalPlan) { case (root, v, _) =>
+        ManifestUpdateCommand(root, v,
+          assignments.map(a => assignmentName(a.key) -> rebaseBare(a.value)),
+          cond.map(rebaseBare).getOrElse(GraftColumnBridge.column(Literal(true))))
+      }
+    case m @ MergeIntoTable(t, s, cond, matched, notMatched, nmbs, evolve)
+        if m.resolved =>
+      targetOf(t).fold(m: LogicalPlan) { case (root, v, _) =>
+        require(!evolve,
+          "MERGE … WITH SCHEMA EVOLUTION is not supported on manifest " +
+            "tables — evolve the schema through an append, then merge")
+        val tSet = t.outputSet
+        val sSet = s.outputSet
+        ManifestMergeCommand(root, v, s, rebase(cond, tSet, sSet),
+          toRules(matched, tSet, sSet), toRules(notMatched, tSet, sSet),
+          toRules(nmbs, tSet, sSet))
+      }
+  }
+}
+
+private[plans] object ManifestDmlCommands {
+  def receiptSchema: Seq[Attribute] = Seq(
+    AttributeReference("action", StringType, nullable = false)(),
+    AttributeReference("segments_rewritten", IntegerType, nullable = false)(),
+    AttributeReference("rows_matched", LongType, nullable = false)())
+}
+
+/** `DELETE FROM graft.manifest.root WHERE cond` — executes
+  * [[graft.io.ManifestDml.deleteWhere]] exactly once per query
+  * execution (EXPLAIN never fires it). */
+case class ManifestDeleteCommand(root: String, atVersion: Long,
+    cond: Column) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = ManifestDmlCommands.receiptSchema
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = ManifestDml.deleteWhere(spark, root, cond, Some(atVersion))
+    Seq(Row("delete", r.segmentsRewritten, r.rowsMatched))
+  }
+}
+
+/** `UPDATE graft.manifest.root SET … WHERE cond`. */
+case class ManifestUpdateCommand(root: String, atVersion: Long,
+    sets: Seq[(String, Column)], cond: Column) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = ManifestDmlCommands.receiptSchema
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = ManifestDml.updateWhere(spark, root, sets, cond, Some(atVersion))
+    Seq(Row("update", r.segmentsRewritten, r.rowsMatched))
+  }
+}
+
+/** `MERGE INTO graft.manifest.root USING source ON cond WHEN …`. The
+  * analyzed source plan rides as data (not a child), re-materialized
+  * at run time. */
+case class ManifestMergeCommand(root: String, atVersion: Long,
+    source: LogicalPlan, cond: Column, matched: Seq[MergeRule],
+    notMatched: Seq[MergeRule], notMatchedBySource: Seq[MergeRule])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = ManifestDmlCommands.receiptSchema
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = GraftColumnBridge.dataFrame(spark, source)
+    val r = ManifestDml.mergeInto(spark, root, src, cond, matched,
+      notMatched, notMatchedBySource, Some(atVersion))
+    Seq(Row("merge", r.segmentsRewritten, r.rowsMatched))
+  }
+}

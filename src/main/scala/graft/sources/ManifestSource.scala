@@ -463,7 +463,7 @@ object ManifestSource {
         lastBuildCacheHit = true
         c
       case _ =>
-        val index = new ManifestFileIndex(spark, root, segs, metas)
+        val index = new ManifestFileIndex(spark, root, segs, metas, v)
         val dataSchema = resolveDataSchema(spark, root, segs, metas, index)
         val c = Cached(index, dataSchema)
         cache.put(key, c)
@@ -520,9 +520,20 @@ object ManifestSource {
   * back to a per-segment recursive listing + sidecar read, counted in
   * [[ManifestSource.lastBuildListOps]]/[[ManifestSource
   * .lastBuildSidecarReads]]. */
-private[sources] class ManifestFileIndex(spark: SparkSession, root: String,
-    segs: Seq[String], metas: Map[String, graft.io.ManifestTable.SegMeta])
+private[graft] class ManifestFileIndex(spark: SparkSession, root: String,
+    segs: Seq[String], metas: Map[String, graft.io.ManifestTable.SegMeta],
+    atVersion: Long = -1L)
     extends FileIndex {
+
+  /** The manifest root this index lists — the handle [[graft.plans
+    * .ResolveManifestDml]] routes SQL DELETE/UPDATE/MERGE through. */
+  private[graft] def tableRoot: String = root
+
+  /** Manifest version the index was pinned at (-1 = a segment-subset
+    * index with no version identity, e.g. a streaming batch). The DML
+    * commands carry it as their optimistic-concurrency expectation. */
+  private[graft] def pinnedVersion: Long = atVersion
+
 
   private val rootPath = new Path(root)
   private val fs =

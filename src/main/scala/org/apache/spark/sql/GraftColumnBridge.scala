@@ -11,6 +11,14 @@ object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DataFrame over an analyzed logical plan (`Dataset.ofRows` is
+    * `private[sql]`) — how a runnable command re-materializes a plan
+    * it carried as data (e.g. a MERGE source). */
+  def dataFrame(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession], plan)
+
   /** `private[sql]` access for the bench harness's between-query
     * streaming-state reap (GraftBenchInternals.cleanStreamingState):
     * close and unregister every loaded state-store provider. The next

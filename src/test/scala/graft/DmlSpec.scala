@@ -1,0 +1,273 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.{ManifestDml, ManifestTable}
+
+/** Row-level DML on the manifest log: copy-on-write DELETE/UPDATE with
+  * pruning-first segment selection, atomic swap, and the DML change-
+  * feed contract (pre-image deletes + re-inserts). */
+class DmlSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def root(name: String): String = {
+    val r = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir"), name).toString
+    ManifestTable.destroy(spark, r)
+    r
+  }
+
+  /** Three disjoint-range segments with zone-map + bloom sidecars:
+    * ids [0,100), [100,200), [200,300), v = 10*id. */
+  private def threeSegs(r: String): Unit =
+    (0 until 3).foreach { k =>
+      ManifestTable.append(spark,
+        r, (k * 100 until (k + 1) * 100).toDF("id")
+          .withColumn("v", col("id") * 10),
+        statsCols = Seq("id"), bloomCols = Seq("id"))
+    }
+
+  test("deleteWhere: scoped copy-on-write — only matching segments rewritten, untouched byte-identical, zone maps prune the match scan") {
+    val r = root("dml_delete_scoped")
+    threeSegs(r)
+    val before = ManifestTable.segments(spark, r)
+    val rc = ManifestDml.deleteWhere(spark, r, col("id") === 150)
+    assert(rc == ManifestDml.DmlReceipt(1, 1L))
+    // the pruned match scan opened ONLY the admitting segment
+    assert(graft.sources.ManifestSource.lastListedSegments.size == 1)
+    val after = ManifestTable.segments(spark, r)
+    // untouched segments keep their exact names (byte-identical dirs);
+    // only the middle segment was swapped for one dml segment
+    assert(after.count(before.contains) == 2)
+    assert(after.filterNot(before.contains) match {
+      case Seq(s) => s.contains("-dml-")
+      case _ => false
+    })
+    assert(ManifestTable.read(spark, r).count() == 299)
+    assert(ManifestTable.read(spark, r).filter(col("id") === 150).isEmpty)
+    // the replacement segment regenerated its zone-map sidecar: a
+    // point read through the SQL face still prunes to one segment
+    val df = spark.read.format("graft.manifest").load(r)
+    assert(df.filter(col("id") === 155).count() == 1)
+    assert(graft.sources.ManifestSource.lastListedSegments.size == 1)
+  }
+
+  test("deleteWhere: NULL predicate rows stay; no-match is a no-op (no new version)") {
+    val r = root("dml_delete_null")
+    ManifestTable.append(spark, r,
+      Seq((1, Some(10)), (2, None), (3, Some(30))).toDF("id", "v"))
+    assert(ManifestDml.deleteWhere(spark, r, col("v") > 5) ==
+      ManifestDml.DmlReceipt(1, 2L))
+    // the NULL-v row survives (cond NULL = not deleted, SQL semantics)
+    assert(ManifestTable.read(spark, r).select("id").as[Int].collect().toSeq == Seq(2))
+    val v = ManifestTable.versions(spark, r).max
+    assert(ManifestDml.deleteWhere(spark, r, col("id") === 999) ==
+      ManifestDml.DmlReceipt(0, 0L))
+    assert(ManifestTable.versions(spark, r).max == v, "no-match must not commit")
+  }
+
+  test("deleteWhere: full clear of a flat table keeps schema readable") {
+    val r = root("dml_delete_all")
+    ManifestTable.append(spark, r, Seq((1, "a"), (2, "b")).toDF("id", "s"))
+    ManifestTable.append(spark, r, Seq((3, "c")).toDF("id", "s"))
+    assert(ManifestDml.deleteWhere(spark, r, lit(true)).rowsMatched == 3L)
+    val out = ManifestTable.read(spark, r)
+    assert(out.columns.toSeq == Seq("id", "s") && out.isEmpty)
+    // SQL face stays alive too
+    assert(spark.read.format("graft.manifest").load(r).isEmpty)
+  }
+
+  test("updateWhere: assignment casts to column type, references pre-image, moves rows across partition dirs") {
+    val r = root("dml_update_part")
+    ManifestTable.append(spark, r,
+      (0 until 20).map(i => (i, i % 2, i * 1.5)).toDF("id", "b", "m"),
+      partitionBy = Seq("b"))
+    ManifestTable.append(spark, r,
+      (20 until 40).map(i => (i, i % 2, i * 1.5)).toDF("id", "b", "m"),
+      partitionBy = Seq("b"))
+    // move every id<10 row to bucket 7 and double its measure off the
+    // PRE-IMAGE m; the assignment value arrives as the wrong type and
+    // must cast to the column's (7 is int, b is int — m gets a string)
+    val rc = ManifestDml.updateWhere(spark, r,
+      Seq("b" -> lit(7), "m" -> (col("m") * 2).cast("string")),
+      col("id") < 10)
+    assert(rc == ManifestDml.DmlReceipt(1, 10L))
+    val out = ManifestTable.read(spark, r)
+    assert(out.filter(col("b") === 7).count() == 10)
+    assert(out.filter(col("id") === 4).select("m").as[Double].head() == 12.0)
+    assert(out.filter(col("id") === 30).select("m").as[Double].head() == 45.0)
+    assert(out.schema("m").dataType == org.apache.spark.sql.types.DoubleType)
+    // partition pruning over the moved rows through the SQL face
+    val sql = spark.read.format("graft.manifest").load(r)
+    assert(sql.filter(col("b") === 7).count() == 10)
+    // unknown assignment column / duplicate assignment are loud
+    intercept[IllegalArgumentException] {
+      ManifestDml.updateWhere(spark, r, Seq("nope" -> lit(1)), lit(true))
+    }
+    intercept[IllegalArgumentException] {
+      ManifestDml.updateWhere(spark, r,
+        Seq("m" -> lit(1), "M" -> lit(2)), lit(true))
+    }
+  }
+
+  test("DML contract edges: tombstones reject, OCC version check, additions-only feed consumers fail loudly") {
+    val r = root("dml_edges")
+    ManifestTable.append(spark, r, (0 until 10).toDF("id"))
+    ManifestTable.delete(spark, r, Seq(3).toDF("id"))
+    val e = intercept[IllegalArgumentException] {
+      ManifestDml.deleteWhere(spark, r, col("id") === 5)
+    }
+    assert(e.getMessage.contains("tombstone"))
+    ManifestTable.compact(spark, r)
+    val v = ManifestTable.versions(spark, r).max
+    intercept[IllegalArgumentException] {
+      ManifestDml.deleteWhere(spark, r, col("id") === 5,
+        expectVersion = Some(v - 1))
+    }
+    ManifestDml.deleteWhere(spark, r, col("id") === 5, expectVersion = Some(v))
+    assert(ManifestTable.read(spark, r).count() == 8) // 10 - tombstoned 3 - dml'd 5
+    // an additions-only consumer pinned before the DML must throw, not
+    // silently miss the rewrite
+    val err = intercept[IllegalArgumentException] {
+      ManifestTable.changedSegments(spark, r, v, v + 1)
+    }
+    assert(err.getMessage.contains("row-level DML"))
+  }
+
+  test("DML change feed: pre-image deletes + re-inserts reconstruct the head from the pinned snapshot; time travel across the DML holds") {
+    val r = root("dml_feed")
+    ManifestTable.setRetainVersions(spark, r, 4)
+    threeSegs(r)
+    val pin = ManifestTable.versions(spark, r).max
+    ManifestDml.updateWhere(spark, r, Seq("v" -> lit(-1L)), col("id") % 100 === 7)
+    ManifestDml.deleteWhere(spark, r, col("id") === 250)
+    val head = ManifestTable.versions(spark, r).max
+    val chg = ManifestTable.readChanges(spark, r, pin, head)
+    val dels = chg.filter(col("_change_type") === "delete").drop("_change_type")
+    val ins = chg.filter(col("_change_type") === "insert").drop("_change_type")
+    // apply deletes before inserts (value identity) onto the pinned state
+    val rebuilt = ManifestTable.readAt(spark, r, pin)
+      .join(dels, Seq("id", "v"), "left_anti")
+      .unionByName(ins)
+    val now = ManifestTable.read(spark, r)
+    assert(rebuilt.count() == now.count())
+    assert(rebuilt.exceptAll(now).isEmpty && now.exceptAll(rebuilt).isEmpty)
+    // retention keeps the pinned version fully readable across the DMLs
+    assert(ManifestTable.readAt(spark, r, pin).count() == 300)
+    assert(ManifestTable.readAt(spark, r, pin)
+      .filter(col("id") === 250).count() == 1)
+  }
+
+  test("SQL DELETE/UPDATE: receipts, pruning-first rewrite, pinned @vN target rejected") {
+    val r = root("dml_sql_delupd")
+    threeSegs(r)
+    val del = spark.sql(
+      s"DELETE FROM `graft.manifest`.`$r` WHERE id = 150 OR id = 151").collect()
+    assert(del.map(x => (x.getString(0), x.getInt(1), x.getLong(2))).toSeq ==
+      Seq(("delete", 1, 2L)))
+    val upd = spark.sql(
+      s"UPDATE `graft.manifest`.`$r` SET v = v + 1 WHERE id < 100").collect()
+    assert(upd.map(x => (x.getString(0), x.getInt(1), x.getLong(2))).toSeq ==
+      Seq(("update", 1, 100L)))
+    assert(spark.sql(s"SELECT sum(v) AS s FROM `graft.manifest`.`$r` WHERE id < 100")
+      .as[Long].head() == (0 until 100).map(_ * 10 + 1).sum)
+    assert(spark.sql(s"SELECT count(1) FROM `graft.manifest`.`$r`")
+      .as[Long].head() == 298)
+    // a pinned time-travel target must not silently DML the head
+    val v = ManifestTable.versions(spark, r).max
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM `graft.manifest`.`$r@v${v - 1}` WHERE id = 5")
+    }
+    assert(e.getMessage.contains("planned against"))
+    // UPDATE without WHERE hits every row
+    val all = spark.sql(
+      s"UPDATE `graft.manifest`.`$r` SET v = 0").collect()
+    assert(all.head.getLong(2) == 298L)
+    assert(spark.sql(s"SELECT sum(v) AS s FROM `graft.manifest`.`$r`")
+      .as[Long].head() == 0L)
+  }
+
+  test("SQL MERGE: conditional matched update/delete + insert, same-name columns disambiguate, cardinality violation is loud") {
+    val r = root("dml_sql_merge")
+    ManifestTable.append(spark, r,
+      Seq((1, 10), (2, 20), (3, 30)).toDF("id", "v"))
+    ManifestTable.append(spark, r,
+      Seq((4, 40), (5, 50)).toDF("id", "v"))
+    Seq((2, 99, "u"), (3, 0, "d"), (9, 90, "i"), (4, 44, "u"))
+      .toDF("id", "v", "op").createOrReplaceTempView("dml_merge_src")
+    val rc = spark.sql(s"""
+      MERGE INTO `graft.manifest`.`$r` t
+      USING dml_merge_src s
+      ON t.id = s.id
+      WHEN MATCHED AND s.op = 'd' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.v + t.v
+      WHEN NOT MATCHED AND s.op = 'i' THEN INSERT (id, v) VALUES (s.id, s.v)
+      """).collect()
+    assert(rc.map(x => (x.getString(0), x.getInt(1), x.getLong(2))).toSeq ==
+      Seq(("merge", 2, 3L)))
+    val out = ManifestTable.read(spark, r).as[(Int, Int)].collect().toMap
+    assert(out == Map(1 -> 10, 2 -> 119, 4 -> 84, 5 -> 50, 9 -> 90))
+    // two source rows hitting one target row → loud cardinality error
+    Seq((5, 1), (5, 2)).toDF("id", "v").createOrReplaceTempView("dml_merge_dup")
+    val e = intercept[Exception] {
+      spark.sql(s"""
+        MERGE INTO `graft.manifest`.`$r` t USING dml_merge_dup s
+        ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = s.v""")
+    }
+    assert(e.getMessage.contains("cardinality"))
+  }
+
+  test("SQL MERGE: insert-only merge is a plain append commit (feed-friendly); NOT MATCHED BY SOURCE rewrites everything") {
+    val r = root("dml_sql_merge_ins")
+    ManifestTable.append(spark, r, Seq((1, 10), (2, 20)).toDF("id", "v"))
+    val pin = ManifestTable.versions(spark, r).max
+    Seq((2, 22), (7, 70)).toDF("id", "v")
+      .createOrReplaceTempView("dml_merge_ins_src")
+    val rc = spark.sql(s"""
+      MERGE INTO `graft.manifest`.`$r` t USING dml_merge_ins_src s
+      ON t.id = s.id
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""").collect()
+    assert(rc.map(x => (x.getString(0), x.getInt(1), x.getLong(2))).toSeq ==
+      Seq(("merge", 0, 1L)))
+    // additions-only consumers still work: the commit is a plain append
+    val head = ManifestTable.versions(spark, r).max
+    assert(ManifestTable.changedSegments(spark, r, pin, head).size == 1)
+    assert(ManifestTable.read(spark, r).as[(Int, Int)].collect().toMap ==
+      Map(1 -> 10, 2 -> 20, 7 -> 70))
+    // NOT MATCHED BY SOURCE: unmatched target rows take the action
+    val rc2 = spark.sql(s"""
+      MERGE INTO `graft.manifest`.`$r` t USING dml_merge_ins_src s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED BY SOURCE AND t.id = 1 THEN DELETE""").collect()
+    assert(rc2.head.getInt(1) == 2, s"nmbs merge rewrites every segment: ${rc2.toSeq}")
+    assert(ManifestTable.read(spark, r).as[(Int, Int)].collect().toMap ==
+      Map(2 -> 22, 7 -> 70))
+  }
+
+  test("DML feed netting: a segment appended and dml-dropped inside one window never surfaces") {
+    val r = root("dml_feed_net")
+    ManifestTable.setRetainVersions(spark, r, 4)
+    ManifestTable.append(spark, r, Seq((1, 10)).toDF("id", "v"))
+    val pin = ManifestTable.versions(spark, r).max
+    ManifestTable.append(spark, r, Seq((2, 20), (3, 30)).toDF("id", "v"))
+    // the DML touches BOTH segments: the in-window one nets out, the
+    // consumed one emits its pre-image
+    ManifestDml.updateWhere(spark, r, Seq("v" -> lit(99)), col("id") =!= 3)
+    val head = ManifestTable.versions(spark, r).max
+    val (adds, pre) = ManifestTable.changedSegmentsDml(spark, r, pin, head)
+    assert(adds.size == 1 && adds.head.contains("-dml-"),
+      s"in-window append must net out of the feed, got $adds")
+    assert(pre.size == 1, s"one consumed pre-image, got $pre")
+    val chg = ManifestTable.readChanges(spark, r, pin, head)
+    val rebuilt = ManifestTable.readAt(spark, r, pin)
+      .join(chg.filter(col("_change_type") === "delete").drop("_change_type"),
+        Seq("id", "v"), "left_anti")
+      .unionByName(
+        chg.filter(col("_change_type") === "insert").drop("_change_type"))
+    val now = ManifestTable.read(spark, r)
+    assert(rebuilt.exceptAll(now).isEmpty && now.exceptAll(rebuilt).isEmpty)
+  }
+}
