@@ -183,10 +183,19 @@ object AggView {
     * merged current state directly, so it works for EVERY aggregate
     * even with outstanding tombstones.
     *
+    * Row-level DML commits ([[ManifestDml]]) in the window maintain
+    * incrementally too, and EXACTLY: the dropped segments' rows fold
+    * in as a negated partial and the replacement segment rides the
+    * insert side — count/sum deltas are multiset-additive, so no row
+    * identity is needed (this is stronger than the value-identity
+    * contract the change feed itself carries). The dropped dirs must
+    * still exist: size the base's retention horizon to the sync
+    * cadence.
+    *
     * min/max/hll keep the rebuild contract (a retraction there needs
-    * the surviving rows): a tombstone in a non-bootstrap window with
-    * any non-retractable aggregate throws — [[rebuild]] instead, same
-    * as after a base rewrite breaks the feed. The pre-image read
+    * the surviving rows): a tombstone or DML in a non-bootstrap window
+    * with any non-retractable aggregate throws — [[rebuild]] instead,
+    * same as after a base rewrite breaks the feed. The pre-image read
     * needs the cursor's manifest version: if [[ManifestTable
     * .expireVersions]] already trimmed it, the read fails loudly —
     * rebuild.
@@ -204,12 +213,22 @@ object AggView {
     val head = vs.max
     val cursor = cursorOf(spark, viewRoot)
     if (cursor >= head) return cursor
-    val chgSegs = ManifestTable.changedSegments(spark, baseRoot, cursor, head)
+    val (chgSegs, pre) =
+      ManifestTable.changedSegmentsDml(spark, baseRoot, cursor, head)
     val dels = chgSegs.filter(_.startsWith("del-"))
-    require(dels.isEmpty || cursor == 0L || spec.aggs.forall(_.retractable),
+    require((dels.isEmpty && pre.isEmpty) || cursor == 0L ||
+        spec.aggs.forall(_.retractable),
       s"base $baseRoot committed deletes in ($cursor, $head] and the view " +
         "holds non-retractable aggregates (min/max/hll need the surviving " +
         "rows, not the deleted ones) — rebuild() the view")
+    // a window holding BOTH a row-level DML and merge-on-read deletes
+    // has crossing semantics (the tombstone applies to post-DML values,
+    // the DML retraction to pre-DML ones) — in practice unreachable
+    // (DML requires a tombstone-free table), but a hand-mixed window
+    // must rebuild rather than risk a double-subtraction
+    require(dels.isEmpty || pre.isEmpty,
+      s"window ($cursor, $head] of $baseRoot mixes row-level DML and " +
+        "merge-on-read deletes — rebuild() the view")
     val gcols = spec.groupCols.map(col)
     val ins = chgSegs.filterNot(_.startsWith("del-"))
     val insRows0 =
@@ -233,15 +252,25 @@ object AggView {
     val insPartial = insRows.groupBy(gcols: _*)
       .agg(spec.aggs.head.partial, spec.aggs.tail.map(_.partial): _*)
     val retractPartials =
-      if (dels.isEmpty || cursor == 0L) Seq.empty
-      else {
-        val keys = dels.map(d => spark.read.parquet(s"$baseRoot/$d"))
-          .reduce(_ unionByName _).distinct()
-        Seq(ManifestTable.readMergedAt(spark, baseRoot, cursor)
-          .join(broadcast(keys), keys.columns.toSeq, "left_semi")
-          .groupBy(gcols: _*)
-          .agg(spec.aggs.head.retract, spec.aggs.tail.map(_.retract): _*))
-      }
+      (if (dels.isEmpty || cursor == 0L) Seq.empty
+       else {
+         val keys = dels.map(d => spark.read.parquet(s"$baseRoot/$d"))
+           .reduce(_ unionByName _).distinct()
+         Seq(ManifestTable.readMergedAt(spark, baseRoot, cursor)
+           .join(broadcast(keys), keys.columns.toSeq, "left_semi")
+           .groupBy(gcols: _*)
+           .agg(spec.aggs.head.retract, spec.aggs.tail.map(_.retract): _*))
+       }) ++
+      // a row-level DML's pre-image segments retract EXACTLY: count/sum
+      // deltas are multiset-additive, so "subtract the dropped rows,
+      // add the replacement's" needs no row identity at all (unlike the
+      // value-identity change feed). IO = O(touched segments), and the
+      // dirs must still exist — the base's retention horizon covers the
+      // sync cadence or this read fails loudly (rebuild).
+      (if (pre.isEmpty || cursor == 0L) Seq.empty
+       else Seq(ManifestTable.readSegs(spark, baseRoot, pre.map(_._1))
+         .groupBy(gcols: _*)
+         .agg(spec.aggs.head.retract, spec.aggs.tail.map(_.retract): _*)))
     // fold inserts + retractions into ONE stored partial (merge of
     // partials is itself a partial — the representation invariant)
     val folded = (insPartial +: retractPartials).reduce(_ unionByName _)

@@ -180,7 +180,10 @@ class ManifestSource extends RelationProvider with CreatableRelationProvider
     * start) | any committed version number (exclusive low fence).
     * `changeFeed=true` surfaces deletes: rows carry a `_change_type`
     * column (`insert`/`delete`, tombstone rows NULL-fill non-key
-    * columns). Without it, a tombstone inside a window fails the
+    * columns; a row-level DML commit emits its dropped segments'
+    * full pre-image rows as deletes with the replacement riding the
+    * insert side — apply a batch's deletes before its inserts).
+    * Without it, a tombstone or DML inside a window fails the
     * batch loudly — a plain append stream must not silently ignore
     * deletes. A window expired by `expireVersions` also fails loudly
     * (full refresh + re-pin, the standard change-feed fallback). */
@@ -294,28 +297,38 @@ private[sources] class ManifestStreamSource(spark: SparkSession,
     import org.apache.spark.sql.functions.lit
     val fromV = start.map(vOf).getOrElse(startV)
     val toV = vOf(end)
-    val chg = ManifestTable.changedSegments(spark, root, fromV, toV)
+    val (chg, pre) = ManifestTable.changedSegmentsDml(spark, root, fromV, toV)
     val dels = chg.filter(_.startsWith("del-"))
-    require(changeFeed || dels.isEmpty,
+    require(changeFeed || (dels.isEmpty && pre.isEmpty),
       s"window ($fromV, $toV] of $root commits ${dels.size} tombstone " +
-        "segment(s); a plain append stream cannot represent deletes — " +
-        "restart with option(\"changeFeed\", \"true\") (rows gain " +
-        "_change_type) or apply deletes upstream via compact()")
+        s"segment(s) and ${pre.size} DML pre-image(s); a plain append " +
+        "stream cannot represent deletes — restart with " +
+        "option(\"changeFeed\", \"true\") (rows gain _change_type) or " +
+        "apply deletes upstream via compact()")
     val batch =
-      if (chg.isEmpty) // rewrite-only window: nothing new for the feed
+      if (chg.isEmpty && pre.isEmpty) // rewrite-only window: nothing new
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
       else {
-        val metas = ManifestTable.segmentMetas(spark, root, Some(toV))
+        // pre-image metadata was captured from the manifest just
+        // before each drop (the toV snapshot no longer names them)
+        val metas = ManifestTable.segmentMetas(spark, root, Some(toV)) ++
+          pre.collect { case (s, Some(m)) => s -> m }
         val ins = chg.filterNot(_.startsWith("del-"))
         val insDf =
           if (ins.isEmpty) None
           else Some(ManifestSource.readSegsPlanned(spark, root, ins, metas)
             .withColumn("_change_type", lit("insert")))
-        val delDf =
-          if (dels.isEmpty) None
-          else Some(ManifestSource.readSegsPlanned(spark, root, dels, metas)
-            .distinct().withColumn("_change_type", lit("delete")))
+        val delSides =
+          (if (dels.isEmpty) Nil
+           else Seq(ManifestSource.readSegsPlanned(spark, root, dels, metas)
+             .distinct())) ++
+          (if (pre.isEmpty) Nil
+           else Seq(ManifestSource.readSegsPlanned(spark, root,
+             pre.map(_._1), metas).distinct()))
+        val delDf = delSides
+          .reduceOption(_.unionByName(_, allowMissingColumns = true))
+          .map(_.withColumn("_change_type", lit("delete")))
         val raw = (insDf, delDf) match {
           case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true)
           case (Some(a), None) => a

@@ -247,6 +247,82 @@ class DmlSpec extends AnyFunSuite {
       Map(2 -> 22, 7 -> 70))
   }
 
+  test("AggView sync over a DML window: count/sum retract exactly via pre-image segments; min/max rebuild contract is loud") {
+    import graft.io.AggView
+    val base = root("dml_aggview_base")
+    val view = root("dml_aggview_view")
+    ManifestTable.setRetainVersions(spark, base, 6)
+    val spec = AggView.spec("k").count("n").sum("v", "s")
+    (0 until 3).foreach { g =>
+      ManifestTable.append(spark, base,
+        (0 until 40).map(i => (i % 4, (g * 40 + i).toLong)).toDF("k", "v"))
+    }
+    AggView.syncFromLog(spark, view, base, spec)
+    // duplicate VALUES across segments on purpose: the retraction is
+    // multiset-additive, so identical rows in untouched segments must
+    // not double-subtract
+    graft.io.ManifestDml.deleteWhere(spark, base, col("v") % 10 === 3)
+    graft.io.ManifestDml.updateWhere(spark, base,
+      Seq("v" -> (col("v") + 1000L)), col("v") % 10 === 4)
+    AggView.syncFromLog(spark, view, base, spec)
+    val got = AggView.read(spark, view, spec)
+      .filter(col("n") > 0).orderBy("k").collect()
+    val want = ManifestTable.read(spark, base)
+      .groupBy(col("k")).agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .orderBy("k").collect()
+    assert(got.toSeq == want.toSeq,
+      s"incremental view diverged from recompute:\n$got\nvs\n$want")
+    // non-retractable aggregate + DML window → loud rebuild contract
+    val view2 = root("dml_aggview_minmax")
+    val spec2 = AggView.spec("k").max("v", "mx")
+    AggView.syncFromLog(spark, view2, base, spec2)
+    graft.io.ManifestDml.deleteWhere(spark, base, col("v") === 17L)
+    val e = intercept[IllegalArgumentException] {
+      AggView.syncFromLog(spark, view2, base, spec2)
+    }
+    assert(e.getMessage.contains("rebuild"))
+    AggView.rebuild(spark, view2, base, spec2)
+    assert(AggView.read(spark, view2, spec2).count() == 4)
+  }
+
+  test("streaming source over a DML window: changeFeed batch carries pre-image deletes + re-inserts; plain stream fails loudly") {
+    val r = root("dml_stream_src")
+    ManifestTable.setRetainVersions(spark, r, 6)
+    ManifestTable.append(spark, r, Seq((1, 10), (2, 20)).toDF("id", "v"))
+    ManifestTable.append(spark, r, Seq((3, 30)).toDF("id", "v"))
+    graft.io.ManifestDml.updateWhere(spark, r,
+      Seq("v" -> lit(21)), col("id") === 2)
+    // changeFeed bootstrap-from-v0 would fold everything into one
+    // insert batch; start past the first append so the DML window is
+    // genuinely incremental
+    val q = spark.readStream.format("graft.manifest")
+      .option("changeFeed", "true").option("startingVersion", "1")
+      .load(r)
+      .writeStream.format("memory").queryName("dml_src_cf")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rows = spark.table("dml_src_cf")
+      .select("id", "v", "_change_type").as[(Int, Int, String)]
+      .collect().toSet
+    // window (1, 3]: append of id=3, then the DML dropping seg-1
+    // (pre-images 1/2) and adding the rewritten rows
+    assert(rows == Set((3, 30, "insert"),
+      (1, 10, "delete"), (2, 20, "delete"),
+      (1, 10, "insert"), (2, 21, "insert")), s"got $rows")
+    // a plain append stream over the same window must refuse
+    val q2 = spark.readStream.format("graft.manifest")
+      .option("startingVersion", "1").load(r)
+      .writeStream.format("memory").queryName("dml_src_plain")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination()
+    }
+    assert(e.getMessage.contains("DML pre-image") ||
+      Option(e.getCause).exists(_.getMessage.contains("DML pre-image")))
+  }
+
   test("DML feed netting: a segment appended and dml-dropped inside one window never surfaces") {
     val r = root("dml_feed_net")
     ManifestTable.setRetainVersions(spark, r, 4)
