@@ -59,12 +59,28 @@ object ManifestTable {
     * same interface. */
   trait CommitStrategy {
     /** Publish `content` as exactly `dst`, atomically, failing (not
-      * overwriting) if `dst` already exists. */
+      * overwriting) if `dst` already exists. A lost version race MUST
+      * surface as [[CommitRaceLost]] (and nothing else as it), so
+      * retryable callers can distinguish contention from store
+      * failures. */
     def publish(f: FileSystem, dir: Path, dst: Path, content: String): Unit
   }
 
+  /** Another writer published this manifest version first. For plain
+    * appends this is pure contention (retryable — see
+    * [[ManifestTable.append]]'s `retryRaces`); for snapshot-derived
+    * commits (rewrites, DML, view partials) it means the input
+    * snapshot is stale and the operation must be re-planned. */
+  final class CommitRaceLost(msg: String) extends IllegalStateException(msg)
+
   /** Atomic-rename commit: correct on any FS with atomic, no-overwrite
-    * rename (HDFS, local, ABFS). */
+    * rename (HDFS, ABFS). On `file:` schemes the swap step is a HARD
+    * LINK instead: POSIX rename(2) — what Hadoop's local rename calls
+    * — silently REPLACES an existing destination, so two racing
+    * commits could both "succeed" with the later erasing the earlier
+    * winner's manifest (observed under a real multi-writer test);
+    * link(2) is atomic AND fails with EEXIST, giving local FS the
+    * same single-winner guarantee HDFS's no-overwrite rename has. */
   object RenameCommit extends CommitStrategy {
     def publish(f: FileSystem, dir: Path, dst: Path, content: String): Unit = {
       val tmp = new Path(dir,
@@ -72,9 +88,20 @@ object ManifestTable {
       val out = f.create(tmp, false)
       try out.write(content.getBytes("UTF-8"))
       finally out.close()
-      if (!f.rename(tmp, dst)) {
+      if (f.getUri.getScheme == "file") {
+        try java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(f.makeQualified(dst).toUri),
+          java.nio.file.Paths.get(f.makeQualified(tmp).toUri))
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            f.delete(tmp, false)
+            throw new CommitRaceLost(
+              s"manifest commit lost the race for $dst")
+        }
         f.delete(tmp, false)
-        throw new IllegalStateException(
+      } else if (!f.rename(tmp, dst)) {
+        f.delete(tmp, false)
+        throw new CommitRaceLost(
           s"manifest commit lost the race for $dst")
       }
     }
@@ -125,7 +152,7 @@ object ManifestTable {
         catch {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException |
                _: java.nio.file.FileAlreadyExistsException =>
-            throw new IllegalStateException(
+            throw new CommitRaceLost(
               s"manifest commit lost the race for $dst")
         }
       try {
@@ -500,9 +527,11 @@ object ManifestTable {
     * whole segments with. */
   def append(spark: SparkSession, root: String, df: DataFrame,
       partitionBy: Seq[String] = Nil, tag: Option[String] = None,
-      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Unit = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      retryRaces: Boolean = false): Unit = {
     rejectReservedTag(tag)
-    appendReserved(spark, root, df, partitionBy, tag, statsCols, bloomCols)
+    appendReserved(spark, root, df, partitionBy, tag, statsCols, bloomCols,
+      retryRaces)
   }
 
   /** Tags of the form `mb<digits>` name the streaming sink's
@@ -524,24 +553,58 @@ object ManifestTable {
     }
 
   /** [[append]] without the reserved-tag guard — the streaming ingest
-    * paths' entry point (they OWN the `mb<digits>` namespace). */
+    * paths' entry point (they OWN the `mb<digits>` namespace).
+    *
+    * `retryRaces = true` makes a lost version race retry against the
+    * new head instead of throwing: appends are ADDITIVE (every prior
+    * segment is carried unchanged and the new rows do not depend on
+    * the snapshot), so concurrent appends serialize in any order —
+    * the multi-writer ingest posture every lakehouse log supports.
+    * The already-written segment is RENAMED to carry the new commit
+    * version (segment names encode it; the change feed's
+    * consumed-before-cursor check depends on that), its metadata
+    * reused verbatim (file paths are segment-relative). Retry stays
+    * OPT-IN because it is only sound for content-independent commits:
+    * a snapshot-derived append (e.g. [[AggView]]'s window partials —
+    * two racing syncs would double-count) must keep the loud
+    * single-winner contract. Appends never GC, so racing appends
+    * cannot collect each other's in-flight segments; racing a
+    * REWRITE-class verb (replace/compact/cluster/DML — the only gc
+    * callers) remains a single-writer-maintenance assumption, as
+    * before. */
   private[graft] def appendReserved(spark: SparkSession, root: String,
       df: DataFrame, partitionBy: Seq[String] = Nil,
       tag: Option[String] = None, statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Unit = {
+      bloomCols: Seq[String] = Nil, retryRaces: Boolean = false): Unit = {
     val (f, p) = fs(spark, root)
-    val v = currentVersion(f, p).getOrElse(0L)
+    var v = currentVersion(f, p).getOrElse(0L)
     val t = tag.map(_ + "-").getOrElse("")
-    val seg = s"seg-${v + 1}-$t${java.util.UUID.randomUUID().toString.take(8)}"
+    val suffix = java.util.UUID.randomUUID().toString.take(8)
+    var seg = s"seg-${v + 1}-$t$suffix"
     writeSeg(df, s"$root/$seg", partitionBy)
     val statsJson =
       if (statsCols.nonEmpty) Some(writeStats(spark, f, s"$root/$seg", statsCols))
       else None
     if (bloomCols.nonEmpty) writeBlooms(spark, f, s"$root/$seg", bloomCols)
     val meta = buildMeta(spark, f, root, seg, statsJson, bloomCols)
-    val prior = if (v == 0L) Seq.empty else readManifest(f, p, v)
-    commit(f, p, v + 1, prior :+ seg,
-      metas = priorMetas(f, p, v) + (seg -> meta))
+    var attempts = 0
+    while (true) {
+      try {
+        val prior = if (v == 0L) Seq.empty else readManifest(f, p, v)
+        commit(f, p, v + 1, prior :+ seg,
+          metas = priorMetas(f, p, v) + (seg -> meta))
+        return
+      } catch {
+        case _: CommitRaceLost if retryRaces && attempts < 50 =>
+          attempts += 1
+          val nv = currentVersion(f, p).getOrElse(0L)
+          val ns = s"seg-${nv + 1}-$t$suffix"
+          require(f.rename(new Path(p, seg), new Path(p, ns)),
+            s"append retry could not re-version segment $seg -> $ns")
+          seg = ns
+          v = nv
+      }
+    }
   }
 
   /** Merge-on-read DELETE: append `keys` (deduplicated) as one

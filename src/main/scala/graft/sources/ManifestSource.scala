@@ -178,6 +178,11 @@ class ManifestSource extends RelationProvider with CreatableRelationProvider
     * Options: `startingVersion` = `0` (default — bootstrap: the full
     * table state is batch one) | `latest` (only commits after stream
     * start) | any committed version number (exclusive low fence).
+    * `maxVersionsPerTrigger` = N caps each micro-batch at N manifest
+    * commits past the last delivered offset, so a backlogged restart
+    * or a bootstrap over a long log drains as bounded batches instead
+    * of one giant catch-up batch (FileStreamSource's
+    * maxFilesPerTrigger, at commit granularity).
     * `changeFeed=true` surfaces deletes: rows carry a `_change_type`
     * column (`insert`/`delete`, tombstone rows NULL-fill non-key
     * columns; a row-level DML commit emits its dropped segments'
@@ -209,7 +214,11 @@ class ManifestSource extends RelationProvider with CreatableRelationProvider
       case Some(s) => s.toLong
       case None => 0L
     }
-    new ManifestStreamSource(spark, root, declared, changeFeed, startV)
+    val maxV = parameters.get("maxversionspertrigger")
+      .orElse(parameters.get("maxVersionsPerTrigger")).map(_.toLong)
+    maxV.foreach(m => require(m >= 1,
+      s"maxVersionsPerTrigger must be >= 1, got $m"))
+    new ManifestStreamSource(spark, root, declared, changeFeed, startV, maxV)
   }
 
   private def changeFeedOf(parameters: Map[String, String]): Boolean =
@@ -250,7 +259,8 @@ private[sources] class ManifestSink(spark: SparkSession, root: String,
   * walk through as empty batches; an unmarked drop or an expired
   * window fails loudly, the full-refresh contract). */
 private[sources] class ManifestStreamSource(spark: SparkSession,
-    root: String, declared: StructType, changeFeed: Boolean, startV: Long)
+    root: String, declared: StructType, changeFeed: Boolean, startV: Long,
+    maxVersionsPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
   import org.apache.spark.sql.execution.streaming.runtime.{LongOffset,
@@ -258,11 +268,27 @@ private[sources] class ManifestStreamSource(spark: SparkSession,
 
   override def schema: StructType = declared
 
+  /** Highest offset handed to the engine so far — the rate-limit
+    * base. Re-synced on restart by the engine's re-request of the
+    * last committed window (getBatch runs before any getOffset), so
+    * the cap never regresses below the committed offset. */
+  @volatile private var pacedV: Long = startV
+
   /** Head manifest version (None until something is committed past
-    * the starting fence) — one root listing per poll, no data IO. */
+    * the starting fence) — one root listing per poll, no data IO.
+    * With `maxVersionsPerTrigger` the answer is capped at that many
+    * versions past the last delivered offset: a backlogged restart
+    * (or a bootstrap over a long log) drains as bounded micro-batches
+    * instead of one giant catch-up batch — the same knob as
+    * FileStreamSource's maxFilesPerTrigger, at manifest-commit
+    * granularity. */
   override def getOffset: Option[V1Offset] = {
     val head = ManifestTable.versions(spark, root).lastOption.getOrElse(0L)
-    if (head <= startV) None else Some(LongOffset(head))
+    val capped = maxVersionsPerTrigger match {
+      case Some(m) => math.min(head, math.max(pacedV, startV) + m)
+      case None => head
+    }
+    if (capped <= startV) None else Some(LongOffset(capped))
   }
 
   private def vOf(o: V1Offset): Long = o match {
@@ -297,6 +323,7 @@ private[sources] class ManifestStreamSource(spark: SparkSession,
     import org.apache.spark.sql.functions.lit
     val fromV = start.map(vOf).getOrElse(startV)
     val toV = vOf(end)
+    pacedV = math.max(pacedV, toV)
     val (chg, pre) = ManifestTable.changedSegmentsDml(spark, root, fromV, toV)
     val dels = chg.filter(_.startsWith("del-"))
     require(changeFeed || (dels.isEmpty && pre.isEmpty),

@@ -323,6 +323,58 @@ class DmlSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("DML pre-image")))
   }
 
+  test("append(retryRaces): concurrent appenders all land, serialized as distinct versions, no rows lost") {
+    val r = root("dml_concurrent_append")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val writers = (0 until 4).map { w =>
+      Future {
+        (0 until 5).foreach { i =>
+          ManifestTable.append(spark, r,
+            Seq((w * 100 + i, w)).toDF("id", "w"), retryRaces = true)
+        }
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    assert(ManifestTable.versions(spark, r) == (1L to 20L))
+    val rows = ManifestTable.read(spark, r).select("id").as[Int].collect().toSet
+    assert(rows == (0 until 4).flatMap(w => (0 until 5).map(w * 100 + _)).toSet)
+    // segment names carry their real commit version (feed contract)
+    ManifestTable.segments(spark, r).foreach { s =>
+      assert(ManifestTable.segmentsAt(spark, r,
+        s.split("-")(1).toLong).contains(s))
+    }
+    // without retryRaces the loser still throws (single-winner default)
+    val r2 = root("dml_concurrent_strict")
+    ManifestTable.append(spark, r2, Seq((1, 1)).toDF("id", "w"))
+    intercept[ManifestTable.CommitRaceLost] {
+      ManifestTable.commitStrategy.publish(
+        new org.apache.hadoop.fs.Path(r2)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration),
+        new org.apache.hadoop.fs.Path(r2),
+        new org.apache.hadoop.fs.Path(r2, "_manifest.v1"), "x")
+    }
+  }
+
+  test("streaming source maxVersionsPerTrigger: a backlog drains as bounded micro-batches, contents identical") {
+    val r = root("dml_stream_paced")
+    (1 to 6).foreach { i =>
+      ManifestTable.append(spark, r, Seq((i, i * 10)).toDF("id", "v"))
+    }
+    val q = spark.readStream.format("graft.manifest")
+      .option("maxVersionsPerTrigger", "2").load(r)
+      .writeStream.format("memory").queryName("dml_paced")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("dml_paced").count() == 6)
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches == 3,
+      s"6 versions at 2/trigger must drain as 3 batches, got $dataBatches: " +
+        q.recentProgress.map(_.numInputRows).mkString(","))
+  }
+
   test("DML feed netting: a segment appended and dml-dropped inside one window never surfaces") {
     val r = root("dml_feed_net")
     ManifestTable.setRetainVersions(spark, r, 4)
