@@ -2322,6 +2322,15 @@ trait SparkEntryOracle extends SparkEntryTail {
         |SELECT event_type, count(*) AS cnt,
         |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
         |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "manifest_evolve_sql" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |FROM (
+        |  SELECT CASE WHEN event_id % 2 = 1 THEN event_type
+        |              ELSE 'backfilled' END AS event_type,
+        |         value
+        |  FROM events
+        |) GROUP BY event_type ORDER BY event_type""".stripMargin,
     "manifest_nested_part" ->
       """SELECT CAST(event_id % 2 AS INT) AS y,
         |       CAST(EXTRACT(day FROM ts) % 3 AS INT) AS m,

@@ -2738,6 +2738,43 @@ trait SparkEntryTail extends SparkEntryMid {
       ORDER BY event_type""")
   }
 
+  /** Additive schema evolution through the SQL face: a second append
+    * ADDS a column (no rewrite of the first segment — the O(batch)
+    * evolution contract a 100 TB log needs), the relation's schema is
+    * the additive merge of the per-segment embedded schemas (zero
+    * footer jobs), pre-evolution rows NULL-fill, and row-level DML
+    * works across the mixed-schema segments: one UPDATE back-fills
+    * the NULL column — copy-on-write over exactly the segments it
+    * touches. Oracle replays the evolution + backfill as CASE
+    * projections over raw events. */
+  private[graft] def manifestEvolveSql(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.ManifestTable
+    val root = manifestRoot(s, "graft_evolveq__log")
+    ManifestTable.destroy(s, root)
+    val ev = t(s, dir, "events")
+    ManifestTable.append(s, root,
+      ev.filter(col("event_id") % 2 === 0).select("event_id", "value"))
+    ManifestTable.append(s, root,
+      ev.filter(col("event_id") % 2 === 1)
+        .select("event_id", "value", "event_type"))
+    // pre-evolution rows read NULL in the added column
+    val nulls = s.sql(
+      s"SELECT count(1) AS c FROM `graft.manifest`.`$root` WHERE event_type IS NULL")
+      .head().getLong(0)
+    val even = ev.filter(col("event_id") % 2 === 0).count()
+    require(nulls == even, s"expected $even NULL-filled rows, got $nulls")
+    // DML across mixed-schema segments: backfill the NULL column
+    val upd = s.sql(s"UPDATE `graft.manifest`.`$root` " +
+      "SET event_type = 'backfilled' WHERE event_type IS NULL").collect()
+    require(upd.head.getLong(2) == even, s"backfill receipt: ${upd.toSeq}")
+    s.sql(s"""
+      SELECT event_type, count(1) AS cnt,
+             round(cast(sum(cast(value AS decimal(18,6))) AS double), 4) AS sum_value
+      FROM `graft.manifest`.`$root`
+      GROUP BY event_type
+      ORDER BY event_type""")
+  }
+
   /** SQL MERGE INTO on the log: conditional WHEN MATCHED DELETE /
     * UPDATE plus WHEN NOT MATCHED INSERT in one atomic commit. The
     * target splits into two parity segments; every matched id

@@ -126,7 +126,7 @@ object ManifestDml {
         s"(${touched.filterNot(allSet).mkString(", ")}) — root prefix mismatch")
 
     // ---- phase 2: rewrite ONLY the touched segments ----
-    val rows = ManifestTable.readSegs(spark, root, touched)
+    val rows = conformTo(spark, ManifestTable.readSegs(spark, root, touched), rel)
     val kept = rewrite(rows)
     require(kept.columns.toSeq == rows.columns.toSeq,
       "internal: DML rewrite changed the column set")
@@ -239,7 +239,8 @@ object ManifestDml {
 
       // ---- phase 2: action chains over the touched rows + inserts ----
       if (touched.nonEmpty) {
-        val base = ManifestTable.readSegs(spark, root, touched)
+        val base = conformTo(spark,
+          ManifestTable.readSegs(spark, root, touched), rel)
         val t2 = base.withColumn("__tex", lit(true)).alias("__t")
         val s2 = src.withColumn("__sex", lit(true)).alias("__s")
         val j = t2.join(s2, cond, "full_outer")
@@ -291,6 +292,23 @@ object ManifestDml {
   private def setLookup(set: Seq[(String, Column)],
       fd: org.apache.spark.sql.types.StructField): Option[Column] =
     set.collectFirst { case (n, v) if n.equalsIgnoreCase(fd.name) => v }
+
+  /** Conform touched-segment rows to the RELATION's merged schema:
+    * a pre-evolution segment lacks later-added columns (its reader
+    * NULL-fills them), so the rewrite frame must materialize the full
+    * additive schema for assignments/action chains to target those
+    * columns — the rewritten segment thereby upgrades to the current
+    * schema, standard copy-on-write evolution behavior. */
+  private def conformTo(spark: SparkSession, df: DataFrame,
+      rel: org.apache.spark.sql.execution.datasources.HadoopFsRelation): DataFrame = {
+    val eq = spark.sessionState.conf.resolver
+    val full = rel.dataSchema.fields ++ rel.partitionSchema.fields
+    df.select(full.toSeq.map { fd =>
+      df.columns.find(c => eq(c, fd.name))
+        .map(c => col(c).as(fd.name))
+        .getOrElse(lit(null).cast(fd.dataType).as(fd.name))
+    }: _*)
+  }
 
   /** Phases 2b+3 shared by every rewriting DML verb: write `kept` as
     * the replacement segment, regenerate the sidecars the touched

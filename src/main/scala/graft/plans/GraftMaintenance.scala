@@ -31,7 +31,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * command is built at resolution time; a computed table root inside a
   * maintenance verb is an operator error, not a use case). */
 case class GraftMaintenanceCommand(verb: String, root: String,
-    arg: Option[Long]) extends LeafRunnableCommand {
+    arg: Option[Long], cols: Seq[String] = Nil) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("action", StringType, nullable = false)(),
@@ -71,6 +71,16 @@ case class GraftMaintenanceCommand(verb: String, root: String,
         val folded = graft.streaming.AnnIndex.optimize(session, root, arg.get)
         Seq(Row("ann_optimize", folded.toLong,
           s"bin-packed $folded index segment(s) under ${arg.get} bytes"))
+      case "cluster" =>
+        ManifestTable.cluster(session, root, cols.head, arg.get.toInt)
+        Seq(Row("cluster", arg.get,
+          s"re-clustered into ${arg.get} range-disjoint segment(s) " +
+            s"ordered by ${cols.head}; zone maps regenerated"))
+      case "cluster_z" =>
+        ManifestTable.clusterZ(session, root, cols.head, cols(1), arg.get.toInt)
+        Seq(Row("cluster_z", arg.get,
+          s"z-order re-clustered on (${cols.head}, ${cols(1)}) into " +
+            s"${arg.get} segment(s); zone maps cover both columns"))
       case other =>
         throw new IllegalStateException(s"unknown maintenance verb $other")
     }
@@ -121,5 +131,26 @@ object GraftMaintenance {
     fn1("graft_neardup_pack", "neardup_pack",
       "graft_neardup_pack(root) - fold per-ingest near-dup band roots into one packed root"),
     fn2("graft_ann_optimize", "ann_optimize",
-      "graft_ann_optimize(root, smallBytes) - bin-pack small ANN index segments"))
+      "graft_ann_optimize(root, smallBytes) - bin-pack small ANN index segments"),
+    ("graft_manifest_cluster",
+      "graft_manifest_cluster(root, byCol, nSegments) - full sort-based " +
+        "re-cluster into range-disjoint segments (tombstones applied)",
+      args => {
+        require(args.length == 3,
+          s"graft_manifest_cluster(root, byCol, nSegments) takes 3 arguments, got ${args.length}")
+        GraftMaintenanceCommand("cluster", str(args.head, "graft_manifest_cluster"),
+          Some(lng(args(2), "graft_manifest_cluster")),
+          Seq(str(args(1), "graft_manifest_cluster")))
+      }),
+    ("graft_manifest_cluster_z",
+      "graft_manifest_cluster_z(root, colA, colB, nSegments) - z-order " +
+        "re-cluster so zone maps prune ranges on EITHER column",
+      args => {
+        require(args.length == 4,
+          s"graft_manifest_cluster_z(root, colA, colB, nSegments) takes 4 arguments, got ${args.length}")
+        GraftMaintenanceCommand("cluster_z", str(args.head, "graft_manifest_cluster_z"),
+          Some(lng(args(3), "graft_manifest_cluster_z")),
+          Seq(str(args(1), "graft_manifest_cluster_z"),
+            str(args(2), "graft_manifest_cluster_z")))
+      }))
 }

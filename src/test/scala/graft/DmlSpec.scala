@@ -375,6 +375,34 @@ class DmlSpec extends AnyFunSuite {
         q.recentProgress.map(_.numInputRows).mkString(","))
   }
 
+  test("cluster TVFs: SQL-reachable re-clustering restores zone-map pruning on arrival-ordered logs") {
+    val r = root("dml_cluster_tvf")
+    // arrival-ordered ingest: every segment spans the whole id range,
+    // so zone maps prune nothing before clustering
+    (0 until 3).foreach { k =>
+      ManifestTable.append(spark, r,
+        (0 until 300).filter(_ % 3 == k).map(i => (i, i * 2)).toDF("id", "v"),
+        statsCols = Seq("id"))
+    }
+    spark.read.format("graft.manifest").load(r)
+      .filter(col("id") === 7).count()
+    assert(graft.sources.ManifestSource.lastListedSegments.size == 3,
+      "pre-cluster: arrival order defeats zone maps")
+    val rc = spark.sql(
+      s"SELECT * FROM graft_manifest_cluster('$r', 'id', 3)").collect()
+    assert(rc.head.getString(0) == "cluster" && rc.head.getLong(1) == 3)
+    val cnt = spark.read.format("graft.manifest").load(r)
+      .filter(col("id") === 7).count()
+    assert(cnt == 1)
+    assert(graft.sources.ManifestSource.lastListedSegments.size == 1,
+      "post-cluster: range-disjoint segments prune to one")
+    // z-order variant over both columns
+    val rz = spark.sql(
+      s"SELECT * FROM graft_manifest_cluster_z('$r', 'id', 'v', 2)").collect()
+    assert(rz.head.getString(0) == "cluster_z")
+    assert(ManifestTable.read(spark, r).count() == 300)
+  }
+
   test("DML feed netting: a segment appended and dml-dropped inside one window never surfaces") {
     val r = root("dml_feed_net")
     ManifestTable.setRetainVersions(spark, r, 4)
