@@ -2331,6 +2331,15 @@ trait SparkEntryOracle extends SparkEntryTail {
         |         value
         |  FROM events
         |) GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "manifest_history_sql" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'append',  1, 1, 0),
+        |  (CAST(2 AS BIGINT), 'append',  2, 1, 0),
+        |  (CAST(3 AS BIGINT), 'delete',  3, 1, 0),
+        |  (CAST(4 AS BIGINT), 'rewrite', 1, 1, 3),
+        |  (CAST(5 AS BIGINT), 'dml',     1, 1, 1)
+        |) AS t(version, kind, segments, added, dropped)
+        |ORDER BY version""".stripMargin,
     "manifest_nested_part" ->
       """SELECT CAST(event_id % 2 AS INT) AS y,
         |       CAST(EXTRACT(day FROM ts) % 3 AS INT) AS m,

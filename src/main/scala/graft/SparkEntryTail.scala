@@ -2775,6 +2775,35 @@ trait SparkEntryTail extends SparkEntryMid {
       ORDER BY event_type""")
   }
 
+  /** DESCRIBE HISTORY for the log, through SQL: a deterministic
+    * lifecycle (two appends, a merge-on-read delete, a physical
+    * compaction, a row-level SQL DELETE) must read back as exactly
+    * those five commit kinds with the segment-list movement each
+    * implies — the audit surface an operator of a 100 TB log checks
+    * before trusting time travel or the change feed. Oracle: the
+    * literal expected rows (commit times excluded — wall-clock). */
+  private[graft] def manifestHistorySql(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.ManifestTable
+    val root = manifestRoot(s, "graft_histq__log")
+    ManifestTable.destroy(s, root)
+    val ev = t(s, dir, "events").select("event_id", "value")
+    ManifestTable.append(s, root, ev.filter(col("event_id") % 2 === 0))
+    ManifestTable.append(s, root, ev.filter(col("event_id") % 2 === 1))
+    ManifestTable.delete(s, root,
+      ev.filter(col("event_id") % 10 === 3).select("event_id"))
+    ManifestTable.compact(s, root)
+    s.sql(s"DELETE FROM `graft.manifest`.`$root` WHERE event_id % 7 = 5")
+    val rows = s.sql(s"SELECT count(1) FROM `graft.manifest`.`$root`")
+      .head().getLong(0)
+    val want = ev.filter(col("event_id") % 10 =!= 3)
+      .filter(col("event_id") % 7 =!= 5).count()
+    require(rows == want, s"audit drift: table has $rows rows, expected $want")
+    s.sql(s"""
+      SELECT version, kind, segments, added, dropped
+      FROM graft_manifest_history('$root')
+      ORDER BY version""")
+  }
+
   /** SQL MERGE INTO on the log: conditional WHEN MATCHED DELETE /
     * UPDATE plus WHEN NOT MATCHED INSERT in one atomic commit. The
     * target splits into two parity segments; every matched id

@@ -946,6 +946,39 @@ object ManifestTable {
   private[io] def isDml(f: FileSystem, root: Path, v: Long): Boolean =
     manifestLines(f, root, v).contains(DmlMark)
 
+  /** One commit's audit row: what kind of commit it was and how the
+    * segment list moved. `kind` ∈ append (new data only) | delete
+    * (tombstone segment committed) | rewrite (marked repackaging —
+    * compact/optimize/cluster) | dml (row-level rewrite) | replace
+    * (unmarked drop — first write or destructive replace). */
+  final case class CommitInfo(version: Long, timeMs: Long, kind: String,
+      segments: Int, added: Int, dropped: Int)
+
+  /** The log's commit history, oldest first — DESCRIBE HISTORY for
+    * the manifest log: O(available versions) driver metadata reads,
+    * no data IO. After [[expireVersions]] the walk starts at the
+    * oldest SURVIVING manifest (its row reads as the net state at
+    * that point, `added == segments`). */
+  def history(spark: SparkSession, root: String): Seq[CommitInfo] = {
+    val (f, p) = fs(spark, root)
+    var prev = Set.empty[String]
+    versionsWithTimes(spark, root).map { case (v, t) =>
+      val lines = manifestLines(f, p, v)
+      val segs = lines.filterNot(_.startsWith("#"))
+      val cur = segs.toSet
+      val added = segs.count(!prev(_))
+      val dropped = prev.count(!cur(_))
+      val kind =
+        if (lines.contains(DmlMark)) "dml"
+        else if (lines.contains(RewriteMark)) "rewrite"
+        else if (dropped > 0) "replace"
+        else if (segs.exists(s => s.startsWith(DelPrefix) && !prev(s))) "delete"
+        else "append"
+      prev = cur
+      CommitInfo(v, t, kind, segs.size, added, dropped)
+    }
+  }
+
   /** Change-data-feed read for the window `(fromV, toV]`: every row
     * appended in the window with `_change_type = 'insert'`, plus every
     * tombstone key committed in the window as `_change_type =

@@ -87,6 +87,30 @@ case class GraftMaintenanceCommand(verb: String, root: String,
   }
 }
 
+/** `SELECT * FROM graft_manifest_history('/wh/t__log')` — the log's
+  * commit audit (DESCRIBE HISTORY): one row per surviving manifest
+  * version with its commit time, kind (append/delete/rewrite/dml/
+  * replace) and segment-list movement. Pure driver metadata, no data
+  * IO. */
+case class GraftHistoryCommand(root: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("commit_time",
+      org.apache.spark.sql.types.TimestampType, nullable = false)(),
+    AttributeReference("kind", StringType, nullable = false)(),
+    AttributeReference("segments", IntegerType, nullable = false)(),
+    AttributeReference("added", IntegerType, nullable = false)(),
+    AttributeReference("dropped", IntegerType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] =
+    graft.io.ManifestTable.history(session, root).map { c =>
+      Row(c.version, java.sql.Timestamp.from(
+        java.time.Instant.ofEpochMilli(c.timeMs)),
+        c.kind, c.segments, c.added, c.dropped)
+    }
+}
+
 object GraftMaintenance {
 
   private def str(e: Expression, fn: String): String = e match {
@@ -132,6 +156,14 @@ object GraftMaintenance {
       "graft_neardup_pack(root) - fold per-ingest near-dup band roots into one packed root"),
     fn2("graft_ann_optimize", "ann_optimize",
       "graft_ann_optimize(root, smallBytes) - bin-pack small ANN index segments"),
+    ("graft_manifest_history",
+      "graft_manifest_history(root) - commit audit: one row per version " +
+        "(commit_time, kind, segments, added, dropped)",
+      args => {
+        require(args.length == 1,
+          s"graft_manifest_history(root) takes 1 argument, got ${args.length}")
+        GraftHistoryCommand(str(args.head, "graft_manifest_history"))
+      }),
     ("graft_manifest_cluster",
       "graft_manifest_cluster(root, byCol, nSegments) - full sort-based " +
         "re-cluster into range-disjoint segments (tombstones applied)",
