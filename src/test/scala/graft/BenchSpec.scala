@@ -95,19 +95,29 @@ class BenchSpec extends AnyFunSuite {
       s"cheap query slowed after 24-query interleave: $before s -> $after s")
   }
 
-  test("per-query budget: newest sf0.1 bench detail stays within 3x of the r13 reference") {
+  test("per-query budget: newest sf0.1 bench detail stays within 3x of the r14 reference") {
     // Regressions must surface in CI, not at round end: whenever a
     // newer bench-detail artifact exists (Bench writes one per run),
-    // every query it shares with the r13 reference must stay under
+    // every query it shares with the reference must stay under
     // 3x its recorded median (+0.5 s noise floor for sub-second
     // queries). No newer artifact -> nothing to check this run.
     // escape hatch for machines much slower than the one that recorded
     // the reference medians — budget ratios are hardware-relative
+    //
+    // Reference re-baselined r13a -> r14a: the round-14 machine runs
+    // the STREAMING family ~3-4x slower than the round-13 recorder
+    // (state-store/checkpoint IO class, not code — the control
+    // experiment reran the untouched r13-final commit 359d302 on this
+    // machine: stream_join 9.58 s / stream_join_outer 9.87 s vs their
+    // 2.06/2.21 s r13a budgets, while HEAD reads 8.57/8.48 s, i.e.
+    // round-14 code is FASTER than r13 code on identical hardware).
+    // Analysis + isolated runs=3 re-measures in BENCHNOTES.md
+    // (round-14 hardware note).
     assume(!sys.env.contains("GRAFT_SKIP_BENCH_BUDGETS"),
       "budget check disabled via GRAFT_SKIP_BENCH_BUDGETS")
     val dir = new java.io.File("bench")
-    val ref = new java.io.File(dir, "bench_detail_sf0.1_r13a.json")
-    assume(ref.exists(), "r13 reference bench detail missing")
+    val ref = new java.io.File(dir, "bench_detail_sf0.1_r14a.json")
+    assume(ref.exists(), "r14 reference bench detail missing")
     def queries(f: java.io.File): Map[String, Double] = {
       val txt = scala.io.Source.fromFile(f, "UTF-8").mkString
       val parsed = org.json4s.jackson.JsonMethods.parse(txt)
@@ -138,7 +148,7 @@ class BenchSpec extends AnyFunSuite {
     //    normal (4.79/3.06/0.71 s) in immediate isolated runs=3 on the
     //    SAME binary — suite-position noise, analysis at
     //    BENCHNOTES.md:817-834.
-    val skip = Set("bench_detail_sf0.1_r13b.json")
+    val skip = Set.empty[String] // r13b's entry became moot at the r14a re-baseline
     val newer = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("bench_detail_sf0.1_") &&
         !skip.contains(f.getName))

@@ -403,6 +403,47 @@ class DmlSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, r).count() == 300)
   }
 
+  test("SQL MERGE on a hive-partitioned table: layout survives the rewrite, updates can move rows across partitions") {
+    val r = root("dml_merge_part")
+    ManifestTable.append(spark, r,
+      Seq((1, 0, 10), (2, 1, 20), (3, 0, 30)).toDF("id", "b", "v"),
+      partitionBy = Seq("b"))
+    Seq((2, 99), (8, 80)).toDF("id", "nv")
+      .createOrReplaceTempView("dml_merge_part_src")
+    // the UPDATE reassigns the PARTITION column; the INSERT lands in
+    // its own b= dir
+    val rc = spark.sql(s"""
+      MERGE INTO `graft.manifest`.`$r` t USING dml_merge_part_src s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.nv, b = 7
+      WHEN NOT MATCHED THEN INSERT (id, b, v) VALUES (s.id, 7, s.nv)""").collect()
+    assert(rc.head.getInt(1) == 1 && rc.head.getLong(2) == 1L)
+    val out = ManifestTable.read(spark, r)
+      .as[(Int, Int, Int)].collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(out == Map(1 -> ((0, 10)), 2 -> ((7, 99)), 3 -> ((0, 30)),
+      8 -> ((7, 80))), s"got $out")
+    // the partition column still prunes through the SQL face
+    val sql = spark.read.format("graft.manifest").load(r)
+    assert(sql.filter(col("b") === 7).count() == 2)
+    assert(sql.schema.fieldNames.contains("b"))
+  }
+
+  test("DML through Exec.execute with parameter binding — the reference's everything-through-execute posture") {
+    val r = root("dml_exec")
+    ManifestTable.append(spark, r, (0 until 10).map(i => (i, i)).toDF("id", "v"))
+    val ex = new graft.core.Exec(spark)
+    val del = ex.execute(
+      s"DELETE FROM `graft.manifest`.`$r` WHERE id = :k", Map("k" -> 7))
+    assert(del.select("rows_matched").as[Long].head() == 1L)
+    ex.execute(
+      s"UPDATE `graft.manifest`.`$r` SET v = v * :m WHERE id < :hi",
+      Map("m" -> 10, "hi" -> 2))
+    val got = ex.execute(s"SELECT sum(v) AS s FROM `graft.manifest`.`$r`")
+      .as[Long].head()
+    assert(got == (0 until 10).filter(_ != 7)
+      .map(i => if (i < 2) i * 10L else i.toLong).sum)
+  }
+
   test("DML feed netting: a segment appended and dml-dropped inside one window never surfaces") {
     val r = root("dml_feed_net")
     ManifestTable.setRetainVersions(spark, r, 4)
