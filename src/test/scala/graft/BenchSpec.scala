@@ -156,7 +156,7 @@ class BenchSpec extends AnyFunSuite {
       .filter { case (r, _) => ord.gt(r, refRound) }
       .sortBy(_._1).lastOption.map(_._2)
     newer match {
-      case None => cancel("no bench detail newer than the r13 reference")
+      case None => cancel("no bench detail newer than the r14 reference")
       case Some(f) =>
         val base = queries(ref); val cur = queries(f)
         val regressed = cur.toSeq.collect {

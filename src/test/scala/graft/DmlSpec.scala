@@ -418,7 +418,8 @@ class DmlSpec extends AnyFunSuite {
       WHEN MATCHED THEN UPDATE SET v = s.nv, b = 7
       WHEN NOT MATCHED THEN INSERT (id, b, v) VALUES (s.id, 7, s.nv)""").collect()
     assert(rc.head.getInt(1) == 1 && rc.head.getLong(2) == 1L)
-    val out = ManifestTable.read(spark, r)
+    // partition columns come back LAST from discovery — select explicitly
+    val out = ManifestTable.read(spark, r).select("id", "b", "v")
       .as[(Int, Int, Int)].collect().map(x => x._1 -> ((x._2, x._3))).toMap
     assert(out == Map(1 -> ((0, 10)), 2 -> ((7, 99)), 3 -> ((0, 30)),
       8 -> ((7, 80))), s"got $out")
