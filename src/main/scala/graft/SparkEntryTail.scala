@@ -2708,9 +2708,10 @@ trait SparkEntryTail extends SparkEntryMid {
     * ONE atomic copy-on-write manifest commit with a
     * (segments_rewritten, rows_matched) receipt — receipts are
     * require-pinned (the DELETE's predicate hits all 3 mod-split
-    * segments; the UPDATE then touches the single replacement
-    * segment). The oracle replays both statements relationally over
-    * raw events: delete = filter, update = CASE projection. */
+    * segments, whose survivors swap in 1:1 — layout preserved — so
+    * the UPDATE then touches those 3 replacements). The oracle
+    * replays both statements relationally over raw events: delete =
+    * filter, update = CASE projection. */
   private[graft] def manifestDmlSql(s: SparkSession, dir: String): DataFrame = {
     import graft.io.ManifestTable
     val root = manifestRoot(s, "graft_dmlq__log")
@@ -2729,7 +2730,7 @@ trait SparkEntryTail extends SparkEntryMid {
       s"UPDATE `graft.manifest`.`$root` SET value = value * 2 " +
         "WHERE event_type = 'click'").collect()
     require(upd.toSeq.map(r => (r.getString(0), r.getInt(1))) ==
-      Seq(("update", 1)), s"unexpected UPDATE receipt: ${upd.toSeq}")
+      Seq(("update", 3)), s"unexpected UPDATE receipt: ${upd.toSeq}")
     s.sql(s"""
       SELECT event_type, count(1) AS cnt,
              round(cast(sum(cast(value AS decimal(18,6))) AS double), 4) AS sum_value

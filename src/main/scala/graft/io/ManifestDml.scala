@@ -23,12 +23,16 @@ import org.apache.spark.sql.functions._
   *     aggregate is O(segments) rows), so segments whose zone maps
   *     admitted but whose rows never matched are NOT rewritten.
   *  3. '''Scoped rewrite + atomic swap.''' Only truly-touched
-  *     segments are re-read, transformed, and written as one
-  *     replacement segment (zone-map/Bloom sidecars regenerated over
-  *     the union of what the inputs carried); the commit drops the
-  *     touched segments and adds the replacement under a [[ManifestTable
-  *     .DmlMark]], so every untouched segment stays byte-identical and
-  *     readers see the old or the new snapshot, never a mix.
+  *     segments are re-read, transformed, and written back 1:1 — each
+  *     source segment's survivors become one replacement segment with
+  *     sidecars regenerated from what THAT source carried, so a
+  *     multi-segment DML on a clustered log preserves the
+  *     range-disjoint layout its zone maps depend on (one write pass:
+  *     hive-split on a source tag + dir renames, no extra shuffle).
+  *     The commit drops the touched segments and adds the replacements
+  *     under a [[ManifestTable.DmlMark]], so every untouched segment
+  *     stays byte-identical and readers see the old or the new
+  *     snapshot, never a mix.
   *
   * Contract edges, all loud: DML needs a tombstone-free table (a
   * rewrite under outstanding merge-on-read deletes could resurrect a
@@ -126,7 +130,7 @@ object ManifestDml {
         s"(${touched.filterNot(allSet).mkString(", ")}) — root prefix mismatch")
 
     // ---- phase 2: rewrite ONLY the touched segments ----
-    val rows = conformTo(spark, ManifestTable.readSegs(spark, root, touched), rel)
+    val rows = srcTaggedRead(spark, root, touched, rel)
     val kept = rewrite(rows)
     require(kept.columns.toSeq == rows.columns.toSeq,
       "internal: DML rewrite changed the column set")
@@ -134,6 +138,25 @@ object ManifestDml {
       rel.partitionSchema.fieldNames.toSeq)
     DmlReceipt(touched.size, rowsMatched)
   }
+
+  /** Touched segments conformed to the relation's merged schema, each
+    * row tagged with its SOURCE segment index (`__src`): the rewrite
+    * preserves the touched segments' 1:1 layout — on a clustered log a
+    * multi-segment DML must not fold range-disjoint segments into one
+    * range-spanning replacement, or the zone maps it just regenerated
+    * would stop pruning. The tag rides through the rewrite (filters
+    * keep it, projections pass it) and becomes the replacement-segment
+    * split at write time. */
+  private def srcTaggedRead(spark: SparkSession, root: String,
+      touched: Seq[String],
+      rel: org.apache.spark.sql.execution.datasources.HadoopFsRelation): DataFrame =
+    touched.zipWithIndex.map { case (s, i) =>
+      conformTo(spark, spark.read.parquet(s"$root/$s"), rel)
+        .withColumn(SrcCol, lit(i))
+    }.reduce(_ unionByName _)
+
+  /** Reserved rewrite-plumbing column: source-segment index. */
+  private val SrcCol = "__graft_src"
 
   /** `MERGE INTO root USING source ON cond …`: the lakehouse upsert
     * verb, same pruning-first copy-on-write shape as DELETE/UPDATE.
@@ -145,7 +168,8 @@ object ManifestDml {
     * through the rewrite join); (2) a full-outer join over ONLY the
     * touched segments applies the action chains (first matching
     * WHEN clause wins, SQL CASE order) and the surviving rows swap in
-    * as one replacement segment, unmatched-source inserts included.
+    * 1:1 as replacement segments (layout-preserving), unmatched-source
+    * inserts landing in their own append-like segment.
     * An insert-only merge (no matched / not-matched-by-source
     * actions) never rewrites anything: it anti-joins the source and
     * commits a plain APPEND — feed-friendly, O(new rows) write. A
@@ -239,8 +263,7 @@ object ManifestDml {
 
       // ---- phase 2: action chains over the touched rows + inserts ----
       if (touched.nonEmpty) {
-        val base = conformTo(spark,
-          ManifestTable.readSegs(spark, root, touched), rel)
+        val base = srcTaggedRead(spark, root, touched, rel)
         val t2 = base.withColumn("__tex", lit(true)).alias("__t")
         val s2 = src.withColumn("__sex", lit(true)).alias("__s")
         val j = t2.join(s2, cond, "full_outer")
@@ -256,7 +279,7 @@ object ManifestDml {
             .when(tex, chainVal(notMatchedBySource, fd, tRef(fd.name), tRef))
             .otherwise(chainVal(notMatched, fd, lit(null), tRef))
             .cast(fd.dataType).as(fd.name)
-        }
+        } :+ coalesce(t2(SrcCol), lit(-1)).as(SrcCol) // inserts → own segment
         val kept = j.filter(keep).select(outCols: _*)
         swapSegments(spark, root, v, touched, kept,
           rel.partitionSchema.fieldNames.toSeq)
@@ -310,52 +333,89 @@ object ManifestDml {
     }: _*)
   }
 
-  /** Phases 2b+3 shared by every rewriting DML verb: write `kept` as
-    * the replacement segment, regenerate the sidecars the touched
-    * inputs carried, commit the swap atomically under [[ManifestTable
-    * .DmlMark]], GC per the retention horizon. */
+  /** Phases 2b+3 shared by every rewriting DML verb: write `kept`
+    * (carrying [[SrcCol]] source-segment tags) split 1:1 back into
+    * replacement segments, regenerate each replacement's sidecars from
+    * what ITS source carried, and commit the swap atomically under
+    * [[ManifestTable.DmlMark]], GC per the retention horizon.
+    *
+    * The split is ONE write pass: `kept` writes hive-partitioned on
+    * the tag into a tmp shell and each `__graft_src=i` dir renames
+    * into place as `seg-<v+1>-dml<i>-…` — the [[ManifestTable
+    * .cluster]] trick, no extra shuffle, no per-segment job. 1:1
+    * matters on a clustered log: folding range-disjoint touched
+    * segments into one range-spanning replacement would blunt the
+    * zone maps a maintained layout exists for. A source whose rows
+    * were all deleted writes no dir and is simply dropped; MERGE
+    * inserts ride tag -1 into their own append-like segment. */
   private def swapSegments(spark: SparkSession, root: String, v: Long,
       touched: Seq[String], kept: DataFrame, partBy: Seq[String]): Unit = {
     val (f, p) = ManifestTable.fs(spark, root)
     val all = ManifestTable.readManifest(f, p, v)
-    val seg = s"seg-${v + 1}-dml-${java.util.UUID.randomUUID().toString.take(8)}"
-    val segPath = new Path(p, seg)
-    ManifestTable.writeSeg(kept, s"$root/$seg", partBy)
-    var files = ManifestTable.listDataFilesRec(f, segPath, "")
     val rest = all.filterNot(touched.toSet)
-    if (files.isEmpty && rest.isEmpty && partBy.isEmpty) {
-      // full clear of a flat table: keep the table alive with its
-      // schema — a 0-partition frame takes FileFormatWriter's
-      // write-one-empty-file path, so the snapshot stays readable
-      f.delete(segPath, true)
-      ManifestTable.writeSeg(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        kept.schema), s"$root/$seg", Nil)
-      files = ManifestTable.listDataFilesRec(f, segPath, "")
-    }
-    val addSeg = files.nonEmpty
-    val newList = rest ++ (if (addSeg) Seq(seg) else Nil)
+    val tmp = s".dml-tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+    ManifestTable.writeSeg(kept, s"$root/$tmp", SrcCol +: partBy)
+    val shell = new Path(p, tmp)
+    val srcDirs =
+      if (!f.exists(shell)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else f.listStatus(shell).filter(st =>
+        st.isDirectory && st.getPath.getName.startsWith(SrcCol + "="))
+    val newSegs: Seq[(String, Int)] = srcDirs.toSeq
+      .map(d => d.getPath.getName.stripPrefix(SrcCol + "=").toInt)
+      .sorted
+      .map { i =>
+        val label = if (i < 0) "ins" else i.toString
+        val seg = s"seg-${v + 1}-dml$label-" +
+          java.util.UUID.randomUUID().toString.take(8)
+        require(f.rename(new Path(shell, s"$SrcCol=$i"), new Path(p, seg)),
+          s"failed to place DML replacement segment $seg")
+        (seg, i)
+      }
+    val fallback: Seq[(String, Int)] =
+      if (newSegs.nonEmpty || rest.nonEmpty) Nil
+      else {
+        // full clear of a flat table: keep the table alive with its
+        // schema — a 0-partition frame takes FileFormatWriter's
+        // write-one-empty-file path, so the snapshot stays readable
+        require(partBy.isEmpty,
+          s"DML removed every row of hive-partitioned table $root — a " +
+            "partitioned layout cannot hold an empty snapshot; destroy() " +
+            "or replace() instead")
+        val seg = s"seg-${v + 1}-dml-" +
+          java.util.UUID.randomUUID().toString.take(8)
+        ManifestTable.writeSeg(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(
+            kept.schema.filterNot(_.name == SrcCol))), s"$root/$seg", Nil)
+        Seq((seg, -1))
+      }
+    val placed = newSegs ++ fallback
+    // per-replacement sidecars: stat/bloom columns come from the
+    // segment it REPLACES (the -1 insert segment takes the union — it
+    // has no single source)
+    val statsOf = touched.map(s => ManifestTable.segmentStats(spark, root, s)
+      .toSeq.flatMap(_.cols.keys).toSeq)
+    val bloomsOf = touched.map(s =>
+      ManifestTable.bloomColsOf(f, new Path(p, s)))
+    val metas = placed.map { case (seg, i) =>
+      val statCols =
+        (if (i >= 0) statsOf(i) else statsOf.flatten.distinct)
+      val bCols =
+        (if (i >= 0) bloomsOf(i) else bloomsOf.flatten.distinct)
+      val statsJson =
+        if (statCols.nonEmpty)
+          Some(ManifestTable.writeStats(spark, f, s"$root/$seg", statCols))
+        else None
+      if (bCols.nonEmpty) ManifestTable.writeBlooms(spark, f, s"$root/$seg", bCols)
+      seg -> ManifestTable.buildMeta(spark, f, root, seg, statsJson, bCols)
+    }.toMap
+    val newList = rest ++ placed.map(_._1)
     require(newList.nonEmpty,
       s"DML removed every row of hive-partitioned table $root — a " +
         "partitioned layout cannot hold an empty snapshot; destroy() or " +
         "replace() instead")
-    val metaEntry =
-      if (!addSeg) None
-      else {
-        val statCols = touched.flatMap(s =>
-          ManifestTable.segmentStats(spark, root, s).toSeq
-            .flatMap(_.cols.keys)).distinct
-        val bCols = touched
-          .flatMap(s => ManifestTable.bloomColsOf(f, new Path(p, s))).distinct
-        val statsJson =
-          if (statCols.nonEmpty)
-            Some(ManifestTable.writeStats(spark, f, s"$root/$seg", statCols))
-          else None
-        if (bCols.nonEmpty) ManifestTable.writeBlooms(spark, f, s"$root/$seg", bCols)
-        Some(seg -> ManifestTable.buildMeta(spark, f, root, seg, statsJson, bCols))
-      }
     ManifestTable.commit(f, p, v + 1, newList, Seq(ManifestTable.DmlMark),
-      metas = (ManifestTable.priorMetas(f, p, v) -- touched) ++ metaEntry)
-    ManifestTable.gc(f, p)
+      metas = (ManifestTable.priorMetas(f, p, v) -- touched) ++ metas)
+    ManifestTable.gc(f, p) // retires touched dirs + the tmp shell
   }
 }

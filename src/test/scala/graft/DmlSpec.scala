@@ -42,7 +42,7 @@ class DmlSpec extends AnyFunSuite {
     // only the middle segment was swapped for one dml segment
     assert(after.count(before.contains) == 2)
     assert(after.filterNot(before.contains) match {
-      case Seq(s) => s.contains("-dml-")
+      case Seq(s) => s.contains("-dml")
       case _ => false
     })
     assert(ManifestTable.read(spark, r).count() == 299)
@@ -52,6 +52,28 @@ class DmlSpec extends AnyFunSuite {
     val df = spark.read.format("graft.manifest").load(r)
     assert(df.filter(col("id") === 155).count() == 1)
     assert(graft.sources.ManifestSource.lastListedSegments.size == 1)
+  }
+
+  test("multi-segment DML preserves the clustered layout 1:1 — zone maps keep pruning after the rewrite") {
+    val r = root("dml_layout_preserve")
+    threeSegs(r) // range-disjoint: [0,100), [100,200), [200,300)
+    // touch segments 0 and 2, leave 1 byte-identical
+    val rc = ManifestDml.updateWhere(spark, r,
+      Seq("v" -> lit(-5L)), col("id") === 50 || col("id") === 250)
+    assert(rc == ManifestDml.DmlReceipt(2, 2L))
+    assert(ManifestTable.dataSegments(spark, r).size == 3,
+      "1:1 rewrite must keep three segments")
+    // the replacements kept their disjoint ranges: a point read still
+    // opens exactly ONE segment on each range
+    val df = spark.read.format("graft.manifest").load(r)
+    assert(df.filter(col("id") === 55).count() == 1)
+    assert(graft.sources.ManifestSource.lastListedSegments.size == 1,
+      "replacement of [0,100) must keep its zone-map range")
+    assert(df.filter(col("id") === 255).count() == 1)
+    assert(graft.sources.ManifestSource.lastListedSegments.size == 1,
+      "replacement of [200,300) must keep its zone-map range")
+    assert(df.filter(col("id") === 50).select("v").as[Long].head() == -5L)
+    assert(ManifestTable.read(spark, r).count() == 300)
   }
 
   test("deleteWhere: NULL predicate rows stay; no-match is a no-op (no new version)") {
@@ -456,8 +478,9 @@ class DmlSpec extends AnyFunSuite {
     ManifestDml.updateWhere(spark, r, Seq("v" -> lit(99)), col("id") =!= 3)
     val head = ManifestTable.versions(spark, r).max
     val (adds, pre) = ManifestTable.changedSegmentsDml(spark, r, pin, head)
-    assert(adds.size == 1 && adds.head.contains("-dml-"),
-      s"in-window append must net out of the feed, got $adds")
+    assert(adds.size == 2 && adds.forall(_.contains("-dml")),
+      s"in-window append must net out of the feed (1:1 replacements " +
+        s"for the two touched segments remain), got $adds")
     assert(pre.size == 1, s"one consumed pre-image, got $pre")
     val chg = ManifestTable.readChanges(spark, r, pin, head)
     val rebuilt = ManifestTable.readAt(spark, r, pin)
