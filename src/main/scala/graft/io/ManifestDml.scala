@@ -130,12 +130,13 @@ object ManifestDml {
         s"(${touched.filterNot(allSet).mkString(", ")}) — root prefix mismatch")
 
     // ---- phase 2: rewrite ONLY the touched segments ----
-    val rows = srcTaggedRead(spark, root, touched, rel)
+    val metas = ManifestTable.segmentMetas(spark, root, Some(v))
+    val rows = srcTaggedRead(spark, root, touched, rel, metas)
     val kept = rewrite(rows)
     require(kept.columns.toSeq == rows.columns.toSeq,
       "internal: DML rewrite changed the column set")
     swapSegments(spark, root, v, touched, kept,
-      rel.partitionSchema.fieldNames.toSeq)
+      rel.partitionSchema.fieldNames.toSeq, metas)
     DmlReceipt(touched.size, rowsMatched)
   }
 
@@ -149,10 +150,18 @@ object ManifestDml {
     * split at write time. */
   private def srcTaggedRead(spark: SparkSession, root: String,
       touched: Seq[String],
-      rel: org.apache.spark.sql.execution.datasources.HadoopFsRelation): DataFrame =
+      rel: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+      metas: Map[String, ManifestTable.SegMeta]): DataFrame =
     touched.zipWithIndex.map { case (s, i) =>
-      conformTo(spark, spark.read.parquet(s"$root/$s"), rel)
-        .withColumn(SrcCol, lit(i))
+      // plan each touched read from the manifest-embedded schema when
+      // present — no per-segment footer inference, so a wide DML stays
+      // O(1) driver metadata IO per touched segment (legacy segments
+      // without #meta lines fall back to inference)
+      val rd = metas.get(s).flatMap(_.schema) match {
+        case Some(st) => spark.read.schema(st).parquet(s"$root/$s")
+        case None => spark.read.parquet(s"$root/$s")
+      }
+      conformTo(spark, rd, rel).withColumn(SrcCol, lit(i))
     }.reduce(_ unionByName _)
 
   /** Reserved rewrite-plumbing column: source-segment index. */
@@ -263,7 +272,8 @@ object ManifestDml {
 
       // ---- phase 2: action chains over the touched rows + inserts ----
       if (touched.nonEmpty) {
-        val base = srcTaggedRead(spark, root, touched, rel)
+        val segMetas = ManifestTable.segmentMetas(spark, root, Some(v))
+        val base = srcTaggedRead(spark, root, touched, rel, segMetas)
         val t2 = base.withColumn("__tex", lit(true)).alias("__t")
         val s2 = src.withColumn("__sex", lit(true)).alias("__s")
         val j = t2.join(s2, cond, "full_outer")
@@ -282,7 +292,7 @@ object ManifestDml {
         } :+ coalesce(t2(SrcCol), lit(-1)).as(SrcCol) // inserts → own segment
         val kept = j.filter(keep).select(outCols: _*)
         swapSegments(spark, root, v, touched, kept,
-          rel.partitionSchema.fieldNames.toSeq)
+          rel.partitionSchema.fieldNames.toSeq, segMetas)
         DmlReceipt(touched.size, rowsMatched)
       } else {
         // insert-only (or nothing-to-do) merge: plain append commit
@@ -349,7 +359,8 @@ object ManifestDml {
     * were all deleted writes no dir and is simply dropped; MERGE
     * inserts ride tag -1 into their own append-like segment. */
   private def swapSegments(spark: SparkSession, root: String, v: Long,
-      touched: Seq[String], kept: DataFrame, partBy: Seq[String]): Unit = {
+      touched: Seq[String], kept: DataFrame, partBy: Seq[String],
+      metas: Map[String, ManifestTable.SegMeta] = Map.empty): Unit = {
     val (f, p) = ManifestTable.fs(spark, root)
     val all = ManifestTable.readManifest(f, p, v)
     val rest = all.filterNot(touched.toSet)
@@ -393,11 +404,16 @@ object ManifestDml {
     // per-replacement sidecars: stat/bloom columns come from the
     // segment it REPLACES (the -1 insert segment takes the union — it
     // has no single source)
-    val statsOf = touched.map(s => ManifestTable.segmentStats(spark, root, s)
-      .toSeq.flatMap(_.cols.keys).toSeq)
-    val bloomsOf = touched.map(s =>
-      ManifestTable.bloomColsOf(f, new Path(p, s)))
-    val metas = placed.map { case (seg, i) =>
+    val statsOf = touched.map(s => metas.get(s).flatMap(_.stats) match {
+      case Some(st) => st.cols.keys.toSeq // embedded copy: zero IO
+      case None => ManifestTable.segmentStats(spark, root, s)
+        .toSeq.flatMap(_.cols.keys).toSeq
+    })
+    val bloomsOf = touched.map(s => metas.get(s) match {
+      case Some(m) => m.blooms
+      case None => ManifestTable.bloomColsOf(f, new Path(p, s))
+    })
+    val newMetas = placed.map { case (seg, i) =>
       val statCols =
         (if (i >= 0) statsOf(i) else statsOf.flatten.distinct)
       val bCols =
@@ -415,7 +431,7 @@ object ManifestDml {
         "partitioned layout cannot hold an empty snapshot; destroy() or " +
         "replace() instead")
     ManifestTable.commit(f, p, v + 1, newList, Seq(ManifestTable.DmlMark),
-      metas = (ManifestTable.priorMetas(f, p, v) -- touched) ++ metas)
+      metas = (ManifestTable.priorMetas(f, p, v) -- touched) ++ newMetas)
     ManifestTable.gc(f, p) // retires touched dirs + the tmp shell
   }
 }
