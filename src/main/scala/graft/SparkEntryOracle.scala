@@ -2331,6 +2331,13 @@ trait SparkEntryOracle extends SparkEntryTail {
         |         value
         |  FROM events
         |) GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "manifest_dml_view" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       round(CAST(sum(CAST(
+        |         CASE WHEN event_type = 'view' THEN value * 2 ELSE value END
+        |         AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_v
+        |FROM events WHERE event_id % 9 <> 4
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "manifest_history_sql" ->
       """SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), 'append',  1, 1, 0),

@@ -2805,6 +2805,41 @@ trait SparkEntryTail extends SparkEntryMid {
       ORDER BY version""")
   }
 
+  /** Incremental aggregate view maintained THROUGH row-level DML: the
+    * sync window holds two SQL DML commits (a DELETE whose 1:1
+    * replacements are then touched by an UPDATE — the second commit's
+    * pre-images NET against the first's in-window replacements, so the
+    * retraction subtracts only the ORIGINAL segments' rows), and the
+    * count/sum view must equal a from-scratch rollup of the final
+    * state. DECIMAL measure per the view's determinism discipline.
+    * Oracle: the delete filter + update CASE replayed under the same
+    * rollup. */
+  private[graft] def manifestDmlView(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{AggView, ManifestTable}
+    val base = manifestRoot(s, "graft_dmlview__log")
+    val view = manifestRoot(s, "graft_dmlview__view")
+    ManifestTable.destroy(s, base)
+    ManifestTable.destroy(s, view)
+    ManifestTable.setRetainVersions(s, base, 8)
+    val ev = t(s, dir, "events").select(col("event_id"), col("event_type"),
+      col("value").cast("decimal(18,6)").as("v"))
+    (0 to 1).foreach { k =>
+      ManifestTable.append(s, base,
+        ev.filter(pmod(col("event_id"), lit(2)) === k))
+    }
+    val spec = AggView.spec("event_type").count("cnt").sum("v", "sum_v")
+    AggView.syncFromLog(s, view, base, spec)
+    s.sql(s"DELETE FROM `graft.manifest`.`$base` WHERE event_id % 9 = 4")
+    s.sql(s"UPDATE `graft.manifest`.`$base` SET v = v * 2 " +
+      "WHERE event_type = 'view'")
+    AggView.syncFromLog(s, view, base, spec)
+    AggView.read(s, view, spec)
+      .filter(col("cnt") > 0)
+      .select(col("event_type"), col("cnt"),
+        round(col("sum_v").cast("double"), 4).as("sum_v"))
+      .orderBy("event_type")
+  }
+
   /** SQL MERGE INTO on the log: conditional WHEN MATCHED DELETE /
     * UPDATE plus WHEN NOT MATCHED INSERT in one atomic commit. The
     * target splits into two parity segments; every matched id
