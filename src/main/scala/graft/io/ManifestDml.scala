@@ -151,7 +151,10 @@ object ManifestDml {
   private def srcTaggedRead(spark: SparkSession, root: String,
       touched: Seq[String],
       rel: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
-      metas: Map[String, ManifestTable.SegMeta]): DataFrame =
+      metas: Map[String, ManifestTable.SegMeta]): DataFrame = {
+    require(!(rel.dataSchema.fieldNames ++ rel.partitionSchema.fieldNames)
+        .exists(_.equalsIgnoreCase(SrcCol)),
+      s"table column $SrcCol collides with DML rewrite plumbing — rename it")
     touched.zipWithIndex.map { case (s, i) =>
       // plan each touched read from the manifest-embedded schema when
       // present — no per-segment footer inference, so a wide DML stays
@@ -163,6 +166,7 @@ object ManifestDml {
       }
       conformTo(spark, rd, rel).withColumn(SrcCol, lit(i))
     }.reduce(_ unionByName _)
+  }
 
   /** Reserved rewrite-plumbing column: source-segment index. */
   private val SrcCol = "__graft_src"
