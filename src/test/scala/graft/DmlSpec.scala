@@ -467,6 +467,33 @@ class DmlSpec extends AnyFunSuite {
       .map(i => if (i < 2) i * 10L else i.toLong).sum)
   }
 
+  test("DML round-trip under CreateExclusiveCommit (object-store PUT-if-absent publish)") {
+    val r = root("dml_putifabsent")
+    val prev = ManifestTable.commitStrategy
+    ManifestTable.commitStrategy = ManifestTable.CreateExclusiveCommit
+    try {
+      threeSegs(r)
+      assert(ManifestDml.deleteWhere(spark, r, col("id") === 42) ==
+        ManifestDml.DmlReceipt(1, 1L))
+      assert(ManifestDml.updateWhere(spark, r,
+        Seq("v" -> lit(-9L)), col("id") === 142) ==
+        ManifestDml.DmlReceipt(1, 1L))
+      Seq((300, 1L), (143, 2L)).toDF("id", "v")
+        .createOrReplaceTempView("dml_pia_src")
+      spark.sql(s"""
+        MERGE INTO `graft.manifest`.`$r` t USING dml_pia_src s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+      val out = ManifestTable.read(spark, r)
+      assert(out.count() == 300) // 300 appended - 1 deleted + 1 inserted
+      assert(out.filter(col("id") === 142).select("v").as[Long].head() == -9L)
+      assert(out.filter(col("id") === 143).select("v").as[Long].head() == 2L)
+      assert(out.filter(col("id") === 300).select("v").as[Long].head() == 1L)
+      assert(out.filter(col("id") === 42).isEmpty)
+    } finally ManifestTable.commitStrategy = prev
+  }
+
   test("DML feed netting: a segment appended and dml-dropped inside one window never surfaces") {
     val r = root("dml_feed_net")
     ManifestTable.setRetainVersions(spark, r, 4)
