@@ -74,6 +74,7 @@ object ManifestDml {
       sets: Seq[(String, Column)], cond: Column,
       expectVersion: Option[Long] = None): DmlReceipt = {
     require(sets.nonEmpty, "UPDATE needs at least one assignment")
+    rejectReservedAssignment(sets.map(_._1))
     dmlRewrite(spark, root, cond, expectVersion) { rows =>
       val eq = spark.sessionState.conf.resolver
       val byTarget = sets.map { case (n, v) =>
@@ -91,15 +92,16 @@ object ManifestDml {
     }
   }
 
-  /** Shared copy-on-write core: find touched segments through the
-    * pruned predicate scan, rewrite them with `rewrite`, swap
-    * atomically. `rewrite` receives exactly the touched segments'
-    * rows (schema-evolution union) and must keep the column set. */
-  private def dmlRewrite(spark: SparkSession, root: String, cond: Column,
-      expectVersion: Option[Long])(rewrite: DataFrame => DataFrame): DmlReceipt = {
+  /** Shared DML preamble: pin the head version, enforce the OCC
+    * expectation, reject tombstoned tables, build the version-pinned
+    * relation — every rewrite verb's entry invariant in ONE place. */
+  private def dmlTarget(spark: SparkSession, root: String, verb: String,
+      expectVersion: Option[Long])
+      : (org.apache.hadoop.fs.FileSystem, Path, Long, Seq[String],
+         org.apache.spark.sql.execution.datasources.HadoopFsRelation) = {
     val (f, p) = ManifestTable.fs(spark, root)
     val v = ManifestTable.currentVersion(f, p).getOrElse(
-      throw new IllegalStateException(s"row-level DML on uncommitted table $root"))
+      throw new IllegalStateException(s"$verb on uncommitted table $root"))
     expectVersion.foreach { ev =>
       require(ev == v,
         s"$root is at manifest v$v but the statement was planned against " +
@@ -110,15 +112,30 @@ object ManifestDml {
     require(!all.exists(_.startsWith(ManifestTable.DelPrefix)),
       s"$root has outstanding merge-on-read tombstones; a copy-on-write " +
         "rewrite under them could resurrect deleted rows — compact() first")
-
-    // ---- phase 1: pruned match scan, grouped by source segment ----
     val rel = graft.sources.ManifestSource.relation(
       spark, root, Some(v), allowTombstones = false)
+    (f, p, v, all, rel)
+  }
+
+  /** The path component right after the table root IS the segment
+    * name (segment attribution for the match scan; must be projected
+    * on the scan side, never post-join). */
+  private def segOf(f: org.apache.hadoop.fs.FileSystem, p: Path): Column =
+    substring_index(input_file_name().substr(
+      lit(f.makeQualified(p).toString.length + 2), lit(1 << 30)), "/", 1)
+
+  /** Shared copy-on-write core: find touched segments through the
+    * pruned predicate scan, rewrite them with `rewrite`, swap
+    * atomically. `rewrite` receives exactly the touched segments'
+    * rows (schema-evolution union) and must keep the column set. */
+  private def dmlRewrite(spark: SparkSession, root: String, cond: Column,
+      expectVersion: Option[Long])(rewrite: DataFrame => DataFrame): DmlReceipt = {
+    val (f, p, v, all, rel) =
+      dmlTarget(spark, root, "row-level DML", expectVersion)
+
+    // ---- phase 1: pruned match scan, grouped by source segment ----
     val df = spark.baseRelationToDataFrame(rel)
-    val qroot = f.makeQualified(p).toString
-    // the path component right after the table root IS the segment name
-    val segCol = substring_index(
-      input_file_name().substr(lit(qroot.length + 2), lit(1 << 30)), "/", 1)
+    val segCol = segOf(f, p)
     val matchedBySeg = df.filter(cond)
       .groupBy(segCol.as("_seg")).count().collect()
     if (matchedBySeg.isEmpty) return DmlReceipt(0, 0L)
@@ -203,28 +220,18 @@ object ManifestDml {
       "INSERT actions belong to WHEN NOT MATCHED [BY TARGET]")
     require(notMatched.forall(_.isInstanceOf[MergeInsert]),
       "WHEN NOT MATCHED [BY TARGET] supports INSERT actions only")
-    val (f, p) = ManifestTable.fs(spark, root)
-    val v = ManifestTable.currentVersion(f, p).getOrElse(
-      throw new IllegalStateException(s"MERGE into uncommitted table $root"))
-    expectVersion.foreach { ev =>
-      require(ev == v,
-        s"$root is at manifest v$v but the statement was planned against " +
-          s"v$ev (pinned-version target, or a concurrent commit won the " +
-          "race) — re-run against the head")
-    }
-    val all = ManifestTable.readManifest(f, p, v)
-    require(!all.exists(_.startsWith(ManifestTable.DelPrefix)),
-      s"$root has outstanding merge-on-read tombstones; a copy-on-write " +
-        "rewrite under them could resurrect deleted rows — compact() first")
-    val rel = graft.sources.ManifestSource.relation(
-      spark, root, Some(v), allowTombstones = false)
+    rejectReservedAssignment(
+      (matched ++ notMatched ++ notMatchedBySource).flatMap {
+        case MergeUpdate(_, set) => set.map(_._1)
+        case MergeInsert(_, values) => values.map(_._1)
+        case _ => Nil
+      })
+    val (f, p, v, all, rel) = dmlTarget(spark, root, "MERGE", expectVersion)
     val tdf = spark.baseRelationToDataFrame(rel)
     val tFields = tdf.schema.fields.toSeq
     val src = source.localCheckpoint()
     try {
-      val qroot = f.makeQualified(p).toString
-      val segCol = substring_index(
-        input_file_name().substr(lit(qroot.length + 2), lit(1 << 30)), "/", 1)
+      val segCol = segOf(f, p)
 
       // ---- phase 1: matched segments + cardinality (one inner join) ----
       // __seg/__tid are projected on the TARGET side before the join
@@ -325,6 +332,14 @@ object ManifestDml {
   final case class MergeDelete(cond: Option[Column]) extends MergeRule
   final case class MergeInsert(cond: Option[Column],
       values: Seq[(String, Column)]) extends MergeRule
+
+  /** The rewrite frame carries [[SrcCol]]; an assignment targeting it
+    * would silently collapse the 1:1 segment split. */
+  private def rejectReservedAssignment(names: Seq[String]): Unit =
+    names.find(_.equalsIgnoreCase(SrcCol)).foreach { n =>
+      throw new IllegalArgumentException(
+        s"column $n is reserved DML rewrite plumbing and cannot be assigned")
+    }
 
   private def setLookup(set: Seq[(String, Column)],
       fd: org.apache.spark.sql.types.StructField): Option[Column] =
@@ -429,11 +444,9 @@ object ManifestDml {
       if (bCols.nonEmpty) ManifestTable.writeBlooms(spark, f, s"$root/$seg", bCols)
       seg -> ManifestTable.buildMeta(spark, f, root, seg, statsJson, bCols)
     }.toMap
+    // rest/newSegs both empty is handled by the fallback above, so
+    // newList is non-empty by construction here
     val newList = rest ++ placed.map(_._1)
-    require(newList.nonEmpty,
-      s"DML removed every row of hive-partitioned table $root — a " +
-        "partitioned layout cannot hold an empty snapshot; destroy() or " +
-        "replace() instead")
     ManifestTable.commit(f, p, v + 1, newList, Seq(ManifestTable.DmlMark),
       metas = (ManifestTable.priorMetas(f, p, v) -- touched) ++ newMetas)
     ManifestTable.gc(f, p) // retires touched dirs + the tmp shell

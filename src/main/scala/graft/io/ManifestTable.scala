@@ -97,6 +97,17 @@ object ManifestTable {
             f.delete(tmp, false)
             throw new CommitRaceLost(
               s"manifest commit lost the race for $dst")
+          case e: Throwable =>
+            // a file: mount without link(2) (some NFS exports, FAT,
+            // overlay mounts) — clean the tmp and say what to do;
+            // silently falling back to rename would reintroduce the
+            // replaced-winner race this path exists to close
+            scala.util.Try(f.delete(tmp, false))
+            throw new IllegalStateException(
+              s"local manifest publish needs hard-link support at $dst " +
+                "(atomic create-exclusive); this mount refused link(2) — " +
+                "plug a CommitStrategy suited to the store " +
+                "(ManifestTable.commitStrategy)", e)
         }
         f.delete(tmp, false)
       } else if (!f.rename(tmp, dst)) {
@@ -988,16 +999,28 @@ object ManifestTable {
     * emits the FULL pre-image rows of every segment it dropped as
     * `delete` rows, with its replacement segment riding the `insert`
     * side — a consumer reconstructs state by applying a window's
-    * deletes BEFORE its inserts (value identity, the same multiset
-    * contract as the tombstone family; and reading pre-images needs
-    * the dropped dirs still on disk, i.e. a [[retainVersions]] horizon
-    * covering the window). IO is O(changed segments) by construction. */
+    * deletes BEFORE its inserts. Delete application is VALUE identity
+    * via anti-join (a delete row kills every equal-valued copy — the
+    * tombstone family's contract; the insert side then re-adds the
+    * exact surviving multiset, so duplicate-valued survivors
+    * round-trip). Reading pre-images needs the dropped dirs still on
+    * disk, i.e. a [[retainVersions]] horizon covering the window. A
+    * window holding BOTH tombstones and DML pre-images is rejected
+    * loudly: the two delete shapes are indistinguishable in one batch
+    * (key-only NULL-padded rows vs full rows) — consume it as two
+    * windows split at the DML version. IO is O(changed segments) by
+    * construction. */
   def readChanges(spark: SparkSession, root: String,
       fromV: Long, toV: Long): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val (chg, pre) = changedSegmentsDml(spark, root, fromV, toV)
     require(chg.nonEmpty || pre.nonEmpty,
       s"no segments committed in ($fromV, $toV] under $root")
+    require(chg.forall(!_.startsWith(DelPrefix)) || pre.isEmpty,
+      s"window ($fromV, $toV] of $root mixes merge-on-read tombstones " +
+        "with row-level DML pre-images; one batch cannot carry both " +
+        "delete shapes (key-only rows vs full pre-image rows) — consume " +
+        "the window in two reads split at the DML version")
     val ins = chg.filterNot(_.startsWith(DelPrefix))
     val del = chg.filter(_.startsWith(DelPrefix))
     val insDf =

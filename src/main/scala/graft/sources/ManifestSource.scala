@@ -261,7 +261,10 @@ private[sources] class ManifestSink(spark: SparkSession, root: String,
 private[sources] class ManifestStreamSource(spark: SparkSession,
     root: String, declared: StructType, changeFeed: Boolean, startV: Long,
     maxVersionsPerTrigger: Option[Long] = None)
-    extends org.apache.spark.sql.execution.streaming.Source {
+    extends org.apache.spark.sql.execution.streaming.Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
   import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
   import org.apache.spark.sql.execution.streaming.runtime.{LongOffset,
     SerializedOffset}
@@ -270,25 +273,64 @@ private[sources] class ManifestStreamSource(spark: SparkSession,
 
   /** Highest offset handed to the engine so far — the rate-limit
     * base. Re-synced on restart by the engine's re-request of the
-    * last committed window (getBatch runs before any getOffset), so
-    * the cap never regresses below the committed offset. */
+    * last committed window (getBatch runs before any latestOffset
+    * poll), so the cap never regresses below the committed offset. */
   @volatile private var pacedV: Long = startV
 
-  /** Head manifest version (None until something is committed past
-    * the starting fence) — one root listing per poll, no data IO.
-    * With `maxVersionsPerTrigger` the answer is capped at that many
-    * versions past the last delivered offset: a backlogged restart
-    * (or a bootstrap over a long log) drains as bounded micro-batches
-    * instead of one giant catch-up batch — the same knob as
-    * FileStreamSource's maxFilesPerTrigger, at manifest-commit
-    * granularity. */
-  override def getOffset: Option[V1Offset] = {
-    val head = ManifestTable.versions(spark, root).lastOption.getOrElse(0L)
+  /** Head fence captured when a Trigger.AvailableNow run starts: the
+    * run drains up to THIS version (in rate-limited steps) and then
+    * terminates, ignoring later commits — the trait contract. Without
+    * it Spark wraps a plain V1 source in single-batch fallback, which
+    * would silently stop after the FIRST capped batch and leave the
+    * rest of a backlog undelivered whenever maxVersionsPerTrigger is
+    * set (FileStreamSource implements the same pair for the same
+    * reason). */
+  @volatile private var availableNowFence: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowFence =
+      Some(ManifestTable.versions(spark, root).lastOption.getOrElse(0L))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger
+      .map(m => ReadLimit.maxFiles(math.min(m, Int.MaxValue.toLong).toInt))
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** Head manifest version, fenced (AvailableNow) and rate-capped
+    * (`maxVersionsPerTrigger` versions past the last delivered
+    * offset, so a backlogged restart or a long-log bootstrap drains
+    * as bounded micro-batches — FileStreamSource's maxFilesPerTrigger
+    * at manifest-commit granularity). One root listing per poll, no
+    * data IO; None/null = nothing new past the starting fence. */
+  private def cappedHead(): Option[Long] = {
+    val live = ManifestTable.versions(spark, root).lastOption.getOrElse(0L)
+    val head = availableNowFence.fold(live)(math.min(live, _))
     val capped = maxVersionsPerTrigger match {
       case Some(m) => math.min(head, math.max(pacedV, startV) + m)
       case None => head
     }
-    if (capped <= startV) None else Some(LongOffset(capped))
+    if (capped <= startV) None else Some(capped)
+  }
+
+  override def getOffset: Option[V1Offset] = cappedHead().map(LongOffset(_))
+
+  /** Admission-control poll (the engine prefers this over getOffset
+    * for sources that implement it): the committed start re-syncs the
+    * pacing base across restarts, the returned offset is the fenced,
+    * capped head. */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: ReadLimit): org.apache.spark.sql.connector.read.streaming.Offset = {
+    start match {
+      case o: V1Offset => pacedV = math.max(pacedV, vOf(o))
+      case _ => ()
+    }
+    cappedHead().map(LongOffset(_)).orNull
+  }
+
+  override def reportLatestOffset(): org.apache.spark.sql.connector.read.streaming.Offset = {
+    val live = ManifestTable.versions(spark, root).lastOption.getOrElse(0L)
+    if (live <= startV) null else LongOffset(live)
   }
 
   private def vOf(o: V1Offset): Long = o match {
@@ -332,6 +374,14 @@ private[sources] class ManifestStreamSource(spark: SparkSession,
         "stream cannot represent deletes — restart with " +
         "option(\"changeFeed\", \"true\") (rows gain _change_type) or " +
         "apply deletes upstream via compact()")
+    // one batch cannot carry BOTH delete shapes (key-only tombstone
+    // rows vs full DML pre-image rows) distinguishably — same loud
+    // contract as ManifestTable.readChanges; reachable only by a
+    // hand-mixed window (DML itself requires a tombstone-free table)
+    require(dels.isEmpty || pre.isEmpty,
+      s"window ($fromV, $toV] of $root mixes merge-on-read tombstones " +
+        "with row-level DML pre-images — re-pin the stream to split the " +
+        "window at the DML version")
     val batch =
       if (chg.isEmpty && pre.isEmpty) // rewrite-only window: nothing new
         spark.createDataFrame(

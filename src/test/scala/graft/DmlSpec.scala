@@ -395,6 +395,21 @@ class DmlSpec extends AnyFunSuite {
     assert(dataBatches == 3,
       s"6 versions at 2/trigger must drain as 3 batches, got $dataBatches: " +
         q.recentProgress.map(_.numInputRows).mkString(","))
+    // Trigger.AvailableNow must drain the WHOLE backlog in capped
+    // steps and terminate (SupportsTriggerAvailableNow; without it
+    // Spark's single-batch fallback would stop after the first capped
+    // batch and silently drop the rest)
+    val q2 = spark.readStream.format("graft.manifest")
+      .option("maxVersionsPerTrigger", "2").load(r)
+      .writeStream.format("memory").queryName("dml_paced_an")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q2.awaitTermination(120000), "AvailableNow run must terminate")
+    assert(spark.table("dml_paced_an").count() == 6,
+      "AvailableNow + rate limit must deliver the full backlog")
+    assert(q2.recentProgress.count(_.numInputRows > 0) == 3,
+      s"AvailableNow drains in capped steps, got " +
+        q2.recentProgress.map(_.numInputRows).mkString(","))
   }
 
   test("cluster TVFs: SQL-reachable re-clustering restores zone-map pruning on arrival-ordered logs") {
