@@ -2306,6 +2306,17 @@ trait SparkEntryOracle extends SparkEntryTail {
         |         CASE WHEN event_type = 'click' THEN value * 2 ELSE value END AS value
         |  FROM events WHERE event_id % 5 <> 2
         |) GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "manifest_named_sql" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |FROM (
+        |  SELECT event_type,
+        |         CASE WHEN event_id % 5 <> 2 AND event_id % 3 = 0 THEN value * 3
+        |              WHEN event_id % 5 <> 2 AND event_type = 'click' THEN value * 2
+        |              ELSE value END AS value
+        |  FROM events
+        |  WHERE event_id % 5 <> 2 OR event_id % 3 = 0
+        |) GROUP BY event_type ORDER BY event_type""".stripMargin,
     "manifest_merge_sql" ->
       """WITH t AS (SELECT event_id, event_type, value FROM events WHERE event_id % 3 = 0),
         |     s AS (SELECT event_id, event_type, value FROM events WHERE event_id % 4 = 0),

@@ -2739,6 +2739,60 @@ trait SparkEntryTail extends SparkEntryMid {
       ORDER BY event_type""")
   }
 
+  /** The full lakehouse lifecycle addressed by CATALOG NAME — the
+    * reference's posture, where every verb takes a `table_name`
+    * (`locopy/redshift.py:193-233,588-600`): `CREATE TABLE … USING
+    * graft.manifest LOCATION …` registers the log in the session
+    * catalog, then CTAS/INSERT/DELETE/UPDATE/MERGE/SELECT all address
+    * it as `t` (resolution in [[graft.plans.ResolveManifestRelation]],
+    * which preempts Spark's stale-caching `FindDataSourceTable` path).
+    * Receipts are require-pinned: both parity segments hold matches
+    * for each verb, so DELETE/UPDATE/MERGE each rewrite exactly 2.
+    * Oracle replays the verbs relationally over raw events. */
+  private[graft] def manifestNamedSql(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.ManifestTable
+    val root = manifestRoot(s, "graft_namedq__log")
+    ManifestTable.destroy(s, root)
+    s.sql("DROP TABLE IF EXISTS graft_named_lt")
+    t(s, dir, "events").select("event_id", "event_type", "value")
+      .createOrReplaceTempView("named_src_events")
+    s.sql(s"""
+      CREATE TABLE graft_named_lt USING `graft.manifest` LOCATION '$root'
+      AS SELECT event_id, event_type, value
+         FROM named_src_events WHERE event_id % 2 = 0""")
+    s.sql("""
+      INSERT INTO graft_named_lt
+      SELECT event_id, event_type, value
+      FROM named_src_events WHERE event_id % 2 = 1""")
+    def receipt(sql: String): (String, Int) = {
+      val r = s.sql(sql).collect()
+      (r.head.getString(0), r.head.getInt(1))
+    }
+    val del = receipt("DELETE FROM graft_named_lt WHERE event_id % 5 = 2")
+    require(del == ("delete", 2), s"unexpected DELETE receipt: $del")
+    val upd = receipt("UPDATE graft_named_lt SET value = value * 2 " +
+      "WHERE event_type = 'click'")
+    require(upd == ("update", 2), s"unexpected UPDATE receipt: $upd")
+    s.sql("SELECT event_id, event_type, value FROM named_src_events " +
+      "WHERE event_id % 3 = 0").createOrReplaceTempView("named_merge_src")
+    val mrg = receipt("""
+      MERGE INTO graft_named_lt t USING named_merge_src s
+      ON t.event_id = s.event_id
+      WHEN MATCHED THEN UPDATE SET value = s.value * 3
+      WHEN NOT MATCHED THEN
+        INSERT (event_id, event_type, value)
+        VALUES (s.event_id, s.event_type, s.value)""")
+    require(mrg == ("merge", 2), s"unexpected MERGE receipt: $mrg")
+    val out = s.sql("""
+      SELECT event_type, count(1) AS cnt,
+             round(cast(sum(cast(value AS decimal(18,6))) AS double), 4) AS sum_value
+      FROM graft_named_lt
+      GROUP BY event_type
+      ORDER BY event_type""").localCheckpoint()
+    s.sql("DROP TABLE graft_named_lt")
+    out
+  }
+
   /** Additive schema evolution through the SQL face: a second append
     * ADDS a column (no rewrite of the first segment — the O(batch)
     * evolution contract a 100 TB log needs), the relation's schema is

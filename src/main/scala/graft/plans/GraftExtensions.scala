@@ -96,6 +96,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 class ResolveManifestRelation(spark: org.apache.spark.sql.SparkSession)
     extends org.apache.spark.sql.catalyst.rules.Rule[
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import scala.jdk.CollectionConverters._
   import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
   import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan}
   import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -103,6 +104,56 @@ class ResolveManifestRelation(spark: org.apache.spark.sql.SparkSession)
   private def isManifest(u: UnresolvedRelation): Boolean =
     u.multipartIdentifier.length == 2 &&
       u.multipartIdentifier.head.equalsIgnoreCase("graft.manifest")
+
+  /** Catalog-NAME resolution: `nameParts` names a session-catalog
+    * table whose provider is `graft.manifest` → its metadata. This is
+    * what makes `CREATE TABLE t USING graft.manifest LOCATION root`
+    * first-class — every later statement (`SELECT`/`INSERT`/`DELETE`/
+    * `UPDATE`/`MERGE`/`VERSION AS OF`) addresses the log by NAME, the
+    * reference's whole API posture (`locopy/redshift.py:193-233`:
+    * every verb takes `table_name`). Resolving here (hint batch, before
+    * Spark's own `FindDataSourceTable`) matters twice over: (a) Spark's
+    * table-relation cache would pin the FIRST snapshot and serve it
+    * stale across later commits, while the manifest relation cache is
+    * fingerprint-keyed (fresh content = fresh plan, LRU-cached); (b)
+    * Spark's V1 `INSERT` path on a HadoopFsRelation writes raw parquet
+    * files straight into `rootPaths.head` — INSIDE an existing segment
+    * dir, corrupting it — instead of an atomic manifest commit.
+    * Temp views keep their normal precedence (a shadowing view wins);
+    * non-manifest tables and missing names fall through untouched. */
+  private def namedManifest(nameParts: Seq[String])
+      : Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] = {
+    val cat = spark.sessionState.catalog
+    if (cat.isTempView(nameParts)) return None
+    val id = nameParts match {
+      case Seq(t) => Some(org.apache.spark.sql.catalyst.TableIdentifier(t))
+      case Seq(db, t) =>
+        Some(org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db)))
+      case Seq(c, db, t) if c.equalsIgnoreCase("spark_catalog") =>
+        Some(org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db)))
+      case _ => None
+    }
+    id.filter(i => scala.util.Try(cat.tableExists(i)).getOrElse(false))
+      .map(cat.getTableMetadata)
+      .filter(_.provider.exists(_.equalsIgnoreCase("graft.manifest")))
+  }
+
+  /** A named manifest table resolves to the same snapshot relation as
+    * the path form; a created-but-never-committed table reads as EMPTY
+    * with its DDL-declared schema (standard fresh-table semantics). */
+  private def resolvedNamed(
+      meta: org.apache.spark.sql.catalyst.catalog.CatalogTable,
+      version: Option[Long]): LogicalPlan = {
+    val root = meta.location.toString
+    if (graft.io.ManifestTable.exists(spark, root)) resolved(root, version)
+    else {
+      require(version.isEmpty,
+        s"table ${meta.identifier} has no committed manifest version yet")
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+        org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
+          meta.schema))
+    }
+  }
 
   private def resolved(root: String, version: Option[Long]): LogicalPlan =
     LogicalRelation(
@@ -149,18 +200,22 @@ class ResolveManifestRelation(spark: org.apache.spark.sql.SparkSession)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     // standard SQL time travel: VERSION AS OF n / TIMESTAMP AS OF ts
-    case RelationTimeTravel(u: UnresolvedRelation, ts, ver) if isManifest(u) =>
-      val spec = u.multipartIdentifier(1)
-      (ver, ts) match {
+    case RelationTimeTravel(u: UnresolvedRelation, ts, ver)
+        if isManifest(u) || namedManifest(u.multipartIdentifier).isDefined =>
+      val byName = namedManifest(u.multipartIdentifier)
+      val spec = byName.map(_.location.toString)
+        .getOrElse(u.multipartIdentifier(1))
+      val v = (ver, ts) match {
         case (Some(vs), None) =>
           require(vs.forall(_.isDigit),
             s"VERSION AS OF on graft.manifest takes a numeric manifest version, got '$vs'")
-          resolved(spec, Some(vs.toLong))
+          vs.toLong
         case (None, Some(expr)) =>
-          resolved(spec, Some(versionAsOfTime(spec, evalCutoffMs(expr))))
+          versionAsOfTime(spec, evalCutoffMs(expr))
         case _ => throw new IllegalArgumentException(
           "time travel needs exactly one of VERSION AS OF / TIMESTAMP AS OF")
       }
+      byName.fold(resolved(spec, Some(v)))(m => resolvedNamed(m, Some(v)))
     // INSERT INTO / INSERT OVERWRITE → the log's commit verbs
     case i: InsertIntoStatement =>
       i.table match {
@@ -175,11 +230,30 @@ class ResolveManifestRelation(spark: org.apache.spark.sql.SparkSession)
           i.copy(table = LogicalRelation(
             new graft.sources.ManifestInsertableRelation(spark, root),
             isStreaming = false))
+        case u: UnresolvedRelation =>
+          namedManifest(u.multipartIdentifier).fold(i: LogicalPlan) { m =>
+            require(i.partitionSpec.isEmpty,
+              s"INSERT INTO manifest table ${m.identifier} does not take " +
+                "a PARTITION spec; hive-layout segments ride " +
+                "ManifestTable.append(partitionBy=…)")
+            i.copy(table = LogicalRelation(
+              new graft.sources.ManifestInsertableRelation(spark,
+                m.location.toString, Some(m.schema)),
+              isStreaming = false))
+          }
         case _ => i
       }
     case u: UnresolvedRelation if isManifest(u) =>
       val (root, version) = parseSpec(u.multipartIdentifier(1))
       resolved(root, version)
+    // DML targets carry Spark's internal __required_write_privileges__
+    // option; only USER-supplied options opt a relation out of named
+    // resolution (there is no option surface on the name form anyway)
+    case u: UnresolvedRelation
+        if !u.isStreaming &&
+          u.options.keySet.asScala.forall(_.startsWith("__")) =>
+      namedManifest(u.multipartIdentifier)
+        .fold(u: LogicalPlan)(resolvedNamed(_, None))
   }
 }
 

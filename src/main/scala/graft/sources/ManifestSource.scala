@@ -10,7 +10,7 @@ import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation,
   PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider,
-  DataSourceRegister, RelationProvider}
+  DataSourceRegister, RelationProvider, SchemaRelationProvider}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -60,7 +60,8 @@ import graft.io.ManifestTable
   *    the merged footer schema and parquet reads NULL-fill columns a
   *    segment predates.
   */
-class ManifestSource extends RelationProvider with CreatableRelationProvider
+class ManifestSource extends RelationProvider with SchemaRelationProvider
+    with CreatableRelationProvider
     with org.apache.spark.sql.sources.StreamSinkProvider
     with org.apache.spark.sql.sources.StreamSourceProvider
     with DataSourceRegister {
@@ -81,6 +82,38 @@ class ManifestSource extends RelationProvider with CreatableRelationProvider
       parameters.get("allowtombstones").orElse(parameters.get("allowTombstones"))
         .exists(_.equalsIgnoreCase("true"))
     ManifestSource.relation(spark, root, version, allowTombstones)
+  }
+
+  /** Schema-carrying resolution — what `CREATE TABLE t (…) USING
+    * graft.manifest LOCATION root` goes through when the user declares
+    * the columns up front ([[graft.plans.ResolveManifestRelation]]
+    * resolves the NAME at query time; this call only has to answer
+    * "what is this table's schema" at DDL time). An as-yet-uncommitted
+    * root returns a schema-only relation (the table is born empty and
+    * the first INSERT commits manifest v1); a committed root must
+    * agree with the declared columns — a silent mismatch would make
+    * every later read surprise the user. */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String],
+      declared: StructType): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    if (!ManifestTable.exists(spark, root)) {
+      val ctx = sqlContext
+      new BaseRelation {
+        override def sqlContext: SQLContext = ctx
+        override def schema: StructType = declared
+      }
+    } else {
+      val rel = createRelation(sqlContext, parameters)
+      val have = rel.schema.fields.map(f => (f.name.toLowerCase, f.dataType))
+      val want = declared.fields.map(f => (f.name.toLowerCase, f.dataType))
+      require(have.sameElements(want),
+        s"declared schema ${declared.simpleString} does not match committed " +
+          s"manifest table $root (${rel.schema.simpleString}); omit the " +
+          "column list to inherit the table's schema")
+      rel
+    }
   }
 
   /** Write path — `df.write.format("graft.manifest")` with the
@@ -969,20 +1002,27 @@ private[sources] object ManifestFileIndex {
   * would wedge the layout contract) — partitioned ingest rides
   * `ManifestTable.append(partitionBy=…)`. */
 private[graft] class ManifestInsertableRelation(
-    spark: SparkSession, root: String) extends BaseRelation
+    spark: SparkSession, root: String,
+    declaredSchema: Option[StructType] = None) extends BaseRelation
     with org.apache.spark.sql.sources.InsertableRelation {
 
   override def sqlContext: SQLContext = spark.sqlContext
 
-  override val schema: StructType = {
-    val rel = ManifestSource.relation(spark, root, None, allowTombstones = true)
-    require(rel.partitionSchema.isEmpty,
-      s"INSERT INTO a hive-partitioned manifest table ($root is " +
-        s"partitioned on ${rel.partitionSchema.fieldNames.mkString("/")}) " +
-        "is not supported through SQL — a flat segment would break the " +
-        "layout contract; use ManifestTable.append(partitionBy=…)")
-    rel.dataSchema
-  }
+  override val schema: StructType =
+    if (!ManifestTable.exists(spark, root))
+      // a catalog-named table whose root has no commits yet: the first
+      // INSERT creates manifest v1, typed by the DDL-declared columns
+      declaredSchema.getOrElse(throw new IllegalArgumentException(
+        s"no committed manifest under $root"))
+    else {
+      val rel = ManifestSource.relation(spark, root, None, allowTombstones = true)
+      require(rel.partitionSchema.isEmpty,
+        s"INSERT INTO a hive-partitioned manifest table ($root is " +
+          s"partitioned on ${rel.partitionSchema.fieldNames.mkString("/")}) " +
+          "is not supported through SQL — a flat segment would break the " +
+          "layout contract; use ManifestTable.append(partitionBy=…)")
+      rel.dataSchema
+    }
 
   override def insert(data: DataFrame, overwrite: Boolean): Unit =
     if (overwrite) ManifestTable.replace(spark, root, data)
