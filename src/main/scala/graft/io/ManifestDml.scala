@@ -55,13 +55,82 @@ object ManifestDml {
     * predicate/merge matched. */
   final case class DmlReceipt(segmentsRewritten: Int, rowsMatched: Long)
 
+  /** DML conditions are evaluated in TWO separate jobs — the pruned
+    * match scan that picks touched segments, then the rewrite over the
+    * re-read segments — so a condition that can answer differently per
+    * evaluation would apply inconsistently between the phases (rows the
+    * scan matched surviving the rewrite, or vice versa). Two hazards,
+    * both neutralized here at verb entry (the posture Delta's
+    * DeleteCommand/UpdateCommand take):
+    *
+    *  - '''time functions''' (`current_timestamp`/`now`/`current_date`/
+    *    `localtimestamp`) are stamped per QUERY by Catalyst, i.e. the
+    *    two phases would see different clocks — they are folded to
+    *    literals evaluated ONCE, right here, so both phases share one
+    *    stamp;
+    *  - '''nondeterministic expressions''' (`rand()`, `uuid()`, …) are
+    *    rejected loudly — no single evaluation exists to bind.
+    */
+  private def stableCond(spark: SparkSession, cond: Column,
+      what: String): Column = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.expressions.{CurrentDate,
+      CurrentTimestamp, LocalTimestamp, Literal, Now}
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    val zone = DateTimeUtils.getZoneId(
+      spark.sessionState.conf.sessionLocalTimeZone)
+    val instant = java.time.Instant.now()
+    val micros = DateTimeUtils.instantToMicros(instant)
+    def nowLit(name: String): org.apache.spark.sql.catalyst.expressions.Expression =
+      name match {
+        case "current_date" | "curdate" =>
+          Literal(DateTimeUtils.microsToDays(micros, zone), DateType)
+        case "localtimestamp" =>
+          Literal(DateTimeUtils.localDateTimeToMicros(
+            java.time.LocalDateTime.ofInstant(instant, zone)), TimestampNTZType)
+        case _ => Literal(micros, TimestampType)
+      }
+    // the typed API and expr("…") hand us UNresolved function nodes
+    // (resolution happens later, inside each phase's own plan) — match
+    // both shapes: resolved Catalyst classes (SQL DML arrives resolved)
+    // and unresolved names
+    val timeNames = Set("current_timestamp", "now", "current_date",
+      "curdate", "localtimestamp")
+    val nondetNames = Set("rand", "randn", "random", "uuid", "shuffle",
+      "monotonically_increasing_id", "spark_partition_id",
+      "input_file_name", "input_file_block_start", "input_file_block_length")
+    val e = org.apache.spark.sql.GraftColumnBridge.catalystExpression(cond).transform {
+      case _: CurrentTimestamp | _: Now => Literal(micros, TimestampType)
+      case _: CurrentDate => nowLit("current_date")
+      case _: LocalTimestamp => nowLit("localtimestamp")
+      case f: UnresolvedFunction if f.arguments.isEmpty &&
+          timeNames(f.nameParts.last.toLowerCase(java.util.Locale.ROOT)) =>
+        nowLit(f.nameParts.last.toLowerCase(java.util.Locale.ROOT))
+    }
+    e.collectFirst {
+      case x if !x.deterministic && x.children.forall(_.deterministic) => x
+      case f: UnresolvedFunction
+          if nondetNames(f.nameParts.last.toLowerCase(java.util.Locale.ROOT)) => f
+    }.foreach { x =>
+      throw new IllegalArgumentException(
+        s"$what is nondeterministic ($x): the condition is evaluated " +
+          "twice (pruned match scan, then the rewrite) and could match " +
+          "different rows per evaluation — materialize the row set first " +
+          "and MERGE on a key instead")
+    }
+    org.apache.spark.sql.GraftColumnBridge.column(e)
+  }
+
   /** `DELETE FROM root WHERE cond`: rows where `cond` is TRUE go;
     * rows where it is false or NULL stay (SQL semantics). */
   def deleteWhere(spark: SparkSession, root: String, cond: Column,
-      expectVersion: Option[Long] = None): DmlReceipt =
-    dmlRewrite(spark, root, cond, expectVersion) { rows =>
-      rows.filter(!coalesce(cond, lit(false)))
+      expectVersion: Option[Long] = None): DmlReceipt = {
+    val c = stableCond(spark, cond, "DELETE condition")
+    dmlRewrite(spark, root, c, expectVersion) { rows =>
+      rows.filter(!coalesce(c, lit(false)))
     }
+  }
 
   /** `UPDATE root SET name = value, … WHERE cond`: matched rows take
     * the assigned values (cast to the column's existing type — an
@@ -75,14 +144,15 @@ object ManifestDml {
       expectVersion: Option[Long] = None): DmlReceipt = {
     require(sets.nonEmpty, "UPDATE needs at least one assignment")
     rejectReservedAssignment(sets.map(_._1))
-    dmlRewrite(spark, root, cond, expectVersion) { rows =>
+    val c = stableCond(spark, cond, "UPDATE condition")
+    dmlRewrite(spark, root, c, expectVersion) { rows =>
       val eq = spark.sessionState.conf.resolver
       val byTarget = sets.map { case (n, v) =>
         val field = rows.schema.fields.find(fd => eq(fd.name, n)).getOrElse(
           throw new IllegalArgumentException(
             s"UPDATE assigns unknown column '$n' (table has " +
               rows.columns.mkString(", ") + ")"))
-        field.name -> when(coalesce(cond, lit(false)),
+        field.name -> when(coalesce(c, lit(false)),
           v.cast(field.dataType)).otherwise(col(field.name))
       }.toMap
       require(byTarget.size == sets.size,
@@ -213,9 +283,13 @@ object ManifestDml {
     * target as `__t.<col>` and the source as `__s.<col>` (the SQL
     * rule rebinds resolved references onto those aliases). */
   def mergeInto(spark: SparkSession, root: String, source: DataFrame,
-      cond: Column, matched: Seq[MergeRule], notMatched: Seq[MergeRule],
+      onCond: Column, matched: Seq[MergeRule], notMatched: Seq[MergeRule],
       notMatchedBySource: Seq[MergeRule],
       expectVersion: Option[Long] = None): DmlReceipt = {
+    // the ON clause runs in both phases (match scan, rewrite join) —
+    // same two-evaluation hazard as DELETE/UPDATE conditions; action-
+    // chain conds run once in phase 2 and need no such pinning
+    val cond = stableCond(spark, onCond, "MERGE ON condition")
     require((matched ++ notMatchedBySource).forall(!_.isInstanceOf[MergeInsert]),
       "INSERT actions belong to WHEN NOT MATCHED [BY TARGET]")
     require(notMatched.forall(_.isInstanceOf[MergeInsert]),

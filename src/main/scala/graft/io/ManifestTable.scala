@@ -1002,16 +1002,34 @@ object ManifestTable {
     * deletes BEFORE its inserts. Delete application is VALUE identity
     * via anti-join (a delete row kills every equal-valued copy — the
     * tombstone family's contract; the insert side then re-adds the
-    * exact surviving multiset, so duplicate-valued survivors
-    * round-trip). Reading pre-images needs the dropped dirs still on
+    * surviving multiset of the TOUCHED segments, so duplicate-valued
+    * survivors confined to touched segments round-trip).
+    *
+    * '''Value-identity caveat (cross-segment duplicates).''' A
+    * full-row duplicate that spans a touched and an UNtouched segment
+    * does NOT round-trip under the anti-join contract: the pre-image
+    * delete kills BOTH copies in the consumer while only the touched
+    * segment's survivors ride the insert side — the table keeps the
+    * untouched copy, the consumer silently loses it. Tables whose rows
+    * carry a unique key (the normal feed posture) are immune; purely
+    * value-identified multisets that may duplicate across segments
+    * should pass `verifyDeletes = true`, which semi-joins the window's
+    * pre-image rows against the untouched segments (null-safe, on the
+    * delete frame's column set) and fails loudly with a full-refresh
+    * instruction when the hazard is live. The check scans the
+    * UNTOUCHED part of the table (that is the set being protected), so
+    * it is opt-in rather than the default at 100 TB; [[AggView]] needs
+    * neither — it applies multiset retraction, not anti-joins.
+    *
+    * Reading pre-images needs the dropped dirs still on
     * disk, i.e. a [[retainVersions]] horizon covering the window. A
     * window holding BOTH tombstones and DML pre-images is rejected
     * loudly: the two delete shapes are indistinguishable in one batch
     * (key-only NULL-padded rows vs full rows) — consume it as two
     * windows split at the DML version. IO is O(changed segments) by
-    * construction. */
+    * construction (plus the untouched scan iff `verifyDeletes`). */
   def readChanges(spark: SparkSession, root: String,
-      fromV: Long, toV: Long): DataFrame = {
+      fromV: Long, toV: Long, verifyDeletes: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val (chg, pre) = changedSegmentsDml(spark, root, fromV, toV)
     require(chg.nonEmpty || pre.nonEmpty,
@@ -1026,12 +1044,36 @@ object ManifestTable {
     val insDf =
       if (ins.isEmpty) None
       else Some(readSegs(spark, root, ins).withColumn("_change_type", lit("insert")))
+    val preRows =
+      if (pre.isEmpty) None
+      else Some(readSegs(spark, root, pre.map(_._1)).distinct())
+    if (verifyDeletes) preRows.foreach { pr =>
+      val droppedSet = pre.map(_._1).toSet
+      val untouched = segmentsAt(spark, root, fromV)
+        .filterNot(s => droppedSet(s) || s.startsWith(DelPrefix))
+      if (untouched.nonEmpty) {
+        val raw = readSegs(spark, root, untouched)
+        // conform to the delete frame's column set (schema evolution:
+        // a column the untouched segments lack reads NULL there, which
+        // is exactly what the consumer's full-table read saw)
+        val others = raw.select(pr.columns.toSeq.map(c =>
+          (if (raw.columns.contains(c))
+             org.apache.spark.sql.functions.col(c)
+           else lit(null)).as(c)): _*)
+        val cond = pr.columns.toSeq.map(c => pr(c) <=> others(c)).reduce(_ && _)
+        require(pr.join(others, cond, "left_semi").isEmpty,
+          s"window ($fromV, $toV] of $root carries DML pre-image delete " +
+            "rows whose full-row value also lives in an UNtouched " +
+            "segment — an anti-join consumer would kill the untouched " +
+            "copy the table keeps (cross-segment duplicate hazard); " +
+            "full-refresh from the head snapshot and re-pin")
+      }
+    }
     val delSides =
       (if (del.isEmpty) Nil
        else Seq(del.map(s => spark.read.parquet(s"$root/$s"))
          .reduce(_ unionByName _).distinct())) ++
-      (if (pre.isEmpty) Nil
-       else Seq(readSegs(spark, root, pre.map(_._1)).distinct()))
+      preRows.toList
     val delDf = delSides.reduceOption(_.unionByName(_, allowMissingColumns = true))
       .map(_.withColumn("_change_type", lit("delete")))
     (insDf, delDf) match {

@@ -65,6 +65,26 @@ class ResolveManifestDml(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** `Expression.transform` does not descend into subquery PLANS, so a
+    * correlated subquery's outer references (inside its plan, bound to
+    * the statement's discarded exprIds) would survive the rebase and
+    * fail re-resolution inside the verb with an opaque internal
+    * analysis error — reject them up front with the same clean message
+    * top-level foreign attributes get. Uncorrelated subqueries are
+    * self-contained plans and ride through fine. */
+  private def rejectCorrelated(e: Expression): Expression = {
+    e.foreach {
+      case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+          if s.getOuterAttrs.nonEmpty =>
+        throw new IllegalArgumentException(
+          "correlated subqueries are not supported in manifest DML " +
+            "conditions — materialize the correlated row set first and " +
+            "MERGE USING it (or join it into the MERGE source)")
+      case _ => ()
+    }
+    e
+  }
+
   /** Rebase a resolved expression onto executor-side aliases by NAME:
     * target attributes → `__t.<name>`, source attributes (MERGE) →
     * `__s.<name>`. The returned Column re-resolves inside the verb's
@@ -72,7 +92,7 @@ class ResolveManifestDml(spark: SparkSession) extends Rule[LogicalPlan] {
     * plan's attribute ids. */
   private def rebase(e: Expression, tSet: AttributeSet,
       sSet: AttributeSet): Column =
-    GraftColumnBridge.column(e.transform {
+    GraftColumnBridge.column(rejectCorrelated(e).transform {
       case a: AttributeReference if tSet.contains(a) =>
         UnresolvedAttribute(Seq("__t", a.name))
       case a: AttributeReference if sSet.contains(a) =>
@@ -86,7 +106,7 @@ class ResolveManifestDml(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** For single-table DELETE/UPDATE the verbs resolve bare names. */
   private def rebaseBare(e: Expression): Column =
-    GraftColumnBridge.column(e.transform {
+    GraftColumnBridge.column(rejectCorrelated(e).transform {
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
     })
 

@@ -11,6 +11,14 @@ object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** [[expression]] materialized: the default bridge wraps the
+    * Column's node LAZILY (`ColumnNodeExpression`), which hides the
+    * tree from `transform`/`collect` — callers that inspect or rewrite
+    * the expression (e.g. DML condition guards) need the converted
+    * Catalyst tree. */
+  def catalystExpression(c: Column): Expression =
+    classic.GraftClassicBridge.materialize(ExpressionUtils.expression(c))
+
   /** DataFrame over an analyzed logical plan (`Dataset.ofRows` is
     * `private[sql]`) — how a runnable command re-materializes a plan
     * it carried as data (e.g. a MERGE source). */

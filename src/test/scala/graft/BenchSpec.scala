@@ -164,7 +164,33 @@ class BenchSpec extends AnyFunSuite {
             f"$q: ${base(q)}%.2f s -> $sec%.2f s"
         }
         assert(regressed.isEmpty,
-          s"${f.getName} regressed vs r13 budgets:\n  " + regressed.mkString("\n  "))
+          s"${f.getName} regressed vs r14 budgets:\n  " + regressed.mkString("\n  "))
+
+        // Secondary gate against the r13a reference, hardware-normalized:
+        // the r13a -> r14a re-baseline absorbed a one-step machine
+        // slowdown (control experiment in BENCHNOTES.md, round-14
+        // hardware note), and a single re-baseline would otherwise
+        // permanently absorb any real regression that landed between the
+        // two recordings. Normalize r13a budgets by the MEDIAN per-query
+        // ratio r14a/r13a over shared queries (the hardware factor —
+        // median is robust to the handful of genuinely changed queries)
+        // and hold the newest artifact to the scaled budgets. The factor
+        // never scales budgets DOWN (a faster machine must not invent
+        // regressions).
+        val ref13 = new java.io.File(dir, "bench_detail_sf0.1_r13a.json")
+        assume(ref13.exists(), "r13a secondary reference missing")
+        val b13 = queries(ref13)
+        val shared = base.keySet.intersect(b13.keySet).toSeq
+        assume(shared.size >= 20, "too few shared queries for a hardware factor")
+        val ratios = shared.map(q => base(q) / math.max(b13(q), 1e-9)).sorted
+        val hw = math.max(1.0, ratios(ratios.size / 2))
+        val regressed13 = cur.toSeq.collect {
+          case (q, sec) if b13.contains(q) && sec > b13(q) * hw * 3 + 0.5 =>
+            f"$q: r13a ${b13(q)}%.2f s (x$hw%.2f hw) -> $sec%.2f s"
+        }
+        assert(regressed13.isEmpty,
+          s"${f.getName} regressed vs hardware-scaled r13a budgets " +
+            f"(hw factor $hw%.2f):\n  " + regressed13.mkString("\n  "))
     }
   }
 }

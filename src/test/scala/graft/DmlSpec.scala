@@ -533,4 +533,94 @@ class DmlSpec extends AnyFunSuite {
     val now = ManifestTable.read(spark, r)
     assert(rebuilt.exceptAll(now).isEmpty && now.exceptAll(rebuilt).isEmpty)
   }
+
+  test("DML condition guards: nondeterministic rejected loudly; time functions bound once across both phases") {
+    val r = root("dml_cond_guards")
+    threeSegs(r)
+    // rand() could match different rows in the match scan vs the rewrite
+    val e = intercept[IllegalArgumentException] {
+      ManifestDml.deleteWhere(spark, r, rand() < 0.5)
+    }
+    assert(e.getMessage.contains("nondeterministic"))
+    val e2 = intercept[IllegalArgumentException] {
+      ManifestDml.updateWhere(spark, r, Seq("v" -> lit(0)), rand() < lit(2.0))
+    }
+    assert(e2.getMessage.contains("nondeterministic"))
+    assert(ManifestTable.read(spark, r).count() == 300) // nothing applied
+    // current_timestamp folds to ONE literal: everything is in the past,
+    // so the delete hits every row — and both phases agreed on the stamp
+    val ts = spark.sql("SELECT current_timestamp()").collect() // warm session tz
+    assert(ts.nonEmpty)
+    val rc = ManifestDml.deleteWhere(spark, r,
+      to_timestamp(lit("1999-01-01")) < current_timestamp() && col("id") === 7)
+    assert(rc.rowsMatched == 1L)
+    // SQL face takes the same guard path
+    val e3 = intercept[Exception] {
+      spark.sql(s"DELETE FROM `graft.manifest`.`$r` WHERE rand() < 0.5")
+    }
+    assert(e3.getMessage.contains("nondeterministic"))
+  }
+
+  test("SQL DML: correlated subquery conditions rejected with a clean message; uncorrelated IN-subquery works") {
+    val r = root("dml_subq")
+    threeSegs(r)
+    Seq((150, 1), (151, 1)).toDF("id", "flag").createOrReplaceTempView("dml_subq_keys")
+    // uncorrelated: self-contained subquery plan rides through the rebase
+    val del = spark.sql(
+      s"DELETE FROM `graft.manifest`.`$r` WHERE id IN " +
+        "(SELECT id FROM dml_subq_keys)").collect()
+    assert(del.head.getLong(2) == 2L)
+    assert(ManifestTable.read(spark, r).count() == 298)
+    // correlated: outer references inside the subquery PLAN cannot be
+    // rebased — loud, actionable rejection instead of an internal error
+    val e = intercept[Exception] {
+      spark.sql(
+        s"DELETE FROM `graft.manifest`.`$r` t WHERE EXISTS " +
+          "(SELECT 1 FROM dml_subq_keys k WHERE k.id = t.id)")
+    }
+    assert(e.getMessage.contains("correlated subqueries are not supported"),
+      e.getMessage)
+    spark.catalog.dropTempView("dml_subq_keys")
+  }
+
+  test("readChanges verifyDeletes: cross-segment full-row duplicate is detected loudly; keyed windows pass") {
+    val r = root("dml_feed_verify")
+    ManifestTable.setRetainVersions(spark, r, 4)
+    // same full row (7, 70) lives in TWO segments; DML touches only one
+    ManifestTable.append(spark, r, Seq((7, 70), (1, 10)).toDF("id", "v"),
+      statsCols = Seq("id"))
+    ManifestTable.append(spark, r, Seq((7, 70), (200, 2000)).toDF("id", "v"),
+      statsCols = Seq("id"))
+    val pin = ManifestTable.versions(spark, r).max
+    // touch only the second segment (id=200 lives there alone)
+    ManifestDml.deleteWhere(spark, r, col("id") === 200)
+    val head = ManifestTable.versions(spark, r).max
+    // the table still holds TWO (7,70) rows; an anti-join consumer of the
+    // unverified feed would kill both and re-insert one → divergence
+    assert(ManifestTable.read(spark, r)
+      .filter(col("id") === 7).count() == 2)
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.readChanges(spark, r, pin, head, verifyDeletes = true)
+    }
+    assert(e.getMessage.contains("cross-segment duplicate"), e.getMessage)
+    // without the opt-in check the window still reads (documented caveat)
+    assert(ManifestTable.readChanges(spark, r, pin, head).count() > 0)
+    // a table with unique keys passes verification
+    val r2 = root("dml_feed_verify_ok")
+    ManifestTable.setRetainVersions(spark, r2, 4)
+    ManifestTable.append(spark, r2, Seq((1, 10), (2, 20)).toDF("id", "v"))
+    ManifestTable.append(spark, r2, Seq((3, 30), (4, 40)).toDF("id", "v"))
+    val pin2 = ManifestTable.versions(spark, r2).max
+    ManifestDml.deleteWhere(spark, r2, col("id") === 3)
+    val head2 = ManifestTable.versions(spark, r2).max
+    val chg = ManifestTable.readChanges(spark, r2, pin2, head2,
+      verifyDeletes = true)
+    val rebuilt = ManifestTable.readAt(spark, r2, pin2)
+      .join(chg.filter(col("_change_type") === "delete").drop("_change_type"),
+        Seq("id", "v"), "left_anti")
+      .unionByName(
+        chg.filter(col("_change_type") === "insert").drop("_change_type"))
+    val now = ManifestTable.read(spark, r2)
+    assert(rebuilt.exceptAll(now).isEmpty && now.exceptAll(rebuilt).isEmpty)
+  }
 }
