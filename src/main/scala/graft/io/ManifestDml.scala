@@ -125,9 +125,10 @@ object ManifestDml {
   /** `DELETE FROM root WHERE cond`: rows where `cond` is TRUE go;
     * rows where it is false or NULL stay (SQL semantics). */
   def deleteWhere(spark: SparkSession, root: String, cond: Column,
-      expectVersion: Option[Long] = None): DmlReceipt = {
+      expectVersion: Option[Long] = None,
+      retryRaces: Boolean = false): DmlReceipt = {
     val c = stableCond(spark, cond, "DELETE condition")
-    dmlRewrite(spark, root, c, expectVersion) { rows =>
+    dmlRewrite(spark, root, c, expectVersion, retryRaces) { rows =>
       rows.filter(!coalesce(c, lit(false)))
     }
   }
@@ -141,11 +142,12 @@ object ManifestDml {
     * the rewritten segment. */
   def updateWhere(spark: SparkSession, root: String,
       sets: Seq[(String, Column)], cond: Column,
-      expectVersion: Option[Long] = None): DmlReceipt = {
+      expectVersion: Option[Long] = None,
+      retryRaces: Boolean = false): DmlReceipt = {
     require(sets.nonEmpty, "UPDATE needs at least one assignment")
     rejectReservedAssignment(sets.map(_._1))
     val c = stableCond(spark, cond, "UPDATE condition")
-    dmlRewrite(spark, root, c, expectVersion) { rows =>
+    dmlRewrite(spark, root, c, expectVersion, retryRaces) { rows =>
       val eq = spark.sessionState.conf.resolver
       val byTarget = sets.map { case (n, v) =>
         val field = rows.schema.fields.find(fd => eq(fd.name, n)).getOrElse(
@@ -199,7 +201,8 @@ object ManifestDml {
     * atomically. `rewrite` receives exactly the touched segments'
     * rows (schema-evolution union) and must keep the column set. */
   private def dmlRewrite(spark: SparkSession, root: String, cond: Column,
-      expectVersion: Option[Long])(rewrite: DataFrame => DataFrame): DmlReceipt = {
+      expectVersion: Option[Long], retryRaces: Boolean = false)(
+      rewrite: DataFrame => DataFrame): DmlReceipt = {
     val (f, p, v, all, rel) =
       dmlTarget(spark, root, "row-level DML", expectVersion)
 
@@ -222,9 +225,71 @@ object ManifestDml {
     val kept = rewrite(rows)
     require(kept.columns.toSeq == rows.columns.toSeq,
       "internal: DML rewrite changed the column set")
-    swapSegments(spark, root, v, touched, kept,
-      rel.partitionSchema.fieldNames.toSeq, metas)
+    swapRetrying(spark, root, v, touched, kept,
+      rel.partitionSchema.fieldNames.toSeq, metas, retryRaces)
     DmlReceipt(touched.size, rowsMatched)
+  }
+
+  /** [[swapSegments]] with opt-in optimistic-concurrency retry: a DML
+    * that loses the publish race re-validates its pruned candidate set
+    * against the NEW head and re-runs the swap there when the
+    * interleaved commits are compatible — i.e. every touched segment
+    * is still named by the head (nobody rewrote/dropped what we are
+    * rewriting) and no new merge-on-read tombstone landed (a rewrite
+    * over unseen tombstones could resurrect deleted rows). Append-only
+    * interleavers always pass both checks: the DML simply serializes
+    * BEFORE them (an interleaved append whose rows would have matched
+    * the predicate keeps its rows — the valid serial order is
+    * DML-then-append). True overlap stays a loud [[ManifestTable
+    * .CommitRaceLost]]. The retry re-evaluates `kept` from the (still
+    * present, byte-identical) touched segments — sound because
+    * [[stableCond]] pinned the condition to one deterministic
+    * evaluation; the lost attempt's placed dirs are unreferenced
+    * orphans the next maintenance GC collects. A DISJOINT-segment DML
+    * interleaver also passes the validation (the two rewrites
+    * serialize cleanly), but concurrent REWRITE-class writers keep the
+    * log's single-writer-maintenance assumption for GC: the winner's
+    * collection pass could race the loser's re-placement, so run
+    * DML/compact/cluster writers one at a time and let appends be the
+    * unlimited-concurrency path. */
+  private def swapRetrying(spark: SparkSession, root: String, v: Long,
+      touched: Seq[String], kept: DataFrame, partBy: Seq[String],
+      metas: Map[String, ManifestTable.SegMeta],
+      retryRaces: Boolean): Unit = {
+    val (f, p) = ManifestTable.fs(spark, root)
+    var curV = v
+    var attempts = 0
+    while (true) {
+      try {
+        swapSegments(spark, root, curV, touched, kept, partBy, metas)
+        return
+      } catch {
+        case e: ManifestTable.CommitRaceLost =>
+          if (!retryRaces || attempts >= 20) throw e
+          attempts += 1
+          val nv = ManifestTable.currentVersion(f, p).getOrElse(
+            throw new IllegalStateException(
+              s"$root lost its manifest mid-DML retry"))
+          val head = ManifestTable.readManifest(f, p, nv)
+          val headSet = head.toSet
+          val missing = touched.filterNot(headSet)
+          if (missing.nonEmpty) throw new ManifestTable.CommitRaceLost(
+            s"DML on $root lost the commit race and a concurrent commit " +
+              s"rewrote or dropped touched segment(s) " +
+              s"${missing.mkString(", ")} — true overlap, re-run against " +
+              "the new head")
+          val plannedDels = ManifestTable.readManifest(f, p, curV)
+            .filter(_.startsWith(ManifestTable.DelPrefix)).toSet
+          val newDels = head.filter(s =>
+            s.startsWith(ManifestTable.DelPrefix) && !plannedDels(s))
+          if (newDels.nonEmpty) throw new ManifestTable.CommitRaceLost(
+            s"DML on $root lost the commit race to a merge-on-read " +
+              s"DELETE (${newDels.mkString(", ")}); rewriting under " +
+              "unseen tombstones could resurrect deleted rows — " +
+              "compact() and re-run")
+          curV = nv
+      }
+    }
   }
 
   /** Touched segments conformed to the relation's merged schema, each
@@ -285,7 +350,8 @@ object ManifestDml {
   def mergeInto(spark: SparkSession, root: String, source: DataFrame,
       onCond: Column, matched: Seq[MergeRule], notMatched: Seq[MergeRule],
       notMatchedBySource: Seq[MergeRule],
-      expectVersion: Option[Long] = None): DmlReceipt = {
+      expectVersion: Option[Long] = None,
+      retryRaces: Boolean = false): DmlReceipt = {
     // the ON clause runs in both phases (match scan, rewrite join) —
     // same two-evaluation hazard as DELETE/UPDATE conditions; action-
     // chain conds run once in phase 2 and need no such pinning
@@ -376,8 +442,8 @@ object ManifestDml {
             .cast(fd.dataType).as(fd.name)
         } :+ coalesce(t2(SrcCol), lit(-1)).as(SrcCol) // inserts → own segment
         val kept = j.filter(keep).select(outCols: _*)
-        swapSegments(spark, root, v, touched, kept,
-          rel.partitionSchema.fieldNames.toSeq, segMetas)
+        swapRetrying(spark, root, v, touched, kept,
+          rel.partitionSchema.fieldNames.toSeq, segMetas, retryRaces)
         DmlReceipt(touched.size, rowsMatched)
       } else {
         // insert-only (or nothing-to-do) merge: plain append commit
@@ -391,7 +457,8 @@ object ManifestDml {
         try {
           if (!rows.isEmpty)
             ManifestTable.append(spark, root, rows,
-              partitionBy = rel.partitionSchema.fieldNames.toSeq)
+              partitionBy = rel.partitionSchema.fieldNames.toSeq,
+              retryRaces = retryRaces)
         } finally graft.core.Lineage.release(rows)
         DmlReceipt(0, rowsMatched)
       }

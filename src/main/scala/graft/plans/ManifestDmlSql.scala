@@ -163,6 +163,15 @@ private[plans] object ManifestDmlCommands {
     AttributeReference("action", StringType, nullable = false)(),
     AttributeReference("segments_rewritten", IntegerType, nullable = false)(),
     AttributeReference("rows_matched", LongType, nullable = false)())
+
+  /** Session opt-in for DML commit-race retry (SQL face of the typed
+    * verbs' `retryRaces` flag): `SET spark.graft.dml.retryRaces=true`
+    * makes a lost publish race re-validate against the new head and
+    * retry when the interleavers touched disjoint segments (see
+    * [[graft.io.ManifestDml]]); default keeps the loud single-winner
+    * contract. */
+  def retryRaces(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.dml.retryRaces").exists(_.toBoolean)
 }
 
 /** `DELETE FROM graft.manifest.root WHERE cond` — executes
@@ -172,7 +181,8 @@ case class ManifestDeleteCommand(root: String, atVersion: Long,
     cond: Column) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = ManifestDmlCommands.receiptSchema
   override def run(spark: SparkSession): Seq[Row] = {
-    val r = ManifestDml.deleteWhere(spark, root, cond, Some(atVersion))
+    val r = ManifestDml.deleteWhere(spark, root, cond, Some(atVersion),
+      retryRaces = ManifestDmlCommands.retryRaces(spark))
     Seq(Row("delete", r.segmentsRewritten, r.rowsMatched))
   }
 }
@@ -182,7 +192,8 @@ case class ManifestUpdateCommand(root: String, atVersion: Long,
     sets: Seq[(String, Column)], cond: Column) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = ManifestDmlCommands.receiptSchema
   override def run(spark: SparkSession): Seq[Row] = {
-    val r = ManifestDml.updateWhere(spark, root, sets, cond, Some(atVersion))
+    val r = ManifestDml.updateWhere(spark, root, sets, cond, Some(atVersion),
+      retryRaces = ManifestDmlCommands.retryRaces(spark))
     Seq(Row("update", r.segmentsRewritten, r.rowsMatched))
   }
 }
@@ -199,7 +210,8 @@ case class ManifestMergeCommand(root: String, atVersion: Long,
   override def run(spark: SparkSession): Seq[Row] = {
     val src = GraftColumnBridge.dataFrame(spark, source)
     val r = ManifestDml.mergeInto(spark, root, src, cond, matched,
-      notMatched, notMatchedBySource, Some(atVersion))
+      notMatched, notMatchedBySource, Some(atVersion),
+      retryRaces = ManifestDmlCommands.retryRaces(spark))
     Seq(Row("merge", r.segmentsRewritten, r.rowsMatched))
   }
 }

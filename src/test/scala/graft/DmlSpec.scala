@@ -534,6 +534,89 @@ class DmlSpec extends AnyFunSuite {
     assert(rebuilt.exceptAll(now).isEmpty && now.exceptAll(rebuilt).isEmpty)
   }
 
+  /** Commit strategy that fires `interloper()` exactly once, right
+    * before the first DML-marked manifest publish — a deterministic
+    * two-writer race (the interloper's commit takes the version the
+    * DML was about to publish, so the DML's publish loses). */
+  private def raceOnce(interloper: () => Unit): ManifestTable.CommitStrategy =
+    new ManifestTable.CommitStrategy {
+      @volatile private var armed = true
+      def publish(f: org.apache.hadoop.fs.FileSystem,
+          dir: org.apache.hadoop.fs.Path,
+          dst: org.apache.hadoop.fs.Path, content: String): Unit = {
+        if (armed && content.contains("#dml")) {
+          armed = false
+          interloper()
+        }
+        ManifestTable.RenameCommit.publish(f, dir, dst, content)
+      }
+    }
+
+  test("DML OCC retry: an append interleaver retries to success (serialized DML-then-append); default stays loud") {
+    val r = root("dml_occ_retry")
+    threeSegs(r)
+    val prev = ManifestTable.commitStrategy
+    try {
+      ManifestTable.commitStrategy = raceOnce(() =>
+        ManifestTable.append(spark, r, Seq((777, 7770)).toDF("id", "v")))
+      val rc = ManifestDml.deleteWhere(spark, r, col("id") === 150,
+        retryRaces = true)
+      assert(rc == ManifestDml.DmlReceipt(1, 1L))
+      val now = ManifestTable.read(spark, r)
+      assert(now.count() == 300) // 300 - 1 deleted + 1 appended
+      assert(now.filter(col("id") === 150).isEmpty)
+      assert(now.filter(col("id") === 777).count() == 1)
+      // both commits are in history: the append won its version, the
+      // DML retried onto the next one
+      val kinds = ManifestTable.history(spark, r).map(_.kind)
+      assert(kinds.count(_ == "dml") == 1 && kinds.count(_ == "append") == 4)
+    } finally ManifestTable.commitStrategy = prev
+    // default (no opt-in): the same race is a loud single-winner loss
+    try {
+      ManifestTable.commitStrategy = raceOnce(() =>
+        ManifestTable.append(spark, r, Seq((778, 7780)).toDF("id", "v")))
+      intercept[ManifestTable.CommitRaceLost] {
+        ManifestDml.deleteWhere(spark, r, col("id") === 155)
+      }
+    } finally ManifestTable.commitStrategy = prev
+  }
+
+  test("DML OCC retry: an overlapping DML interleaver conflicts loudly (touched segment rewritten under us)") {
+    val r = root("dml_occ_overlap")
+    threeSegs(r)
+    val prev = ManifestTable.commitStrategy
+    try {
+      // the interloper UPDATEs a row in the SAME segment ([100,200))
+      // the outer DELETE is rewriting — true overlap, never retried
+      ManifestTable.commitStrategy = raceOnce(() =>
+        ManifestDml.updateWhere(spark, r, Seq("v" -> lit(-1L)),
+          col("id") === 155))
+      val e = intercept[ManifestTable.CommitRaceLost] {
+        ManifestDml.deleteWhere(spark, r, col("id") === 150,
+          retryRaces = true)
+      }
+      assert(e.getMessage.contains("true overlap"), e.getMessage)
+    } finally ManifestTable.commitStrategy = prev
+    // the interloper's update is the table state (single winner)
+    assert(ManifestTable.read(spark, r)
+      .filter(col("id") === 155).select("v").as[Long].head() == -1L)
+    assert(ManifestTable.read(spark, r).filter(col("id") === 150).count() == 1)
+    // a merge-on-read tombstone interleaver is also a loud conflict
+    // (rewriting under unseen tombstones could resurrect deleted rows)
+    val r2 = root("dml_occ_tombstone")
+    threeSegs(r2)
+    try {
+      ManifestTable.commitStrategy = raceOnce(() =>
+        ManifestTable.delete(spark, r2, Seq(250).toDF("id")))
+      val e2 = intercept[ManifestTable.CommitRaceLost] {
+        ManifestDml.deleteWhere(spark, r2, col("id") === 150,
+          retryRaces = true)
+      }
+      assert(e2.getMessage.contains("tombstone") ||
+        e2.getMessage.contains("merge-on-read"), e2.getMessage)
+    } finally ManifestTable.commitStrategy = prev
+  }
+
   test("DML condition guards: nondeterministic rejected loudly; time functions bound once across both phases") {
     val r = root("dml_cond_guards")
     threeSegs(r)
