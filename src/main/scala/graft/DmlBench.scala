@@ -64,12 +64,24 @@ object DmlBench {
       require(rc.segmentsRewritten == 1,
         s"point update must rewrite exactly 1 segment, got $rc")
     }
+    // broad UPDATE: one matching row in EVERY segment (id % rowsPerSeg
+    // is unprunable by the id zone maps), so all n segments rewrite
+    // 1:1 — the planning + sidecar-regeneration shape at wide touch
+    // counts (grouped multi-path read, one stats job, one Bloom pass;
+    // per-segment overhead must stay flat as n grows)
+    val broadMs = timeMs {
+      val rc = graft.io.ManifestDml.updateWhere(spark, root,
+        Seq("v" -> (col("v") + 1L)), col("id") % rowsPerSeg === 7)
+      require(rc.segmentsRewritten == n && rc.rowsMatched == n.toLong,
+        s"broad update must rewrite all $n segments, got $rc")
+    }
     val fullMs = timeMs {
       graft.io.ManifestTable.compact(spark, root)
     }
     println(s"""{"segments":$n,"rows":${n.toLong * rowsPerSeg},""" +
       s""""point_delete_ms":$delMs,"candidates_scanned":$candidates,""" +
-      s""""point_update_ms":$updMs,"full_rewrite_ms":$fullMs}""")
+      s""""point_update_ms":$updMs,"broad_update_ms":$broadMs,""" +
+      s""""full_rewrite_ms":$fullMs}""")
     graft.io.ManifestTable.destroy(spark, root)
     spark.stop()
   }

@@ -299,7 +299,16 @@ object ManifestDml {
     * range-spanning replacement, or the zone maps it just regenerated
     * would stop pruning. The tag rides through the rewrite (filters
     * keep it, projections pass it) and becomes the replacement-segment
-    * split at write time. */
+    * split at write time.
+    *
+    * Plan shape at broad touch counts: FLAT segments sharing an
+    * embedded schema are read in ONE multi-path scan per schema group
+    * (a map-literal lookup on `input_file_name()` derives the source
+    * tag), so a 1000-segment UPDATE plans a handful of scan nodes, not
+    * a 1000-way union chain. Hive-partitioned segments keep the
+    * per-segment read (multi-path reads reject per-segment partition
+    * dir layouts — CONFLICTING_DIRECTORY_STRUCTURES), as do legacy
+    * segments without an embedded `#meta` schema. */
   private def srcTaggedRead(spark: SparkSession, root: String,
       touched: Seq[String],
       rel: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
@@ -307,17 +316,33 @@ object ManifestDml {
     require(!(rel.dataSchema.fieldNames ++ rel.partitionSchema.fieldNames)
         .exists(_.equalsIgnoreCase(SrcCol)),
       s"table column $SrcCol collides with DML rewrite plumbing — rename it")
-    touched.zipWithIndex.map { case (s, i) =>
-      // plan each touched read from the manifest-embedded schema when
-      // present — no per-segment footer inference, so a wide DML stays
-      // O(1) driver metadata IO per touched segment (legacy segments
-      // without #meta lines fall back to inference)
+    val idx = touched.zipWithIndex.toMap
+    def perSegment(s: String): DataFrame = {
+      // manifest-embedded schema when present — no per-segment footer
+      // inference (legacy segments without #meta lines fall back)
       val rd = metas.get(s).flatMap(_.schema) match {
         case Some(st) => spark.read.schema(st).parquet(s"$root/$s")
         case None => spark.read.parquet(s"$root/$s")
       }
-      conformTo(spark, rd, rel).withColumn(SrcCol, lit(i))
-    }.reduce(_ unionByName _)
+      conformTo(spark, rd, rel).withColumn(SrcCol, lit(idx(s)))
+    }
+    val frames =
+      if (rel.partitionSchema.nonEmpty) touched.map(perSegment)
+      else {
+        // flat segment => the file's PARENT dir is the segment name —
+        // no dependence on how the reader qualifies the root prefix
+        val segExpr = element_at(split(input_file_name(), "/"), -2)
+        val tagExpr = element_at(typedLit(idx), segExpr)
+        val bySchema = touched.groupBy(s => metas.get(s).flatMap(_.schema))
+        bySchema.toSeq.flatMap {
+          case (Some(st), segs) =>
+            val rd = spark.read.schema(st)
+              .parquet(segs.map(s => s"$root/$s"): _*)
+            Seq(conformTo(spark, rd, rel).withColumn(SrcCol, tagExpr))
+          case (None, segs) => segs.map(perSegment)
+        }
+      }
+    frames.reduce(_ unionByName _)
   }
 
   /** Reserved rewrite-plumbing column: source-segment index. */
@@ -573,18 +598,31 @@ object ManifestDml {
       case Some(m) => m.blooms
       case None => ManifestTable.bloomColsOf(f, new Path(p, s))
     })
-    val newMetas = placed.map { case (seg, i) =>
-      val statCols =
-        (if (i >= 0) statsOf(i) else statsOf.flatten.distinct)
-      val bCols =
-        (if (i >= 0) bloomsOf(i) else bloomsOf.flatten.distinct)
-      val statsJson =
-        if (statCols.nonEmpty)
-          Some(ManifestTable.writeStats(spark, f, s"$root/$seg", statCols))
-        else None
-      if (bCols.nonEmpty) ManifestTable.writeBlooms(spark, f, s"$root/$seg", bCols)
-      seg -> ManifestTable.buildMeta(spark, f, root, seg, statsJson, bCols)
-    }.toMap
+    def statColsFor(i: Int): Seq[String] =
+      if (i >= 0) statsOf(i) else statsOf.flatten.distinct
+    def bloomColsFor(i: Int): Seq[String] =
+      if (i >= 0) bloomsOf(i) else bloomsOf.flatten.distinct
+    val newMetas: Map[String, String] =
+      if (partBy.isEmpty) {
+        // flat table: ONE grouped stats job + one pass per Bloom column
+        // for ALL replacements, schema known from the rewrite frame —
+        // the per-segment-jobs path below would schedule O(touched)
+        // tiny jobs and dominate a broad DML's wall clock
+        ManifestTable.sidecarsBatched(spark, root,
+          placed.map { case (seg, i) =>
+            (seg, statColsFor(i), bloomColsFor(i)) },
+          org.apache.spark.sql.types.StructType(
+            kept.schema.filterNot(_.name == SrcCol).map(_.copy(nullable = true))))
+      } else placed.map { case (seg, i) =>
+        val statCols = statColsFor(i)
+        val bCols = bloomColsFor(i)
+        val statsJson =
+          if (statCols.nonEmpty)
+            Some(ManifestTable.writeStats(spark, f, s"$root/$seg", statCols))
+          else None
+        if (bCols.nonEmpty) ManifestTable.writeBlooms(spark, f, s"$root/$seg", bCols)
+        seg -> ManifestTable.buildMeta(spark, f, root, seg, statsJson, bCols)
+      }.toMap
     // rest/newSegs both empty is handled by the fallback above, so
     // newList is non-empty by construction here
     val newList = rest ++ placed.map(_._1)

@@ -1366,6 +1366,129 @@ object ManifestTable {
     json
   }
 
+  /** Batched sidecar + embedded-metadata regeneration for a set of
+    * just-written FLAT segments (the broad-DML swap path): instead of
+    * one stats job + one count job + one Bloom job + one footer-read
+    * per segment — O(touched) tiny driver-scheduled jobs, the
+    * scale-killer of a wide rewrite — this runs ONE grouped aggregate
+    * over all segments (count + zone-map min/max, grouped by the
+    * `input_file_name()`-derived segment tag), at most one
+    * `treeAggregate` per Bloom column (per-segment filters built and
+    * merged distributively), and embeds the caller-known write schema
+    * (nullable-widened, what a footer read-back reports) — zero
+    * per-segment footer inference. Each segment's sidecar files carry
+    * exactly ITS requested column set; the returned map is the
+    * manifest-embedded JSON per segment. */
+  private[io] def sidecarsBatched(spark: SparkSession, root: String,
+      segCols: Seq[(String, Seq[String], Seq[String])],
+      schema: StructType): Map[String, String] = {
+    val (f, p) = fs(spark, root)
+    val dirs = segCols.map(x => s"$root/${x._1}")
+    // flat segment => the file's PARENT dir is the segment name (no
+    // dependence on how the reader qualifies the root prefix)
+    val segName = org.apache.spark.sql.functions.element_at(
+      org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.input_file_name(), "/"), -2)
+    val df0 = spark.read.schema(schema).parquet(dirs: _*)
+
+    // ---- one grouped agg: counts + min/max over the stat-col UNION ----
+    val statUnion = segCols.flatMap(_._2).distinct
+    val typed = statUnion.flatMap(c => statType(schema(c).dataType).map((c, _)))
+    val aggs = typed.flatMap { case (c, t) =>
+      val key = t match {
+        case "ts" => unix_micros(col(c))
+        case "d"  => datediff(col(c), lit("1970-01-01"))
+        case _    => col(c)
+      }
+      Seq(min(key).cast("string"), max(key).cast("string"))
+    }
+    val needBlooms = segCols.exists(_._3.nonEmpty)
+    val grouped: Map[String, org.apache.spark.sql.Row] =
+      if (statUnion.isEmpty && !needBlooms) Map.empty
+      else df0.groupBy(segName.as("_seg"))
+        .agg(count(lit(1)).as("rows"), aggs: _*)
+        .collect().map(r => r.getString(0) -> r).toMap
+    val colIdx = typed.zipWithIndex.toMap
+    def statsJsonFor(seg: String, cols: Seq[String]): Option[String] =
+      if (cols.isEmpty) None
+      else {
+        val row = grouped.get(seg)
+        val myTyped = typed.filter { case (c, _) => cols.contains(c) }
+        val colsJson = myTyped.map { case (c, t) =>
+          val i = colIdx((c, t))
+          def v(off: Int): String = row.flatMap(r =>
+            Option(r.getString(2 + 2 * i + off)))
+            .map(jsonString).getOrElse("null")
+          s""""${jsonEscape(c)}":{"t":"$t","min":${v(0)},"max":${v(1)}}"""
+        }.mkString(",")
+        Some(s"""{"rows":${row.map(_.getLong(1)).getOrElse(0L)},"cols":{$colsJson}}""")
+      }
+
+    // ---- one treeAggregate per Bloom column ----
+    val bloomUnion = segCols.flatMap(_._3).distinct
+    bloomUnion.foreach(c => require(bloomable(schema(c).dataType),
+      s"bloom sidecars support integral/string columns; '$c' is " +
+        s"${schema(c).dataType.simpleString}"))
+    bloomUnion.foreach { c =>
+      val segsFor = segCols.filter(_._3.contains(c)).map(_._1).toSet
+      val est = segCols.map(x =>
+        x._1 -> math.max(grouped.get(x._1).map(_.getLong(1)).getOrElse(0L), 1L))
+        .toMap
+      val pairs = df0
+        .select(segName.as("_seg"), col(c).as("_v"))
+        .where(col("_v").isNotNull)
+        .rdd.map(r => (r.getString(0), r.get(1)))
+      import org.apache.spark.util.sketch.BloomFilter
+      def put(b: BloomFilter, v: Any): Unit = v match {
+        case x: Byte => b.putLong(x.toLong)
+        case x: Short => b.putLong(x.toLong)
+        case x: Int => b.putLong(x.toLong)
+        case x: Long => b.putLong(x)
+        case s: String => b.putString(s)
+        case other => throw new IllegalStateException(
+          s"unbloomable value class ${other.getClass}")
+      }
+      val built = pairs.treeAggregate(
+        scala.collection.mutable.Map.empty[String, BloomFilter])(
+        (m, kv) => {
+          if (segsFor(kv._1)) {
+            put(m.getOrElseUpdate(kv._1,
+              BloomFilter.create(est.getOrElse(kv._1, 1L), 1e-6)), kv._2)
+          }
+          m
+        },
+        (a, b) => {
+          b.foreach { case (s, bf) =>
+            a.get(s) match {
+              case Some(acc) => acc.mergeInPlace(bf)
+              case None => a.update(s, bf)
+            }
+          }
+          a
+        })
+      segsFor.foreach { seg =>
+        val bf = built.getOrElse(seg, BloomFilter.create(1L, 1e-6))
+        val out = f.create(new Path(s"$root/$seg", bloomFile(c)), true)
+        try bf.writeTo(out) finally out.close()
+      }
+    }
+
+    // ---- per-segment sidecar publish + embedded meta (no footer IO) ----
+    val schemaJson = schema.json
+    segCols.map { case (seg, statCols, bCols) =>
+      val statsJson = statsJsonFor(seg, statCols)
+      statsJson.foreach(json => commitStrategy.publish(
+        f, new Path(s"$root/$seg"), new Path(s"$root/$seg", StatsFile), json))
+      val files = listDataFilesRec(f, new Path(p, seg), "")
+      val filesJson = files.map { case (pp, l) =>
+        s"""{"p":${jsonString(pp)},"l":$l}"""
+      }.mkString(",")
+      val bloomsJson = bCols.map(jsonString).mkString(",")
+      seg -> (s"""{"files":[$filesJson],"schema":$schemaJson,""" +
+        s""""stats":${statsJson.getOrElse("null")},"blooms":[$bloomsJson]}""")
+    }.toMap
+  }
+
   /** Parse a segment's stats sidecar, if it has one. A malformed or
     * unreadable sidecar (partial write, store corruption, a writer
     * from before an escaping fix) degrades to None — the CONSERVATIVE
