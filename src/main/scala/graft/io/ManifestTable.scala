@@ -262,16 +262,15 @@ object ManifestTable {
     versionsOf(f, p)
   }
 
-  /** (version, manifest-file modification time ms) for every committed
-    * version, ascending — the `TIMESTAMP AS OF` resolution input (the
-    * manifest file is written once at commit, so its mtime IS the
-    * commit time on any FS that preserves it). O(versions) driver
-    * metadata, no data IO. */
+  /** (version, commit time ms) for every committed version, ascending
+    * — the `TIMESTAMP AS OF` resolution input. The time is the commit
+    * wall-clock EMBEDDED in the manifest content (`#ts` line), so a
+    * restore/copy that scrambles file mtimes keeps time travel
+    * truthful; manifests from before the stamp existed fall back to
+    * the file's mtime. O(versions) driver metadata, no data IO. */
   def versionsWithTimes(spark: SparkSession, root: String): Seq[(Long, Long)] = {
     val (f, p) = fs(spark, root)
-    versionsOf(f, p).map { v =>
-      (v, f.getFileStatus(new Path(p, ManifestPrefix + v)).getModificationTime)
-    }
+    versionsOf(f, p).map(v => (v, commitTimeOf(f, p, v)))
   }
 
   /** Segment list as of manifest version `v` (time travel). Throws if
@@ -379,9 +378,26 @@ object ManifestTable {
   private[io] def commit(f: FileSystem, root: Path, v: Long, segs: Seq[String],
       marks: Seq[String] = Nil, metas: Map[String, String] = Map.empty): Unit = {
     val metaLns = segs.flatMap(s => metas.get(s).map(j => s"$MetaPrefix$s $j"))
+    val ts = s"$TsPrefix${System.currentTimeMillis()}"
     commitStrategy.publish(f, root, new Path(root, ManifestPrefix + v),
-      (marks ++ metaLns ++ segs).mkString("\n") + "\n")
+      (ts +: (marks ++ metaLns ++ segs)).mkString("\n") + "\n")
   }
+
+  /** Commit wall-clock embedded IN the manifest content (`#ts
+    * <epochMillis>`): `TIMESTAMP AS OF` resolution and `history` must
+    * stay truthful across restores/copies/rsyncs, which scramble file
+    * mtimes. Manifests written before this existed lack the line and
+    * fall back to the file's modification time, version by version. */
+  private val TsPrefix = "#ts "
+
+  /** Commit time of manifest `v`: the embedded `#ts` stamp, else the
+    * manifest file's mtime (pre-existing logs). */
+  private def commitTimeOf(f: FileSystem, root: Path, v: Long): Long =
+    manifestLines(f, root, v)
+      .find(_.startsWith(TsPrefix))
+      .flatMap(l => l.stripPrefix(TsPrefix).trim.toLongOption)
+      .getOrElse(
+        f.getFileStatus(new Path(root, ManifestPrefix + v)).getModificationTime)
 
   /** Raw `#meta` lines of manifest `v`: segment name -> embedded JSON.
     * Tolerant of malformed lines (they read as absent — the embedded
@@ -956,6 +972,34 @@ object ManifestTable {
 
   private[io] def isDml(f: FileSystem, root: Path, v: Long): Boolean =
     manifestLines(f, root, v).contains(DmlMark)
+
+  /** Bytes of the segments ADDED by commit `v` — the admission-control
+    * input for byte-capped streaming triggers ([[graft.sources
+    * .ManifestSource]]'s `maxBytesPerTrigger`). Sizes come from the
+    * embedded `#meta` file lists (zero data IO); a legacy segment
+    * without one pays a recursive listing. [[RewriteMark]]ed commits
+    * count ZERO: their additions repackage rows behind a caught-up
+    * cursor (the feed batch is empty), so a compact of a huge table
+    * must not stall a byte-capped drain. If `v-1` is expired, every
+    * segment of `v` counts (conservative overcount). */
+  private[graft] def addedBytesOf(spark: SparkSession, root: String,
+      v: Long): Long = {
+    val (f, p) = fs(spark, root)
+    val lines = manifestLines(f, p, v)
+    if (lines.contains(RewriteMark)) return 0L
+    val cur = lines.filterNot(_.startsWith("#"))
+    val prev =
+      if (v <= 1) Set.empty[String]
+      else scala.util.Try(readManifest(f, p, v - 1).toSet)
+        .getOrElse(Set.empty[String])
+    val metas = metasFromLines(lines)
+    cur.filterNot(prev).map { s =>
+      metas.get(s).map(_.files.map(_._2).sum).getOrElse(
+        scala.util.Try(
+          listDataFilesRec(f, new Path(p, s), "").map(_._2).sum)
+          .getOrElse(0L))
+    }.sum
+  }
 
   /** One commit's audit row: what kind of commit it was and how the
     * segment list moved. `kind` ∈ append (new data only) | delete

@@ -216,6 +216,12 @@ class ManifestSource extends RelationProvider with SchemaRelationProvider
     * or a bootstrap over a long log drains as bounded batches instead
     * of one giant catch-up batch (FileStreamSource's
     * maxFilesPerTrigger, at commit granularity).
+    * `maxBytesPerTrigger` = B additionally caps each micro-batch by
+    * the commits' cumulative ADDED bytes (from the manifest-embedded
+    * file sizes — no data IO; an oversized single commit still admits
+    * alone, so the drain always progresses). Commits vary wildly in
+    * size, so the byte cap is the one that actually bounds executor
+    * memory; combine both for a commit-count ceiling too.
     * `changeFeed=true` surfaces deletes: rows carry a `_change_type`
     * column (`insert`/`delete`, tombstone rows NULL-fill non-key
     * columns; a row-level DML commit emits its dropped segments'
@@ -251,7 +257,12 @@ class ManifestSource extends RelationProvider with SchemaRelationProvider
       .orElse(parameters.get("maxVersionsPerTrigger")).map(_.toLong)
     maxV.foreach(m => require(m >= 1,
       s"maxVersionsPerTrigger must be >= 1, got $m"))
-    new ManifestStreamSource(spark, root, declared, changeFeed, startV, maxV)
+    val maxB = parameters.get("maxbytespertrigger")
+      .orElse(parameters.get("maxBytesPerTrigger")).map(_.toLong)
+    maxB.foreach(m => require(m >= 1,
+      s"maxBytesPerTrigger must be >= 1, got $m"))
+    new ManifestStreamSource(spark, root, declared, changeFeed, startV,
+      maxV, maxB)
   }
 
   private def changeFeedOf(parameters: Map[String, String]): Boolean =
@@ -293,7 +304,8 @@ private[sources] class ManifestSink(spark: SparkSession, root: String,
   * window fails loudly, the full-refresh contract). */
 private[sources] class ManifestStreamSource(spark: SparkSession,
     root: String, declared: StructType, changeFeed: Boolean, startV: Long,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.execution.streaming.Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -338,11 +350,34 @@ private[sources] class ManifestStreamSource(spark: SparkSession,
   private def cappedHead(): Option[Long] = {
     val live = ManifestTable.versions(spark, root).lastOption.getOrElse(0L)
     val head = availableNowFence.fold(live)(math.min(live, _))
+    val base = math.max(pacedV, startV)
     val capped = maxVersionsPerTrigger match {
-      case Some(m) => math.min(head, math.max(pacedV, startV) + m)
+      case Some(m) => math.min(head, base + m)
       case None => head
     }
-    if (capped <= startV) None else Some(capped)
+    // byte-granular admission: commits vary wildly in size, so a
+    // version cap alone can admit an unbounded-bytes batch. Walk the
+    // candidate window accumulating each commit's ADDED bytes (from
+    // the embedded metadata — no data IO) and stop once the budget is
+    // spent; the first commit is always admitted even when oversized,
+    // so a drain always progresses (FileStreamSource's at-least-one-
+    // file rule, at commit granularity).
+    val byteCapped = maxBytesPerTrigger match {
+      case Some(maxB) if capped > base =>
+        var v = base
+        var acc = 0L
+        var open = true
+        while (open && v < capped) {
+          val b = ManifestTable.addedBytesOf(spark, root, v + 1)
+          if (v == base || acc + b <= maxB) {
+            v += 1; acc += b
+            if (acc >= maxB) open = false
+          } else open = false
+        }
+        v
+      case _ => capped
+    }
+    if (byteCapped <= startV) None else Some(byteCapped)
   }
 
   override def getOffset: Option[V1Offset] = cappedHead().map(LongOffset(_))

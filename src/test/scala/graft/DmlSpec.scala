@@ -412,6 +412,40 @@ class DmlSpec extends AnyFunSuite {
         q2.recentProgress.map(_.numInputRows).mkString(","))
   }
 
+  test("streaming source maxBytesPerTrigger: mixed-size backlog drains in bounded-byte batches under AvailableNow") {
+    val r = root("dml_stream_bytes")
+    // mixed commit sizes: small, small, BIG, small, small, small
+    val sizes = Seq(2, 2, 4000, 2, 2, 2)
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      ManifestTable.append(spark, r,
+        (0 until n).map(k => (i * 100000 + k, k)).toDF("id", "v"))
+    }
+    // byte budget ~ one small commit's footprint: each small commit
+    // admits alone or pairs, the big one admits ALONE (oversized
+    // single commits must still progress)
+    val smallBytes = graft.io.ManifestTable.addedBytesOf(spark, r, 1L)
+    val bigBytes = graft.io.ManifestTable.addedBytesOf(spark, r, 3L)
+    assert(bigBytes > smallBytes * 3, s"fixture: big=$bigBytes small=$smallBytes")
+    val q = spark.readStream.format("graft.manifest")
+      .option("maxBytesPerTrigger", (smallBytes * 2).toString).load(r)
+      .writeStream.format("memory").queryName("dml_bytes_an")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow run must terminate")
+    assert(spark.table("dml_bytes_an").count() == sizes.sum.toLong,
+      "byte-capped drain must deliver the full backlog")
+    val rowsPerBatch = q.recentProgress.filter(_.numInputRows > 0)
+      .map(_.numInputRows).toSeq
+    // the big commit rode ALONE in its batch; small commits packed in
+    // pairs up to the budget: batches = [2+2, 4000, 2+2, 2]
+    assert(rowsPerBatch.contains(4000L) &&
+      rowsPerBatch.count(_ == 4000L) == 1 &&
+      rowsPerBatch.size >= 3,
+      s"bounded-byte batches expected, got $rowsPerBatch")
+    assert(rowsPerBatch.filterNot(_ == 4000L).forall(_ <= 4L),
+      s"no batch may exceed the byte budget's row shape: $rowsPerBatch")
+  }
+
   test("cluster TVFs: SQL-reachable re-clustering restores zone-map pruning on arrival-ordered logs") {
     val r = root("dml_cluster_tvf")
     // arrival-ordered ingest: every segment spans the whole id range,
@@ -615,6 +649,37 @@ class DmlSpec extends AnyFunSuite {
       assert(e2.getMessage.contains("tombstone") ||
         e2.getMessage.contains("merge-on-read"), e2.getMessage)
     } finally ManifestTable.commitStrategy = prev
+  }
+
+  test("commit timestamps live IN the manifest: time travel and history survive scrambled file mtimes") {
+    val r = root("dml_embedded_ts")
+    ManifestTable.append(spark, r, Seq((1, 10)).toDF("id", "v"))
+    Thread.sleep(15)
+    ManifestTable.append(spark, r, Seq((2, 20)).toDF("id", "v"))
+    Thread.sleep(15)
+    val fence = java.time.LocalDateTime.now()
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    Thread.sleep(15)
+    ManifestTable.append(spark, r, Seq((3, 30)).toDF("id", "v"))
+    val times = ManifestTable.versionsWithTimes(spark, r)
+    assert(times.map(_._2) == times.map(_._2).sorted && times.size == 3)
+    // a restore/copy scrambles mtimes: set them all to 2001, reversed
+    val dir = java.nio.file.Paths.get(
+      new org.apache.hadoop.fs.Path(r).toUri.getPath)
+    java.nio.file.Files.list(dir).forEach { f =>
+      if (f.getFileName.toString.startsWith("_manifest.v"))
+        java.nio.file.Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(
+            978307200000L - f.getFileName.toString.hashCode % 1000))
+    }
+    // embedded #ts stamps keep the answers identical
+    assert(ManifestTable.versionsWithTimes(spark, r) == times,
+      "commit times must come from the manifest content, not file mtimes")
+    assert(spark.sql(s"SELECT count(1) FROM `graft.manifest`.`$r` " +
+      s"TIMESTAMP AS OF '$fence'").head().getLong(0) == 2L)
+    assert(ManifestTable.history(spark, r).map(c => (c.version, c.timeMs)) ==
+      times.map { case (v, t) => (v, t) })
   }
 
   test("DML condition guards: nondeterministic rejected loudly; time functions bound once across both phases") {
