@@ -2333,6 +2333,30 @@ trait SparkEntryOracle extends SparkEntryTail {
         |SELECT event_type, count(*) AS cnt,
         |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
         |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "manifest_merge_evolve" ->
+      """WITH t AS (SELECT event_id, event_type FROM events WHERE event_id % 3 = 0),
+        |     s AS (SELECT event_id, event_type, value FROM events WHERE event_id % 4 = 0),
+        |     merged AS (
+        |       SELECT t.event_id,
+        |              CASE WHEN s.event_id IS NOT NULL THEN s.event_type
+        |                   ELSE t.event_type END AS event_type,
+        |              s.value AS value
+        |       FROM t LEFT JOIN s ON t.event_id = s.event_id
+        |       UNION ALL
+        |       SELECT s.event_id, s.event_type, s.value
+        |       FROM s WHERE s.event_id NOT IN (SELECT event_id FROM t)
+        |     )
+        |SELECT event_type, count(*) AS cnt, count(value) AS with_value,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "manifest_nested_update" ->
+      """SELECT CASE WHEN event_id % 10 = 0 THEN 'boosted' ELSE event_type END AS kind,
+        |       count(*) AS cnt,
+        |       round(CAST(sum(CAST(CASE WHEN event_id % 10 = 0 THEN value * 2
+        |                                ELSE value END AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |         AS sum_amount
+        |FROM events WHERE event_id % 5 = 0
+        |GROUP BY 1 ORDER BY kind""".stripMargin,
     "manifest_evolve_sql" ->
       """SELECT event_type, count(*) AS cnt,
         |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value

@@ -2902,6 +2902,72 @@ trait SparkEntryTail extends SparkEntryMid {
     * segment stays byte-identical. Oracle: the matched/not-matched
     * split replayed as a LEFT JOIN projection plus an anti-join
     * insert arm. */
+  /** MERGE WITH SCHEMA EVOLUTION onto the log: the target starts
+    * WITHOUT the `value` column; the source brings it, star actions
+    * graft it, the target upgrades additively (untouched segments read
+    * NULL — no rewrite of unmatched data). The shape Delta users reach
+    * for first; reference posture: server-side MERGE via `execute`
+    * (`locopy/database.py:131-190`) with warehouse-side ALTER. */
+  private[graft] def manifestMergeEvolve(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.ManifestTable
+    val root = manifestRoot(s, "graft_mergeev__log")
+    ManifestTable.destroy(s, root)
+    val ev = t(s, dir, "events")
+    val tgt = ev.filter(col("event_id") % 3 === 0)
+      .select("event_id", "event_type")
+    (0 to 1).foreach { k =>
+      ManifestTable.append(s, root,
+        tgt.filter(pmod(col("event_id"), lit(2)) === k),
+        statsCols = Seq("event_id"))
+    }
+    ev.filter(col("event_id") % 4 === 0)
+      .select("event_id", "event_type", "value")
+      .createOrReplaceTempView("merge_evolve_src")
+    val rc = s.sql(s"""
+      MERGE WITH SCHEMA EVOLUTION INTO `graft.manifest`.`$root` t
+      USING merge_evolve_src s
+      ON t.event_id = s.event_id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""").collect()
+    require(rc.toSeq.map(_.getString(0)) == Seq("merge"),
+      s"unexpected MERGE receipt: ${rc.toSeq}")
+    s.sql(s"""
+      SELECT event_type, count(1) AS cnt, count(value) AS with_value,
+             round(cast(sum(cast(value AS decimal(18,6))) AS double), 4) AS sum_value
+      FROM `graft.manifest`.`$root`
+      GROUP BY event_type
+      ORDER BY event_type""")
+  }
+
+  /** Nested-field UPDATE through SQL: `SET s.f = …` composes onto the
+    * struct pre-image via withField — schema unchanged, other fields
+    * ride through. */
+  private[graft] def manifestNestedUpdate(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.ManifestTable
+    val root = manifestRoot(s, "graft_nestedupd__log")
+    ManifestTable.destroy(s, root)
+    val ev = t(s, dir, "events").filter(col("event_id") % 5 === 0)
+      .select(col("event_id"),
+        struct(col("event_type").as("kind"), col("value").as("amount")).as("payload"))
+    (0 to 1).foreach { k =>
+      ManifestTable.append(s, root,
+        ev.filter(pmod(col("event_id"), lit(2)) === k),
+        statsCols = Seq("event_id"))
+    }
+    val rc = s.sql(s"""
+      UPDATE `graft.manifest`.`$root`
+      SET payload.amount = payload.amount * 2, payload.kind = 'boosted'
+      WHERE event_id % 10 = 0""").collect()
+    require(rc.toSeq.map(_.getString(0)) == Seq("update"),
+      s"unexpected UPDATE receipt: ${rc.toSeq}")
+    s.sql(s"""
+      SELECT payload.kind AS kind, count(1) AS cnt,
+             round(cast(sum(cast(payload.amount AS decimal(18,6))) AS double), 4) AS sum_amount
+      FROM `graft.manifest`.`$root`
+      GROUP BY payload.kind
+      ORDER BY kind""")
+  }
+
   private[graft] def manifestMergeSql(s: SparkSession, dir: String): DataFrame = {
     import graft.io.ManifestTable
     val root = manifestRoot(s, "graft_mergeq__log")

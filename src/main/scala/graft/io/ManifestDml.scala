@@ -376,7 +376,9 @@ object ManifestDml {
       onCond: Column, matched: Seq[MergeRule], notMatched: Seq[MergeRule],
       notMatchedBySource: Seq[MergeRule],
       expectVersion: Option[Long] = None,
-      retryRaces: Boolean = false): DmlReceipt = {
+      retryRaces: Boolean = false,
+      evolveCols: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil)
+      : DmlReceipt = {
     // the ON clause runs in both phases (match scan, rewrite join) —
     // same two-evaluation hazard as DELETE/UPDATE conditions; action-
     // chain conds run once in phase 2 and need no such pinning
@@ -393,7 +395,21 @@ object ManifestDml {
       })
     val (f, p, v, all, rel) = dmlTarget(spark, root, "MERGE", expectVersion)
     val tdf = spark.baseRelationToDataFrame(rel)
-    val tFields = tdf.schema.fields.toSeq
+    // WITH SCHEMA EVOLUTION: source-only columns extend the target
+    // schema ADDITIVELY — replacement/insert segments carry them,
+    // untouched segments read NULL there (the log's standard additive
+    // evolution), and the rewrite frame materializes them as NULLs so
+    // action chains can assign them
+    val eqr = spark.sessionState.conf.resolver
+    evolveCols.foreach { case (n, _) =>
+      require(!tdf.columns.exists(c => eqr(c, n)),
+        s"MERGE schema evolution: column $n already exists on $root")
+      require(!n.equalsIgnoreCase(SrcCol),
+        s"column $n is reserved DML rewrite plumbing")
+    }
+    val tFields = tdf.schema.fields.toSeq ++ evolveCols.map { case (n, dt) =>
+      org.apache.spark.sql.types.StructField(n, dt, nullable = true)
+    }
     val src = source.localCheckpoint()
     try {
       val segCol = segOf(f, p)
@@ -449,7 +465,10 @@ object ManifestDml {
       // ---- phase 2: action chains over the touched rows + inserts ----
       if (touched.nonEmpty) {
         val segMetas = ManifestTable.segmentMetas(spark, root, Some(v))
-        val base = srcTaggedRead(spark, root, touched, rel, segMetas)
+        val base0 = srcTaggedRead(spark, root, touched, rel, segMetas)
+        val base = evolveCols.foldLeft(base0) { case (df, (n, dt)) =>
+          df.withColumn(n, lit(null).cast(dt))
+        }
         val t2 = base.withColumn("__tex", lit(true)).alias("__t")
         val s2 = src.withColumn("__sex", lit(true)).alias("__s")
         val j = t2.join(s2, cond, "full_outer")

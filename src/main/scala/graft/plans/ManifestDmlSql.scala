@@ -117,19 +117,84 @@ class ResolveManifestDml(spark: SparkSession) extends Rule[LogicalPlan] {
         "(nested-field assignment needs a full-column update)")
   }
 
-  private def toRules(actions: Seq[MergeAction], tSet: AttributeSet,
-      sSet: AttributeSet): Seq[MergeRule] = actions.map {
-    case u: UpdateAction => MergeUpdate(
-      u.condition.map(rebase(_, tSet, sSet)),
-      u.assignments.map(a =>
-        assignmentName(a.key) -> rebase(a.value, tSet, sSet)))
-    case d: DeleteAction => MergeDelete(d.condition.map(rebase(_, tSet, sSet)))
-    case i: InsertAction => MergeInsert(
-      i.condition.map(rebase(_, tSet, sSet)),
-      i.assignments.map(a =>
-        assignmentName(a.key) -> rebase(a.value, tSet, sSet)))
+  /** Assignment key → (root attribute, nested field path). `SET s.f =
+    * v` parses as a GetStructField chain over the root column. */
+  private def keyPath(key: Expression)
+      : (AttributeReference, Seq[String]) = key match {
+    case a: AttributeReference => (a, Nil)
+    case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+      val (r, p) = keyPath(g.child)
+      (r, p :+ g.extractFieldName)
     case other => throw new IllegalArgumentException(
-      s"unsupported MERGE action on a manifest table: $other")
+      s"manifest DML supports column and nested-struct-field assignments " +
+        s"only, got $other")
+  }
+
+  /** UPDATE assignments grouped by ROOT column: a nested-field
+    * assignment (`SET s.f = v`) composes onto the root's pre-image via
+    * `withField` (leaf value cast to the field's declared type — an
+    * UPDATE never changes the schema), multiple fields of one struct
+    * fold together, and whole-column assignments pass through — so the
+    * executing verb only ever sees top-level (column, value) pairs. */
+  private def toSets(assignments: Seq[Assignment],
+      rootCol: String => Column, mkValue: Expression => Column)
+      : Seq[(String, Column)] = {
+    val parsed = assignments.map { a =>
+      val (r, p) = keyPath(a.key); (r, p, a.value)
+    }
+    parsed.map(_._1.name).distinct.map { rn =>
+      val mine = parsed.filter(_._1.name == rn)
+      if (mine.exists(_._2.isEmpty)) {
+        require(mine.size == 1,
+          s"UPDATE assigns column $rn more than once")
+        rn -> mkValue(mine.head._3)
+      } else {
+        require(mine.map(_._2).distinct.size == mine.size,
+          s"UPDATE assigns the same nested field of $rn more than once")
+        rn -> mine.foldLeft(rootCol(rn)) { case (acc, (r, p, v)) =>
+          val leafType = p.foldLeft(r.dataType) {
+            case (st: org.apache.spark.sql.types.StructType, f) => st(f).dataType
+            case (dt, f) => throw new IllegalArgumentException(
+              s"cannot assign field $f under non-struct type " +
+                s"${dt.simpleString} of column $rn")
+          }
+          acc.withField(p.mkString("."), mkValue(v).cast(leafType))
+        }
+      }
+    }
+  }
+
+  /** `evolved` = source-only columns a star action (UPDATE SET * or
+    * INSERT *) additionally assigns under WITH SCHEMA EVOLUTION
+    * (empty otherwise). */
+  private def toRules(actions: Seq[MergeAction], tSet: AttributeSet,
+      sSet: AttributeSet, tOut: Seq[Attribute],
+      evolved: Seq[Attribute]): Seq[MergeRule] = {
+    def evolvedSets: Seq[(String, Column)] =
+      evolved.map(a => a.name -> rebase(a, tSet, sSet))
+    // star-shaped = resolution of `*` against the pre-evolution target:
+    // one bare source reference per target column, by name
+    def starShaped(as: Seq[Assignment]): Boolean =
+      as.size == tOut.size && as.forall(a => (a.key, a.value) match {
+        case (k: AttributeReference, v: AttributeReference) => k.name == v.name
+        case _ => false
+      })
+    actions.map {
+      case u: UpdateAction => MergeUpdate(
+        u.condition.map(rebase(_, tSet, sSet)),
+        toSets(u.assignments,
+          n => GraftColumnBridge.column(UnresolvedAttribute(Seq("__t", n))),
+          rebase(_, tSet, sSet)) ++
+          (if (u.fromStar) evolvedSets else Nil))
+      case d: DeleteAction => MergeDelete(d.condition.map(rebase(_, tSet, sSet)))
+      case i: InsertAction => MergeInsert(
+        i.condition.map(rebase(_, tSet, sSet)),
+        i.assignments.map(a =>
+          assignmentName(a.key) -> rebase(a.value, tSet, sSet)) ++
+          (if (starShaped(i.assignments)) evolvedSets else Nil))
+      case other => throw new IllegalArgumentException(
+        s"unsupported MERGE action on a manifest table: $other")
+    }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
@@ -140,20 +205,30 @@ class ResolveManifestDml(spark: SparkSession) extends Rule[LogicalPlan] {
     case u @ UpdateTable(t, assignments, cond) if u.resolved =>
       targetOf(t).fold(u: LogicalPlan) { case (root, v, _) =>
         ManifestUpdateCommand(root, v,
-          assignments.map(a => assignmentName(a.key) -> rebaseBare(a.value)),
+          toSets(assignments,
+            n => GraftColumnBridge.column(UnresolvedAttribute.quoted(n)),
+            rebaseBare),
           cond.map(rebaseBare).getOrElse(GraftColumnBridge.column(Literal(true))))
       }
     case m @ MergeIntoTable(t, s, cond, matched, notMatched, nmbs, evolve)
         if m.resolved =>
       targetOf(t).fold(m: LogicalPlan) { case (root, v, _) =>
-        require(!evolve,
-          "MERGE … WITH SCHEMA EVOLUTION is not supported on manifest " +
-            "tables — evolve the schema through an append, then merge")
+        // WITH SCHEMA EVOLUTION: the analyzer resolves star actions
+        // against the PRE-evolution target, so the source-only columns
+        // are grafted on here — star actions additionally assign them,
+        // the verb extends the target schema additively (untouched
+        // segments read NULL there, the log's standard evolution)
+        val eq = spark.sessionState.conf.resolver
+        val evolved: Seq[Attribute] =
+          if (!evolve) Nil
+          else s.output.filterNot(sa => t.output.exists(ta => eq(ta.name, sa.name)))
         val tSet = t.outputSet
         val sSet = s.outputSet
         ManifestMergeCommand(root, v, s, rebase(cond, tSet, sSet),
-          toRules(matched, tSet, sSet), toRules(notMatched, tSet, sSet),
-          toRules(nmbs, tSet, sSet))
+          toRules(matched, tSet, sSet, t.output, evolved),
+          toRules(notMatched, tSet, sSet, t.output, evolved),
+          toRules(nmbs, tSet, sSet, t.output, evolved),
+          evolved.map(a => a.name -> a.dataType))
       }
   }
 }
@@ -200,10 +275,12 @@ case class ManifestUpdateCommand(root: String, atVersion: Long,
 
 /** `MERGE INTO graft.manifest.root USING source ON cond WHEN …`. The
   * analyzed source plan rides as data (not a child), re-materialized
-  * at run time. */
+  * at run time. `evolveCols` = source-only columns a WITH SCHEMA
+  * EVOLUTION merge adds to the target schema. */
 case class ManifestMergeCommand(root: String, atVersion: Long,
     source: LogicalPlan, cond: Column, matched: Seq[MergeRule],
-    notMatched: Seq[MergeRule], notMatchedBySource: Seq[MergeRule])
+    notMatched: Seq[MergeRule], notMatchedBySource: Seq[MergeRule],
+    evolveCols: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = ManifestDmlCommands.receiptSchema
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
@@ -211,7 +288,8 @@ case class ManifestMergeCommand(root: String, atVersion: Long,
     val src = GraftColumnBridge.dataFrame(spark, source)
     val r = ManifestDml.mergeInto(spark, root, src, cond, matched,
       notMatched, notMatchedBySource, Some(atVersion),
-      retryRaces = ManifestDmlCommands.retryRaces(spark))
+      retryRaces = ManifestDmlCommands.retryRaces(spark),
+      evolveCols = evolveCols)
     Seq(Row("merge", r.segmentsRewritten, r.rowsMatched))
   }
 }

@@ -651,6 +651,67 @@ class DmlSpec extends AnyFunSuite {
     } finally ManifestTable.commitStrategy = prev
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: star actions graft source-only columns, untouched segments read NULL additively") {
+    val r = root("dml_merge_evolve")
+    ManifestTable.append(spark, r, Seq((1, 10), (2, 20)).toDF("id", "v"),
+      statsCols = Seq("id"))
+    ManifestTable.append(spark, r, Seq((5, 50), (6, 60)).toDF("id", "v"),
+      statsCols = Seq("id"))
+    Seq((2, 99, "x2"), (3, 30, "x3")).toDF("id", "v", "extra")
+      .createOrReplaceTempView("evolve_src")
+    val rc = spark.sql(
+      s"MERGE WITH SCHEMA EVOLUTION INTO `graft.manifest`.`$r` t " +
+        "USING evolve_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      .collect()
+    assert(rc.head.getString(0) == "merge" && rc.head.getInt(1) == 1)
+    val out = spark.sql(
+      s"SELECT id, v, extra FROM `graft.manifest`.`$r` ORDER BY id")
+      .collect().map(x => (x.getInt(0), x.getInt(1),
+        Option(x.getString(2)).getOrElse("-")))
+    assert(out.toSeq == Seq((1, 10, "-"), (2, 99, "x2"), (3, 30, "x3"),
+      (5, 50, "-"), (6, 60, "-")),
+      out.toSeq.toString)
+    // the untouched segment ([5,6]) stayed byte-identical: evolution is
+    // additive through the relation's schema union, not a rewrite
+    assert(ManifestTable.segments(spark, r).count(_.contains("-dml")) == 2)
+    // WITHOUT the keyword, the same statement fails resolution (extra
+    // is not a target column) — evolution is opt-in per statement
+    val e = intercept[Exception] {
+      spark.sql(s"MERGE INTO `graft.manifest`.`$r@v2` t USING evolve_src s " +
+        "ON t.id = s.id WHEN MATCHED THEN UPDATE SET t.nope = s.extra")
+    }
+    assert(e.getMessage != null)
+    spark.catalog.dropTempView("evolve_src")
+  }
+
+  test("nested-field UPDATE: SET s.f composes withField onto the pre-image, schema unchanged; non-struct and duplicate field are loud") {
+    val r = root("dml_nested_upd")
+    ManifestTable.append(spark, r, Seq((1, (10, "a")), (2, (20, "b")))
+      .toDF("id", "s"))
+    val rc = spark.sql(
+      s"UPDATE `graft.manifest`.`$r` SET s._1 = s._1 + 89, s._2 = 'z' " +
+        "WHERE id = 1").collect()
+    assert(rc.head.getLong(2) == 1L)
+    val out = spark.sql(
+      s"SELECT id, s._1 AS a, s._2 AS b FROM `graft.manifest`.`$r` ORDER BY id")
+      .collect().map(x => (x.getInt(0), x.getInt(1), x.getString(2)))
+    assert(out.toSeq == Seq((1, 99, "z"), (2, 20, "b")), out.toSeq.toString)
+    // MERGE's matched UPDATE takes the same nested path
+    Seq((2, 7)).toDF("id", "nv").createOrReplaceTempView("nested_src")
+    spark.sql(s"MERGE INTO `graft.manifest`.`$r` t USING nested_src s " +
+      "ON t.id = s.id WHEN MATCHED THEN UPDATE SET t.s._1 = s.nv")
+    assert(spark.sql(s"SELECT s._1 FROM `graft.manifest`.`$r` WHERE id = 2")
+      .head().getInt(0) == 7)
+    // loud edges: duplicate nested target; assignment under a non-struct
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE `graft.manifest`.`$r` SET s._1 = 1, s._1 = 2")
+    }
+    assert(e.getMessage.contains("more than once") ||
+      e.getMessage.toLowerCase.contains("duplicate"), e.getMessage)
+    spark.catalog.dropTempView("nested_src")
+  }
+
   test("commit timestamps live IN the manifest: time travel and history survive scrambled file mtimes") {
     val r = root("dml_embedded_ts")
     ManifestTable.append(spark, r, Seq((1, 10)).toDF("id", "v"))
