@@ -2677,6 +2677,15 @@ trait SparkEntryOracle extends SparkEntryTail {
         |                           AND r1.ts + INTERVAL 1 HOUR > x.w))
         |SELECT user_id, ts FROM (SELECT * FROM r1 UNION ALL SELECT * FROM e2)
         |ORDER BY user_id, ts""".stripMargin,
+    "stream_upsert_manifest" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts DESC, event_id DESC, value DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+        |       value AS last_value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "stream_upsert" ->
       // value joins the ORDER BY so the oracle's tie-break chain is
       // total and matches the engine's max(struct(us, event_id,

@@ -912,6 +912,19 @@ trait SparkEntryTail extends SparkEntryMid {
         col("n_updates"))
       .orderBy("user_id")
 
+  /** Streaming upsert with the MANIFEST LOG as the state substrate:
+    * each micro-batch is one MERGE commit ([[graft.io.ManifestDml
+    * .mergeInto]]), change-feed-visible, split-invariant vs the batch
+    * argmax (same oracle family as stream_upsert — the log keeps
+    * latest-per-key, no bucket bookkeeping columns). */
+  private[graft] def streamUpsertManifest(s: SparkSession, dir: String): DataFrame =
+    Stream.foreachBatchUpsertManifest(s, t(s, dir, "events"),
+        batch2Pred = pmod(col("event_id"), lit(3)) === 0,
+        root = manifestRoot(s, "graft_upsert__log"))
+      .select(col("user_id"), timestamp_micros(col("us")).as("last_ts"),
+        col("event_id").as("last_event_id"), col("value").as("last_value"))
+      .orderBy("user_id")
+
   /** Local clustering coefficient
     * ([[graft.ext.Graph.clusteringCoefficient]]) over the part
     * co-occurrence graph — triangles per neighbor pair for every

@@ -261,6 +261,102 @@ object Stream {
     spark.table(table)
   }
 
+  /** Streaming UPSERT into the MANIFEST LOG — [[foreachBatchUpsert]]'s
+    * semantics with the log as the single stateful-table substrate:
+    * each micro-batch reduces to its newest row per key and MERGEs
+    * into the log via [[graft.io.ManifestDml.mergeInto]], so every
+    * batch is ONE atomic commit (first batch an append, later ones
+    * `#dml`-marked copy-on-write) and change-feed consumers see each
+    * batch as its own pre-image-delete + re-insert window — the
+    * bucket-table machinery's pruning arrives for free through the
+    * log's zone maps on the key column.
+    *
+    * Replay-idempotent by SEMANTICS, not bookkeeping: the matched
+    * UPDATE fires only when the source row is strictly newer
+    * (`(us, event_id, value)` struct order — total, so cross-batch
+    * ties cannot flip), so re-delivering a batch rewrites the touched
+    * segments to byte-equal contents and inserts nothing — the state
+    * is a pure function of the delivered input set (split-invariant,
+    * the batch-argmax oracle gates it). Concurrent appenders are
+    * tolerated via the DML race retry (disjoint interleavers
+    * serialize; true overlap stays loud). */
+  def foreachBatchUpsertManifest(
+      spark: SparkSession,
+      events: DataFrame,
+      batch2Pred: org.apache.spark.sql.Column,
+      root: String
+  ): DataFrame = {
+    import spark.implicits._
+    // HARNESS BOUNDARY: fixture-bounded collect for the deterministic
+    // two-batch MemoryStream schedule, as in [[foreachBatchUpsert]]
+    val rows = events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")),
+        col("event_id").cast("long"), col("value").cast("double"),
+        coalesce(batch2Pred.cast("boolean"), lit(false)))
+      .collect()
+    def part(second: Boolean) = rows.filter(_.getBoolean(4) == second)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    graft.io.ManifestTable.destroy(spark, root)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, Double)](
+        implicitly[org.apache.spark.sql.Encoder[(Long, Long, Long, Double)]],
+        spark.sqlContext)
+    val stream = ms.toDF().toDF("user_id", "us", "event_id", "value")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeUpsertManifestBatch(spark, root, batch, batchId)
+      }
+      .start()
+    try {
+      ms.addData(part(second = false))
+      q.processAllAvailable()
+      ms.addData(part(second = true))
+      q.processAllAvailable()
+    } finally q.stop()
+    graft.io.ManifestTable.read(spark, root)
+  }
+
+  /** One micro-batch of the manifest-log upsert (public so replays can
+    * be driven directly in tests): reduce the batch to its newest row
+    * per key, then MERGE — strictly-newer matched UPDATE, NOT MATCHED
+    * INSERT. The batch frame is re-exposed as a batch DataFrame when
+    * the engine hands a streaming-flagged one. */
+  def mergeUpsertManifestBatch(spark: SparkSession, root: String,
+      batchDf: DataFrame, batchId: Long): Unit = {
+    import graft.io.{ManifestDml, ManifestTable}
+    val batch =
+      if (batchDf.isStreaming)
+        org.apache.spark.sql.GraftColumnBridge.asBatchDataFrame(batchDf)
+      else batchDf
+    val delta = batch
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("us"), col("event_id"), col("value"))).as("__m"))
+      .select(col("user_id"), col("__m.us").as("us"),
+        col("__m.event_id").as("event_id"), col("__m.value").as("value"))
+      .localCheckpoint()
+    try {
+      if (delta.isEmpty) return
+      if (!ManifestTable.exists(spark, root)) {
+        ManifestTable.append(spark, root, delta, statsCols = Seq("user_id"))
+        return
+      }
+      val newer =
+        struct(col("__s.us"), col("__s.event_id"), col("__s.value")) >
+          struct(col("__t.us"), col("__t.event_id"), col("__t.value"))
+      ManifestDml.mergeInto(spark, root, delta,
+        col("__t.user_id") === col("__s.user_id"),
+        matched = Seq(ManifestDml.MergeUpdate(Some(newer), Seq(
+          "us" -> col("__s.us"), "event_id" -> col("__s.event_id"),
+          "value" -> col("__s.value")))),
+        notMatched = Seq(ManifestDml.MergeInsert(None, Seq(
+          "user_id" -> col("__s.user_id"), "us" -> col("__s.us"),
+          "event_id" -> col("__s.event_id"), "value" -> col("__s.value")))),
+        notMatchedBySource = Nil,
+        retryRaces = true)
+      ()
+    } finally graft.core.Lineage.release(delta)
+  }
+
   /** Default bucket count for partition-scoped merge state tables.
     * 8 keeps the test-scale layout inspectable; a 100 TB deployment
     * sizes this like any hash-partitioned state store (e.g. 4096) so

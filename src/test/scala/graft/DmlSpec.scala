@@ -712,6 +712,49 @@ class DmlSpec extends AnyFunSuite {
     spark.catalog.dropTempView("nested_src")
   }
 
+  test("streaming upsert into the manifest log: per-batch DML windows on the feed, replay leaves state byte-equal") {
+    import graft.streaming.Stream
+    val r = root("dml_stream_upsert")
+    ManifestTable.setRetainVersions(spark, r, 6)
+    def batchDf(rows: Seq[(Long, Long, Long, Double)]) =
+      rows.toDF("user_id", "us", "event_id", "value")
+    // batch 0: bootstrap append
+    Stream.mergeUpsertManifestBatch(spark, r,
+      batchDf(Seq((1L, 100L, 1L, 1.0), (2L, 100L, 2L, 2.0))), 0L)
+    assert(ManifestTable.history(spark, r).map(_.kind) == Seq("append"))
+    // batch 1: update user 1 (newer), insert user 3, stale row for 2 ignored
+    Stream.mergeUpsertManifestBatch(spark, r,
+      batchDf(Seq((1L, 200L, 5L, 9.0), (2L, 50L, 0L, 0.5), (3L, 150L, 7L, 3.0))), 1L)
+    val afterB1 = ManifestTable.read(spark, r).orderBy("user_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(afterB1.toSeq == Seq((1L, 200L, 5L, 9.0), (2L, 100L, 2L, 2.0),
+      (3L, 150L, 7L, 3.0)), afterB1.toSeq.toString)
+    // the feed sees batch 1 as a DML window: pre-image deletes + inserts
+    val kinds = ManifestTable.history(spark, r).map(_.kind)
+    assert(kinds == Seq("append", "dml"), kinds.toString)
+    val chg = ManifestTable.readChanges(spark, r, 1L, 2L)
+    assert(chg.filter(col("_change_type") === "delete").count() > 0)
+    // replay of batch 1 (at-least-once re-delivery): state identical
+    val headBefore = ManifestTable.versions(spark, r).max
+    Stream.mergeUpsertManifestBatch(spark, r,
+      batchDf(Seq((1L, 200L, 5L, 9.0), (2L, 50L, 0L, 0.5), (3L, 150L, 7L, 3.0))), 1L)
+    val replayed = ManifestTable.read(spark, r).orderBy("user_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(replayed.toSeq == afterB1.toSeq, "replay must be a state no-op")
+    // and the replay window's feed nets to the same state for consumers
+    val head = ManifestTable.versions(spark, r).max
+    if (head > headBefore) {
+      val w = ManifestTable.readChanges(spark, r, headBefore, head)
+      val rebuilt = ManifestTable.readAt(spark, r, headBefore)
+        .join(w.filter(col("_change_type") === "delete").drop("_change_type"),
+          Seq("user_id", "us", "event_id", "value"), "left_anti")
+        .unionByName(w.filter(col("_change_type") === "insert")
+          .drop("_change_type"))
+      assert(rebuilt.orderBy("user_id").collect().toSeq ==
+        ManifestTable.read(spark, r).orderBy("user_id").collect().toSeq)
+    }
+  }
+
   test("commit timestamps live IN the manifest: time travel and history survive scrambled file mtimes") {
     val r = root("dml_embedded_ts")
     ManifestTable.append(spark, r, Seq((1, 10)).toDF("id", "v"))
