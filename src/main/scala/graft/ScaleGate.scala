@@ -177,6 +177,24 @@ object ScaleGate {
     mustMatch("stream_scd2", sc, scReplay)
     val scRows = layout("graft_stream_scd2", "user_id")
 
+    // the manifest-log upsert (r15): same split-invariance contract,
+    // the log substituting for the bucket table — replay is the same
+    // argmax (no n_updates bookkeeping; the log keeps latest-per-key),
+    // and the layout audit is the log's own: latest commit is a #dml
+    // (or the bootstrap append) and the head holds exactly one row per
+    // key (the MERGE cardinality the upsert depends on)
+    val um = SparkEntry.queries("stream_upsert_manifest")(spark, sfDir)
+    val umReplay = ev.groupBy("user_id")
+      .agg(max(struct(col("us"), col("event_id"), col("value"))).as("s"))
+      .select(col("user_id"), timestamp_micros(col("s.us")).as("last_ts"),
+        col("s.event_id").as("last_event_id"),
+        col("s.value").as("last_value"))
+    mustMatch("stream_upsert_manifest", um, umReplay)
+    val umDup = um.groupBy("user_id").count().filter(col("count") > 1).count()
+    require(umDup == 0L,
+      s"stream_upsert_manifest: $umDup keys hold more than one state row")
+    val umRows = um.count()
+
     val cd = SparkEntry.queries("stream_cdc")(spark, sfDir)
     val (base, feed) = SparkEntry.cdcBaseAndFeed(spark, sfDir)
     val wseq = Window.partitionBy("okey").orderBy(col("seq").desc)
@@ -194,7 +212,7 @@ object ScaleGate {
     mustMatch("stream_cdc", cd, cdReplay)
     val cdRows = layout("graft_stream_cdc", "okey")
 
-    upRows + scRows + cdRows
+    upRows + scRows + cdRows + umRows
   }
 
   def main(args: Array[String]): Unit = {
