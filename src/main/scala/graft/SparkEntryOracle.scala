@@ -2333,6 +2333,23 @@ trait SparkEntryOracle extends SparkEntryTail {
         |SELECT event_type, count(*) AS cnt,
         |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
         |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "manifest_changes_sql" ->
+      """WITH e AS (SELECT event_id, event_type, value FROM events),
+        |     pre AS (SELECT event_id, event_type, value FROM e WHERE event_id % 4 = 0),
+        |     post AS (SELECT event_id, event_type,
+        |                     CASE WHEN event_id % 8 = 0 THEN value * 2
+        |                          ELSE value END AS value
+        |              FROM e WHERE event_id % 4 = 0),
+        |     feed AS (
+        |       SELECT 'delete' AS change_type, event_type, value FROM pre
+        |       UNION ALL
+        |       SELECT 'insert', event_type, value FROM post
+        |       UNION ALL
+        |       SELECT 'insert', event_type, value FROM e WHERE event_id % 4 = 2
+        |     )
+        |SELECT change_type, event_type AS etype, count(*) AS cnt,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |FROM feed GROUP BY 1, 2 ORDER BY change_type, etype""".stripMargin,
     "manifest_merge_evolve" ->
       """WITH t AS (SELECT event_id, event_type FROM events WHERE event_id % 3 = 0),
         |     s AS (SELECT event_id, event_type, value FROM events WHERE event_id % 4 = 0),

@@ -2167,6 +2167,34 @@ trait SparkEntryTail extends SparkEntryMid {
     * predicate, deletes from the tombstone predicate — the feed must
     * contain exactly what was committed in the window, nothing from
     * before the pin. */
+  /** The change feed through PURE SQL — `graft_manifest_changes` TVF,
+    * the `table_changes()` shape every lakehouse CDF ships: appends,
+    * then a row-level DML (pre-image deletes + re-inserts in the
+    * window), then another append, all read back with one SELECT. */
+  private[graft] def manifestChangesSql(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.ManifestTable
+    val root = manifestRoot(s, "graft_manifest_cfsql__log")
+    ManifestTable.destroy(s, root)
+    ManifestTable.setRetainVersions(s, root, 6)
+    val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+    (0 to 1).foreach { k =>
+      ManifestTable.append(s, root, ev.filter(pmod(col("event_id"), lit(4)) === k))
+    }
+    val pinned = ManifestTable.versions(s, root).max // = 2
+    // row-level DML: touches only the %4==0 segment (%8==0 => %4==0)
+    s.sql(s"UPDATE `graft.manifest`.`$root` SET value = value * 2 " +
+      "WHERE event_id % 8 = 0")
+    ManifestTable.append(s, root, ev.filter(pmod(col("event_id"), lit(4)) === 2))
+    val head = ManifestTable.versions(s, root).max // = 4
+    s.sql(s"""
+      SELECT _change_type AS change_type, event_type AS etype,
+             count(1) AS cnt,
+             round(cast(sum(cast(value AS decimal(18,6))) AS double), 4) AS sum_value
+      FROM graft_manifest_changes('$root', $pinned, $head)
+      GROUP BY _change_type, event_type
+      ORDER BY change_type, etype""")
+  }
+
   private[graft] def manifestChangefeed(s: SparkSession, dir: String): DataFrame = {
     import graft.io.ManifestTable
     val root = manifestRoot(s, "graft_manifest_cf__log")

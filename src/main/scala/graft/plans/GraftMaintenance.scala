@@ -164,6 +164,25 @@ object GraftMaintenance {
           s"graft_manifest_history(root) takes 1 argument, got ${args.length}")
         GraftHistoryCommand(str(args.head, "graft_manifest_history"))
       }),
+    ("graft_manifest_changes",
+      "graft_manifest_changes(root, fromV, toV) - change-data-feed rows " +
+        "of the window (fromV, toV]: table columns plus _change_type " +
+        "(insert/delete; apply a window's deletes before its inserts)",
+      args => {
+        require(args.length == 3,
+          s"graft_manifest_changes(root, fromV, toV) takes 3 arguments, " +
+            s"got ${args.length}")
+        val root = str(args.head, "graft_manifest_changes")
+        val fromV = lng(args(1), "graft_manifest_changes")
+        val toV = lng(args(2), "graft_manifest_changes")
+        // unlike the audit verbs this returns DATA-sized output, so the
+        // builder hands back the DISTRIBUTED readChanges plan itself
+        // (no driver materialization); resolution-time session access
+        // is the TVF contract (builders run inside the analyzer)
+        graft.io.ManifestTable
+          .readChanges(SparkSession.active, root, fromV, toV)
+          .queryExecution.analyzed
+      }),
     ("graft_manifest_cluster",
       "graft_manifest_cluster(root, byCol, nSegments) - full sort-based " +
         "re-cluster into range-disjoint segments (tombstones applied)",
