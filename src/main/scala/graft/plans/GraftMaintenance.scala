@@ -119,6 +119,30 @@ object GraftMaintenance {
       s"$fn: table root must be a string literal, got $other")
   }
 
+  /** TVF table argument → log root. A string with a `/` is a path
+    * literal (the historical form); anything else resolves through the
+    * session catalog as a `graft.manifest` table NAME — the
+    * name-addressed face CREATE TABLE registered, so maintenance/
+    * history/changes calls read like every other catalog statement.
+    * An unknown name or a non-manifest table fails loudly (falling
+    * back to treat-as-path would mistype a typo as an empty log). */
+  private def resolveRoot(e: Expression, fn: String): String = {
+    val s = str(e, fn)
+    if (s.contains("/")) s
+    else {
+      val spark = SparkSession.active
+      val cat = spark.sessionState.catalog
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(s)
+      require(cat.tableExists(ident),
+        s"$fn: '$s' is neither a path (no '/') nor a catalog table")
+      val meta = cat.getTableMetadata(ident)
+      require(meta.provider.exists(_.equalsIgnoreCase("graft.manifest")),
+        s"$fn: table '$s' is not a graft.manifest table " +
+          s"(provider ${meta.provider.getOrElse("?")})")
+      new org.apache.hadoop.fs.Path(meta.location).toString
+    }
+  }
+
   private def lng(e: Expression, fn: String): Long = e match {
     case Literal(v: Int, IntegerType) => v.toLong
     case Literal(v: Long, LongType) => v
@@ -130,14 +154,14 @@ object GraftMaintenance {
       : (String, String, Seq[Expression] => LogicalPlan) =
     (name, usage, args => {
       require(args.length == 1, s"$name(root) takes 1 argument, got ${args.length}")
-      GraftMaintenanceCommand(verb, str(args.head, name), None)
+      GraftMaintenanceCommand(verb, resolveRoot(args.head, name), None)
     })
 
   private def fn2(name: String, verb: String, usage: String)
       : (String, String, Seq[Expression] => LogicalPlan) =
     (name, usage, args => {
       require(args.length == 2, s"$name(root, n) takes 2 arguments, got ${args.length}")
-      GraftMaintenanceCommand(verb, str(args.head, name), Some(lng(args(1), name)))
+      GraftMaintenanceCommand(verb, resolveRoot(args.head, name), Some(lng(args(1), name)))
     })
 
   /** (function name, usage, plan builder) for every maintenance TVF. */
@@ -162,7 +186,7 @@ object GraftMaintenance {
       args => {
         require(args.length == 1,
           s"graft_manifest_history(root) takes 1 argument, got ${args.length}")
-        GraftHistoryCommand(str(args.head, "graft_manifest_history"))
+        GraftHistoryCommand(resolveRoot(args.head, "graft_manifest_history"))
       }),
     ("graft_manifest_changes",
       "graft_manifest_changes(root, fromV, toV) - change-data-feed rows " +
@@ -172,7 +196,7 @@ object GraftMaintenance {
         require(args.length == 3,
           s"graft_manifest_changes(root, fromV, toV) takes 3 arguments, " +
             s"got ${args.length}")
-        val root = str(args.head, "graft_manifest_changes")
+        val root = resolveRoot(args.head, "graft_manifest_changes")
         val fromV = lng(args(1), "graft_manifest_changes")
         val toV = lng(args(2), "graft_manifest_changes")
         // unlike the audit verbs this returns DATA-sized output, so the
@@ -189,7 +213,7 @@ object GraftMaintenance {
       args => {
         require(args.length == 3,
           s"graft_manifest_cluster(root, byCol, nSegments) takes 3 arguments, got ${args.length}")
-        GraftMaintenanceCommand("cluster", str(args.head, "graft_manifest_cluster"),
+        GraftMaintenanceCommand("cluster", resolveRoot(args.head, "graft_manifest_cluster"),
           Some(lng(args(2), "graft_manifest_cluster")),
           Seq(str(args(1), "graft_manifest_cluster")))
       }),
@@ -199,7 +223,7 @@ object GraftMaintenance {
       args => {
         require(args.length == 4,
           s"graft_manifest_cluster_z(root, colA, colB, nSegments) takes 4 arguments, got ${args.length}")
-        GraftMaintenanceCommand("cluster_z", str(args.head, "graft_manifest_cluster_z"),
+        GraftMaintenanceCommand("cluster_z", resolveRoot(args.head, "graft_manifest_cluster_z"),
           Some(lng(args(3), "graft_manifest_cluster_z")),
           Seq(str(args(1), "graft_manifest_cluster_z"),
             str(args(2), "graft_manifest_cluster_z")))

@@ -183,4 +183,40 @@ class CatalogSpec extends AnyFunSuite {
         s"unexpected: ${e.getMessage}")
     }
   }
+
+  test("maintenance/history/changes TVFs resolve catalog table NAMES; unknown or non-manifest names are loud") {
+    val r = root("cat_tvf__log")
+    withTable("cat_tvf", "cat_plain") {
+      spark.sql(s"CREATE TABLE cat_tvf (id INT, v INT) " +
+        s"USING `graft.manifest` LOCATION '$r'")
+      ManifestTable.setRetainVersions(spark, r, 6)
+      spark.sql("INSERT INTO cat_tvf VALUES (1, 10), (2, 20)")
+      spark.sql("INSERT INTO cat_tvf VALUES (3, 30)")
+      spark.sql("UPDATE cat_tvf SET v = 99 WHERE id = 1")
+      // history by NAME: append, append, dml
+      val kinds = spark.sql("SELECT kind FROM graft_manifest_history('cat_tvf')")
+        .collect().map(_.getString(0)).toSeq
+      assert(kinds == Seq("append", "append", "dml"), kinds.toString)
+      // change feed by NAME: the DML window's pre-image + re-insert
+      val chg = spark.sql(
+        "SELECT _change_type, id, v FROM graft_manifest_changes('cat_tvf', 2, 3)")
+        .collect().map(x => (x.getString(0), x.getInt(1), x.getInt(2))).toSet
+      assert(chg == Set(("delete", 1, 10), ("delete", 2, 20),
+        ("insert", 1, 99), ("insert", 2, 20)), chg.toString)
+      // maintenance by NAME
+      val c = spark.sql("SELECT * FROM graft_manifest_compact('cat_tvf')").collect()
+      assert(c.head.getString(0) == "compact")
+      assert(spark.sql("SELECT count(1) FROM cat_tvf").head().getLong(0) == 3)
+      // loud edges: unknown name; a non-manifest catalog table
+      val e1 = intercept[Exception] {
+        spark.sql("SELECT * FROM graft_manifest_history('cat_nope')").collect()
+      }
+      assert(e1.getMessage.contains("neither a path"), e1.getMessage)
+      Seq((1, 2)).toDF("a", "b").write.saveAsTable("cat_plain")
+      val e2 = intercept[Exception] {
+        spark.sql("SELECT * FROM graft_manifest_history('cat_plain')").collect()
+      }
+      assert(e2.getMessage.contains("not a graft.manifest table"), e2.getMessage)
+    }
+  }
 }
