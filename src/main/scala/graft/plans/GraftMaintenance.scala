@@ -126,22 +126,13 @@ object GraftMaintenance {
     * history/changes calls read like every other catalog statement.
     * An unknown name or a non-manifest table fails loudly (falling
     * back to treat-as-path would mistype a typo as an empty log). */
-  private def resolveRoot(e: Expression, fn: String): String = {
-    val s = str(e, fn)
-    if (s.contains("/")) s
-    else {
-      val spark = SparkSession.active
-      val cat = spark.sessionState.catalog
-      val ident = spark.sessionState.sqlParser.parseTableIdentifier(s)
-      require(cat.tableExists(ident),
-        s"$fn: '$s' is neither a path (no '/') nor a catalog table")
-      val meta = cat.getTableMetadata(ident)
-      require(meta.provider.exists(_.equalsIgnoreCase("graft.manifest")),
-        s"$fn: table '$s' is not a graft.manifest table " +
-          s"(provider ${meta.provider.getOrElse("?")})")
-      new org.apache.hadoop.fs.Path(meta.location).toString
+  private def resolveRoot(e: Expression, fn: String): String =
+    try graft.sources.ManifestSource
+      .resolveTableRoot(SparkSession.active, str(e, fn))
+    catch {
+      case ex: IllegalArgumentException =>
+        throw new IllegalArgumentException(s"$fn: ${ex.getMessage}", ex)
     }
-  }
 
   private def lng(e: Expression, fn: String): Long = e match {
     case Literal(v: Int, IntegerType) => v.toLong

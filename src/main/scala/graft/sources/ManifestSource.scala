@@ -68,15 +68,19 @@ class ManifestSource extends RelationProvider with SchemaRelationProvider
 
   override def shortName(): String = "graft.manifest"
 
-  private def rootOf(parameters: Map[String, String]): String =
-    parameters.get("path").orElse(parameters.get("root")).getOrElse(
-      throw new IllegalArgumentException(
-        "graft.manifest needs a table root: .load(root) or .option(\"path\", root)"))
+  private def rootOf(spark: org.apache.spark.sql.SparkSession,
+      parameters: Map[String, String]): String =
+    ManifestSource.resolveTableRoot(spark,
+      parameters.get("path").orElse(parameters.get("root")).getOrElse(
+        throw new IllegalArgumentException(
+          "graft.manifest needs a table root: .load(root) or " +
+            ".option(\"path\", root) — a path literal, or a catalog " +
+            "table name (no '/')")))
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
-    val root = rootOf(parameters)
+    val root = rootOf(sqlContext.sparkSession, parameters)
     val version = parameters.get("version").map(_.toLong)
     val allowTombstones =
       parameters.get("allowtombstones").orElse(parameters.get("allowTombstones"))
@@ -97,7 +101,7 @@ class ManifestSource extends RelationProvider with SchemaRelationProvider
       parameters: Map[String, String],
       declared: StructType): BaseRelation = {
     val spark = sqlContext.sparkSession
-    val root = rootOf(parameters)
+    val root = rootOf(sqlContext.sparkSession, parameters)
     if (!ManifestTable.exists(spark, root)) {
       val ctx = sqlContext
       new BaseRelation {
@@ -131,7 +135,7 @@ class ManifestSource extends RelationProvider with SchemaRelationProvider
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
     val spark = sqlContext.sparkSession
-    val root = rootOf(parameters)
+    val root = rootOf(sqlContext.sparkSession, parameters)
     def colsOpt(k: String) = parameters.get(k.toLowerCase).orElse(parameters.get(k))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
     val statsCols = colsOpt("statsCols")
@@ -186,7 +190,7 @@ class ManifestSource extends RelationProvider with SchemaRelationProvider
     require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
       s"graft.manifest sink supports Append output mode, got $outputMode " +
         "(aggregate maintenance rides AggView over the log, not sink upserts)")
-    val root = rootOf(parameters)
+    val root = rootOf(sqlContext.sparkSession, parameters)
     def colsOpt(k: String) = parameters.get(k.toLowerCase).orElse(parameters.get(k))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
     new ManifestSink(sqlContext.sparkSession, root, colsOpt("statsCols"),
@@ -235,14 +239,14 @@ class ManifestSource extends RelationProvider with SchemaRelationProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) =
     (shortName(), ManifestSource.streamSchema(sqlContext.sparkSession,
-      rootOf(parameters), changeFeedOf(parameters)))
+      rootOf(sqlContext.sparkSession, parameters), changeFeedOf(parameters)))
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source = {
     val spark = sqlContext.sparkSession
-    val root = rootOf(parameters)
+    val root = rootOf(sqlContext.sparkSession, parameters)
     val changeFeed = changeFeedOf(parameters)
     val declared = schema.getOrElse(
       ManifestSource.streamSchema(spark, root, changeFeed))
@@ -491,6 +495,29 @@ private[sources] class ManifestStreamSource(spark: SparkSession,
 }
 
 object ManifestSource {
+
+  /** Table argument → log root, shared by every name-or-path surface
+    * (batch read/write options, streaming source/sink, the maintenance
+    * TVFs): a string containing `/` is a path literal; anything else
+    * resolves through the session catalog as a `graft.manifest` table
+    * NAME — the name-addressed face `CREATE TABLE` registered. An
+    * unknown name or a non-manifest table fails loudly (treating a
+    * typo as a fresh path would silently read an empty log); a
+    * relative single-word directory is spelled `./name`. */
+  private[graft] def resolveTableRoot(spark: SparkSession, s: String): String =
+    if (s.contains("/")) s
+    else {
+      val cat = spark.sessionState.catalog
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(s)
+      require(cat.tableExists(ident),
+        s"'$s' is neither a path (no '/') nor a catalog table " +
+          "(use './name' for a relative directory)")
+      val meta = cat.getTableMetadata(ident)
+      require(meta.provider.exists(_.equalsIgnoreCase("graft.manifest")),
+        s"table '$s' is not a graft.manifest table " +
+          s"(provider ${meta.provider.getOrElse("?")})")
+      new Path(meta.location).toString
+    }
 
   /** Stream schema = the SQL relation's schema (embedded-metadata
     * resolution, cached) + `_change_type` when the change feed is on.

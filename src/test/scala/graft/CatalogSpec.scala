@@ -184,6 +184,40 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("batch and streaming read/write surfaces resolve catalog table NAMES through the shared resolver") {
+    val r = root("cat_stream__log")
+    val down = root("cat_stream_down__log")
+    withTable("cat_src_t", "cat_down_t") {
+      spark.sql(s"CREATE TABLE cat_src_t (id INT, v INT) " +
+        s"USING `graft.manifest` LOCATION '$r'")
+      spark.sql("INSERT INTO cat_src_t VALUES (1, 10), (2, 20)")
+      // batch read by NAME through the datasource option surface
+      assert(spark.read.format("graft.manifest").load("cat_src_t").count() == 2)
+      // batch write by NAME: one append commit
+      Seq((3, 30)).toDF("id", "v").write.format("graft.manifest")
+        .mode("append").save("cat_src_t")
+      assert(ManifestTable.versions(spark, r).max == 2L)
+      // streaming source by NAME -> sink by NAME (log-to-log by names)
+      spark.sql(s"CREATE TABLE cat_down_t (id INT, v INT) " +
+        s"USING `graft.manifest` LOCATION '$down'")
+      spark.sql(s"INSERT INTO cat_down_t VALUES (0, 0)") // born committed
+      val cp = java.nio.file.Files.createTempDirectory("cat_stream_cp").toString
+      val q = spark.readStream.format("graft.manifest").load("cat_src_t")
+        .writeStream.format("graft.manifest")
+        .option("checkpointLocation", cp)
+        .option("path", "cat_down_t")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000))
+      assert(spark.sql("SELECT count(1) FROM cat_down_t").head().getLong(0) == 4)
+      // a name that is not in the catalog is loud on the stream face too
+      val e = intercept[Exception] {
+        spark.readStream.format("graft.manifest").load("cat_nope_t")
+      }
+      assert(e.getMessage.contains("neither a path"), e.getMessage)
+    }
+  }
+
   test("maintenance/history/changes TVFs resolve catalog table NAMES; unknown or non-manifest names are loud") {
     val r = root("cat_tvf__log")
     withTable("cat_tvf", "cat_plain") {
