@@ -64,6 +64,24 @@ object DmlBench {
       require(rc.segmentsRewritten == 1,
         s"point update must rewrite exactly 1 segment, got $rc")
     }
+    // point MERGE: dynamic target pruning from the ON-clause keys must
+    // open O(admitting segments) in the match scan, not the table —
+    // the join-based MERGE's equivalent of the DELETE/UPDATE predicate
+    // pruning above
+    val mrgMs = timeMs {
+      val srcDf = Seq((mid + 20L, -5L)).toDF("id", "nv")
+      val rc = graft.io.ManifestDml.mergeInto(spark, root, srcDf,
+        col("__t.id") === col("__s.id"),
+        matched = Seq(graft.io.ManifestDml.MergeUpdate(None,
+          Seq("v" -> col("__s.nv")))),
+        notMatched = Seq(graft.io.ManifestDml.MergeInsert(None,
+          Seq("id" -> col("__s.id"), "v" -> col("__s.nv")))),
+        notMatchedBySource = Nil)
+      require(rc.segmentsRewritten == 1,
+        s"point merge must rewrite exactly 1 segment, got $rc")
+    }
+    val mergeCandidates = graft.sources.ManifestSource.lastListedSegments.size
+
     // broad UPDATE: one matching row in EVERY segment (id % rowsPerSeg
     // is unprunable by the id zone maps), so all n segments rewrite
     // 1:1 — the planning + sidecar-regeneration shape at wide touch
@@ -80,8 +98,9 @@ object DmlBench {
     }
     println(s"""{"segments":$n,"rows":${n.toLong * rowsPerSeg},""" +
       s""""point_delete_ms":$delMs,"candidates_scanned":$candidates,""" +
-      s""""point_update_ms":$updMs,"broad_update_ms":$broadMs,""" +
-      s""""full_rewrite_ms":$fullMs}""")
+      s""""point_update_ms":$updMs,"point_merge_ms":$mrgMs,""" +
+      s""""merge_candidates_scanned":$mergeCandidates,""" +
+      s""""broad_update_ms":$broadMs,"full_rewrite_ms":$fullMs}""")
     graft.io.ManifestTable.destroy(spark, root)
     spark.stop()
   }

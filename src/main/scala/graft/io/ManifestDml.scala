@@ -413,11 +413,17 @@ object ManifestDml {
     val src = source.localCheckpoint()
     try {
       val segCol = segOf(f, p)
+      // dynamic target pruning from the ON clause's equality keys:
+      // the filter reaches the relation as a pushed predicate, so the
+      // manifest's zone maps / Bloom sidecars prune whole segments
+      // before the join reads anything
+      val prunedT = mergePruneCond(spark, src, cond)
+        .map(tdf.filter).getOrElse(tdf)
 
       // ---- phase 1: matched segments + cardinality (one inner join) ----
       // __seg/__tid are projected on the TARGET side before the join
       // (input_file_name must never evaluate post-join)
-      val t1 = tdf.withColumn("__seg", segCol)
+      val t1 = prunedT.withColumn("__seg", segCol)
         .withColumn("__tid", monotonically_increasing_id()).alias("__t")
       val perSeg = t1.join(src.alias("__s"), cond, "inner")
         .groupBy(col("__tid")).agg(count(lit(1)).as("c"), first("__seg").as("s"))
@@ -491,7 +497,10 @@ object ManifestDml {
         DmlReceipt(touched.size, rowsMatched)
       } else {
         // insert-only (or nothing-to-do) merge: plain append commit
-        val ins = src.alias("__s").join(tdf.alias("__t"), cond, "left_anti")
+        // (the anti-join's target side prunes identically: rows outside
+        // the source key set can't match, so dropping them changes no
+        // anti-join answer)
+        val ins = src.alias("__s").join(prunedT.alias("__t"), cond, "left_anti")
         val insCols = tFields.map { fd =>
           chainVal(notMatched, fd, lit(null), n => lit(null))
             .cast(fd.dataType).as(fd.name)
@@ -507,6 +516,74 @@ object ManifestDml {
         DmlReceipt(0, rowsMatched)
       }
     } finally graft.core.Lineage.release(src)
+  }
+
+  /** Dynamic target pruning for MERGE: every `__t.c = __s.k` conjunct
+    * of the ON clause bounds the matchable target rows by the SOURCE's
+    * key set — collect it (small sources: an IN-list the relation's
+    * Bloom/IN-list segment pruning eats; larger: min/max range for the
+    * zone maps) and pre-filter the match scan. A point MERGE on a
+    * clustered 100 TB log then opens O(admitting segments), not the
+    * table — the join itself can never ask Catalyst for that pruning
+    * (the lakehouse "dynamic file pruning" every join-based MERGE
+    * needs). Sound because an equality conjunct cannot match outside
+    * the source's key set (NULL keys match nothing on either side).
+    * The source is already checkpointed, so the key-collection job is
+    * O(source) on materialized rows. */
+  private def mergePruneCond(spark: SparkSession, src: DataFrame,
+      cond: Column): Option[Column] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute,
+      UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+    // the SQL rebase hands resolved-class nodes (And/EqualTo over
+    // Seq(__t, c) attributes); the typed API hands UNresolved function
+    // nodes ('and, '= over one unparsed "__t.c" part) — match both
+    def fnName(f: UnresolvedFunction): String =
+      f.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+    def conjuncts(x: Expression): Seq[Expression] = x match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case f: UnresolvedFunction
+          if fnName(f) == "and" && f.arguments.length == 2 =>
+        conjuncts(f.arguments(0)) ++ conjuncts(f.arguments(1))
+      case o => Seq(o)
+    }
+    def side(e: Expression): Option[(String, String)] = e match {
+      case u: UnresolvedAttribute =>
+        u.nameParts.flatMap(_.split("\\.")) match {
+          case Seq(q, c) if q == "__t" || q == "__s" => Some((q, c))
+          case _ => None
+        }
+      case _ => None
+    }
+    def eqPair(a: Expression, b: Expression): Option[(String, String)] =
+      (side(a), side(b)) match {
+        case (Some(("__t", tc)), Some(("__s", sc))) => Some((tc, sc))
+        case (Some(("__s", sc)), Some(("__t", tc))) => Some((tc, sc))
+        case _ => None
+      }
+    val pairs = conjuncts(
+      org.apache.spark.sql.GraftColumnBridge.catalystExpression(cond))
+      .flatMap {
+        case EqualTo(a, b) => eqPair(a, b)
+        case f: UnresolvedFunction
+            if (fnName(f) == "=" || fnName(f) == "==") &&
+              f.arguments.length == 2 =>
+          eqPair(f.arguments(0), f.arguments(1))
+        case _ => None
+      }
+    val MaxInList = 1000
+    val preds = pairs.flatMap { case (tc, sc) =>
+      val ks = src.select(col(sc).as("__k")).filter(col("__k").isNotNull)
+        .distinct().limit(MaxInList + 1).collect().map(_.get(0))
+      if (ks.isEmpty) Some(lit(false)) // no non-null keys: nothing matches
+      else if (ks.length <= MaxInList) Some(col(tc).isin(ks.toSeq: _*))
+      else {
+        val mm = src.agg(min(col(sc)), max(col(sc))).head()
+        if (mm.isNullAt(0)) None
+        else Some(col(tc) >= lit(mm.get(0)) && col(tc) <= lit(mm.get(1)))
+      }
+    }
+    preds.reduceOption(_ && _)
   }
 
   /** One MERGE action: the `cond`-gated UPDATE SET / DELETE /

@@ -651,6 +651,37 @@ class DmlSpec extends AnyFunSuite {
     } finally ManifestTable.commitStrategy = prev
   }
 
+  test("MERGE dynamic target pruning: a point merge's match scan opens only the admitting segment") {
+    val r = root("dml_merge_prune")
+    threeSegs(r) // zone maps + blooms on id, ranges [0,100),[100,200),[200,300)
+    Seq((150, -1L), (151, -2L)).toDF("id", "nv")
+      .createOrReplaceTempView("merge_prune_src")
+    val rc = spark.sql(
+      s"MERGE INTO `graft.manifest`.`$r` t USING merge_prune_src s " +
+        "ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = s.nv " +
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.nv)").collect()
+    assert(rc.head.getInt(1) == 1 && rc.head.getLong(2) == 2L)
+    // the ON-clause key set pruned the match scan to ONE segment —
+    // without dynamic pruning the join would list all three
+    assert(graft.sources.ManifestSource.lastListedSegments.size == 1,
+      s"match scan listed ${graft.sources.ManifestSource.lastListedSegments}")
+    val out = ManifestTable.read(spark, r)
+    assert(out.filter(col("id") === 150).select("v").as[Long].head() == -1L)
+    assert(out.count() == 300)
+    // insert-only merge takes the same pruned anti-join
+    Seq((150, 0L), (999, 9990L)).toDF("id", "nv")
+      .createOrReplaceTempView("merge_prune_src2")
+    val rc2 = spark.sql(
+      s"MERGE INTO `graft.manifest`.`$r` t USING merge_prune_src2 s " +
+        "ON t.id = s.id " +
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.nv)").collect()
+    assert(rc2.head.getString(0) == "merge")
+    assert(ManifestTable.read(spark, r).filter(col("id") === 999).count() == 1)
+    assert(ManifestTable.read(spark, r).count() == 301)
+    spark.catalog.dropTempView("merge_prune_src")
+    spark.catalog.dropTempView("merge_prune_src2")
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION: star actions graft source-only columns, untouched segments read NULL additively") {
     val r = root("dml_merge_evolve")
     ManifestTable.append(spark, r, Seq((1, 10), (2, 20)).toDF("id", "v"),
