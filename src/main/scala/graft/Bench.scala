@@ -33,6 +33,13 @@ object Bench {
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // per-process warehouse: Bench must never share fixture/managed-
+      // table roots with a concurrently-running Verify on this host
+      // (the r15 driver artifact lost the fixture-writing query family
+      // to exactly such a collision)
+      .config("spark.sql.warehouse.dir", java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft_wh_bench_${ProcessHandle.current().pid()}").toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

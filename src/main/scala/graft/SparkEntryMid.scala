@@ -1275,9 +1275,21 @@ trait SparkEntryMid extends SparkEntryBase {
   // surface, exercised end-to-end through temp files)
   // ======================================================================
 
+  /** Per-JVM fixture namespace. Two engine processes on one host (the
+    * driver runs Bench and Verify against the same testdata; a user
+    * runs two sessions) must never share fixture directories — r15's
+    * driver artifact lost exactly the fixture-WRITING query family
+    * while every pure-read query stayed green, the signature of a
+    * concurrent process clobbering `/tmp/graft_verify/<name>` and the
+    * shared warehouse dir mid-query. The pid suffix makes every
+    * fixture root hermetic per process; within a JVM it is constant,
+    * so two-phase queries (checkpoint restarts) still resume. */
+  private[graft] val jvmFixtureToken: String =
+    "p" + ProcessHandle.current().pid()
+
   private[graft] def tmpDir(name: String): String = {
     val p = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_verify", name)
+      sys.props("java.io.tmpdir"), s"graft_verify_$jvmFixtureToken", name)
     org.apache.hadoop.fs.FileUtil.fullyDelete(p.toFile)
     p.toString
   }

@@ -1364,7 +1364,7 @@ trait SparkEntryOracle extends SparkEntryTail {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_lakehouse" ->
       """SELECT event_type, count(*) AS cnt,
-        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "dq_fk" ->
       """SELECT rule, (SELECT count(*) FROM lineitem) AS n_rows,
@@ -1391,11 +1391,11 @@ trait SparkEntryOracle extends SparkEntryTail {
         |)
         |SELECT * FROM (
         |  SELECT 'total' AS section, event_type, count(*) AS cnt,
-        |         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |         CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         |  FROM kept GROUP BY event_type
         |  UNION ALL
         |  SELECT 'window', event_type, count(*),
-        |         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |         CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
         |  FROM kept
         |  WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'
         |    AND ts <= TIMESTAMP '2024-01-15 23:59:59.999999'
@@ -2204,19 +2204,19 @@ trait SparkEntryOracle extends SparkEntryTail {
     // a hash match proves the mechanism is result-invisible.
     "manifest_timetravel" ->
       """SELECT event_type, count(*) AS cnt,
-        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         |FROM events WHERE event_id % 3 <= 1
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "manifest_skipping" ->
       """SELECT event_type, count(*) AS cnt,
-        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'
         |  AND ts <= TIMESTAMP '2024-01-15 23:59:59.999999'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "manifest_sql" ->
       """SELECT event_type, count(*) AS cnt,
-        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'
         |  AND ts <= TIMESTAMP '2024-01-15 23:59:59.999999'
@@ -2230,18 +2230,18 @@ trait SparkEntryOracle extends SparkEntryTail {
       """SELECT CASE WHEN event_id % 2 = 1 THEN event_type
         |            ELSE '_pre_evolution' END AS etype,
         |       count(*) AS cnt,
-        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "manifest_incr_agg" ->
       """SELECT event_type, count(*) AS cnt,
-        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value,
         |       round(min(value), 4) AS min_value,
         |       round(max(value), 4) AS max_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "manifest_changefeed" ->
       """SELECT * FROM (
         |  SELECT 'insert' AS change_type, event_type AS etype, count(*) AS cnt,
-        |         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |         CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         |  FROM events WHERE event_id % 4 = 2 GROUP BY event_type
         |  UNION ALL
         |  SELECT 'delete', '_del', count(*), CAST(NULL AS DOUBLE)
@@ -2249,45 +2249,45 @@ trait SparkEntryOracle extends SparkEntryTail {
         |) ORDER BY change_type, etype""".stripMargin,
     "manifest_optimize" ->
       """SELECT event_type, count(*) AS cnt,
-        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value,
         |       (SELECT count(*) FROM events) AS total_rows
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "manifest_cluster" ->
       """SELECT event_type, count(*) AS cnt,
-        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'
         |  AND ts <= TIMESTAMP '2024-01-15 23:59:59.999999'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "manifest_cf_view" ->
       """SELECT CAST(user_id AS BIGINT) % 100 AS user_bucket, count(*) AS cnt,
-        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_sink_manifest" ->
       """SELECT event_type, count(*) AS cnt,
-        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "manifest_stream_source" ->
       """SELECT event_type, count(*) AS cnt,
-        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "manifest_version_asof" ->
       """SELECT * FROM (
         |  SELECT 'head' AS section, event_type, count(*) AS cnt,
-        |         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |         CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         |  FROM events GROUP BY event_type
         |  UNION ALL
         |  SELECT 'ts_fence', event_type, count(*),
-        |         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |         CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
         |  FROM events WHERE event_id % 3 <= 1 GROUP BY event_type
         |  UNION ALL
         |  SELECT 'v2', event_type, count(*),
-        |         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |         CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
         |  FROM events WHERE event_id % 3 <= 1 GROUP BY event_type
         |) ORDER BY section, event_type""".stripMargin,
     "manifest_insert_sql" ->
       """SELECT event_type, count(*) AS cnt,
-        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "manifest_maint_sql" ->
       """SELECT * FROM (
@@ -2300,15 +2300,25 @@ trait SparkEntryOracle extends SparkEntryTail {
         |) ORDER BY action""".stripMargin,
     "manifest_dml_sql" ->
       """SELECT event_type, count(*) AS cnt,
-        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         |FROM (
         |  SELECT event_type,
         |         CASE WHEN event_type = 'click' THEN value * 2 ELSE value END AS value
         |  FROM events WHERE event_id % 5 <> 2
         |) GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "manifest_alter_sql" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       count(CASE WHEN event_id % 2 = 1 THEN value END) AS with_value,
+        |       CAST(round(sum(CASE WHEN event_id % 2 = 1
+        |                           THEN CAST(value AS DECIMAL(18,6)) END), 4)
+        |            AS DOUBLE) AS sum_value,
+        |       count(CASE WHEN event_id % 2 = 1 THEN 'new' END) AS with_note,
+        |       count(CASE WHEN event_id % 2 = 1 AND event_id % 4 = 1
+        |                  THEN 1 END) AS n_flagged
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "manifest_named_sql" ->
       """SELECT event_type, count(*) AS cnt,
-        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         |FROM (
         |  SELECT event_type,
         |         CASE WHEN event_id % 5 <> 2 AND event_id % 3 = 0 THEN value * 3
@@ -2331,7 +2341,7 @@ trait SparkEntryOracle extends SparkEntryTail {
         |       FROM s WHERE s.event_id NOT IN (SELECT event_id FROM t)
         |     )
         |SELECT event_type, count(*) AS cnt,
-        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin,
     "manifest_changes_sql" ->
       """WITH e AS (SELECT event_id, event_type, value FROM events),
@@ -2348,7 +2358,7 @@ trait SparkEntryOracle extends SparkEntryTail {
         |       SELECT 'insert', event_type, value FROM e WHERE event_id % 4 = 2
         |     )
         |SELECT change_type, event_type AS etype, count(*) AS cnt,
-        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         |FROM feed GROUP BY 1, 2 ORDER BY change_type, etype""".stripMargin,
     "manifest_merge_evolve" ->
       """WITH t AS (SELECT event_id, event_type FROM events WHERE event_id % 3 = 0),
@@ -2364,19 +2374,19 @@ trait SparkEntryOracle extends SparkEntryTail {
         |       FROM s WHERE s.event_id NOT IN (SELECT event_id FROM t)
         |     )
         |SELECT event_type, count(*) AS cnt, count(value) AS with_value,
-        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin,
     "manifest_nested_update" ->
       """SELECT CASE WHEN event_id % 10 = 0 THEN 'boosted' ELSE event_type END AS kind,
         |       count(*) AS cnt,
-        |       round(CAST(sum(CAST(CASE WHEN event_id % 10 = 0 THEN value * 2
-        |                                ELSE value END AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |       CAST(round(sum(CAST(CASE WHEN event_id % 10 = 0 THEN value * 2
+        |                                ELSE value END AS DECIMAL(18,6))), 4) AS DOUBLE)
         |         AS sum_amount
         |FROM events WHERE event_id % 5 = 0
         |GROUP BY 1 ORDER BY kind""".stripMargin,
     "manifest_evolve_sql" ->
       """SELECT event_type, count(*) AS cnt,
-        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         |FROM (
         |  SELECT CASE WHEN event_id % 2 = 1 THEN event_type
         |              ELSE 'backfilled' END AS event_type,
@@ -2385,9 +2395,9 @@ trait SparkEntryOracle extends SparkEntryTail {
         |) GROUP BY event_type ORDER BY event_type""".stripMargin,
     "manifest_dml_view" ->
       """SELECT event_type, count(*) AS cnt,
-        |       round(CAST(sum(CAST(
+        |       CAST(round(sum(CAST(
         |         CASE WHEN event_type = 'view' THEN value * 2 ELSE value END
-        |         AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_v
+        |         AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_v
         |FROM events WHERE event_id % 9 <> 4
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "manifest_history_sql" ->
@@ -2403,11 +2413,11 @@ trait SparkEntryOracle extends SparkEntryTail {
       """SELECT CAST(event_id % 2 AS INT) AS y,
         |       CAST(EXTRACT(day FROM ts) % 3 AS INT) AS m,
         |       count(*) AS cnt,
-        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "manifest_retract_view" ->
       """SELECT event_type, count(*) AS cnt,
-        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         |FROM events WHERE event_id % 7 <> 3
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "simsearch_pq_adc" -> simsearchPqAdcSql,

@@ -2012,8 +2012,11 @@ trait SparkEntryTail extends SparkEntryMid {
     new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"), name).toString
 
+  // Round IN the decimal domain, THEN cast: exact HALF_UP in both Spark
+  // and DuckDB, so no binary-double rounding tie can diverge the oracle
+  // hash (the r15 stream_lakehouse flake class).
   private def decSum: Column =
-    round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4)
+    round(sum(col("value").cast("decimal(18,6)")), 4).cast("double")
 
   /** Time travel on the [[graft.io.ManifestTable]] log: events are
     * appended in three commits (event_id mod 3 = 0, 1, 2 → manifest
@@ -2094,7 +2097,7 @@ trait SparkEntryTail extends SparkEntryMid {
       .createOrReplaceTempView("manifest_sql_events")
     s.sql("""
       SELECT event_type, count(1) AS cnt,
-             round(cast(sum(cast(value AS decimal(18,6))) AS double), 4) AS sum_value
+             cast(round(sum(cast(value AS decimal(18,6))), 4) AS double) AS sum_value
       FROM manifest_sql_events
       WHERE ts >= timestamp'2024-01-11 00:00:00'
         AND ts <= timestamp'2024-01-15 23:59:59.999999'
@@ -2150,7 +2153,7 @@ trait SparkEntryTail extends SparkEntryMid {
     AggView.ingest(s, root, ev.filter(pmod(col("event_id"), lit(3)) === 2), spec)
     AggView.read(s, root, spec)
       .select(col("event_type"), col("cnt"),
-        round(col("sum_dec").cast("double"), 4).as("sum_value"),
+        round(col("sum_dec"), 4).cast("double").as("sum_value"),
         round(col("min_value"), 4).as("min_value"),
         round(col("max_value"), 4).as("max_value"))
       .orderBy("event_type")
@@ -2189,7 +2192,7 @@ trait SparkEntryTail extends SparkEntryMid {
     s.sql(s"""
       SELECT _change_type AS change_type, event_type AS etype,
              count(1) AS cnt,
-             round(cast(sum(cast(value AS decimal(18,6))) AS double), 4) AS sum_value
+             cast(round(sum(cast(value AS decimal(18,6))), 4) AS double) AS sum_value
       FROM graft_manifest_changes('$root', $pinned, $head)
       GROUP BY _change_type, event_type
       ORDER BY change_type, etype""")
@@ -2312,7 +2315,7 @@ trait SparkEntryTail extends SparkEntryMid {
       "third sync must be a cursor no-op at base head 3")
     AggView.read(s, view, spec)
       .select(col("user_bucket"), col("cnt"),
-        round(col("sum_dec").cast("double"), 4).as("sum_value"))
+        round(col("sum_dec"), 4).cast("double").as("sum_value"))
       .orderBy("user_bucket")
   }
 
@@ -2346,7 +2349,7 @@ trait SparkEntryTail extends SparkEntryMid {
     AggView.read(s, view, spec)
       .filter(col("cnt") > 0) // SQL GROUP BY parity for all-deleted groups
       .select(col("event_type"), col("cnt"),
-        round(col("sum_dec").cast("double"), 4).as("sum_value"))
+        round(col("sum_dec"), 4).cast("double").as("sum_value"))
       .orderBy("event_type")
   }
 
@@ -2420,7 +2423,7 @@ trait SparkEntryTail extends SparkEntryMid {
       .createOrReplaceTempView("stream_sink_events")
     s.sql("""
       SELECT event_type, count(1) AS cnt,
-             round(cast(sum(cast(value AS decimal(18,6))) AS double), 4) AS sum_value
+             cast(round(sum(cast(value AS decimal(18,6))), 4) AS double) AS sum_value
       FROM stream_sink_events
       GROUP BY event_type
       ORDER BY event_type""")
@@ -2477,7 +2480,7 @@ trait SparkEntryTail extends SparkEntryMid {
       s"restarted run must ingest only the unseen files: $run2 vs $half")
     AggView.read(s, view, spec)
       .select(col("event_type"), col("cnt"),
-        round(col("sum_dec").cast("double"), 4).as("sum_value"))
+        round(col("sum_dec"), 4).cast("double").as("sum_value"))
       .orderBy("event_type")
   }
 
@@ -2570,7 +2573,7 @@ trait SparkEntryTail extends SparkEntryMid {
     ManifestTable.cluster(s, base, "ts", 6)
     val total = AggView.read(s, view, spec)
       .select(lit("total").as("section"), col("event_type"), col("cnt"),
-        round(col("sum_dec").cast("double"), 4).as("sum_value"))
+        round(col("sum_dec"), 4).cast("double").as("sum_value"))
     val window = ManifestTable.readRange(s, base, "ts",
         Some(java.sql.Timestamp.valueOf("2024-01-11 00:00:00")),
         Some(java.sql.Timestamp.valueOf("2024-01-15 23:59:59.999999")))
@@ -2618,7 +2621,7 @@ trait SparkEntryTail extends SparkEntryMid {
       .createOrReplaceTempView("msrc_events")
     s.sql("""
       SELECT event_type, count(1) AS cnt,
-             round(cast(sum(cast(value AS decimal(18,6))) AS double), 4) AS sum_value
+             cast(round(sum(cast(value AS decimal(18,6))), 4) AS double) AS sum_value
       FROM msrc_events
       GROUP BY event_type
       ORDER BY event_type""")
@@ -2647,7 +2650,7 @@ trait SparkEntryTail extends SparkEntryMid {
     ManifestTable.append(s, root, batch(2))
     def agg(section: String, suffix: String) = s"""
       SELECT '$section' AS section, event_type, count(1) AS cnt,
-             round(cast(sum(cast(value AS decimal(18,6))) AS double), 4) AS sum_value
+             cast(round(sum(cast(value AS decimal(18,6))), 4) AS double) AS sum_value
       FROM `graft.manifest`.`$root`$suffix
       GROUP BY event_type"""
     s.sql(s"""
@@ -2680,7 +2683,7 @@ trait SparkEntryTail extends SparkEntryMid {
       "each INSERT must be exactly one manifest commit")
     s.sql(s"""
       SELECT event_type, count(1) AS cnt,
-             round(cast(sum(cast(value AS decimal(18,6))) AS double), 4) AS sum_value
+             cast(round(sum(cast(value AS decimal(18,6))), 4) AS double) AS sum_value
       FROM `graft.manifest`.`$root`
       GROUP BY event_type
       ORDER BY event_type""")
@@ -2738,7 +2741,7 @@ trait SparkEntryTail extends SparkEntryMid {
       .createOrReplaceTempView("nested_part_events")
     s.sql("""
       SELECT y, m, count(1) AS cnt,
-             round(cast(sum(cast(value AS decimal(18,6))) AS double), 4) AS sum_value
+             cast(round(sum(cast(value AS decimal(18,6))), 4) AS double) AS sum_value
       FROM nested_part_events
       GROUP BY y, m
       ORDER BY y, m""")
@@ -2774,7 +2777,7 @@ trait SparkEntryTail extends SparkEntryMid {
       Seq(("update", 3)), s"unexpected UPDATE receipt: ${upd.toSeq}")
     s.sql(s"""
       SELECT event_type, count(1) AS cnt,
-             round(cast(sum(cast(value AS decimal(18,6))) AS double), 4) AS sum_value
+             cast(round(sum(cast(value AS decimal(18,6))), 4) AS double) AS sum_value
       FROM `graft.manifest`.`$root`
       GROUP BY event_type
       ORDER BY event_type""")
@@ -2826,11 +2829,53 @@ trait SparkEntryTail extends SparkEntryMid {
     require(mrg == ("merge", 2), s"unexpected MERGE receipt: $mrg")
     val out = s.sql("""
       SELECT event_type, count(1) AS cnt,
-             round(cast(sum(cast(value AS decimal(18,6))) AS double), 4) AS sum_value
+             cast(round(sum(cast(value AS decimal(18,6))), 4) AS double) AS sum_value
       FROM graft_named_lt
       GROUP BY event_type
       ORDER BY event_type""").localCheckpoint()
     s.sql("DROP TABLE graft_named_lt")
+    out
+  }
+
+  /** `ALTER TABLE … ADD COLUMN(S)` — the DDL verb a warehouse user
+    * types first (reference posture: everything-through-SQL,
+    * `locopy/database.py:131-190`), routed onto the log's additive-
+    * evolution commit ([[graft.io.ManifestTable.addColumns]]: ONE
+    * empty schema-carrying segment, zero data rewrite). Exercised on
+    * BOTH addressing faces — by catalog name (catalog schema synced,
+    * so the post-ALTER INSERT coerces against the evolved shape) and
+    * by path. Pre-ALTER rows read NULL in the added columns; the
+    * oracle replays that split relationally. */
+  private[graft] def manifestAlterSql(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.ManifestTable
+    val root = manifestRoot(s, "graft_alterq__log")
+    ManifestTable.destroy(s, root)
+    s.sql("DROP TABLE IF EXISTS graft_alter_lt")
+    t(s, dir, "events").select("event_id", "event_type", "value")
+      .createOrReplaceTempView("alter_src_events")
+    s.sql(s"""
+      CREATE TABLE graft_alter_lt USING `graft.manifest` LOCATION '$root'
+      AS SELECT event_id, event_type FROM alter_src_events
+         WHERE event_id % 2 = 0""")
+    val rc = s.sql(
+      "ALTER TABLE graft_alter_lt ADD COLUMNS (value DOUBLE, note STRING)")
+      .collect()
+    require(rc.toSeq.map(r => (r.getString(0), r.getInt(1))) ==
+      Seq(("alter", 2)), s"unexpected ALTER receipt: ${rc.toSeq}")
+    // the path face takes the same verb
+    s.sql(s"ALTER TABLE `graft.manifest`.`$root` ADD COLUMN (flag BOOLEAN)")
+    s.sql("""
+      INSERT INTO graft_alter_lt
+      SELECT event_id, event_type, value, 'new', event_id % 4 = 1
+      FROM alter_src_events WHERE event_id % 2 = 1""")
+    val out = s.sql("""
+      SELECT event_type, count(1) AS cnt, count(value) AS with_value,
+             cast(round(sum(cast(value AS decimal(18,6))), 4) AS double) AS sum_value,
+             count(note) AS with_note, count_if(flag) AS n_flagged
+      FROM graft_alter_lt
+      GROUP BY event_type
+      ORDER BY event_type""").localCheckpoint()
+    s.sql("DROP TABLE graft_alter_lt")
     out
   }
 
@@ -2865,7 +2910,7 @@ trait SparkEntryTail extends SparkEntryMid {
     require(upd.head.getLong(2) == even, s"backfill receipt: ${upd.toSeq}")
     s.sql(s"""
       SELECT event_type, count(1) AS cnt,
-             round(cast(sum(cast(value AS decimal(18,6))) AS double), 4) AS sum_value
+             cast(round(sum(cast(value AS decimal(18,6))), 4) AS double) AS sum_value
       FROM `graft.manifest`.`$root`
       GROUP BY event_type
       ORDER BY event_type""")
@@ -2931,7 +2976,7 @@ trait SparkEntryTail extends SparkEntryMid {
     AggView.read(s, view, spec)
       .filter(col("cnt") > 0)
       .select(col("event_type"), col("cnt"),
-        round(col("sum_v").cast("double"), 4).as("sum_v"))
+        round(col("sum_v"), 4).cast("double").as("sum_v"))
       .orderBy("event_type")
   }
 
@@ -2974,7 +3019,7 @@ trait SparkEntryTail extends SparkEntryMid {
       s"unexpected MERGE receipt: ${rc.toSeq}")
     s.sql(s"""
       SELECT event_type, count(1) AS cnt, count(value) AS with_value,
-             round(cast(sum(cast(value AS decimal(18,6))) AS double), 4) AS sum_value
+             cast(round(sum(cast(value AS decimal(18,6))), 4) AS double) AS sum_value
       FROM `graft.manifest`.`$root`
       GROUP BY event_type
       ORDER BY event_type""")
@@ -3003,7 +3048,7 @@ trait SparkEntryTail extends SparkEntryMid {
       s"unexpected UPDATE receipt: ${rc.toSeq}")
     s.sql(s"""
       SELECT payload.kind AS kind, count(1) AS cnt,
-             round(cast(sum(cast(payload.amount AS decimal(18,6))) AS double), 4) AS sum_amount
+             cast(round(sum(cast(payload.amount AS decimal(18,6))), 4) AS double) AS sum_amount
       FROM `graft.manifest`.`$root`
       GROUP BY payload.kind
       ORDER BY kind""")
@@ -3035,7 +3080,7 @@ trait SparkEntryTail extends SparkEntryMid {
       Seq(("merge", 1)), s"unexpected MERGE receipt: ${rc.toSeq}")
     s.sql(s"""
       SELECT event_type, count(1) AS cnt,
-             round(cast(sum(cast(value AS decimal(18,6))) AS double), 4) AS sum_value
+             cast(round(sum(cast(value AS decimal(18,6))), 4) AS double) AS sum_value
       FROM `graft.manifest`.`$root`
       GROUP BY event_type
       ORDER BY event_type""")

@@ -16,6 +16,13 @@ object Verify {
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // per-process warehouse: a concurrently-running Bench/Verify on
+      // the same host must never share fixture/managed-table roots
+      // (the r15 driver artifact lost exactly the fixture-writing
+      // query family to such a collision)
+      .config("spark.sql.warehouse.dir", java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft_wh_verify_${ProcessHandle.current().pid()}").toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -24,11 +31,23 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (only.forall(_.contains(name)))
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      if (only.forall(_.contains(name))) {
+        val t0 = System.nanoTime()
+        // one retry: a first-attempt failure from transient state
+        // (fixture races, flaky checkpoint IO) must not cost the
+        // round's correctness row for the query
+        def attempt(n: Int): Unit =
+          try {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            System.err.println(
+              f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs" +
+                (if (n > 1) s" (attempt $n)" else ""))
+          } catch { case e: Throwable =>
+            System.err.println(s"[verify] $name attempt $n failed: $e")
+            if (n == 1) attempt(2) else e.printStackTrace()
+          }
+        attempt(1)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

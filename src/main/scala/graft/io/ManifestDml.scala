@@ -245,13 +245,16 @@ object ManifestDml {
     * present, byte-identical) touched segments — sound because
     * [[stableCond]] pinned the condition to one deterministic
     * evaluation; the lost attempt's placed dirs are unreferenced
-    * orphans the next maintenance GC collects. A DISJOINT-segment DML
-    * interleaver also passes the validation (the two rewrites
-    * serialize cleanly), but concurrent REWRITE-class writers keep the
-    * log's single-writer-maintenance assumption for GC: the winner's
-    * collection pass could race the loser's re-placement, so run
-    * DML/compact/cluster writers one at a time and let appends be the
-    * unlimited-concurrency path. */
+    * orphans the next maintenance GC collects (after [[ManifestTable
+    * .gcGraceMs]]). A DISJOINT-segment DML interleaver also passes the
+    * validation (the two rewrites serialize cleanly), and the GC
+    * grace window means neither a concurrent APPEND's in-flight
+    * segment nor the loser's fresh re-placement can be collected by
+    * the winner's pass — appends are fully safe concurrent with any
+    * one rewrite-class verb. Concurrent rewrite-class writers racing
+    * EACH OTHER remain a single-writer recommendation: a loser
+    * mid-read of segments the winner just retired fails loudly and
+    * re-runs; nothing is ever silently lost. */
   private def swapRetrying(spark: SparkSession, root: String, v: Long,
       touched: Seq[String], kept: DataFrame, partBy: Seq[String],
       metas: Map[String, ManifestTable.SegMeta],
@@ -573,15 +576,31 @@ object ManifestDml {
       }
     val MaxInList = 1000
     val preds = pairs.flatMap { case (tc, sc) =>
-      val ks = src.select(col(sc).as("__k")).filter(col("__k").isNotNull)
-        .distinct().limit(MaxInList + 1).collect().map(_.get(0))
-      if (ks.isEmpty) Some(lit(false)) // no non-null keys: nothing matches
-      else if (ks.length <= MaxInList) Some(col(tc).isin(ks.toSeq: _*))
-      else {
-        val mm = src.agg(min(col(sc)), max(col(sc))).head()
-        if (mm.isNullAt(0)) None
-        else Some(col(tc) >= lit(mm.get(0)) && col(tc) <= lit(mm.get(1)))
+      // prune predicates are literal-valued (isin / min-max range), so
+      // only ATOMIC key types qualify — a struct/array/map ON key is a
+      // perfectly valid join key but functions.lit would throw at
+      // planning; such keys simply contribute no prune (the MERGE
+      // stays correct, it just scans unpruned on that conjunct)
+      val atomicKey = scala.util.Try(
+        src.select(col(sc)).schema.head.dataType).toOption.exists {
+        case _: org.apache.spark.sql.types.StructType => false
+        case _: org.apache.spark.sql.types.ArrayType => false
+        case _: org.apache.spark.sql.types.MapType => false
+        case _: org.apache.spark.sql.types.VariantType => false
+        case _ => true
       }
+      if (!atomicKey) None
+      else scala.util.Try {
+        val ks = src.select(col(sc).as("__k")).filter(col("__k").isNotNull)
+          .distinct().limit(MaxInList + 1).collect().map(_.get(0))
+        if (ks.isEmpty) Some(lit(false)) // no non-null keys: nothing matches
+        else if (ks.length <= MaxInList) Some(col(tc).isin(ks.toSeq: _*))
+        else {
+          val mm = src.agg(min(col(sc)), max(col(sc))).head()
+          if (mm.isNullAt(0)) None
+          else Some(col(tc) >= lit(mm.get(0)) && col(tc) <= lit(mm.get(1)))
+        }
+      }.toOption.flatten // an unliteralizable value class: skip the prune
     }
     preds.reduceOption(_ && _)
   }
@@ -724,6 +743,12 @@ object ManifestDml {
     val newList = rest ++ placed.map(_._1)
     ManifestTable.commit(f, p, v + 1, newList, Seq(ManifestTable.DmlMark),
       metas = (ManifestTable.priorMetas(f, p, v) -- touched) ++ newMetas)
-    ManifestTable.gc(f, p) // retires touched dirs + the tmp shell
+    // the shell is OURS and now empty (every __graft_src dir renamed
+    // out) — delete explicitly; gc's unnamed-dir grace would otherwise
+    // leave it lingering, and gc must never assume an unnamed fresh
+    // dir is collectable (it may be a concurrent appender's in-flight
+    // segment — see ManifestTable.gcGraceMs)
+    f.delete(shell, true)
+    ManifestTable.gc(f, p) // retires the touched dirs
   }
 }

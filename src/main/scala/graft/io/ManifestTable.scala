@@ -595,10 +595,16 @@ object ManifestTable {
     * a snapshot-derived append (e.g. [[AggView]]'s window partials —
     * two racing syncs would double-count) must keep the loud
     * single-winner contract. Appends never GC, so racing appends
-    * cannot collect each other's in-flight segments; racing a
-    * REWRITE-class verb (replace/compact/cluster/DML — the only gc
-    * callers) remains a single-writer-maintenance assumption, as
-    * before. */
+    * cannot collect each other's in-flight segments; and a REWRITE-
+    * class verb's GC pass (replace/compact/cluster/DML) spares any
+    * unnamed dir younger than [[gcGraceMs]], so an append racing a
+    * rewrite cannot have its written-but-uncommitted segment collected
+    * either — appends are the unlimited-concurrency path against ANY
+    * single concurrent verb. Only rewrite-class verbs racing EACH
+    * OTHER stay a single-writer-maintenance recommendation: the OCC
+    * retry serializes disjoint interleavers, but a loser mid-read of
+    * segments the winner just retired fails loudly (never silently)
+    * and must re-run. */
   private[graft] def appendReserved(spark: SparkSession, root: String,
       df: DataFrame, partitionBy: Seq[String] = Nil,
       tag: Option[String] = None, statsCols: Seq[String] = Nil,
@@ -687,6 +693,40 @@ object ManifestTable {
     commit(f, p, v + 1, Seq(seg), if (rewrite) Seq(RewriteMark) else Nil,
       metas = Map(seg -> meta))
     gc(f, p)
+  }
+
+  /** `ALTER TABLE … ADD COLUMN(S)`: additive schema evolution as ONE
+    * log commit with ZERO data IO beyond a footer-sized file — the
+    * table's schema is the additive merge of its segments' schemas in
+    * commit order, so appending an EMPTY segment that carries the
+    * evolved schema makes every reader see the new columns (untouched
+    * segments surface NULL there, the same contract MERGE WITH SCHEMA
+    * EVOLUTION uses). Old snapshots time-travel to the pre-ALTER
+    * schema; [[compact]] later folds the marker segment away. New
+    * columns are nullable by construction (existing rows have no
+    * value for them). Reference posture: warehouse-side `ALTER TABLE`
+    * through `execute` (locopy/database.py:131-190). */
+  def addColumns(spark: SparkSession, root: String,
+      cols: Seq[(String, org.apache.spark.sql.types.DataType)]): Unit = {
+    require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
+    val (f, p) = fs(spark, root)
+    require(currentVersion(f, p).isDefined,
+      s"ALTER TABLE of uncommitted table $root — INSERT first (or declare " +
+        "the columns in CREATE TABLE)")
+    val cur = read(spark, root).schema
+    val eq = spark.sessionState.conf.resolver
+    cols.foreach { case (n, _) =>
+      require(!cur.fields.exists(fd => eq(fd.name, n)),
+        s"column $n already exists in $root (${cur.simpleString})")
+    }
+    require(cols.map(_._1.toLowerCase(java.util.Locale.ROOT)).distinct.size ==
+      cols.size, s"duplicate column in ADD COLUMNS: ${cols.map(_._1)}")
+    val evolved = org.apache.spark.sql.types.StructType(
+      cur.fields ++ cols.map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n, t, nullable = true) })
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), evolved)
+    append(spark, root, empty, tag = Some("alter"))
   }
 
   /** Fold all committed segments into one (the staged full rewrite,
@@ -800,22 +840,45 @@ object ManifestTable {
     versionsOf(f, root).takeRight(horizon)
       .flatMap(v => readManifest(f, root, v)).toSet
 
+  /** Grace window (ms) before an UNNAMED dir is collected. A dir named
+    * by no manifest on disk is usually a crashed append's orphan — but
+    * it can also be a CONCURRENT appender's written-but-not-yet-
+    * committed segment (append = writeSeg, then commit names it), and
+    * deleting that between its write and its commit would publish a
+    * manifest naming a vanished dir. GC therefore collects unnamed
+    * dirs only once they are older than this window; dirs named by a
+    * manifest on disk carry no such ambiguity (their writer already
+    * committed) and are collected as soon as they fall outside the
+    * retention horizon. Override via system property
+    * `graft.manifest.gc.graceMs`; specs pin small values to observe
+    * orphan collection deterministically. */
+  private[io] def gcGraceMs: Long =
+    sys.props.get("graft.manifest.gc.graceMs").map(_.toLong)
+      .getOrElse(60L * 60 * 1000)
+
   /** Delete every dir/file under `root` that no manifest inside the
     * retention horizon names: superseded segments past retention after
-    * a [[replace]]-class rewrite, and orphans from crashed appends
-    * (named by NO manifest — always collected, any horizon). Manifest
-    * files and the retention marker stay ([[expireVersions]] trims the
-    * former). */
+    * a [[replace]]-class rewrite immediately, and orphans from crashed
+    * appends (named by NO manifest) once older than [[gcGraceMs]] —
+    * the grace spares an in-flight concurrent append's segment dir.
+    * Manifest files and the retention marker stay ([[expireVersions]]
+    * trims the former). */
   private[io] def gc(f: FileSystem, root: Path): Unit =
     gcKeeping(f, root, retainOf(f, root))
 
-  private def gcKeeping(f: FileSystem, root: Path, horizon: Int): Seq[String] = {
-    val live = liveDirs(f, root, horizon)
+  private def gcKeeping(f: FileSystem, root: Path, horizon: Int,
+      namedHint: Set[String] = Set.empty): Seq[String] = {
+    val vs = versionsOf(f, root)
+    val namedEver = namedHint ++ vs.flatMap(v => readManifest(f, root, v))
+    val live = vs.takeRight(horizon)
+      .flatMap(v => readManifest(f, root, v)).toSet
+    val cutoff = System.currentTimeMillis() - gcGraceMs
     val removed = Seq.newBuilder[String]
     f.listStatus(root).foreach { st =>
       val n = st.getPath.getName
       if (!live.contains(n) && !n.startsWith(ManifestPrefix) &&
-          !n.startsWith(RetainFile)) { // incl. a concurrent set's tmp
+          !n.startsWith(RetainFile) &&
+          (namedEver.contains(n) || st.getModificationTime < cutoff)) {
         removed += n
         f.delete(st.getPath, true)
       }
@@ -836,8 +899,13 @@ object ManifestTable {
       keepLast: Int): (Seq[Long], Seq[String]) = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val (f, p) = fs(spark, root)
+    // capture what the about-to-expire manifests name BEFORE expiring
+    // them: those dirs were committed (no in-flight-append ambiguity)
+    // and must be collected NOW regardless of the unnamed-dir grace
+    val namedBefore = versionsOf(f, p)
+      .flatMap(v => readManifest(f, p, v)).toSet
     val expired = expireVersions(spark, root, keepLast)
-    (expired, gcKeeping(f, p, keepLast))
+    (expired, gcKeeping(f, p, keepLast, namedBefore))
   }
 
   /** Bound LOG metadata growth: delete every manifest file older than
@@ -1220,7 +1288,8 @@ object ManifestTable {
         seg -> buildMeta(spark, f, root, seg, Some(sj), Nil)
       }.toSeq
       commit(f, p, v + 1, segs.map(_._1), Seq(RewriteMark), metas = segs.toMap)
-      gc(f, p) // retires the old segments, tombstones, and the tmp shell
+      f.delete(new Path(p, tmp), true) // our own (now-empty) shell
+      gc(f, p) // retires the old segments and tombstones
     } finally graft.core.Lineage.release(snap)
   }
 
@@ -1262,6 +1331,7 @@ object ManifestTable {
         seg -> buildMeta(spark, f, root, seg, Some(sj), Nil)
       }.toSeq
       commit(f, p, v + 1, segs.map(_._1), Seq(RewriteMark), metas = segs.toMap)
+      f.delete(new Path(p, tmp), true) // our own (now-empty) shell
       gc(f, p)
     } finally graft.core.Lineage.release(snap)
   }
@@ -1310,6 +1380,7 @@ object ManifestTable {
     commit(f, p, v + 1, all.filterNot(touchedSet) ++ segs.map(_._1),
       Seq(RewriteMark),
       metas = (priorMetas(f, p, v) -- touchedSet) ++ segs.toMap)
+    f.delete(new Path(p, tmp), true) // our own (now-empty) shell
     gc(f, p)
     touched.size
   }

@@ -254,6 +254,31 @@ class ResolveManifestRelation(spark: org.apache.spark.sql.SparkSession)
           u.options.keySet.asScala.forall(_.startsWith("__")) =>
       namedManifest(u.multipartIdentifier)
         .fold(u: LogicalPlan)(resolvedNamed(_, None))
+    // ALTER TABLE … ADD COLUMN(S) → one additive-evolution log commit
+    // (ManifestTable.addColumns); Spark's own v1 path would reject the
+    // provider and its v2 path needs a catalog plugin, so the DDL verb
+    // resolves here like every other manifest statement. Intercepted
+    // in the hint batch (before ResolveTables), so the UnresolvedTable
+    // child is still ours to claim.
+    case a: org.apache.spark.sql.catalyst.plans.logical.AddColumns =>
+      a.table match {
+        case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+            if t.multipartIdentifier.length == 2 &&
+              t.multipartIdentifier.head.equalsIgnoreCase("graft.manifest") =>
+          val (root, version) = parseSpec(t.multipartIdentifier(1))
+          require(version.isEmpty,
+            s"cannot ALTER a pinned version of $root — DDL commits a new " +
+              "version at the head")
+          ManifestAlterAddColumnsCommand(root,
+            ManifestAlterAddColumnsCommand.colSpecs(a.columnsToAdd), None)
+        case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+          namedManifest(t.multipartIdentifier).fold(a: LogicalPlan) { m =>
+            ManifestAlterAddColumnsCommand(m.location.toString,
+              ManifestAlterAddColumnsCommand.colSpecs(a.columnsToAdd),
+              Some(m.identifier))
+          }
+        case _ => a
+      }
   }
 }
 

@@ -249,6 +249,70 @@ private[plans] object ManifestDmlCommands {
     spark.conf.getOption("spark.graft.dml.retryRaces").exists(_.toBoolean)
 }
 
+/** `ALTER TABLE t ADD COLUMN(S) (…)` on a manifest table — one
+  * additive-evolution commit ([[graft.io.ManifestTable.addColumns]]:
+  * an empty schema-carrying segment; untouched segments read NULL).
+  * For a catalog-NAMED table the session catalog's stored schema is
+  * kept in sync so `DESCRIBE` answers right; a named table with no
+  * committed manifest yet evolves the catalog schema alone (its first
+  * INSERT commits v1 with the full evolved shape). Top-level columns
+  * only — nested-field adds, explicit positions and DEFAULT values
+  * are rejected loudly rather than half-honored. */
+case class ManifestAlterAddColumnsCommand(root: String,
+    cols: Seq[(String, org.apache.spark.sql.types.DataType)],
+    ident: Option[org.apache.spark.sql.catalyst.TableIdentifier])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("action", StringType, nullable = false)(),
+    AttributeReference("columns_added", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val committed = graft.io.ManifestTable.exists(spark, root)
+    if (committed)
+      // the log is the source of truth: validates dups against the
+      // merged head schema, commits the evolution
+      graft.io.ManifestTable.addColumns(spark, root, cols)
+    else require(ident.isDefined,
+      s"ALTER TABLE of uncommitted table $root — INSERT first (or declare " +
+        "the columns in CREATE TABLE)")
+    ident.foreach { id =>
+      val cat = spark.sessionState.catalog
+      val cur = cat.getTableMetadata(id).dataSchema
+      val eq = spark.sessionState.conf.resolver
+      val dup = cols.filter { case (n, _) =>
+        cur.fields.exists(fd => eq(fd.name, n)) }
+      // born-empty table: the catalog schema IS the table, dups loud;
+      // committed table: the log already validated, any catalog
+      // overlap is drift the log-derived read path never consults
+      require(committed || dup.isEmpty,
+        s"column(s) already exist in $id: ${dup.map(_._1).mkString(", ")}")
+      val fresh = cols.filterNot(dup.contains)
+      cat.alterTableDataSchema(id, org.apache.spark.sql.types.StructType(
+        cur.fields ++ fresh.map { case (n, t) =>
+          org.apache.spark.sql.types.StructField(n, t, nullable = true) }))
+    }
+    Seq(Row("alter", cols.size))
+  }
+}
+
+object ManifestAlterAddColumnsCommand {
+  /** Parsed column list → (name, type) pairs; everything the log's
+    * additive evolution cannot express is rejected up front. */
+  def colSpecs(cols: Seq[QualifiedColType])
+      : Seq[(String, org.apache.spark.sql.types.DataType)] =
+    cols.map { c =>
+      require(c.path.isEmpty,
+        s"ALTER TABLE on a manifest table adds TOP-LEVEL columns only, " +
+          s"got nested field ${c.name.mkString(".")}")
+      require(c.position.isEmpty,
+        "ALTER TABLE on a manifest table appends columns at the end — " +
+          "FIRST/AFTER positions are not supported")
+      require(c.default.isEmpty,
+        s"DEFAULT values are not supported on manifest tables — existing " +
+          s"rows read NULL for ${c.colName}; backfill with UPDATE")
+      c.colName -> c.dataType
+    }
+}
+
 /** `DELETE FROM graft.manifest.root WHERE cond` — executes
   * [[graft.io.ManifestDml.deleteWhere]] exactly once per query
   * execution (EXPLAIN never fires it). */

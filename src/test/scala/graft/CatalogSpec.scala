@@ -253,4 +253,72 @@ class CatalogSpec extends AnyFunSuite {
       assert(e2.getMessage.contains("not a graft.manifest table"), e2.getMessage)
     }
   }
+
+  test("ALTER TABLE ADD COLUMN(S): additive-evolution commit, old segments NULL-fill, catalog schema synced, edges loud") {
+    val r = root("cat_alter__log")
+    withTable("cat_alter") {
+      spark.sql(s"CREATE TABLE cat_alter (id INT, v DOUBLE) " +
+        s"USING `graft.manifest` LOCATION '$r'")
+      spark.sql("INSERT INTO cat_alter VALUES (1, 1.0), (2, 2.0)")
+      val v1 = ManifestTable.versions(spark, r).max
+      val rc = spark.sql(
+        "ALTER TABLE cat_alter ADD COLUMNS (note STRING, n INT)").collect()
+      assert(rc.map(x => (x.getString(0), x.getInt(1))).toSeq ==
+        Seq(("alter", 2)))
+      // ONE new log version, an empty 'alter'-tagged marker segment
+      assert(ManifestTable.versions(spark, r).max == v1 + 1)
+      assert(ManifestTable.segments(spark, r).exists(_.contains("-alter-")))
+      // catalog schema synced: DESCRIBE answers the evolved shape
+      assert(spark.table("cat_alter").columns.toSeq ==
+        Seq("id", "v", "note", "n"))
+      assert(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("cat_alter"))
+        .dataSchema.fieldNames.toSeq == Seq("id", "v", "note", "n"))
+      // pre-ALTER rows read NULL; post-ALTER INSERT carries values
+      spark.sql("INSERT INTO cat_alter VALUES (3, 3.0, 'x', 7)")
+      assert(spark.sql(
+        "SELECT id, note, n FROM cat_alter ORDER BY id").collect()
+        .map(x => (x.getInt(0), x.getString(1),
+          if (x.isNullAt(2)) -1 else x.getInt(2))).toSeq ==
+        Seq((1, null, -1), (2, null, -1), (3, "x", 7)))
+      // old snapshots time-travel to the pre-ALTER schema
+      assert(spark.sql(
+        s"SELECT * FROM cat_alter VERSION AS OF $v1").columns.toSeq ==
+        Seq("id", "v"))
+      // DML works across the mixed-schema segments (backfill)
+      spark.sql("UPDATE cat_alter SET note = 'old', n = 0 WHERE id < 3")
+      assert(spark.sql("SELECT count(note) FROM cat_alter").head().getLong(0) == 3)
+      // duplicate column is loud
+      val e1 = intercept[Exception] {
+        spark.sql("ALTER TABLE cat_alter ADD COLUMNS (v INT)").collect()
+      }
+      assert(e1.getMessage.contains("already exists"), e1.getMessage)
+      // nested adds / positions / defaults reject loudly
+      val e2 = intercept[Exception] {
+        spark.sql("ALTER TABLE cat_alter ADD COLUMNS (z INT FIRST)").collect()
+      }
+      assert(e2.getMessage.contains("appends columns at the end"), e2.getMessage)
+      val e3 = intercept[Exception] {
+        spark.sql("ALTER TABLE cat_alter ADD COLUMNS (z INT DEFAULT 4)").collect()
+      }
+      assert(e3.getMessage.contains("DEFAULT values are not supported"),
+        e3.getMessage)
+      // born-empty named table: catalog-only evolution, first INSERT
+      // commits v1 with the evolved shape
+      val r2 = root("cat_alter_empty__log")
+      withTable("cat_alter_e") {
+        spark.sql(s"CREATE TABLE cat_alter_e (id INT) " +
+          s"USING `graft.manifest` LOCATION '$r2'")
+        spark.sql("ALTER TABLE cat_alter_e ADD COLUMN (tag STRING)")
+        assert(!ManifestTable.exists(spark, r2),
+          "no log commit for a born-empty table")
+        spark.sql("INSERT INTO cat_alter_e VALUES (1, 'a')")
+        assert(spark.sql("SELECT id, tag FROM cat_alter_e").collect()
+          .map(x => (x.getInt(0), x.getString(1))).toSeq == Seq((1, "a")))
+      }
+      // the PATH face takes the same verb
+      spark.sql(s"ALTER TABLE `graft.manifest`.`$r` ADD COLUMN (flag BOOLEAN)")
+      assert(spark.table("cat_alter").columns.contains("flag"))
+    }
+  }
 }

@@ -682,6 +682,29 @@ class DmlSpec extends AnyFunSuite {
     spark.catalog.dropTempView("merge_prune_src2")
   }
 
+  test("MERGE on a struct-typed ON key: no literal prune is attempted, the merge still lands") {
+    val r = root("dml_merge_structkey")
+    ManifestTable.append(spark, r,
+      spark.sql("SELECT named_struct('a', id, 'b', 'k' || id) AS k, id AS v " +
+        "FROM range(4)"))
+    spark.sql("SELECT named_struct('a', id, 'b', 'k' || id) AS k, id * 10 AS nv " +
+        "FROM range(2, 6)")
+      .createOrReplaceTempView("merge_struct_src")
+    // an atomic-key merge would build an isin()/lit() prune; a struct
+    // key cannot be literalized — the guard must skip the prune, not
+    // throw at planning
+    val rc = spark.sql(
+      s"MERGE INTO `graft.manifest`.`$r` t USING merge_struct_src s " +
+        "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.nv " +
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)").collect()
+    assert(rc.head.getString(0) == "merge")
+    val out = ManifestTable.read(spark, r)
+    assert(out.count() == 6)
+    assert(out.filter(col("v") === 30L).count() == 1, "matched row updated")
+    assert(out.filter(col("v") === 50L).count() == 1, "unmatched row inserted")
+    spark.catalog.dropTempView("merge_struct_src")
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION: star actions graft source-only columns, untouched segments read NULL additively") {
     val r = root("dml_merge_evolve")
     ManifestTable.append(spark, r, Seq((1, 10), (2, 20)).toDF("id", "v"),

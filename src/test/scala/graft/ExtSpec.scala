@@ -3530,7 +3530,12 @@ class ExtSpec extends AnyFunSuite {
     // a retried append (the streaming replay) proceeds at the next version
     graft.io.ManifestTable.append(spark, root, (20L to 25L).toDF("v"))
     assert(vals() == ((1L to 10L) ++ (100L to 104L) ++ (20L to 25L)).sorted)
-    // compact folds the log AND collects the orphan
+    // compact folds the log AND collects the orphan — once it is older
+    // than the unnamed-dir grace window (a FRESH unnamed dir could be a
+    // concurrent appender's in-flight segment and must be spared, so
+    // the spec backdates the orphan past the grace horizon first)
+    fs.setTimes(new Path(root, orphan.head),
+      System.currentTimeMillis() - 2 * 60 * 60 * 1000, -1)
     graft.io.ManifestTable.compact(spark, root)
     assert(graft.io.ManifestTable.segments(spark, root).size == 1)
     assert(vals() == ((1L to 10L) ++ (100L to 104L) ++ (20L to 25L)).sorted)
@@ -3998,8 +4003,17 @@ class ExtSpec extends AnyFunSuite {
     ManifestTable.append(spark, root, (1L to 10L).toDF("v"))   // v1
     ManifestTable.append(spark, root, (11L to 20L).toDF("v"))  // v2
     // an orphan from a crashed append: named by NO manifest version,
-    // so any-horizon GC must still collect it
+    // so any-horizon GC must still collect it — once past the
+    // unnamed-dir grace window (backdated here); a FRESH unnamed dir
+    // is indistinguishable from a concurrent appender's in-flight
+    // segment and must survive, which v3's GC also proves below
     (900L to 905L).toDF("v").write.parquet(s"$root/seg-9-orphan")
+    (950L to 955L).toDF("v").write.parquet(s"$root/seg-9-inflight")
+    locally {
+      val fs0 = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs0.setTimes(new Path(root, "seg-9-orphan"),
+        System.currentTimeMillis() - 2 * 60 * 60 * 1000, -1)
+    }
     ManifestTable.compact(spark, root)                         // v3 (rewrite)
     def at(v: Long) = ManifestTable.readAt(spark, root, v)
       .collect().map(_.getLong(0)).sorted.toSeq
@@ -4014,6 +4028,11 @@ class ExtSpec extends AnyFunSuite {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new Path(root, "seg-9-orphan")),
       "orphans must be collected regardless of retention horizon")
+    // ...but the FRESH unnamed dir survives: it could be a concurrent
+    // appender's written-but-uncommitted segment (the GC grace window)
+    assert(fs.exists(new Path(root, "seg-9-inflight")),
+      "a fresh unnamed dir must survive GC (in-flight concurrent append)")
+    fs.delete(new Path(root, "seg-9-inflight"), true)
     // one more rewrite: v1 ages OUT of the 3-version horizon {v2,v3,v4}
     ManifestTable.append(spark, root, (21L to 25L).toDF("v"))  // v4
     ManifestTable.compact(spark, root)                         // v5 → horizon {v3,v4,v5}
