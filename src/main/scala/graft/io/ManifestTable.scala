@@ -2,7 +2,8 @@ package graft.io
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, datediff, lit, max, min, unix_micros}
+import org.apache.spark.sql.functions.{col, concat, count, datediff, lit,
+  max, min, struct, substring_index, unix_micros}
 import org.apache.spark.sql.types._
 
 /** A minimal manifest-committed parquet table: the append-capable
@@ -311,6 +312,48 @@ object ManifestTable {
     segs.map(s => spark.read.parquet(s"$root/$s"))
       .reduce(_.unionByName(_, allowMissingColumns = true))
 
+  /** Per-physical-row surrogate identity, derived at READ time from
+    * the parquet scan's metadata columns — `(segment-relative file
+    * path, row ordinal in file)` as a struct. Segments are immutable,
+    * so the id is stable for the life of a physical row copy, costs
+    * ZERO stored bytes, and distinguishes equal-VALUED copies living
+    * in different segments (or different rows of one segment). The
+    * change feed's DML windows use it to upgrade value-identity
+    * deletes to ROW-identity deletes: see [[readChanges]]'s `rowId`.
+    * DML/maintenance rewrites retire the old copies' ids and mint new
+    * ones for the replacements — exactly matching the feed's
+    * delete-then-insert shape. */
+  val RowIdCol = "_row_id"
+
+  private[graft] def readSegsWithRowId(spark: SparkSession, root: String,
+      segs: Seq[String]): DataFrame =
+    segs.map { s =>
+      // the uuid-bearing segment name makes "/<seg>/" unique in the
+      // scan's absolute file path; everything after it is the
+      // segment-relative file (hive-partitioned layouts included)
+      spark.read.parquet(s"$root/$s").withColumn(RowIdCol, struct(
+        concat(lit(s + "/"), substring_index(
+          col("_metadata.file_path"), s"/$s/", -1)).as("path"),
+        col("_metadata.row_index").as("pos")))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Head read with the [[RowIdCol]] surrogate stamped on every row —
+    * the bootstrap snapshot for a change-feed consumer that applies
+    * DML windows by row identity ([[readChanges]] `rowId = true`).
+    * Tombstones are applied as in [[readMerged]]. */
+  def readWithRowId(spark: SparkSession, root: String): DataFrame = {
+    val segs = dataSegments(spark, root)
+    require(segs.nonEmpty, s"no committed manifest under $root")
+    val data = readSegsWithRowId(spark, root, segs)
+    val del = deleteSegments(spark, root)
+    if (del.isEmpty) data
+    else {
+      val keys = readSegs(spark, root, del).distinct()
+      data.join(org.apache.spark.sql.functions.broadcast(keys),
+        keys.columns.toSeq, "left_anti")
+    }
+  }
+
   /** Union-read every committed data segment. The dir list is
     * explicit, so orphan (uncommitted) segments are invisible to
     * readers. */
@@ -378,7 +421,17 @@ object ManifestTable {
   private[io] def commit(f: FileSystem, root: Path, v: Long, segs: Seq[String],
       marks: Seq[String] = Nil, metas: Map[String, String] = Map.empty): Unit = {
     val metaLns = segs.flatMap(s => metas.get(s).map(j => s"$MetaPrefix$s $j"))
-    val ts = s"$TsPrefix${System.currentTimeMillis()}"
+    // monotonicity clamp: with multi-writer clock skew, version v could
+    // otherwise carry a LATER #ts than v+1, and versionAsOfTime (last
+    // version with ts <= cutoff) would resolve TIMESTAMP AS OF to a
+    // snapshot that includes later-versioned data — so stamp
+    // max(prev commit ts + 1, now), the standard in-commit-timestamp
+    // contract. Prior version v-1 is on disk by protocol order.
+    val prevTs =
+      if (v <= 1L) Long.MinValue
+      else scala.util.Try(commitTimeOf(f, root, v - 1)).getOrElse(Long.MinValue)
+    val stamp = math.max(prevTs + 1, System.currentTimeMillis())
+    val ts = s"$TsPrefix$stamp"
     commitStrategy.publish(f, root, new Path(root, ManifestPrefix + v),
       (ts +: (marks ++ metaLns ++ segs)).mkString("\n") + "\n")
   }
@@ -1131,7 +1184,12 @@ object ManifestTable {
     * instruction when the hazard is live. The check scans the
     * UNTOUCHED part of the table (that is the set being protected), so
     * it is opt-in rather than the default at 100 TB; [[AggView]] needs
-    * neither — it applies multiset retraction, not anti-joins.
+    * neither — it applies multiset retraction, not anti-joins. The
+    * FULL-fidelity posture is `rowId = true`: bootstrap the state from
+    * [[readWithRowId]] and apply each DML window's deletes by
+    * [[RowIdCol]] alone — row identity is per physical copy, so the
+    * cross-segment-duplicate hazard cannot arise and verifyDeletes is
+    * moot (skipped).
     *
     * Reading pre-images needs the dropped dirs still on
     * disk, i.e. a [[retainVersions]] horizon covering the window. A
@@ -1141,7 +1199,8 @@ object ManifestTable {
     * windows split at the DML version. IO is O(changed segments) by
     * construction (plus the untouched scan iff `verifyDeletes`). */
   def readChanges(spark: SparkSession, root: String,
-      fromV: Long, toV: Long, verifyDeletes: Boolean = false): DataFrame = {
+      fromV: Long, toV: Long, verifyDeletes: Boolean = false,
+      rowId: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val (chg, pre) = changedSegmentsDml(spark, root, fromV, toV)
     require(chg.nonEmpty || pre.nonEmpty,
@@ -1151,15 +1210,31 @@ object ManifestTable {
         "with row-level DML pre-images; one batch cannot carry both " +
         "delete shapes (key-only rows vs full pre-image rows) — consume " +
         "the window in two reads split at the DML version")
+    // rowId = true stamps [[RowIdCol]] on the insert rows AND the DML
+    // pre-image delete rows: a consumer that bootstrapped from
+    // [[readWithRowId]] applies deletes by ROW identity (anti-join on
+    // _row_id alone), which round-trips full-row duplicates spanning
+    // touched and untouched segments — the shape value-identity
+    // anti-joins cannot (see the caveat above; verifyDeletes becomes
+    // unnecessary under rowId). Tombstone deletes stay key-valued
+    // (_row_id NULL there — they delete by key, not by row).
+    def readIns(segs: Seq[String]) =
+      if (rowId) readSegsWithRowId(spark, root, segs)
+      else readSegs(spark, root, segs)
     val ins = chg.filterNot(_.startsWith(DelPrefix))
     val del = chg.filter(_.startsWith(DelPrefix))
     val insDf =
       if (ins.isEmpty) None
-      else Some(readSegs(spark, root, ins).withColumn("_change_type", lit("insert")))
+      else Some(readIns(ins).withColumn("_change_type", lit("insert")))
     val preRows =
       if (pre.isEmpty) None
+      // under rowId every pre-image row is already unique — a distinct
+      // would only add a shuffle
+      else if (rowId) Some(readSegsWithRowId(spark, root, pre.map(_._1)))
       else Some(readSegs(spark, root, pre.map(_._1)).distinct())
-    if (verifyDeletes) preRows.foreach { pr =>
+    // rowId supersedes the value-identity hazard check: identity
+    // deletes cannot cross segments by construction
+    if (verifyDeletes && !rowId) preRows.foreach { pr =>
       val droppedSet = pre.map(_._1).toSet
       val untouched = segmentsAt(spark, root, fromV)
         .filterNot(s => droppedSet(s) || s.startsWith(DelPrefix))

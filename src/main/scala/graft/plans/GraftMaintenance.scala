@@ -180,22 +180,30 @@ object GraftMaintenance {
         GraftHistoryCommand(resolveRoot(args.head, "graft_manifest_history"))
       }),
     ("graft_manifest_changes",
-      "graft_manifest_changes(root, fromV, toV) - change-data-feed rows " +
-        "of the window (fromV, toV]: table columns plus _change_type " +
-        "(insert/delete; apply a window's deletes before its inserts)",
+      "graft_manifest_changes(root, fromV, toV[, rowId]) - change-data-" +
+        "feed rows of the window (fromV, toV]: table columns plus " +
+        "_change_type (insert/delete; apply a window's deletes before " +
+        "its inserts); rowId=true adds the _row_id surrogate so DML " +
+        "deletes apply by row identity",
       args => {
-        require(args.length == 3,
-          s"graft_manifest_changes(root, fromV, toV) takes 3 arguments, " +
-            s"got ${args.length}")
+        require(args.length == 3 || args.length == 4,
+          s"graft_manifest_changes(root, fromV, toV[, rowId]) takes 3 " +
+            s"or 4 arguments, got ${args.length}")
         val root = resolveRoot(args.head, "graft_manifest_changes")
         val fromV = lng(args(1), "graft_manifest_changes")
         val toV = lng(args(2), "graft_manifest_changes")
+        val rowId = args.length == 4 && (args(3) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(b: Boolean,
+            org.apache.spark.sql.types.BooleanType) => b
+          case other => throw new IllegalArgumentException(
+            s"graft_manifest_changes: rowId must be a boolean literal, got $other")
+        })
         // unlike the audit verbs this returns DATA-sized output, so the
         // builder hands back the DISTRIBUTED readChanges plan itself
         // (no driver materialization); resolution-time session access
         // is the TVF contract (builders run inside the analyzer)
         graft.io.ManifestTable
-          .readChanges(SparkSession.active, root, fromV, toV)
+          .readChanges(SparkSession.active, root, fromV, toV, rowId = rowId)
           .queryExecution.analyzed
       }),
     ("graft_manifest_cluster",

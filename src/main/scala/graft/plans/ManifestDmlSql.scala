@@ -174,6 +174,17 @@ class ResolveManifestDml(spark: SparkSession) extends Rule[LogicalPlan] {
       evolved.map(a => a.name -> rebase(a, tSet, sSet))
     // star-shaped = resolution of `*` against the pre-evolution target:
     // one bare source reference per target column, by name
+    // INSERT * detection is STRUCTURAL: unlike UpdateAction (which
+    // carries `fromStar`), the analyzer rewrites InsertStarAction into
+    // a plain InsertAction with identity assignments before this rule
+    // sees it, so an explicit full-width identity-named INSERT
+    // (`INSERT (a, b) VALUES (s.a, s.b)` with the exact target column
+    // set) is indistinguishable from `INSERT *`. Consequence, by
+    // design: under WITH SCHEMA EVOLUTION both shapes also assign the
+    // evolved source-only columns — documented in COVERAGE.md; users
+    // who want an evolution-exempt insert list a non-identity shape
+    // (e.g. an explicit cast or a different column order is NOT
+    // exempt; omit a column instead).
     def starShaped(as: Seq[Assignment]): Boolean =
       as.size == tOut.size && as.forall(a => (a.key, a.value) match {
         case (k: AttributeReference, v: AttributeReference) => k.name == v.name

@@ -294,9 +294,16 @@ private[sources] class ManifestSink(spark: SparkSession, root: String,
     // would read back as a flat segment in an otherwise-partitioned
     // layout (wedging every subsequent relation build); a replayed
     // empty batch re-skips identically, so exactly-once holds
+    // retryRaces: a micro-batch's content comes from the SOURCE's
+    // offsets, never from a snapshot of this table, so the append is
+    // content-independent and a lost commit race against a concurrent
+    // appender retries silently (disjoint serialization); contrast
+    // AggView.syncFromLog, which is snapshot-derived and must stay
+    // loud single-winner
     try if (!snap.isEmpty)
       ManifestTable.appendReserved(spark, root, snap, partitionBy = partitionBy,
-        tag = Some(tag), statsCols = statsCols, bloomCols = bloomCols)
+        tag = Some(tag), statsCols = statsCols, bloomCols = bloomCols,
+        retryRaces = true)
     finally graft.core.Lineage.release(snap)
   }
 }

@@ -226,39 +226,50 @@ object Stream {
       batch2Pred: org.apache.spark.sql.Column,
       table: String = "graft_stream_upsert"
   ): DataFrame = {
-    import spark.implicits._
-    // HARNESS BOUNDARY: driver-side collect is fixture-bounded (the
-    // two-batch split needs explicit MemoryStream batch control). The
-    // 100 TB path is the file-source runner family ([[runOnce]]/
-    // [[readEventsStream]]) + [[mergeUpsertBatch]], which never collect.
-    val rows = events
-      .select(col("user_id").cast("long"), unix_micros(col("ts")),
-        col("event_id").cast("long"), col("value").cast("double"),
-        // a NULL predicate row must land in batch 1, not surface later
-        // as an opaque NPE from getBoolean on the collected row
-        coalesce(batch2Pred.cast("boolean"), lit(false)))
-      .collect()
-    def part(second: Boolean) = rows.filter(_.getBoolean(4) == second)
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
     graft.io.Load.dropManaged(spark, table)
     graft.io.Load.dropManaged(spark, table + "__stage")
-    val ms = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, Long, Long, Double)](
-        implicitly[org.apache.spark.sql.Encoder[(Long, Long, Long, Double)]],
-        spark.sqlContext)
-    val stream = ms.toDF().toDF("user_id", "us", "event_id", "value")
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        mergeUpsertBatch(spark, table, batch, batchId)
-      }
-      .start()
-    try {
-      ms.addData(part(second = false))
-      q.processAllAvailable()
-      ms.addData(part(second = true))
-      q.processAllAvailable()
-    } finally q.stop()
+    twoBatchFileSchedule(spark, events, batch2Pred,
+      (batch, batchId) => mergeUpsertBatch(spark, table, batch, batchId))
     spark.table(table)
+  }
+
+  /** Deterministic two-micro-batch schedule through the CHECKPOINTED
+    * file source — the production shape, fully distributed (no driver-
+    * side row materialization): the non-`batch2Pred` rows land as
+    * parquet and one AvailableNow run ingests them (batch 1); then the
+    * `batch2Pred` rows are appended and a second run against the SAME
+    * checkpoint ingests exactly the unseen files (batch 2) — the
+    * restart-and-resume posture of a continuous pipeline. A NULL
+    * predicate row lands in batch 1. */
+  private def twoBatchFileSchedule(
+      spark: SparkSession,
+      events: DataFrame,
+      batch2Pred: org.apache.spark.sql.Column,
+      onBatch: (DataFrame, Long) => Unit): Unit = {
+    val base = java.nio.file.Files.createTempDirectory("graft_upsert2b_")
+    val src = base.resolve("src").toString
+    val cp = base.resolve("cp").toString
+    val typed = events.select(
+      col("user_id").cast("long").as("user_id"),
+      unix_micros(col("ts")).as("us"),
+      col("event_id").cast("long").as("event_id"),
+      col("value").cast("double").as("value"),
+      coalesce(batch2Pred.cast("boolean"), lit(false)).as("__b2"))
+    typed.filter(!col("__b2")).drop("__b2").coalesce(1).write.parquet(src)
+    def runAvailable(): Unit = {
+      val q = spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)
+        .writeStream
+        .foreachBatch(onBatch(_, _))
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runAvailable()
+    typed.filter(col("__b2")).drop("__b2").coalesce(1)
+      .write.mode("append").parquet(src)
+    runAvailable()
   }
 
   /** Streaming UPSERT into the MANIFEST LOG — [[foreachBatchUpsert]]'s
@@ -286,33 +297,9 @@ object Stream {
       batch2Pred: org.apache.spark.sql.Column,
       root: String
   ): DataFrame = {
-    import spark.implicits._
-    // HARNESS BOUNDARY: fixture-bounded collect for the deterministic
-    // two-batch MemoryStream schedule, as in [[foreachBatchUpsert]]
-    val rows = events
-      .select(col("user_id").cast("long"), unix_micros(col("ts")),
-        col("event_id").cast("long"), col("value").cast("double"),
-        coalesce(batch2Pred.cast("boolean"), lit(false)))
-      .collect()
-    def part(second: Boolean) = rows.filter(_.getBoolean(4) == second)
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
     graft.io.ManifestTable.destroy(spark, root)
-    val ms = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, Long, Long, Double)](
-        implicitly[org.apache.spark.sql.Encoder[(Long, Long, Long, Double)]],
-        spark.sqlContext)
-    val stream = ms.toDF().toDF("user_id", "us", "event_id", "value")
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        mergeUpsertManifestBatch(spark, root, batch, batchId)
-      }
-      .start()
-    try {
-      ms.addData(part(second = false))
-      q.processAllAvailable()
-      ms.addData(part(second = true))
-      q.processAllAvailable()
-    } finally q.stop()
+    twoBatchFileSchedule(spark, events, batch2Pred,
+      (batch, batchId) => mergeUpsertManifestBatch(spark, root, batch, batchId))
     graft.io.ManifestTable.read(spark, root)
   }
 
@@ -926,7 +913,9 @@ object Stream {
         if (!seen) {
           val snap = batch.localCheckpoint() // one pass over the batch
           try {
-            ManifestTable.appendReserved(spark, baseRoot, snap, tag = Some(tag))
+            // retryRaces: source-derived batch content (see ManifestSink)
+            ManifestTable.appendReserved(spark, baseRoot, snap,
+              tag = Some(tag), retryRaces = true)
             ingested.add(snap.count())
           } finally graft.core.Lineage.release(snap)
         }

@@ -237,6 +237,12 @@ class CatalogSpec extends AnyFunSuite {
         .collect().map(x => (x.getString(0), x.getInt(1), x.getInt(2))).toSet
       assert(chg == Set(("delete", 1, 10), ("delete", 2, 20),
         ("insert", 1, 99), ("insert", 2, 20)), chg.toString)
+      // rowId=true surfaces the _row_id surrogate on the same window
+      val chgId = spark.sql(
+        "SELECT * FROM graft_manifest_changes('cat_tvf', 2, 3, true)")
+      assert(chgId.columns.contains("_row_id"), chgId.columns.toSeq.toString)
+      assert(chgId.filter("_change_type = 'delete' AND _row_id IS NOT NULL")
+        .count() == 2)
       // maintenance by NAME
       val c = spark.sql("SELECT * FROM graft_manifest_compact('cat_tvf')").collect()
       assert(c.head.getString(0) == "compact")

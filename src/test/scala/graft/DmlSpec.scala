@@ -838,6 +838,24 @@ class DmlSpec extends AnyFunSuite {
       s"TIMESTAMP AS OF '$fence'").head().getLong(0) == 2L)
     assert(ManifestTable.history(spark, r).map(c => (c.version, c.timeMs)) ==
       times.map { case (v, t) => (v, t) })
+    // monotonicity clamp: a prior commit stamped by a FAST clock (multi-
+    // writer skew) must not order AFTER the next commit — rewrite v3's
+    // #ts line an hour into the future, commit v4, and the stamps must
+    // still be strictly increasing (v4 = future+1, the max(prev+1, now)
+    // contract), so TIMESTAMP AS OF keeps resolving whole prefixes
+    val future = System.currentTimeMillis() + 3600 * 1000L
+    val v3 = dir.resolve("_manifest.v3")
+    val lines = java.nio.file.Files.readAllLines(v3)
+    val rewritten = new java.util.ArrayList[String]()
+    lines.forEach(l => rewritten.add(
+      if (l.startsWith("#ts ")) s"#ts $future" else l))
+    java.nio.file.Files.write(v3, rewritten)
+    ManifestTable.append(spark, r, Seq((4, 40)).toDF("id", "v"))
+    val stamped = ManifestTable.versionsWithTimes(spark, r)
+    assert(stamped.map(_._2) == stamped.map(_._2).sorted,
+      s"commit stamps must be monotone under clock skew: $stamped")
+    assert(stamped.last._2 == future + 1,
+      s"skewed-clock successor must stamp prev+1: $stamped vs $future")
   }
 
   test("DML condition guards: nondeterministic rejected loudly; time functions bound once across both phases") {
@@ -911,6 +929,28 @@ class DmlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cross-segment duplicate"), e.getMessage)
     // without the opt-in check the window still reads (documented caveat)
     assert(ManifestTable.readChanges(spark, r, pin, head).count() > 0)
+    // ROW identity upgrades the hazard to a correct round-trip: the
+    // consumer bootstraps with _row_id, applies the window's deletes by
+    // id alone — only the TOUCHED (7,70) copy dies, the untouched one
+    // survives, and the rebuilt state equals the table exactly
+    val idChg = ManifestTable.readChanges(spark, r, pin, head, rowId = true)
+    val idState = ManifestTable.readWithRowId(spark, r) // just for schema shape
+    assert(idState.columns.contains("_row_id"))
+    // state AS OF the pin, with row ids: the pinned segments read back
+    // with the same ids the feed's pre-images carry (immutability)
+    val bootstrapped = ManifestTable.readChanges(spark, r, 0L, pin, rowId = true)
+      .filter(col("_change_type") === "insert").drop("_change_type")
+    val idRebuilt = bootstrapped
+      .join(idChg.filter(col("_change_type") === "delete").select("_row_id"),
+        Seq("_row_id"), "left_anti")
+      .unionByName(idChg.filter(col("_change_type") === "insert")
+        .drop("_change_type"))
+      .drop("_row_id")
+    val idNow = ManifestTable.read(spark, r)
+    assert(idRebuilt.exceptAll(idNow).isEmpty && idNow.exceptAll(idRebuilt).isEmpty,
+      "row-identity feed must round-trip the cross-segment duplicate")
+    assert(idRebuilt.filter(col("id") === 7).count() == 2,
+      "the untouched duplicate copy must survive the identity delete")
     // a table with unique keys passes verification
     val r2 = root("dml_feed_verify_ok")
     ManifestTable.setRetainVersions(spark, r2, 4)
@@ -928,5 +968,62 @@ class DmlSpec extends AnyFunSuite {
         chg.filter(col("_change_type") === "insert").drop("_change_type"))
     val now = ManifestTable.read(spark, r2)
     assert(rebuilt.exceptAll(now).isEmpty && now.exceptAll(rebuilt).isEmpty)
+  }
+
+  test("streaming sink OCC: a concurrent append interleaving a micro-batch commit retries silently — both writers land") {
+    val r = root("dml_sink_occ")
+    val rp = new org.apache.hadoop.fs.Path(r)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // v1 seeds the table so the sink's batch is a plain append
+    ManifestTable.append(spark, r, Seq((100L, 1.0)).toDF("k", "v"))
+    // the concurrent appender's segment dir, written but not yet
+    // committed when the micro-batch starts (the GC grace window is
+    // what keeps a rewrite-class pass from collecting such a dir)
+    Seq((200L, 2.0)).toDF("k", "v").coalesce(1)
+      .write.parquet(s"$r/seg-2-competitor")
+    val v1Segs = ManifestTable.segments(spark, r)
+    val competitor =
+      (v1Segs :+ "seg-2-competitor").mkString("\n") + "\n"
+    // one-shot interposer: the sink's FIRST v2 publish loses to the
+    // concurrent appender committing v2 a moment earlier
+    val real = ManifestTable.commitStrategy
+    @volatile var interposed = false
+    ManifestTable.commitStrategy = new ManifestTable.CommitStrategy {
+      def publish(f: org.apache.hadoop.fs.FileSystem,
+          dir: org.apache.hadoop.fs.Path,
+          dst: org.apache.hadoop.fs.Path, content: String): Unit = {
+        if (!interposed && dst.getName == "_manifest.v2") {
+          interposed = true
+          real.publish(f, dir, dst, competitor)
+        }
+        real.publish(f, dir, dst, content)
+      }
+    }
+    try {
+      // one real micro-batch through the manifest SINK
+      val src = java.nio.file.Files
+        .createTempDirectory("graft_sink_occ_").resolve("src").toString
+      val cp = java.nio.file.Files
+        .createTempDirectory("graft_sink_occ_cp_").toString
+      Seq((300L, 3.0), (301L, 3.5)).toDF("k", "v").coalesce(1)
+        .write.parquet(src)
+      val q = spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)
+        .writeStream.format("graft.manifest")
+        .option("path", r).option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination() // silent: the sink retried past the race
+    } finally ManifestTable.commitStrategy = real
+    assert(interposed, "the interposer must have fired")
+    // three versions: seed, the concurrent append, the retried batch
+    assert(ManifestTable.versions(spark, r) == Seq(1L, 2L, 3L))
+    val rows = ManifestTable.read(spark, r).orderBy("k").collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(rows == Seq((100L, 1.0), (200L, 2.0), (300L, 3.0), (301L, 3.5)),
+      s"both writers' rows must land: $rows")
+    // the retried micro-batch segment carries its replay tag at v3
+    assert(ManifestTable.segments(spark, r).exists(_.startsWith("seg-3-mb0-")),
+      ManifestTable.segments(spark, r).toString)
   }
 }
