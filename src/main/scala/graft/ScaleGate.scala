@@ -111,10 +111,82 @@ object ScaleGate {
     // ---- gate 3 (round 12): the bucket-partitioned merge family
     val mergeRows = checkMerges(spark, sfDir)
 
+    // ---- gate 4 (round 16): the SQL lakehouse face — change-feed TVF
+    // and the catalog-named lifecycle (CTAS/ALTER/INSERT/DML by name)
+    val lakehouseRows = checkLakehouseSql(spark, sfDir)
+
     s"""{"gate":"sf_invariants","sf":"$sfDir","pagerank_nodes":$n,""" +
       f""""pagerank_mass":$mass%.6f,"ndcg_queries":${out.length},""" +
       f""""ndcg_max_replay_diff":$maxDiff%.1e,""" +
-      s""""merge_rows":$mergeRows,"pass":true}"""
+      s""""merge_rows":$mergeRows,"lakehouse_sql_rows":$lakehouseRows,""" +
+      s""""pass":true}"""
+  }
+
+  /** The r15/r16 SQL lakehouse face at scale: the change-feed TVF
+    * (`manifest_changes_sql`) and the catalog-named lifecycle
+    * (`manifest_named_sql` CTAS/INSERT/DML by name,
+    * `manifest_alter_sql` ALTER ADD COLUMNS + evolved INSERT),
+    * each replayed as the ONE-PASS relational formulation of its
+    * DuckDB oracle, expressed in Spark — distributed exceptAll, so the
+    * gate runs at any sf. The oracle shapes are cross-validated
+    * against DuckDB at sf0.01 every round (CORRECTNESS); here they
+    * stand in for DuckDB where the replay would spill. Returns rows
+    * audited. */
+  private def checkLakehouseSql(spark: SparkSession, sfDir: String): Long = {
+    def mustMatch(name: String, got: DataFrame, replay: DataFrame): Unit = {
+      val d = got.exceptAll(replay).count() + replay.exceptAll(got).count()
+      require(d == 0, s"$name: $d rows differ from the relational replay")
+    }
+    val ev = SparkEntry.t(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    def decSum4(c: org.apache.spark.sql.Column) =
+      round(sum(c.cast("decimal(18,6)")), 4).cast("double")
+
+    // change-feed TVF: pre-image deletes + (updated ∪ appended) inserts
+    val chg = SparkEntry.queries("manifest_changes_sql")(spark, sfDir)
+    val pre = ev.filter(col("event_id") % 4 === 0)
+    val post = pre.withColumn("value",
+      when(col("event_id") % 8 === 0, col("value") * 2).otherwise(col("value")))
+    val feed = pre.withColumn("change_type", lit("delete"))
+      .unionByName(post.withColumn("change_type", lit("insert")))
+      .unionByName(ev.filter(col("event_id") % 4 === 2)
+        .withColumn("change_type", lit("insert")))
+    val chgReplay = feed
+      .groupBy(col("change_type"), col("event_type").as("etype"))
+      .agg(count(lit(1)).as("cnt"), decSum4(col("value")).as("sum_value"))
+      .select("change_type", "etype", "cnt", "sum_value")
+    mustMatch("manifest_changes_sql", chg, chgReplay)
+
+    // ALTER lifecycle: old rows NULL-fill the added columns, the
+    // post-ALTER INSERT carries them
+    val alter = SparkEntry.queries("manifest_alter_sql")(spark, sfDir)
+    val odd = col("event_id") % 2 === 1
+    val alterReplay = ev.groupBy("event_type").agg(
+        count(lit(1)).as("cnt"),
+        count(when(odd, col("value"))).as("with_value"),
+        decSum4(when(odd, col("value"))).as("sum_value"),
+        count(when(odd, lit(1))).as("with_note"),
+        count(when(odd && col("event_id") % 4 === 1, lit(1))).as("n_flagged"))
+      .select("event_type", "cnt", "with_value", "sum_value",
+        "with_note", "n_flagged")
+    mustMatch("manifest_alter_sql", alter, alterReplay)
+
+    // named lifecycle: CTAS + INSERT + DELETE + UPDATE + MERGE by name
+    val named = SparkEntry.queries("manifest_named_sql")(spark, sfDir)
+    val namedReplay = ev
+      .filter(col("event_id") % 5 =!= 2 || col("event_id") % 3 === 0)
+      .withColumn("value",
+        when(col("event_id") % 5 =!= 2 && col("event_id") % 3 === 0,
+          col("value") * 3)
+          .when(col("event_id") % 5 =!= 2 && col("event_type") === "click",
+            col("value") * 2)
+          .otherwise(col("value")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), decSum4(col("value")).as("sum_value"))
+      .select("event_type", "cnt", "sum_value")
+    mustMatch("manifest_named_sql", named, namedReplay)
+
+    chg.count() + alter.count() + named.count()
   }
 
   /** The bucket-partitioned merge family at scale: each streaming
@@ -219,8 +291,14 @@ object ScaleGate {
     val sfDir = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions) // SQL lakehouse face
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // per-process warehouse (see Verify/Bench): never collide with a
+      // concurrently-running engine process on this host
+      .config("spark.sql.warehouse.dir", java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft_wh_gate_${ProcessHandle.current().pid()}").toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1355,14 +1355,20 @@ object ManifestTable {
         .filter(_.isDirectory).map(_.getPath)
         .sortBy(d => d.getName.stripPrefix("_seg=").toInt)
       val stats = if (statsCols.nonEmpty) statsCols else Seq(byCol)
-      val segs = subdirs.zipWithIndex.map { case (d, i) =>
+      val segNames = subdirs.zipWithIndex.map { case (d, i) =>
         val seg = s"seg-${v + 1}-clu$i-${java.util.UUID.randomUUID().toString.take(8)}"
         require(f.rename(d, new Path(p, seg)),
           s"failed to place clustered segment $seg")
-        val sj = writeStats(spark, f, s"$root/$seg", stats)
-        seg -> buildMeta(spark, f, root, seg, Some(sj), Nil)
+        seg
       }.toSeq
-      commit(f, p, v + 1, segs.map(_._1), Seq(RewriteMark), metas = segs.toMap)
+      // ONE grouped stats job + embedded meta for ALL segments (the
+      // per-segment writeStats loop scheduled nSegments scan jobs and
+      // dominated the wall clock; schema is the write frame's — the
+      // _seg split column never reached the data files)
+      val metas = sidecarsBatched(spark, root,
+        segNames.map(s => (s, stats, Seq.empty[String])),
+        StructType(snap.schema.map(_.copy(nullable = true))))
+      commit(f, p, v + 1, segNames, Seq(RewriteMark), metas = metas)
       f.delete(new Path(p, tmp), true) // our own (now-empty) shell
       gc(f, p) // retires the old segments and tombstones
     } finally graft.core.Lineage.release(snap)
@@ -1398,14 +1404,17 @@ object ManifestTable {
       val subdirs = f.listStatus(new Path(p, tmp))
         .filter(_.isDirectory).map(_.getPath)
         .sortBy(d => d.getName.stripPrefix("_seg=").toInt)
-      val segs = subdirs.zipWithIndex.map { case (d, i) =>
+      val segNames = subdirs.zipWithIndex.map { case (d, i) =>
         val seg = s"seg-${v + 1}-clz$i-${java.util.UUID.randomUUID().toString.take(8)}"
         require(f.rename(d, new Path(p, seg)),
           s"failed to place z-clustered segment $seg")
-        val sj = writeStats(spark, f, s"$root/$seg", Seq(colA, colB))
-        seg -> buildMeta(spark, f, root, seg, Some(sj), Nil)
+        seg
       }.toSeq
-      commit(f, p, v + 1, segs.map(_._1), Seq(RewriteMark), metas = segs.toMap)
+      // one grouped stats job for all segments (see cluster)
+      val metas = sidecarsBatched(spark, root,
+        segNames.map(s => (s, Seq(colA, colB), Seq.empty[String])),
+        StructType(snap.schema.map(_.copy(nullable = true))))
+      commit(f, p, v + 1, segNames, Seq(RewriteMark), metas = metas)
       f.delete(new Path(p, tmp), true) // our own (now-empty) shell
       gc(f, p)
     } finally graft.core.Lineage.release(snap)
@@ -1436,7 +1445,8 @@ object ManifestTable {
     val touched = prunedDataSegments(spark, root, byCol, lo, hi)
     if (touched.size < 2) return 0
     val tmp = s".cluster-tmp-${java.util.UUID.randomUUID().toString.take(8)}"
-    readSegs(spark, root, touched)
+    val frame = readSegs(spark, root, touched)
+    frame
       .repartitionByRange(nSegments, col(byCol))
       .withColumn("_seg", org.apache.spark.sql.functions.spark_partition_id())
       .write.partitionBy("_seg").parquet(s"$root/$tmp")
@@ -1444,17 +1454,20 @@ object ManifestTable {
       .filter(_.isDirectory).map(_.getPath)
       .sortBy(d => d.getName.stripPrefix("_seg=").toInt)
     val stats = if (statsCols.nonEmpty) statsCols else Seq(byCol)
-    val segs = subdirs.zipWithIndex.map { case (d, i) =>
+    val segNames = subdirs.zipWithIndex.map { case (d, i) =>
       val seg = s"seg-${v + 1}-clr$i-${java.util.UUID.randomUUID().toString.take(8)}"
       require(f.rename(d, new Path(p, seg)),
         s"failed to place clustered segment $seg")
-      val sj = writeStats(spark, f, s"$root/$seg", stats)
-      seg -> buildMeta(spark, f, root, seg, Some(sj), Nil)
+      seg
     }.toSeq
+    // one grouped stats job for all segments (see cluster)
+    val newMetas = sidecarsBatched(spark, root,
+      segNames.map(s => (s, stats, Seq.empty[String])),
+      StructType(frame.schema.map(_.copy(nullable = true))))
     val touchedSet = touched.toSet
-    commit(f, p, v + 1, all.filterNot(touchedSet) ++ segs.map(_._1),
+    commit(f, p, v + 1, all.filterNot(touchedSet) ++ segNames,
       Seq(RewriteMark),
-      metas = (priorMetas(f, p, v) -- touchedSet) ++ segs.toMap)
+      metas = (priorMetas(f, p, v) -- touchedSet) ++ newMetas)
     f.delete(new Path(p, tmp), true) // our own (now-empty) shell
     gc(f, p)
     touched.size
