@@ -667,10 +667,18 @@ object ManifestTable {
     val t = tag.map(_ + "-").getOrElse("")
     val suffix = java.util.UUID.randomUUID().toString.take(8)
     var seg = s"seg-${v + 1}-$t$suffix"
-    writeSeg(df, s"$root/$seg", partitionBy)
+    // flat + stats-bearing: the min/max/count ride the write's scan
+    val (frame, obs) =
+      if (statsCols.nonEmpty && partitionBy.isEmpty) observedStats(df, statsCols)
+      else (df, None)
+    writeSeg(frame, s"$root/$seg", partitionBy)
     val statsJson =
-      if (statsCols.nonEmpty) Some(writeStats(spark, f, s"$root/$seg", statsCols))
-      else None
+      if (statsCols.isEmpty) None
+      else obs match {
+        case Some((o, typed)) =>
+          Some(publishObservedStats(f, s"$root/$seg", o, typed))
+        case None => Some(writeStats(spark, f, s"$root/$seg", statsCols))
+      }
     if (bloomCols.nonEmpty) writeBlooms(spark, f, s"$root/$seg", bloomCols)
     val meta = buildMeta(spark, f, root, seg, statsJson, bloomCols)
     var attempts = 0
@@ -737,10 +745,18 @@ object ManifestTable {
     val v = currentVersion(f, p).getOrElse(0L)
     val t = tag.map(_ + "-").getOrElse("")
     val seg = s"seg-${v + 1}-$t${java.util.UUID.randomUUID().toString.take(8)}"
-    writeSeg(df, s"$root/$seg", partitionBy)
+    // flat + stats-bearing: the min/max/count ride the write's scan
+    val (frame, obs) =
+      if (statsCols.nonEmpty && partitionBy.isEmpty) observedStats(df, statsCols)
+      else (df, None)
+    writeSeg(frame, s"$root/$seg", partitionBy)
     val statsJson =
-      if (statsCols.nonEmpty) Some(writeStats(spark, f, s"$root/$seg", statsCols))
-      else None
+      if (statsCols.isEmpty) None
+      else obs match {
+        case Some((o, typed)) =>
+          Some(publishObservedStats(f, s"$root/$seg", o, typed))
+        case None => Some(writeStats(spark, f, s"$root/$seg", statsCols))
+      }
     if (bloomCols.nonEmpty) writeBlooms(spark, f, s"$root/$seg", bloomCols)
     val meta = buildMeta(spark, f, root, seg, statsJson, bloomCols)
     commit(f, p, v + 1, Seq(seg), if (rewrite) Seq(RewriteMark) else Nil,
@@ -1309,10 +1325,19 @@ object ManifestTable {
       .distinct
     val bCols = small.flatMap(s => bloomColsOf(f, new Path(p, s))).distinct
     val seg = s"seg-${v + 1}-opt-${java.util.UUID.randomUUID().toString.take(8)}"
-    writeSeg(readSegs(spark, root, small), s"$root/$seg", partitionBy)
+    // flat + stats-bearing: the min/max/count ride the fold's write scan
+    val (frame, obs) =
+      if (statCols.nonEmpty && partitionBy.isEmpty)
+        observedStats(readSegs(spark, root, small), statCols)
+      else (readSegs(spark, root, small), None)
+    writeSeg(frame, s"$root/$seg", partitionBy)
     val statsJson =
-      if (statCols.nonEmpty) Some(writeStats(spark, f, s"$root/$seg", statCols))
-      else None
+      if (statCols.isEmpty) None
+      else obs match {
+        case Some((o, typed)) =>
+          Some(publishObservedStats(f, s"$root/$seg", o, typed))
+        case None => Some(writeStats(spark, f, s"$root/$seg", statCols))
+      }
     if (bCols.nonEmpty) writeBlooms(spark, f, s"$root/$seg", bCols)
     val meta = buildMeta(spark, f, root, seg, statsJson, bCols)
     val smallSet = small.toSet
@@ -1546,6 +1571,54 @@ object ManifestTable {
     * write time — never again on the read path. Returns the sidecar
     * JSON so commit-time callers can embed the same stats in the
     * manifest line ([[buildMeta]]) without re-reading it. */
+  /** [[writeStats]]' aggregates attached to the WRITE pass via
+    * [[org.apache.spark.sql.Observation]]: a stats-bearing append
+    * costs ONE scan of the batch (the segment write), not write +
+    * read-back — at ingest scale that halves per-commit data IO.
+    * Restricted to FLAT segments: a hive-partitioned read-back can
+    * re-type partition columns via directory inference, so that path
+    * keeps the read-back ([[writeStats]]). Returns the frame to write
+    * (observation attached) plus the observation + typed column list
+    * to resolve AFTER the write action completes. */
+  private def observedStats(df: DataFrame, cols: Seq[String])
+      : (DataFrame,
+         Option[(org.apache.spark.sql.Observation, Seq[(String, String)])]) = {
+    val typed = cols.flatMap(c => statType(df.schema(c).dataType).map((c, _)))
+    if (cols.isEmpty) (df, None)
+    else {
+      val o = org.apache.spark.sql.Observation()
+      val aggs = count(lit(1)).as("rows") +:
+        typed.zipWithIndex.flatMap { case ((c, t), i) =>
+          val key = t match {
+            case "ts" => unix_micros(col(c))
+            case "d"  => datediff(col(c), lit("1970-01-01"))
+            case _    => col(c)
+          }
+          Seq(min(key).cast("string").as(s"mn$i"),
+            max(key).cast("string").as(s"mx$i"))
+        }
+      (df.observe(o, aggs.head, aggs.tail: _*), Some((o, typed)))
+    }
+  }
+
+  /** Publish the observed stats as the segment's sidecar — same JSON
+    * as [[writeStats]], zero extra jobs. Call only after the write
+    * action completed (Observation.get blocks on it). */
+  private def publishObservedStats(f: FileSystem, segDir: String,
+      o: org.apache.spark.sql.Observation,
+      typed: Seq[(String, String)]): String = {
+    val m = o.get
+    val colsJson = typed.zipWithIndex.map { case ((c, t), i) =>
+      def v(k: String): String =
+        m.get(k).flatMap(Option(_)).map(x => jsonString(x.toString))
+          .getOrElse("null")
+      s""""${jsonEscape(c)}":{"t":"$t","min":${v(s"mn$i")},"max":${v(s"mx$i")}}"""
+    }.mkString(",")
+    val json = s"""{"rows":${m("rows")},"cols":{$colsJson}}"""
+    commitStrategy.publish(f, new Path(segDir), new Path(segDir, StatsFile), json)
+    json
+  }
+
   private[io] def writeStats(spark: SparkSession, f: FileSystem,
       segDir: String, cols: Seq[String]): String = {
     val df = spark.read.parquet(segDir)
