@@ -2306,6 +2306,10 @@ trait SparkEntryOracle extends SparkEntryTail {
         |         CASE WHEN event_type = 'click' THEN value * 2 ELSE value END AS value
         |  FROM events WHERE event_id % 5 <> 2
         |) GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "manifest_drop_sql" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "manifest_alter_sql" ->
       """SELECT event_type, count(*) AS cnt,
         |       count(CASE WHEN event_id % 2 = 1 THEN value END) AS with_value,

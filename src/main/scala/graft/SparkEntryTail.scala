@@ -2879,6 +2879,55 @@ trait SparkEntryTail extends SparkEntryMid {
     out
   }
 
+  /** `ALTER TABLE … DROP COLUMN` — the inverse DDL verb: one
+    * schema-projection commit (a carried-forward `#dropcol` set,
+    * ZERO data IO — segment bytes disappear at the next rewrite).
+    * Require-pinned semantics: the head loses the column, the
+    * pre-drop snapshot still time-travels WITH it, the post-drop
+    * INSERT coerces against the narrowed schema, and re-ADDing the
+    * dropped name rejects loudly (name-based tombstones, no column
+    * mapping). Oracle replays the surviving columns over raw
+    * events. */
+  private[graft] def manifestDropSql(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.ManifestTable
+    val root = manifestRoot(s, "graft_dropq__log")
+    ManifestTable.destroy(s, root)
+    s.sql("DROP TABLE IF EXISTS graft_drop_lt")
+    t(s, dir, "events").select("event_id", "event_type", "value")
+      .createOrReplaceTempView("drop_src_events")
+    s.sql(s"""
+      CREATE TABLE graft_drop_lt USING `graft.manifest` LOCATION '$root'
+      AS SELECT event_id, event_type, value, concat('n', event_id) AS note
+         FROM drop_src_events WHERE event_id % 2 = 0""")
+    val preV = ManifestTable.versions(s, root).max
+    val rc = s.sql("ALTER TABLE graft_drop_lt DROP COLUMN note").collect()
+    require(rc.toSeq.map(r => (r.getString(0), r.getInt(1))) ==
+      Seq(("alter", 1)), s"unexpected ALTER receipt: ${rc.toSeq}")
+    require(!s.table("graft_drop_lt").columns.contains("note"),
+      "dropped column must leave the head schema")
+    require(s.sql(s"SELECT * FROM graft_drop_lt VERSION AS OF $preV")
+      .columns.contains("note"),
+      "pre-drop snapshot must still carry the column")
+    // re-adding the dropped name is loud (no column mapping)
+    val readd = scala.util.Try(
+      s.sql("ALTER TABLE graft_drop_lt ADD COLUMN (note STRING)").collect())
+    require(readd.isFailure &&
+      readd.failed.get.getMessage.contains("DROPped"),
+      s"re-ADD of a dropped name must reject: $readd")
+    s.sql("""
+      INSERT INTO graft_drop_lt
+      SELECT event_id, event_type, value
+      FROM drop_src_events WHERE event_id % 2 = 1""")
+    val out = s.sql("""
+      SELECT event_type, count(1) AS cnt,
+             cast(round(sum(cast(value AS decimal(18,6))), 4) AS double) AS sum_value
+      FROM graft_drop_lt
+      GROUP BY event_type
+      ORDER BY event_type""").localCheckpoint()
+    s.sql("DROP TABLE graft_drop_lt")
+    out
+  }
+
   /** Additive schema evolution through the SQL face: a second append
     * ADDS a column (no rewrite of the first segment — the O(batch)
     * evolution contract a 100 TB log needs), the relation's schema is

@@ -233,6 +233,46 @@ object ManifestTable {
   private[io] def readManifest(f: FileSystem, root: Path, v: Long): Seq[String] =
     manifestLines(f, root, v).filterNot(_.startsWith("#"))
 
+  /** `ALTER TABLE … DROP COLUMN` is a SCHEMA PROJECTION, not a data
+    * rewrite: the dropping commit records the column in a `#dropcol`
+    * line and every later commit carries the accumulated set forward
+    * (a manifest is a full snapshot — same contract as its segment
+    * list), so readers subtract the set from the merged schema and
+    * never request the column from the scan. Physical bytes stay in
+    * place until a rewrite-class verb repackages the rows (compact/
+    * cluster write through the post-drop projection, which is when the
+    * data physically disappears). Time travel is exact: each version's
+    * manifest carries its OWN set, so a pre-drop snapshot still reads
+    * the column. Re-ADDing a dropped name is rejected loudly — without
+    * per-column physical ids (column mapping), a re-add would
+    * resurface the old values still sitting in unrewritten segments. */
+  private val DropColPrefix = "#dropcol "
+
+  /** Marks a pure schema-change commit in [[history]]. */
+  private[io] val AlterMark = "#alter"
+
+  private def dropColLines(lines: Seq[String]): Seq[String] =
+    lines.filter(_.startsWith(DropColPrefix)).map(_.stripPrefix(DropColPrefix))
+
+  /** Column names dropped from the visible schema as of version `v`
+    * (accumulated, case preserved; match with the session resolver). */
+  def droppedColsAt(spark: SparkSession, root: String, v: Long): Seq[String] = {
+    val (f, p) = fs(spark, root)
+    dropColLines(manifestLines(f, p, v))
+  }
+
+  /** Head-version [[droppedColsAt]]; empty for an uncommitted root. */
+  def droppedCols(spark: SparkSession, root: String): Seq[String] = {
+    val (f, p) = fs(spark, root)
+    currentVersion(f, p).map(v => dropColLines(manifestLines(f, p, v)))
+      .getOrElse(Seq.empty)
+  }
+
+  /** Subtract the dropped-column projection (case-insensitive on the
+    * default resolver; `drop` ignores names the frame lacks). */
+  private def applyDrops(df: DataFrame, dropped: Seq[String]): DataFrame =
+    if (dropped.isEmpty) df else df.drop(dropped: _*)
+
   private[io] def isRewrite(f: FileSystem, root: Path, v: Long): Boolean =
     manifestLines(f, root, v).contains(RewriteMark)
 
@@ -346,12 +386,14 @@ object ManifestTable {
     require(segs.nonEmpty, s"no committed manifest under $root")
     val data = readSegsWithRowId(spark, root, segs)
     val del = deleteSegments(spark, root)
-    if (del.isEmpty) data
-    else {
-      val keys = readSegs(spark, root, del).distinct()
-      data.join(org.apache.spark.sql.functions.broadcast(keys),
-        keys.columns.toSeq, "left_anti")
-    }
+    val merged =
+      if (del.isEmpty) data
+      else {
+        val keys = readSegs(spark, root, del).distinct()
+        data.join(org.apache.spark.sql.functions.broadcast(keys),
+          keys.columns.toSeq, "left_anti")
+      }
+    applyDrops(merged, droppedCols(spark, root))
   }
 
   /** Union-read every committed data segment. The dir list is
@@ -360,7 +402,7 @@ object ManifestTable {
   def read(spark: SparkSession, root: String): DataFrame = {
     val segs = dataSegments(spark, root)
     require(segs.nonEmpty, s"no committed manifest under $root")
-    readSegs(spark, root, segs)
+    applyDrops(readSegs(spark, root, segs), droppedCols(spark, root))
   }
 
   /** Time-travel read: the data segments named by manifest version
@@ -369,7 +411,7 @@ object ManifestTable {
   def readAt(spark: SparkSession, root: String, v: Long): DataFrame = {
     val segs = segmentsAt(spark, root, v).filterNot(_.startsWith(DelPrefix))
     require(segs.nonEmpty, s"manifest v$v of $root names no data segments")
-    readSegs(spark, root, segs)
+    applyDrops(readSegs(spark, root, segs), droppedColsAt(spark, root, v))
   }
 
   private[io] def tombstonesOf(spark: SparkSession, root: String,
@@ -402,13 +444,15 @@ object ManifestTable {
     * deletes; when the accumulated delete set outgrows broadcast
     * range, [[compact]] applies it physically and clears it. */
   def readMerged(spark: SparkSession, root: String): DataFrame =
-    mergeRead(spark, root, segments(spark, root))
+    applyDrops(mergeRead(spark, root, segments(spark, root)),
+      droppedCols(spark, root))
 
   /** Time-travel [[readMerged]]: state as of manifest version `v` —
     * deletes committed after `v` are invisible, deletes at or before
     * `v` apply. */
   def readMergedAt(spark: SparkSession, root: String, v: Long): DataFrame =
-    mergeRead(spark, root, segmentsAt(spark, root, v))
+    applyDrops(mergeRead(spark, root, segmentsAt(spark, root, v)),
+      droppedColsAt(spark, root, v))
 
   /** Atomically publish `segs` as manifest version `v` through the
     * configured [[CommitStrategy]] (single winner per version; the
@@ -419,8 +463,17 @@ object ManifestTable {
     * commit are emitted, so a carried-forward map can never leak a
     * retired segment's metadata into a newer snapshot). */
   private[io] def commit(f: FileSystem, root: Path, v: Long, segs: Seq[String],
-      marks: Seq[String] = Nil, metas: Map[String, String] = Map.empty): Unit = {
+      marks: Seq[String] = Nil, metas: Map[String, String] = Map.empty,
+      addDrops: Seq[String] = Nil): Unit = {
     val metaLns = segs.flatMap(s => metas.get(s).map(j => s"$MetaPrefix$s $j"))
+    // the dropped-column set is table-level schema state: every commit
+    // carries the prior version's set forward (plus this commit's own
+    // drops), exactly like the full segment list
+    val priorDrops =
+      if (v <= 1L) Seq.empty[String]
+      else scala.util.Try(dropColLines(manifestLines(f, root, v - 1)))
+        .getOrElse(Seq.empty)
+    val dropLns = (priorDrops ++ addDrops).distinct.map(DropColPrefix + _)
     // monotonicity clamp: with multi-writer clock skew, version v could
     // otherwise carry a LATER #ts than v+1, and versionAsOfTime (last
     // version with ts <= cutoff) would resolve TIMESTAMP AS OF to a
@@ -433,7 +486,7 @@ object ManifestTable {
     val stamp = math.max(prevTs + 1, System.currentTimeMillis())
     val ts = s"$TsPrefix$stamp"
     commitStrategy.publish(f, root, new Path(root, ManifestPrefix + v),
-      (ts +: (marks ++ metaLns ++ segs)).mkString("\n") + "\n")
+      (ts +: (dropLns ++ marks ++ metaLns ++ segs)).mkString("\n") + "\n")
   }
 
   /** Commit wall-clock embedded IN the manifest content (`#ts
@@ -572,7 +625,7 @@ object ManifestTable {
     * across destroy/recreate, but never with identical content (every
     * segment name carries a fresh UUID). */
   private[graft] def manifestSnapshot(spark: SparkSession, root: String,
-      v: Long): (Seq[String], Map[String, SegMeta], String) = {
+      v: Long): (Seq[String], Map[String, SegMeta], String, Seq[String]) = {
     val (f, p) = fs(spark, root)
     require(f.exists(new Path(p, ManifestPrefix + v)),
       s"no committed manifest version $v under $root")
@@ -581,7 +634,7 @@ object ManifestTable {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hash = md.digest(lines.mkString("\n").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    (segs, metasFromLines(lines), hash)
+    (segs, metasFromLines(lines), hash, dropColLines(lines))
   }
 
   private[io] def writeSeg(df: DataFrame, dir: String, partitionBy: Seq[String]): Unit = {
@@ -790,12 +843,54 @@ object ManifestTable {
     }
     require(cols.map(_._1.toLowerCase(java.util.Locale.ROOT)).distinct.size ==
       cols.size, s"duplicate column in ADD COLUMNS: ${cols.map(_._1)}")
+    val dropped = droppedCols(spark, root)
+    cols.foreach { case (n, _) =>
+      require(!dropped.exists(d => eq(d, n)),
+        s"column $n was DROPped from $root; re-adding the name would " +
+          "resurface old values still sitting in unrewritten segments " +
+          "(drops are name-based tombstones, not physical column ids) " +
+          "— pick another name")
+    }
     val evolved = org.apache.spark.sql.types.StructType(
       cur.fields ++ cols.map { case (n, t) =>
         org.apache.spark.sql.types.StructField(n, t, nullable = true) })
     val empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), evolved)
     append(spark, root, empty, tag = Some("alter"))
+  }
+
+  /** `ALTER TABLE … DROP COLUMN(S)`: one schema-projection commit (a
+    * `#dropcol` line per column, carried forward by every later
+    * commit) — ZERO data IO; segment bytes are untouched and the
+    * column physically disappears when a rewrite-class verb next
+    * repackages the rows. Pre-drop snapshots time-travel with the
+    * column intact. Partition columns and the last remaining column
+    * are rejected. See [[DropColPrefix]] for the re-add contract. */
+  def dropColumns(spark: SparkSession, root: String,
+      cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "DROP COLUMNS needs at least one column")
+    val (f, p) = fs(spark, root)
+    val v = currentVersion(f, p).getOrElse(throw new IllegalStateException(
+      s"ALTER TABLE of uncommitted table $root"))
+    val eq = spark.sessionState.conf.resolver
+    val rel = graft.sources.ManifestSource
+      .relation(spark, root, None, allowTombstones = true)
+    cols.foreach { c =>
+      require(!rel.partitionSchema.fieldNames.exists(eq(_, c)),
+        s"$c is a hive PARTITION column of $root — the physical layout " +
+          "depends on it; re-partition via cluster()/compact() instead")
+    }
+    val visible = rel.dataSchema
+    cols.foreach { c =>
+      require(visible.fieldNames.exists(eq(_, c)),
+        s"column $c does not exist in $root (${visible.simpleString})")
+    }
+    require(cols.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.size ==
+      cols.size, s"duplicate column in DROP COLUMNS: $cols")
+    require(visible.size + rel.partitionSchema.size > cols.size,
+      s"cannot DROP every column of $root")
+    commit(f, p, v + 1, readManifest(f, p, v), Seq(AlterMark),
+      metas = priorMetas(f, p, v), addDrops = cols)
   }
 
   /** Fold all committed segments into one (the staged full rewrite,
@@ -1162,6 +1257,7 @@ object ManifestTable {
       val dropped = prev.count(!cur(_))
       val kind =
         if (lines.contains(DmlMark)) "dml"
+        else if (lines.contains(AlterMark)) "alter"
         else if (lines.contains(RewriteMark)) "rewrite"
         else if (dropped > 0) "replace"
         else if (segs.exists(s => s.startsWith(DelPrefix) && !prev(s))) "delete"
@@ -1279,12 +1375,14 @@ object ManifestTable {
       preRows.toList
     val delDf = delSides.reduceOption(_.unionByName(_, allowMissingColumns = true))
       .map(_.withColumn("_change_type", lit("delete")))
-    (insDf, delDf) match {
+    val out = (insDf, delDf) match {
       case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true)
       case (Some(a), None) => a
       case (None, Some(b)) => b
       case _ => throw new IllegalStateException("unreachable: chg or pre nonEmpty")
     }
+    // the window's consumers see the schema AS OF its end version
+    applyDrops(out, droppedColsAt(spark, root, toV))
   }
 
   /** Committed data segments with their on-disk byte sizes (driver-

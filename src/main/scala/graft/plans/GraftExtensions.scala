@@ -279,6 +279,28 @@ class ResolveManifestRelation(spark: org.apache.spark.sql.SparkSession)
           }
         case _ => a
       }
+    // ALTER TABLE … DROP COLUMN(S) → one schema-projection commit
+    // (ManifestTable.dropColumns: a #dropcol line, zero data IO)
+    case d: org.apache.spark.sql.catalyst.plans.logical.DropColumns =>
+      d.table match {
+        case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+            if t.multipartIdentifier.length == 2 &&
+              t.multipartIdentifier.head.equalsIgnoreCase("graft.manifest") =>
+          val (root, version) = parseSpec(t.multipartIdentifier(1))
+          require(version.isEmpty,
+            s"cannot ALTER a pinned version of $root — DDL commits a new " +
+              "version at the head")
+          ManifestAlterDropColumnsCommand(root,
+            ManifestAlterDropColumnsCommand.colNames(d.columnsToDrop),
+            d.ifExists, None)
+        case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+          namedManifest(t.multipartIdentifier).fold(d: LogicalPlan) { m =>
+            ManifestAlterDropColumnsCommand(m.location.toString,
+              ManifestAlterDropColumnsCommand.colNames(d.columnsToDrop),
+              d.ifExists, Some(m.identifier))
+          }
+        case _ => d
+      }
   }
 }
 

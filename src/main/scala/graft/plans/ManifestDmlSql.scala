@@ -305,6 +305,73 @@ case class ManifestAlterAddColumnsCommand(root: String,
   }
 }
 
+/** `ALTER TABLE t DROP COLUMN(S) (…)` on a manifest table — one
+  * schema-projection commit ([[graft.io.ManifestTable.dropColumns]]:
+  * a carried-forward `#dropcol` set, zero data IO; segment bytes
+  * disappear at the next rewrite). Catalog-named tables keep their
+  * stored schema in sync; `IF EXISTS` skips missing names. Top-level
+  * columns only. */
+case class ManifestAlterDropColumnsCommand(root: String,
+    cols: Seq[String], ifExists: Boolean,
+    ident: Option[org.apache.spark.sql.catalyst.TableIdentifier])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("action", StringType, nullable = false)(),
+    AttributeReference("columns_dropped", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(graft.io.ManifestTable.exists(spark, root) || ident.isDefined,
+      s"ALTER TABLE of uncommitted table $root")
+    val eq = spark.sessionState.conf.resolver
+    val toDrop =
+      if (!ifExists) cols
+      else {
+        val visible: Seq[String] =
+          if (graft.io.ManifestTable.exists(spark, root))
+            graft.sources.ManifestSource
+              .relation(spark, root, None, allowTombstones = true)
+              .schema.fieldNames.toSeq
+          else ident.map(id => spark.sessionState.catalog
+            .getTableMetadata(id).dataSchema.fieldNames.toSeq)
+            .getOrElse(Seq.empty)
+        cols.filter(c => visible.exists(eq(_, c)))
+      }
+    if (toDrop.nonEmpty && graft.io.ManifestTable.exists(spark, root))
+      graft.io.ManifestTable.dropColumns(spark, root, toDrop)
+    ident.foreach { id =>
+      val cat = spark.sessionState.catalog
+      val cur = cat.getTableMetadata(id).dataSchema
+      if (!graft.io.ManifestTable.exists(spark, root)) {
+        // born-empty named table: the catalog schema IS the table
+        val missing = toDrop.filterNot(c => cur.fields.exists(fd => eq(fd.name, c)))
+        require(missing.isEmpty,
+          s"column(s) do not exist in $id: ${missing.mkString(", ")}")
+        require(cur.size > toDrop.size, s"cannot DROP every column of $id")
+      }
+      val kept = cur.fields.filterNot(fd => toDrop.exists(c => eq(fd.name, c)))
+      if (kept.length != cur.fields.length) {
+        // alterTableDataSchema refuses to drop fields by design; the
+        // raw alterTable path sets the narrowed schema (data fields +
+        // unchanged partition fields, V1 layout order)
+        val meta = cat.getTableMetadata(id)
+        cat.alterTable(meta.copy(schema = org.apache.spark.sql.types
+          .StructType(kept ++ meta.partitionSchema.fields)))
+      }
+    }
+    Seq(Row("alter", toDrop.size))
+  }
+}
+
+object ManifestAlterDropColumnsCommand {
+  def colNames(cols: Seq[org.apache.spark.sql.catalyst.analysis.FieldName])
+      : Seq[String] =
+    cols.map { c =>
+      require(c.name.length == 1,
+        s"ALTER TABLE on a manifest table drops TOP-LEVEL columns only, " +
+          s"got nested field ${c.name.mkString(".")}")
+      c.name.head
+    }
+}
+
 object ManifestAlterAddColumnsCommand {
   /** Parsed column list → (name, type) pairs; everything the log's
     * additive evolution cannot express is rejected up front. */

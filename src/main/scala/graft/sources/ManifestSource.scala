@@ -637,7 +637,7 @@ object ManifestSource {
       .getOrElse(throw new IllegalArgumentException(
         s"no committed manifest under $root"))
     // ONE manifest read: segment list + embedded metadata + fingerprint
-    val (all, metas, fp) = ManifestTable.manifestSnapshot(spark, root, v)
+    val (all, metas, fp, dropped) = ManifestTable.manifestSnapshot(spark, root, v)
     require(all.nonEmpty, s"no committed manifest under $root" +
       version.map(v0 => s" at version $v0").getOrElse(""))
     val dels = all.filter(_.startsWith("del-"))
@@ -662,11 +662,16 @@ object ManifestSource {
         c
     }
     val partNames = cached.index.partitionSchema.fieldNames.toSet
+    // DROPped columns are a schema projection: the relation never
+    // advertises them, so the parquet scan never requests them (the
+    // physical bytes stay until a rewrite repackages the rows)
+    val eq = spark.sessionState.conf.resolver
     HadoopFsRelation(
       location = cached.index,
       partitionSchema = cached.index.partitionSchema,
       dataSchema = StructType(
-        cached.dataSchema.filterNot(f => partNames.contains(f.name))),
+        cached.dataSchema.filterNot(f => partNames.contains(f.name) ||
+          dropped.exists(d => eq(d, f.name)))),
       bucketSpec = None,
       fileFormat = new ParquetFileFormat(),
       options = Map.empty)(spark)

@@ -327,4 +327,70 @@ class CatalogSpec extends AnyFunSuite {
       assert(spark.table("cat_alter").columns.contains("flag"))
     }
   }
+
+  test("ALTER TABLE DROP COLUMN(S): schema-projection commit, time travel keeps the column, re-add loud, edges loud") {
+    val r = root("cat_drop__log")
+    withTable("cat_drop") {
+      spark.sql(s"CREATE TABLE cat_drop (id INT, v DOUBLE, note STRING) " +
+        s"USING `graft.manifest` LOCATION '$r'")
+      spark.sql("INSERT INTO cat_drop VALUES (1, 1.0, 'a'), (2, 2.0, 'b')")
+      val preV = ManifestTable.versions(spark, r).max
+      val rc = spark.sql("ALTER TABLE cat_drop DROP COLUMN note").collect()
+      assert(rc.map(x => (x.getString(0), x.getInt(1))).toSeq ==
+        Seq(("alter", 1)))
+      // zero data IO: the drop commit names the SAME segments
+      assert(ManifestTable.segments(spark, r) ==
+        ManifestTable.segmentsAt(spark, r, preV))
+      assert(ManifestTable.history(spark, r).last.kind == "alter")
+      // head: column gone on every face (name, typed, SQL path)
+      assert(spark.table("cat_drop").columns.toSeq == Seq("id", "v"))
+      assert(ManifestTable.read(spark, r).columns.toSeq == Seq("id", "v"))
+      assert(spark.sql(s"SELECT * FROM `graft.manifest`.`$r`")
+        .columns.toSeq == Seq("id", "v"))
+      // catalog schema synced
+      assert(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("cat_drop"))
+        .dataSchema.fieldNames.toSeq == Seq("id", "v"))
+      // pre-drop snapshot still carries it (typed + SQL)
+      assert(ManifestTable.readAt(spark, r, preV).columns.contains("note"))
+      assert(spark.sql(s"SELECT note FROM cat_drop VERSION AS OF $preV")
+        .collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+      // post-drop INSERT coerces against the narrowed schema
+      spark.sql("INSERT INTO cat_drop VALUES (3, 3.0)")
+      assert(spark.sql("SELECT count(1) FROM cat_drop").head().getLong(0) == 3)
+      // the change feed's window sees the post-drop schema
+      val head = ManifestTable.versions(spark, r).max
+      assert(!ManifestTable.readChanges(spark, r, preV, head)
+        .columns.contains("note"))
+      // DML across the projection still lands
+      spark.sql("UPDATE cat_drop SET v = v * 10 WHERE id = 1")
+      assert(spark.sql("SELECT v FROM cat_drop WHERE id = 1")
+        .head().getDouble(0) == 10.0)
+      // compact writes through the projection: physically gone
+      ManifestTable.compact(spark, r)
+      val metas = ManifestTable.segmentMetas(spark, r)
+      val segs = ManifestTable.segments(spark, r)
+      assert(segs.forall(s => metas.get(s).flatMap(_.schema)
+        .forall(!_.fieldNames.contains("note"))),
+        "a full rewrite must not carry the dropped column")
+      // re-adding the dropped name is loud
+      val e0 = intercept[Exception] {
+        spark.sql("ALTER TABLE cat_drop ADD COLUMN (note STRING)").collect()
+      }
+      assert(e0.getMessage.contains("DROPped"), e0.getMessage)
+      // edges: unknown column loud; IF EXISTS skips; last column loud
+      val e1 = intercept[Exception] {
+        spark.sql("ALTER TABLE cat_drop DROP COLUMN nope").collect()
+      }
+      assert(e1.getMessage.contains("does not exist"), e1.getMessage)
+      val rcIf = spark.sql(
+        "ALTER TABLE cat_drop DROP COLUMNS IF EXISTS (nope)").collect()
+      assert(rcIf.map(x => (x.getString(0), x.getInt(1))).toSeq ==
+        Seq(("alter", 0)))
+      val e2 = intercept[Exception] {
+        spark.sql("ALTER TABLE cat_drop DROP COLUMNS (id, v)").collect()
+      }
+      assert(e2.getMessage.contains("cannot DROP every column"), e2.getMessage)
+    }
+  }
 }
