@@ -466,23 +466,27 @@ object ManifestTable {
       marks: Seq[String] = Nil, metas: Map[String, String] = Map.empty,
       addDrops: Seq[String] = Nil): Unit = {
     val metaLns = segs.flatMap(s => metas.get(s).map(j => s"$MetaPrefix$s $j"))
-    // the dropped-column set is table-level schema state: every commit
-    // carries the prior version's set forward (plus this commit's own
-    // drops), exactly like the full segment list
-    val priorDrops =
+    // ONE read of the prior manifest serves both carried states: the
+    // dropped-column set (table-level schema state every commit
+    // carries forward, exactly like the full segment list) and the
+    // commit-timestamp monotonicity clamp below
+    val prevLines =
       if (v <= 1L) Seq.empty[String]
-      else scala.util.Try(dropColLines(manifestLines(f, root, v - 1)))
-        .getOrElse(Seq.empty)
-    val dropLns = (priorDrops ++ addDrops).distinct.map(DropColPrefix + _)
+      else scala.util.Try(manifestLines(f, root, v - 1)).getOrElse(Seq.empty)
+    val dropLns =
+      (dropColLines(prevLines) ++ addDrops).distinct.map(DropColPrefix + _)
     // monotonicity clamp: with multi-writer clock skew, version v could
     // otherwise carry a LATER #ts than v+1, and versionAsOfTime (last
     // version with ts <= cutoff) would resolve TIMESTAMP AS OF to a
     // snapshot that includes later-versioned data — so stamp
     // max(prev commit ts + 1, now), the standard in-commit-timestamp
-    // contract. Prior version v-1 is on disk by protocol order.
-    val prevTs =
-      if (v <= 1L) Long.MinValue
-      else scala.util.Try(commitTimeOf(f, root, v - 1)).getOrElse(Long.MinValue)
+    // contract. (Pre-#ts legacy manifests fall back to file mtime.)
+    val prevTs = prevLines.find(_.startsWith(TsPrefix))
+      .flatMap(_.stripPrefix(TsPrefix).trim.toLongOption)
+      .orElse(if (v <= 1L) None else scala.util.Try(
+        f.getFileStatus(new Path(root, ManifestPrefix + (v - 1)))
+          .getModificationTime).toOption)
+      .getOrElse(Long.MinValue)
     val stamp = math.max(prevTs + 1, System.currentTimeMillis())
     val ts = s"$TsPrefix$stamp"
     commitStrategy.publish(f, root, new Path(root, ManifestPrefix + v),
@@ -1032,17 +1036,27 @@ object ManifestTable {
 
   private def gcKeeping(f: FileSystem, root: Path, horizon: Int,
       namedHint: Set[String] = Set.empty): Seq[String] = {
-    val vs = versionsOf(f, root)
-    val namedEver = namedHint ++ vs.flatMap(v => readManifest(f, root, v))
-    val live = vs.takeRight(horizon)
-      .flatMap(v => readManifest(f, root, v)).toSet
+    val live = liveDirs(f, root, horizon)
     val cutoff = System.currentTimeMillis() - gcGraceMs
+    // "was this non-live dir ever COMMITTED?" — a committed dir is
+    // named first by the manifest whose version its own name encodes
+    // (seg-<v>-…; retries re-version the name before committing), so
+    // ONE targeted manifest read answers it. O(ambiguous dirs) tiny
+    // reads, not O(all versions) — at a 10k-commit log the difference
+    // between a constant-cost GC and re-reading the whole log per
+    // maintenance pass. A dir whose manifest has been expired falls
+    // to the age rule (it is far older than any grace window).
+    def committed(n: String): Boolean =
+      namedHint.contains(n) ||
+        scala.util.Try(segVersion(n)).toOption.exists(v0 =>
+          scala.util.Try(readManifest(f, root, v0)).toOption
+            .exists(_.contains(n)))
     val removed = Seq.newBuilder[String]
     f.listStatus(root).foreach { st =>
       val n = st.getPath.getName
       if (!live.contains(n) && !n.startsWith(ManifestPrefix) &&
           !n.startsWith(RetainFile) &&
-          (namedEver.contains(n) || st.getModificationTime < cutoff)) {
+          (committed(n) || st.getModificationTime < cutoff)) {
         removed += n
         f.delete(st.getPath, true)
       }
