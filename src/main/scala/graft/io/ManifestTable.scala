@@ -245,7 +245,9 @@ object ManifestTable {
     * manifest carries its OWN set, so a pre-drop snapshot still reads
     * the column. Re-ADDing a dropped name is rejected loudly — without
     * per-column physical ids (column mapping), a re-add would
-    * resurface the old values still sitting in unrewritten segments. */
+    * resurface the old values still sitting in unrewritten segments —
+    * until a FULL rewrite (replace/compact/cluster) writes through the
+    * projection and retires the tombstone, making the name reusable. */
   private val DropColPrefix = "#dropcol "
 
   /** Marks a pure schema-change commit in [[history]]. */
@@ -464,17 +466,23 @@ object ManifestTable {
     * retired segment's metadata into a newer snapshot). */
   private[io] def commit(f: FileSystem, root: Path, v: Long, segs: Seq[String],
       marks: Seq[String] = Nil, metas: Map[String, String] = Map.empty,
-      addDrops: Seq[String] = Nil): Unit = {
+      addDrops: Seq[String] = Nil, clearDrops: Boolean = false): Unit = {
     val metaLns = segs.flatMap(s => metas.get(s).map(j => s"$MetaPrefix$s $j"))
     // ONE read of the prior manifest serves both carried states: the
     // dropped-column set (table-level schema state every commit
     // carries forward, exactly like the full segment list) and the
-    // commit-timestamp monotonicity clamp below
+    // commit-timestamp monotonicity clamp below. `clearDrops` is the
+    // FULL-rewrite escape: replace/compact/cluster write every row
+    // through the post-drop projection, so the physical bytes are gone
+    // and the name-tombstones can retire — the dropped name becomes
+    // reusable (partial rewrites — optimize/clusterRange/DML — must
+    // keep carrying: untouched segments may still hold the column).
     val prevLines =
       if (v <= 1L) Seq.empty[String]
       else scala.util.Try(manifestLines(f, root, v - 1)).getOrElse(Seq.empty)
     val dropLns =
-      (dropColLines(prevLines) ++ addDrops).distinct.map(DropColPrefix + _)
+      ((if (clearDrops) Nil else dropColLines(prevLines)) ++ addDrops)
+        .distinct.map(DropColPrefix + _)
     // monotonicity clamp: with multi-writer clock skew, version v could
     // otherwise carry a LATER #ts than v+1, and versionAsOfTime (last
     // version with ts <= cutoff) would resolve TIMESTAMP AS OF to a
@@ -816,8 +824,11 @@ object ManifestTable {
       }
     if (bloomCols.nonEmpty) writeBlooms(spark, f, s"$root/$seg", bloomCols)
     val meta = buildMeta(spark, f, root, seg, statsJson, bloomCols)
+    // full overwrite: the new content defines the schema — dropped-
+    // column tombstones retire (compact routes here too, and writes
+    // through the post-drop projection)
     commit(f, p, v + 1, Seq(seg), if (rewrite) Seq(RewriteMark) else Nil,
-      metas = Map(seg -> meta))
+      metas = Map(seg -> meta), clearDrops = true)
     gc(f, p)
   }
 
@@ -853,7 +864,8 @@ object ManifestTable {
         s"column $n was DROPped from $root; re-adding the name would " +
           "resurface old values still sitting in unrewritten segments " +
           "(drops are name-based tombstones, not physical column ids) " +
-          "— pick another name")
+          "— compact() first (a full rewrite physically removes the " +
+          "column and retires its tombstone), or pick another name")
     }
     val evolved = org.apache.spark.sql.types.StructType(
       cur.fields ++ cols.map { case (n, t) =>
@@ -1505,7 +1517,10 @@ object ManifestTable {
       val metas = sidecarsBatched(spark, root,
         segNames.map(s => (s, stats, Seq.empty[String])),
         StructType(snap.schema.map(_.copy(nullable = true))))
-      commit(f, p, v + 1, segNames, Seq(RewriteMark), metas = metas)
+      // full rewrite through the post-drop projection (readMerged):
+      // dropped-column tombstones retire with the physical bytes
+      commit(f, p, v + 1, segNames, Seq(RewriteMark), metas = metas,
+        clearDrops = true)
       f.delete(new Path(p, tmp), true) // our own (now-empty) shell
       gc(f, p) // retires the old segments and tombstones
     } finally graft.core.Lineage.release(snap)
@@ -1551,7 +1566,9 @@ object ManifestTable {
       val metas = sidecarsBatched(spark, root,
         segNames.map(s => (s, Seq(colA, colB), Seq.empty[String])),
         StructType(snap.schema.map(_.copy(nullable = true))))
-      commit(f, p, v + 1, segNames, Seq(RewriteMark), metas = metas)
+      // full rewrite through the projection: drop tombstones retire
+      commit(f, p, v + 1, segNames, Seq(RewriteMark), metas = metas,
+        clearDrops = true)
       f.delete(new Path(p, tmp), true) // our own (now-empty) shell
       gc(f, p)
     } finally graft.core.Lineage.release(snap)

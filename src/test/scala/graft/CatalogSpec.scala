@@ -366,18 +366,22 @@ class CatalogSpec extends AnyFunSuite {
       spark.sql("UPDATE cat_drop SET v = v * 10 WHERE id = 1")
       assert(spark.sql("SELECT v FROM cat_drop WHERE id = 1")
         .head().getDouble(0) == 10.0)
-      // compact writes through the projection: physically gone
+      // re-adding the dropped name is loud while unrewritten segments
+      // still physically hold the old values
+      val e0 = intercept[Exception] {
+        spark.sql("ALTER TABLE cat_drop ADD COLUMN (note STRING)").collect()
+      }
+      assert(e0.getMessage.contains("DROPped"), e0.getMessage)
+      // compact writes through the projection: physically gone AND the
+      // name-tombstone retires — the name becomes reusable
       ManifestTable.compact(spark, r)
       val metas = ManifestTable.segmentMetas(spark, r)
       val segs = ManifestTable.segments(spark, r)
       assert(segs.forall(s => metas.get(s).flatMap(_.schema)
         .forall(!_.fieldNames.contains("note"))),
         "a full rewrite must not carry the dropped column")
-      // re-adding the dropped name is loud
-      val e0 = intercept[Exception] {
-        spark.sql("ALTER TABLE cat_drop ADD COLUMN (note STRING)").collect()
-      }
-      assert(e0.getMessage.contains("DROPped"), e0.getMessage)
+      assert(ManifestTable.droppedCols(spark, r).isEmpty,
+        "a full rewrite must retire the drop tombstones")
       // edges: unknown column loud; IF EXISTS skips; last column loud
       val e1 = intercept[Exception] {
         spark.sql("ALTER TABLE cat_drop DROP COLUMN nope").collect()
@@ -391,6 +395,11 @@ class CatalogSpec extends AnyFunSuite {
         spark.sql("ALTER TABLE cat_drop DROP COLUMNS (id, v)").collect()
       }
       assert(e2.getMessage.contains("cannot DROP every column"), e2.getMessage)
+      // ...and after the tombstone retired, the name is reusable
+      spark.sql("ALTER TABLE cat_drop ADD COLUMN (note STRING)")
+      assert(spark.table("cat_drop").columns.contains("note"))
+      assert(spark.sql("SELECT count(note) FROM cat_drop").head()
+        .getLong(0) == 0, "re-added column starts NULL — never the old values")
     }
   }
 }
