@@ -872,4 +872,26 @@ class PlanSpec extends AnyFunSuite {
     assert(viaSql == Seq((0,0,10L),(0,1,10L),(0,2,10L),(1,0,10L),(1,1,10L),(1,2,11L)))
     ManifestTable.destroy(spark, root)
   }
+
+  test("DROP COLUMN is scan-invisible: the post-drop FileScan never requests the dropped column") {
+    import graft.io.ManifestTable
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir"), "plan_dropcol__log").toString
+    ManifestTable.destroy(spark, root)
+    ManifestTable.append(spark, root,
+      spark.range(100).selectExpr("id", "id * 2 AS v", "concat('n', id) AS note"))
+    ManifestTable.dropColumns(spark, root, Seq("note"))
+    // SQL relation: the scan's output column set excludes the dropped
+    // column — the projection is enforced at the parquet reader, not
+    // by a post-scan Project (zero IO for dropped bytes)
+    val plan = spark.read.format("graft.manifest").load(root)
+      .queryExecution.executedPlan.toString
+    val scanLine = plan.split("\n").find(_.contains("FileScan"))
+      .getOrElse(fail(s"no FileScan in:\n$plan"))
+    assert(!scanLine.contains("note"), s"scan still reads the dropped column: $scanLine")
+    // typed read path agrees
+    assert(!ManifestTable.read(spark, root).queryExecution.executedPlan
+      .toString.split("\n").find(_.contains("FileScan")).exists(_.contains("note")))
+    ManifestTable.destroy(spark, root)
+  }
 }
