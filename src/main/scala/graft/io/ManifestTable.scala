@@ -1043,32 +1043,44 @@ object ManifestTable {
     * the grace spares an in-flight concurrent append's segment dir.
     * Manifest files and the retention marker stay ([[expireVersions]]
     * trims the former). */
-  private[io] def gc(f: FileSystem, root: Path): Unit =
-    gcKeeping(f, root, retainOf(f, root))
+  private[io] def gc(f: FileSystem, root: Path): Unit = {
+    // every dir the just-published commit retired is named by the
+    // PREVIOUS head manifest — ONE read covers the mass-retirement
+    // case (compact/cluster retiring thousands of fresh segments),
+    // keeping GC O(1) in retired-dir count
+    val priorNamed = currentVersion(f, root).filter(_ >= 2)
+      .map(v => scala.util.Try(readManifest(f, root, v - 1))
+        .getOrElse(Seq.empty).toSet)
+      .getOrElse(Set.empty[String])
+    gcKeeping(f, root, retainOf(f, root), priorNamed)
+  }
 
   private def gcKeeping(f: FileSystem, root: Path, horizon: Int,
       namedHint: Set[String] = Set.empty): Seq[String] = {
     val live = liveDirs(f, root, horizon)
     val cutoff = System.currentTimeMillis() - gcGraceMs
-    // "was this non-live dir ever COMMITTED?" — a committed dir is
+    // "was this non-live dir ever COMMITTED?" — consulted ONLY for
+    // dirs younger than the grace window that the hint (prior head /
+    // vacuum's pre-expiry capture) does not name: a committed dir is
     // named first by the manifest whose version its own name encodes
     // (seg-<v>-…; retries re-version the name before committing), so
-    // ONE targeted manifest read answers it. O(ambiguous dirs) tiny
-    // reads, not O(all versions) — at a 10k-commit log the difference
-    // between a constant-cost GC and re-reading the whole log per
-    // maintenance pass. A dir whose manifest has been expired falls
-    // to the age rule (it is far older than any grace window).
+    // one memoized targeted read answers it. Old dirs delete on age
+    // alone; just-retired dirs hit the hint — steady-state GC does
+    // O(1) manifest IO regardless of how many dirs a rewrite retired.
+    val memo = scala.collection.mutable.Map.empty[Long, Set[String]]
     def committed(n: String): Boolean =
       namedHint.contains(n) ||
-        scala.util.Try(segVersion(n)).toOption.exists(v0 =>
-          scala.util.Try(readManifest(f, root, v0)).toOption
-            .exists(_.contains(n)))
+        scala.util.Try(segVersion(n)).toOption.exists { v0 =>
+          memo.getOrElseUpdate(v0,
+            scala.util.Try(readManifest(f, root, v0))
+              .getOrElse(Seq.empty).toSet).contains(n)
+        }
     val removed = Seq.newBuilder[String]
     f.listStatus(root).foreach { st =>
       val n = st.getPath.getName
       if (!live.contains(n) && !n.startsWith(ManifestPrefix) &&
           !n.startsWith(RetainFile) &&
-          (committed(n) || st.getModificationTime < cutoff)) {
+          (st.getModificationTime < cutoff || committed(n))) {
         removed += n
         f.delete(st.getPath, true)
       }
