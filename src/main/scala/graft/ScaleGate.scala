@@ -125,7 +125,8 @@ object ScaleGate {
   /** The r15/r16 SQL lakehouse face at scale: the change-feed TVF
     * (`manifest_changes_sql`) and the catalog-named lifecycle
     * (`manifest_named_sql` CTAS/INSERT/DML by name,
-    * `manifest_alter_sql` ALTER ADD COLUMNS + evolved INSERT),
+    * `manifest_alter_sql` ALTER ADD COLUMNS + evolved INSERT,
+    * `manifest_drop_sql` DROP COLUMN projection + narrowed INSERT),
     * each replayed as the ONE-PASS relational formulation of its
     * DuckDB oracle, expressed in Spark — distributed exceptAll, so the
     * gate runs at any sf. The oracle shapes are cross-validated
@@ -171,6 +172,14 @@ object ScaleGate {
         "with_note", "n_flagged")
     mustMatch("manifest_alter_sql", alter, alterReplay)
 
+    // DROP lifecycle: the surviving columns replay as the straight
+    // rollup (the dropped column never surfaces)
+    val drop = SparkEntry.queries("manifest_drop_sql")(spark, sfDir)
+    val dropReplay = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), decSum4(col("value")).as("sum_value"))
+      .select("event_type", "cnt", "sum_value")
+    mustMatch("manifest_drop_sql", drop, dropReplay)
+
     // named lifecycle: CTAS + INSERT + DELETE + UPDATE + MERGE by name
     val named = SparkEntry.queries("manifest_named_sql")(spark, sfDir)
     val namedReplay = ev
@@ -186,7 +195,7 @@ object ScaleGate {
       .select("event_type", "cnt", "sum_value")
     mustMatch("manifest_named_sql", named, namedReplay)
 
-    chg.count() + alter.count() + named.count()
+    chg.count() + alter.count() + drop.count() + named.count()
   }
 
   /** The bucket-partitioned merge family at scale: each streaming
