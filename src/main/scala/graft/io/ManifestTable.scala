@@ -856,8 +856,11 @@ object ManifestTable {
       require(!cur.fields.exists(fd => eq(fd.name, n)),
         s"column $n already exists in $root (${cur.simpleString})")
     }
-    require(cols.map(_._1.toLowerCase(java.util.Locale.ROOT)).distinct.size ==
-      cols.size, s"duplicate column in ADD COLUMNS: ${cols.map(_._1)}")
+    // dedupe with the SESSION resolver (not unconditional lowercase):
+    // under spark.sql.caseSensitive=true, (A INT, a INT) is two columns
+    require(cols.size < 2 || !cols.map(_._1).combinations(2).exists {
+      case Seq(a, b) => eq(a, b) },
+      s"duplicate column in ADD COLUMNS: ${cols.map(_._1)}")
     val dropped = droppedCols(spark, root)
     cols.foreach { case (n, _) =>
       require(!dropped.exists(d => eq(d, n)),
@@ -901,8 +904,10 @@ object ManifestTable {
       require(visible.fieldNames.exists(eq(_, c)),
         s"column $c does not exist in $root (${visible.simpleString})")
     }
-    require(cols.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.size ==
-      cols.size, s"duplicate column in DROP COLUMNS: $cols")
+    // session-resolver dedupe, same contract as the existence checks
+    require(cols.size < 2 || !cols.combinations(2).exists {
+      case Seq(a, b) => eq(a, b) },
+      s"duplicate column in DROP COLUMNS: $cols")
     require(visible.size + rel.partitionSchema.size > cols.size,
       s"cannot DROP every column of $root")
     commit(f, p, v + 1, readManifest(f, p, v), Seq(AlterMark),
@@ -1031,7 +1036,18 @@ object ManifestTable {
     * committed) and are collected as soon as they fall outside the
     * retention horizon. Override via system property
     * `graft.manifest.gc.graceMs`; specs pin small values to observe
-    * orphan collection deterministically. */
+    * orphan collection deterministically.
+    *
+    * CLOCK CONTRACT: dir ages are judged on the STORE's clock, not the
+    * driver's — the cutoff base is `min(driver now, newest manifest
+    * mtime)` ([[gcKeeping]]). Dir mtimes and manifest mtimes come from
+    * the same store clock, so when the store runs BEHIND the driver
+    * (where a driver-clock cutoff would silently shrink the effective
+    * window and collect a concurrent appender's in-flight segment
+    * early) the min picks the store-stamped bound and the window stays
+    * exact; a store running AHEAD only lengthens the window (dirs
+    * linger — safe). A stale newest-manifest mtime (quiet table) also
+    * only lengthens it. */
   private[io] def gcGraceMs: Long =
     sys.props.get("graft.manifest.gc.graceMs").map(_.toLong)
       .getOrElse(60L * 60 * 1000)
@@ -1058,7 +1074,21 @@ object ManifestTable {
   private def gcKeeping(f: FileSystem, root: Path, horizon: Int,
       namedHint: Set[String] = Set.empty): Seq[String] = {
     val live = liveDirs(f, root, horizon)
-    val cutoff = System.currentTimeMillis() - gcGraceMs
+    val statuses = f.listStatus(root)
+    // age on the STORE's clock (see gcGraceMs): the newest manifest
+    // mtime is a store-stamped "no later than now" bound — min() with
+    // the driver clock so a store running behind the driver never has
+    // its in-flight appends' grace window silently shortened, and a
+    // store running ahead (or a quiet table's stale mtime) only
+    // lengthens it
+    val storeNow = statuses.iterator
+      .filter(st => st.isFile && st.getPath.getName.startsWith(ManifestPrefix))
+      .map(_.getModificationTime)
+      .foldLeft(Long.MinValue)(math.max)
+    val nowBase =
+      if (storeNow == Long.MinValue) System.currentTimeMillis()
+      else math.min(System.currentTimeMillis(), storeNow)
+    val cutoff = nowBase - gcGraceMs
     // "was this non-live dir ever COMMITTED?" — consulted ONLY for
     // dirs younger than the grace window that the hint (prior head /
     // vacuum's pre-expiry capture) does not name: a committed dir is
@@ -1076,7 +1106,7 @@ object ManifestTable {
               .getOrElse(Seq.empty).toSet).contains(n)
         }
     val removed = Seq.newBuilder[String]
-    f.listStatus(root).foreach { st =>
+    statuses.foreach { st =>
       val n = st.getPath.getName
       if (!live.contains(n) && !n.startsWith(ManifestPrefix) &&
           !n.startsWith(RetainFile) &&
@@ -2025,6 +2055,14 @@ object ManifestTable {
     * IO — segments outside the range are never opened. */
   def readRange(spark: SparkSession, root: String, colName: String,
       lo: Option[Any], hi: Option[Any]): DataFrame = {
+    // the dropped-column projection applies here exactly as in read/
+    // readMerged — and a range probe ON a dropped column is loud, the
+    // same unresolved-column failure `read(...).filter` would give
+    val dropped = droppedCols(spark, root)
+    val eq = spark.sessionState.conf.resolver
+    require(!dropped.exists(eq(_, colName)),
+      s"column $colName was DROPped from $root; range reads cannot " +
+        "probe a dropped column")
     val keep = prunedDataSegments(spark, root, colName, lo, hi)
     val base =
       if (keep.nonEmpty) readSegs(spark, root, keep)
@@ -2032,7 +2070,7 @@ object ManifestTable {
     val c = col(colName)
     val pred = (lo.map(c >= lit(_)) ++ hi.map(c <= lit(_)))
       .reduceOption(_ && _).getOrElse(lit(true))
-    base.filter(pred)
+    applyDrops(base.filter(pred), dropped)
   }
 
   // ------------------------------------------------------------------
@@ -2133,10 +2171,17 @@ object ManifestTable {
     * log reads O(segments holding k), not O(table). */
   def readPoint(spark: SparkSession, root: String, colName: String,
       value: Any): DataFrame = {
+    // same dropped-column contract as readRange: loud probe, projected
+    // result
+    val dropped = droppedCols(spark, root)
+    val eq = spark.sessionState.conf.resolver
+    require(!dropped.exists(eq(_, colName)),
+      s"column $colName was DROPped from $root; point reads cannot " +
+        "probe a dropped column")
     val keep = pointSegments(spark, root, colName, value)
     val base =
       if (keep.nonEmpty) readSegs(spark, root, keep)
       else read(spark, root).filter(lit(false)) // schema-only; empty plan
-    base.filter(col(colName) === lit(value))
+    applyDrops(base.filter(col(colName) === lit(value)), dropped)
   }
 }

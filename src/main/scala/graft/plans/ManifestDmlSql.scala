@@ -297,9 +297,23 @@ case class ManifestAlterAddColumnsCommand(root: String,
       require(committed || dup.isEmpty,
         s"column(s) already exist in $id: ${dup.map(_._1).mkString(", ")}")
       val fresh = cols.filterNot(dup.contains)
-      cat.alterTableDataSchema(id, org.apache.spark.sql.types.StructType(
+      // the log commit above already succeeded; a catalog-sync failure
+      // here (metastore hiccup) must not read as "nothing happened" —
+      // the log and catalog schemas have drifted (DESCRIBE stale) and
+      // the repair is re-running this ALTER (the log side is
+      // idempotent-safe: a duplicate column re-ADD fails loudly, so
+      // re-run AFTER confirming DESCRIBE is the stale side)
+      try cat.alterTableDataSchema(id, org.apache.spark.sql.types.StructType(
         cur.fields ++ fresh.map { case (n, t) =>
           org.apache.spark.sql.types.StructField(n, t, nullable = true) }))
+      catch { case e: Exception if committed =>
+        throw new IllegalStateException(
+          s"ALTER TABLE $id ADD COLUMNS committed to the manifest log " +
+            s"at $root but syncing the session catalog schema failed — " +
+            "reads through the log are already evolved; DESCRIBE is " +
+            "stale until the catalog is repaired (fix the metastore, " +
+            "then re-sync the catalog schema)", e)
+      }
     }
     Seq(Row("alter", cols.size))
   }
@@ -351,10 +365,21 @@ case class ManifestAlterDropColumnsCommand(root: String,
       if (kept.length != cur.fields.length) {
         // alterTableDataSchema refuses to drop fields by design; the
         // raw alterTable path sets the narrowed schema (data fields +
-        // unchanged partition fields, V1 layout order)
+        // unchanged partition fields, V1 layout order). Same partial-
+        // state contract as ADD: the log projection is already
+        // committed, so a catalog hiccup here is drift, not a no-op.
         val meta = cat.getTableMetadata(id)
-        cat.alterTable(meta.copy(schema = org.apache.spark.sql.types
+        try cat.alterTable(meta.copy(schema = org.apache.spark.sql.types
           .StructType(kept ++ meta.partitionSchema.fields)))
+        catch { case e: Exception
+            if graft.io.ManifestTable.exists(spark, root) =>
+          throw new IllegalStateException(
+            s"ALTER TABLE $id DROP COLUMNS committed to the manifest " +
+              s"log at $root but syncing the session catalog schema " +
+              "failed — reads through the log already project the " +
+              "column out; DESCRIBE is stale until the catalog is " +
+              "repaired", e)
+        }
       }
     }
     Seq(Row("alter", toDrop.size))
