@@ -64,10 +64,9 @@ object Bench {
     // after cleanup+gc) per run — the telemetry that lets an inflated
     // in-suite timing be attributed (GC pause? disk debt? heap debt?)
     // or cleared from the artifact alone
-    val results: Seq[(String, Seq[(Double, Long, Long, Long)])] = SparkEntry.queries.toSeq
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+    def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Seq[(Double, Long, Long, Long)] =
+      (1 to runs).map { _ =>
         val gc0 = gcMillis()
         val t0 = System.nanoTime()
         // noop sink: full expression evaluation without result
@@ -106,11 +105,72 @@ object Bench {
         val heapMb = (rt.totalMemory - rt.freeMemory) >> 20
         (dt, gcMs, residualMb, heapMb)
       }
-      name -> times
-    }
+    val results: Seq[(String, Seq[(Double, Long, Long, Long)])] = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) => name -> measure(fn) }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
-    def fmt(d: Double): String =
+    def fmtJ(d: Double): String =
       String.format(java.util.Locale.US, "%.2f", Double.box(d))
+
+    // ---- machine-generated variance audit (round 17) ----
+    // Any query whose IN-SUITE median exceeds 2x its committed
+    // reference median (+0.5 s absolute noise floor) re-runs ISOLATED
+    // — same process, same binary, runs=3, after the whole suite
+    // finished — and the artifact carries both readings under
+    // "isolated". This is the r13b/r16 audit-trail discipline
+    // (BENCHNOTES.md) as part of the protocol instead of manual
+    // archaeology: a contention outlier clears itself in the same
+    // artifact that reported it, while a real regression reproduces.
+    // Reference = SPARK_GRAFT_BENCH_REF, else the newest committed
+    // bench/bench_detail_*_r{N}a.json whose sf matches this run.
+    val refMedians: Map[String, Double] = {
+      def parseDetail(path: java.nio.file.Path): Option[(String, Map[String, Double])] =
+        scala.util.Try {
+          import org.json4s._
+          val j = org.json4s.jackson.JsonMethods.parse(
+            new String(java.nio.file.Files.readAllBytes(path), "UTF-8"))
+          val sf = (j \ "sf") match { case JString(s) => s; case _ => "" }
+          val qs = (j \ "queries") match {
+            case JObject(fields) => fields.collect {
+              case (k, JDouble(d)) => k -> d
+              case (k, JInt(i)) => k -> i.toDouble
+              case (k, JDecimal(d)) => k -> d.toDouble
+            }.toMap
+            case _ => Map.empty[String, Double]
+          }
+          (sf, qs)
+        }.toOption
+      val explicit = sys.env.get("SPARK_GRAFT_BENCH_REF")
+        .map(java.nio.file.Paths.get(_)).filter(java.nio.file.Files.exists(_))
+      val fallback = scala.util.Try {
+        val dir = java.nio.file.Paths.get("bench")
+        val re = "bench_detail_.*_r(\\d+)[a-z]?\\.json".r
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(dir).iterator().asScala
+          .flatMap { p =>
+            p.getFileName.toString match {
+              case re(n) => Some((n.toInt, p))
+              case _ => None
+            }
+          }.toSeq.sortBy(-_._1).map(_._2)
+      }.getOrElse(Seq.empty)
+      val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+      (explicit.toSeq ++ fallback).iterator
+        .flatMap(parseDetail)
+        .collectFirst { case (sf, qs)
+            if sf.endsWith(sfName) || explicit.isDefined => qs }
+        .getOrElse(Map.empty)
+    }
+    val flagged: Seq[String] = results.collect {
+      case (name, v) if refMedians.get(name)
+          .exists(ref => median(v.map(_._1)) > 2 * ref + 0.5) => name
+    }
+    val isolated: Seq[(String, Double)] = flagged.flatMap { name =>
+      SparkEntry.queries.get(name).map(fn => name -> median(measure(fn).map(_._1)))
+    }
+    val isolatedJson = isolated.map { case (k, v) => "\"" + k + "\":" + fmtJ(v) }
+      .mkString("{", ",", "}")
+    def fmt(d: Double): String = fmtJ(d)
     val wall: Seq[(String, Seq[Double])] =
       results.map { case (k, v) => k -> v.map(_._1) }
     val total = wall.map { case (_, v) => median(v) }.sum
@@ -134,7 +194,7 @@ object Bench {
     val heapDetail = results.map { case (k, v) =>
       "\"" + k + "\":[" + v.map(_._4).mkString(",") + "]" }
       .mkString("{", ",", "}")
-    val detail = s"""{"metric":"detail","value":$total,"unit":"sec","queries":$detailQs,"spread":$spread,"gc_ms":$gcDetail,"localdir_mb_after_clean":$dirDetail,"heap_mb_after_clean":$heapDetail,"runs":$runs,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"detail","value":$total,"unit":"sec","queries":$detailQs,"spread":$spread,"gc_ms":$gcDetail,"localdir_mb_after_clean":$dirDetail,"heap_mb_after_clean":$heapDetail,"isolated":$isolatedJson,"runs":$runs,"sf":"$sfDir"}"""
     // best-effort: a read-only or foreign cwd must not abort the run
     // AFTER the measurements and BEFORE the final stdout line
     try {
@@ -161,7 +221,9 @@ object Bench {
       if (sb.length + piece.length <= budget) sb.append(piece)
       else { elided += 1; elidedSec += v }
     }
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{${sb.result()}},"elided_queries":$elided,"elided_sec":${fmt(elidedSec)},"runs":$runs,"sf":"$sfDir"}"""
+    // flagged-query isolated re-reads ride the compact line too (small
+    // by construction: only >2x-of-reference outliers re-ran)
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{${sb.result()}},"elided_queries":$elided,"elided_sec":${fmt(elidedSec)},"isolated":$isolatedJson,"runs":$runs,"sf":"$sfDir"}"""
     println(line)
     spark.stop()
     // Re-emit as the very LAST stdout bytes: spark.stop() and the sbt

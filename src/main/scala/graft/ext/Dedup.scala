@@ -896,15 +896,27 @@ object Dedup {
     *
     * `maxDf` is the boilerplate guard every corpus needs at scale: a
     * window occurring in more than `maxDf` documents (site chrome,
-    * license headers) is dropped BEFORE the self-join — without it, a
-    * window shared by k docs emits k² pairs and one hot key stalls
-    * the stage. With it, the per-window join fan-out is bounded by
+    * license headers) is dropped BEFORE any pair generation — without
+    * it, a window shared by k docs emits k² pairs and one hot key
+    * stalls the stage. With it, the per-window fan-out is bounded by
     * maxDf², and the df filter itself is one keyed aggregation.
     *
-    * Plan: explode windows → md5 (fixed 32-byte join keys, text never
-    * shuffles) → df filter → hash self-join on window hash → distinct
-    * (id_a < id_b) pairs. Exact by construction, so fully
-    * hash-oracle-able. */
+    * Plan (ONE shuffle of the window set, r17 — previously four): the
+    * windows never shuffle as TEXT; each rides as a 16-byte pair of
+    * independent xxhash64 values (vs the old 32-byte md5 hex string —
+    * half the shuffle bytes, and codegen'd longs instead of a digest +
+    * hex round-trip per window; 128 combined bits makes a cross-window
+    * collision astronomically unlikely, and the correctness oracle
+    * joins the real window text, so the hash is purely plan-internal).
+    * One aggregation does everything the old count → df-filter →
+    * join-back → self-join pipeline did: [[graft.functions
+    * .CappedLongList]] collects each window's doc ids with the cap AT
+    * maxDf — a boilerplate window overflows its (bounded!) buffer and
+    * evaluates to NULL, so hot keys never materialize their id sets
+    * anywhere, map-side partials included. The id pairs then expand
+    * MAP-SIDE from each surviving ≤maxDf group (fan-out ≤ maxDf² by
+    * construction) into the final distinct. Exact by construction, so
+    * fully hash-oracle-able. */
   def substringPairs(
       docs: DataFrame,
       w: Int = 40,
@@ -914,16 +926,20 @@ object Dedup {
   ): DataFrame = {
     require(w >= 1, s"w must be >= 1, got $w")
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    // (h1, h2, id) is distinct by construction: charShingles dedupes
+    // windows within a document — the CappedLongList precondition
     val wins = docs.select(col(idCol).cast("long").as("id"),
         explode(charShingles(col(textCol), w)).as("win"))
-      .select(col("id"), md5(col("win")).as("h"))
-    val keep = wins.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("h")
-    val kept = wins.join(keep.hint("shuffle_merge"), "h")
-    kept.as("a")
-      .join(kept.as("b").hint("shuffle_merge"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(col("id"),
+        xxhash64(col("win")).as("h1"),
+        xxhash64(lit(0x9E3779B9L), col("win")).as("h2"))
+    wins.groupBy("h1", "h2")
+      .agg(graft.functions.fx.cappedLongList(col("id"), maxDf).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .distinct()
   }
 

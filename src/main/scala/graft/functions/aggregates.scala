@@ -121,6 +121,109 @@ case class TopKByScore(
   override def prettyName: String = "topk_by_score"
 }
 
+/** Capped long-collection aggregate: gathers up to `cap` DISTINCT-BY-
+  * CONSTRUCTION long inputs per group and evaluates to NULL the moment
+  * the group would exceed the cap.
+  *
+  * This is the scale-safe single-pass form of "collect the ids per key
+  * but drop hot keys": a plain `collect_set` materializes a hot key's
+  * ENTIRE id set in the aggregation buffer before any df filter can
+  * drop it (a boilerplate 40-char window shared by millions of
+  * documents = a multi-GB buffer on one key), while the usual
+  * workaround — count df first, anti-join the hot keys out, aggregate
+  * the survivors — pays a second full pass plus an extra shuffle.
+  * Here the buffer itself is the guard: it holds at most `cap` longs
+  * and an overflow bit, map-side partials ship at most `cap` longs per
+  * local group, and an overflowed group evaluates to NULL (filter it
+  * out) without ever having held more than `cap + 1` entries anywhere.
+  *
+  * Inputs must be distinct per group by construction (e.g. exploded
+  * (key, id) pairs that are unique upstream) — the buffer concatenates
+  * without deduping, so duplicate inputs would count twice toward the
+  * cap. Null inputs are skipped. */
+case class CappedLongList(
+    child: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CappedLongList.Buf]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  require(cap >= 1, s"capped_long_list requires cap >= 1, got $cap")
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (Seq(ByteType, ShortType, IntegerType, LongType).contains(child.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"capped_long_list expects an integral input, got ${child.dataType}")
+
+  override def createAggregationBuffer(): CappedLongList.Buf =
+    new CappedLongList.Buf(new Array[Long](math.min(cap, 8)), 0, false)
+
+  private def add(buf: CappedLongList.Buf, v: Long): CappedLongList.Buf = {
+    if (buf.overflowed) return buf
+    if (buf.n >= cap) { buf.overflowed = true; return buf }
+    if (buf.n == buf.a.length)
+      buf.a = java.util.Arrays.copyOf(buf.a, math.min(cap, buf.a.length * 2))
+    buf.a(buf.n) = v
+    buf.n += 1
+    buf
+  }
+
+  override def update(buf: CappedLongList.Buf, input: InternalRow): CappedLongList.Buf = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.asInstanceOf[Number].longValue()) else buf
+  }
+
+  override def merge(buf: CappedLongList.Buf, other: CappedLongList.Buf): CappedLongList.Buf = {
+    if (other.overflowed) { buf.overflowed = true; return buf }
+    var i = 0
+    while (i < other.n && !buf.overflowed) { add(buf, other.a(i)); i += 1 }
+    buf
+  }
+
+  override def eval(buf: CappedLongList.Buf): Any =
+    if (buf.overflowed) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(buf.a, buf.n))
+
+  override def serialize(buf: CappedLongList.Buf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(5 + 8 * buf.n)
+    bb.put(if (buf.overflowed) 1.toByte else 0.toByte)
+    bb.putInt(buf.n)
+    var i = 0
+    while (i < buf.n) { bb.putLong(buf.a(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): CappedLongList.Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val over = bb.get() == 1.toByte
+    val n = bb.getInt
+    val a = new Array[Long](math.max(n, 1))
+    var i = 0
+    while (i < n) { a(i) = bb.getLong; i += 1 }
+    new CappedLongList.Buf(a, n, over)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CappedLongList =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CappedLongList =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CappedLongList =
+    copy(child = newChild)
+  override def prettyName: String = "capped_long_list"
+}
+
+object CappedLongList {
+  /** Mutable aggregation state: collected longs, count, overflow bit. */
+  final class Buf(var a: Array[Long], var n: Int, var overflowed: Boolean)
+}
+
 object TopKByScore {
   final class Entry(val score: Double, val id: Long)
 

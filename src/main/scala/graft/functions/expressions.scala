@@ -571,4 +571,12 @@ object fx {
     column(TopKByScore(
       expression(score.cast("double")), expression(id), k)
       .toAggregateExpression())
+
+  /** Column API for [[CappedLongList]] (aggregate): collect up to
+    * `cap` distinct-by-construction longs per group, NULL the moment
+    * the group exceeds the cap — the single-pass hot-key guard (the
+    * buffer never holds more than `cap` entries, map-side partials
+    * included). */
+  def cappedLongList(id: Column, cap: Int): Column =
+    column(CappedLongList(expression(id), cap).toAggregateExpression())
 }

@@ -1198,6 +1198,29 @@ class ExtSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val guarded = Dedup.substringPairs(boilerCorpus, w = 40, maxDf = 2).count()
     assert(guarded == 0L)
+    // exactly-at-cap survives: maxDf = 3 keeps the 3-doc window and
+    // emits all C(3,2) pairs
+    val atCap = Dedup.substringPairs(boilerCorpus, w = 40, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(atCap == Set((1L, 2L), (1L, 3L), (2L, 3L)), atCap.toString)
+  }
+
+  test("cappedLongList: bounded buffer, NULL on overflow, exact at the cap across partition merges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, size}
+    // key 1: exactly cap ids; key 2: cap+1 ids (overflows — NULL even
+    // though every map-side partial is under the cap); spread over
+    // many partitions so merge() paths run
+    val cap = 5
+    val rows = (1 to cap).map(i => (1L, i.toLong)) ++
+      (1 to cap + 1).map(i => (2L, 100L + i))
+    val df = spark.createDataFrame(rows).toDF("k", "id").repartition(8)
+    val out = df.groupBy("k")
+      .agg(graft.functions.fx.cappedLongList(col("id"), cap).as("ids"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1).sorted)).toMap
+    assert(out(1L) == (1 to cap).map(_.toLong), out.toString)
+    assert(out(2L) == null, "over-cap group must evaluate to NULL")
   }
 
   test("foreachBatchUpsert merges latest-per-key across micro-batches and sums counts") {
