@@ -115,11 +115,71 @@ object ScaleGate {
     // and the catalog-named lifecycle (CTAS/ALTER/INSERT/DML by name)
     val lakehouseRows = checkLakehouseSql(spark, sfDir)
 
+    // ---- gate 5 (round 17): the row-identity change feed at scale
+    val rowIdRows = checkRowIdentityFeed(spark, sfDir)
+
     s"""{"gate":"sf_invariants","sf":"$sfDir","pagerank_nodes":$n,""" +
       f""""pagerank_mass":$mass%.6f,"ndcg_queries":${out.length},""" +
       f""""ndcg_max_replay_diff":$maxDiff%.1e,""" +
       s""""merge_rows":$mergeRows,"lakehouse_sql_rows":$lakehouseRows,""" +
-      s""""pass":true}"""
+      s""""rowid_rows":$rowIdRows,"pass":true}"""
+  }
+
+  /** The r16 row-identity change feed (`_row_id`: zero stored bytes,
+    * derived from parquet scan metadata) measured at scale: a consumer
+    * bootstraps from [[graft.io.ManifestTable.readWithRowId]], the
+    * table takes an UPDATE and a DELETE (copy-on-write DML windows),
+    * and the consumer applies the windows BY ROW IDENTITY alone —
+    * anti-join the pre-image deletes' `_row_id`s, union the inserts.
+    * The table is built as TWO full copies of the events rollup, so
+    * every row is a cross-segment full-row duplicate: value-identity
+    * delete application would provably corrupt this state (each
+    * pre-image would kill both copies), making the exact round-trip a
+    * sharp test of the row-identity contract, not a soft echo of the
+    * value path. The applied state must equal [[graft.io.ManifestTable
+    * .readMerged]] exactly (two-way distributed exceptAll — runs at
+    * any sf). Returns rows audited. */
+  private def checkRowIdentityFeed(spark: SparkSession, sfDir: String): Long = {
+    import graft.io.{ManifestDml, ManifestTable}
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir"), "gate_rowid__log").toString
+    ManifestTable.destroy(spark, root)
+    val ev = SparkEntry.t(spark, sfDir, "events")
+      .select(col("event_id").cast("long").as("event_id"),
+        col("event_type"), col("value").cast("double").as("value"))
+    ManifestTable.append(spark, root, ev, tag = Some("copya"))
+    ManifestTable.append(spark, root, ev, tag = Some("copyb"))
+    // pre-image reads need the DML-dropped dirs still on disk — the
+    // standard retention-covers-the-window feed contract
+    ManifestTable.setRetainVersions(spark, root, 10)
+    val v0 = ManifestTable.versions(spark, root).max
+    val boot = ManifestTable.readWithRowId(spark, root).localCheckpoint()
+    try {
+      ManifestDml.updateWhere(spark, root,
+        Seq("value" -> (col("value") * 2)), col("event_id") % 7 === 3)
+      ManifestDml.deleteWhere(spark, root, col("event_id") % 11 === 5)
+      val head = ManifestTable.versions(spark, root).max
+      val feed = ManifestTable.readChanges(spark, root, v0, head, rowId = true)
+      val dels = feed.filter(col("_change_type") === "delete")
+        .select(ManifestTable.RowIdCol)
+      val ins = feed.filter(col("_change_type") === "insert")
+        .drop("_change_type")
+      val applied = boot
+        .join(dels, Seq(ManifestTable.RowIdCol), "left_anti")
+        .unionByName(ins)
+        .drop(ManifestTable.RowIdCol)
+      val want = ManifestTable.readMerged(spark, root)
+      val d = applied.exceptAll(want).count() + want.exceptAll(applied).count()
+      require(d == 0,
+        s"row-identity feed replay differs from the head state by $d rows")
+      val rows = want.count()
+      val expected = 2L * ev.filter(col("event_id") % 11 =!= 5).count()
+      require(rows == expected,
+        s"head state holds $rows rows, expected $expected " +
+          "(two copies of the undeleted events)")
+      ManifestTable.destroy(spark, root)
+      rows
+    } finally graft.core.Lineage.release(boot)
   }
 
   /** The r15/r16 SQL lakehouse face at scale: the change-feed TVF

@@ -2310,6 +2310,28 @@ trait SparkEntryOracle extends SparkEntryTail {
       """SELECT event_type, count(*) AS cnt,
         |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "manifest_rename_sql" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       CAST(round(sum(CASE WHEN event_type = 'click'
+        |                           THEN CAST(value * 2 AS DECIMAL(18,6))
+        |                           ELSE CAST(value AS DECIMAL(18,6)) END), 4)
+        |            AS DOUBLE) AS sum_amount
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "manifest_widen_sql" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       CAST(sum(CASE WHEN event_id % 2 = 0
+        |                     THEN CAST(floor(value * 100) AS BIGINT)
+        |                     ELSE CAST(floor(value * 100) AS BIGINT)
+        |                          + 5000000000
+        |                END) AS BIGINT) AS sum_cents,
+        |       CAST(round(sum(CASE WHEN event_id % 2 = 0
+        |                           -- mirror the table's write path: stored
+        |                           -- as DECIMAL(10,2), widened losslessly
+        |                           THEN CAST(CAST(value AS DECIMAL(10,2))
+        |                                     AS DECIMAL(14,4))
+        |                           ELSE CAST(value * 1000 AS DECIMAL(14,4))
+        |                      END), 4) AS DOUBLE) AS sum_d
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "manifest_alter_sql" ->
       """SELECT event_type, count(*) AS cnt,
         |       count(CASE WHEN event_id % 2 = 1 THEN value END) AS with_value,

@@ -2885,9 +2885,10 @@ trait SparkEntryTail extends SparkEntryMid {
     * Require-pinned semantics: the head loses the column, the
     * pre-drop snapshot still time-travels WITH it, the post-drop
     * INSERT coerces against the narrowed schema, and re-ADDing the
-    * dropped name rejects loudly (name-based tombstones, no column
-    * mapping). Oracle replays the surviving columns over raw
-    * events. */
+    * dropped name works WITHOUT a rewrite (r17 column mapping: the
+    * new column mints a fresh physical name, so the old values still
+    * in unrewritten segments never resurface — it reads all-NULL).
+    * Oracle replays the surviving columns over raw events. */
   private[graft] def manifestDropSql(s: SparkSession, dir: String): DataFrame = {
     import graft.io.ManifestTable
     val root = manifestRoot(s, "graft_dropq__log")
@@ -2908,16 +2909,25 @@ trait SparkEntryTail extends SparkEntryMid {
     require(s.sql(s"SELECT * FROM graft_drop_lt VERSION AS OF $preV")
       .columns.contains("note"),
       "pre-drop snapshot must still carry the column")
-    // re-adding the dropped name is loud (no column mapping)
-    val readd = scala.util.Try(
-      s.sql("ALTER TABLE graft_drop_lt ADD COLUMN (note STRING)").collect())
-    require(readd.isFailure &&
-      readd.failed.get.getMessage.contains("DROPped"),
-      s"re-ADD of a dropped name must reject: $readd")
     s.sql("""
       INSERT INTO graft_drop_lt
       SELECT event_id, event_type, value
       FROM drop_src_events WHERE event_id % 2 = 1""")
+    // re-ADD of the dropped name WITHOUT a rewrite (r17 column
+    // mapping): the column comes back under a FRESH physical name
+    // bound by a #colmap entry, so the old values still sitting in
+    // unrewritten segments can never resurface — it reads all-NULL
+    val readd = s.sql(
+      "ALTER TABLE graft_drop_lt ADD COLUMN (note STRING)").collect()
+    require(readd.toSeq.map(r => (r.getString(0), r.getInt(1))) ==
+      Seq(("alter", 1)), s"unexpected re-ADD receipt: ${readd.toSeq}")
+    require(s.sql("SELECT count(note) FROM graft_drop_lt")
+      .head().getLong(0) == 0L,
+      "re-added column must read all-NULL, never the old values")
+    require(ManifestTable.columnMapping(s, root).exists(_._2 == "note"),
+      "re-add must ride a fresh-physical #colmap entry")
+    // drop it again: the output keeps the narrowed 3-column shape
+    s.sql("ALTER TABLE graft_drop_lt DROP COLUMN note")
     val out = s.sql("""
       SELECT event_type, count(1) AS cnt,
              cast(round(sum(cast(value AS decimal(18,6))), 4) AS double) AS sum_value
@@ -2925,6 +2935,135 @@ trait SparkEntryTail extends SparkEntryMid {
       GROUP BY event_type
       ORDER BY event_type""").localCheckpoint()
     s.sql("DROP TABLE graft_drop_lt")
+    out
+  }
+
+  /** `ALTER TABLE … RENAME COLUMN` — one COLUMN-MAPPING commit
+    * ([[graft.io.ManifestTable.renameColumn]]): the physical in-parquet
+    * name never changes (a `#colmap` line binds it to the new logical
+    * name), so the rename is zero-data-IO at any table size, every
+    * segment keeps agreeing on physical names (the SQL face stays one
+    * homogeneous parquet scan with an alias projection on top), and
+    * pre-rename snapshots time-travel under the OLD name. Exercised on
+    * BOTH addressing faces, chained (value→amount→amount2), with an
+    * INSERT through the renamed surface and an UPDATE through the
+    * mapping; require-pins: receipt shape, zero-data-IO (same segment
+    * list), old-name time travel, and physical-name constancy of the
+    * post-rename segment. Oracle replays the arithmetic over raw
+    * events. */
+  private[graft] def manifestRenameSql(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.ManifestTable
+    val root = manifestRoot(s, "graft_renq__log")
+    ManifestTable.destroy(s, root)
+    s.sql("DROP TABLE IF EXISTS graft_ren_lt")
+    t(s, dir, "events").select("event_id", "event_type", "value")
+      .createOrReplaceTempView("ren_src_events")
+    s.sql(s"""
+      CREATE TABLE graft_ren_lt USING `graft.manifest` LOCATION '$root'
+      AS SELECT event_id, event_type, value FROM ren_src_events
+         WHERE event_id % 2 = 0""")
+    val preV = ManifestTable.versions(s, root).max
+    val rc = s.sql("ALTER TABLE graft_ren_lt RENAME COLUMN value TO amount")
+      .collect()
+    require(rc.toSeq.map(r => (r.getString(0), r.getString(1))) ==
+      Seq(("alter", "value->amount")), s"unexpected RENAME receipt: ${rc.toSeq}")
+    require(ManifestTable.segments(s, root) ==
+      ManifestTable.segmentsAt(s, root, preV),
+      "RENAME COLUMN must be zero data IO — same segment list")
+    require(s.table("graft_ren_lt").columns.toSeq ==
+      Seq("event_id", "event_type", "amount"), "head surfaces the new name")
+    require(s.sql(s"SELECT * FROM graft_ren_lt VERSION AS OF $preV")
+      .columns.contains("value"),
+      "pre-rename snapshot must time-travel the OLD name")
+    // INSERT speaks the renamed logical surface; the new segment keeps
+    // the CONSTANT physical name (what keeps the SQL scan homogeneous)
+    s.sql("""
+      INSERT INTO graft_ren_lt
+      SELECT event_id, event_type, value
+      FROM ren_src_events WHERE event_id % 2 = 1""")
+    val newSeg = ManifestTable.segments(s, root)
+      .filterNot(ManifestTable.segmentsAt(s, root, preV).toSet).head
+    require(ManifestTable.segmentMetas(s, root)(newSeg).schema
+      .exists(_.fieldNames.contains("value")),
+      "post-rename segments must keep the constant physical name")
+    // the path face chains a second rename — still ONE mapping entry
+    s.sql(s"ALTER TABLE `graft.manifest`.`$root` RENAME COLUMN amount TO amount2")
+    require(ManifestTable.columnMapping(s, root) == Seq(("value", "amount2")),
+      "chained renames fold to one #colmap entry")
+    // row-level DML through the mapping
+    s.sql("UPDATE graft_ren_lt SET amount2 = amount2 * 2 " +
+      "WHERE event_type = 'click'")
+    val out = s.sql("""
+      SELECT event_type, count(1) AS cnt,
+             cast(round(sum(cast(amount2 AS decimal(18,6))), 4) AS double)
+               AS sum_amount
+      FROM graft_ren_lt
+      GROUP BY event_type
+      ORDER BY event_type""").localCheckpoint()
+    s.sql("DROP TABLE graft_ren_lt")
+    out
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN TYPE` — safe type WIDENING as one
+    * empty marker-segment commit ([[graft.io.ManifestTable
+    * .alterColumnType]]): no segment is rewritten; readers merge
+    * per-segment schemas to the WIDER type and the parquet scan
+    * upcasts old segments' values in place (int32→int64, decimal
+    * precision growth — Spark 4 vectorized reader), the evolution
+    * every long-lived table eventually needs at zero data IO.
+    * Require-pins: receipt, data segments untouched, head widened on
+    * both faces, pre-widen snapshot time-travels the NARROW type,
+    * narrowing rejects loudly. The post-widen INSERT lands values only
+    * the wide types can hold; the output aggregates across the mixed
+    * narrow/wide segments in one scan. Oracle replays the split
+    * relationally. */
+  private[graft] def manifestWidenSql(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.ManifestTable
+    val root = manifestRoot(s, "graft_widenq__log")
+    ManifestTable.destroy(s, root)
+    s.sql("DROP TABLE IF EXISTS graft_widen_lt")
+    t(s, dir, "events").select("event_id", "event_type", "value")
+      .createOrReplaceTempView("widen_src_events")
+    s.sql(s"""
+      CREATE TABLE graft_widen_lt USING `graft.manifest` LOCATION '$root'
+      AS SELECT event_id, event_type,
+                CAST(floor(value * 100) AS INT) AS cents,
+                CAST(value AS DECIMAL(10,2)) AS d
+         FROM widen_src_events WHERE event_id % 2 = 0""")
+    val preV = ManifestTable.versions(s, root).max
+    val rc = s.sql("ALTER TABLE graft_widen_lt ALTER COLUMN cents TYPE BIGINT")
+      .collect()
+    require(rc.toSeq.map(r => (r.getString(0), r.getString(1))) ==
+      Seq(("alter", "cents:bigint")), s"unexpected WIDEN receipt: ${rc.toSeq}")
+    require(ManifestTable.segmentsAt(s, root, preV).forall(
+      ManifestTable.segments(s, root).contains),
+      "widening must not rewrite any data segment")
+    // decimal precision growth rides the path face
+    s.sql(s"ALTER TABLE `graft.manifest`.`$root` ALTER COLUMN d TYPE DECIMAL(14,4)")
+    require(s.table("graft_widen_lt").schema("cents").dataType ==
+      org.apache.spark.sql.types.LongType, "head widened to bigint")
+    require(s.sql(s"SELECT * FROM graft_widen_lt VERSION AS OF $preV")
+      .schema("cents").dataType == org.apache.spark.sql.types.IntegerType,
+      "pre-widen snapshot time-travels the narrow type")
+    val narrow = scala.util.Try(
+      s.sql("ALTER TABLE graft_widen_lt ALTER COLUMN cents TYPE INT").collect())
+    require(narrow.isFailure &&
+      narrow.failed.get.getMessage.contains("SAFE WIDENING"),
+      s"narrowing must reject loudly: $narrow")
+    // values only the WIDE types can hold, next to the narrow segments
+    s.sql("""
+      INSERT INTO graft_widen_lt
+      SELECT event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) + 5000000000,
+             CAST(value * 1000 AS DECIMAL(14,4))
+      FROM widen_src_events WHERE event_id % 2 = 1""")
+    val out = s.sql("""
+      SELECT event_type, count(1) AS cnt, sum(cents) AS sum_cents,
+             cast(round(sum(d), 4) AS double) AS sum_d
+      FROM graft_widen_lt
+      GROUP BY event_type
+      ORDER BY event_type""").localCheckpoint()
+    s.sql("DROP TABLE graft_widen_lt")
     out
   }
 

@@ -230,13 +230,21 @@ object AggView {
       s"window ($cursor, $head] of $baseRoot mixes row-level DML and " +
         "merge-on-read deletes — rebuild() the view")
     val gcols = spec.groupCols.map(col)
+    // raw segment reads surface PHYSICAL names; the view's spec (and
+    // readMergedAt below) speak LOGICAL — rename raw frames with the
+    // head mapping (physical names are constant, so the head mapping
+    // covers every window segment; a view spec naming a since-renamed
+    // column fails loudly at analysis rather than silently grouping
+    // on nothing)
+    val headMapping = ManifestTable.columnMappingAt(spark, baseRoot, head)
     val ins = chgSegs.filterNot(_.startsWith("del-"))
     val insRows0 =
       if (ins.isEmpty)
         // only safe rewrites (and/or deletes) in the window: the
         // cursor must still advance — an empty insert partial
         ManifestTable.read(spark, baseRoot).filter(lit(false))
-      else ManifestTable.readSegs(spark, baseRoot, ins)
+      else ManifestTable.applyMapping(
+        ManifestTable.readSegs(spark, baseRoot, ins), headMapping)
     // merged-read parity: outstanding tombstones hide insert rows too.
     // Tombstones are resolved AT THE PINNED HEAD, not the live
     // manifest: a delete committed between this sync's version capture
@@ -245,7 +253,8 @@ object AggView {
     // would retract its pre-image — a silent double-subtraction).
     val insRows = ManifestTable.tombstonesOf(spark, baseRoot,
         ManifestTable.segmentsAt(spark, baseRoot, head)) match {
-      case Some(t) if ins.nonEmpty =>
+      case Some(t0) if ins.nonEmpty =>
+        val t = ManifestTable.applyMapping(t0, headMapping)
         insRows0.join(broadcast(t), t.columns.toSeq, "left_anti")
       case _ => insRows0
     }
@@ -254,8 +263,9 @@ object AggView {
     val retractPartials =
       (if (dels.isEmpty || cursor == 0L) Seq.empty
        else {
-         val keys = dels.map(d => spark.read.parquet(s"$baseRoot/$d"))
-           .reduce(_ unionByName _).distinct()
+         val keys = ManifestTable.applyMapping(
+           dels.map(d => spark.read.parquet(s"$baseRoot/$d"))
+             .reduce(_ unionByName _).distinct(), headMapping)
          Seq(ManifestTable.readMergedAt(spark, baseRoot, cursor)
            .join(broadcast(keys), keys.columns.toSeq, "left_semi")
            .groupBy(gcols: _*)
@@ -268,7 +278,8 @@ object AggView {
       // dirs must still exist — the base's retention horizon covers the
       // sync cadence or this read fails loudly (rebuild).
       (if (pre.isEmpty || cursor == 0L) Seq.empty
-       else Seq(ManifestTable.readSegs(spark, baseRoot, pre.map(_._1))
+       else Seq(ManifestTable.applyMapping(
+           ManifestTable.readSegs(spark, baseRoot, pre.map(_._1)), headMapping)
          .groupBy(gcols: _*)
          .agg(spec.aggs.head.retract, spec.aggs.tail.map(_.retract): _*)))
     // fold inserts + retractions into ONE stored partial (merge of

@@ -205,9 +205,15 @@ object ManifestDml {
       rewrite: DataFrame => DataFrame): DmlReceipt = {
     val (f, p, v, all, rel) =
       dmlTarget(spark, root, "row-level DML", expectVersion)
+    // conditions/assignments speak LOGICAL names; the relation scans
+    // PHYSICAL ones — rename up front (Catalyst pushes the rebased
+    // predicate through the rename aliases, so pruning is unchanged),
+    // run the whole rewrite in logical space, translate back at the
+    // segment write (swap below)
+    val mapping = ManifestTable.columnMappingAt(spark, root, v)
 
     // ---- phase 1: pruned match scan, grouped by source segment ----
-    val df = spark.baseRelationToDataFrame(rel)
+    val df = ManifestTable.applyMapping(spark.baseRelationToDataFrame(rel), mapping)
     val segCol = segOf(f, p)
     val matchedBySeg = df.filter(cond)
       .groupBy(segCol.as("_seg")).count().collect()
@@ -221,11 +227,13 @@ object ManifestDml {
 
     // ---- phase 2: rewrite ONLY the touched segments ----
     val metas = ManifestTable.segmentMetas(spark, root, Some(v))
-    val rows = srcTaggedRead(spark, root, touched, rel, metas)
+    val rows = ManifestTable.applyMapping(
+      srcTaggedRead(spark, root, touched, rel, metas), mapping)
     val kept = rewrite(rows)
     require(kept.columns.toSeq == rows.columns.toSeq,
       "internal: DML rewrite changed the column set")
-    swapRetrying(spark, root, v, touched, kept,
+    swapRetrying(spark, root, v, touched,
+      ManifestTable.toPhysical(kept, mapping),
       rel.partitionSchema.fieldNames.toSeq, metas, retryRaces)
     DmlReceipt(touched.size, rowsMatched)
   }
@@ -397,7 +405,11 @@ object ManifestDml {
         case _ => Nil
       })
     val (f, p, v, all, rel) = dmlTarget(spark, root, "MERGE", expectVersion)
-    val tdf = spark.baseRelationToDataFrame(rel)
+    // logical-space MERGE over a physical-name scan, same contract as
+    // dmlRewrite: rename on entry, translate back at the segment write
+    val mapping = ManifestTable.columnMappingAt(spark, root, v)
+    val tdf = ManifestTable.applyMapping(
+      spark.baseRelationToDataFrame(rel), mapping)
     // WITH SCHEMA EVOLUTION: source-only columns extend the target
     // schema ADDITIVELY — replacement/insert segments carry them,
     // untouched segments read NULL there (the log's standard additive
@@ -474,7 +486,8 @@ object ManifestDml {
       // ---- phase 2: action chains over the touched rows + inserts ----
       if (touched.nonEmpty) {
         val segMetas = ManifestTable.segmentMetas(spark, root, Some(v))
-        val base0 = srcTaggedRead(spark, root, touched, rel, segMetas)
+        val base0 = ManifestTable.applyMapping(
+          srcTaggedRead(spark, root, touched, rel, segMetas), mapping)
         val base = evolveCols.foldLeft(base0) { case (df, (n, dt)) =>
           df.withColumn(n, lit(null).cast(dt))
         }
@@ -495,7 +508,8 @@ object ManifestDml {
             .cast(fd.dataType).as(fd.name)
         } :+ coalesce(t2(SrcCol), lit(-1)).as(SrcCol) // inserts → own segment
         val kept = j.filter(keep).select(outCols: _*)
-        swapRetrying(spark, root, v, touched, kept,
+        swapRetrying(spark, root, v, touched,
+          ManifestTable.toPhysical(kept, mapping),
           rel.partitionSchema.fieldNames.toSeq, segMetas, retryRaces)
         DmlReceipt(touched.size, rowsMatched)
       } else {

@@ -243,11 +243,13 @@ object ManifestTable {
     * cluster write through the post-drop projection, which is when the
     * data physically disappears). Time travel is exact: each version's
     * manifest carries its OWN set, so a pre-drop snapshot still reads
-    * the column. Re-ADDing a dropped name is rejected loudly — without
-    * per-column physical ids (column mapping), a re-add would
-    * resurface the old values still sitting in unrewritten segments —
-    * until a FULL rewrite (replace/compact/cluster) writes through the
-    * projection and retires the tombstone, making the name reusable. */
+    * the column. The line records the PHYSICAL name ([[ColMapPrefix]]
+    * — pre-mapping tables wrote logical≡physical lines, still valid);
+    * re-ADDing a dropped logical name works immediately because
+    * [[addColumns]] mints a FRESH physical name for it, so the old
+    * values still sitting in unrewritten segments can never resurface.
+    * A FULL rewrite (replace/compact/cluster) writes through the
+    * projection and retires the tombstones. */
   private val DropColPrefix = "#dropcol "
 
   /** Marks a pure schema-change commit in [[history]]. */
@@ -255,6 +257,94 @@ object ManifestTable {
 
   private def dropColLines(lines: Seq[String]): Seq[String] =
     lines.filter(_.startsWith(DropColPrefix)).map(_.stripPrefix(DropColPrefix))
+
+  /** `ALTER TABLE … RENAME COLUMN` (and re-ADD of a DROPped name) ride
+    * a COLUMN MAPPING: one `#colmap {"p":…,"l":…}` line per column
+    * whose LOGICAL (user-facing) name differs from its PHYSICAL
+    * (in-parquet) name, carried forward by every commit like the
+    * segment list and the `#dropcol` set.
+    *
+    * The invariant that makes both verbs metadata-only is PHYSICAL
+    * NAME CONSTANCY (the Delta column-mapping design): a rename never
+    * touches a byte — the physical name stays what it was at first
+    * write, writers keep writing it (every write face translates
+    * logical→physical on entry), and readers rename physical→logical
+    * as the LAST projection step. Because every segment agrees on the
+    * physical name, the SQL face stays ONE homogeneous parquet
+    * relation (scanning physical names, with an alias projection on
+    * top — filter pushdown and zone-map pruning see physical names
+    * end to end), and time travel is exact: each version's manifest
+    * carries its own mapping. A re-ADD of a DROPped name mints a FRESH
+    * physical name (`<name>__r<version>`), so the old values still
+    * sitting in unrewritten segments can never resurface — the
+    * column-mapping id that turns the r16 loud-reject into a
+    * first-class lifecycle. `#dropcol` tombstones record PHYSICAL
+    * names (pre-mapping tables wrote logical≡physical lines, which
+    * stay valid). A FULL rewrite (replace/compact/cluster) writes
+    * through the logical projection, so physical names converge back
+    * to logical and the mapping clears with the drop set. */
+  private val ColMapPrefix = "#colmap "
+
+  /** (physical, logical) pairs of manifest `lines` (malformed lines
+    * read as absent — same tolerance as `#meta`). */
+  private def colMapLines(lines: Seq[String]): Seq[(String, String)] =
+    lines.filter(_.startsWith(ColMapPrefix)).flatMap { l =>
+      scala.util.Try {
+        import org.json4s._
+        val j = org.json4s.jackson.JsonMethods.parse(l.stripPrefix(ColMapPrefix))
+        ((j \ "p"), (j \ "l")) match {
+          case (JString(p), JString(lg)) => Some((p, lg))
+          case _ => None
+        }
+      }.toOption.flatten
+    }
+
+  private def colMapLine(p: String, l: String): String =
+    ColMapPrefix + "{\"p\":" + jsonString(p) + ",\"l\":" + jsonString(l) + "}"
+
+  /** Column mapping as of version `v` (physical → logical; columns
+    * not listed have logical ≡ physical). */
+  def columnMappingAt(spark: SparkSession, root: String, v: Long): Seq[(String, String)] = {
+    val (f, p) = fs(spark, root)
+    colMapLines(manifestLines(f, p, v))
+  }
+
+  /** Head-version [[columnMappingAt]]; empty for an uncommitted root. */
+  def columnMapping(spark: SparkSession, root: String): Seq[(String, String)] = {
+    val (f, p) = fs(spark, root)
+    currentVersion(f, p).map(v => colMapLines(manifestLines(f, p, v)))
+      .getOrElse(Seq.empty)
+  }
+
+  /** Reader-side mapping application: rename physical → logical (a
+    * physical name the frame lacks is a no-op, matching `drop`'s
+    * tolerance in [[applyDrops]]). The LAST projection step of every
+    * read face. */
+  private[graft] def applyMapping(df: DataFrame,
+      mapping: Seq[(String, String)]): DataFrame =
+    mapping.foldLeft(df) { case (d, (p, l)) => d.withColumnRenamed(p, l) }
+
+  /** Writer-side translation: rename logical → physical, so every
+    * segment (data, tombstone, marker, DML replacement) carries the
+    * CONSTANT physical names whatever the current logical surface
+    * says. */
+  private[graft] def toPhysical(df: DataFrame,
+      mapping: Seq[(String, String)]): DataFrame =
+    mapping.foldLeft(df) { case (d, (p, l)) => d.withColumnRenamed(l, p) }
+
+  /** Logical name → physical name (identity when unmapped). */
+  private[graft] def physicalNameOf(spark: SparkSession,
+      mapping: Seq[(String, String)], name: String): String = {
+    val eq = spark.sessionState.conf.resolver
+    mapping.collectFirst { case (p, l) if eq(l, name) => p }.getOrElse(name)
+  }
+
+  /** Physical name → logical name (identity when unmapped). */
+  private[graft] def logicalNameOf(spark: SparkSession,
+      mapping: Seq[(String, String)], name: String): String = {
+    val eq = spark.sessionState.conf.resolver
+    mapping.collectFirst { case (p, l) if eq(p, name) => l }.getOrElse(name)
+  }
 
   /** Column names dropped from the visible schema as of version `v`
     * (accumulated, case preserved; match with the session resolver). */
@@ -274,6 +364,30 @@ object ManifestTable {
     * default resolver; `drop` ignores names the frame lacks). */
   private def applyDrops(df: DataFrame, dropped: Seq[String]): DataFrame =
     if (dropped.isEmpty) df else df.drop(dropped: _*)
+
+  /** (dropped physical names, column mapping) of version `v` — ONE
+    * manifest read for both carried schema states. */
+  private def schemaActionsAt(spark: SparkSession, root: String,
+      v: Long): (Seq[String], Seq[(String, String)]) = {
+    val (f, p) = fs(spark, root)
+    val lines = manifestLines(f, p, v)
+    (dropColLines(lines), colMapLines(lines))
+  }
+
+  /** Head-version [[schemaActionsAt]]; empty for an uncommitted root. */
+  private def schemaActions(spark: SparkSession,
+      root: String): (Seq[String], Seq[(String, String)]) = {
+    val (f, p) = fs(spark, root)
+    currentVersion(f, p).map(v => schemaActionsAt(spark, root, v))
+      .getOrElse((Seq.empty, Seq.empty))
+  }
+
+  /** The reader-side schema projection every face applies LAST: drop
+    * the tombstoned physical columns, then rename the survivors to
+    * their logical names. */
+  private def applySchemaActions(df: DataFrame,
+      actions: (Seq[String], Seq[(String, String)])): DataFrame =
+    applyMapping(applyDrops(df, actions._1), actions._2)
 
   private[io] def isRewrite(f: FileSystem, root: Path, v: Long): Boolean =
     manifestLines(f, root, v).contains(RewriteMark)
@@ -395,7 +509,7 @@ object ManifestTable {
         data.join(org.apache.spark.sql.functions.broadcast(keys),
           keys.columns.toSeq, "left_anti")
       }
-    applyDrops(merged, droppedCols(spark, root))
+    applySchemaActions(merged, schemaActions(spark, root))
   }
 
   /** Union-read every committed data segment. The dir list is
@@ -404,7 +518,7 @@ object ManifestTable {
   def read(spark: SparkSession, root: String): DataFrame = {
     val segs = dataSegments(spark, root)
     require(segs.nonEmpty, s"no committed manifest under $root")
-    applyDrops(readSegs(spark, root, segs), droppedCols(spark, root))
+    applySchemaActions(readSegs(spark, root, segs), schemaActions(spark, root))
   }
 
   /** Time-travel read: the data segments named by manifest version
@@ -413,7 +527,7 @@ object ManifestTable {
   def readAt(spark: SparkSession, root: String, v: Long): DataFrame = {
     val segs = segmentsAt(spark, root, v).filterNot(_.startsWith(DelPrefix))
     require(segs.nonEmpty, s"manifest v$v of $root names no data segments")
-    applyDrops(readSegs(spark, root, segs), droppedColsAt(spark, root, v))
+    applySchemaActions(readSegs(spark, root, segs), schemaActionsAt(spark, root, v))
   }
 
   private[io] def tombstonesOf(spark: SparkSession, root: String,
@@ -425,9 +539,12 @@ object ManifestTable {
   }
 
   /** The union of all committed tombstone keys (column set = whatever
-    * [[delete]] was given), or None when nothing was ever deleted. */
+    * [[delete]] was given), or None when nothing was ever deleted.
+    * Keys surface under their LOGICAL names (tombstone segments store
+    * physical names like every other segment). */
   def tombstones(spark: SparkSession, root: String): Option[DataFrame] =
     tombstonesOf(spark, root, segments(spark, root))
+      .map(applyMapping(_, columnMapping(spark, root)))
 
   private def mergeRead(spark: SparkSession, root: String,
       segs: Seq[String]): DataFrame = {
@@ -446,15 +563,15 @@ object ManifestTable {
     * deletes; when the accumulated delete set outgrows broadcast
     * range, [[compact]] applies it physically and clears it. */
   def readMerged(spark: SparkSession, root: String): DataFrame =
-    applyDrops(mergeRead(spark, root, segments(spark, root)),
-      droppedCols(spark, root))
+    applySchemaActions(mergeRead(spark, root, segments(spark, root)),
+      schemaActions(spark, root))
 
   /** Time-travel [[readMerged]]: state as of manifest version `v` —
     * deletes committed after `v` are invisible, deletes at or before
     * `v` apply. */
   def readMergedAt(spark: SparkSession, root: String, v: Long): DataFrame =
-    applyDrops(mergeRead(spark, root, segmentsAt(spark, root, v)),
-      droppedColsAt(spark, root, v))
+    applySchemaActions(mergeRead(spark, root, segmentsAt(spark, root, v)),
+      schemaActionsAt(spark, root, v))
 
   /** Atomically publish `segs` as manifest version `v` through the
     * configured [[CommitStrategy]] (single winner per version; the
@@ -466,23 +583,39 @@ object ManifestTable {
     * retired segment's metadata into a newer snapshot). */
   private[io] def commit(f: FileSystem, root: Path, v: Long, segs: Seq[String],
       marks: Seq[String] = Nil, metas: Map[String, String] = Map.empty,
-      addDrops: Seq[String] = Nil, clearDrops: Boolean = false): Unit = {
+      addDrops: Seq[String] = Nil, clearDrops: Boolean = false,
+      addMaps: Seq[(String, String)] = Nil): Unit = {
     val metaLns = segs.flatMap(s => metas.get(s).map(j => s"$MetaPrefix$s $j"))
-    // ONE read of the prior manifest serves both carried states: the
-    // dropped-column set (table-level schema state every commit
-    // carries forward, exactly like the full segment list) and the
-    // commit-timestamp monotonicity clamp below. `clearDrops` is the
-    // FULL-rewrite escape: replace/compact/cluster write every row
-    // through the post-drop projection, so the physical bytes are gone
-    // and the name-tombstones can retire — the dropped name becomes
-    // reusable (partial rewrites — optimize/clusterRange/DML — must
-    // keep carrying: untouched segments may still hold the column).
+    // ONE read of the prior manifest serves all carried states: the
+    // dropped-column set and the column mapping (table-level schema
+    // state every commit carries forward, exactly like the full
+    // segment list) and the commit-timestamp monotonicity clamp
+    // below. `clearDrops` is the FULL-rewrite escape: replace/compact/
+    // cluster write every row through the post-drop LOGICAL
+    // projection, so the physical bytes are gone, the name-tombstones
+    // can retire, and physical names converge back to logical — the
+    // mapping clears with the drop set (partial rewrites — optimize/
+    // clusterRange/DML — must keep carrying: untouched segments may
+    // still hold the column / the old physical name).
     val prevLines =
       if (v <= 1L) Seq.empty[String]
       else scala.util.Try(manifestLines(f, root, v - 1)).getOrElse(Seq.empty)
-    val dropLns =
-      ((if (clearDrops) Nil else dropColLines(prevLines)) ++ addDrops)
-        .distinct.map(DropColPrefix + _)
+    val dropSet =
+      ((if (clearDrops) Nil else dropColLines(prevLines)) ++ addDrops).distinct
+    val dropLns = dropSet.map(DropColPrefix + _)
+    // mapping merge: new entries override the carried entry for the
+    // same physical (chained renames keep one line per column);
+    // identity entries (p == l, e.g. a rename BACK to the physical
+    // name) and entries whose physical is now tombstoned drop out
+    val mapLns = {
+      val carried =
+        if (clearDrops) Nil
+        else colMapLines(prevLines)
+          .filterNot { case (p, _) => addMaps.exists(_._1 == p) }
+      (carried ++ addMaps)
+        .filterNot { case (p, l) => p == l || dropSet.contains(p) }
+        .map { case (p, l) => colMapLine(p, l) }
+    }
     // monotonicity clamp: with multi-writer clock skew, version v could
     // otherwise carry a LATER #ts than v+1, and versionAsOfTime (last
     // version with ts <= cutoff) would resolve TIMESTAMP AS OF to a
@@ -498,7 +631,7 @@ object ManifestTable {
     val stamp = math.max(prevTs + 1, System.currentTimeMillis())
     val ts = s"$TsPrefix$stamp"
     commitStrategy.publish(f, root, new Path(root, ManifestPrefix + v),
-      (ts +: (dropLns ++ marks ++ metaLns ++ segs)).mkString("\n") + "\n")
+      (ts +: (dropLns ++ mapLns ++ marks ++ metaLns ++ segs)).mkString("\n") + "\n")
   }
 
   /** Commit wall-clock embedded IN the manifest content (`#ts
@@ -637,7 +770,8 @@ object ManifestTable {
     * across destroy/recreate, but never with identical content (every
     * segment name carries a fresh UUID). */
   private[graft] def manifestSnapshot(spark: SparkSession, root: String,
-      v: Long): (Seq[String], Map[String, SegMeta], String, Seq[String]) = {
+      v: Long): (Seq[String], Map[String, SegMeta], String, Seq[String],
+        Seq[(String, String)]) = {
     val (f, p) = fs(spark, root)
     require(f.exists(new Path(p, ManifestPrefix + v)),
       s"no committed manifest version $v under $root")
@@ -646,7 +780,7 @@ object ManifestTable {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hash = md.digest(lines.mkString("\n").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    (segs, metasFromLines(lines), hash, dropColLines(lines))
+    (segs, metasFromLines(lines), hash, dropColLines(lines), colMapLines(lines))
   }
 
   private[io] def writeSeg(df: DataFrame, dir: String, partitionBy: Seq[String]): Unit = {
@@ -726,32 +860,44 @@ object ManifestTable {
   private[graft] def appendReserved(spark: SparkSession, root: String,
       df: DataFrame, partitionBy: Seq[String] = Nil,
       tag: Option[String] = None, statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil, retryRaces: Boolean = false): Unit = {
+      bloomCols: Seq[String] = Nil, retryRaces: Boolean = false,
+      addMaps: Seq[(String, String)] = Nil): Unit = {
     val (f, p) = fs(spark, root)
     var v = currentVersion(f, p).getOrElse(0L)
+    // physical-name constancy: callers write LOGICAL names; the
+    // segment stores PHYSICAL (mapping entries being committed WITH
+    // this append — addColumns' re-ADD — translate too). Stats/Bloom
+    // sidecars are keyed physical, matching the probe translation in
+    // readRange/readPoint and the SQL relation's pushed filters.
+    val mapping0 = columnMapping(spark, root)
+    val mapping = mapping0.filterNot { case (mp, _) =>
+      addMaps.exists(_._1 == mp) } ++ addMaps
+    val pdf = toPhysical(df, mapping)
+    val pStats = statsCols.map(physicalNameOf(spark, mapping, _))
+    val pBlooms = bloomCols.map(physicalNameOf(spark, mapping, _))
     val t = tag.map(_ + "-").getOrElse("")
     val suffix = java.util.UUID.randomUUID().toString.take(8)
     var seg = s"seg-${v + 1}-$t$suffix"
     // flat + stats-bearing: the min/max/count ride the write's scan
     val (frame, obs) =
-      if (statsCols.nonEmpty && partitionBy.isEmpty) observedStats(df, statsCols)
-      else (df, None)
+      if (pStats.nonEmpty && partitionBy.isEmpty) observedStats(pdf, pStats)
+      else (pdf, None)
     writeSeg(frame, s"$root/$seg", partitionBy)
     val statsJson =
-      if (statsCols.isEmpty) None
+      if (pStats.isEmpty) None
       else obs match {
         case Some((o, typed)) =>
           Some(publishObservedStats(f, s"$root/$seg", o, typed))
-        case None => Some(writeStats(spark, f, s"$root/$seg", statsCols))
+        case None => Some(writeStats(spark, f, s"$root/$seg", pStats))
       }
-    if (bloomCols.nonEmpty) writeBlooms(spark, f, s"$root/$seg", bloomCols)
-    val meta = buildMeta(spark, f, root, seg, statsJson, bloomCols)
+    if (pBlooms.nonEmpty) writeBlooms(spark, f, s"$root/$seg", pBlooms)
+    val meta = buildMeta(spark, f, root, seg, statsJson, pBlooms)
     var attempts = 0
     while (true) {
       try {
         val prior = if (v == 0L) Seq.empty else readManifest(f, p, v)
         commit(f, p, v + 1, prior :+ seg,
-          metas = priorMetas(f, p, v) + (seg -> meta))
+          metas = priorMetas(f, p, v) + (seg -> meta), addMaps = addMaps)
         return
       } catch {
         case _: CommitRaceLost if retryRaces && attempts < 50 =>
@@ -783,7 +929,10 @@ object ManifestTable {
       throw new IllegalStateException(s"delete from uncommitted table $root"))
     val t = tag.map(_ + "-").getOrElse("")
     val seg = s"$DelPrefix${v + 1}-$t${java.util.UUID.randomUUID().toString.take(8)}"
-    keys.distinct().write.parquet(s"$root/$seg")
+    // tombstone keys store PHYSICAL names like every segment (the
+    // merge-on-read anti-join runs in physical space, pre-projection)
+    toPhysical(keys, columnMapping(spark, root)).distinct()
+      .write.parquet(s"$root/$seg")
     // tombstones carry embedded metadata too: the streaming source
     // plans change-feed batches from the manifest alone (its recovery
     // contract re-requests committed windows whose segments
@@ -847,9 +996,9 @@ object ManifestTable {
       cols: Seq[(String, org.apache.spark.sql.types.DataType)]): Unit = {
     require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
     val (f, p) = fs(spark, root)
-    require(currentVersion(f, p).isDefined,
+    val v = currentVersion(f, p).getOrElse(throw new IllegalStateException(
       s"ALTER TABLE of uncommitted table $root — INSERT first (or declare " +
-        "the columns in CREATE TABLE)")
+        "the columns in CREATE TABLE)"))
     val cur = read(spark, root).schema
     val eq = spark.sessionState.conf.resolver
     cols.foreach { case (n, _) =>
@@ -861,21 +1010,38 @@ object ManifestTable {
     require(cols.size < 2 || !cols.map(_._1).combinations(2).exists {
       case Seq(a, b) => eq(a, b) },
       s"duplicate column in ADD COLUMNS: ${cols.map(_._1)}")
-    val dropped = droppedCols(spark, root)
-    cols.foreach { case (n, _) =>
-      require(!dropped.exists(d => eq(d, n)),
-        s"column $n was DROPped from $root; re-adding the name would " +
-          "resurface old values still sitting in unrewritten segments " +
-          "(drops are name-based tombstones, not physical column ids) " +
-          "— compact() first (a full rewrite physically removes the " +
-          "column and retires its tombstone), or pick another name")
+    // re-ADD of a DROPped name (or a name shadowing a live PHYSICAL
+    // name of some renamed column): the new column gets a FRESH
+    // physical name + a `#colmap` entry committed atomically WITH the
+    // schema marker, so old values in unrewritten segments can never
+    // resurface — the column-mapping lifecycle (pre-r17 this rejected
+    // loudly until a full rewrite retired the tombstone)
+    val (dropped, mapping) = schemaActionsAt(spark, root, v)
+    val rawPhysical =
+      graft.sources.ManifestSource
+        .relation(spark, root, None, allowTombstones = true)
+        .dataSchema.fieldNames.toSeq
+    val taken = scala.collection.mutable.Set.empty[String]
+    taken ++= dropped
+    taken ++= rawPhysical
+    taken ++= mapping.map(_._1)
+    val addMaps = cols.flatMap { case (n, _) =>
+      if (!taken.exists(eq(_, n))) { taken += n; None }
+      else {
+        var fresh = s"${n}__r${v + 1}"
+        while (taken.exists(eq(_, fresh)))
+          fresh += "_" + java.util.UUID.randomUUID().toString.take(4)
+        taken += fresh
+        Some((fresh, n))
+      }
     }
     val evolved = org.apache.spark.sql.types.StructType(
       cur.fields ++ cols.map { case (n, t) =>
         org.apache.spark.sql.types.StructField(n, t, nullable = true) })
     val empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), evolved)
-    append(spark, root, empty, tag = Some("alter"))
+    appendReserved(spark, root, empty, tag = Some("alter"),
+      addMaps = addMaps)
   }
 
   /** `ALTER TABLE … DROP COLUMN(S)`: one schema-projection commit (a
@@ -894,25 +1060,142 @@ object ManifestTable {
     val eq = spark.sessionState.conf.resolver
     val rel = graft.sources.ManifestSource
       .relation(spark, root, None, allowTombstones = true)
+    // callers name LOGICAL columns; partition columns are never mapped
+    // (renames reject them) and the `#dropcol` tombstone records the
+    // PHYSICAL name — the reader projection drops physical-first
+    val mapping = columnMappingAt(spark, root, v)
     cols.foreach { c =>
       require(!rel.partitionSchema.fieldNames.exists(eq(_, c)),
         s"$c is a hive PARTITION column of $root — the physical layout " +
           "depends on it; re-partition via cluster()/compact() instead")
     }
-    val visible = rel.dataSchema
+    val visible = rel.dataSchema.fieldNames
+      .map(logicalNameOf(spark, mapping, _))
     cols.foreach { c =>
-      require(visible.fieldNames.exists(eq(_, c)),
-        s"column $c does not exist in $root (${visible.simpleString})")
+      require(visible.exists(eq(_, c)),
+        s"column $c does not exist in $root (${visible.mkString(", ")})")
     }
     // session-resolver dedupe, same contract as the existence checks
     require(cols.size < 2 || !cols.combinations(2).exists {
       case Seq(a, b) => eq(a, b) },
       s"duplicate column in DROP COLUMNS: $cols")
-    require(visible.size + rel.partitionSchema.size > cols.size,
+    require(visible.length + rel.partitionSchema.size > cols.size,
       s"cannot DROP every column of $root")
     commit(f, p, v + 1, readManifest(f, p, v), Seq(AlterMark),
-      metas = priorMetas(f, p, v), addDrops = cols)
+      metas = priorMetas(f, p, v),
+      addDrops = cols.map(physicalNameOf(spark, mapping, _)))
   }
+
+  /** `ALTER TABLE … RENAME COLUMN old TO new`: ONE metadata commit (a
+    * `#colmap` line binding the column's unchanged PHYSICAL name to
+    * its new LOGICAL name) — zero data IO at any scale, because no
+    * segment byte ever depended on the logical name: writers keep
+    * writing the constant physical name and readers rename in their
+    * final projection ([[ColMapPrefix]]). Time travel is exact (each
+    * version's manifest carries its own mapping); a FULL rewrite
+    * converges physical names back to logical and clears the entry.
+    * Hive PARTITION columns are rejected (their name IS the directory
+    * layout); the new name must not collide with any visible logical
+    * name, any live physical name, or a dropped-column tombstone —
+    * all loud. */
+  def renameColumn(spark: SparkSession, root: String,
+      oldName: String, newName: String): Unit = {
+    require(oldName != newName, s"RENAME COLUMN $oldName TO $newName is a no-op")
+    val (f, p) = fs(spark, root)
+    val v = currentVersion(f, p).getOrElse(throw new IllegalStateException(
+      s"ALTER TABLE of uncommitted table $root"))
+    val eq = spark.sessionState.conf.resolver
+    val rel = graft.sources.ManifestSource
+      .relation(spark, root, None, allowTombstones = true)
+    require(!rel.partitionSchema.fieldNames.exists(eq(_, oldName)),
+      s"$oldName is a hive PARTITION column of $root — its name IS the " +
+        "directory layout; re-partition via cluster()/compact() instead")
+    val (dropped, mapping) = schemaActionsAt(spark, root, v)
+    val rawPhysical = rel.dataSchema.fieldNames.toSeq
+    val visibleLogical = rawPhysical.map(logicalNameOf(spark, mapping, _)) ++
+      rel.partitionSchema.fieldNames
+    require(visibleLogical.exists(eq(_, oldName)),
+      s"column $oldName does not exist in $root " +
+        s"(${visibleLogical.mkString(", ")})")
+    require(!visibleLogical.exists(eq(_, newName)),
+      s"column $newName already exists in $root")
+    require(!rawPhysical.exists(eq(_, newName)) ||
+        eq(physicalNameOf(spark, mapping, oldName), newName),
+      s"$newName is the PHYSICAL name of another column of $root " +
+        "(renamed earlier); reusing it would make old segment bytes " +
+        "ambiguous — pick another name, or compact() first (a full " +
+        "rewrite converges physical names back to logical)")
+    require(!dropped.exists(eq(_, newName)),
+      s"$newName is a DROPped-column tombstone of $root still covering " +
+        "unrewritten segments — pick another name, or compact() first")
+    val phys = physicalNameOf(spark, mapping, oldName)
+    commit(f, p, v + 1, readManifest(f, p, v), Seq(AlterMark),
+      metas = priorMetas(f, p, v), addMaps = Seq((phys, newName)))
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN col TYPE t`: SAFE TYPE WIDENING as
+    * ONE metadata commit — the same empty schema-carrying marker
+    * segment [[addColumns]] appends, except the column's type is
+    * widened instead of a column added. Readers derive the table
+    * schema from the additive merge of segment schemas, widening
+    * same-name numeric conflicts ([[graft.sources.ManifestSource]]),
+    * and Spark 4's parquet reader upcasts old segments' values at
+    * scan time (int32→int64/double, float→double, decimal precision
+    * growth — verified on this engine), so NO segment is rewritten:
+    * the evolution every long-lived 100 TB table eventually needs at
+    * zero data IO. The typed union path widens identically (set-
+    * operation type coercion). Old snapshots time-travel to the
+    * narrow type. Narrowing or cross-family changes reject loudly. */
+  def alterColumnType(spark: SparkSession, root: String,
+      colName: String, newType: org.apache.spark.sql.types.DataType): Unit = {
+    val (f, p) = fs(spark, root)
+    require(currentVersion(f, p).isDefined,
+      s"ALTER TABLE of uncommitted table $root")
+    val eq = spark.sessionState.conf.resolver
+    val rel = graft.sources.ManifestSource
+      .relation(spark, root, None, allowTombstones = true)
+    require(!rel.partitionSchema.fieldNames.exists(eq(_, colName)),
+      s"$colName is a hive PARTITION column of $root — its values are " +
+        "directory names typed by discovery; re-partition via " +
+        "cluster()/compact() instead")
+    val cur = read(spark, root).schema
+    val field = cur.fields.find(fd => eq(fd.name, colName)).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $colName does not exist in $root (${cur.simpleString})"))
+    require(field.dataType != newType,
+      s"column $colName of $root already has type ${newType.simpleString}")
+    require(safeWiden(field.dataType, newType),
+      s"ALTER COLUMN TYPE on $root supports SAFE WIDENING only " +
+        s"(${field.dataType.simpleString} -> ${newType.simpleString} is " +
+        "not one): int->bigint/double, float->double, smaller integrals " +
+        "up, decimal(p,s) growing in both precision slack and scale — " +
+        "narrowing would corrupt existing segment values at read time")
+    val evolved = org.apache.spark.sql.types.StructType(cur.fields.map { fd =>
+      if (eq(fd.name, colName)) fd.copy(dataType = newType, nullable = true)
+      else fd
+    })
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), evolved)
+    appendReserved(spark, root, empty, tag = Some("alter"))
+  }
+
+  /** Is `from -> to` a widening the scan layer performs losslessly?
+    * Mirrors what Spark 4's vectorized parquet reader upcasts (and
+    * what union type coercion widens to): integrals up to LongType,
+    * {byte,short,int}→double exactly, float→double, decimal growth
+    * that loses neither integer digits nor scale. */
+  private[graft] def safeWiden(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale >= a.scale && b.precision - b.scale >= a.precision - a.scale &&
+          (b.scale > a.scale || b.precision > a.precision)
+      case _ => false
+    }
 
   /** Fold all committed segments into one (the staged full rewrite,
     * now an EXPLICIT maintenance action instead of the per-batch tax),
@@ -1450,7 +1733,7 @@ object ManifestTable {
       case _ => throw new IllegalStateException("unreachable: chg or pre nonEmpty")
     }
     // the window's consumers see the schema AS OF its end version
-    applyDrops(out, droppedColsAt(spark, root, toV))
+    applySchemaActions(out, schemaActionsAt(spark, root, toV))
   }
 
   /** Committed data segments with their on-disk byte sizes (driver-
@@ -1638,18 +1921,24 @@ object ManifestTable {
     val v = currentVersion(f, p).getOrElse(
       throw new IllegalStateException(s"clusterRange of uncommitted table $root"))
     val all = readManifest(f, p, v)
-    val touched = prunedDataSegments(spark, root, byCol, lo, hi)
+    // this is a PARTIAL rewrite: it reads raw physical frames and
+    // writes them back (mapping carried forward untouched), so the
+    // caller's LOGICAL column names translate to physical here
+    val mapping = columnMappingAt(spark, root, v)
+    val byPhys = physicalNameOf(spark, mapping, byCol)
+    val touched = prunedDataSegments(spark, root, byPhys, lo, hi)
     if (touched.size < 2) return 0
     val tmp = s".cluster-tmp-${java.util.UUID.randomUUID().toString.take(8)}"
     val frame = readSegs(spark, root, touched)
     frame
-      .repartitionByRange(nSegments, col(byCol))
+      .repartitionByRange(nSegments, col(byPhys))
       .withColumn("_seg", org.apache.spark.sql.functions.spark_partition_id())
       .write.partitionBy("_seg").parquet(s"$root/$tmp")
     val subdirs = f.listStatus(new Path(p, tmp))
       .filter(_.isDirectory).map(_.getPath)
       .sortBy(d => d.getName.stripPrefix("_seg=").toInt)
-    val stats = if (statsCols.nonEmpty) statsCols else Seq(byCol)
+    val stats = (if (statsCols.nonEmpty) statsCols else Seq(byCol))
+      .map(physicalNameOf(spark, mapping, _))
     val segNames = subdirs.zipWithIndex.map { case (d, i) =>
       val seg = s"seg-${v + 1}-clr$i-${java.util.UUID.randomUUID().toString.take(8)}"
       require(f.rename(d, new Path(p, seg)),
@@ -2057,20 +2346,28 @@ object ManifestTable {
       lo: Option[Any], hi: Option[Any]): DataFrame = {
     // the dropped-column projection applies here exactly as in read/
     // readMerged — and a range probe ON a dropped column is loud, the
-    // same unresolved-column failure `read(...).filter` would give
-    val dropped = droppedCols(spark, root)
+    // same unresolved-column failure `read(...).filter` would give.
+    // The probe column arrives LOGICAL; zone-map sidecars and the raw
+    // segment frames are keyed PHYSICAL, so translate first.
+    val actions @ (dropped, mapping) = schemaActions(spark, root)
     val eq = spark.sessionState.conf.resolver
-    require(!dropped.exists(eq(_, colName)),
+    val phys = physicalNameOf(spark, mapping, colName)
+    require(!dropped.exists(eq(_, phys)),
       s"column $colName was DROPped from $root; range reads cannot " +
         "probe a dropped column")
-    val keep = prunedDataSegments(spark, root, colName, lo, hi)
+    val keep = prunedDataSegments(spark, root, phys, lo, hi)
     val base =
       if (keep.nonEmpty) readSegs(spark, root, keep)
       else read(spark, root).filter(lit(false)) // schema-only; empty plan
-    val c = col(colName)
-    val pred = (lo.map(c >= lit(_)) ++ hi.map(c <= lit(_)))
-      .reduceOption(_ && _).getOrElse(lit(true))
-    applyDrops(base.filter(pred), dropped)
+    // the empty-plan fallback is already logical (read applies the
+    // projection), so filter/relabel per branch
+    if (keep.isEmpty) base
+    else {
+      val c = col(phys)
+      val pred = (lo.map(c >= lit(_)) ++ hi.map(c <= lit(_)))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      applySchemaActions(base.filter(pred), actions)
+    }
   }
 
   // ------------------------------------------------------------------
@@ -2172,16 +2469,18 @@ object ManifestTable {
   def readPoint(spark: SparkSession, root: String, colName: String,
       value: Any): DataFrame = {
     // same dropped-column contract as readRange: loud probe, projected
-    // result
-    val dropped = droppedCols(spark, root)
+    // result; Bloom sidecars and raw frames are keyed PHYSICAL
+    val actions @ (dropped, mapping) = schemaActions(spark, root)
     val eq = spark.sessionState.conf.resolver
-    require(!dropped.exists(eq(_, colName)),
+    val phys = physicalNameOf(spark, mapping, colName)
+    require(!dropped.exists(eq(_, phys)),
       s"column $colName was DROPped from $root; point reads cannot " +
         "probe a dropped column")
-    val keep = pointSegments(spark, root, colName, value)
+    val keep = pointSegments(spark, root, phys, value)
     val base =
       if (keep.nonEmpty) readSegs(spark, root, keep)
       else read(spark, root).filter(lit(false)) // schema-only; empty plan
-    applyDrops(base.filter(col(colName) === lit(value)), dropped)
+    if (keep.isEmpty) base.filter(col(colName) === lit(value))
+    else applySchemaActions(base.filter(col(phys) === lit(value)), actions)
   }
 }

@@ -155,11 +155,37 @@ class ResolveManifestRelation(spark: org.apache.spark.sql.SparkSession)
     }
   }
 
-  private def resolved(root: String, version: Option[Long]): LogicalPlan =
-    LogicalRelation(
-      graft.sources.ManifestSource.relation(spark, root, version,
+  /** The SQL face of column mapping: the HadoopFsRelation scans
+    * PHYSICAL column names (so parquet pushdown, zone-map pruning and
+    * the embedded per-segment schemas stay homogeneous — every segment
+    * agrees on physical names by the write-side translation), and a
+    * plain alias Project on top surfaces the LOGICAL names. Catalyst
+    * rewrites pushed predicates through the aliases, so `WHERE
+    * logical = k` reaches the scan as a physical-name filter and every
+    * pruning layer fires unchanged. Tables with no mapping resolve to
+    * the bare relation exactly as before. */
+  private def resolved(root: String, version: Option[Long]): LogicalPlan = {
+    val v = version.orElse(
+      graft.io.ManifestTable.versions(spark, root).lastOption).getOrElse(
+      throw new IllegalArgumentException(s"no committed manifest under $root"))
+    val lr = LogicalRelation(
+      graft.sources.ManifestSource.relation(spark, root, Some(v),
         allowTombstones = false),
       isStreaming = false)
+    val mapping = graft.io.ManifestTable.columnMappingAt(spark, root, v)
+    if (mapping.isEmpty) lr
+    else {
+      val eq = spark.sessionState.conf.resolver
+      val projectList = lr.output.map { a =>
+        mapping.collectFirst { case (p, l) if eq(p, a.name) => l } match {
+          case Some(l) =>
+            org.apache.spark.sql.catalyst.expressions.Alias(a, l)()
+          case None => a
+        }
+      }
+      org.apache.spark.sql.catalyst.plans.logical.Project(projectList, lr)
+    }
+  }
 
   /** `@vN` path-suffix sugar: only time-travels when the LITERAL path
     * is not itself a committed table — a table legitimately rooted at
@@ -300,6 +326,59 @@ class ResolveManifestRelation(spark: org.apache.spark.sql.SparkSession)
               d.ifExists, Some(m.identifier))
           }
         case _ => d
+      }
+    // ALTER TABLE … RENAME COLUMN old TO new → one column-mapping
+    // commit (ManifestTable.renameColumn: physical name constant,
+    // `#colmap` line, zero data IO)
+    case rc: org.apache.spark.sql.catalyst.plans.logical.RenameColumn =>
+      def oldNameOf: String = {
+        require(rc.column.name.length == 1,
+          "ALTER TABLE on a manifest table renames TOP-LEVEL columns " +
+            s"only, got nested field ${rc.column.name.mkString(".")}")
+        rc.column.name.head
+      }
+      rc.table match {
+        case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+            if t.multipartIdentifier.length == 2 &&
+              t.multipartIdentifier.head.equalsIgnoreCase("graft.manifest") =>
+          val (root, version) = parseSpec(t.multipartIdentifier(1))
+          require(version.isEmpty,
+            s"cannot ALTER a pinned version of $root — DDL commits a new " +
+              "version at the head")
+          ManifestAlterRenameColumnCommand(root, oldNameOf, rc.newName, None)
+        case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+          namedManifest(t.multipartIdentifier).fold(rc: LogicalPlan) { m =>
+            ManifestAlterRenameColumnCommand(m.location.toString,
+              oldNameOf, rc.newName, Some(m.identifier))
+          }
+        case _ => rc
+      }
+    // ALTER TABLE … ALTER COLUMN c TYPE t → one safe-widening marker
+    // commit (ManifestTable.alterColumnType: scan-time upcast of old
+    // segments, zero data IO)
+    case ac: org.apache.spark.sql.catalyst.plans.logical.AlterColumns =>
+      ac.table match {
+        case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+            if t.multipartIdentifier.length == 2 &&
+              t.multipartIdentifier.head.equalsIgnoreCase("graft.manifest") =>
+          val (root, version) = parseSpec(t.multipartIdentifier(1))
+          require(version.isEmpty,
+            s"cannot ALTER a pinned version of $root — DDL commits a new " +
+              "version at the head")
+          val specs = ManifestAlterColumnTypeCommand.colSpecs(ac.specs)
+          require(specs.length == 1,
+            "ALTER COLUMN on a manifest table takes one column per statement")
+          ManifestAlterColumnTypeCommand(root, specs.head._1, specs.head._2,
+            None)
+        case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+          namedManifest(t.multipartIdentifier).fold(ac: LogicalPlan) { m =>
+            val specs = ManifestAlterColumnTypeCommand.colSpecs(ac.specs)
+            require(specs.length == 1,
+              "ALTER COLUMN on a manifest table takes one column per statement")
+            ManifestAlterColumnTypeCommand(m.location.toString,
+              specs.head._1, specs.head._2, Some(m.identifier))
+          }
+        case _ => ac
       }
   }
 }

@@ -53,6 +53,17 @@ class ResolveManifestDml(spark: SparkSession) extends Rule[LogicalPlan] {
   private def targetOf(plan: LogicalPlan): Option[(String, Long, Seq[Attribute])] =
     plan match {
       case SubqueryAlias(_, child) => targetOf(child)
+      // the column-mapping surface: a pure alias Project over the
+      // relation (physical→logical renames, no computation) — the DML
+      // verbs re-resolve by LOGICAL name against their own reads, so
+      // seeing through it is exact
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project
+          if p.projectList.forall {
+            case _: AttributeReference => true
+            case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+              a.child.isInstanceOf[AttributeReference]
+            case _ => false
+          } => targetOf(p.child)
       case r: LogicalRelation =>
         (r.relation match {
           case h: HadoopFsRelation => h.location
@@ -384,6 +395,133 @@ case class ManifestAlterDropColumnsCommand(root: String,
     }
     Seq(Row("alter", toDrop.size))
   }
+}
+
+/** `ALTER TABLE t RENAME COLUMN old TO new` on a manifest table — one
+  * column-mapping commit ([[graft.io.ManifestTable.renameColumn]]:
+  * the physical name never changes, a `#colmap` line binds it to the
+  * new logical name; zero data IO). Catalog-named tables keep their
+  * stored schema in sync; a born-empty named table renames the
+  * catalog schema alone (the schema IS the table until the first
+  * INSERT). */
+case class ManifestAlterRenameColumnCommand(root: String,
+    oldName: String, newName: String,
+    ident: Option[org.apache.spark.sql.catalyst.TableIdentifier])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("action", StringType, nullable = false)(),
+    AttributeReference("column", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val committed = graft.io.ManifestTable.exists(spark, root)
+    require(committed || ident.isDefined,
+      s"ALTER TABLE of uncommitted table $root")
+    if (committed)
+      graft.io.ManifestTable.renameColumn(spark, root, oldName, newName)
+    ident.foreach { id =>
+      val cat = spark.sessionState.catalog
+      val eq = spark.sessionState.conf.resolver
+      val meta = cat.getTableMetadata(id)
+      val cur = meta.dataSchema
+      if (!committed) {
+        require(cur.fields.exists(fd => eq(fd.name, oldName)),
+          s"column $oldName does not exist in $id (${cur.simpleString})")
+        require(!meta.schema.fields.exists(fd => eq(fd.name, newName)),
+          s"column $newName already exists in $id")
+        require(!meta.partitionSchema.fields.exists(fd => eq(fd.name, oldName)),
+          s"$oldName is a partition column of $id")
+      }
+      val renamed = cur.fields.map(fd =>
+        if (eq(fd.name, oldName)) fd.copy(name = newName) else fd)
+      if (renamed.map(_.name).toSeq != cur.fields.map(_.name).toSeq) {
+        // alterTableDataSchema refuses renames by design; raw alterTable
+        // sets the renamed schema (same partial-state contract as DROP)
+        try cat.alterTable(meta.copy(schema = org.apache.spark.sql.types
+          .StructType(renamed ++ meta.partitionSchema.fields)))
+        catch { case e: Exception if committed =>
+          throw new IllegalStateException(
+            s"ALTER TABLE $id RENAME COLUMN committed to the manifest " +
+              s"log at $root but syncing the session catalog schema " +
+              "failed — reads through the log already use the new name; " +
+              "DESCRIBE is stale until the catalog is repaired", e)
+        }
+      }
+    }
+    Seq(Row("alter", s"$oldName->$newName"))
+  }
+}
+
+/** `ALTER TABLE t ALTER COLUMN c TYPE t2` on a manifest table — safe
+  * type WIDENING as one marker-segment commit ([[graft.io
+  * .ManifestTable.alterColumnType]]: old segments upcast at scan
+  * time, zero data IO; narrowing rejects loudly). Catalog-named
+  * tables keep their stored schema in sync; born-empty named tables
+  * widen the catalog schema alone (under the same safe-widening
+  * contract, for one predictable verb). */
+case class ManifestAlterColumnTypeCommand(root: String,
+    colName: String, newType: org.apache.spark.sql.types.DataType,
+    ident: Option[org.apache.spark.sql.catalyst.TableIdentifier])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("action", StringType, nullable = false)(),
+    AttributeReference("column", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val committed = graft.io.ManifestTable.exists(spark, root)
+    require(committed || ident.isDefined,
+      s"ALTER TABLE of uncommitted table $root")
+    if (committed)
+      graft.io.ManifestTable.alterColumnType(spark, root, colName, newType)
+    ident.foreach { id =>
+      val cat = spark.sessionState.catalog
+      val eq = spark.sessionState.conf.resolver
+      val meta = cat.getTableMetadata(id)
+      val cur = meta.dataSchema
+      if (!committed) {
+        val field = cur.fields.find(fd => eq(fd.name, colName)).getOrElse(
+          throw new IllegalArgumentException(
+            s"column $colName does not exist in $id (${cur.simpleString})"))
+        require(field.dataType != newType,
+          s"column $colName of $id already has type ${newType.simpleString}")
+        require(graft.io.ManifestTable.safeWiden(field.dataType, newType),
+          s"ALTER COLUMN TYPE supports SAFE WIDENING only " +
+            s"(${field.dataType.simpleString} -> ${newType.simpleString})")
+        require(!meta.partitionSchema.fields.exists(fd => eq(fd.name, colName)),
+          s"$colName is a partition column of $id")
+      }
+      val widened = cur.fields.map(fd =>
+        if (eq(fd.name, colName)) fd.copy(dataType = newType, nullable = true)
+        else fd)
+      try cat.alterTable(meta.copy(schema = org.apache.spark.sql.types
+        .StructType(widened ++ meta.partitionSchema.fields)))
+      catch { case e: Exception if committed =>
+        throw new IllegalStateException(
+          s"ALTER TABLE $id ALTER COLUMN TYPE committed to the manifest " +
+            s"log at $root but syncing the session catalog schema " +
+            "failed — reads through the log are already widened; " +
+            "DESCRIBE is stale until the catalog is repaired", e)
+      }
+    }
+    Seq(Row("alter", s"$colName:${newType.simpleString}"))
+  }
+}
+
+object ManifestAlterColumnTypeCommand {
+  /** Parsed ALTER COLUMN specs → (name, new type) pairs; everything
+    * but a plain TYPE change is rejected up front. */
+  def colSpecs(specs: Seq[org.apache.spark.sql.catalyst.plans.logical.AlterColumnSpec])
+      : Seq[(String, org.apache.spark.sql.types.DataType)] =
+    specs.map { sp =>
+      require(sp.column.name.length == 1,
+        s"ALTER COLUMN on a manifest table targets TOP-LEVEL columns " +
+          s"only, got nested field ${sp.column.name.mkString(".")}")
+      require(sp.newDataType.isDefined,
+        "ALTER COLUMN on a manifest table supports TYPE changes only")
+      require(sp.newNullability.isEmpty && sp.newComment.isEmpty &&
+        sp.newPosition.isEmpty && sp.newDefaultExpression.isEmpty &&
+        !sp.dropDefault,
+        "ALTER COLUMN on a manifest table supports TYPE changes only " +
+          "(no nullability/comment/position/default alterations)")
+      sp.column.name.head -> sp.newDataType.get
+    }
 }
 
 object ManifestAlterDropColumnsCommand {

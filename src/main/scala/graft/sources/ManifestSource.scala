@@ -110,7 +110,12 @@ class ManifestSource extends RelationProvider with SchemaRelationProvider
       }
     } else {
       val rel = createRelation(sqlContext, parameters)
-      val have = rel.schema.fields.map(f => (f.name.toLowerCase, f.dataType))
+      // declared columns are LOGICAL names; the relation schema is
+      // physical — logicalize before comparing
+      val mapping = ManifestTable.columnMapping(spark, root)
+      val have = rel.schema.fields.map(f =>
+        (ManifestTable.logicalNameOf(spark, mapping, f.name).toLowerCase,
+          f.dataType))
       val want = declared.fields.map(f => (f.name.toLowerCase, f.dataType))
       require(have.sameElements(want),
         s"declared schema ${declared.simpleString} does not match committed " +
@@ -193,8 +198,12 @@ class ManifestSource extends RelationProvider with SchemaRelationProvider
     val root = rootOf(sqlContext.sparkSession, parameters)
     def colsOpt(k: String) = parameters.get(k.toLowerCase).orElse(parameters.get(k))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+    val autoCompact = parameters.get("autocompactsegments")
+      .orElse(parameters.get("autoCompactSegments")).map(_.toInt)
+    autoCompact.foreach(n => require(n >= 2,
+      s"autoCompactSegments must be >= 2, got $n"))
     new ManifestSink(sqlContext.sparkSession, root, colsOpt("statsCols"),
-      colsOpt("bloomCols"), partitionColumns)
+      colsOpt("bloomCols"), partitionColumns, autoCompact)
   }
 
   /** Streaming SOURCE — `spark.readStream.format("graft.manifest")
@@ -274,15 +283,37 @@ class ManifestSource extends RelationProvider with SchemaRelationProvider
       .exists(_.equalsIgnoreCase("true"))
 }
 
-/** One manifest commit per micro-batch; replays skip on the batch tag. */
+/** One manifest commit per micro-batch; replays skip on the batch tag.
+  *
+  * `autoCompactSegments = N` bounds segment-count growth for a
+  * run-forever pipeline: once the table holds ≥ N data segments, the
+  * sink folds them with [[ManifestTable.compact]] BEFORE appending the
+  * new batch. The ordering is the replay-safety argument: when
+  * `addBatch(k)` runs (first delivery OR replay), every batch < k is
+  * already durable in the engine's offset log (the engine starts batch
+  * k only after committing k−1), so folding their tagged segments can
+  * never enable a duplicate re-append — while batch k's OWN segment
+  * (whose `mb<k>` tag IS the replay guard, and whose offset may not
+  * yet be committed) is only ever folded by a LATER batch's pass,
+  * after it became durable. The compact commit is rewrite-marked, so
+  * caught-up change-feed consumers walk through it; a lost commit race
+  * (concurrent appender) skips the fold silently — the next batch
+  * retries the policy. */
 private[sources] class ManifestSink(spark: SparkSession, root: String,
-    statsCols: Seq[String], bloomCols: Seq[String], partitionBy: Seq[String])
+    statsCols: Seq[String], bloomCols: Seq[String], partitionBy: Seq[String],
+    autoCompactSegments: Option[Int] = None)
     extends org.apache.spark.sql.execution.streaming.Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val tag = s"mb$batchId"
     val seen = ManifestTable.exists(spark, root) &&
       ManifestTable.segments(spark, root).exists(_.contains(s"-$tag-"))
     if (seen) return
+    autoCompactSegments.foreach { n =>
+      if (ManifestTable.exists(spark, root) &&
+          ManifestTable.dataSegments(spark, root).size >= n)
+        try ManifestTable.compact(spark, root, partitionBy)
+        catch { case _: ManifestTable.CommitRaceLost => () }
+    }
     // the V1 sink hands a STREAMING-flagged frame (batch writers
     // refuse it) — re-expose the same physical rows as a batch frame,
     // then snapshot once: append evaluates it for the segment write
@@ -467,21 +498,28 @@ private[sources] class ManifestStreamSource(spark: SparkSession,
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
       else {
         // pre-image metadata was captured from the manifest just
-        // before each drop (the toV snapshot no longer names them)
+        // before each drop (the toV snapshot no longer names them);
+        // batch frames read PHYSICAL names — rename to the window-end
+        // logical surface before conform
+        val mapping = ManifestTable.columnMappingAt(spark, root, toV)
+        def logical(df: DataFrame): DataFrame =
+          ManifestTable.applyMapping(df, mapping)
         val metas = ManifestTable.segmentMetas(spark, root, Some(toV)) ++
           pre.collect { case (s, Some(m)) => s -> m }
         val ins = chg.filterNot(_.startsWith("del-"))
         val insDf =
           if (ins.isEmpty) None
-          else Some(ManifestSource.readSegsPlanned(spark, root, ins, metas)
+          else Some(logical(
+            ManifestSource.readSegsPlanned(spark, root, ins, metas))
             .withColumn("_change_type", lit("insert")))
         val delSides =
           (if (dels.isEmpty) Nil
-           else Seq(ManifestSource.readSegsPlanned(spark, root, dels, metas)
+           else Seq(logical(
+             ManifestSource.readSegsPlanned(spark, root, dels, metas))
              .distinct())) ++
           (if (pre.isEmpty) Nil
-           else Seq(ManifestSource.readSegsPlanned(spark, root,
-             pre.map(_._1), metas).distinct()))
+           else Seq(logical(ManifestSource.readSegsPlanned(spark, root,
+             pre.map(_._1), metas)).distinct()))
         val delDf = delSides
           .reduceOption(_.unionByName(_, allowMissingColumns = true))
           .map(_.withColumn("_change_type", lit("delete")))
@@ -533,7 +571,12 @@ object ManifestSource {
   private[sources] def streamSchema(spark: SparkSession, root: String,
       changeFeed: Boolean): StructType = {
     val rel = relation(spark, root, None, allowTombstones = true)
-    val base = StructType(rel.dataSchema.fields ++ rel.partitionSchema.fields)
+    // stream consumers see LOGICAL names (the batch frames are
+    // mapping-renamed before conform)
+    val mapping = ManifestTable.columnMapping(spark, root)
+    val base = StructType(
+      (rel.dataSchema.fields ++ rel.partitionSchema.fields).map(f =>
+        f.copy(name = ManifestTable.logicalNameOf(spark, mapping, f.name))))
     if (changeFeed)
       StructType(base.fields :+
         StructField("_change_type", StringType, nullable = false))
@@ -581,18 +624,36 @@ object ManifestSource {
     })
 
   /** Additive-evolution merge of per-segment schemas, in commit order:
-    * later segments may ADD columns; a same-name column whose type
-    * changed is NOT additive → None (caller falls back to the footer-
-    * merge job, which applies parquet's own reconciliation). */
-  private def mergeAdditive(schemas: Seq[StructType]): Option[StructType] =
+    * later segments may ADD columns, and a same-name column whose
+    * types differ by a SAFE WIDENING (the `ALTER COLUMN TYPE` marker-
+    * segment contract — int→bigint/double, float→double, decimal
+    * growth) merges to the WIDER type: the parquet scan then upcasts
+    * the narrow segments' values at read time (Spark 4 vectorized
+    * reader), so a widened 100 TB table reads as one homogeneous
+    * relation with zero rewrites. Any other type conflict is NOT
+    * additive → None (caller falls back to the footer-merge job,
+    * which applies parquet's own reconciliation). */
+  private def mergeAdditive(schemas: Seq[StructType]): Option[StructType] = {
+    def widen(a: DataType, b: DataType): Option[DataType] =
+      if (a == b) Some(a)
+      else if (graft.io.ManifestTable.safeWiden(a, b)) Some(b)
+      else if (graft.io.ManifestTable.safeWiden(b, a)) Some(a)
+      else None
     schemas.foldLeft(Option(StructType(Nil))) {
       case (None, _) => None
       case (Some(acc), st) =>
-        val byName = acc.fields.map(f => f.name -> f.dataType).toMap
-        if (st.fields.exists(f => byName.get(f.name).exists(_ != f.dataType))) None
-        else Some(StructType(acc.fields ++
-          st.fields.filterNot(f => byName.contains(f.name))))
+        val byName = acc.fields.map(f => f.name -> f).toMap
+        val conflict = st.fields.exists(f =>
+          byName.get(f.name).exists(g => widen(g.dataType, f.dataType).isEmpty))
+        if (conflict) None
+        else Some(StructType(acc.fields.map { g =>
+          st.fields.find(_.name == g.name) match {
+            case Some(f) => g.copy(dataType = widen(g.dataType, f.dataType).get)
+            case None => g
+          }
+        } ++ st.fields.filterNot(f => byName.contains(f.name))))
     }.filter(_.fields.nonEmpty)
+  }
 
   /** A DataFrame over exactly `segs` of `root`, PLANNED from embedded
     * metadata when every segment carries it — zero filesystem calls at
@@ -637,7 +698,7 @@ object ManifestSource {
       .getOrElse(throw new IllegalArgumentException(
         s"no committed manifest under $root"))
     // ONE manifest read: segment list + embedded metadata + fingerprint
-    val (all, metas, fp, dropped) = ManifestTable.manifestSnapshot(spark, root, v)
+    val (all, metas, fp, dropped, _) = ManifestTable.manifestSnapshot(spark, root, v)
     require(all.nonEmpty, s"no committed manifest under $root" +
       version.map(v0 => s" at version $v0").getOrElse(""))
     val dels = all.filter(_.startsWith("del-"))
@@ -1095,7 +1156,11 @@ private[graft] class ManifestInsertableRelation(
           s"partitioned on ${rel.partitionSchema.fieldNames.mkString("/")}) " +
           "is not supported through SQL — a flat segment would break the " +
           "layout contract; use ManifestTable.append(partitionBy=…)")
-      rel.dataSchema
+      // inserts are coerced against the LOGICAL surface; the append
+      // commit translates back to physical names on write
+      val mapping = ManifestTable.columnMapping(spark, root)
+      StructType(rel.dataSchema.fields.map(f =>
+        f.copy(name = ManifestTable.logicalNameOf(spark, mapping, f.name))))
     }
 
   override def insert(data: DataFrame, overwrite: Boolean): Unit =

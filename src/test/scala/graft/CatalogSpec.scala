@@ -328,12 +328,15 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
-  test("ALTER TABLE DROP COLUMN(S): schema-projection commit, time travel keeps the column, re-add loud, edges loud") {
+  test("ALTER TABLE DROP COLUMN(S): schema-projection commit, time travel keeps the column, re-add via column mapping, edges loud") {
     val r = root("cat_drop__log")
     withTable("cat_drop") {
       spark.sql(s"CREATE TABLE cat_drop (id INT, v DOUBLE, note STRING) " +
         s"USING `graft.manifest` LOCATION '$r'")
       spark.sql("INSERT INTO cat_drop VALUES (1, 1.0, 'a'), (2, 2.0, 'b')")
+      // keep early segments through the DML/compact rewrites below so
+      // the pre-drop time travel stays serviceable end to end
+      ManifestTable.setRetainVersions(spark, r, 20)
       val preV = ManifestTable.versions(spark, r).max
       val rc = spark.sql("ALTER TABLE cat_drop DROP COLUMN note").collect()
       assert(rc.map(x => (x.getString(0), x.getInt(1))).toSeq ==
@@ -366,22 +369,49 @@ class CatalogSpec extends AnyFunSuite {
       spark.sql("UPDATE cat_drop SET v = v * 10 WHERE id = 1")
       assert(spark.sql("SELECT v FROM cat_drop WHERE id = 1")
         .head().getDouble(0) == 10.0)
-      // re-adding the dropped name is loud while unrewritten segments
-      // still physically hold the old values
-      val e0 = intercept[Exception] {
-        spark.sql("ALTER TABLE cat_drop ADD COLUMN (note STRING)").collect()
-      }
-      assert(e0.getMessage.contains("DROPped"), e0.getMessage)
-      // compact writes through the projection: physically gone AND the
-      // name-tombstone retires — the name becomes reusable
+      // re-ADD of the dropped name WITHOUT any rewrite (r17 column
+      // mapping): the new column mints a FRESH physical name bound to
+      // the logical name by a #colmap entry committed atomically with
+      // the schema marker — the old bytes still in unrewritten
+      // segments can never resurface
+      spark.sql("ALTER TABLE cat_drop ADD COLUMN (note STRING)").collect()
+      assert(spark.table("cat_drop").columns.contains("note"))
+      assert(spark.sql("SELECT count(note) FROM cat_drop").head()
+        .getLong(0) == 0, "re-added column starts NULL — never the old values")
+      assert(ManifestTable.columnMapping(spark, r).exists(_._2 == "note"),
+        "re-add must ride a fresh-physical #colmap entry")
+      assert(ManifestTable.droppedCols(spark, r).nonEmpty,
+        "the old physical name stays tombstoned until a rewrite")
+      // old snapshot still time-travels the ORIGINAL values
+      assert(spark.sql(s"SELECT note FROM cat_drop VERSION AS OF $preV")
+        .collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+      // writes land under the fresh physical name, reads surface logical
+      spark.sql("INSERT INTO cat_drop VALUES (4, 4.0, 'fresh')")
+      assert(spark.sql("SELECT note FROM cat_drop WHERE id = 4")
+        .head().getString(0) == "fresh")
+      assert(spark.sql("SELECT count(note) FROM cat_drop").head()
+        .getLong(0) == 1)
+      val freshPhys = ManifestTable.columnMapping(spark, r)
+        .find(_._2 == "note").get._1
+      assert(freshPhys != "note", s"fresh physical name, got $freshPhys")
+      assert(ManifestTable.segmentMetas(spark, r).values.exists(
+        _.schema.exists(_.fieldNames.contains(freshPhys))),
+        "the new segment must physically carry the fresh name")
+      // compact converges physical names back to logical: tombstones
+      // AND mapping retire, values survive
       ManifestTable.compact(spark, r)
       val metas = ManifestTable.segmentMetas(spark, r)
       val segs = ManifestTable.segments(spark, r)
       assert(segs.forall(s => metas.get(s).flatMap(_.schema)
-        .forall(!_.fieldNames.contains("note"))),
-        "a full rewrite must not carry the dropped column")
+        .forall(st => st.fieldNames.contains("note") &&
+          !st.fieldNames.contains(freshPhys))),
+        "a full rewrite must converge the fresh physical name to logical")
       assert(ManifestTable.droppedCols(spark, r).isEmpty,
         "a full rewrite must retire the drop tombstones")
+      assert(ManifestTable.columnMapping(spark, r).isEmpty,
+        "a full rewrite must clear the column mapping")
+      assert(spark.sql("SELECT note FROM cat_drop WHERE id = 4")
+        .head().getString(0) == "fresh")
       // edges: unknown column loud; IF EXISTS skips; last column loud
       val e1 = intercept[Exception] {
         spark.sql("ALTER TABLE cat_drop DROP COLUMN nope").collect()
@@ -392,14 +422,190 @@ class CatalogSpec extends AnyFunSuite {
       assert(rcIf.map(x => (x.getString(0), x.getInt(1))).toSeq ==
         Seq(("alter", 0)))
       val e2 = intercept[Exception] {
-        spark.sql("ALTER TABLE cat_drop DROP COLUMNS (id, v)").collect()
+        spark.sql("ALTER TABLE cat_drop DROP COLUMNS (id, v, note)").collect()
       }
       assert(e2.getMessage.contains("cannot DROP every column"), e2.getMessage)
-      // ...and after the tombstone retired, the name is reusable
-      spark.sql("ALTER TABLE cat_drop ADD COLUMN (note STRING)")
-      assert(spark.table("cat_drop").columns.contains("note"))
-      assert(spark.sql("SELECT count(note) FROM cat_drop").head()
-        .getLong(0) == 0, "re-added column starts NULL — never the old values")
+    }
+  }
+
+  test("ALTER TABLE RENAME COLUMN: one mapping commit, physical names constant, both faces, time travel, DML, rewrite convergence") {
+    val r = root("cat_ren__log")
+    withTable("cat_ren") {
+      spark.sql(s"CREATE TABLE cat_ren (id INT, v FLOAT) " +
+        s"USING `graft.manifest` LOCATION '$r'")
+      spark.sql("INSERT INTO cat_ren VALUES (1, CAST(1.5 AS FLOAT)), " +
+        "(2, CAST(2.5 AS FLOAT))")
+      val preV = ManifestTable.versions(spark, r).max
+      val rc = spark.sql("ALTER TABLE cat_ren RENAME COLUMN v TO score")
+        .collect()
+      assert(rc.map(x => (x.getString(0), x.getString(1))).toSeq ==
+        Seq(("alter", "v->score")))
+      // zero data IO: the rename commit names the SAME segments
+      assert(ManifestTable.segments(spark, r) ==
+        ManifestTable.segmentsAt(spark, r, preV))
+      assert(ManifestTable.history(spark, r).last.kind == "alter")
+      // every face surfaces the new logical name with the old values
+      assert(spark.table("cat_ren").columns.toSeq == Seq("id", "score"))
+      assert(ManifestTable.read(spark, r).columns.toSeq == Seq("id", "score"))
+      assert(spark.sql(s"SELECT * FROM `graft.manifest`.`$r`")
+        .columns.toSeq == Seq("id", "score"))
+      assert(spark.sql("SELECT score FROM cat_ren WHERE id = 2")
+        .head().getFloat(0) == 2.5f)
+      // pushed filter on the renamed column still answers right
+      assert(spark.sql("SELECT id FROM cat_ren WHERE score > 2.0")
+        .collect().map(_.getInt(0)).toSeq == Seq(2))
+      // catalog schema synced
+      assert(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("cat_ren"))
+        .dataSchema.fieldNames.toSeq == Seq("id", "score"))
+      // pre-rename snapshot time-travels the OLD name
+      assert(spark.sql(s"SELECT v FROM cat_ren VERSION AS OF $preV")
+        .collect().map(_.getFloat(0)).sorted.toSeq == Seq(1.5f, 2.5f))
+      // INSERT speaks the new logical surface; the segment physically
+      // stores the CONSTANT old name (that's what keeps the SQL scan
+      // homogeneous)
+      spark.sql("INSERT INTO cat_ren VALUES (3, CAST(3.5 AS FLOAT))")
+      assert(spark.sql("SELECT score FROM cat_ren WHERE id = 3")
+        .head().getFloat(0) == 3.5f)
+      val newSeg = ManifestTable.segments(spark, r)
+        .filterNot(ManifestTable.segmentsAt(spark, r, preV).toSet).head
+      assert(ManifestTable.segmentMetas(spark, r)(newSeg)
+        .schema.get.fieldNames.toSeq == Seq("id", "v"),
+        "post-rename segments keep the constant physical name")
+      // DML through the mapping (typed cond speaks logical names)
+      val upd = spark.sql(
+        "UPDATE cat_ren SET score = score + 10 WHERE id = 1").collect()
+      assert(upd.head.getLong(2) == 1L, upd.toSeq.toString)
+      assert(spark.sql("SELECT score FROM cat_ren WHERE id = 1")
+        .head().getFloat(0) == 11.5f)
+      // widening a RENAMED column: the marker rides the physical name
+      spark.sql("ALTER TABLE cat_ren ALTER COLUMN score TYPE DOUBLE")
+      assert(spark.table("cat_ren").schema("score").dataType ==
+        org.apache.spark.sql.types.DoubleType)
+      spark.sql("INSERT INTO cat_ren VALUES (4, 4.5)")
+      assert(spark.sql(
+        "SELECT cast(sum(score) AS double) FROM cat_ren").head().getDouble(0)
+        == (11.5 + 2.5 + 3.5 + 4.5))
+      // chained rename on the PATH face: still one mapping entry
+      spark.sql(s"ALTER TABLE `graft.manifest`.`$r` " +
+        "RENAME COLUMN score TO score2")
+      assert(spark.sql("SELECT score2 FROM cat_ren WHERE id = 4")
+        .head().getDouble(0) == 4.5)
+      assert(ManifestTable.columnMapping(spark, r) == Seq(("v", "score2")))
+      // edges: unknown / collision / physical-name shadowing all loud
+      val e1 = intercept[Exception] {
+        spark.sql("ALTER TABLE cat_ren RENAME COLUMN nope TO x").collect() }
+      assert(e1.getMessage.contains("does not exist"), e1.getMessage)
+      val e2 = intercept[Exception] {
+        spark.sql("ALTER TABLE cat_ren RENAME COLUMN id TO score2").collect() }
+      assert(e2.getMessage.contains("already exists"), e2.getMessage)
+      val e3 = intercept[Exception] {
+        spark.sql("ALTER TABLE cat_ren RENAME COLUMN id TO v").collect() }
+      assert(e3.getMessage.contains("PHYSICAL"), e3.getMessage)
+      // full rewrite converges physical to logical and clears the map
+      ManifestTable.compact(spark, r)
+      assert(ManifestTable.columnMapping(spark, r).isEmpty)
+      assert(ManifestTable.segmentMetas(spark, r).values.forall(
+        _.schema.forall(_.fieldNames.toSeq == Seq("id", "score2"))))
+      assert(spark.sql("SELECT score2 FROM cat_ren WHERE id = 1")
+        .head().getDouble(0) == 11.5)
+    }
+  }
+
+  test("ALTER TABLE RENAME TO: the catalog name moves, every face follows it, the old name is loud") {
+    val r = root("cat_tren__log")
+    withTable("cat_tren", "cat_tren2") {
+      spark.sql(s"CREATE TABLE cat_tren (id INT, v DOUBLE) " +
+        s"USING `graft.manifest` LOCATION '$r'")
+      spark.sql("INSERT INTO cat_tren VALUES (1, 1.0), (2, 2.0)")
+      spark.sql("ALTER TABLE cat_tren RENAME TO cat_tren2")
+      // reads, inserts and row-level DML all follow the new name; the
+      // EXTERNAL location (the log root) is untouched
+      assert(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("cat_tren2"))
+        .location.toString.endsWith("cat_tren__log"))
+      assert(spark.sql("SELECT count(1) FROM cat_tren2").head().getLong(0) == 2)
+      spark.sql("INSERT INTO cat_tren2 VALUES (3, 3.0)")
+      val upd = spark.sql(
+        "UPDATE cat_tren2 SET v = v * 10 WHERE id = 1").collect()
+      assert(upd.head.getLong(2) == 1L, upd.toSeq.toString)
+      assert(spark.sql("SELECT v FROM cat_tren2 WHERE id = 1")
+        .head().getDouble(0) == 10.0)
+      // name-addressed TVF surfaces resolve the new name too
+      assert(spark.sql("SELECT count(1) FROM graft_manifest_history('cat_tren2')")
+        .head().getLong(0) >= 3)
+      // the old name is gone, loudly
+      val e = intercept[Exception] {
+        spark.sql("SELECT * FROM cat_tren").collect() }
+      assert(e.getMessage.contains("cat_tren"), e.getMessage)
+    }
+    // MANAGED manifest table (CTAS, no LOCATION): rename moves the
+    // catalog entry AND the managed directory — the manifest log is
+    // location-relative (segment-relative paths), so it survives the
+    // move intact
+    withTable("cat_trenm", "cat_trenm2") {
+      spark.sql("DROP TABLE IF EXISTS cat_trenm2")
+      graft.io.Load.dropManaged(spark, "cat_trenm")
+      graft.io.Load.dropManaged(spark, "cat_trenm2")
+      spark.sql("CREATE TABLE cat_trenm USING `graft.manifest` " +
+        "AS SELECT 1 AS id, CAST(10.0 AS DOUBLE) AS v")
+      spark.sql("ALTER TABLE cat_trenm RENAME TO cat_trenm2")
+      assert(spark.sql("SELECT v FROM cat_trenm2 WHERE id = 1")
+        .head().getDouble(0) == 10.0)
+      spark.sql("INSERT INTO cat_trenm2 VALUES (2, 20.0)")
+      assert(spark.sql("SELECT count(1) FROM cat_trenm2").head().getLong(0) == 2)
+    }
+  }
+
+  test("ALTER COLUMN TYPE: safe widening via marker segment, mixed segments upcast on every face, narrowing loud") {
+    val r = root("cat_wide__log")
+    withTable("cat_wide") {
+      spark.sql(s"CREATE TABLE cat_wide (id INT, n INT, d DECIMAL(10,2)) " +
+        s"USING `graft.manifest` LOCATION '$r'")
+      spark.sql("INSERT INTO cat_wide VALUES (1, 10, 12.34), (2, 20, 56.78)")
+      val preV = ManifestTable.versions(spark, r).max
+      val rc = spark.sql("ALTER TABLE cat_wide ALTER COLUMN n TYPE BIGINT")
+        .collect()
+      assert(rc.map(x => (x.getString(0), x.getString(1))).toSeq ==
+        Seq(("alter", "n:bigint")))
+      // the data segments are untouched; one empty marker carries the
+      // widened schema
+      assert(ManifestTable.segmentsAt(spark, r, preV).forall(
+        ManifestTable.segments(spark, r).contains))
+      // widened on every face
+      assert(spark.table("cat_wide").schema("n").dataType ==
+        org.apache.spark.sql.types.LongType)
+      assert(ManifestTable.read(spark, r).schema("n").dataType ==
+        org.apache.spark.sql.types.LongType)
+      assert(spark.sql(s"SELECT * FROM `graft.manifest`.`$r`")
+        .schema("n").dataType == org.apache.spark.sql.types.LongType)
+      // a value only bigint can hold lands next to int32 segments and
+      // BOTH read back through one scan (vectorized upcast)
+      spark.sql("INSERT INTO cat_wide VALUES (3, 5000000000, 99.99)")
+      assert(spark.sql("SELECT sum(n) FROM cat_wide").head().getLong(0) ==
+        10L + 20L + 5000000000L)
+      assert(ManifestTable.read(spark, r)
+        .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0) ==
+        5000000030L)
+      // decimal precision growth too
+      spark.sql("ALTER TABLE cat_wide ALTER COLUMN d TYPE DECIMAL(14,4)")
+      spark.sql("INSERT INTO cat_wide VALUES (4, 1, 123456789.1234)")
+      assert(spark.sql("SELECT cast(sum(d) AS string) FROM cat_wide")
+        .head().getString(0) == "123456958.2334")
+      // time travel reads the NARROW type
+      assert(spark.sql(s"SELECT * FROM cat_wide VERSION AS OF $preV")
+        .schema("n").dataType == org.apache.spark.sql.types.IntegerType)
+      // DML across mixed-width segments conforms to the wide schema
+      spark.sql("UPDATE cat_wide SET n = n + 1 WHERE id = 1")
+      assert(spark.sql("SELECT n FROM cat_wide WHERE id = 1")
+        .head().getLong(0) == 11L)
+      // narrowing and cross-family changes reject loudly
+      val e1 = intercept[Exception] {
+        spark.sql("ALTER TABLE cat_wide ALTER COLUMN n TYPE INT").collect() }
+      assert(e1.getMessage.contains("SAFE WIDENING"), e1.getMessage)
+      val e2 = intercept[Exception] {
+        spark.sql("ALTER TABLE cat_wide ALTER COLUMN d TYPE STRING").collect() }
+      assert(e2.getMessage.contains("SAFE WIDENING"), e2.getMessage)
     }
   }
 }

@@ -3991,6 +3991,53 @@ class ExtSpec extends AnyFunSuite {
     ManifestTable.destroy(spark, root)
   }
 
+  test("graft.manifest sink autoCompactSegments: segment count stays bounded across micro-batches, contents stable, feed walks through") {
+    import spark.implicits._
+    import graft.io.ManifestTable
+    val base = java.nio.file.Files.createTempDirectory("graft_acspec").toString
+    val src = s"$base/src"; val cp = s"$base/cp"
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_manifest_ac_spec").toString
+    ManifestTable.destroy(spark, root)
+    // 8 files = 8 micro-batches at maxFilesPerTrigger=1
+    (1 to 8).foreach { k =>
+      Seq(k.toLong).toDF("v").coalesce(1).write.mode("append").parquet(src)
+    }
+    val schema = spark.read.parquet(src).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream.format("graft.manifest")
+      .option("path", root).option("autoCompactSegments", 3)
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the policy fired: without it 8 batches = 8 segments; the bound
+    // holds (compact folds BEFORE each append, so ≤ 3 ever accumulate)
+    val segs = ManifestTable.dataSegments(spark, root)
+    assert(segs.size <= 3, s"auto-compact must bound segment count: $segs")
+    val hist = ManifestTable.history(spark, root)
+    assert(hist.exists(_.kind == "rewrite"),
+      "the policy's compact commits must be rewrite-marked")
+    // contents byte-stable across the policy firing
+    assert(ManifestTable.read(spark, root)
+      .collect().map(_.getLong(0)).sorted.toSeq == (1L to 8L))
+    // a caught-up change-feed consumer walks THROUGH the policy's
+    // rewrites: pin the cursor just before the last rewrite commit
+    val lastRewrite = hist.filter(_.kind == "rewrite").map(_.version).max
+    val head = ManifestTable.versions(spark, root).max
+    if (lastRewrite - 1 >= ManifestTable.versions(spark, root).min &&
+        lastRewrite < head) {
+      val adds = ManifestTable.changedSegments(spark, root, lastRewrite - 1, head)
+      assert(adds.forall(s => !s.startsWith("del-")), adds.toString)
+    }
+    // the mb tag of the FINAL batch survives (it is the replay guard
+    // for the one batch whose offset may not be durable yet)
+    assert(ManifestTable.segments(spark, root).exists(_.contains("-mb7-")),
+      ManifestTable.segments(spark, root).toString)
+    ManifestTable.destroy(spark, root)
+  }
+
   test("ManifestTable expireVersions: log retention bounds time travel loudly, current reads unaffected") {
     import spark.implicits._
     import graft.io.ManifestTable

@@ -386,16 +386,21 @@ class PlanSpec extends AnyFunSuite {
     assert(hashExchanges(SparkEntry.queries("text_chunk")(spark, TestSession.sf)) == 0)
   }
 
-  test("substringPairs self-joins on window hashes — shuffle-merge, no broadcast, no cartesian") {
+  test("substringPairs: ONE shuffle of the window set, no joins at all, pairs expand map-side") {
     val pairs = graft.ext.Dedup.substringPairs(
       spark.read.parquet(s"${TestSession.sf}/documents.parquet"))
     val plan = explained(pairs)
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+    // r17 shape: the whole hot-key guard lives in the capped aggregate
+    // buffer — no df-count pass, no join-back, no self-join; the only
+    // exchanges are the grouped collect and the final pair distinct
+    assert(!plan.contains("Join"), "single-aggregation plan must not join:\n" +
       plan.take(2000))
-    val broadcastBlocks = plan.split("\n\n").filter(_.contains("BroadcastExchange"))
-    assert(broadcastBlocks.isEmpty,
+    assert(!plan.contains("BroadcastExchange"),
       "corpus-derived window relations must never broadcast")
-    assert(plan.contains("SortMergeJoin"), "pinned shuffle-merge self-join")
+    assert(plan.contains("capped_long_list"),
+      "pinned bounded-buffer collect aggregate")
+    assert(hashExchanges(pairs) == 2,
+      "expected exactly 2 exchanges (grouped collect + pair distinct)")
   }
 
   test("containmentPairs: shuffle-merge shape, no corpus broadcast, no cartesian") {
