@@ -32,6 +32,7 @@ object DmlBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
+      .config(graft.core.Session.localCheckpointIoConfs.toMap)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val root = new org.apache.hadoop.fs.Path(

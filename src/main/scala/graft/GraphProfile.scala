@@ -56,6 +56,7 @@ object GraphProfile {
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.referenceTracking.blocking", "true")
       .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
+      .config(graft.core.Session.localCheckpointIoConfs.toMap)
       .getOrCreate()
     // SPARK_GRAFT_NO_BROADCAST=1: disable broadcast joins, so the
     // flip-attribution experiment can compare shuffle records at a

@@ -372,6 +372,7 @@ object ScaleGate {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config(graft.core.Session.localCheckpointIoConfs.toMap)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     println(check(spark, sfDir))

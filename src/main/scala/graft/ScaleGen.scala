@@ -33,6 +33,7 @@ object ScaleGen {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config(graft.core.Session.localCheckpointIoConfs.toMap)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -301,7 +301,12 @@ trait SparkEntryMid extends SparkEntryBase {
     * communities over the co-occurrence graph — the quality score for
     * [[graphLpa]]'s assignment, oracled on the shared LPA replay. */
   private[graft] def graphModularity(s: SparkSession, dir: String): DataFrame = {
-    val edges = coOccurrenceEdges(s, dir)
+    // materialize the co-occurrence self-join ONCE (r18): LPA's
+    // undirected expansion and modularity's canonical edge set both
+    // derive from it — unmaterialized, the lineitem distinct+self-join
+    // subtree re-executed per consumer (4+ times across the two
+    // operators' branches)
+    val edges = coOccurrenceEdges(s, dir).localCheckpoint()
     val labels = graft.ext.Graph.labelPropagation(edges, rounds = lpaRounds)
     graft.ext.Graph.modularity(edges, labels)
   }

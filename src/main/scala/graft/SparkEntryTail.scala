@@ -1730,7 +1730,19 @@ trait SparkEntryTail extends SparkEntryMid {
   private[graft] def quantileHist(s: SparkSession, dir: String): DataFrame = {
     val x = t(s, dir, "lineitem")
       .select(col("l_extendedprice").cast("double").as("x"))
-    val st = x.agg(min("x").as("lo"), max("x").as("hi"), count(lit(1)).as("n"))
+    // ONE stats pass (r18): min/max/count AND the three exact
+    // percentiles ride one aggregation, and the single-row result is
+    // materialized (localCheckpoint) so the three downstream branches
+    // (histogram binning, quantile targets, exact values) read it
+    // instead of re-scanning lineitem — 4 full passes over the column
+    // collapse to 2 (stats, histogram). Values are bit-identical:
+    // same aggregate functions over the same rows.
+    val st0 = x.agg(min("x").as("lo"), max("x").as("hi"), count(lit(1)).as("n"),
+        expr("percentile(x, 0.5)").as("e50"),
+        expr("percentile(x, 0.9)").as("e90"),
+        expr("percentile(x, 0.99)").as("e99"))
+      .localCheckpoint()
+    val st = st0.select(col("lo"), col("hi"), col("n"))
     val hist = x.crossJoin(broadcast(st))
       .select(least(floor((col("x") - col("lo")) /
         ((col("hi") - col("lo")) / 1000.0)), lit(999L)).cast("long").as("bin"))
@@ -1738,16 +1750,13 @@ trait SparkEntryTail extends SparkEntryMid {
     val cum = hist.withColumn("cum",
       sum("c").over(Window.orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, 0)))
-    val qdf = st.select(col("lo"), col("hi"), col("n"),
+    val qdf = st0.select(col("lo"), col("hi"), col("n"),
       explode(array(lit(0.5), lit(0.9), lit(0.99))).as("q"))
     val est = qdf.join(cum, col("cum") >= col("q") * col("n"))
       .groupBy("q", "lo", "hi").agg(min("bin").as("qbin"))
       .withColumn("est",
         col("lo") + (col("qbin") + 1) * ((col("hi") - col("lo")) / 1000.0))
-    val exact = x.agg(
-      expr("percentile(x, 0.5)").as("e50"),
-      expr("percentile(x, 0.9)").as("e90"),
-      expr("percentile(x, 0.99)").as("e99"))
+    val exact = st0
       .select(explode(array(
         struct(lit(0.5).as("q"), col("e50").as("exact")),
         struct(lit(0.9).as("q"), col("e90").as("exact")),

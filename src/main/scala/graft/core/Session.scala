@@ -18,6 +18,41 @@ import org.apache.spark.sql.SparkSession
   */
 object Session {
 
+  /** Streaming-checkpoint IO settings for LOCAL (`file://`) checkpoint
+    * dirs — shared by every local session builder (bench, verify,
+    * tests, tools).
+    *
+    * Why (round-18 measurement): Spark 4.1's default checkpoint writer
+    * is `ChecksumCheckpointFileManager` over the FileContext API.
+    * FileContext's create path passes an explicit permission down to
+    * `RawLocalFileSystem`, and with no Hadoop native IO in the
+    * environment that calls `setPermission` → `Shell.execCommand` —
+    * a `chmod` PROCESS FORKED PER CHECKPOINT FILE. A stateful query at
+    * 32 shuffle partitions writes 32+ state/offset/commit files per
+    * micro-batch, each paying a fork from a multi-GB JVM (thread dumps
+    * during the bench showed 19 concurrent `forkAndExec` calls inside
+    * 128 `ChecksumCheckpointFileManager` pool threads, and the forks
+    * get slower as the heap RSS grows — the dominant cause of the
+    * in-suite inflation of every streaming query, e.g.
+    * stream_dedup_multibatch 51.7 s in-suite vs 4.2 s isolated).
+    *
+    * The `FileSystem`-based manager creates files through the plain
+    * FileSystem API (no explicit-permission create → no fork), exactly
+    * what Spark itself falls back to on stores without FileContext
+    * rename. The checksum sidecar wrapper (new in 4.1, on by default)
+    * doubles the created-file count to guard against storage bitrot —
+    * redundant for single-host local disk, so it is off here. Real
+    * HDFS/S3 deployments keep both defaults: these two confs are
+    * env-overridable (`SPARK_GRAFT_CKPT_FM`, `SPARK_GRAFT_CKPT_CHECKSUM`)
+    * and scoped to the local builders, not baked into any operator. */
+  val localCheckpointIoConfs: Seq[(String, String)] = Seq(
+    "spark.sql.streaming.checkpointFileManagerClass" ->
+      sys.env.getOrElse("SPARK_GRAFT_CKPT_FM",
+        "org.apache.spark.sql.execution.streaming.checkpointing." +
+          "FileSystemBasedCheckpointFileManager"),
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled" ->
+      sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
+
   /** Default local session matching the driver's bench/verify setup. */
   def build(
       master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
@@ -50,6 +85,7 @@ object Session {
         // misconfigured environment can't silently degrade the engine
         .config("spark.sql.parquet.enableVectorizedReader", "true")
         .config("spark.sql.codegen.wholeStage", "true")
+      localCheckpointIoConfs.foreach { case (k, v) => b.config(k, v) }
       extraConf.foreach { case (k, v) => b.config(k, v) }
       val spark = b.getOrCreate()
       spark.sparkContext.setLogLevel("WARN")

@@ -184,13 +184,26 @@ object Graph {
       edges: DataFrame,
       srcCol: String = "src",
       dstCol: String = "dst"
-  ): DataFrame = {
-    // canonical undirected edge set: (lo, hi), self-loops dropped
-    val und = edges
+  ): DataFrame =
+    triangleCountsFromUnd(canonicalUnd(edges, srcCol, dstCol))
+
+  /** Canonical undirected edge set — (lo, hi) pairs, self-loops
+    * dropped, distinct — MATERIALIZED (r18): every consumer below uses
+    * it in several plan branches, and unmaterialized each branch
+    * re-executed the whole upstream edge derivation. */
+  private def canonicalUnd(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct()
+      .localCheckpoint()
+
+  /** [[triangleCounts]] over a pre-canonicalized (materialized)
+    * undirected edge set — shared with [[clusteringCoefficient]] so
+    * the two never canonicalize twice. */
+  private def triangleCountsFromUnd(und: DataFrame): DataFrame = {
     val deg = und.select(col("u").as("id")).union(und.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
     // orient from (d, id)-smaller to larger: join degrees of both ends
@@ -208,6 +221,9 @@ object Graph {
         // are missed (the closing edge only exists as oriented(y, z)
         // when y precedes z in that order)
         when(lower, col("dv")).otherwise(col("du")).as("dhi"))
+      // three consumers (both wedge sides + the closing-edge semi) —
+      // materialized so the degree joins above run once (r18)
+      .localCheckpoint()
     // wedges around the pivot: (lo -> hi1), (lo -> hi2) with hi1
     // preceding hi2 in (deg, id) order; the triangle closes iff
     // oriented edge (hi1 -> hi2) exists (the orientation is a total
@@ -239,14 +255,13 @@ object Graph {
       srcCol: String = "src",
       dstCol: String = "dst"
   ): DataFrame = {
-    val und = edges
-      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
-      .distinct()
+    // ONE canonicalization shared by the degree side and the triangle
+    // side (r18 — previously the full edge derivation ran again inside
+    // triangleCounts)
+    val und = canonicalUnd(edges, srcCol, dstCol)
     val deg = und.select(col("u").as("id")).union(und.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree"))
-    val tri = triangleCounts(edges, srcCol, dstCol)
+    val tri = triangleCountsFromUnd(und)
     deg.join(tri, Seq("id"), "left")
       .select(col("id"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
@@ -426,11 +441,16 @@ object Graph {
   ): DataFrame = {
     require(maxDeg >= 2, s"maxDeg must be >= 2, got $maxDeg")
     require(topK >= 1, s"topK must be >= 1, got $topK")
+    // und feeds the adjacency (twice) and the existing-edge anti-join;
+    // wadj feeds both sides of the wedge self-join — materialize each
+    // once (r18) so the upstream edge derivation (for the co-occurrence
+    // graph, a lineitem distinct+self-join) runs once, not 4-8 times
     val und = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct()
+      .localCheckpoint()
     val adj = und.select(col("u").as("z"), col("v").as("x"))
       .union(und.select(col("v").as("z"), col("u").as("x")))
     val deg = adj.groupBy("z").agg(count(lit(1)).as("d"))
@@ -438,7 +458,7 @@ object Graph {
     // the maxDeg hub guard
     val pivots = deg.filter(col("d") >= 2 && col("d") <= maxDeg)
       .select(col("z"), (lit(1.0) / log(col("d").cast("double"))).as("w"))
-    val wadj = adj.join(pivots.hint("shuffle_merge"), "z")
+    val wadj = adj.join(pivots.hint("shuffle_merge"), "z").localCheckpoint()
     val wedges = wadj.as("a")
       .join(wadj.as("b").hint("shuffle_merge"),
         col("a.z") === col("b.z") && col("a.x") < col("b.x"))
@@ -472,11 +492,15 @@ object Graph {
       idCol: String = "id",
       labelCol: String = "label"
   ): DataFrame = {
+    // und feeds three branches (edge count, degrees, label attach);
+    // materialized so the canonicalize+distinct shuffle — and whatever
+    // subtree produced `edges` — runs once, not three times (r18)
     val und = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct()
+      .localCheckpoint()
     val lab = labels.select(col(idCol).cast("long").as("id"),
       col(labelCol).cast("long").as("lbl"))
     val mRow = und.agg(count(lit(1)).as("m"))
@@ -533,11 +557,14 @@ object Graph {
   ): DataFrame = {
     require(maxDeg >= 2, s"maxDeg must be >= 2, got $maxDeg")
     require(topK >= 1, s"topK must be >= 1, got $topK")
+    // same materialization rationale as [[adamicAdar]] (r18): und
+    // feeds adj twice + the anti-join, padj feeds both wedge sides
     val und = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct()
+      .localCheckpoint()
     val adj = und.select(col("u").as("z"), col("v").as("x"))
       .union(und.select(col("v").as("z"), col("u").as("x")))
     val deg = adj.groupBy("z").agg(count(lit(1)).as("d"))
@@ -549,7 +576,7 @@ object Graph {
     // is what the pinned hints below protect.
     val dadj = adj.join(
       deg.select(col("z").as("x"), col("d").as("dx")), "x")
-    val padj = dadj.join(pivots.hint("shuffle_merge"), "z")
+    val padj = dadj.join(pivots.hint("shuffle_merge"), "z").localCheckpoint()
     val wedges = padj.as("a")
       .join(padj.as("b").hint("shuffle_merge"),
         col("a.z") === col("b.z") && col("a.x") < col("b.x"))

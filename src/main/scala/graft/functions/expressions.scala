@@ -503,6 +503,71 @@ case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** MinHash-signature kernel shared by [[MinhashSigFromHashes]]
+  * interpreted eval and its generated code (static-forwarder pattern,
+  * see [[NgramImpl]]). */
+object MinhashImpl {
+
+  /** The universal-hash modulus of [[graft.functions.affineHash]]. */
+  val P: Long = 2862933555777941757L
+
+  /** k-element MinHash signature from a document's DISTINCT 64-bit
+    * shingle hashes: element i = min over h of pmod(h·a_i + b_i, P),
+    * with the identical affine family (a_i, b_i) and modulus as
+    * [[graft.ext.Dedup]]'s explode-then-aggregate signature path —
+    * a min over a set is order- and multiplicity-insensitive, so the
+    * two forms are bit-identical on the same shingle set. One fused
+    * loop per row (no explode, no aggregation exchange). */
+  def sigFromHashes(hs: ArrayData, k: Int): ArrayData = {
+    val out = new Array[Long](k)
+    val n = hs.numElements()
+    var i = 0
+    while (i < k) {
+      val a = (P ^ (i.toLong * 0x9E3779B97F4A7C15L)) | 1L
+      val b = 0xD1B54A32D192ED03L + i.toLong * 0x2545F4914F6CDD1DL
+      var m = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val v = hs.getLong(j) * a + b
+        var r = v % P
+        if (r < 0L) r += P
+        if (r < m) m = r
+        j += 1
+      }
+      out(i) = m
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
+/** Per-row MinHash signature over pre-hashed shingles — see
+  * [[MinhashImpl.sigFromHashes]] for the exact-equivalence contract
+  * with the aggregate signature path. */
+case class MinhashSigFromHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"signature length must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig expects array<bigint> input, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinhashImpl.sigFromHashes(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.MinhashImpl.sigFromHashes($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Distinct word n-grams in one pass — see [[NgramImpl.wordNgrams]] for
   * the exact semantics contract. */
 case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
@@ -545,6 +610,10 @@ object fx {
   /** Column API for [[CharNgrams]]. */
   def charNgrams(text: Column, n: Int): Column =
     column(CharNgrams(expression(text), n))
+
+  /** Column API for [[MinhashSigFromHashes]]. */
+  def minhashSigFromHashes(hs: Column, k: Int): Column =
+    column(MinhashSigFromHashes(expression(hs), k))
 
   /** Column API for [[WordNgrams]]. */
   def wordNgrams(text: Column, n: Int): Column =

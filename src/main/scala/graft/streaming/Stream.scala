@@ -1248,11 +1248,20 @@ object Stream {
     // accumulated corpus never re-shingles on later ingests (the
     // incremental contract: per-batch CPU is O(batch) text work plus
     // the banded join over compact stored rows).
+    //
+    // ONE narrow projection (r18): sig derives per-row from the same
+    // distinct shingle-hash array the verify side stores
+    // ([[graft.functions.MinhashImpl]] — bit-identical to the old
+    // explode→groupBy signature, a min over the same set), so the
+    // former shape (signature aggregation exchange + two doc_id joins
+    // back onto the batch) collapses to zero shuffles per ingest.
     val enriched = b
-      .join(graft.ext.Dedup.sigArrays(b).withColumnRenamed("id", "doc_id"),
-        Seq("doc_id"))
-      .join(graft.ext.Dedup.hashedShingleArrays(b)
-        .withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+      .withColumn("__sh", graft.functions.charShingles(col("text"), 5))
+      .withColumn("sz", size(col("__sh")))
+      .withColumn("hs",
+        array_sort(array_distinct(transform(col("__sh"), s => xxhash64(s)))))
+      .withColumn("sig", graft.functions.fx.minhashSigFromHashes(col("hs"), 64))
+      .select(col("doc_id"), col("text"), col("sig"), col("sz"), col("hs"))
       .localCheckpoint()
     def sigOf(df: DataFrame) = df.select(col("doc_id").as("id"), col("sig"))
     def hashedOf(df: DataFrame) =

@@ -20,6 +20,7 @@ object SubstringSweep {
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.referenceTracking.blocking", "true")
       .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
+      .config(graft.core.Session.localCheckpointIoConfs.toMap)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
