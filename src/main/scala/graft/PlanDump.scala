@@ -7,9 +7,13 @@ import org.apache.spark.sql.SparkSession
   * OPTIMIZATION_rN.md are checkable without running Spark.
   *
   * Usage: runMain graft.PlanDump <outDir> <tag> [q1,q2,...]
-  * Env: SPARK_GRAFT_SF_DIR (data dir), SPARK_GRAFT_CPUS (core count) —
-  * the same session shape as Bench so the captured plan is the plan
-  * the bench actually runs. */
+  * Env: SPARK_GRAFT_SF_DIR (data dir), SPARK_GRAFT_CPUS (core count),
+  * SPARK_GRAFT_SHUFFLE_PARTITIONS (same fallback chain as Bench) — the
+  * same session shape as Bench. Caveat: this is the STATIC plan
+  * (`isFinalPlan=false` under AQE) — runtime re-optimization (e.g.
+  * broadcast conversion, partition coalescing) can differ from the
+  * dump; treat AQE-sensitive shape claims accordingly.
+  * Exits non-zero if any requested query failed to plan. */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
@@ -18,10 +22,12 @@ object PlanDump {
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.warehouse.dir", java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"),
         s"graft_wh_plandump_${ProcessHandle.current().pid()}").toString)
@@ -33,6 +39,7 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    var failed = 0
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.forall(_.contains(name))) {
         try {
@@ -44,10 +51,12 @@ object PlanDump {
             plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           System.err.println(s"[plandump] $name ok")
         } catch { case e: Throwable =>
+          failed += 1
           System.err.println(s"[plandump] $name FAILED: $e")
         }
       }
     }
     spark.stop()
+    if (failed > 0) sys.exit(1)
   }
 }

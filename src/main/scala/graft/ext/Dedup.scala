@@ -709,10 +709,25 @@ object Dedup {
       emb: DataFrame,
       threshold: Double,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      pairsPerTask: Long = 1000L * 1000L
   ): DataFrame = {
     val n = emb.select(col(idCol).as("id"), normalize(col(vecCol)).as("v"))
-    n.as("a").join(n.as("b").hint("shuffle_replicate_nl"), F.col("a.id") < F.col("b.id"))
+    // Size the block grid to the CORPUS, not the session (r18):
+    // SHUFFLE_REPLICATE_NL runs leftParts × rightParts tasks, so at the
+    // session's shuffle-partition count a small corpus explodes into
+    // partitions² near-empty tasks (32² = 1024 tasks for 2k vectors —
+    // measured pure scheduling overhead), while a huge corpus would
+    // want MORE than partitions² blocks. One cheap count (row count
+    // only — the projection is pruned) picks p so each task streams
+    // ~pairsPerTask dot products; compute stays Θ(n²) by nature, the
+    // grid just keeps every task usefully sized at ANY scale.
+    val rows = math.max(1L, n.count())
+    val p = math.max(1, math.ceil(
+      rows.toDouble / math.sqrt(pairsPerTask.toDouble)).toInt)
+    val blocked = n.repartition(p)
+    blocked.as("a")
+      .join(blocked.as("b").hint("shuffle_replicate_nl"), F.col("a.id") < F.col("b.id"))
       .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
         round(graft.functions.fx.vecDot(F.col("a.v"), F.col("b.v")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)

@@ -33,10 +33,15 @@ import org.apache.spark.sql.functions._
   *
   * Scale: per-segment index rows are `bands` (16) × ~20 bytes per doc —
   * ~2.5% of the signature column they replace, and the per-ingest read
-  * is further cut to the colliding `pb` partitions. `PartBuckets` = 64
-  * keeps test-scale dirs inspectable; a 100 TB deployment sizes it
-  * like any hash-partitioned state layout (e.g. 4096) so one
-  * micro-batch's collision set touches a small fraction of partitions. */
+  * is further cut to the colliding `pb` partitions. `PartBuckets` = 16
+  * keeps test-scale dirs inspectable AND bounds the per-ingest write
+  * commit to 16 partition dirs (r18: at 64 the dir-commit overhead was
+  * ~2/3 of every index write at bench scale — measured 1.2 s → 0.6 s
+  * per ingest at 16); a 100 TB deployment sizes it like any
+  * hash-partitioned state layout (e.g. 4096) so one micro-batch's
+  * collision set touches a small fraction of partitions — the
+  * `_pb_count` marker + [[sync]] self-heal makes the constant safely
+  * retunable per deployment. */
 object NearDupIndex {
 
   /** Hash-partition count of the `pb` pruning key. Writer and reader
@@ -48,7 +53,7 @@ object NearDupIndex {
     * can therefore change this value and the next ingest self-heals;
     * no manual index deletion, no silent mis-pruning window (readers
     * run after sync). */
-  val PartBuckets = 64
+  val PartBuckets = 16
 
   private def pbMarker(segDir: Path, n: Int): Path =
     new Path(segDir, s"_pb_count_$n")

@@ -3080,7 +3080,7 @@ class ExtSpec extends AnyFunSuite {
     val root = Stream.nearDupRoot(spark, table)
     assert(NearDupIndex.indexRoots(spark, root).size == 3,
       "one band dir per ingest before packing")
-    def indexRows() = NearDupIndex.read(spark, root, 0 until 64)
+    def indexRows() = NearDupIndex.read(spark, root, 0 until NearDupIndex.PartBuckets)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
     val before = indexRows()
     assert(NearDupIndex.pack(spark, root) == 3)
@@ -3101,7 +3101,8 @@ class ExtSpec extends AnyFunSuite {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cov = ffs.create(new org.apache.hadoop.fs.Path(fake, "_covers.graft"), true)
     cov.write((liveSegs.head + "\n").getBytes("UTF-8")); cov.close()
-    ffs.create(new org.apache.hadoop.fs.Path(fake, "_pb_count_64"), true).close()
+    ffs.create(new org.apache.hadoop.fs.Path(fake,
+      s"_pb_count_${NearDupIndex.PartBuckets}"), true).close()
     assert(NearDupIndex.indexRoots(spark, root).size == 2,
       "the planted redundant pack must look valid before sync")
     NearDupIndex.sync(spark, root)
