@@ -949,26 +949,53 @@ trait SparkEntryBase {
   /** Theil–Sen robust trend of daily order revenue: the MEDIAN of all
     * pairwise slopes (and the median-residual intercept) — the
     * outlier-proof alternative to OLS (stats_regression's robust
-    * sibling). The pair set is bounded by the DAY domain (~120 days →
-    * ~7k pairs), so the slope relation and its positional-median
-    * selection never touch corpus scale; daily revenue rounds 2
+    * sibling). The pair set is bounded by the DAY domain (~2.4k days →
+    * ~2.9M pairs at sf0.1), so the slope relation and its positional-
+    * median selection never touch corpus scale; daily revenue rounds 2
     * first, each slope is one exact-input division, medians are exact
     * positional middles (the stats_bf discipline). */
   private[graft] def statsTheilsen(s: SparkSession, dir: String): DataFrame = {
+    // materialized (r18): four consumers below (pairs reads it twice
+    // via the self-join, mCnt, resid, nd) each re-ran the orders
+    // scan+aggregation
     val daily = t(s, dir, "orders")
       .groupBy((unix_timestamp(date_trunc("day", col("o_orderdate"))) / 86400L)
         .cast("long").as("d"))
       .agg(round(sum("o_totalprice"), 2).as("r"))
+      .localCheckpoint()
     val pairs = daily.as("a").join(daily.as("b"), col("a.d") < col("b.d"))
       .select(((col("b.r") - col("a.r")) /
         (col("b.d") - col("a.d")).cast("double")).as("slope"))
-    val wS = Window.orderBy("slope")
     // m = C(n_days, 2) from the day count — NOT a second scan of the
     // pair join (recomputing `pairs` for its own count doubled the
     // query's cost; the identity is exact)
     val mCnt = daily.agg((count(lit(1)) * (count(lit(1)) - 1L) / lit(2))
       .cast("long").as("m"))
-    val m = pairs.withColumn("rn", row_number().over(wS))
+    // Positional median of the ~C(days, 2) slope relation (2.9M rows
+    // at sf0.1) WITHOUT a single-partition global window (r18): range-
+    // repartition by slope, then per-partition row_number offset by
+    // the preceding partitions' row counts — the counts are a
+    // ≤shuffle-partitions-element driver list (parameter-bounded, the
+    // touchedBuckets discipline), and the selected VALUES at the two
+    // middle global positions are the exact order statistics whatever
+    // the tie placement at range boundaries (a position's value is
+    // unique in the sorted multiset). The global sort becomes fully
+    // parallel instead of one task sorting every pair.
+    val sorted = pairs
+      .repartitionByRange(s.sessionState.conf.numShufflePartitions,
+        col("slope"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val cnts = sorted.groupBy("pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Int, Long] =
+      cnts.map(_._1).zip(cnts.scanLeft(0L)(_ + _._2).dropRight(1)).toMap
+    val wS = Window.partitionBy("pid").orderBy("slope")
+    val rnGlobal =
+      if (offsets.isEmpty) row_number().over(wS).cast("long")
+      else row_number().over(wS).cast("long") +
+        coalesce(element_at(typedLit(offsets), col("pid")), lit(0L))
+    val m = sorted.withColumn("rn", rnGlobal)
       .crossJoin(broadcast(mCnt))
       .filter(col("rn") === floor((col("m") + 1L) / 2.0).cast("long") ||
         col("rn") === floor((col("m") + 2L) / 2.0).cast("long"))

@@ -207,11 +207,15 @@ object Similarity {
         lit(cid).as("cent_id"))
     }
 
-  /** Nearest-centroid id as a pure codegen'd projection (no shuffle). */
-  private def bestCellExpr(cents: Seq[(Long, Seq[Double])])(vec: Column): Column = {
-    val ss = centScoreStructs(cents)(vec)
-    (if (ss.size == 1) ss.head else least(ss: _*)).getField("cent_id")
-  }
+  /** Nearest-centroid id as a pure codegen'd projection (no shuffle).
+    * r18: the unrolled least(k structs of d-literal dots) became the
+    * fused [[graft.functions.NearestCentroid]] argmin — byte-identical
+    * scores/ties (see [[graft.functions.CentroidImpl.nearest]]), but
+    * the generated code no longer embeds k·d literals, so plans that
+    * retrain centroids per round (k-means) stop paying a Janino
+    * recompile per iteration. */
+  private def bestCellExpr(cents: Seq[(Long, Seq[Double])])(vec: Column): Column =
+    graft.functions.fx.nearestCentroid(vec, cents).getField("cent_id")
 
   /** Cell assignment under a quantizer: (id, cell, cosine) of every
     * vector to its nearest centroid — a pure codegen'd projection, no
@@ -226,10 +230,7 @@ object Similarity {
     require(cents.nonEmpty, "assignCells: need at least one centroid")
     val withBest = emb
       .select(col(idCol).as("id"), normalize(col(vecCol)).as("v"))
-      .withColumn("b", {
-        val ss = centScoreStructs(cents)(col("v"))
-        if (ss.size == 1) ss.head else least(ss: _*)
-      })
+      .withColumn("b", graft.functions.fx.nearestCentroid(col("v"), cents))
     withBest.select(col("id"), col("b.cent_id").as("cell"),
       round(-col("b.negcos"), 6).as("cosine"))
   }

@@ -503,6 +503,93 @@ case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Nearest-centroid kernel shared by [[NearestCentroid]] interpreted
+  * eval and its generated code (static-forwarder pattern). */
+object CentroidImpl {
+
+  /** Replica of Spark's `round(x, 6)` for DoubleType (RoundBase):
+    * BigDecimal.valueOf string path, HALF_UP — bit-identical to the
+    * builtin the literal-struct form used. */
+  def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Argmin over centroids of (round(-dot(vec, cent), 6), cent id),
+    * lexicographic with ties to the LOWEST id — exactly
+    * `least(struct(round(-vecDot(v, c_0), 6), id_0), …)` evaluated as
+    * one fused loop. `flat` is centroid-major (centroid c's dims at
+    * [c·d, (c+1)·d)); the dot accumulates left-to-right over
+    * min(|vec|, d) elements like [[VecDotProduct]]. Returns a
+    * (negcos: double, cent_id: long) row. */
+  def nearest(vec: ArrayData, flat: Array[Double], ids: Array[Long],
+      d: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val k = ids.length
+    val n = math.min(vec.numElements(), d)
+    var bestNeg = java.lang.Double.POSITIVE_INFINITY
+    var bestId = java.lang.Long.MAX_VALUE
+    var first = true
+    var c = 0
+    while (c < k) {
+      var s = 0.0
+      val off = c * d
+      var i = 0
+      while (i < n) { s += vec.getDouble(i) * flat(off + i); i += 1 }
+      val neg = round6(-s)
+      val cmp = java.lang.Double.compare(neg, bestNeg)
+      if (first || cmp < 0 || (cmp == 0 && ids(c) < bestId)) {
+        bestNeg = neg; bestId = ids(c); first = false
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestNeg, bestId))
+  }
+}
+
+/** Nearest-centroid argmin as ONE fused-loop expression with the
+  * centroid matrix as a plan constant — replaces the k unrolled
+  * `round(-vecDot(v, <64-double literal>), 6)` structs + `least(...)`
+  * (r18): that form generated k·d literal expression trees, so every
+  * k-means iteration (fresh centroid literals each round) paid a
+  * multi-hundred-millisecond Janino compile before touching any data.
+  * Semantics are byte-identical — see [[CentroidImpl.nearest]]. */
+case class NearestCentroid(child: Expression, flat: Seq[Double],
+    ids: Seq[Long], d: Int) extends UnaryExpression {
+  require(d >= 1, s"need d >= 1, got $d")
+  require(flat.size == ids.size * d,
+    s"flat centroid matrix size ${flat.size} != k·d = ${ids.size * d}")
+  require(ids.nonEmpty, "need at least one centroid")
+
+  @transient private lazy val flatArr = flat.toArray
+  @transient private lazy val idArr = ids.toArray
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("negcos", DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("cent_id", LongType, nullable = false)))
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroid expects array<double> input, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    CentroidImpl.nearest(input.asInstanceOf[ArrayData], flatArr, idArr, d)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fRef = ctx.addReferenceObj("centFlat", flatArr, "double[]")
+    val iRef = ctx.addReferenceObj("centIds", idArr, "long[]")
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.CentroidImpl.nearest($c, $fRef, $iRef, $d);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** MinHash-signature kernel shared by [[MinhashSigFromHashes]]
   * interpreted eval and its generated code (static-forwarder pattern,
   * see [[NgramImpl]]). */
@@ -614,6 +701,14 @@ object fx {
   /** Column API for [[MinhashSigFromHashes]]. */
   def minhashSigFromHashes(hs: Column, k: Int): Column =
     column(MinhashSigFromHashes(expression(hs), k))
+
+  /** Column API for [[NearestCentroid]]: `cents` as (cid, centroid)
+    * pairs, any order (the argmin is order-insensitive). */
+  def nearestCentroid(vec: Column, cents: Seq[(Long, Seq[Double])]): Column = {
+    val d = cents.head._2.size
+    column(NearestCentroid(expression(vec),
+      cents.flatMap(_._2), cents.map(_._1), d))
+  }
 
   /** Column API for [[WordNgrams]]. */
   def wordNgrams(text: Column, n: Int): Column =

@@ -4931,10 +4931,12 @@ class ExtSpec extends AnyFunSuite {
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .filter(col("doc_id") < 300)
     val base = java.nio.file.Files.createTempDirectory("graft_ndpack").toString
-    // ten files -> ten deterministic micro-batches (one band dir each
-    // without cadence)
-    (0 to 9).foreach { k =>
-      docs.filter(col("doc_id") % 10 === k).coalesce(1)
+    // six files -> six deterministic micro-batches (one band dir each
+    // without cadence). Six is the smallest run that still crosses the
+    // cadence threshold twice (r18: was ten files x two runs = 120 s of
+    // the suite's budget; the invariants are unchanged)
+    (0 to 5).foreach { k =>
+      docs.filter(col("doc_id") % 6 === k).coalesce(1)
         .write.mode("append").parquet(s"$base/docs")
       Thread.sleep(5)
     }
@@ -4944,7 +4946,7 @@ class ExtSpec extends AnyFunSuite {
         s"$base/cp_$table", table, packEvery = packEvery)
       spark.table(table).collect().map(_.getLong(0)).sorted.toSeq
     }
-    val packed = run("graft_ndpack_on", packEvery = 3)
+    val packed = run("graft_ndpack_on", packEvery = 2)
     val free = run("graft_ndpack_off", packEvery = 0)
     assert(packed == free,
       "index packing cadence must not change the accepted corpus")
@@ -4953,12 +4955,12 @@ class ExtSpec extends AnyFunSuite {
       Stream.nearDupRoot(spark, "graft_ndpack_on")).size
     val rootsOff = NearDupIndex.indexRoots(spark,
       Stream.nearDupRoot(spark, "graft_ndpack_off")).size
-    // cadence 3: after every ingest the open debt is <= 3 (pack fires
+    // cadence 2: after every ingest the open debt is <= 2 (pack fires
     // the moment the threshold is reached); the uncadenced twin keeps
     // one band dir per novel-bearing ingest
-    assert(rootsOn <= 3,
-      s"packEvery=3 must keep indexRoots bounded, got $rootsOn")
-    assert(rootsOff >= 8,
+    assert(rootsOn <= 2,
+      s"packEvery=2 must keep indexRoots bounded, got $rootsOn")
+    assert(rootsOff >= 5,
       s"expected ~one band dir per ingest without cadence, got $rootsOff")
     graft.streaming.Stream.dropNearDup(spark, "graft_ndpack_on")
     graft.streaming.Stream.dropNearDup(spark, "graft_ndpack_off")
