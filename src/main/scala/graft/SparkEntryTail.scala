@@ -1972,8 +1972,12 @@ trait SparkEntryTail extends SparkEntryMid {
     val dataDir = s"$base/docs"; val cp = s"$base/cp"
     val table = "graft_stream_neardup_restart"
     Stream.dropNearDup(s, table)
-    val nEven = docs.filter(col("doc_id") % 2 === 0).count()
-    val nOdd = docs.filter(col("doc_id") % 2 === 1).count()
+    // one pass for both halves' expected ingest counts (r18; was two
+    // full scans)
+    val cnt = docs.agg(
+      count(when(col("doc_id") % 2 === 0, lit(1))).as("e"),
+      count(when(col("doc_id") % 2 === 1, lit(1))).as("o")).head
+    val nEven = cnt.getLong(0); val nOdd = cnt.getLong(1)
     docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(dataDir)
     val r1 = Stream.runNearDupDir(s, dataDir, cp, table)
     docs.filter(col("doc_id") % 2 === 1).coalesce(1)
