@@ -147,9 +147,14 @@ package object functions {
   /** Pre-normalized cosine: divide each vector by its norm once, then
     * cosine = dot. Use `normalize` in a prior projection so the norm is
     * computed once per row instead of once per pair — the difference
-    * between O(n·k·d) and O(n²·d) extra work in a top-k join. */
-  def normalize(a: Column): Column = {
-    val n = norm2(a)
-    transform(a, v => v.cast("double") / n)
-  }
+    * between O(n·k·d) and O(n²·d) extra work in a top-k join.
+    *
+    * r18: the higher-order form `transform(a, v => v / norm2(a))`
+    * embedded the whole-array aggregate inside the per-element lambda —
+    * Catalyst re-evaluated the norm for EVERY element (O(d²)
+    * interpreted-lambda work per row). Now the fused
+    * [[NormalizeVec]] kernel: byte-identical output (same left-to-right
+    * sum of squares, Math.sqrt, per-element double division — see
+    * [[NormalizeImpl.normalize]]), one loop, whole-stage codegen. */
+  def normalize(a: Column): Column = fx.normalizeVec(a)
 }
