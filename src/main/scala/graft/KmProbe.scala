@@ -54,6 +54,19 @@ object KmProbe {
         .count()
       println(s"[km] normalize mismatch rows = $bad (want 0)")
     }
+    // bit-identity: old HOF quantize8 vs fused Quantize8Codes
+    {
+      val mn = array_min(col("embedding")).cast("double")
+      val mx = array_max(col("embedding")).cast("double")
+      val oldQ = transform(col("embedding"), x =>
+        when(mx === mn, lit(0))
+          .otherwise(floor((x.cast("double") - mn) * 255.0 / (mx - mn)).cast("int")))
+      val bad = emb.select(oldQ.as("o"),
+          graft.functions.quantize8(col("embedding")).as("f"))
+        .filter(not(col("o") <=> col("f")))
+        .count()
+      println(s"[km] quantize8 mismatch rows = $bad (want 0)")
+    }
     // whole trained pipeline twice
     (1 to 2).foreach { it =>
       time(s"kmeansCentroids full (pass $it)") {

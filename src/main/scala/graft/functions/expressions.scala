@@ -731,6 +731,86 @@ case class NormalizeVec(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** SQ8-quantize kernel shared by [[Quantize8Codes]] interpreted eval
+  * and its generated code (static-forwarder pattern). */
+object Quantize8Impl {
+
+  /** Exact replica of `transform(v, x => when(mx === mn, 0)
+    * .otherwise(floor((x.cast(double) - mn) * 255.0 / (mx - mn))
+    * .cast(int)))` with `mn = array_min(v).cast(double)`,
+    * `mx = array_max(v).cast(double)` — as ONE fused loop. The
+    * higher-order form re-evaluated the whole-array min AND max for
+    * every element (O(d²) interpreted work per row). min/max skip null
+    * elements (ArrayMin/ArrayMax semantics); a null element maps to a
+    * null code; all-null or empty arrays degenerate exactly like the
+    * original (null mn/mx → null codes; empty → empty). Arithmetic is
+    * ((x − mn) · 255.0) / (mx − mn), Math.floor, (int) — bit-identical
+    * IEEE in the same order. */
+  def quantize(vec: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = vec.numElements()
+    val out = new Array[Any](n)
+    var mn = java.lang.Double.NaN
+    var mx = java.lang.Double.NaN
+    var seen = false
+    var i = 0
+    while (i < n) {
+      if (!vec.isNullAt(i)) {
+        val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        // primitive </> mirror Spark's nan-safe ordering for the values
+        // that can reach here; NaN handled explicitly as the largest
+        if (!seen) { mn = x; mx = x; seen = true }
+        else {
+          if (x < mn || (java.lang.Double.isNaN(mn) && !java.lang.Double.isNaN(x))) mn = x
+          if (x > mx || (java.lang.Double.isNaN(x) && !java.lang.Double.isNaN(mx))) mx = x
+        }
+      }
+      i += 1
+    }
+    var j = 0
+    while (j < n) {
+      if (!vec.isNullAt(j) && seen) {
+        if (mx == mn) out(j) = 0
+        else {
+          val x = if (isFloat) vec.getFloat(j).toDouble else vec.getDouble(j)
+          out(j) = java.lang.Math.floor((x - mn) * 255.0 / (mx - mn)).toInt
+        }
+      } // else: null element, or null mn/mx (all-null array) → null code
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Per-vector SQ8 quantization as ONE fused-loop expression (r18) —
+  * replaces the `transform` form whose lambda embedded `array_min` /
+  * `array_max`, re-scanning the whole array per element. Semantics are
+  * byte-identical — see [[Quantize8Impl.quantize]]. */
+case class Quantize8Codes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"quantize8 expects array<float|double> input, got $other")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any =
+    Quantize8Impl.quantize(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.Quantize8Impl.quantize($c, $isFloat);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Distinct word n-grams in one pass — see [[NgramImpl.wordNgrams]] for
   * the exact semantics contract. */
 case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
@@ -793,6 +873,10 @@ object fx {
   /** Column API for [[NormalizeVec]]. */
   def normalizeVec(a: Column): Column =
     column(NormalizeVec(expression(a)))
+
+  /** Column API for [[Quantize8Codes]]. */
+  def quantize8Codes(a: Column): Column =
+    column(Quantize8Codes(expression(a)))
 
   /** Column API for [[SrpSignatureExpr]]: `signs` is dim-major
     * (signs(i·nbits + b) = hyperplane sign for dim i, bit b). */

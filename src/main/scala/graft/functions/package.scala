@@ -129,13 +129,11 @@ package object functions {
     * round-half — identical IEEE arithmetic in any engine, so
     * quantized codes are hash-oracle-able. A constant vector (max ==
     * min) quantizes to all zeros. Dequantize with [[dequantize8]]. */
-  def quantize8(v: Column): Column = {
-    val mn = array_min(v).cast("double")
-    val mx = array_max(v).cast("double")
-    transform(v, x =>
-      when(mx === mn, lit(0))
-        .otherwise(floor((x.cast("double") - mn) * 255.0 / (mx - mn)).cast("int")))
-  }
+  def quantize8(v: Column): Column = fx.quantize8Codes(v)
+  // r18: was transform(v, x => when(mx === mn, 0).otherwise(floor((x −
+  // mn)·255/(mx − mn)))) with mn/mx = array_min/max(v) INSIDE the
+  // lambda — re-scanned per element (O(d²) interpreted work per row).
+  // [[Quantize8Codes]] is the byte-identical one-loop kernel.
 
   /** Inverse of [[quantize8]] given the vector's original min/max:
     * x' = min + q · (max − min) / 255 (midpoint-free reconstruction,
