@@ -1310,14 +1310,17 @@ object Stream {
           cands, hashedOf(graft.io.ManifestTable.read(spark, root)),
           hashedOf(withinSurv), threshold), cands))
       }
-    val novel = cross match {
+    // first ingest (no corpus): novel IS the already-checkpointed
+    // within-batch survivor snapshot — re-checkpointing it would spend
+    // one more job + a block-manager copy for nothing (r18)
+    val snap = cross match {
       case None => withinSurv
       case Some((pairs, _)) =>
         withinSurv.join(
           pairs.select(col("batch_id").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
+          .localCheckpoint()
     }
-    val snap = novel.localCheckpoint()
     if (!snap.isEmpty) {
       graft.io.ManifestTable.append(spark, root, snap)
       // index the fresh segment from the rows still in memory (no
